@@ -1,0 +1,136 @@
+package graft.sources
+
+import scala.util.matching.Regex
+
+/** A fetched page: the source tag (its URL) plus the raw HTML body. */
+case class Page(url: String, html: String)
+
+/** One extracted ranking row. `rank` stays a String at ingest: the IMDB
+  * extraction path yields sliced text, and the numeric coercion (with
+  * invalid → 0) happens at query time, exactly as in the reference
+  * (/root/reference/top_movies.py:102,131). Sources that parse ints
+  * (Empire/Ranker, top_movies.py:78,86) store their decimal rendering.
+  */
+case class RawRanking(url: String, rank: String, title: String)
+
+/** Per-site extraction functions — the reference's parsers (S4/S6/S9 in
+  * SURVEY.md §2a) re-expressed as pure `Page => Seq[RawRanking]`
+  * functions, designed to run inside a Dataset `flatMap` so that
+  * positional alignment (Ranker's rank↔name zip) always stays within a
+  * single invocation and never depends on row order across partitions.
+  *
+  * The reference parses with BeautifulSoup; these fixtures-oriented
+  * parsers use anchored regexes over the same structural shapes
+  * (`<h2>` list, `meta itemprop` pairs, `td.titleColumn` cells) and
+  * preserve every edge semantic, including the warts:
+  *   - Empire fixed-width year strip `[:-7]` (top_movies.py:75) — a
+  *     year-less title is corrupted (dropRight(7) of "Heat" → "").
+  *   - Ranker drops the first two names (page-level metadata,
+  *     top_movies.py:97) and zip-truncates trailing unmatched ranks
+  *     (top_movies.py:98).
+  *   - IMDB rank stays a string; `strip()[:-1]` drops the trailing dot
+  *     (top_movies.py:102).
+  */
+object PageParsers {
+
+  val ImdbUrl = "https://www.imdb.com/chart/top"
+  val RankerUrl =
+    "https://www.ranker.com/crowdranked-list/the-best-movies-of-all-time"
+  val EmpireUrl = "https://www.empireonline.com/movies/features/best-movies/"
+
+  val Urls: Set[String] = Set(ImdbUrl, RankerUrl, EmpireUrl)
+
+  /** ^(.*)\s*\(\d{4}\)\s*$ — trailing-year strip (top_movies.py:27). */
+  private val TrailYr: Regex = """^(.*)\s*\(\d{4}\)\s*$""".r
+
+  private val H2: Regex = "(?s)<h2>(.*?)</h2>".r
+  private val MetaPos: Regex =
+    """<meta\s+itemprop="position"\s+content="([^"]*)"\s*/?>""".r
+  private val MetaName: Regex =
+    """<meta\s+itemprop="name"\s+content="([^"]*)"\s*/?>""".r
+  private val TitleCell: Regex = "(?s)<td class=\"titleColumn\">(.*?)</td>".r
+  private val Anchor: Regex = "(?s)<a[^>]*>(.*?)</a>".r
+
+  /** Site dispatch by URL substring (top_movies.py:71,80,99). Unknown
+    * hosts parse to zero rows (the reference would return None; the
+    * engine's permissive equivalent is an empty extraction).
+    */
+  def parse(page: Page): Seq[RawRanking] =
+    if (page.url.contains("www.empireonline.com")) parseEmpire(page)
+    else if (page.url.contains("www.ranker.com")) parseRanker(page)
+    else if (page.url.contains("www.imdb.com")) parseImdb(page)
+    else Seq.empty
+
+  /** Empire: each <h2> is "N. Title (YYYY)" — split on the first dot,
+    * trim, drop the last 7 chars (" (YYYY)"), repair Seven → Se7en
+    * (top_movies.py:71-79).
+    */
+  def parseEmpire(page: Page): Seq[RawRanking] =
+    H2.findAllMatchIn(page.html).toSeq.map { m =>
+      val Array(rank, rawTitle) = m.group(1).split("\\.", 2)
+      val stripped = rawTitle.trim.dropRight(7)
+      val title = if (stripped == "Seven") "Se7en" else stripped
+      RawRanking(page.url, rank.trim.toInt.toString, title)
+    }
+
+  /** Ranker: two independent scans (positions, names) zipped
+    * positionally after dropping the first two names; trailing-year
+    * regex strip and the two alias repairs are applied per name before
+    * the drop, exactly as the reference's scan loop does
+    * (top_movies.py:80-98). zip truncates to the shorter side.
+    */
+  def parseRanker(page: Page): Seq[RawRanking] = {
+    val ranks =
+      MetaPos.findAllMatchIn(page.html).toSeq.map(_.group(1).toInt)
+    val names = MetaName
+      .findAllMatchIn(page.html)
+      .toSeq
+      .map(_.group(1))
+      .map {
+        case TrailYr(t) => t.trim
+        case "Star Wars" => "Star Wars: Episode IV — A New Hope"
+        case "Indiana Jones and the Raiders of the Lost Ark" =>
+          "Raiders of the Lost Ark"
+        case other => other
+      }
+      .drop(2)
+    ranks.zip(names).map { case (r, t) =>
+      RawRanking(page.url, r.toString, t)
+    }
+  }
+
+  /** IMDB: each td.titleColumn has leading text "N." (rank: strip both
+    * ends then drop the trailing dot — stays a STRING) and a nested
+    * anchor whose text is the title (right-strip only)
+    * (top_movies.py:99-105).
+    */
+  def parseImdb(page: Page): Seq[RawRanking] =
+    TitleCell.findAllMatchIn(page.html).toSeq.map { m =>
+      val cell = m.group(1)
+      val leading = cell.substring(0, cell.indexOf("<a"))
+      val rank = leading.trim.dropRight(1)
+      val title = Anchor
+        .findFirstMatchIn(cell)
+        .map(_.group(1))
+        .getOrElse("")
+        .replaceAll("\\s+$", "")
+      RawRanking(page.url, rank, title)
+    }
+
+  /** Load the recorded fixture pages bundled on the classpath
+    * (zero-egress stand-ins for the three live chart pages).
+    */
+  def fixturePages(): Seq[Page] = {
+    def res(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/pages/$name")
+      require(in != null, s"missing classpath fixture /pages/$name")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    Seq(
+      Page(ImdbUrl, res("imdb.html")),
+      Page(RankerUrl, res("ranker.html")),
+      Page(EmpireUrl, res("empire.html"))
+    )
+  }
+}
