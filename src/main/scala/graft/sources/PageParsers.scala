@@ -5,11 +5,16 @@ import scala.util.matching.Regex
 /** A fetched page: the source tag (its URL) plus the raw HTML body. */
 case class Page(url: String, html: String)
 
-/** One extracted ranking row. `rank` stays a String at ingest: the IMDB
-  * extraction path yields sliced text, and the numeric coercion (with
-  * invalid → 0) happens at query time, exactly as in the reference
-  * (/root/reference/top_movies.py:102,131). Sources that parse ints
-  * (Empire/Ranker, top_movies.py:78,86) store their decimal rendering.
+/** One extracted ranking row. `rank` stays a String at ingest — a
+  * DELIBERATE DIVERGENCE from the reference, which casts every rank to
+  * int at parse time (top_movies.py:78,86,104) and would therefore
+  * crash on a non-numeric IMDB rank cell (e.g. "NR."). Deferring the
+  * coercion to query time keeps ingest permissive; the query layer's
+  * safe cast (Q1, top_movies.py:131) then maps such ranks to 0 — which
+  * means they SORT FIRST under the ascending rank aggregates and drag a
+  * title's sum/mean down. That →0 effect is the reference's own wart
+  * (its `to_numeric(errors='coerce').fillna(0)` exists for exactly this
+  * shape of dirty data) and is pinned by the `safe_cast` oracle query.
   */
 case class RawRanking(url: String, rank: String, title: String)
 
@@ -43,11 +48,24 @@ object PageParsers {
   /** ^(.*)\s*\(\d{4}\)\s*$ — trailing-year strip (top_movies.py:27). */
   private val TrailYr: Regex = """^(.*)\s*\(\d{4}\)\s*$""".r
 
-  private val H2: Regex = "(?s)<h2>(.*?)</h2>".r
-  private val MetaPos: Regex =
-    """<meta\s+itemprop="position"\s+content="([^"]*)"\s*/?>""".r
-  private val MetaName: Regex =
-    """<meta\s+itemprop="name"\s+content="([^"]*)"\s*/?>""".r
+  private val H2: Regex = "(?s)<h2[^>]*>(.*?)</h2>".r
+  // Attribute-order-insensitive meta matching: find every <meta ...>
+  // tag, then pull itemprop/content out of the tag body separately —
+  // mirrors BeautifulSoup's attribute lookup rather than assuming the
+  // serialized order the fixtures happen to use.
+  private val MetaTag: Regex = """<meta\b([^>]*)>""".r
+  private val ItemProp: Regex = """itemprop\s*=\s*"([^"]*)"""".r
+  private val ContentAttr: Regex = """content\s*=\s*"([^"]*)"""".r
+
+  /** All (itemprop, content) pairs of <meta> tags, in document order. */
+  private def metaPairs(html: String): Seq[(String, String)] =
+    MetaTag.findAllMatchIn(html).toSeq.flatMap { m =>
+      val attrs = m.group(1)
+      for {
+        prop <- ItemProp.findFirstMatchIn(attrs).map(_.group(1))
+        content <- ContentAttr.findFirstMatchIn(attrs).map(_.group(1))
+      } yield (prop, content)
+    }
   private val TitleCell: Regex = "(?s)<td class=\"titleColumn\">(.*?)</td>".r
   private val Anchor: Regex = "(?s)<a[^>]*>(.*?)</a>".r
 
@@ -80,12 +98,10 @@ object PageParsers {
     * (top_movies.py:80-98). zip truncates to the shorter side.
     */
   def parseRanker(page: Page): Seq[RawRanking] = {
-    val ranks =
-      MetaPos.findAllMatchIn(page.html).toSeq.map(_.group(1).toInt)
-    val names = MetaName
-      .findAllMatchIn(page.html)
-      .toSeq
-      .map(_.group(1))
+    val metas = metaPairs(page.html)
+    val ranks = metas.collect { case ("position", c) => c.toInt }
+    val names = metas
+      .collect { case ("name", c) => c }
       .map {
         case TrailYr(t) => t.trim
         case "Star Wars" => "Star Wars: Episode IV — A New Hope"
@@ -105,16 +121,22 @@ object PageParsers {
     * (top_movies.py:99-105).
     */
   def parseImdb(page: Page): Seq[RawRanking] =
-    TitleCell.findAllMatchIn(page.html).toSeq.map { m =>
+    TitleCell.findAllMatchIn(page.html).toSeq.flatMap { m =>
       val cell = m.group(1)
-      val leading = cell.substring(0, cell.indexOf("<a"))
-      val rank = leading.trim.dropRight(1)
-      val title = Anchor
-        .findFirstMatchIn(cell)
-        .map(_.group(1))
-        .getOrElse("")
-        .replaceAll("\\s+$", "")
-      RawRanking(page.url, rank, title)
+      // A cell without an anchor is malformed: skip the row (permissive)
+      // rather than failing the whole partition's flatMap task.
+      val anchorAt = cell.indexOf("<a")
+      if (anchorAt < 0) None
+      else {
+        val leading = cell.substring(0, anchorAt)
+        val rank = leading.trim.dropRight(1)
+        val title = Anchor
+          .findFirstMatchIn(cell)
+          .map(_.group(1))
+          .getOrElse("")
+          .replaceAll("\\s+$", "")
+        Some(RawRanking(page.url, rank, title))
+      }
     }
 
   /** Load the recorded fixture pages bundled on the classpath

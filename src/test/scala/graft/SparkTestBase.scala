@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs that need a cluster-shaped plan
+  * (multiple partitions, real shuffles) while staying fast.
+  */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.session
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare (builder-side QA only;
+NOT part of the engine). Usage:
+
+    python3 tools/check.py <sfDir> <verifyOutDir>
+
+Runs every oracle_sql.json entry in DuckDB with the star-schema tables
+registered as views over <sfDir>, loads the Spark result parquet written
+by graft.Verify from <verifyOutDir>/<name>/, sorts columns by name, and
+compares cell-by-cell. Reports exact mismatches and float-tolerance-only
+matches (the driver may hash exactly, so those are warnings)."""
+import sys, json, os, glob
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_spark(outdir, name):
+    d = os.path.join(outdir, name)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    n_pass = n_fail = n_warn = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            du = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        sp = load_spark(outdir, name)
+        if sp is None:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        sp = sp.reindex(sorted(sp.columns), axis=1)
+        du = du.reindex(sorted(du.columns), axis=1)
+        if list(sp.columns) != list(du.columns):
+            print(f"FAIL {name}: columns spark={list(sp.columns)} "
+                  f"duck={list(du.columns)}")
+            n_fail += 1
+            continue
+        if sp.shape != du.shape:
+            print(f"FAIL {name}: shape spark={sp.shape} duck={du.shape}")
+            n_fail += 1
+            continue
+        bad, warn = None, None
+        for c in sp.columns:
+            a, b = sp[c], du[c]
+            if (np.issubdtype(a.dtype, np.floating)
+                    or np.issubdtype(b.dtype, np.floating)):
+                af = a.astype(float).values
+                bf = b.astype(float).values
+                if not np.allclose(af, bf, rtol=1e-9, atol=1e-12,
+                                   equal_nan=True):
+                    bad = c
+                    break
+                if not np.array_equal(af, bf, equal_nan=True):
+                    warn = c
+            else:
+                av = a.astype(str).values
+                bv = b.astype(str).values
+                if not (av == bv).all():
+                    bad = c
+                    break
+        if bad is not None:
+            i = next(i for i in range(len(sp))
+                     if str(sp[bad].iloc[i]) != str(du[bad].iloc[i])
+                     and not _close(sp[bad].iloc[i], du[bad].iloc[i]))
+            print(f"FAIL {name}: col {bad} row {i}: "
+                  f"spark={sp[bad].iloc[i]!r} duck={du[bad].iloc[i]!r}")
+            n_fail += 1
+        elif warn is not None:
+            print(f"WARN {name}: col {warn} float-close but not bit-equal")
+            n_warn += 1
+        else:
+            print(f"PASS {name} ({len(sp)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_warn} float-warn, {n_fail} fail, "
+          f"{len(oracle)} total")
+    sys.exit(1 if n_fail else 0)
+
+
+def _close(x, y):
+    try:
+        return abs(float(x) - float(y)) <= 1e-9 * max(1.0, abs(float(y)))
+    except (TypeError, ValueError):
+        return False
+
+
+if __name__ == "__main__":
+    main()
