@@ -24,11 +24,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FlagshipQueries.queries
+    FlagshipQueries.queries ++
+      RelationalQueries.queries ++
+      FunctionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    FlagshipQueries.oracleSql
+    FlagshipQueries.oracleSql ++
+      RelationalQueries.oracleSql ++
+      FunctionQueries.oracleSql
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet star schema
   * (/root/testdata/sf{0.001,0.01,0.1} — see TESTDATA.md / FIXTURES.md §B).
@@ -21,7 +23,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events.ts is ns-precision parquet (FIXTURES.md §B), which Spark's
+    * TimestampType (µs) cannot hold: with
+    * spark.sql.legacy.parquet.nanosAsLong=true the column arrives as a
+    * raw ns long and is truncated here to µs — a conscious precision
+    * decision (SURVEY.md §7.4); all registered event queries aggregate
+    * at ≥second granularity so the truncation is observationally
+    * irrelevant.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")

@@ -1,0 +1,461 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** General relational operator coverage over the star schema
+  * (SURVEY.md §2b, §7.2 item 1): the full join family, aggregate
+  * family, window family, sorts/top-K and set operations — each as a
+  * registered query with a DuckDB oracle.
+  *
+  * Scale conventions (these run unchanged on a 1000-executor cluster):
+  *   - dimension tables (region/nation/customer/part/supplier) join via
+  *     `broadcast()` — no shuffle of the fact side;
+  *   - fact⋈fact joins (lineitem⋈orders) shuffle on the join key and
+  *     are AQE-planned (sort-merge at scale, shuffled-hash when a side
+  *     is small);
+  *   - every money aggregate is integer CENTS (round(x*100) per row,
+  *     then a long sum): deterministic under any partitioning/order —
+  *     a double sum's value depends on reduction order and would flake
+  *     the oracle hash (and at 100 TB, any cross-run comparison);
+  *   - every query output is totally ordered by explicit tiebreaks.
+  */
+object RelationalQueries {
+
+  /** round-half-away-from-zero(x*100) as long — exact for 2-decimal
+    * money stored as double (the *100 product is never exactly at .5).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Broadcast hash join: fact orders ⋈ broadcast dim customer.
+    "join_broadcast" -> ((s, d) =>
+      orders(s, d)
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy("c_mktsegment")),
+
+    // Shuffle join of the two fact tables (sort-merge / AQE's pick).
+    "join_shuffle" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("extprice_cents"))
+        .orderBy("o_orderpriority")),
+
+    // 5-way star join: facts shuffle once, all dims broadcast.
+    "join_multiway" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+        .orderBy("r_name")),
+
+    // Left outer join preserving customers with zero orders, folded
+    // into an order-count histogram.
+    "join_left_outer" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")),
+
+    // Left semi join: customers with at least one order.
+    "join_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_customers_with_orders"))),
+
+    // Left anti join: customers with no orders.
+    "join_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .agg(
+          count(lit(1)).as("n_customers_without_orders"),
+          coalesce(min(col("c_custkey")), lit(-1L)).as("min_custkey"))),
+
+    // Equi join + non-equi range predicate (ships >60 days after order).
+    "join_range" -> ((s, d) =>
+      lineitem(s, d)
+        .join(
+          orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .agg(count(lit(1)).as("n_late_items"))),
+
+    // TPC-H Q1-shaped aggregate family over lineitem.
+    "agg_pricing" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price_cents"),
+          min(cents(col("l_extendedprice"))).as("min_price_cents"),
+          max(cents(col("l_extendedprice"))).as("max_price_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Distinct aggregate: distinct customers per order priority.
+    "agg_count_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // Exact mean via one division over deterministic integer inputs
+    // (sum of cents / count) — no order-dependent double accumulation.
+    "agg_avg" -> ((s, d) =>
+      customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          (sum(cents(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("avg_acctbal_cents"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")),
+
+    // Hierarchical rollup region → nation over the customer dim —
+    // expressed through the SQL surface (Spark 4.1's ambiguity detector
+    // false-positives on DataFrame-API rollup over a multi-join here).
+    "agg_rollup" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_v")
+      broadcast(nation(s, d)).createOrReplaceTempView("nation_v")
+      broadcast(region(s, d)).createOrReplaceTempView("region_v")
+      s.sql(
+        """SELECT r_name, n_name,
+          |       count(*) AS n_customers,
+          |       sum(CAST(round(c_acctbal*100) AS BIGINT)) AS acctbal_cents
+          |FROM customer_v
+          |JOIN nation_v ON c_nationkey = n_nationkey
+          |JOIN region_v ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+          .stripMargin)
+    }),
+
+    // Full cube over the lineitem flags.
+    "agg_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // row_number: latest order per customer (top-1-per-group pattern).
+    "window_rownum" -> ((s, d) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey").as("latest_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
+        .orderBy("o_custkey")
+    }),
+
+    // rank vs dense_rank: 3 priciest parts per brand, ties kept.
+    "window_rank" -> ((s, d) => {
+      val w = Window
+        .partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      part(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("rnk"), col("drnk"))
+        .orderBy("p_brand", "rnk", "p_partkey")
+    }),
+
+    // lag: days between consecutive orders of a customer, summed per
+    // market segment (single-division mean avoided entirely: int sums).
+    "window_lag" -> ((s, d) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(col("gap_days")).as("sum_gap_days"),
+          count(lit(1)).as("n_gaps"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Explicit frame: running revenue per customer over order history.
+    "window_running_sum" -> ((s, d) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .withColumn("running_cents", sum(cents(col("o_totalprice"))).over(w))
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("running_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ntile quartiles over a totally-ordered ranking.
+    "window_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy("quartile")
+    }),
+
+    // Top-K: plans as TakeOrderedAndProject (per-partition heap, no
+    // full sort) — the scale-safe form of ORDER BY + LIMIT.
+    "topk_orders" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          cents(col("o_totalprice")).as("totalprice_cents"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // Set ops: nations that have customers vs nations that have
+    // suppliers.
+    "setop_intersect" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("n_name")
+        .intersect(
+          supplier(s, d)
+            .join(broadcast(nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("n_name"))
+        .orderBy("n_name")),
+
+    "setop_except" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("n_name")
+        .except(
+          supplier(s, d)
+            .join(broadcast(nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("n_name"))
+        .orderBy("n_name")),
+
+    "setop_union" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_nationkey").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .agg(
+          count(lit(1)).as("n_rows_union_all"),
+          countDistinct(col("nationkey")).as("n_distinct"))),
+
+    "distinct_segments" -> ((s, d) =>
+      customer(s, d)
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_shuffle" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |         AS extprice_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_multiway" ->
+      """SELECT r_name,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "join_semi" ->
+      """SELECT count(*) AS n_customers_with_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+        .stripMargin,
+    "join_anti" ->
+      """SELECT count(*) AS n_customers_without_orders,
+        |       coalesce(min(c_custkey), -1) AS min_custkey
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+        .stripMargin,
+    "join_range" ->
+      """SELECT count(*) AS n_late_items
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate > o_orderdate + INTERVAL 60 DAY""".stripMargin,
+    "agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_cents,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_cents,
+        |       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+        |         AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |       min(CAST(round(l_extendedprice*100) AS BIGINT))
+        |         AS min_price_cents,
+        |       max(CAST(round(l_extendedprice*100) AS BIGINT))
+        |         AS max_price_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_avg" ->
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+        |         / count(*) AS avg_acctbal_cents,
+        |       count(*) AS n_customers
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |         AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+        .stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+    "window_rownum" ->
+      """SELECT o_custkey, latest_orderkey, latest_date FROM (
+        |  SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "window_rank" ->
+      """SELECT p_brand, p_partkey, rnk, drnk FROM (
+        |  SELECT p_brand, p_partkey,
+        |         rank() OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk
+        |  FROM part
+        |  WINDOW w AS (PARTITION BY p_brand
+        |               ORDER BY p_retailprice DESC, p_partkey ASC)) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+    "window_lag" ->
+      """SELECT c_mktsegment,
+        |       CAST(sum(gap_days) AS BIGINT) AS sum_gap_days,
+        |       count(*) AS n_gaps
+        |FROM (
+        |  SELECT o_custkey,
+        |         date_diff('day', lag(o_orderdate) OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |           o_orderdate) AS gap_days
+        |  FROM orders) t
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS running_cents
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_ntile" ->
+      """SELECT quartile, count(*) AS n_customers,
+        |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |         AS acctbal_cents
+        |FROM (
+        |  SELECT c_acctbal, ntile(4) OVER (
+        |    ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+        |  FROM customer) t
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey,
+        |       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
+        |FROM orders
+        |ORDER BY totalprice_cents DESC, o_orderkey ASC LIMIT 10"""
+        .stripMargin,
+    "setop_intersect" ->
+      """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |INTERSECT
+        |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "setop_except" ->
+      """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |EXCEPT
+        |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "setop_union" ->
+      """SELECT count(*) AS n_rows_union_all,
+        |       count(DISTINCT nationkey) AS n_distinct
+        |FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier) t""".stripMargin,
+    "distinct_segments" ->
+      """SELECT DISTINCT c_mktsegment FROM customer
+        |ORDER BY c_mktsegment""".stripMargin
+  )
+}
