@@ -26,7 +26,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FlagshipQueries.queries ++
       RelationalQueries.queries ++
-      FunctionQueries.queries
+      FunctionQueries.queries ++
+      TextQueries.queries ++
+      SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +37,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     FlagshipQueries.oracleSql ++
       RelationalQueries.oracleSql ++
-      FunctionQueries.oracleSql
+      FunctionQueries.oracleSql ++
+      TextQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata alongside (the 100 TB pattern: bytes
+  * stay columnar/compressed in parquet, metadata drives partition
+  * pruning; decode happens per-partition, never on the driver).
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * STUB — a deterministic fake (byte-length-derived dimensions) marked
+  * as such; the Spark-side plumbing (binary schema, per-partition
+  * batch shape, fingerprinting, frame/byte sampling) is real and
+  * oracle-checked. The typed mapPartitions decoder lives in
+  * [[MultimodalPipeline]] and is spec-tested.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary-column metadata extraction over synthesized payloads
+    // (documents.text re-encoded as the opaque media bytes).
+    "multimodal_meta" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("content_md5"),
+          hex(substring(col("payload"), 1, 8)).as("header_hex"),
+          // STUB decode: deterministic fake dimensions derived from
+          // the byte length — a real deployment swaps this expression
+          // for a per-partition codec call (see MultimodalPipeline).
+          (col("n_chars") % 640 + 1).cast("int").as("stub_width"),
+          (col("n_chars") % 480 + 1).cast("int").as("stub_height"),
+          (octet_length(col("payload")) / lit(100) + 1).cast("int")
+            .as("stub_n_frames"))
+        .orderBy("doc_id")),
+
+    // Byte-stride frame sampling: every 50th byte's value — the
+    // "sample frames from video" access pattern over binary columns.
+    "multimodal_frame_sample" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("doc_id") < 10)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          posexplode(
+            transform(
+              sequence(
+                lit(1),
+                octet_length(col("payload")).cast("int"),
+                lit(50)),
+              i => hex(substring(col("payload"), i, lit(1))))))
+        .select(
+          col("doc_id"),
+          col("pos").as("frame_idx"),
+          col("col").as("frame_byte_hex"))
+        .orderBy("doc_id", "frame_idx"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       hex(encode(substring(text, 1, 8))) AS header_hex,
+        |       CAST(n_chars % 640 + 1 AS INTEGER) AS stub_width,
+        |       CAST(n_chars % 480 + 1 AS INTEGER) AS stub_height,
+        |       CAST(strlen(text) // 100 + 1 AS INTEGER) AS stub_n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id,
+        |       CAST(p AS INTEGER) AS frame_idx,
+        |       hex(encode(substring(text, CAST(i AS INTEGER), 1)))
+        |         AS frame_byte_hex
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, strlen(text), 50)) AS i,
+        |         unnest(generate_series(0,
+        |           (strlen(text)-1)//50)) AS p
+        |  FROM documents WHERE doc_id < 10) t
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Vectors._
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float>, label).
+  *
+  * Two paths, as a scale story:
+  *   - brute-force cosine top-k: broadcast the (small) query set, scan
+  *     all candidates once — the exact baseline; O(Q×N) but one pass
+  *     over N, no shuffle of the candidate side;
+  *   - LSH-bucketed top-k: deterministic random-hyperplane signs give a
+  *     16-bucket partition; candidates join on bucket — the 100 TB
+  *     path, where the per-bucket join replaces the full scan per
+  *     query.
+  *
+  * All cosines are computed as left-to-right double folds, which DuckDB
+  * reproduces bit-exactly (see functions.Vectors).
+  */
+object SimilarityQueries {
+
+  private val NQueries = 5
+  private val NPlanes = 4
+  private val TopK = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-k for the first NQueries vectors.
+    "cosine_topk_brute" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q)
+        .join(c, col("qid") =!= col("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    }),
+
+    // LSH bucket histogram: the partition the scale path works in.
+    "lsh_buckets" -> ((s, d) =>
+      embeddings(s, d)
+        .withColumn("bucket", lshBucket(col("embedding"), NPlanes))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("bucket")),
+
+    // Approximate top-k: only candidates in the query's LSH bucket.
+    "cosine_topk_lsh" -> ((s, d) => {
+      val withBucket = embeddings(s, d)
+        .withColumn("bucket", lshBucket(col("embedding"), NPlanes))
+      val q = withBucket
+        .filter(col("vec_id") < NQueries)
+        .select(
+          col("vec_id").as("qid"),
+          col("embedding").as("qe"),
+          col("bucket"))
+      val c = embeddings(s, d)
+        .withColumn("bucket", lshBucket(col("embedding"), NPlanes))
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q)
+        .join(c, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    }),
+
+    // Per-label centroid-free stats: norms are bit-deterministic.
+    "vector_norms" -> ((s, d) =>
+      embeddings(s, d)
+        .select(
+          col("vec_id"),
+          col("label"),
+          norm(col("embedding")).as("l2_norm"))
+        .orderBy("vec_id"))
+  )
+
+  // ------------------------------------------------------------------ //
+
+  /** DuckDB: dot product via zipped unnest + double sum (bit-identical
+    * to the Spark fold — verified).
+    */
+  private def dotCte(name: String, left: String, right: String) =
+    s"""$name AS (
+       |  SELECT qid, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE))
+       |    AS dot
+       |  FROM (SELECT qid, vec_id, unnest($left) AS a,
+       |          unnest($right) AS b FROM pairs) u
+       |  GROUP BY qid, vec_id
+       |)""".stripMargin
+
+  private val normCte =
+    """norms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+      |    AS nrm
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) u
+      |  GROUP BY vec_id
+      |)""".stripMargin
+
+  private val bucketCte =
+    s"""buckets AS (
+       |  SELECT vec_id, ${(0 until NPlanes)
+        .map(p =>
+          s"(CASE WHEN proj$p > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")} AS bucket
+       |  FROM (
+       |    SELECT vec_id, ${(0 until NPlanes)
+        .map(p =>
+          s"sum(CAST(x AS DOUBLE) * CAST((($p*73 + i*37) % 19) - 9" +
+            s" AS DOUBLE)) AS proj$p")
+        .mkString(", ")}
+       |    FROM (SELECT vec_id, unnest(embedding) AS x,
+       |            unnest(generate_series(0, len(embedding)-1)) AS i
+       |          FROM embeddings) u
+       |    GROUP BY vec_id) pr
+       |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "cosine_topk_brute" ->
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q CROSS JOIN embeddings c
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "lsh_buckets" ->
+      s"""WITH $bucketCte
+         |SELECT bucket, count(*) AS n_vecs,
+         |       count(DISTINCT label) AS n_labels
+         |FROM buckets JOIN embeddings USING (vec_id)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "cosine_topk_lsh" ->
+      s"""WITH $bucketCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q
+         |  JOIN buckets bq ON bq.vec_id = q.vec_id
+         |  JOIN buckets bc ON bc.bucket = bq.bucket
+         |  JOIN embeddings c ON c.vec_id = bc.vec_id
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "vector_norms" ->
+      s"""WITH $normCte
+         |SELECT e.vec_id, e.label, n.nrm AS l2_norm
+         |FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+  )
+}

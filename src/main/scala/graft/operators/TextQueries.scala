@@ -1,0 +1,401 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Text-analysis and deduplication operators over `documents` — the
+  * training-data-pipeline side of the engine: tokenization stats,
+  * quality scoring, language-ID heuristic, fingerprinting, exact dedup,
+  * n-gram Jaccard near-dup and MinHash near-dup estimation.
+  *
+  * Scale design: every operator is a pure shuffle-on-key plan. The
+  * near-dup operators generate candidates by joining on shared
+  * shingles / MinHash band keys — never an all-pairs cartesian — with a
+  * document-frequency cap on shingles (stop-shingle removal), which is
+  * what keeps the candidate join bounded at 100 TB.
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+  private val StopSqlList = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Shingle document-frequency cap for near-dup candidate generation. */
+  private val DfCap = 100
+
+  /** (doc_id, shingle) pairs, distinct, stop-shingles (df > cap)
+    * removed; plus per-doc capped set sizes.
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(wordShingles(tokens(col("text")), 3)))
+          .as("sh"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus stats per language tag.
+    "text_stats" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("lang"),
+          col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1)))
+            .as("avg_tokens"))
+        .orderBy("lang")),
+
+    // Per-document quality signals: all integer counts plus single-
+    // division ratios (bit-deterministic).
+    "text_quality" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("len"),
+          size(tokens(col("text"))).as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .as("n_alpha"),
+          size(filter(tokens(col("text")), t => t.isin(Stopwords: _*)))
+            .as("n_stop"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("alpha_ratio",
+          col("n_alpha").cast("double") / col("len"))
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic: stopword-set voting with deterministic
+    // tie-break order (en > de > fr > es > unknown).
+    "lang_id" -> ((s, d) => {
+      def hits(ws: Seq[String]) =
+        size(filter(tokens(lower(col("text"))), t => t.isin(ws: _*)))
+      documents(s, d)
+        .withColumn("en_hits", hits(Seq("the", "a", "of", "and")))
+        .withColumn("de_hits", hits(Seq("der", "die", "das", "und")))
+        .withColumn("fr_hits", hits(Seq("le", "la", "et", "les")))
+        .withColumn("es_hits", hits(Seq("el", "los", "y", "una")))
+        .withColumn(
+          "pred_lang",
+          when(
+            col("en_hits") >= greatest(
+              col("de_hits"), col("fr_hits"), col("es_hits")) &&
+              col("en_hits") > 0, "en")
+            .when(
+              col("de_hits") >= greatest(col("fr_hits"), col("es_hits")) &&
+                col("de_hits") > 0, "de")
+            .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0,
+              "fr")
+            .when(col("es_hits") > 0, "es")
+            .otherwise("unknown"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("pred_lang")
+    }),
+
+    // Global token frequency top-20.
+    "token_topk" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
+    // Deterministic 60-bit document fingerprint over normalized text.
+    "doc_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          hash60(normText(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Exact dedup summary over the normalized-text key.
+    "dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .select(normText(col("text")).as("norm"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("norm")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))),
+
+    // Exact dedup keep-first: min doc_id per normalized key.
+    "dedup_exact_keep_first" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), normText(col("text")).as("norm"))
+        .groupBy("norm")
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep_doc_id"), col("n_copies"))
+        .orderBy("keep_doc_id")),
+
+    // Exact near-dup: word-3-gram Jaccard, candidates from shared
+    // shingles after stop-shingle (df > cap) removal; top-20 pairs.
+    "ngram_jaccard" -> ((s, d) => {
+      val rows = shingleRows(s, d)
+      val df_ = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+      val capped = rows
+        .join(df_.filter(col("df") <= DfCap), "sh")
+        .select("doc_id", "sh")
+      val sizes = capped.groupBy("doc_id")
+        .agg(count(lit(1)).as("sz"))
+      val a = capped.withColumnRenamed("doc_id", "a")
+      val b = capped.withColumnRenamed("doc_id", "b")
+      val inter = a
+        .join(b, "sh")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a")
+          .withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")))
+        .select("a", "b", "inter", "jaccard")
+        .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
+    // MinHash signatures (8 slots) over distinct word unigrams.
+    "minhash_signatures" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", hash60(col("tok")))
+      val aggs = (0 until 8).map(i =>
+        min(minhashSlot(col("h"), i)).as(s"h$i"))
+      tok
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("doc_id")
+    }),
+
+    // MinHash near-dup estimation: candidates share a 2-slot band,
+    // similarity estimated as matching-slot fraction; top-20 pairs.
+    "minhash_band_pairs" -> ((s, d) => {
+      def sigs = {
+        val tok = documents(s, d)
+          .select(
+            col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("tok"))
+          .withColumn("h", hash60(col("tok")))
+        val aggs = (0 until 8).map(i =>
+          min(minhashSlot(col("h"), i)).as(s"h$i"))
+        tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      }
+      val bands = (0 until 4).map { j =>
+        sigs.select(
+          col("doc_id"),
+          lit(j).as("band"),
+          concat_ws("_", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))
+            .as("key"))
+      }.reduce(_ unionByName _)
+      val cand = bands
+        .withColumnRenamed("doc_id", "a")
+        .join(bands.withColumnRenamed("doc_id", "b"), Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+      val sa = sigs.toDF(
+        "a" +: (0 until 8).map(i => s"a$i"): _*)
+      val sb = sigs.toDF(
+        "b" +: (0 until 8).map(i => s"b$i"): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sa, "a")
+        .join(sb, "b")
+        .withColumn("n_match", matches)
+        .withColumn("est_jaccard", col("n_match").cast("double") / 8)
+        .select("a", "b", "n_match", "est_jaccard")
+        .orderBy(col("n_match").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
+    // 16-bit SimHash over distinct token hashes (majority vote per bit;
+    // ties → 0).
+    "simhash16" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", hash60(col("tok")))
+      val bitSums = (0 until 16).map(b =>
+        sum(
+          when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"s$b"))
+      val assembled = (0 until 16)
+        .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      tok
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), assembled.as("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------------ //
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val normSql =
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  /** Shared CTE: distinct (doc_id, token-hash) pairs. */
+  private val tokHashCte =
+    s"""tok AS (
+       |  SELECT doc_id, ${hash60Sql("t")} AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct($toksSql)) AS t
+       |    FROM documents) z
+       |)""".stripMargin
+
+  private val sigSelect = {
+    val slots = (0 until 8)
+      .map(i => s"min(${minhashSlotSql("h", i)}) AS h$i")
+      .mkString(", ")
+    s"SELECT doc_id, $slots FROM tok GROUP BY doc_id"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(len($toksSql)) AS BIGINT) AS sum_tokens,
+         |       CAST(max(len($toksSql)) AS BIGINT) AS max_tokens,
+         |       CAST(sum(len($toksSql)) AS DOUBLE) / count(*)
+         |         AS avg_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS INTEGER) AS len,
+         |       CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         |         AS INTEGER) AS n_alpha,
+         |       CAST(len(list_filter($toksSql,
+         |         t -> t IN ($StopSqlList))) AS INTEGER) AS n_stop,
+         |       CAST(len(list_filter($toksSql,
+         |         t -> t IN ($StopSqlList))) AS DOUBLE)
+         |         / len($toksSql) AS stop_ratio,
+         |       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         |         AS DOUBLE) / length(text) AS alpha_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT
+         |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+         |      '\\s+'), t -> t IN ('the','a','of','and'))) AS en_hits,
+         |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+         |      '\\s+'), t -> t IN ('der','die','das','und'))) AS de_hits,
+         |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+         |      '\\s+'), t -> t IN ('le','la','et','les'))) AS fr_hits,
+         |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+         |      '\\s+'), t -> t IN ('el','los','y','una'))) AS es_hits
+         |  FROM documents)
+         |SELECT CASE
+         |    WHEN en_hits >= greatest(de_hits, fr_hits, es_hits)
+         |         AND en_hits > 0 THEN 'en'
+         |    WHEN de_hits >= greatest(fr_hits, es_hits)
+         |         AND de_hits > 0 THEN 'de'
+         |    WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+         |    WHEN es_hits > 0 THEN 'es'
+         |    ELSE 'unknown' END AS pred_lang,
+         |  count(*) AS n_docs
+         |FROM scored GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+    "token_topk" ->
+      s"""SELECT token, count(*) AS n FROM (
+         |  SELECT unnest($toksSql) AS token FROM documents) t
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT count(*) AS n_docs,
+         |       count(DISTINCT $normSql) AS n_distinct,
+         |       count(*) - count(DISTINCT $normSql) AS n_dupes
+         |FROM documents""".stripMargin,
+    "dedup_exact_keep_first" ->
+      s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, $normSql AS norm FROM documents) t
+         |GROUP BY norm ORDER BY keep_doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH rows_ AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${wordShinglesSql(toksSql, 3)}) AS sh
+         |    FROM documents) u
+         |), capped AS (
+         |  SELECT doc_id, sh FROM rows_
+         |  WHERE sh IN (SELECT sh FROM rows_ GROUP BY sh
+         |               HAVING count(*) <= $DfCap)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
+         |), inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM capped x JOIN capped y ON x.sh = y.sh
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |)
+         |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+         |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+         |         AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""".stripMargin,
+    "minhash_signatures" ->
+      s"""WITH $tokHashCte
+         |$sigSelect ORDER BY doc_id""".stripMargin,
+    "minhash_band_pairs" -> {
+      val bandSelects = (0 until 4)
+        .map(j =>
+          s"SELECT doc_id, $j AS band, " +
+            s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val matchExpr = (0 until 8)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $tokHashCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id
+         |)
+         |SELECT a, b,
+         |       CAST($matchExpr AS INTEGER) AS n_match,
+         |       CAST($matchExpr AS DOUBLE) / 8 AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = a
+         |JOIN sigs sb ON sb.doc_id = b
+         |ORDER BY n_match DESC, a ASC, b ASC LIMIT 20""".stripMargin
+    },
+    "simhash16" -> {
+      val sums = (0 until 16)
+        .map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n         ")
+      val assemble = (0 until 16)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $tokHashCte,
+         |bits AS (
+         |  SELECT doc_id,
+         |         $sums
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin
+    }
+  )
+}
