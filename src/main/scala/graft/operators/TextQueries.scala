@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
@@ -24,15 +24,42 @@ object TextQueries {
   /** Shingle document-frequency cap for near-dup candidate generation. */
   private val DfCap = 100
 
+  /** LSH band-bucket size cap: buckets with more members are skipped
+    * during candidate generation (skew guard). Without it a degenerate
+    * bucket of B docs contributes B²/2 candidate pairs — on this
+    * corpus one bucket holds 78% of all docs (measured: 22.9M pairs
+    * uncapped vs bounded with the cap), and at 100 TB an uncapped hot
+    * bucket is a guaranteed straggler/OOM.
+    */
+  private val BucketCap = 50
+
   /** (doc_id, shingle) pairs, distinct, stop-shingles (df > cap)
     * removed; plus per-doc capped set sizes.
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      // Tokenize into a materialized column FIRST: referencing the
+      // token array through an attribute makes codegen evaluate the
+      // regex split once per row; inlining it into the shingle lambda
+      // would re-split per shingle slot (~100× per document).
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        explode(array_distinct(wordShingles(tokens(col("text")), 3)))
-          .as("sh"))
+        explode(array_distinct(wordShingles(col("toks"), 3))).as("sh"))
+
+  /** All 2-combinations (a < b) of a sorted id array, as struct rows —
+    * the posting-list pairing step of candidate generation. Caller must
+    * ensure size(ids) >= 2 (Spark's sequence(1, 0) would descend).
+    */
+  private def pairCombinations(ids: Column): Column =
+    explode(
+      flatten(
+        transform(
+          sequence(lit(1), size(ids) - 1),
+          i =>
+            transform(
+              slice(ids, i + 1, size(ids) - i),
+              y => struct(get(ids, i - 1).as("a"), y.as("b"))))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus stats per language tag.
@@ -137,25 +164,28 @@ object TextQueries {
     // Exact near-dup: word-3-gram Jaccard, candidates from shared
     // shingles after stop-shingle (df > cap) removal; top-20 pairs.
     "ngram_jaccard" -> ((s, d) => {
-      val rows = shingleRows(s, d)
-      val df_ = rows.groupBy("sh").agg(count(lit(1)).as("df"))
-      val capped = rows
-        .join(df_.filter(col("df") <= DfCap), "sh")
-        .select("doc_id", "sh")
-      val sizes = capped.groupBy("doc_id")
+      // Posting-list plan: ONE aggregation builds the per-shingle
+      // sorted doc list with the df cap applied inline; candidate
+      // pairs explode from each posting (never an all-pairs join);
+      // the per-doc sizes side is tiny and broadcasts.
+      val posting = shingleRows(s, d)
+        .groupBy("sh")
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= DfCap)
+        .cache()
+      val sizes = posting
+        .select(explode(col("ids")).as("doc_id"))
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("sz"))
-      val a = capped.withColumnRenamed("doc_id", "a")
-      val b = capped.withColumnRenamed("doc_id", "b")
-      val inter = a
-        .join(b, "sh")
-        .filter(col("a") < col("b"))
+      val inter = posting
+        .filter(size(col("ids")) >= 2)
+        .select(pairCombinations(col("ids")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(sizes.withColumnRenamed("doc_id", "a")
-          .withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b")
-          .withColumnRenamed("sz", "szb"), "b")
+        .join(broadcast(sizes.toDF("a", "sza")), "a")
+        .join(broadcast(sizes.toDF("b", "szb")), "b")
         .withColumn("jaccard",
           col("inter").cast("double") /
             (col("sza") + col("szb") - col("inter")))
@@ -192,23 +222,28 @@ object TextQueries {
           min(minhashSlot(col("h"), i)).as(s"h$i"))
         tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       }
+      val sigCached = sigs.cache()
       val bands = (0 until 4).map { j =>
-        sigs.select(
+        sigCached.select(
           col("doc_id"),
           lit(j).as("band"),
           concat_ws("_", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))
             .as("key"))
       }.reduce(_ unionByName _)
+      // Posting-list candidate generation with the skew guard applied
+      // inline: buckets larger than BucketCap are dropped before any
+      // pair is generated — this is what bounds the join at scale.
       val cand = bands
-        .withColumnRenamed("doc_id", "a")
-        .join(bands.withColumnRenamed("doc_id", "b"), Seq("band", "key"))
-        .filter(col("a") < col("b"))
-        .select("a", "b")
+        .groupBy("band", "key")
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, BucketCap))
+        .select(pairCombinations(col("ids")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()
-      val sa = sigs.toDF(
-        "a" +: (0 until 8).map(i => s"a$i"): _*)
-      val sb = sigs.toDF(
-        "b" +: (0 until 8).map(i => s"b$i"): _*)
+      val sa = broadcast(sigCached.toDF(
+        "a" +: (0 until 8).map(i => s"a$i"): _*))
+      val sb = broadcast(sigCached.toDF(
+        "b" +: (0 until 8).map(i => s"b$i"): _*))
       val matches = (0 until 8)
         .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
@@ -367,9 +402,14 @@ object TextQueries {
          |sigs AS ($sigSelect),
          |bands AS (
          |  $bandSelects
+         |), small AS (
+         |  SELECT b.* FROM bands b
+         |  JOIN (SELECT band, key FROM bands GROUP BY band, key
+         |        HAVING count(*) <= $BucketCap) ok
+         |    ON b.band = ok.band AND b.key = ok.key
          |), cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
+         |  FROM small x JOIN small y
          |    ON x.band = y.band AND x.key = y.key
          |  WHERE x.doc_id < y.doc_id
          |)
