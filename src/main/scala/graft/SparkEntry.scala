@@ -29,7 +29,8 @@ object SparkEntry {
       FunctionQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       FunctionQueries.oracleSql ++
       TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++
+      SourceQueries.oracleSql
 }

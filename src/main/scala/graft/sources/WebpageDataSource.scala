@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `webpage` DataSourceV2 (S1–S3 in SURVEY.md §2a): schema
+  * (url STRING, html STRING), ONE InputPartition PER URL — the
+  * reference's one-async-task-per-URL fan-out (top_movies.py:117-125)
+  * becomes plain Spark task parallelism, so N pages fetch/parse on N
+  * executor cores with no coordination.
+  *
+  * Fetch-error tolerance mirrors the reference exactly
+  * (top_movies.py:50-67): a failed FETCH logs and yields zero rows for
+  * that partition (the query keeps running on the other sources);
+  * parse errors downstream remain fail-fast. This environment is
+  * zero-egress, so the "fetch" resolves recorded fixture pages from
+  * the classpath; an unknown URL behaves like a fetch failure.
+  *
+  * Usage: spark.read.format("graft.sources.WebpageDataSource")
+  *   [.option("urls", "u1,u2")].load()
+  */
+class WebpageDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WebpageDataSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WebpageTable(
+      Option(properties.get("urls"))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(WebpageDataSource.DefaultUrls))
+}
+
+object WebpageDataSource {
+  val Schema: StructType = StructType(
+    Seq(StructField("url", StringType), StructField("html", StringType)))
+
+  /** The reference's three chart pages (top_movies.py:14-16). */
+  val DefaultUrls: Seq[String] =
+    Seq(PageParsers.ImdbUrl, PageParsers.RankerUrl, PageParsers.EmpireUrl)
+
+  /** Fixture-mode "fetch": resolve the recorded page for a URL.
+    * None = fetch failure (unknown host / missing fixture).
+    */
+  def fetch(url: String): Option[String] = {
+    val resource =
+      if (url.contains("www.imdb.com")) Some("/pages/imdb.html")
+      else if (url.contains("www.ranker.com")) Some("/pages/ranker.html")
+      else if (url.contains("www.empireonline.com")) Some("/pages/empire.html")
+      else None
+    resource.flatMap { r =>
+      Option(getClass.getResourceAsStream(r)).map { in =>
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+    }
+  }
+}
+
+class WebpageTable(urls: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = "webpage"
+  override def schema(): StructType = WebpageDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new WebpageScan(urls)
+    }
+}
+
+class WebpageScan(urls: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = WebpageDataSource.Schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    urls.map(u => WebpageInputPartition(u): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WebpageReaderFactory
+}
+
+case class WebpageInputPartition(url: String) extends InputPartition
+
+class WebpageReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new WebpageReader(partition.asInstanceOf[WebpageInputPartition].url)
+}
+
+class WebpageReader(url: String)
+    extends PartitionReader[InternalRow]
+    with Logging {
+  private var emitted = false
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      emitted = true
+      WebpageDataSource.fetch(url) match {
+        case Some(html) =>
+          current = InternalRow(
+            UTF8String.fromString(url),
+            UTF8String.fromString(html))
+          true
+        case None =>
+          // S3 permissive semantics: failed fetch → log + zero rows.
+          logWarning(s"webpage fetch failed for $url; skipping source")
+          false
+      }
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

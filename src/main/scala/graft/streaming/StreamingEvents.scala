@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming generalization of the batch pipeline
+  * (SURVEY.md §7.5): the same declarative transforms run over a file
+  * stream with watermarking and event-time windows. Batch and stream
+  * share the aggregation logic, so the spec can assert
+  * stream-result == batch-result on the same files (the Dataflow-style
+  * "replayable source ⇒ same answer" property).
+  *
+  * At scale the file source is a cloud-storage listing (each micro-
+  * batch picks up new parquet files); state for the windowed aggregate
+  * is bounded by the watermark.
+  */
+object StreamingEvents {
+
+  /** Raw parquet schema of the events table (ts is ns → read as long
+    * under nanosAsLong, truncated to µs here like Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared (batch ≡ stream) aggregation: tumbling 1-day event-time
+    * windows per event_type with integer-cents value sums.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(
+        window(col("ts"), "1 day").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        col("n_events"),
+        col("value_cents"))
+
+  private def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Streaming read of the events parquet in `dir` (file-source). */
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    normalize(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+
+  /** Batch read of the same files — the differential twin. */
+  def batch(spark: SparkSession, dir: String): DataFrame =
+    normalize(
+      spark.read
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+
+  /** Run the stream to completion (available-now trigger) into an
+    * in-memory sink; returns the materialized result.
+    */
+  def runToCompletion(spark: SparkSession, dir: String,
+                      sinkName: String): DataFrame = {
+    val q = windowedAgg(stream(spark, dir)).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+}
