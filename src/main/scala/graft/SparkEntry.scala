@@ -30,7 +30,8 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
-      SourceQueries.queries
+      SourceQueries.queries ++
+      MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++
-      SourceQueries.oracleSql
+      SourceQueries.oracleSql ++
+      MiscQueries.oracleSql
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import graft.Tables._
+
+/** Remaining capability-checklist items (SURVEY.md §2b): map functions,
+  * CSV scalar functions, the salted-join skew pattern, and the
+  * approximate/statistical aggregate family.
+  *
+  * The approximate aggregates (HLL count-distinct, t-digest quantiles)
+  * and double stddev are registered WITHOUT oracle SQL on purpose:
+  * their values are estimator/accumulation-order dependent, so no
+  * cross-engine hash can pin them — the driver records the weaker
+  * rows>0 check, and the exact-side twin (count distinct / exact mean)
+  * is oracle-checked elsewhere.
+  */
+object MiscQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Map construction + extraction (scalar outputs only — map-typed
+    // output columns don't round-trip comparably through parquet).
+    "map_functions" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_orderkey") <= 50)
+        .withColumn(
+          "m",
+          map(
+            lit("qty"), cents(col("l_quantity")),
+            lit("price"), cents(col("l_extendedprice"))))
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          element_at(col("m"), "qty").as("m_qty"),
+          element_at(col("m"), "price").as("m_price"),
+          size(col("m")).as("m_size"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // CSV scalar functions: to_csv → from_csv round-trip.
+    "csv_roundtrip" -> ((s, d) =>
+      part(s, d)
+        .filter(col("p_partkey") <= 50)
+        .withColumn("line",
+          to_csv(struct(col("p_brand"), col("p_size"))))
+        .withColumn(
+          "parsed",
+          from_csv(
+            col("line"),
+            StructType(Seq(
+              StructField("b", StringType),
+              StructField("sz", IntegerType))),
+            Map.empty[String, String]))
+        .select(
+          col("p_partkey"),
+          col("line"),
+          col("parsed.b").as("brand_back"),
+          col("parsed.sz").as("size_back"))
+        .orderBy("p_partkey")),
+
+    // Salting pattern for skewed join keys: fact side carries a
+    // deterministic salt, dimension side is exploded across all salt
+    // values — at scale this splits a hot key's rows over `nSalts`
+    // reducers. Result must equal the unsalted join (the oracle runs
+    // the plain join).
+    "join_salted" -> ((s, d) => {
+      val nSalts = 8
+      val fact = lineitem(s, d)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(nSalts)))
+      val dim = orders(s, d)
+        .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+      fact
+        .join(dim,
+          fact("l_orderkey") === dim("o_orderkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("extprice_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Approximate aggregates — registered without oracle (see above).
+    "approx_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_custs"),
+          countDistinct(col("o_custkey")).as("exact_custs"))
+        .orderBy("o_orderpriority")),
+
+    "approx_percentiles" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+            .as("p95_approx"),
+          stddev_samp(col("l_extendedprice")).as("stddev"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "map_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       map(['qty','price'],
+        |           [CAST(round(l_quantity*100) AS BIGINT),
+        |            CAST(round(l_extendedprice*100) AS BIGINT)])['qty'][1]
+        |         AS m_qty,
+        |       map(['qty','price'],
+        |           [CAST(round(l_quantity*100) AS BIGINT),
+        |            CAST(round(l_extendedprice*100) AS BIGINT)])['price'][1]
+        |         AS m_price,
+        |       CAST(2 AS INTEGER) AS m_size
+        |FROM lineitem WHERE l_orderkey <= 50
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT p_partkey,
+        |       concat(p_brand, ',', p_size) AS line,
+        |       p_brand AS brand_back,
+        |       CAST(p_size AS INTEGER) AS size_back
+        |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin,
+    "join_salted" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |         AS extprice_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}
