@@ -32,11 +32,17 @@ object Bench {
         }
       }
 
+    // Best-of-2 per query: single-shot numbers on a shared box swing
+    // ~5× from scheduling noise (a different query spikes every run);
+    // the min of two executions is a stable steady-state measure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

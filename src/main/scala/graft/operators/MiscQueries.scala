@@ -92,6 +92,46 @@ object MiscQueries {
           countDistinct(col("o_custkey")).as("exact_custs"))
         .orderBy("o_orderpriority")),
 
+    // Null-safe equality (<=>): pairs of statuses where nullified
+    // values still compare equal.
+    "null_safe_eq" -> ((s, d) => {
+      val o = orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "F", lit(null))
+            .otherwise(col("o_orderstatus")).as("st"))
+      o.toDF("k1", "st1")
+        .filter(col("k1") <= 20)
+        .join(o.toDF("k2", "st2").filter(col("k2") <= 20),
+          col("k1") < col("k2") && col("st1") <=> col("st2"))
+        .agg(count(lit(1)).as("n_nullsafe_equal_pairs"))
+    }),
+
+    // Explicit GROUPING SETS with grouping_id disambiguation.
+    "grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |       count(*) AS n
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_flag, g_status,
+          |         l_returnflag ASC NULLS FIRST,
+          |         l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // collect_set made deterministic: sort, then join to one string.
+    "agg_collect_set" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     "approx_percentiles" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
@@ -124,6 +164,33 @@ object MiscQueries {
         |       p_brand AS brand_back,
         |       CAST(p_size AS INTEGER) AS size_back
         |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin,
+    "null_safe_eq" ->
+      """SELECT count(*) AS n_nullsafe_equal_pairs FROM
+        |  (SELECT o_orderkey AS k1,
+        |          nullif(o_orderstatus, 'F') AS st1
+        |   FROM orders WHERE o_orderkey <= 20) a
+        |JOIN
+        |  (SELECT o_orderkey AS k2,
+        |          nullif(o_orderstatus, 'F') AS st2
+        |   FROM orders WHERE o_orderkey <= 20) b
+        |  ON k1 < k2 AND st1 IS NOT DISTINCT FROM st2""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |         l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_collect_set" ->
+      """SELECT o_orderpriority,
+        |       array_to_string(list_sort(list_distinct(
+        |         list(o_orderstatus))), ',') AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "join_salted" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_items,
