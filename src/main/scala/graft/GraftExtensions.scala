@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimExpr
+
+/** SparkSessionExtensions entry point: inject the engine's native
+  * functions at session build time
+  * (`spark.sql.extensions=graft.GraftExtensions`). Runtime
+  * registration via [[CosineSimExpr.register]] is equivalent for
+  * sessions built without the conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(
+          classOf[CosineSimExpr].getName,
+          "cosine_sim"),
+        (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * array<float> columns — the codegen'd fast path for the similarity
+  * hot loop (the `zip_with`+`aggregate` composition in
+  * [[Vectors.cosine]] evaluates the lambda interpreter-side per
+  * element; this emits a tight Java loop inside whole-stage codegen).
+  *
+  * Accumulation is left-to-right in double, term-for-term identical to
+  * the HOF form AND to the DuckDB oracle's unnest+sum — the three
+  * implementations are bit-equal, which the cosine_topk_native query's
+  * shared oracle pins.
+  *
+  * Assumes equal-length arrays with no null elements (embedding
+  * vectors); null input arrays propagate null via BinaryExpression's
+  * default null handling.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+
+  /** Idempotently register `cosine_sim(a, b)` in the session's function
+    * registry so it is callable from SQL / expr(). (Also injectable at
+    * session build time via [[graft.GraftExtensions]].)
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1)),
+      "built-in")
+}

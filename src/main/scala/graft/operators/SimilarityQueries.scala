@@ -83,6 +83,29 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // Brute-force top-k through the NATIVE codegen expression
+    // (functions.CosineSimExpr) — same semantics and the same oracle
+    // as cosine_topk_brute, so the bit-equality of the codegen'd loop
+    // with both the HOF fold and DuckDB is itself oracle-pinned.
+    "cosine_topk_native" -> ((s, d) => {
+      graft.functions.CosineSimExpr.register(s)
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q)
+        .join(c, col("qid") =!= col("vec_id"))
+        .withColumn("sim", expr("cosine_sim(qe, embedding)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    }),
+
     // Per-label centroid-free stats: norms are bit-deterministic.
     "vector_norms" -> ((s, d) =>
       embeddings(s, d)
@@ -171,6 +194,28 @@ object SimilarityQueries {
          |  JOIN buckets bq ON bq.vec_id = q.vec_id
          |  JOIN buckets bc ON bc.bucket = bq.bucket
          |  JOIN embeddings c ON c.vec_id = bc.vec_id
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "cosine_topk_native" ->
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q CROSS JOIN embeddings c
          |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
          |),
          |${dotCte("dots", "qe", "ce")},
