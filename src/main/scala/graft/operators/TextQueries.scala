@@ -257,6 +257,30 @@ object TextQueries {
         .limit(20)
     }),
 
+    // The same signatures through the typed Aggregator surface
+    // (KeyValueGroupedDataset + Aggregator with associative sketch
+    // merge) — must equal the expression-level aggregation, which the
+    // shared oracle semantics pin.
+    "minhash_agg_typed" -> ((s, d) => {
+      import s.implicits._
+      val tok = documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+        .select(col("doc_id"), hash60(col("tok")).as("h"))
+        .as[(Long, Long)]
+      tok
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.MinHashAggregator.toColumn.name("sig"))
+        .toDF("doc_id", "sig")
+        .select(
+          col("doc_id"),
+          array_join(transform(col("sig"), _.cast("string")), "_")
+            .as("signature"))
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash over distinct token hashes (majority vote per bit;
     // ties → 0).
     "simhash16" -> ((s, d) => {
@@ -420,6 +444,13 @@ object TextQueries {
          |JOIN sigs sa ON sa.doc_id = a
          |JOIN sigs sb ON sb.doc_id = b
          |ORDER BY n_match DESC, a ASC, b ASC LIMIT 20""".stripMargin
+    },
+    "minhash_agg_typed" -> {
+      val sigConcat = (0 until 8).map(i => s"h$i").mkString(", ")
+      s"""WITH $tokHashCte,
+         |sigs AS ($sigSelect)
+         |SELECT doc_id, concat_ws('_', $sigConcat) AS signature
+         |FROM sigs ORDER BY doc_id""".stripMargin
     },
     "simhash16" -> {
       val sums = (0 until 16)

@@ -36,7 +36,7 @@ case class RawRanking(url: String, rank: String, title: String)
   *   - IMDB rank stays a string; `strip()[:-1]` drops the trailing dot
   *     (top_movies.py:102).
   */
-object PageParsers {
+object PageParsers extends org.apache.spark.internal.Logging {
 
   val ImdbUrl = "https://www.imdb.com/chart/top"
   val RankerUrl =
@@ -73,11 +73,22 @@ object PageParsers {
     * hosts parse to zero rows (the reference would return None; the
     * engine's permissive equivalent is an empty extraction).
     */
-  def parse(page: Page): Seq[RawRanking] =
-    if (page.url.contains("www.empireonline.com")) parseEmpire(page)
-    else if (page.url.contains("www.ranker.com")) parseRanker(page)
-    else if (page.url.contains("www.imdb.com")) parseImdb(page)
-    else Seq.empty
+  def parse(page: Page): Seq[RawRanking] = {
+    val known = Urls.exists(u => page.url == u) ||
+      Seq("www.empireonline.com", "www.ranker.com", "www.imdb.com")
+        .exists(page.url.contains)
+    val rows =
+      if (page.url.contains("www.empireonline.com")) parseEmpire(page)
+      else if (page.url.contains("www.ranker.com")) parseRanker(page)
+      else if (page.url.contains("www.imdb.com")) parseImdb(page)
+      else Seq.empty
+    // A silent zero-row extraction from a KNOWN source is the failure
+    // mode the reference could never observe — make it loggable
+    // (runs executor-side inside the flatMap task).
+    if (rows.isEmpty && known)
+      logWarning(s"extraction produced 0 rows for known source ${page.url}")
+    rows
+  }
 
   /** Empire: each <h2> is "N. Title (YYYY)" — split on the first dot,
     * trim, drop the last 7 chars (" (YYYY)"), repair Seven → Se7en
