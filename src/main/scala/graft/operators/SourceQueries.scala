@@ -40,7 +40,14 @@ object SourceQueries {
     "stream_window_batch" -> ((s, d) =>
       StreamingEvents
         .windowedAgg(graft.Tables.events(s, d))
-        .orderBy("day", "event_type"))
+        .orderBy("day", "event_type")),
+
+    // Sessionization, batch form (window functions); its streaming
+    // twin (flatMapGroupsWithState) is asserted equal in SessionizeSpec.
+    "sessionize_batch" -> ((s, d) =>
+      graft.streaming.Sessionize
+        .sessionizeBatch(graft.Tables.events(s, d))
+        .orderBy("user_id", "session_start"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -52,6 +59,33 @@ object SourceQueries {
          |ORDER BY url""".stripMargin,
     "webpage_rankings" ->
       FlagshipQueries.oracleSql("raw_rankings"),
+    "sessionize_batch" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM l
+        |), s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+        |            - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+        |         AS duration_secs
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_window_batch" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type,
