@@ -161,6 +161,33 @@ object FlagshipQueries {
         .orderBy(col("repaired"))
     }),
 
+    // Improved-mode Q1 (SURVEY.md §7.4): null-drop instead of →0 —
+    // unparseable ranks are EXCLUDED rather than promoted to
+    // best-rank-0 (The Dark Knight's IMDB "NR" row disappears).
+    "safe_cast_strict" -> ((spark, _) =>
+      Rankings
+        .rawRankings(spark)
+        .withColumn("rank_int", col("rank").try_cast("int"))
+        .filter(col("rank_int").isNotNull)
+        .select(col("url"), col("rank_int"), col("title"))
+        .orderBy(col("url"), col("rank_int"), col("title"))),
+
+    // Improved-mode S4 (SURVEY.md §7.4): Empire with regex year strip —
+    // year-less "Heat" survives instead of [:-7]-corrupting to "".
+    "empire_regex_year" -> ((spark, _) => {
+      import spark.implicits._
+      import graft.sources.PageParsers
+      val page = PageParsers
+        .fixturePages()
+        .find(_.url == PageParsers.EmpireUrl)
+        .get
+      spark
+        .createDataset(Seq(page))
+        .flatMap(PageParsers.parseEmpireRegex _)
+        .toDF()
+        .orderBy(col("rank").cast("int"))
+    }),
+
     // S10: union-all accumulation — per-source row counts.
     "union_counts" -> ((spark, _) =>
       Rankings
@@ -247,6 +274,34 @@ object FlagshipQueries {
     "union_counts" ->
       s"""WITH $rawRankingsCte
          |SELECT url, count(*) AS n_rows FROM raw_rankings
-         |GROUP BY url ORDER BY url""".stripMargin
+         |GROUP BY url ORDER BY url""".stripMargin,
+    "safe_cast_strict" ->
+      s"""WITH $rawRankingsCte
+         |SELECT url, try_cast(rnk AS INTEGER) AS rank_int, title
+         |FROM raw_rankings
+         |WHERE try_cast(rnk AS INTEGER) IS NOT NULL
+         |ORDER BY url, rank_int, title""".stripMargin,
+    "empire_regex_year" -> {
+      val rows = Seq(
+        ("1", "The Godfather"),
+        ("2", "Se7en"),
+        ("3", "Star Wars: Episode IV — A New Hope"),
+        ("4", "Raiders of the Lost Ark"),
+        ("5", "The Shawshank Redemption"),
+        ("6", "Schindler's List"),
+        ("7", "12 Angry Men"),
+        ("8", "The Dark Knight"),
+        ("9", "Empire Only Movie"),
+        ("10", "Heat") // preserved by the regex strip — the fix
+      )
+      val values = rows
+        .map { case (r, t) =>
+          s"('$E', '$r', '${t.replace("'", "''")}')"
+        }
+        .mkString(", ")
+      s"""SELECT url, rnk AS "rank", title
+         |FROM (VALUES $values) AS t(url, rnk, title)
+         |ORDER BY CAST(rnk AS INTEGER)""".stripMargin
+    }
   )
 }

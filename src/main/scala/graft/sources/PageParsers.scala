@@ -102,6 +102,22 @@ object PageParsers extends org.apache.spark.internal.Logging {
       RawRanking(page.url, rank.trim.toInt.toString, title)
     }
 
+  /** IMPROVED-mode Empire parser (SURVEY.md §7.4): regex year strip
+    * instead of the reference's fixed-width `[:-7]`, so a year-less
+    * title ("Heat") survives instead of being corrupted to "". The
+    * fidelity parser above stays wart-exact; both are oracle-pinned.
+    */
+  def parseEmpireRegex(page: Page): Seq[RawRanking] =
+    H2.findAllMatchIn(page.html).toSeq.map { m =>
+      val Array(rank, rawTitle) = m.group(1).split("\\.", 2)
+      val stripped = rawTitle.trim match {
+        case TrailYr(t) => t.trim
+        case other => other
+      }
+      val title = if (stripped == "Seven") "Se7en" else stripped
+      RawRanking(page.url, rank.trim.toInt.toString, title)
+    }
+
   /** Ranker: two independent scans (positions, names) zipped
     * positionally after dropping the first two names; trailing-year
     * regex strip and the two alias repairs are applied per name before

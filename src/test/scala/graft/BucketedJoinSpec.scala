@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing as the shuffle-elimination strategy for repeated
+  * co-located joins (SURVEY.md: "bucketing for co-located joins"):
+  * writing both fact tables bucketed by the join key lets the join
+  * plan with ZERO shuffle exchanges — at 100 TB this converts every
+  * recurring fact⋈fact join from a full-network shuffle into local
+  * merges.
+  */
+class BucketedJoinSpec extends SparkTestBase {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // A previously-aborted run can leave an orphan managed-table
+    // location that CREATE TABLE then refuses.
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    li.write
+      .bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey")
+      .mode("overwrite")
+      .saveAsTable("li_bucketed")
+    ord.write
+      .bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey")
+      .mode("overwrite")
+      .saveAsTable("ord_bucketed")
+
+    // Force the sort-merge path (tiny test tables would otherwise
+    // broadcast, hiding the property under test).
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      runJoinAssertions()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  private def runJoinAssertions(): Unit = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val joined = spark
+      .table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+
+    // Correctness: same result as the unbucketed join.
+    val expected = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+      .collect()
+      .toSeq
+    assert(
+      joined.orderBy("o_orderpriority").collect().toSeq == expected)
+
+    // Scale property: the bucketed join's plan has NO shuffle before
+    // the join (the only exchanges allowed are the aggregation's).
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge join in:\n$plan")
+    val afterJoin = plan.substring(joinIdx)
+    assert(
+      !afterJoin.contains("Exchange hashpartitioning"),
+      s"join inputs must be shuffle-free (bucket co-location):\n$plan")
+  }
+}
