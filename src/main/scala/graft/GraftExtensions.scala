@@ -13,6 +13,8 @@ import graft.functions.CosineSimExpr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ =>
+      graft.plans.CollapseIdempotentStringOps)
     ext.injectFunction(
       (
         new FunctionIdentifier("cosine_sim"),

@@ -83,6 +83,49 @@ object MiscQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Calendar fill: generate a contiguous date series and left-join
+    // the fact counts onto it so empty days appear as zero — the
+    // standard time-series densification pattern.
+    "date_series_fill" -> ((s, d) => {
+      val days = s
+        .range(1)
+        .select(
+          explode(
+            sequence(
+              to_date(lit("1995-01-01")),
+              to_date(lit("1995-01-31")),
+              expr("INTERVAL 1 DAY"))).as("day"))
+      val counts = orders(s, d)
+        .withColumn("day", to_date(col("o_orderdate")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"))
+      days
+        .join(counts, Seq("day"), "left")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    }),
+
+    // Array set operations, sorted+joined for deterministic output.
+    "array_setops" -> ((s, d) =>
+      part(s, d)
+        .filter(col("p_partkey") <= 50)
+        .withColumn("name_toks", split(col("p_name"), " "))
+        .withColumn("type_toks", split(lower(col("p_type")), " "))
+        .select(
+          col("p_partkey"),
+          array_join(array_sort(
+            array_intersect(col("name_toks"), col("type_toks"))), ",")
+            .as("common_toks"),
+          array_join(array_sort(
+            array_except(col("type_toks"), col("name_toks"))), ",")
+            .as("type_only_toks"),
+          array_join(array_sort(
+            array_union(col("name_toks"), col("type_toks"))), ",")
+            .as("all_toks"))
+        .orderBy("p_partkey")),
+
     // Approximate aggregates — registered without oracle (see above).
     "approx_distinct" -> ((s, d) =>
       orders(s, d)
@@ -163,6 +206,31 @@ object MiscQueries {
         |       concat(p_brand, ',', p_size) AS line,
         |       p_brand AS brand_back,
         |       CAST(p_size AS INTEGER) AS size_back
+        |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin,
+    "date_series_fill" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+        |    DATE '1995-01-31', INTERVAL 1 DAY)) AS DATE) AS day
+        |), counts AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+        |FROM days d LEFT JOIN counts c ON c.day = d.day
+        |ORDER BY day""".stripMargin,
+    "array_setops" ->
+      """SELECT p_partkey,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_intersect(
+        |    string_split(p_name, ' '),
+        |    string_split(lower(p_type), ' ')))), ','), '') AS common_toks,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_filter(
+        |    string_split(lower(p_type), ' '),
+        |    x -> NOT list_contains(string_split(p_name, ' '), x)))), ','),
+        |    '') AS type_only_toks,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(
+        |    string_split(p_name, ' '),
+        |    string_split(lower(p_type), ' ')))), ','), '') AS all_toks
         |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin,
     "null_safe_eq" ->
       """SELECT count(*) AS n_nullsafe_equal_pairs FROM
