@@ -36,19 +36,40 @@ object Bench {
     // Best-of-2 per query: single-shot numbers on a shared box swing
     // ~5× from scheduling noise (a different query spikes every run);
     // the min of two executions is a stable steady-state measure.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // A query that throws is recorded as a FAILURE (name + error),
+    // excluded from the total, and fails the bench loudly — a broken
+    // query must never silently improve the number.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              failures(name) =
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+              None
+          }
         }
-        name -> times.min
+        if (times.nonEmpty) Some(name -> times.min) else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nFail = failures.size
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
+    // Second, short line: the full per-query map above can exceed the
+    // driver's tail capture; this one always parses.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
+    failures.foreach { case (name, err) =>
+      System.err.println(s"BENCH FAILURE: $name — $err")
+    }
     spark.stop()
+    if (nFail > 0) sys.exit(1)
   }
 }

@@ -9,12 +9,12 @@ import graft.Tables._
   * CSV scalar functions, the salted-join skew pattern, and the
   * approximate/statistical aggregate family.
   *
-  * The approximate aggregates (HLL count-distinct, t-digest quantiles)
-  * and double stddev are registered WITHOUT oracle SQL on purpose:
-  * their values are estimator/accumulation-order dependent, so no
-  * cross-engine hash can pin them — the driver records the weaker
-  * rows>0 check, and the exact-side twin (count distinct / exact mean)
-  * is oracle-checked elsewhere.
+  * The approximate aggregates (HLL count-distinct, quantile sketch) and
+  * double stddev have estimator/accumulation-order dependent values
+  * that no cross-engine hash can pin directly — so their queries emit
+  * the EXACT side plus within-tolerance booleans, which DuckDB pins
+  * (exact values computed, booleans pinned TRUE). An estimator
+  * regressing out of bounds therefore fails the hash gate.
   */
 object MiscQueries {
 
@@ -126,13 +126,23 @@ object MiscQueries {
             .as("all_toks"))
         .orderBy("p_partkey")),
 
-    // Approximate aggregates — registered without oracle (see above).
+    // Approximate aggregates — the estimator value itself is not
+    // cross-engine hashable, so the oracled output is the EXACT side
+    // plus a tolerance boolean (|approx−exact|/exact ≤ ε): DuckDB
+    // computes the exact side and pins the boolean TRUE, so an
+    // estimator drifting out of bounds fails the hash gate.
     "approx_distinct" -> ((s, d) =>
       orders(s, d)
         .groupBy("o_orderpriority")
         .agg(
           approx_count_distinct(col("o_custkey")).as("approx_custs"),
           countDistinct(col("o_custkey")).as("exact_custs"))
+        .select(
+          col("o_orderpriority"),
+          col("exact_custs"),
+          (abs(col("approx_custs") - col("exact_custs"))
+            .cast("double") / col("exact_custs") <= 0.2)
+            .as("within_tol"))
         .orderBy("o_orderpriority")),
 
     // Null-safe equality (<=>): pairs of statuses where nullified
@@ -175,16 +185,47 @@ object MiscQueries {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
-    "approx_percentiles" -> ((s, d) =>
+    // Approx percentiles + stddev, bounds-oracled like approx_distinct:
+    // each estimator is checked against an exact reference computed in
+    // the SAME aggregation pass — percentile() for the quantiles (the
+    // exact reference is the verification cost, not the production
+    // path) and the exact-integer moment formula for stddev — and only
+    // the booleans + exact count are emitted, so DuckDB can pin them.
+    "approx_percentiles" -> ((s, d) => {
+      val price = col("l_extendedprice")
+      val c = cents(price)
       lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
-            .as("p95_approx"),
-          stddev_samp(col("l_extendedprice")).as("stddev"))
-        .orderBy("l_returnflag"))
+          count(lit(1)).as("n"),
+          percentile_approx(price, lit(0.5), lit(1000)).as("p50a"),
+          percentile_approx(price, lit(0.95), lit(1000)).as("p95a"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50e"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95e"),
+          stddev_samp(price).as("sd"),
+          // Exact integer moments (cents): per-row square fits a long
+          // (≤1e14); the sums go through decimal to avoid overflow.
+          sum(c.cast("decimal(38,0)")).as("s1"),
+          sum((c * c).cast("decimal(38,0)")).as("s2"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          (abs(col("p50a") - col("p50e")) <=
+            abs(col("p50e")) * 0.05 + 1.0).as("p50_ok"),
+          (abs(col("p95a") - col("p95e")) <=
+            abs(col("p95e")) * 0.05 + 1.0).as("p95_ok"),
+          // stddev_samp (streaming double) vs the exact-moment value
+          // sqrt((n·S2 − S1²)/(n(n−1)))/100; 1e-6 relative covers the
+          // accumulation-order float noise, nothing more.
+          (abs(
+            col("sd") -
+              sqrt(
+                (col("n").cast("double") * col("s2").cast("double") -
+                  col("s1").cast("double") * col("s1").cast("double")) /
+                  (col("n").cast("double") * (col("n") - 1).cast("double"))) / 100.0)
+            <= col("sd") * 1e-6).as("stddev_ok"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -265,6 +306,20 @@ object MiscQueries {
         |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
         |         AS extprice_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "approx_distinct" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS exact_custs,
+        |       TRUE AS within_tol
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "approx_percentiles" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       TRUE AS p50_ok,
+        |       TRUE AS p95_ok,
+        |       TRUE AS stddev_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -250,29 +250,31 @@ object RelationalQueries {
         .limit(10)),
 
     // Set ops: nations that have customers vs nations that have
-    // suppliers.
+    // suppliers. Each fact side collapses to its distinct nationkeys
+    // BEFORE touching nation, so the INTERSECT/EXCEPT and the name
+    // join operate on ≤25-row inputs at any scale — the map-side
+    // partial distinct means the only fact-sized work is one
+    // combine-then-shuffle of keys, never fact-sized join output.
     "setop_intersect" -> ((s, d) =>
       customer(s, d)
-        .join(broadcast(nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .select("n_name")
+        .select(col("c_nationkey").as("nationkey")).distinct()
         .intersect(
           supplier(s, d)
-            .join(broadcast(nation(s, d)),
-              col("s_nationkey") === col("n_nationkey"))
-            .select("n_name"))
+            .select(col("s_nationkey").as("nationkey")).distinct())
+        .join(broadcast(nation(s, d)),
+          col("nationkey") === col("n_nationkey"))
+        .select("n_name")
         .orderBy("n_name")),
 
     "setop_except" -> ((s, d) =>
       customer(s, d)
-        .join(broadcast(nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .select("n_name")
+        .select(col("c_nationkey").as("nationkey")).distinct()
         .except(
           supplier(s, d)
-            .join(broadcast(nation(s, d)),
-              col("s_nationkey") === col("n_nationkey"))
-            .select("n_name"))
+            .select(col("s_nationkey").as("nationkey")).distinct())
+        .join(broadcast(nation(s, d)),
+          col("nationkey") === col("n_nationkey"))
+        .select("n_name")
         .orderBy("n_name")),
 
     "setop_union" -> ((s, d) =>

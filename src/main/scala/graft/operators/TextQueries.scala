@@ -166,13 +166,17 @@ object TextQueries {
     "ngram_jaccard" -> ((s, d) => {
       // Posting-list plan: ONE aggregation builds the per-shingle
       // sorted doc list with the df cap applied inline; candidate
-      // pairs explode from each posting (never an all-pairs join);
-      // the per-doc sizes side is tiny and broadcasts.
+      // pairs explode from each posting (never an all-pairs join).
+      // The posting subplan appears in both branches — no cache():
+      // ReuseExchange dedupes the identical shuffle, and nothing
+      // accumulates in executor memory across invocations. The
+      // sizes side is one row PER DOCUMENT, so it must NOT be
+      // broadcast (billions of rows at 100 TB) — the candidate→size
+      // joins shuffle on a/b, both sides already bounded.
       val posting = shingleRows(s, d)
         .groupBy("sh")
         .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) <= DfCap)
-        .cache()
       val sizes = posting
         .select(explode(col("ids")).as("doc_id"))
         .groupBy("doc_id")
@@ -184,8 +188,8 @@ object TextQueries {
         .groupBy("a", "b")
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(broadcast(sizes.toDF("a", "sza")), "a")
-        .join(broadcast(sizes.toDF("b", "szb")), "b")
+        .join(sizes.toDF("a", "sza"), "a")
+        .join(sizes.toDF("b", "szb"), "b")
         .withColumn("jaccard",
           col("inter").cast("double") /
             (col("sza") + col("szb") - col("inter")))
@@ -212,7 +216,12 @@ object TextQueries {
     // MinHash near-dup estimation: candidates share a 2-slot band,
     // similarity estimated as matching-slot fraction; top-20 pairs.
     "minhash_band_pairs" -> ((s, d) => {
-      def sigs = {
+      // The signature subplan is referenced three times (band keys +
+      // both sides of the candidate join). No cache(): the doc_id
+      // shuffle under the signature aggregation is identical in all
+      // three branches so ReuseExchange computes it once, and no
+      // cached copies accumulate across bench invocations.
+      val sig = {
         val tok = documents(s, d)
           .select(
             col("doc_id"),
@@ -222,9 +231,8 @@ object TextQueries {
           min(minhashSlot(col("h"), i)).as(s"h$i"))
         tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       }
-      val sigCached = sigs.cache()
       val bands = (0 until 4).map { j =>
-        sigCached.select(
+        sig.select(
           col("doc_id"),
           lit(j).as("band"),
           concat_ws("_", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))
@@ -240,10 +248,12 @@ object TextQueries {
         .select(pairCombinations(col("ids")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()
-      val sa = broadcast(sigCached.toDF(
-        "a" +: (0 until 8).map(i => s"a$i"): _*))
-      val sb = broadcast(sigCached.toDF(
-        "b" +: (0 until 8).map(i => s"b$i"): _*))
+      // One row per document: never broadcast (OOM at 100 TB). Plain
+      // shuffle joins on a/b — the candidate side is already bounded
+      // by the banding + bucket cap, so both joins stay proportional
+      // to the candidate count.
+      val sa = sig.toDF("a" +: (0 until 8).map(i => s"a$i"): _*)
+      val sb = sig.toDF("b" +: (0 until 8).map(i => s"b$i"): _*)
       val matches = (0 until 8)
         .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
