@@ -22,5 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[CosineSimExpr].getName,
           "cosine_sim"),
         (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("parse_movies"),
+        new ExpressionInfo(
+          classOf[graft.functions.ParseMoviesGenerator].getName,
+          "parse_movies"),
+        (args: Seq[Expression]) =>
+          graft.functions.ParseMoviesGenerator(args(0), args(1))))
   }
 }

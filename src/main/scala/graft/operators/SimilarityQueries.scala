@@ -58,6 +58,8 @@ object SimilarityQueries {
         .orderBy("bucket")),
 
     // Approximate top-k: only candidates in the query's LSH bucket.
+    // The bucketed frame is computed ONCE and shared by both sides —
+    // the HOF projection fold is the dominant per-row cost at scale.
     "cosine_topk_lsh" -> ((s, d) => {
       val withBucket = embeddings(s, d)
         .withColumn("bucket", lshBucket(col("embedding"), NPlanes))
@@ -67,8 +69,42 @@ object SimilarityQueries {
           col("vec_id").as("qid"),
           col("embedding").as("qe"),
           col("bucket"))
-      val c = embeddings(s, d)
+      val c = withBucket
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q)
+        .join(c, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    }),
+
+    // Multi-probe LSH top-k: each query probes its own bucket PLUS all
+    // Hamming-1 neighbor buckets (flip one hyperplane sign). This is
+    // the standard recall repair for bucketed ANN — a vector near a
+    // hyperplane lands one bit away — and costs NPlanes+1 bucket scans
+    // per query instead of a plane-count explosion. At real N the
+    // plane count grows (buckets ≈ N/target_bucket_size) and probing
+    // keeps recall up without shrinking buckets further.
+    "cosine_topk_lsh_probe" -> ((s, d) => {
+      val withBucket = embeddings(s, d)
         .withColumn("bucket", lshBucket(col("embedding"), NPlanes))
+      val probeBuckets = array(
+        col("bucket") +:
+          (0 until NPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1 << p))): _*)
+      val q = withBucket
+        .filter(col("vec_id") < NQueries)
+        .select(
+          col("vec_id").as("qid"),
+          col("embedding").as("qe"),
+          explode(probeBuckets).as("bucket"))
+      val c = withBucket
         .select(col("vec_id"), col("embedding"), col("bucket"))
       val w = Window
         .partitionBy("qid")
@@ -211,6 +247,35 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM sims) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "cosine_topk_lsh_probe" -> {
+      val hamming1 = (0 until NPlanes).map(p => 1 << p).mkString(", ")
+      s"""WITH $bucketCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q
+         |  JOIN buckets bq ON bq.vec_id = q.vec_id
+         |  JOIN buckets bc ON (bc.bucket = bq.bucket
+         |    OR xor(bc.bucket, bq.bucket) IN ($hamming1))
+         |  JOIN embeddings c ON c.vec_id = bc.vec_id
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+    },
     "cosine_topk_native" ->
       s"""WITH pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,

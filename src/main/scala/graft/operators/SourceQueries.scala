@@ -36,6 +36,22 @@ object SourceQueries {
         .orderBy(col("url"), col("rank"), col("title"))
     }),
 
+    // The ENTIRE ingest expressed purely in SQL: the V2 source mounted
+    // with CREATE TEMPORARY VIEW ... USING, extraction via the
+    // parse_movies Generator (LATERAL VIEW → a Generate plan node).
+    // Must hash-match the raw_rankings oracle exactly.
+    "rankings_sql" -> ((s, _) => {
+      graft.functions.ParseMoviesGenerator.register(s)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW webpage_sql
+          |USING graft.sources.WebpageDataSource""".stripMargin)
+      s.sql(
+        """SELECT url, pm.rank AS rank, pm.title AS title
+          |FROM webpage_sql
+          |LATERAL VIEW parse_movies(url, html) pm AS rank, title
+          |ORDER BY url, rank, title""".stripMargin)
+    }),
+
     // The streaming pipeline's aggregation, batch-executed.
     "stream_window_batch" -> ((s, d) =>
       StreamingEvents
@@ -58,6 +74,8 @@ object SourceQueries {
          |  ('${PageParsers.RankerUrl}', 1)) AS t(url, n)
          |ORDER BY url""".stripMargin,
     "webpage_rankings" ->
+      FlagshipQueries.oracleSql("raw_rankings"),
+    "rankings_sql" ->
       FlagshipQueries.oracleSql("raw_rankings"),
     "sessionize_batch" ->
       """WITH l AS (

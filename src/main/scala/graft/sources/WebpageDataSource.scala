@@ -24,8 +24,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * zero-egress, so the "fetch" resolves recorded fixture pages from
   * the classpath; an unknown URL behaves like a fetch failure.
   *
+  * Two fetch modes, selected by `option("mode", ...)`:
+  *  - "fixture" (default): resolve recorded pages from the classpath —
+  *    correct for this zero-egress environment and for reproducible
+  *    tests.
+  *  - "live": a real HTTP GET per URL via `java.net.http.HttpClient`,
+  *    matching the reference's semantics (top_movies.py:30-40): 2xx →
+  *    body decoded per the Content-Type charset; non-2xx or transport
+  *    error → fetch failure (warn + zero rows, S3 tolerance). The
+  *    client is ONE per executor JVM (the reference's shared session,
+  *    top_movies.py:119) — never per row.
+  *
   * Usage: spark.read.format("graft.sources.WebpageDataSource")
-  *   [.option("urls", "u1,u2")].load()
+  *   [.option("urls", "u1,u2")][.option("mode", "live")].load()
   */
 class WebpageDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -38,7 +49,8 @@ class WebpageDataSource extends TableProvider {
     new WebpageTable(
       Option(properties.get("urls"))
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(WebpageDataSource.DefaultUrls))
+        .getOrElse(WebpageDataSource.DefaultUrls),
+      Option(properties.get("mode")).getOrElse("fixture"))
 }
 
 object WebpageDataSource {
@@ -65,9 +77,38 @@ object WebpageDataSource {
       }
     }
   }
+
+  /** Shared per-executor-JVM HTTP client — the reference keeps one
+    * session for all fetches (top_movies.py:119); creating a client
+    * per row/partition would exhaust sockets at fan-out scale.
+    */
+  lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient
+      .newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+  /** Live-mode fetch: HTTP GET; 2xx → body (BodyHandlers.ofString
+    * decodes per the Content-Type charset, the reference's
+    * `response.text` semantics); anything else → None (fetch failure).
+    */
+  def fetchLive(url: String): Option[String] =
+    try {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .GET()
+        .build()
+      val resp = httpClient.send(
+        req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
-class WebpageTable(urls: Seq[String]) extends Table with SupportsRead {
+class WebpageTable(urls: Seq[String], mode: String)
+    extends Table
+    with SupportsRead {
   override def name(): String = "webpage"
   override def schema(): StructType = WebpageDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -75,28 +116,29 @@ class WebpageTable(urls: Seq[String]) extends Table with SupportsRead {
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new WebpageScan(urls)
+      override def build(): Scan = new WebpageScan(urls, mode)
     }
 }
 
-class WebpageScan(urls: Seq[String]) extends Scan with Batch {
+class WebpageScan(urls: Seq[String], mode: String) extends Scan with Batch {
   override def readSchema(): StructType = WebpageDataSource.Schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     urls.map(u => WebpageInputPartition(u): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WebpageReaderFactory
+    new WebpageReaderFactory(mode)
 }
 
 case class WebpageInputPartition(url: String) extends InputPartition
 
-class WebpageReaderFactory extends PartitionReaderFactory {
+class WebpageReaderFactory(mode: String) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
-    new WebpageReader(partition.asInstanceOf[WebpageInputPartition].url)
+    new WebpageReader(
+      partition.asInstanceOf[WebpageInputPartition].url, mode)
 }
 
-class WebpageReader(url: String)
+class WebpageReader(url: String, mode: String)
     extends PartitionReader[InternalRow]
     with Logging {
   private var emitted = false
@@ -106,7 +148,10 @@ class WebpageReader(url: String)
     if (emitted) false
     else {
       emitted = true
-      WebpageDataSource.fetch(url) match {
+      val fetched =
+        if (mode == "live") WebpageDataSource.fetchLive(url)
+        else WebpageDataSource.fetch(url)
+      fetched match {
         case Some(html) =>
           current = InternalRow(
             UTF8String.fromString(url),

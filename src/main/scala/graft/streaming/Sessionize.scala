@@ -93,6 +93,115 @@ object Sessionize {
     }
   }
 
+  /** State kept between triggers for the CONTINUOUS sessionizer: the
+    * user's currently-open session.
+    */
+  case class OpenSession(startMicros: Long, lastMicros: Long, n: Long)
+
+  /** Event row for the watermarked path — keeps the watermarked `ts`
+    * column itself (projecting it away would drop the watermark the
+    * event-time timeout requires).
+    */
+  case class EvT(
+      user_id: Long,
+      event_id: Long,
+      tsMicros: Long,
+      ts: java.sql.Timestamp)
+
+  private def emit(userId: Long, s: OpenSession): SessionOut = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    val startSec = s.startMicros / 1000000L
+    val endSec = s.lastMicros / 1000000L
+    SessionOut(
+      userId,
+      fmt.format(java.time.Instant.ofEpochSecond(startSec)),
+      s.n,
+      endSec - startSec)
+  }
+
+  /** Continuous-correct state function (event-time timeout): the open
+    * session lives in `GroupState` across triggers; a session is
+    * emitted either when a later event arrives past the gap, or when
+    * the WATERMARK passes session-end + gap (the timeout path — no
+    * later event can extend it, so it is provably closed). State per
+    * user is O(1) — one open session — so total state is bounded by
+    * the active-user count, not by history; this is the deployable
+    * form the available-now `sessionizeGroup` replay approximates.
+    */
+  def sessionizeGroupStateful(
+      userId: Long,
+      events: Iterator[EvT],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val closed = state.getOption.map(emit(userId, _))
+      state.remove()
+      closed.iterator
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s)
+              if e.tsMicros / 1000000L - s.lastMicros / 1000000L
+                > GapSeconds =>
+            out += emit(userId, s)
+            cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L))
+          case Some(s) =>
+            cur = Some(s.copy(lastMicros = e.tsMicros, n = s.n + 1))
+          case None =>
+            cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // Close when the watermark proves no extender can arrive: an
+        // event at exactly end+gap seconds still continues the
+        // session, so time out strictly after that instant.
+        state.setTimeoutTimestamp(
+          (s.lastMicros / 1000000L + GapSeconds + 1) * 1000L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Continuous sessionizer over the events file stream: watermarked
+    * event time + event-time timeout. Emits exactly the CLOSED
+    * sessions; sessions still open when the stream's watermark stops
+    * advancing remain in state (correct — they could still grow).
+    */
+  def sessionizeStreamStateful(
+      spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    StreamingEvents
+      .stream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("ts"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionizeGroupStateful)
+  }
+
+  def runStatefulStreamToCompletion(
+      spark: SparkSession, dir: String, sink: String): DataFrame = {
+    val q = sessionizeStreamStateful(spark, dir).writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Streaming form over the events file stream. */
   def sessionizeStream(spark: SparkSession, dir: String): Dataset[SessionOut] = {
     import spark.implicits._

@@ -24,6 +24,42 @@ class SessionizeSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("event-time-timeout sessionizer emits exactly the closed sessions") {
+    import org.apache.spark.sql.functions._
+    // The continuous form keeps the open session in GroupState and
+    // closes it via event-time timeout. On a replay, the final
+    // watermark is max(ts) (0s delay), so exactly the batch sessions
+    // with end + gap < max(ts) are provably closed and must be
+    // emitted; later sessions stay open in state (correct — a longer
+    // stream could extend them).
+    val streamed = Sessionize
+      .runStatefulStreamToCompletion(spark, sfDir, "session_stateful_sink")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .toSeq
+    val events = graft.Tables.events(spark, sfDir)
+    val maxTsSec = events
+      .agg(max(unix_timestamp(col("ts"))))
+      .collect()(0)
+      .getLong(0)
+    val expected = Sessionize
+      .sessionizeBatch(events)
+      .withColumn(
+        "end_sec",
+        unix_timestamp(
+          to_timestamp(col("session_start"), "yyyy-MM-dd HH:mm:ss"))
+          + col("duration_secs"))
+      .filter(col("end_sec") + Sessionize.GapSeconds + 1 <= maxTsSec)
+      .select("user_id", "session_start", "n_events", "duration_secs")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.size == expected.size,
+      s"closed-session count: streamed=${streamed.size} expected=${expected.size}")
+    assert(streamed == expected)
+  }
+
   test("sessions split at >30min gaps (sanity on synthetic group)") {
     import spark.implicits._
     val evs = Seq(
