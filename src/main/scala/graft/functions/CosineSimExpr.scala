@@ -18,12 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * implementations are bit-equal, which the cosine_topk_native query's
   * shared oracle pins.
   *
-  * Assumes equal-length arrays with no null elements (embedding
-  * vectors); null input arrays propagate null via BinaryExpression's
-  * default null handling.
+  * Null semantics MIRROR the HOF form exactly: null input arrays
+  * propagate null (BinaryExpression default); unequal-length arrays
+  * and null elements also yield NULL (zip_with pads the shorter side
+  * with nulls, which nulls the whole fold) — so the two forms are
+  * interchangeable even outside the clean-embedding assumption.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -45,12 +49,14 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -73,17 +79,27 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y;
-         |  $na += $x * $x;
-         |  $nb += $y * $y;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
+         |  }
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot /
+         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

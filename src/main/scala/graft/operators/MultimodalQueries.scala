@@ -60,12 +60,17 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx"))
   )
 
+  // The Spark queries slice BYTES of the UTF-8 payload. DuckDB 1.0 has
+  // no BLOB substring, so the oracles index bytes through the hex
+  // encoding instead: byte i of encode(text) is hex chars 2i-1..2i of
+  // hex(encode(text)). Purely byte-based — correct for non-ASCII
+  // documents too, not just the ASCII fixture.
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(strlen(text) AS INTEGER) AS n_bytes,
         |       md5(text) AS content_md5,
-        |       hex(encode(substring(text, 1, 8))) AS header_hex,
+        |       substring(hex(encode(text)), 1, 16) AS header_hex,
         |       CAST(n_chars % 640 + 1 AS INTEGER) AS stub_width,
         |       CAST(n_chars % 480 + 1 AS INTEGER) AS stub_height,
         |       CAST(strlen(text) // 100 + 1 AS INTEGER) AS stub_n_frames
@@ -73,7 +78,7 @@ object MultimodalQueries {
     "multimodal_frame_sample" ->
       """SELECT doc_id,
         |       CAST(p AS INTEGER) AS frame_idx,
-        |       hex(encode(substring(text, CAST(i AS INTEGER), 1)))
+        |       substring(hex(encode(text)), 2*CAST(i AS INTEGER)-1, 2)
         |         AS frame_byte_hex
         |FROM (
         |  SELECT doc_id, text,

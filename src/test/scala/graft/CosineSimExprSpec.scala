@@ -31,6 +31,28 @@ class CosineSimExprSpec extends SparkTestBase {
     }
   }
 
+  test("null semantics mirror the HOF form outside the clean case") {
+    CosineSimExpr.register(spark)
+    import spark.implicits._
+    // (unequal lengths, null element, null array) — zip_with pads the
+    // shorter side with null / propagates element nulls, which nulls
+    // the whole fold; the native expression must agree row-for-row.
+    val df = Seq(
+      (Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](1f, 2f, 3f)),
+      (Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f)),
+      (null, Seq[java.lang.Float](1f, 2f))
+    ).toDF("va", "vb")
+    val rows = df
+      .select(
+        Vectors.cosine(col("va"), col("vb")).as("hof"),
+        expr("cosine_sim(va, vb)").as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), s"HOF expected null: $r")
+      assert(r.isNullAt(1), s"native expected null: $r")
+    }
+  }
+
   test("cosine_sim is SQL-callable and type-checks its arguments") {
     CosineSimExpr.register(spark)
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_v")

@@ -80,11 +80,19 @@ def main():
                     bad = c
                     break
         if bad is not None:
-            i = next(i for i in range(len(sp))
-                     if str(sp[bad].iloc[i]) != str(du[bad].iloc[i])
-                     and not _close(sp[bad].iloc[i], du[bad].iloc[i]))
-            print(f"FAIL {name}: col {bad} row {i}: "
-                  f"spark={sp[bad].iloc[i]!r} duck={du[bad].iloc[i]!r}")
+            # default=-1: a dtype-formatting-only mismatch (e.g. int 5
+            # vs float 5.0) has no locatable row — still report the
+            # FAIL instead of crashing the whole compare run.
+            i = next((i for i in range(len(sp))
+                      if str(sp[bad].iloc[i]) != str(du[bad].iloc[i])
+                      and not _close(sp[bad].iloc[i], du[bad].iloc[i])),
+                     -1)
+            if i >= 0:
+                print(f"FAIL {name}: col {bad} row {i}: "
+                      f"spark={sp[bad].iloc[i]!r} duck={du[bad].iloc[i]!r}")
+            else:
+                print(f"FAIL {name}: col {bad} mismatched (dtype/format "
+                      f"level; no single divergent row located)")
             n_fail += 1
         elif warn is not None:
             print(f"WARN {name}: col {warn} float-close but not bit-equal")
