@@ -83,6 +83,63 @@ object MiscQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // As-of join — the temporal operator Spark lacks natively (match
+    // each click to the user's LATEST view at-or-before it). NOT an
+    // inequality join (which plans as a per-key scan and explodes at
+    // scale): both sides union into ONE stream tagged by side, shuffle
+    // once on user_id, and a running last-ignoring-nulls window carries
+    // the most recent view forward — the merge-based as-of algorithm,
+    // linear per partition at any scale. Views are pre-deduped per
+    // (user, µs) so the match is deterministic.
+    "join_asof" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev
+        .filter(col("event_type") === "view")
+        .groupBy("user_id", "tus")
+        .agg(max(col("event_id")).as("view_event_id"))
+      val tagged = views
+        .select(
+          col("user_id"),
+          col("tus"),
+          lit(0).as("side"),
+          col("view_event_id"),
+          lit(null).cast("long").as("click_event_id"))
+        .unionByName(clicks.select(
+          col("user_id"),
+          col("tus"),
+          lit(1).as("side"),
+          lit(null).cast("long").as("view_event_id"),
+          col("event_id").as("click_event_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        // side=0 (view) sorts before a click at the same instant, so
+        // ts >= view_ts semantics hold on ties.
+        .orderBy(col("tus").asc, col("side").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      tagged
+        .withColumn("matched_view",
+          last(col("view_event_id"), ignoreNulls = true).over(w))
+        .withColumn("matched_tus",
+          last(when(col("side") === 0, col("tus")), ignoreNulls = true)
+            .over(w))
+        .filter(col("side") === 1)
+        .select(
+          col("user_id"),
+          col("click_event_id"),
+          col("matched_view").as("view_event_id"),
+          ((col("tus") - col("matched_tus")).cast("long") / lit(1000000L))
+            .cast("long").as("gap_secs"))
+        .orderBy("user_id", "click_event_id")
+    }),
+
     // Calendar fill: generate a contiguous date series and left-join
     // the fact counts onto it so empty days appear as zero — the
     // standard time-series densification pattern.
@@ -307,6 +364,23 @@ object MiscQueries {
         |         AS extprice_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, event_id AS click_event_id, tus
+        |  FROM ev WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, tus, max(event_id) AS view_event_id
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id, tus
+        |)
+        |SELECT c.user_id, c.click_event_id, v.view_event_id,
+        |       CAST((c.tus - v.tus) // 1000000 AS BIGINT) AS gap_secs
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.tus >= v.tus
+        |ORDER BY c.user_id, click_event_id""".stripMargin,
     "approx_distinct" ->
       """SELECT o_orderpriority,
         |       count(DISTINCT o_custkey) AS exact_custs,

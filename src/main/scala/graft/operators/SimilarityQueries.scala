@@ -27,6 +27,12 @@ object SimilarityQueries {
   private val NPlanes = 4
   private val TopK = 5
 
+  /** Near-dup cosine threshold. The fixture embeddings are near-random
+    * (max pairwise cosine ≈ 0.51), so 0.3 exercises the operator with
+    * real matches; a production dedup would sit at 0.9+.
+    */
+  private val SimThreshold = 0.3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k for the first NQueries vectors.
     "cosine_topk_brute" -> ((s, d) => {
@@ -117,6 +123,27 @@ object SimilarityQueries {
         .filter(col("rnk") <= TopK)
         .select("qid", "vec_id", "rnk", "sim")
         .orderBy("qid", "rnk")
+    }),
+
+    // Embedding-cosine NEAR-DUP pairs — the dedup-family member that
+    // uses the vector space itself: candidates are same-LSH-bucket
+    // pairs (a shuffle self-join on bucket, never all-pairs), kept
+    // when cosine ≥ τ. At 100 TB the bucket join is the only
+    // fact×fact contact and its size is governed by the plane count.
+    "embedding_neardup" -> ((s, d) => {
+      val withBucket = embeddings(s, d)
+        .withColumn("bucket", lshBucket(col("embedding"), NPlanes))
+      val a = withBucket.select(
+        col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = withBucket.select(
+        col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .withColumn("sim", cosine(col("ea"), col("eb")))
+        .filter(col("sim") >= SimThreshold)
+        .select("a", "b", "sim")
+        .orderBy(col("sim").desc, col("a").asc, col("b").asc)
+        .limit(50)
     }),
 
     // Brute-force top-k through the NATIVE codegen expression
@@ -247,6 +274,29 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM sims) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "embedding_neardup" ->
+      s"""WITH $bucketCte,
+         |pairs AS (
+         |  SELECT ba.vec_id AS qid, bb.vec_id AS vec_id,
+         |         ea.embedding AS qe, eb.embedding AS ce
+         |  FROM buckets ba
+         |  JOIN buckets bb ON ba.bucket = bb.bucket
+         |    AND ba.vec_id < bb.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = ba.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = bb.vec_id
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid AS a, d.vec_id AS b,
+         |         d.dot / (na.nrm * nb.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = qid
+         |  JOIN norms nb ON nb.vec_id = d.vec_id
+         |)
+         |SELECT a, b, sim FROM sims
+         |WHERE sim >= $SimThreshold
+         |ORDER BY sim DESC, a ASC, b ASC LIMIT 50""".stripMargin,
     "cosine_topk_lsh_probe" -> {
       val hamming1 = (0 until NPlanes).map(p => 1 << p).mkString(", ")
       s"""WITH $bucketCte,

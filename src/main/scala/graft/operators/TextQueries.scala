@@ -134,6 +134,48 @@ object TextQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // BPE-ish token counting: subword pieces as ≤4-char letter chunks,
+    // single digits, and punctuation runs-of-one. The alternatives are
+    // DISJOINT character classes with greedy quantifiers, so Java
+    // regex (Spark) and RE2 (DuckDB) tokenize identically — no
+    // leftmost-vs-longest ambiguity. Expression-only, one pass.
+    "token_count_bpe" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+            .cast("long").as("n_bpe_tokens"))
+        .withColumn("bpe_per_word",
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+        .orderBy("doc_id")),
+
+    // C4-style quality-filter chain: length, alphabetic-ratio and
+    // stopword-ratio gates composed as one predicate, then a per-lang
+    // keep-rate summary — the shape of a real corpus-cleaning pass
+    // (filters push into the scan; the aggregate is the only shuffle).
+    "quality_filter" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTokens = size(toks)
+      val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+      val keep =
+        nTokens >= 5 &&
+          nAlpha.cast("double") / length(col("text")) >= 0.5 &&
+          nStop.cast("double") / nTokens <= 0.5
+      documents(s, d)
+        .withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .withColumn("keep_rate",
+          col("n_kept").cast("double") / col("n_docs"))
+        .orderBy("lang")
+    }),
+
     // Deterministic 60-bit document fingerprint over normalized text.
     "doc_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -316,6 +358,13 @@ object TextQueries {
 
   // ------------------------------------------------------------------ //
 
+  /** Disjoint-class subword pattern — identical under Java regex and
+    * RE2 (no alternation-order ambiguity, greedy-only quantifiers).
+    * Passed as a Column literal on the Spark side and a plain DuckDB
+    * string on the oracle side, so no SQL-escape divergence.
+    */
+  private val BpePattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val normSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -387,6 +436,33 @@ object TextQueries {
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count_bpe" ->
+      s"""SELECT doc_id,
+         |       CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '$BpePattern'))
+         |         AS BIGINT) AS n_bpe_tokens,
+         |       CAST(len(regexp_extract_all(text, '$BpePattern'))
+         |         AS DOUBLE) / len($toksSql) AS bpe_per_word
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      s"""WITH scored AS (
+         |  SELECT lang, n_chars,
+         |         len($toksSql) >= 5
+         |         AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+         |           'g')) AS DOUBLE) / length(text) >= 0.5
+         |         AND CAST(len(list_filter($toksSql,
+         |           t -> t IN ($StopSqlList))) AS DOUBLE)
+         |           / len($toksSql) <= 0.5 AS keep
+         |  FROM documents)
+         |SELECT lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END)
+         |         AS BIGINT) AS kept_chars,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS keep_rate
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       s"""SELECT count(*) AS n_docs,
          |       count(DISTINCT $normSql) AS n_distinct,
