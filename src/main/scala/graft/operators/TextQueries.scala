@@ -210,8 +210,9 @@ object TextQueries {
       // sorted doc list with the df cap applied inline; candidate
       // pairs explode from each posting (never an all-pairs join).
       // The posting subplan appears in both branches — no cache():
-      // ReuseExchange dedupes the identical shuffle, and nothing
-      // accumulates in executor memory across invocations. The
+      // AQE's stage cache reuses the identical shingle shuffle at
+      // runtime (verified: 2 ReusedExchange in the final adaptive
+      // plan), and nothing accumulates in executor memory. The
       // sizes side is one row PER DOCUMENT, so it must NOT be
       // broadcast (billions of rows at 100 TB) — the candidate→size
       // joins shuffle on a/b, both sides already bounded.
@@ -261,8 +262,9 @@ object TextQueries {
       // The signature subplan is referenced three times (band keys +
       // both sides of the candidate join). No cache(): the doc_id
       // shuffle under the signature aggregation is identical in all
-      // three branches so ReuseExchange computes it once, and no
-      // cached copies accumulate across bench invocations.
+      // three branches so AQE's runtime stage cache computes it once
+      // (ReusedExchange in the final adaptive plan), and no cached
+      // copies accumulate across bench invocations.
       val sig = {
         val tok = documents(s, d)
           .select(

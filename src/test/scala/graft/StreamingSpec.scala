@@ -23,4 +23,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming dedup (bounded state) removes the injected duplicates") {
+    val q = StreamingEvents
+      .dedupStream(spark, sfDir)
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val deduped = spark.table("dedup_stream_sink")
+    val nBatch = StreamingEvents.batch(spark, sfDir).count()
+    // Input was the stream unioned with itself (2× every event);
+    // exactly the distinct event set must survive.
+    assert(deduped.count() == nBatch)
+    assert(
+      deduped.select("event_id").distinct().count() == nBatch)
+  }
 }
