@@ -33,6 +33,14 @@ object SimilarityQueries {
     */
   private val SimThreshold = 0.3
 
+  /** IVF centroid count. Real IVF trains k-means; for a deterministic,
+    * cross-engine-pinnable operator the centroids are FIXED SEED
+    * vectors (vec_id < NCells) — exactly the assignment step of one
+    * k-means iteration, which is the part with a distributed plan
+    * (seed choice/iteration is driver-side logic around it).
+    */
+  private val NCells = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k for the first NQueries vectors.
     "cosine_topk_brute" -> ((s, d) => {
@@ -169,6 +177,46 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF assignment: every vector assigned to its nearest of NCells
+    // centroid vectors (broadcast — the centroid set is tiny at any
+    // scale; the scan over N is the only big side and it shuffles
+    // nowhere). Cell histogram = the partition the IVF path works in.
+    "ivf_cells" -> ((s, d) => {
+      ivfAssign(s, d)
+        .groupBy("cid")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("cid")
+    }),
+
+    // IVF top-k: each query probes ONLY its own centroid cell
+    // (nprobe=1) — the coarse-quantization ANN path; at real N the
+    // cell count grows with N/target_cell_size and nprobe tunes the
+    // recall/cost trade-off exactly like LSH multi-probe.
+    "ivf_topk" -> ((s, d) => {
+      val assigned = ivfAssign(s, d)
+      val q = assigned
+        .filter(col("vec_id") < NQueries)
+        .select(
+          col("vec_id").as("qid"),
+          col("embedding").as("qe"),
+          col("cid"))
+      val c = assigned
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q)
+        .join(c, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    }),
+
     // Per-label centroid-free stats: norms are bit-deterministic.
     "vector_norms" -> ((s, d) =>
       embeddings(s, d)
@@ -180,6 +228,26 @@ object SimilarityQueries {
   )
 
   // ------------------------------------------------------------------ //
+
+  /** IVF assignment frame: (vec_id, embedding, label, cid) with cid =
+    * the nearest fixed-seed centroid by cosine (deterministic argmax:
+    * sim desc, cid asc — sims are bit-deterministic double folds, so
+    * the assignment is engine-exact).
+    */
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val cents = embeddings(s, d)
+      .filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window
+      .partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    embeddings(s, d)
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("cid"))
+  }
 
   /** DuckDB: dot product via zipped unnest + double sum (bit-identical
     * to the Spark fold — verified).
@@ -219,7 +287,66 @@ object SimilarityQueries {
        |    GROUP BY vec_id) pr
        |)""".stripMargin
 
+  /** IVF assignment in DuckDB: same fixed-seed centroids, same
+    * bit-deterministic cosine, same (sim desc, cid asc) argmax.
+    * Requires `$normCte` in scope.
+    */
+  private val assignCte =
+    s"""apairs AS (
+       |  SELECT v.vec_id AS vid, c.vec_id AS cid,
+       |         v.embedding AS ve, c.embedding AS cee
+       |  FROM embeddings v JOIN embeddings c ON c.vec_id < $NCells
+       |), adots AS (
+       |  SELECT vid, cid, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE))
+       |    AS dot
+       |  FROM (SELECT vid, cid, unnest(ve) AS a, unnest(cee) AS b
+       |        FROM apairs) u
+       |  GROUP BY vid, cid
+       |), assign AS (
+       |  SELECT vid AS vec_id, cid FROM (
+       |    SELECT vid, cid,
+       |           row_number() OVER (PARTITION BY vid
+       |             ORDER BY d.dot/(nv.nrm*nc.nrm) DESC, cid ASC) AS rn
+       |    FROM adots d
+       |    JOIN norms nv ON nv.vec_id = vid
+       |    JOIN norms nc ON nc.vec_id = cid) t
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ivf_cells" ->
+      s"""WITH $normCte,
+         |$assignCte
+         |SELECT cid, count(*) AS n_vecs,
+         |       count(DISTINCT e.label) AS n_labels
+         |FROM assign JOIN embeddings e USING (vec_id)
+         |GROUP BY cid ORDER BY cid""".stripMargin,
+    "ivf_topk" ->
+      s"""WITH $normCte,
+         |$assignCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         eq.embedding AS qe, ec.embedding AS ce
+         |  FROM assign q
+         |  JOIN assign c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
     "cosine_topk_brute" ->
       s"""WITH pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,

@@ -176,6 +176,26 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Deterministic train/val/test split (8/1/1) keyed on the CONTENT
+    // fingerprint, not the row id — the reproducible-sampling pattern
+    // a training pipeline needs: membership survives re-ingestion and
+    // re-partitioning, and exact duplicates always land in the same
+    // split (no train/test leakage through dup pairs).
+    "dataset_split" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("bucket", pmod(hash60(normText(col("text"))), lit(10)))
+        .withColumn(
+          "split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")),
+
     // Deterministic 60-bit document fingerprint over normalized text.
     "doc_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -438,6 +458,17 @@ object TextQueries {
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "dataset_split" ->
+      s"""WITH b AS (
+         |  SELECT ${hash60Sql(normSql)} % 10 AS bucket, n_chars, lang
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket = 8 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       count(DISTINCT lang) AS n_langs
+         |FROM b GROUP BY split ORDER BY split""".stripMargin,
     "token_count_bpe" ->
       s"""SELECT doc_id,
          |       CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
