@@ -170,7 +170,24 @@ object FunctionQueries {
           sum(when(
             !col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L)).as("n_other"))
-        .orderBy("yr"))
+        .orderBy("yr")),
+
+    // The inverse reshape: wide metric columns melted to long form via
+    // the native unpivot operator (plans as Expand — one pass, no
+    // shuffle beyond the source aggregate).
+    "unpivot_metrics" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("total_cents"))
+        .unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("total_cents")),
+          "metric",
+          "value")
+        .orderBy("o_orderpriority", "metric"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -271,6 +288,19 @@ object FunctionQueries {
         |       CAST(sum(CASE WHEN o_orderpriority NOT IN
         |         ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_other
-        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_orders' AS metric,
+        |       n_orders AS value FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'total_cents' AS metric,
+        |       total_cents AS value FROM wide
+        |ORDER BY o_orderpriority, metric""".stripMargin
   )
 }

@@ -223,6 +223,51 @@ object TextQueries {
         .select(col("keep_doc_id"), col("n_copies"))
         .orderBy("keep_doc_id")),
 
+    // Fixed-size chunking with overlap (100-char windows, stride 80) —
+    // the context-window preparation step of an LLM training pipeline.
+    // Pure expression work (sequence + substr), no shuffle at all;
+    // chunks are emitted as 60-bit hashes so the oracle pins content
+    // without megabyte-wide compare rows.
+    "doc_chunks" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(
+          col("doc_id"),
+          posexplode(
+            transform(
+              sequence(lit(1), length(col("text")), lit(80)),
+              i => col("text").substr(i, lit(100)))))
+        .select(
+          col("doc_id"),
+          col("pos").as("chunk_idx"),
+          length(col("col")).as("chunk_len"),
+          hash60(col("col")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Benchmark decontamination: fraction of each training document's
+    // 3-gram shingles that appear in the benchmark set (docs 0-4 as
+    // the stand-in eval suite). The benchmark side is broadcast — it
+    // is bounded by the eval-suite size, never by the corpus — so the
+    // scan over training docs is the only fact-sized work.
+    "contamination" -> ((s, d) => {
+      val all = shingleRows(s, d)
+      val bench = all
+        .filter(col("doc_id") < 5)
+        .select(col("sh"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      all
+        .filter(col("doc_id") >= 5)
+        .join(broadcast(bench), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+        .withColumn("contamination_rate",
+          col("n_contaminated").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // Exact near-dup: word-3-gram Jaccard, candidates from shared
     // shingles after stop-shingle (df > cap) removal; top-20 pairs.
     "ngram_jaccard" -> ((s, d) => {
@@ -505,6 +550,37 @@ object TextQueries {
       s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          |FROM (SELECT doc_id, $normSql AS norm FROM documents) t
          |GROUP BY norm ORDER BY keep_doc_id""".stripMargin,
+    "doc_chunks" ->
+      s"""SELECT doc_id,
+         |       CAST(p AS INTEGER) AS chunk_idx,
+         |       CAST(length(substring(text, CAST(i AS INTEGER), 100))
+         |         AS INTEGER) AS chunk_len,
+         |       ${hash60Sql("substring(text, CAST(i AS INTEGER), 100)")}
+         |         AS chunk_hash
+         |FROM (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(1, length(text), 80)) AS i,
+         |         unnest(generate_series(0,
+         |           (length(text)-1)//80)) AS p
+         |  FROM documents WHERE doc_id < 20) t
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "contamination" ->
+      s"""WITH rows_ AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${wordShinglesSql(toksSql, 3)}) AS sh
+         |    FROM documents) u
+         |), bench AS (
+         |  SELECT DISTINCT sh FROM rows_ WHERE doc_id < 5
+         |)
+         |SELECT t.doc_id,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_contaminated,
+         |       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*) AS contamination_rate
+         |FROM (SELECT * FROM rows_ WHERE doc_id >= 5) t
+         |LEFT JOIN bench b ON t.sh = b.sh
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH rows_ AS (
          |  SELECT DISTINCT doc_id, sh FROM (
