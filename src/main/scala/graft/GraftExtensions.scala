@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ =>
       graft.plans.CollapseIdempotentStringOps)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofCosine)
     ext.injectFunction(
       (
         new FunctionIdentifier("cosine_sim"),

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.CosineSimExpr
+
+/** Optimizer rule doing REAL work: recognize the HOF cosine
+  * composition that [[graft.functions.Vectors.cosine]] builds —
+  *
+  *   aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)
+  *     / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
+  *
+  * — and swap in the native codegen [[CosineSimExpr]]. The HOF form
+  * evaluates its lambda interpreter-side per element; the native
+  * expression is a tight fused Java loop inside whole-stage codegen
+  * (one array traversal instead of four). The rewrite is safe because
+  * the two forms are BIT-EQUAL, including null semantics (null array /
+  * unequal lengths / null element → NULL) — both pinned by
+  * `CosineSimExprSpec`, and every rewritten query still hash-matches
+  * its DuckDB oracle, which is the continuous proof.
+  *
+  * Pattern-matching is strict (exact zero literal, multiply-of-casts
+  * lambda, identity finish, float arrays, both norms over the same
+  * child as the dot) so anything else — e.g. the LSH plane projection,
+  * which shares the zip_with shape — is left untouched.
+  */
+object RewriteHofCosine extends Rule[LogicalPlan] {
+
+  /** Recognize `aggregate(zip_with(a, b, (x,y) -> dx*dy), 0.0, +)` and
+    * return (a, b).
+    */
+  private def asDot(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case ArrayAggregate(
+            ZipWith(
+              a,
+              b,
+              LambdaFunction(Multiply(_: Cast, _: Cast, _), _, _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(_, _, _), _, _),
+            LambdaFunction(
+              fin: NamedLambdaVariable,
+              Seq(farg: NamedLambdaVariable),
+              _))
+          if fin.exprId == farg.exprId =>
+        Some((a, b))
+      case _ => None
+    }
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case d @ Divide(num, Multiply(Sqrt(na), Sqrt(nb), _), _) =>
+        (asDot(num), asDot(na), asDot(nb)) match {
+          case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
+              if a1.semanticEquals(a2) && a1.semanticEquals(a) &&
+                b1.semanticEquals(b2) && b1.semanticEquals(b) &&
+                isFloatArray(a) && isFloatArray(b) =>
+            CosineSimExpr(a, b)
+          case _ => d
+        }
+    }
+}
