@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ =>
       graft.plans.CollapseIdempotentStringOps)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofCosine)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectFunction(
       (
         new FunctionIdentifier("cosine_sim"),

@@ -140,6 +140,26 @@ object MiscQueries {
         .orderBy("user_id", "click_event_id")
     }),
 
+    // Per-key top-K through the CUSTOM whole-operator surface
+    // (plans.GroupedTopK: logical node → planner strategy →
+    // bounded-heap exec). Same semantics as the window row_number
+    // form — which the oracle runs — but the plan has no per-partition
+    // sort: K-row heaps per key, one clustering shuffle.
+    "grouped_topk" -> ((s, d) => {
+      val src = orders(s, d)
+        .select(
+          col("o_orderpriority"),
+          col("o_orderkey"),
+          cents(col("o_totalprice")).as("totalprice_cents"))
+      graft.plans.GroupedTopK
+        .topK(
+          src,
+          Seq("o_orderpriority"),
+          Seq(("totalprice_cents", true), ("o_orderkey", false)),
+          3)
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
     // Calendar fill: generate a contiguous date series and left-join
     // the fact counts onto it so empty days appear as zero — the
     // standard time-series densification pattern.
@@ -364,6 +384,18 @@ object MiscQueries {
         |         AS extprice_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "grouped_topk" ->
+      """SELECT o_orderpriority, o_orderkey, totalprice_cents,
+        |       CAST(rnk AS INTEGER) AS rnk
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice*100) AS BIGINT)
+        |           AS totalprice_cents,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY CAST(round(o_totalprice*100) AS BIGINT)
+        |             DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
     "join_asof" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,
