@@ -213,6 +213,46 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Blocked fuzzy match (entity-resolution shape): Levenshtein ≤ 12
+    // between distinct part names sharing a 4-char prefix block. The
+    // block key turns pair generation into a key-equi shuffle join —
+    // within-block pairs only, the standard ER trade-off that keeps
+    // the operator linear-ish in block sizes instead of all-pairs.
+    "fuzzy_match" -> ((s, d) => {
+      val names = part(s, d)
+        .filter(col("p_partkey") <= 300)
+        .select(col("p_name").as("t"))
+        .distinct()
+        .withColumn("blk", substring(col("t"), 1, 4))
+      val a = names.toDF("ta", "blk")
+      val b = names.toDF("tb", "blk")
+      a.join(b, "blk")
+        .filter(col("ta") < col("tb"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("dist") <= 12)
+        .select("ta", "tb", "dist")
+        .orderBy("ta", "tb")
+    }),
+
+    // lead + first_value: next order date and first-order price per
+    // customer — the remaining window functions not covered above.
+    "window_lead_first" -> ((s, d) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd")
+            .as("next_date"),
+          first(cents(col("o_totalprice"))).over(wf).as("first_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Explicit frame: running revenue per customer over order history.
     "window_running_sum" -> ((s, d) => {
       val w = Window
@@ -423,6 +463,32 @@ object RelationalQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS BIGINT) AS running_cents
         |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "fuzzy_match" ->
+      """WITH t AS (
+        |  SELECT DISTINCT p_name AS t FROM part WHERE p_partkey <= 300
+        |), bt AS (
+        |  SELECT t, substring(t, 1, 4) AS blk FROM t
+        |)
+        |SELECT a.t AS ta, b.t AS tb,
+        |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+        |FROM bt a JOIN bt b ON a.blk = b.blk AND a.t < b.t
+        |WHERE levenshtein(a.t, b.t) <= 12
+        |ORDER BY ta, tb""".stripMargin,
+    "window_lead_first" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+        |         AS order_date,
+        |       strftime(CAST(lead(o_orderdate, 1) OVER w AS DATE),
+        |         '%Y-%m-%d') AS next_date,
+        |       CAST(first_value(CAST(round(o_totalprice*100) AS BIGINT))
+        |         OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate ASC, o_orderkey ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS first_cents
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_ntile" ->
       """SELECT quartile, count(*) AS n_customers,
