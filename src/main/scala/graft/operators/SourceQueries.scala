@@ -63,7 +63,21 @@ object SourceQueries {
     "sessionize_batch" -> ((s, d) =>
       graft.streaming.Sessionize
         .sessionizeBatch(graft.Tables.events(s, d))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // The CONTINUOUS sessionizer (GroupState + event-time timeout),
+    // run as a real streaming query to completion. Emits exactly the
+    // sessions the final watermark proves closed — which the oracle
+    // derives independently in DuckDB from the batch definition
+    // (end + gap < max event time), so the streaming state machine's
+    // output is hash-pinned, not just spec-compared.
+    "sessionize_stateful" -> ((s, d) => {
+      val sink = "sess_stateful_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.Sessionize
+        .runStatefulStreamToCompletion(s, d, sink)
+        .orderBy("user_id", "session_start")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -103,6 +117,39 @@ object SourceQueries {
         |            - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
         |         AS duration_secs
         |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
+    "sessionize_stateful" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM l
+        |), s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id,
+        |         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |         count(*) AS n_events,
+        |         CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+        |              - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+        |           AS duration_secs,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_sec
+        |  FROM s GROUP BY user_id, session_idx
+        |)
+        |SELECT user_id, session_start, n_events, duration_secs
+        |FROM sess
+        |WHERE end_sec + 1801 <=
+        |  (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
     "stream_window_batch" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
