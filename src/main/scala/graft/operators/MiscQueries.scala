@@ -140,6 +140,53 @@ object MiscQueries {
         .orderBy("user_id", "click_event_id")
     }),
 
+    // Sink + partition-pruned re-scan INSIDE the graded gate: write
+    // documents hive-partitioned by lang, read back one partition.
+    // The filter never touches non-en files (partition pruning — the
+    // layout decision that turns a 100 TB scan into a directory pick);
+    // the oracle computes the same summary straight from the source.
+    "partitioned_sink_prune" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_part_sink")
+        .toString
+      documents(s, d)
+        .write
+        .mode("overwrite")
+        .partitionBy("lang")
+        .parquet(dir)
+      s.read
+        .parquet(dir)
+        .filter(col("lang") === "en")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // JSONL round-trip — the interchange format of training-data
+    // pipelines: documents out as JSON lines, read back with an
+    // explicit schema, summarized. Oracle reads the source directly,
+    // so the sink+source pair must be lossless for the hash to match.
+    "jsonl_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_jsonl")
+        .toString
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write
+        .mode("overwrite")
+        .json(dir)
+      s.read
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .json(dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"))
+        .orderBy("lang")
+    }),
+
     // Per-key top-K through the CUSTOM whole-operator surface
     // (plans.GroupedTopK: logical node → planner strategy →
     // bounded-heap exec). Same semantics as the window row_number
@@ -384,6 +431,15 @@ object MiscQueries {
         |         AS extprice_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "partitioned_sink_prune" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "grouped_topk" ->
       """SELECT o_orderpriority, o_orderkey, totalprice_cents,
         |       CAST(rnk AS INTEGER) AS rnk
