@@ -49,4 +49,25 @@ class GroupedTopKSpec extends SparkTestBase {
     val windowPlan = windowed.queryExecution.executedPlan.toString
     assert(windowPlan.contains("Sort "))
   }
+
+  test("edge cases: k exceeds group size, ties broken deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), // group a: 2 rows, k=3 → both ranked
+      ("a", 2L, 20.0),
+      ("b", 3L, 5.0), // group b: tie on value → id breaks it
+      ("b", 4L, 5.0),
+      ("b", 5L, 5.0),
+      ("b", 6L, 7.0)
+    ).toDF("k", "id", "v")
+    val out = GroupedTopK
+      .topK(df, Seq("k"), Seq(("v", true), ("id", false)), 3)
+      .orderBy("k", "rnk")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+      .toSeq
+    assert(out == Seq(
+      ("a", 2L, 1), ("a", 1L, 2),
+      ("b", 6L, 1), ("b", 3L, 2), ("b", 4L, 3)))
+  }
 }
