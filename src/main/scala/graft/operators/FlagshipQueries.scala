@@ -132,21 +132,13 @@ object FlagshipQueries {
     // generation is a key-equi shuffle join — the standard entity-
     // resolution blocking trade-off (cross-block near-misses are
     // foregone to avoid an all-pairs join at scale).
-    "title_fuzzy" -> ((spark, _) => {
-      val titles = Rankings
-        .rawRankings(spark)
-        .select(canonicalizeTitle(col("title")).as("t"))
-        .distinct()
-        .withColumn("blk", substring(col("t"), 1, 1))
-      val a = titles.toDF("ta", "blk")
-      val b = titles.toDF("tb", "blk")
-      a.join(b, "blk")
-        .filter(col("ta") < col("tb"))
-        .withColumn("dist", levenshtein(col("ta"), col("tb")))
-        .filter(col("dist") <= 4)
-        .select("ta", "tb", "dist")
-        .orderBy("ta", "tb")
-    }),
+    "title_fuzzy" -> ((spark, _) =>
+      Fuzzy.blockedPairs(
+        Rankings
+          .rawRankings(spark)
+          .select(canonicalizeTitle(col("title")).as("t")),
+        blockLen = 1,
+        maxDist = 4)),
 
     // Q6 wart: row-count-of-3 coverage. Double Feature passes with only
     // 2 distinct sources (n_sources shows the wart).
@@ -272,15 +264,10 @@ object FlagshipQueries {
       s"""WITH $rawRankingsCte
          |SELECT DISTINCT title, $canonSql AS title_comp
          |FROM raw_rankings ORDER BY title""".stripMargin,
-    "title_fuzzy" ->
-      s"""WITH $rawRankingsCte,
-         |t AS (SELECT DISTINCT $canonSql AS t FROM raw_rankings),
-         |bt AS (SELECT t, substring(t, 1, 1) AS blk FROM t)
-         |SELECT a.t AS ta, b.t AS tb,
-         |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
-         |FROM bt a JOIN bt b ON a.blk = b.blk AND a.t < b.t
-         |WHERE levenshtein(a.t, b.t) <= 4
-         |ORDER BY ta, tb""".stripMargin,
+    "title_fuzzy" -> (s"WITH $rawRankingsCte,\n" + Fuzzy.blockedPairsSql(
+      s"t AS (SELECT DISTINCT $canonSql AS t FROM raw_rankings)",
+      blockLen = 1,
+      maxDist = 4)),
     "coverage_wart" ->
       s"""WITH $rawRankingsCte,
          |canon AS (SELECT url, $canonSql AS title_comp FROM raw_rankings)

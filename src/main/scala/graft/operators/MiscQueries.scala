@@ -146,9 +146,10 @@ object MiscQueries {
     // layout decision that turns a 100 TB scan into a directory pick);
     // the oracle computes the same summary straight from the source.
     "partitioned_sink_prune" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_part_sink")
-        .toString
+      // Fixed path + overwrite mode: repeated gate/bench invocations
+      // rewrite in place instead of accumulating temp copies.
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_part_sink"
       documents(s, d)
         .write
         .mode("overwrite")
@@ -169,9 +170,9 @@ object MiscQueries {
     // explicit schema, summarized. Oracle reads the source directly,
     // so the sink+source pair must be lossless for the hash to match.
     "jsonl_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_jsonl")
-        .toString
+      // Fixed path + overwrite mode — no temp-dir accumulation.
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl"
       documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"))
         .write

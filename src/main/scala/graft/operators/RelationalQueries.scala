@@ -218,21 +218,13 @@ object RelationalQueries {
     // block key turns pair generation into a key-equi shuffle join —
     // within-block pairs only, the standard ER trade-off that keeps
     // the operator linear-ish in block sizes instead of all-pairs.
-    "fuzzy_match" -> ((s, d) => {
-      val names = part(s, d)
-        .filter(col("p_partkey") <= 300)
-        .select(col("p_name").as("t"))
-        .distinct()
-        .withColumn("blk", substring(col("t"), 1, 4))
-      val a = names.toDF("ta", "blk")
-      val b = names.toDF("tb", "blk")
-      a.join(b, "blk")
-        .filter(col("ta") < col("tb"))
-        .withColumn("dist", levenshtein(col("ta"), col("tb")))
-        .filter(col("dist") <= 12)
-        .select("ta", "tb", "dist")
-        .orderBy("ta", "tb")
-    }),
+    "fuzzy_match" -> ((s, d) =>
+      Fuzzy.blockedPairs(
+        part(s, d)
+          .filter(col("p_partkey") <= 300)
+          .select(col("p_name").as("t")),
+        blockLen = 4,
+        maxDist = 12)),
 
     // lead + first_value: next order date and first-order price per
     // customer — the remaining window functions not covered above.
@@ -464,17 +456,12 @@ object RelationalQueries {
         |         AS BIGINT) AS running_cents
         |FROM orders WHERE o_custkey < 50
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "fuzzy_match" ->
-      """WITH t AS (
+    "fuzzy_match" -> ("WITH " + Fuzzy.blockedPairsSql(
+      """t AS (
         |  SELECT DISTINCT p_name AS t FROM part WHERE p_partkey <= 300
-        |), bt AS (
-        |  SELECT t, substring(t, 1, 4) AS blk FROM t
-        |)
-        |SELECT a.t AS ta, b.t AS tb,
-        |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
-        |FROM bt a JOIN bt b ON a.blk = b.blk AND a.t < b.t
-        |WHERE levenshtein(a.t, b.t) <= 12
-        |ORDER BY ta, tb""".stripMargin,
+        |)""".stripMargin,
+      blockLen = 4,
+      maxDist = 12)),
     "window_lead_first" ->
       """SELECT o_custkey, o_orderkey,
         |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')

@@ -85,17 +85,7 @@ object SimilarityQueries {
           col("bucket"))
       val c = withBucket
         .select(col("vec_id"), col("embedding"), col("bucket"))
-      val w = Window
-        .partitionBy("qid")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      broadcast(q)
-        .join(c, Seq("bucket"))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("sim", cosine(col("qe"), col("embedding")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "vec_id", "rnk", "sim")
-        .orderBy("qid", "rnk")
+      topkFromCandidates(q, c, "bucket")
     }),
 
     // Multi-probe LSH top-k: each query probes its own bucket PLUS all
@@ -120,17 +110,7 @@ object SimilarityQueries {
           explode(probeBuckets).as("bucket"))
       val c = withBucket
         .select(col("vec_id"), col("embedding"), col("bucket"))
-      val w = Window
-        .partitionBy("qid")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      broadcast(q)
-        .join(c, Seq("bucket"))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("sim", cosine(col("qe"), col("embedding")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "vec_id", "rnk", "sim")
-        .orderBy("qid", "rnk")
+      topkFromCandidates(q, c, "bucket")
     }),
 
     // Embedding-cosine NEAR-DUP pairs — the dedup-family member that
@@ -204,17 +184,7 @@ object SimilarityQueries {
           col("cid"))
       val c = assigned
         .select(col("vec_id"), col("embedding"), col("cid"))
-      val w = Window
-        .partitionBy("qid")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      broadcast(q)
-        .join(c, Seq("cid"))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("sim", cosine(col("qe"), col("embedding")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "vec_id", "rnk", "sim")
-        .orderBy("qid", "rnk")
+      topkFromCandidates(q, c, "cid")
     }),
 
     // Per-label centroid-free stats: norms are bit-deterministic.
@@ -228,6 +198,29 @@ object SimilarityQueries {
   )
 
   // ------------------------------------------------------------------ //
+
+  /** Shared tail of every keyed ANN query: broadcast the (small)
+    * query-probe frame, join candidates on the partition key, score
+    * with the bit-deterministic cosine, keep TopK per query. One
+    * implementation so the tiebreak/limit semantics cannot drift
+    * between the LSH, multi-probe and IVF variants.
+    */
+  private def topkFromCandidates(
+      q: DataFrame,
+      c: DataFrame,
+      joinKey: String): DataFrame = {
+    val w = Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(q)
+      .join(c, Seq(joinKey))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("qid", "vec_id", "rnk", "sim")
+      .orderBy("qid", "rnk")
+  }
 
   /** IVF assignment frame: (vec_id, embedding, label, cid) with cid =
     * the nearest fixed-seed centroid by cosine (deterministic argmax:

@@ -231,6 +231,11 @@ object TextQueries {
     "doc_chunks" -> ((s, d) =>
       documents(s, d)
         .filter(col("doc_id") < 20)
+        // Guard empty text: Spark's sequence(1, 0) DESCENDS instead
+        // of yielding an empty array (same trap wordShingles guards);
+        // the oracle's generate_series(1, 0) emits nothing, so both
+        // sides drop zero-length documents identically.
+        .filter(length(col("text")) >= 1)
         .select(
           col("doc_id"),
           posexplode(
@@ -562,7 +567,8 @@ object TextQueries {
          |         unnest(generate_series(1, length(text), 80)) AS i,
          |         unnest(generate_series(0,
          |           (length(text)-1)//80)) AS p
-         |  FROM documents WHERE doc_id < 20) t
+         |  FROM documents
+         |  WHERE doc_id < 20 AND length(text) >= 1) t
          |ORDER BY doc_id, chunk_idx""".stripMargin,
     "contamination" ->
       s"""WITH rows_ AS (

@@ -86,10 +86,16 @@ case class GroupedTopKExec(
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
+        // keyProj reuses one buffer; copy the key ONLY when inserting
+        // a new group (the rare case — rows per key >> keys), not on
+        // every row of the hot loop.
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(
-          key.copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap =
+            scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), heap)
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()
@@ -139,6 +145,7 @@ object GroupedTopK {
       keyCols: Seq[String],
       orderCols: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(k > 0, s"topK requires k > 0, got $k")
     val spark = df.sparkSession
     // Idempotent runtime registration for sessions built without
     // spark.sql.extensions (same pattern as CosineSimExpr.register);
@@ -148,8 +155,13 @@ object GroupedTopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategies
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute = analyzed.output
-      .find(_.name == name)
+    // Resolve through the session's resolver (case-insensitive under
+    // the default spark.sql.caseSensitive=false, and ambiguity-aware),
+    // matching how col()/select() bind names.
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(name: String): Attribute = analyzed
+      .resolve(Seq(name), resolver)
+      .map(_.toAttribute)
       .getOrElse(throw new IllegalArgumentException(
         s"no column $name in ${analyzed.output.map(_.name)}"))
     val order = orderCols.map { case (name, desc) =>

@@ -30,25 +30,47 @@ import graft.functions.CosineSimExpr
 object RewriteHofCosine extends Rule[LogicalPlan] {
 
   /** Recognize `aggregate(zip_with(a, b, (x,y) -> dx*dy), 0.0, +)` and
-    * return (a, b).
+    * return (a, b). The lambda bodies are bound-checked against their
+    * own arguments — the multiply must be double-casts of the TWO zip
+    * variables (in either order) and the merge must add its two
+    * arguments — so a sum-of-squares or a rescaled merge can never be
+    * mistaken for a dot product.
     */
-  private def asDot(e: Expression): Option[(Expression, Expression)] =
+  private def asDot(e: Expression): Option[(Expression, Expression)] = {
+    def varId(c: Expression): Option[Long] = c match {
+      case Cast(v: NamedLambdaVariable, DoubleType, _, _) =>
+        Some(v.exprId.id)
+      case _ => None
+    }
     e match {
       case ArrayAggregate(
             ZipWith(
               a,
               b,
-              LambdaFunction(Multiply(_: Cast, _: Cast, _), _, _)),
+              LambdaFunction(
+                Multiply(cx, cy, _),
+                Seq(x: NamedLambdaVariable, y: NamedLambdaVariable),
+                _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(_, _, _), _, _),
+            LambdaFunction(
+              Add(ml: NamedLambdaVariable, mr: NamedLambdaVariable, _),
+              Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable),
+              _),
             LambdaFunction(
               fin: NamedLambdaVariable,
               Seq(farg: NamedLambdaVariable),
               _))
-          if fin.exprId == farg.exprId =>
+          if fin.exprId == farg.exprId &&
+            Set(ml.exprId, mr.exprId) == Set(acc.exprId, v.exprId) &&
+            ((varId(cx), varId(cy)) match {
+              case (Some(i), Some(j)) =>
+                Set(i, j) == Set(x.exprId.id, y.exprId.id)
+              case _ => false
+            }) =>
         Some((a, b))
       case _ => None
     }
+  }
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

@@ -49,8 +49,15 @@ class WebpageDataSource extends TableProvider {
     new WebpageTable(
       Option(properties.get("urls"))
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(WebpageDataSource.DefaultUrls),
-      Option(properties.get("mode")).getOrElse("fixture"))
+        .getOrElse(WebpageDataSource.DefaultUrls), {
+        val mode = Option(properties.get("mode")).getOrElse("fixture")
+        // Reject typos loudly — "Live" silently serving fixture pages
+        // would be stale data masquerading as a live fetch.
+        require(
+          mode == "fixture" || mode == "live",
+          s"webpage source: mode must be 'fixture' or 'live', got '$mode'")
+        mode
+      })
 }
 
 object WebpageDataSource {

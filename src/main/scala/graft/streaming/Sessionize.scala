@@ -159,9 +159,15 @@ object Sessionize {
         state.update(s)
         // Close when the watermark proves no extender can arrive: an
         // event at exactly end+gap seconds still continues the
-        // session, so time out strictly after that instant.
+        // session, so the session is closed once the watermark
+        // reaches end+gap+1 seconds. Spark fires event-time timeouts
+        // only when watermark STRICTLY exceeds the set timestamp
+        // (FlatMapGroupsWithStateExec uses `timeout < watermark`), so
+        // set it one ms early — otherwise a watermark landing exactly
+        // on the boundary would keep the session open while the
+        // closed-session oracle (end+gap+1 <= max) emits it.
         state.setTimeoutTimestamp(
-          (s.lastMicros / 1000000L + GapSeconds + 1) * 1000L)
+          (s.lastMicros / 1000000L + GapSeconds + 1) * 1000L - 1)
       }
       out.iterator
     }

@@ -27,6 +27,29 @@ class RewriteHofCosineSpec extends SparkTestBase {
     assert(sims.count(s => math.abs(s - 1.0) < 1e-12) == 3)
   }
 
+  test("sum-of-squares zip lambda is not mistaken for a dot product") {
+    val e = Tables.embeddings(spark, sfDir)
+    // zip_with(a, b, (x,y) -> x*x): matches the Multiply-of-casts
+    // SHAPE but not the bound-variable check — must not rewrite.
+    def sumSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, _) => x.cast("double") * x.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v)
+    val df = e
+      .crossJoin(
+        e.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .filter(col("vec_id") < 2 && col("id2") < 2)
+      .select(
+        (sumSq(col("embedding"), col("e2")) /
+          (sqrt(Vectors.dot(col("embedding"), col("embedding"))) *
+            sqrt(Vectors.dot(col("e2"), col("e2"))))).as("not_cosine"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosine_sim"),
+      s"bound-variable check must reject sum-of-squares:\n$optimized")
+    assert(df.count() > 0)
+  }
+
   test("almost-cosine shapes are left untouched") {
     val e = Tables.embeddings(spark, sfDir)
     // Second norm is over the dot's LEFT side, not its right side —
