@@ -58,6 +58,14 @@ object SourceQueries {
         .windowedAgg(graft.Tables.events(s, d))
         .orderBy("day", "event_type")),
 
+    // The stream-stream join's shared transform, batch-executed (its
+    // streaming twin — watermarks both sides, event-time-bounded
+    // condition, append mode — is asserted ≡ batch in StreamingSpec).
+    "stream_join_batch" -> ((s, d) =>
+      StreamingEvents
+        .clickViewJoin(StreamingEvents.batch(s, d))
+        .orderBy("user_id", "click_id", "view_id")),
+
     // Sessionization, batch form (window functions); its streaming
     // twin (flatMapGroupsWithState) is asserted equal in SessionizeSpec.
     "sessionize_batch" -> ((s, d) =>
@@ -151,6 +159,13 @@ object SourceQueries {
         |WHERE end_sec + 1801 <=
         |  (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_join_batch" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin,
     "stream_window_batch" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type,

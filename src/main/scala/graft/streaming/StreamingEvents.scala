@@ -78,6 +78,40 @@ object StreamingEvents {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with event-time bounds: each click
+    * joined to the same user's views in the preceding hour. Both
+    * sides carry watermarks and the join condition bounds event time
+    * from BOTH directions, so Spark can expire buffered state — the
+    * only deployable shape for joining two 100 TB/day streams (an
+    * unbounded-time stream join would buffer forever).
+    */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    clicks
+      .join(
+        views,
+        col("c_user") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("click_ts"))
+      .select(
+        col("c_user").as("user_id"),
+        col("click_id"),
+        col("view_id"))
+  }
+
   /** Run the stream to completion (available-now trigger) into an
     * in-memory sink; returns the materialized result.
     */

@@ -24,6 +24,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-stream time-bounded join ≡ batch join on replay") {
+    val q = StreamingEvents
+      .clickViewJoin(StreamingEvents.stream(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("ss_join_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark
+      .table("ss_join_sink")
+      .orderBy("user_id", "click_id", "view_id")
+      .collect()
+      .toSeq
+    val batch = StreamingEvents
+      .clickViewJoin(StreamingEvents.batch(spark, sfDir))
+      .orderBy("user_id", "click_id", "view_id")
+      .collect()
+      .toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup (bounded state) removes the injected duplicates") {
     val q = StreamingEvents
       .dedupStream(spark, sfDir)
