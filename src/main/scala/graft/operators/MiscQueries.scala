@@ -188,6 +188,34 @@ object MiscQueries {
         .orderBy("lang")
     }),
 
+    // CSV sink + source round-trip (with header + explicit read
+    // schema), completing the interchange-format triangle beside
+    // parquet (partitioned_sink_prune) and JSONL (jsonl_roundtrip).
+    // Money goes through as integer cents so the text round-trip is
+    // exact by construction.
+    "csv_sink_source" -> ((s, d) => {
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_csv_sink"
+      customer(s, d)
+        .select(
+          col("c_custkey"),
+          col("c_mktsegment"),
+          cents(col("c_acctbal")).as("acctbal_cents"))
+        .write
+        .mode("overwrite")
+        .option("header", "true")
+        .csv(dir)
+      s.read
+        .option("header", "true")
+        .schema("c_custkey LONG, c_mktsegment STRING, acctbal_cents LONG")
+        .csv(dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("acctbal_cents")).as("acctbal_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Per-key top-K through the CUSTOM whole-operator surface
     // (plans.GroupedTopK: logical node → planner strategy →
     // bounded-heap exec). Same semantics as the window row_number
@@ -432,6 +460,12 @@ object MiscQueries {
         |         AS extprice_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "csv_sink_source" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |         AS acctbal_cents
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "partitioned_sink_prune" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
