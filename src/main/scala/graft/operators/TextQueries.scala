@@ -196,6 +196,23 @@ object TextQueries {
           countDistinct(col("lang")).as("n_langs"))
         .orderBy("split")),
 
+    // Stratified sampling: exactly 20 documents per language, chosen
+    // by content-hash rank — a deterministic reservoir (same sample
+    // under any partitioning / re-ingestion, like dataset_split but
+    // exact-N per stratum). Runs on the custom GroupedTopK operator,
+    // so the per-stratum selection is heap-bounded, not a sort.
+    "stratified_sample" -> ((s, d) => {
+      val src = documents(s, d)
+        .select(
+          col("lang"),
+          col("doc_id"),
+          hash60(normText(col("text"))).as("h"))
+      graft.plans.GroupedTopK
+        .topK(src, Seq("lang"), Seq(("h", false), ("doc_id", false)), 20)
+        .select("lang", "rnk", "doc_id")
+        .orderBy("lang", "rnk")
+    }),
+
     // Deterministic 60-bit document fingerprint over normalized text.
     "doc_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -508,6 +525,14 @@ object TextQueries {
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY h ASC, doc_id ASC) AS rnk
+         |  FROM (SELECT lang, doc_id, ${hash60Sql(normSql)} AS h
+         |        FROM documents) t) z
+         |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
     "dataset_split" ->
       s"""WITH b AS (
          |  SELECT ${hash60Sql(normSql)} % 10 AS bucket, n_chars, lang
