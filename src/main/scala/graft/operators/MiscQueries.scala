@@ -21,6 +21,14 @@ object MiscQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** Fixed sink path for the write-then-read-back queries: overwrite
+    * mode keeps repeated gate/bench invocations from accumulating
+    * copies. The gate runs queries serially, so one shared namespace
+    * is safe; a concurrent deployment would suffix a run id.
+    */
+  private def sinkDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$name"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Map construction + extraction (scalar outputs only — map-typed
     // output columns don't round-trip comparably through parquet).
@@ -146,10 +154,7 @@ object MiscQueries {
     // layout decision that turns a 100 TB scan into a directory pick);
     // the oracle computes the same summary straight from the source.
     "partitioned_sink_prune" -> ((s, d) => {
-      // Fixed path + overwrite mode: repeated gate/bench invocations
-      // rewrite in place instead of accumulating temp copies.
-      val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_part_sink"
+      val dir = sinkDir("graft_part_sink")
       documents(s, d)
         .write
         .mode("overwrite")
@@ -170,9 +175,7 @@ object MiscQueries {
     // explicit schema, summarized. Oracle reads the source directly,
     // so the sink+source pair must be lossless for the hash to match.
     "jsonl_roundtrip" -> ((s, d) => {
-      // Fixed path + overwrite mode — no temp-dir accumulation.
-      val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl"
+      val dir = sinkDir("graft_jsonl")
       documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"))
         .write
@@ -194,8 +197,7 @@ object MiscQueries {
     // Money goes through as integer cents so the text round-trip is
     // exact by construction.
     "csv_sink_source" -> ((s, d) => {
-      val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_csv_sink"
+      val dir = sinkDir("graft_csv_sink")
       customer(s, d)
         .select(
           col("c_custkey"),
@@ -212,6 +214,9 @@ object MiscQueries {
         .groupBy("c_mktsegment")
         .agg(
           count(lit(1)).as("n_customers"),
+          // The key column round-trips too — a distinct count pins
+          // that every row survived the text format individually.
+          countDistinct(col("c_custkey")).as("n_keys"),
           sum(col("acctbal_cents")).as("acctbal_cents"))
         .orderBy("c_mktsegment")
     }),
@@ -462,6 +467,7 @@ object MiscQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "csv_sink_source" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
+        |       count(DISTINCT c_custkey) AS n_keys,
         |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
         |         AS acctbal_cents
         |FROM customer GROUP BY c_mktsegment

@@ -160,11 +160,16 @@ object SourceQueries {
         |  (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
     "stream_join_batch" ->
-      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
-        |FROM events c JOIN events v
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM ev c JOIN ev v
         |  ON c.user_id = v.user_id
         |  AND c.event_type = 'click' AND v.event_type = 'view'
-        |  AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+        |  AND v.tus >= c.tus - 3600000000 AND v.tus <= c.tus
         |ORDER BY c.user_id, click_id, view_id""".stripMargin,
     "stream_window_batch" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
