@@ -55,6 +55,17 @@ class WebpageLiveFetchSpec extends SparkTestBase {
     }
   }
 
+  test("unknown mode values are rejected, not silently fixture") {
+    val err = intercept[Exception] {
+      spark.read
+        .format("graft.sources.WebpageDataSource")
+        .option("mode", "Live")
+        .load()
+        .collect()
+    }
+    assert(err.getMessage.contains("mode must be"))
+  }
+
   test("fixture mode remains the default") {
     val rows = spark.read
       .format("graft.sources.WebpageDataSource")
