@@ -134,6 +134,26 @@ object TextQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Within-document repetition (Gopher-style quality signal): the
+    // fraction of a document's word-3-grams that are repeats of an
+    // earlier 3-gram in the same document. Boilerplate and looping
+    // generations score high; one expression pass, no shuffle.
+    "repetition_score" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          wordShingles(tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) >= 1)
+        .select(
+          col("doc_id"),
+          size(col("sh")).as("n_shingles"),
+          size(array_distinct(col("sh"))).as("n_distinct"))
+        .withColumn(
+          "repetition",
+          (col("n_shingles") - col("n_distinct")).cast("double") /
+            col("n_shingles"))
+        .orderBy("doc_id")),
+
     // BPE-ish token counting: subword pieces as ≤4-char letter chunks,
     // single digits, and punctuation runs-of-one. The alternatives are
     // DISJOINT character classes with greedy quantifiers, so Java
@@ -544,6 +564,16 @@ object TextQueries {
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |       count(DISTINCT lang) AS n_langs
          |FROM b GROUP BY split ORDER BY split""".stripMargin,
+    "repetition_score" ->
+      s"""SELECT doc_id,
+         |       CAST(len(sh) AS INTEGER) AS n_shingles,
+         |       CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+         |       CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+         |         / len(sh) AS repetition
+         |FROM (SELECT doc_id, ${wordShinglesSql(toksSql, 3)} AS sh
+         |      FROM documents) t
+         |WHERE len(sh) >= 1
+         |ORDER BY doc_id""".stripMargin,
     "token_count_bpe" ->
       s"""SELECT doc_id,
          |       CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
