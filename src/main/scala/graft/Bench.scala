@@ -64,8 +64,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
     // Second, short line: the full per-query map above can exceed the
     // driver's tail capture; this one always parses.
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}"""
+    println(shortLine)
+    // Belt-and-braces for log-capture parsers: the totals also land in
+    // a file (sbt logging prefixes defeated stdout parsing in earlier
+    // rounds even with the short line).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_TOTAL.json"),
+      (shortLine + "\n").getBytes("UTF-8"))
     failures.foreach { case (name, err) =>
       System.err.println(s"BENCH FAILURE: $name — $err")
     }

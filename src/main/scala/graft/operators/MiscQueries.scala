@@ -221,6 +221,34 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Catalog surface: the session catalog as a first-class
+    // sink/source — nation saved as a MANAGED table (CREATE TABLE via
+    // saveAsTable into the warehouse dir; overwrite keeps repeated
+    // gate/bench invocations idempotent), then queried back BY NAME
+    // through the catalog instead of by path. CatalogSpec smokes SHOW
+    // TABLES / DESCRIBE / the Catalog API over the same table.
+    "catalog_table" -> ((s, d) => {
+      // An aborted earlier run can orphan the managed location, which
+      // overwrite-CREATE then refuses; clear both table and location.
+      s.sql("DROP TABLE IF EXISTS graft_nation_cat")
+      val wh = new java.io.File(
+        java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath,
+        "graft_nation_cat")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (wh.exists()) rm(wh)
+      nation(s, d).write.mode("overwrite").saveAsTable("graft_nation_cat")
+      s.table("graft_nation_cat")
+        .groupBy("n_regionkey")
+        .agg(
+          count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy("n_regionkey")
+    }),
+
     // Per-key top-K through the CUSTOM whole-operator surface
     // (plans.GroupedTopK: logical node → planner strategy →
     // bounded-heap exec). Same semantics as the window row_number
@@ -387,6 +415,14 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The catalog round-trip must be lossless: the oracle reads the
+    // source parquet directly, so any drop/dup through saveAsTable +
+    // spark.table breaks the hash.
+    "catalog_table" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |       min(n_name) AS first_nation
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
     "map_functions" ->
       """SELECT l_orderkey, l_linenumber,
         |       map(['qty','price'],

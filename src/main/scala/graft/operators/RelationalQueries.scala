@@ -259,11 +259,31 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // ntile quartiles over a totally-ordered ranking.
+    // ntile quartiles over a totally-ordered ranking — WITHOUT the
+    // single-partition WindowExec an unpartitioned `ntile(4).over`
+    // would plan (every row through one task). Global positions come
+    // from GlobalRank (range shuffle + per-partition offsets, all
+    // stages parallel); the bucket is then a pure per-row formula
+    // from (rn, n) replicating NTILE semantics exactly: n mod k
+    // leading buckets get ceil(n/k) rows, the rest floor(n/k).
     "window_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      customer(s, d)
-        .withColumn("quartile", ntile(4).over(w))
+      val base = customer(s, d).select(col("c_acctbal"), col("c_custkey"))
+      val n = base.count() // driver scalar, not row data
+      val k = 4L
+      val q = n / k
+      val r = n % k
+      val ranked = GlobalRank.withRowNumber(
+        base, Seq(col("c_acctbal").asc, col("c_custkey").asc))
+      ranked
+        .withColumn(
+          "quartile",
+          (if (q == 0) col("rn") // degenerate n < k: one row per bucket
+           else
+             when(
+               col("rn") <= lit(r * (q + 1)),
+               expr(s"(rn - 1) div ${q + 1} + 1"))
+               .otherwise(expr(s"$r + (rn - 1 - ${r * (q + 1)}) div $q + 1")))
+            .cast("int"))
         .groupBy("quartile")
         .agg(
           count(lit(1)).as("n_customers"),

@@ -85,7 +85,16 @@ object SourceQueries {
       graft.streaming.Sessionize
         .runStatefulStreamToCompletion(s, d, sink)
         .orderBy("user_id", "session_start")
-    })
+    }),
+
+    // The same stateful sessionizer through the DEPLOYABLE sink: a
+    // checkpointed parquet file sink (exactly-once via the sink
+    // manifest), read back from the files — hash-pinned against the
+    // identical closed-session oracle as the memory-sink form.
+    "sessionize_sink_parquet" -> ((s, d) =>
+      graft.streaming.Sessionize
+        .runStatefulStreamToParquet(s, d)
+        .orderBy("user_id", "session_start"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -125,6 +134,39 @@ object SourceQueries {
         |            - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
         |         AS duration_secs
         |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
+    "sessionize_sink_parquet" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM l
+        |), s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id,
+        |         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |         count(*) AS n_events,
+        |         CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+        |              - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+        |           AS duration_secs,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_sec
+        |  FROM s GROUP BY user_id, session_idx
+        |)
+        |SELECT user_id, session_start, n_events, duration_secs
+        |FROM sess
+        |WHERE end_sec + 1801 <=
+        |  (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
     "sessionize_stateful" ->
       """WITH l AS (

@@ -313,26 +313,39 @@ object TextQueries {
     // Exact near-dup: word-3-gram Jaccard, candidates from shared
     // shingles after stop-shingle (df > cap) removal; top-20 pairs.
     "ngram_jaccard" -> ((s, d) => {
-      // Posting-list plan: ONE aggregation builds the per-shingle
-      // sorted doc list with the df cap applied inline; candidate
-      // pairs explode from each posting (never an all-pairs join).
-      // The posting subplan appears in both branches — no cache():
-      // AQE's stage cache reuses the identical shingle shuffle at
-      // runtime (verified: 2 ReusedExchange in the final adaptive
-      // plan), and nothing accumulates in executor memory. The
-      // sizes side is one row PER DOCUMENT, so it must NOT be
-      // broadcast (billions of rows at 100 TB) — the candidate→size
-      // joins shuffle on a/b, both sides already bounded.
-      val posting = shingleRows(s, d)
-        .groupBy("sh")
-        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) <= DfCap)
-      val sizes = posting
-        .select(explode(col("ids")).as("doc_id"))
+      // Posting-list plan with BOUNDED aggregation state: a count()
+      // pass (O(1) state per key) finds each shingle's document
+      // frequency first, keys outside the cap are dropped with a semi
+      // join, and only the survivors reach collect_set — so no
+      // posting-list buffer can exceed DfCap ids even when one hot
+      // shingle covers most of a 100 TB corpus. (Filtering AFTER
+      // collect_set would bound the join but still materialize the
+      // full hot posting list in one aggregation buffer — executor
+      // OOM at scale.) Both semi joins and the groupBys shuffle on
+      // the same shingle key, so AQE's stage cache reuses the
+      // identical scan+shuffle across branches; nothing accumulates
+      // in executor memory. The sizes side is one row PER DOCUMENT,
+      // so it must NOT be broadcast (billions of rows at 100 TB) —
+      // the candidate→size joins shuffle on a/b, both sides already
+      // bounded.
+      val rows = shingleRows(s, d)
+      val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+      // ONE inner join carries df alongside each surviving (sh,
+      // doc_id) row; both downstream branches derive from it, so the
+      // join subplan is identical in both and AQE's stage cache
+      // computes it once. Per-doc size counts every surviving shingle
+      // (df ≤ cap) including singletons; the posting build
+      // additionally skips df == 1 keys, which cannot produce a pair.
+      val surviving =
+        rows.join(dfs.filter(col("df") <= DfCap), Seq("sh"))
+      val sizes = surviving
         .groupBy("doc_id")
         .agg(count(lit(1)).as("sz"))
+      val posting = surviving
+        .filter(col("df") >= 2)
+        .groupBy("sh")
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       val inter = posting
-        .filter(size(col("ids")) >= 2)
         .select(pairCombinations(col("ids")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b")
@@ -389,13 +402,23 @@ object TextQueries {
           concat_ws("_", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))
             .as("key"))
       }.reduce(_ unionByName _)
-      // Posting-list candidate generation with the skew guard applied
-      // inline: buckets larger than BucketCap are dropped before any
-      // pair is generated — this is what bounds the join at scale.
+      // Posting-list candidate generation with BOUNDED aggregation
+      // state: a count() pass (O(1) state per bucket) sizes every
+      // band bucket first, buckets outside [2, BucketCap] are dropped
+      // with a semi join, and only the survivors reach collect_set —
+      // so no bucket buffer can exceed BucketCap ids even for the
+      // measured 78%-of-docs hot bucket. (Filtering after collect_set
+      // would bound the pair join but still materialize the full hot
+      // bucket in one aggregation buffer — executor OOM at 100 TB.)
+      val bucketSizes = bands
+        .groupBy("band", "key")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, BucketCap))
+        .select("band", "key")
       val cand = bands
+        .join(bucketSizes, Seq("band", "key"), "left_semi")
         .groupBy("band", "key")
         .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, BucketCap))
         .select(pairCombinations(col("ids")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()

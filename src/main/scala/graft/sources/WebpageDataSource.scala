@@ -96,9 +96,27 @@ object WebpageDataSource {
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
 
-  /** Live-mode fetch: HTTP GET; 2xx → body (BodyHandlers.ofString
-    * decodes per the Content-Type charset, the reference's
-    * `response.text` semantics); anything else → None (fetch failure).
+  /** Charset from a Content-Type header value; UTF-8 when the header
+    * is absent, names no charset, or names an unknown one. This is the
+    * reference's `response.text` decode rule (top_movies.py:39 —
+    * aiohttp uses the declared charset first); the one divergence is
+    * the silent-header fallback, where aiohttp may content-sniff via
+    * chardet — a probabilistic guess we deliberately don't reproduce
+    * (UTF-8 is the deterministic modern default).
+    */
+  def charsetOf(contentType: Option[String]): java.nio.charset.Charset =
+    contentType
+      .flatMap(ct =>
+        "(?i)charset=\"?([^;\"\\s]+)".r
+          .findFirstMatchIn(ct)
+          .map(_.group(1)))
+      .flatMap(n =>
+        scala.util.Try(java.nio.charset.Charset.forName(n)).toOption)
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Live-mode fetch: HTTP GET; 2xx → body bytes decoded per the
+    * response's declared Content-Type charset ([[charsetOf]]);
+    * anything else → None (fetch failure).
     */
   def fetchLive(url: String): Option[String] =
     try {
@@ -108,8 +126,13 @@ object WebpageDataSource {
         .GET()
         .build()
       val resp = httpClient.send(
-        req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+        req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() / 100 == 2)
+        Some(new String(
+          resp.body(),
+          charsetOf(
+            Option(resp.headers().firstValue("Content-Type").orElse(null)))))
+      else None
     } catch { case scala.util.control.NonFatal(_) => None }
 }
 

@@ -196,16 +196,71 @@ object Sessionize {
         GroupStateTimeout.EventTimeTimeout())(sessionizeGroupStateful)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily capped
+    * at 8 for the stateful streaming queries. The state-store partition
+    * count is frozen from this setting at a checkpoint's first batch;
+    * every micro-batch then pays a per-partition state-store
+    * open/commit cost that at toy scale is pure constant overhead
+    * (measured ≈18% of the whole bench with 32 partitions). A cluster
+    * deployment sizes this to executor count; correctness is
+    * unaffected either way.
+    */
+  private def withStreamShufflePartitions[T](
+      spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, 8).toString)
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
   def runStatefulStreamToCompletion(
       spark: SparkSession, dir: String, sink: String): DataFrame = {
-    val q = sessionizeStreamStateful(spark, dir).writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = sessionizeStreamStateful(spark, dir).writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
+  }
+
+  /** The DEPLOYABLE sink shape: the stateful sessionizer written to
+    * parquet files with a checkpoint directory (exactly-once via the
+    * file-sink manifest log), then read back. Append mode emits each
+    * closed session once, so the files equal the memory-sink output —
+    * same oracle. Fixed paths, wiped before each run: a re-run against
+    * a stale checkpoint would see no new data and emit nothing.
+    */
+  def runStatefulStreamToParquet(
+      spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_sessionize_parquet")
+    val out = base.resolve("out")
+    val ckpt = base.resolve("ckpt")
+    deleteRecursively(base)
+    withStreamShufflePartitions(spark) {
+      val q = sessionizeStreamStateful(spark, dir).writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out.toString)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.delete)
+    }
   }
 
   /** Streaming form over the events file stream. */

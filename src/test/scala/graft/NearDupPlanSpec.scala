@@ -42,4 +42,38 @@ class NearDupPlanSpec extends SparkTestBase {
   test("minhash_band_pairs plans without forced broadcasts") {
     assertNoForcedBroadcast("minhash_band_pairs")
   }
+
+  /** Aggregation-state bound: every `collect_set` posting-list build
+    * must sit ABOVE a key-filtering join (the count-then-semi-join
+    * pre-filter). A collect_set whose subtree has no join aggregates
+    * the raw exploded rows, which materializes a hot key's FULL
+    * posting list in one buffer before any size cap can drop it —
+    * executor OOM at 100 TB.
+    */
+  private def assertCollectSetBounded(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(
+            _.exists(_.isInstanceOf[CollectSet])) =>
+        a
+    }
+    assert(aggs.nonEmpty, s"$name: expected a collect_set aggregation")
+    aggs.foreach { a =>
+      assert(
+        a.collectFirst { case j: Join => j }.isDefined,
+        s"$name: collect_set aggregates unfiltered rows (no key-count " +
+          s"pre-filter join below it):\n$a")
+    }
+  }
+
+  test("ngram_jaccard bounds collect_set state with a key pre-filter") {
+    assertCollectSetBounded("ngram_jaccard")
+  }
+
+  test("minhash_band_pairs bounds collect_set state with a key pre-filter") {
+    assertCollectSetBounded("minhash_band_pairs")
+  }
 }

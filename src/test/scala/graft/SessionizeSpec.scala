@@ -60,6 +60,25 @@ class SessionizeSpec extends SparkTestBase {
     assert(streamed == expected)
   }
 
+  test("checkpointed parquet sink ≡ memory sink (file-sink round trip)") {
+    // The deployable sink shape: same stateful stream, written to
+    // parquet files with a checkpoint, read back from disk. Append
+    // mode emits each closed session exactly once, so the files must
+    // equal the memory-sink output row for row.
+    val viaFiles = Sessionize
+      .runStatefulStreamToParquet(spark, sfDir)
+      .orderBy("user_id", "session_start")
+      .collect()
+      .toSeq
+    val viaMemory = Sessionize
+      .runStatefulStreamToCompletion(spark, sfDir, "session_pq_twin_sink")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .toSeq
+    assert(viaFiles.nonEmpty)
+    assert(viaFiles == viaMemory)
+  }
+
   test("sessions split at >30min gaps (sanity on synthetic group)") {
     import spark.implicits._
     val evs = Seq(

@@ -32,6 +32,20 @@ class WebpageLiveFetchSpec extends SparkTestBase {
         exchange.sendResponseHeaders(404, -1)
         exchange.close()
       })
+    server.createContext(
+      "/latin1",
+      exchange => {
+        // Non-UTF-8 page: the title is "Amélie" in ISO-8859-1 (é is the
+        // single byte 0xE9, which is NOT valid UTF-8) — decoding with
+        // the wrong charset cannot round-trip it.
+        val body = "<html><body><h1>Amélie</h1></body></html>"
+          .getBytes(StandardCharsets.ISO_8859_1)
+        exchange.getResponseHeaders
+          .add("Content-Type", "text/html; charset=ISO-8859-1")
+        exchange.sendResponseHeaders(200, body.length)
+        exchange.getResponseBody.write(body)
+        exchange.close()
+      })
     server.start()
     try f(server.getAddress.getPort)
     finally server.stop(0)
@@ -53,6 +67,33 @@ class WebpageLiveFetchSpec extends SparkTestBase {
       assert(rows(0).getString(0) == s"$base/ok")
       assert(rows(0).getString(1).contains("live page"))
     }
+  }
+
+  test("live mode decodes bodies per the declared Content-Type charset") {
+    withServer { port =>
+      val rows = spark.read
+        .format("graft.sources.WebpageDataSource")
+        .option("mode", "live")
+        .option("urls", s"http://127.0.0.1:$port/latin1")
+        .load()
+        .collect()
+      assert(rows.length == 1)
+      assert(
+        rows(0).getString(1).contains("Amélie"),
+        "ISO-8859-1 body must decode via the declared charset")
+    }
+  }
+
+  test("charsetOf: declared charset, quoted form, fallback, unknown") {
+    import graft.sources.WebpageDataSource.charsetOf
+    assert(charsetOf(Some("text/html; charset=ISO-8859-1"))
+      == StandardCharsets.ISO_8859_1)
+    assert(charsetOf(Some("text/html; charset=\"utf-8\""))
+      == StandardCharsets.UTF_8)
+    assert(charsetOf(Some("text/html")) == StandardCharsets.UTF_8)
+    assert(charsetOf(None) == StandardCharsets.UTF_8)
+    assert(charsetOf(Some("text/html; charset=no-such-charset"))
+      == StandardCharsets.UTF_8)
   }
 
   test("unknown mode values are rejected, not silently fixture") {
