@@ -31,7 +31,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
       SourceQueries.queries ++
-      MiscQueries.queries
+      MiscQueries.queries ++
+      SqlSurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++
       SourceQueries.oracleSql ++
-      MiscQueries.oracleSql
+      MiscQueries.oracleSql ++
+      SqlSurfaceQueries.oracleSql
 }

@@ -221,6 +221,28 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // ORC sink + source round-trip: the second columnar format beside
+    // parquet (predicate pushdown and column pruning work the same
+    // way), checked losslessly through doubles — ORC preserves binary
+    // doubles exactly, unlike the text formats where money had to ride
+    // as integer cents.
+    "orc_sink_source" -> ((s, d) => {
+      val dir = sinkDir("graft_orc_sink")
+      part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write
+        .mode("overwrite")
+        .orc(dir)
+      s.read
+        .orc(dir)
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          countDistinct(col("p_partkey")).as("n_keys"),
+          sum(cents(col("p_retailprice"))).as("retail_cents"))
+        .orderBy("p_brand")
+    }),
+
     // Catalog surface: the session catalog as a first-class
     // sink/source — nation saved as a MANAGED table (CREATE TABLE via
     // saveAsTable into the warehouse dir; overwrite keeps repeated
@@ -508,6 +530,13 @@ object MiscQueries {
         |         AS acctbal_cents
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "orc_sink_source" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |       count(DISTINCT p_partkey) AS n_keys,
+        |       CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+        |         AS retail_cents
+        |FROM part GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "partitioned_sink_prune" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -24,6 +24,13 @@ object TextQueries {
   /** Shingle document-frequency cap for near-dup candidate generation. */
   private val DfCap = 100
 
+  /** Document-frequency cap for the inverted-index build: tokens in
+    * more documents are stopwords whose posting lists dwarf any useful
+    * retrieval signal (and whose aggregation buffers would be
+    * unbounded). 380 keeps the fixture vocabulary's informative tail.
+    */
+  private val InvIdxDfCap = 380
+
   /** LSH band-bucket size cap: buckets with more members are skipped
     * during candidate generation (skew guard). Without it a degenerate
     * bucket of B docs contributes B²/2 candidate pairs — on this
@@ -133,6 +140,44 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
+
+    // Bigram frequency top-K — the n-gram statistics pass of a corpus
+    // LM analysis; same shuffle-on-key shape as token_topk with the
+    // shingle transform fused into the scan.
+    "bigram_topk" -> ((s, d) =>
+      documents(s, d)
+        .select(tokens(col("text")).as("toks"))
+        .select(explode(wordShingles(col("toks"), 2)).as("bg"))
+        .groupBy("bg")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg").asc)
+        .limit(20)),
+
+    // Inverted index (token → sorted posting list): the retrieval-side
+    // build. Same bounded-aggregation-state pattern as the near-dup
+    // generators — a count() pass finds each token's document
+    // frequency, tokens outside [2, InvIdxDfCap] are dropped BEFORE
+    // collect_set, so no posting buffer exceeds the cap; the emitted
+    // list is additionally truncated to its first 10 ids (the full
+    // list is index payload, not a query result).
+    "inverted_index" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("token"))
+      val dfs = tok
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, InvIdxDfCap))
+      tok
+        .join(dfs, Seq("token"))
+        .groupBy("token", "df")
+        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+        .select(
+          col("token"), col("df"),
+          concat_ws(",", slice(col("ids"), 1, 10)).as("postings_head"))
+        .orderBy("token")
+    }),
 
     // Within-document repetition (Gopher-style quality signal): the
     // fraction of a document's word-3-grams that are repeats of an
@@ -565,6 +610,26 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "bigram_topk" ->
+      s"""SELECT bg, count(*) AS n FROM (
+         |  SELECT unnest(${wordShinglesSql(toksSql, 2)}) AS bg
+         |  FROM documents) t
+         |GROUP BY bg ORDER BY n DESC, bg ASC LIMIT 20""".stripMargin,
+    "inverted_index" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+         |  FROM documents
+         |), df AS (
+         |  SELECT token, count(*) AS df FROM tok GROUP BY token
+         |)
+         |SELECT tok.token AS token, CAST(df.df AS BIGINT) AS df,
+         |       array_to_string(
+         |         list_slice(list_sort(list(tok.doc_id)), 1, 10), ',')
+         |         AS postings_head
+         |FROM tok JOIN df ON tok.token = df.token
+         |WHERE df.df BETWEEN 2 AND 380
+         |GROUP BY tok.token, df.df
+         |ORDER BY token""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
