@@ -221,6 +221,50 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Column profiler — the data-quality pass a pipeline runs before
+    // trusting a new drop: per-column row/null/distinct counts and
+    // min/max, long format so the schema is stable whatever the table.
+    // One aggregate pass per profiled column, unioned; numerics
+    // profile as integer cents, everything rendered to strings.
+    "profile_columns" -> ((s, d) => {
+      val c = customer(s, d)
+      def prof(name: String, v: org.apache.spark.sql.Column) =
+        c.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(v.isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(v).as("n_distinct"),
+          min(v).cast("string").as("min_val"),
+          max(v).cast("string").as("max_val"))
+          .select(
+            lit(name).as("col_name"),
+            col("n_rows"), col("n_nulls"), col("n_distinct"),
+            col("min_val"), col("max_val"))
+      prof("c_acctbal_cents", cents(col("c_acctbal")))
+        .unionByName(prof("c_mktsegment", col("c_mktsegment")))
+        .unionByName(prof("c_name", col("c_name")))
+        .unionByName(prof("c_nationkey", col("c_nationkey")))
+        .orderBy("col_name")
+    }),
+
+    // PII masking: digits masked except the last four, plus a stable
+    // surrogate key (the 60-bit content hash) so masked rows still
+    // join/dedup. Substring split instead of lookahead because RE2
+    // (the oracle's engine) has none.
+    "pii_mask" -> ((s, d) =>
+      customer(s, d)
+        .filter(col("c_custkey") <= 50)
+        .select(
+          col("c_custkey"),
+          concat(
+            regexp_replace(
+              expr("substring(c_name, 1, length(c_name) - 4)"),
+              "[0-9]", "*"),
+            expr("substring(c_name, length(c_name) - 3, 4)"))
+            .as("masked_name"),
+          graft.functions.TextFunctions.hash60(col("c_name"))
+            .as("surrogate"))
+        .orderBy("c_custkey")),
+
     // ORC sink + source round-trip: the second columnar format beside
     // parquet (predicate pushdown and column pruning work the same
     // way), checked losslessly through doubles — ORC preserves binary
@@ -530,6 +574,50 @@ object MiscQueries {
         |         AS acctbal_cents
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "profile_columns" ->
+      """SELECT * FROM (
+        |  SELECT 'c_acctbal_cents' AS col_name, count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_nulls,
+        |         count(DISTINCT CAST(round(c_acctbal*100) AS BIGINT))
+        |           AS n_distinct,
+        |         CAST(min(CAST(round(c_acctbal*100) AS BIGINT)) AS VARCHAR)
+        |           AS min_val,
+        |         CAST(max(CAST(round(c_acctbal*100) AS BIGINT)) AS VARCHAR)
+        |           AS max_val
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*),
+        |         CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT),
+        |         count(DISTINCT c_mktsegment),
+        |         min(c_mktsegment), max(c_mktsegment)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', count(*),
+        |         CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT),
+        |         count(DISTINCT c_name), min(c_name), max(c_name)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*),
+        |         CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT),
+        |         count(DISTINCT c_nationkey),
+        |         CAST(min(c_nationkey) AS VARCHAR),
+        |         CAST(max(c_nationkey) AS VARCHAR)
+        |  FROM customer
+        |) ORDER BY col_name""".stripMargin,
+    "pii_mask" ->
+      s"""SELECT c_custkey,
+         |       regexp_replace(substring(c_name, 1, length(c_name) - 4),
+         |         '[0-9]', '*', 'g')
+         |         || substring(c_name, length(c_name) - 3, 4)
+         |         AS masked_name,
+         |       ${graft.functions.TextFunctions.hash60Sql("c_name")}
+         |         AS surrogate
+         |FROM customer WHERE c_custkey <= 50
+         |ORDER BY c_custkey""".stripMargin,
     "orc_sink_source" ->
       """SELECT p_brand, count(*) AS n_parts,
         |       count(DISTINCT p_partkey) AS n_keys,

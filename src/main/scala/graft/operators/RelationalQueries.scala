@@ -291,6 +291,49 @@ object RelationalQueries {
         .orderBy("quartile")
     }),
 
+    // RANGE frame (value-based, vs the ROWS frame in
+    // window_running_sum): rolling 30-day order revenue per customer.
+    // The frame bound is an integer day offset, so peer handling and
+    // boundaries are exact in both engines.
+    "window_range_frame" -> ((s, d) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("day_epoch"))
+        .rangeBetween(-30, 0)
+      orders(s, d)
+        .filter(col("o_custkey") < 30)
+        .withColumn(
+          "day_epoch",
+          datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date"))
+            .cast("long"))
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(cents(col("o_totalprice"))).over(w).as("cents_30d"),
+          col("day_epoch"))
+        .orderBy("o_custkey", "day_epoch", "o_orderkey")
+        .drop("day_epoch")
+    }),
+
+    // Exact interpolated quantiles per group (percentile ≡ DuckDB
+    // quantile_cont: rank (n-1)*p + linear interpolation — every
+    // input is exact integer cents, so the interpolation arithmetic
+    // is single IEEE ops, bit-deterministic).
+    "agg_median" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderpriority"),
+          cents(col("o_totalprice")).as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("percentile(cents, 0.25)").as("q1_cents"),
+          expr("percentile(cents, 0.5)").as("median_cents"),
+          expr("percentile(cents, 0.75)").as("q3_cents"))
+        .orderBy("o_orderpriority")),
+
     // Top-K: plans as TakeOrderedAndProject (per-partition heap, no
     // full sort) — the scale-safe form of ORDER BY + LIMIT.
     "topk_orders" -> ((s, d) =>
@@ -506,6 +549,29 @@ object RelationalQueries {
         |    ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
         |  FROM customer) t
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |       count(*) OVER w AS n_30d,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w
+        |         AS BIGINT) AS cents_30d
+        |FROM (
+        |  SELECT *, date_diff('day', DATE '1990-01-01',
+        |    CAST(o_orderdate AS DATE)) AS day_epoch
+        |  FROM orders WHERE o_custkey < 30)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_epoch
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day_epoch, o_orderkey""".stripMargin,
+    "agg_median" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25)
+        |         AS q1_cents,
+        |       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5)
+        |         AS median_cents,
+        |       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75)
+        |         AS q3_cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey,
         |       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents

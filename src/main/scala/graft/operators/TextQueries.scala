@@ -141,6 +141,28 @@ object TextQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Incremental ingestion dedup — the steady-state shape of a
+    // production corpus: docs < 250 stand in for the EXISTING corpus,
+    // docs >= 250 for the newly-crawled batch. Keep a new doc only if
+    // its content fingerprint is (a) first within the batch (min
+    // doc_id wins, deterministic) and (b) absent from the corpus
+    // (anti join on the fingerprint — the corpus side stays where it
+    // is; only fingerprints shuffle, never content).
+    "incremental_dedup" -> ((s, d) => {
+      val fp = documents(s, d)
+        .select(
+          col("doc_id"),
+          hash60(normText(col("text"))).as("fingerprint"))
+      val corpus = fp.filter(col("doc_id") < 250)
+      val batch = fp.filter(col("doc_id") >= 250)
+      batch
+        .groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(corpus.select("fingerprint"), Seq("fingerprint"), "left_anti")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    }),
+
     // Bigram frequency top-K — the n-gram statistics pass of a corpus
     // LM analysis; same shuffle-on-key shape as token_topk with the
     // shingle transform fused into the scan.
@@ -610,6 +632,18 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "incremental_dedup" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
+         |  FROM documents
+         |), batch AS (
+         |  SELECT fingerprint, min(doc_id) AS doc_id FROM fp
+         |  WHERE doc_id >= 250 GROUP BY fingerprint
+         |)
+         |SELECT doc_id, fingerprint FROM batch
+         |WHERE fingerprint NOT IN (
+         |  SELECT fingerprint FROM fp WHERE doc_id < 250)
+         |ORDER BY doc_id""".stripMargin,
     "bigram_topk" ->
       s"""SELECT bg, count(*) AS n FROM (
          |  SELECT unnest(${wordShinglesSql(toksSql, 2)}) AS bg
