@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Scalable global row numbering over a total order — the building
   * block for positional operators (ntile, global rank, exact positional
@@ -9,20 +10,24 @@ import org.apache.spark.sql.types.LongType
   *
   * `Window.orderBy(...)` with no partition key funnels the entire
   * table through ONE task; fine at sf0.1, a hard wall at 100×. This
-  * helper instead uses the classic two-pass range scheme, which keeps
-  * every stage parallel:
+  * helper instead composes the classic two-pass range scheme out of
+  * ordinary Catalyst operators, so it stays LAZY (constructing the
+  * frame runs no jobs) and the whole plan is visible to `.explain`:
   *
-  *   1. range-shuffle + per-partition sort (`orderBy` — Spark plans a
-  *      parallel RangePartitioning exchange, no global funnel);
-  *   2. count each sorted partition and prefix-sum the counts on the
-  *      driver (O(#partitions) scalars — thousands at cluster scale,
-  *      never row-scale);
-  *   3. per-partition map adds `offset + local index`.
+  *   1. explicit range repartition on the order key (parallel range
+  *      exchange; the explicit partition count keeps AQE from
+  *      re-coalescing it differently across the two consumers);
+  *   2. per-partition local row numbers — a WindowExec PARTITIONED on
+  *      the range-partition id (parallel, one task per range);
+  *   3. partition offsets — counts per partition id, prefix-summed by
+  *      the only unpartitioned window in the plan, which runs over
+  *      O(#partitions) aggregated rows (thousands at cluster scale),
+  *      never row data — then broadcast-joined back.
   *
-  * Steps 2–3 are exactly `RDD.zipWithIndex`, so the imperative surface
-  * is limited to Spark's own primitive — the one place the RDD layer
-  * is genuinely the right tool (a per-partition positional map with a
-  * driver-side O(#partitions) side input has no Catalyst equivalent).
+  * Determinism: the order must be total (unique tiebreak), and the
+  * range boundaries are sampled with fixed per-partition seeds, so
+  * both consumers of the exchange see identical partition ids (the
+  * physical plan reuses the exchange outright).
   */
 object GlobalRank {
 
@@ -34,11 +39,31 @@ object GlobalRank {
       df: DataFrame,
       order: Seq[Column],
       rnCol: String = "rn"): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add(rnCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val parts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val local = parted.withColumn(
+      "__gr_lrn",
+      row_number()
+        .over(Window.partitionBy("__gr_pid").orderBy(order: _*))
+        .cast("long"))
+    val offsets = parted
+      .groupBy("__gr_pid")
+      .agg(count(lit(1)).as("__gr_cnt"))
+      .withColumn(
+        "__gr_off",
+        coalesce(
+          sum(col("__gr_cnt")).over(
+            Window
+              .orderBy("__gr_pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__gr_pid", "__gr_off")
+    local
+      .join(broadcast(offsets), Seq("__gr_pid"))
+      .withColumn(rnCol, col("__gr_off") + col("__gr_lrn"))
+      .drop("__gr_pid", "__gr_lrn", "__gr_off")
   }
 }

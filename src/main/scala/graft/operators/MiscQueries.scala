@@ -297,15 +297,10 @@ object MiscQueries {
       // An aborted earlier run can orphan the managed location, which
       // overwrite-CREATE then refuses; clear both table and location.
       s.sql("DROP TABLE IF EXISTS graft_nation_cat")
-      val wh = new java.io.File(
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(
         java.net.URI.create(
           s.conf.get("spark.sql.warehouse.dir")).getPath,
-        "graft_nation_cat")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (wh.exists()) rm(wh)
+        "graft_nation_cat"))
       nation(s, d).write.mode("overwrite").saveAsTable("graft_nation_cat")
       s.table("graft_nation_cat")
         .groupBy("n_regionkey")

@@ -268,22 +268,23 @@ object RelationalQueries {
     // leading buckets get ceil(n/k) rows, the rest floor(n/k).
     "window_ntile" -> ((s, d) => {
       val base = customer(s, d).select(col("c_acctbal"), col("c_custkey"))
-      val n = base.count() // driver scalar, not row data
-      val k = 4L
-      val q = n / k
-      val r = n % k
       val ranked = GlobalRank.withRowNumber(
         base, Seq(col("c_acctbal").asc, col("c_custkey").asc))
+      // The row count joins in as a broadcast scalar (1 row), keeping
+      // the whole query lazy — nothing executes at construction time.
+      val nRow = base.agg(count(lit(1)).as("n"))
       ranked
+        .crossJoin(broadcast(nRow))
         .withColumn(
           "quartile",
-          (if (q == 0) col("rn") // degenerate n < k: one row per bucket
-           else
-             when(
-               col("rn") <= lit(r * (q + 1)),
-               expr(s"(rn - 1) div ${q + 1} + 1"))
-               .otherwise(expr(s"$r + (rn - 1 - ${r * (q + 1)}) div $q + 1")))
-            .cast("int"))
+          expr(
+            """CASE
+              |  WHEN n div 4 = 0 THEN rn
+              |  WHEN rn <= (n % 4) * (n div 4 + 1)
+              |    THEN (rn - 1) div (n div 4 + 1) + 1
+              |  ELSE n % 4 + (rn - 1 - (n % 4) * (n div 4 + 1))
+              |         div (n div 4) + 1
+              |END""".stripMargin).cast("int"))
         .groupBy("quartile")
         .agg(
           count(lit(1)).as("n_customers"),

@@ -97,6 +97,45 @@ object SourceQueries {
         .orderBy("user_id", "session_start"))
   )
 
+  /** DuckDB derivation of the CLOSED sessions (batch sessionization +
+    * `end + gap < max event time` filter) — the independent oracle for
+    * the GroupState event-time-timeout sessionizer, shared by its
+    * memory-sink and parquet-file-sink forms.
+    */
+  private val closedSessionsOracle: String =
+    """WITH l AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), f AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR CAST(floor(epoch(ts)) AS BIGINT)
+      |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM l
+      |), s AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS session_idx
+      |  FROM f
+      |), sess AS (
+      |  SELECT user_id,
+      |         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |         count(*) AS n_events,
+      |         CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+      |              - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+      |           AS duration_secs,
+      |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_sec
+      |  FROM s GROUP BY user_id, session_idx
+      |)
+      |SELECT user_id, session_start, n_events, duration_secs
+      |FROM sess
+      |WHERE end_sec + 1801 <=
+      |  (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events)
+      |ORDER BY user_id, session_start""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "webpage_scan" ->
       s"""SELECT url, CAST(n AS BIGINT) AS n_pages FROM (VALUES
@@ -135,72 +174,11 @@ object SourceQueries {
         |         AS duration_secs
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin,
-    "sessionize_sink_parquet" ->
-      """WITH l AS (
-        |  SELECT user_id, event_id, ts,
-        |         lag(ts) OVER (PARTITION BY user_id
-        |           ORDER BY ts, event_id) AS prev_ts
-        |  FROM events
-        |), f AS (
-        |  SELECT *, CASE WHEN prev_ts IS NULL
-        |      OR CAST(floor(epoch(ts)) AS BIGINT)
-        |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |    THEN 1 ELSE 0 END AS new_session
-        |  FROM l
-        |), s AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS session_idx
-        |  FROM f
-        |), sess AS (
-        |  SELECT user_id,
-        |         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |         count(*) AS n_events,
-        |         CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
-        |              - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
-        |           AS duration_secs,
-        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_sec
-        |  FROM s GROUP BY user_id, session_idx
-        |)
-        |SELECT user_id, session_start, n_events, duration_secs
-        |FROM sess
-        |WHERE end_sec + 1801 <=
-        |  (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events)
-        |ORDER BY user_id, session_start""".stripMargin,
-    "sessionize_stateful" ->
-      """WITH l AS (
-        |  SELECT user_id, event_id, ts,
-        |         lag(ts) OVER (PARTITION BY user_id
-        |           ORDER BY ts, event_id) AS prev_ts
-        |  FROM events
-        |), f AS (
-        |  SELECT *, CASE WHEN prev_ts IS NULL
-        |      OR CAST(floor(epoch(ts)) AS BIGINT)
-        |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |    THEN 1 ELSE 0 END AS new_session
-        |  FROM l
-        |), s AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS session_idx
-        |  FROM f
-        |), sess AS (
-        |  SELECT user_id,
-        |         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |         count(*) AS n_events,
-        |         CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
-        |              - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
-        |           AS duration_secs,
-        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_sec
-        |  FROM s GROUP BY user_id, session_idx
-        |)
-        |SELECT user_id, session_start, n_events, duration_secs
-        |FROM sess
-        |WHERE end_sec + 1801 <=
-        |  (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events)
-        |ORDER BY user_id, session_start""".stripMargin,
+    // ONE closed-session oracle bound to BOTH stateful-sessionizer
+    // queries (memory sink and parquet file sink) — a fix to the
+    // closed-session predicate cannot desynchronize them.
+    "sessionize_sink_parquet" -> closedSessionsOracle,
+    "sessionize_stateful" -> closedSessionsOracle,
     "stream_join_batch" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

@@ -632,6 +632,11 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    // NOT EXISTS, not NOT IN: Spark's left_anti keeps a batch row
+    // whenever no corpus row MATCHES (null-safe), while NOT IN over a
+    // set containing a NULL would return zero rows — the two only
+    // agree because fixtures have no NULL text, and this oracle must
+    // not depend on that.
     "incremental_dedup" ->
       s"""WITH fp AS (
          |  SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
@@ -640,9 +645,10 @@ object TextQueries {
          |  SELECT fingerprint, min(doc_id) AS doc_id FROM fp
          |  WHERE doc_id >= 250 GROUP BY fingerprint
          |)
-         |SELECT doc_id, fingerprint FROM batch
-         |WHERE fingerprint NOT IN (
-         |  SELECT fingerprint FROM fp WHERE doc_id < 250)
+         |SELECT doc_id, fingerprint FROM batch b
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM fp c
+         |  WHERE c.doc_id < 250 AND c.fingerprint = b.fingerprint)
          |ORDER BY doc_id""".stripMargin,
     "bigram_topk" ->
       s"""SELECT bg, count(*) AS n FROM (
@@ -661,7 +667,7 @@ object TextQueries {
          |         list_slice(list_sort(list(tok.doc_id)), 1, 10), ',')
          |         AS postings_head
          |FROM tok JOIN df ON tok.token = df.token
-         |WHERE df.df BETWEEN 2 AND 380
+         |WHERE df.df BETWEEN 2 AND $InvIdxDfCap
          |GROUP BY tok.token, df.df
          |ORDER BY token""".stripMargin,
     "doc_fingerprint" ->

@@ -241,7 +241,7 @@ object Sessionize {
       System.getProperty("java.io.tmpdir"), "graft_sessionize_parquet")
     val out = base.resolve("out")
     val ckpt = base.resolve("ckpt")
-    deleteRecursively(base)
+    graft.Fs.deleteRecursively(base)
     withStreamShufflePartitions(spark) {
       val q = sessionizeStreamStateful(spark, dir).writeStream
         .format("parquet")
@@ -253,14 +253,6 @@ object Sessionize {
       q.awaitTermination()
     }
     spark.read.parquet(out.toString)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.delete)
-    }
   }
 
   /** Streaming form over the events file stream. */

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamingEvents
@@ -17,12 +15,7 @@ class ForeachBatchSpec extends SparkTestBase {
 
   test("foreachBatch complete-mode sink converges to the batch result") {
     val out = System.getProperty("java.io.tmpdir") + "/graft_feb_sink"
-    val outPath = Paths.get(out)
-    if (Files.exists(outPath)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(outPath).iterator().asScala.toSeq.reverseIterator
-        .foreach(Files.delete)
-    }
+    Fs.deleteRecursively(out)
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = StreamingEvents
       .windowedAgg(StreamingEvents.stream(spark, sfDir))

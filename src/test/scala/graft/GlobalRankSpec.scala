@@ -50,12 +50,40 @@ class GlobalRankSpec extends SparkTestBase {
     assert(viaQuery == viaNtile)
   }
 
-  test("window_ntile plans without any WindowExec") {
+  test("window_ntile: no unpartitioned window ever sees raw rows") {
+    // The plan is ALLOWED two window shapes: the per-range-partition
+    // row_number (partition spec nonempty → parallel) and the offset
+    // prefix-sum, which is unpartitioned but must consume AGGREGATED
+    // per-partition counts (O(#partitions) rows), never the table.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = SparkEntry
       .queries("window_ntile")(spark, sfDir)
-      .queryExecution.executedPlan.toString
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the two-pass window plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(
+        w.collectFirst { case a: Aggregate => a }.isDefined,
+        s"unpartitioned window over raw rows (single-task funnel):\n$w")
+    }
+    // And the parallel local-row-number window must exist.
     assert(
-      !plan.contains("Window"),
-      s"expected the range-shuffle row-number plan, not a window:\n$plan")
+      windows.exists(_.partitionSpec.nonEmpty),
+      "expected a partitioned (parallel) local row-number window")
+  }
+
+  test("withRowNumber is lazy — construction runs no Spark jobs") {
+    val sc = spark.sparkContext
+    // Materialize the source frame first — parquet schema inference
+    // runs its own job and is not what this test measures.
+    val base = Tables
+      .customer(spark, sfDir)
+      .select(col("c_acctbal"), col("c_custkey"))
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val built = GlobalRank.withRowNumber(base, order)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      "constructing the ranked frame must not trigger jobs")
+    assert(built.columns.contains("rn"))
   }
 }
