@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
@@ -140,6 +141,56 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
+
+    // Corpus mixing — deterministic weighted downsampling to target
+    // per-language proportions (the data-mixing step before
+    // training). The keep decision is a pure function of the CONTENT
+    // hash, so it survives re-partitioning/re-ingestion and dups land
+    // on the same side of the cut; per-mille quotas: en full, de
+    // half, fr/es quarter, rest 10%.
+    "corpus_mix" -> ((s, d) => {
+      val quota = when(col("lang") === "en", 1000L)
+        .when(col("lang") === "de", 500L)
+        .when(col("lang").isin("fr", "es"), 250L)
+        .otherwise(100L)
+      documents(s, d)
+        .withColumn(
+          "keep",
+          (hash60(normText(col("text"))) % 1000 < quota).cast("long"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_kept"))
+        .withColumn("keep_rate",
+          col("n_kept").cast("double") / col("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // Sequence packing — concatenate each shard's documents into a
+    // token stream and cut 2048-token context windows; a document's
+    // bin is where it STARTS (straddling allowed), so bin assignment
+    // is a running sum + integer division. Shard = content hash mod 8
+    // keeps the windows deterministic under re-partitioning, and the
+    // running-sum window is PARTITIONED by shard — parallel, never a
+    // global funnel.
+    "token_pack" -> ((s, d) => {
+      val w = Window
+        .partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          (hash60(normText(col("text"))) % 8).as("shard"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr("(cum - n_tokens) div 2048"))
+        .groupBy("shard", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("shard", "bin")
+    }),
 
     // Incremental ingestion dedup — the steady-state shape of a
     // production corpus: docs < 250 stand in for the EXISTING corpus,
@@ -632,6 +683,35 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "corpus_mix" ->
+      s"""SELECT lang, n_docs, n_kept,
+         |       CAST(n_kept AS DOUBLE) / n_docs AS keep_rate
+         |FROM (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(CASE WHEN ${hash60Sql(normSql)} % 1000 <
+         |           CASE WHEN lang = 'en' THEN 1000
+         |                WHEN lang = 'de' THEN 500
+         |                WHEN lang IN ('fr', 'es') THEN 250
+         |                ELSE 100 END
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM documents GROUP BY lang) t
+         |ORDER BY lang""".stripMargin,
+    "token_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         ${hash60Sql(normSql)} % 8 AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t
+         |)
+         |SELECT shard, (cum - n_tokens) // 2048 AS bin,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY shard, bin
+         |ORDER BY shard, bin""".stripMargin,
     // NOT EXISTS, not NOT IN: Spark's left_anti keeps a batch row
     // whenever no corpus row MATCHES (null-safe), while NOT IN over a
     // set containing a NULL would return zero rows — the two only
