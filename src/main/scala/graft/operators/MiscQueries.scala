@@ -265,6 +265,28 @@ object MiscQueries {
             .as("surrogate"))
         .orderBy("c_custkey")),
 
+    // Plain-text sink + source round-trip (spark.read.text — the raw
+    // line-oriented format): document texts out as lines, read back,
+    // and pinned row-by-row with an order-independent checksum (sum of
+    // per-line hashes mod a prime, so it's insensitive to the file
+    // ordering text sinks don't preserve but still catches any
+    // dropped/corrupted line).
+    "text_sink_source" -> ((s, d) => {
+      val dir = sinkDir("graft_text_sink")
+      documents(s, d)
+        .select(col("text"))
+        .write
+        .mode("overwrite")
+        .text(dir)
+      s.read
+        .text(dir)
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(length(col("value")).cast("long")).as("sum_chars"),
+          sum(graft.functions.TextFunctions.hash60(col("value"))
+            % 1000000007L).as("checksum"))
+    }),
+
     // ORC sink + source round-trip: the second columnar format beside
     // parquet (predicate pushdown and column pruning work the same
     // way), checked losslessly through doubles — ORC preserves binary
@@ -613,6 +635,12 @@ object MiscQueries {
          |         AS surrogate
          |FROM customer WHERE c_custkey <= 50
          |ORDER BY c_custkey""".stripMargin,
+    "text_sink_source" ->
+      s"""SELECT count(*) AS n_lines,
+         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         |       CAST(sum(${graft.functions.TextFunctions.hash60Sql("text")}
+         |         % 1000000007) AS BIGINT) AS checksum
+         |FROM documents""".stripMargin,
     "orc_sink_source" ->
       """SELECT p_brand, count(*) AS n_parts,
         |       count(DISTINCT p_partkey) AS n_keys,
