@@ -270,7 +270,11 @@ object MiscQueries {
     // and pinned row-by-row with an order-independent checksum (sum of
     // per-line hashes mod a prime, so it's insensitive to the file
     // ordering text sinks don't preserve but still catches any
-    // dropped/corrupted line).
+    // dropped/corrupted line). ASSUMES one doc per line — the fixture
+    // corpus has no embedded \n/\r (verified at every SF); a
+    // multi-line corpus needs JSONL (jsonl_roundtrip), not raw text.
+    // The per-line hashes sum inside DECIMAL and re-reduce mod the
+    // prime so the checksum cannot overflow at any corpus size.
     "text_sink_source" -> ((s, d) => {
       val dir = sinkDir("graft_text_sink")
       documents(s, d)
@@ -283,8 +287,9 @@ object MiscQueries {
         .agg(
           count(lit(1)).as("n_lines"),
           sum(length(col("value")).cast("long")).as("sum_chars"),
-          sum(graft.functions.TextFunctions.hash60(col("value"))
-            % 1000000007L).as("checksum"))
+          (sum((graft.functions.TextFunctions.hash60(col("value"))
+            % 1000000007L).cast("decimal(38,0)")) % 1000000007L)
+            .cast("long").as("checksum"))
     }),
 
     // ORC sink + source round-trip: the second columnar format beside
@@ -639,7 +644,7 @@ object MiscQueries {
       s"""SELECT count(*) AS n_lines,
          |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
          |       CAST(sum(${graft.functions.TextFunctions.hash60Sql("text")}
-         |         % 1000000007) AS BIGINT) AS checksum
+         |         % 1000000007) % 1000000007 AS BIGINT) AS checksum
          |FROM documents""".stripMargin,
     "orc_sink_source" ->
       """SELECT p_brand, count(*) AS n_parts,

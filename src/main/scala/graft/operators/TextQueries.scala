@@ -707,7 +707,7 @@ object TextQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM t
          |)
-         |SELECT shard, (cum - n_tokens) // 2048 AS bin,
+         |SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
          |       count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM c GROUP BY shard, bin
