@@ -446,7 +446,11 @@ object TextQueries {
       // so it must NOT be broadcast (billions of rows at 100 TB) —
       // the candidate→size joins shuffle on a/b, both sides already
       // bounded.
-      val rows = shingleRows(s, d)
+      // One explicit hash repartition on the shingle key: the df
+      // aggregation AND the join probe then share the SAME exchange
+      // (ReusedExchange), so the expensive scan+shingle transform
+      // runs once instead of once per consumer.
+      val rows = shingleRows(s, d).repartition(col("sh"))
       val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
       // ONE inner join carries df alongside each surviving (sh,
       // doc_id) row; both downstream branches derive from it, so the
@@ -528,12 +532,13 @@ object TextQueries {
       // measured 78%-of-docs hot bucket. (Filtering after collect_set
       // would bound the pair join but still materialize the full hot
       // bucket in one aggregation buffer — executor OOM at 100 TB.)
-      val bucketSizes = bands
+      val bandsParted = bands.repartition(col("band"), col("key"))
+      val bucketSizes = bandsParted
         .groupBy("band", "key")
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, BucketCap))
         .select("band", "key")
-      val cand = bands
+      val cand = bandsParted
         .join(bucketSizes, Seq("band", "key"), "left_semi")
         .groupBy("band", "key")
         .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
