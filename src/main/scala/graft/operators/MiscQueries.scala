@@ -221,6 +221,38 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // MERGE-style upsert without a table format: full-outer join +
+    // coalesce is the portable spelling of MERGE INTO (format-level
+    // MERGE needs a transactional table layer; this join is what it
+    // compiles to). Base = balances of customers < 1000; changes =
+    // 1995 order activity per customer — matched keys UPDATE,
+    // change-only keys INSERT, untouched base keys KEEP. Summarized
+    // per action so the result stays small at any scale.
+    "upsert_join" -> ((s, d) => {
+      val base = customer(s, d)
+        .filter(col("c_custkey") < 1000)
+        .select(
+          col("c_custkey").as("k"),
+          cents(col("c_acctbal")).as("v_base"))
+      val changes = orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(cents(col("o_totalprice"))).as("v_new"))
+      base
+        .join(changes, Seq("k"), "full_outer")
+        .withColumn("v", coalesce(col("v_new"), col("v_base")))
+        .withColumn(
+          "action",
+          when(col("v_base").isNotNull && col("v_new").isNotNull, "update")
+            .when(col("v_base").isNull, "insert")
+            .otherwise("keep"))
+        .groupBy("action")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("v")).as("v_total"))
+        .orderBy("action")
+    }),
+
     // Column profiler — the data-quality pass a pipeline runs before
     // trusting a new drop: per-column row/null/distinct counts and
     // min/max, long format so the schema is stable whatever the table.
@@ -596,6 +628,30 @@ object MiscQueries {
         |         AS acctbal_cents
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "upsert_join" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k,
+        |         CAST(round(c_acctbal*100) AS BIGINT) AS v_base
+        |  FROM customer WHERE c_custkey < 1000
+        |), changes AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) AS v_new
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |  GROUP BY o_custkey
+        |), m AS (
+        |  SELECT COALESCE(c.v_new, b.v_base) AS v,
+        |         CASE WHEN b.v_base IS NOT NULL AND c.v_new IS NOT NULL
+        |                THEN 'update'
+        |              WHEN b.v_base IS NULL THEN 'insert'
+        |              ELSE 'keep' END AS action
+        |  FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+        |)
+        |SELECT action, count(*) AS n_rows,
+        |       CAST(sum(v) AS BIGINT) AS v_total
+        |FROM m GROUP BY action
+        |ORDER BY action""".stripMargin,
     "profile_columns" ->
       """SELECT * FROM (
         |  SELECT 'c_acctbal_cents' AS col_name, count(*) AS n_rows,

@@ -69,6 +69,56 @@ object TextQueries {
               slice(ids, i + 1, size(ids) - i),
               y => struct(get(ids, i - 1).as("a"), y.as("b"))))))
 
+  /** All candidate near-dup pairs with their exact word-3-gram Jaccard
+    * — shared by the top-K report (`ngram_jaccard`) and the
+    * connected-components clustering (`dedup_clusters`).
+    *
+    * Posting-list plan with BOUNDED aggregation state: a count() pass
+    * (O(1) state per key) finds each shingle's document frequency
+    * first, keys outside the cap are dropped with a join, and only
+    * the survivors reach collect_set — so no posting-list buffer can
+    * exceed DfCap ids even when one hot shingle covers most of a
+    * 100 TB corpus. (Filtering AFTER collect_set would bound the join
+    * but still materialize the full hot posting list in one
+    * aggregation buffer — executor OOM at scale.) The explicit hash
+    * repartition on the shingle key makes the df aggregation AND the
+    * join probe share the SAME exchange (AQE runtime stage reuse), so
+    * the expensive scan+shingle transform runs once. The sizes side
+    * is one row PER DOCUMENT, so it must NOT be broadcast (billions
+    * of rows at 100 TB) — the candidate→size joins shuffle on a/b,
+    * both sides already bounded.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val rows = shingleRows(s, d).repartition(col("sh"))
+    val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    // ONE inner join carries df alongside each surviving (sh, doc_id)
+    // row; both downstream branches derive from it. Per-doc size
+    // counts every surviving shingle (df ≤ cap) including singletons;
+    // the posting build additionally skips df == 1 keys, which cannot
+    // produce a pair.
+    val surviving =
+      rows.join(dfs.filter(col("df") <= DfCap), Seq("sh"))
+    val sizes = surviving
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("sz"))
+    val posting = surviving
+      .filter(col("df") >= 2)
+      .groupBy("sh")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+    val inter = posting
+      .select(pairCombinations(col("ids")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a", "sza"), "a")
+      .join(sizes.toDF("b", "szb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")))
+      .select("a", "b", "inter", "jaccard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus stats per language tag.
     "text_stats" -> ((s, d) =>
@@ -430,57 +480,62 @@ object TextQueries {
 
     // Exact near-dup: word-3-gram Jaccard, candidates from shared
     // shingles after stop-shingle (df > cap) removal; top-20 pairs.
-    "ngram_jaccard" -> ((s, d) => {
-      // Posting-list plan with BOUNDED aggregation state: a count()
-      // pass (O(1) state per key) finds each shingle's document
-      // frequency first, keys outside the cap are dropped with a semi
-      // join, and only the survivors reach collect_set — so no
-      // posting-list buffer can exceed DfCap ids even when one hot
-      // shingle covers most of a 100 TB corpus. (Filtering AFTER
-      // collect_set would bound the join but still materialize the
-      // full hot posting list in one aggregation buffer — executor
-      // OOM at scale.) Both semi joins and the groupBys shuffle on
-      // the same shingle key, so AQE's stage cache reuses the
-      // identical scan+shuffle across branches; nothing accumulates
-      // in executor memory. The sizes side is one row PER DOCUMENT,
-      // so it must NOT be broadcast (billions of rows at 100 TB) —
-      // the candidate→size joins shuffle on a/b, both sides already
-      // bounded.
-      // One explicit hash repartition on the shingle key: the df
-      // aggregation AND the join probe then share the SAME exchange
-      // (ReusedExchange), so the expensive scan+shingle transform
-      // runs once instead of once per consumer.
-      val rows = shingleRows(s, d).repartition(col("sh"))
-      val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
-      // ONE inner join carries df alongside each surviving (sh,
-      // doc_id) row; both downstream branches derive from it, so the
-      // join subplan is identical in both and AQE's stage cache
-      // computes it once. Per-doc size counts every surviving shingle
-      // (df ≤ cap) including singletons; the posting build
-      // additionally skips df == 1 keys, which cannot produce a pair.
-      val surviving =
-        rows.join(dfs.filter(col("df") <= DfCap), Seq("sh"))
-      val sizes = surviving
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("sz"))
-      val posting = surviving
-        .filter(col("df") >= 2)
-        .groupBy("sh")
-        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      val inter = posting
-        .select(pairCombinations(col("ids")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("a", "sza"), "a")
-        .join(sizes.toDF("b", "szb"), "b")
-        .withColumn("jaccard",
-          col("inter").cast("double") /
-            (col("sza") + col("szb") - col("inter")))
-        .select("a", "b", "inter", "jaccard")
+    "ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d)
         .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
-        .limit(20)
+        .limit(20)),
+
+    // Near-dup CLUSTERS: connected components over the high-similarity
+    // pair graph (jaccard ≥ 0.9) — pairs alone under-count dups (a
+    // 3-way dup group is 3 pairs but ONE keeper); the cluster id (min
+    // doc_id in the component) is what a dedup pass keys its keeper
+    // choice on. Min-label propagation to a FIXPOINT: each round every
+    // node takes the min label among itself and its neighbors; the
+    // driver loop re-plans per round (same shape as MLlib/GraphFrames
+    // iterative jobs) and `localCheckpoint` truncates the growing
+    // lineage. Rounds needed = graph diameter — near-dup components
+    // are small and dense, so this converges in a few rounds at any
+    // corpus size (a pathological long-chain graph would want the
+    // large-star/small-star variant instead; the oracle closes the
+    // same graph with a recursive CTE).
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d)
+        .filter(col("jaccard") >= 0.9)
+        .select(col("a"), col("b"))
+      val edges = pairs
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .toDF("src", "dst")
+        .localCheckpoint(true)
+      var labels = edges
+        .select(col("src").as("doc_id"))
+        .distinct()
+        .withColumn("lab", col("doc_id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val neighborMin = edges
+          .join(labels.toDF("dst", "dlab"), "dst")
+          .groupBy("src")
+          .agg(min(col("dlab")).as("nmin"))
+          .toDF("doc_id", "nmin")
+        val next = labels
+          .join(neighborMin, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+          .localCheckpoint(true)
+        changed = next
+          .toDF("doc_id", "new_lab")
+          .join(labels, Seq("doc_id"))
+          .filter(col("new_lab") =!= col("lab"))
+          .count()
+        labels = next
+        rounds += 1
+      }
+      labels
+        .select(col("doc_id"), col("lab").as("cluster"))
+        .orderBy("doc_id")
     }),
 
     // MinHash signatures (8 slots) over distinct word unigrams.
@@ -638,6 +693,35 @@ object TextQueries {
       .mkString(", ")
     s"SELECT doc_id, $slots FROM tok GROUP BY doc_id"
   }
+
+  /** DuckDB twin of [[jaccardPairs]] as a CTE chain ending in `pairs`
+    * (a, b, inter BIGINT, jaccard) — shared by the `ngram_jaccard`
+    * report oracle and the `dedup_clusters` closure oracle.
+    */
+  private val jaccardPairsSqlCte: String =
+    s"""rows_ AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(${wordShinglesSql(toksSql, 3)}) AS sh
+       |    FROM documents) u
+       |), capped AS (
+       |  SELECT doc_id, sh FROM rows_
+       |  WHERE sh IN (SELECT sh FROM rows_ GROUP BY sh
+       |               HAVING count(*) <= $DfCap)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
+       |), inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM capped x JOIN capped y ON x.sh = y.sh
+       |  WHERE x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |), pairs AS (
+       |  SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       |         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+       |           AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b
+       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -856,29 +940,26 @@ object TextQueries {
          |LEFT JOIN bench b ON t.sh = b.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "ngram_jaccard" ->
-      s"""WITH rows_ AS (
-         |  SELECT DISTINCT doc_id, sh FROM (
-         |    SELECT doc_id, unnest(${wordShinglesSql(toksSql, 3)}) AS sh
-         |    FROM documents) u
-         |), capped AS (
-         |  SELECT doc_id, sh FROM rows_
-         |  WHERE sh IN (SELECT sh FROM rows_ GROUP BY sh
-         |               HAVING count(*) <= $DfCap)
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
-         |), inter AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-         |  FROM capped x JOIN capped y ON x.sh = y.sh
-         |  WHERE x.doc_id < y.doc_id
-         |  GROUP BY x.doc_id, y.doc_id
-         |)
-         |SELECT a, b, CAST(inter AS BIGINT) AS inter,
-         |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
-         |         AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = a
-         |JOIN sizes sb ON sb.doc_id = b
+      s"""WITH $jaccardPairsSqlCte
+         |SELECT a, b, inter, jaccard FROM pairs
          |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""".stripMargin,
+    // Connected components as a recursive transitive closure — exact
+    // fixpoint, independently derived from the same pair graph the
+    // Spark side propagates labels over.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsSqlCte,
+         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
+         |edges AS (SELECT a AS src, b AS dst FROM hi
+         |          UNION SELECT b, a FROM hi),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+         |)
+         |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+         |FROM reach GROUP BY doc
+         |ORDER BY doc_id""".stripMargin,
     "minhash_signatures" ->
       s"""WITH $tokHashCte
          |$sigSelect ORDER BY doc_id""".stripMargin,
