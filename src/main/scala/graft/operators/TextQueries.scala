@@ -506,14 +506,21 @@ object TextQueries {
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
         .toDF("src", "dst")
         .localCheckpoint(true)
-      var labels = edges
+      // One checkpointed generation lives at a time: each round
+      // materializes `next` (with an inline change flag — no extra
+      // join just to detect convergence), counts changes off the
+      // checkpoint, and unpersists the PREVIOUS generation — total
+      // cached state stays one label table plus the edge list.
+      var checkpointed = edges
         .select(col("src").as("doc_id"))
         .distinct()
         .withColumn("lab", col("doc_id"))
         .localCheckpoint(true)
+      var labels = checkpointed
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      val MaxRounds = 50
+      while (changed > 0 && rounds < MaxRounds) {
         val neighborMin = edges
           .join(labels.toDF("dst", "dlab"), "dst")
           .groupBy("src")
@@ -523,16 +530,23 @@ object TextQueries {
           .join(neighborMin, Seq("doc_id"), "left")
           .select(
             col("doc_id"),
-            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+            (col("nmin").isNotNull && col("nmin") < col("lab")).as("chg"))
           .localCheckpoint(true)
-        changed = next
-          .toDF("doc_id", "new_lab")
-          .join(labels, Seq("doc_id"))
-          .filter(col("new_lab") =!= col("lab"))
-          .count()
-        labels = next
+        changed = next.filter(col("chg")).count()
+        checkpointed.unpersist()
+        checkpointed = next
+        labels = next.select("doc_id", "lab")
         rounds += 1
       }
+      // The cap is a runaway guard, not a tolerated outcome: labels
+      // short of the fixpoint silently under-merge clusters (and
+      // diverge from the exact-closure oracle), so fail loudly.
+      require(
+        changed == 0,
+        s"dedup_clusters did not converge within $MaxRounds rounds — " +
+          "component diameter exceeds the cap; use large-star/small-star")
+      edges.unpersist()
       labels
         .select(col("doc_id"), col("lab").as("cluster"))
         .orderBy("doc_id")
