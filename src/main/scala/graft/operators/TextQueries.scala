@@ -192,6 +192,27 @@ object TextQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Cross-document boilerplate signal: the fraction of a document's
+    // 3-gram shingles that are CORPUS-COMMON (df > DfCap — navigation
+    // chrome, license blocks, templated headers). High ratio → the
+    // document is mostly shared boilerplate; the complement of the
+    // within-document repetition_score. One count() pass per shingle
+    // key (bounded state) + a shuffle join back — no posting lists at
+    // all on this path.
+    "boilerplate_ratio" -> ((s, d) => {
+      val rows = shingleRows(s, d).repartition(col("sh"))
+      val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+      rows
+        .join(dfs, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > DfCap, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          col("n_boiler").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus mixing — deterministic weighted downsampling to target
     // per-language proportions (the data-mixing step before
     // training). The keep decision is a pure function of the CONTENT
@@ -786,6 +807,22 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "boilerplate_ratio" ->
+      s"""WITH rows_ AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${wordShinglesSql(toksSql, 3)}) AS sh
+         |    FROM documents) u
+         |), dfs AS (
+         |  SELECT sh, count(*) AS df FROM rows_ GROUP BY sh
+         |)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN df > $DfCap THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_boiler,
+         |       CAST(sum(CASE WHEN df > $DfCap THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*) AS boiler_ratio
+         |FROM rows_ JOIN dfs USING (sh)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "corpus_mix" ->
       s"""SELECT lang, n_docs, n_kept,
          |       CAST(n_kept AS DOUBLE) / n_docs AS keep_rate
