@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import graft.Tables._
@@ -256,25 +256,39 @@ object MiscQueries {
     // Column profiler — the data-quality pass a pipeline runs before
     // trusting a new drop: per-column row/null/distinct counts and
     // min/max, long format so the schema is stable whatever the table.
-    // One aggregate pass per profiled column, unioned; numerics
-    // profile as integer cents, everything rendered to strings.
+    // ONE aggregate pass computes every column's stats side by side
+    // (a union of per-column aggregates would scan the table once per
+    // column); `stack` then pivots the single result row to long form.
+    // Numerics profile as integer cents, everything rendered strings.
     "profile_columns" -> ((s, d) => {
-      val c = customer(s, d)
-      def prof(name: String, v: org.apache.spark.sql.Column) =
-        c.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(v.isNull, 1L).otherwise(0L)).as("n_nulls"),
-          countDistinct(v).as("n_distinct"),
-          min(v).cast("string").as("min_val"),
-          max(v).cast("string").as("max_val"))
-          .select(
-            lit(name).as("col_name"),
-            col("n_rows"), col("n_nulls"), col("n_distinct"),
-            col("min_val"), col("max_val"))
-      prof("c_acctbal_cents", cents(col("c_acctbal")))
-        .unionByName(prof("c_mktsegment", col("c_mktsegment")))
-        .unionByName(prof("c_name", col("c_name")))
-        .unionByName(prof("c_nationkey", col("c_nationkey")))
+      val profiled: Seq[(String, Column)] = Seq(
+        "c_acctbal_cents" -> cents(col("c_acctbal")),
+        "c_mktsegment" -> col("c_mktsegment"),
+        "c_name" -> col("c_name"),
+        "c_nationkey" -> col("c_nationkey"))
+      val aggs = count(lit(1)).as("n_rows") +: profiled.zipWithIndex
+        .flatMap { case ((_, v), i) =>
+          Seq(
+            sum(when(v.isNull, 1L).otherwise(0L)).as(s"nulls_$i"),
+            countDistinct(v).as(s"dist_$i"),
+            min(v).cast("string").as(s"min_$i"),
+            max(v).cast("string").as(s"max_$i"))
+        }
+      val stackArgs = profiled.zipWithIndex
+        .map { case ((name, _), i) =>
+          s"'$name', nulls_$i, dist_$i, min_$i, max_$i"
+        }
+        .mkString(", ")
+      customer(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          col("n_rows"),
+          expr(s"""stack(${profiled.size}, $stackArgs)
+                  |AS (col_name, n_nulls, n_distinct, min_val, max_val)
+                  |""".stripMargin))
+        .select(
+          "col_name", "n_rows", "n_nulls", "n_distinct",
+          "min_val", "max_val")
         .orderBy("col_name")
     }),
 

@@ -88,9 +88,21 @@ object TextQueries {
     * of rows at 100 TB) — the candidate→size joins shuffle on a/b,
     * both sides already bounded.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** Shared first phase of the shingle-df operators: distinct
+    * (doc_id, sh) rows hash-partitioned on the shingle key, plus the
+    * per-shingle document-frequency counts. The explicit repartition
+    * makes every consumer (count aggregation, join probe) read ONE
+    * exchange via AQE runtime stage reuse instead of re-running the
+    * scan + shingle transform.
+    */
+  private def shingleDfs(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val rows = shingleRows(s, d).repartition(col("sh"))
-    val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    (rows, rows.groupBy("sh").agg(count(lit(1)).as("df")))
+  }
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val (rows, dfs) = shingleDfs(s, d)
     // ONE inner join carries df alongside each surviving (sh, doc_id)
     // row; both downstream branches derive from it. Per-doc size
     // counts every surviving shingle (df ≤ cap) including singletons;
@@ -200,8 +212,7 @@ object TextQueries {
     // key (bounded state) + a shuffle join back — no posting lists at
     // all on this path.
     "boilerplate_ratio" -> ((s, d) => {
-      val rows = shingleRows(s, d).repartition(col("sh"))
-      val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+      val (rows, dfs) = shingleDfs(s, d)
       rows
         .join(dfs, Seq("sh"))
         .groupBy("doc_id")
