@@ -292,6 +292,36 @@ object RelationalQueries {
         .orderBy("quartile")
     }),
 
+    // SCD type-2 build: collapse each user's event stream into
+    // validity intervals of their event_type — a row starts a period
+    // when the type CHANGES (or at first sight), valid_to is the next
+    // period's start, the open period gets the sentinel. Two stacked
+    // windows, both partitioned by user — parallel at any scale.
+    "scd2_intervals" -> ((s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val starts = events(s, d)
+        .filter(col("user_id") < 50)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(
+          col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+      starts
+        .withColumn(
+          "valid_from",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn(
+          "valid_to",
+          coalesce(
+            date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")))
+        .select(
+          col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // RANGE frame (value-based, vs the ROWS frame in
     // window_running_sum): rolling 30-day order revenue per customer.
     // The frame bound is an integer day offset, so peer handling and
@@ -550,6 +580,24 @@ object RelationalQueries {
         |    ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
         |  FROM customer) t
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "scd2_intervals" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |  FROM events WHERE user_id < 50
+        |), starts AS (
+        |  SELECT user_id, event_id, event_type, ts
+        |  FROM l
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       COALESCE(strftime(lead(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S'),
+        |         '9999-12-31 00:00:00') AS valid_to
+        |FROM starts
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
