@@ -274,6 +274,23 @@ object TextQueries {
         .orderBy("shard", "bin")
     }),
 
+    // Dedup-rate report — the monitoring number a pipeline tracks per
+    // ingestion batch: exact-duplicate rate per language from content
+    // fingerprints (docs minus distinct fingerprints over docs).
+    "dedup_rate" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("lang"),
+          hash60(normText(col("text"))).as("fp"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .withColumn(
+          "dup_rate",
+          (col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+        .orderBy("lang")),
+
     // Incremental ingestion dedup — the steady-state shape of a
     // production corpus: docs < 250 stand in for the EXISTING corpus,
     // docs >= 250 for the newly-crawled batch. Keep a new doc only if
@@ -863,6 +880,13 @@ object TextQueries {
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM c GROUP BY shard, bin
          |ORDER BY shard, bin""".stripMargin,
+    "dedup_rate" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       count(DISTINCT ${hash60Sql(normSql)}) AS n_unique,
+         |       CAST(count(*) - count(DISTINCT ${hash60Sql(normSql)})
+         |         AS DOUBLE) / count(*) AS dup_rate
+         |FROM documents GROUP BY lang
+         |ORDER BY lang""".stripMargin,
     // NOT EXISTS, not NOT IN: Spark's left_anti keeps a batch row
     // whenever no corpus row MATCHES (null-safe), while NOT IN over a
     // set containing a NULL would return zero rows — the two only
