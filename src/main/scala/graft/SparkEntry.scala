@@ -32,7 +32,8 @@ object SparkEntry {
       MultimodalQueries.queries ++
       SourceQueries.queries ++
       MiscQueries.queries ++
-      SqlSurfaceQueries.queries
+      SqlSurfaceQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       MultimodalQueries.oracleSql ++
       SourceQueries.oracleSql ++
       MiscQueries.oracleSql ++
-      SqlSurfaceQueries.oracleSql
+      SqlSurfaceQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** TPC-H-shaped multi-join analytics over the star schema — the
+  * headline "reporting query" family a warehouse user of the reference
+  * engine would run (the reference's own flagship is a group-sort
+  * report; these are the same shape at warehouse scale: selective
+  * dimension predicates, a fact-fact join, grouped revenue, top-N).
+  *
+  * Scale design:
+  *   - `nation`/`region` are genuinely bounded dimensions → explicit
+  *     `broadcast()` so the plan never shuffles a fact side for them;
+  *   - `customer⋈orders` and `orders⋈lineitem` are fact-fact → hash
+  *     shuffle joins on the join key (co-partitionable; at 100 TB both
+  *     sides bucket by orderkey/custkey and the exchange disappears —
+  *     see BucketedJoinSpec / the `bucketed_join` query);
+  *   - revenue sums are integer cents (exact cross-engine, and the
+  *     partial-aggregate map-side combine stays a long add);
+  *   - top-N is `orderBy(...).limit(n)` → TakeOrderedAndProject, never
+  *     a global sort of the full aggregate.
+  */
+object AnalyticsQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Discounted revenue in cents, the TPC-H `l_extendedprice *
+    * (1 - l_discount)` term, rounded per-row exactly like the
+    * `agg_pricing` convention so every engine sums identical longs.
+    */
+  private def revCents: Column =
+    cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+
+  private val revCentsSql =
+    "CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+    // Predicates sit directly on the scans (pushed to parquet);
+    // customer is filtered to ~1/5 before joining orders.
+    "tpch_q3" -> ((s, d) => {
+      val cust = customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+        .select(col("l_orderkey"), revCents.as("rev"))
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .select(
+          col("l_orderkey"),
+          col("revenue_cents"),
+          col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue_cents").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: local-supplier volume per nation in one region —
+    // the 6-way join. nation⋈region collapses to a broadcast dim;
+    // supplier is key-joined on (suppkey) AND the "local" condition
+    // c_nationkey = s_nationkey makes it a genuine multi-equi-key join.
+    "tpch_q5" -> ((s, d) => {
+      val dims = broadcast(
+        nation(s, d)
+          .join(
+            region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+      val ord = orders(s, d)
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rev"))
+      val cust = customer(s, d).select("c_custkey", "c_nationkey")
+      val supp = supplier(s, d).select("s_suppkey", "s_nationkey")
+      li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(
+          supp,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(dims, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name").asc)
+    }),
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    // quarter. The returnflag predicate prunes lineitem at the scan;
+    // nation broadcasts; the customer attributes ride the aggregation
+    // key (functionally dependent on c_custkey).
+    "tpch_q10" -> ((s, d) => {
+      val ord = orders(s, d)
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revCents.as("rev"))
+      val cust = customer(s, d)
+        .select(
+          col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).as("acctbal_cents"), col("c_nationkey"))
+      val nat = broadcast(nation(s, d).select("n_nationkey", "n_name"))
+      li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .select(
+          col("c_custkey"), col("c_name"), col("revenue_cents"),
+          col("acctbal_cents"), col("n_name"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+        .limit(20)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tpch_q3" ->
+      s"""SELECT l_orderkey,
+         |       CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents,
+         |       o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-30'
+         |  AND l_shipdate > TIMESTAMP '1998-06-30'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      s"""SELECT n_name,
+         |       CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue_cents DESC, n_name ASC""".stripMargin,
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name,
+         |       CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents,
+         |       CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+         |       n_name
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY c_custkey, c_name, acctbal_cents, n_name
+         |ORDER BY revenue_cents DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin
+  )
+}

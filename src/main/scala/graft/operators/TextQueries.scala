@@ -726,6 +726,104 @@ object TextQueries {
         .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), assembled.as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs: banded Hamming LSH over a 32-bit
+    // signature — 4 bands of 8 bits. Any pair within Hamming distance
+    // 3 agrees on at least one whole band (pigeonhole: 3 flipped bits
+    // cannot touch all 4 bands), so band-bucket candidate generation
+    // is RECALL-COMPLETE for the ≤3 output filter — except in buckets
+    // dropped by the size cap, the same bounded-join trade-off as the
+    // MinHash path (the oracle mirrors the cap). 32 signature bits
+    // (not the 16 of the `simhash16` report) so band buckets stay
+    // under the cap as the corpus grows — at 100 TB the signature
+    // widens to 64/128 bits and band count rises with it, which is
+    // the standard SimHash scaling knob. Aggregation state is bounded
+    // the same way as the MinHash path: count() first, semi-join
+    // survivors, then the pair self-join runs only inside ≤BucketCap
+    // buckets.
+    "simhash_neardup" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", hash60(col("tok")))
+      val bitSums = (0 until 32).map(b =>
+        sum(
+          when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"s$b"))
+      val assembled = (0 until 32)
+        .map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sim = tok
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), assembled.cast("long").as("simhash"))
+      val bandRows = sim
+        .select(
+          col("doc_id"),
+          col("simhash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn(
+          "key",
+          expr("(simhash >> (band * 8)) & 255"))
+        .repartition(col("band"), col("key"))
+      val okBuckets = bandRows
+        .groupBy("band", "key")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, BucketCap))
+        .select("band", "key")
+      val surv = bandRows.join(okBuckets, Seq("band", "key"), "left_semi")
+      val a = surv.select(
+        col("band"), col("key"),
+        col("doc_id").as("a"), col("simhash").as("sa"))
+      val b = surv.select(
+        col("band"), col("key"),
+        col("doc_id").as("b"), col("simhash").as("sb"))
+      a.join(b, Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .withColumn(
+          "hamming", expr("bit_count(sa ^ sb)").cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("a", "b", "hamming")
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
+    // MinHash Jaccard ESTIMATOR quality: for every exact near-dup
+    // candidate pair, the 8-slot signature-agreement fraction next to
+    // the true word-3-gram Jaccard and the absolute estimation error.
+    // Both columns are exact deterministic computations (the estimate
+    // is a hash function of the inputs, not a sample), so the whole
+    // report hash-pins cross-engine — the operator a pipeline uses to
+    // CALIBRATE its banding thresholds before a 100 TB run.
+    "minhash_jaccard_est" -> ((s, d) => {
+      val exact = jaccardPairs(s, d)
+      val sig = {
+        val tok = documents(s, d)
+          .select(
+            col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("tok"))
+          .withColumn("h", hash60(col("tok")))
+        val aggs = (0 until 8).map(i =>
+          min(minhashSlot(col("h"), i)).as(s"h$i"))
+        tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      }
+      val sa = sig.toDF("a" +: (0 until 8).map(i => s"a$i"): _*)
+      val sb = sig.toDF("b" +: (0 until 8).map(i => s"b$i"): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      exact
+        .join(sa, "a")
+        .join(sb, "b")
+        .withColumn("n_match", matches)
+        .withColumn("est_jaccard", col("n_match").cast("double") / 8)
+        .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+        .select("a", "b", "jaccard", "est_jaccard", "abs_err")
+        .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+        .limit(20)
     })
   )
 
@@ -1103,6 +1201,57 @@ object TextQueries {
          |  FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin
+    },
+    "simhash_neardup" -> {
+      val sums = (0 until 32)
+        .map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n         ")
+      val assemble = (0 until 32)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $tokHashCte,
+         |bits AS (
+         |  SELECT doc_id,
+         |         $sums
+         |  FROM tok GROUP BY doc_id),
+         |sim AS (
+         |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+         |  FROM bits),
+         |bands AS (
+         |  SELECT doc_id, simhash, band,
+         |         (simhash >> (band * 8)) & 255 AS key
+         |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) bj(band)),
+         |ok AS (
+         |  SELECT band, key FROM bands GROUP BY band, key
+         |  HAVING count(*) BETWEEN 2 AND $BucketCap),
+         |surv AS (
+         |  SELECT b.doc_id, b.simhash, b.band, b.key
+         |  FROM bands b JOIN ok USING (band, key))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER)
+         |         AS hamming
+         |FROM surv x JOIN surv y
+         |  ON x.band = y.band AND x.key = y.key
+         | AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
+    "minhash_jaccard_est" -> {
+      val nMatch = (0 until 8)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $jaccardPairsSqlCte,
+         |$tokHashCte,
+         |sig AS ($sigSelect)
+         |SELECT p.a, p.b, p.jaccard,
+         |       CAST($nMatch AS DOUBLE) / 8 AS est_jaccard,
+         |       abs(CAST($nMatch AS DOUBLE) / 8 - p.jaccard) AS abs_err
+         |FROM pairs p
+         |JOIN sig sa ON sa.doc_id = p.a
+         |JOIN sig sb ON sb.doc_id = p.b
+         |ORDER BY p.jaccard DESC, p.a ASC, p.b ASC
+         |LIMIT 20""".stripMargin
     }
   )
 }
