@@ -545,6 +545,69 @@ object MiscQueries {
                   (col("n").cast("double") * (col("n") - 1).cast("double"))) / 100.0)
             <= col("sd") * 1e-6).as("stddev_ok"))
         .orderBy("l_returnflag")
+    }),
+
+    // MERGEABLE-sketch distinct counting: one HLL sketch per nation
+    // (partial aggregation), then sketches UNION-merged per region and
+    // estimated — the two-level rollup a 1000-executor cluster uses so
+    // re-aggregation never re-reads rows (Datasketches HLL, the
+    // engine-native mergeable form of approx_count_distinct). Exact
+    // side rides along for the tolerance pin: customers belong to one
+    // nation, so the per-region exact distinct is the SUM of per-nation
+    // exacts — itself computed in the same partial-aggregate pass.
+    "hll_union" -> ((s, d) => {
+      val nat = broadcast(
+        nation(s, d).select("n_nationkey", "n_regionkey"))
+      val reg = broadcast(region(s, d))
+      val perNation = customer(s, d)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_nationkey", "n_regionkey")
+        .agg(
+          hll_sketch_agg(col("c_custkey")).as("sk"),
+          countDistinct(col("c_custkey")).as("exact_n"))
+      perNation
+        .groupBy("n_regionkey")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          sum(col("exact_n")).as("exact_custs"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .select(
+          col("r_name"),
+          col("exact_custs"),
+          (abs(col("est") - col("exact_custs")).cast("double") /
+            col("exact_custs") <= 0.05).as("within_tol"))
+        .orderBy("r_name")
+    }),
+
+    // Bucketed-table co-located join: both sides written bucketed on
+    // the join key, so the join plans with ZERO shuffle exchanges —
+    // the physical-layout strategy that turns every RECURRING
+    // fact⋈fact join at 100 TB from a full-network shuffle into local
+    // per-bucket merges (plan asserted shuffle-free in
+    // BucketedJoinSpec; this query pins the result through the gate).
+    "bucketed_join" -> ((s, d) => {
+      Seq("graft_ord_bkt", "graft_cust_bkt").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(
+          java.net.URI.create(
+            s.conf.get("spark.sql.warehouse.dir")).getPath,
+          t))
+      }
+      orders(s, d)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("graft_ord_bkt")
+      customer(s, d)
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("graft_cust_bkt")
+      s.table("graft_ord_bkt")
+        .join(
+          s.table("graft_cust_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -774,6 +837,22 @@ object MiscQueries {
         |       TRUE AS p95_ok,
         |       TRUE AS stddev_ok
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "hll_union" ->
+      """SELECT r_name,
+        |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_custs,
+        |       TRUE AS within_tol
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "bucketed_join" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |         AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

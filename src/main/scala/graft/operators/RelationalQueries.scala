@@ -415,7 +415,65 @@ object RelationalQueries {
       customer(s, d)
         .select("c_mktsegment")
         .distinct()
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // Windowed DISTINCT count — an aggregate Spark's window functions
+    // refuse (COUNT(DISTINCT) OVER is unsupported) — composed as the
+    // SCALE-SAFE equivalent: one partial-aggregating countDistinct per
+    // partition key, joined back to the rows (AQE broadcasts the tiny
+    // aggregate side). A collect_set-over-window would carry one
+    // set buffer PER ROW; this form carries one count per KEY. The
+    // oracle runs DuckDB's native COUNT(DISTINCT) OVER, pinning the
+    // composition to the real windowed semantics.
+    "window_count_distinct" -> ((s, d) => {
+      val base = orders(s, d)
+        .filter(col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+      val per = base
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust_distinct"))
+      base
+        .join(per, Seq("o_orderpriority"))
+        .select("o_orderkey", "o_orderpriority", "n_cust_distinct")
+        .orderBy("o_orderkey")
+    }),
+
+    // Point-in-interval join WITHOUT an inequality-join plan: promo
+    // windows [o_orderdate, +7d) explode to the ≤2 week-buckets they
+    // overlap, shipment points hash to their single week-bucket, and
+    // the contact is an EQUI-join on the bucket followed by the exact
+    // containment filter. A raw interval predicate plans as
+    // BroadcastNestedLoopJoin (every point × every window — dead at
+    // 100 TB); here only intervals replicate (bounded by
+    // span/bucket_width) and points never do, so the join scales like
+    // any hash join. Bucket width tunes replication vs selectivity
+    // exactly like any range-join binning.
+    "join_interval_bucket" -> ((s, d) => {
+      def wk(c: Column): Column =
+        floor(datediff(c, lit("1970-01-01").cast("date")) / 7)
+      val promo = orders(s, d)
+        .filter(
+          col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderkey") <= 300)
+        .select(
+          col("o_orderkey").as("promo_id"),
+          col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+      val windows = promo
+        .withColumn(
+          "wkb", explode(sequence(wk(col("w_start")), wk(col("w_end")))))
+      val points = lineitem(s, d)
+        .select(col("l_shipdate"))
+        .withColumn("wkb", wk(col("l_shipdate")))
+      points
+        .join(windows, Seq("wkb"))
+        .filter(
+          col("l_shipdate") >= col("w_start") &&
+            col("l_shipdate") < col("w_end"))
+        .groupBy("promo_id")
+        .agg(count(lit(1)).as("n_shipments"))
+        .orderBy("promo_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -646,6 +704,21 @@ object RelationalQueries {
         |  SELECT s_nationkey AS nationkey FROM supplier) t""".stripMargin,
     "distinct_segments" ->
       """SELECT DISTINCT c_mktsegment FROM customer
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+    "window_count_distinct" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(count(DISTINCT o_custkey) OVER
+        |         (PARTITION BY o_orderpriority) AS BIGINT)
+        |         AS n_cust_distinct
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_interval_bucket" ->
+      """SELECT o_orderkey AS promo_id, count(*) AS n_shipments
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey <= 300
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

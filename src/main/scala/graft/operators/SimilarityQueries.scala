@@ -187,6 +187,45 @@ object SimilarityQueries {
       topkFromCandidates(q, c, "cid")
     }),
 
+    // Symmetric int8 quantization of the embedding column — the
+    // compression step before a 100 TB ANN index build (4× smaller
+    // vectors, SIMD-friendly int dot products). Per-vector scale =
+    // absmax/127; elements round as floor(x/scale + 0.5) (identical
+    // IEEE op sequence in DuckDB, unlike round()'s half-even/half-up
+    // divergence); reconstruction quality is reported as the MAX
+    // absolute error — an order-free aggregation, so the whole row is
+    // bit-deterministic. Everything is per-row HOF work inside one
+    // projection: no shuffle, no state.
+    "embedding_quantize" -> ((s, d) => {
+      val e = col("embedding")
+      val absmax =
+        array_max(transform(e, x => abs(x.cast("double"))))
+      embeddings(s, d)
+        .withColumn("scale", absmax / lit(127.0))
+        .withColumn(
+          "q",
+          when(col("scale") === 0, transform(e, _ => lit(0)))
+            .otherwise(
+              transform(
+                e,
+                x =>
+                  floor(x.cast("double") / col("scale") + lit(0.5))
+                    .cast("int"))))
+        .select(
+          col("vec_id"),
+          col("scale"),
+          array_min(col("q")).as("qmin"),
+          array_max(col("q")).as("qmax"),
+          array_max(
+            zip_with(
+              col("q"),
+              e,
+              (qi, xi) =>
+                abs(qi.cast("double") * col("scale")
+                  - xi.cast("double")))).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // Per-label centroid-free stats: norms are bit-deterministic.
     "vector_norms" -> ((s, d) =>
       embeddings(s, d)
@@ -472,6 +511,28 @@ object SimilarityQueries {
       s"""WITH $normCte
          |SELECT e.vec_id, e.label, n.nrm AS l2_norm
          |FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
-         |ORDER BY e.vec_id""".stripMargin
+         |ORDER BY e.vec_id""".stripMargin,
+    "embedding_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, unnest(embedding) AS x
+        |        FROM embeddings) u
+        |), am AS (
+        |  SELECT vec_id, max(abs(x)) / 127 AS scale
+        |  FROM ex GROUP BY vec_id
+        |), qq AS (
+        |  SELECT e.vec_id, a.scale,
+        |         CASE WHEN a.scale = 0 THEN 0
+        |              ELSE CAST(floor(e.x / a.scale + 0.5) AS INTEGER)
+        |         END AS q,
+        |         e.x
+        |  FROM ex e JOIN am a ON a.vec_id = e.vec_id
+        |)
+        |SELECT vec_id, scale,
+        |       CAST(min(q) AS INTEGER) AS qmin,
+        |       CAST(max(q) AS INTEGER) AS qmax,
+        |       max(abs(CAST(q AS DOUBLE) * scale - x)) AS max_abs_err
+        |FROM qq GROUP BY vec_id, scale
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -58,6 +58,15 @@ object SourceQueries {
         .windowedAgg(graft.Tables.events(s, d))
         .orderBy("day", "event_type")),
 
+    // The sliding-window variant (2-day windows, 1-day slide — every
+    // event in exactly two windows), batch-executed; the oracle
+    // reconstructs the window assignment with an explicit 2-row
+    // offset cross join.
+    "stream_sliding_batch" -> ((s, d) =>
+      StreamingEvents
+        .slidingAgg(graft.Tables.events(s, d))
+        .orderBy("win_start", "event_type")),
+
     // The stream-stream join's shared transform, batch-executed (its
     // streaming twin — watermarks both sides, event-time-bounded
     // condition, append mode — is asserted ≡ batch in StreamingSpec).
@@ -198,6 +207,16 @@ object SourceQueries {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
         |         AS value_cents
         |FROM events GROUP BY day, event_type
-        |ORDER BY day, event_type""".stripMargin
+        |ORDER BY day, event_type""".stripMargin,
+    "stream_sliding_batch" ->
+      """SELECT strftime(date_trunc('day', ts) - o * INTERVAL 1 DAY,
+        |                '%Y-%m-%d') AS win_start,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events CROSS JOIN (VALUES (0), (1)) t(o)
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin
   )
 }

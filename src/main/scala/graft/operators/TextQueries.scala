@@ -824,6 +824,42 @@ object TextQueries {
         .select("a", "b", "jaccard", "est_jaccard", "abs_err")
         .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
         .limit(20)
+    }),
+
+    // Character-distribution diversity per document — the quality
+    // signal that catches mojibake, binary-in-text and keyboard-mash
+    // documents. Reports collision probability Σc²/n² (the chance two
+    // random character draws agree) and its reciprocal, the effective
+    // alphabet size. Deliberately NOT Shannon entropy: every statistic
+    // here reduces to exact BIGINT sufficient statistics (n, Σc²,
+    // max c) followed by single IEEE divisions, so the report
+    // hash-pins cross-engine — whereas ln() differs between the JVM
+    // and DuckDB's libm (measured: 11 of the first 500k integer
+    // inputs differ in the last bit), which would break the bit-exact
+    // gate. Two-level aggregation: (doc, char) counts shuffle once,
+    // per-doc state is O(alphabet).
+    "char_diversity" -> ((s, d) => {
+      val counts = documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(
+          col("doc_id"),
+          explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(count(lit(1)).as("c"))
+      val n = sum(col("c")).cast("long")
+      val sumsq = sum(col("c") * col("c")).cast("long")
+      counts
+        .groupBy("doc_id")
+        .agg(
+          n.as("n_chars_tot"),
+          count(lit(1)).cast("long").as("n_distinct_chars"),
+          (max(col("c")).cast("double") / n.cast("double"))
+            .as("max_char_frac"),
+          (sumsq.cast("double") /
+            (n.cast("double") * n.cast("double"))).as("coll_prob"),
+          ((n.cast("double") * n.cast("double")) /
+            sumsq.cast("double")).as("eff_alphabet"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1252,6 +1288,25 @@ object TextQueries {
          |JOIN sig sb ON sb.doc_id = p.b
          |ORDER BY p.jaccard DESC, p.a ASC, p.b ASC
          |LIMIT 20""".stripMargin
-    }
+    },
+    "char_diversity" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0
+        |), counts AS (
+        |  SELECT doc_id, ch, count(*) AS c
+        |  FROM chars GROUP BY doc_id, ch
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_chars_tot,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |         AS max_char_frac,
+        |       CAST(sum(c*c) AS DOUBLE) /
+        |         (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+        |         AS coll_prob,
+        |       (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) /
+        |         CAST(sum(c*c) AS DOUBLE) AS eff_alphabet
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

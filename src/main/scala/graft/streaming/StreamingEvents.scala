@@ -46,6 +46,29 @@ object StreamingEvents {
         col("n_events"),
         col("value_cents"))
 
+  /** Sliding-window twin of [[windowedAgg]]: 2-day windows advancing
+    * 1 day, so every event lands in exactly TWO overlapping windows —
+    * the smoothing shape (moving totals) a monitoring pipeline uses.
+    * Same watermark/agg/output contract as the tumbling form; in
+    * streaming mode Spark maintains one state row per (window,
+    * event_type), i.e. 2× the tumbling state, which is the expected
+    * cost of overlap and stays bounded by the watermark horizon.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(
+        window(col("ts"), "2 days", "1 day").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd").as("win_start"),
+        col("event_type"),
+        col("n_events"),
+        col("value_cents"))
+
   private def normalize(raw: DataFrame): DataFrame =
     raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 

@@ -24,6 +24,41 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream (available-now) ≡ batch for the SLIDING-window aggregation") {
+    val q = StreamingEvents
+      .slidingAgg(StreamingEvents.stream(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("sliding_spec_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark
+      .table("sliding_spec_sink")
+      .orderBy("win_start", "event_type")
+      .collect()
+      .toSeq
+    val batch = StreamingEvents
+      .slidingAgg(StreamingEvents.batch(spark, sfDir))
+      .orderBy("win_start", "event_type")
+      .collect()
+      .toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // Overlap sanity: every event lands in exactly two windows, so the
+    // sliding row-count total is 2× the tumbling total.
+    val tumbling = StreamingEvents
+      .windowedAgg(StreamingEvents.batch(spark, sfDir))
+      .agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0)
+    val sliding = StreamingEvents
+      .slidingAgg(StreamingEvents.batch(spark, sfDir))
+      .agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0)
+    assert(sliding == 2 * tumbling)
+  }
+
   test("stream-stream time-bounded join ≡ batch join on replay") {
     val q = StreamingEvents
       .clickViewJoin(StreamingEvents.stream(spark, sfDir))
