@@ -579,6 +579,50 @@ object MiscQueries {
         .orderBy("r_name")
     }),
 
+    // Malformed-ROW tolerance in ingestion: PERMISSIVE CSV parsing
+    // routes rows that fail the schema (unparseable field types)
+    // into a corrupt-record column instead of failing the scan —
+    // extending the reference's per-SOURCE error tolerance (S3) down
+    // to row granularity, which is what a 100 TB crawl ingest needs
+    // (a few broken rows must never kill a stage). The summary
+    // aggregates only over clean rows, so partially-parsed corrupt
+    // rows can't leak into the totals.
+    "csv_corrupt_recovery" -> ((s, _) => {
+      val dir = sinkDir("graft_csv_corrupt")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir))
+      val lines = Seq(
+        "0,ALGERIA",
+        "1,ARGENTINA",
+        "2,BRAZIL",
+        "notanint,CORRUPT_TYPE",
+        "3,CANADA",
+        "badkey,ALSO_CORRUPT",
+        "5,ETHIOPIA")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part.csv"),
+        lines.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val schema = StructType(Seq(
+        StructField("k", IntegerType),
+        StructField("name", StringType),
+        StructField("_corrupt", StringType)))
+      s.read
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("k").cast("long"))
+            .otherwise(0L)).as("sum_good_keys"))
+    }),
+
     // Bucketed-table co-located join: both sides written bucketed on
     // the join key, so the join plans with ZERO shuffle exchanges —
     // the physical-layout strategy that turns every RECURRING
@@ -846,6 +890,11 @@ object MiscQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "csv_corrupt_recovery" ->
+      """SELECT CAST(7 AS BIGINT) AS n_rows,
+        |       CAST(5 AS BIGINT) AS n_good,
+        |       CAST(2 AS BIGINT) AS n_corrupt,
+        |       CAST(11 AS BIGINT) AS sum_good_keys""".stripMargin,
     "bucketed_join" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_orders,

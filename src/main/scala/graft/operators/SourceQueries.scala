@@ -75,6 +75,18 @@ object SourceQueries {
         .clickViewJoin(StreamingEvents.batch(s, d))
         .orderBy("user_id", "click_id", "view_id")),
 
+    // LEFT OUTER stream-stream join transform, batch-executed (its
+    // streaming twin — append-mode outer emission governed by the
+    // min-across-streams watermark — is asserted inner≡batch /
+    // outer-complete-past-horizon in StreamingSpec).
+    "stream_left_join_batch" -> ((s, d) =>
+      StreamingEvents
+        .clickViewLeftJoin(StreamingEvents.batch(s, d))
+        .select("user_id", "click_id", "view_id")
+        .orderBy(
+          col("user_id"), col("click_id"),
+          col("view_id").asc_nulls_first)),
+
     // Sessionization, batch form (window functions); its streaming
     // twin (flatMapGroupsWithState) is asserted equal in SessionizeSpec.
     "sessionize_batch" -> ((s, d) =>
@@ -200,6 +212,18 @@ object SourceQueries {
         |  AND c.event_type = 'click' AND v.event_type = 'view'
         |  AND v.tus >= c.tus - 3600000000 AND v.tus <= c.tus
         |ORDER BY c.user_id, click_id, view_id""".stripMargin,
+    "stream_left_join_batch" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        |  AND v.tus >= c.tus - 3600000000 AND v.tus <= c.tus
+        |ORDER BY c.user_id, click_id, view_id NULLS FIRST""".stripMargin,
     "stream_window_batch" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type,

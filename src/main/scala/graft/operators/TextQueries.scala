@@ -860,6 +860,83 @@ object TextQueries {
           ((n.cast("double") * n.cast("double")) /
             sumsq.cast("double")).as("eff_alphabet"))
         .orderBy("doc_id")
+    }),
+
+    // EXACT global quantile via the histogram two-pass — the
+    // length-based quality cut (keep the longest 10%) without
+    // approx_percentile's estimator noise and without sorting the
+    // corpus: aggregate a (length → count) histogram (one shuffle,
+    // O(1) state per length), cumulative-sum it, take the
+    // nearest-rank p90 threshold. The cumsum window is unpartitioned
+    // BY DESIGN and still scale-safe: its input is the VALUE DOMAIN
+    // (distinct lengths — bounded by max document length, independent
+    // of corpus row count), never the corpus rows. Threshold joins
+    // back as a 1-row broadcast.
+    "length_p90_filter" -> ((s, d) => {
+      val hist = documents(s, d)
+        .groupBy("n_chars")
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("n_chars")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("cumc", sum(col("c")).over(w))
+      val tot = hist.agg(sum(col("c")).as("n_total"))
+      val thr = cum
+        .crossJoin(broadcast(tot))
+        .filter(col("cumc") >= ceil(lit(0.9) * col("n_total")))
+        .agg(
+          min(col("n_chars")).as("p90_threshold"),
+          min(col("n_total")).as("n_docs_total"))
+      documents(s, d)
+        .crossJoin(broadcast(thr))
+        .filter(col("n_chars") >= col("p90_threshold"))
+        .groupBy("p90_threshold", "n_docs_total")
+        .agg(count(lit(1)).as("n_docs_kept"))
+        .select(
+          col("p90_threshold"),
+          col("n_docs_total"),
+          col("n_docs_kept"),
+          (col("n_docs_kept").cast("double") /
+            col("n_docs_total").cast("double")).as("frac_kept"))
+    }),
+
+    // Heavy hitters via a MERGEABLE Misra-Gries summary (the typed
+    // Aggregator surface, capacity 256): each partition reduces its
+    // token stream to ≤256 counters, summaries merge associatively, so
+    // only O(K) state crosses the wire — the sketch a 100 TB vocabulary
+    // scan uses where exact per-token counting would shuffle billions
+    // of keys. The MG summary's own counts are merge-order dependent,
+    // so it serves ONLY as a candidate set (guaranteed ⊇ every token
+    // with freq > n/257); exact counts join back over the ≤256-token
+    // broadcast and the output keeps tokens with freq·64 > n — far
+    // above the error floor, hence deterministic. (This fixture's
+    // vocabulary fits the summary outright; the guarantee is what
+    // matters at real vocabulary sizes.)
+    "heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val mg = toks
+        .as[String]
+        .groupByKey(_ => 0)
+        .agg(new graft.functions.MisraGriesAggregator(256)
+          .toColumn.name("cands"))
+        .toDF("g", "cands")
+        .select(explode(map_keys(col("cands"))).as("tok"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks
+        .join(broadcast(mg), "tok")
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(total))
+        .filter(col("freq") * 64 > col("n"))
+        .select(
+          col("tok"),
+          col("freq"),
+          (col("freq").cast("double") / col("n").cast("double"))
+            .as("frac_of_corpus"))
+        .orderBy(col("freq").desc, col("tok").asc)
     })
   )
 
@@ -1307,6 +1384,42 @@ object TextQueries {
         |         AS coll_prob,
         |       (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) /
         |         CAST(sum(c*c) AS DOUBLE) AS eff_alphabet
-        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "length_p90_filter" ->
+      """WITH hist AS (
+        |  SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM hist
+        |), cum AS (
+        |  SELECT n_chars,
+        |         sum(c) OVER (ORDER BY n_chars
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cumc
+        |  FROM hist
+        |), thr AS (
+        |  SELECT min(n_chars) AS p90_threshold,
+        |         min(n_total) AS n_docs_total
+        |  FROM cum, tot WHERE cumc >= ceil(0.9 * n_total)
+        |)
+        |SELECT t.p90_threshold,
+        |       t.n_docs_total,
+        |       count(*) AS n_docs_kept,
+        |       CAST(count(*) AS DOUBLE) / CAST(t.n_docs_total AS DOUBLE)
+        |         AS frac_kept
+        |FROM documents d, thr t
+        |WHERE d.n_chars >= t.p90_threshold
+        |GROUP BY t.p90_threshold, t.n_docs_total""".stripMargin,
+    "heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($toksSql) AS tok FROM documents
+         |), tot AS (
+         |  SELECT count(*) AS n FROM toks
+         |)
+         |SELECT tok, count(*) AS freq,
+         |       CAST(count(*) AS DOUBLE) / CAST(min(n) AS DOUBLE)
+         |         AS frac_of_corpus
+         |FROM toks, tot
+         |GROUP BY tok, n HAVING count(*) * 64 > n
+         |ORDER BY freq DESC, tok ASC""".stripMargin
   )
 }

@@ -135,6 +135,43 @@ object StreamingEvents {
         col("view_id"))
   }
 
+  /** LEFT OUTER twin of [[clickViewJoin]]: unmatched clicks emit with a
+    * NULL view_id — but only once the watermark PROVES no qualifying
+    * view can still arrive (append-mode outer rule), so clicks inside
+    * the final watermark horizon of a finite replay stay buffered and
+    * never emit. StreamingSpec asserts exactly that contract: inner
+    * results ≡ batch, outer results ⊆ batch, and outer results are
+    * COMPLETE for clicks older than the final watermark horizon.
+    */
+  def clickViewLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("v_user"),
+        col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    clicks
+      .join(
+        views,
+        col("c_user") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("view_ts") <= col("click_ts"),
+        "left_outer")
+      .select(
+        col("c_user").as("user_id"),
+        col("click_id"),
+        col("click_ts"),
+        col("view_id"))
+  }
+
   /** Run the stream to completion (available-now trigger) into an
     * in-memory sink; returns the materialized result.
     */

@@ -83,6 +83,59 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER join: inner ≡ batch, outer complete past the watermark horizon") {
+    import org.apache.spark.sql.functions._
+    val q = StreamingEvents
+      .clickViewLeftJoin(StreamingEvents.stream(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("ss_louter_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(3)).map(_.toString).getOrElse(""))
+    val streamed = spark.table("ss_louter_sink").collect().map(key).toSet
+    val batchDf =
+      StreamingEvents.clickViewLeftJoin(StreamingEvents.batch(spark, sfDir))
+    val batch = batchDf.collect().map(key).toSet
+
+    val streamedInner = streamed.filter(_._3.nonEmpty)
+    val batchInner = batch.filter(_._3.nonEmpty)
+    assert(streamedInner == batchInner, "inner results must match batch")
+
+    val streamedOuter = streamed.filter(_._3.isEmpty)
+    val batchOuter = batch.filter(_._3.isEmpty)
+    assert(streamedOuter.nonEmpty, "some unmatched clicks must flush")
+    assert(streamedOuter.subsetOf(batchOuter),
+      "streamed outer rows must be a subset of batch outer rows")
+
+    // Completeness: every batch outer click strictly older than the
+    // final GLOBAL watermark must have flushed. The global watermark
+    // is the MIN across both watermarked inputs minus the 1 h delay —
+    // notably NOT max(event ts): if the last click postdates the last
+    // view, that click sits above its own stream's contribution and
+    // stays buffered forever on a finite replay (observed: the
+    // fixture's final click is exactly this row). One minute of slack
+    // keeps the assertion off Spark's eviction-boundary strictness.
+    val ev = StreamingEvents.batch(spark, sfDir)
+    val maxClick = ev.filter(col("event_type") === "click")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val maxView = ev.filter(col("event_type") === "view")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val watermark = math.min(maxClick, maxView) - 3600 * 1000L
+    val horizon = watermark - 60 * 1000L
+    val mustFlush = batchDf
+      .filter(col("view_id").isNull &&
+        col("click_ts") < lit(new java.sql.Timestamp(horizon)))
+      .collect().map(key).toSet
+    assert(mustFlush.subsetOf(streamedOuter),
+      s"${(mustFlush -- streamedOuter).size} outer rows older than the " +
+        "watermark horizon failed to flush")
+  }
+
   test("streaming dedup (bounded state) removes the injected duplicates") {
     val q = StreamingEvents
       .dedupStream(spark, sfDir)
