@@ -19,9 +19,24 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Builder-side iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the
     // dump (and the oracle json) to the named queries. The driver never
-    // sets it, so the gate always runs the full registry.
+    // sets it, so the gate always runs the full registry. Guards: an
+    // empty or unknown-name value fails loudly (a leaked env var must
+    // never shrink the gate to a silently-green subset), and subset
+    // mode announces itself on stderr.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries — unset it to " +
+          "run the full registry")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unregistered queries: " +
+          s"${unknown.mkString(", ")}")
+      System.err.println(
+        s"[verify] SUBSET MODE: ${names.size} of " +
+          s"${SparkEntry.queries.size} queries (SPARK_GRAFT_ONLY)")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries

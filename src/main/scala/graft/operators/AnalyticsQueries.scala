@@ -24,7 +24,7 @@ import graft.Tables._
   */
 object AnalyticsQueries {
 
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def cents(c: Column): Column = Money.cents(c)
 
   /** Discounted revenue in cents, the TPC-H `l_extendedprice *
     * (1 - l_discount)` term, rounded per-row exactly like the
@@ -58,7 +58,10 @@ object AnalyticsQueries {
         .select(
           col("l_orderkey"),
           col("revenue_cents"),
-          col("o_orderdate"),
+          // Project convention: timestamps in OUTPUTS always stringify
+          // (engine-native timestamp renderings are not hash-stable).
+          date_format(col("o_orderdate"), "yyyy-MM-dd")
+            .as("o_orderdate"),
           col("o_orderpriority"))
         .orderBy(col("revenue_cents").desc, col("o_orderdate").asc,
           col("l_orderkey").asc)
@@ -134,7 +137,8 @@ object AnalyticsQueries {
     "tpch_q3" ->
       s"""SELECT l_orderkey,
          |       CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents,
-         |       o_orderdate, o_orderpriority
+         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |       o_orderpriority
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey

@@ -63,7 +63,7 @@ object FunctionQueries {
             .as("day"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          sum(Money.cents(col("value"))).as("value_cents"))
         .orderBy("day")),
 
     // JSON extraction (typed from_json on the Spark side) over
@@ -180,7 +180,7 @@ object FunctionQueries {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long"))
+          sum(Money.cents(col("o_totalprice")))
             .as("total_cents"))
         .unpivot(
           Array(col("o_orderpriority")),

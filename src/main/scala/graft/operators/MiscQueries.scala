@@ -18,8 +18,7 @@ import graft.Tables._
   */
 object MiscQueries {
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
+  private def cents(c: org.apache.spark.sql.Column) = Money.cents(c)
 
   /** Fixed sink path for the write-then-read-back queries: overwrite
     * mode keeps repeated gate/bench invocations from accumulating

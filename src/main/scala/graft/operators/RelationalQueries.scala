@@ -27,7 +27,7 @@ object RelationalQueries {
   /** round-half-away-from-zero(x*100) as long — exact for 2-decimal
     * money stored as double (the *100 product is never exactly at .5).
     */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def cents(c: Column): Column = Money.cents(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Broadcast hash join: fact orders ⋈ broadcast dim customer.

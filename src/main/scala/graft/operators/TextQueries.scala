@@ -912,24 +912,29 @@ object TextQueries {
     // broadcast and the output keeps tokens with freq·64 > n — far
     // above the error floor, hence deterministic. (This fixture's
     // vocabulary fits the summary outright; the guarantee is what
-    // matters at real vocabulary sizes.)
+    // matters at real vocabulary sizes.) Two corpus scans total: the
+    // corpus token count rides the SAME typed aggregation as the MG
+    // summary, and the second scan only counts the ≤K candidates.
     "heavy_hitters" -> ((s, d) => {
       import s.implicits._
       val toks = documents(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
-      val mg = toks
+      val mgAndTotal = toks
         .as[String]
         .groupByKey(_ => 0)
-        .agg(new graft.functions.MisraGriesAggregator(256)
-          .toColumn.name("cands"))
-        .toDF("g", "cands")
-        .select(explode(map_keys(col("cands"))).as("tok"))
-      val total = toks.agg(count(lit(1)).as("n"))
+        .agg(
+          new graft.functions.MisraGriesAggregator(256)
+            .toColumn.name("cands"),
+          count(lit(1)).as[Long].name("n"))
+        .toDF("g", "cands", "n")
+      val cands = mgAndTotal
+        .select(
+          explode(map_keys(col("cands"))).as("tok"),
+          col("n"))
       toks
-        .join(broadcast(mg), "tok")
-        .groupBy("tok")
+        .join(broadcast(cands), "tok")
+        .groupBy("tok", "n")
         .agg(count(lit(1)).as("freq"))
-        .crossJoin(broadcast(total))
         .filter(col("freq") * 64 > col("n"))
         .select(
           col("tok"),

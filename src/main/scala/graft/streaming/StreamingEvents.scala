@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -39,7 +39,7 @@ object StreamingEvents {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.operators.Money.cents(col("value"))).as("value_cents"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"),
@@ -62,7 +62,7 @@ object StreamingEvents {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.operators.Money.cents(col("value"))).as("value_cents"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd").as("win_start"),
         col("event_type"),
@@ -109,6 +109,22 @@ object StreamingEvents {
     * unbounded-time stream join would buffer forever).
     */
   def clickViewJoin(events: DataFrame): DataFrame = {
+    val (clicks, views, cond) = clickViewSides(events)
+    clicks
+      .join(views, cond)
+      .select(
+        col("c_user").as("user_id"),
+        col("click_id"),
+        col("view_id"))
+  }
+
+  /** Shared preparation of the click/view join: watermarked sides plus
+    * the event-time-bounded condition — ONE definition so the inner
+    * and left-outer forms (whose equivalence StreamingSpec asserts)
+    * cannot drift apart.
+    */
+  private def clickViewSides(
+      events: DataFrame): (DataFrame, DataFrame, Column) = {
     val clicks = events
       .filter(col("event_type") === "click")
       .select(
@@ -123,16 +139,10 @@ object StreamingEvents {
         col("event_id").as("view_id"),
         col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
-    clicks
-      .join(
-        views,
-        col("c_user") === col("v_user") &&
-          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
-          col("view_ts") <= col("click_ts"))
-      .select(
-        col("c_user").as("user_id"),
-        col("click_id"),
-        col("view_id"))
+    val cond = col("c_user") === col("v_user") &&
+      col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+      col("view_ts") <= col("click_ts")
+    (clicks, views, cond)
   }
 
   /** LEFT OUTER twin of [[clickViewJoin]]: unmatched clicks emit with a
@@ -144,27 +154,9 @@ object StreamingEvents {
     * COMPLETE for clicks older than the final watermark horizon.
     */
   def clickViewLeftJoin(events: DataFrame): DataFrame = {
-    val clicks = events
-      .filter(col("event_type") === "click")
-      .select(
-        col("user_id").as("c_user"),
-        col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val views = events
-      .filter(col("event_type") === "view")
-      .select(
-        col("user_id").as("v_user"),
-        col("event_id").as("view_id"),
-        col("ts").as("view_ts"))
-      .withWatermark("view_ts", "1 hour")
+    val (clicks, views, cond) = clickViewSides(events)
     clicks
-      .join(
-        views,
-        col("c_user") === col("v_user") &&
-          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
-          col("view_ts") <= col("click_ts"),
-        "left_outer")
+      .join(views, cond, "left_outer")
       .select(
         col("c_user").as("user_id"),
         col("click_id"),
