@@ -130,6 +130,63 @@ object AnalyticsQueries {
           col("acctbal_cents"), col("n_name"))
         .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // Ordered event FUNNEL over the events stream: users who viewed,
+    // then clicked AT OR AFTER their first view, then purchased at or
+    // after that click. Each stage is one aggregation + one
+    // user-keyed join — all three shuffles share the user_id key (at
+    // scale they co-partition; no window over a user's full history,
+    // state per user is one timestamp per stage).
+    "event_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+        .select("user_id", "event_type", "ts")
+      val viewed = ev
+        .filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("tv"))
+      val clicked = ev
+        .filter(col("event_type") === "click")
+        .join(viewed, "user_id")
+        .filter(col("ts") >= col("tv"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("tc"))
+      val purchased = ev
+        .filter(col("event_type") === "purchase")
+        .join(clicked, "user_id")
+        .filter(col("ts") >= col("tc"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("tp"))
+      viewed.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(
+          purchased.agg(count(lit(1)).as("n_purchased_after_click")))
+    }),
+
+    // Day-N retention cohorts: users grouped by their first-seen day,
+    // activity counted per (cohort, day offset ≤ 7). Two shuffles
+    // (per-user first day, then the cohort×offset rollup); the
+    // distinct-user count per cell partial-aggregates map-side.
+    "retention_cohorts" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(
+          col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val firstDay = ev
+        .groupBy("user_id")
+        .agg(min(col("day")).as("cohort"))
+      ev
+        .join(firstDay, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort")))
+        .filter(col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"),
+          col("n_users"))
+        .orderBy("cohort", "day_offset")
     })
   )
 
@@ -177,6 +234,41 @@ object AnalyticsQueries {
          |  AND o_orderdate < TIMESTAMP '1997-04-01'
          |GROUP BY c_custkey, c_name, acctbal_cents, n_name
          |ORDER BY revenue_cents DESC, c_custkey ASC
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+    "event_funnel" ->
+      """WITH viewed AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), clicked AS (
+        |  SELECT e.user_id, min(e.ts) AS tc
+        |  FROM events e JOIN viewed v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.tv
+        |  GROUP BY e.user_id
+        |), purchased AS (
+        |  SELECT e.user_id, min(e.ts) AS tp
+        |  FROM events e JOIN clicked c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.tc
+        |  GROUP BY e.user_id
+        |)
+        |SELECT (SELECT count(*) FROM viewed) AS n_viewed,
+        |       (SELECT count(*) FROM clicked) AS n_clicked_after_view,
+        |       (SELECT count(*) FROM purchased)
+        |         AS n_purchased_after_click""".stripMargin,
+    "retention_cohorts" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events
+        |), first_day AS (
+        |  SELECT user_id, min(day) AS cohort FROM active
+        |  GROUP BY user_id
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(datediff('day', cohort, day) AS INTEGER)
+        |         AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN first_day f ON a.user_id = f.user_id
+        |WHERE datediff('day', cohort, day) <= 7
+        |GROUP BY f.cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin
   )
 }

@@ -622,6 +622,33 @@ object MiscQueries {
             .otherwise(0L)).as("sum_good_keys"))
     }),
 
+    // Schema EVOLUTION at the source: two parquet batches written with
+    // different schemas (a column added between ingest generations —
+    // the normal life of a long-lived 100 TB table) read back through
+    // one mergeSchema scan: old files backfill the new column with
+    // NULL, nothing rewrites. The summary pins row conservation and
+    // the null-backfill split.
+    "schema_evolution_merge" -> ((s, d) => {
+      val dir = sinkDir("graft_schema_evo")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      nation(s, d)
+        .select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+      s.read
+        .option("mergeSchema", "true")
+        .parquet(s"$dir/gen1", s"$dir/gen2")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("n_regionkey").isNull, 1L).otherwise(0L))
+            .as("n_backfilled_null"),
+          sum(when(col("n_regionkey").isNotNull, 1L).otherwise(0L))
+            .as("n_with_region"),
+          countDistinct(col("n_nationkey")).as("n_distinct_keys"))
+    }),
+
     // Bucketed-table co-located join: both sides written bucketed on
     // the join key, so the join plans with ZERO shuffle exchanges —
     // the physical-layout strategy that turns every RECURRING
@@ -894,6 +921,12 @@ object MiscQueries {
         |       CAST(5 AS BIGINT) AS n_good,
         |       CAST(2 AS BIGINT) AS n_corrupt,
         |       CAST(11 AS BIGINT) AS sum_good_keys""".stripMargin,
+    "schema_evolution_merge" ->
+      """SELECT 2 * count(*) AS n_rows,
+        |       count(*) AS n_backfilled_null,
+        |       count(*) AS n_with_region,
+        |       count(DISTINCT n_nationkey) AS n_distinct_keys
+        |FROM nation""".stripMargin,
     "bucketed_join" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_orders,

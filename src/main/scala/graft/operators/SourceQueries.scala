@@ -52,6 +52,34 @@ object SourceQueries {
           |ORDER BY url, rank, title""".stripMargin)
     }),
 
+    // Distributed write through the custom DataSourceV2 SINK (kvjsonl:
+    // task-attempt temp files → driver-side publish of exactly the
+    // committed attempts + _SUCCESS manifest — the exactly-once write
+    // protocol), then read back with the JSON source and aggregated.
+    // Pins the whole write path through the oracle gate; V2SinkSpec
+    // drives the protocol edges (duplicate attempts, temp invisibility)
+    // directly.
+    "v2_sink_roundtrip" -> ((s, d) => {
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_v2_sink"
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      graft.Tables.orders(s, d)
+        .select(
+          col("o_orderkey").as("key"),
+          col("o_orderpriority").as("value"))
+        .write.format("graft.sources.KvJsonlSink")
+        .mode("overwrite")
+        .save(dir)
+      s.read
+        .schema(graft.sources.KvJsonlSink.Schema)
+        .json(s"$dir/*.jsonl")
+        .groupBy("value")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("key")).as("sum_keys"))
+        .orderBy("value")
+    }),
+
     // The streaming pipeline's aggregation, batch-executed.
     "stream_window_batch" -> ((s, d) =>
       StreamingEvents
@@ -168,6 +196,12 @@ object SourceQueries {
       FlagshipQueries.oracleSql("raw_rankings"),
     "rankings_sql" ->
       FlagshipQueries.oracleSql("raw_rankings"),
+    "v2_sink_roundtrip" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
     "sessionize_batch" ->
       """WITH l AS (
         |  SELECT user_id, event_id, ts,

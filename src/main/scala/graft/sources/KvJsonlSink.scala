@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `kvjsonl` DataSourceV2 WRITE path — the sink-side twin of the
+  * `webpage` read connector, implementing the V2 two-phase commit
+  * protocol that makes distributed writes EXACTLY-ONCE under task
+  * retries and speculation:
+  *
+  *   1. every task attempt writes to a private temp file keyed by
+  *      (partitionId, taskId) — concurrent attempts never collide;
+  *   2. a task's `commit()` returns the temp path as its
+  *      WriterCommitMessage; `abort()` deletes it;
+  *   3. the DRIVER's `BatchWrite.commit` publishes exactly the files
+  *      named in the commit messages (rename into the target dir +
+  *      `_SUCCESS` manifest) — uncommitted/duplicate attempts are
+  *      never visible to readers;
+  *   4. `BatchWrite.abort` removes all temp output.
+  *
+  * Rows are (key BIGINT, value STRING) → one JSON line each, readable
+  * back with `spark.read.schema(...).json(dir)` — the
+  * `v2_sink_roundtrip` query pins the round trip through the oracle
+  * gate, and `V2SinkSpec` drives the protocol edges directly
+  * (duplicate attempt publication, temp-file invisibility).
+  *
+  * Local-filesystem rename stands in for the deployment FS committer;
+  * the protocol shape (attempt isolation + driver-side publish) is
+  * exactly what a cloud committer implements with multipart uploads.
+  */
+class KvJsonlSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvJsonlSink.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "kvjsonl sink requires a path (\".save(dir)\" or option(\"path\"))")
+    new KvJsonlTable(path)
+  }
+}
+
+object KvJsonlSink {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", LongType),
+    StructField("value", StringType)))
+
+  def tempDir(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "_temporary")
+
+  /** Minimal JSON string escaping for the value column (the key is a
+    * long). Mirrors what a JSON reader must invert; kept tiny because
+    * the sink's point is the COMMIT PROTOCOL, not a serializer.
+    */
+  def escape(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+}
+
+class KvJsonlTable(path: String) extends Table with SupportsWrite {
+  override def name(): String = s"kvjsonl($path)"
+  override def schema(): StructType = KvJsonlSink.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Fail at plan time, not mid-write, on a schema the sink can't hold.
+    val s = info.schema()
+    require(
+      s.length == 2 &&
+        s(0).dataType == LongType && s(1).dataType == StringType,
+      s"kvjsonl sink writes (key BIGINT, value STRING); got ${s.catalogString}")
+    new WriteBuilder with SupportsTruncate {
+      // mode("overwrite") plans as truncate-then-append; the actual
+      // delete happens DRIVER-SIDE at commit time so a failed job
+      // never leaves the target half-cleared (abort keeps old files).
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new KvJsonlBatchWrite(path, truncateFirst)
+      }
+    }
+  }
+}
+
+case class KvJsonlCommitMessage(tempFile: String, finalName: String)
+    extends WriterCommitMessage
+
+class KvJsonlBatchWrite(path: String, truncateFirst: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val tmp = KvJsonlSink.tempDir(path)
+    java.nio.file.Files.createDirectories(tmp)
+    new KvJsonlWriterFactory(path)
+  }
+
+  /** Driver-side publish: ONLY files named in commit messages become
+    * visible. Rename is per-file; the `_SUCCESS` manifest written last
+    * is the read-side completeness marker (the standard Hadoop
+    * committer contract).
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    if (truncateFirst) {
+      val old = java.nio.file.Files.list(dir)
+      try old.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".jsonl") || n == "_SUCCESS")
+          java.nio.file.Files.delete(p)
+      } finally old.close()
+    }
+    messages.foreach { case KvJsonlCommitMessage(tempFile, finalName) =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tempFile),
+        dir.resolve(finalName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
+    java.nio.file.Files.write(
+      dir.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
+}
+
+class KvJsonlWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new KvJsonlDataWriter(path, partitionId, taskId)
+}
+
+/** One task attempt's writer: a private temp file keyed by BOTH
+  * partitionId and taskId, so a speculative duplicate attempt writes
+  * elsewhere and only the attempt whose message reaches the driver is
+  * published under the partition's final name.
+  */
+class KvJsonlDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val tempFile =
+    KvJsonlSink.tempDir(path).resolve(f"attempt-$partitionId%05d-$taskId")
+  private val out = java.nio.file.Files.newBufferedWriter(
+    tempFile, java.nio.charset.StandardCharsets.UTF_8)
+
+  override def write(row: InternalRow): Unit = {
+    val value =
+      if (row.isNullAt(1)) "null"
+      else "\"" + KvJsonlSink.escape(row.getUTF8String(1).toString) + "\""
+    val key = if (row.isNullAt(0)) "null" else row.getLong(0).toString
+    out.write(s"""{"key":$key,"value":$value}""")
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    KvJsonlCommitMessage(
+      tempFile.toString, f"part-$partitionId%05d.jsonl")
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(tempFile)
+  }
+
+  override def close(): Unit = ()
+}
