@@ -33,7 +33,8 @@ object SparkEntry {
       SourceQueries.queries ++
       MiscQueries.queries ++
       SqlSurfaceQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++
+      OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       SourceQueries.oracleSql ++
       MiscQueries.oracleSql ++
       SqlSurfaceQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      AnalyticsQueries.oracleSql ++
+      OpsQueries.oracleSql
 }

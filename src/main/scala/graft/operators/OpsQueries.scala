@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Pipeline-operations family: the jobs that keep a 100 TB table
+  * healthy and cheap to query, beyond answering any one query —
+  * physical layout (Z-order clustering), data-quality auditing,
+  * incremental aggregate maintenance, bag-semantics reconciliation,
+  * and time-series repair.
+  *
+  * Scale designs:
+  *   - `zorder_layout`: the Morton interleave is a pure per-row
+  *     expression (no shuffle); the layout job it feeds is one
+  *     `repartitionByRange(zval)` + sorted write. Multi-dimensional
+  *     box predicates then prune parquet row groups on BOTH dims
+  *     (`ZOrderLayoutSpec` measures the actual row-group skipping
+  *     against a single-dim-sorted layout).
+  *   - `dq_audit`: each table contributes ONE scan with all its
+  *     per-row checks fused into a single aggregate (map-side partial
+  *     → 1-row final); the referential check is a key anti-join, never
+  *     a broadcast of the fact side.
+  *   - `incremental_agg_state`: the mergeable-state shape of
+  *     incremental view maintenance — history is reduced ONCE to
+  *     per-key (count, sum) state, each new batch reduces alone, and
+  *     the merge is a key-equi full-outer join of two aggregate
+  *     frames. At 100 TB the history frame is a stored state table:
+  *     merge cost is O(state + batch), never a re-read of history
+  *     rows. The DuckDB oracle recomputes from ALL rows, so the gate
+  *     itself proves merge ≡ recompute.
+  *   - `ts_interpolate`: gap repair runs per-key (user) with
+  *     calendar densification bounded by each key's own span; windows
+  *     partition by user — no global ordering anywhere.
+  */
+object OpsQueries {
+
+  private def cents(c: Column): Column = Money.cents(c)
+
+  /** Morton (Z-order) interleave of two 8-bit coordinates — built as
+    * an unrolled bit expression so it stays inside whole-stage codegen.
+    */
+  private def morton8(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _).cast("long")
+
+  /** The same interleave as ANSI SQL for the DuckDB oracle. */
+  private def morton8Sql(x: String, y: String): String =
+    (0 until 8).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-order coordinates for customers: x = nation, y = account-balance
+    * band (integer cents, so band edges are exact cross-engine).
+    */
+  private[operators] def customerZ(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      col("c_nationkey").cast("int").as("zx"),
+      ((cents(col("c_acctbal")) + lit(100000L)) / lit(5000L))
+        .cast("int").as("zy"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Z-ORDER clustering key: interleave (nation, balance-band) bits so
+    // rows close in BOTH dimensions land in the same parquet row
+    // groups. The query pins the interleave arithmetic bit-for-bit;
+    // ZOrderLayoutSpec writes the actual layouts and asserts the
+    // two-dimensional scan pruning this key buys.
+    "zorder_layout" -> ((s, d) =>
+      customerZ(s, d)
+        .withColumn("zval", morton8(col("zx"), col("zy")))
+        .orderBy(col("zval"), col("c_custkey"))
+        .select("c_custkey", "zx", "zy", "zval")),
+
+    // One-pass-per-table data-quality audit: row-level checks fused
+    // into single aggregates, plus the cross-table referential check
+    // as a key anti-join. Output is the (check, n_violations) report a
+    // pipeline gate consumes.
+    "dq_audit" -> ((s, d) => {
+      val orphan = lineitem(s, d).select(col("l_orderkey"))
+        .join(orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orphan_lineitem_rows").as("check"), col("n"))
+      val dupKeys = orders(s, d).groupBy("o_orderkey")
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") - lit(1)), lit(0L)).as("n"))
+        .select(lit("duplicate_orderkeys").as("check"), col("n"))
+      val cust = customer(s, d).agg(
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L))
+          .as("negative_acctbal_customers"),
+        sum(when(col("c_name").isNull || col("c_name") === "", 1L)
+          .otherwise(0L)).as("blank_customer_names"))
+      val ev = events(s, d).agg(
+        sum(when(col("value") <= 0 || col("value") > 1000, 1L)
+          .otherwise(0L)).as("event_value_out_of_range"),
+        sum(when(col("props").isNull || col("props") === "", 1L)
+          .otherwise(0L)).as("blank_event_props"))
+      val unpivoted = Seq(
+        cust.select(explode(map(
+          lit("negative_acctbal_customers"), col("negative_acctbal_customers"),
+          lit("blank_customer_names"), col("blank_customer_names")))
+          .as(Seq("check", "n"))),
+        ev.select(explode(map(
+          lit("event_value_out_of_range"), col("event_value_out_of_range"),
+          lit("blank_event_props"), col("blank_event_props")))
+          .as(Seq("check", "n"))))
+      (Seq(orphan, dupKeys) ++ unpivoted)
+        .reduce(_ unionByName _)
+        .select(col("check"), col("n").cast("long").as("n_violations"))
+        .orderBy("check")
+    }),
+
+    // Incremental aggregate maintenance: history reduced once to
+    // per-user (count, cents) state, the new batch reduced alone, then
+    // ONE key-equi full-outer merge of the two state frames. The
+    // oracle recomputes from all rows — hash equality IS the
+    // merge ≡ recompute proof.
+    "incremental_agg_state" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), cents(col("value")).as("v"))
+      val cut = lit("2024-01-20").cast("timestamp")
+      def state(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val hist = state(ev.filter(col("ts") < cut))
+        .withColumnRenamed("n", "n1").withColumnRenamed("s", "s1")
+      val batch = state(ev.filter(col("ts") >= cut))
+        .withColumnRenamed("n", "n2").withColumnRenamed("s", "s2")
+      hist.join(batch, Seq("user_id"), "full_outer")
+        .select(
+          col("user_id"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L)))
+            .as("sum_cents"))
+        .orderBy("user_id")
+    }),
+
+    // Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity
+    // -aware reconciliation between two order populations — the
+    // "what changed, counted" diff that DISTINCT set ops destroy.
+    "setop_except_all" -> ((s, d) => {
+      val a = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val b = orders(s, d).filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey"))
+      a.exceptAll(b)
+        .groupBy("o_custkey").agg(count(lit(1)).as("surplus"))
+        .orderBy(col("surplus").desc, col("o_custkey"))
+        .limit(25)
+    }),
+    "setop_intersect_all" -> ((s, d) => {
+      val a = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val b = orders(s, d).filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey"))
+      a.intersectAll(b)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_common"))
+        .orderBy(col("n_common").desc, col("o_custkey"))
+        .limit(25)
+    }),
+
+    // Time-series LINEAR INTERPOLATION: per-user daily totals, gaps
+    // densified over each user's own span and filled with the exact
+    // integer interpolation (v1*(d2-d)+v2*(d-d1))*1000 div (d2-d1) —
+    // integer cents and day offsets, so both engines produce identical
+    // longs. Windows partition by user; no global sort.
+    "ts_interpolate" -> ((s, d) => {
+      val obs = events(s, d)
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val spine = obs.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val j = spine.join(obs, Seq("user_id", "day"), "left")
+      val back = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val obsDay = when(col("v").isNotNull, col("day"))
+      j.select(
+        col("user_id"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(back).as("pv"),
+        last(obsDay, ignoreNulls = true).over(back).as("pd"),
+        first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+        .select(
+          col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v").isNotNull.as("observed"),
+          when(col("v").isNotNull, col("v") * 1000L)
+            .otherwise(expr(
+              """(pv * datediff(nd, day) + nv * datediff(day, pd)) * 1000
+                 DIV datediff(nd, pd)"""))
+            .as("value_milli_cents"))
+        .orderBy("user_id", "day")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "zorder_layout" ->
+      s"""WITH z AS (
+         |  SELECT c_custkey,
+         |         CAST(c_nationkey AS INTEGER) AS zx,
+         |         CAST((CAST(round(c_acctbal*100) AS BIGINT) + 100000)
+         |              // 5000 AS INTEGER) AS zy
+         |  FROM customer
+         |)
+         |SELECT c_custkey, zx, zy,
+         |       CAST(${morton8Sql("zx", "zy")} AS BIGINT) AS zval
+         |FROM z ORDER BY zval, c_custkey""".stripMargin,
+    "dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orphan_lineitem_rows' AS "check",
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |           (SELECT 1 FROM orders o
+        |            WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'duplicate_orderkeys',
+        |         (SELECT COALESCE(sum(c - 1), 0) FROM
+        |           (SELECT count(*) AS c FROM orders
+        |            GROUP BY o_orderkey HAVING count(*) > 1) t)
+        |  UNION ALL
+        |  SELECT 'negative_acctbal_customers',
+        |         (SELECT count(*) FROM customer WHERE c_acctbal < 0)
+        |  UNION ALL
+        |  SELECT 'blank_customer_names',
+        |         (SELECT count(*) FROM customer
+        |          WHERE c_name IS NULL OR c_name = '')
+        |  UNION ALL
+        |  SELECT 'event_value_out_of_range',
+        |         (SELECT count(*) FROM events
+        |          WHERE value <= 0 OR value > 1000)
+        |  UNION ALL
+        |  SELECT 'blank_event_props',
+        |         (SELECT count(*) FROM events
+        |          WHERE props IS NULL OR props = '')
+        |) ORDER BY "check"""".stripMargin,
+    "incremental_agg_state" ->
+      """SELECT user_id,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "setop_except_all" ->
+      """WITH diff AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |)
+        |SELECT o_custkey, count(*) AS surplus FROM diff
+        |GROUP BY o_custkey
+        |ORDER BY surplus DESC, o_custkey LIMIT 25""".stripMargin,
+    "setop_intersect_all" ->
+      """WITH common AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |)
+        |SELECT o_custkey, count(*) AS n_common FROM common
+        |GROUP BY o_custkey
+        |ORDER BY n_common DESC, o_custkey LIMIT 25""".stripMargin,
+    "ts_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |           AS v
+        |  FROM events GROUP BY user_id, 2
+        |), spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(min(day),
+        |           max(day), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM obs GROUP BY user_id
+        |), j AS (
+        |  SELECT s.user_id, s.day, o.v,
+        |    last_value(o.v IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN o.v IS NOT NULL THEN s.day END
+        |      IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(o.v IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN o.v IS NOT NULL THEN s.day END
+        |      IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM spine s LEFT JOIN obs o
+        |    ON s.user_id = o.user_id AND s.day = o.day
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       v IS NOT NULL AS observed,
+        |       CAST(CASE WHEN v IS NOT NULL THEN v * 1000
+        |            ELSE (pv * datediff('day', day, nd)
+        |                  + nv * datediff('day', pd, day)) * 1000
+        |                 // datediff('day', pd, nd) END AS BIGINT)
+        |         AS value_milli_cents
+        |FROM j ORDER BY user_id, day""".stripMargin
+  )
+}
