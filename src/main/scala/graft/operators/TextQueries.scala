@@ -131,6 +131,64 @@ object TextQueries {
       .select("a", "b", "inter", "jaccard")
   }
 
+  /** Connected components over the jaccard ≥ 0.9 near-dup pair graph:
+    * min-label propagation to fixpoint (driver-looped, one
+    * checkpointed label generation at a time — see `dedup_clusters`).
+    * Returns (doc_id, cluster) for every doc that HAS a near-dup;
+    * shared by `dedup_clusters` and `cluster_representatives`.
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("a"), col("b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    // One checkpointed generation lives at a time: each round
+    // materializes `next` (with an inline change flag — no extra
+    // join just to detect convergence), counts changes off the
+    // checkpoint, and unpersists the PREVIOUS generation — total
+    // cached state stays one label table plus the edge list.
+    var checkpointed = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("lab", col("doc_id"))
+      .localCheckpoint(true)
+    var labels = checkpointed
+    var changed = 1L
+    var rounds = 0
+    val MaxRounds = 50
+    while (changed > 0 && rounds < MaxRounds) {
+      val neighborMin = edges
+        .join(labels.toDF("dst", "dlab"), "dst")
+        .groupBy("src")
+        .agg(min(col("dlab")).as("nmin"))
+        .toDF("doc_id", "nmin")
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+          (col("nmin").isNotNull && col("nmin") < col("lab")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      checkpointed.unpersist()
+      checkpointed = next
+      labels = next.select("doc_id", "lab")
+      rounds += 1
+    }
+    // The cap is a runaway guard, not a tolerated outcome: labels
+    // short of the fixpoint silently under-merge clusters (and
+    // diverge from the exact-closure oracle), so fail loudly.
+    require(
+      changed == 0,
+      s"clusterLabels did not converge within $MaxRounds rounds — " +
+        "component diameter exceeds the cap; use large-star/small-star")
+    edges.unpersist()
+    labels.select(col("doc_id"), col("lab").as("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus stats per language tag.
     "text_stats" -> ((s, d) =>
@@ -547,57 +605,68 @@ object TextQueries {
     // corpus size (a pathological long-chain graph would want the
     // large-star/small-star variant instead; the oracle closes the
     // same graph with a recursive CTE).
-    "dedup_clusters" -> ((s, d) => {
-      val pairs = jaccardPairs(s, d)
-        .filter(col("jaccard") >= 0.9)
-        .select(col("a"), col("b"))
-      val edges = pairs
-        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-        .toDF("src", "dst")
-        .localCheckpoint(true)
-      // One checkpointed generation lives at a time: each round
-      // materializes `next` (with an inline change flag — no extra
-      // join just to detect convergence), counts changes off the
-      // checkpoint, and unpersists the PREVIOUS generation — total
-      // cached state stays one label table plus the edge list.
-      var checkpointed = edges
-        .select(col("src").as("doc_id"))
-        .distinct()
-        .withColumn("lab", col("doc_id"))
-        .localCheckpoint(true)
-      var labels = checkpointed
-      var changed = 1L
-      var rounds = 0
-      val MaxRounds = 50
-      while (changed > 0 && rounds < MaxRounds) {
-        val neighborMin = edges
-          .join(labels.toDF("dst", "dlab"), "dst")
-          .groupBy("src")
-          .agg(min(col("dlab")).as("nmin"))
-          .toDF("doc_id", "nmin")
-        val next = labels
-          .join(neighborMin, Seq("doc_id"), "left")
-          .select(
-            col("doc_id"),
-            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
-            (col("nmin").isNotNull && col("nmin") < col("lab")).as("chg"))
-          .localCheckpoint(true)
-        changed = next.filter(col("chg")).count()
-        checkpointed.unpersist()
-        checkpointed = next
-        labels = next.select("doc_id", "lab")
-        rounds += 1
-      }
-      // The cap is a runaway guard, not a tolerated outcome: labels
-      // short of the fixpoint silently under-merge clusters (and
-      // diverge from the exact-closure oracle), so fail loudly.
-      require(
-        changed == 0,
-        s"dedup_clusters did not converge within $MaxRounds rounds — " +
-          "component diameter exceeds the cap; use large-star/small-star")
-      edges.unpersist()
-      labels
-        .select(col("doc_id"), col("lab").as("cluster"))
+    "dedup_clusters" -> ((s, d) =>
+      clusterLabels(s, d).orderBy("doc_id")),
+
+    // Per near-dup cluster, the document a dedup pass KEEPS: the
+    // longest text wins (the standard quality heuristic), smallest
+    // doc_id breaks ties. One key-equi join of the cluster labels
+    // against doc lengths + a per-cluster max — no per-cluster
+    // materialization beyond the winner row.
+    "cluster_representatives" -> ((s, d) => {
+      val labeled = clusterLabels(s, d)
+        .join(documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      labeled
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(struct(
+            col("n_chars"),
+            (-col("doc_id")).as("neg_id"))).as("best"))
+        .select(
+          col("cluster"),
+          col("n_members"),
+          (-col("best.neg_id")).as("rep_doc_id"),
+          col("best.n_chars").as("rep_n_chars"))
+        .orderBy("cluster")
+    }),
+
+    // One BPE-training iteration: corpus-wide counts of adjacent
+    // within-word character pairs (the statistic each BPE merge step
+    // maximizes). The pair explode is linear in corpus characters and
+    // fused into the scan; counting partial-aggregates map-side and
+    // the top-30 is TakeOrderedAndProject — no global sort.
+    "bpe_pair_counts" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)),
+
+    // Rare-token ratio: per-doc fraction (ppm, exact integer) of token
+    // OCCURRENCES outside the corpus top-20 vocabulary — the
+    // out-of-vocabulary quality signal. The vocab is bounded by K →
+    // broadcast; docs stream through one join + one aggregation.
+    "rare_token_ratio" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val vocab = tok.groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+        .select(col("token"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .as("n_rare"))
+        .withColumn("rare_ppm", expr("n_rare * 1000000 DIV n_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1262,6 +1331,58 @@ object TextQueries {
          |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
          |FROM reach GROUP BY doc
          |ORDER BY doc_id""".stripMargin,
+    "cluster_representatives" ->
+      s"""WITH RECURSIVE $jaccardPairsSqlCte,
+         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
+         |edges AS (SELECT a AS src, b AS dst FROM hi
+         |          UNION SELECT b, a FROM hi),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+         |),
+         |clusters AS (
+         |  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY doc
+         |),
+         |scored AS (
+         |  SELECT c.cluster, c.doc_id, d.n_chars,
+         |         count(*) OVER (PARTITION BY c.cluster) AS n_members,
+         |         row_number() OVER (PARTITION BY c.cluster
+         |           ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+         |)
+         |SELECT cluster, n_members, doc_id AS rep_doc_id,
+         |       n_chars AS rep_n_chars
+         |FROM scored WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "bpe_pair_counts" ->
+      s"""WITH words AS (
+         |  SELECT unnest($toksSql) AS w FROM documents
+         |), pairs_ AS (
+         |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+         |  FROM words, LATERAL unnest(generate_series(1, length(w) - 1))
+         |    AS t(i)
+         |  WHERE length(w) >= 2
+         |)
+         |SELECT pair, count(*) AS n FROM pairs_
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    "rare_token_ratio" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS n FROM tok GROUP BY token
+         |    ORDER BY n DESC, token LIMIT 20) v
+         |)
+         |SELECT t.doc_id,
+         |       count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_rare,
+         |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |            * 1000000 // count(*) AS BIGINT) AS rare_ppm
+         |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "minhash_signatures" ->
       s"""WITH $tokHashCte
          |$sigSelect ORDER BY doc_id""".stripMargin,

@@ -80,7 +80,10 @@ class KvJsonlTable(path: String) extends Table with SupportsWrite {
   override def name(): String = s"kvjsonl($path)"
   override def schema(): StructType = KvJsonlSink.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Fail at plan time, not mid-write, on a schema the sink can't hold.
@@ -98,6 +101,8 @@ class KvJsonlTable(path: String) extends Table with SupportsWrite {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new KvJsonlBatchWrite(path, truncateFirst)
+        override def toStreaming: streaming.StreamingWrite =
+          new KvJsonlStreamingWrite(path)
       }
     }
   }
@@ -150,19 +155,85 @@ class KvJsonlWriterFactory(path: String) extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new KvJsonlDataWriter(path, partitionId, taskId)
+    new KvJsonlDataWriter(path,
+      f"attempt-$partitionId%05d-$taskId",
+      f"part-$partitionId%05d.jsonl")
 }
 
-/** One task attempt's writer: a private temp file keyed by BOTH
-  * partitionId and taskId, so a speculative duplicate attempt writes
-  * elsewhere and only the attempt whose message reaches the driver is
-  * published under the partition's final name.
+/** Streaming (micro-batch) write path: same attempt-isolation protocol
+  * per epoch, with the epoch id baked into BOTH the temp and the final
+  * file names. That makes the per-epoch driver commit IDEMPOTENT —
+  * after a crash between sink commit and checkpoint offset commit, the
+  * restarted query replays the SAME epoch id and the publish renames
+  * land on the SAME final names (REPLACE, not duplicate). This is the
+  * standard exactly-once contract for a file-based streaming sink;
+  * `V2StreamingSinkSpec` drives the restart path end-to-end through a
+  * checkpointed query.
   */
-class KvJsonlDataWriter(path: String, partitionId: Int, taskId: Long)
+class KvJsonlStreamingWrite(path: String)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    java.nio.file.Files.createDirectories(KvJsonlSink.tempDir(path))
+    // A named top-level factory: the instance ships to executors, so it
+    // must not capture this (non-serializable) driver-side write object.
+    KvJsonlStreamingWriterFactory(path)
+  }
+
+  override def commit(
+      epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    messages.foreach { case KvJsonlCommitMessage(tempFile, finalName) =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tempFile),
+        dir.resolve(finalName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    dropEpochTemps(epochId) // losing speculative attempts of this epoch
+    java.nio.file.Files.write(
+      dir.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+
+  override def abort(
+      epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    dropEpochTemps(epochId)
+
+  private def dropEpochTemps(epochId: Long): Unit = {
+    val tmp = KvJsonlSink.tempDir(path)
+    if (java.nio.file.Files.isDirectory(tmp)) {
+      val s = java.nio.file.Files.list(tmp)
+      try s.forEach { p =>
+        if (p.getFileName.toString.startsWith(f"attempt-e$epochId%05d-"))
+          java.nio.file.Files.deleteIfExists(p)
+      } finally s.close()
+    }
+  }
+}
+
+case class KvJsonlStreamingWriterFactory(path: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new KvJsonlDataWriter(path,
+      f"attempt-e$epochId%05d-$partitionId%05d-$taskId",
+      f"part-e$epochId%05d-$partitionId%05d.jsonl")
+}
+
+/** One task attempt's writer: a private temp file keyed by the
+  * attempt identity (partition + task, plus epoch when streaming), so
+  * a speculative duplicate attempt writes elsewhere and only the
+  * attempt whose message reaches the driver is published under the
+  * partition's final name.
+  */
+class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
     extends DataWriter[InternalRow] {
 
-  private val tempFile =
-    KvJsonlSink.tempDir(path).resolve(f"attempt-$partitionId%05d-$taskId")
+  private val tempFile = KvJsonlSink.tempDir(path).resolve(tempName)
   private val out = java.nio.file.Files.newBufferedWriter(
     tempFile, java.nio.charset.StandardCharsets.UTF_8)
 
@@ -177,8 +248,7 @@ class KvJsonlDataWriter(path: String, partitionId: Int, taskId: Long)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    KvJsonlCommitMessage(
-      tempFile.toString, f"part-$partitionId%05d.jsonl")
+    KvJsonlCommitMessage(tempFile.toString, finalName)
   }
 
   override def abort(): Unit = {
