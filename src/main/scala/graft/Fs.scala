@@ -23,4 +23,12 @@ object Fs {
 
   def deleteRecursively(path: String): Unit =
     deleteRecursively(Paths.get(path))
+
+  /** Canonical scratch-sink path for gate queries that exercise a
+    * write+read-back round trip. The gate runs queries serially, so
+    * one shared namespace is safe; a concurrent deployment would
+    * suffix a run id.
+    */
+  def sinkDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$name"
 }

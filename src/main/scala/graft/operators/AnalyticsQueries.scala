@@ -137,10 +137,14 @@ object AnalyticsQueries {
     // after that click. Each stage is one aggregation + one
     // user-keyed join — all three shuffles share the user_id key (at
     // scale they co-partition; no window over a user's full history,
-    // state per user is one timestamp per stage).
+    // state per user is one timestamp per stage). Stage comparisons
+    // run at SECOND granularity: the fixture carries ns timestamps
+    // that Spark truncates to µs (Tables.events), so any finer
+    // comparison would diverge from the ns-precise oracle.
     "event_funnel" -> ((s, d) => {
       val ev = events(s, d)
-        .select("user_id", "event_type", "ts")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
       val viewed = ev
         .filter(col("event_type") === "view")
         .groupBy("user_id")
@@ -236,17 +240,20 @@ object AnalyticsQueries {
          |ORDER BY revenue_cents DESC, c_custkey ASC
          |LIMIT 20""".stripMargin,
     "event_funnel" ->
-      """WITH viewed AS (
-        |  SELECT user_id, min(ts) AS tv FROM events
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS ts
+        |  FROM events
+        |), viewed AS (
+        |  SELECT user_id, min(ts) AS tv FROM ev
         |  WHERE event_type = 'view' GROUP BY user_id
         |), clicked AS (
         |  SELECT e.user_id, min(e.ts) AS tc
-        |  FROM events e JOIN viewed v ON e.user_id = v.user_id
+        |  FROM ev e JOIN viewed v ON e.user_id = v.user_id
         |  WHERE e.event_type = 'click' AND e.ts >= v.tv
         |  GROUP BY e.user_id
         |), purchased AS (
         |  SELECT e.user_id, min(e.ts) AS tp
-        |  FROM events e JOIN clicked c ON e.user_id = c.user_id
+        |  FROM ev e JOIN clicked c ON e.user_id = c.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts >= c.tc
         |  GROUP BY e.user_id
         |)

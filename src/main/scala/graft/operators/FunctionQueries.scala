@@ -172,6 +172,20 @@ object FunctionQueries {
             .otherwise(0L)).as("n_other"))
         .orderBy("yr")),
 
+    // The native relational pivot: same reshape as pivot_manual but
+    // through Dataset.pivot with EXPLICIT pivot values — no discovery
+    // scan (the implicit form first collects distinct keys to the
+    // driver, an extra pass a 100 TB pipeline never wants), and the
+    // plan is the same single conditional aggregation.
+    "pivot_native" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(Money.cents(col("l_extendedprice"))))
+        .withColumnRenamed("F", "f_cents")
+        .withColumnRenamed("O", "o_cents")
+        .orderBy("flag")),
+
     // The inverse reshape: wide metric columns melted to long form via
     // the native unpivot operator (plans as Expand — one pass, no
     // shuffle beyond the source aggregate).
@@ -289,6 +303,15 @@ object FunctionQueries {
         |         ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_other
         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "pivot_native" ->
+      """SELECT l_returnflag AS flag,
+        |       CAST(sum(CASE WHEN l_linestatus = 'F'
+        |         THEN CAST(round(l_extendedprice*100) AS BIGINT) END)
+        |         AS BIGINT) AS f_cents,
+        |       CAST(sum(CASE WHEN l_linestatus = 'O'
+        |         THEN CAST(round(l_extendedprice*100) AS BIGINT) END)
+        |         AS BIGINT) AS o_cents
+        |FROM lineitem GROUP BY flag ORDER BY flag""".stripMargin,
     "unpivot_metrics" ->
       """WITH wide AS (
         |  SELECT o_orderpriority,

@@ -22,11 +22,9 @@ object MiscQueries {
 
   /** Fixed sink path for the write-then-read-back queries: overwrite
     * mode keeps repeated gate/bench invocations from accumulating
-    * copies. The gate runs queries serially, so one shared namespace
-    * is safe; a concurrent deployment would suffix a run id.
+    * copies. See `graft.Fs.sinkDir` for the namespace convention.
     */
-  private def sinkDir(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/$name"
+  private def sinkDir(name: String): String = graft.Fs.sinkDir(name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Map construction + extraction (scalar outputs only — map-typed

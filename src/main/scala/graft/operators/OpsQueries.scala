@@ -223,7 +223,9 @@ object OpsQueries {
         |            WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
         |  UNION ALL
         |  SELECT 'duplicate_orderkeys',
-        |         (SELECT COALESCE(sum(c - 1), 0) FROM
+        |         -- CAST: sum(BIGINT) is HUGEINT in DuckDB and would
+        |         -- degrade the whole unioned column to float64
+        |         (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) FROM
         |           (SELECT count(*) AS c FROM orders
         |            GROUP BY o_orderkey HAVING count(*) > 1) t)
         |  UNION ALL

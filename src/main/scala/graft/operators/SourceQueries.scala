@@ -60,8 +60,7 @@ object SourceQueries {
     // drives the protocol edges (duplicate attempts, temp invisibility)
     // directly.
     "v2_sink_roundtrip" -> ((s, d) => {
-      val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_v2_sink"
+      val dir = graft.Fs.sinkDir("graft_v2_sink")
       graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
       graft.Tables.orders(s, d)
         .select(
@@ -94,6 +93,35 @@ object SourceQueries {
       StreamingEvents
         .slidingAgg(graft.Tables.events(s, d))
         .orderBy("win_start", "event_type")),
+
+    // Stream-static enrichment join transform, batch-executed (its
+    // streaming twin — per-micro-batch broadcast of the bounded
+    // dimension, zero join state — is asserted ≡ batch in
+    // StreamingSpec).
+    "stream_static_join" -> ((s, d) =>
+      StreamingEvents
+        .staticEnrichAgg(
+          graft.Tables.events(s, d), graft.Tables.customer(s, d))
+        .orderBy("segment")),
+
+    // Native session_window aggregation (the declarative sessionizer:
+    // Catalyst merges events into [first, last+gap) windows — one
+    // shuffle on the session key, mergeable session state). Boundaries
+    // compared in epoch MICROSECONDS, the engine's native timestamp
+    // unit, so the oracle reconstructs sessions from the identical
+    // integer timeline.
+    "session_window_batch" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(
+          col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")),
 
     // The stream-stream join's shared transform, batch-executed (its
     // streaming twin — watermarks both sides, event-time-bounded
@@ -202,6 +230,37 @@ object SourceQueries {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c.c_mktsegment AS segment,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+    "session_window_batch" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END
+        |    AS new_session
+        |  FROM l
+        |), s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id,
+        |       CAST(min(us) AS BIGINT) AS start_us,
+        |       CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, start_us""".stripMargin,
     "sessionize_batch" ->
       """WITH l AS (
         |  SELECT user_id, event_id, ts,

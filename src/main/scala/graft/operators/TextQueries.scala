@@ -136,8 +136,21 @@ object TextQueries {
     * checkpointed label generation at a time — see `dedup_clusters`).
     * Returns (doc_id, cluster) for every doc that HAS a near-dup;
     * shared by `dedup_clusters` and `cluster_representatives`.
+    *
+    * The result is memoized per (session, dir): the label frame is
+    * already materialized by the final localCheckpoint, so the second
+    * consumer reuses it instead of re-running the whole distributed
+    * fixpoint (the gate's most expensive iterative computation).
     */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelCache.computeIfAbsent((s, d), _ => computeClusterLabels(s, d))
+
+  private def computeClusterLabels(
+      s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d)
       .filter(col("jaccard") >= 0.9)
       .select(col("a"), col("b"))

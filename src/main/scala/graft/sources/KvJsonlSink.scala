@@ -99,8 +99,11 @@ class KvJsonlTable(path: String) extends Table with SupportsWrite {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
+        // The per-write queryId is baked into batch final names so an
+        // APPEND write can never collide with (and REPLACE) an earlier
+        // job's same-numbered partitions.
         override def toBatch: BatchWrite =
-          new KvJsonlBatchWrite(path, truncateFirst)
+          new KvJsonlBatchWrite(path, truncateFirst, info.queryId())
         override def toStreaming: streaming.StreamingWrite =
           new KvJsonlStreamingWrite(path)
       }
@@ -111,14 +114,15 @@ class KvJsonlTable(path: String) extends Table with SupportsWrite {
 case class KvJsonlCommitMessage(tempFile: String, finalName: String)
     extends WriterCommitMessage
 
-class KvJsonlBatchWrite(path: String, truncateFirst: Boolean)
+class KvJsonlBatchWrite(
+    path: String, truncateFirst: Boolean, jobId: String)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val tmp = KvJsonlSink.tempDir(path)
     java.nio.file.Files.createDirectories(tmp)
-    new KvJsonlWriterFactory(path)
+    new KvJsonlWriterFactory(path, jobId)
   }
 
   /** Driver-side publish: ONLY files named in commit messages become
@@ -151,13 +155,14 @@ class KvJsonlBatchWrite(path: String, truncateFirst: Boolean)
     graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
 }
 
-class KvJsonlWriterFactory(path: String) extends DataWriterFactory {
+class KvJsonlWriterFactory(path: String, jobId: String)
+    extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new KvJsonlDataWriter(path,
-      f"attempt-$partitionId%05d-$taskId",
-      f"part-$partitionId%05d.jsonl")
+      f"attempt-$jobId-$partitionId%05d-$taskId",
+      f"part-$jobId-$partitionId%05d.jsonl")
 }
 
 /** Streaming (micro-batch) write path: same attempt-isolation protocol

@@ -88,6 +88,27 @@ object StreamingEvents {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
 
+  /** Stream-STATIC enrichment: each micro-batch of the event stream
+    * joins the bounded customer dimension (re-read/broadcast per
+    * batch — Spark re-plans the static side each micro-batch, so slow
+    * dimension changes are picked up) and aggregates per segment.
+    * Needs NO streaming state for the join itself — the deployable
+    * shape for enriching a 100 TB/day stream with reference data; the
+    * only state is the aggregation's, bounded by segment cardinality.
+    * `StreamingSpec` runs the streaming twin (complete-mode memory
+    * sink) and asserts ≡ this batch form.
+    */
+  def staticEnrichAgg(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(
+        broadcast(customers.select(
+          col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(graft.operators.Money.cents(col("value"))).as("value_cents"))
+
   /** Streaming exact-dedup with BOUNDED state: the stream unioned with
     * itself (every event twice) deduped on event_id via
     * `dropDuplicatesWithinWatermark` — unlike plain dropDuplicates

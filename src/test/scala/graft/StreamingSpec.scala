@@ -59,6 +59,29 @@ class StreamingSpec extends SparkTestBase {
     assert(sliding == 2 * tumbling)
   }
 
+  test("stream-STATIC enrichment join ≡ batch (per-batch broadcast, no join state)") {
+    val q = StreamingEvents
+      .staticEnrichAgg(
+        StreamingEvents.stream(spark, sfDir),
+        graft.Tables.customer(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("stream_static_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("stream_static_sink")
+      .orderBy("segment").collect().toSeq
+    val batch = StreamingEvents
+      .staticEnrichAgg(
+        StreamingEvents.batch(spark, sfDir),
+        graft.Tables.customer(spark, sfDir))
+      .orderBy("segment").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-stream time-bounded join ≡ batch join on replay") {
     val q = StreamingEvents
       .clickViewJoin(StreamingEvents.stream(spark, sfDir))

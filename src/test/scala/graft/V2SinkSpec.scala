@@ -15,6 +15,19 @@ import graft.sources._
   * edges live — speculative duplicate attempts, aborted tasks, and
   * temp-file invisibility to readers.
   */
+/** Shared across the two V2 sink specs: all visible (published) JSON
+  * lines under a sink directory.
+  */
+object JsonlFiles {
+  def lines(dir: String): Seq[String] = {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+    finally s.close()
+  }
+}
+
 class V2SinkSpec extends SparkTestBase {
 
   private def newDir(tag: String): String = {
@@ -22,13 +35,7 @@ class V2SinkSpec extends SparkTestBase {
     d.toString
   }
 
-  private def visibleLines(dir: String): Seq[String] = {
-    val s = Files.list(Paths.get(dir))
-    try s.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".jsonl"))
-      .flatMap(p => Files.readAllLines(p).asScala)
-    finally s.close()
-  }
+  private def visibleLines(dir: String): Seq[String] = JsonlFiles.lines(dir)
 
   test("end-to-end write + read-back equals the input") {
     val dir = newDir("e2e")
@@ -56,9 +63,21 @@ class V2SinkSpec extends SparkTestBase {
     assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "new")))
   }
 
+  test("append after overwrite keeps both jobs' rows (no name clobber)") {
+    val dir = newDir("append")
+    import spark.implicits._
+    Seq((1L, "old"), (2L, "old")).toDF("key", "value").repartition(2)
+      .write.format("graft.sources.KvJsonlSink").mode("overwrite").save(dir)
+    Seq((3L, "new")).toDF("key", "value").repartition(1)
+      .write.format("graft.sources.KvJsonlSink").mode("append").save(dir)
+    val back = spark.read.schema(KvJsonlSink.Schema).json(s"$dir/*.jsonl")
+    assert(back.count() === 3,
+      "append overwrote an earlier job's same-numbered partition file")
+  }
+
   test("only committed attempts are published; the speculative duplicate is not") {
     val dir = newDir("spec")
-    val bw = new KvJsonlBatchWrite(dir, false)
+    val bw = new KvJsonlBatchWrite(dir, false, "job1")
     val factory = bw.createBatchWriterFactory(null)
 
     // Two attempts for partition 0 (speculation): distinct taskIds.
@@ -92,7 +111,7 @@ class V2SinkSpec extends SparkTestBase {
 
   test("job abort removes all temp output and publishes nothing") {
     val dir = newDir("abort")
-    val bw = new KvJsonlBatchWrite(dir, false)
+    val bw = new KvJsonlBatchWrite(dir, false, "job1")
     val factory = bw.createBatchWriterFactory(null)
     val w = factory.createWriter(0, 1L)
     w.write(InternalRow(1L, UTF8String.fromString("x")))

@@ -22,13 +22,7 @@ import graft.sources.KvJsonlSink
   */
 class V2StreamingSinkSpec extends SparkTestBase {
 
-  private def jsonLines(dir: String): Seq[String] = {
-    val s = Files.list(Paths.get(dir))
-    try s.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".jsonl"))
-      .flatMap(p => Files.readAllLines(p).asScala)
-    finally s.close()
-  }
+  private def jsonLines(dir: String): Seq[String] = JsonlFiles.lines(dir)
 
   private def runOnce(in: String, out: String, cp: String): Unit = {
     val q = spark.readStream
