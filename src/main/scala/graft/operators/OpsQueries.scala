@@ -164,6 +164,53 @@ object OpsQueries {
         .limit(25)
     }),
 
+    // Iterative GRAPH analytics: 5 fixed PageRank iterations over the
+    // undirected customer–supplier purchase graph, in EXACT integer
+    // arithmetic (mass scaled to 1e12; per-edge contribution
+    // r*85 DIV (100*deg)) so an iterative random walk is hash-pinned
+    // cross-engine. The edge list and degrees are materialized ONCE
+    // (localCheckpoint — the at-scale shape is a checkpointed edge
+    // table; without it every round would re-scan the fact join);
+    // each round is then one key-equi join + one aggregation shuffling
+    // on the node key only. NOTE: like dedup_clusters, construction
+    // runs jobs eagerly, so static plan audits see only the final
+    // round — the per-round shape is guarded here in code. The oracle
+    // unrolls the same 5 rounds as chained CTEs (no recursion needed
+    // for a FIXED iteration count); Scala `/` on positive longs is the
+    // same floor division as `DIV`/`//`.
+    "pagerank_fixed" -> ((s, d) => {
+      val pairs = lineitem(s, d)
+        .join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+        .localCheckpoint(true)
+      val degs = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val n = nodes.count()
+      val r0 = nodes.withColumn("r", lit(1000000000000L / n))
+      val base = 150000000000L / n
+      val r5 = (1 to 5).foldLeft(r0) { (r, _) =>
+        edges
+          .join(r.withColumnRenamed("node", "src"), Seq("src"))
+          .join(degs, Seq("src"))
+          .select(col("dst"),
+            expr("(r * 85) DIV (100 * deg)").as("contrib"))
+          .groupBy("dst")
+          .agg(sum(col("contrib")).as("mass_in"))
+          .select(col("dst").as("node"),
+            (lit(base) + col("mass_in")).as("r"))
+      }
+      r5.select(col("node"), col("r").as("mass"))
+        .orderBy(col("mass").desc, col("node"))
+        .limit(20)
+    }),
+
     // Time-series LINEAR INTERPOLATION: per-user daily totals, gaps
     // densified over each user's own span and filled with the exact
     // integer interpolation (v1*(d2-d)+v2*(d-d1))*1000 div (d2-d1) —
@@ -268,6 +315,40 @@ object OpsQueries {
         |SELECT o_custkey, count(*) AS n_common FROM common
         |GROUP BY o_custkey
         |ORDER BY n_common DESC, o_custkey LIMIT 25""".stripMargin,
+    "pagerank_fixed" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (
+           |  SELECT e.dst AS node,
+           |         CAST((SELECT b FROM base)
+           |           + sum(r.r * 85 // (100 * dg.deg)) AS BIGINT) AS r
+           |  FROM edges e
+           |  JOIN r${k - 1} r ON e.src = r.node
+           |  JOIN degs dg ON dg.src = e.src
+           |  GROUP BY e.dst
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs_ AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |), edges AS (
+         |  SELECT c AS src, p AS dst FROM pairs_
+         |  UNION ALL SELECT p, c FROM pairs_
+         |), degs AS (
+         |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+         |), params AS (
+         |  SELECT count(DISTINCT src) AS n FROM edges
+         |), base AS (
+         |  SELECT CAST(150000000000 // n AS BIGINT) AS b FROM params
+         |), r0 AS (
+         |  SELECT DISTINCT src AS node,
+         |         CAST(1000000000000 // (SELECT n FROM params) AS BIGINT)
+         |           AS r
+         |  FROM edges
+         |),
+         |$iters
+         |SELECT node, r AS mass FROM r5
+         |ORDER BY mass DESC, node LIMIT 20""".stripMargin
+    },
     "ts_interpolate" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
