@@ -53,6 +53,39 @@ object OpsQueries {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** Undirected customer–supplier purchase graph (node ids: customers
+    * even, suppliers odd), materialized ONCE per (session, dir) via
+    * localCheckpoint and memoized — shared by `pagerank_fixed` and
+    * `bfs_hops` so the gate builds the edge list a single time (the
+    * at-scale shape is a checkpointed edge table).
+    */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]
+
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.computeIfAbsent((s, d), _ => {
+      val pairs = lineitem(s, d)
+        .join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+        .localCheckpoint(true)
+    })
+
+  private val edgesSqlCte =
+    """pairs_ AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), edges AS (
+      |  SELECT c AS src, p AS dst FROM pairs_
+      |  UNION ALL SELECT p, c FROM pairs_
+      |)""".stripMargin
+
   /** Z-order coordinates for customers: x = nation, y = account-balance
     * band (integer cents, so band edges are exact cross-engine).
     */
@@ -179,16 +212,7 @@ object OpsQueries {
     // for a FIXED iteration count); Scala `/` on positive longs is the
     // same floor division as `DIV`/`//`.
     "pagerank_fixed" -> ((s, d) => {
-      val pairs = lineitem(s, d)
-        .join(orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(
-          (col("o_custkey") * 2).as("c"),
-          (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
-        .localCheckpoint(true)
+      val edges = purchaseEdges(s, d)
       val degs = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
       val nodes = edges.select(col("src").as("node")).distinct()
@@ -209,6 +233,65 @@ object OpsQueries {
       r5.select(col("node"), col("r").as("mass"))
         .orderBy(col("mass").desc, col("node"))
         .limit(20)
+    }),
+
+    // Bounded BFS from a seed node (supplier 1) over the shared
+    // purchase graph: 3 frontier-expansion rounds, each one key-equi
+    // join + a min-hop aggregation — the "blast radius" primitive
+    // (lineage/contamination spread). Shares the memoized checkpointed
+    // edge list with pagerank_fixed; the oracle unrolls the same
+    // rounds.
+    "bfs_hops" -> ((s, d) => {
+      val edges = purchaseEdges(s, d)
+      val d0 = s.range(1)
+        .select(lit(3L).as("node"), lit(0).as("hop"))
+      val d3 = (1 to 3).foldLeft(d0.toDF) { (dist, k) =>
+        val frontier = edges
+          .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), lit(k).as("hop"))
+        dist.unionByName(frontier)
+          .groupBy("node").agg(min(col("hop")).as("hop"))
+      }
+      d3.orderBy("node")
+    }),
+
+    // Ratio-to-report: each group's share of the grand total in exact
+    // ppm — the denominator is a ONE-ROW aggregate broadcast back
+    // (bounded by 1), never a global window over raw rows.
+    "ratio_to_report" -> ((s, d) => {
+      val grouped = orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+      grouped
+        .crossJoin(grouped.agg(
+          sum(col("revenue_cents")).as("total_cents")))
+        .select(
+          col("o_orderpriority"),
+          col("n_orders"),
+          col("revenue_cents"),
+          expr("revenue_cents * 1000000 DIV total_cents")
+            .as("share_ppm"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Robust statistics: median + median-absolute-deviation of the
+    // balance distribution, both interpolated quantiles over integer
+    // cents. Outputs are scaled ×4 (interpolation midpoints of
+    // half-integers are quarter-integers) and cast to BIGINT so the
+    // pin is exact. Two histogram-style passes, no global sort of raw
+    // rows beyond the percentile aggregate.
+    "mad_robust" -> ((s, d) => {
+      val c = customer(s, d)
+        .select(cents(col("c_acctbal")).as("v"))
+      val med = c.agg(percentile(col("v"), lit(0.5)).as("m"))
+      c.crossJoin(med)
+        .select(abs(col("v") - col("m")).as("dev"), col("m"))
+        .agg(
+          (first(col("m")) * 4).cast("long").as("median_x4"),
+          (percentile(col("dev"), lit(0.5)) * 4).cast("long")
+            .as("mad_x4"))
     }),
 
     // Time-series LINEAR INTERPOLATION: per-user daily totals, gaps
@@ -327,13 +410,7 @@ object OpsQueries {
            |  GROUP BY e.dst
            |)""".stripMargin
       }.mkString(",\n")
-      s"""WITH pairs_ AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
-         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |), edges AS (
-         |  SELECT c AS src, p AS dst FROM pairs_
-         |  UNION ALL SELECT p, c FROM pairs_
-         |), degs AS (
+      s"""WITH $edgesSqlCte, degs AS (
          |  SELECT src, count(*) AS deg FROM edges GROUP BY src
          |), params AS (
          |  SELECT count(DISTINCT src) AS n FROM edges
@@ -349,6 +426,45 @@ object OpsQueries {
          |SELECT node, r AS mass FROM r5
          |ORDER BY mass DESC, node LIMIT 20""".stripMargin
     },
+    "bfs_hops" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""f$k AS (
+           |  SELECT e.dst AS node, $k AS hop
+           |  FROM edges e JOIN d${k - 1} d ON e.src = d.node
+           |), d$k AS (
+           |  SELECT node, min(hop) AS hop FROM (
+           |    SELECT * FROM d${k - 1} UNION ALL SELECT * FROM f$k) u
+           |  GROUP BY node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSqlCte,
+         |d0 AS (SELECT CAST(3 AS BIGINT) AS node, 0 AS hop),
+         |$rounds
+         |SELECT node, hop FROM d3 ORDER BY node""".stripMargin
+    },
+    "ratio_to_report" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |              AS BIGINT) AS revenue_cents
+        |  FROM orders GROUP BY o_orderpriority
+        |), t AS (
+        |  SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents
+        |  FROM g
+        |)
+        |SELECT o_orderpriority, n_orders, revenue_cents,
+        |       CAST(revenue_cents * 1000000 // total_cents AS BIGINT)
+        |         AS share_ppm
+        |FROM g, t ORDER BY o_orderpriority""".stripMargin,
+    "mad_robust" ->
+      """WITH c AS (
+        |  SELECT CAST(round(c_acctbal*100) AS BIGINT) AS v
+        |  FROM customer
+        |), m AS (SELECT quantile_cont(v, 0.5) AS m FROM c)
+        |SELECT CAST(m.m * 4 AS BIGINT) AS median_x4,
+        |       CAST(quantile_cont(abs(c.v - m.m), 0.5) * 4 AS BIGINT)
+        |         AS mad_x4
+        |FROM c, m GROUP BY m.m""".stripMargin,
     "ts_interpolate" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
