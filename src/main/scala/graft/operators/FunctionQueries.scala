@@ -110,6 +110,28 @@ object FunctionQueries {
           col("label"))
         .orderBy("vec_id")),
 
+    // Higher-order functions over arrays — exists/forall predicates,
+    // aggregate() folds (left-to-right double sums, the engine's
+    // deterministic-fold convention), zip_with against the reversed
+    // array, and a slice fold. All codegen expression work inside the
+    // scan projection: zero shuffles, zero UDFs.
+    "hof_functions" -> ((s, d) =>
+      embeddings(s, d)
+        .select(
+          col("vec_id"),
+          exists(col("embedding"), x => x > lit(0.9d)).as("has_big"),
+          forall(col("embedding"), x => abs(x) <= lit(1.0d))
+            .as("unit_range"),
+          aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x)
+            .as("sum_val"),
+          aggregate(
+            zip_with(col("embedding"), reverse(col("embedding")),
+              (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x).as("palindrome_dot"),
+          aggregate(slice(col("embedding"), 1, 4), lit(0.0d),
+            (acc, x) => acc + x).as("first4_sum"))
+        .orderBy("vec_id")),
+
     // posexplode: one row per vector component (bounded to 3 vectors).
     "array_explode" -> ((s, d) =>
       embeddings(s, d)
@@ -266,6 +288,24 @@ object FunctionQueries {
         |       embedding[1] AS first_val,
         |       label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "hof_functions" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         unnest(generate_series(0, len(embedding)-1)) AS i
+        |  FROM embeddings
+        |), lens AS (
+        |  SELECT vec_id, len(embedding) AS l FROM embeddings
+        |)
+        |SELECT u.vec_id,
+        |       bool_or(u.x > 0.9) AS has_big,
+        |       bool_and(abs(u.x) <= 1.0) AS unit_range,
+        |       sum(u.x) AS sum_val,
+        |       sum(u.x * v.x) AS palindrome_dot,
+        |       sum(u.x) FILTER (u.i < 4) AS first4_sum
+        |FROM ex u
+        |JOIN lens n ON n.vec_id = u.vec_id
+        |JOIN ex v ON v.vec_id = u.vec_id AND v.i = n.l - 1 - u.i
+        |GROUP BY u.vec_id ORDER BY u.vec_id""".stripMargin,
     "array_explode" ->
       """SELECT vec_id, CAST(p AS INTEGER) AS pos, val FROM (
         |  SELECT vec_id,

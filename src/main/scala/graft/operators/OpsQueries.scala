@@ -294,6 +294,34 @@ object OpsQueries {
             .as("mad_x4"))
     }),
 
+    // SKYLINE (Pareto frontier): parts not dominated on (bigger size,
+    // cheaper price). The dominance test runs on the BOUNDED size
+    // domain — per-size min prices (≤50 rows), running mins over that
+    // tiny domain, broadcast back by an equi-join — never a global
+    // window over raw rows and never the quadratic all-pairs
+    // dominance self-join. p is dominated iff some q has
+    // (sz ≥ ∧ price <) or (sz > ∧ price ≤).
+    "skyline_pareto" -> ((s, d) => {
+      val p = part(s, d).select(
+        col("p_partkey"),
+        col("p_size").cast("long").as("sz"),
+        cents(col("p_retailprice")).as("price"))
+      val perSize = p.groupBy("sz").agg(min(col("price")).as("mp"))
+      val wGe = Window.orderBy(col("sz").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wGt = Window.orderBy(col("sz").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val doms = perSize.select(
+        col("sz"),
+        min(col("mp")).over(wGe).as("min_ge"),
+        min(col("mp")).over(wGt).as("min_gt"))
+      p.join(doms, Seq("sz"))
+        .filter(!(col("min_ge") < col("price") ||
+          coalesce(col("min_gt"), lit(Long.MaxValue)) <= col("price")))
+        .select(col("p_partkey"), col("sz"), col("price"))
+        .orderBy("sz", "price", "p_partkey")
+    }),
+
     // Time-series LINEAR INTERPOLATION: per-user daily totals, gaps
     // densified over each user's own span and filled with the exact
     // integer interpolation (v1*(d2-d)+v2*(d-d1))*1000 div (d2-d1) —
@@ -465,6 +493,28 @@ object OpsQueries {
         |       CAST(quantile_cont(abs(c.v - m.m), 0.5) * 4 AS BIGINT)
         |         AS mad_x4
         |FROM c, m GROUP BY m.m""".stripMargin,
+    "skyline_pareto" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |         CAST(round(p_retailprice*100) AS BIGINT) AS price
+        |  FROM part
+        |), ps AS (
+        |  SELECT sz, min(price) AS mp FROM p GROUP BY sz
+        |), doms AS (
+        |  SELECT sz,
+        |    min(mp) OVER (ORDER BY sz DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS min_ge,
+        |    min(mp) OVER (ORDER BY sz DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS min_gt
+        |  FROM ps
+        |)
+        |SELECT p.p_partkey, p.sz, p.price
+        |FROM p JOIN doms d ON p.sz = d.sz
+        |WHERE NOT (d.min_ge < p.price
+        |  OR COALESCE(d.min_gt, 9223372036854775807) <= p.price)
+        |ORDER BY p.sz, p.price, p.p_partkey""".stripMargin,
     "ts_interpolate" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
