@@ -114,7 +114,7 @@ object FunctionQueries {
     // aggregate() folds (left-to-right double sums, the engine's
     // deterministic-fold convention), zip_with against the reversed
     // array, and a slice fold. All codegen expression work inside the
-    // scan projection: zero shuffles, zero UDFs.
+    // scan projection — no shuffle beyond the output sort, zero UDFs.
     "hof_functions" -> ((s, d) =>
       embeddings(s, d)
         .select(

@@ -59,12 +59,10 @@ object OpsQueries {
     * `bfs_hops` so the gate builds the edge list a single time (the
     * at-scale shape is a checkpointed edge table).
     */
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), DataFrame]
+  private val edgeCache = new SessionMemo
 
   private def purchaseEdges(s: SparkSession, d: String): DataFrame =
-    edgeCache.computeIfAbsent((s, d), _ => {
+    edgeCache.getOrCompute(s, d) {
       val pairs = lineitem(s, d)
         .join(orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
@@ -75,7 +73,7 @@ object OpsQueries {
       pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
         .localCheckpoint(true)
-    })
+    }
 
   private val edgesSqlCte =
     """pairs_ AS (
@@ -246,8 +244,15 @@ object OpsQueries {
       val d0 = s.range(1)
         .select(lit(3L).as("node"), lit(0).as("hop"))
       val d3 = (1 to 3).foldLeft(d0.toDF) { (dist, k) =>
+        // Expand only the PREVIOUS round's frontier — nodes reached
+        // earlier were already expanded, and re-joining them would
+        // redo up to rounds× the edge work for results min(hop)
+        // discards anyway.
         val frontier = edges
-          .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .join(
+            dist.filter(col("hop") === k - 1)
+              .withColumnRenamed("node", "src"),
+            Seq("src"))
           .select(col("dst").as("node"), lit(k).as("hop"))
         dist.unionByName(frontier)
           .groupBy("node").agg(min(col("hop")).as("hop"))
@@ -257,7 +262,11 @@ object OpsQueries {
 
     // Ratio-to-report: each group's share of the grand total in exact
     // ppm — the denominator is a ONE-ROW aggregate broadcast back
-    // (bounded by 1), never a global window over raw rows.
+    // (bounded by 1), never a global window over raw rows. The ppm is
+    // base-1000 LONG DIVISION (quotient, then two remainder×1000
+    // steps) so the largest intermediate is remainder×1000 < total
+    // ×1000: exact floor(rev*1e6/total) without the rev×1e6 product,
+    // which would overflow int64 already at ~sf2.
     "ratio_to_report" -> ((s, d) => {
       val grouped = orders(s, d)
         .groupBy("o_orderpriority")
@@ -271,7 +280,12 @@ object OpsQueries {
           col("o_orderpriority"),
           col("n_orders"),
           col("revenue_cents"),
-          expr("revenue_cents * 1000000 DIV total_cents")
+          expr(
+            """(revenue_cents DIV total_cents) * 1000000
+               + ((revenue_cents % total_cents) * 1000
+                  DIV total_cents) * 1000
+               + (((revenue_cents % total_cents) * 1000 % total_cents)
+                  * 1000 DIV total_cents)""")
             .as("share_ppm"))
         .orderBy("o_orderpriority")
     }),
@@ -292,6 +306,29 @@ object OpsQueries {
           (first(col("m")) * 4).cast("long").as("median_x4"),
           (percentile(col("dev"), lit(0.5)) * 4).cast("long")
             .as("mad_x4"))
+    }),
+
+    // Market-basket CO-OCCURRENCE: part pairs ordered together, top-30
+    // by support. Baskets aggregate per order (state bounded by the
+    // order's own line count — naturally small, unlike corpus-frequency
+    // posting lists, so no df cap is needed), pairs explode per basket
+    // (O(b²) with tiny b), counts partial-aggregate map-side, top-30
+    // via TakeOrderedAndProject. The related-items primitive.
+    "cooccurrence_topk" -> ((s, d) => {
+      // collect_set already dedups within the order — a prior
+      // .distinct() would shuffle the whole fact projection twice.
+      val baskets = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+        .filter(size(col("items")) >= 2)
+      baskets
+        .select(TextQueries.pairCombinations(col("items")).as("pr"))
+        .select(col("pr.a").as("part_a"), col("pr.b").as("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(30)
     }),
 
     // SKYLINE (Pareto frontier): parts not dominated on (bigger size,
@@ -459,6 +496,7 @@ object OpsQueries {
         s"""f$k AS (
            |  SELECT e.dst AS node, $k AS hop
            |  FROM edges e JOIN d${k - 1} d ON e.src = d.node
+           |  WHERE d.hop = ${k - 1}
            |), d$k AS (
            |  SELECT node, min(hop) AS hop FROM (
            |    SELECT * FROM d${k - 1} UNION ALL SELECT * FROM f$k) u
@@ -481,8 +519,11 @@ object OpsQueries {
         |  FROM g
         |)
         |SELECT o_orderpriority, n_orders, revenue_cents,
-        |       CAST(revenue_cents * 1000000 // total_cents AS BIGINT)
-        |         AS share_ppm
+        |       CAST((revenue_cents // total_cents) * 1000000
+        |         + ((revenue_cents % total_cents) * 1000
+        |            // total_cents) * 1000
+        |         + (((revenue_cents % total_cents) * 1000 % total_cents)
+        |            * 1000 // total_cents) AS BIGINT) AS share_ppm
         |FROM g, t ORDER BY o_orderpriority""".stripMargin,
     "mad_robust" ->
       """WITH c AS (
@@ -493,6 +534,17 @@ object OpsQueries {
         |       CAST(quantile_cont(abs(c.v - m.m), 0.5) * 4 AS BIGINT)
         |         AS mad_x4
         |FROM c, m GROUP BY m.m""".stripMargin,
+    "cooccurrence_topk" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |)
+        |SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |       count(*) AS n_orders
+        |FROM b x JOIN b y
+        |  ON x.l_orderkey = y.l_orderkey
+        | AND x.l_partkey < y.l_partkey
+        |GROUP BY part_a, part_b
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 30""".stripMargin,
     "skyline_pareto" ->
       """WITH p AS (
         |  SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,

@@ -59,7 +59,7 @@ object TextQueries {
     * the posting-list pairing step of candidate generation. Caller must
     * ensure size(ids) >= 2 (Spark's sequence(1, 0) would descend).
     */
-  private def pairCombinations(ids: Column): Column =
+  private[operators] def pairCombinations(ids: Column): Column =
     explode(
       flatten(
         transform(
@@ -142,12 +142,10 @@ object TextQueries {
     * consumer reuses it instead of re-running the whole distributed
     * fixpoint (the gate's most expensive iterative computation).
     */
-  private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), DataFrame]
+  private val labelCache = new SessionMemo
 
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    labelCache.computeIfAbsent((s, d), _ => computeClusterLabels(s, d))
+    labelCache.getOrCompute(s, d)(computeClusterLabels(s, d))
 
   private def computeClusterLabels(
       s: SparkSession, d: String): DataFrame = {
