@@ -659,6 +659,44 @@ object TextQueries {
         .orderBy(col("n").desc, col("pair"))
         .limit(30)),
 
+    // THREE real BPE training rounds: words become space-separated
+    // symbol sequences; each round counts adjacent symbol pairs
+    // distributedly, picks the global argmax (ONE row to the driver —
+    // bounded, like the reference pattern for iterative trainers),
+    // and merges that pair corpus-wide via space-delimited greedy
+    // left-to-right replace (identical non-overlap semantics in both
+    // engines). Output is the learned merge table — the actual BPE
+    // vocab artifact. The oracle unrolls the same three rounds.
+    "bpe_train_merges" -> ((s, d) => {
+      var words = documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("w"))
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      for (r <- 1 to 3) {
+        val top = words
+          .select(split(col("w"), " ").as("syms"))
+          .select(explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => concat_ws(" ",
+              element_at(col("syms"), i),
+              element_at(col("syms"), i + 1)))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(1)
+          .collect()(0)
+        val pair = top.getString(0)
+        merges += ((r, pair, top.getLong(1)))
+        words = words.select(
+          trim(expr(
+            s"replace(concat(' ', w, ' '), ' ${pair} ', " +
+              s"' ${pair.replace(" ", "")} ')")).as("w"))
+      }
+      s.createDataFrame(merges.toSeq)
+        .toDF("round", "pair", "n")
+        .orderBy("round")
+    }),
+
     // Rare-token ratio: per-doc fraction (ppm, exact integer) of token
     // OCCURRENCES outside the corpus top-20 vocabulary — the
     // out-of-vocabulary quality signal. The vocab is bounded by K →
@@ -1378,6 +1416,34 @@ object TextQueries {
          |)
          |SELECT pair, count(*) AS n FROM pairs_
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    "bpe_train_merges" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""p$k AS (
+           |  SELECT s[i] || ' ' || s[i+1] AS pair, count(*) AS n
+           |  FROM (SELECT string_split(w, ' ') AS s FROM w${k - 1}) q,
+           |       LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
+           |  GROUP BY pair
+           |), t$k AS (
+           |  SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1
+           |), w$k AS (
+           |  SELECT trim(replace(' ' || w || ' ',
+           |    ' ' || (SELECT pair FROM t$k) || ' ',
+           |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '))
+           |    AS w
+           |  FROM w${k - 1}
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS (
+         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS w
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) u
+         |  WHERE length(w) >= 2
+         |),
+         |$rounds
+         |SELECT CAST(1 AS INTEGER) AS round, pair, n FROM t1
+         |UNION ALL SELECT 2, pair, n FROM t2
+         |UNION ALL SELECT 3, pair, n FROM t3
+         |ORDER BY round""".stripMargin
+    },
     "rare_token_ratio" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS token FROM documents
