@@ -659,23 +659,35 @@ object TextQueries {
         .orderBy(col("n").desc, col("pair"))
         .limit(30)),
 
-    // THREE real BPE training rounds: words become space-separated
-    // symbol sequences; each round counts adjacent symbol pairs
+    // THREE BPE training rounds: words become space-separated symbol
+    // sequences; each round counts adjacent symbol pairs
     // distributedly, picks the global argmax (ONE row to the driver —
-    // bounded, like the reference pattern for iterative trainers),
-    // and merges that pair corpus-wide via space-delimited greedy
-    // left-to-right replace (identical non-overlap semantics in both
-    // engines). Output is the learned merge table — the actual BPE
-    // vocab artifact. The oracle unrolls the same three rounds.
+    // bounded, the standard shape for iterative trainers), and merges
+    // that pair corpus-wide via space-delimited NON-OVERLAPPING
+    // left-to-right string replace — semantics both engines share
+    // exactly. Documented divergence from strict pairwise BPE: in a
+    // RUN of the same repeated symbol the shared delimiter makes only
+    // alternate occurrences merge per pass; the pair statistics and
+    // argmax selection are unaffected. Each round's corpus is
+    // localCheckpointed (one generation at a time, like
+    // dedup_clusters) so round k never replays rounds 1..k-1. The
+    // oracle unrolls the same rounds; on a degenerate corpus with no
+    // pairs both sides emit zero rounds.
     "bpe_train_merges" -> ((s, d) => {
       var words = documents(s, d)
         .select(explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) >= 2)
         .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("w"))
+        .localCheckpoint(true)
       val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
-      for (r <- 1 to 3) {
+      var r = 1
+      var done = false
+      while (r <= 3 && !done) {
         val top = words
           .select(split(col("w"), " ").as("syms"))
+          // guard: a fully-merged 1-symbol word has no pairs, and an
+          // unguarded sequence(1, 0) would descend into element_at 0
+          .filter(size(col("syms")) >= 2)
           .select(explode(transform(
             sequence(lit(1), size(col("syms")) - 1),
             i => concat_ws(" ",
@@ -684,14 +696,26 @@ object TextQueries {
           .groupBy("pair").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("pair"))
           .limit(1)
-          .collect()(0)
-        val pair = top.getString(0)
-        merges += ((r, pair, top.getLong(1)))
-        words = words.select(
-          trim(expr(
-            s"replace(concat(' ', w, ' '), ' ${pair} ', " +
-              s"' ${pair.replace(" ", "")} ')")).as("w"))
+          .collect()
+        if (top.isEmpty) done = true
+        else {
+          val pair = top(0).getString(0)
+          merges += ((r, pair, top(0).getLong(1)))
+          val prev = words
+          // Column-level literals (never interpolated into SQL text):
+          // the pair is corpus-derived and may contain any non-space
+          // characters.
+          words = words.select(
+            trim(call_function("replace",
+              concat(lit(" "), col("w"), lit(" ")),
+              lit(s" $pair "),
+              lit(" " + pair.replace(" ", "") + " "))).as("w"))
+            .localCheckpoint(true)
+          prev.unpersist()
+          r += 1
+        }
       }
+      words.unpersist()
       s.createDataFrame(merges.toSeq)
         .toDF("round", "pair", "n")
         .orderBy("round")
