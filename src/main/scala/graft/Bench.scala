@@ -73,6 +73,14 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_TOTAL.json"),
       (shortLine + "\n").getBytes("UTF-8"))
+    // Per-query timings as their own artifact: the stdout line above
+    // truncates in the driver's tail capture once the registry is
+    // large, leaving most queries with no cross-round perf history.
+    // This file is the full map, always auditable.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_PERQ.json"),
+      (s"""{"sf":"$sfDir","unit":"sec","queries":$qs}""" + "\n")
+        .getBytes("UTF-8"))
     failures.foreach { case (name, err) =>
       System.err.println(s"BENCH FAILURE: $name — $err")
     }

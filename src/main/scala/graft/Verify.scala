@@ -63,7 +63,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Subset runs write a SIDECAR manifest and remove the other form:
+    // a subset must never masquerade as (or coexist with a stale copy
+    // of) the full-registry manifest, or a later tools/check.py run
+    // would report an all-green small-N result that reads like a full
+    // pass. Full runs symmetrically clear any stale subset sidecar.
+    val oracleFile =
+      if (only.isDefined) "oracle_sql.subset.json" else "oracle_sql.json"
+    val staleFile =
+      if (only.isDefined) "oracle_sql.json" else "oracle_sql.subset.json"
+    Files.deleteIfExists(Paths.get(s"$outDir/$staleFile"))
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

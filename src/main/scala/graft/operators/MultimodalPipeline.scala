@@ -9,11 +9,19 @@ import graft.Tables
   * per-partition codec initialization amortized across the partition's
   * rows.
   *
-  * The CODEC IS A STUB (this container ships no image/audio libraries):
-  * `decodeStub` derives deterministic fake dimensions from the payload
-  * bytes. Swapping it for a real codec changes ONE function — the
-  * partitioning, batching, schema, and typed-Dataset plumbing around it
-  * are the real, tested artifact.
+  * Two codec paths:
+  *   - REAL image codec: `javax.imageio` PNG encode/decode (stock-JVM,
+  *     no native libraries) — `encodePngPartition` synthesizes
+  *     deterministic images into the binary column and
+  *     `decodePngPartition` reads them back and emits exact pixel
+  *     statistics; the `multimodal_decode_png` oracle recomputes the
+  *     same statistics arithmetically, so a lossy or misaligned decode
+  *     cannot pass.
+  *   - Stub for formats with no stock-JVM codec (audio/video):
+  *     `decodeStub` derives deterministic fake dimensions from the
+  *     payload bytes. Swapping it for a real codec changes ONE
+  *     function — the partitioning, batching, schema, and
+  *     typed-Dataset plumbing around it are identical to the PNG path.
   */
 object MultimodalPipeline {
 
@@ -28,6 +36,97 @@ object MultimodalPipeline {
       height: Int,
       n_frames: Int,
       checksum: Long)
+
+  /** A synthesized PNG payload keyed by document. */
+  case class PngImage(doc_id: Long, png: Array[Byte])
+
+  /** Exact pixel statistics from a REAL decode of the PNG payload. */
+  case class PixelStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Deterministic per-pixel RGB — the formula BOTH sides compute: the
+    * Spark side draws it into a PNG and reads it back through the
+    * codec; the DuckDB oracle evaluates it arithmetically. PNG is
+    * lossless, so any codec misbehavior (channel order, row stride,
+    * color management) breaks the hash match.
+    */
+  private def synthRgb(docId: Long, x: Int, y: Int): Int = {
+    val r = ((x * 31 + y * 17 + docId) % 256).toInt
+    val g = ((x * 7 + y * 29 + docId * 3) % 256).toInt
+    val b = ((x * 13 + y * 5 + docId * 7) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Image dimensions derived from the doc id (4–16 × 3–9 px). */
+  private def synthDims(docId: Long): (Int, Int) =
+    ((docId % 13 + 4).toInt, (docId % 7 + 3).toInt)
+
+  /** Per-partition PNG ENCODE: one reusable output buffer per
+    * partition, one `javax.imageio` writer call per row.
+    */
+  def encodePngPartition(ids: Iterator[Long]): Iterator[PngImage] = {
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    ids.map { docId =>
+      val (w, h) = synthDims(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, synthRgb(docId, x, y)); x += 1 }
+        y += 1
+      }
+      bos.reset()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      PngImage(docId, bos.toByteArray)
+    }
+  }
+
+  /** Per-partition REAL PNG decode via `javax.imageio`: reads the
+    * binary payload back into pixels and reduces to exact per-channel
+    * sums — streaming over the iterator, one decoded image in memory
+    * at a time.
+    */
+  def decodePngPartition(items: Iterator[PngImage]): Iterator[PixelStats] =
+    items.map { item =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(item.png))
+      require(img != null, s"undecodable PNG payload for doc ${item.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      PixelStats(item.doc_id, w, h, sr, sg, sb)
+    }
+
+  /** Synthesize-then-decode over the documents table: the binary
+    * column is born and consumed executor-side (never on the driver),
+    * through the same typed mapPartitions shape as [[decodeDocuments]].
+    */
+  def decodePngStats(spark: SparkSession, dir: String): Dataset[PixelStats] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(encodePngPartition _)
+      .mapPartitions(decodePngPartition _)
+  }
 
   /** STUB decode: deterministic fake. A real implementation opens the
     * codec handle created in [[decodePartition]] and reads headers.

@@ -9,12 +9,14 @@ import graft.Tables._
   * stay columnar/compressed in parquet, metadata drives partition
   * pruning; decode happens per-partition, never on the driver).
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * STUB — a deterministic fake (byte-length-derived dimensions) marked
-  * as such; the Spark-side plumbing (binary schema, per-partition
-  * batch shape, fingerprinting, frame/byte sampling) is real and
-  * oracle-checked. The typed mapPartitions decoder lives in
-  * [[MultimodalPipeline]] and is spec-tested.
+  * The image path uses a REAL codec: `multimodal_decode_png`
+  * synthesizes deterministic PNGs into the binary column and decodes
+  * them back through `javax.imageio` executor-side, with the oracle
+  * recomputing the exact pixel statistics arithmetically (PNG is
+  * lossless, so the hash match proves the decode). Formats with no
+  * stock-JVM codec (audio/video) keep a clearly-marked deterministic
+  * stub with the same per-partition plumbing. Both decoders live in
+  * [[MultimodalPipeline]] and are spec-tested.
   */
 object MultimodalQueries {
 
@@ -37,6 +39,15 @@ object MultimodalQueries {
           (octet_length(col("payload")) / lit(100) + 1).cast("int")
             .as("stub_n_frames"))
         .orderBy("doc_id")),
+
+    // REAL image decode: synthesize a deterministic PNG per document
+    // (dimensions and pixel RGB derived from doc_id), then decode the
+    // binary payload back through javax.imageio in a per-partition
+    // typed map and reduce to exact per-channel pixel sums. The
+    // oracle computes the same sums from the pixel formula directly —
+    // only a faithful encode→decode round trip can match it.
+    "multimodal_decode_png" -> ((s, d) =>
+      MultimodalPipeline.decodePngStats(s, d).toDF().orderBy("doc_id")),
 
     // Byte-stride frame sampling: every 50th byte's value — the
     // "sample frames from video" access pattern over binary columns.
@@ -75,6 +86,28 @@ object MultimodalQueries {
         |       CAST(n_chars % 480 + 1 AS INTEGER) AS stub_height,
         |       CAST(strlen(text) // 100 + 1 AS INTEGER) AS stub_n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode_png" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+        |         CAST(doc_id % 7 + 3 AS INTEGER) AS height
+        |  FROM documents
+        |), xs AS (
+        |  SELECT doc_id, width, height,
+        |         unnest(generate_series(0, width - 1)) AS x
+        |  FROM dims
+        |), px AS (
+        |  SELECT doc_id, width, height, x,
+        |         unnest(generate_series(0, height - 1)) AS y
+        |  FROM xs
+        |)
+        |SELECT doc_id, width, height,
+        |       CAST(SUM((x*31 + y*17 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((x*7 + y*29 + doc_id*3) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((x*13 + y*5 + doc_id*7) % 256) AS BIGINT) AS sum_b
+        |FROM px
+        |GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id,
         |       CAST(p AS INTEGER) AS frame_idx,

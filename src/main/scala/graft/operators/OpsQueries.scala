@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints
 import graft.Tables._
 
 /** Pipeline-operations family: the jobs that keep a 100 TB table
@@ -55,7 +56,7 @@ object OpsQueries {
 
   /** Undirected customer–supplier purchase graph (node ids: customers
     * even, suppliers odd), materialized ONCE per (session, dir) via
-    * localCheckpoint and memoized — shared by `pagerank_fixed` and
+    * `Checkpoints.pin` and memoized — shared by `pagerank_fixed` and
     * `bfs_hops` so the gate builds the edge list a single time (the
     * at-scale shape is a checkpointed edge table).
     */
@@ -70,9 +71,8 @@ object OpsQueries {
           (col("o_custkey") * 2).as("c"),
           (col("l_suppkey") * 2 + 1).as("p"))
         .distinct()
-      pairs.select(col("c").as("src"), col("p").as("dst"))
-        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
-        .localCheckpoint(true)
+      Checkpoints.pin(pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst"))))
     }
 
   private val edgesSqlCte =
@@ -200,7 +200,7 @@ object OpsQueries {
     // arithmetic (mass scaled to 1e12; per-edge contribution
     // r*85 DIV (100*deg)) so an iterative random walk is hash-pinned
     // cross-engine. The edge list and degrees are materialized ONCE
-    // (localCheckpoint — the at-scale shape is a checkpointed edge
+    // (`Checkpoints.pin` — the at-scale shape is a checkpointed edge
     // table; without it every round would re-scan the fact join);
     // each round is then one key-equi join + one aggregation shuffling
     // on the node key only. NOTE: like dedup_clusters, construction
@@ -211,8 +211,8 @@ object OpsQueries {
     // same floor division as `DIV`/`//`.
     "pagerank_fixed" -> ((s, d) => {
       val edges = purchaseEdges(s, d)
-      val degs = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+      val degs = Checkpoints.pin(
+        edges.groupBy("src").agg(count(lit(1)).as("deg")))
       val nodes = edges.select(col("src").as("node")).distinct()
       val n = nodes.count()
       val r0 = nodes.withColumn("r", lit(1000000000000L / n))

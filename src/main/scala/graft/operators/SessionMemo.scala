@@ -4,7 +4,8 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Per-(session, dir) memo for eagerly-materialized (localCheckpoint)
+/** Per-(session, dir) memo for eagerly-materialized
+  * (`graft.Checkpoints.pin`)
   * DataFrames that several registered queries share — the near-dup
   * cluster labels and the purchase-graph edge list. One fixpoint /
   * edge build per gate run instead of one per consumer.

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints
 import graft.Tables._
 import graft.functions.TextFunctions._
 
@@ -138,9 +139,13 @@ object TextQueries {
     * shared by `dedup_clusters` and `cluster_representatives`.
     *
     * The result is memoized per (session, dir): the label frame is
-    * already materialized by the final localCheckpoint, so the second
-    * consumer reuses it instead of re-running the whole distributed
-    * fixpoint (the gate's most expensive iterative computation).
+    * already materialized by the final `Checkpoints.pin`, so the
+    * second consumer reuses it instead of re-running the whole
+    * distributed fixpoint (the gate's most expensive iterative
+    * computation). Per-generation pins take the durability tier from
+    * `graft.Checkpoints` — executor-local by default, reliable
+    * checkpoint files when `spark.graft.checkpoint.dir` is set (the
+    * deployable mode: a 100 TB fixpoint must survive executor loss).
     */
   private val labelCache = new SessionMemo
 
@@ -152,20 +157,18 @@ object TextQueries {
     val pairs = jaccardPairs(s, d)
       .filter(col("jaccard") >= 0.9)
       .select(col("a"), col("b"))
-    val edges = pairs
+    val edges = Checkpoints.pin(pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .toDF("src", "dst")
-      .localCheckpoint(true)
+      .toDF("src", "dst"))
     // One checkpointed generation lives at a time: each round
     // materializes `next` (with an inline change flag — no extra
     // join just to detect convergence), counts changes off the
     // checkpoint, and unpersists the PREVIOUS generation — total
     // cached state stays one label table plus the edge list.
-    var checkpointed = edges
+    var checkpointed = Checkpoints.pin(edges
       .select(col("src").as("doc_id"))
       .distinct()
-      .withColumn("lab", col("doc_id"))
-      .localCheckpoint(true)
+      .withColumn("lab", col("doc_id")))
     var labels = checkpointed
     var changed = 1L
     var rounds = 0
@@ -176,15 +179,14 @@ object TextQueries {
         .groupBy("src")
         .agg(min(col("dlab")).as("nmin"))
         .toDF("doc_id", "nmin")
-      val next = labels
+      val next = Checkpoints.pin(labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
-          (col("nmin").isNotNull && col("nmin") < col("lab")).as("chg"))
-        .localCheckpoint(true)
+          (col("nmin").isNotNull && col("nmin") < col("lab")).as("chg")))
       changed = next.filter(col("chg")).count()
-      checkpointed.unpersist()
+      Checkpoints.unpin(checkpointed)
       checkpointed = next
       labels = next.select("doc_id", "lab")
       rounds += 1
@@ -196,7 +198,7 @@ object TextQueries {
       changed == 0,
       s"clusterLabels did not converge within $MaxRounds rounds — " +
         "component diameter exceeds the cap; use large-star/small-star")
-    edges.unpersist()
+    Checkpoints.unpin(edges)
     labels.select(col("doc_id"), col("lab").as("cluster"))
   }
 
@@ -610,8 +612,10 @@ object TextQueries {
     // choice on. Min-label propagation to a FIXPOINT: each round every
     // node takes the min label among itself and its neighbors; the
     // driver loop re-plans per round (same shape as MLlib/GraphFrames
-    // iterative jobs) and `localCheckpoint` truncates the growing
-    // lineage. Rounds needed = graph diameter — near-dup components
+    // iterative jobs) and `Checkpoints.pin` truncates the growing
+    // lineage (reliable-file tier available via
+    // spark.graft.checkpoint.dir). Rounds needed = graph diameter —
+    // near-dup components
     // are small and dense, so this converges in a few rounds at any
     // corpus size (a pathological long-chain graph would want the
     // large-star/small-star variant instead; the oracle closes the
@@ -669,16 +673,15 @@ object TextQueries {
     // RUN of the same repeated symbol the shared delimiter makes only
     // alternate occurrences merge per pass; the pair statistics and
     // argmax selection are unaffected. Each round's corpus is
-    // localCheckpointed (one generation at a time, like
+    // pinned via `Checkpoints` (one generation at a time, like
     // dedup_clusters) so round k never replays rounds 1..k-1. The
     // oracle unrolls the same rounds; on a degenerate corpus with no
     // pairs both sides emit zero rounds.
     "bpe_train_merges" -> ((s, d) => {
-      var words = documents(s, d)
+      var words = Checkpoints.pin(documents(s, d)
         .select(explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) >= 2)
-        .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("w"))
-        .localCheckpoint(true)
+        .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("w")))
       val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
       var r = 1
       var done = false
@@ -705,17 +708,16 @@ object TextQueries {
           // Column-level literals (never interpolated into SQL text):
           // the pair is corpus-derived and may contain any non-space
           // characters.
-          words = words.select(
+          words = Checkpoints.pin(words.select(
             trim(call_function("replace",
               concat(lit(" "), col("w"), lit(" ")),
               lit(s" $pair "),
-              lit(" " + pair.replace(" ", "") + " "))).as("w"))
-            .localCheckpoint(true)
-          prev.unpersist()
+              lit(" " + pair.replace(" ", "") + " "))).as("w")))
+          Checkpoints.unpin(prev)
           r += 1
         }
       }
-      words.unpersist()
+      Checkpoints.unpin(words)
       s.createDataFrame(merges.toSeq)
         .toDF("round", "pair", "n")
         .orderBy("round")
