@@ -33,8 +33,12 @@ class MisraGriesAggregator(k: Int)
       case None if buf.size < k => buf.update(item, 1L)
       case None =>
         // Decrement-all step: drop every counter by one, evict zeros.
+        // Iterate a SNAPSHOT of the keys: mutating a mutable.Map mid-
+        // iteration is contractually undefined even for value-only
+        // updates (the encoder-deserialized buffer's concrete Map type
+        // is an implementation detail).
         val dead = mutable.ArrayBuffer.empty[String]
-        buf.keysIterator.foreach { key =>
+        buf.keys.toArray.foreach { key =>
           val c = buf(key) - 1
           if (c <= 0) dead += key else buf.update(key, c)
         }
@@ -50,10 +54,11 @@ class MisraGriesAggregator(k: Int)
       a.update(item, a.getOrElse(item, 0L) + c)
     }
     if (a.size > k) {
-      // Subtract the (k+1)-th largest count from all, evict ≤0.
+      // Subtract the (k+1)-th largest count from all, evict ≤0 —
+      // over a key snapshot, same reasoning as in reduce().
       val cut = a.values.toArray.sortBy(-_).apply(k)
       val dead = mutable.ArrayBuffer.empty[String]
-      a.keysIterator.foreach { key =>
+      a.keys.toArray.foreach { key =>
         val c = a(key) - cut
         if (c <= 0) dead += key else a.update(key, c)
       }

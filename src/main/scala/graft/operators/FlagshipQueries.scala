@@ -202,6 +202,20 @@ object FlagshipQueries {
         .orderBy(col("rank").cast("int"))
     }),
 
+    // The flagship under Structured Streaming (SURVEY §7.5 stretch
+    // goal): fixture page SNAPSHOTS stream in as files (one per
+    // micro-batch), the same parse/canonicalize path feeds one
+    // complete-mode stateful aggregation, and the bounded aggregated
+    // state yields the identical top-10 report — pinned by the SAME
+    // oracle as the batch flagship.
+    "flagship_stream" -> ((spark, _) => {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.StreamingFlagship.flagshipReport(
+        spark,
+        graft.Fs.sinkDir("graft_flagship_snaps"),
+        "flagship_stream_" + id)
+    }),
+
     // S10: union-all accumulation — per-source row counts.
     "union_counts" -> ((spark, _) =>
       Rankings
@@ -221,23 +235,29 @@ object FlagshipQueries {
 
   // ---------------------------------------------------------------- //
 
+  /** Shared by `flagship` and `flagship_stream` — the streaming form
+    * must produce the byte-identical report.
+    */
+  private val flagshipOracleSql: String =
+    s"""WITH $rawRankingsCte,
+       |canon AS (
+       |  SELECT url, $safeRankSql AS rank_int, $canonSql AS title_comp
+       |  FROM raw_rankings
+       |),
+       |covered AS (
+       |  SELECT * FROM (
+       |    SELECT c.*, count(*) OVER (PARTITION BY title_comp) AS n
+       |    FROM canon c) t WHERE n = 3
+       |)
+       |SELECT title_comp,
+       |       CAST(sum(rank_int) AS BIGINT) AS rank_sum,
+       |       avg(rank_int) AS rank_avg
+       |FROM covered GROUP BY title_comp
+       |ORDER BY rank_sum ASC, title_comp ASC LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "flagship" ->
-      s"""WITH $rawRankingsCte,
-         |canon AS (
-         |  SELECT url, $safeRankSql AS rank_int, $canonSql AS title_comp
-         |  FROM raw_rankings
-         |),
-         |covered AS (
-         |  SELECT * FROM (
-         |    SELECT c.*, count(*) OVER (PARTITION BY title_comp) AS n
-         |    FROM canon c) t WHERE n = 3
-         |)
-         |SELECT title_comp,
-         |       CAST(sum(rank_int) AS BIGINT) AS rank_sum,
-         |       avg(rank_int) AS rank_avg
-         |FROM covered GROUP BY title_comp
-         |ORDER BY rank_sum ASC, title_comp ASC LIMIT 10""".stripMargin,
+    "flagship" -> flagshipOracleSql,
+    "flagship_stream" -> flagshipOracleSql,
     "flagship_mean" ->
       s"""WITH $rawRankingsCte,
          |canon AS (

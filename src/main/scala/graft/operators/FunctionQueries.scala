@@ -288,24 +288,26 @@ object FunctionQueries {
         |       embedding[1] AS first_val,
         |       label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Fold-order exactness: Spark's aggregate() HOF adds elements
+    // LEFT-TO-RIGHT from a 0.0 double seed; a plain SQL sum() has no
+    // guaranteed accumulation order for IEEE doubles, so the oracle
+    // folds with list_reduce over a 0.0-prepended list — bit-identical
+    // sequential semantics on both engines (and, unlike an
+    // unnest+join form, it keeps rows whose array is empty).
     "hof_functions" ->
-      """WITH ex AS (
-        |  SELECT vec_id, unnest(embedding) AS x,
-        |         unnest(generate_series(0, len(embedding)-1)) AS i
-        |  FROM embeddings
-        |), lens AS (
-        |  SELECT vec_id, len(embedding) AS l FROM embeddings
-        |)
-        |SELECT u.vec_id,
-        |       bool_or(u.x > 0.9) AS has_big,
-        |       bool_and(abs(u.x) <= 1.0) AS unit_range,
-        |       sum(u.x) AS sum_val,
-        |       sum(u.x * v.x) AS palindrome_dot,
-        |       sum(u.x) FILTER (u.i < 4) AS first4_sum
-        |FROM ex u
-        |JOIN lens n ON n.vec_id = u.vec_id
-        |JOIN ex v ON v.vec_id = u.vec_id AND v.i = n.l - 1 - u.i
-        |GROUP BY u.vec_id ORDER BY u.vec_id""".stripMargin,
+      """SELECT vec_id,
+        |       len(list_filter(embedding, x -> x > 0.9)) > 0 AS has_big,
+        |       len(list_filter(embedding, x -> abs(x) <= 1.0))
+        |         = len(embedding) AS unit_range,
+        |       list_reduce(list_prepend(0.0::DOUBLE, embedding),
+        |         (acc, x) -> acc + x) AS sum_val,
+        |       list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(generate_series(1, len(embedding)),
+        |           i -> embedding[i] * embedding[len(embedding) + 1 - i])),
+        |         (acc, x) -> acc + x) AS palindrome_dot,
+        |       list_reduce(list_prepend(0.0::DOUBLE, embedding[1:4]),
+        |         (acc, x) -> acc + x) AS first4_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "array_explode" ->
       """SELECT vec_id, CAST(p AS INTEGER) AS pos, val FROM (
         |  SELECT vec_id,

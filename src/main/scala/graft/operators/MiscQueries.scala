@@ -363,16 +363,43 @@ object MiscQueries {
     // gate/bench invocations idempotent), then queried back BY NAME
     // through the catalog instead of by path. CatalogSpec smokes SHOW
     // TABLES / DESCRIBE / the Catalog API over the same table.
-    "catalog_table" -> ((s, d) => {
-      // An aborted earlier run can orphan the managed location, which
-      // overwrite-CREATE then refuses; clear both table and location.
-      s.sql("DROP TABLE IF EXISTS graft_nation_cat")
+    // ANALYZE/statistics surface through the gate: the dimension is
+    // saved as a managed catalog table and ANALYZEd (table + column
+    // stats persisted in the catalog — the input to CBO join
+    // reordering and stats-driven auto-broadcast, exercised
+    // plan-level in AnalyzeStatsSpec), then the query runs over the
+    // analyzed table BY NAME. Stats change plans, never results —
+    // which is exactly what the oracle (reading the raw parquet)
+    // pins.
+    "analyzed_table_agg" -> ((s, d) => {
+      val tbl = graft.Fs.runTable("graft_supp_stats")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
       graft.Fs.deleteRecursively(java.nio.file.Paths.get(
         java.net.URI.create(
           s.conf.get("spark.sql.warehouse.dir")).getPath,
-        "graft_nation_cat"))
-      nation(s, d).write.mode("overwrite").saveAsTable("graft_nation_cat")
-      s.table("graft_nation_cat")
+        tbl))
+      supplier(s, d).write.mode("overwrite").saveAsTable(tbl)
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.table(tbl)
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          sum(cents(col("s_acctbal"))).as("acctbal_cents"))
+        .orderBy("n_name")
+    }),
+
+    "catalog_table" -> ((s, d) => {
+      val tbl = graft.Fs.runTable("graft_nation_cat")
+      // An aborted earlier run can orphan the managed location, which
+      // overwrite-CREATE then refuses; clear both table and location.
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(
+        java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath,
+        tbl))
+      nation(s, d).write.mode("overwrite").saveAsTable(tbl)
+      s.table(tbl)
         .groupBy("n_regionkey")
         .agg(
           count(lit(1)).as("n_nations"),
@@ -654,7 +681,9 @@ object MiscQueries {
     // per-bucket merges (plan asserted shuffle-free in
     // BucketedJoinSpec; this query pins the result through the gate).
     "bucketed_join" -> ((s, d) => {
-      Seq("graft_ord_bkt", "graft_cust_bkt").foreach { t =>
+      val ordTbl = graft.Fs.runTable("graft_ord_bkt")
+      val custTbl = graft.Fs.runTable("graft_cust_bkt")
+      Seq(ordTbl, custTbl).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         graft.Fs.deleteRecursively(java.nio.file.Paths.get(
           java.net.URI.create(
@@ -663,13 +692,13 @@ object MiscQueries {
       }
       orders(s, d)
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable("graft_ord_bkt")
+        .mode("overwrite").saveAsTable(ordTbl)
       customer(s, d)
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable("graft_cust_bkt")
-      s.table("graft_ord_bkt")
+        .mode("overwrite").saveAsTable(custTbl)
+      s.table(ordTbl)
         .join(
-          s.table("graft_cust_bkt"),
+          s.table(custTbl),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
@@ -683,6 +712,12 @@ object MiscQueries {
     // The catalog round-trip must be lossless: the oracle reads the
     // source parquet directly, so any drop/dup through saveAsTable +
     // spark.table breaks the hash.
+    "analyzed_table_agg" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |       CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)
+        |         AS acctbal_cents
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "catalog_table" ->
       """SELECT n_regionkey, count(*) AS n_nations,
         |       min(n_name) AS first_nation

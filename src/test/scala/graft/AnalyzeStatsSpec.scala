@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Table statistics + cost-based planning: `ANALYZE TABLE ... COMPUTE
+  * STATISTICS FOR ALL COLUMNS` persists row counts and column stats in
+  * the catalog, `DESCRIBE EXTENDED` reads them back, and with CBO
+  * enabled the optimizer USES them — a selective filter's cardinality
+  * estimate drops below the table row count, and that estimate (not
+  * the raw file size) drives an auto-broadcast with no hint. At 100 TB
+  * this is how the right join strategy happens without hand-tuning:
+  * file size says "huge", stats say "the filtered dimension side is
+  * tiny — broadcast it".
+  */
+class AnalyzeStatsSpec extends SparkTestBase {
+
+  private val Analyzed = Fs.runTable("graft_orders_stats")
+  private val Bare = Fs.runTable("graft_orders_nostats")
+
+  private def recreate(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    Fs.deleteRecursively(java.nio.file.Paths.get(
+      java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      name))
+    Tables.orders(spark, sfDir).write.mode("overwrite").saveAsTable(name)
+  }
+
+  private def dimJoin(table: String) =
+    Tables
+      .lineitem(spark, sfDir)
+      .join(
+        spark.table(table).filter(col("o_custkey") === 1),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+
+  test("ANALYZE persists stats, DESCRIBE reads them, CBO plans from them") {
+    recreate(Analyzed)
+    recreate(Bare)
+    val nRows = Tables.orders(spark, sfDir).count()
+    spark.sql(s"ANALYZE TABLE $Analyzed COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    // Read-back: table-level stats surface in DESCRIBE EXTENDED ...
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $Analyzed")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("Statistics").contains(s"$nRows rows"),
+      s"expected '$nRows rows' in: ${desc.get("Statistics")}")
+    // ... and column-level stats in DESCRIBE on the column.
+    val colDesc = spark
+      .sql(s"DESCRIBE TABLE EXTENDED $Analyzed o_orderpriority")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colDesc("distinct_count").toLong >= 4,
+      s"column ndv missing: $colDesc")
+
+    val prev = Seq(
+      "spark.sql.cbo.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // Static-plan assertion: AQE would re-plan from runtime sizes
+      // and mask whether the STATS made the decision.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      // The optimizer's estimate for the filtered analyzed table must
+      // be stats-driven: cardinality strictly below the full count
+      // (equality selectivity 1/ndv on a high-ndv key — impossible to
+      // know from file size alone).
+      val filtered = spark.table(Analyzed)
+        .filter(col("o_custkey") === 1)
+      val est = filtered.queryExecution.optimizedPlan.stats
+      assert(est.rowCount.isDefined, "CBO row count missing after ANALYZE")
+      assert(est.rowCount.get > 0 && est.rowCount.get < nRows,
+        s"filter estimate not selective: ${est.rowCount} of $nRows")
+
+      // Pick the threshold BETWEEN the two estimates, so the stats are
+      // exactly what flips the plan: the analyzed side's post-filter
+      // estimate fits, the no-stats side's file-size estimate doesn't.
+      val statsSize = est.sizeInBytes
+      val bareSize = spark.table(Bare)
+        .filter(col("o_custkey") === 1)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(statsSize * 2 < bareSize,
+        s"fixture precondition: stats estimate $statsSize not well under " +
+          s"file-size estimate $bareSize")
+      spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", (statsSize * 2).toString)
+
+      val withStats = dimJoin(Analyzed).queryExecution.executedPlan.toString
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"analyzed dim should auto-broadcast (no hint):\n$withStats")
+      val noStats = dimJoin(Bare).queryExecution.executedPlan.toString
+      assert(!noStats.contains("BroadcastHashJoin"),
+        s"unanalyzed dim must not broadcast under the same threshold:\n$noStats")
+
+      // Same answer either way — stats change the plan, not the result.
+      assert(
+        dimJoin(Analyzed).orderBy("o_orderstatus").collect().toSeq ==
+          dimJoin(Bare).orderBy("o_orderstatus").collect().toSeq)
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      Seq(Analyzed, Bare).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+}

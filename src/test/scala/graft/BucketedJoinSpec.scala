@@ -11,17 +11,22 @@ import org.apache.spark.sql.functions._
   */
 class BucketedJoinSpec extends SparkTestBase {
 
+  // Run-id-suffixed names: a concurrent test JVM on the same host
+  // must not clobber this one's bucketed layout mid-assert.
+  private val LiTbl = Fs.runTable("li_bucketed")
+  private val OrdTbl = Fs.runTable("ord_bucketed")
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
 
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    spark.sql(s"DROP TABLE IF EXISTS $LiTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $OrdTbl")
     // A previously-aborted run can leave an orphan managed-table
     // location that CREATE TABLE then refuses.
     val wh = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+    Seq(LiTbl, OrdTbl).foreach { t =>
       val dir = new java.io.File(wh, t)
       if (dir.exists()) {
         def rm(f: java.io.File): Unit = {
@@ -35,12 +40,12 @@ class BucketedJoinSpec extends SparkTestBase {
       .bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey")
       .mode("overwrite")
-      .saveAsTable("li_bucketed")
+      .saveAsTable(LiTbl)
     ord.write
       .bucketBy(8, "o_orderkey")
       .sortBy("o_orderkey")
       .mode("overwrite")
-      .saveAsTable("ord_bucketed")
+      .saveAsTable(OrdTbl)
 
     // Force the sort-merge path (tiny test tables would otherwise
     // broadcast, hiding the property under test).
@@ -58,8 +63,8 @@ class BucketedJoinSpec extends SparkTestBase {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
     val joined = spark
-      .table("li_bucketed")
-      .join(spark.table("ord_bucketed"),
+      .table(LiTbl)
+      .join(spark.table(OrdTbl),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"))
