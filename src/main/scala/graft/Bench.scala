@@ -39,8 +39,18 @@ object Bench {
     // A query that throws is recorded as a FAILURE (name + error),
     // excluded from the total, and fails the bench loudly — a broken
     // query must never silently improve the number.
+    // Builder-side iteration aid, mirroring Verify: SPARK_GRAFT_ONLY
+    // restricts the timed set. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        System.err.println(s"[bench] SUBSET MODE: ${names.size} queries")
+        SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val results = selected.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()

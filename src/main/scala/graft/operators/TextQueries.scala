@@ -623,6 +623,19 @@ object TextQueries {
     "dedup_clusters" -> ((s, d) =>
       clusterLabels(s, d).orderBy("doc_id")),
 
+    // The SAME components via alternating large-star/small-star
+    // (TwoStarCC): O(log²) rounds in graph size regardless of
+    // component diameter — the deployable fallback the min-label
+    // convergence cap points at, pinned against the identical
+    // transitive-closure oracle.
+    "dedup_clusters_twostar" -> ((s, d) =>
+      TwoStarCC.components(
+        jaccardPairs(s, d)
+          .filter(col("jaccard") >= 0.9)
+          .select(col("a").as("src"), col("b").as("dst")))
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+        .orderBy("doc_id")),
+
     // Per near-dup cluster, the document a dedup pass KEEPS: the
     // longest text wins (the standard quality heuristic), smallest
     // doc_id breaks ties. One key-equi join of the cluster labels
@@ -1393,6 +1406,22 @@ object TextQueries {
     // fixpoint, independently derived from the same pair graph the
     // Spark side propagates labels over.
     "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsSqlCte,
+         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
+         |edges AS (SELECT a AS src, b AS dst FROM hi
+         |          UNION SELECT b, a FROM hi),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+         |)
+         |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+         |FROM reach GROUP BY doc
+         |ORDER BY doc_id""".stripMargin,
+    // Identical closure oracle as dedup_clusters: the two-star
+    // algorithm must produce the same labeling.
+    "dedup_clusters_twostar" ->
       s"""WITH RECURSIVE $jaccardPairsSqlCte,
          |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
          |edges AS (SELECT a AS src, b AS dst FROM hi
