@@ -39,14 +39,24 @@ object Bench {
     // A query that throws is recorded as a FAILURE (name + error),
     // excluded from the total, and fails the bench loudly — a broken
     // query must never silently improve the number.
-    // Builder-side iteration aid, mirroring Verify: SPARK_GRAFT_ONLY
-    // restricts the timed set. The driver never sets it.
+    // Builder-side iteration aid, mirroring Verify's guards:
+    // SPARK_GRAFT_ONLY restricts the timed set; empty or unknown names
+    // fail loudly (a leaked env var must never shrink the bench to a
+    // silently-green subset). The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries — unset it to " +
+          "bench the full registry")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unregistered queries: " +
+          s"${unknown.mkString(", ")}")
+      System.err.println(s"[bench] SUBSET MODE: ${names.size} queries")
+    }
     val selected = only match {
-      case Some(names) =>
-        System.err.println(s"[bench] SUBSET MODE: ${names.size} queries")
-        SparkEntry.queries.filter(kv => names(kv._1))
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -79,16 +89,19 @@ object Bench {
     println(shortLine)
     // Belt-and-braces for log-capture parsers: the totals also land in
     // a file (sbt logging prefixes defeated stdout parsing in earlier
-    // rounds even with the short line).
+    // rounds even with the short line). Subset runs write to .subset-
+    // suffixed sidecars — a partial sweep must never masquerade as the
+    // full-run perf history (same rule as Verify's oracle manifest).
+    val suffix = if (only.isDefined) ".subset" else ""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_TOTAL.json"),
+      java.nio.file.Paths.get(s"BENCH_TOTAL$suffix.json"),
       (shortLine + "\n").getBytes("UTF-8"))
     // Per-query timings as their own artifact: the stdout line above
     // truncates in the driver's tail capture once the registry is
     // large, leaving most queries with no cross-round perf history.
     // This file is the full map, always auditable.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_PERQ.json"),
+      java.nio.file.Paths.get(s"BENCH_PERQ$suffix.json"),
       (s"""{"sf":"$sfDir","unit":"sec","queries":$qs}""" + "\n")
         .getBytes("UTF-8"))
     failures.foreach { case (name, err) =>

@@ -31,16 +31,65 @@ object Fs {
     */
   val runId: String = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Run-id namespaces isolate concurrent JVMs but orphan every PRIOR
+    * run's scratch (a crashed run never cleans up, and its dirs carry
+    * a different runId than any cleanup that keys on current names).
+    * So each namespace helper also REAPS stale siblings: same base
+    * name, different run id, untouched longer than this horizon —
+    * far beyond any live gate/bench/test run, so a concurrent run's
+    * fresh scratch is never collected.
+    */
+  private val StaleMillis = 6L * 3600 * 1000
+
+  private def reapStaleSiblings(parent: Path, base: String): Unit = {
+    val cutoff = System.currentTimeMillis() - StaleMillis
+    val ls = try Files.list(parent) catch { case _: Exception => return }
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith(base + "-") || n.startsWith(base + "_")) &&
+            !n.endsWith(runId) &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: Exception => false })
+        }
+        .toSeq
+        .foreach(p =>
+          try deleteRecursively(p) catch { case _: Exception => () })
+    } finally ls.close()
+  }
+
   /** Canonical scratch-sink path for gate queries that exercise a
     * write+read-back round trip — run-id suffixed (see [[runId]]);
     * stable within one JVM so repeated in-process runs overwrite
-    * rather than accumulate.
+    * rather than accumulate, with stale prior-run siblings reaped.
     */
-  def sinkDir(name: String): String =
+  def sinkDir(name: String): String = {
+    reapStaleSiblings(
+      Paths.get(System.getProperty("java.io.tmpdir")), name)
     s"${System.getProperty("java.io.tmpdir")}/$name-$runId"
+  }
 
   /** Run-id-suffixed catalog table name, same isolation argument as
     * [[sinkDir]] for tables in the shared warehouse dir.
     */
   def runTable(name: String): String = s"${name}_$runId"
+
+  /** Drop a managed table AND its warehouse location — an aborted
+    * earlier in-process run can orphan the location, which
+    * overwrite-CREATE then refuses. Also reaps stale prior-run
+    * namesakes (this JVM's metastore never knew their names, but
+    * their directories persist). One implementation for every
+    * saveAsTable round-trip site.
+    */
+  def dropTableAndLocation(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = Paths.get(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    deleteRecursively(wh.resolve(table))
+    val base = table.stripSuffix("_" + runId)
+    if (base != table) reapStaleSiblings(wh, base)
+  }
 }

@@ -373,11 +373,7 @@ object MiscQueries {
     // pins.
     "analyzed_table_agg" -> ((s, d) => {
       val tbl = graft.Fs.runTable("graft_supp_stats")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      graft.Fs.deleteRecursively(java.nio.file.Paths.get(
-        java.net.URI.create(
-          s.conf.get("spark.sql.warehouse.dir")).getPath,
-        tbl))
+      graft.Fs.dropTableAndLocation(s, tbl)
       supplier(s, d).write.mode("overwrite").saveAsTable(tbl)
       s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
       s.table(tbl)
@@ -391,13 +387,7 @@ object MiscQueries {
 
     "catalog_table" -> ((s, d) => {
       val tbl = graft.Fs.runTable("graft_nation_cat")
-      // An aborted earlier run can orphan the managed location, which
-      // overwrite-CREATE then refuses; clear both table and location.
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      graft.Fs.deleteRecursively(java.nio.file.Paths.get(
-        java.net.URI.create(
-          s.conf.get("spark.sql.warehouse.dir")).getPath,
-        tbl))
+      graft.Fs.dropTableAndLocation(s, tbl)
       nation(s, d).write.mode("overwrite").saveAsTable(tbl)
       s.table(tbl)
         .groupBy("n_regionkey")
@@ -683,13 +673,7 @@ object MiscQueries {
     "bucketed_join" -> ((s, d) => {
       val ordTbl = graft.Fs.runTable("graft_ord_bkt")
       val custTbl = graft.Fs.runTable("graft_cust_bkt")
-      Seq(ordTbl, custTbl).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        graft.Fs.deleteRecursively(java.nio.file.Paths.get(
-          java.net.URI.create(
-            s.conf.get("spark.sql.warehouse.dir")).getPath,
-          t))
-      }
+      Seq(ordTbl, custTbl).foreach(graft.Fs.dropTableAndLocation(s, _))
       orders(s, d)
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .mode("overwrite").saveAsTable(ordTbl)

@@ -152,14 +152,28 @@ object TextQueries {
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrCompute(s, d)(computeClusterLabels(s, d))
 
+  /** The jaccard ≥ 0.9 near-dup edge list (symmetric), pinned and
+    * memoized: the expensive candidate-pair pipeline behind it runs
+    * ONCE per (session, dir) no matter how many consumers —
+    * `dedup_clusters` (label propagation), `dedup_clusters_twostar`,
+    * and `cluster_representatives` all read this frame.
+    */
+  private val neardupEdgeCache = new SessionMemo
+
+  private[operators] def neardupEdges(
+      s: SparkSession, d: String): DataFrame =
+    neardupEdgeCache.getOrCompute(s, d) {
+      val pairs = jaccardPairs(s, d)
+        .filter(col("jaccard") >= 0.9)
+        .select(col("a"), col("b"))
+      Checkpoints.pin(pairs
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .toDF("src", "dst"))
+    }
+
   private def computeClusterLabels(
       s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d)
-      .filter(col("jaccard") >= 0.9)
-      .select(col("a"), col("b"))
-    val edges = Checkpoints.pin(pairs
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .toDF("src", "dst"))
+    val edges = neardupEdges(s, d)
     // One checkpointed generation lives at a time: each round
     // materializes `next` (with an inline change flag — no extra
     // join just to detect convergence), counts changes off the
@@ -198,7 +212,8 @@ object TextQueries {
       changed == 0,
       s"clusterLabels did not converge within $MaxRounds rounds — " +
         "component diameter exceeds the cap; use large-star/small-star")
-    Checkpoints.unpin(edges)
+    // edges stays pinned: it is the memoized frame other consumers
+    // (two-star CC) read.
     labels.select(col("doc_id"), col("lab").as("cluster"))
   }
 
@@ -629,10 +644,7 @@ object TextQueries {
     // convergence cap points at, pinned against the identical
     // transitive-closure oracle.
     "dedup_clusters_twostar" -> ((s, d) =>
-      TwoStarCC.components(
-        jaccardPairs(s, d)
-          .filter(col("jaccard") >= 0.9)
-          .select(col("a").as("src"), col("b").as("dst")))
+      TwoStarCC.components(neardupEdges(s, d))
         .select(col("node").as("doc_id"), col("component").as("cluster"))
         .orderBy("doc_id")),
 

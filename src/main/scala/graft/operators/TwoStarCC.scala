@@ -60,9 +60,11 @@ object TwoStarCC {
     val MaxRounds = 60 // >> log²(any real graph); runaway guard only
     while (!converged && rounds < MaxRounds) {
       val next = Checkpoints.pin(smallStar(largeStar(cur)))
-      // Fixpoint = identical edge SETS (both frames are distinct, so
-      // two anti-join counts decide exactly).
-      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // Fixpoint = identical edge SETS. Both frames are distinct, so
+      // equal cardinality + one empty difference decides exactly —
+      // a count (cheap over the pinned frame) replaces the second
+      // anti-join pass.
+      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
       Checkpoints.unpin(cur)
       cur = next
       rounds += 1

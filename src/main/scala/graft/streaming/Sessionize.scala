@@ -225,7 +225,7 @@ object Sessionize {
         .start()
       q.awaitTermination()
     }
-    spark.table(sink)
+    MemorySinks.drain(spark, sink)
   }
 
   /** The DEPLOYABLE sink shape: the stateful sessionizer written to
@@ -280,6 +280,6 @@ object Sessionize {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
+    MemorySinks.drain(spark, sink)
   }
 }

@@ -197,6 +197,6 @@ object StreamingEvents {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    MemorySinks.drain(spark, sinkName)
   }
 }

@@ -90,7 +90,9 @@ object StreamingFlagship {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    // Drained (view dropped): repeated invocations must not accumulate
+    // sink tables in the catalog; the state is O(titles), report-sized.
+    MemorySinks.drain(spark, sinkName)
       .filter(col("n_sources") === 3)
       .select(
         col("title_comp"),

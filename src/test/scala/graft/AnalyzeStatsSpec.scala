@@ -18,11 +18,7 @@ class AnalyzeStatsSpec extends SparkTestBase {
   private val Bare = Fs.runTable("graft_orders_nostats")
 
   private def recreate(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    Fs.deleteRecursively(java.nio.file.Paths.get(
-      java.net.URI.create(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      name))
+    Fs.dropTableAndLocation(spark, name)
     Tables.orders(spark, sfDir).write.mode("overwrite").saveAsTable(name)
   }
 

@@ -20,22 +20,7 @@ class BucketedJoinSpec extends SparkTestBase {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
 
-    spark.sql(s"DROP TABLE IF EXISTS $LiTbl")
-    spark.sql(s"DROP TABLE IF EXISTS $OrdTbl")
-    // A previously-aborted run can leave an orphan managed-table
-    // location that CREATE TABLE then refuses.
-    val wh = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    Seq(LiTbl, OrdTbl).foreach { t =>
-      val dir = new java.io.File(wh, t)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dir)
-      }
-    }
+    Seq(LiTbl, OrdTbl).foreach(Fs.dropTableAndLocation(spark, _))
     li.write
       .bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey")

@@ -40,10 +40,12 @@ def main():
     subset = os.path.join(outdir, "oracle_sql.subset.json")
     if os.path.exists(manifest):
         path = manifest
-    else:
+    elif os.path.exists(subset):
         path = subset
         print("== SUBSET manifest: this checks ONLY the queries named in "
               "the last SPARK_GRAFT_ONLY run, not the full registry")
+    else:
+        sys.exit(f"no oracle manifest in {outdir} — did graft.Verify run?")
     with open(path) as f:
         oracle = json.load(f)
     n_pass = n_fail = n_warn = 0
