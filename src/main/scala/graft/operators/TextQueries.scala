@@ -217,6 +217,34 @@ object TextQueries {
     labels.select(col("doc_id"), col("lab").as("cluster"))
   }
 
+  /** 8-slot MinHash signatures over distinct word unigrams — the
+    * shared first stage of every MinHash operator (signatures report,
+    * band-pair generation, estimator calibration, incremental
+    * near-dup).
+    */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val aggs = (0 until 8).map(i =>
+      min(minhashSlot(col("h"), i)).as(s"h$i"))
+    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, key) LSH band keys from 8-slot signatures:
+    * 4 bands × 2 slots.
+    */
+  private def bandKeys(sig: DataFrame): DataFrame =
+    (0 until 4).map { j =>
+      sig.select(
+        col("doc_id"),
+        lit(j).as("band"),
+        concat_ws("_", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))
+          .as("key"))
+    }.reduce(_ unionByName _)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus stats per language tag.
     "text_stats" -> ((s, d) =>
@@ -771,17 +799,53 @@ object TextQueries {
     }),
 
     // MinHash signatures (8 slots) over distinct word unigrams.
-    "minhash_signatures" -> ((s, d) => {
-      val tok = documents(s, d)
+    "minhash_signatures" -> ((s, d) =>
+      minhashSigs(s, d).orderBy("doc_id")),
+
+    // INCREMENTAL near-dup: the NEW batch (doc_id >= 250) screened
+    // against the EXISTING corpus (doc_id < 250) — the steady-state
+    // ingest shape, extending `incremental_dedup` from exact to
+    // near-duplicate. Band-bucket candidates join ONLY new-vs-old
+    // (never corpus-vs-corpus: the corpus was already deduped when it
+    // was the batch), buckets are count-first capped like the batch
+    // near-dup path, and each new doc reports its best corpus match
+    // by matching signature slots (≥ 4 of 8 ⇒ est. jaccard ≥ 0.5),
+    // smallest corpus doc id breaking ties.
+    "incremental_neardup" -> ((s, d) => {
+      val sig = minhashSigs(s, d)
+      val parted = bandKeys(sig).repartition(col("band"), col("key"))
+      val okBuckets = parted
+        .groupBy("band", "key")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, BucketCap))
+        .select("band", "key")
+      val small = parted.join(okBuckets, Seq("band", "key"), "left_semi")
+      val cand = small
+        .filter(col("doc_id") >= 250)
+        .select(col("band"), col("key"), col("doc_id").as("a"))
+        .join(
+          small
+            .filter(col("doc_id") < 250)
+            .select(col("band"), col("key"), col("doc_id").as("b")),
+          Seq("band", "key"))
+        .select("a", "b")
+        .distinct()
+      val sa = sig.toDF("a" +: (0 until 8).map(i => s"a$i"): _*)
+      val sb = sig.toDF("b" +: (0 until 8).map(i => s"b$i"): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sa, "a")
+        .join(sb, "b")
+        .select(col("a"), col("b"), matches.cast("int").as("n_match"))
+        .filter(col("n_match") >= 4)
+        .groupBy("a")
+        .agg(max(struct(col("n_match"), (-col("b")).as("neg"))).as("best"))
         .select(
-          col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h", hash60(col("tok")))
-      val aggs = (0 until 8).map(i =>
-        min(minhashSlot(col("h"), i)).as(s"h$i"))
-      tok
-        .groupBy("doc_id")
-        .agg(aggs.head, aggs.tail: _*)
+          col("a").as("doc_id"),
+          (-col("best.neg")).as("dup_of"),
+          col("best.n_match").as("n_match"))
         .orderBy("doc_id")
     }),
 
@@ -794,23 +858,8 @@ object TextQueries {
       // three branches so AQE's runtime stage cache computes it once
       // (ReusedExchange in the final adaptive plan), and no cached
       // copies accumulate across bench invocations.
-      val sig = {
-        val tok = documents(s, d)
-          .select(
-            col("doc_id"),
-            explode(array_distinct(tokens(col("text")))).as("tok"))
-          .withColumn("h", hash60(col("tok")))
-        val aggs = (0 until 8).map(i =>
-          min(minhashSlot(col("h"), i)).as(s"h$i"))
-        tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      }
-      val bands = (0 until 4).map { j =>
-        sig.select(
-          col("doc_id"),
-          lit(j).as("band"),
-          concat_ws("_", col(s"h${2 * j}"), col(s"h${2 * j + 1}"))
-            .as("key"))
-      }.reduce(_ unionByName _)
+      val sig = minhashSigs(s, d)
+      val bands = bandKeys(sig)
       // Posting-list candidate generation with BOUNDED aggregation
       // state: a count() pass (O(1) state per bucket) sizes every
       // band bucket first, buckets outside [2, BucketCap] are dropped
@@ -969,16 +1018,7 @@ object TextQueries {
     // CALIBRATE its banding thresholds before a 100 TB run.
     "minhash_jaccard_est" -> ((s, d) => {
       val exact = jaccardPairs(s, d)
-      val sig = {
-        val tok = documents(s, d)
-          .select(
-            col("doc_id"),
-            explode(array_distinct(tokens(col("text")))).as("tok"))
-          .withColumn("h", hash60(col("tok")))
-        val aggs = (0 until 8).map(i =>
-          min(minhashSlot(col("h"), i)).as(s"h$i"))
-        tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      }
+      val sig = minhashSigs(s, d)
       val sa = sig.toDF("a" +: (0 until 8).map(i => s"a$i"): _*)
       val sb = sig.toDF("b" +: (0 until 8).map(i => s"b$i"): _*)
       val matches = (0 until 8)
@@ -1561,6 +1601,44 @@ object TextQueries {
          |JOIN sigs sa ON sa.doc_id = a
          |JOIN sigs sb ON sb.doc_id = b
          |ORDER BY n_match DESC, a ASC, b ASC LIMIT 20""".stripMargin
+    },
+    "incremental_neardup" -> {
+      val bandSelects = (0 until 4)
+        .map(j =>
+          s"SELECT doc_id, $j AS band, " +
+            s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val matchExpr = (0 until 8)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $tokHashCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  $bandSelects
+         |), small AS (
+         |  SELECT b.* FROM bands b
+         |  JOIN (SELECT band, key FROM bands GROUP BY band, key
+         |        HAVING count(*) BETWEEN 2 AND $BucketCap) ok
+         |    ON b.band = ok.band AND b.key = ok.key
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM small x JOIN small y
+         |    ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id >= 250 AND y.doc_id < 250
+         |), scored AS (
+         |  SELECT a, b, $matchExpr AS n_match
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a
+         |  JOIN sigs sb ON sb.doc_id = b
+         |  WHERE $matchExpr >= 4
+         |), ranked AS (
+         |  SELECT a, b, n_match,
+         |         row_number() OVER (PARTITION BY a
+         |           ORDER BY n_match DESC, b ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT a AS doc_id, b AS dup_of, CAST(n_match AS INTEGER) AS n_match
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
     "minhash_agg_typed" -> {
       val sigConcat = (0 until 8).map(i => s"h$i").mkString(", ")

@@ -17,9 +17,20 @@ class AnalyzeStatsSpec extends SparkTestBase {
   private val Analyzed = Fs.runTable("graft_orders_stats")
   private val Bare = Fs.runTable("graft_orders_nostats")
 
-  private def recreate(name: String): Unit = {
+  private def recreate(
+      name: String,
+      df: org.apache.spark.sql.DataFrame =
+        Tables.orders(spark, sfDir)): Unit = {
     Fs.dropTableAndLocation(spark, name)
-    Tables.orders(spark, sfDir).write.mode("overwrite").saveAsTable(name)
+    df.write.mode("overwrite").saveAsTable(name)
+  }
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   private def dimJoin(table: String) =
@@ -98,6 +109,66 @@ class AnalyzeStatsSpec extends SparkTestBase {
     } finally {
       prev.foreach { case (k, v) => spark.conf.set(k, v) }
       Seq(Analyzed, Bare).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("CBO join reorder picks the selective join first, same results") {
+    // Written order is pessimal: the fact joins the medium table
+    // FIRST, and the highly selective supplier join (one supplier)
+    // last. With rowCount stats on all three tables and join
+    // reordering on, the optimizer must move the supplier join below
+    // the orders join — the 100 TB habit of never carrying rows a
+    // later selective join will drop.
+    val liT = Fs.runTable("graft_li_reord")
+    val ordT = Fs.runTable("graft_ord_reord")
+    val supT = Fs.runTable("graft_sup_reord")
+    recreate(liT, Tables.lineitem(spark, sfDir))
+    recreate(ordT, Tables.orders(spark, sfDir))
+    recreate(supT, Tables.supplier(spark, sfDir))
+    Seq(liT, ordT, supT).foreach(t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+
+    def report = spark.table(liT)
+      .join(spark.table(ordT),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table(supT).filter(col("s_nationkey") === 3),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+
+    // The table the fact joins FIRST = the non-fact side of the
+    // bottom-most Join node in the optimized plan.
+    def firstJoinedCols: Set[String] = {
+      val joins = report.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      joins.last.right.output.map(_.name).toSet
+    }
+
+    try {
+      var plain = Seq.empty[String]
+      var reordered = Seq.empty[String]
+      withConfs(
+        "spark.sql.cbo.enabled" -> "false",
+        "spark.sql.cbo.joinReorder.enabled" -> "false") {
+        assert(firstJoinedCols.contains("o_orderkey"),
+          s"without CBO the written order must hold: $firstJoinedCols")
+        plain = report.orderBy("o_orderstatus").collect().map(_.toString).toSeq
+      }
+      withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true") {
+        assert(firstJoinedCols.contains("s_suppkey"),
+          s"stats-driven reorder should join filtered supplier first: " +
+            s"$firstJoinedCols")
+        reordered =
+          report.orderBy("o_orderstatus").collect().map(_.toString).toSeq
+      }
+      assert(plain == reordered, "reorder changed the results")
+      assert(plain.nonEmpty)
+    } finally {
+      Seq(liT, ordT, supT).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }
