@@ -14,11 +14,24 @@ package graft
   */
 class NearDupPlanSpec extends SparkTestBase {
 
+  /** The plan-bearing frame per query: `ngram_jaccard` serves its
+    * result from the eagerly pinned per-session memo (whose static
+    * plan is just the pinned scan), so its candidate-join shape is
+    * asserted on the underlying builder — the same
+    * guard-the-building-block caveat COVERAGE.md documents for
+    * dedup_clusters.
+    */
+  private def planFrame(name: String) = name match {
+    case "ngram_jaccard" =>
+      graft.operators.TextQueries.computeJaccardPairs(spark, sfDir)
+    case _ => SparkEntry.queries(name)(spark, sfDir)
+  }
+
   private def assertNoForcedBroadcast(name: String): Unit = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = planFrame(name)
       val plan = df.queryExecution.executedPlan.toString
       assert(
         !plan.contains("BroadcastExchange"),
@@ -53,7 +66,7 @@ class NearDupPlanSpec extends SparkTestBase {
   private def assertCollectSetBounded(name: String): Unit = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    val df = SparkEntry.queries(name)(spark, sfDir)
+    val df = planFrame(name)
     val aggs = df.queryExecution.optimizedPlan.collect {
       case a: Aggregate
           if a.aggregateExpressions.exists(
