@@ -9,19 +9,24 @@ import graft.Tables
   * per-partition codec initialization amortized across the partition's
   * rows.
   *
-  * Two codec paths:
+  * Codec paths:
   *   - REAL image codec: `javax.imageio` PNG encode/decode (stock-JVM,
   *     no native libraries) — `encodePngPartition` synthesizes
-  *     deterministic images into the binary column and
-  *     `decodePngPartition` reads them back and emits exact pixel
-  *     statistics; the `multimodal_decode_png` oracle recomputes the
+  *     deterministic images into the binary column,
+  *     `decodePngPartition` reads them back into exact pixel
+  *     statistics, and `resizePartition` adds the nearest-neighbor
+  *     thumbnail (feature-extraction) pass; the oracles recompute the
   *     same statistics arithmetically, so a lossy or misaligned decode
   *     cannot pass.
-  *   - Stub for formats with no stock-JVM codec (audio/video):
-  *     `decodeStub` derives deterministic fake dimensions from the
-  *     payload bytes. Swapping it for a real codec changes ONE
-  *     function — the partitioning, batching, schema, and
-  *     typed-Dataset plumbing around it are identical to the PNG path.
+  *   - REAL audio codec: `javax.sound.sampled` WAV/PCM encode/decode —
+  *     header fields (frame count, rate, depth) come from the
+  *     container, sample sums from the PCM payload, all
+  *     arithmetic-oracled.
+  *   - Stub for formats with no stock-JVM codec (video): `decodeStub`
+  *     derives deterministic fake dimensions from the payload bytes.
+  *     Swapping it for a real codec changes ONE function — the
+  *     partitioning, batching, schema, and typed-Dataset plumbing
+  *     around it are identical to the PNG/WAV paths.
   */
 object MultimodalPipeline {
 
@@ -126,6 +131,139 @@ object MultimodalPipeline {
       .as[Long]
       .mapPartitions(encodePngPartition _)
       .mapPartitions(decodePngPartition _)
+  }
+
+  /** Nearest-neighbor resize statistics from a REAL decode: the 4×3
+    * thumbnail's per-channel sums.
+    */
+  case class ResizeStats(
+      doc_id: Long,
+      src_w: Int,
+      src_h: Int,
+      thumb_sum_r: Long,
+      thumb_sum_g: Long,
+      thumb_sum_b: Long)
+
+  /** Per-partition decode + nearest-neighbor RESIZE to a fixed 4×3
+    * thumbnail — the feature-extraction access pattern over image
+    * columns (downsample before embedding). Target pixel (tx, ty)
+    * samples source pixel (⌊tx·w/4⌋, ⌊ty·h/3⌋) — pure integer
+    * arithmetic, so the oracle recomputes the sampled coordinates
+    * exactly.
+    */
+  def resizePartition(items: Iterator[PngImage]): Iterator[ResizeStats] =
+    items.map { item =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(item.png))
+      require(img != null, s"undecodable PNG payload for doc ${item.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var ty = 0
+      while (ty < 3) {
+        var tx = 0
+        while (tx < 4) {
+          val p = img.getRGB(tx * w / 4, ty * h / 3)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          tx += 1
+        }
+        ty += 1
+      }
+      ResizeStats(item.doc_id, w, h, sr, sg, sb)
+    }
+
+  /** Synthesize → decode → resize over documents, same typed
+    * mapPartitions shape as [[decodePngStats]].
+    */
+  def resizeStats(spark: SparkSession, dir: String): Dataset[ResizeStats] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(encodePngPartition _)
+      .mapPartitions(resizePartition _)
+  }
+
+  /** A synthesized WAV payload keyed by document. */
+  case class WavClip(doc_id: Long, wav: Array[Byte])
+
+  /** Decoded audio statistics from a REAL `javax.sound.sampled`
+    * decode of the WAV payload.
+    */
+  case class AudioStats(
+      doc_id: Long,
+      n_frames: Long,
+      sample_rate: Int,
+      bits: Int,
+      sum_samples: Long,
+      max_sample: Int)
+
+  /** Deterministic PCM sample formula shared with the oracle. */
+  private def synthSample(docId: Long, i: Int): Int =
+    ((i * 37 + docId * 13 + 11) % 256).toInt
+
+  private def synthFrames(docId: Long): Int = (docId % 50 + 20).toInt
+
+  /** Per-partition WAV ENCODE: 8-bit unsigned mono PCM at 8 kHz,
+    * samples from the shared formula, container written by the stock
+    * JVM's `javax.sound.sampled` — a real audio codec, no native
+    * libraries.
+    */
+  def encodeWavPartition(ids: Iterator[Long]): Iterator[WavClip] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    ids.map { docId =>
+      val n = synthFrames(docId)
+      val samples = Array.tabulate(n)(i => synthSample(docId, i).toByte)
+      bos.reset()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(samples), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        bos)
+      WavClip(docId, bos.toByteArray)
+    }
+  }
+
+  /** Per-partition REAL WAV decode: header parsed by the codec (frame
+    * count, rate, depth recovered from the container, not assumed),
+    * PCM samples reduced to exact sums — lossless, so the arithmetic
+    * oracle pins the whole round trip.
+    */
+  def decodeWavPartition(items: Iterator[WavClip]): Iterator[AudioStats] =
+    items.map { item =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(item.wav))
+      try {
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        var (sum, maxS) = (0L, 0)
+        pcm.foreach { b =>
+          val v = b & 0xff
+          sum += v
+          if (v > maxS) maxS = v
+        }
+        AudioStats(
+          item.doc_id,
+          in.getFrameLength,
+          fmt.getSampleRate.toInt,
+          fmt.getSampleSizeInBits,
+          sum,
+          maxS)
+      } finally in.close()
+    }
+
+  /** Synthesize → decode over documents for the audio column. */
+  def audioStats(spark: SparkSession, dir: String): Dataset[AudioStats] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(encodeWavPartition _)
+      .mapPartitions(decodeWavPartition _)
   }
 
   /** STUB decode: deterministic fake. A real implementation opens the

@@ -49,6 +49,21 @@ object MultimodalQueries {
     "multimodal_decode_png" -> ((s, d) =>
       MultimodalPipeline.decodePngStats(s, d).toDF().orderBy("doc_id")),
 
+    // REAL image resize: decode the PNG, nearest-neighbor downsample
+    // to a fixed 4×3 thumbnail, emit its exact channel sums — the
+    // feature-extraction pass (downsample before embedding). Sampled
+    // source coordinates are pure integer arithmetic, so the oracle
+    // recomputes the thumbnail without any codec.
+    "multimodal_resize" -> ((s, d) =>
+      MultimodalPipeline.resizeStats(s, d).toDF().orderBy("doc_id")),
+
+    // REAL audio decode: synthesize an 8-bit mono PCM WAV per doc via
+    // javax.sound.sampled, decode it back, and report header fields
+    // (frame count, rate, depth — parsed from the container, not
+    // assumed) plus exact sample statistics.
+    "multimodal_audio_wav" -> ((s, d) =>
+      MultimodalPipeline.audioStats(s, d).toDF().orderBy("doc_id")),
+
     // Byte-stride frame sampling: every 50th byte's value — the
     // "sample frames from video" access pattern over binary columns.
     "multimodal_frame_sample" -> ((s, d) =>
@@ -108,6 +123,50 @@ object MultimodalQueries {
         |FROM px
         |GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         doc_id % 13 + 4 AS w,
+        |         doc_id % 7 + 3 AS h
+        |  FROM documents
+        |), txs AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS tx
+        |  FROM dims
+        |), px AS (
+        |  SELECT doc_id, w, h, tx, unnest(generate_series(0, 2)) AS ty
+        |  FROM txs
+        |), sampled AS (
+        |  SELECT doc_id, w, h, (tx*w)//4 AS sx, (ty*h)//3 AS sy
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |       CAST(w AS INTEGER) AS src_w,
+        |       CAST(h AS INTEGER) AS src_h,
+        |       CAST(SUM((sx*31 + sy*17 + doc_id) % 256) AS BIGINT)
+        |         AS thumb_sum_r,
+        |       CAST(SUM((sx*7 + sy*29 + doc_id*3) % 256) AS BIGINT)
+        |         AS thumb_sum_g,
+        |       CAST(SUM((sx*13 + sy*5 + doc_id*7) % 256) AS BIGINT)
+        |         AS thumb_sum_b
+        |FROM sampled
+        |GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_audio_wav" ->
+      """WITH n_ AS (
+        |  SELECT doc_id, doc_id % 50 + 20 AS n FROM documents
+        |), smp AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        |  FROM n_
+        |)
+        |SELECT doc_id,
+        |       CAST(min(n) AS BIGINT) AS n_frames,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(8 AS INTEGER) AS bits,
+        |       CAST(SUM((i*37 + doc_id*13 + 11) % 256) AS BIGINT)
+        |         AS sum_samples,
+        |       CAST(MAX((i*37 + doc_id*13 + 11) % 256) AS INTEGER)
+        |         AS max_sample
+        |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id,
         |       CAST(p AS INTEGER) AS frame_idx,

@@ -34,6 +34,40 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("WAV encode→decode round trip recovers header and exact samples") {
+    val stats = MultimodalPipeline
+      .audioStats(spark, sfDir)
+      .collect()
+    assert(stats.length == 500)
+    stats.foreach { a =>
+      assert(a.sample_rate == 8000 && a.bits == 8)
+      val n = (a.doc_id % 50 + 20).toInt
+      assert(a.n_frames == n, s"frame count diverged for doc ${a.doc_id}")
+      val samples = (0 until n).map(i => (i * 37 + a.doc_id * 13 + 11) % 256)
+      assert(a.sum_samples == samples.sum)
+      assert(a.max_sample == samples.max)
+    }
+  }
+
+  test("nearest-neighbor resize samples exactly the expected pixels") {
+    val stats = MultimodalPipeline
+      .resizeStats(spark, sfDir)
+      .collect()
+    assert(stats.length == 500)
+    stats.foreach { t =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (ty <- 0 until 3; tx <- 0 until 4) {
+        val sx = tx * t.src_w / 4
+        val sy = ty * t.src_h / 3
+        sr += (sx * 31 + sy * 17 + t.doc_id) % 256
+        sg += (sx * 7 + sy * 29 + t.doc_id * 3) % 256
+        sb += (sx * 13 + sy * 5 + t.doc_id * 7) % 256
+      }
+      assert((t.thumb_sum_r, t.thumb_sum_g, t.thumb_sum_b) == ((sr, sg, sb)),
+        s"thumbnail sums diverged for doc ${t.doc_id}")
+    }
+  }
+
   test("mapPartitions decode matches expression-derived metadata") {
     val decoded = MultimodalPipeline
       .decodeDocuments(spark, sfDir)
