@@ -64,6 +64,14 @@ object MultimodalQueries {
     "multimodal_audio_wav" -> ((s, d) =>
       MultimodalPipeline.audioStats(s, d).toDF().orderBy("doc_id")),
 
+    // REAL video frame sampling: a length-prefixed container of PNG
+    // frames per doc; every 2nd frame is decoded through javax.imageio
+    // (the rest are SKIPPED, never inflated — the cheap-frame-sample
+    // access pattern) and reduced to exact per-frame channel sums.
+    "multimodal_video_frames" -> ((s, d) =>
+      MultimodalPipeline.videoFrameStats(s, d).toDF()
+        .orderBy("doc_id", "frame_idx")),
+
     // Byte-stride frame sampling: every 50th byte's value — the
     // "sample frames from video" access pattern over binary columns.
     "multimodal_frame_sample" -> ((s, d) =>
@@ -167,6 +175,38 @@ object MultimodalQueries {
         |       CAST(MAX((i*37 + doc_id*13 + 11) % 256) AS INTEGER)
         |         AS max_sample
         |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_video_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         doc_id % 13 + 4 AS w,
+        |         doc_id % 7 + 3 AS h,
+        |         doc_id % 4 + 2 AS n
+        |  FROM documents
+        |), frames AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, n - 1)) AS f
+        |  FROM dims
+        |), sampled AS (
+        |  SELECT doc_id, w, h, f FROM frames WHERE f % 2 = 0
+        |), xs AS (
+        |  SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x
+        |  FROM sampled
+        |), px AS (
+        |  SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs
+        |)
+        |SELECT doc_id,
+        |       CAST(f AS INTEGER) AS frame_idx,
+        |       CAST(w AS INTEGER) AS width,
+        |       CAST(h AS INTEGER) AS height,
+        |       CAST(SUM((x*31 + y*17 + doc_id + f*101) % 256) AS BIGINT)
+        |         AS sum_r,
+        |       CAST(SUM((x*7 + y*29 + doc_id*3 + f*59) % 256) AS BIGINT)
+        |         AS sum_g,
+        |       CAST(SUM((x*13 + y*5 + doc_id*7 + f*23) % 256) AS BIGINT)
+        |         AS sum_b
+        |FROM px
+        |GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id,
         |       CAST(p AS INTEGER) AS frame_idx,

@@ -68,6 +68,30 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("video demux decodes sampled frames exactly and skips the rest") {
+    val frames = MultimodalPipeline
+      .videoFrameStats(spark, sfDir)
+      .collect()
+    // Every doc contributes ceil(n/2) sampled frames, n = doc_id%4+2.
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.size == 500)
+    byDoc.foreach { case (docId, fs) =>
+      val n = (docId % 4 + 2).toInt
+      assert(fs.map(_.frame_idx).sorted.toSeq ==
+        (0 until n by 2).toSeq, s"sampled frame set wrong for doc $docId")
+      fs.foreach { t =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        for (y <- 0 until t.height; x <- 0 until t.width) {
+          sr += (x * 31 + y * 17 + docId + t.frame_idx * 101) % 256
+          sg += (x * 7 + y * 29 + docId * 3 + t.frame_idx * 59) % 256
+          sb += (x * 13 + y * 5 + docId * 7 + t.frame_idx * 23) % 256
+        }
+        assert((t.sum_r, t.sum_g, t.sum_b) == ((sr, sg, sb)),
+          s"frame sums diverged for doc $docId frame ${t.frame_idx}")
+      }
+    }
+  }
+
   test("mapPartitions decode matches expression-derived metadata") {
     val decoded = MultimodalPipeline
       .decodeDocuments(spark, sfDir)
