@@ -96,6 +96,37 @@ object MultimodalPipeline {
     }
   }
 
+  /** Decode one PNG payload, failing loudly on undecodable bytes —
+    * the single decode entry point every image consumer shares.
+    */
+  private def readPng(
+      docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable PNG payload for doc $docId")
+    img
+  }
+
+  /** Exact per-channel pixel sums over a whole decoded image. */
+  private def rgbSums(
+      img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff
+        sg += (p >> 8) & 0xff
+        sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** Per-partition REAL PNG decode via `javax.imageio`: reads the
     * binary payload back into pixels and reduces to exact per-channel
     * sums — streaming over the iterator, one decoded image in memory
@@ -103,24 +134,9 @@ object MultimodalPipeline {
     */
   def decodePngPartition(items: Iterator[PngImage]): Iterator[PixelStats] =
     items.map { item =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(item.png))
-      require(img != null, s"undecodable PNG payload for doc ${item.doc_id}")
-      val (w, h) = (img.getWidth, img.getHeight)
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          sr += (p >> 16) & 0xff
-          sg += (p >> 8) & 0xff
-          sb += p & 0xff
-          x += 1
-        }
-        y += 1
-      }
-      PixelStats(item.doc_id, w, h, sr, sg, sb)
+      val img = readPng(item.doc_id, item.png)
+      val (sr, sg, sb) = rgbSums(img)
+      PixelStats(item.doc_id, img.getWidth, img.getHeight, sr, sg, sb)
     }
 
   /** Synthesize-then-decode over the documents table: the binary
@@ -157,9 +173,7 @@ object MultimodalPipeline {
     */
   def resizePartition(items: Iterator[PngImage]): Iterator[ResizeStats] =
     items.map { item =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(item.png))
-      require(img != null, s"undecodable PNG payload for doc ${item.doc_id}")
+      val img = readPng(item.doc_id, item.png)
       val (w, h) = (img.getWidth, img.getHeight)
       var (sr, sg, sb) = (0L, 0L, 0L)
       var ty = 0
@@ -348,25 +362,10 @@ object MultimodalPipeline {
         else {
           val frame = new Array[Byte](len)
           in.readFully(frame)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(frame))
-          require(img != null,
-            s"undecodable frame $f for doc ${clip.doc_id}")
-          val (w, h) = (img.getWidth, img.getHeight)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff
-              sg += (p >> 8) & 0xff
-              sb += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          Some(FrameStats(clip.doc_id, f, w, h, sr, sg, sb))
+          val img = readPng(clip.doc_id, frame)
+          val (sr, sg, sb) = rgbSums(img)
+          Some(FrameStats(
+            clip.doc_id, f, img.getWidth, img.getHeight, sr, sg, sb))
         }
       }
     }

@@ -168,6 +168,7 @@ object TextQueries {
     * deployable mode: a 100 TB fixpoint must survive executor loss).
     */
   private val labelCache = new SessionMemo
+  private val twoStarCache = new SessionMemo
 
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrCompute(s, d)(computeClusterLabels(s, d))
@@ -690,9 +691,12 @@ object TextQueries {
     // (TwoStarCC): O(log²) rounds in graph size regardless of
     // component diameter — the deployable fallback the min-label
     // convergence cap points at, pinned against the identical
-    // transitive-closure oracle.
+    // transitive-closure oracle. Memoized like the label-propagation
+    // family: one fixpoint per (session, dir) however often the
+    // registry runs.
     "dedup_clusters_twostar" -> ((s, d) =>
-      TwoStarCC.components(neardupEdges(s, d))
+      twoStarCache.getOrCompute(s, d)(
+        TwoStarCC.components(neardupEdges(s, d)))
         .select(col("node").as("doc_id"), col("component").as("cluster"))
         .orderBy("doc_id")),
 

@@ -71,12 +71,17 @@ object TwoStarCC {
     }
     require(converged,
       s"two-star CC did not converge within $MaxRounds rounds")
-    // Star edges point node→root; roots label themselves.
-    val labels = cur.select(col("big").as("node"), col("small").as("component"))
+    // Star edges point node→root; roots label themselves. The label
+    // frame is pinned so the final edge generation can be released —
+    // callers (and the per-session memo in TextQueries) hold ONE
+    // bounded frame, not the whole fixpoint chain.
+    val labels = Checkpoints.pin(cur
+      .select(col("big").as("node"), col("small").as("component"))
       .unionByName(cur.select(col("small").as("node"),
         col("small").as("component")))
       .groupBy("node")
-      .agg(min(col("component")).as("component"))
+      .agg(min(col("component")).as("component")))
+    Checkpoints.unpin(cur)
     (labels, rounds)
   }
 

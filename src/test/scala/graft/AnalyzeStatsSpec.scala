@@ -136,13 +136,16 @@ class AnalyzeStatsSpec extends SparkTestBase {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"))
 
-    // The table the fact joins FIRST = the non-fact side of the
-    // bottom-most Join node in the optimized plan.
+    // The columns visible at the bottom-most Join node — which two
+    // tables meet FIRST. Side-agnostic (left ++ right): the optimizer
+    // is free to put the dimension on either side of the join it
+    // moves down.
     def firstJoinedCols: Set[String] = {
       val joins = report.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }
-      joins.last.right.output.map(_.name).toSet
+      (joins.last.left.output ++ joins.last.right.output)
+        .map(_.name).toSet
     }
 
     try {
@@ -151,8 +154,9 @@ class AnalyzeStatsSpec extends SparkTestBase {
       withConfs(
         "spark.sql.cbo.enabled" -> "false",
         "spark.sql.cbo.joinReorder.enabled" -> "false") {
-        assert(firstJoinedCols.contains("o_orderkey"),
-          s"without CBO the written order must hold: $firstJoinedCols")
+        val cols = firstJoinedCols
+        assert(cols.contains("o_orderkey") && !cols.contains("s_suppkey"),
+          s"without CBO the written order must hold: $cols")
         plain = report.orderBy("o_orderstatus").collect().map(_.toString).toSeq
       }
       withConfs(
