@@ -41,7 +41,8 @@ object SimilarityQueries {
     */
   private val NCells = 8
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Exact brute-force cosine top-k for the first NQueries vectors.
     "cosine_topk_brute" -> ((s, d) => {
       val q = embeddings(s, d)
@@ -234,7 +235,59 @@ object SimilarityQueries {
           col("label"),
           norm(col("embedding")).as("l2_norm"))
         .orderBy("vec_id"))
-  )
+  ) ++ kmeansQueries
+
+  /** K-means Lloyd refinement over GLOBALLY-quantized embeddings — the
+    * clustering step a corpus-curation pipeline runs between IVF
+    * assignment (`ivf_cells`, one assignment pass against fixed seeds)
+    * and a full trained index. Entirely in exact integer arithmetic so
+    * an ITERATIVE ML training loop is hash-pinned cross-engine:
+    * milli-unit quantization (round(v·1000), the Money convention),
+    * squared-L2 distances as BIGINT sums, centroid refinement as
+    * truncating integer division (Scala `/` ≡ DuckDB `//` toward
+    * zero). One Lloyd round: assign to 4 seed centroids → recompute
+    * integer centroids over the assigned members → re-assign. At scale
+    * each assignment is a scan ⋈ broadcast(K·dims rows) and each
+    * refinement one groupBy(cid, dim) — the canonical distributed
+    * k-means shape (per-round re-plan, like PageRank/BPE here).
+    */
+  private def kmeansQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_refine" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(
+          col("vec_id"),
+          col("pos").as("dim"),
+          round(col("col").cast("double") * 1000).cast("long").as("qv"))
+      val seeds = q
+        .filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("dim"), col("qv").as("qc"))
+      // Assignment pass: nearest centroid by exact squared L2,
+      // smaller cid breaks ties. The centroid side is K·dims rows —
+      // bounded, broadcastable; the data side never re-shuffles.
+      def assign(cents: DataFrame): DataFrame =
+        q.join(broadcast(cents), Seq("dim"))
+          .groupBy("vec_id", "cid")
+          .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc")))
+            .as("dist"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("best.cid").as("cid"))
+      val a1 = assign(seeds)
+      val c1 = q
+        .join(a1, Seq("vec_id"))
+        .groupBy("cid", "dim")
+        // integral DIV: truncation toward zero on both engines
+        .agg(expr("sum(qv) DIV count(1)").as("qc"))
+      val a2 = assign(c1)
+      val sizes = a2.groupBy("cid")
+        .agg(
+          count(lit(1)).as("n_members"),
+          min(col("vec_id")).as("min_member"))
+      val l1 = c1.groupBy("cid").agg(sum(abs(col("qc"))).as("centroid_l1"))
+      sizes.join(l1, Seq("cid")).orderBy("cid")
+    }))
 
   // ------------------------------------------------------------------ //
 
@@ -533,6 +586,52 @@ object SimilarityQueries {
         |       CAST(max(q) AS INTEGER) AS qmax,
         |       max(abs(CAST(q AS DOUBLE) * scale - x)) AS max_abs_err
         |FROM qq GROUP BY vec_id, scale
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    // One Lloyd round unrolled: seed-assign, integer centroid
+    // refinement (// truncates toward zero, matching Spark DIV),
+    // re-assign. All BIGINT — an iterative trainer hash-pinned.
+    "kmeans_refine" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |         CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) t
+        |), seeds AS (
+        |  SELECT vec_id AS cid, dim, qv AS qc FROM q WHERE vec_id < 4
+        |), d1 AS (
+        |  SELECT q.vec_id, s.cid,
+        |         sum((q.qv - s.qc) * (q.qv - s.qc)) AS dist
+        |  FROM q JOIN seeds s ON q.dim = s.dim
+        |  GROUP BY q.vec_id, s.cid
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cid) AS rn FROM d1) z
+        |  WHERE rn = 1
+        |), c1 AS (
+        |  SELECT a1.cid, q.dim, sum(q.qv) // count(*) AS qc
+        |  FROM q JOIN a1 ON q.vec_id = a1.vec_id
+        |  GROUP BY a1.cid, q.dim
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid,
+        |         sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist
+        |  FROM q JOIN c1 c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, c.cid
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cid) AS rn FROM d2) z
+        |  WHERE rn = 1
+        |)
+        |SELECT a2.cid,
+        |       count(*) AS n_members,
+        |       CAST(min(a2.vec_id) AS BIGINT) AS min_member,
+        |       CAST(min(l.centroid_l1) AS BIGINT) AS centroid_l1
+        |FROM a2
+        |JOIN (SELECT cid, sum(abs(qc)) AS centroid_l1
+        |      FROM c1 GROUP BY cid) l ON l.cid = a2.cid
+        |GROUP BY a2.cid
+        |ORDER BY a2.cid""".stripMargin
   )
 }
