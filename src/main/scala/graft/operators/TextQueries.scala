@@ -238,6 +238,78 @@ object TextQueries {
     labels.select(col("doc_id"), col("lab").as("cluster"))
   }
 
+  /** Three BPE training rounds on word TYPES weighted by frequency —
+    * not raw token instances: the pair statistic
+    * Σ_word cnt(word)·pairs(word) is identical, but every round
+    * rewrites |vocab| rows instead of |corpus| tokens (the standard
+    * BPE-trainer optimization; at 100 TB the difference between
+    * re-materializing a corpus per merge and a dictionary). Distinct
+    * spaced forms can COLLIDE after a merge ("a b c" → "ab c" meets
+    * an existing "ab c"), so each round re-aggregates counts. The
+    * learned (round, pair, n) table is memoized per (session, dir) —
+    * a bounded driver-side value shared by `bpe_train_merges` and
+    * `bpe_apply`.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Seq[(Int, String, Long)]]
+
+  private def trainBpeMerges(
+      s: SparkSession, d: String): Seq[(Int, String, Long)] = {
+    bpeMergeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    bpeMergeCache.computeIfAbsent((s, d), _ => {
+      var words = Checkpoints.pin(documents(s, d)
+        .select(explode(tokens(col("text"))).as("raw"))
+        .filter(length(col("raw")) >= 2)
+        .groupBy("raw")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("w"),
+          col("cnt")))
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      var r = 1
+      var done = false
+      while (r <= 3 && !done) {
+        val top = words
+          .select(split(col("w"), " ").as("syms"), col("cnt"))
+          // guard: a fully-merged 1-symbol word has no pairs, and an
+          // unguarded sequence(1, 0) would descend into element_at 0
+          .filter(size(col("syms")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => concat_ws(" ",
+              element_at(col("syms"), i),
+              element_at(col("syms"), i + 1)))).as("pair"),
+            col("cnt"))
+          .groupBy("pair").agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) done = true
+        else {
+          val pair = top(0).getString(0)
+          merges += ((r, pair, top(0).getLong(1)))
+          val prev = words
+          // Column-level literals (never interpolated into SQL text):
+          // the pair is corpus-derived and may contain any non-space
+          // characters.
+          words = Checkpoints.pin(words
+            .select(
+              trim(call_function("replace",
+                concat(lit(" "), col("w"), lit(" ")),
+                lit(s" $pair "),
+                lit(" " + pair.replace(" ", "") + " "))).as("w"),
+              col("cnt"))
+            .groupBy("w").agg(sum(col("cnt")).as("cnt")))
+          Checkpoints.unpin(prev)
+          r += 1
+        }
+      }
+      Checkpoints.unpin(words)
+      merges.toSeq
+    })
+  }
+
   /** 8-slot MinHash signatures over distinct word unigrams — the
     * shared first stage of every MinHash operator (signatures report,
     * band-pair generation, estimator calibration, incremental
@@ -754,66 +826,43 @@ object TextQueries {
     // dedup_clusters) so round k never replays rounds 1..k-1. The
     // oracle unrolls the same rounds; on a degenerate corpus with no
     // pairs both sides emit zero rounds.
-    "bpe_train_merges" -> ((s, d) => {
-      // Train on word TYPES weighted by frequency, not raw token
-      // instances: the pair statistic Σ_word cnt(word)·pairs(word) is
-      // identical, but every round rewrites |vocab| rows instead of
-      // |corpus| tokens — the standard BPE-trainer optimization, and
-      // at 100 TB the difference between re-materializing the corpus
-      // per merge and re-materializing a dictionary. Distinct spaced
-      // forms can COLLIDE after a merge ("a b c" → "ab c" meets an
-      // existing "ab c"), so each round re-aggregates counts.
-      var words = Checkpoints.pin(documents(s, d)
-        .select(explode(tokens(col("text"))).as("raw"))
-        .filter(length(col("raw")) >= 2)
-        .groupBy("raw")
-        .agg(count(lit(1)).as("cnt"))
-        .select(
-          trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("w"),
-          col("cnt")))
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
-      var r = 1
-      var done = false
-      while (r <= 3 && !done) {
-        val top = words
-          .select(split(col("w"), " ").as("syms"), col("cnt"))
-          // guard: a fully-merged 1-symbol word has no pairs, and an
-          // unguarded sequence(1, 0) would descend into element_at 0
-          .filter(size(col("syms")) >= 2)
-          .select(explode(transform(
-            sequence(lit(1), size(col("syms")) - 1),
-            i => concat_ws(" ",
-              element_at(col("syms"), i),
-              element_at(col("syms"), i + 1)))).as("pair"),
-            col("cnt"))
-          .groupBy("pair").agg(sum(col("cnt")).as("n"))
-          .orderBy(col("n").desc, col("pair"))
-          .limit(1)
-          .collect()
-        if (top.isEmpty) done = true
-        else {
-          val pair = top(0).getString(0)
-          merges += ((r, pair, top(0).getLong(1)))
-          val prev = words
-          // Column-level literals (never interpolated into SQL text):
-          // the pair is corpus-derived and may contain any non-space
-          // characters.
-          words = Checkpoints.pin(words
-            .select(
-              trim(call_function("replace",
-                concat(lit(" "), col("w"), lit(" ")),
-                lit(s" $pair "),
-                lit(" " + pair.replace(" ", "") + " "))).as("w"),
-              col("cnt"))
-            .groupBy("w").agg(sum(col("cnt")).as("cnt")))
-          Checkpoints.unpin(prev)
-          r += 1
-        }
-      }
-      Checkpoints.unpin(words)
-      s.createDataFrame(merges.toSeq)
+    "bpe_train_merges" -> ((s, d) =>
+      s.createDataFrame(trainBpeMerges(s, d))
         .toDF("round", "pair", "n")
-        .orderBy("round")
+        .orderBy("round")),
+
+    // Tokenizer APPLY: the merges learned by `bpe_train_merges`
+    // applied corpus-wide with doc attribution — per document, the
+    // symbol counts before/after and the exact compression in ppm.
+    // The apply pass is the train pass's merge expression over
+    // doc-attributed instances (no re-counting, no driver loop); the
+    // merge table itself is memoized, so gate runs train ONCE however
+    // many consumers.
+    "bpe_apply" -> ((s, d) => {
+      val pairs = trainBpeMerges(s, d).map(_._2)
+      val spaced = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("raw"))
+        .filter(length(col("raw")) >= 2)
+        .select(
+          col("doc_id"),
+          length(col("raw")).cast("long").as("raw_syms"),
+          trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("w"))
+      val merged = pairs.foldLeft(spaced) { (df, pair) =>
+        df.withColumn("w",
+          trim(call_function("replace",
+            concat(lit(" "), col("w"), lit(" ")),
+            lit(s" $pair "),
+            lit(" " + pair.replace(" ", "") + " "))))
+      }
+      merged
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("raw_syms")).as("n_symbols_raw"),
+          sum(size(split(col("w"), " ")).cast("long")).as("n_symbols"))
+        .withColumn("compression_ppm",
+          expr("n_symbols * 1000000 DIV n_symbols_raw"))
+        .orderBy("doc_id")
     }),
 
     // Rare-token ratio: per-doc fraction (ppm, exact integer) of token
@@ -1222,6 +1271,28 @@ object TextQueries {
     s"SELECT doc_id, $slots FROM tok GROUP BY doc_id"
   }
 
+  /** DuckDB twin of the BPE trainer's three rounds as CTEs p/t/w 1..3
+    * over an instance-level `w0(w)` — shared by the train and apply
+    * oracles. Instance counts equal the trainer's type-weighted
+    * counts by construction.
+    */
+  private val bpeRoundsCte: String = (1 to 3).map { k =>
+    s"""p$k AS (
+       |  SELECT s[i] || ' ' || s[i+1] AS pair, count(*) AS n
+       |  FROM (SELECT string_split(w, ' ') AS s FROM w${k - 1}) q,
+       |       LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
+       |  GROUP BY pair
+       |), t$k AS (
+       |  SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1
+       |), w$k AS (
+       |  SELECT trim(replace(' ' || w || ' ',
+       |    ' ' || (SELECT pair FROM t$k) || ' ',
+       |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '))
+       |    AS w
+       |  FROM w${k - 1}
+       |)""".stripMargin
+  }.mkString(",\n")
+
   /** DuckDB twin of [[jaccardPairs]] as a CTE chain ending in `pairs`
     * (a, b, inter BIGINT, jaccard) — shared by the `ngram_jaccard`
     * report oracle and the `dedup_clusters` closure oracle.
@@ -1563,21 +1634,28 @@ object TextQueries {
          |)
          |SELECT pair, count(*) AS n FROM pairs_
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
-    "bpe_train_merges" -> {
-      val rounds = (1 to 3).map { k =>
-        s"""p$k AS (
-           |  SELECT s[i] || ' ' || s[i+1] AS pair, count(*) AS n
-           |  FROM (SELECT string_split(w, ' ') AS s FROM w${k - 1}) q,
-           |       LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
-           |  GROUP BY pair
-           |), t$k AS (
-           |  SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1
-           |), w$k AS (
-           |  SELECT trim(replace(' ' || w || ' ',
+    "bpe_train_merges" ->
+      s"""WITH w0 AS (
+         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS w
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) u
+         |  WHERE length(w) >= 2
+         |),
+         |$bpeRoundsCte
+         |SELECT CAST(1 AS INTEGER) AS round, pair, n FROM t1
+         |UNION ALL SELECT 2, pair, n FROM t2
+         |UNION ALL SELECT 3, pair, n FROM t3
+         |ORDER BY round""".stripMargin,
+    // Same three unrolled training rounds; the merges then replay
+    // over DOC-ATTRIBUTED word instances and reduce to the per-doc
+    // compression report.
+    "bpe_apply" -> {
+      val applied = (1 to 3).map { k =>
+        s"""w${k}d AS (
+           |  SELECT doc_id, raw_syms, trim(replace(' ' || w || ' ',
            |    ' ' || (SELECT pair FROM t$k) || ' ',
            |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '))
            |    AS w
-           |  FROM w${k - 1}
+           |  FROM w${k - 1}d
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH w0 AS (
@@ -1585,11 +1663,22 @@ object TextQueries {
          |  FROM (SELECT unnest($toksSql) AS w FROM documents) u
          |  WHERE length(w) >= 2
          |),
-         |$rounds
-         |SELECT CAST(1 AS INTEGER) AS round, pair, n FROM t1
-         |UNION ALL SELECT 2, pair, n FROM t2
-         |UNION ALL SELECT 3, pair, n FROM t3
-         |ORDER BY round""".stripMargin
+         |$bpeRoundsCte,
+         |w0d AS (
+         |  SELECT doc_id, CAST(length(w) AS BIGINT) AS raw_syms,
+         |         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS w
+         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents) u
+         |  WHERE length(w) >= 2
+         |),
+         |$applied
+         |SELECT doc_id,
+         |       count(*) AS n_words,
+         |       CAST(sum(raw_syms) AS BIGINT) AS n_symbols_raw,
+         |       CAST(sum(len(string_split(w, ' '))) AS BIGINT)
+         |         AS n_symbols,
+         |       CAST(sum(len(string_split(w, ' '))) * 1000000
+         |         // sum(raw_syms) AS BIGINT) AS compression_ppm
+         |FROM w3d GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "rare_token_ratio" ->
       s"""WITH tok AS (
