@@ -79,6 +79,32 @@ object SourceQueries {
         .orderBy("value")
     }),
 
+    // Streaming exact-dedup through the gate: the event stream
+    // unioned with itself (every event twice), deduped on event_id by
+    // dropDuplicatesWithinWatermark — the bounded-state form whose
+    // seen-key state the watermark expires — run to completion and
+    // reduced to per-type counts. If dedup dropped nothing, n_events
+    // doubles; if it over-dropped, counts fall short — the oracle
+    // (raw events, undoubled) pins both failure directions.
+    "stream_dedup" -> ((s, d) => {
+      val sink = "stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingEvents.dedupStream(s, d)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.MemorySinks.drain(s, sink)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .orderBy("event_type")
+    }),
+
     // The streaming pipeline's aggregation, batch-executed.
     "stream_window_batch" -> ((s, d) =>
       StreamingEvents
@@ -317,6 +343,13 @@ object SourceQueries {
         |  ON c.user_id = v.user_id
         |  AND v.tus >= c.tus - 3600000000 AND v.tus <= c.tus
         |ORDER BY c.user_id, click_id, view_id NULLS FIRST""".stripMargin,
+    // The raw (undoubled) events table: correct IFF the streaming
+    // dedup removed exactly the injected duplicate copy of each event.
+    "stream_dedup" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window_batch" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type,
