@@ -98,12 +98,15 @@ object MultimodalPipeline {
 
   /** Decode one PNG payload, failing loudly on undecodable bytes —
     * the single decode entry point every image consumer shares.
+    * `what` localizes the failure (e.g. which video frame).
     */
   private def readPng(
-      docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      docId: Long,
+      bytes: Array[Byte],
+      what: String = "PNG payload"): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
-    require(img != null, s"undecodable PNG payload for doc $docId")
+    require(img != null, s"undecodable $what for doc $docId")
     img
   }
 
@@ -362,7 +365,7 @@ object MultimodalPipeline {
         else {
           val frame = new Array[Byte](len)
           in.readFully(frame)
-          val img = readPng(clip.doc_id, frame)
+          val img = readPng(clip.doc_id, frame, s"frame $f")
           val (sr, sg, sb) = rgbSums(img)
           Some(FrameStats(
             clip.doc_id, f, img.getWidth, img.getHeight, sr, sg, sb))

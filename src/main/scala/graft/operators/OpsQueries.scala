@@ -60,7 +60,7 @@ object OpsQueries {
     * `bfs_hops` so the gate builds the edge list a single time (the
     * at-scale shape is a checkpointed edge table).
     */
-  private val edgeCache = new SessionMemo
+  private val edgeCache = new SessionMemo[org.apache.spark.sql.DataFrame]
 
   private def purchaseEdges(s: SparkSession, d: String): DataFrame =
     edgeCache.getOrCompute(s, d) {

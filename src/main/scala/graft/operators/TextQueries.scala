@@ -110,7 +110,7 @@ object TextQueries {
     * materialization serves them all. Bounded by construction: the
     * DfCap posting caps bound the pair count at any corpus size.
     */
-  private val pairCache = new SessionMemo
+  private val pairCache = new SessionMemo[org.apache.spark.sql.DataFrame]
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrCompute(s, d)(
@@ -167,8 +167,8 @@ object TextQueries {
     * checkpoint files when `spark.graft.checkpoint.dir` is set (the
     * deployable mode: a 100 TB fixpoint must survive executor loss).
     */
-  private val labelCache = new SessionMemo
-  private val twoStarCache = new SessionMemo
+  private val labelCache = new SessionMemo[org.apache.spark.sql.DataFrame]
+  private val twoStarCache = new SessionMemo[org.apache.spark.sql.DataFrame]
 
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrCompute(s, d)(computeClusterLabels(s, d))
@@ -179,7 +179,7 @@ object TextQueries {
     * `dedup_clusters` (label propagation), `dedup_clusters_twostar`,
     * and `cluster_representatives` all read this frame.
     */
-  private val neardupEdgeCache = new SessionMemo
+  private val neardupEdgeCache = new SessionMemo[org.apache.spark.sql.DataFrame]
 
   private[operators] def neardupEdges(
       s: SparkSession, d: String): DataFrame =
@@ -250,14 +250,11 @@ object TextQueries {
     * a bounded driver-side value shared by `bpe_train_merges` and
     * `bpe_apply`.
     */
-  private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), Seq[(Int, String, Long)]]
+  private val bpeMergeCache = new SessionMemo[Seq[(Int, String, Long)]]
 
   private def trainBpeMerges(
       s: SparkSession, d: String): Seq[(Int, String, Long)] = {
-    bpeMergeCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    bpeMergeCache.computeIfAbsent((s, d), _ => {
+    bpeMergeCache.getOrCompute(s, d) {
       var words = Checkpoints.pin(documents(s, d)
         .select(explode(tokens(col("text"))).as("raw"))
         .filter(length(col("raw")) >= 2)
@@ -307,7 +304,7 @@ object TextQueries {
       }
       Checkpoints.unpin(words)
       merges.toSeq
-    })
+    }
   }
 
   /** 8-slot MinHash signatures over distinct word unigrams — the
@@ -1649,11 +1646,18 @@ object TextQueries {
     // over DOC-ATTRIBUTED word instances and reduce to the per-doc
     // compression report.
     "bpe_apply" -> {
+      // coalesce: when training stopped short of round k, t_k is
+      // empty and its scalar subquery is NULL — replace(w, NULL, …)
+      // would NULL the whole corpus. The '' fallback searches for
+      // '  ' (double space), which a single-spaced non-empty word
+      // can never contain, making the round a no-op exactly like the
+      // Spark side's absent merge.
       val applied = (1 to 3).map { k =>
         s"""w${k}d AS (
            |  SELECT doc_id, raw_syms, trim(replace(' ' || w || ' ',
-           |    ' ' || (SELECT pair FROM t$k) || ' ',
-           |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '))
+           |    ' ' || coalesce((SELECT pair FROM t$k), '') || ' ',
+           |    ' ' || replace(coalesce((SELECT pair FROM t$k), ''),
+           |      ' ', '') || ' '))
            |    AS w
            |  FROM w${k - 1}d
            |)""".stripMargin
