@@ -112,6 +112,52 @@ class AnalyzeStatsSpec extends SparkTestBase {
     }
   }
 
+  test("equi-height histograms fix range estimates on skewed columns") {
+    // 90% of rows carry skewed=1, 10% carry skewed=1000000. Without a
+    // histogram, CBO interpolates `skewed < 100` uniformly over
+    // [1, 1e6] → ~0% of rows; the equi-height histogram sees the mass
+    // at 1 and estimates ~90%. At 100 TB this is the difference
+    // between planning a broadcast and planning a shuffle for the
+    // filtered side of a skewed-dimension join.
+    val tbl = Fs.runTable("graft_skew_hist")
+    Fs.dropTableAndLocation(spark, tbl)
+    Tables.orders(spark, sfDir)
+      .withColumn("skewed",
+        when(col("o_orderkey") % 10 < 9, lit(1L)).otherwise(lit(1000000L)))
+      .write.mode("overwrite").saveAsTable(tbl)
+    val actual = spark.table(tbl).filter(col("skewed") < 100).count()
+
+    def estimate: BigInt =
+      withConfsValue("spark.sql.cbo.enabled" -> "true") {
+        spark.table(tbl).filter(col("skewed") < 100)
+          .queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(sys.error("no CBO row count"))
+      }
+
+    try {
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      val uniform = estimate
+      withConfsValue("spark.sql.statistics.histogram.enabled" -> "true") {
+        spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      val histogram = estimate
+      assert(uniform < actual / 10,
+        s"uniform interpolation should badly underestimate: " +
+          s"$uniform vs actual $actual")
+      assert(histogram * 2 > actual && histogram < actual * 2,
+        s"histogram estimate should land near actual: " +
+          s"$histogram vs $actual")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  private def withConfsValue[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("CBO join reorder picks the selective join first, same results") {
     // Written order is pessimal: the fact joins the medium table
     // FIRST, and the highly selective supplier join (one supplier)
