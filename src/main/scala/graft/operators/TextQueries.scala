@@ -335,6 +335,33 @@ object TextQueries {
           .as("key"))
     }.reduce(_ unionByName _)
 
+  /** Distinct LSH candidate pairs (a < b) from band buckets, with
+    * BOUNDED aggregation state: a count() pass (O(1) state per
+    * bucket) sizes every band bucket first, buckets outside
+    * [2, BucketCap] are dropped with a semi join, and only the
+    * survivors reach collect_set — so no bucket buffer can exceed
+    * BucketCap ids even for the measured 78%-of-docs hot bucket.
+    * (Filtering after collect_set would bound the pair join but
+    * still materialize the full hot bucket in one aggregation
+    * buffer — executor OOM at 100 TB.) Shared by
+    * `minhash_band_pairs` and the `neardup_cascade` recall stage.
+    */
+  private def minhashCandidatePairs(sig: DataFrame): DataFrame = {
+    val bandsParted = bandKeys(sig).repartition(col("band"), col("key"))
+    val okBuckets = bandsParted
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, BucketCap))
+      .select("band", "key")
+    bandsParted
+      .join(okBuckets, Seq("band", "key"), "left_semi")
+      .groupBy("band", "key")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .select(pairCombinations(col("ids")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus stats per language tag.
     "text_stats" -> ((s, d) =>
@@ -756,6 +783,41 @@ object TextQueries {
     "dedup_clusters" -> ((s, d) =>
       clusterLabels(s, d).orderBy("doc_id")),
 
+    // Cluster-level dedup report over the memoized labels: how many
+    // near-dup groups exist, how many docs they absorb, and the
+    // largest group — the numbers a curation run logs per corpus
+    // snapshot. Mean group size in exact ppm (single integer
+    // division), so the report hash-pins.
+    "cluster_stats" -> ((s, d) =>
+      clusterLabels(s, d)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs_clustered"),
+          max(col("sz")).as("max_cluster_size"),
+          expr("sum(sz) * 1000000 DIV count(1)").as("mean_size_ppm"))),
+
+    // Two-stage near-dup CASCADE — the industrial shape: a cheap
+    // LSH recall stage proposes candidates, the exact-Jaccard stage
+    // confirms them, and the report measures each stage's yield
+    // (candidates, confirmed at ≥ 0.7, precision in exact ppm). At
+    // 100 TB the cascade is what makes exact confirmation affordable:
+    // it runs only on the LSH-bounded candidate set, never the
+    // corpus. Candidates outside the shingle-candidate table (no
+    // shared surviving shingle) count as unconfirmed on both engines.
+    "neardup_cascade" -> ((s, d) => {
+      val cand = minhashCandidatePairs(minhashSigs(s, d))
+      val confirmed = cand
+        .join(jaccardPairs(s, d), Seq("a", "b"), "left")
+        .select((coalesce(col("jaccard"), lit(0.0)) >= 0.7).as("dup"))
+      confirmed.agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_confirmed"),
+        expr("sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000 " +
+          "DIV count(1)").as("precision_ppm"))
+    }),
+
     // The SAME components via alternating large-star/small-star
     // (TwoStarCC): O(log²) rounds in graph size regardless of
     // component diameter — the deployable fallback the min-label
@@ -945,28 +1007,7 @@ object TextQueries {
       // (ReusedExchange in the final adaptive plan), and no cached
       // copies accumulate across bench invocations.
       val sig = minhashSigs(s, d)
-      val bands = bandKeys(sig)
-      // Posting-list candidate generation with BOUNDED aggregation
-      // state: a count() pass (O(1) state per bucket) sizes every
-      // band bucket first, buckets outside [2, BucketCap] are dropped
-      // with a semi join, and only the survivors reach collect_set —
-      // so no bucket buffer can exceed BucketCap ids even for the
-      // measured 78%-of-docs hot bucket. (Filtering after collect_set
-      // would bound the pair join but still materialize the full hot
-      // bucket in one aggregation buffer — executor OOM at 100 TB.)
-      val bandsParted = bands.repartition(col("band"), col("key"))
-      val bucketSizes = bandsParted
-        .groupBy("band", "key")
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, BucketCap))
-        .select("band", "key")
-      val cand = bandsParted
-        .join(bucketSizes, Seq("band", "key"), "left_semi")
-        .groupBy("band", "key")
-        .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-        .select(pairCombinations(col("ids")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .distinct()
+      val cand = minhashCandidatePairs(sig)
       // One row per document: never broadcast (OOM at 100 TB). Plain
       // shuffle joins on a/b — the candidate side is already bounded
       // by the banding + bucket cap, so both joins stay proportional
@@ -1579,6 +1620,61 @@ object TextQueries {
          |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
          |FROM reach GROUP BY doc
          |ORDER BY doc_id""".stripMargin,
+    "cluster_stats" ->
+      s"""WITH RECURSIVE $jaccardPairsSqlCte,
+         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
+         |edges AS (SELECT a AS src, b AS dst FROM hi
+         |          UNION SELECT b, a FROM hi),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+         |),
+         |clusters AS (
+         |  SELECT doc, min(lab) AS cluster FROM reach GROUP BY doc
+         |),
+         |szs AS (
+         |  SELECT cluster, count(*) AS sz FROM clusters GROUP BY cluster
+         |)
+         |SELECT count(*) AS n_clusters,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
+         |       CAST(max(sz) AS BIGINT) AS max_cluster_size,
+         |       CAST(sum(sz) * 1000000 // count(*) AS BIGINT)
+         |         AS mean_size_ppm
+         |FROM szs""".stripMargin,
+    "neardup_cascade" -> {
+      val bandSelects = (0 until 4)
+        .map(j =>
+          s"SELECT doc_id, $j AS band, " +
+            s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $jaccardPairsSqlCte,
+         |$tokHashCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  $bandSelects
+         |), small AS (
+         |  SELECT b.* FROM bands b
+         |  JOIN (SELECT band, key FROM bands GROUP BY band, key
+         |        HAVING count(*) BETWEEN 2 AND $BucketCap) ok
+         |    ON b.band = ok.band AND b.key = ok.key
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM small x JOIN small y
+         |    ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id
+         |), scored AS (
+         |  SELECT CASE WHEN coalesce(p.jaccard, 0) >= 0.7
+         |              THEN 1 ELSE 0 END AS dup
+         |  FROM cand c LEFT JOIN pairs p ON p.a = c.a AND p.b = c.b
+         |)
+         |SELECT count(*) AS n_candidates,
+         |       CAST(sum(dup) AS BIGINT) AS n_confirmed,
+         |       CAST(sum(dup) * 1000000 // count(*) AS BIGINT)
+         |         AS precision_ppm
+         |FROM scored""".stripMargin
+    },
     // Identical closure oracle as dedup_clusters: the two-star
     // algorithm must produce the same labeling.
     "dedup_clusters_twostar" ->
