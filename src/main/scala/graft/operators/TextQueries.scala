@@ -23,6 +23,17 @@ object TextQueries {
   private val Stopwords = Seq("the", "a", "of", "and", "to")
   private val StopSqlList = Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB twin of [[qualityKeep]] (defined below with the other
+    * shared plan builders).
+    */
+  private def qualityKeepSql: String =
+    s"""len($toksSql) >= 5
+       |         AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+       |           'g')) AS DOUBLE) / length(text) >= 0.5
+       |         AND CAST(len(list_filter($toksSql,
+       |           t -> t IN ($StopSqlList))) AS DOUBLE)
+       |           / len($toksSql) <= 0.5""".stripMargin
+
   /** Shingle document-frequency cap for near-dup candidate generation. */
   private val DfCap = 100
 
@@ -305,6 +316,20 @@ object TextQueries {
       Checkpoints.unpin(words)
       merges.toSeq
     }
+  }
+
+  /** The C4-style quality predicate over `text` — shared by
+    * `quality_filter` and the `corpus_card` report (its SQL twin is
+    * [[qualityKeepSql]]).
+    */
+  private def qualityKeep: Column = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+    nTokens >= 5 &&
+      nAlpha.cast("double") / length(col("text")) >= 0.5 &&
+      nStop.cast("double") / nTokens <= 0.5
   }
 
   /** 8-slot MinHash signatures over distinct word unigrams — the
@@ -622,17 +647,9 @@ object TextQueries {
     // stopword-ratio gates composed as one predicate, then a per-lang
     // keep-rate summary — the shape of a real corpus-cleaning pass
     // (filters push into the scan; the aggregate is the only shuffle).
-    "quality_filter" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val nTokens = size(toks)
-      val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-      val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
-      val keep =
-        nTokens >= 5 &&
-          nAlpha.cast("double") / length(col("text")) >= 0.5 &&
-          nStop.cast("double") / nTokens <= 0.5
+    "quality_filter" -> ((s, d) =>
       documents(s, d)
-        .withColumn("keep", keep)
+        .withColumn("keep", qualityKeep)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -641,8 +658,32 @@ object TextQueries {
             .as("kept_chars"))
         .withColumn("keep_rate",
           col("n_kept").cast("double") / col("n_docs"))
-        .orderBy("lang")
-    }),
+        .orderBy("lang")),
+
+    // The per-language DATASET CARD: the corpus summary a curation
+    // run publishes with every snapshot — volume, exact-duplicate
+    // rate, and quality keep rate, composed from the verified
+    // fingerprint/quality building blocks in ONE scan + one grouped
+    // aggregation (rates as exact ppm so the card hash-pins).
+    "corpus_card" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("lang"),
+          col("n_chars"),
+          hash60(normText(col("text"))).as("fingerprint"),
+          qualityKeep.as("keep"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (count(lit(1)) - countDistinct(col("fingerprint")))
+            .as("n_exact_dups"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_kept"))
+        .withColumn("dup_ppm",
+          expr("n_exact_dups * 1000000 DIV n_docs"))
+        .withColumn("keep_ppm",
+          expr("n_quality_kept * 1000000 DIV n_docs"))
+        .orderBy("lang")),
 
     // Deterministic train/val/test split (8/1/1) keyed on the CONTENT
     // fingerprint, not the row id — the reproducible-sampling pattern
@@ -1539,15 +1580,27 @@ object TextQueries {
          |       CAST(len(regexp_extract_all(text, '$BpePattern'))
          |         AS DOUBLE) / len($toksSql) AS bpe_per_word
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "quality_filter" ->
+    "corpus_card" ->
       s"""WITH scored AS (
          |  SELECT lang, n_chars,
-         |         len($toksSql) >= 5
-         |         AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
-         |           'g')) AS DOUBLE) / length(text) >= 0.5
-         |         AND CAST(len(list_filter($toksSql,
-         |           t -> t IN ($StopSqlList))) AS DOUBLE)
-         |           / len($toksSql) <= 0.5 AS keep
+         |         ${hash60Sql(normSql)} AS fingerprint,
+         |         $qualityKeepSql AS keep
+         |  FROM documents)
+         |SELECT lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT)
+         |         AS n_exact_dups,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_quality_kept,
+         |       CAST((count(*) - count(DISTINCT fingerprint)) * 1000000
+         |         // count(*) AS BIGINT) AS dup_ppm,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+         |         // count(*) AS BIGINT) AS keep_ppm
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+    "quality_filter" ->
+      s"""WITH scored AS (
+         |  SELECT lang, n_chars, $qualityKeepSql AS keep
          |  FROM documents)
          |SELECT lang,
          |       count(*) AS n_docs,
