@@ -50,7 +50,16 @@ object Vectors {
 
   /** LSH bucket id from `nPlanes` sign bits. */
   def lshBucket(emb: Column, nPlanes: Int): Column =
+    lshBucketAt(emb, nPlanes, 0)
+
+  /** LSH bucket from `nPlanes` sign bits starting at global plane
+    * `offset` — table t of a multi-table LSH index uses
+    * offset = t * nPlanes, so every table draws a disjoint slice of
+    * the deterministic plane family.
+    */
+  def lshBucketAt(emb: Column, nPlanes: Int, offset: Int): Column =
     (0 until nPlanes)
-      .map(p => when(planeDot(emb, p) > 0, lit(1 << p)).otherwise(lit(0)))
+      .map(j =>
+        when(planeDot(emb, offset + j) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 }

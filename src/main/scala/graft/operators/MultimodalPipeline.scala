@@ -207,6 +207,52 @@ object MultimodalPipeline {
       .mapPartitions(resizePartition _)
   }
 
+  /** The 4×3 thumbnail as a 36-dim feature vector — the cheap image
+    * embedding the cross-modal ANN path (`multimodal_ann`) searches
+    * over. Dim order: (ty·4 + tx)·3 + channel, channels R,G,B.
+    */
+  case class ThumbFeature(doc_id: Long, feature: Array[Float])
+
+  /** Per-partition decode + resize into the feature vector — the same
+    * really-decoded 4×3 nearest-neighbor sample as [[resizePartition]],
+    * kept per-pixel instead of summed.
+    */
+  def thumbFeaturePartition(
+      items: Iterator[PngImage]): Iterator[ThumbFeature] =
+    items.map { item =>
+      val img = readPng(item.doc_id, item.png)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val arr = new Array[Float](36)
+      var ty = 0
+      while (ty < 3) {
+        var tx = 0
+        while (tx < 4) {
+          val p = img.getRGB(tx * w / 4, ty * h / 3)
+          val base = (ty * 4 + tx) * 3
+          arr(base) = ((p >> 16) & 0xff).toFloat
+          arr(base + 1) = ((p >> 8) & 0xff).toFloat
+          arr(base + 2) = (p & 0xff).toFloat
+          tx += 1
+        }
+        ty += 1
+      }
+      ThumbFeature(item.doc_id, arr)
+    }
+
+  /** Synthesize → decode → featurize over documents, same typed
+    * mapPartitions shape as [[decodePngStats]].
+    */
+  def thumbFeatures(
+      spark: SparkSession, dir: String): Dataset[ThumbFeature] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(encodePngPartition _)
+      .mapPartitions(thumbFeaturePartition _)
+  }
+
   /** A synthesized WAV payload keyed by document. */
   case class WavClip(doc_id: Long, wav: Array[Byte])
 

@@ -72,6 +72,45 @@ object MultimodalQueries {
       MultimodalPipeline.videoFrameStats(s, d).toDF()
         .orderBy("doc_id", "frame_idx")),
 
+    // CROSS-MODAL retrieval: the multimodal and similarity families
+    // composed — the actual pipeline shape (image → feature → ANN).
+    // Every document's PNG is really decoded and resized to the 4×3
+    // thumbnail FEATURE VECTOR (36 dims), and the existing LSH
+    // machinery searches it: deterministic hyperplane buckets, bucket
+    // equi-join (never all-pairs), bit-deterministic cosine, top-5
+    // per query. All feature values are small integers, so every
+    // dot/norm is exact in doubles and the oracle recomputes the
+    // whole path — pixels, buckets, ranks — arithmetically.
+    "multimodal_ann" -> ((s, d) => {
+      val withB = MultimodalPipeline.thumbFeatures(s, d).toDF()
+        .withColumn(
+          "bucket",
+          graft.functions.Vectors.lshBucket(col("feature"), 4))
+      val q = withB
+        .filter(col("doc_id") < 5)
+        .select(
+          col("doc_id").as("qid"),
+          col("feature").as("qe"),
+          col("bucket"))
+      val c = withB.select(
+        col("doc_id").as("cand_id"),
+        col("feature").as("ce"),
+        col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      broadcast(q)
+        .join(c, Seq("bucket"))
+        .filter(col("qid") =!= col("cand_id"))
+        .withColumn(
+          "sim",
+          graft.functions.Vectors.cosine(col("qe"), col("ce")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("qid", "cand_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    }),
+
     // Byte-stride frame sampling: every 50th byte's value — the
     // "sample frames from video" access pattern over binary columns.
     "multimodal_frame_sample" -> ((s, d) =>
@@ -207,6 +246,70 @@ object MultimodalQueries {
         |FROM px
         |GROUP BY doc_id, f, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // The whole cross-modal path rebuilt arithmetically: thumbnail
+    // feature values from the pixel formula at the sampled integer
+    // coordinates, hyperplane buckets from the shared (p·73 + dim·37)
+    // weight family, exact-integer dots/norms (every product ≤ 255²,
+    // exactly representable — summation order is irrelevant), same
+    // (sim DESC, cand ASC) rank. MATERIALIZED: feat is referenced by
+    // four consumers.
+    "multimodal_ann" -> {
+      def chan(sx: String, sy: String, k: Int) = k match {
+        case 0 => s"(($sx)*31 + ($sy)*17 + doc_id) % 256"
+        case 1 => s"(($sx)*7 + ($sy)*29 + doc_id*3) % 256"
+        case _ => s"(($sx)*13 + ($sy)*5 + doc_id*7) % 256"
+      }
+      val projs = (0 until 4)
+        .map(p =>
+          s"sum(v * CAST((($p*73 + dim*37) % 19) - 9 AS DOUBLE))" +
+            s" AS proj$p")
+        .mkString(",\n         ")
+      val bits = (0 until 4)
+        .map(p => s"(CASE WHEN proj$p > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH feat AS MATERIALIZED (
+         |  SELECT doc_id, (ty*4 + tx)*3 + ch AS dim,
+         |         CAST(CASE ch
+         |           WHEN 0 THEN ${chan("tx*w//4", "ty*h//3", 0)}
+         |           WHEN 1 THEN ${chan("tx*w//4", "ty*h//3", 1)}
+         |           ELSE ${chan("tx*w//4", "ty*h//3", 2)}
+         |         END AS DOUBLE) AS v
+         |  FROM (SELECT doc_id, doc_id % 13 + 4 AS w,
+         |               doc_id % 7 + 3 AS h FROM documents) d,
+         |       LATERAL unnest(generate_series(0, 3)) AS a(tx),
+         |       LATERAL unnest(generate_series(0, 2)) AS b(ty),
+         |       LATERAL unnest(generate_series(0, 2)) AS k(ch)
+         |), fbuckets AS MATERIALIZED (
+         |  SELECT doc_id, $bits AS bucket
+         |  FROM (
+         |    SELECT doc_id,
+         |         $projs
+         |    FROM feat GROUP BY doc_id) pr
+         |), fnorms AS (
+         |  SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM feat GROUP BY doc_id
+         |), cand AS (
+         |  SELECT q.doc_id AS qid, c.doc_id AS cand_id
+         |  FROM fbuckets q JOIN fbuckets c ON q.bucket = c.bucket
+         |  WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id
+         |), dots AS (
+         |  SELECT cand.qid, cand.cand_id, sum(fq.v * fc.v) AS dot
+         |  FROM cand
+         |  JOIN feat fq ON fq.doc_id = cand.qid
+         |  JOIN feat fc ON fc.doc_id = cand.cand_id AND fc.dim = fq.dim
+         |  GROUP BY cand.qid, cand.cand_id
+         |), sims AS (
+         |  SELECT qid, cand_id, d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN fnorms nq ON nq.doc_id = qid
+         |  JOIN fnorms nc ON nc.doc_id = cand_id
+         |)
+         |SELECT qid, cand_id, rnk, sim FROM (
+         |  SELECT qid, cand_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, cand_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    },
     "multimodal_frame_sample" ->
       """SELECT doc_id,
         |       CAST(p AS INTEGER) AS frame_idx,

@@ -27,6 +27,12 @@ object SimilarityQueries {
   private val NPlanes = 4
   private val TopK = 5
 
+  /** High-recall configuration (`cosine_topk_lsh_hi`): independent
+    * hash tables and the multi-probe Hamming radius per table.
+    */
+  private val NTables = 2
+  private val ProbeRadius = 2
+
   /** Near-dup cosine threshold. The fixture embeddings are near-random
     * (max pairwise cosine ≈ 0.51), so 0.3 exercises the operator with
     * real matches; a production dedup would sit at 0.9+.
@@ -112,6 +118,65 @@ object SimilarityQueries {
       val c = withBucket
         .select(col("vec_id"), col("embedding"), col("bucket"))
       topkFromCandidates(q, c, "bucket")
+    }),
+
+    // HIGH-RECALL LSH top-k: NTables independent hash tables (each a
+    // disjoint slice of the deterministic plane family) × radius-2
+    // multi-probe per table, candidate union deduplicated BEFORE
+    // scoring. This is the demonstrated ≥0.8-recall point on the
+    // recall/cost curve (LshRecallSpec pins it against brute force):
+    // per-neighbor collision probability p ≈ (1-θ/π)^planes per
+    // bucket rises to ~0.89 with radius-2 probing, and two tables
+    // lift it to ~0.99 — on the near-random fixture vectors, the
+    // WORST case for LSH (real clustered corpora collide far more,
+    // so the same config prunes far more of N). Plan shape is
+    // identical to the cheap configs: explode probe keys → equi-join
+    // on (table, bucket) → distinct pairs → score; candidate volume
+    // is governed by tables × probes, never by N².
+    "cosine_topk_lsh_hi" -> ((s, d) => {
+      val masks = (0 until (1 << NPlanes))
+        .filter(m => Integer.bitCount(m) <= ProbeRadius)
+      val withB = (0 until NTables).foldLeft(embeddings(s, d)) {
+        (df, t) =>
+          df.withColumn(
+            s"b$t", lshBucketAt(col("embedding"), NPlanes, t * NPlanes))
+      }
+      val c = withB
+        .select(
+          col("vec_id"),
+          explode(array((0 until NTables).map(t =>
+            struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*))
+            .as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val probes = for { t <- 0 until NTables; m <- masks } yield
+        struct(lit(t).as("t"),
+          col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))
+      val q = withB
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), explode(array(probes: _*)).as("tb"))
+        .select(col("qid"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      // Dedup on the (qid, vec_id) PAIR, not the scored row: the same
+      // candidate surfaces from several tables/probes, and the arrays
+      // stay out of the distinct's shuffle.
+      val cand = broadcast(q)
+        .join(c, Seq("t", "bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select("qid", "vec_id")
+        .distinct()
+      val qe = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      cand
+        .join(broadcast(qe), Seq("qid"))
+        .join(embeddings(s, d).select("vec_id", "embedding"), Seq("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
     }),
 
     // Embedding-cosine NEAR-DUP pairs — the dedup-family member that
@@ -372,6 +437,28 @@ object SimilarityQueries {
        |    GROUP BY vec_id) pr
        |)""".stripMargin
 
+  /** Bucket CTE for one table of the multi-table index: planes
+    * offset..offset+NPlanes-1, bit value 1<<j for WITHIN-table index j
+    * (mirrors Vectors.lshBucketAt).
+    */
+  private def tableBucketCte(name: String, offset: Int) =
+    s"""$name AS (
+       |  SELECT vec_id, ${(0 until NPlanes)
+        .map(j =>
+          s"(CASE WHEN proj$j > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")} AS bucket
+       |  FROM (
+       |    SELECT vec_id, ${(0 until NPlanes)
+        .map(j =>
+          s"sum(CAST(x AS DOUBLE) * CAST(((${offset + j}*73 + i*37) % 19) - 9" +
+            s" AS DOUBLE)) AS proj$j")
+        .mkString(", ")}
+       |    FROM (SELECT vec_id, unnest(embedding) AS x,
+       |            unnest(generate_series(0, len(embedding)-1)) AS i
+       |          FROM embeddings) u
+       |    GROUP BY vec_id) pr
+       |)""".stripMargin
+
   /** IVF assignment in DuckDB: same fixed-seed centroids, same
     * bit-deterministic cosine, same (sim desc, cid asc) argmax.
     * Requires `$normCte` in scope.
@@ -521,6 +608,44 @@ object SimilarityQueries {
          |    OR xor(bc.bucket, bq.bucket) IN ($hamming1))
          |  JOIN embeddings c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+    },
+    "cosine_topk_lsh_hi" -> {
+      val tableCand = (0 until NTables).map { t =>
+        s"""  SELECT bq.vec_id AS qid, bc.vec_id AS vid
+           |  FROM t$t bq JOIN t$t bc
+           |    ON bit_count(CAST(xor(bq.bucket, bc.bucket) AS BIGINT))
+           |       <= $ProbeRadius
+           |  WHERE bq.vec_id < $NQueries AND bq.vec_id <> bc.vec_id"""
+          .stripMargin
+      }.mkString("\n  UNION\n")
+      s"""WITH ${(0 until NTables)
+          .map(t => tableBucketCte(s"t$t", t * NPlanes))
+          .mkString(",\n")},
+         |cand AS (
+         |$tableCand
+         |),
+         |pairs AS (
+         |  SELECT qid, vid AS vec_id, eq.embedding AS qe,
+         |         ec.embedding AS ce
+         |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = qid
+         |  JOIN embeddings ec ON ec.vec_id = vid
          |),
          |${dotCte("dots", "qe", "ce")},
          |$normCte,

@@ -105,6 +105,17 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // Watermark late-data-DROP semantics through the gate: phase 2 of
+    // a checkpointed two-run stream delivers the oldest half of the
+    // corpus two weeks below the restored watermark (dropped) plus a
+    // post-watermark sliver (kept). The oracle reproduces the
+    // exclusion arithmetically: rows ≥ LateSplit, hourly windows
+    // closed by the final watermark max(ts) − 1 h. Both failure
+    // directions pin: un-dropped late rows add ~15 days of windows;
+    // over-dropping loses the final-day hours.
+    "stream_late_drop" -> ((s, d) =>
+      graft.streaming.StreamingEvents.lateDropResult(s, d)),
+
     // The streaming pipeline's aggregation, batch-executed.
     "stream_window_batch" -> ((s, d) =>
       StreamingEvents
@@ -350,6 +361,27 @@ object SourceQueries {
         |       count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Exclusion arithmetic of the late-drop run: surviving rows are
+    // exactly those ≥ LateSplit (everything older arrives below the
+    // phase-1 watermark), and append mode emits exactly the hourly
+    // windows closed by the final watermark max(ts) − 1 hour.
+    "stream_late_drop" ->
+      s"""WITH wm AS (
+         |  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+         |), kept AS (
+         |  SELECT date_trunc('hour', ts) AS h, event_type, value
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '${
+            graft.streaming.StreamingEvents.LateSplit}'
+         |)
+         |SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, event_type,
+         |       count(*) AS n_events,
+         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+         |         AS value_cents
+         |FROM kept, wm
+         |WHERE h + INTERVAL 1 HOUR <= wm.w
+         |GROUP BY h, event_type
+         |ORDER BY hour, event_type""".stripMargin,
     "stream_window_batch" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type,

@@ -192,6 +192,12 @@ object TextQueries {
     */
   private val neardupEdgeCache = new SessionMemo[org.apache.spark.sql.DataFrame]
 
+  /** Child session configured for the reliable checkpoint tier —
+    * memoized per (parent session, dir) so `dedup_clusters_reliable`
+    * computes its fixpoint once per gate JVM.
+    */
+  private val reliableSessionCache = new SessionMemo[SparkSession]
+
   private[operators] def neardupEdges(
       s: SparkSession, d: String): DataFrame =
     neardupEdgeCache.getOrCompute(s, d) {
@@ -249,7 +255,8 @@ object TextQueries {
     labels.select(col("doc_id"), col("lab").as("cluster"))
   }
 
-  /** Three BPE training rounds on word TYPES weighted by frequency —
+  /** [[BpeRounds]] BPE training rounds on word TYPES weighted by
+    * frequency —
     * not raw token instances: the pair statistic
     * Σ_word cnt(word)·pairs(word) is identical, but every round
     * rewrites |vocab| rows instead of |corpus| tokens (the standard
@@ -262,6 +269,20 @@ object TextQueries {
     * `bpe_apply`.
     */
   private val bpeMergeCache = new SessionMemo[Seq[(Int, String, Long)]]
+
+  /** Training rounds. 8 (not 3) so the apply path PROVES its plan
+    * depth is independent of merge count (BpeApplyPlanSpec): 8 merges
+    * with pins every [[BpeApplyPinEvery]] leave at most
+    * [[BpeApplyPinEvery]] replace expressions in any executed plan.
+    */
+  private val BpeRounds = 8
+
+  /** The apply dictionary is re-pinned after this many folded merges:
+    * plan depth is bounded by this constant however long the learned
+    * merge list grows (30k merges = 30k/4 shallow generations, never
+    * a 30k-deep expression tree).
+    */
+  private val BpeApplyPinEvery = 4
 
   private def trainBpeMerges(
       s: SparkSession, d: String): Seq[(Int, String, Long)] = {
@@ -277,7 +298,7 @@ object TextQueries {
       val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
       var r = 1
       var done = false
-      while (r <= 3 && !done) {
+      while (r <= BpeRounds && !done) {
         val top = words
           .select(split(col("w"), " ").as("syms"), col("cnt"))
           // guard: a fully-merged 1-symbol word has no pairs, and an
@@ -317,6 +338,44 @@ object TextQueries {
       merges.toSeq
     }
   }
+
+  /** Memoized APPLY dictionary: distinct raw word → symbol count
+    * after all learned merges. Folds the trainer's merge expression
+    * [[BpeApplyPinEvery]] merges at a time with a Checkpoints pin
+    * between segments, so every generation's executed plan holds a
+    * CONSTANT number of replace expressions however many merges were
+    * learned. The finished dictionary stays pinned (memoized, like
+    * the cluster-label edge table) — it is the frame every apply
+    * consumer joins against.
+    */
+  private val bpeDictCache = new SessionMemo[DataFrame]
+
+  private def bpeDictionary(s: SparkSession, d: String): DataFrame =
+    bpeDictCache.getOrCompute(s, d) {
+      val pairs = trainBpeMerges(s, d).map(_._2)
+      var dict = Checkpoints.pin(
+        documents(s, d)
+          .select(explode(tokens(col("text"))).as("raw"))
+          .filter(length(col("raw")) >= 2)
+          .distinct()
+          .select(
+            col("raw"),
+            trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("w")))
+      pairs.grouped(BpeApplyPinEvery).foreach { group =>
+        val prev = dict
+        dict = Checkpoints.pin(group.foldLeft(dict) { (df, pair) =>
+          df.withColumn("w",
+            trim(call_function("replace",
+              concat(lit(" "), col("w"), lit(" ")),
+              lit(s" $pair "),
+              lit(" " + pair.replace(" ", "") + " "))))
+        })
+        Checkpoints.unpin(prev)
+      }
+      dict.select(
+        col("raw"),
+        size(split(col("w"), " ")).cast("long").as("n_syms"))
+    }
 
   /** The C4-style quality predicate over `text` — shared by
     * `quality_filter` and the `corpus_card` report (its SQL twin is
@@ -824,6 +883,26 @@ object TextQueries {
     "dedup_clusters" -> ((s, d) =>
       clusterLabels(s, d).orderBy("doc_id")),
 
+    // The SAME clustering executed through the RELIABLE checkpoint
+    // tier (Checkpoints.scala): an isolated child session pins every
+    // generation via Dataset.checkpoint to files on shared storage —
+    // the tier a 100 TB run needs, where a lost executor must not
+    // lose the fixpoint. Registering it here puts reliable
+    // checkpointing inside the DuckDB gate, not just a spec: the
+    // result must be row/hash-identical to the exact closure oracle.
+    // The child session is memoized so the label fixpoint (memoized
+    // per session) also runs once per gate JVM.
+    "dedup_clusters_reliable" -> ((s, d) => {
+      val rs = reliableSessionCache.getOrCompute(s, d) {
+        val ns = s.newSession()
+        ns.conf.set(
+          graft.Checkpoints.ConfKey,
+          graft.Fs.sinkDir("graft-reliable-ckpt"))
+        ns
+      }
+      clusterLabels(rs, d).orderBy("doc_id")
+    }),
+
     // Cluster-level dedup report over the memoized labels: how many
     // near-dup groups exist, how many docs they absorb, and the
     // largest group — the numbers a curation run logs per corpus
@@ -912,7 +991,7 @@ object TextQueries {
         .orderBy(col("n").desc, col("pair"))
         .limit(30)),
 
-    // THREE BPE training rounds: words become space-separated symbol
+    // BpeRounds BPE training rounds: words become space-separated symbol
     // sequences; each round counts adjacent symbol pairs
     // distributedly, picks the global argmax (ONE row to the driver —
     // bounded, the standard shape for iterative trainers), and merges
@@ -934,32 +1013,28 @@ object TextQueries {
     // Tokenizer APPLY: the merges learned by `bpe_train_merges`
     // applied corpus-wide with doc attribution — per document, the
     // symbol counts before/after and the exact compression in ppm.
-    // The apply pass is the train pass's merge expression over
-    // doc-attributed instances (no re-counting, no driver loop); the
-    // merge table itself is memoized, so gate runs train ONCE however
-    // many consumers.
+    // Merges rewrite word TYPES, never instances, so the apply is a
+    // DICTIONARY pass: distinct raw words fold the trainer's merge
+    // expression, re-pinned via Checkpoints every BpeApplyPinEvery
+    // merges so any EXECUTED plan holds at most that many replace
+    // expressions — depth independent of merge count (a 30k-merge
+    // vocabulary is 30k/4 shallow dictionary generations, not a
+    // 30k-deep tree; BpeApplyPlanSpec pins this). The corpus then
+    // touches the merges through ONE equi-join against the finished
+    // dictionary — at 100 TB the corpus streams once and the
+    // dictionary (word types) is the only iterated frame. Dictionary
+    // and merge table are memoized per (session, dir).
     "bpe_apply" -> ((s, d) => {
-      val pairs = trainBpeMerges(s, d).map(_._2)
-      val spaced = documents(s, d)
+      val sized = bpeDictionary(s, d)
+      documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("raw"))
         .filter(length(col("raw")) >= 2)
-        .select(
-          col("doc_id"),
-          length(col("raw")).cast("long").as("raw_syms"),
-          trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("w"))
-      val merged = pairs.foldLeft(spaced) { (df, pair) =>
-        df.withColumn("w",
-          trim(call_function("replace",
-            concat(lit(" "), col("w"), lit(" ")),
-            lit(s" $pair "),
-            lit(" " + pair.replace(" ", "") + " "))))
-      }
-      merged
+        .join(sized, Seq("raw"))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_words"),
-          sum(col("raw_syms")).as("n_symbols_raw"),
-          sum(size(split(col("w"), " ")).cast("long")).as("n_symbols"))
+          sum(length(col("raw")).cast("long")).as("n_symbols_raw"),
+          sum(col("n_syms")).as("n_symbols"))
         .withColumn("compression_ppm",
           expr("n_symbols * 1000000 DIV n_symbols_raw"))
         .orderBy("doc_id")
@@ -1066,6 +1141,44 @@ object TextQueries {
         .select("a", "b", "n_match", "est_jaccard")
         .orderBy(col("n_match").desc, col("a").asc, col("b").asc)
         .limit(20)
+    }),
+
+    // "No silent caps": the near-dup generators bound candidate
+    // growth with three df/bucket caps (shingle DfCap, MinHash band
+    // BucketCap, inverted-index InvIdxDfCap) — each trades recall
+    // among HOT keys for tractability, and at 100 TB that trade is
+    // the knob an operator tunes. This report makes every cap's
+    // effect observable: per stage, how many keys the cap drops and
+    // how many postings (doc attachments) go with them. All exact
+    // integer counts over the same first-stage frames the operators
+    // themselves read.
+    "neardup_cap_report" -> ((s, d) => {
+      def report(df: DataFrame, stage: String, cap: Int) =
+        df.agg(
+          count(lit(1)).as("n_keys_total"),
+          sum(when(col("n") > cap, 1L).otherwise(0L))
+            .as("n_keys_dropped"),
+          sum(when(col("n") > cap, col("n")).otherwise(0L))
+            .as("n_postings_dropped"))
+          .select(
+            lit(stage).as("stage"),
+            lit(cap).as("cap_limit"),
+            col("n_keys_total"),
+            col("n_keys_dropped"),
+            col("n_postings_dropped"))
+      val shingleDf = shingleRows(s, d)
+        .groupBy("sh").agg(count(lit(1)).as("n"))
+      val bucketDf = bandKeys(minhashSigs(s, d))
+        .groupBy("band", "key").agg(count(lit(1)).as("n"))
+      val tokenDf = documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      report(shingleDf, "shingle_df", DfCap)
+        .unionByName(report(bucketDf, "minhash_bucket", BucketCap))
+        .unionByName(report(tokenDf, "invidx_df", InvIdxDfCap))
+        .orderBy("stage")
     }),
 
     // The same signatures through the typed Aggregator surface
@@ -1350,27 +1463,51 @@ object TextQueries {
     s"SELECT doc_id, $slots FROM tok GROUP BY doc_id"
   }
 
-  /** DuckDB twin of the BPE trainer's three rounds as CTEs p/t/w 1..3
-    * over an instance-level `w0(w)` — shared by the train and apply
-    * oracles. Instance counts equal the trainer's type-weighted
-    * counts by construction.
+  /** DuckDB twin of the BPE trainer's rounds as a TYPE-weighted
+    * dictionary chain d0..dBpeRounds (raw word, spaced form, corpus
+    * count) with per-round pair stats p/t — shared by the train and
+    * apply oracles. Type-weighted Σ cnt·pairs(type) equals the
+    * instance-level count by construction, and keeps the unrolled
+    * 8-round SQL dictionary-sized (the instance-level form was a
+    * multi-minute oracle at sf0.01). Every CTE is MATERIALIZED:
+    * DuckDB otherwise inlines each reference, and with three
+    * references per round (p_k, plus t_k twice in d_k) the unrolled
+    * chain re-evaluates d0 exponentially — ~3^rounds scans at 8
+    * rounds, another multi-minute oracle. The coalesce makes rounds
+    * past an early training stop no-ops: replace(w, '  ', …) can
+    * never match a single-spaced word.
     */
-  private val bpeRoundsCte: String = (1 to 3).map { k =>
-    s"""p$k AS (
-       |  SELECT s[i] || ' ' || s[i+1] AS pair, count(*) AS n
-       |  FROM (SELECT string_split(w, ' ') AS s FROM w${k - 1}) q,
-       |       LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
-       |  GROUP BY pair
-       |), t$k AS (
-       |  SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1
-       |), w$k AS (
-       |  SELECT trim(replace(' ' || w || ' ',
-       |    ' ' || (SELECT pair FROM t$k) || ' ',
-       |    ' ' || replace((SELECT pair FROM t$k), ' ', '') || ' '))
-       |    AS w
-       |  FROM w${k - 1}
-       |)""".stripMargin
-  }.mkString(",\n")
+  private val bpeDictRoundsCte: String = {
+    val d0 =
+      s"""d0 AS MATERIALIZED (
+         |  SELECT w AS raw,
+         |         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS w,
+         |         cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest($toksSql) AS w FROM documents) u
+         |        WHERE length(w) >= 2 GROUP BY w) v
+         |)""".stripMargin
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s[i] || ' ' || s[i+1] AS pair, sum(cnt) AS n
+         |  FROM (SELECT string_split(w, ' ') AS s, cnt
+         |        FROM d${k - 1}) q,
+         |       LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
+         |  GROUP BY pair
+         |), t$k AS MATERIALIZED (
+         |  SELECT pair, CAST(n AS BIGINT) AS n FROM p$k
+         |  ORDER BY n DESC, pair LIMIT 1
+         |), d$k AS MATERIALIZED (
+         |  SELECT raw, trim(replace(' ' || w || ' ',
+         |    ' ' || coalesce((SELECT pair FROM t$k), '') || ' ',
+         |    ' ' || replace(coalesce((SELECT pair FROM t$k), ''),
+         |      ' ', '') || ' '))
+         |    AS w, cnt
+         |  FROM d${k - 1}
+         |)""".stripMargin
+    }
+    (d0 +: rounds).mkString(",\n")
+  }
 
   /** DuckDB twin of [[jaccardPairs]] as a CTE chain ending in `pairs`
     * (a, b, inter BIGINT, jaccard) — shared by the `ngram_jaccard`
@@ -1400,6 +1537,25 @@ object TextQueries {
        |  JOIN sizes sa ON sa.doc_id = a
        |  JOIN sizes sb ON sb.doc_id = b
        |)""".stripMargin
+
+  /** Connected components of the jaccard ≥ 0.9 graph as a recursive
+    * transitive closure — the shared oracle of `dedup_clusters` and
+    * its reliable-tier twin.
+    */
+  private val clusterClosureSql: String =
+    s"""WITH RECURSIVE $jaccardPairsSqlCte,
+       |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
+       |edges AS (SELECT a AS src, b AS dst FROM hi
+       |          UNION SELECT b, a FROM hi),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach(doc, lab) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+       |)
+       |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+       |FROM reach GROUP BY doc
+       |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -1656,23 +1812,12 @@ object TextQueries {
       s"""WITH $jaccardPairsSqlCte
          |SELECT a, b, inter, jaccard FROM pairs
          |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""".stripMargin,
-    // Connected components as a recursive transitive closure — exact
-    // fixpoint, independently derived from the same pair graph the
-    // Spark side propagates labels over.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $jaccardPairsSqlCte,
-         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
-         |edges AS (SELECT a AS src, b AS dst FROM hi
-         |          UNION SELECT b, a FROM hi),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach(doc, lab) AS (
-         |  SELECT doc, doc FROM nodes
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
-         |)
-         |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
-         |FROM reach GROUP BY doc
-         |ORDER BY doc_id""".stripMargin,
+    // Connected components as a recursive transitive closure (
+    // [[clusterClosureSql]]) — exact fixpoint, independently derived
+    // from the same pair graph the Spark side propagates labels over.
+    "dedup_clusters" -> clusterClosureSql,
+    // The reliable-tier run must land on the IDENTICAL closure.
+    "dedup_clusters_reliable" -> clusterClosureSql,
     "cluster_stats" ->
       s"""WITH RECURSIVE $jaccardPairsSqlCte,
          |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
@@ -1781,58 +1926,33 @@ object TextQueries {
          |SELECT pair, count(*) AS n FROM pairs_
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "bpe_train_merges" ->
-      s"""WITH w0 AS (
-         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS w
-         |  FROM (SELECT unnest($toksSql) AS w FROM documents) u
-         |  WHERE length(w) >= 2
-         |),
-         |$bpeRoundsCte
+      s"""WITH $bpeDictRoundsCte
          |SELECT CAST(1 AS INTEGER) AS round, pair, n FROM t1
-         |UNION ALL SELECT 2, pair, n FROM t2
-         |UNION ALL SELECT 3, pair, n FROM t3
+         |${(2 to BpeRounds)
+          .map(k => s"UNION ALL SELECT $k, pair, n FROM t$k")
+          .mkString("\n")}
          |ORDER BY round""".stripMargin,
-    // Same three unrolled training rounds; the merges then replay
-    // over DOC-ATTRIBUTED word instances and reduce to the per-doc
-    // compression report.
-    "bpe_apply" -> {
-      // coalesce: when training stopped short of round k, t_k is
-      // empty and its scalar subquery is NULL — replace(w, NULL, …)
-      // would NULL the whole corpus. The '' fallback searches for
-      // '  ' (double space), which a single-spaced non-empty word
-      // can never contain, making the round a no-op exactly like the
-      // Spark side's absent merge.
-      val applied = (1 to 3).map { k =>
-        s"""w${k}d AS (
-           |  SELECT doc_id, raw_syms, trim(replace(' ' || w || ' ',
-           |    ' ' || coalesce((SELECT pair FROM t$k), '') || ' ',
-           |    ' ' || replace(coalesce((SELECT pair FROM t$k), ''),
-           |      ' ', '') || ' '))
-           |    AS w
-           |  FROM w${k - 1}d
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH w0 AS (
-         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS w
-         |  FROM (SELECT unnest($toksSql) AS w FROM documents) u
-         |  WHERE length(w) >= 2
-         |),
-         |$bpeRoundsCte,
-         |w0d AS (
-         |  SELECT doc_id, CAST(length(w) AS BIGINT) AS raw_syms,
-         |         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS w
+    // Same unrolled training rounds; the finished dictionary
+    // d{BpeRounds} (raw word → merged form) then joins the
+    // DOC-ATTRIBUTED instances ONCE and reduces to the per-doc
+    // compression report — mirroring the Spark side's dictionary
+    // join.
+    "bpe_apply" ->
+      s"""WITH $bpeDictRoundsCte,
+         |inst AS (
+         |  SELECT doc_id, w AS rw
          |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents) u
          |  WHERE length(w) >= 2
-         |),
-         |$applied
+         |)
          |SELECT doc_id,
          |       count(*) AS n_words,
-         |       CAST(sum(raw_syms) AS BIGINT) AS n_symbols_raw,
-         |       CAST(sum(len(string_split(w, ' '))) AS BIGINT)
+         |       CAST(sum(length(rw)) AS BIGINT) AS n_symbols_raw,
+         |       CAST(sum(len(string_split(dd.w, ' '))) AS BIGINT)
          |         AS n_symbols,
-         |       CAST(sum(len(string_split(w, ' '))) * 1000000
-         |         // sum(raw_syms) AS BIGINT) AS compression_ppm
-         |FROM w3d GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |       CAST(sum(len(string_split(dd.w, ' '))) * 1000000
+         |         // sum(length(rw)) AS BIGINT) AS compression_ppm
+         |FROM inst JOIN d$BpeRounds dd ON dd.raw = inst.rw
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "rare_token_ratio" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS token FROM documents
@@ -1852,6 +1972,45 @@ object TextQueries {
     "minhash_signatures" ->
       s"""WITH $tokHashCte
          |$sigSelect ORDER BY doc_id""".stripMargin,
+    "neardup_cap_report" -> {
+      val bandSelects = (0 until 4)
+        .map(j =>
+          s"SELECT doc_id, $j AS band, " +
+            s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      def stageSelect(stage: String, cap: Int, from: String) =
+        s"""SELECT '$stage' AS stage, $cap AS cap_limit,
+           |       count(*) AS n_keys_total,
+           |       CAST(sum(CASE WHEN n > $cap THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_keys_dropped,
+           |       CAST(sum(CASE WHEN n > $cap THEN n ELSE 0 END)
+           |         AS BIGINT) AS n_postings_dropped
+           |FROM $from""".stripMargin
+      s"""WITH $tokHashCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  $bandSelects
+         |), bucketdf AS (
+         |  SELECT band, key, count(*) AS n FROM bands GROUP BY band, key
+         |), shdf AS (
+         |  SELECT sh, count(*) AS n FROM (
+         |    SELECT DISTINCT doc_id, sh FROM (
+         |      SELECT doc_id, unnest(${wordShinglesSql(toksSql, 3)}) AS sh
+         |      FROM documents) u) r
+         |  GROUP BY sh
+         |), tokdf AS (
+         |  SELECT tok, count(*) AS n FROM (
+         |    SELECT DISTINCT doc_id, unnest($toksSql) AS tok
+         |    FROM documents) u
+         |  GROUP BY tok
+         |)
+         |${stageSelect("invidx_df", InvIdxDfCap, "tokdf")}
+         |UNION ALL
+         |${stageSelect("minhash_bucket", BucketCap, "bucketdf")}
+         |UNION ALL
+         |${stageSelect("shingle_df", DfCap, "shdf")}
+         |ORDER BY stage""".stripMargin
+    },
     "minhash_band_pairs" -> {
       val bandSelects = (0 until 4)
         .map(j =>

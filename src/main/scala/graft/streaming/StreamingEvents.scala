@@ -185,6 +185,86 @@ object StreamingEvents {
         col("view_id"))
   }
 
+  /** Hourly twin of [[windowedAgg]] with a 1-hour watermark — the
+    * late-drop pinning shape: windows small enough (and the delay
+    * short enough) that on-time phase-2 arrivals land in windows that
+    * CLOSE before the stream ends, so the output separates "late rows
+    * dropped" from "phase 2 ignored entirely".
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(graft.operators.Money.cents(col("value"))).as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"),
+        col("n_events"),
+        col("value_cents"))
+
+  /** Arrival split for the late-drop pin (UTC instants inside the
+    * fixture's fixed Jan-2024 event range at every scale factor):
+    * rows in [LateSplit, LateRecent) arrive in phase 1; phase 2 then
+    * delivers rows < LateSplit (LATE — two weeks below the phase-1
+    * watermark, provably dropped) together with rows ≥ LateRecent
+    * (on time — above the watermark, provably kept).
+    */
+  val LateSplit = "2024-01-16 00:00:00"
+  val LateRecent = "2024-01-30 12:00:00"
+
+  private val lateStagedSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** The watermark late-data-drop contract, end to end: two
+    * AvailableNow streaming runs share one CHECKPOINTED parquet sink
+    * (the watermark persists in the offset log across runs — exactly
+    * how a production incremental job resumes). Phase 1 ingests the
+    * middle slice and leaves the watermark near LateRecent − 1 h;
+    * phase 2 ingests the pre-LateSplit half (late → dropped on
+    * arrival) plus the post-LateRecent sliver (on time → aggregated
+    * and emitted once its hourly windows close). The result read back
+    * from the sink must therefore equal the batch aggregation of
+    * rows ≥ LateSplit over windows closed by the final watermark —
+    * the oracle computes that same exclusion arithmetically.
+    */
+  def lateDropResult(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.sinkDir("graft_late_drop")
+    graft.Fs.deleteRecursively(base)
+    val ingest = s"$base/ingest"
+    val out = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    val ev = batch(spark, dir).select(
+      col("ts"), col("event_type"), col("value"))
+    def runPhase(): Unit = {
+      val q = hourlyAgg(
+        spark.readStream
+          .schema(lateStagedSchema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(ingest))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter(col("ts") >= lit(LateSplit) && col("ts") < lit(LateRecent))
+      .write.mode("append").parquet(ingest)
+    runPhase()
+    ev.filter(col("ts") < lit(LateSplit) || col("ts") >= lit(LateRecent))
+      .write.mode("append").parquet(ingest)
+    runPhase()
+    spark.read.parquet(out).orderBy("hour", "event_type")
+  }
+
   /** Run the stream to completion (available-now trigger) into an
     * in-memory sink; returns the materialized result.
     */
