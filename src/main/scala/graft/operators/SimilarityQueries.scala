@@ -253,6 +253,25 @@ object SimilarityQueries {
       topkFromCandidates(q, c, "cid")
     }),
 
+    // IVF with nprobe=2 — the recall knob of the SECOND ANN family,
+    // symmetric with the LSH hi config: each query probes its TWO
+    // nearest cells (deterministic rank: csim desc, cid asc) while
+    // candidates stay keyed by their single nearest cell, so a
+    // candidate reaches a query through at most one probe — no dedup
+    // needed. Same broadcast-centroid assignment and bucket-join
+    // plan; cost scales with nprobe, never with N².
+    "ivf_topk_probe2" -> ((s, d) => {
+      val q = ivfProbes(s, d, 2)
+        .filter(col("vec_id") < NQueries)
+        .select(
+          col("vec_id").as("qid"),
+          col("embedding").as("qe"),
+          col("cid"))
+      val c = ivfAssign(s, d)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      topkFromCandidates(q, c, "cid")
+    }),
+
     // Symmetric int8 quantization of the embedding column — the
     // compression step before a 100 TB ANN index build (4× smaller
     // vectors, SIMD-friendly int dot products). Per-vector scale =
@@ -384,7 +403,16 @@ object SimilarityQueries {
     * sim desc, cid asc — sims are bit-deterministic double folds, so
     * the assignment is engine-exact).
     */
-  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+  private def ivfAssign(s: SparkSession, d: String): DataFrame =
+    ivfProbes(s, d, 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("cid"))
+
+  /** The nprobe generalization: each vector paired with its `nprobe`
+    * nearest centroids (same deterministic rank). nprobe=1 is the
+    * assignment; higher values are the query-side recall knob.
+    */
+  private def ivfProbes(
+      s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val cents = embeddings(s, d)
       .filter(col("vec_id") < NCells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -395,7 +423,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("embedding"), col("ce")))
       .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("label"), col("cid"))
   }
 
@@ -500,6 +528,42 @@ object SimilarityQueries {
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
          |         eq.embedding AS qe, ec.embedding AS ce
          |  FROM assign q
+         |  JOIN assign c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "ivf_topk_probe2" ->
+      s"""WITH $normCte,
+         |$assignCte,
+         |assign2 AS (
+         |  SELECT vid AS vec_id, cid FROM (
+         |    SELECT vid, cid,
+         |           row_number() OVER (PARTITION BY vid
+         |             ORDER BY d.dot/(nv.nrm*nc.nrm) DESC, cid ASC) AS rn
+         |    FROM adots d
+         |    JOIN norms nv ON nv.vec_id = vid
+         |    JOIN norms nc ON nc.vec_id = cid) t
+         |  WHERE rn <= 2
+         |),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         eq.embedding AS qe, ec.embedding AS ce
+         |  FROM assign2 q
          |  JOIN assign c ON q.cid = c.cid AND q.vec_id <> c.vec_id
          |  JOIN embeddings eq ON eq.vec_id = q.vec_id
          |  JOIN embeddings ec ON ec.vec_id = c.vec_id

@@ -350,7 +350,7 @@ object TextQueries {
     */
   private val bpeDictCache = new SessionMemo[DataFrame]
 
-  private def bpeDictionary(s: SparkSession, d: String): DataFrame =
+  private[graft] def bpeDictionary(s: SparkSession, d: String): DataFrame =
     bpeDictCache.getOrCompute(s, d) {
       val pairs = trainBpeMerges(s, d).map(_._2)
       var dict = Checkpoints.pin(
@@ -376,6 +376,40 @@ object TextQueries {
         col("raw"),
         size(split(col("w"), " ")).cast("long").as("n_syms"))
     }
+
+  /** Imperative per-word BPE apply — the production fast path a
+    * 30k-merge vocabulary runs inside one `mapPartitions` pass over
+    * word types (broadcast merge list, zero plan growth; a
+    * rank-indexed pair lookup drops the per-word cost below the
+    * naive O(merges × len) shown here). Semantics are EXACTLY the
+    * space-delimited replace the declarative dictionary folds:
+    * merges apply in learned order, each pass left-to-right and
+    * non-overlapping, and a match can never START on the symbol
+    * immediately after a merge — the string form consumed that
+    * symbol's leading delimiter (the documented alternate-occurrence
+    * wart). `BpeImperativeApplySpec` pins equality against the
+    * declarative dictionary over the whole fixture vocabulary.
+    */
+  private[graft] def applyMergesImperative(
+      word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (a, b) =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](
+        syms.length)
+      var i = 0
+      var justMerged = false
+      while (i < syms.length) {
+        if (!justMerged && i + 1 < syms.length &&
+          syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2; justMerged = true
+        } else {
+          out += syms(i); i += 1; justMerged = false
+        }
+      }
+      syms = out.toArray
+    }
+    syms.toSeq
+  }
 
   /** The C4-style quality predicate over `text` — shared by
     * `quality_filter` and the `corpus_card` report (its SQL twin is

@@ -42,6 +42,22 @@ class LshRecallSpec extends SparkTestBase {
     assert(rProbe >= 0.3, s"multi-probe recall too low: $rProbe")
   }
 
+  test("IVF nprobe=2 recall ≥ nprobe=1 recall") {
+    val brute = topkSets("cosine_topk_brute")
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = brute.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble /
+          truth.size
+      }
+      per.sum / per.size
+    }
+    val r1 = recall(topkSets("ivf_topk"))
+    val r2 = recall(topkSets("ivf_topk_probe2"))
+    info(f"recall@5 ivf nprobe1=$r1%.2f nprobe2=$r2%.2f")
+    assert(r2 >= r1,
+      s"nprobe=2 ($r2) must not lose recall vs nprobe=1 ($r1)")
+  }
+
   test("high-recall config (2 tables × radius-2 probe) recall ≥ 0.8") {
     val brute = topkSets("cosine_topk_brute")
     val hi = topkSets("cosine_topk_lsh_hi")
