@@ -815,6 +815,66 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // THE COMPOSED CURATION PIPELINE — the verified stages chained in
+    // the order a training-data run executes them: quality filter →
+    // exact keep-first dedup → near-dup cluster keep (representative
+    // = longest text, smallest doc_id — same decision as
+    // cluster_representatives, over the memoized full-corpus labels)
+    // → content-hash 8/1/1 split. Output is the per-stage yield table
+    // (docs + whitespace tokens surviving each stage, then per split)
+    // — the funnel report a curation run publishes. Composition costs
+    // one scan plus the stages' own bounded joins: the cluster labels
+    // are the memoized fixpoint, the keep-first key is the already-
+    // shuffled norm key, and no stage re-reads the corpus.
+    "curation_pipeline" -> ((s, d) => {
+      val base = documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        normText(col("text")).as("norm"),
+        qualityKeep.as("q"))
+      val quality = base.filter(col("q"))
+      val keepFirst = quality
+        .groupBy("norm")
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = quality.join(keepFirst, Seq("norm", "doc_id"), "left_semi")
+      val labels = clusterLabels(s, d)
+      val reps = labels
+        .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg")))
+          .as("best"))
+        .select((-col("best.neg")).as("doc_id"))
+      val neardup = exact
+        .join(labels.select(col("doc_id"), lit(true).as("clustered")),
+          Seq("doc_id"), "left")
+        .join(reps.select(col("doc_id"), lit(true).as("rep")),
+          Seq("doc_id"), "left")
+        .filter(col("clustered").isNull || col("rep").isNotNull)
+      def stageRow(df: DataFrame, name: String) =
+        df.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      val splits = neardup
+        .withColumn("bucket", pmod(hash60(col("norm")), lit(10)))
+        .withColumn(
+          "stage",
+          when(col("bucket") < 8, "split_train")
+            .when(col("bucket") === 8, "split_val")
+            .otherwise("split_test"))
+        .groupBy("stage")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"))
+      stageRow(base, "s0_raw")
+        .unionByName(stageRow(quality, "s1_quality"))
+        .unionByName(stageRow(exact, "s2_exact_dedup"))
+        .unionByName(stageRow(neardup, "s3_neardup_keep"))
+        .unionByName(splits)
+        .orderBy("stage")
+    }),
+
     // Deterministic 60-bit document fingerprint over normalized text.
     "doc_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -1733,6 +1793,72 @@ object TextQueries {
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // The funnel rebuilt stage by stage: same quality predicate, same
+    // min-doc_id keep-first, the closure-derived cluster
+    // representatives (n_chars DESC, doc_id tiebreak), same
+    // hash-of-norm split. A doc_id is a keep-first winner iff it is
+    // the min of ITS OWN norm group (ids are unique), so the plain IN
+    // suffices.
+    "curation_pipeline" ->
+      s"""WITH RECURSIVE $jaccardPairsSqlCte,
+         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
+         |edges AS (SELECT a AS src, b AS dst FROM hi
+         |          UNION SELECT b, a FROM hi),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+         |),
+         |clusters AS (
+         |  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY doc
+         |),
+         |reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |           row_number() OVER (PARTITION BY c.cluster
+         |             ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |    FROM clusters c JOIN documents d USING (doc_id)) t
+         |  WHERE rn = 1
+         |),
+         |base AS (
+         |  SELECT doc_id, $normSql AS norm,
+         |         CAST(len($toksSql) AS BIGINT) AS n_toks,
+         |         $qualityKeepSql AS q
+         |  FROM documents
+         |),
+         |quality AS (SELECT * FROM base WHERE q),
+         |exact AS (
+         |  SELECT * FROM quality
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY norm)
+         |),
+         |neardup AS (
+         |  SELECT e.* FROM exact e
+         |  LEFT JOIN clusters c ON c.doc_id = e.doc_id
+         |  LEFT JOIN reps r ON r.doc_id = e.doc_id
+         |  WHERE c.doc_id IS NULL OR r.doc_id IS NOT NULL
+         |),
+         |splits AS (
+         |  SELECT CASE WHEN b < 8 THEN 'split_train'
+         |              WHEN b = 8 THEN 'split_val'
+         |              ELSE 'split_test' END AS stage,
+         |         count(*) AS n_docs,
+         |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |  FROM (SELECT ${hash60Sql("norm")} % 10 AS b, n_toks
+         |        FROM neardup) z
+         |  GROUP BY stage
+         |)
+         |SELECT 's0_raw' AS stage, count(*) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM base
+         |UNION ALL SELECT 's1_quality', count(*),
+         |       CAST(sum(n_toks) AS BIGINT) FROM quality
+         |UNION ALL SELECT 's2_exact_dedup', count(*),
+         |       CAST(sum(n_toks) AS BIGINT) FROM exact
+         |UNION ALL SELECT 's3_neardup_keep', count(*),
+         |       CAST(sum(n_toks) AS BIGINT) FROM neardup
+         |UNION ALL SELECT stage, n_docs, n_tokens FROM splits
+         |ORDER BY stage""".stripMargin,
     "stratified_sample" ->
       s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id FROM (
          |  SELECT lang, doc_id,
