@@ -240,14 +240,20 @@ object MultimodalPipeline {
     }
 
   /** Synthesize → decode → featurize over documents, same typed
-    * mapPartitions shape as [[decodePngStats]].
+    * mapPartitions shape as [[decodePngStats]]. `maxDocId` bounds the
+    * id scan BEFORE the codec: a filter written after a typed
+    * mapPartitions cannot push through it, so a 5-query probe side
+    * would otherwise decode the whole corpus — the filter must sit on
+    * the parquet scan (PushedFilters), and with it the codec runs
+    * only over the rows that survive.
     */
   def thumbFeatures(
-      spark: SparkSession, dir: String): Dataset[ThumbFeature] = {
+      spark: SparkSession,
+      dir: String,
+      maxDocId: Option[Long] = None): Dataset[ThumbFeature] = {
     import spark.implicits._
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    maxDocId.fold(ids)(m => ids.filter(col("doc_id") < m))
       .as[Long]
       .mapPartitions(encodePngPartition _)
       .mapPartitions(thumbFeaturePartition _)

@@ -82,20 +82,25 @@ object MultimodalQueries {
     // dot/norm is exact in doubles and the oracle recomputes the
     // whole path — pixels, buckets, ranks — arithmetically.
     "multimodal_ann" -> ((s, d) => {
-      val withB = MultimodalPipeline.thumbFeatures(s, d).toDF()
+      // Probe side decodes ONLY the query docs: the doc_id bound sits
+      // on the parquet scan (a filter after the typed map cannot push
+      // through it — it would decode the corpus twice).
+      val q = MultimodalPipeline.thumbFeatures(s, d, Some(5L)).toDF()
         .withColumn(
           "bucket",
           graft.functions.Vectors.lshBucket(col("feature"), 4))
-      val q = withB
-        .filter(col("doc_id") < 5)
         .select(
           col("doc_id").as("qid"),
           col("feature").as("qe"),
           col("bucket"))
-      val c = withB.select(
-        col("doc_id").as("cand_id"),
-        col("feature").as("ce"),
-        col("bucket"))
+      val c = MultimodalPipeline.thumbFeatures(s, d).toDF()
+        .withColumn(
+          "bucket",
+          graft.functions.Vectors.lshBucket(col("feature"), 4))
+        .select(
+          col("doc_id").as("cand_id"),
+          col("feature").as("ce"),
+          col("bucket"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid")
         .orderBy(col("sim").desc, col("cand_id").asc)
