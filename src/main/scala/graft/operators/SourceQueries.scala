@@ -105,6 +105,48 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // Small-files COMPACTION — the table-maintenance pass every
+    // long-lived 100 TB table needs (streaming ingest and per-batch
+    // writes fragment tables; scan cost and driver memory scale with
+    // file count, not bytes). A 16-file fragmented write is compacted
+    // through one repartition(2) rewrite — a real distributed plan,
+    // no driver loop — and the gate pins DATA IDENTITY through the
+    // rewrite (row count, exact cents sum, distinct ids) plus the
+    // exact file counts (one file per shuffle partition, so both
+    // counts are plan-determined constants).
+    "compact_small_files" -> ((s, d) => {
+      val base = graft.Fs.sinkDir("graft_compact")
+      graft.Fs.deleteRecursively(base)
+      val small = s"$base/small"
+      val compacted = s"$base/compacted"
+      graft.Tables.events(s, d)
+        .select(
+          col("event_id"),
+          col("event_type"),
+          graft.operators.Money.cents(col("value")).as("cents"))
+        .repartition(16)
+        .write.parquet(small)
+      s.read.parquet(small).repartition(2).write.parquet(compacted)
+      def nFiles(dir: String): Long =
+        new java.io.File(dir).listFiles()
+          .count(f => f.getName.endsWith(".parquet")).toLong
+      def report(dir: String, stage: String) =
+        s.read.parquet(dir)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("sum_cents"),
+            countDistinct(col("event_id")).as("n_ids"))
+          .select(
+            lit(stage).as("stage"),
+            lit(nFiles(dir)).as("n_files"),
+            col("n_rows"),
+            col("sum_cents"),
+            col("n_ids"))
+      report(small, "s1_small")
+        .unionByName(report(compacted, "s2_compacted"))
+        .orderBy("stage")
+    }),
+
     // Watermark late-data-DROP semantics through the gate: phase 2 of
     // a checkpointed two-run stream delivers the oldest half of the
     // corpus two weeks below the restored watermark (dropped) plus a
@@ -361,6 +403,23 @@ object SourceQueries {
         |       count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Identity through the compaction rewrite: both stages must carry
+    // the raw table's exact aggregates; the file counts are the
+    // repartition constants.
+    "compact_small_files" ->
+      """SELECT 's1_small' AS stage, CAST(16 AS BIGINT) AS n_files,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       count(DISTINCT event_id) AS n_ids
+        |FROM events
+        |UNION ALL
+        |SELECT 's2_compacted', CAST(2 AS BIGINT), count(*),
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT),
+        |       count(DISTINCT event_id)
+        |FROM events
+        |ORDER BY stage""".stripMargin,
+
     // Exclusion arithmetic of the late-drop run: surviving rows are
     // exactly those ≥ LateSplit (everything older arrives below the
     // phase-1 watermark), and append mode emits exactly the hourly
