@@ -1134,6 +1134,43 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The IMPERATIVE fast path through the gate: the dictionary built
+    // by one typed mapPartitions pass over distinct word types with
+    // the broadcast merge list (applyMergesImperative — the shape a
+    // 30k-merge vocabulary ships), then the same instance join and
+    // report as bpe_apply. Shares bpe_apply's oracle verbatim: the
+    // two paths must be indistinguishable to the gate.
+    "bpe_apply_fast" -> ((s, d) => {
+      import s.implicits._
+      val merges = trainBpeMerges(s, d).map { m =>
+        val Array(a, b) = m._2.split(" ")
+        (a, b)
+      }
+      val bc = s.sparkContext.broadcast(merges)
+      val sized = documents(s, d)
+        .select(explode(tokens(col("text"))).as("raw"))
+        .filter(length(col("raw")) >= 2)
+        .distinct()
+        .as[String]
+        .mapPartitions { words =>
+          val ms = bc.value
+          words.map(w => (w, applyMergesImperative(w, ms).length.toLong))
+        }
+        .toDF("raw", "n_syms")
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("raw"))
+        .filter(length(col("raw")) >= 2)
+        .join(sized, Seq("raw"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("raw")).cast("long")).as("n_symbols_raw"),
+          sum(col("n_syms")).as("n_symbols"))
+        .withColumn("compression_ppm",
+          expr("n_symbols * 1000000 DIV n_symbols_raw"))
+        .orderBy("doc_id")
+    }),
+
     // Rare-token ratio: per-doc fraction (ppm, exact integer) of token
     // OCCURRENCES outside the corpus top-20 vocabulary — the
     // out-of-vocabulary quality signal. The vocab is bounded by K →
@@ -2098,6 +2135,24 @@ object TextQueries {
     // compression report — mirroring the Spark side's dictionary
     // join.
     "bpe_apply" ->
+      s"""WITH $bpeDictRoundsCte,
+         |inst AS (
+         |  SELECT doc_id, w AS rw
+         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents) u
+         |  WHERE length(w) >= 2
+         |)
+         |SELECT doc_id,
+         |       count(*) AS n_words,
+         |       CAST(sum(length(rw)) AS BIGINT) AS n_symbols_raw,
+         |       CAST(sum(len(string_split(dd.w, ' '))) AS BIGINT)
+         |         AS n_symbols,
+         |       CAST(sum(len(string_split(dd.w, ' '))) * 1000000
+         |         // sum(length(rw)) AS BIGINT) AS compression_ppm
+         |FROM inst JOIN d$BpeRounds dd ON dd.raw = inst.rw
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The imperative fast path must be gate-indistinguishable from
+    // the declarative apply — same oracle, verbatim.
+    "bpe_apply_fast" ->
       s"""WITH $bpeDictRoundsCte,
          |inst AS (
          |  SELECT doc_id, w AS rw

@@ -233,7 +233,18 @@ object StreamingEvents {
     * rows ≥ LateSplit over windows closed by the final watermark —
     * the oracle computes that same exclusion arithmetically.
     */
-  def lateDropResult(spark: SparkSession, dir: String): DataFrame = {
+  def lateDropResult(spark: SparkSession, dir: String): DataFrame =
+    lateDropRun(spark, dir)._1
+
+  /** [[lateDropResult]] plus the engine's OWN per-phase late-drop
+    * counters (`numRowsDroppedByWatermark`, summed across each
+    * phase's micro-batches) — `LateDropCounterSpec` pins phase 1 at
+    * zero and phase 2 at exactly the arithmetic late-row count, so
+    * the drop is proven at the state operator itself, not only
+    * through the output.
+    */
+  def lateDropRun(
+      spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val base = graft.Fs.sinkDir("graft_late_drop")
     graft.Fs.deleteRecursively(base)
     val ingest = s"$base/ingest"
@@ -241,7 +252,7 @@ object StreamingEvents {
     val ckpt = s"$base/ckpt"
     val ev = batch(spark, dir).select(
       col("ts"), col("event_type"), col("value"))
-    def runPhase(): Unit = {
+    def runPhase(): Long = {
       val q = hourlyAgg(
         spark.readStream
           .schema(lateStagedSchema)
@@ -255,14 +266,19 @@ object StreamingEvents {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark)
+        .sum
     }
     ev.filter(col("ts") >= lit(LateSplit) && col("ts") < lit(LateRecent))
       .write.mode("append").parquet(ingest)
-    runPhase()
+    val dropped1 = runPhase()
     ev.filter(col("ts") < lit(LateSplit) || col("ts") >= lit(LateRecent))
       .write.mode("append").parquet(ingest)
-    runPhase()
-    spark.read.parquet(out).orderBy("hour", "event_type")
+    val dropped2 = runPhase()
+    (spark.read.parquet(out).orderBy("hour", "event_type"),
+      dropped1, dropped2)
   }
 
   /** Run the stream to completion (available-now trigger) into an
