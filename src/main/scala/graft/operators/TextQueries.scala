@@ -753,6 +753,32 @@ object TextQueries {
           col("n_kept").cast("double") / col("n_docs"))
         .orderBy("lang")),
 
+    // Per-REASON rejection counts for the quality gate — the
+    // observability twin of neardup_cap_report: a keep-rate alone
+    // can't tell an operator WHICH predicate to retune when yield
+    // drops. Reasons overlap by design (a doc can fail several), so
+    // the row also carries total docs and total rejected for the
+    // denominator. One expression scan, one global aggregate.
+    "quality_reject_reasons" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTokens = size(toks)
+      val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+      documents(s, d)
+        .select(
+          (nTokens < 5).as("r_short"),
+          (nAlpha.cast("double") / length(col("text")) < 0.5)
+            .as("r_alpha"),
+          (nStop.cast("double") / nTokens > 0.5).as("r_stop"),
+          qualityKeep.as("keep"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_rejected"),
+          sum(when(col("r_short"), 1L).otherwise(0L)).as("n_too_short"),
+          sum(when(col("r_alpha"), 1L).otherwise(0L)).as("n_low_alpha"),
+          sum(when(col("r_stop"), 1L).otherwise(0L)).as("n_stopword_heavy"))
+    }),
+
     // The per-language DATASET CARD: the corpus summary a curation
     // run publishes with every snapshot — volume, exact-duplicate
     // rate, and quality keep rate, composed from the verified
@@ -1951,6 +1977,26 @@ object TextQueries {
          |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
          |         // count(*) AS BIGINT) AS keep_ppm
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+    "quality_reject_reasons" ->
+      s"""WITH scored AS (
+         |  SELECT len($toksSql) < 5 AS r_short,
+         |         CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+         |           'g')) AS DOUBLE) / length(text) < 0.5 AS r_alpha,
+         |         CAST(len(list_filter($toksSql,
+         |           t -> t IN ($StopSqlList))) AS DOUBLE)
+         |           / len($toksSql) > 0.5 AS r_stop,
+         |         $qualityKeepSql AS keep
+         |  FROM documents)
+         |SELECT count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_rejected,
+         |       CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_too_short,
+         |       CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_low_alpha,
+         |       CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_stopword_heavy
+         |FROM scored""".stripMargin,
     "quality_filter" ->
       s"""WITH scored AS (
          |  SELECT lang, n_chars, $qualityKeepSql AS keep
