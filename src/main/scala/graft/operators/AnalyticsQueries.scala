@@ -101,6 +101,38 @@ object AnalyticsQueries {
         .orderBy(col("revenue_cents").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q18 shape: large-volume customers. The HAVING-semi-join —
+    // qualifying orderkeys come from a grouped quantity filter over
+    // lineitem, then rejoin the facts. Both lineitem passes share the
+    // orderkey shuffle (AQE exchange reuse); the qualifier side is a
+    // LEFT-SEMI, never a distinct+inner; totalprice pins as cents.
+    "tpch_q18" -> ((s, d) => {
+      val bigOrders = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 300)
+        .select("l_orderkey")
+      val li = lineitem(s, d).select("l_orderkey", "l_quantity")
+        .join(bigOrders, Seq("l_orderkey"), "left_semi")
+      val ord = orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("price_cents"))
+      val cust = customer(s, d).select("c_custkey", "c_name")
+      li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "price_cents")
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(
+          col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("price_cents"), col("sum_qty"))
+        .orderBy(col("price_cents").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     // TPC-H Q10 shape: top-20 customers by returned-item revenue in one
     // quarter. The returnflag predicate prunes lineitem at the scan;
     // nation broadcasts; the customer attributes ride the aggregation
@@ -224,6 +256,21 @@ object AnalyticsQueries {
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name
          |ORDER BY revenue_cents DESC, n_name ASC""".stripMargin,
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+        |         o_totalprice
+        |ORDER BY price_cents DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "tpch_q10" ->
       s"""SELECT c_custkey, c_name,
          |       CAST(sum($revCentsSql) AS BIGINT) AS revenue_cents,
