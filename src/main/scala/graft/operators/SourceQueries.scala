@@ -105,6 +105,59 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // foreachBatch UPSERT — the dominant production sink pattern
+    // (per-micro-batch merge into a serving table, for sinks with no
+    // native streaming writer). Two staged ingest files force two
+    // micro-batches; each batch aggregates itself and merges into a
+    // VERSIONED parquet state table (read vN → union+re-aggregate →
+    // write vN+1 — never overwrite what you read). Counts/sums are
+    // associative, so two-batch merge ≡ one-shot batch aggregation —
+    // which is exactly what the oracle computes.
+    "stream_foreach_upsert" -> ((s, d) => {
+      val base = graft.Fs.sinkDir("graft_feb")
+      graft.Fs.deleteRecursively(base)
+      val ingest = s"$base/ingest"
+      val ev = graft.Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        graft.operators.Money.cents(col("value")).as("cents"))
+      ev.filter(col("event_id") % 2 === 0).write.parquet(s"$ingest/f0")
+      ev.filter(col("event_id") % 2 === 1).write.parquet(s"$ingest/f1")
+      val schema = s.read.parquet(s"$ingest/f0").schema
+      var version = 0
+      val q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$ingest/*")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val agg = batch
+            .groupBy("event_type")
+            .agg(
+              count(lit(1)).as("n_events"),
+              sum(col("cents")).as("sum_cents"))
+          val merged =
+            if (version == 0) agg
+            else
+              s.read.parquet(s"$base/state/v$version")
+                .unionByName(agg)
+                .groupBy("event_type")
+                .agg(
+                  sum(col("n_events")).as("n_events"),
+                  sum(col("sum_cents")).as("sum_cents"))
+          merged.write.parquet(s"$base/state/v${version + 1}")
+          version += 1
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(version >= 2,
+        s"foreachBatch ran $version micro-batches — the upsert loop " +
+          "needs at least two to prove the merge")
+      s.read.parquet(s"$base/state/v$version").orderBy("event_type")
+    }),
+
     // Small-files COMPACTION — the table-maintenance pass every
     // long-lived 100 TB table needs (streaming ingest and per-batch
     // writes fragment tables; scan cost and driver memory scale with
@@ -403,6 +456,15 @@ object SourceQueries {
         |       count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Two-batch foreachBatch merge ≡ one-shot aggregation.
+    "stream_foreach_upsert" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // Identity through the compaction rewrite: both stages must carry
     // the raw table's exact aggregates; the file counts are the
     // repartition constants.
