@@ -52,9 +52,20 @@ object Bench {
         else
           """"([^"]+)":([0-9][0-9.Ee+-]*)""".r
             .findAllMatchIn(txt.substring(qsIdx + 10))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            // flatMap, not map: one malformed numeric must not discard
+            // the whole baseline (the catch below would silently
+            // disable regression flagging for the entire run).
+            .flatMap(m =>
+              m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] WARNING: prior BENCH_PERQ.json unreadable " +
+            s"(${e.getClass.getSimpleName}) — regression flagging " +
+            "degrades to top10+watchlist this run")
+        Map.empty
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -178,19 +189,31 @@ object Bench {
       spark = buildSession(cpus)
       warmup(spark, sfDir)
       val sweepMap = results.toMap
-      val isolated = flagged.flatMap { name =>
+      // A flagged query that fails all isolated attempts is RECORDED
+      // (isolated:null + stderr), never dropped — absence from the
+      // artifact must mean "not flagged", not "crashed quietly".
+      val isolated = flagged.map { name =>
         val fn = SparkEntry.queries(name)
+        var err: String = null
         val times = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
+          catch {
+            case e: Throwable =>
+              err = s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").take(120)
+              None
+          }
         }
-        if (times.isEmpty) None else Some(name -> times.min)
+        if (times.isEmpty)
+          System.err.println(s"BENCH ISOLATED FAILURE: $name — $err")
+        name -> times.minOption
       }
       val isoJson = isolated.map { case (name, iso) =>
         val sweep = sweepMap.get(name).map(_.toString).getOrElse("null")
         val pri = prior.get(name).map(_.toString).getOrElse("null")
-        s""""$name":{"isolated":$iso,"sweep":$sweep,"prior":$pri}"""
+        val isoV = iso.map(_.toString).getOrElse("null")
+        s""""$name":{"isolated":$isoV,"sweep":$sweep,"prior":$pri}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_ISOLATED.json"),

@@ -405,7 +405,6 @@ object SimilarityQueries {
     */
   private def ivfAssign(s: SparkSession, d: String): DataFrame =
     ivfProbes(s, d, 1)
-      .select(col("vec_id"), col("embedding"), col("label"), col("cid"))
 
   /** The nprobe generalization: each vector paired with its `nprobe`
     * nearest centroids (same deterministic rank). nprobe=1 is the

@@ -377,6 +377,26 @@ object TextQueries {
         size(split(col("w"), " ")).cast("long").as("n_syms"))
     }
 
+  /** Shared per-doc compression report over a (raw, n_syms)
+    * dictionary — the single reduction both apply paths (declarative
+    * fold and imperative fast path) go through, so the two gate
+    * queries sharing one oracle cannot drift.
+    */
+  private def bpeApplyReport(
+      s: SparkSession, d: String, sized: DataFrame): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("raw"))
+      .filter(length(col("raw")) >= 2)
+      .join(sized, Seq("raw"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("raw")).cast("long")).as("n_symbols_raw"),
+        sum(col("n_syms")).as("n_symbols"))
+      .withColumn("compression_ppm",
+        expr("n_symbols * 1000000 DIV n_symbols_raw"))
+      .orderBy("doc_id")
+
   /** Imperative per-word BPE apply — the production fast path a
     * 30k-merge vocabulary runs inside one `mapPartitions` pass over
     * word types (broadcast merge list, zero plan growth; a
@@ -1015,9 +1035,12 @@ object TextQueries {
     "dedup_clusters_reliable" -> ((s, d) => {
       val rs = reliableSessionCache.getOrCompute(s, d) {
         val ns = s.newSession()
-        ns.conf.set(
-          graft.Checkpoints.ConfKey,
-          graft.Fs.sinkDir("graft-reliable-ckpt"))
+        val dir = graft.Fs.sinkDir("graft-reliable-ckpt")
+        // Checkpoint FILES outlive unpin (only blocks are released);
+        // reap our own dir at JVM exit instead of leaving it to a
+        // later process's 6-hour stale collector.
+        sys.addShutdownHook(graft.Fs.deleteRecursively(dir))
+        ns.conf.set(graft.Checkpoints.ConfKey, dir)
         ns
       }
       clusterLabels(rs, d).orderBy("doc_id")
@@ -1144,21 +1167,8 @@ object TextQueries {
     // dictionary — at 100 TB the corpus streams once and the
     // dictionary (word types) is the only iterated frame. Dictionary
     // and merge table are memoized per (session, dir).
-    "bpe_apply" -> ((s, d) => {
-      val sized = bpeDictionary(s, d)
-      documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("raw"))
-        .filter(length(col("raw")) >= 2)
-        .join(sized, Seq("raw"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_words"),
-          sum(length(col("raw")).cast("long")).as("n_symbols_raw"),
-          sum(col("n_syms")).as("n_symbols"))
-        .withColumn("compression_ppm",
-          expr("n_symbols * 1000000 DIV n_symbols_raw"))
-        .orderBy("doc_id")
-    }),
+    "bpe_apply" -> ((s, d) =>
+      bpeApplyReport(s, d, bpeDictionary(s, d))),
 
     // The IMPERATIVE fast path through the gate: the dictionary built
     // by one typed mapPartitions pass over distinct word types with
@@ -1183,18 +1193,7 @@ object TextQueries {
           words.map(w => (w, applyMergesImperative(w, ms).length.toLong))
         }
         .toDF("raw", "n_syms")
-      documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("raw"))
-        .filter(length(col("raw")) >= 2)
-        .join(sized, Seq("raw"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_words"),
-          sum(length(col("raw")).cast("long")).as("n_symbols_raw"),
-          sum(col("n_syms")).as("n_symbols"))
-        .withColumn("compression_ppm",
-          expr("n_symbols * 1000000 DIV n_symbols_raw"))
-        .orderBy("doc_id")
+      bpeApplyReport(s, d, sized)
     }),
 
     // Rare-token ratio: per-doc fraction (ppm, exact integer) of token

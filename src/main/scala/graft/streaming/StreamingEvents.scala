@@ -271,11 +271,16 @@ object StreamingEvents {
         .map(_.numRowsDroppedByWatermark)
         .sum
     }
+    // coalesce(1): each phase stages ONE file → one input partition →
+    // one map-side combine domain, which is what makes the
+    // numRowsDroppedByWatermark counter equal the late GROUP count
+    // exactly (LateDropCounterSpec) instead of landing anywhere
+    // between group and row counts.
     ev.filter(col("ts") >= lit(LateSplit) && col("ts") < lit(LateRecent))
-      .write.mode("append").parquet(ingest)
+      .coalesce(1).write.mode("append").parquet(ingest)
     val dropped1 = runPhase()
     ev.filter(col("ts") < lit(LateSplit) || col("ts") >= lit(LateRecent))
-      .write.mode("append").parquet(ingest)
+      .coalesce(1).write.mode("append").parquet(ingest)
     val dropped2 = runPhase()
     (spark.read.parquet(out).orderBy("hour", "event_type"),
       dropped1, dropped2)
