@@ -861,6 +861,47 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Train/test LEAKAGE audit: exact duplicates cannot straddle a
+    // content-hash split (same norm → same bucket), but NEAR-dups
+    // can — and every leaking pair inflates eval scores. The audit
+    // counts jaccard ≥ 0.9 pairs whose endpoints land in different
+    // splits under (a) the content-hash split and (b) a
+    // cluster-keyed split (clustered docs take their cluster id's
+    // hash, so both endpoints of ANY near-dup pair share a key —
+    // structurally zero leakage, which the gate pins as an
+    // invariant, not an assumption). One key join per side over the
+    // memoized pair/label frames.
+    "split_leakage" -> ((s, d) => {
+      def splitLab(bucket: Column): Column =
+        when(bucket < 8, "train")
+          .when(bucket === 8, "val")
+          .otherwise("test")
+      val pairs = jaccardPairs(s, d)
+        .filter(col("jaccard") >= 0.9)
+        .select("a", "b")
+      val contentKeys = documents(s, d).select(
+        col("doc_id"),
+        splitLab(pmod(hash60(normText(col("text"))), lit(10))).as("cs"))
+      val clusterKeys = clusterLabels(s, d).select(
+        col("doc_id"),
+        splitLab(pmod(hash60(col("cluster").cast("string")), lit(10)))
+          .as("ks"))
+      val keys = contentKeys
+        .join(clusterKeys, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("cs"),
+          coalesce(col("ks"), col("cs")).as("kcs"))
+      pairs
+        .join(keys.toDF("a", "a_cs", "a_kcs"), "a")
+        .join(keys.toDF("b", "b_cs", "b_kcs"), "b")
+        .agg(
+          count(lit(1)).as("n_neardup_pairs"),
+          sum(when(col("a_cs") =!= col("b_cs"), 1L).otherwise(0L))
+            .as("n_leaking_content_split"),
+          sum(when(col("a_kcs") =!= col("b_kcs"), 1L).otherwise(0L))
+            .as("n_leaking_cluster_split"))
+    }),
+
     // THE COMPOSED CURATION PIPELINE — the verified stages chained in
     // the order a training-data run executes them: quality filter →
     // exact keep-first dedup → near-dup cluster keep (representative
@@ -1855,6 +1896,46 @@ object TextQueries {
     "doc_fingerprint" ->
       s"""SELECT doc_id, ${hash60Sql(normSql)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same pair graph, same split arithmetic; the cluster-keyed
+    // column must read zero.
+    "split_leakage" ->
+      s"""WITH RECURSIVE $jaccardPairsSqlCte,
+         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
+         |edges AS (SELECT a AS src, b AS dst FROM hi
+         |          UNION SELECT b, a FROM hi),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+         |),
+         |clusters AS (
+         |  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY doc
+         |),
+         |keys_ AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN ${hash60Sql(normSql)} % 10 < 8 THEN 'train'
+         |              WHEN ${hash60Sql(normSql)} % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS cs,
+         |         CASE WHEN c.doc_id IS NULL THEN NULL
+         |              WHEN ${hash60Sql("CAST(c.cluster AS VARCHAR)")}
+         |                % 10 < 8 THEN 'train'
+         |              WHEN ${hash60Sql("CAST(c.cluster AS VARCHAR)")}
+         |                % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS ks
+         |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |)
+         |SELECT count(*) AS n_neardup_pairs,
+         |       CAST(sum(CASE WHEN ka.cs <> kb.cs THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_leaking_content_split,
+         |       CAST(sum(CASE WHEN coalesce(ka.ks, ka.cs)
+         |           <> coalesce(kb.ks, kb.cs) THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_leaking_cluster_split
+         |FROM hi
+         |JOIN keys_ ka ON ka.doc_id = hi.a
+         |JOIN keys_ kb ON kb.doc_id = hi.b""".stripMargin,
+
     // The funnel rebuilt stage by stage: same quality predicate, same
     // min-doc_id keep-first, the closure-derived cluster
     // representatives (n_chars DESC, doc_id tiebreak), same
