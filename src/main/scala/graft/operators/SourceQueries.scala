@@ -109,10 +109,14 @@ object SourceQueries {
     // (per-micro-batch merge into a serving table, for sinks with no
     // native streaming writer). Two staged ingest files force two
     // micro-batches; each batch aggregates itself and merges into a
-    // VERSIONED parquet state table (read vN → union+re-aggregate →
-    // write vN+1 — never overwrite what you read). Counts/sums are
-    // associative, so two-batch merge ≡ one-shot batch aggregation —
-    // which is exactly what the oracle computes.
+    // VERSIONED parquet state table keyed by the BATCH ID: state
+    // v{id+1} = state v{id} ⊕ batch id, written with overwrite.
+    // foreachBatch is at-least-once — keying the version on the batch
+    // id makes a replay REWRITE v{id+1} from the same inputs instead
+    // of double-applying the batch (the idempotence a restart needs);
+    // reading vN and writing vN+1 also never overwrites what it
+    // reads. Counts/sums are associative, so the final state ≡ the
+    // oracle's one-shot aggregation.
     "stream_foreach_upsert" -> ((s, d) => {
       val base = graft.Fs.sinkDir("graft_feb")
       graft.Fs.deleteRecursively(base)
@@ -123,39 +127,41 @@ object SourceQueries {
       ev.filter(col("event_id") % 2 === 0).write.parquet(s"$ingest/f0")
       ev.filter(col("event_id") % 2 === 1).write.parquet(s"$ingest/f1")
       val schema = s.read.parquet(s"$ingest/f0").schema
-      var version = 0
+      val maxVersion = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$ingest/*")
         .writeStream
         .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
           val agg = batch
             .groupBy("event_type")
             .agg(
               count(lit(1)).as("n_events"),
               sum(col("cents")).as("sum_cents"))
           val merged =
-            if (version == 0) agg
+            if (id == 0) agg
             else
-              s.read.parquet(s"$base/state/v$version")
+              s.read.parquet(s"$base/state/v$id")
                 .unionByName(agg)
                 .groupBy("event_type")
                 .agg(
                   sum(col("n_events")).as("n_events"),
                   sum(col("sum_cents")).as("sum_cents"))
-          merged.write.parquet(s"$base/state/v${version + 1}")
-          version += 1
+          merged.write.mode("overwrite")
+            .parquet(s"$base/state/v${id + 1}")
+          maxVersion.updateAndGet(_ max (id + 1))
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      require(version >= 2,
-        s"foreachBatch ran $version micro-batches — the upsert loop " +
+      val last = maxVersion.get()
+      require(last >= 2,
+        s"foreachBatch ran $last micro-batches — the upsert loop " +
           "needs at least two to prove the merge")
-      s.read.parquet(s"$base/state/v$version").orderBy("event_type")
+      s.read.parquet(s"$base/state/v$last").orderBy("event_type")
     }),
 
     // Small-files COMPACTION — the table-maintenance pass every
