@@ -133,51 +133,8 @@ object SimilarityQueries {
     // identical to the cheap configs: explode probe keys → equi-join
     // on (table, bucket) → distinct pairs → score; candidate volume
     // is governed by tables × probes, never by N².
-    "cosine_topk_lsh_hi" -> ((s, d) => {
-      val masks = (0 until (1 << NPlanes))
-        .filter(m => Integer.bitCount(m) <= ProbeRadius)
-      val withB = (0 until NTables).foldLeft(embeddings(s, d)) {
-        (df, t) =>
-          df.withColumn(
-            s"b$t", lshBucketAt(col("embedding"), NPlanes, t * NPlanes))
-      }
-      val c = withB
-        .select(
-          col("vec_id"),
-          explode(array((0 until NTables).map(t =>
-            struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*))
-            .as("tb"))
-        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      val probes = for { t <- 0 until NTables; m <- masks } yield
-        struct(lit(t).as("t"),
-          col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))
-      val q = withB
-        .filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), explode(array(probes: _*)).as("tb"))
-        .select(col("qid"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      // Dedup on the (qid, vec_id) PAIR, not the scored row: the same
-      // candidate surfaces from several tables/probes, and the arrays
-      // stay out of the distinct's shuffle.
-      val cand = broadcast(q)
-        .join(c, Seq("t", "bucket"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select("qid", "vec_id")
-        .distinct()
-      val qe = embeddings(s, d)
-        .filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val w = Window
-        .partitionBy("qid")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      cand
-        .join(broadcast(qe), Seq("qid"))
-        .join(embeddings(s, d).select("vec_id", "embedding"), Seq("vec_id"))
-        .withColumn("sim", cosine(col("qe"), col("embedding")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "vec_id", "rnk", "sim")
-        .orderBy("qid", "rnk")
-    }),
+    "cosine_topk_lsh_hi" -> ((s, d) =>
+      scoreCandidates(s, d, lshCandidates(s, d, NTables, ProbeRadius))),
 
     // Embedding-cosine NEAR-DUP pairs — the dedup-family member that
     // uses the vector space itself: candidates are same-LSH-bucket
@@ -270,6 +227,35 @@ object SimilarityQueries {
       val c = ivfAssign(s, d)
         .select(col("vec_id"), col("embedding"), col("cid"))
       topkFromCandidates(q, c, "cid")
+    }),
+
+    // THE RECALL/COST CURVE as one oracle-pinned artifact: every ANN
+    // configuration the engine ships — LSH at three probe budgets,
+    // IVF at two, and exhaustive brute force as the 100% reference —
+    // measured on the same axes: candidate volume (the cost an
+    // operator pays) and hits against the exact top-5 (the recall
+    // they buy). This is the table a 100 TB curation run consults to
+    // pick its operating point; every number is exact-integer, so
+    // the whole curve hash-pins cross-engine. Counts collect ONE
+    // bounded row per config (the bpe-trainer pattern).
+    "ann_report" -> ((s, d) => {
+      val brute5 = scoreCandidates(s, d, bruteCandidates(s, d))
+        .select("qid", "vec_id")
+      val configs: Seq[(String, DataFrame)] = Seq(
+        "brute" -> bruteCandidates(s, d),
+        "ivf_p1" -> ivfCandidates(s, d, 1),
+        "ivf_p2" -> ivfCandidates(s, d, 2),
+        "lsh_t1_r0" -> lshCandidates(s, d, 1, 0),
+        "lsh_t1_r1" -> lshCandidates(s, d, 1, 1),
+        "lsh_t2_r2" -> lshCandidates(s, d, NTables, ProbeRadius))
+      val rows = configs.map { case (name, cand) =>
+        val top5 = scoreCandidates(s, d, cand).select("qid", "vec_id")
+        val hits = top5.join(brute5, Seq("qid", "vec_id"), "left_semi")
+        (name, cand.count(), top5.count(), hits.count())
+      }
+      s.createDataFrame(rows)
+        .toDF("config", "n_candidates", "n_results", "n_hits_at5")
+        .orderBy("config")
     }),
 
     // Symmetric int8 quantization of the embedding column — the
@@ -375,6 +361,99 @@ object SimilarityQueries {
 
   // ------------------------------------------------------------------ //
 
+  /** Distinct (qid, vec_id) candidate pairs for an `nTables`-table,
+    * Hamming-`radius` multi-probe LSH configuration — the shared
+    * candidate generator of `cosine_topk_lsh_hi` and the `ann_report`
+    * curve. Dedup happens on the ID PAIR, never the scored row, so
+    * the arrays stay out of the distinct's shuffle.
+    */
+  private def lshCandidates(
+      s: SparkSession, d: String,
+      nTables: Int, radius: Int): DataFrame = {
+    val masks = (0 until (1 << NPlanes))
+      .filter(m => Integer.bitCount(m) <= radius)
+    val withB = (0 until nTables).foldLeft(embeddings(s, d)) {
+      (df, t) =>
+        df.withColumn(
+          s"b$t", lshBucketAt(col("embedding"), NPlanes, t * NPlanes))
+    }
+    val c = withB
+      .select(
+        col("vec_id"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*))
+          .as("tb"))
+      .select(
+        col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val probes = for { t <- 0 until nTables; m <- masks } yield
+      struct(lit(t).as("t"),
+        col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))
+    val q = withB
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), explode(array(probes: _*)).as("tb"))
+      .select(
+        col("qid"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    broadcast(q)
+      .join(c, Seq("t", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
+      .distinct()
+  }
+
+  /** Distinct (qid, vec_id) candidate pairs for an IVF configuration:
+    * queries probe their `nprobe` nearest cells, candidates stay
+    * keyed by their one cell (so no pair can repeat — distinct is a
+    * no-op kept for uniformity with the LSH generator).
+    */
+  private def ivfCandidates(
+      s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val q = ivfProbes(s, d, nprobe)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val c = ivfAssign(s, d).select(col("vec_id"), col("cid"))
+    broadcast(q)
+      .join(c, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
+      .distinct()
+  }
+
+  /** Exhaustive (qid, vec_id) pairs — the 100%-recall reference row
+    * of the curve.
+    */
+  private def bruteCandidates(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"))
+    broadcast(q)
+      .crossJoin(embeddings(s, d).select("vec_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
+  }
+
+  /** Score + rank a distinct candidate-pair frame: the shared tail of
+    * the hi config and the `ann_report` curve — embeddings join the
+    * pairs by key (never ride the dedup shuffle), bit-deterministic
+    * cosine, (sim desc, vec_id asc) top-K.
+    */
+  private def scoreCandidates(
+      s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val qe = embeddings(s, d)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand
+      .join(broadcast(qe), Seq("qid"))
+      .join(embeddings(s, d).select("vec_id", "embedding"), Seq("vec_id"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("qid", "vec_id", "rnk", "sim")
+      .orderBy("qid", "rnk")
+  }
+
   /** Shared tail of every keyed ANN query: broadcast the (small)
     * query-probe frame, join candidates on the partition key, score
     * with the bit-deterministic cosine, keep TopK per query. One
@@ -427,19 +506,25 @@ object SimilarityQueries {
   }
 
   /** DuckDB: dot product via zipped unnest + double sum (bit-identical
-    * to the Spark fold — verified).
+    * to the Spark fold — verified). `from` parameterizes the pair
+    * table so multi-config oracles (ann_report) can reuse it.
     */
-  private def dotCte(name: String, left: String, right: String) =
+  private def dotCte(
+      name: String, left: String, right: String,
+      from: String = "pairs") =
     s"""$name AS (
        |  SELECT qid, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE))
        |    AS dot
        |  FROM (SELECT qid, vec_id, unnest($left) AS a,
-       |          unnest($right) AS b FROM pairs) u
+       |          unnest($right) AS b FROM $from) u
        |  GROUP BY qid, vec_id
        |)""".stripMargin
 
+  // MATERIALIZED: referenced once per config side in the multi-config
+  // oracles — DuckDB would otherwise inline (re-aggregate) per
+  // reference.
   private val normCte =
-    """norms AS (
+    """norms AS MATERIALIZED (
       |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
       |    AS nrm
       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) u
@@ -469,7 +554,7 @@ object SimilarityQueries {
     * (mirrors Vectors.lshBucketAt).
     */
   private def tableBucketCte(name: String, offset: Int) =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT vec_id, ${(0 until NPlanes)
         .map(j =>
           s"(CASE WHEN proj$j > 0 THEN ${1 << j} ELSE 0 END)")
@@ -495,13 +580,13 @@ object SimilarityQueries {
        |  SELECT v.vec_id AS vid, c.vec_id AS cid,
        |         v.embedding AS ve, c.embedding AS cee
        |  FROM embeddings v JOIN embeddings c ON c.vec_id < $NCells
-       |), adots AS (
+       |), adots AS MATERIALIZED (
        |  SELECT vid, cid, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE))
        |    AS dot
        |  FROM (SELECT vid, cid, unnest(ve) AS a, unnest(cee) AS b
        |        FROM apairs) u
        |  GROUP BY vid, cid
-       |), assign AS (
+       |), assign AS MATERIALIZED (
        |  SELECT vid AS vec_id, cid FROM (
        |    SELECT vid, cid,
        |           row_number() OVER (PARTITION BY vid
@@ -512,7 +597,118 @@ object SimilarityQueries {
        |  WHERE rn = 1
        |)""".stripMargin
 
+  /** Per-config oracle fragments for `ann_report`: score+rank a named
+    * candidate CTE (columns qid, vid) into `${prefix}top5`. top5 is
+    * MATERIALIZED — every config's hits row joins against the brute
+    * reference, and the brute top5 is read by all six rows.
+    */
+  private def annTopCtes(prefix: String, candName: String): String =
+    s"""${prefix}pairs AS (
+       |  SELECT qid, vid AS vec_id, eq.embedding AS qe,
+       |         ec.embedding AS ce
+       |  FROM $candName
+       |  JOIN embeddings eq ON eq.vec_id = qid
+       |  JOIN embeddings ec ON ec.vec_id = vid
+       |),
+       |${dotCte(s"${prefix}dots", "qe", "ce", s"${prefix}pairs")},
+       |${prefix}top5 AS MATERIALIZED (
+       |  SELECT qid, vec_id AS vid FROM (
+       |    SELECT d.qid, d.vec_id,
+       |           row_number() OVER (PARTITION BY d.qid
+       |             ORDER BY d.dot/(nq.nrm*nc.nrm) DESC,
+       |               d.vec_id ASC) AS rn
+       |    FROM ${prefix}dots d
+       |    JOIN norms nq ON nq.vec_id = d.qid
+       |    JOIN norms nc ON nc.vec_id = d.vec_id) t
+       |  WHERE rn <= $TopK
+       |)""".stripMargin
+
+  /** LSH candidate CTEs for one report config (bucket tables +
+    * unioned probe arms at the given Hamming radius).
+    */
+  private def annLshCandCtes(
+      prefix: String, nTables: Int, radius: Int): String = {
+    val tables = (0 until nTables)
+      .map(t => tableBucketCte(s"${prefix}t$t", t * NPlanes))
+      .mkString(",\n")
+    val arms = (0 until nTables).map { t =>
+      s"""  SELECT bq.vec_id AS qid, bc.vec_id AS vid
+         |  FROM ${prefix}t$t bq JOIN ${prefix}t$t bc
+         |    ON bit_count(CAST(xor(bq.bucket, bc.bucket) AS BIGINT))
+         |       <= $radius
+         |  WHERE bq.vec_id < $NQueries AND bq.vec_id <> bc.vec_id"""
+        .stripMargin
+    }.mkString("\n  UNION\n")
+    s"""$tables,
+       |${prefix}cand AS (
+       |$arms
+       |)""".stripMargin
+  }
+
+  /** One output row of the report: counts over a config's candidate
+    * and top5 CTEs, hits against the brute reference.
+    */
+  private def annReportRow(config: String, prefix: String): String =
+    s"""SELECT '$config' AS config,
+       |  (SELECT count(*) FROM ${prefix}cand) AS n_candidates,
+       |  (SELECT count(*) FROM ${prefix}top5) AS n_results,
+       |  (SELECT count(*) FROM ${prefix}top5 t
+       |   JOIN btop5 b ON t.qid = b.qid AND t.vid = b.vid)
+       |    AS n_hits_at5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ann_report" -> {
+      val lshConfigs = Seq(
+        ("lsh_t1_r0", 1, 0), ("lsh_t1_r1", 1, 1),
+        ("lsh_t2_r2", NTables, ProbeRadius))
+      val ivfCand = (prefix: String, qside: String) =>
+        s"""${prefix}cand AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS vid
+           |  FROM $qside q JOIN assign c ON q.cid = c.cid
+           |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+           |)""".stripMargin
+      s"""WITH $normCte,
+         |$assignCte,
+         |assign2 AS (
+         |  SELECT vid AS vec_id, cid FROM (
+         |    SELECT vid, cid,
+         |           row_number() OVER (PARTITION BY vid
+         |             ORDER BY d.dot/(nv.nrm*nc.nrm) DESC, cid ASC) AS rn
+         |    FROM adots d
+         |    JOIN norms nv ON nv.vec_id = vid
+         |    JOIN norms nc ON nc.vec_id = cid) t
+         |  WHERE rn <= 2
+         |),
+         |bcand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid
+         |  FROM embeddings q CROSS JOIN embeddings c
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |),
+         |${ivfCand("i1", "assign")},
+         |${ivfCand("i2", "assign2")},
+         |${lshConfigs
+          .map { case (_, nt, r) =>
+            annLshCandCtes(s"l${nt}$r", nt, r)
+          }
+          .mkString(",\n")},
+         |${annTopCtes("b", "bcand")},
+         |${annTopCtes("i1", "i1cand")},
+         |${annTopCtes("i2", "i2cand")},
+         |${lshConfigs
+          .map { case (_, nt, r) =>
+            annTopCtes(s"l${nt}$r", s"l${nt}${r}cand")
+          }
+          .mkString(",\n")}
+         |${annReportRow("brute", "b")}
+         |UNION ALL ${annReportRow("ivf_p1", "i1")}
+         |UNION ALL ${annReportRow("ivf_p2", "i2")}
+         |${lshConfigs
+          .map { case (name, nt, r) =>
+            s"UNION ALL ${annReportRow(name, s"l${nt}$r")}"
+          }
+          .mkString("\n")}
+         |ORDER BY config""".stripMargin
+    },
     "ivf_cells" ->
       s"""WITH $normCte,
          |$assignCte
