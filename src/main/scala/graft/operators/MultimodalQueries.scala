@@ -20,6 +20,20 @@ import graft.Tables._
   */
 object MultimodalQueries {
 
+  /** The decoded thumbnail-feature frame, pinned and memoized per
+    * (session, dir): the synthesize→encode→decode→featurize pass is
+    * the most expensive per-row work in the cross-modal path, and
+    * `multimodal_ann` reads the frame four times (probe buckets,
+    * candidate buckets, query vectors, candidate vectors) — unpinned,
+    * each read would re-run the codec over the corpus.
+    */
+  private val thumbFeatureCache = new SessionMemo[DataFrame]
+
+  private def pinnedThumbFeatures(
+      s: SparkSession, d: String): DataFrame =
+    thumbFeatureCache.getOrCompute(s, d)(
+      graft.Checkpoints.pin(MultimodalPipeline.thumbFeatures(s, d).toDF()))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction over synthesized payloads
     // (documents.text re-encoded as the opaque media bytes).
@@ -82,37 +96,32 @@ object MultimodalQueries {
     // dot/norm is exact in doubles and the oracle recomputes the
     // whole path — pixels, buckets, ranks — arithmetically.
     "multimodal_ann" -> ((s, d) => {
-      // Probe side decodes ONLY the query docs: the doc_id bound sits
-      // on the parquet scan (a filter after the typed map cannot push
-      // through it — it would decode the corpus twice). Each query
+      // Every read (probe buckets, candidate buckets, query vectors,
+      // candidate vectors) hits the PINNED feature frame — the codec
+      // runs once per session, not once per consumer. Each query
       // probes its own bucket plus all Hamming-1 neighbors (the same
       // recall repair the text ANN path uses — measured recall@5
       // 0.52 → 1.00 on the spec fixture, MultimodalAnnRecallSpec),
       // so candidate pairs dedup before scoring.
-      val q = MultimodalPipeline.thumbFeatures(s, d, Some(5L)).toDF()
-        .withColumn(
-          "bucket",
-          graft.functions.Vectors.lshBucket(col("feature"), 4))
+      val feats = pinnedThumbFeatures(s, d)
+      val withB = feats.withColumn(
+        "bucket",
+        graft.functions.Vectors.lshBucket(col("feature"), 4))
+      val q = withB
+        .filter(col("doc_id") < 5)
         .select(
           col("doc_id").as("qid"),
-          col("feature").as("qe"),
           explode(array(
             col("bucket") +: (0 until 4).map(p =>
               col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
-      val c = MultimodalPipeline.thumbFeatures(s, d).toDF()
-        .withColumn(
-          "bucket",
-          graft.functions.Vectors.lshBucket(col("feature"), 4))
-        .select(
-          col("doc_id").as("cand_id"),
-          col("feature").as("ce"),
-          col("bucket"))
-      val cand = broadcast(q.select("qid", "bucket"))
-        .join(c.select("cand_id", "bucket"), Seq("bucket"))
+      val c = withB.select(col("doc_id").as("cand_id"), col("bucket"))
+      val cand = broadcast(q)
+        .join(c, Seq("bucket"))
         .filter(col("qid") =!= col("cand_id"))
         .select("qid", "cand_id")
         .distinct()
-      val qe = MultimodalPipeline.thumbFeatures(s, d, Some(5L)).toDF()
+      val qe = feats
+        .filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("feature").as("qe"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid")
@@ -120,8 +129,7 @@ object MultimodalQueries {
       cand
         .join(broadcast(qe), Seq("qid"))
         .join(
-          MultimodalPipeline.thumbFeatures(s, d).toDF()
-            .select(col("doc_id").as("cand_id"), col("feature").as("ce")),
+          feats.select(col("doc_id").as("cand_id"), col("feature").as("ce")),
           Seq("cand_id"))
         .withColumn(
           "sim",

@@ -241,14 +241,19 @@ object SimilarityQueries {
     "ann_report" -> ((s, d) => {
       val brute5 = scoreCandidates(s, d, bruteCandidates(s, d))
         .select("qid", "vec_id")
+      // The brute row IS the reference: its results and hits are
+      // definitionally brute5 — never score the exhaustive candidate
+      // set a second time.
+      val bruteN = brute5.count()
+      val bruteRow =
+        ("brute", bruteCandidates(s, d).count(), bruteN, bruteN)
       val configs: Seq[(String, DataFrame)] = Seq(
-        "brute" -> bruteCandidates(s, d),
         "ivf_p1" -> ivfCandidates(s, d, 1),
         "ivf_p2" -> ivfCandidates(s, d, 2),
         "lsh_t1_r0" -> lshCandidates(s, d, 1, 0),
         "lsh_t1_r1" -> lshCandidates(s, d, 1, 1),
         "lsh_t2_r2" -> lshCandidates(s, d, NTables, ProbeRadius))
-      val rows = configs.map { case (name, cand) =>
+      val rows = bruteRow +: configs.map { case (name, cand) =>
         val top5 = scoreCandidates(s, d, cand).select("qid", "vec_id")
         val hits = top5.join(brute5, Seq("qid", "vec_id"), "left_semi")
         (name, cand.count(), top5.count(), hits.count())
@@ -531,23 +536,10 @@ object SimilarityQueries {
       |  GROUP BY vec_id
       |)""".stripMargin
 
-  private val bucketCte =
-    s"""buckets AS (
-       |  SELECT vec_id, ${(0 until NPlanes)
-        .map(p =>
-          s"(CASE WHEN proj$p > 0 THEN ${1 << p} ELSE 0 END)")
-        .mkString(" + ")} AS bucket
-       |  FROM (
-       |    SELECT vec_id, ${(0 until NPlanes)
-        .map(p =>
-          s"sum(CAST(x AS DOUBLE) * CAST((($p*73 + i*37) % 19) - 9" +
-            s" AS DOUBLE)) AS proj$p")
-        .mkString(", ")}
-       |    FROM (SELECT vec_id, unnest(embedding) AS x,
-       |            unnest(generate_series(0, len(embedding)-1)) AS i
-       |          FROM embeddings) u
-       |    GROUP BY vec_id) pr
-       |)""".stripMargin
+  // The single-table buckets are table 0 of the multi-table family —
+  // ONE formula (tableBucketCte) so the single- and multi-table
+  // oracles can never drift.
+  private val bucketCte = tableBucketCte("buckets", 0)
 
   /** Bucket CTE for one table of the multi-table index: planes
     * offset..offset+NPlanes-1, bit value 1<<j for WITHIN-table index j

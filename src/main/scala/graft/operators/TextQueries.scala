@@ -780,17 +780,22 @@ object TextQueries {
     // the row also carries total docs and total rejected for the
     // denominator. One expression scan, one global aggregate.
     "quality_reject_reasons" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val nTokens = size(toks)
-      val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-      val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+      // Tokenize into a MATERIALIZED column first (the shingleRows
+      // rule): inlined, codegen would re-run the regex split for
+      // every reason column — ~6 splits per document in one scan.
+      val nTokens = size(col("toks"))
+      val nStop = size(filter(col("toks"), t => t.isin(Stopwords: _*)))
       documents(s, d)
+        .select(col("text"), tokens(col("text")).as("toks"))
         .select(
           (nTokens < 5).as("r_short"),
-          (nAlpha.cast("double") / length(col("text")) < 0.5)
-            .as("r_alpha"),
-          (nStop.cast("double") / nTokens > 0.5).as("r_stop"),
-          qualityKeep.as("keep"))
+          (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text")) < 0.5).as("r_alpha"),
+          (nStop.cast("double") / nTokens > 0.5).as("r_stop"))
+        // keep ≡ no reason fired (false && null = false on both
+        // engines, so the zero-token edge stays consistent).
+        .withColumn("keep",
+          !col("r_short") && !col("r_alpha") && !col("r_stop"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(when(!col("keep"), 1L).otherwise(0L)).as("n_rejected"),
@@ -925,7 +930,14 @@ object TextQueries {
         .agg(min(col("doc_id")).as("doc_id"))
       val exact = quality.join(keepFirst, Seq("norm", "doc_id"), "left_semi")
       val labels = clusterLabels(s, d)
+      // Representatives are chosen among the docs that SURVIVED the
+      // preceding stages, not the raw corpus: a cluster whose
+      // longest member was quality-rejected must still keep its best
+      // surviving member — ranking over the full corpus would elect
+      // an already-dropped doc and silently erase the whole cluster
+      // from the funnel.
       val reps = labels
+        .join(exact.select("doc_id"), Seq("doc_id"), "left_semi")
         .join(documents(s, d).select(col("doc_id"), col("n_chars")),
           Seq("doc_id"))
         .groupBy("cluster")
@@ -1706,6 +1718,17 @@ object TextQueries {
     (d0 +: rounds).mkString(",\n")
   }
 
+  /** The 4-band (2-slot) LSH band keys over `sigs` — ONE builder for
+    * every oracle that reconstructs the banding (band pairs, typed
+    * aggregator twin, incremental near-dup, cap report, cascade), so
+    * the band count/key format cannot drift between them.
+    */
+  private val bandSelectsSql: String = (0 until 4)
+    .map(j =>
+      s"SELECT doc_id, $j AS band, " +
+        s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
+    .mkString("\n  UNION ALL\n  ")
+
   /** DuckDB twin of [[jaccardPairs]] as a CTE chain ending in `pairs`
     * (a, b, inter BIGINT, jaccard) — shared by the `ngram_jaccard`
     * report oracle and the `dedup_clusters` closure oracle.
@@ -1735,23 +1758,36 @@ object TextQueries {
        |  JOIN sizes sb ON sb.doc_id = b
        |)""".stripMargin
 
+  /** The jaccard ≥ 0.9 transitive-closure CTE block ending in
+    * `clusters(doc_id, cluster)` — ONE definition of the clustering
+    * for every oracle that consumes it (dedup_clusters + twin,
+    * cluster_stats, cluster_representatives, split_leakage,
+    * curation_pipeline). Must be interpolated after a WITH RECURSIVE
+    * that established `pairs` (jaccardPairsSqlCte).
+    */
+  private val clusterClosureCtes: String =
+    """hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
+      |edges AS (SELECT a AS src, b AS dst FROM hi
+      |          UNION SELECT b, a FROM hi),
+      |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+      |reach(doc, lab) AS (
+      |  SELECT doc, doc FROM nodes
+      |  UNION
+      |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
+      |),
+      |clusters AS (
+      |  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+      |  FROM reach GROUP BY doc
+      |)""".stripMargin
+
   /** Connected components of the jaccard ≥ 0.9 graph as a recursive
     * transitive closure — the shared oracle of `dedup_clusters` and
     * its reliable-tier twin.
     */
   private val clusterClosureSql: String =
     s"""WITH RECURSIVE $jaccardPairsSqlCte,
-       |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
-       |edges AS (SELECT a AS src, b AS dst FROM hi
-       |          UNION SELECT b, a FROM hi),
-       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-       |reach(doc, lab) AS (
-       |  SELECT doc, doc FROM nodes
-       |  UNION
-       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
-       |)
-       |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
-       |FROM reach GROUP BY doc
+       |$clusterClosureCtes
+       |SELECT doc_id, cluster FROM clusters
        |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -1900,19 +1936,7 @@ object TextQueries {
     // column must read zero.
     "split_leakage" ->
       s"""WITH RECURSIVE $jaccardPairsSqlCte,
-         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
-         |edges AS (SELECT a AS src, b AS dst FROM hi
-         |          UNION SELECT b, a FROM hi),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach(doc, lab) AS (
-         |  SELECT doc, doc FROM nodes
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
-         |),
-         |clusters AS (
-         |  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
-         |  FROM reach GROUP BY doc
-         |),
+         |$clusterClosureCtes,
          |keys_ AS (
          |  SELECT d.doc_id,
          |         CASE WHEN ${hash60Sql(normSql)} % 10 < 8 THEN 'train'
@@ -1944,27 +1968,7 @@ object TextQueries {
     // suffices.
     "curation_pipeline" ->
       s"""WITH RECURSIVE $jaccardPairsSqlCte,
-         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
-         |edges AS (SELECT a AS src, b AS dst FROM hi
-         |          UNION SELECT b, a FROM hi),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach(doc, lab) AS (
-         |  SELECT doc, doc FROM nodes
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
-         |),
-         |clusters AS (
-         |  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
-         |  FROM reach GROUP BY doc
-         |),
-         |reps AS (
-         |  SELECT doc_id FROM (
-         |    SELECT c.doc_id,
-         |           row_number() OVER (PARTITION BY c.cluster
-         |             ORDER BY d.n_chars DESC, c.doc_id) AS rn
-         |    FROM clusters c JOIN documents d USING (doc_id)) t
-         |  WHERE rn = 1
-         |),
+         |$clusterClosureCtes,
          |base AS (
          |  SELECT doc_id, $normSql AS norm,
          |         CAST(len($toksSql) AS BIGINT) AS n_toks,
@@ -1975,6 +1979,16 @@ object TextQueries {
          |exact AS (
          |  SELECT * FROM quality
          |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY norm)
+         |),
+         |reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |           row_number() OVER (PARTITION BY c.cluster
+         |             ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |    FROM clusters c
+         |    JOIN exact e ON e.doc_id = c.doc_id
+         |    JOIN documents d ON d.doc_id = c.doc_id) t
+         |  WHERE rn = 1
          |),
          |neardup AS (
          |  SELECT e.* FROM exact e
@@ -2143,18 +2157,7 @@ object TextQueries {
     "dedup_clusters_reliable" -> clusterClosureSql,
     "cluster_stats" ->
       s"""WITH RECURSIVE $jaccardPairsSqlCte,
-         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
-         |edges AS (SELECT a AS src, b AS dst FROM hi
-         |          UNION SELECT b, a FROM hi),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach(doc, lab) AS (
-         |  SELECT doc, doc FROM nodes
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
-         |),
-         |clusters AS (
-         |  SELECT doc, min(lab) AS cluster FROM reach GROUP BY doc
-         |),
+         |$clusterClosureCtes,
          |szs AS (
          |  SELECT cluster, count(*) AS sz FROM clusters GROUP BY cluster
          |)
@@ -2165,11 +2168,7 @@ object TextQueries {
          |         AS mean_size_ppm
          |FROM szs""".stripMargin,
     "neardup_cascade" -> {
-      val bandSelects = (0 until 4)
-        .map(j =>
-          s"SELECT doc_id, $j AS band, " +
-            s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
+      val bandSelects = bandSelectsSql
       s"""WITH $jaccardPairsSqlCte,
          |$tokHashCte,
          |sigs AS ($sigSelect),
@@ -2200,33 +2199,12 @@ object TextQueries {
     // algorithm must produce the same labeling.
     "dedup_clusters_twostar" ->
       s"""WITH RECURSIVE $jaccardPairsSqlCte,
-         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
-         |edges AS (SELECT a AS src, b AS dst FROM hi
-         |          UNION SELECT b, a FROM hi),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach(doc, lab) AS (
-         |  SELECT doc, doc FROM nodes
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
-         |)
-         |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
-         |FROM reach GROUP BY doc
-         |ORDER BY doc_id""".stripMargin,
+         |$clusterClosureCtes
+       |SELECT doc_id, cluster FROM clusters
+       |ORDER BY doc_id""".stripMargin,
     "cluster_representatives" ->
       s"""WITH RECURSIVE $jaccardPairsSqlCte,
-         |hi AS (SELECT a, b FROM pairs WHERE jaccard >= 0.9),
-         |edges AS (SELECT a AS src, b AS dst FROM hi
-         |          UNION SELECT b, a FROM hi),
-         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-         |reach(doc, lab) AS (
-         |  SELECT doc, doc FROM nodes
-         |  UNION
-         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc
-         |),
-         |clusters AS (
-         |  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
-         |  FROM reach GROUP BY doc
-         |),
+         |$clusterClosureCtes,
          |scored AS (
          |  SELECT c.cluster, c.doc_id, d.n_chars,
          |         count(*) OVER (PARTITION BY c.cluster) AS n_members,
@@ -2314,11 +2292,7 @@ object TextQueries {
       s"""WITH $tokHashCte
          |$sigSelect ORDER BY doc_id""".stripMargin,
     "neardup_cap_report" -> {
-      val bandSelects = (0 until 4)
-        .map(j =>
-          s"SELECT doc_id, $j AS band, " +
-            s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
+      val bandSelects = bandSelectsSql
       def stageSelect(stage: String, cap: Int, from: String) =
         s"""SELECT '$stage' AS stage, $cap AS cap_limit,
            |       count(*) AS n_keys_total,
@@ -2353,11 +2327,7 @@ object TextQueries {
          |ORDER BY stage""".stripMargin
     },
     "minhash_band_pairs" -> {
-      val bandSelects = (0 until 4)
-        .map(j =>
-          s"SELECT doc_id, $j AS band, " +
-            s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
+      val bandSelects = bandSelectsSql
       val matchExpr = (0 until 8)
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
@@ -2385,11 +2355,7 @@ object TextQueries {
          |ORDER BY n_match DESC, a ASC, b ASC LIMIT 20""".stripMargin
     },
     "incremental_neardup" -> {
-      val bandSelects = (0 until 4)
-        .map(j =>
-          s"SELECT doc_id, $j AS band, " +
-            s"concat_ws('_', h${2 * j}, h${2 * j + 1}) AS key FROM sigs")
-        .mkString("\n  UNION ALL\n  ")
+      val bandSelects = bandSelectsSql
       val matchExpr = (0 until 8)
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
