@@ -34,6 +34,7 @@ object SparkEntry {
       MiscQueries.queries ++
       SqlSurfaceQueries.queries ++
       AnalyticsQueries.queries ++
+      TpchQueries.queries ++
       OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +51,6 @@ object SparkEntry {
       MiscQueries.oracleSql ++
       SqlSurfaceQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++
+      TpchQueries.oracleSql ++
       OpsQueries.oracleSql
 }
