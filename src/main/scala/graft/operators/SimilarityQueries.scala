@@ -310,7 +310,101 @@ object SimilarityQueries {
           col("label"),
           norm(col("embedding")).as("l2_norm"))
         .orderBy("vec_id"))
-  ) ++ kmeansQueries
+  ) ++ kmeansQueries ++ trainingQueries
+
+  /** Training-pair construction — the step between curation and the
+    * training run: chunk-vector pooling into document vectors,
+    * deterministic random negatives, and ANN-mined HARD negatives
+    * (the contrastive-learning recipe). All three compose machinery
+    * already proven above: the milli-quantization exact-integer
+    * convention (kmeans_refine), the bounded broadcast of the query
+    * set, and the multi-probe LSH bucket join.
+    */
+  private def trainingQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Chunk→document mean pooling: each label plays the document whose
+    // chunk vectors pool element-wise. Quantize to exact milli longs,
+    // pool per (label, dim) with truncating integer division, then
+    // fold per-label summary stats — the whole op is one explode and
+    // two key-local aggregations (at 100 TB: shuffle on (label, dim),
+    // then on label; no vector ever crosses the wire un-keyed).
+    "embedding_meanpool" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("dim"),
+          round(col("col").cast("double") * 1000).cast("long").as("qv"))
+      q.groupBy("label", "dim")
+        .agg(expr("sum(qv) DIV count(1)").as("pv"),
+          count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(
+          max(col("n")).as("n_chunks"),
+          count(lit(1)).as("n_dims"),
+          sum(abs(col("pv"))).as("pooled_l1_milli"),
+          max(when(col("dim") === 0, col("pv")))
+            .as("pooled_dim0_milli"))
+        .orderBy("label")
+    }),
+
+    // Deterministic random negatives: for each query vector, TopK
+    // different-label candidates ranked by a fixed mixing hash — the
+    // reproducible negative-sampling step (same seed ⇒ same pairs on
+    // any cluster size). The label-inequality join is a
+    // BroadcastNestedLoopJoin whose broadcast side is the BOUNDED
+    // query set (NQueries rows), never N.
+    "negative_pairs" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      val c = embeddings(s, d).select(col("vec_id"), col("label"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("h").asc, col("vec_id").asc)
+      broadcast(q)
+        .join(c, col("qlabel") =!= col("label"))
+        .withColumn("h",
+          (col("qid") * lit(2654435761L)
+            + col("vec_id") * lit(40503L)) % 104729)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk")
+        .orderBy("qid", "rnk")
+    }),
+
+    // HARD negatives: nearest different-label neighbors per query via
+    // the multi-probe LSH bucket join (Hamming-1 arms) — the mining
+    // pass that makes contrastive training effective. Identical plan
+    // shape to cosine_topk_lsh_probe with the label filter riding the
+    // bucket join; candidate volume is governed by probes, never N².
+    "hard_negatives" -> ((s, d) => {
+      val withBucket = embeddings(s, d)
+        .withColumn("bucket", lshBucket(col("embedding"), NPlanes))
+      val probeBuckets = array(
+        col("bucket") +:
+          (0 until NPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1 << p))): _*)
+      val q = withBucket
+        .filter(col("vec_id") < NQueries)
+        .select(
+          col("vec_id").as("qid"),
+          col("embedding").as("qe"),
+          col("label").as("qlabel"),
+          explode(probeBuckets).as("bucket"))
+      val c = withBucket
+        .select(col("vec_id"), col("embedding"), col("label"),
+          col("bucket"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      q.join(c, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id") &&
+          col("qlabel") =!= col("label"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    }))
 
   /** K-means Lloyd refinement over GLOBALLY-quantized embeddings — the
     * clustering step a corpus-curation pipeline runs between IVF
@@ -1009,5 +1103,70 @@ object SimilarityQueries {
         |      FROM c1 GROUP BY cid) l ON l.cid = a2.cid
         |GROUP BY a2.cid
         |ORDER BY a2.cid""".stripMargin
+  ) ++ trainingOracles
+
+  private def trainingOracles: Map[String, String] = Map(
+    "embedding_meanpool" ->
+      """WITH q AS (
+        |  SELECT label, i - 1 AS dim,
+        |         CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) t
+        |), pooled AS (
+        |  -- integral DIV: truncation toward zero on both engines
+        |  SELECT label, dim,
+        |         CAST(sum(qv) AS BIGINT) // count(*) AS pv,
+        |         count(*) AS n
+        |  FROM q GROUP BY label, dim
+        |)
+        |SELECT label,
+        |       CAST(max(n) AS BIGINT) AS n_chunks,
+        |       count(*) AS n_dims,
+        |       CAST(sum(abs(pv)) AS BIGINT) AS pooled_l1_milli,
+        |       CAST(max(CASE WHEN dim = 0 THEN pv END) AS BIGINT)
+        |         AS pooled_dim0_milli
+        |FROM pooled GROUP BY label ORDER BY label""".stripMargin,
+    "negative_pairs" ->
+      s"""SELECT qid, vec_id, rnk FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY (q.vec_id * 2654435761 + c.vec_id * 40503)
+         |               % 104729 ASC,
+         |             c.vec_id ASC) AS INTEGER) AS rnk
+         |  FROM embeddings q
+         |  JOIN embeddings c ON q.label <> c.label
+         |  WHERE q.vec_id < $NQueries) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "hard_negatives" -> {
+      val hamming1 = (0 until NPlanes).map(p => 1 << p).mkString(", ")
+      s"""WITH $bucketCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q
+         |  JOIN buckets bq ON bq.vec_id = q.vec_id
+         |  JOIN buckets bc ON (bc.bucket = bq.bucket
+         |    OR xor(bc.bucket, bq.bucket) IN ($hamming1))
+         |  JOIN embeddings c ON c.vec_id = bc.vec_id
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |    AND q.label <> c.label
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+    }
   )
 }
