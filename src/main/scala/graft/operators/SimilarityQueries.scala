@@ -310,7 +310,102 @@ object SimilarityQueries {
           col("label"),
           norm(col("embedding")).as("l2_norm"))
         .orderBy("vec_id"))
-  ) ++ kmeansQueries ++ trainingQueries
+  ) ++ kmeansQueries ++ trainingQueries ++ retrievalQueries
+
+  /** Lexical retrieval + hybrid fusion — the sparse half of the search
+    * story (dense ANN above). BM25 is made hash-pinnable by two
+    * documented adaptations, both preserving ranking behavior:
+    *   - log-free rational idf `(2N - 2df + 1) / (2df + 1)` (the
+    *     Robertson idf argument without the ln — libm ln() diverges
+    *     between JVM and DuckDB, see char_diversity);
+    *   - the avgdl ratio quantized to milli (`(1000·dl·N) DIV Σdl`),
+    *     so every per-term score is ONE exact integer division to ppm
+    *     and per-document scores are SUMS OF LONGS — order-free, no
+    *     float accumulation across rows (at 100 TB corpus sizes the
+    *     ppm numerator approaches long range; the rescale or a
+    *     decimal widening is a one-line change, noted in SCALE.md).
+    * k1 = 1.2, b = 0.75 are folded into the integer form:
+    * term = 44000·tf / (20000·tf + 6000 + 18·r_milli).
+    */
+  private def retrievalQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // More-like-this BM25: each query document's DISTINCT tokens score
+    // every other document. Query-term side is bounded (NQueries docs'
+    // vocabularies) and broadcasts; df/dl are corpus statistics
+    // computed once (two grouped aggregates); the scoring join is a
+    // token equi-join — posting-list shaped, never doc×doc.
+    "bm25_topk" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(
+        sum(col("dl")).as("tot_len"), count(lit(1)).as("n_docs"))
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val qterms = tf
+        .filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      tf
+        .join(broadcast(qterms), Seq("tok"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(broadcast(df_), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(corpus))
+        .withColumn("r_milli",
+          expr("(1000 * dl * n_docs) DIV tot_len"))
+        .withColumn("score_ppm_term",
+          expr("""(1000000 * (2*n_docs - 2*df + 1) * 44000 * tf)
+                 | DIV ((2*df + 1)
+                 |   * (20000*tf + 6000 + 18*r_milli))""".stripMargin))
+        .groupBy("qid", "doc_id")
+        .agg(sum(col("score_ppm_term")).as("score_ppm"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select("qid", "doc_id", "rnk", "score_ppm")
+        .orderBy("qid", "rnk")
+    }),
+
+    // Hybrid search: reciprocal-rank fusion (K=60) of the dense
+    // cosine ranking (embeddings) and the sparse BM25 ranking
+    // (documents) over the SAME query ids — vec_id ≡ doc_id in the
+    // fixture. Contributions are exact integers (1000000 DIV (60+r)),
+    // the full-outer rank join is per-qid key-local, and each system
+    // contributes only its own top-10 — fusion state is bounded by
+    // list length, never corpus size.
+    "rrf_fusion" -> ((s, d) => {
+      val denseW = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val dense = broadcast(q)
+        .join(embeddings(s, d).select(col("vec_id"), col("embedding")),
+          col("qid") =!= col("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("drnk", row_number().over(denseW))
+        .filter(col("drnk") <= 10)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("drnk"))
+      val sparse = retrievalQueries("bm25_topk")(s, d)
+        .select(col("qid"), col("doc_id"), col("rnk").as("srnk"))
+      val fusedW = Window
+        .partitionBy("qid")
+        .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+      dense
+        .join(sparse, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf_ppm",
+          coalesce(expr("1000000 DIV (60 + drnk)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + srnk)"), lit(0L)))
+        .withColumn("rnk", row_number().over(fusedW))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "doc_id", "rnk", "rrf_ppm")
+        .orderBy("qid", "rnk")
+    }))
 
   /** Training-pair construction — the step between curation and the
     * training run: chunk-vector pooling into document vectors,
@@ -1103,7 +1198,96 @@ object SimilarityQueries {
         |      FROM c1 GROUP BY cid) l ON l.cid = a2.cid
         |GROUP BY a2.cid
         |ORDER BY a2.cid""".stripMargin
-  ) ++ trainingOracles
+  ) ++ trainingOracles ++ retrievalOracles
+
+  /** BM25 corpus-statistics CTEs (tokens, tf, dl, corpus scalars, df,
+    * query vocabularies) shared by `bm25_topk` and `rrf_fusion`.
+    */
+  private def bm25Ctes: String =
+    s"""btoks AS (
+       |  SELECT doc_id, t AS tok
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents) u
+       |  WHERE length(t) > 0
+       |), btf AS MATERIALIZED (
+       |  SELECT doc_id, tok, count(*) AS tf FROM btoks GROUP BY 1, 2
+       |), bdl AS (
+       |  SELECT doc_id, count(*) AS dl FROM btoks GROUP BY 1
+       |), bcorpus AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS tot_len, count(*) AS n_docs
+       |  FROM bdl
+       |), bdf AS (
+       |  SELECT tok, count(*) AS df FROM btf GROUP BY 1
+       |), bq AS (
+       |  SELECT doc_id AS qid, tok FROM btf WHERE doc_id < $NQueries
+       |), bscored AS MATERIALIZED (
+       |  SELECT q.qid, t.doc_id,
+       |         CAST(sum(
+       |           (1000000 * (2*c.n_docs - 2*f.df + 1) * 44000 * t.tf)
+       |           // ((2*f.df + 1) * (20000*t.tf + 6000
+       |               + 18*((1000 * d.dl * c.n_docs) // c.tot_len)))
+       |         ) AS BIGINT) AS score_ppm
+       |  FROM btf t
+       |  JOIN bq q ON t.tok = q.tok AND t.doc_id <> q.qid
+       |  JOIN bdf f ON f.tok = t.tok
+       |  JOIN bdl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN bcorpus c
+       |  GROUP BY 1, 2
+       |), btop AS MATERIALIZED (
+       |  SELECT qid, doc_id, rnk, score_ppm FROM (
+       |    SELECT qid, doc_id, score_ppm,
+       |           CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY score_ppm DESC, doc_id ASC) AS INTEGER)
+       |             AS rnk
+       |    FROM bscored) z
+       |  WHERE rnk <= 10
+       |)""".stripMargin
+
+  private def retrievalOracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, doc_id, rnk, score_ppm FROM btop
+         |ORDER BY qid, rnk""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |$normCte,
+         |dpairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q
+         |  JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |),
+         |${dotCte("ddots", "qe", "ce", "dpairs")},
+         |dense AS (
+         |  SELECT qid, vec_id AS doc_id, drnk FROM (
+         |    SELECT qid, d.vec_id,
+         |           CAST(row_number() OVER (PARTITION BY qid
+         |             ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+         |               d.vec_id ASC) AS INTEGER) AS drnk
+         |    FROM ddots d
+         |    JOIN norms nq ON nq.vec_id = qid
+         |    JOIN norms nc ON nc.vec_id = d.vec_id) t
+         |  WHERE drnk <= 10
+         |),
+         |fused AS (
+         |  SELECT COALESCE(dn.qid, sp.qid) AS qid,
+         |         COALESCE(dn.doc_id, sp.doc_id) AS doc_id,
+         |         CAST(COALESCE(1000000 // (60 + dn.drnk), 0)
+         |            + COALESCE(1000000 // (60 + sp.rnk), 0) AS BIGINT)
+         |           AS rrf_ppm
+         |  FROM dense dn
+         |  FULL OUTER JOIN btop sp
+         |    ON dn.qid = sp.qid AND dn.doc_id = sp.doc_id
+         |)
+         |SELECT qid, doc_id, rnk, rrf_ppm FROM (
+         |  SELECT qid, doc_id, rrf_ppm,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY rrf_ppm DESC, doc_id ASC) AS INTEGER)
+         |           AS rnk
+         |  FROM fused) z
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+  )
 
   private def trainingOracles: Map[String, String] = Map(
     "embedding_meanpool" ->
