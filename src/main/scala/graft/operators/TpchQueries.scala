@@ -493,13 +493,16 @@ object TpchQueries {
       val ordF = orders(s, d)
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate")
-      val late = lineitem(s, d)
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(ordF,
-          col("l_orderkey") === col("o_orderkey") &&
-            col("l_shipdate") >
-              col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+      // Pinned: the late set feeds both the EXISTS base and the
+      // NOT-EXISTS side — one lineitem⋈orders pass, not two.
+      val late = graft.Checkpoints.pin(
+        lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(ordF,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >
+                col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select("l_orderkey", "l_suppkey"))
       val lateOthers = late
         .select(col("l_orderkey").as("lo_orderkey"),
           col("l_suppkey").as("lo_suppkey"))

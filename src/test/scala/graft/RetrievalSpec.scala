@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Quality checks for the training-pair and retrieval operators that
+  * the DuckDB gate cannot express: hard-negative mining recall against
+  * the exact different-label baseline, and the fusion contract (every
+  * fused hit is backed by at least one source ranking).
+  */
+class RetrievalSpec extends SparkTestBase {
+
+  test("hard_negatives recall vs brute-force different-label top-k") {
+    import graft.functions.Vectors._
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val brute = broadcast(q)
+      .join(emb, col("qid") =!= col("vec_id") &&
+        col("qlabel") =!= col("label"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).toSet }
+    val mined = SparkEntry.queries("hard_negatives")(spark, sfDir)
+      .select("qid", "vec_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).toSet }
+    val per = brute.map { case (k, truth) =>
+      mined.getOrElse(k, Set.empty).intersect(truth).size.toDouble /
+        truth.size
+    }
+    val recall = per.sum / per.size
+    info(f"hard-negative recall@5 = $recall%.2f")
+    // Same structural ceiling as cosine_topk_lsh_probe (single table,
+    // Hamming-1): the label filter only shrinks both sides in step.
+    assert(recall >= 0.3, s"hard-negative recall too low: $recall")
+  }
+
+  test("every fused RRF hit is backed by a source ranking") {
+    val fused = SparkEntry.queries("rrf_fusion")(spark, sfDir)
+    // Minimum possible single-source contribution is rank 10 →
+    // 1000000 DIV 70 = 14285; anything below means a phantom row.
+    val bad = fused.filter(col("rrf_ppm") < 14285).count()
+    assert(bad == 0, s"$bad fused rows with impossible RRF mass")
+    // Top-5 per query, exactly 5 queries on the fixture.
+    val counts = fused.groupBy("qid").count().collect()
+    assert(counts.length == 5 && counts.forall(_.getLong(1) <= 5))
+  }
+}
