@@ -281,6 +281,20 @@ object SourceQueries {
           col("user_id"), col("click_id"),
           col("view_id").asc_nulls_first)),
 
+    // FULL OUTER stream-stream join transform, batch-executed (its
+    // streaming twin — both unmatched sides emitted under the same
+    // min-watermark governance — is asserted inner≡batch / both outer
+    // directions ⊆ batch and complete past their horizons in
+    // StreamingSpec).
+    "stream_full_join_batch" -> ((s, d) =>
+      StreamingEvents
+        .clickViewFullJoin(StreamingEvents.batch(s, d))
+        .select("user_id", "click_id", "view_id")
+        .orderBy(
+          col("user_id"),
+          col("click_id").asc_nulls_first,
+          col("view_id").asc_nulls_first)),
+
     // Sessionization, batch form (window functions); its streaming
     // twin (flatMapGroupsWithState) is asserted equal in SessionizeSpec.
     "sessionize_batch" -> ((s, d) =>
@@ -455,6 +469,20 @@ object SourceQueries {
         |  ON c.user_id = v.user_id
         |  AND v.tus >= c.tus - 3600000000 AND v.tus <= c.tus
         |ORDER BY c.user_id, click_id, view_id NULLS FIRST""".stripMargin,
+    "stream_full_join_batch" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |)
+        |SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+        |       c.event_id AS click_id, v.event_id AS view_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        |  AND v.tus >= c.tus - 3600000000 AND v.tus <= c.tus
+        |ORDER BY user_id, click_id NULLS FIRST,
+        |         view_id NULLS FIRST""".stripMargin,
     // The raw (undoubled) events table: correct IFF the streaming
     // dedup removed exactly the injected duplicate copy of each event.
     "stream_dedup" ->

@@ -185,6 +185,25 @@ object StreamingEvents {
         col("view_id"))
   }
 
+  /** FULL OUTER twin of [[clickViewJoin]]: unmatched rows from BOTH
+    * sides emit with NULLs once the watermark proves no partner can
+    * still arrive — clicks flush when the view watermark passes their
+    * match window, views when the click watermark passes theirs
+    * (view_ts + 1 h, one extra hour vs the click side). user_id must
+    * coalesce across sides: an unmatched view has no c_user.
+    */
+  def clickViewFullJoin(events: DataFrame): DataFrame = {
+    val (clicks, views, cond) = clickViewSides(events)
+    clicks
+      .join(views, cond, "full_outer")
+      .select(
+        coalesce(col("c_user"), col("v_user")).as("user_id"),
+        col("click_id"),
+        col("click_ts"),
+        col("view_id"),
+        col("view_ts"))
+  }
+
   /** Hourly twin of [[windowedAgg]] with a 1-hour watermark — the
     * late-drop pinning shape: windows small enough (and the delay
     * short enough) that on-time phase-2 arrivals land in windows that

@@ -159,6 +159,65 @@ class StreamingSpec extends SparkTestBase {
         "watermark horizon failed to flush")
   }
 
+  test("stream-stream FULL OUTER join: inner ≡ batch, both outer directions ⊆ batch and flush past their horizons") {
+    import org.apache.spark.sql.functions._
+    val q = StreamingEvents
+      .clickViewFullJoin(StreamingEvents.stream(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("ss_fouter_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        Option(r.get(1)).map(_.toString).getOrElse(""),
+        Option(r.get(3)).map(_.toString).getOrElse(""))
+    val streamed = spark.table("ss_fouter_sink").collect().map(key).toSet
+    val batchDf =
+      StreamingEvents.clickViewFullJoin(StreamingEvents.batch(spark, sfDir))
+    val batch = batchDf.collect().map(key).toSet
+
+    val inner = (s: Set[(Long, String, String)]) =>
+      s.filter(r => r._2.nonEmpty && r._3.nonEmpty)
+    assert(inner(streamed) == inner(batch), "inner results must match batch")
+
+    val streamedClickOuter = streamed.filter(r => r._3.isEmpty)
+    val streamedViewOuter = streamed.filter(r => r._2.isEmpty)
+    assert(streamedClickOuter.subsetOf(batch.filter(_._3.isEmpty)),
+      "streamed click-outer rows must be a subset of batch")
+    assert(streamedViewOuter.subsetOf(batch.filter(_._2.isEmpty)),
+      "streamed view-outer rows must be a subset of batch")
+
+    // Horizons: the global watermark is min(max click, max view) − 1 h.
+    // A click flushes unmatched once the watermark passes its own ts;
+    // a view once it passes view_ts + 1 h (its match window extends
+    // one hour FORWARD in click time). One minute of slack each.
+    val ev = StreamingEvents.batch(spark, sfDir)
+    val maxClick = ev.filter(col("event_type") === "click")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val maxView = ev.filter(col("event_type") === "view")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val watermark = math.min(maxClick, maxView) - 3600 * 1000L
+    val slack = 60 * 1000L
+    val clickHorizon = new java.sql.Timestamp(watermark - slack)
+    val viewHorizon =
+      new java.sql.Timestamp(watermark - 3600 * 1000L - slack)
+    val mustFlushClicks = batchDf
+      .filter(col("view_id").isNull && col("click_ts") < lit(clickHorizon))
+      .collect().map(key).toSet
+    assert(mustFlushClicks.subsetOf(streamedClickOuter),
+      s"${(mustFlushClicks -- streamedClickOuter).size} click-outer rows " +
+        "older than the horizon failed to flush")
+    val mustFlushViews = batchDf
+      .filter(col("click_id").isNull && col("view_ts") < lit(viewHorizon))
+      .collect().map(key).toSet
+    assert(mustFlushViews.subsetOf(streamedViewOuter),
+      s"${(mustFlushViews -- streamedViewOuter).size} view-outer rows " +
+        "older than the horizon failed to flush")
+  }
+
   test("streaming dedup (bounded state) removes the injected duplicates") {
     val q = StreamingEvents
       .dedupStream(spark, sfDir)
