@@ -96,6 +96,39 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Key-skew report — the observability a shuffle plan consults
+    // BEFORE a 100 TB join: per candidate join key, the distinct-key
+    // count, the heaviest key and its exact-ppm share, and the
+    // max/mean concentration ratio (×1000). One grouped count per key
+    // column (the same shuffle the join itself would do), then a
+    // one-row fold — nothing leaves the executors but per-key counts.
+    // max_over_mean ≈ 1000 means uniform; the fixture's l_suppkey
+    // here shows the hot-supplier skew that join_salted /
+    // AqeSkewJoinSpec then demonstrate the mitigations for.
+    "skew_report" -> ((s, d) => {
+      def keyStats(keyCol: String): DataFrame =
+        lineitem(s, d)
+          .groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("n"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("n")).as("n_rows"),
+            max(struct(col("n"), col("k"))).as("mx"))
+          .select(
+            lit(keyCol).as("key_col"),
+            col("n_keys"),
+            col("n_rows"),
+            col("mx.k").as("heaviest_key"),
+            col("mx.n").as("heaviest_n"),
+            expr("1000000 * mx.n DIV n_rows").as("top1_share_ppm"),
+            expr("(1000 * mx.n * n_keys) DIV n_rows")
+              .as("max_over_mean_x1000"))
+      keyStats("l_suppkey")
+        .unionByName(keyStats("l_partkey"))
+        .unionByName(keyStats("l_orderkey"))
+        .orderBy("key_col")
+    }),
+
     // Z-ORDER clustering key: interleave (nation, balance-band) bits so
     // rows close in BOTH dimensions land in the same parquet row
     // groups. The query pins the interleave arithmetic bit-for-bit;
@@ -399,6 +432,30 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "skew_report" -> {
+      def one(keyCol: String) =
+        s"""SELECT '$keyCol' AS key_col, t.n_keys, t.n_rows,
+           |       h.heaviest_key, h.heaviest_n,
+           |       (1000000 * h.heaviest_n) // t.n_rows
+           |         AS top1_share_ppm,
+           |       (1000 * h.heaviest_n * t.n_keys) // t.n_rows
+           |         AS max_over_mean_x1000
+           |FROM (SELECT count(*) AS n_keys,
+           |             CAST(sum(n) AS BIGINT) AS n_rows
+           |      FROM (SELECT $keyCol AS k, count(*) AS n
+           |            FROM lineitem GROUP BY 1) c1) t,
+           |     (SELECT k AS heaviest_key, CAST(n AS BIGINT)
+           |               AS heaviest_n
+           |      FROM (SELECT $keyCol AS k, count(*) AS n
+           |            FROM lineitem GROUP BY 1) c2
+           |      ORDER BY n DESC, k DESC LIMIT 1) h""".stripMargin
+      s"""${one("l_suppkey")}
+         |UNION ALL
+         |${one("l_partkey")}
+         |UNION ALL
+         |${one("l_orderkey")}
+         |ORDER BY key_col""".stripMargin
+    },
     "zorder_layout" ->
       s"""WITH z AS (
          |  SELECT c_custkey,

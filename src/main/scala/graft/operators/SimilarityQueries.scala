@@ -466,6 +466,42 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // Incremental ANN ingest — the steady-state shape (the embedding
+    // twin of incremental_neardup): a NEW batch of vectors (vec_id ≥
+    // 450) is probed against the EXISTING corpus index (vec_id < 450).
+    // Only new×corpus bucket pairs are generated — never corpus×corpus
+    // (the corpus was already indexed when it was the batch); the new
+    // side carries Hamming-1 probe arms for recall, the corpus side
+    // stays keyed by its one bucket. Best corpus match per new vector.
+    "incremental_ann" -> ((s, d) => {
+      val withBucket = embeddings(s, d)
+        .withColumn("bucket", lshBucket(col("embedding"), NPlanes))
+      val probeBuckets = array(
+        col("bucket") +:
+          (0 until NPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1 << p))): _*)
+      val fresh = withBucket
+        .filter(col("vec_id") >= 450)
+        .select(
+          col("vec_id").as("new_id"),
+          col("embedding").as("qe"),
+          explode(probeBuckets).as("bucket"))
+      val corpus = withBucket
+        .filter(col("vec_id") < 450)
+        .select(col("vec_id").as("match_id"), col("embedding"),
+          col("bucket"))
+      val w = Window
+        .partitionBy("new_id")
+        .orderBy(col("sim").desc, col("match_id").asc)
+      fresh
+        .join(corpus, Seq("bucket"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("new_id", "match_id", "sim")
+        .orderBy("new_id")
+    }),
+
     // HARD negatives: nearest different-label neighbors per query via
     // the multi-probe LSH bucket join (Hamming-1 arms) — the mining
     // pass that makes contrastive training effective. Identical plan
@@ -1322,6 +1358,35 @@ object SimilarityQueries {
          |  JOIN embeddings c ON q.label <> c.label
          |  WHERE q.vec_id < $NQueries) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "incremental_ann" -> {
+      val hamming1 = (0 until NPlanes).map(p => 1 << p).mkString(", ")
+      s"""WITH $bucketCte,
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q
+         |  JOIN buckets bq ON bq.vec_id = q.vec_id
+         |  JOIN buckets bc ON (bc.bucket = bq.bucket
+         |    OR xor(bc.bucket, bq.bucket) IN ($hamming1))
+         |  JOIN embeddings c ON c.vec_id = bc.vec_id
+         |  WHERE q.vec_id >= 450 AND c.vec_id < 450
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid AS new_id, vec_id AS match_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS rn
+         |  FROM sims) t
+         |WHERE rn = 1 ORDER BY new_id""".stripMargin
+    },
     "hard_negatives" -> {
       val hamming1 = (0 until NPlanes).map(p => 1 << p).mkString(", ")
       s"""WITH $bucketCte,
