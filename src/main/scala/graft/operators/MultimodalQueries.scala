@@ -86,6 +86,57 @@ object MultimodalQueries {
       MultimodalPipeline.videoFrameStats(s, d).toDF()
         .orderBy("doc_id", "frame_idx")),
 
+    // PERCEPTUAL-HASH image near-dup — the image twin of simhash
+    // dedup, composed from the really-decoded thumbnails: per-cell
+    // luma (r+g+b over the 4×3 grid), aHash bit i = luma_i·12 >
+    // total (exact integer compare, no float mean), 12-bit hash
+    // banded 3×4 bits — pigeonhole-complete for Hamming ≤ 2. Pairs
+    // come from band equi-joins (never all-pairs), exact Hamming
+    // confirms. The whole path is arithmetic on decoded pixels, so
+    // the oracle rebuilds hash, bands and distances from the pixel
+    // formula.
+    "phash_neardup" -> ((s, d) => {
+      val feats = pinnedThumbFeatures(s, d)
+      val lums = (0 until 12).map(i =>
+        (element_at(col("feature"), 3 * i + 1)
+          + element_at(col("feature"), 3 * i + 2)
+          + element_at(col("feature"), 3 * i + 3))
+          .cast("long").as(s"lum$i"))
+      val withLum = feats.select(col("doc_id") +: lums: _*)
+        .withColumn("total",
+          (0 until 12).map(i => col(s"lum$i")).reduce(_ + _))
+      val ph = withLum.select(
+        col("doc_id"),
+        (0 until 12).map(i =>
+          when(col(s"lum$i") * 12 > col("total"), lit(1L << i))
+            .otherwise(0L)).reduce(_ + _).as("phash"))
+      val bands = ph.select(
+        col("doc_id"), col("phash"),
+        explode(array((0 until 3).map(b =>
+          struct(
+            lit(b).as("band_idx"),
+            shiftright(col("phash"), 4 * b).bitwiseAND(lit(15L))
+              .as("band_val"))): _*)).as("bd"))
+        .select(col("doc_id"), col("phash"),
+          col("bd.band_idx"), col("bd.band_val"))
+      val cand = bands
+        .select(col("band_idx"), col("band_val"),
+          col("doc_id").as("a"), col("phash").as("pa"))
+        .join(
+          bands.select(col("band_idx"), col("band_val"),
+            col("doc_id").as("b"), col("phash").as("pb")),
+          Seq("band_idx", "band_val"))
+        .filter(col("a") < col("b"))
+        .select("a", "b", "pa", "pb")
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+        .filter(col("hamming") <= 2)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    }),
+
     // CROSS-MODAL retrieval: the multimodal and similarity families
     // composed — the actual pipeline shape (image → feature → ANN).
     // Every document's PNG is really decoded and resized to the 4×3
@@ -282,6 +333,42 @@ object MultimodalQueries {
     // exactly representable — summation order is irrelevant), same
     // (sim DESC, cand ASC) rank. MATERIALIZED: feat is referenced by
     // four consumers.
+    "phash_neardup" -> {
+      val lum =
+        "((tx*w//4)*31 + (ty*h//3)*17 + doc_id) % 256" +
+          " + ((tx*w//4)*7 + (ty*h//3)*29 + doc_id*3) % 256" +
+          " + ((tx*w//4)*13 + (ty*h//3)*5 + doc_id*7) % 256"
+      s"""WITH cells AS (
+         |  SELECT doc_id, ty*4 + tx AS cell,
+         |         CAST($lum AS BIGINT) AS lum
+         |  FROM (SELECT doc_id, doc_id % 13 + 4 AS w,
+         |               doc_id % 7 + 3 AS h FROM documents) d,
+         |       LATERAL unnest(generate_series(0, 3)) AS a(tx),
+         |       LATERAL unnest(generate_series(0, 2)) AS b(ty)
+         |), ph AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN lum*12 >
+         |             (SELECT sum(c2.lum) FROM cells c2
+         |              WHERE c2.doc_id = cells.doc_id)
+         |           THEN 1 << cell ELSE 0 END) AS BIGINT) AS phash
+         |  FROM cells GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, phash, b AS band_idx,
+         |         (phash >> (4*b)) & 15 AS band_val
+         |  FROM ph, LATERAL unnest(generate_series(0, 2)) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |         x.phash AS pa, y.phash AS pb
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id
+         |)
+         |SELECT a, b,
+         |       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(pa, pb)) <= 2
+         |ORDER BY a, b""".stripMargin
+    },
     "multimodal_ann" -> {
       def chan(sx: String, sy: String, k: Int) = k match {
         case 0 => s"(($sx)*31 + ($sy)*17 + doc_id) % 256"
