@@ -293,6 +293,69 @@ object OpsQueries {
       d3.orderBy("node")
     }),
 
+    // Triangle counting over the supplier CO-PURCHASE graph (edge =
+    // two suppliers sharing >= 180 distinct customers — the strength
+    // threshold keeps the projected graph sparse; the raw projection
+    // of a bipartite fact table is near-complete and meaningless).
+    // Orientation is DEGREE-ORDERED compact-forward: every canonical
+    // edge u<v is re-oriented from the (degree, id)-lower endpoint to
+    // the higher one, so wedge generation at each node is bounded by
+    // its ORIENTED out-degree (O(sqrt(m)) on any graph) instead of its
+    // raw degree — the standard guard against the quadratic wedge
+    // blow-up at hub nodes that kills naive triangle joins at 100 TB.
+    // The result (per-node triangle participation) is orientation-
+    // independent, so the oracle counts the same triangles with the
+    // naive a<b<c three-way join.
+    "triangle_count" -> ((s, d) => {
+      val cs = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = cs.as("a")
+        .join(cs.as("b"),
+          col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("u"), col("b.sp").as("v"))
+        .agg(count(lit(1)).as("ncommon"))
+        .filter(col("ncommon") >= 180)
+        .select("u", "v")
+      val deg = edges.select(col("u").as("n"))
+        .unionByName(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      // Orient from (deg, id)-lower to higher; carry the dst rank key
+      // so the wedge join can order its two legs without re-joining
+      // degrees.
+      val oriented = edges
+        .join(deg.withColumnRenamed("n", "u")
+          .withColumnRenamed("deg", "du"), Seq("u"))
+        .join(deg.withColumnRenamed("n", "v")
+          .withColumnRenamed("deg", "dv"), Seq("v"))
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("src"), col("v").as("dst"),
+              col("dv").as("ddeg")))
+            .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+              col("du").as("ddeg"))).as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.ddeg"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") &&
+            (col("e1.ddeg") < col("e2.ddeg") ||
+              (col("e1.ddeg") === col("e2.ddeg") &&
+                col("e1.dst") < col("e2.dst"))))
+        .select(col("e1.src").as("apex"),
+          col("e1.dst").as("b1"), col("e2.dst").as("b2"))
+      val tris = wedges
+        .join(oriented.select(col("src").as("b1"), col("dst").as("b2")),
+          Seq("b1", "b2"))
+      tris
+        .select(explode(array(col("apex"), col("b1"), col("b2")))
+          .as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    }),
+
     // Ratio-to-report: each group's share of the grand total in exact
     // ppm — the denominator is a ONE-ROW aggregate broadcast back
     // (bounded by 1), never a global window over raw rows. The ppm is
@@ -565,6 +628,24 @@ object OpsQueries {
          |$rounds
          |SELECT node, hop FROM d3 ORDER BY node""".stripMargin
     },
+    "triangle_count" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), te AS (
+        |  SELECT a.sp AS u, b.sp AS v
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+        |  GROUP BY a.sp, b.sp HAVING count(*) >= 180
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c3
+        |  FROM te e1 JOIN te e2 ON e1.v = e2.u
+        |       JOIN te e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c3 FROM tri) x
+        |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
     "ratio_to_report" ->
       """WITH g AS (
         |  SELECT o_orderpriority, count(*) AS n_orders,

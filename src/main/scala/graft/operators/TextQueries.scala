@@ -1001,6 +1001,48 @@ object TextQueries {
         .select(col("keep_doc_id"), col("n_copies"))
         .orderBy("keep_doc_id")),
 
+    // Sub-document dedup (the RefinedWeb/CCNet "line dedup" shape,
+    // re-expressed over fixed 80-char chunk units — the synthetic
+    // corpus has no newlines): a chunk occurrence is DROPPED when the
+    // identical chunk text also appears in an earlier document
+    // (keep-first, like dedup_exact_keep_first but at chunk grain);
+    // each document is then reassembled from its surviving chunks in
+    // position order and pinned by content hash. Scale shape: explode →
+    // one groupBy(chunk) for the first-owner table → one equi-join back
+    // → one groupBy(doc). The first-owner table is corpus-sized but the
+    // join is a plain shuffle-on-key — never all-pairs — and the
+    // reassembly buffer is bounded by a single document's chunk count.
+    "chunk_dedup" -> ((s, d) => {
+      val ch = documents(s, d)
+        .filter(length(col("text")) >= 1)
+        .select(
+          col("doc_id"),
+          posexplode(
+            transform(
+              sequence(lit(1), length(col("text")), lit(80)),
+              i => col("text").substr(i, lit(80)))))
+        .select(col("doc_id"), col("pos").as("idx"),
+          col("col").as("chunk"))
+      val firstDoc = ch.groupBy("chunk")
+        .agg(min(col("doc_id")).as("first_doc"))
+      ch.join(firstDoc, Seq("chunk"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") =!= col("first_doc"), 1L)
+            .otherwise(0L)).as("n_dropped"),
+          hash60(
+            array_join(
+              transform(
+                array_sort(
+                  collect_list(
+                    when(col("doc_id") === col("first_doc"),
+                      struct(col("idx"), col("chunk"))))),
+                x => x.getField("chunk")),
+              "")).as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Fixed-size chunking with overlap (100-char windows, stride 80) —
     // the context-window preparation step of an LLM training pipeline.
     // Pure expression work (sequence + substr), no shuffle at all;
@@ -2113,6 +2155,25 @@ object TextQueries {
       s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
          |FROM (SELECT doc_id, $normSql AS norm FROM documents) t
          |GROUP BY norm ORDER BY keep_doc_id""".stripMargin,
+    "chunk_dedup" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, (u.i - 1) // 80 AS idx,
+         |         substring(text, CAST(u.i AS INTEGER), 80) AS chunk
+         |  FROM documents,
+         |       LATERAL unnest(generate_series(1, length(text), 80))
+         |         AS u(i)
+         |  WHERE length(text) >= 1
+         |), fd AS (
+         |  SELECT chunk, min(doc_id) AS first_doc FROM ch GROUP BY chunk
+         |)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN doc_id != first_doc THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dropped,
+         |       ${hash60Sql(
+           "coalesce(string_agg(CASE WHEN doc_id = first_doc " +
+             "THEN chunk END, '' ORDER BY idx), '')")} AS kept_hash
+         |FROM ch JOIN fd USING (chunk)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       s"""SELECT doc_id,
          |       CAST(p AS INTEGER) AS chunk_idx,
