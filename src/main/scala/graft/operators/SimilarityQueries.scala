@@ -157,6 +157,34 @@ object SimilarityQueries {
         .limit(50)
     }),
 
+    // Semantic dedup (the SemDeDup shape: cluster the embedding space,
+    // then pairwise-compare ONLY within a cluster): every vector is
+    // assigned to its nearest fixed-seed centroid (broadcast, like the
+    // IVF path), and a vector is a semantic DUPLICATE if a lower-id
+    // vector in the same cell has cosine >= threshold; the reported
+    // keeper is the deterministic best match (sim desc, id asc). The
+    // pairwise stage is quadratic only WITHIN a cell — at 100 TB the
+    // cell count grows as N/target_cell_size so per-cell work stays
+    // constant, which is exactly why SemDeDup clusters first instead
+    // of comparing the corpus all-pairs.
+    "semantic_dedup" -> ((s, d) => {
+      val assigned = ivfAssign(s, d)
+      val a = assigned.select(col("cid"), col("vec_id").as("keep_id"),
+        col("embedding").as("ea"))
+      val b = assigned.select(col("cid"), col("vec_id"),
+        col("embedding").as("eb"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("keep_id").asc)
+      a.join(b, Seq("cid"))
+        .filter(col("keep_id") < col("vec_id"))
+        .withColumn("sim", cosine(col("ea"), col("eb")))
+        .filter(col("sim") >= SimThreshold)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("keep_id").as("dup_of"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
     // Brute-force top-k through the NATIVE codegen expression
     // (functions.CosineSimExpr) — same semantics and the same oracle
     // as cosine_topk_brute, so the bit-equality of the codegen'd loop
@@ -1072,6 +1100,31 @@ object SimilarityQueries {
          |SELECT a, b, sim FROM sims
          |WHERE sim >= $SimThreshold
          |ORDER BY sim DESC, a ASC, b ASC LIMIT 50""".stripMargin,
+    "semantic_dedup" ->
+      s"""WITH $normCte,
+         |$assignCte,
+         |pairs AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         |         ea.embedding AS qe, eb.embedding AS ce
+         |  FROM assign a
+         |  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |sims AS (
+         |  SELECT d.qid AS dup_of, d.vec_id,
+         |         d.dot / (na.nrm * nb.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = d.qid
+         |  JOIN norms nb ON nb.vec_id = d.vec_id
+         |)
+         |SELECT vec_id, dup_of, sim FROM (
+         |  SELECT vec_id, dup_of, sim,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY sim DESC, dup_of ASC) AS rn
+         |  FROM sims WHERE sim >= $SimThreshold) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "cosine_topk_lsh_probe" -> {
       val hamming1 = (0 until NPlanes).map(p => 1 << p).mkString(", ")
       s"""WITH $bucketCte,

@@ -1043,6 +1043,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // In-corpus bigram language-model quality score — the CCNet/KenLM
+    // perplexity-filter shape with the external LM replaced by a model
+    // TRAINED ON THE CORPUS ITSELF in the same job: unigram + bigram
+    // count tables (vocabulary-sized — Heaps-law sublinear in corpus
+    // size, so both joins stay small relative to the fact scan; the
+    // unigram side is broadcastable), then each document scores
+    // avg over its bigrams of the Laplace-smoothed conditional
+    // P(w2|w1) = (c12 + 1) / (c1 + V). All arithmetic is scaled
+    // INTEGER (ppm, floor division) so an out-of-vocabulary-free
+    // in-corpus model hash-pins exactly — no libm, no FP summation
+    // order. Documents with < 2 tokens have no bigrams and drop out on
+    // both sides identically.
+    "bigram_lm_score" -> ((s, d) => {
+      val toksDf = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val bg = toksDf.select(col("doc_id"),
+        explode(wordShingles(col("toks"), 2)).as("bg"))
+      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      val c1 = toksDf.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cw"))
+      val vsz = c1.agg(count(lit(1)).as("vsz"))
+      bg.join(c2, Seq("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(c1, Seq("w1"))
+        .crossJoin(vsz) // ONE-ROW smoothing denominator, broadcast
+        .select(col("doc_id"),
+          expr("((cbg + 1) * 1000000) DIV (cw + vsz)").as("p_ppm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p_ppm")).as("sum_p_ppm"))
+        .withColumn("avg_p_ppm", expr("sum_p_ppm DIV n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // Fixed-size chunking with overlap (100-char windows, stride 80) —
     // the context-window preparation step of an LLM training pipeline.
     // Pure expression work (sequence + substr), no shuffle at all;
@@ -2173,6 +2207,24 @@ object TextQueries {
            "coalesce(string_agg(CASE WHEN doc_id = first_doc " +
              "THEN chunk END, '' ORDER BY idx), '')")} AS kept_hash
          |FROM ch JOIN fd USING (chunk)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "bigram_lm_score" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(${wordShinglesSql(toksSql, 2)}) AS bg
+         |  FROM documents
+         |), c2 AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+         |c1 AS (
+         |  SELECT w1, count(*) AS cw FROM (
+         |    SELECT unnest($toksSql) AS w1 FROM documents) u
+         |  GROUP BY w1
+         |), v AS (SELECT count(*) AS vsz FROM c1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       CAST(sum(((cbg + 1) * 1000000) // (cw + vsz))
+         |         AS BIGINT) AS sum_p_ppm,
+         |       CAST(sum(((cbg + 1) * 1000000) // (cw + vsz))
+         |         // count(*) AS BIGINT) AS avg_p_ppm
+         |FROM bg JOIN c2 USING (bg)
+         |     JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1, v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       s"""SELECT doc_id,
