@@ -47,6 +47,26 @@ object SimilarityQueries {
     */
   private val NCells = 8
 
+  /** Product-quantization shape: M subspaces × SubDim dims (M·SubDim =
+    * embedding dim), Codes sub-centroids per subspace (fixed seeds,
+    * same determinism rationale as NCells).
+    */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqCodes = 8
+
+  /** Squared L2 distance as a left-to-right double fold (same
+    * determinism contract as [[graft.functions.Vectors.dot]]).
+    */
+  private def l2sq(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // Exact brute-force cosine top-k for the first NQueries vectors.
@@ -255,6 +275,62 @@ object SimilarityQueries {
       val c = ivfAssign(s, d)
         .select(col("vec_id"), col("embedding"), col("cid"))
       topkFromCandidates(q, c, "cid")
+    }),
+
+    // Product quantization — the THIRD ANN family (after LSH and IVF),
+    // and the one that attacks memory bandwidth rather than candidate
+    // count: each 64-dim vector is split into 4 subspaces of 16 dims,
+    // each sub-vector replaced by the id of its nearest of 8 fixed-seed
+    // sub-centroids (4 bytes of codes vs 256 bytes of floats — the
+    // 64× compression is what lets a 100 TB corpus' index live in
+    // executor memory). Encoding is a broadcast join against the
+    // K×M centroid table (bounded by constants, never by N) with a
+    // deterministic argmin (d2 asc, code asc). Queries then score
+    // candidates ASYMMETRICALLY (exact query vs reconstructed
+    // codeword): the codeword is reassembled in subspace order and a
+    // single left-to-right L2 fold scores it, so the double arithmetic
+    // is order-pinned for the oracle — NOT a per-subspace groupBy sum,
+    // whose accumulation order would be engine-dependent. PQ scans all
+    // codes (its pruning partner is the IVF cell structure above;
+    // composing them is IVF-PQ).
+    "pq_topk" -> ((s, d) => {
+      val (m, sub, k) = (PqM, PqSubDim, PqCodes)
+      val subs = embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(
+            transform(sequence(lit(0), lit(m - 1)),
+              mm => slice(col("embedding"),
+                mm * lit(sub) + lit(1), lit(sub)))))
+        .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+      val cents = subs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("code"), col("m"),
+          col("sv").as("csub"))
+      val wEnc = Window.partitionBy("vec_id", "m")
+        .orderBy(col("d2").asc, col("code").asc)
+      val codes = subs.join(broadcast(cents), Seq("m"))
+        .withColumn("d2", l2sq(col("sv"), col("csub")))
+        .withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"))
+      val recon = codes
+        .join(broadcast(cents), Seq("m", "code"))
+        .groupBy("vec_id")
+        .agg(flatten(
+          transform(
+            array_sort(collect_list(struct(col("m"), col("csub")))),
+            x => x.getField("csub"))).as("recon"))
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("ad2").asc, col("vec_id").asc)
+      broadcast(q)
+        .join(recon, col("qid") =!= col("vec_id"))
+        .withColumn("ad2", l2sq(col("qe"), col("recon")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "ad2")
+        .orderBy("qid", "rnk")
     }),
 
     // THE RECALL/COST CURVE as one oracle-pinned artifact: every ANN
@@ -1022,6 +1098,55 @@ object SimilarityQueries {
          |         CAST(row_number() OVER (PARTITION BY qid
          |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "pq_topk" ->
+      s"""WITH subs AS MATERIALIZED (
+         |  SELECT vec_id, u.m AS m,
+         |         list_slice(embedding, u.m*$PqSubDim+1,
+         |           u.m*$PqSubDim+$PqSubDim) AS sv
+         |  FROM embeddings,
+         |       LATERAL unnest(range(0, $PqM)) AS u(m)
+         |), cents AS MATERIALIZED (
+         |  SELECT vec_id AS code, m, sv AS csub FROM subs
+         |  WHERE vec_id < $PqCodes
+         |), encd AS (
+         |  SELECT vec_id, m, code,
+         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS d2
+         |  FROM (SELECT s.vec_id, s.m, c.code, unnest(s.sv) AS a,
+         |               unnest(c.csub) AS b
+         |        FROM subs s JOIN cents c ON s.m = c.m) u
+         |  GROUP BY vec_id, m, code
+         |), codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM encd) t
+         |  WHERE rn = 1
+         |), recon AS MATERIALIZED (
+         |  SELECT cd.vec_id, flatten(list(c.csub ORDER BY cd.m)) AS recon
+         |  FROM codes cd
+         |  JOIN cents c ON c.m = cd.m AND c.code = cd.code
+         |  GROUP BY cd.vec_id
+         |), pairs AS (
+         |  SELECT q.vec_id AS qid, r.vec_id, q.embedding AS qe,
+         |         r.recon AS ce
+         |  FROM embeddings q JOIN recon r ON q.vec_id <> r.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |), ad AS (
+         |  SELECT qid, vec_id,
+         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS ad2
+         |  FROM (SELECT qid, vec_id, unnest(qe) AS a, unnest(ce) AS b
+         |        FROM pairs) u
+         |  GROUP BY qid, vec_id
+         |)
+         |SELECT qid, vec_id, rnk, ad2 FROM (
+         |  SELECT qid, vec_id, ad2,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY ad2 ASC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM ad) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
     "cosine_topk_brute" ->
       s"""WITH pairs AS (
