@@ -88,6 +88,42 @@ object MiscQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Bloom-style semi-join reduction: when a selective dimension
+    // filter survives only ~2% of keys, shuffling the whole fact side
+    // into the join is wasted I/O at 100 TB. The build side's key set
+    // is compressed into a BITSET of hash buckets (collect_set of
+    // hash%m — bounded by m=1024 entries regardless of build size,
+    // i.e. a 1-hash Bloom filter), broadcast, and applied to the fact
+    // scan BEFORE the shuffle; false positives are then removed by the
+    // exact join, so the result equals the plain join and the oracle
+    // runs the plain join. This is what Spark's runtime bloom-filter
+    // rewrite (spark.sql.optimizer.runtime.bloomFilter.*) does
+    // automatically — expressed here as an explicit operator so the
+    // reduction is plan-visible and tunable (m trades broadcast size
+    // against false-positive shuffle volume).
+    "bloom_semijoin_reduce" -> ((s, d) => {
+      val m = 1024
+      val build = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      val bits = build
+        .select(pmod(xxhash64(col("o_orderkey")), lit(m)).as("bit"))
+        .distinct()
+        .agg(sort_array(collect_list(col("bit"))).as("bits"))
+      val probe = lineitem(s, d)
+        .crossJoin(broadcast(bits)) // ONE-ROW bitset, broadcast
+        .filter(array_contains(col("bits"),
+          pmod(xxhash64(col("l_orderkey")), lit(m))))
+        .drop("bits")
+      probe
+        .join(build, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("extprice_cents"))
+        .orderBy("month")
+    }),
+
     // As-of join — the temporal operator Spark lacks natively (match
     // each click to the user's LATEST view at-or-before it). NOT an
     // inequality join (which plans as a per-key scan and explodes at
@@ -785,6 +821,15 @@ object MiscQueries {
         |         AS extprice_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "bloom_semijoin_reduce" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |         AS extprice_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     "csv_sink_source" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |       count(DISTINCT c_custkey) AS n_keys,
