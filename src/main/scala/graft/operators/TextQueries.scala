@@ -1043,6 +1043,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-document repeated-SPAN detection — the distributed
+    // re-expression of suffix-array exact-substring dedup (the "50-
+    // char repeated substring" pass of modern training-data pipelines):
+    // every positional 8-gram shingle whose shingle text occurs in >= 2
+    // DISTINCT documents is marked, and maximal runs of consecutive
+    // marked positions are recovered with the gaps-and-islands window
+    // (pos - row_number), so a run of L shingles = a repeated span of
+    // L+7 tokens. A suffix array is inherently sequential; this shape
+    // is two shuffle-on-key passes (shingle df, then per-doc windows)
+    // and finds the same >=8-token repeated spans.
+    "exact_substring_spans" -> ((s, d) => {
+      val n = 8
+      val sh = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(wordShingles(col("toks"), n)))
+        .select(col("doc_id"), col("pos"), col("col").as("sh"))
+      val rep = sh.groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = sh.join(rep, Seq("sh"))
+        .withColumn("grp", col("pos") - row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("run_shingles"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_runs"),
+          max(col("run_shingles")).as("max_run"),
+          sum(col("run_shingles")).as("n_rep"))
+      documents(s, d).select(col("doc_id"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_rep"), lit(0L)).as("n_rep_shingles"),
+          coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+          coalesce(col("max_run") + (n - 1), lit(0L))
+            .as("max_span_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // In-corpus bigram language-model quality score — the CCNet/KenLM
     // perplexity-filter shape with the external LM replaced by a model
     // TRAINED ON THE CORPUS ITSELF in the same job: unigram + bigram
@@ -2208,6 +2247,35 @@ object TextQueries {
              "THEN chunk END, '' ORDER BY idx), '')")} AS kept_hash
          |FROM ch JOIN fd USING (chunk)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "exact_substring_spans" ->
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT doc_id, u.i - 1 AS pos, shs[u.i] AS sh FROM (
+         |    SELECT doc_id, ${wordShinglesSql(toksSql, 8)} AS shs
+         |    FROM documents) t,
+         |    LATERAL unnest(range(1, len(shs)+1)) AS u(i)
+         |), rep AS (
+         |  SELECT sh FROM sh GROUP BY sh
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |), runs AS (
+         |  SELECT doc_id, count(*) AS run_shingles FROM (
+         |    SELECT doc_id, pos,
+         |           pos - row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY pos) AS grp
+         |    FROM sh JOIN rep USING (sh)) g
+         |  GROUP BY doc_id, grp
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_runs,
+         |         max(run_shingles) AS max_run,
+         |         sum(run_shingles) AS n_rep
+         |  FROM runs GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(n_rep, 0) AS BIGINT) AS n_rep_shingles,
+         |       CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+         |       CAST(coalesce(max_run + 7, 0) AS BIGINT)
+         |         AS max_span_tokens
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "bigram_lm_score" ->
       s"""WITH bg AS (
          |  SELECT doc_id, unnest(${wordShinglesSql(toksSql, 2)}) AS bg
