@@ -1756,6 +1756,42 @@ object TextQueries {
           (col("freq").cast("double") / col("n").cast("double"))
             .as("frac_of_corpus"))
         .orderBy(col("freq").desc, col("tok").asc)
+    }),
+
+    // Count-min sketch — the THIRD sketch family (Misra-Gries bounds
+    // heavy hitters, HLL bounds distinct counts; CMS bounds POINT
+    // FREQUENCY queries). d=3 hash rows × w=16 buckets, deliberately
+    // narrow so the fixture vocabulary actually collides and the
+    // one-sided error (est >= exact, overcount = sum of colliding
+    // tokens' counts) is observable in the pinned output rather than
+    // degenerating to the exact counts. Each occurrence increments one
+    // cell per row — expressed as explode(d) + groupBy(row, bucket),
+    // the same mergeable-by-addition state a streaming CMS keeps per
+    // partition; estimates are min over rows. The hash is the engine's
+    // deterministic hash60, so the ORACLE REBUILDS THE IDENTICAL
+    // SKETCH, collisions included — the approximation itself is
+    // hash-pinned, not just bounded.
+    "cms_estimate" -> ((s, d) => {
+      val w = 16
+      val toks = documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+      val exact = toks.groupBy("token")
+        .agg(count(lit(1)).as("exact_n"))
+      def bucketed(df: DataFrame): DataFrame = df
+        .select(col("token"),
+          explode(sequence(lit(0), lit(2))).as("r"))
+        .withColumn("bucket",
+          pmod(hash60(concat_ws(":", col("r"), col("token"))), lit(w)))
+      val cms = bucketed(toks)
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      bucketed(exact.select(col("token")))
+        .join(cms, Seq("r", "bucket"))
+        .groupBy("token").agg(min(col("cnt")).as("est_n"))
+        .join(exact, Seq("token"))
+        .select(col("token"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("token").asc)
+        .limit(20)
     })
   )
 
@@ -2697,6 +2733,30 @@ object TextQueries {
          |         AS frac_of_corpus
          |FROM toks, tot
          |GROUP BY tok, n HAVING count(*) * 64 > n
-         |ORDER BY freq DESC, tok ASC""".stripMargin
+         |ORDER BY freq DESC, tok ASC""".stripMargin,
+    "cms_estimate" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT unnest($toksSql) AS token FROM documents
+         |), exact_ AS MATERIALIZED (
+         |  SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+         |), rws AS (
+         |  SELECT u.r AS r,
+         |         ${hash60Sql(
+           "CAST(u.r AS VARCHAR) || ':' || token")} % 16 AS bucket,
+         |         count(*) AS cnt
+         |  FROM toks, LATERAL unnest(range(0, 3)) AS u(r)
+         |  GROUP BY 1, 2
+         |), lk AS (
+         |  SELECT token, u.r AS r,
+         |         ${hash60Sql(
+           "CAST(u.r AS VARCHAR) || ':' || token")} % 16 AS bucket
+         |  FROM exact_, LATERAL unnest(range(0, 3)) AS u(r)
+         |), est AS (
+         |  SELECT token, min(cnt) AS est_n
+         |  FROM lk JOIN rws USING (r, bucket) GROUP BY token
+         |)
+         |SELECT token, exact_n, est_n, est_n - exact_n AS overcount
+         |FROM exact_ JOIN est USING (token)
+         |ORDER BY exact_n DESC, token ASC LIMIT 20""".stripMargin
   )
 }
