@@ -328,6 +328,46 @@ object MultimodalPipeline {
       } finally in.close()
     }
 
+  /** Per-document audio SIGNATURE windows: the really-decoded PCM
+    * stream reduced to 16 interleaved window sums (sample i feeds
+    * window i mod 16) — the energy-band fingerprint input for
+    * audio near-dup. Interleaving makes the 16 windows length-
+    * independent (every clip has >= 20 samples, so all windows are
+    * populated at any duration), and every sum is exact integer
+    * arithmetic on decoded bytes, so the oracle rebuilds the
+    * signature from the sample formula.
+    */
+  case class AudioWindows(doc_id: Long, wsums: Array[Long])
+
+  def decodeWavWindowsPartition(
+      items: Iterator[WavClip]): Iterator[AudioWindows] =
+    items.map { item =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(item.wav))
+      try {
+        val pcm = in.readAllBytes()
+        val sums = new Array[Long](16)
+        var i = 0
+        while (i < pcm.length) {
+          sums(i % 16) += (pcm(i) & 0xff)
+          i += 1
+        }
+        AudioWindows(item.doc_id, sums)
+      } finally in.close()
+    }
+
+  /** Synthesize → decode → window signature over documents. */
+  def audioWindowSums(
+      spark: SparkSession, dir: String): Dataset[AudioWindows] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(encodeWavPartition _)
+      .mapPartitions(decodeWavWindowsPartition _)
+  }
+
   /** Synthesize → decode over documents for the audio column. */
   def audioStats(spark: SparkSession, dir: String): Dataset[AudioStats] = {
     import spark.implicits._

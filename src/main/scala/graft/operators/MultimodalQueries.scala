@@ -137,6 +137,54 @@ object MultimodalQueries {
         .orderBy("a", "b")
     }),
 
+    // AUDIO near-dup — the audio twin of phash_neardup, closing the
+    // modality symmetry (text simhash / image aHash / audio energy
+    // fingerprint): the really-decoded PCM reduces to 16 interleaved
+    // window sums (MultimodalPipeline.audioWindowSums), fingerprint
+    // bit j = windowSum_j·16 > total (exact integer compare), 16-bit
+    // hash banded 4×4 bits — pigeonhole-complete for Hamming ≤ 2.
+    // Candidates come from band equi-joins, never all-pairs; the
+    // oracle rebuilds window sums, hash and bands from the PCM sample
+    // formula, so only a faithful decode matches.
+    "audio_neardup" -> ((s, d) => {
+      val sig = MultimodalPipeline.audioWindowSums(s, d).toDF()
+      val withS = sig.select(
+        col("doc_id") +:
+          (0 until 16).map(j =>
+            element_at(col("wsums"), j + 1).as(s"s$j")): _*)
+        .withColumn("total",
+          (0 until 16).map(j => col(s"s$j")).reduce(_ + _))
+      val ah = withS.select(
+        col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"s$j") * 16 > col("total"), lit(1L << j))
+            .otherwise(0L)).reduce(_ + _).as("ahash"))
+      val bands = ah.select(
+        col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(b =>
+          struct(
+            lit(b).as("band_idx"),
+            shiftright(col("ahash"), 4 * b).bitwiseAND(lit(15L))
+              .as("band_val"))): _*)).as("bd"))
+        .select(col("doc_id"), col("ahash"),
+          col("bd.band_idx"), col("bd.band_val"))
+      bands
+        .select(col("band_idx"), col("band_val"),
+          col("doc_id").as("a"), col("ahash").as("pa"))
+        .join(
+          bands.select(col("band_idx"), col("band_val"),
+            col("doc_id").as("b"), col("ahash").as("pb")),
+          Seq("band_idx", "band_val"))
+        .filter(col("a") < col("b"))
+        .select("a", "b", "pa", "pb")
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+        .filter(col("hamming") <= 2)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    }),
+
     // CROSS-MODAL retrieval: the multimodal and similarity families
     // composed — the actual pipeline shape (image → feature → ANN).
     // Every document's PNG is really decoded and resized to the 4×3
@@ -326,6 +374,38 @@ object MultimodalQueries {
         |FROM px
         |GROUP BY doc_id, f, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "audio_neardup" ->
+      """WITH n_ AS (
+        |  SELECT doc_id, doc_id % 50 + 20 AS n FROM documents
+        |), smp AS (
+        |  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i
+        |  FROM n_
+        |), ws AS (
+        |  SELECT doc_id, i % 16 AS j,
+        |         SUM((i*37 + doc_id*13 + 11) % 256) AS s
+        |  FROM smp GROUP BY doc_id, i % 16
+        |), tot AS (
+        |  SELECT doc_id, SUM(s) AS total FROM ws GROUP BY doc_id
+        |), ah AS (
+        |  SELECT ws.doc_id,
+        |         CAST(SUM(CASE WHEN s * 16 > total
+        |           THEN 1 << j ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM ws JOIN tot USING (doc_id) GROUP BY ws.doc_id
+        |), bands AS (
+        |  SELECT doc_id, ahash, u.b AS band_idx,
+        |         (ahash // (1 << (4 * u.b))) % 16 AS band_val
+        |  FROM ah, LATERAL unnest(range(0, 4)) AS u(b)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |         x.ahash AS pa, y.ahash AS pb
+        |  FROM bands x
+        |  JOIN bands y ON x.band_idx = y.band_idx
+        |    AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+        |)
+        |SELECT a, b,
+        |       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 2
+        |ORDER BY a, b""".stripMargin,
     // The whole cross-modal path rebuilt arithmetically: thumbnail
     // feature values from the pixel formula at the sampled integer
     // coordinates, hyperplane buckets from the shared (p·73 + dim·37)
