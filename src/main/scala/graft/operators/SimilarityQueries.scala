@@ -51,9 +51,12 @@ object SimilarityQueries {
     * embedding dim), Codes sub-centroids per subspace (fixed seeds,
     * same determinism rationale as NCells).
     */
-  private val PqM = 4
-  private val PqSubDim = 16
-  private val PqCodes = 8
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqCodes = 16
+
+  /** ADC shortlist size for the exact re-rank stage. */
+  private val PqShortlist = 25
 
   /** Squared L2 distance as a left-to-right double fold (same
     * determinism contract as [[graft.functions.Vectors.dot]]).
@@ -279,11 +282,11 @@ object SimilarityQueries {
 
     // Product quantization — the THIRD ANN family (after LSH and IVF),
     // and the one that attacks memory bandwidth rather than candidate
-    // count: each 64-dim vector is split into 4 subspaces of 16 dims,
-    // each sub-vector replaced by the id of its nearest of 8 fixed-seed
-    // sub-centroids (4 bytes of codes vs 256 bytes of floats — the
-    // 64× compression is what lets a 100 TB corpus' index live in
-    // executor memory). Encoding is a broadcast join against the
+    // count: each 64-dim vector is split into 8 subspaces of 8 dims,
+    // each sub-vector replaced by the id of its nearest of 16
+    // fixed-seed sub-centroids (8 bytes of codes vs 256 bytes of
+    // floats — the 32× compression is what lets a 100 TB corpus'
+    // index live in executor memory). Encoding is a broadcast join against the
     // K×M centroid table (bounded by constants, never by N) with a
     // deterministic argmin (d2 asc, code asc). Queries then score
     // candidates ASYMMETRICALLY (exact query vs reconstructed
@@ -294,42 +297,44 @@ object SimilarityQueries {
     // codes (its pruning partner is the IVF cell structure above;
     // composing them is IVF-PQ).
     "pq_topk" -> ((s, d) => {
-      val (m, sub, k) = (PqM, PqSubDim, PqCodes)
-      val subs = embeddings(s, d)
-        .select(col("vec_id"),
-          posexplode(
-            transform(sequence(lit(0), lit(m - 1)),
-              mm => slice(col("embedding"),
-                mm * lit(sub) + lit(1), lit(sub)))))
-        .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
-      val cents = subs.filter(col("vec_id") < k)
-        .select(col("vec_id").as("code"), col("m"),
-          col("sv").as("csub"))
-      val wEnc = Window.partitionBy("vec_id", "m")
-        .orderBy(col("d2").asc, col("code").asc)
-      val codes = subs.join(broadcast(cents), Seq("m"))
-        .withColumn("d2", l2sq(col("sv"), col("csub")))
-        .withColumn("rn", row_number().over(wEnc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("code"))
-      val recon = codes
-        .join(broadcast(cents), Seq("m", "code"))
-        .groupBy("vec_id")
-        .agg(flatten(
-          transform(
-            array_sort(collect_list(struct(col("m"), col("csub")))),
-            x => x.getField("csub"))).as("recon"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("ad2").asc, col("vec_id").asc)
+      pqAdcScores(s, d)
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "ad2")
+        .orderBy("qid", "rnk")
+    }),
+
+    // PQ + exact RE-RANK — how PQ deploys in production: the
+    // compressed-code scan produces a SHORTLIST (ADC top-25 per
+    // query), and only those ~25·Q rows fetch their full float
+    // vectors for an exact re-rank to the final top-5. The expensive
+    // exact arithmetic touches a constant-per-query row count, never
+    // N, while recall recovers most of what the coarse 16-codeword
+    // quantizer loses (measured on the fixture in PqRecallSpec; the
+    // near-random fixture vectors are the worst case for PQ, exactly
+    // like the LSH structural ceiling).
+    "pq_topk_rerank" -> ((s, d) => {
+      val wAdc = Window.partitionBy("qid")
+        .orderBy(col("ad2").asc, col("vec_id").asc)
+      val shortlist = pqAdcScores(s, d)
+        .withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= PqShortlist)
+        .select("qid", "vec_id")
       val q = embeddings(s, d)
         .filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val wTop = Window.partitionBy("qid")
-        .orderBy(col("ad2").asc, col("vec_id").asc)
-      broadcast(q)
-        .join(recon, col("qid") =!= col("vec_id"))
-        .withColumn("ad2", l2sq(col("qe"), col("recon")))
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      shortlist
+        .join(embeddings(s, d).select(col("vec_id"),
+          col("embedding").as("ce")), Seq("vec_id"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("d2", l2sq(col("qe"), col("ce")))
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= TopK)
-        .select("qid", "vec_id", "rnk", "ad2")
+        .select("qid", "vec_id", "rnk", "d2")
         .orderBy("qid", "rnk")
     }),
 
@@ -811,6 +816,51 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Shared PQ tail: (qid, vec_id, ad2) for every query×candidate
+    * pair, scored ASYMMETRICALLY (exact query vs the candidate's
+    * codeword reconstruction). Encode = broadcast join against the
+    * Codes×M sub-centroid table with a deterministic argmin (d2 asc,
+    * code asc); reconstruction reassembles subspaces in order so the
+    * final L2 fold is order-pinned for the oracle. One implementation
+    * feeds both `pq_topk` (rank the ADC scores directly) and
+    * `pq_topk_rerank` (ADC shortlist → exact re-rank), so the code
+    * semantics cannot drift between the two.
+    */
+  private def pqAdcScores(s: SparkSession, d: String): DataFrame = {
+    val (m, sub, k) = (PqM, PqSubDim, PqCodes)
+    val subs = embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(
+          transform(sequence(lit(0), lit(m - 1)),
+            mm => slice(col("embedding"),
+              mm * lit(sub) + lit(1), lit(sub)))))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+    val cents = subs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("code"), col("m"),
+        col("sv").as("csub"))
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("code").asc)
+    val codes = subs.join(broadcast(cents), Seq("m"))
+      .withColumn("d2", l2sq(col("sv"), col("csub")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    val recon = codes
+      .join(broadcast(cents), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(flatten(
+        transform(
+          array_sort(collect_list(struct(col("m"), col("csub")))),
+          x => x.getField("csub"))).as("recon"))
+    val q = embeddings(s, d)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    broadcast(q)
+      .join(recon, col("qid") =!= col("vec_id"))
+      .withColumn("ad2", l2sq(col("qe"), col("recon")))
+      .select("qid", "vec_id", "ad2")
+  }
+
   /** IVF assignment frame: (vec_id, embedding, label, cid) with cid =
     * the nearest fixed-seed centroid by cosine (deterministic argmax:
     * sim desc, cid asc — sims are bit-deterministic double folds, so
@@ -890,6 +940,57 @@ object SimilarityQueries {
        |            unnest(generate_series(0, len(embedding)-1)) AS i
        |          FROM embeddings) u
        |    GROUP BY vec_id) pr
+       |)""".stripMargin
+
+  /** PQ encode → reconstruct → asymmetric-distance CTE chain in
+    * DuckDB (mirrors [[pqAdcScores]] exactly: same subspace slicing,
+    * same deterministic per-subspace argmin, same subspace-order
+    * reconstruction, same left-to-right L2). Terminates in `ad(qid,
+    * vec_id, ad2)`; shared by the `pq_topk` and `pq_topk_rerank`
+    * oracles so the two cannot drift.
+    */
+  private def pqAdcCtes: String =
+    s"""subs AS MATERIALIZED (
+       |  SELECT vec_id, u.m AS m,
+       |         list_slice(embedding, u.m*$PqSubDim+1,
+       |           u.m*$PqSubDim+$PqSubDim) AS sv
+       |  FROM embeddings,
+       |       LATERAL unnest(range(0, $PqM)) AS u(m)
+       |), cents AS MATERIALIZED (
+       |  SELECT vec_id AS code, m, sv AS csub FROM subs
+       |  WHERE vec_id < $PqCodes
+       |), encd AS (
+       |  SELECT vec_id, m, code,
+       |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+       |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS d2
+       |  FROM (SELECT s.vec_id, s.m, c.code, unnest(s.sv) AS a,
+       |               unnest(c.csub) AS b
+       |        FROM subs s JOIN cents c ON s.m = c.m) u
+       |  GROUP BY vec_id, m, code
+       |), codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |             ORDER BY d2 ASC, code ASC) AS rn
+       |    FROM encd) t
+       |  WHERE rn = 1
+       |), recon AS MATERIALIZED (
+       |  SELECT cd.vec_id, flatten(list(c.csub ORDER BY cd.m)) AS recon
+       |  FROM codes cd
+       |  JOIN cents c ON c.m = cd.m AND c.code = cd.code
+       |  GROUP BY cd.vec_id
+       |), pqpairs AS (
+       |  SELECT q.vec_id AS qid, r.vec_id, q.embedding AS qe,
+       |         r.recon AS ce
+       |  FROM embeddings q JOIN recon r ON q.vec_id <> r.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), ad AS MATERIALIZED (
+       |  SELECT qid, vec_id,
+       |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+       |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS ad2
+       |  FROM (SELECT qid, vec_id, unnest(qe) AS a, unnest(ce) AS b
+       |        FROM pqpairs) u
+       |  GROUP BY qid, vec_id
        |)""".stripMargin
 
   /** IVF assignment in DuckDB: same fixed-seed centroids, same
@@ -1100,53 +1201,41 @@ object SimilarityQueries {
          |  FROM sims) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
     "pq_topk" ->
-      s"""WITH subs AS MATERIALIZED (
-         |  SELECT vec_id, u.m AS m,
-         |         list_slice(embedding, u.m*$PqSubDim+1,
-         |           u.m*$PqSubDim+$PqSubDim) AS sv
-         |  FROM embeddings,
-         |       LATERAL unnest(range(0, $PqM)) AS u(m)
-         |), cents AS MATERIALIZED (
-         |  SELECT vec_id AS code, m, sv AS csub FROM subs
-         |  WHERE vec_id < $PqCodes
-         |), encd AS (
-         |  SELECT vec_id, m, code,
-         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
-         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS d2
-         |  FROM (SELECT s.vec_id, s.m, c.code, unnest(s.sv) AS a,
-         |               unnest(c.csub) AS b
-         |        FROM subs s JOIN cents c ON s.m = c.m) u
-         |  GROUP BY vec_id, m, code
-         |), codes AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT vec_id, m, code,
-         |           row_number() OVER (PARTITION BY vec_id, m
-         |             ORDER BY d2 ASC, code ASC) AS rn
-         |    FROM encd) t
-         |  WHERE rn = 1
-         |), recon AS MATERIALIZED (
-         |  SELECT cd.vec_id, flatten(list(c.csub ORDER BY cd.m)) AS recon
-         |  FROM codes cd
-         |  JOIN cents c ON c.m = cd.m AND c.code = cd.code
-         |  GROUP BY cd.vec_id
-         |), pairs AS (
-         |  SELECT q.vec_id AS qid, r.vec_id, q.embedding AS qe,
-         |         r.recon AS ce
-         |  FROM embeddings q JOIN recon r ON q.vec_id <> r.vec_id
-         |  WHERE q.vec_id < $NQueries
-         |), ad AS (
-         |  SELECT qid, vec_id,
-         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
-         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS ad2
-         |  FROM (SELECT qid, vec_id, unnest(qe) AS a, unnest(ce) AS b
-         |        FROM pairs) u
-         |  GROUP BY qid, vec_id
-         |)
+      s"""WITH $pqAdcCtes
          |SELECT qid, vec_id, rnk, ad2 FROM (
          |  SELECT qid, vec_id, ad2,
          |         CAST(row_number() OVER (PARTITION BY qid
          |           ORDER BY ad2 ASC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM ad) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "pq_topk_rerank" ->
+      s"""WITH $pqAdcCtes,
+         |sl AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY ad2 ASC, vec_id ASC) AS arn
+         |    FROM ad) t
+         |  WHERE arn <= $PqShortlist
+         |), epairs AS (
+         |  SELECT s.qid, s.vec_id, eq.embedding AS qe,
+         |         ec.embedding AS ce
+         |  FROM sl s
+         |  JOIN embeddings eq ON eq.vec_id = s.qid
+         |  JOIN embeddings ec ON ec.vec_id = s.vec_id
+         |), ed AS (
+         |  SELECT qid, vec_id,
+         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS d2
+         |  FROM (SELECT qid, vec_id, unnest(qe) AS a, unnest(ce) AS b
+         |        FROM epairs) u
+         |  GROUP BY qid, vec_id
+         |)
+         |SELECT qid, vec_id, rnk, d2 FROM (
+         |  SELECT qid, vec_id, d2,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY d2 ASC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM ed) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
     "cosine_topk_brute" ->
       s"""WITH pairs AS (
