@@ -338,6 +338,34 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-PQ — the composition the two families above exist for, and
+    // the canonical billion-scale index shape (coarse quantizer +
+    // product codes): IVF prunes WHICH vectors each query touches
+    // (nprobe=2 cells, so candidate volume is ~nprobe·N/K, never N),
+    // and PQ compresses WHAT is read per candidate (8 code bytes vs
+    // 256 float bytes), attacking candidate count and memory
+    // bandwidth in the same scan. Plan shape: the bounded probe set
+    // broadcasts, candidates arrive through the cell equi-join, the
+    // reconstruction table joins by key — at 100 TB nothing but the
+    // cell-pruned candidate stream ever moves. Scoring is the same
+    // order-pinned ADC fold as pq_topk, so the composed ranking
+    // hash-pins cross-engine.
+    "ivfpq_topk" -> ((s, d) => {
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("ad2").asc, col("vec_id").asc)
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      ivfCandidates(s, d, 2)
+        .join(pqRecon(s, d), Seq("vec_id"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("ad2", l2sq(col("qe"), col("recon")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "ad2")
+        .orderBy("qid", "rnk")
+    }),
+
     // THE RECALL/COST CURVE as one oracle-pinned artifact: every ANN
     // configuration the engine ships — LSH at three probe budgets,
     // IVF at two, and exhaustive brute force as the 100% reference —
@@ -816,17 +844,15 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
-  /** Shared PQ tail: (qid, vec_id, ad2) for every query×candidate
-    * pair, scored ASYMMETRICALLY (exact query vs the candidate's
-    * codeword reconstruction). Encode = broadcast join against the
-    * Codes×M sub-centroid table with a deterministic argmin (d2 asc,
-    * code asc); reconstruction reassembles subspaces in order so the
-    * final L2 fold is order-pinned for the oracle. One implementation
-    * feeds both `pq_topk` (rank the ADC scores directly) and
-    * `pq_topk_rerank` (ADC shortlist → exact re-rank), so the code
-    * semantics cannot drift between the two.
+  /** PQ encode → reconstruct: (vec_id, recon) with `recon` the
+    * codeword reconstruction of each vector. Encode = broadcast join
+    * against the Codes×M sub-centroid table with a deterministic
+    * argmin (d2 asc, code asc); reconstruction reassembles subspaces
+    * in order so the downstream L2 fold is order-pinned for the
+    * oracle. Shared by the exhaustive ADC scan ([[pqAdcScores]]) and
+    * the IVF-pruned one (`ivfpq_topk`).
     */
-  private def pqAdcScores(s: SparkSession, d: String): DataFrame = {
+  private def pqRecon(s: SparkSession, d: String): DataFrame = {
     val (m, sub, k) = (PqM, PqSubDim, PqCodes)
     val subs = embeddings(s, d)
       .select(col("vec_id"),
@@ -845,18 +871,28 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("code"))
-    val recon = codes
+    codes
       .join(broadcast(cents), Seq("m", "code"))
       .groupBy("vec_id")
       .agg(flatten(
         transform(
           array_sort(collect_list(struct(col("m"), col("csub")))),
           x => x.getField("csub"))).as("recon"))
+  }
+
+  /** Shared PQ tail: (qid, vec_id, ad2) for every query×candidate
+    * pair, scored ASYMMETRICALLY (exact query vs the candidate's
+    * codeword reconstruction). One implementation feeds both
+    * `pq_topk` (rank the ADC scores directly) and `pq_topk_rerank`
+    * (ADC shortlist → exact re-rank), so the code semantics cannot
+    * drift between the two.
+    */
+  private def pqAdcScores(s: SparkSession, d: String): DataFrame = {
     val q = embeddings(s, d)
       .filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     broadcast(q)
-      .join(recon, col("qid") =!= col("vec_id"))
+      .join(pqRecon(s, d), col("qid") =!= col("vec_id"))
       .withColumn("ad2", l2sq(col("qe"), col("recon")))
       .select("qid", "vec_id", "ad2")
   }
@@ -942,14 +978,13 @@ object SimilarityQueries {
        |    GROUP BY vec_id) pr
        |)""".stripMargin
 
-  /** PQ encode → reconstruct → asymmetric-distance CTE chain in
-    * DuckDB (mirrors [[pqAdcScores]] exactly: same subspace slicing,
-    * same deterministic per-subspace argmin, same subspace-order
-    * reconstruction, same left-to-right L2). Terminates in `ad(qid,
-    * vec_id, ad2)`; shared by the `pq_topk` and `pq_topk_rerank`
-    * oracles so the two cannot drift.
+  /** PQ encode → reconstruct CTE chain in DuckDB (mirrors
+    * [[pqRecon]] exactly: same subspace slicing, same deterministic
+    * per-subspace argmin, same subspace-order reconstruction).
+    * Terminates in `recon(vec_id, recon)`; shared by every PQ oracle
+    * (exhaustive ADC, rerank, IVF-PQ) so the encode cannot drift.
     */
-  private def pqAdcCtes: String =
+  private def pqReconCtes: String =
     s"""subs AS MATERIALIZED (
        |  SELECT vec_id, u.m AS m,
        |         list_slice(embedding, u.m*$PqSubDim+1,
@@ -979,7 +1014,15 @@ object SimilarityQueries {
        |  FROM codes cd
        |  JOIN cents c ON c.m = cd.m AND c.code = cd.code
        |  GROUP BY cd.vec_id
-       |), pqpairs AS (
+       |)""".stripMargin
+
+  /** Exhaustive ADC scan on top of [[pqReconCtes]]: every
+    * query×candidate pair scored asymmetrically, terminating in
+    * `ad(qid, vec_id, ad2)`. Shared by the `pq_topk` and
+    * `pq_topk_rerank` oracles so the two cannot drift.
+    */
+  private def pqAdcCtes: String =
+    s"""$pqReconCtes, pqpairs AS (
        |  SELECT q.vec_id AS qid, r.vec_id, q.embedding AS qe,
        |         r.recon AS ce
        |  FROM embeddings q JOIN recon r ON q.vec_id <> r.vec_id
@@ -1236,6 +1279,45 @@ object SimilarityQueries {
          |         CAST(row_number() OVER (PARTITION BY qid
          |           ORDER BY d2 ASC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM ed) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    // IVF cell pruning (nprobe=2, same cosine assignment as the IVF
+    // family) composed with the PQ codeword reconstruction and the
+    // same order-pinned ADC sum.
+    "ivfpq_topk" ->
+      s"""WITH $normCte,
+         |$assignCte,
+         |assign2 AS (
+         |  SELECT vid AS vec_id, cid FROM (
+         |    SELECT vid, cid,
+         |           row_number() OVER (PARTITION BY vid
+         |             ORDER BY d.dot/(nv.nrm*nc.nrm) DESC, cid ASC) AS rn
+         |    FROM adots d
+         |    JOIN norms nv ON nv.vec_id = vid
+         |    JOIN norms nc ON nc.vec_id = cid) t
+         |  WHERE rn <= 2
+         |),
+         |$pqReconCtes,
+         |ipairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id, eq.embedding AS qe,
+         |         r.recon AS ce
+         |  FROM assign2 q
+         |  JOIN assign c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+         |  JOIN recon r ON r.vec_id = c.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |), iad AS (
+         |  SELECT qid, vec_id,
+         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS ad2
+         |  FROM (SELECT qid, vec_id, unnest(qe) AS a, unnest(ce) AS b
+         |        FROM ipairs) u
+         |  GROUP BY qid, vec_id
+         |)
+         |SELECT qid, vec_id, rnk, ad2 FROM (
+         |  SELECT qid, vec_id, ad2,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY ad2 ASC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM iad) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
     "cosine_topk_brute" ->
       s"""WITH pairs AS (
