@@ -439,6 +439,49 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // MATRYOSHKA truncation curve: exact cosine top-5 computed at
+    // prefix dimensions 8/16/32/64 of the same embeddings, each
+    // prefix's hits counted against the full-dim reference (the 64
+    // row is the reference itself — a self-check pinned at 25/25).
+    // This is the eval that justifies truncated storage at 100 TB:
+    // if dims=16 already recovers most of the top-5, the ANN index
+    // reads 4× fewer bytes per vector. One plan, no driver loop —
+    // the config explode rides the candidate join, and every prefix
+    // cosine is the same left-to-right fold (a prefix of the full
+    // fold), so the whole curve hash-pins cross-engine.
+    "matryoshka_recall" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val pairs = broadcast(q)
+        .join(embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("ce")),
+          col("qid") =!= col("vec_id"))
+        .withColumn("m",
+          explode(array(Seq(8, 16, 32, 64).map(lit): _*)))
+        .withColumn("sim",
+          cosine(
+            slice(col("qe"), lit(1), col("m")),
+            slice(col("ce"), lit(1), col("m"))))
+      val w = Window.partitionBy("m", "qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val top = pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("m", "qid", "vec_id")
+      val ref = top.filter(col("m") === 64).select("qid", "vec_id")
+      val hits = top
+        .join(ref, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_hits_at5"))
+      top.groupBy("m")
+        .agg(count(lit(1)).as("n_results"))
+        .join(hits, Seq("m"))
+        .select(col("m").as("dims"), col("n_results"),
+          col("n_hits_at5"))
+        .orderBy("dims")
+    }),
+
     // Per-label centroid-free stats: norms are bit-deterministic.
     "vector_norms" -> ((s, d) =>
       embeddings(s, d)
@@ -542,6 +585,64 @@ object SimilarityQueries {
         .filter(col("rnk") <= TopK)
         .select("qid", "doc_id", "rnk", "rrf_ppm")
         .orderBy("qid", "rnk")
+    }),
+
+    // RETRIEVAL EVAL — the measurement loop a curation pipeline runs
+    // over its search stack: all three rankings (dense cosine, sparse
+    // BM25, RRF fusion) scored at k=5 against one relevance rule
+    // (result shares the query document's label; vec_id ≡ doc_id in
+    // the fixture). Metrics are chosen to hash-pin: hits@5 is a plain
+    // count and MRR is Σ 1000000 DIV first_relevant_rank — exact
+    // integers, no float accumulation (NDCG's log2 discounts would
+    // diverge between libm implementations, so the rational-metric
+    // subset is the cross-engine-pinnable one). Eval state is bounded
+    // by queries × k, never corpus size.
+    "retrieval_eval" -> ((s, d) => {
+      val labels = embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("label"))
+      val qlabels = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      val denseW = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val dense = broadcast(q)
+        .join(embeddings(s, d).select(col("vec_id"), col("embedding")),
+          col("qid") =!= col("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(denseW))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rnk"))
+      val sparse = retrievalQueries("bm25_topk")(s, d)
+        .filter(col("rnk") <= TopK)
+        .select("qid", "doc_id", "rnk")
+      val fused = retrievalQueries("rrf_fusion")(s, d)
+        .select("qid", "doc_id", "rnk")
+      def metrics(sys: String, ranked: DataFrame): DataFrame =
+        ranked
+          .join(broadcast(qlabels), Seq("qid"))
+          .join(labels, Seq("doc_id"))
+          .withColumn("is_rel",
+            (col("label") === col("qlabel")).cast("long"))
+          .groupBy("qid")
+          .agg(
+            sum(col("is_rel")).as("q_hits"),
+            min(when(col("is_rel") === 1, col("rnk")))
+              .as("first_rel"))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum(col("q_hits")).as("hits_at5"),
+            sum(coalesce(expr("1000000 DIV first_rel"), lit(0L)))
+              .as("mrr_sum_ppm"))
+          .withColumn("system", lit(sys))
+      metrics("dense", dense)
+        .unionByName(metrics("sparse", sparse))
+        .unionByName(metrics("rrf", fused))
+        .select("system", "n_queries", "hits_at5", "mrr_sum_ppm")
+        .orderBy("system")
     }))
 
   /** Training-pair construction — the step between curation and the
@@ -1510,6 +1611,38 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM sims) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "matryoshka_recall" ->
+      s"""WITH cfg(m) AS (VALUES (8), (16), (32), (64)),
+         |pp AS (
+         |  SELECT q.vec_id AS qid, c.vec_id, cfg.m,
+         |         list_slice(q.embedding, 1, cfg.m) AS qe,
+         |         list_slice(c.embedding, 1, cfg.m) AS ce
+         |  FROM embeddings q CROSS JOIN embeddings c CROSS JOIN cfg
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), dots AS (
+         |  SELECT qid, vec_id, m,
+         |         sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dot,
+         |         sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS qn,
+         |         sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS cn
+         |  FROM (SELECT qid, vec_id, m, unnest(qe) AS a,
+         |               unnest(ce) AS b FROM pp) u
+         |  GROUP BY qid, vec_id, m
+         |), top AS MATERIALIZED (
+         |  SELECT m, qid, vec_id FROM (
+         |    SELECT m, qid, vec_id,
+         |           row_number() OVER (PARTITION BY m, qid
+         |             ORDER BY dot/(qn*cn) DESC, vec_id ASC) AS rnk
+         |    FROM dots) t
+         |  WHERE rnk <= $TopK
+         |)
+         |SELECT CAST(t.m AS INTEGER) AS dims,
+         |       count(*) AS n_results,
+         |       CAST(sum(CASE WHEN r.vec_id IS NOT NULL
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_at5
+         |FROM top t
+         |LEFT JOIN (SELECT qid, vec_id FROM top WHERE m = 64) r
+         |  ON r.qid = t.qid AND r.vec_id = t.vec_id
+         |GROUP BY t.m ORDER BY dims""".stripMargin,
     "vector_norms" ->
       s"""WITH $normCte
          |SELECT e.vec_id, e.label, n.nrm AS l2_norm
@@ -1628,6 +1761,51 @@ object SimilarityQueries {
        |  WHERE rnk <= 10
        |)""".stripMargin
 
+  /** Dense-ranking + RRF-fusion CTE chain (requires `bm25Ctes` and
+    * `normCte` in scope). Terminates in `ftop(qid, doc_id, rnk,
+    * rrf_ppm)` — the fused top-5. Shared by `rrf_fusion` and
+    * `retrieval_eval` so the fusion arithmetic cannot drift.
+    */
+  private def denseFusedCtes: String =
+    s"""dpairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+       |         q.embedding AS qe, c.embedding AS ce
+       |  FROM embeddings q
+       |  JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |),
+       |${dotCte("ddots", "qe", "ce", "dpairs")},
+       |dense AS MATERIALIZED (
+       |  SELECT qid, vec_id AS doc_id, drnk FROM (
+       |    SELECT qid, d.vec_id,
+       |           CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+       |               d.vec_id ASC) AS INTEGER) AS drnk
+       |    FROM ddots d
+       |    JOIN norms nq ON nq.vec_id = qid
+       |    JOIN norms nc ON nc.vec_id = d.vec_id) t
+       |  WHERE drnk <= 10
+       |),
+       |fused AS (
+       |  SELECT COALESCE(dn.qid, sp.qid) AS qid,
+       |         COALESCE(dn.doc_id, sp.doc_id) AS doc_id,
+       |         CAST(COALESCE(1000000 // (60 + dn.drnk), 0)
+       |            + COALESCE(1000000 // (60 + sp.rnk), 0) AS BIGINT)
+       |           AS rrf_ppm
+       |  FROM dense dn
+       |  FULL OUTER JOIN btop sp
+       |    ON dn.qid = sp.qid AND dn.doc_id = sp.doc_id
+       |),
+       |ftop AS MATERIALIZED (
+       |  SELECT qid, doc_id, rnk, rrf_ppm FROM (
+       |    SELECT qid, doc_id, rrf_ppm,
+       |           CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY rrf_ppm DESC, doc_id ASC) AS INTEGER)
+       |             AS rnk
+       |    FROM fused) z
+       |  WHERE rnk <= $TopK
+       |)""".stripMargin
+
   private def retrievalOracles: Map[String, String] = Map(
     "bm25_topk" ->
       s"""WITH $bm25Ctes
@@ -1636,42 +1814,41 @@ object SimilarityQueries {
     "rrf_fusion" ->
       s"""WITH $bm25Ctes,
          |$normCte,
-         |dpairs AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
-         |         q.embedding AS qe, c.embedding AS ce
-         |  FROM embeddings q
-         |  JOIN embeddings c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < $NQueries
+         |$denseFusedCtes
+         |SELECT qid, doc_id, rnk, rrf_ppm FROM ftop
+         |ORDER BY qid, rnk""".stripMargin,
+    "retrieval_eval" ->
+      s"""WITH $bm25Ctes,
+         |$normCte,
+         |$denseFusedCtes,
+         |allr AS (
+         |  SELECT 'dense' AS system, qid, doc_id, drnk AS rnk
+         |  FROM dense WHERE drnk <= $TopK
+         |  UNION ALL
+         |  SELECT 'sparse', qid, doc_id, rnk
+         |  FROM btop WHERE rnk <= $TopK
+         |  UNION ALL
+         |  SELECT 'rrf', qid, doc_id, rnk FROM ftop
          |),
-         |${dotCte("ddots", "qe", "ce", "dpairs")},
-         |dense AS (
-         |  SELECT qid, vec_id AS doc_id, drnk FROM (
-         |    SELECT qid, d.vec_id,
-         |           CAST(row_number() OVER (PARTITION BY qid
-         |             ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
-         |               d.vec_id ASC) AS INTEGER) AS drnk
-         |    FROM ddots d
-         |    JOIN norms nq ON nq.vec_id = qid
-         |    JOIN norms nc ON nc.vec_id = d.vec_id) t
-         |  WHERE drnk <= 10
-         |),
-         |fused AS (
-         |  SELECT COALESCE(dn.qid, sp.qid) AS qid,
-         |         COALESCE(dn.doc_id, sp.doc_id) AS doc_id,
-         |         CAST(COALESCE(1000000 // (60 + dn.drnk), 0)
-         |            + COALESCE(1000000 // (60 + sp.rnk), 0) AS BIGINT)
-         |           AS rrf_ppm
-         |  FROM dense dn
-         |  FULL OUTER JOIN btop sp
-         |    ON dn.qid = sp.qid AND dn.doc_id = sp.doc_id
+         |lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+         |qlab AS (SELECT vec_id AS qid, label AS qlabel
+         |         FROM embeddings WHERE vec_id < $NQueries),
+         |perq AS (
+         |  SELECT system, r.qid,
+         |         sum(CASE WHEN l.label = ql.qlabel
+         |             THEN 1 ELSE 0 END) AS q_hits,
+         |         min(CASE WHEN l.label = ql.qlabel
+         |             THEN r.rnk END) AS first_rel
+         |  FROM allr r
+         |  JOIN lab l ON l.doc_id = r.doc_id
+         |  JOIN qlab ql ON ql.qid = r.qid
+         |  GROUP BY system, r.qid
          |)
-         |SELECT qid, doc_id, rnk, rrf_ppm FROM (
-         |  SELECT qid, doc_id, rrf_ppm,
-         |         CAST(row_number() OVER (PARTITION BY qid
-         |           ORDER BY rrf_ppm DESC, doc_id ASC) AS INTEGER)
-         |           AS rnk
-         |  FROM fused) z
-         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+         |SELECT system, count(*) AS n_queries,
+         |       CAST(sum(q_hits) AS BIGINT) AS hits_at5,
+         |       CAST(sum(COALESCE(1000000 // first_rel, 0))
+         |         AS BIGINT) AS mrr_sum_ppm
+         |FROM perq GROUP BY system ORDER BY system""".stripMargin
   )
 
   private def trainingOracles: Map[String, String] = Map(
