@@ -725,10 +725,50 @@ object MiscQueries {
           count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("total_cents"))
         .orderBy("c_mktsegment")
+    }),
+
+    // k-anonymity audit — the privacy gate a dataset release runs
+    // beyond PII masking: every quasi-identifier combination
+    // (nation × segment × 100-unit balance band) whose group has
+    // fewer than k=5 members is re-identification risk. Reported per
+    // segment: group counts, risky-group counts, and how many ROWS
+    // sit in risky groups (the suppression workload). At 100 TB:
+    // one shuffle on the QI key, one segment reduce — the actual
+    // suppression is an anti-join of the fact table against the
+    // risky-combination set this query emits. Band edges use
+    // floor(x/100), the identical IEEE op sequence on both engines.
+    "k_anonymity" -> ((s, d) => {
+      val groups = customer(s, d)
+        .groupBy(
+          col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") / 100).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"))
+      groups.groupBy("segment")
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L))
+            .as("n_risky_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("n_risky_rows"))
+        .orderBy("segment")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey,
+        |         CAST(floor(c_acctbal / 100) AS BIGINT) AS band,
+        |         count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3
+        |)
+        |SELECT segment, count(*) AS n_groups,
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_risky_groups,
+        |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_risky_rows
+        |FROM g GROUP BY segment ORDER BY segment""".stripMargin,
     // The catalog round-trip must be lossless: the oracle reads the
     // source parquet directly, so any drop/dup through saveAsTable +
     // spark.table breaks the hash.

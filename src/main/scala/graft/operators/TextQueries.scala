@@ -617,6 +617,80 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // DSIR-shaped data selection — rank raw documents by how well
+    // their hashed-token profile matches a TARGET domain (here the
+    // 'en' slice plays the target sample). Per-bucket importance is
+    // the smoothed target/corpus rate ratio in ppm — the log-free
+    // rational adaptation (same rationale as bm25_topk's idf: libm
+    // ln() diverges between engines), preserving the ranking's
+    // direction; a document's score is the exact-integer SUM of its
+    // tokens' bucket ratios. At 100 TB: the bucket table is a
+    // CONSTANT 64 rows (broadcast), the token stream joins it by
+    // bucket id and reduces per doc_id — one scan, one shuffle,
+    // importance state never grows with corpus size.
+    "dsir_weights" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("b", hash60(col("tok")) % 64)
+      val buckets = toks.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"),
+        count(lit(1)).as("rb"))
+      val totals = buckets.agg(
+        sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
+      val weighted = buckets.crossJoin(broadcast(totals))
+        .withColumn("w_ppm",
+          expr("(1000000 * (tb + 1) * rt) DIV ((rb + 1) * tt)"))
+        .select("b", "w_ppm")
+      toks
+        .join(broadcast(weighted), Seq("b"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_toks"),
+          sum(col("w_ppm")).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Dataset drift monitoring — exact total-variation distance (in
+    // ppm) between two corpus snapshots (doc_id parity plays the
+    // batch boundary) over each categorical dimension. TVD is the
+    // rational divergence: ½·Σ|p_v − q_v| cross-multiplies into
+    // integers as (10⁶·Σ|o1_v·N2 − o2_v·N1|) DIV (2·N1·N2), so the
+    // whole drift scorecard hash-pins (KL/JS need logs — engine-
+    // divergent). At 100 TB the per-value count table is bounded by
+    // the dimension's cardinality, and the cross-multiplied
+    // numerator approaches long range around N ≈ 3·10⁹ — the decimal
+    // widening is a one-line change, same note as bm25_topk's ppm.
+    "dataset_drift" -> ((s, d) => {
+      def dimDrift(dim: String): DataFrame = {
+        val counts = documents(s, d)
+          .groupBy(col(dim).as("v"))
+          .agg(
+            sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+              .as("o1"),
+            sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L))
+              .as("o2"))
+        val totals = counts.agg(
+          sum(col("o1")).as("na"), sum(col("o2")).as("nb"))
+        counts.crossJoin(broadcast(totals))
+          .agg(
+            max(col("na")).as("n_a"),
+            max(col("nb")).as("n_b"),
+            count(lit(1)).as("n_values"),
+            sum(abs(col("o1") * col("nb") - col("o2") * col("na")))
+              .as("num"))
+          .withColumn("tvd_ppm",
+            expr("(1000000 * num) DIV (2 * n_a * n_b)"))
+          .select(lit(dim).as("dimension"), col("n_a"), col("n_b"),
+            col("n_values"), col("tvd_ppm"))
+      }
+      dimDrift("lang")
+        .unionByName(dimDrift("source"))
+        .orderBy("dimension")
+    }),
+
     // Sequence packing — concatenate each shard's documents into a
     // token stream and cut 2048-token context windows; a document's
     // bin is where it STARTS (straddling allowed), so bin assignment
@@ -2019,6 +2093,52 @@ object TextQueries {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |  FROM documents GROUP BY lang) t
          |ORDER BY lang""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, lang, tok, ${hash60Sql("tok")} % 64 AS b
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok
+         |        FROM documents) u
+         |  WHERE length(tok) > 0
+         |), buckets AS (
+         |  SELECT b,
+         |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tb,
+         |         count(*) AS rb
+         |  FROM toks GROUP BY b
+         |), totals AS (
+         |  SELECT CAST(sum(tb) AS BIGINT) AS tt,
+         |         CAST(sum(rb) AS BIGINT) AS rt FROM buckets
+         |), weighted AS (
+         |  SELECT b,
+         |         (1000000 * (tb + 1) * rt) // ((rb + 1) * tt) AS w_ppm
+         |  FROM buckets CROSS JOIN totals
+         |)
+         |SELECT doc_id, count(*) AS n_toks,
+         |       CAST(sum(w_ppm) AS BIGINT) AS score_ppm
+         |FROM toks JOIN weighted USING (b)
+         |GROUP BY doc_id
+         |ORDER BY score_ppm DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "dataset_drift" -> {
+      def dimSql(dim: String) =
+        s"""SELECT '$dim' AS dimension,
+           |       CAST(max(na) AS BIGINT) AS n_a,
+           |       CAST(max(nb) AS BIGINT) AS n_b,
+           |       count(*) AS n_values,
+           |       CAST((1000000 * sum(abs(o1 * nb - o2 * na)))
+           |         // (2 * max(na) * max(nb)) AS BIGINT) AS tvd_ppm
+           |FROM (
+           |  SELECT o1, o2, sum(o1) OVER () AS na,
+           |         sum(o2) OVER () AS nb
+           |  FROM (SELECT $dim AS v,
+           |          sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+           |            AS o1,
+           |          sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+           |            AS o2
+           |        FROM documents GROUP BY 1) c) t""".stripMargin
+      s"""${dimSql("lang")}
+         |UNION ALL
+         |${dimSql("source")}
+         |ORDER BY dimension""".stripMargin
+    },
     "token_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
