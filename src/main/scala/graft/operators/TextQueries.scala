@@ -691,6 +691,73 @@ object TextQueries {
         .orderBy("dimension")
     }),
 
+    // Padding-efficiency report — the batching cost model that
+    // justifies length bucketing: documents batch 32-at-a-time per
+    // shard either in ARRIVAL order or LENGTH-SORTED, each batch pads
+    // every member to its max length, and the wasted slot-tokens are
+    // reported per strategy in exact ppm. The sorted strategy's lower
+    // waste is the measured argument for length-aware batching in a
+    // training data loader. Windows are PARTITIONED by the content-
+    // hash shard (parallel, never a global sort funnel — same shape
+    // as token_pack); at 100 TB shard count scales with the corpus.
+    "padding_efficiency" -> ((s, d) => {
+      val base = documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        (hash60(normText(col("text"))) % 8).as("shard"))
+      def waste(strategy: String, order: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy("shard").orderBy(order: _*)
+        base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("batch", expr("(rn - 1) div 32"))
+          .groupBy("shard", "batch")
+          .agg(
+            count(lit(1)).as("bn"),
+            max(col("n_tokens")).as("mx"),
+            sum(col("n_tokens")).as("tok"))
+          .groupBy("shard")
+          .agg(
+            sum(col("bn")).as("n_docs"),
+            count(lit(1)).as("n_batches"),
+            sum(col("bn") * col("mx")).as("slots"),
+            sum(col("tok")).as("tok"))
+          .withColumn("waste_ppm",
+            expr("(1000000 * (slots - tok)) DIV slots"))
+          .select(lit(strategy).as("strategy"), col("shard"),
+            col("n_docs"), col("n_batches"), col("waste_ppm"))
+      }
+      waste("arrival", Seq(col("doc_id")))
+        .unionByName(
+          waste("sorted", Seq(col("n_tokens"), col("doc_id"))))
+        .orderBy("strategy", "shard")
+    }),
+
+    // Temperature-scaled mixture weights (T=2): the standard
+    // tail-upweighting rule w_l ∝ n_l^(1/T) = sqrt(n_l) for a
+    // multilingual training mix. sqrt is correctly-rounded IEEE on
+    // both engines, and the weights quantize to exact milli integers
+    // (floor(sqrt·1000)) BEFORE normalization, so shares and target
+    // document counts are pure integer arithmetic — the mixture spec
+    // hash-pins. The keep decision executing this plan is
+    // corpus_mix's content-hash rule; state is one row per language.
+    "corpus_mix_temperature" -> ((s, d) => {
+      val counts = documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_milli",
+          floor(sqrt(col("n_docs").cast("double")) * 1000)
+            .cast("long"))
+      val tot = counts.agg(
+        sum(col("w_milli")).as("wt"), sum(col("n_docs")).as("nt"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * w_milli) DIV wt"))
+        .withColumn("target_docs",
+          expr("(share_ppm * nt) DIV 1000000"))
+        .select("lang", "n_docs", "w_milli", "share_ppm",
+          "target_docs")
+        .orderBy("lang")
+    }),
+
     // Sequence packing — concatenate each shard's documents into a
     // token stream and cut 2048-token context windows; a document's
     // bin is where it STARTS (straddling allowed), so bin assignment
@@ -2139,6 +2206,47 @@ object TextQueries {
          |${dimSql("source")}
          |ORDER BY dimension""".stripMargin
     },
+    "padding_efficiency" -> {
+      def stratSql(name: String, order: String) =
+        s"""SELECT '$name' AS strategy, shard,
+           |       CAST(sum(bn) AS BIGINT) AS n_docs,
+           |       count(*) AS n_batches,
+           |       CAST((1000000 * (sum(bn * mx) - sum(tok)))
+           |         // sum(bn * mx) AS BIGINT) AS waste_ppm
+           |FROM (
+           |  SELECT shard, (rn - 1) // 32 AS batch, count(*) AS bn,
+           |         max(n_tokens) AS mx, sum(n_tokens) AS tok
+           |  FROM (SELECT shard, n_tokens,
+           |          row_number() OVER (PARTITION BY shard
+           |            ORDER BY $order) AS rn
+           |        FROM pt) r
+           |  GROUP BY shard, batch) b
+           |GROUP BY shard""".stripMargin
+      s"""WITH pt AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         ${hash60Sql(normSql)} % 8 AS shard
+         |  FROM documents
+         |)
+         |${stratSql("arrival", "doc_id")}
+         |UNION ALL
+         |${stratSql("sorted", "n_tokens, doc_id")}
+         |ORDER BY strategy, shard""".stripMargin
+    },
+    "corpus_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000)
+        |           AS BIGINT) AS w_milli
+        |  FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(sum(w_milli) AS BIGINT) AS wt,
+        |         CAST(sum(n_docs) AS BIGINT) AS nt FROM c
+        |)
+        |SELECT lang, n_docs, w_milli,
+        |       CAST((1000000 * w_milli) // wt AS BIGINT) AS share_ppm,
+        |       CAST(((1000000 * w_milli) // wt * nt) // 1000000
+        |         AS BIGINT) AS target_docs
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
     "token_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
