@@ -1314,6 +1314,68 @@ object TextQueries {
         .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
         .limit(20)),
 
+    // ASYMMETRIC containment — the dedup relation symmetric Jaccard
+    // misses: a short document wholly quoted inside a long one has
+    // low Jaccard (union is large) but containment ≈ 1, and the
+    // CONTAINED side is the removal candidate. containment =
+    // inter / min(|A|,|B|) over the same memoized candidate pairs
+    // (no new scan); direction is pinned (smaller shingle set is
+    // contained; equal sizes → larger doc_id contained, matching the
+    // keep-first convention). At 100 TB this rides the same bounded
+    // posting-list candidate generation — containment adds two size
+    // joins, never a new pair source.
+    "containment_pairs" -> ((s, d) => {
+      val (rows, dfs) = shingleDfs(s, d)
+      val sizes = rows
+        .join(dfs.filter(col("df") <= DfCap), Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("sz"))
+      jaccardPairs(s, d)
+        .join(sizes.toDF("a", "sza"), "a")
+        .join(sizes.toDF("b", "szb"), "b")
+        .withColumn("containment",
+          col("inter").cast("double") /
+            least(col("sza"), col("szb")))
+        .filter(col("containment") >= 0.8)
+        .withColumn("contained_id",
+          when(col("sza") < col("szb"), col("a"))
+            .when(col("szb") < col("sza"), col("b"))
+            .otherwise(greatest(col("a"), col("b"))))
+        .withColumn("container_id",
+          when(col("contained_id") === col("a"), col("b"))
+            .otherwise(col("a")))
+        .select("contained_id", "container_id", "inter",
+          "containment")
+        .orderBy(col("containment").desc, col("contained_id").asc,
+          col("container_id").asc)
+        .limit(50)
+    }),
+
+    // Per-source reputation scorecard — the crawl-prioritization
+    // artifact a web-scale curation loop maintains: volume, exact-dup
+    // rate, short-document rate (both exact ppm), mean length, and
+    // language spread per source. One scan, one grouped aggregation;
+    // at 100 TB the state is one row per source.
+    "source_reputation" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("fp", hash60(normText(col("text"))))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L))
+            .as("n_short"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("dup_ppm",
+          expr("(1000000 * (n_docs - n_unique)) DIV n_docs"))
+        .withColumn("short_ppm",
+          expr("(1000000 * n_short) DIV n_docs"))
+        .withColumn("mean_chars", expr("sum_chars DIV n_docs"))
+        .select("source", "n_docs", "dup_ppm", "short_ppm",
+          "mean_chars", "n_langs")
+        .orderBy("source")),
+
     // Near-dup CLUSTERS: connected components over the high-similarity
     // pair graph (jaccard ≥ 0.9) — pairs alone under-count dups (a
     // 3-way dup group is 3 pairs but ONE keeper); the cluster id (min
@@ -2594,6 +2656,39 @@ object TextQueries {
       s"""WITH $jaccardPairsSqlCte
          |SELECT a, b, inter, jaccard FROM pairs
          |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""".stripMargin,
+    "containment_pairs" ->
+      s"""WITH $jaccardPairsSqlCte,
+         |cont AS (
+         |  SELECT p.a, p.b, p.inter, sa.sz AS sza, sb.sz AS szb,
+         |         CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz)
+         |           AS containment
+         |  FROM pairs p
+         |  JOIN sizes sa ON sa.doc_id = p.a
+         |  JOIN sizes sb ON sb.doc_id = p.b
+         |)
+         |SELECT CASE WHEN sza < szb THEN a WHEN szb < sza THEN b
+         |            ELSE greatest(a, b) END AS contained_id,
+         |       CASE WHEN sza < szb THEN b WHEN szb < sza THEN a
+         |            ELSE least(a, b) END AS container_id,
+         |       inter, containment
+         |FROM cont WHERE containment >= 0.8
+         |ORDER BY containment DESC, contained_id ASC,
+         |         container_id ASC
+         |LIMIT 50""".stripMargin,
+    "source_reputation" ->
+      s"""SELECT source, n_docs,
+         |       (1000000 * (n_docs - n_unique)) // n_docs AS dup_ppm,
+         |       (1000000 * n_short) // n_docs AS short_ppm,
+         |       sum_chars // n_docs AS mean_chars, n_langs
+         |FROM (
+         |  SELECT source, count(*) AS n_docs,
+         |         count(DISTINCT ${hash60Sql(normSql)}) AS n_unique,
+         |         CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_short,
+         |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |         count(DISTINCT lang) AS n_langs
+         |  FROM documents GROUP BY source) t
+         |ORDER BY source""".stripMargin,
     // Connected components as a recursive transitive closure (
     // [[clusterClosureSql]]) — exact fixpoint, independently derived
     // from the same pair graph the Spark side propagates labels over.
