@@ -105,6 +105,34 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // Per-key ingest QUOTA through flatMapGroupsWithState: at most
+    // QuotaPerDay events accepted per (user, event-time day), the
+    // rest flagged dropped — the hot-key throttling a 100 TB/day
+    // ingest runs ahead of expensive stages. State is one counter per
+    // active (user, day); the accept decision sorts each group by
+    // (event time, event_id), so it is deterministic under any
+    // partitioning and the oracle reproduces it as a row_number cut.
+    "stream_quota" -> ((s, d) => {
+      val sink = "stream_quota_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingEvents.quotaStream(s, d)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.MemorySinks.drain(s, sink)
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("accepted"), 1L).otherwise(0L))
+            .as("n_accepted"),
+          sum(when(col("accepted"), 0L).otherwise(1L))
+            .as("n_dropped"))
+        .orderBy("event_type")
+    }),
+
     // foreachBatch UPSERT — the dominant production sink pattern
     // (per-micro-batch merge into a serving table, for sinks with no
     // native streaming writer). Two staged ingest files force two
@@ -490,6 +518,28 @@ object SourceQueries {
         |       count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The quota decision replayed as a per-(user, event-time day)
+    // row_number cut over the raw events — correct IFF the stateful
+    // stream accepted exactly the first QuotaPerDay per key in
+    // (time, id) order and flagged everything else.
+    "stream_quota" ->
+      s"""WITH r AS (
+         |  SELECT event_type,
+         |         row_number() OVER (
+         |           PARTITION BY user_id,
+         |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+         |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
+         |             event_id ASC) AS rn
+         |  FROM events
+         |)
+         |SELECT event_type,
+         |       CAST(sum(CASE WHEN rn <= ${
+          graft.streaming.StreamingEvents.QuotaPerDay
+        } THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+         |       CAST(sum(CASE WHEN rn > ${
+          graft.streaming.StreamingEvents.QuotaPerDay
+        } THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Two-batch foreachBatch merge ≡ one-shot aggregation.
     "stream_foreach_upsert" ->
       """SELECT event_type,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming generalization of the batch pipeline
@@ -318,5 +319,59 @@ object StreamingEvents {
       .start()
     q.awaitTermination()
     MemorySinks.drain(spark, sinkName)
+  }
+
+  // ------------------------------------------------------------------
+  // Per-key ingest quota (throttling)
+  // ------------------------------------------------------------------
+
+  case class QEv(
+      user_id: Long, event_id: Long, event_type: String, tsMicros: Long)
+  case class QuotaOut(
+      user_id: Long, event_id: Long, event_type: String,
+      accepted: Boolean)
+
+  /** Max accepted events per user per event-time day. */
+  val QuotaPerDay = 3L
+
+  /** State function for the per-key quota: one counter per (user,
+    * event-time day) — the hot-key defense a 100 TB/day ingest runs
+    * so no single producer floods a partition. Within a trigger the
+    * group sorts by (event time, event_id), so the accept decision is
+    * deterministic under any partitioning; state is the counter map
+    * (a continuous deployment expires past days with an event-time
+    * timeout — with the finite available-now replay every day stays
+    * within the one trigger).
+    */
+  def quotaGroup(
+      userId: Long,
+      events: Iterator[QEv],
+      state: GroupState[Map[Long, Long]]): Iterator[QuotaOut] = {
+    var counters = state.getOption.getOrElse(Map.empty[Long, Long])
+    val out = events.toSeq
+      .sortBy(e => (e.tsMicros, e.event_id))
+      .map { e =>
+        val day = e.tsMicros / 86400000000L
+        val c = counters.getOrElse(day, 0L) + 1L
+        counters = counters.updated(day, c)
+        QuotaOut(userId, e.event_id, e.event_type, c <= QuotaPerDay)
+      }
+    state.update(counters)
+    out.iterator
+  }
+
+  /** The quota decision over the event file stream: every event
+    * emitted exactly once, flagged accepted or dropped.
+    */
+  def quotaStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsMicros"))
+      .as[QEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(quotaGroup)
+      .toDF()
   }
 }
