@@ -439,6 +439,33 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // Semantic DECONTAMINATION — the embedding-space twin of the
+    // n-gram `contamination` query: a corpus vector is flagged when
+    // its best cosine against the BENCHMARK set (vec_id < 50 plays
+    // the eval embeddings) clears the threshold, catching the
+    // paraphrased leaks n-gram overlap misses. The eval side is
+    // BOUNDED (benchmarks are small by nature) and broadcasts — the
+    // legitimate constant-side nested-loop class — so the corpus
+    // scan is the only big side and it never shuffles. Deterministic
+    // argmax (sim desc, eval_id asc) names the leaked benchmark item.
+    "embedding_decontam" -> ((s, d) => {
+      val eval_ = embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("eval_id").asc)
+      embeddings(s, d)
+        .filter(col("vec_id") >= 50)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(eval_))
+        .withColumn("sim", cosine(col("embedding"), col("ee")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("sim") >= SimThreshold)
+        .select("vec_id", "eval_id", "sim")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(50)
+    }),
+
     // MATRYOSHKA truncation curve: exact cosine top-5 computed at
     // prefix dimensions 8/16/32/64 of the same embeddings, each
     // prefix's hits counted against the full-dim reference (the 64
@@ -1611,6 +1638,29 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM sims) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "embedding_decontam" ->
+      s"""WITH $normCte,
+         |dpairs AS (
+         |  SELECT c.vec_id AS qid, e.vec_id AS vec_id,
+         |         c.embedding AS qe, e.embedding AS ce
+         |  FROM embeddings c JOIN embeddings e ON e.vec_id < 50
+         |  WHERE c.vec_id >= 50
+         |),
+         |${dotCte("dots", "qe", "ce", "dpairs")},
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid AS vec_id, vec_id AS eval_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS rn
+         |  FROM sims) t
+         |WHERE rn = 1 AND sim >= $SimThreshold
+         |ORDER BY sim DESC, vec_id ASC LIMIT 50""".stripMargin,
     "matryoshka_recall" ->
       s"""WITH cfg(m) AS (VALUES (8), (16), (32), (64)),
          |pp AS (
