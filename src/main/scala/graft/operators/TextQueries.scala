@@ -192,6 +192,26 @@ object TextQueries {
     */
   private val neardupEdgeCache = new SessionMemo[org.apache.spark.sql.DataFrame]
 
+  /** Top-30 subword vocabulary shared by `wordpiece_vocab` and the
+    * `wordpiece_stats` segmentation: every full 2..4-char substring
+    * of every token occurrence, counted corpus-wide, top-30 by
+    * (count desc, piece asc).
+    */
+  private def wordpieceVocab(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(flatten(
+        transform(sequence(lit(2), lit(4)), l =>
+          when(length(col("w")) >= l,
+            transform(sequence(lit(1), length(col("w")) - l + 1),
+              p => col("w").substr(p, l)))
+            .otherwise(array().cast("array<string>"))))).as("piece"))
+      .groupBy("piece")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(30)
+
   /** Child session configured for the reliable checkpoint tier —
     * memoized per (parent session, dir) so `dedup_clusters_reliable`
     * computes its fixpoint once per gate JVM.
@@ -1567,6 +1587,69 @@ object TextQueries {
       bpeApplyReport(s, d, sized)
     }),
 
+    // WordPiece-style subword vocabulary — the SECOND tokenizer
+    // family beside BPE: candidate pieces are every full 2..4-char
+    // substring of every token occurrence, counted corpus-wide; the
+    // vocabulary is the top-30 by (count desc, piece asc). One
+    // explode + one groupBy + TakeOrderedAndProject — the substring
+    // transform is fused into the scan, counts shuffle on the piece
+    // key only.
+    "wordpiece_vocab" -> ((s, d) =>
+      wordpieceVocab(s, d)
+        .orderBy(col("cnt").desc, col("piece").asc)),
+
+    // Greedy longest-match segmentation with the learned vocabulary —
+    // WordPiece/SentencePiece's APPLY step as a pure expression-level
+    // state machine: per word type, a single HOF fold over character
+    // positions carries (pos, n_pieces) and at each owned position
+    // consumes the longest vocab piece (4→3→2, else a 1-char
+    // fallback). No UDF, no driver loop — the vocabulary rides as a
+    // ONE-ROW broadcast array and membership is array_contains, so
+    // the whole segmentation codegen-composes into the scan.
+    // Segmentation runs once per word TYPE (the bpe_apply dictionary
+    // precedent) and instances join the finished dictionary. The
+    // oracle replays the identical clamped-greedy rule as a
+    // per-word-type recursive CTE.
+    "wordpiece_stats" -> ((s, d) => {
+      val varr = wordpieceVocab(s, d)
+        .agg(array_sort(collect_list(col("piece"))).as("varr"))
+      val words = documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct()
+      val segmented = words
+        .crossJoin(broadcast(varr))
+        .withColumn("np",
+          aggregate(
+            sequence(lit(1), length(col("w"))),
+            struct(lit(1).as("pos"), lit(0).as("n")),
+            (st, i) => {
+              val pos = st.getField("pos")
+              val n = st.getField("n")
+              def hit(l: Int) = array_contains(
+                col("varr"), col("w").substr(pos, lit(l)))
+              val step = when(hit(4), 4)
+                .when(hit(3), 3)
+                .when(hit(2), 2)
+                .otherwise(1)
+              when(i < pos, st).otherwise(
+                struct((pos + step).as("pos"), (n + 1).as("n")))
+            },
+            st => st.getField("n")))
+        .select(col("w"), col("np"))
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(segmented, Seq("w"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("np").cast("long")).as("n_pieces"))
+        .withColumn("ppt_ppm",
+          expr("(1000000 * n_pieces) DIV n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Rare-token ratio: per-doc fraction (ppm, exact integer) of token
     // OCCURRENCES outside the corpus top-20 vocabulary — the
     // out-of-vocabulary quality signal. The vocab is bounded by K →
@@ -2008,6 +2091,28 @@ object TextQueries {
   private val BpePattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB twin of [[wordpieceVocab]]: token occurrences → all full
+    * 2..4-char substrings → top-30 pieces. Ends in `wpvocab(piece,
+    * cnt)` with `wptoks(w)` also in scope.
+    */
+  private def wordpieceVocabCtes: String =
+    s"""wptoks AS MATERIALIZED (
+       |  SELECT t AS w
+       |  FROM (SELECT unnest($toksSql) AS t FROM documents) u
+       |  WHERE length(t) > 0
+       |), wpvocab AS MATERIALIZED (
+       |  SELECT piece, count(*) AS cnt FROM (
+       |    SELECT substr(w, pp.p, ll.l) AS piece
+       |    FROM wptoks,
+       |         LATERAL unnest([2, 3, 4]) AS ll(l),
+       |         LATERAL unnest(generate_series(1, length(w) - ll.l + 1))
+       |           AS pp(p)
+       |  ) z
+       |  GROUP BY piece
+       |  ORDER BY cnt DESC, piece ASC
+       |  LIMIT 30
+       |)""".stripMargin
   private val normSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
@@ -2222,6 +2327,45 @@ object TextQueries {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |  FROM documents GROUP BY lang) t
          |ORDER BY lang""".stripMargin,
+    "wordpiece_vocab" ->
+      s"""WITH $wordpieceVocabCtes
+         |SELECT piece, cnt FROM wpvocab
+         |ORDER BY cnt DESC, piece ASC""".stripMargin,
+    "wordpiece_stats" ->
+      s"""WITH RECURSIVE
+         |$wordpieceVocabCtes,
+         |vl AS (SELECT list(piece ORDER BY piece) AS varr
+         |       FROM wpvocab),
+         |wtypes AS (SELECT DISTINCT w FROM wptoks),
+         |seg(w, pos, n) AS (
+         |  SELECT w, 1, 0 FROM wtypes
+         |  UNION ALL
+         |  SELECT s.w,
+         |         s.pos + CASE
+         |           WHEN list_contains(v.varr, substr(s.w, s.pos, 4))
+         |             THEN 4
+         |           WHEN list_contains(v.varr, substr(s.w, s.pos, 3))
+         |             THEN 3
+         |           WHEN list_contains(v.varr, substr(s.w, s.pos, 2))
+         |             THEN 2
+         |           ELSE 1 END,
+         |         s.n + 1
+         |  FROM seg s, vl v
+         |  WHERE s.pos <= length(s.w)
+         |),
+         |wcount AS (
+         |  SELECT w, n AS np FROM seg WHERE pos > length(w)
+         |)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(sum(np) AS BIGINT) AS n_pieces,
+         |       (1000000 * CAST(sum(np) AS BIGINT)) // count(*)
+         |         AS ppt_ppm
+         |FROM (SELECT doc_id, t AS w
+         |      FROM (SELECT doc_id, unnest($toksSql) AS t
+         |            FROM documents) u
+         |      WHERE length(t) > 0) dt
+         |JOIN wcount USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dsir_weights" ->
       s"""WITH toks AS MATERIALIZED (
          |  SELECT doc_id, lang, tok, ${hash60Sql("tok")} % 64 AS b
