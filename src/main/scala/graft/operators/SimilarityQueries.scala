@@ -366,6 +366,47 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // THE PQ RECALL/COST CURVE, oracle-pinned like ann_report but
+    // against the EXACT-L2 reference (PQ ranks by squared L2, so the
+    // cosine curve's reference would be the wrong ruler): one row per
+    // config — raw ADC, ADC + exact re-rank, IVF-PQ — with candidate
+    // volume (code rows scored) and hits against the exact top-5.
+    // This is the in-gate twin of PqRecallSpec's measurement: the
+    // rerank row must dominate raw ADC, and the ivfpq row shows what
+    // nprobe=2 pruning trades. Counts collect ONE bounded row per
+    // config (the ann_report pattern).
+    "pq_report" -> ((s, d) => {
+      val wX = Window.partitionBy("qid")
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val exact5 = broadcast(q)
+        .join(embeddings(s, d).select(col("vec_id"),
+          col("embedding").as("ce")), col("qid") =!= col("vec_id"))
+        .withColumn("d2", l2sq(col("qe"), col("ce")))
+        .withColumn("rnk", row_number().over(wX))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id")
+      def hits(top: DataFrame): Long = top
+        .select("qid", "vec_id")
+        .join(exact5, Seq("qid", "vec_id"), "left_semi")
+        .count()
+      val adcCand = pqAdcScores(s, d).count()
+      val ivfCand = ivfCandidates(s, d, 2).count()
+      def row(name: String, cand: Long, top: DataFrame) = {
+        val t = top.select("qid", "vec_id")
+        (name, cand, t.count(), hits(t))
+      }
+      val rows = Seq(
+        row("pq_adc", adcCand, queries("pq_topk")(s, d)),
+        row("pq_rerank", adcCand, queries("pq_topk_rerank")(s, d)),
+        row("ivfpq", ivfCand, queries("ivfpq_topk")(s, d)))
+      s.createDataFrame(rows)
+        .toDF("config", "n_candidates", "n_results", "n_hits_at5")
+        .orderBy("config")
+    }),
+
     // THE RECALL/COST CURVE as one oracle-pinned artifact: every ANN
     // configuration the engine ships — LSH at three probe budgets,
     // IVF at two, and exhaustive brute force as the 100% reference —
@@ -1408,6 +1449,97 @@ object SimilarityQueries {
          |           ORDER BY d2 ASC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM ed) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    // The PQ curve: exact-L2 reference, ADC / rerank / IVF-PQ top-5
+    // CTEs (each the corresponding single-query oracle's core), one
+    // count row per config.
+    "pq_report" ->
+      s"""WITH $normCte,
+         |$assignCte,
+         |assign2 AS (
+         |  SELECT vid AS vec_id, cid FROM (
+         |    SELECT vid, cid,
+         |           row_number() OVER (PARTITION BY vid
+         |             ORDER BY d.dot/(nv.nrm*nc.nrm) DESC, cid ASC) AS rn
+         |    FROM adots d
+         |    JOIN norms nv ON nv.vec_id = vid
+         |    JOIN norms nc ON nc.vec_id = cid) t
+         |  WHERE rn <= 2
+         |),
+         |$pqAdcCtes,
+         |xpairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id, q.embedding AS qe,
+         |         c.embedding AS ce
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |), xd AS (
+         |  SELECT qid, vec_id,
+         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS d2
+         |  FROM (SELECT qid, vec_id, unnest(qe) AS a, unnest(ce) AS b
+         |        FROM xpairs) u
+         |  GROUP BY qid, vec_id
+         |), xtop AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY d2 ASC, vec_id ASC) AS rnk
+         |    FROM xd) t
+         |  WHERE rnk <= $TopK
+         |), ptop AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY ad2 ASC, vec_id ASC) AS rnk
+         |    FROM ad) t
+         |  WHERE rnk <= $TopK
+         |), sl AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY ad2 ASC, vec_id ASC) AS arn
+         |    FROM ad) t
+         |  WHERE arn <= $PqShortlist
+         |), rtop AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT s.qid, s.vec_id,
+         |           row_number() OVER (PARTITION BY s.qid
+         |             ORDER BY x.d2 ASC, s.vec_id ASC) AS rnk
+         |    FROM sl s JOIN xd x
+         |      ON x.qid = s.qid AND x.vec_id = s.vec_id) t
+         |  WHERE rnk <= $TopK
+         |), icand AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.vec_id
+         |  FROM assign2 q
+         |  JOIN assign c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |), itop AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT i.qid, i.vec_id,
+         |           row_number() OVER (PARTITION BY i.qid
+         |             ORDER BY a.ad2 ASC, i.vec_id ASC) AS rnk
+         |    FROM icand i JOIN ad a
+         |      ON a.qid = i.qid AND a.vec_id = i.vec_id) t
+         |  WHERE rnk <= $TopK
+         |)
+         |SELECT 'ivfpq' AS config,
+         |  (SELECT count(*) FROM icand) AS n_candidates,
+         |  (SELECT count(*) FROM itop) AS n_results,
+         |  (SELECT count(*) FROM itop t JOIN xtop x
+         |   ON t.qid = x.qid AND t.vec_id = x.vec_id) AS n_hits_at5
+         |UNION ALL
+         |SELECT 'pq_adc',
+         |  (SELECT count(*) FROM pqpairs),
+         |  (SELECT count(*) FROM ptop),
+         |  (SELECT count(*) FROM ptop t JOIN xtop x
+         |   ON t.qid = x.qid AND t.vec_id = x.vec_id)
+         |UNION ALL
+         |SELECT 'pq_rerank',
+         |  (SELECT count(*) FROM pqpairs),
+         |  (SELECT count(*) FROM rtop),
+         |  (SELECT count(*) FROM rtop t JOIN xtop x
+         |   ON t.qid = x.qid AND t.vec_id = x.vec_id)
+         |ORDER BY config""".stripMargin,
     // IVF cell pruning (nprobe=2, same cosine assignment as the IVF
     // family) composed with the PQ codeword reconstruction and the
     // same order-pinned ADC sum.
