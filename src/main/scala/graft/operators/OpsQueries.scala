@@ -392,6 +392,51 @@ object OpsQueries {
     // half-integers are quarter-integers) and cast to BIGINT so the
     // pin is exact. Two histogram-style passes, no global sort of raw
     // rows beyond the percentile aggregate.
+    // Robust ANOMALY DETECTION over the daily event volumes — the
+    // monitoring alarm a pipeline runs on its own throughput: a
+    // (type, day) count is anomalous when its deviation from the
+    // type's median exceeds 3× the median absolute deviation
+    // (mad_robust's estimator, per key). Quarter-units (×4) clear
+    // the .25 fractions interpolated medians produce, so every
+    // comparison and count is exact-integer; the worst day rides a
+    // zero-padded (deviation, day) string max — an order-free
+    // aggregation, no window. State: one row per (type, day), then
+    // one per type.
+    "event_anomaly" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(
+          col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+            .as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy("event_type")
+        .agg(percentile(col("n"), lit(0.5)).as("med"))
+      val dev = daily.join(med, Seq("event_type"))
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev.join(mad, Seq("event_type"))
+        .withColumn("dev_x4", (col("dev") * 4).cast("long"))
+        .withColumn("mad_x4", (col("mad") * 4).cast("long"))
+        .withColumn("anom",
+          (col("dev_x4") > col("mad_x4") * 3).cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          (max(col("med")) * 4).cast("long").as("median_x4"),
+          max(col("mad_x4")).as("mad_x4"),
+          sum(col("anom")).as("n_anomalous"),
+          coalesce(
+            substring(
+              max(when(col("anom") === 1,
+                concat(
+                  lpad(col("dev_x4").cast("string"), 12, "0"),
+                  col("day")))),
+              13, 10),
+            lit("none")).as("worst_day"))
+        .orderBy("event_type")
+    }),
+
     "mad_robust" -> ((s, d) => {
       val c = customer(s, d)
         .select(cents(col("c_acctbal")).as("v"))
@@ -663,6 +708,37 @@ object OpsQueries {
         |         + (((revenue_cents % total_cents) * 1000 % total_cents)
         |            * 1000 // total_cents) AS BIGINT) AS share_ppm
         |FROM g, t ORDER BY o_orderpriority""".stripMargin,
+    "event_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM daily GROUP BY 1
+        |), dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.med,
+        |         abs(d.n - m.med) AS dev
+        |  FROM daily d JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1
+        |), f AS (
+        |  SELECT d.event_type, d.day, d.med,
+        |         CAST(d.dev * 4 AS BIGINT) AS dev_x4,
+        |         CAST(m.mad * 4 AS BIGINT) AS mad_x4
+        |  FROM dev d JOIN mad m USING (event_type)
+        |)
+        |SELECT event_type, count(*) AS n_days,
+        |       CAST(max(med) * 4 AS BIGINT) AS median_x4,
+        |       max(mad_x4) AS mad_x4,
+        |       CAST(sum(CASE WHEN dev_x4 > 3 * mad_x4
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+        |       COALESCE(substr(max(CASE WHEN dev_x4 > 3 * mad_x4
+        |         THEN lpad(CAST(dev_x4 AS VARCHAR), 12, '0') || day
+        |         END), 13, 10), 'none') AS worst_day
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "mad_robust" ->
       """WITH c AS (
         |  SELECT CAST(round(c_acctbal*100) AS BIGINT) AS v
