@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ =>
       graft.plans.CollapseIdempotentStringOps)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofCosine)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofL2Sq)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectFunction(
       (
@@ -24,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[CosineSimExpr].getName,
           "cosine_sim"),
         (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("l2_sq"),
+        new ExpressionInfo(
+          classOf[graft.functions.L2SqExpr].getName,
+          "l2_sq"),
+        (args: Seq[Expression]) =>
+          graft.functions.L2SqExpr(args(0), args(1))))
     ext.injectFunction(
       (
         new FunctionIdentifier("parse_movies"),
