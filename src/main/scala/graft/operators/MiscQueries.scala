@@ -727,6 +727,37 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // The `binaryFile` SOURCE surface: opaque files read as rows of
+    // (path, modificationTime, length, content) — how a multimodal
+    // ingest first touches image/audio archives before any codec
+    // runs. The fixture pages are staged from the classpath to a
+    // run-scoped directory, read back through the format, and pinned
+    // by (name, length, md5) against literal expectations — so the
+    // source's content fidelity is the thing under test. At 100 TB
+    // the reader parallelizes per file (and per block for large
+    // files with a configured maxPartitionBytes); metadata-only
+    // projections (path/length) never load content.
+    "binaryfile_scan" -> ((s, d) => {
+      val dir = sinkDir("graft_binfile")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir))
+      for (p <- Seq("empire.html", "imdb.html", "ranker.html")) {
+        val in = getClass.getResourceAsStream(s"/pages/$p")
+        val bytes = in.readAllBytes()
+        in.close()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, p), bytes)
+      }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(dir)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("name"),
+          col("length"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("name")
+    }),
+
     // k-anonymity audit — the privacy gate a dataset release runs
     // beyond PII masking: every quasi-identifier combination
     // (nation × segment × 100-unit balance band) whose group has
@@ -756,6 +787,19 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Literal expectations (the rawRankingsCte convention for
+    // fixture-derived data): the staged bytes must round-trip the
+    // binaryFile source exactly.
+    "binaryfile_scan" ->
+      """SELECT * FROM (VALUES
+        |  ('empire.html', CAST(802 AS BIGINT),
+        |   'c3905f9f2ade99cdb573d96634f8b901'),
+        |  ('imdb.html', CAST(1822 AS BIGINT),
+        |   '17dbb6c254d15e05ef56d1fbd4ceef2d'),
+        |  ('ranker.html', CAST(1562 AS BIGINT),
+        |   '37e5b1c3fb1f1d5c08188ebbec35d5c8'))
+        |  AS t(name, length, content_md5)
+        |ORDER BY name""".stripMargin,
     "k_anonymity" ->
       """WITH g AS (
         |  SELECT c_mktsegment AS segment, c_nationkey,
