@@ -25,6 +25,18 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_pages"))
         .orderBy("url")),
 
+    // Pushdown through the V2 source: the url predicate prunes the
+    // PARTITION LIST at planning (filtered-out pages are never
+    // fetched) and the url-only projection prunes content reads
+    // entirely in fixture mode — WebpagePushdownSpec counts both
+    // skips; this query pins that the pruned scan still returns
+    // exactly the right rows through the gate.
+    "webpage_pushdown" -> ((s, _) =>
+      webpages(s)
+        .where(col("url") === graft.sources.PageParsers.ImdbUrl)
+        .select(col("url"))
+        .orderBy("url")),
+
     // Full ingest through the V2 source: identical output (and oracle)
     // to raw_rankings, which reads fixtures without the connector.
     "webpage_rankings" -> ((s, _) => {
@@ -400,6 +412,8 @@ object SourceQueries {
          |  ('${PageParsers.ImdbUrl}', 1),
          |  ('${PageParsers.RankerUrl}', 1)) AS t(url, n)
          |ORDER BY url""".stripMargin,
+    "webpage_pushdown" ->
+      s"""SELECT '${PageParsers.ImdbUrl}' AS url""".stripMargin,
     "webpage_rankings" ->
       FlagshipQueries.oracleSql("raw_rankings"),
     "rankings_sql" ->

@@ -68,17 +68,32 @@ object WebpageDataSource {
   val DefaultUrls: Seq[String] =
     Seq(PageParsers.ImdbUrl, PageParsers.RankerUrl, PageParsers.EmpireUrl)
 
+  /** Content fetches actually performed (fixture reads + live GETs) —
+    * test-visible so WebpagePushdownSpec can prove that pruned scans
+    * skip them. local-mode only instrumentation (one JVM).
+    */
+  val contentFetches = new java.util.concurrent.atomic.AtomicLong
+
+  private def resourceOf(url: String): Option[String] =
+    if (url.contains("www.imdb.com")) Some("/pages/imdb.html")
+    else if (url.contains("www.ranker.com")) Some("/pages/ranker.html")
+    else if (url.contains("www.empireonline.com"))
+      Some("/pages/empire.html")
+    else None
+
+  /** Pruned-projection existence probe: is there a recorded page for
+    * the URL? No content bytes are read.
+    */
+  def exists(url: String): Boolean =
+    resourceOf(url).exists(r => getClass.getResource(r) != null)
+
   /** Fixture-mode "fetch": resolve the recorded page for a URL.
     * None = fetch failure (unknown host / missing fixture).
     */
   def fetch(url: String): Option[String] = {
-    val resource =
-      if (url.contains("www.imdb.com")) Some("/pages/imdb.html")
-      else if (url.contains("www.ranker.com")) Some("/pages/ranker.html")
-      else if (url.contains("www.empireonline.com")) Some("/pages/empire.html")
-      else None
-    resource.flatMap { r =>
+    resourceOf(url).flatMap { r =>
       Option(getClass.getResourceAsStream(r)).map { in =>
+        contentFetches.incrementAndGet()
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       }
@@ -120,6 +135,7 @@ object WebpageDataSource {
     */
   def fetchLive(url: String): Option[String] =
     try {
+      contentFetches.incrementAndGet()
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(30))
@@ -145,30 +161,92 @@ class WebpageTable(urls: Seq[String], mode: String)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new WebpageScan(urls, mode)
-    }
+    new WebpageScanBuilder(urls, mode)
 }
 
-class WebpageScan(urls: Seq[String], mode: String) extends Scan with Batch {
-  override def readSchema(): StructType = WebpageDataSource.Schema
+/** ScanBuilder with REAL pushdown — the 100 TB story applied to a
+  * fetch source, where pruning means entire network fetches never
+  * happen:
+  *
+  *  - filter pushdown ([[SupportsPushDownFilters]]): `url = v` /
+  *    `url IN (...)` predicates prune the PARTITION LIST at planning,
+  *    so filtered-out pages are never fetched at all. Handled filters
+  *    are still returned as residual (Spark re-evaluates them — safe
+  *    double-filtering), and reported via `pushedFilters` so the plan
+  *    shows the prune.
+  *  - column pruning ([[SupportsPushDownRequiredColumns]]): when the
+  *    query never reads `html` (url-only projections, count(*)), the
+  *    fixture reader answers from an EXISTENCE check — content bytes
+  *    are never read. Row semantics are identical (a row exists iff
+  *    the fetch would have succeeded). Live mode still performs the
+  *    GET: HTTP existence can't be probed without a request, and a
+  *    HEAD's status is not contractually the GET's.
+  */
+class WebpageScanBuilder(urls: Seq[String], mode: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  private var pushed: Array[Filter] = Array.empty
+  private var prunedUrls: Seq[String] = urls
+  private var required: StructType = WebpageDataSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val handled = filters.collect {
+      case f @ EqualTo("url", v: String) => (f: Filter, Set(v))
+      case f @ In("url", vs) if vs.forall(_.isInstanceOf[String]) =>
+        (f: Filter, vs.map(_.asInstanceOf[String]).toSet)
+    }
+    pushed = handled.map(_._1)
+    prunedUrls = handled.foldLeft(urls) { case (us, (_, keep)) =>
+      us.filter(keep.contains)
+    }
+    // Everything stays residual: Spark re-applies the predicates on
+    // the emitted rows, so the prune can only skip work, never
+    // change results.
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new WebpageScan(prunedUrls, mode, required, pushed.map(_.toString))
+}
+
+class WebpageScan(
+    urls: Seq[String],
+    mode: String,
+    required: StructType,
+    pushedDesc: Array[String])
+    extends Scan
+    with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     urls.map(u => WebpageInputPartition(u): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WebpageReaderFactory(mode)
+    new WebpageReaderFactory(mode, required.fieldNames.toSeq)
+  override def description(): String =
+    s"webpage [urls=${urls.size}, " +
+      s"PushedFilters: [${pushedDesc.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}]"
 }
 
 case class WebpageInputPartition(url: String) extends InputPartition
 
-class WebpageReaderFactory(mode: String) extends PartitionReaderFactory {
+class WebpageReaderFactory(mode: String, fields: Seq[String])
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new WebpageReader(
-      partition.asInstanceOf[WebpageInputPartition].url, mode)
+      partition.asInstanceOf[WebpageInputPartition].url, mode, fields)
 }
 
-class WebpageReader(url: String, mode: String)
+class WebpageReader(url: String, mode: String, fields: Seq[String])
     extends PartitionReader[InternalRow]
     with Logging {
   private var emitted = false
@@ -178,14 +256,26 @@ class WebpageReader(url: String, mode: String)
     if (emitted) false
     else {
       emitted = true
-      val fetched =
-        if (mode == "live") WebpageDataSource.fetchLive(url)
-        else WebpageDataSource.fetch(url)
+      val needsHtml = fields.contains("html")
+      // Pruned fixture read: existence check only — the content
+      // bytes are never loaded (WebpagePushdownSpec counts this).
+      val fetched: Option[Option[String]] =
+        if (!needsHtml && mode == "fixture")
+          if (WebpageDataSource.exists(url)) Some(None) else None
+        else {
+          val f =
+            if (mode == "live") WebpageDataSource.fetchLive(url)
+            else WebpageDataSource.fetch(url)
+          f.map(Some(_))
+        }
       fetched match {
         case Some(html) =>
           current = InternalRow(
-            UTF8String.fromString(url),
-            UTF8String.fromString(html))
+            fields.map {
+              case "url" => UTF8String.fromString(url)
+              case "html" =>
+                UTF8String.fromString(html.getOrElse(""))
+            }: _*)
           true
         case None =>
           // S3 permissive semantics: failed fetch → log + zero rows.
