@@ -1650,6 +1650,36 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source SIGNATURE TERMS — tf·idf with the log-free rational
+    // idf over SOURCE counts ((2N−2df+1)/(2df+1), the bm25_topk
+    // convention), top-5 terms per source through the custom
+    // GroupedTopK operator (bounded per-key heap, no per-partition
+    // sort). The artifact a domain-analysis pass reads to see what
+    // each source is "about" — and a second consumer proving the
+    // custom physical operator composes into ordinary pipelines. The
+    // tf↔df join shuffles on the token key (df is corpus-vocabulary
+    // sized, never broadcast); the source-count scalar is a one-row
+    // broadcast.
+    "top_terms_per_source" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy("source", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val tot = tf.select(countDistinct(col("source")).as("ns"))
+      val scored = tf
+        .join(dfs, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("score_ppm",
+          expr("(1000000 * tf * (2*ns - 2*df + 1)) DIV (2*df + 1)"))
+        .select("source", "tok", "score_ppm")
+      graft.plans.GroupedTopK
+        .topK(scored, Seq("source"),
+          Seq(("score_ppm", true), ("tok", false)), 5)
+        .orderBy("source", "rnk")
+    }),
+
     // Rare-token ratio: per-doc fraction (ppm, exact integer) of token
     // OCCURRENCES outside the corpus top-20 vocabulary — the
     // out-of-vocabulary quality signal. The vocab is bounded by K →
@@ -2327,6 +2357,30 @@ object TextQueries {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |  FROM documents GROUP BY lang) t
          |ORDER BY lang""".stripMargin,
+    "top_terms_per_source" ->
+      s"""WITH st AS (
+         |  SELECT source, t AS tok
+         |  FROM (SELECT source, unnest($toksSql) AS t
+         |        FROM documents) u
+         |  WHERE length(t) > 0
+         |), tfq AS MATERIALIZED (
+         |  SELECT source, tok, count(*) AS tf FROM st GROUP BY 1, 2
+         |), dfs AS (
+         |  SELECT tok, count(*) AS df FROM tfq GROUP BY 1
+         |), ns AS (
+         |  SELECT count(DISTINCT source) AS ns FROM tfq
+         |), scored AS (
+         |  SELECT f.source, f.tok,
+         |         CAST((1000000 * f.tf * (2*n.ns - 2*d.df + 1))
+         |           // (2*d.df + 1) AS BIGINT) AS score_ppm
+         |  FROM tfq f JOIN dfs d USING (tok) CROSS JOIN ns n
+         |)
+         |SELECT source, tok, score_ppm, CAST(rnk AS INTEGER) AS rnk
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score_ppm DESC, tok ASC) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "wordpiece_vocab" ->
       s"""WITH $wordpieceVocabCtes
          |SELECT piece, cnt FROM wpvocab
