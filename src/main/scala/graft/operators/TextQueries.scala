@@ -192,6 +192,60 @@ object TextQueries {
     */
   private val neardupEdgeCache = new SessionMemo[org.apache.spark.sql.DataFrame]
 
+  /** SimHash near-dup pairs (a, b, hamming ≤ 3): 32-bit signature
+    * from per-bit token majorities, 4×8-bit banded Hamming LSH
+    * (pigeonhole-complete for distance ≤ 3), count-first bounded
+    * buckets like the MinHash path. Shared by `simhash_neardup` and
+    * the `dedup_policy` union graph.
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitSums = (0 until 32).map(b =>
+      sum(
+        when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"s$b"))
+    val assembled = (0 until 32)
+      .map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sim = tok
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.cast("long").as("simhash"))
+    val bandRows = sim
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        explode(array((0 until 4).map(lit): _*)).as("band"))
+      .withColumn(
+        "key",
+        expr("(simhash >> (band * 8)) & 255"))
+      .repartition(col("band"), col("key"))
+    val okBuckets = bandRows
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, BucketCap))
+      .select("band", "key")
+    val surv = bandRows.join(okBuckets, Seq("band", "key"), "left_semi")
+    val a = surv.select(
+      col("band"), col("key"),
+      col("doc_id").as("a"), col("simhash").as("sa"))
+    val b = surv.select(
+      col("band"), col("key"),
+      col("doc_id").as("b"), col("simhash").as("sb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .withColumn(
+        "hamming", expr("bit_count(sa ^ sb)").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming")
+      .distinct()
+  }
+
   /** Top-30 subword vocabulary shared by `wordpiece_vocab` and the
     * `wordpiece_stats` segmentation: every full 2..4-char substring
     * of every token occurrence, counted corpus-wide, top-30 by
@@ -1881,53 +1935,47 @@ object TextQueries {
     // the same way as the MinHash path: count() first, semi-join
     // survivors, then the pair self-join runs only inside ≤BucketCap
     // buckets.
-    "simhash_neardup" -> ((s, d) => {
-      val tok = documents(s, d)
-        .select(
-          col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h", hash60(col("tok")))
-      val bitSums = (0 until 32).map(b =>
-        sum(
-          when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)).as(s"s$b"))
-      val assembled = (0 until 32)
-        .map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sim = tok
-        .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), assembled.cast("long").as("simhash"))
-      val bandRows = sim
-        .select(
-          col("doc_id"),
-          col("simhash"),
-          explode(array((0 until 4).map(lit): _*)).as("band"))
-        .withColumn(
-          "key",
-          expr("(simhash >> (band * 8)) & 255"))
-        .repartition(col("band"), col("key"))
-      val okBuckets = bandRows
-        .groupBy("band", "key")
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, BucketCap))
-        .select("band", "key")
-      val surv = bandRows.join(okBuckets, Seq("band", "key"), "left_semi")
-      val a = surv.select(
-        col("band"), col("key"),
-        col("doc_id").as("a"), col("simhash").as("sa"))
-      val b = surv.select(
-        col("band"), col("key"),
-        col("doc_id").as("b"), col("simhash").as("sb"))
-      a.join(b, Seq("band", "key"))
-        .filter(col("a") < col("b"))
-        .withColumn(
-          "hamming", expr("bit_count(sa ^ sb)").cast("int"))
-        .filter(col("hamming") <= 3)
-        .select("a", "b", "hamming")
-        .distinct()
-        .orderBy("a", "b")
+    "simhash_neardup" -> ((s, d) =>
+      simhashPairs(s, d).orderBy("a", "b")),
+
+    // MULTI-SIGNAL dedup policy — the decision rule real curation
+    // pipelines actually run: a pair is a duplicate if ANY signal
+    // fires (exact fingerprint, shingle Jaccard ≥ 0.9, SimHash
+    // Hamming ≤ 3), and the removal set is the connected components
+    // of the UNION graph. One summary row: per-signal edge counts
+    // (which signal carries the catch), combined component stats,
+    // and the row count the policy would remove. Components run
+    // through the diameter-independent two-star labeling; exact
+    // groups contribute STAR edges (rep→member), never quadratic
+    // within-group pairs. The oracle closes the identical union
+    // graph with a recursive CTE.
+    "dedup_policy" -> ((s, d) => {
+      val fp = documents(s, d).select(col("doc_id"),
+        hash60(normText(col("text"))).as("fp"))
+      val reps = fp.groupBy("fp")
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+      val exactE = fp.join(reps, Seq("fp"))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("src"), col("doc_id").as("dst"))
+      val jacE = jaccardPairs(s, d)
+        .filter(col("jaccard") >= 0.9)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val shE = simhashPairs(s, d)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val comp = TwoStarCC.components(
+        exactE.unionByName(jacE).unionByName(shE))
+      val cstats = comp.groupBy("component")
+        .agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_nodes"),
+          (sum(col("sz")) - count(lit(1))).as("n_removed"),
+          max(col("sz")).as("largest_cluster"))
+      exactE.agg(count(lit(1)).as("n_exact_edges"))
+        .crossJoin(jacE.agg(count(lit(1)).as("n_jaccard_edges")))
+        .crossJoin(shE.agg(count(lit(1)).as("n_simhash_edges")))
+        .crossJoin(cstats)
     }),
 
     // MinHash Jaccard ESTIMATOR quality: for every exact near-dup
@@ -2121,6 +2169,47 @@ object TextQueries {
   private val BpePattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB twin of [[simhashPairs]] as a CTE chain ending in
+    * `shpairs(a, b, hamming)` — shared by the `simhash_neardup`
+    * oracle and the `dedup_policy` union graph. Includes
+    * `tokHashCte`.
+    */
+  private def simhashPairCtes: String = {
+    val sums = (0 until 32)
+      .map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val assemble = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""$tokHashCte,
+       |bits AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM tok GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+       |  FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, band,
+       |         (simhash >> (band * 8)) & 255 AS key
+       |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) bj(band)),
+       |ok AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND $BucketCap),
+       |surv AS (
+       |  SELECT b.doc_id, b.simhash, b.band, b.key
+       |  FROM bands b JOIN ok USING (band, key)),
+       |shpairs AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER)
+       |           AS hamming
+       |  FROM surv x JOIN surv y
+       |    ON x.band = y.band AND x.key = y.key
+       |   AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)""".stripMargin
+  }
 
   /** DuckDB twin of [[wordpieceVocab]]: token occurrences → all full
     * 2..4-char substrings → top-30 pieces. Ends in `wpvocab(piece,
@@ -3149,41 +3238,51 @@ object TextQueries {
          |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin
     },
-    "simhash_neardup" -> {
-      val sums = (0 until 32)
-        .map(b =>
-          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-        .mkString(",\n         ")
-      val assemble = (0 until 32)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH $tokHashCte,
-         |bits AS (
-         |  SELECT doc_id,
-         |         $sums
-         |  FROM tok GROUP BY doc_id),
-         |sim AS (
-         |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
-         |  FROM bits),
-         |bands AS (
-         |  SELECT doc_id, simhash, band,
-         |         (simhash >> (band * 8)) & 255 AS key
-         |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) bj(band)),
-         |ok AS (
-         |  SELECT band, key FROM bands GROUP BY band, key
-         |  HAVING count(*) BETWEEN 2 AND $BucketCap),
-         |surv AS (
-         |  SELECT b.doc_id, b.simhash, b.band, b.key
-         |  FROM bands b JOIN ok USING (band, key))
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER)
-         |         AS hamming
-         |FROM surv x JOIN surv y
-         |  ON x.band = y.band AND x.key = y.key
-         | AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
-         |ORDER BY a, b""".stripMargin
-    },
+    "simhash_neardup" ->
+      s"""WITH $simhashPairCtes
+         |SELECT a, b, hamming FROM shpairs
+         |ORDER BY a, b""".stripMargin,
+    "dedup_policy" ->
+      s"""WITH RECURSIVE
+         |$jaccardPairsSqlCte,
+         |$simhashPairCtes,
+         |fpt AS (
+         |  SELECT doc_id, ${hash60Sql(normSql)} AS fp FROM documents
+         |), fpg AS (
+         |  SELECT fp, min(doc_id) AS rep, count(*) AS cnt
+         |  FROM fpt GROUP BY fp
+         |), exacte AS MATERIALIZED (
+         |  SELECT g.rep AS a, f.doc_id AS b
+         |  FROM fpt f JOIN fpg g USING (fp)
+         |  WHERE g.cnt >= 2 AND f.doc_id <> g.rep
+         |), jace AS MATERIALIZED (
+         |  SELECT a, b FROM pairs WHERE jaccard >= 0.9
+         |), hi AS (
+         |  SELECT a, b FROM exacte
+         |  UNION SELECT a, b FROM jace
+         |  UNION SELECT a, b FROM shpairs
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM hi
+         |  UNION SELECT b, a FROM hi
+         |), nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r
+         |    ON e.dst = r.doc
+         |), comp AS (
+         |  SELECT doc, min(lab) AS component FROM reach GROUP BY doc
+         |), csz AS (
+         |  SELECT component, count(*) AS sz FROM comp GROUP BY 1
+         |)
+         |SELECT (SELECT count(*) FROM exacte) AS n_exact_edges,
+         |       (SELECT count(*) FROM jace) AS n_jaccard_edges,
+         |       (SELECT count(*) FROM shpairs) AS n_simhash_edges,
+         |       count(*) AS n_clusters,
+         |       CAST(sum(sz) AS BIGINT) AS n_nodes,
+         |       CAST(sum(sz) - count(*) AS BIGINT) AS n_removed,
+         |       CAST(max(sz) AS BIGINT) AS largest_cluster
+         |FROM csz""".stripMargin,
     "minhash_jaccard_est" -> {
       val nMatch = (0 until 8)
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
