@@ -66,6 +66,25 @@ object FunctionQueries {
           sum(Money.cents(col("value"))).as("value_cents"))
         .orderBy("day")),
 
+    // URL parsing — the domain-extraction step per-domain crawl
+    // quotas and source reputation key on: deterministic URLs
+    // constructed from document fields, dissected back with Spark's
+    // parse_url (HOST / PATH / keyed QUERY). The oracle derives the
+    // same components from the source fields directly, so parse_url's
+    // spec compliance on well-formed URLs is the thing under test.
+    "url_parse" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("url",
+          concat(lit("https://"), col("source"),
+            lit(".example.com/docs/"), col("doc_id"),
+            lit("?lang="), col("lang")))
+        .select(
+          col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
+        .orderBy("doc_id")),
+
     // JSON extraction (typed from_json on the Spark side) over
     // events.props.
     "json_extract" -> ((s, d) =>
@@ -256,6 +275,10 @@ object FunctionQueries {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
         |         AS value_cents
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "url_parse" ->
+      """SELECT doc_id, source || '.example.com' AS host,
+        |       '/docs/' || doc_id AS path, lang AS q_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |       count(*) AS n_events,

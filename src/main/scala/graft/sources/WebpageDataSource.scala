@@ -223,7 +223,8 @@ class WebpageScan(
     required: StructType,
     pushedDesc: Array[String])
     extends Scan
-    with Batch {
+    with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -234,6 +235,21 @@ class WebpageScan(
     s"webpage [urls=${urls.size}, " +
       s"PushedFilters: [${pushedDesc.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}]"
+
+  /** V2 stats → planner: at most one row per (pruned) URL, sized at a
+    * nominal page weight. Reporting the POST-prune cardinality means
+    * joins against the source see a KB-scale relation and pick a
+    * broadcast without hints — the stats path CBO uses for catalog
+    * tables, working for a fetch connector (WebpageStatsSpec pins
+    * the reported numbers and the hint-free broadcast).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val NominalPageBytes = 4096L
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(urls.size.toLong * NominalPageBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(urls.size.toLong)
+  }
 }
 
 case class WebpageInputPartition(url: String) extends InputPartition
