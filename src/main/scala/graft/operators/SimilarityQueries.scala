@@ -542,11 +542,13 @@ object SimilarityQueries {
         .join(ref, Seq("qid", "vec_id"), "left_semi")
         .groupBy("m")
         .agg(count(lit(1)).as("n_hits_at5"))
+      // LEFT join: a prefix dim with ZERO hits must still report its
+      // row (sf0.1 exposes exactly this — dims=8 recovers nothing).
       top.groupBy("m")
         .agg(count(lit(1)).as("n_results"))
-        .join(hits, Seq("m"))
+        .join(hits, Seq("m"), "left")
         .select(col("m").as("dims"), col("n_results"),
-          col("n_hits_at5"))
+          coalesce(col("n_hits_at5"), lit(0L)).as("n_hits_at5"))
         .orderBy("dims")
     }),
 
