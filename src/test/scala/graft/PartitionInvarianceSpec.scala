@@ -14,7 +14,12 @@ class PartitionInvarianceSpec extends SparkTestBase {
 
   private val names = Seq(
     "flagship", "curation_pipeline", "cosine_topk_lsh_hi",
-    "kmeans_refine", "stats_corr")
+    "kmeans_refine", "stats_corr",
+    // round-7 additions, one per new family: PQ composition,
+    // multi-signal clustering, expression-level segmentation,
+    // hashed-bucket selection, robust alarm.
+    "ivfpq_topk", "dedup_policy", "wordpiece_stats",
+    "dsir_weights", "event_anomaly")
 
   test("representative queries are partition-count invariant") {
     val wide = spark
