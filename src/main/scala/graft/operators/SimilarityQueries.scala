@@ -366,6 +366,40 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-PQ + exact REFINE — the complete production deployment
+    // (FAISS's IVFADC,R shape): IVF prunes WHICH vectors are touched,
+    // PQ codes bound the bytes per touched vector, and only the ADC
+    // shortlist (top-25 per query) fetches full floats for the exact
+    // final ranking. Each stage's cost is bounded by the previous
+    // stage's output — cells by nprobe, codes by the cell population,
+    // exact arithmetic by the constant shortlist — so nothing in the
+    // chain scales with N beyond the pruned code scan.
+    "ivfpq_rerank" -> ((s, d) => {
+      val wAdc = Window.partitionBy("qid")
+        .orderBy(col("ad2").asc, col("vec_id").asc)
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val shortlist = ivfCandidates(s, d, 2)
+        .join(pqRecon(s, d), Seq("vec_id"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("ad2", l2sq(col("qe"), col("recon")))
+        .withColumn("arn", row_number().over(wAdc))
+        .filter(col("arn") <= PqShortlist)
+        .select("qid", "vec_id")
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      shortlist
+        .join(embeddings(s, d).select(col("vec_id"),
+          col("embedding").as("ce")), Seq("vec_id"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("d2", l2sq(col("qe"), col("ce")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "d2")
+        .orderBy("qid", "rnk")
+    }),
+
     // THE PQ RECALL/COST CURVE, oracle-pinned like ann_report but
     // against the EXACT-L2 reference (PQ ranks by squared L2, so the
     // cosine curve's reference would be the wrong ruler): one row per
@@ -1430,6 +1464,67 @@ object SimilarityQueries {
          |           row_number() OVER (PARTITION BY qid
          |             ORDER BY ad2 ASC, vec_id ASC) AS arn
          |    FROM ad) t
+         |  WHERE arn <= $PqShortlist
+         |), epairs AS (
+         |  SELECT s.qid, s.vec_id, eq.embedding AS qe,
+         |         ec.embedding AS ce
+         |  FROM sl s
+         |  JOIN embeddings eq ON eq.vec_id = s.qid
+         |  JOIN embeddings ec ON ec.vec_id = s.vec_id
+         |), ed AS (
+         |  SELECT qid, vec_id,
+         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS d2
+         |  FROM (SELECT qid, vec_id, unnest(qe) AS a, unnest(ce) AS b
+         |        FROM epairs) u
+         |  GROUP BY qid, vec_id
+         |)
+         |SELECT qid, vec_id, rnk, d2 FROM (
+         |  SELECT qid, vec_id, d2,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY d2 ASC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM ed) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    // IVF nprobe=2 pruning → candidate ADC → shortlist → exact
+    // re-rank, each stage the corresponding single-query oracle's
+    // core.
+    "ivfpq_rerank" ->
+      s"""WITH $normCte,
+         |$assignCte,
+         |assign2 AS (
+         |  SELECT vid AS vec_id, cid FROM (
+         |    SELECT vid, cid,
+         |           row_number() OVER (PARTITION BY vid
+         |             ORDER BY d.dot/(nv.nrm*nc.nrm) DESC, cid ASC) AS rn
+         |    FROM adots d
+         |    JOIN norms nv ON nv.vec_id = vid
+         |    JOIN norms nc ON nc.vec_id = cid) t
+         |  WHERE rn <= 2
+         |),
+         |$pqReconCtes,
+         |icand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id
+         |  FROM assign2 q
+         |  JOIN assign c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |), ipairs AS (
+         |  SELECT i.qid, i.vec_id, eq.embedding AS qe, r.recon AS ce
+         |  FROM icand i
+         |  JOIN embeddings eq ON eq.vec_id = i.qid
+         |  JOIN recon r ON r.vec_id = i.vec_id
+         |), iad AS (
+         |  SELECT qid, vec_id,
+         |         sum((CAST(a AS DOUBLE)-CAST(b AS DOUBLE))
+         |             *(CAST(a AS DOUBLE)-CAST(b AS DOUBLE))) AS ad2
+         |  FROM (SELECT qid, vec_id, unnest(qe) AS a, unnest(ce) AS b
+         |        FROM ipairs) u
+         |  GROUP BY qid, vec_id
+         |), sl AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY ad2 ASC, vec_id ASC) AS arn
+         |    FROM iad) t
          |  WHERE arn <= $PqShortlist
          |), epairs AS (
          |  SELECT s.qid, s.vec_id, eq.embedding AS qe,
