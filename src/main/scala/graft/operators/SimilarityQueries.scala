@@ -415,13 +415,14 @@ object SimilarityQueries {
       val q = embeddings(s, d)
         .filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val exact5 = broadcast(q)
+      // Pinned: three hits() joins consume the reference ranking.
+      val exact5 = graft.Checkpoints.pin(broadcast(q)
         .join(embeddings(s, d).select(col("vec_id"),
           col("embedding").as("ce")), col("qid") =!= col("vec_id"))
         .withColumn("d2", l2sq(col("qe"), col("ce")))
         .withColumn("rnk", row_number().over(wX))
         .filter(col("rnk") <= TopK)
-        .select("qid", "vec_id")
+        .select("qid", "vec_id"))
       def hits(top: DataFrame): Long = top
         .select("qid", "vec_id")
         .join(exact5, Seq("qid", "vec_id"), "left_semi")
@@ -1049,6 +1050,19 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** PQ reconstruction memo: five queries (pq_topk, pq_topk_rerank,
+    * ivfpq_topk, ivfpq_rerank, pq_report) and pq_report's multiple
+    * count actions all consume the same encode — one pinned
+    * materialization per (session, dir) serves them all (the
+    * jaccardPairs precedent; at scale this is the PQ INDEX, a built
+    * artifact, not a per-query derivation).
+    */
+  private val reconCache = new SessionMemo[DataFrame]
+
+  private def pqRecon(s: SparkSession, d: String): DataFrame =
+    reconCache.getOrCompute(s, d)(
+      graft.Checkpoints.pin(computePqRecon(s, d)))
+
   /** PQ encode → reconstruct: (vec_id, recon) with `recon` the
     * codeword reconstruction of each vector. Encode = broadcast join
     * against the Codes×M sub-centroid table with a deterministic
@@ -1057,7 +1071,7 @@ object SimilarityQueries {
     * oracle. Shared by the exhaustive ADC scan ([[pqAdcScores]]) and
     * the IVF-pruned one (`ivfpq_topk`).
     */
-  private def pqRecon(s: SparkSession, d: String): DataFrame = {
+  private def computePqRecon(s: SparkSession, d: String): DataFrame = {
     val (m, sub, k) = (PqM, PqSubDim, PqCodes)
     val subs = embeddings(s, d)
       .select(col("vec_id"),

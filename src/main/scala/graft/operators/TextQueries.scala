@@ -1955,14 +1955,18 @@ object TextQueries {
       val reps = fp.groupBy("fp")
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
-      val exactE = fp.join(reps, Seq("fp"))
+      // Pinned per-signal edge frames: the clustering AND the edge
+      // counts both consume them, and the simhash band join is too
+      // expensive to recompute per action (jaccardPairs is already
+      // memoized; exact/simhash get the same treatment here).
+      val exactE = Checkpoints.pin(fp.join(reps, Seq("fp"))
         .filter(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("src"), col("doc_id").as("dst"))
+        .select(col("rep").as("src"), col("doc_id").as("dst")))
       val jacE = jaccardPairs(s, d)
         .filter(col("jaccard") >= 0.9)
         .select(col("a").as("src"), col("b").as("dst"))
-      val shE = simhashPairs(s, d)
-        .select(col("a").as("src"), col("b").as("dst"))
+      val shE = Checkpoints.pin(simhashPairs(s, d)
+        .select(col("a").as("src"), col("b").as("dst")))
       val comp = TwoStarCC.components(
         exactE.unionByName(jacE).unionByName(shE))
       val cstats = comp.groupBy("component")
