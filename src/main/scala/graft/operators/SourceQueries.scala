@@ -257,6 +257,17 @@ object SourceQueries {
     "stream_late_drop" -> ((s, d) =>
       graft.streaming.StreamingEvents.lateDropResult(s, d)),
 
+    // MULTI-HOP streaming (bronze→silver→gold): hop 1 materializes
+    // the watermark-gated hourly silver layer through its
+    // checkpointed parquet sink; hop 2 is a SECOND streaming query
+    // reading that layer back as a file stream and re-aggregating
+    // per type — each hop with its own recovery story, chained
+    // through replayable storage (never one mega-query with chained
+    // stateful aggregations). The oracle re-derives the silver layer
+    // arithmetically and folds it the same way.
+    "stream_multihop" -> ((s, d) =>
+      graft.streaming.StreamingEvents.multihopResult(s, d)),
+
     // The streaming pipeline's aggregation, batch-executed.
     "stream_window_batch" -> ((s, d) =>
       StreamingEvents
@@ -404,6 +415,30 @@ object SourceQueries {
       |WHERE end_sec + 1801 <=
       |  (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events)
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** The silver layer the late-drop pipeline materializes: hourly
+    * windows of rows ≥ LateSplit, restricted to windows the FINAL
+    * watermark closed. Shared by `stream_late_drop` (reads it
+    * directly) and `stream_multihop` (hop-2 re-aggregation) so the
+    * two oracles derive one layer.
+    */
+  private val lateSilverCtes: String =
+    s"""wm AS (
+       |  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+       |), kept AS (
+       |  SELECT date_trunc('hour', ts) AS h, event_type, value
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '${
+        graft.streaming.StreamingEvents.LateSplit}'
+       |), silver AS (
+       |  SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, event_type,
+       |         count(*) AS n_events,
+       |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+       |           AS value_cents
+       |  FROM kept, wm
+       |  WHERE h + INTERVAL 1 HOUR <= wm.w
+       |  GROUP BY h, event_type
+       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "webpage_scan" ->
@@ -585,22 +620,17 @@ object SourceQueries {
     // phase-1 watermark), and append mode emits exactly the hourly
     // windows closed by the final watermark max(ts) − 1 hour.
     "stream_late_drop" ->
-      s"""WITH wm AS (
-         |  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
-         |), kept AS (
-         |  SELECT date_trunc('hour', ts) AS h, event_type, value
-         |  FROM events
-         |  WHERE ts >= TIMESTAMP '${
-            graft.streaming.StreamingEvents.LateSplit}'
-         |)
-         |SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, event_type,
-         |       count(*) AS n_events,
-         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
-         |         AS value_cents
-         |FROM kept, wm
-         |WHERE h + INTERVAL 1 HOUR <= wm.w
-         |GROUP BY h, event_type
+      s"""WITH $lateSilverCtes
+         |SELECT hour, event_type, n_events, value_cents FROM silver
          |ORDER BY hour, event_type""".stripMargin,
+    // Hop 2 re-aggregates the same silver rows per type.
+    "stream_multihop" ->
+      s"""WITH $lateSilverCtes
+         |SELECT event_type, count(*) AS n_windows,
+         |       CAST(sum(n_events) AS BIGINT) AS n_events,
+         |       CAST(sum(value_cents) AS BIGINT) AS value_cents
+         |FROM silver GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
     "stream_window_batch" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type,

@@ -265,6 +265,15 @@ object StreamingEvents {
     */
   def lateDropRun(
       spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val (out, d1, d2) = lateDropRunWithPath(spark, dir)
+    (spark.read.parquet(out).orderBy("hour", "event_type"), d1, d2)
+  }
+
+  /** Core of [[lateDropRun]], returning the SINK PATH so a second
+    * streaming hop can consume the silver layer ([[multihopResult]]).
+    */
+  def lateDropRunWithPath(
+      spark: SparkSession, dir: String): (String, Long, Long) = {
     val base = graft.Fs.sinkDir("graft_late_drop")
     graft.Fs.deleteRecursively(base)
     val ingest = s"$base/ingest"
@@ -302,8 +311,45 @@ object StreamingEvents {
     ev.filter(col("ts") < lit(LateSplit) || col("ts") >= lit(LateRecent))
       .coalesce(1).write.mode("append").parquet(ingest)
     val dropped2 = runPhase()
-    (spark.read.parquet(out).orderBy("hour", "event_type"),
-      dropped1, dropped2)
+    (out, dropped1, dropped2)
+  }
+
+  /** MULTI-HOP streaming (the medallion bronze→silver→gold shape):
+    * hop 1 is the checkpointed hourly parquet sink (the late-drop
+    * pipeline — a REAL watermark-gated file sink), and hop 2 is a
+    * SECOND checkpoint-independent streaming query that reads that
+    * silver layer back as a file stream and re-aggregates per type.
+    * This is how production pipelines compose: each hop its own
+    * streaming query with its own recovery story, chained through a
+    * replayable storage layer — never one mega-query with chained
+    * stateful aggregations (unsupported, and wrong for ownership
+    * boundaries). Hop-2 state is bounded by type cardinality.
+    */
+  def multihopResult(spark: SparkSession, dir: String): DataFrame = {
+    val (silverPath, _, _) = lateDropRunWithPath(spark, dir)
+    val silverSchema = StructType(Seq(
+      StructField("hour", StringType),
+      StructField("event_type", StringType),
+      StructField("n_events", LongType),
+      StructField("value_cents", LongType)))
+    val sink = "multihop_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .schema(silverSchema)
+      .parquet(silverPath)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    MemorySinks.drain(spark, sink).orderBy("event_type")
   }
 
   /** Run the stream to completion (available-now trigger) into an
