@@ -1189,6 +1189,54 @@ object TextQueries {
         .orderBy("stage")
     }),
 
+    // Per-document PROVENANCE — the audit twin of the
+    // curation_pipeline funnel: every document's disposition, i.e.
+    // the FIRST stage that rejected it (quality → exact keep-first →
+    // near-dup representative choice) or its final split when kept.
+    // Same predicates, same keeper rules, same content-hash buckets
+    // as the funnel, so the two artifacts reconcile by construction;
+    // this is the row-level answer to "why is doc X not in the
+    // training set". One scan + the memoized cluster labels + three
+    // key-local left joins.
+    "curation_provenance" -> ((s, d) => {
+      val base = documents(s, d).select(
+        col("doc_id"),
+        normText(col("text")).as("norm"),
+        qualityKeep.as("q"))
+      val minq = base.filter(col("q"))
+        .groupBy("norm").agg(min(col("doc_id")).as("first_id"))
+      val exactKeep = base.filter(col("q"))
+        .join(minq, Seq("norm"))
+        .filter(col("doc_id") === col("first_id"))
+        .select("doc_id")
+      val labels = clusterLabels(s, d)
+      val reps = labels
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg")))
+          .as("best"))
+        .select((-col("best.neg")).as("doc_id"), lit(true).as("rep"))
+      base
+        .join(minq, Seq("norm"), "left")
+        .join(labels.select(col("doc_id"), lit(true).as("clustered")),
+          Seq("doc_id"), "left")
+        .join(reps, Seq("doc_id"), "left")
+        .withColumn("bucket", hash60(col("norm")) % 10)
+        .withColumn("disposition",
+          when(!col("q"), "rejected_quality")
+            .when(col("doc_id") =!= col("first_id"),
+              "rejected_exact_dup")
+            .when(col("clustered").isNotNull && col("rep").isNull,
+              "rejected_neardup")
+            .when(col("bucket") < 8, "kept_train")
+            .when(col("bucket") === 8, "kept_val")
+            .otherwise("kept_test"))
+        .select("doc_id", "disposition")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic 60-bit document fingerprint over normalized text.
     "doc_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -2748,6 +2796,45 @@ object TextQueries {
          |       CAST(sum(n_toks) AS BIGINT) FROM neardup
          |UNION ALL SELECT stage, n_docs, n_tokens FROM splits
          |ORDER BY stage""".stripMargin,
+    "curation_provenance" ->
+      s"""WITH RECURSIVE $jaccardPairsSqlCte,
+         |$clusterClosureCtes,
+         |base AS (
+         |  SELECT doc_id, $normSql AS norm, $qualityKeepSql AS q
+         |  FROM documents
+         |),
+         |minq AS (
+         |  SELECT norm, min(doc_id) AS first_id
+         |  FROM base WHERE q GROUP BY norm
+         |),
+         |exactk AS (
+         |  SELECT b.doc_id FROM base b
+         |  JOIN minq m ON b.norm = m.norm AND b.doc_id = m.first_id
+         |  WHERE b.q
+         |),
+         |reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |           row_number() OVER (PARTITION BY c.cluster
+         |             ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |    FROM clusters c
+         |    JOIN exactk e ON e.doc_id = c.doc_id
+         |    JOIN documents d ON d.doc_id = c.doc_id) t
+         |  WHERE rn = 1
+         |)
+         |SELECT b.doc_id,
+         |  CASE WHEN NOT b.q THEN 'rejected_quality'
+         |       WHEN b.doc_id <> m.first_id THEN 'rejected_exact_dup'
+         |       WHEN c.doc_id IS NOT NULL AND r.doc_id IS NULL
+         |         THEN 'rejected_neardup'
+         |       WHEN ${hash60Sql("b.norm")} % 10 < 8 THEN 'kept_train'
+         |       WHEN ${hash60Sql("b.norm")} % 10 = 8 THEN 'kept_val'
+         |       ELSE 'kept_test' END AS disposition
+         |FROM base b
+         |LEFT JOIN minq m ON m.norm = b.norm
+         |LEFT JOIN clusters c ON c.doc_id = b.doc_id
+         |LEFT JOIN reps r ON r.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "stratified_sample" ->
       s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id FROM (
          |  SELECT lang, doc_id,
