@@ -1044,6 +1044,33 @@ object TextQueries {
           expr("n_quality_kept * 1000000 DIV n_docs"))
         .orderBy("lang")),
 
+    // Per-SPLIT release card — the corpus_card computed per
+    // train/val/test assignment: a release gate checks that the
+    // content-hash split didn't concentrate tokens, duplicates, or a
+    // language into one side. Split key and metrics reuse the exact
+    // conventions of dataset_split and corpus_card; one scan, one
+    // grouped aggregation, state = 3 rows.
+    "split_card" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("lang"),
+          col("n_chars"),
+          hash60(normText(col("text"))).as("fingerprint"))
+        .withColumn("bucket", pmod(col("fingerprint"), lit(10)))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (count(lit(1)) - countDistinct(col("fingerprint")))
+            .as("n_exact_dups"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("mean_chars", expr("total_chars DIV n_docs"))
+        .orderBy("split")),
+
     // Deterministic train/val/test split (8/1/1) keyed on the CONTENT
     // fingerprint, not the row id — the reproducible-sampling pattern
     // a training pipeline needs: membership survives re-ingestion and
@@ -2796,6 +2823,22 @@ object TextQueries {
          |       CAST(sum(n_toks) AS BIGINT) FROM neardup
          |UNION ALL SELECT stage, n_docs, n_tokens FROM splits
          |ORDER BY stage""".stripMargin,
+    "split_card" ->
+      s"""WITH sb AS (
+         |  SELECT lang, n_chars, ${hash60Sql(normSql)} AS fp,
+         |         ${hash60Sql(normSql)} % 10 AS bucket
+         |  FROM documents
+         |)
+         |SELECT CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket = 8 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(count(*) - count(DISTINCT fp) AS BIGINT)
+         |         AS n_exact_dups,
+         |       count(DISTINCT lang) AS n_langs,
+         |       CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars
+         |FROM sb GROUP BY split ORDER BY split""".stripMargin,
     "curation_provenance" ->
       s"""WITH RECURSIVE $jaccardPairsSqlCte,
          |$clusterClosureCtes,
