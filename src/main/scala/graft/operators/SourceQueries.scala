@@ -257,6 +257,46 @@ object SourceQueries {
     "stream_late_drop" -> ((s, d) =>
       graft.streaming.StreamingEvents.lateDropResult(s, d)),
 
+    // The SAME quota through Spark 4's transformWithState (typed
+    // MapState handles on the RocksDB state store the operator
+    // requires) — run against the IDENTICAL oracle as stream_quota,
+    // so the legacy and successor state APIs are proven
+    // gate-indistinguishable. The provider conf is scoped to this
+    // query and restored after.
+    "stream_quota_tws" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val sink = "stream_quota_tws_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingEvents.quotaStreamTws(s, d)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.MemorySinks.drain(s, sink)
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("accepted"), 1L).otherwise(0L))
+              .as("n_accepted"),
+            sum(when(col("accepted"), 0L).otherwise(1L))
+              .as("n_dropped"))
+          .orderBy("event_type")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // MULTI-HOP streaming (bronze→silver→gold): hop 1 materializes
     // the watermark-gated hourly silver layer through its
     // checkpointed parquet sink; hop 2 is a SECOND streaming query
@@ -440,6 +480,25 @@ object SourceQueries {
        |  GROUP BY h, event_type
        |)""".stripMargin
 
+  private val quotaOracleSql: String =
+    s"""WITH r AS (
+       |  SELECT event_type,
+       |         row_number() OVER (
+       |           PARTITION BY user_id,
+       |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+       |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
+       |             event_id ASC) AS rn
+       |  FROM events
+       |)
+       |SELECT event_type,
+       |       CAST(sum(CASE WHEN rn <= ${
+        graft.streaming.StreamingEvents.QuotaPerDay
+      } THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       |       CAST(sum(CASE WHEN rn > ${
+        graft.streaming.StreamingEvents.QuotaPerDay
+      } THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "webpage_scan" ->
       s"""SELECT url, CAST(n AS BIGINT) AS n_pages FROM (VALUES
@@ -570,25 +629,10 @@ object SourceQueries {
     // The quota decision replayed as a per-(user, event-time day)
     // row_number cut over the raw events — correct IFF the stateful
     // stream accepted exactly the first QuotaPerDay per key in
-    // (time, id) order and flagged everything else.
-    "stream_quota" ->
-      s"""WITH r AS (
-         |  SELECT event_type,
-         |         row_number() OVER (
-         |           PARTITION BY user_id,
-         |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
-         |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
-         |             event_id ASC) AS rn
-         |  FROM events
-         |)
-         |SELECT event_type,
-         |       CAST(sum(CASE WHEN rn <= ${
-          graft.streaming.StreamingEvents.QuotaPerDay
-        } THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
-         |       CAST(sum(CASE WHEN rn > ${
-          graft.streaming.StreamingEvents.QuotaPerDay
-        } THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // (time, id) order and flagged everything else. ONE definition
+    // for both state-API implementations.
+    "stream_quota" -> quotaOracleSql,
+    "stream_quota_tws" -> quotaOracleSql,
     // Two-batch foreachBatch merge ≡ one-shot aggregation.
     "stream_foreach_upsert" ->
       """SELECT event_type,

@@ -420,4 +420,63 @@ object StreamingEvents {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(quotaGroup)
       .toDF()
   }
+
+  /** The SAME quota decision through Spark 4's `transformWithState` —
+    * the arbitrary-state API succeeding mapGroupsWithState: TYPED
+    * state handles (here a per-key MapState of day→counter) backed by
+    * the RocksDB state store provider the operator requires, each
+    * handle independently TTL-capable (a continuous deployment puts a
+    * TTL on past days instead of a timeout dance). Decision logic and
+    * determinism contract are identical to [[quotaGroup]], and the
+    * gate runs BOTH implementations against one oracle — the two
+    * state APIs must be indistinguishable (the bpe_apply_fast
+    * precedent).
+    */
+  class QuotaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, QEv, QuotaOut] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var counters
+        : org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counters = getHandle.getMapState[Long, Long](
+        "dayCounters",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[QEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QuotaOut] =
+      rows.toSeq
+        .sortBy(e => (e.tsMicros, e.event_id))
+        .map { e =>
+          val day = e.tsMicros / 86400000000L
+          val c = (if (counters.containsKey(day))
+            counters.getValue(day)
+          else 0L) + 1L
+          counters.updateValue(day, c)
+          QuotaOut(key, e.event_id, e.event_type, c <= QuotaPerDay)
+        }
+        .iterator
+  }
+
+  def quotaStreamTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsMicros"))
+      .as[QEv]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new QuotaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
 }
