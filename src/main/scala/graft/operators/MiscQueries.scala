@@ -727,6 +727,51 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // DYNAMIC partition overwrite — the BACKFILL pattern: a
+    // day-partitioned table gets one corrected day rewritten in
+    // place (overwrite mode with partitionOverwriteMode=dynamic
+    // touches ONLY the partitions present in the written frame),
+    // while every other partition's bytes stay put. At 100 TB this
+    // is the difference between rewriting one day and rewriting the
+    // table. The read-back aggregates per day; the oracle computes
+    // corrected-day-substituted totals from the raw events, so both
+    // under-overwrite (old rows surviving) and over-overwrite (other
+    // days clobbered) break the hash.
+    "partition_overwrite" -> ((s, d) => {
+      val dir = sinkDir("graft_part_overwrite")
+      val ev = events(s, d).select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"),
+        col("event_type"),
+        Money.cents(col("value")).as("cents"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+      val firstDay = "2024-01-01"
+      val prevMode = s.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // The "correction": the first day's rows re-land with cents
+        // doubled — a backfill-shaped rewrite of exactly one
+        // partition.
+        ev.filter(col("day") === firstDay)
+          .withColumn("cents", col("cents") * 2)
+          .write.mode("overwrite").partitionBy("day").parquet(dir)
+      } finally {
+        prevMode match {
+          case Some(m) => s.conf
+            .set("spark.sql.sources.partitionOverwriteMode", m)
+          case None => s.conf
+            .unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      s.read.parquet(dir)
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy("day")
+    }),
+
     // The `binaryFile` SOURCE surface: opaque files read as rows of
     // (path, modificationTime, length, content) — how a multimodal
     // ingest first touches image/audio archives before any codec
@@ -787,6 +832,16 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Corrected-day-substituted totals from the raw events: day one
+    // doubled, every other day untouched.
+    "partition_overwrite" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)
+        |         * CASE WHEN strftime(date_trunc('day', ts),
+        |                  '%Y-%m-%d') = '2024-01-01'
+        |                THEN 2 ELSE 1 END) AS BIGINT) AS total_cents
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
     // Literal expectations (the rawRankingsCte convention for
     // fixture-derived data): the staged bytes must round-trip the
     // binaryFile source exactly.
