@@ -407,6 +407,19 @@ object SourceQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // The SAME continuous sessionizer on Spark 4's transformWithState
+    // with EVENT-TIME TIMERS (the new API's native timeout) — run
+    // against the identical closed-session oracle, so the legacy
+    // GroupState timeout and the successor timer mechanism are
+    // proven gate-indistinguishable.
+    "sessionize_tws" -> ((s, d) => {
+      val sink = "sess_tws_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.Sessionize
+        .runTwsStreamToCompletion(s, d, sink)
+        .orderBy("user_id", "session_start")
+    }),
+
     // The same stateful sessionizer through the DEPLOYABLE sink: a
     // checkpointed parquet file sink (exactly-once via the sink
     // manifest), read back from the files — hash-pinned against the
@@ -581,6 +594,7 @@ object SourceQueries {
     // closed-session predicate cannot desynchronize them.
     "sessionize_sink_parquet" -> closedSessionsOracle,
     "sessionize_stateful" -> closedSessionsOracle,
+    "sessionize_tws" -> closedSessionsOracle,
     "stream_join_batch" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

@@ -196,6 +196,127 @@ object Sessionize {
         GroupStateTimeout.EventTimeTimeout())(sessionizeGroupStateful)
   }
 
+  /** The continuous sessionizer on Spark 4's `transformWithState`:
+    * a typed ValueState holds the open session and EVENT-TIME TIMERS
+    * (`registerTimer` / `handleExpiredTimer`) are the new API's
+    * native spelling of the provably-closed emission — the timer set
+    * at end+gap+1 s (−1 ms for the strict-inequality firing rule,
+    * same boundary note as [[sessionizeGroupStateful]]) fires once
+    * the watermark proves no extender can arrive. Output contract
+    * and oracle are IDENTICAL to the flatMapGroupsWithState form:
+    * the gate runs both against one closed-session oracle, proving
+    * the two state APIs AND their timeout/timer mechanisms
+    * indistinguishable.
+    */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvT, SessionOut] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var open
+        : org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "openSession",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        events: Iterator[EvT],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s)
+              if e.tsMicros / 1000000L - s.lastMicros / 1000000L
+                > GapSeconds =>
+            out += emit(userId, s)
+            cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L))
+          case Some(s) =>
+            cur = Some(s.copy(lastMicros = e.tsMicros, n = s.n + 1))
+          case None =>
+            cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L))
+        }
+      }
+      // Re-arm: one live timer per key, tracking the open session's
+      // current close boundary.
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.registerTimer(
+          (s.lastMicros / 1000000L + GapSeconds + 1) * 1000L - 1)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      val closed =
+        if (open.exists()) Some(emit(userId, open.get())) else None
+      open.clear()
+      closed.iterator
+    }
+  }
+
+  def sessionizeStreamTws(
+      spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    StreamingEvents
+      .stream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("ts"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Run the transformWithState sessionizer to completion under the
+    * RocksDB provider the operator requires (conf scoped + restored).
+    */
+  def runTwsStreamToCompletion(
+      spark: SparkSession, dir: String, sink: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      withStreamShufflePartitions(spark) {
+        val q = sessionizeStreamTws(spark, dir).writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    MemorySinks.drain(spark, sink)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily capped
     * at 8 for the stateful streaming queries. The state-store partition
     * count is frozen from this setting at a checkpoint's first batch;
