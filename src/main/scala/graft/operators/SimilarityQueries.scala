@@ -452,8 +452,15 @@ object SimilarityQueries {
     // the whole curve hash-pins cross-engine. Counts collect ONE
     // bounded row per config (the bpe-trainer pattern).
     "ann_report" -> ((s, d) => {
-      val brute5 = scoreCandidates(s, d, bruteCandidates(s, d))
-        .select("qid", "vec_id")
+      // Pinned: the brute reference joins every config's hits, and
+      // each config's candidate frame feeds its own count AND its
+      // scoring — without pins every count action regenerates the
+      // bucket/cell joins over N (neutral at fixture scale, where
+      // job scheduling dominates; the regeneration is what grows
+      // with corpus size).
+      val brute5 = graft.Checkpoints.pin(
+        scoreCandidates(s, d, bruteCandidates(s, d))
+          .select("qid", "vec_id"))
       // The brute row IS the reference: its results and hits are
       // definitionally brute5 — never score the exhaustive candidate
       // set a second time.
@@ -466,8 +473,10 @@ object SimilarityQueries {
         "lsh_t1_r0" -> lshCandidates(s, d, 1, 0),
         "lsh_t1_r1" -> lshCandidates(s, d, 1, 1),
         "lsh_t2_r2" -> lshCandidates(s, d, NTables, ProbeRadius))
-      val rows = bruteRow +: configs.map { case (name, cand) =>
-        val top5 = scoreCandidates(s, d, cand).select("qid", "vec_id")
+      val rows = bruteRow +: configs.map { case (name, cand0) =>
+        val cand = graft.Checkpoints.pin(cand0)
+        val top5 = graft.Checkpoints.pin(
+          scoreCandidates(s, d, cand).select("qid", "vec_id"))
         val hits = top5.join(brute5, Seq("qid", "vec_id"), "left_semi")
         (name, cand.count(), top5.count(), hits.count())
       }
