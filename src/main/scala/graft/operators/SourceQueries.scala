@@ -297,6 +297,48 @@ object SourceQueries {
       }
     }),
 
+    // WARM-START quota (StatefulProcessorWithInitialState): the
+    // batch→streaming HANDOVER — history (even event ids) counted
+    // once offline into the initial state, the stream processes only
+    // the new half and its accept decisions must reflect the warm
+    // counters. The oracle computes the combined rank arithmetically
+    // (history count + stream rank per user-day), so un-loaded
+    // initial state (accepts too much) and double-counted history
+    // both break the hash.
+    "stream_quota_warm" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val sink = "stream_quota_warm_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingEvents.quotaStreamWarm(s, d)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.MemorySinks.drain(s, sink)
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("accepted"), 1L).otherwise(0L))
+              .as("n_accepted"),
+            sum(when(col("accepted"), 0L).otherwise(1L))
+              .as("n_dropped"))
+          .orderBy("event_type")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // MULTI-HOP streaming (bronze→silver→gold): hop 1 materializes
     // the watermark-gated hourly silver layer through its
     // checkpointed parquet sink; hop 2 is a SECOND streaming query
@@ -647,6 +689,41 @@ object SourceQueries {
     // for both state-API implementations.
     "stream_quota" -> quotaOracleSql,
     "stream_quota_tws" -> quotaOracleSql,
+    // Combined rank = batch history count + stream rank per
+    // (user, event-time day); only the stream half is emitted.
+    "stream_quota_warm" ->
+      s"""WITH hist AS (
+         |  SELECT user_id,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+         |           AS day,
+         |         count(*) AS c
+         |  FROM events WHERE event_id % 2 = 0
+         |  GROUP BY 1, 2
+         |), strm AS (
+         |  SELECT event_type, user_id,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+         |           AS day,
+         |         row_number() OVER (
+         |           PARTITION BY user_id,
+         |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+         |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
+         |             event_id ASC) AS rn
+         |  FROM events WHERE event_id % 2 = 1
+         |), ranked AS (
+         |  SELECT s.event_type,
+         |         COALESCE(h.c, 0) + s.rn AS crn
+         |  FROM strm s
+         |  LEFT JOIN hist h
+         |    ON h.user_id = s.user_id AND h.day = s.day
+         |)
+         |SELECT event_type,
+         |       CAST(sum(CASE WHEN crn <= ${
+          graft.streaming.StreamingEvents.QuotaPerDay
+        } THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+         |       CAST(sum(CASE WHEN crn > ${
+          graft.streaming.StreamingEvents.QuotaPerDay
+        } THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Two-batch foreachBatch merge ≡ one-shot aggregation.
     "stream_foreach_upsert" ->
       """SELECT event_type,

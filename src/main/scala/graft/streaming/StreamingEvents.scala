@@ -479,4 +479,86 @@ object StreamingEvents {
         OutputMode.Append())
       .toDF()
   }
+
+  /** One batch-computed (user, day) counter row of the warm-start
+    * initial state.
+    */
+  case class WarmCounter(user_id: Long, day: Long, c: Long)
+
+  /** WARM-START quota: the same day-counter processor seeded with
+    * INITIAL STATE computed in batch — the migration path from a
+    * batch job to a streaming one (history counted once offline, the
+    * stream continues from it; no replay of history through the
+    * stream). `handleInitialState` is invoked per initial-state row
+    * before any input, loading each (day, count) into the MapState.
+    */
+  class WarmQuotaProcessor
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessorWithInitialState[
+          Long, QEv, QuotaOut, WarmCounter] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var counters
+        : org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counters = getHandle.getMapState[Long, Long](
+        "dayCounters",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: Long,
+        initialState: WarmCounter,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      counters.updateValue(initialState.day, initialState.c)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[QEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QuotaOut] =
+      rows.toSeq
+        .sortBy(e => (e.tsMicros, e.event_id))
+        .map { e =>
+          val day = e.tsMicros / 86400000000L
+          val c = (if (counters.containsKey(day))
+            counters.getValue(day)
+          else 0L) + 1L
+          counters.updateValue(day, c)
+          QuotaOut(key, e.event_id, e.event_type, c <= QuotaPerDay)
+        }
+        .iterator
+  }
+
+  /** History = even event ids counted in BATCH into the initial
+    * state; the stream delivers only the odd half and its accept
+    * decisions must reflect the warm counters (history events were
+    * processed first — the batch→streaming handover contract).
+    */
+  def quotaStreamWarm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val initState = batch(spark, dir)
+      .filter(col("event_id") % 2 === 0)
+      .groupBy(
+        col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .as[WarmCounter]
+      .groupByKey(_.user_id)
+    stream(spark, dir)
+      .filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsMicros"))
+      .as[QEv]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new WarmQuotaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        initState)
+      .toDF()
+  }
 }
