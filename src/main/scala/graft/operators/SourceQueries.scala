@@ -297,6 +297,44 @@ object SourceQueries {
       }
     }),
 
+    // Per-key RECENCY BUFFER on ListState (the remaining typed state
+    // primitive): the last K=3 events per user stay buffered — the
+    // per-key sliding context a feature pipeline keeps — and every
+    // arrival beyond K emits the evicted oldest event. The oracle
+    // derives evictions as rank-from-newest > K, so both over- and
+    // under-eviction break the hash.
+    "stream_recent_k" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val sink = "stream_recent_k_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingEvents.recentKStream(s, d)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.MemorySinks.drain(s, sink)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_evicted"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // WARM-START quota (StatefulProcessorWithInitialState): the
     // batch→streaming HANDOVER — history (even event ids) counted
     // once offline into the initial state, the stream processes only
@@ -689,6 +727,22 @@ object SourceQueries {
     // for both state-API implementations.
     "stream_quota" -> quotaOracleSql,
     "stream_quota_tws" -> quotaOracleSql,
+    // Evicted = everything except each user's K newest events (rank
+    // from newest > K in (time, id) order).
+    "stream_recent_k" ->
+      s"""WITH r AS (
+         |  SELECT event_type, user_id,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+         |             event_id DESC) AS rfe
+         |  FROM events
+         |)
+         |SELECT event_type, count(*) AS n_evicted,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM r WHERE rfe > ${
+          graft.streaming.StreamingEvents.RecentK
+        }
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Combined rank = batch history count + stream rank per
     // (user, event-time day); only the stream half is emitted.
     "stream_quota_warm" ->

@@ -480,6 +480,72 @@ object StreamingEvents {
       .toDF()
   }
 
+  /** Eviction record of the recency buffer: the event pushed out
+    * when a newer one arrived.
+    */
+  case class Evicted(user_id: Long, event_id: Long, event_type: String)
+
+  /** Buffer depth of the per-key recency window. */
+  val RecentK = 3
+
+  /** Per-key RECENCY BUFFER on ListState — the remaining typed state
+    * primitive (Value/Map/timers covered by the quota and session
+    * processors): the last K events per user stay buffered (the
+    * per-key sliding context a feature pipeline keeps), and each
+    * arrival beyond K EMITS the evicted oldest event. Deterministic
+    * under any partitioning by the same (time, id) group sort; the
+    * oracle derives evictions as rank-from-newest > K.
+    */
+  class RecentKProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, QEv, Evicted] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var recent
+        : org.apache.spark.sql.streaming.ListState[QEv] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[QEv](
+        "recentEvents",
+        org.apache.spark.sql.Encoders.product[QEv],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[QEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Evicted] = {
+      var buf = recent.get().toVector
+      val out = scala.collection.mutable.ArrayBuffer.empty[Evicted]
+      rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+        buf = buf :+ e
+        if (buf.size > RecentK) {
+          val ev = buf.head
+          buf = buf.tail
+          out += Evicted(key, ev.event_id, ev.event_type)
+        }
+      }
+      recent.clear()
+      buf.foreach(recent.appendValue)
+      out.iterator
+    }
+  }
+
+  def recentKStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsMicros"))
+      .as[QEv]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RecentKProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** One batch-computed (user, day) counter row of the warm-start
     * initial state.
     */
