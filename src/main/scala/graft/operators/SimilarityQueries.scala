@@ -400,6 +400,46 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // RESIDUAL IVF-PQ — the textbook IVFADC completion: PQ codes are
+    // trained on and applied to the RESIDUAL x − centroid(cell(x)),
+    // not the raw vector, so the coarse quantizer absorbs the
+    // between-cell variance and the 16 codewords spend their budget
+    // on the within-cell remainder (the reason FAISS encodes
+    // residuals). Each query probes its nprobe=2 cells and scores
+    // candidates as l2(q − centroid_c, recon_residual) — the query
+    // residual is PER PROBED CELL, candidates carry residuals w.r.t.
+    // their OWN cell, and both sides subtract in double before any
+    // fold so the arithmetic is order-pinned. Same bounded plan as
+    // ivfpq_topk: broadcast centroids, cell equi-join, keyed recon
+    // join.
+    "ivfpq_residual_topk" -> ((s, d) => {
+      val rrecon = pqReconOf(
+        ivfResiduals(s, d).select(col("vec_id"), col("vec")))
+      val cents = embeddings(s, d)
+        .filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("centv"))
+      val q = ivfProbes(s, d, 2)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("cid"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("ad2").asc, col("vec_id").asc)
+      broadcast(q)
+        .join(ivfAssign(s, d).select(col("vec_id"), col("cid")),
+          Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .join(rrecon, Seq("vec_id"))
+        .join(broadcast(cents), Seq("cid"))
+        .withColumn("qres",
+          zip_with(col("qe"), col("centv"),
+            (x, c) => x.cast("double") - c.cast("double")))
+        .withColumn("ad2", l2sq(col("qres"), col("recon")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "ad2")
+        .orderBy("qid", "rnk")
+    }),
+
     // THE PQ RECALL/COST CURVE, oracle-pinned like ann_report but
     // against the EXACT-L2 reference (PQ ranks by squared L2, so the
     // cosine curve's reference would be the wrong ruler): one row per
@@ -1080,13 +1120,37 @@ object SimilarityQueries {
     * oracle. Shared by the exhaustive ADC scan ([[pqAdcScores]]) and
     * the IVF-pruned one (`ivfpq_topk`).
     */
-  private def computePqRecon(s: SparkSession, d: String): DataFrame = {
+  private def computePqRecon(s: SparkSession, d: String): DataFrame =
+    pqReconOf(embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("vec")))
+
+  /** (vec_id, cid, vec) with `vec` the DOUBLE residual
+    * x − centroid(cell(x)) — subtraction happens in double on both
+    * engines so every downstream fold is order-pinned. Centroid side
+    * bounded by K, broadcast.
+    */
+  private def ivfResiduals(s: SparkSession, d: String): DataFrame = {
+    val cents = embeddings(s, d)
+      .filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("centv"))
+    ivfAssign(s, d)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("centv"),
+          (x, c) => x.cast("double") - c.cast("double")).as("vec"))
+  }
+
+  /** The encode generalized over any (vec_id, vec) frame — raw
+    * embeddings for the plain PQ family, IVF residuals for
+    * `ivfpq_residual_topk`.
+    */
+  private def pqReconOf(vecs: DataFrame): DataFrame = {
     val (m, sub, k) = (PqM, PqSubDim, PqCodes)
-    val subs = embeddings(s, d)
+    val subs = vecs
       .select(col("vec_id"),
         posexplode(
           transform(sequence(lit(0), lit(m - 1)),
-            mm => slice(col("embedding"),
+            mm => slice(col("vec"),
               mm * lit(sub) + lit(1), lit(sub)))))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
     val cents = subs.filter(col("vec_id") < k)
@@ -1507,6 +1571,101 @@ object SimilarityQueries {
          |         CAST(row_number() OVER (PARTITION BY qid
          |           ORDER BY d2 ASC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM ed) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    // Residual IVFADC: residuals in double, the same deterministic
+    // encode over residual sub-vectors, per-probed-cell query
+    // residuals, order-pinned ADC.
+    "ivfpq_residual_topk" ->
+      s"""WITH $normCte,
+         |$assignCte,
+         |assign2 AS (
+         |  SELECT vid AS vec_id, cid FROM (
+         |    SELECT vid, cid,
+         |           row_number() OVER (PARTITION BY vid
+         |             ORDER BY d.dot/(nv.nrm*nc.nrm) DESC, cid ASC) AS rn
+         |    FROM adots d
+         |    JOIN norms nv ON nv.vec_id = vid
+         |    JOIN norms nc ON nc.vec_id = cid) t
+         |  WHERE rn <= 2
+         |),
+         |rcents AS (
+         |  SELECT vec_id AS cid, embedding AS centv FROM embeddings
+         |  WHERE vec_id < $NCells
+         |), rz AS (
+         |  SELECT vec_id, cid, i,
+         |         CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS rv
+         |  FROM (SELECT a.vec_id, a.cid,
+         |               unnest(e.embedding) AS x,
+         |               unnest(rc.centv) AS c,
+         |               unnest(generate_series(1, len(e.embedding)))
+         |                 AS i
+         |        FROM assign a
+         |        JOIN embeddings e ON e.vec_id = a.vec_id
+         |        JOIN rcents rc ON rc.cid = a.cid) u
+         |), resid AS MATERIALIZED (
+         |  SELECT vec_id, cid, list(rv ORDER BY i) AS vec
+         |  FROM rz GROUP BY vec_id, cid
+         |), rsubs AS MATERIALIZED (
+         |  SELECT vec_id, u.m AS m,
+         |         list_slice(vec, u.m*$PqSubDim+1,
+         |           u.m*$PqSubDim+$PqSubDim) AS sv
+         |  FROM resid, LATERAL unnest(range(0, $PqM)) AS u(m)
+         |), rccents AS MATERIALIZED (
+         |  SELECT vec_id AS code, m, sv AS csub FROM rsubs
+         |  WHERE vec_id < $PqCodes
+         |), rencd AS (
+         |  SELECT vec_id, m, code,
+         |         sum((a - b) * (a - b)) AS d2
+         |  FROM (SELECT s.vec_id, s.m, c.code, unnest(s.sv) AS a,
+         |               unnest(c.csub) AS b
+         |        FROM rsubs s JOIN rccents c ON s.m = c.m) u
+         |  GROUP BY vec_id, m, code
+         |), rcodes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM rencd) t
+         |  WHERE rn = 1
+         |), rrecon AS MATERIALIZED (
+         |  SELECT cd.vec_id,
+         |         flatten(list(c.csub ORDER BY cd.m)) AS recon
+         |  FROM rcodes cd
+         |  JOIN rccents c ON c.m = cd.m AND c.code = cd.code
+         |  GROUP BY cd.vec_id
+         |), rq AS (
+         |  SELECT vec_id AS qid, cid FROM assign2
+         |  WHERE vec_id < $NQueries
+         |), qrz AS (
+         |  SELECT qid, cid, i,
+         |         CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS rv
+         |  FROM (SELECT rqq.qid, rqq.cid,
+         |               unnest(e.embedding) AS x,
+         |               unnest(rc.centv) AS c,
+         |               unnest(generate_series(1, len(e.embedding)))
+         |                 AS i
+         |        FROM rq rqq
+         |        JOIN embeddings e ON e.vec_id = rqq.qid
+         |        JOIN rcents rc ON rc.cid = rqq.cid) u
+         |), qres AS MATERIALIZED (
+         |  SELECT qid, cid, list(rv ORDER BY i) AS vec
+         |  FROM qrz GROUP BY qid, cid
+         |), rpairs AS (
+         |  SELECT qr.qid, c.vec_id, qr.vec AS qv, rr.recon AS cv
+         |  FROM qres qr
+         |  JOIN assign c ON c.cid = qr.cid AND c.vec_id <> qr.qid
+         |  JOIN rrecon rr ON rr.vec_id = c.vec_id
+         |), rad AS (
+         |  SELECT qid, vec_id, sum((a - b) * (a - b)) AS ad2
+         |  FROM (SELECT qid, vec_id, unnest(qv) AS a, unnest(cv) AS b
+         |        FROM rpairs) u
+         |  GROUP BY qid, vec_id
+         |)
+         |SELECT qid, vec_id, rnk, ad2 FROM (
+         |  SELECT qid, vec_id, ad2,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY ad2 ASC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM rad) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
     // IVF nprobe=2 pruning → candidate ADC → shortlist → exact
     // re-rank, each stage the corresponding single-query oracle's
