@@ -476,7 +476,9 @@ object SimilarityQueries {
       val rows = Seq(
         row("pq_adc", adcCand, queries("pq_topk")(s, d)),
         row("pq_rerank", adcCand, queries("pq_topk_rerank")(s, d)),
-        row("ivfpq", ivfCand, queries("ivfpq_topk")(s, d)))
+        row("ivfpq", ivfCand, queries("ivfpq_topk")(s, d)),
+        row("ivfpq_residual", ivfCand,
+          queries("ivfpq_residual_topk")(s, d)))
       s.createDataFrame(rows)
         .toDF("config", "n_candidates", "n_results", "n_hits_at5")
         .orderBy("config")
@@ -1270,6 +1272,87 @@ object SimilarityQueries {
        |    GROUP BY vec_id) pr
        |)""".stripMargin
 
+  /** Residual-IVFADC CTE chain in DuckDB (mirrors [[ivfResiduals]]
+    * + [[pqReconOf]] over residuals + the per-probed-cell query
+    * residual scoring). Requires `norms`/`assign`/`assign2` in
+    * scope; terminates in `rad(qid, vec_id, ad2)`. Shared by the
+    * `ivfpq_residual_topk` oracle and the pq_report residual row.
+    */
+  private def residualAdcCtes: String =
+    s"""rcents AS (
+         |  SELECT vec_id AS cid, embedding AS centv FROM embeddings
+         |  WHERE vec_id < $NCells
+         |), rz AS (
+         |  SELECT vec_id, cid, i,
+         |         CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS rv
+         |  FROM (SELECT a.vec_id, a.cid,
+         |               unnest(e.embedding) AS x,
+         |               unnest(rc.centv) AS c,
+         |               unnest(generate_series(1, len(e.embedding)))
+         |                 AS i
+         |        FROM assign a
+         |        JOIN embeddings e ON e.vec_id = a.vec_id
+         |        JOIN rcents rc ON rc.cid = a.cid) u
+         |), resid AS MATERIALIZED (
+         |  SELECT vec_id, cid, list(rv ORDER BY i) AS vec
+         |  FROM rz GROUP BY vec_id, cid
+         |), rsubs AS MATERIALIZED (
+         |  SELECT vec_id, u.m AS m,
+         |         list_slice(vec, u.m*$PqSubDim+1,
+         |           u.m*$PqSubDim+$PqSubDim) AS sv
+         |  FROM resid, LATERAL unnest(range(0, $PqM)) AS u(m)
+         |), rccents AS MATERIALIZED (
+         |  SELECT vec_id AS code, m, sv AS csub FROM rsubs
+         |  WHERE vec_id < $PqCodes
+         |), rencd AS (
+         |  SELECT vec_id, m, code,
+         |         sum((a - b) * (a - b)) AS d2
+         |  FROM (SELECT s.vec_id, s.m, c.code, unnest(s.sv) AS a,
+         |               unnest(c.csub) AS b
+         |        FROM rsubs s JOIN rccents c ON s.m = c.m) u
+         |  GROUP BY vec_id, m, code
+         |), rcodes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY d2 ASC, code ASC) AS rn
+         |    FROM rencd) t
+         |  WHERE rn = 1
+         |), rrecon AS MATERIALIZED (
+         |  SELECT cd.vec_id,
+         |         flatten(list(c.csub ORDER BY cd.m)) AS recon
+         |  FROM rcodes cd
+         |  JOIN rccents c ON c.m = cd.m AND c.code = cd.code
+         |  GROUP BY cd.vec_id
+         |), rq AS (
+         |  SELECT vec_id AS qid, cid FROM assign2
+         |  WHERE vec_id < $NQueries
+         |), qrz AS (
+         |  SELECT qid, cid, i,
+         |         CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS rv
+         |  FROM (SELECT rqq.qid, rqq.cid,
+         |               unnest(e.embedding) AS x,
+         |               unnest(rc.centv) AS c,
+         |               unnest(generate_series(1, len(e.embedding)))
+         |                 AS i
+         |        FROM rq rqq
+         |        JOIN embeddings e ON e.vec_id = rqq.qid
+         |        JOIN rcents rc ON rc.cid = rqq.cid) u
+         |), qres AS MATERIALIZED (
+         |  SELECT qid, cid, list(rv ORDER BY i) AS vec
+         |  FROM qrz GROUP BY qid, cid
+         |), rpairs AS (
+         |  SELECT qr.qid, c.vec_id, qr.vec AS qv, rr.recon AS cv
+         |  FROM qres qr
+         |  JOIN assign c ON c.cid = qr.cid AND c.vec_id <> qr.qid
+         |  JOIN rrecon rr ON rr.vec_id = c.vec_id
+         |), rad AS (
+         |  SELECT qid, vec_id, sum((a - b) * (a - b)) AS ad2
+         |  FROM (SELECT qid, vec_id, unnest(qv) AS a, unnest(cv) AS b
+         |        FROM rpairs) u
+         |  GROUP BY qid, vec_id
+         |)""".stripMargin
+
   /** PQ encode → reconstruct CTE chain in DuckDB (mirrors
     * [[pqRecon]] exactly: same subspace slicing, same deterministic
     * per-subspace argmin, same subspace-order reconstruction).
@@ -1588,79 +1671,7 @@ object SimilarityQueries {
          |    JOIN norms nc ON nc.vec_id = cid) t
          |  WHERE rn <= 2
          |),
-         |rcents AS (
-         |  SELECT vec_id AS cid, embedding AS centv FROM embeddings
-         |  WHERE vec_id < $NCells
-         |), rz AS (
-         |  SELECT vec_id, cid, i,
-         |         CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS rv
-         |  FROM (SELECT a.vec_id, a.cid,
-         |               unnest(e.embedding) AS x,
-         |               unnest(rc.centv) AS c,
-         |               unnest(generate_series(1, len(e.embedding)))
-         |                 AS i
-         |        FROM assign a
-         |        JOIN embeddings e ON e.vec_id = a.vec_id
-         |        JOIN rcents rc ON rc.cid = a.cid) u
-         |), resid AS MATERIALIZED (
-         |  SELECT vec_id, cid, list(rv ORDER BY i) AS vec
-         |  FROM rz GROUP BY vec_id, cid
-         |), rsubs AS MATERIALIZED (
-         |  SELECT vec_id, u.m AS m,
-         |         list_slice(vec, u.m*$PqSubDim+1,
-         |           u.m*$PqSubDim+$PqSubDim) AS sv
-         |  FROM resid, LATERAL unnest(range(0, $PqM)) AS u(m)
-         |), rccents AS MATERIALIZED (
-         |  SELECT vec_id AS code, m, sv AS csub FROM rsubs
-         |  WHERE vec_id < $PqCodes
-         |), rencd AS (
-         |  SELECT vec_id, m, code,
-         |         sum((a - b) * (a - b)) AS d2
-         |  FROM (SELECT s.vec_id, s.m, c.code, unnest(s.sv) AS a,
-         |               unnest(c.csub) AS b
-         |        FROM rsubs s JOIN rccents c ON s.m = c.m) u
-         |  GROUP BY vec_id, m, code
-         |), rcodes AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT vec_id, m, code,
-         |           row_number() OVER (PARTITION BY vec_id, m
-         |             ORDER BY d2 ASC, code ASC) AS rn
-         |    FROM rencd) t
-         |  WHERE rn = 1
-         |), rrecon AS MATERIALIZED (
-         |  SELECT cd.vec_id,
-         |         flatten(list(c.csub ORDER BY cd.m)) AS recon
-         |  FROM rcodes cd
-         |  JOIN rccents c ON c.m = cd.m AND c.code = cd.code
-         |  GROUP BY cd.vec_id
-         |), rq AS (
-         |  SELECT vec_id AS qid, cid FROM assign2
-         |  WHERE vec_id < $NQueries
-         |), qrz AS (
-         |  SELECT qid, cid, i,
-         |         CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS rv
-         |  FROM (SELECT rqq.qid, rqq.cid,
-         |               unnest(e.embedding) AS x,
-         |               unnest(rc.centv) AS c,
-         |               unnest(generate_series(1, len(e.embedding)))
-         |                 AS i
-         |        FROM rq rqq
-         |        JOIN embeddings e ON e.vec_id = rqq.qid
-         |        JOIN rcents rc ON rc.cid = rqq.cid) u
-         |), qres AS MATERIALIZED (
-         |  SELECT qid, cid, list(rv ORDER BY i) AS vec
-         |  FROM qrz GROUP BY qid, cid
-         |), rpairs AS (
-         |  SELECT qr.qid, c.vec_id, qr.vec AS qv, rr.recon AS cv
-         |  FROM qres qr
-         |  JOIN assign c ON c.cid = qr.cid AND c.vec_id <> qr.qid
-         |  JOIN rrecon rr ON rr.vec_id = c.vec_id
-         |), rad AS (
-         |  SELECT qid, vec_id, sum((a - b) * (a - b)) AS ad2
-         |  FROM (SELECT qid, vec_id, unnest(qv) AS a, unnest(cv) AS b
-         |        FROM rpairs) u
-         |  GROUP BY qid, vec_id
-         |)
+         |$residualAdcCtes
          |SELECT qid, vec_id, rnk, ad2 FROM (
          |  SELECT qid, vec_id, ad2,
          |         CAST(row_number() OVER (PARTITION BY qid
@@ -1800,12 +1811,27 @@ object SimilarityQueries {
          |    FROM icand i JOIN ad a
          |      ON a.qid = i.qid AND a.vec_id = i.vec_id) t
          |  WHERE rnk <= $TopK
+         |),
+         |$residualAdcCtes,
+         |restop AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY ad2 ASC, vec_id ASC) AS rnk
+         |    FROM rad) t
+         |  WHERE rnk <= $TopK
          |)
          |SELECT 'ivfpq' AS config,
          |  (SELECT count(*) FROM icand) AS n_candidates,
          |  (SELECT count(*) FROM itop) AS n_results,
          |  (SELECT count(*) FROM itop t JOIN xtop x
          |   ON t.qid = x.qid AND t.vec_id = x.vec_id) AS n_hits_at5
+         |UNION ALL
+         |SELECT 'ivfpq_residual',
+         |  (SELECT count(*) FROM icand),
+         |  (SELECT count(*) FROM restop),
+         |  (SELECT count(*) FROM restop t JOIN xtop x
+         |   ON t.qid = x.qid AND t.vec_id = x.vec_id)
          |UNION ALL
          |SELECT 'pq_adc',
          |  (SELECT count(*) FROM pqpairs),
