@@ -222,6 +222,20 @@ object Bench {
     }
 
     spark.stop()
+    // The guaranteed-LAST stdout lines: round 7's driver parse came up
+    // null because the summary printed BEFORE the isolated re-run pass,
+    // whose log output then flooded the tail capture. Everything that
+    // can log (queries, isolated pass, SparkContext shutdown) is done
+    // by this point, so these lines are what a tail-parser sees.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
+    println(shortLine)
+    // A bench run whose artifact didn't land is a failed bench, not a
+    // quiet one — the files are the only parse-proof record.
+    val totalFile = java.nio.file.Paths.get(s"BENCH_TOTAL$suffix.json")
+    if (!java.nio.file.Files.exists(totalFile)) {
+      System.err.println(s"BENCH FAILURE: $totalFile was not written")
+      sys.exit(1)
+    }
     if (nFail > 0) sys.exit(1)
   }
 }

@@ -29,6 +29,7 @@ object SparkEntry {
       FunctionQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
+      AnnIndexQueries.queries ++
       MultimodalQueries.queries ++
       SourceQueries.queries ++
       MiscQueries.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       FunctionQueries.oracleSql ++
       TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
+      AnnIndexQueries.oracleSql ++
       MultimodalQueries.oracleSql ++
       SourceQueries.oracleSql ++
       MiscQueries.oracleSql ++

@@ -746,24 +746,17 @@ object MiscQueries {
         Money.cents(col("value")).as("cents"))
       ev.write.mode("overwrite").partitionBy("day").parquet(dir)
       val firstDay = "2024-01-01"
-      val prevMode = s.conf
-        .getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        // The "correction": the first day's rows re-land with cents
-        // doubled — a backfill-shaped rewrite of exactly one
-        // partition.
-        ev.filter(col("day") === firstDay)
-          .withColumn("cents", col("cents") * 2)
-          .write.mode("overwrite").partitionBy("day").parquet(dir)
-      } finally {
-        prevMode match {
-          case Some(m) => s.conf
-            .set("spark.sql.sources.partitionOverwriteMode", m)
-          case None => s.conf
-            .unset("spark.sql.sources.partitionOverwriteMode")
-        }
-      }
+      // The "correction": the first day's rows re-land with cents
+      // doubled — a backfill-shaped rewrite of exactly one partition.
+      // The overwrite mode rides on the WRITER (scoped to this one
+      // write), never on the session conf — a session-global toggle
+      // would turn unrelated concurrent overwrites dynamic for the
+      // duration of the window.
+      ev.filter(col("day") === firstDay)
+        .withColumn("cents", col("cents") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(dir)
       s.read.parquet(dir)
         .groupBy("day")
         .agg(

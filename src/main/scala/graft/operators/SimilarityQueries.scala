@@ -23,15 +23,15 @@ import graft.functions.Vectors._
   */
 object SimilarityQueries {
 
-  private val NQueries = 5
-  private val NPlanes = 4
-  private val TopK = 5
+  private[operators] val NQueries = 5
+  private[operators] val NPlanes = 4
+  private[operators] val TopK = 5
 
   /** High-recall configuration (`cosine_topk_lsh_hi`): independent
     * hash tables and the multi-probe Hamming radius per table.
     */
-  private val NTables = 2
-  private val ProbeRadius = 2
+  private[operators] val NTables = 2
+  private[operators] val ProbeRadius = 2
 
   /** Near-dup cosine threshold. The fixture embeddings are near-random
     * (max pairwise cosine ≈ 0.51), so 0.3 exercises the operator with
@@ -45,15 +45,15 @@ object SimilarityQueries {
     * k-means iteration, which is the part with a distributed plan
     * (seed choice/iteration is driver-side logic around it).
     */
-  private val NCells = 8
+  private[operators] val NCells = 8
 
   /** Product-quantization shape: M subspaces × SubDim dims (M·SubDim =
     * embedding dim), Codes sub-centroids per subspace (fixed seeds,
     * same determinism rationale as NCells).
     */
-  private val PqM = 8
-  private val PqSubDim = 8
-  private val PqCodes = 16
+  private[operators] val PqM = 8
+  private[operators] val PqSubDim = 8
+  private[operators] val PqCodes = 16
 
   /** ADC shortlist size for the exact re-rank stage. */
   private val PqShortlist = 25
@@ -61,7 +61,7 @@ object SimilarityQueries {
   /** Squared L2 distance as a left-to-right double fold (same
     * determinism contract as [[graft.functions.Vectors.dot]]).
     */
-  private def l2sq(a: org.apache.spark.sql.Column,
+  private[operators] def l2sq(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(
       zip_with(a, b,
@@ -413,8 +413,7 @@ object SimilarityQueries {
     // ivfpq_topk: broadcast centroids, cell equi-join, keyed recon
     // join.
     "ivfpq_residual_topk" -> ((s, d) => {
-      val rrecon = pqReconOf(
-        ivfResiduals(s, d).select(col("vec_id"), col("vec")))
+      val rrecon = residRecon(s, d)
       val cents = embeddings(s, d)
         .filter(col("vec_id") < NCells)
         .select(col("vec_id").as("cid"), col("embedding").as("centv"))
@@ -1114,6 +1113,18 @@ object SimilarityQueries {
     reconCache.getOrCompute(s, d)(
       graft.Checkpoints.pin(computePqRecon(s, d)))
 
+  /** Residual-encode memo, same rationale as [[reconCache]]: the
+    * residual reconstruction is consumed by `ivfpq_residual_topk` AND
+    * (via that query) twice more inside `pq_report` — one pinned
+    * encode per (session, dir) instead of one per invocation.
+    */
+  private val residReconCache = new SessionMemo[DataFrame]
+
+  private def residRecon(s: SparkSession, d: String): DataFrame =
+    residReconCache.getOrCompute(s, d)(
+      graft.Checkpoints.pin(pqReconOf(
+        ivfResiduals(s, d).select(col("vec_id"), col("vec")))))
+
   /** PQ encode → reconstruct: (vec_id, recon) with `recon` the
     * codeword reconstruction of each vector. Encode = broadcast join
     * against the Codes×M sub-centroid table with a deterministic
@@ -1147,24 +1158,55 @@ object SimilarityQueries {
     * `ivfpq_residual_topk`.
     */
   private def pqReconOf(vecs: DataFrame): DataFrame = {
-    val (m, sub, k) = (PqM, PqSubDim, PqCodes)
-    val subs = vecs
+    val subs = pqSubvectors(vecs)
+    val cents = pqCodebookOf(subs)
+    pqReconFromCodes(pqCodesOf(subs, cents), cents)
+  }
+
+  /** Subspace slicing stage of the PQ encode: (vec_id, m, sv) with
+    * `sv` the m-th SubDim-wide slice of the vector. Exposed to the
+    * persisted-index build ([[AnnIndexQueries]]) so the written
+    * codebook/codes can never drift from the in-session encode.
+    */
+  private[operators] def pqSubvectors(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"),
         posexplode(
-          transform(sequence(lit(0), lit(m - 1)),
+          transform(sequence(lit(0), lit(PqM - 1)),
             mm => slice(col("vec"),
-              mm * lit(sub) + lit(1), lit(sub)))))
+              mm * lit(PqSubDim) + lit(1), lit(PqSubDim)))))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
-    val cents = subs.filter(col("vec_id") < k)
+
+  /** Fixed-seed sub-centroid table (m, code, csub) — the PQ CODEBOOK:
+    * sub-vectors of the first PqCodes vectors, per subspace.
+    */
+  private[operators] def pqCodebookOf(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").as("code"), col("m"),
         col("sv").as("csub"))
+
+  /** Encode stage: each (vec_id, m) sub-vector mapped to its nearest
+    * codebook entry with the deterministic argmin (d2 asc, code asc)
+    * → the PQ CODES table (vec_id, m, code).
+    */
+  private[operators] def pqCodesOf(
+      subs: DataFrame, cents: DataFrame): DataFrame = {
     val wEnc = Window.partitionBy("vec_id", "m")
       .orderBy(col("d2").asc, col("code").asc)
-    val codes = subs.join(broadcast(cents), Seq("m"))
+    subs.join(broadcast(cents), Seq("m"))
       .withColumn("d2", l2sq(col("sv"), col("csub")))
       .withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("code"))
+  }
+
+  /** Decode stage: codes ⋈ codebook reassembled in subspace order into
+    * the codeword reconstruction (vec_id, recon) — shared by the
+    * in-session encode and the persisted-index serve path, so the
+    * order-pinned downstream L2 fold sees identical arrays either way.
+    */
+  private[operators] def pqReconFromCodes(
+      codes: DataFrame, cents: DataFrame): DataFrame =
     codes
       .join(broadcast(cents), Seq("m", "code"))
       .groupBy("vec_id")
@@ -1172,7 +1214,6 @@ object SimilarityQueries {
         transform(
           array_sort(collect_list(struct(col("m"), col("csub")))),
           x => x.getField("csub"))).as("recon"))
-  }
 
   /** Shared PQ tail: (qid, vec_id, ad2) for every query×candidate
     * pair, scored ASYMMETRICALLY (exact query vs the candidate's
@@ -1203,7 +1244,7 @@ object SimilarityQueries {
     * nearest centroids (same deterministic rank). nprobe=1 is the
     * assignment; higher values are the query-side recall knob.
     */
-  private def ivfProbes(
+  private[operators] def ivfProbes(
       s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val cents = embeddings(s, d)
       .filter(col("vec_id") < NCells)
@@ -1237,7 +1278,7 @@ object SimilarityQueries {
   // MATERIALIZED: referenced once per config side in the multi-config
   // oracles — DuckDB would otherwise inline (re-aggregate) per
   // reference.
-  private val normCte =
+  private[operators] val normCte =
     """norms AS MATERIALIZED (
       |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
       |    AS nrm
@@ -1254,7 +1295,7 @@ object SimilarityQueries {
     * offset..offset+NPlanes-1, bit value 1<<j for WITHIN-table index j
     * (mirrors Vectors.lshBucketAt).
     */
-  private def tableBucketCte(name: String, offset: Int) =
+  private[operators] def tableBucketCte(name: String, offset: Int) =
     s"""$name AS MATERIALIZED (
        |  SELECT vec_id, ${(0 until NPlanes)
         .map(j =>
@@ -1359,7 +1400,7 @@ object SimilarityQueries {
     * Terminates in `recon(vec_id, recon)`; shared by every PQ oracle
     * (exhaustive ADC, rerank, IVF-PQ) so the encode cannot drift.
     */
-  private def pqReconCtes: String =
+  private[operators] def pqReconCtes: String =
     s"""subs AS MATERIALIZED (
        |  SELECT vec_id, u.m AS m,
        |         list_slice(embedding, u.m*$PqSubDim+1,
@@ -1415,7 +1456,7 @@ object SimilarityQueries {
     * bit-deterministic cosine, same (sim desc, cid asc) argmax.
     * Requires `$normCte` in scope.
     */
-  private val assignCte =
+  private[operators] val assignCte =
     s"""apairs AS (
        |  SELECT v.vec_id AS vid, c.vec_id AS cid,
        |         v.embedding AS ve, c.embedding AS cee

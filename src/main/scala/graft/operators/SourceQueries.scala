@@ -135,6 +135,8 @@ object SourceQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamingEvents.assertSingleBatch(
+        q, "stream_quota")
       graft.streaming.MemorySinks.drain(s, sink)
         .groupBy("event_type")
         .agg(
@@ -281,6 +283,8 @@ object SourceQueries {
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        graft.streaming.StreamingEvents.assertSingleBatch(
+          q, "stream_quota_tws")
         graft.streaming.MemorySinks.drain(s, sink)
           .groupBy("event_type")
           .agg(
@@ -321,6 +325,8 @@ object SourceQueries {
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        graft.streaming.StreamingEvents.assertSingleBatch(
+          q, "stream_recent_k")
         graft.streaming.MemorySinks.drain(s, sink)
           .groupBy("event_type")
           .agg(
@@ -361,6 +367,8 @@ object SourceQueries {
             org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        graft.streaming.StreamingEvents.assertSingleBatch(
+          q, "stream_quota_warm")
         graft.streaming.MemorySinks.drain(s, sink)
           .groupBy("event_type")
           .agg(

@@ -135,7 +135,6 @@ object WebpageDataSource {
     */
   def fetchLive(url: String): Option[String] =
     try {
-      contentFetches.incrementAndGet()
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(30))
@@ -143,12 +142,17 @@ object WebpageDataSource {
         .build()
       val resp = httpClient.send(
         req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() / 100 == 2)
+      if (resp.statusCode() / 100 == 2) {
+        // Counted only on a delivered body, matching fixture-mode
+        // semantics (a timeout/non-2xx is a FAILED fetch, not a
+        // content fetch) — the instrument means the same thing in
+        // both modes.
+        contentFetches.incrementAndGet()
         Some(new String(
           resp.body(),
           charsetOf(
             Option(resp.headers().firstValue("Content-Type").orElse(null)))))
-      else None
+      } else None
     } catch { case scala.util.control.NonFatal(_) => None }
 }
 

@@ -81,6 +81,30 @@ object StreamingEvents {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
 
+  /** Guard for the ORDER-SENSITIVE stateful runs (quota, recent-K):
+    * their processors run in TimeMode.None with no watermark, so they
+    * sort events only WITHIN a micro-batch — their oracles assume a
+    * global (ts, event_id) order per key, which holds exactly when the
+    * whole fixture lands in one data batch (true for the single-file
+    * events fixture under AvailableNow). If the input ever splits
+    * (several files, maxFilesPerTrigger), cross-batch arrival order is
+    * file order and accept/evict decisions could silently diverge from
+    * the oracle — so the assumption is ASSERTED, not assumed: a
+    * multi-batch run fails loudly. (The continuous-deployment answer
+    * is event-time buffering behind a watermark, as the session
+    * processor does; these operators document the per-batch contract
+    * instead, which is the semantics a real at-ingest throttle has.)
+    */
+  def assertSingleBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      what: String): Unit = {
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"$what processed $dataBatches data micro-batches; its oracle " +
+        "assumes single-batch ordering — input must arrive as one " +
+        "available-now batch")
+  }
+
   /** Batch read of the same files — the differential twin. */
   def batch(spark: SparkSession, dir: String): DataFrame =
     normalize(

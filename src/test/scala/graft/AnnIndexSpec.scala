@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** The persisted ANN index (operators.AnnIndexQueries) must serve the
+  * SAME answers as the in-session ANN queries, and the serve plans
+  * must read ONLY the written index tables — that isolation is the
+  * whole point of the build/serve split (at 100 TB the serving tier
+  * never touches the raw corpus).
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  /** Every parquet location scanned by `df`'s executed plan. */
+  private def scannedPaths(df: DataFrame): Seq[String] = {
+    val executed = df.queryExecution.executedPlan
+    val plan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectWithSubqueries {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+  }
+
+  test("serve results identical to in-session twins") {
+    assert(run("ann_index_query").collect().toSeq ===
+      run("cosine_topk_lsh_hi").collect().toSeq)
+    assert(run("ann_index_ivfpq").collect().toSeq ===
+      run("ivfpq_topk").collect().toSeq)
+  }
+
+  test("serve plans scan only index tables, never the source") {
+    for (name <- Seq("ann_index_query", "ann_index_ivfpq")) {
+      val paths = scannedPaths(run(name))
+      assert(paths.nonEmpty, s"$name: no file scans found")
+      val offenders = paths.filterNot(_.contains("graft_ann_index"))
+      assert(offenders.isEmpty,
+        s"$name reads outside the persisted index: $offenders")
+    }
+  }
+
+  test("manifest pins every component's shape") {
+    val rows = run("ann_index_build").collect()
+    val byName = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(byName("lsh_vectors")._1 === 2 * n)   // NTables rows/vector
+    assert(byName("ivf_assign")._1 === n)
+    assert(byName("ivf_centroids")._1 === 8L)
+    assert(byName("pq_codebook")._1 === 8L * 16) // M × Codes
+    assert(byName("pq_codes")._1 === n * 8)      // M codes/vector
+  }
+}
