@@ -413,6 +413,105 @@ object TextQueries {
     }
   }
 
+  /** Candidate pairs accepted per batched-trainer driver round. */
+  private val BpeBatchK = 4
+
+  private val bpeBatchCache =
+    new SessionMemo[(Int, Seq[(Int, String, Long)])]
+
+  /** BATCHED BPE training — the job-count fix for a realistic
+    * vocabulary: the sequential trainer above runs one full
+    * pair-count job per merge (30k merges = 30k sequential Spark
+    * jobs); this trainer collects the top candidate pairs per round
+    * and accepts up to [[BpeBatchK]] of them greedily, skipping any
+    * candidate that SHARES A SYMBOL with one already accepted in the
+    * round. Disjoint pairs can't overlap in any word, so merging one
+    * leaves the others' counts untouched — each accepted merge is
+    * exactly the argmax the sequential trainer would have taken,
+    * EXCEPT when a merge creates a new pair (x, ab) whose count ties
+    * past a deferred candidate; `BpeBatchedSpec` asserts the fixture
+    * reproduces the sequential vocabulary exactly, and the gate pins
+    * the batched output to the SAME oracle as `bpe_train_merges`.
+    * Rounds collapse ~BpeBatchK× (the spec asserts the bound), so a
+    * 30k-merge vocabulary runs ~30k/K driver rounds (see SCALE.md).
+    * Returns (driver rounds used, merges with global 1-based index).
+    */
+  private[graft] def trainBpeMergesBatched(
+      s: SparkSession, d: String): (Int, Seq[(Int, String, Long)]) = {
+    bpeBatchCache.getOrCompute(s, d) {
+      var words = Checkpoints.pin(documents(s, d)
+        .select(explode(tokens(col("text"))).as("raw"))
+        .filter(length(col("raw")) >= 2)
+        .groupBy("raw")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("w"),
+          col("cnt")))
+      val merges =
+        scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      var rounds = 0
+      var done = false
+      while (merges.size < BpeRounds && !done) {
+        // Oversample the candidate list: overlap skips can reject up
+        // to K-1 rows between acceptances, and a short list would
+        // silently under-fill the batch.
+        val top = words
+          .select(split(col("w"), " ").as("syms"), col("cnt"))
+          .filter(size(col("syms")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => concat_ws(" ",
+              element_at(col("syms"), i),
+              element_at(col("syms"), i + 1)))).as("pair"),
+            col("cnt"))
+          .groupBy("pair").agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(BpeBatchK * 4)
+          .collect()
+        if (top.isEmpty) done = true
+        else {
+          rounds += 1
+          val budget = math.min(BpeBatchK, BpeRounds - merges.size)
+          val accepted =
+            scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          val usedSyms = scala.collection.mutable.Set[String]()
+          val it = top.iterator
+          while (accepted.size < budget && it.hasNext) {
+            val row = it.next()
+            val pair = row.getString(0)
+            val syms = pair.split(" ")
+            if (!syms.exists(usedSyms)) {
+              accepted += ((pair, row.getLong(1)))
+              usedSyms ++= syms
+            }
+          }
+          accepted.foreach { case (pair, n) =>
+            merges += ((merges.size + 1, pair, n))
+          }
+          val prev = words
+          // ONE rewrite+re-aggregate pass applies the whole batch —
+          // this is the job-count win: pair-count + rewrite once per
+          // ROUND, not once per merge.
+          words = Checkpoints.pin(accepted.foldLeft(
+            words.select(
+              concat(lit(" "), col("w"), lit(" ")).as("w"),
+              col("cnt"))) { case (df, (pair, _)) =>
+              df.select(
+                call_function("replace", col("w"),
+                  lit(s" $pair "),
+                  lit(" " + pair.replace(" ", "") + " ")).as("w"),
+                col("cnt"))
+            }
+            .select(trim(col("w")).as("w"), col("cnt"))
+            .groupBy("w").agg(sum(col("cnt")).as("cnt")))
+          Checkpoints.unpin(prev)
+        }
+      }
+      Checkpoints.unpin(words)
+      (rounds, merges.toSeq)
+    }
+  }
+
   /** Memoized APPLY dictionary: distinct raw word → symbol count
     * after all learned merges. Folds the trainer's merge expression
     * [[BpeApplyPinEvery]] merges at a time with a Checkpoints pin
@@ -1672,6 +1771,26 @@ object TextQueries {
       s.createDataFrame(trainBpeMerges(s, d))
         .toDF("round", "pair", "n")
         .orderBy("round")),
+
+    // BATCHED BPE training (trainBpeMergesBatched): up to BpeBatchK
+    // symbol-disjoint merges accepted per driver round, so the
+    // pair-count job runs once per ROUND instead of once per merge —
+    // the difference between 30k and ~7.5k sequential Spark jobs at a
+    // real vocabulary size. The well-known batched-BPE divergence is
+    // ORDER, not content: a candidate sharing a symbol with a
+    // higher-ranked acceptance defers one round (fixture: "o r"
+    // defers behind "e r", swapping merges 4/5), while disjointness
+    // keeps every recorded count identical to the sequential
+    // trainer's at-acceptance count. The gate therefore pins the
+    // order-free invariant — the merged VOCABULARY and its counts,
+    // sorted by pair — against the sequential trainer's unrolled
+    // oracle; BpeBatchedSpec asserts set-equality with the sequential
+    // list and the round-count collapse.
+    "bpe_train_batched" -> ((s, d) =>
+      s.createDataFrame(trainBpeMergesBatched(s, d)._2)
+        .toDF("round", "pair", "n")
+        .select("pair", "n")
+        .orderBy("pair")),
 
     // Tokenizer APPLY: the merges learned by `bpe_train_merges`
     // applied corpus-wide with doc attribution — per document, the
@@ -3194,6 +3313,19 @@ object TextQueries {
           .map(k => s"UNION ALL SELECT $k, pair, n FROM t$k")
           .mkString("\n")}
          |ORDER BY round""".stripMargin,
+    // The batched trainer is pinned ORDER-FREE against the sequential
+    // rounds: same merged vocabulary, same at-acceptance counts
+    // (disjointness makes counts order-invariant), acceptance order
+    // free to differ by the documented one-round deferral.
+    "bpe_train_batched" ->
+      s"""WITH $bpeDictRoundsCte,
+         |seqm AS (
+         |  SELECT pair, n FROM t1
+         |${(2 to BpeRounds)
+          .map(k => s"  UNION ALL SELECT pair, n FROM t$k")
+          .mkString("\n")}
+         |)
+         |SELECT pair, n FROM seqm ORDER BY pair""".stripMargin,
     // Same unrolled training rounds; the finished dictionary
     // d{BpeRounds} (raw word → merged form) then joins the
     // DOC-ATTRIBUTED instances ONCE and reduces to the per-doc
