@@ -41,11 +41,21 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Crash sentinel: a throwing query must surface as a LOUD red row,
+    // never as silent registry shrinkage — round 8's two crashed
+    // queries simply vanished from CORRECTNESS (no output dir, no err),
+    // which reads as "not registered". Every failure is recorded in
+    // $outDir/_errors.json (always written, {} when clean) so the
+    // driver and tools/check.py can grade a crash as a failure with a
+    // message instead of a missing entry.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -74,6 +84,9 @@ object Verify {
       if (only.isDefined) "oracle_sql.json" else "oracle_sql.subset.json"
     Files.deleteIfExists(Paths.get(s"$outDir/$staleFile"))
     Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
   }
 }

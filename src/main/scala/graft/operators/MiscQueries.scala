@@ -138,7 +138,7 @@ object MiscQueries {
           col("event_id"),
           col("user_id"),
           col("event_type"),
-          unix_micros(col("ts")).as("tus"))
+          graft.Tables.tsMicros(col("ts")).as("tus"))
       val clicks = ev.filter(col("event_type") === "click")
       val views = ev
         .filter(col("event_type") === "view")

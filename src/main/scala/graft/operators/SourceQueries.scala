@@ -435,8 +435,8 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_events"))
         .select(
           col("user_id"),
-          unix_micros(col("sw.start")).as("start_us"),
-          unix_micros(col("sw.end")).as("end_us"),
+          graft.Tables.tsMicros(col("sw.start")).as("start_us"),
+          graft.Tables.tsMicros(col("sw.end")).as("end_us"),
           col("n_events"))
         .orderBy("user_id", "start_us")),
 

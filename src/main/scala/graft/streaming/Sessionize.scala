@@ -187,7 +187,7 @@ object Sessionize {
       .select(
         col("user_id"),
         col("event_id"),
-        unix_micros(col("ts")).as("tsMicros"),
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"),
         col("ts"))
       .as[EvT]
       .groupByKey(_.user_id)
@@ -277,7 +277,7 @@ object Sessionize {
       .select(
         col("user_id"),
         col("event_id"),
-        unix_micros(col("ts")).as("tsMicros"),
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"),
         col("ts"))
       .as[EvT]
       .groupByKey(_.user_id)
@@ -314,7 +314,8 @@ object Sessionize {
         case None => spark.conf.unset(key)
       }
     }
-    MemorySinks.drain(spark, sink)
+    StreamingEvents.assertEmitted(
+      MemorySinks.drain(spark, sink), "sessionize_tws")
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily capped
@@ -346,7 +347,8 @@ object Sessionize {
         .start()
       q.awaitTermination()
     }
-    MemorySinks.drain(spark, sink)
+    StreamingEvents.assertEmitted(
+      MemorySinks.drain(spark, sink), "sessionize_stateful")
   }
 
   /** The DEPLOYABLE sink shape: the stateful sessionizer written to
@@ -373,7 +375,8 @@ object Sessionize {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out.toString)
+    StreamingEvents.assertEmitted(
+      spark.read.parquet(out.toString), "sessionize_sink_parquet")
   }
 
   /** Streaming form over the events file stream. */
@@ -384,7 +387,7 @@ object Sessionize {
       .select(
         col("user_id"),
         col("event_id"),
-        unix_micros(col("ts")).as("tsMicros"))
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Long, SessionOut](

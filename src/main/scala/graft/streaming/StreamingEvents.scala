@@ -18,16 +18,31 @@ import org.apache.spark.sql.types._
   */
 object StreamingEvents {
 
-  /** Raw parquet schema of the events table (ts is ns → read as long
-    * under nanosAsLong, truncated to µs here like Tables.events).
+  /** Raw parquet schema of the events table, parameterized by the ts
+    * encoding ACTUALLY ON DISK — the fixtures have shipped both
+    * ns-int64 (arrives as LongType under nanosAsLong) and native
+    * timestamp[us] (arrives as TIMESTAMP_NTZ). A file stream needs an
+    * explicit schema, so [[stream]] sniffs the footer type with a
+    * driver-side schema-only batch read first; declaring the wrong
+    * flavor would silently reinterpret raw µs ints (the round-8
+    * 1000×-compressed-timeline failure).
     */
-  val rawSchema: StructType = StructType(Seq(
+  private def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Footer type of events.ts as stored in `dir` (schema-only read —
+    * no data scan).
+    */
+  private def fileTsType(spark: SparkSession, dir: String): DataType =
+    spark.read
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .schema("ts").dataType
 
   /** The shared (batch ≡ stream) aggregation: tumbling 1-day event-time
     * windows per event_type with integer-cents value sums.
@@ -70,14 +85,25 @@ object StreamingEvents {
         col("n_events"),
         col("value_cents"))
 
+  /** Normalize ts to a plain TimestampType (LTZ) event-time column
+    * whatever the on-disk flavor: ns-longs are truncated to µs (the
+    * Tables.events rule); NTZ is reinterpreted under the UTC-pinned
+    * session (wall-clock preserving). Everything downstream —
+    * watermarks, windows, unix_micros arithmetic — sees one type.
+    */
   private def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
 
   /** Streaming read of the events parquet in `dir` (file-source). */
   def stream(spark: SparkSession, dir: String): DataFrame =
     normalize(
       spark.readStream
-        .schema(rawSchema)
+        .schema(rawSchema(fileTsType(spark, dir)))
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
 
@@ -105,11 +131,26 @@ object StreamingEvents {
         "available-now batch")
   }
 
+  /** Guard for finite replays whose oracle is KNOWN non-empty: the
+    * fixture always produces closed sessions / closed hourly windows,
+    * so a sink that drained zero rows is a broken pipeline (round 8:
+    * a compressed timeline kept every session open and the parquet
+    * sink silently dumped 0 rows against a 9,542-row oracle), never a
+    * legitimate answer. Fails the query loudly instead — with the
+    * Verify crash sentinel that grades as a red row with a message.
+    */
+  def assertEmitted(df: DataFrame, what: String): DataFrame = {
+    require(!df.isEmpty,
+      s"$what replay emitted 0 rows from a fixture whose oracle is " +
+        "non-empty — watermark never closed anything (timeline/type " +
+        "drift?); refusing to return an empty result as an answer")
+    df
+  }
+
   /** Batch read of the same files — the differential twin. */
   def batch(spark: SparkSession, dir: String): DataFrame =
     normalize(
       spark.read
-        .schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
 
@@ -290,7 +331,9 @@ object StreamingEvents {
   def lateDropRun(
       spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val (out, d1, d2) = lateDropRunWithPath(spark, dir)
-    (spark.read.parquet(out).orderBy("hour", "event_type"), d1, d2)
+    (assertEmitted(
+      spark.read.parquet(out).orderBy("hour", "event_type"),
+      "stream_late_drop"), d1, d2)
   }
 
   /** Core of [[lateDropRun]], returning the SINK PATH so a second
@@ -373,7 +416,9 @@ object StreamingEvents {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    MemorySinks.drain(spark, sink).orderBy("event_type")
+    assertEmitted(
+      MemorySinks.drain(spark, sink).orderBy("event_type"),
+      "stream_multihop")
   }
 
   /** Run the stream to completion (available-now trigger) into an
@@ -437,7 +482,7 @@ object StreamingEvents {
     import spark.implicits._
     stream(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("unix_micros(ts)").as("tsMicros"))
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"))
       .as[QEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -494,7 +539,7 @@ object StreamingEvents {
     import spark.implicits._
     stream(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("unix_micros(ts)").as("tsMicros"))
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"))
       .as[QEv]
       .groupByKey(_.user_id)
       .transformWithState(
@@ -560,7 +605,7 @@ object StreamingEvents {
     import spark.implicits._
     stream(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("unix_micros(ts)").as("tsMicros"))
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"))
       .as[QEv]
       .groupByKey(_.user_id)
       .transformWithState(
@@ -634,14 +679,15 @@ object StreamingEvents {
       .filter(col("event_id") % 2 === 0)
       .groupBy(
         col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
       .agg(count(lit(1)).as("c"))
       .as[WarmCounter]
       .groupByKey(_.user_id)
     stream(spark, dir)
       .filter(col("event_id") % 2 === 1)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("unix_micros(ts)").as("tsMicros"))
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"))
       .as[QEv]
       .groupByKey(_.user_id)
       .transformWithState(

@@ -48,8 +48,21 @@ def main():
         sys.exit(f"no oracle manifest in {outdir} — did graft.Verify run?")
     with open(path) as f:
         oracle = json.load(f)
+    # Crash sentinel written by graft.Verify: a query that threw has no
+    # result dir — report it as a named FAIL with its exception instead
+    # of the generic "no spark result parquet".
+    errors = {}
+    errpath = os.path.join(outdir, "_errors.json")
+    if os.path.exists(errpath):
+        with open(errpath) as f:
+            errors = json.load(f)
     n_pass = n_fail = n_warn = 0
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: CRASHED in Verify: {msg}")
+    n_fail += len(errors)
     for name in sorted(oracle):
+        if name in errors:
+            continue  # already reported as CRASHED above
         sql = oracle[name]
         try:
             du = con.sql(sql).df()
