@@ -515,7 +515,17 @@ object SourceQueries {
     "sessionize_sink_parquet" -> ((s, d) =>
       graft.streaming.Sessionize
         .runStatefulStreamToParquet(s, d)
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // Streaming DataSourceV2 with REAL offset management: the
+    // `eventreplay` MicroBatchStream serves the staged event log in
+    // admission-controlled micro-batches; a mid-stream kill (phase 1
+    // sees half the log) and a restart from the SAME checkpoint must
+    // deliver every event exactly once — resumption row counts are
+    // asserted in the gate, duplicates/holes are caught by this
+    // oracle's count+hash.
+    "stream_v2_source" -> ((s, d) =>
+      graft.streaming.EventReplayGate.run(s, d))
   )
 
   /** DuckDB derivation of the CLOSED sessions (batch sessionization +
@@ -601,6 +611,13 @@ object SourceQueries {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "stream_v2_source" ->
+      """SELECT event_id,
+        |       epoch_us(ts) AS ts_us,
+        |       user_id,
+        |       event_type,
+        |       CAST(round(value*100) AS BIGINT) AS value_cents
+        |FROM events ORDER BY event_id""".stripMargin,
     "webpage_scan" ->
       s"""SELECT url, CAST(n AS BIGINT) AS n_pages FROM (VALUES
          |  ('${PageParsers.EmpireUrl}', 1),
