@@ -88,6 +88,42 @@ object MiscQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // TARGETED salting — the deployable form of join_salted: only
+    // rows of identified hot keys (here: the skew_report shape, a
+    // handful of keys from a grouped count) carry a non-zero salt,
+    // and only those keys' dim rows are exploded across the salt
+    // range; the cold majority of the dimension is never replicated.
+    // graft.SkewBench measured the difference at sf0.1 with an 80%
+    // hot key: blanket salting 0.93× naive (dim-replication overhead
+    // EXCEEDS the skew cost), targeted salting 1.79× (SCALE.md
+    // "Skew"). Result must equal the unsalted join — same oracle.
+    "join_salted_targeted" -> ((s, d) => {
+      val nSalts = 8
+      val hotKeys = typedLit(Seq(1L, 2L, 3L)) // stand-in hot-key list
+      val hot = array_contains(hotKeys, col("l_orderkey"))
+      val fact = lineitem(s, d)
+        .withColumn(
+          "salt",
+          when(hot, pmod(col("l_linenumber"), lit(nSalts)))
+            .otherwise(lit(0)))
+      val dim = orders(s, d)
+        .withColumn(
+          "salt",
+          explode(
+            when(array_contains(hotKeys, col("o_orderkey")),
+              sequence(lit(0), lit(nSalts - 1)))
+              .otherwise(array(lit(0)))))
+      fact
+        .join(dim,
+          fact("l_orderkey") === dim("o_orderkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("extprice_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Bloom-style semi-join reduction: when a selective dimension
     // filter survives only ~2% of keys, shuffling the whole fact side
     // into the join is wasted I/O at 100 TB. The build side's key set
@@ -947,6 +983,13 @@ object MiscQueries {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "join_salted" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |         AS extprice_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_salted_targeted" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_items,
         |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
