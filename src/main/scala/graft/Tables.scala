@@ -68,20 +68,31 @@ object Tables {
 
   private def check(name: String, df: DataFrame): DataFrame = {
     expected.get(name).foreach { cols =>
-      val actual = df.schema.map(f => f.name -> f.dataType.catalogString)
-      require(actual.map(_._1) == cols.map(_._1),
+      // Order-insensitive on purpose: every loader and query selects
+      // columns BY NAME, so a reordered fixture (or a spec's synthetic
+      // twin table) is harmless; missing/renamed columns and changed
+      // physical types are the drifts that corrupt results silently.
+      val actual =
+        df.schema.map(f => f.name -> f.dataType.catalogString).toMap
+      val missing = cols.map(_._1).filterNot(actual.contains)
+      val extra = actual.keySet -- cols.map(_._1).toSet
+      require(missing.isEmpty && extra.isEmpty,
         s"fixture schema drift: table '$name' has columns " +
-          s"[${actual.map(_._1).mkString(", ")}], expected " +
-          s"[${cols.map(_._1).mkString(", ")}] — the driver " +
-          "regenerated the fixture with a new layout; update " +
-          "Tables.expected and the loaders (FIXTURES.md §B)")
-      actual.zip(cols).foreach { case ((n, t), (_, allowed)) =>
-        require(allowed(t),
-          s"fixture schema drift: $name.$n arrived as '$t', accepted " +
-            s"encodings are {${allowed.mkString(", ")}} — the driver " +
-            "regenerated the fixture with a new physical type; teach " +
-            "the loaders the new flavor before trusting any result " +
-            "(FIXTURES.md §B)")
+          s"[${df.schema.fieldNames.mkString(", ")}], expected " +
+          s"[${cols.map(_._1).mkString(", ")}]" +
+          (if (missing.nonEmpty) s"; missing: ${missing.mkString(", ")}"
+           else "") +
+          (if (extra.nonEmpty) s"; unexpected: ${extra.mkString(", ")}"
+           else "") +
+          " — the driver regenerated the fixture with a new layout; " +
+          "update Tables.expected and the loaders (FIXTURES.md §B)")
+      cols.foreach { case (n, allowed) =>
+        require(allowed(actual(n)),
+          s"fixture schema drift: $name.$n arrived as '${actual(n)}', " +
+            s"accepted encodings are {${allowed.mkString(", ")}} — the " +
+            "driver regenerated the fixture with a new physical type; " +
+            "teach the loaders the new flavor before trusting any " +
+            "result (FIXTURES.md §B)")
       }
     }
     df
