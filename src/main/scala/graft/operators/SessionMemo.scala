@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so a long-lived JVM cycling sessions (test suites) does not pin
   * dead sessions' lineage and checkpoint blocks forever.
   */
-private[operators] final class SessionMemo[V] {
+private[graft] final class SessionMemo[V] {
   private val cache = new ConcurrentHashMap[(SparkSession, String), V]
 
   def getOrCompute(s: SparkSession, d: String)(build: => V): V = {
