@@ -71,16 +71,28 @@ object TwoStarCC {
     }
     require(converged,
       s"two-star CC did not converge within $MaxRounds rounds")
-    // Star edges point node→root; roots label themselves. The label
-    // frame is pinned so the final edge generation can be released —
-    // callers (and the per-session memo in TextQueries) hold ONE
-    // bounded frame, not the whole fixpoint chain.
-    val labels = Checkpoints.pin(cur
+    // Star edges point node→root; roots label themselves. Nodes the
+    // fixpoint never saw — present in the INPUT only via self-loops,
+    // which the canonicalization drops — are singletons labeled by
+    // themselves (the contract is "every node in `edges`"; found by
+    // TwoStarCCPropsSpec's random multigraphs). The label frame is
+    // pinned so the final edge generation can be released — callers
+    // (and the per-session memo in TextQueries) hold ONE bounded
+    // frame, not the whole fixpoint chain.
+    val starLabels = cur
       .select(col("big").as("node"), col("small").as("component"))
       .unionByName(cur.select(col("small").as("node"),
         col("small").as("component")))
       .groupBy("node")
-      .agg(min(col("component")).as("component")))
+      .agg(min(col("component")).as("component"))
+    val allNodes = edges
+      .select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val labels = Checkpoints.pin(allNodes
+      .join(starLabels, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component")))
     Checkpoints.unpin(cur)
     (labels, rounds)
   }
