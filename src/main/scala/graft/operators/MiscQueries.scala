@@ -26,6 +26,60 @@ object MiscQueries {
     */
   private def sinkDir(name: String): String = graft.Fs.sinkDir(name)
 
+  /** Merge-based as-of join over a (event_id, user_id, event_type,
+    * tus) frame: each click matched to the user's LATEST view
+    * at-or-before it. NOT an inequality join (which plans as a
+    * per-key scan and explodes at scale): both sides union into ONE
+    * stream tagged by side, shuffle once on user_id, and a running
+    * last-ignoring-nulls window carries the most recent view forward
+    * — linear per partition at any scale. Views are pre-deduped per
+    * (user, µs) by max event_id so the match is deterministic.
+    * Extracted so AsofPropsSpec can differential-test the semantics
+    * on synthetic tie-heavy frames against a brute-force scan.
+    */
+  private[graft] def asofJoin(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+    val views = ev
+      .filter(col("event_type") === "view")
+      .groupBy("user_id", "tus")
+      .agg(max(col("event_id")).as("view_event_id"))
+    val tagged = views
+      .select(
+        col("user_id"),
+        col("tus"),
+        lit(0).as("side"),
+        col("view_event_id"),
+        lit(null).cast("long").as("click_event_id"))
+      .unionByName(clicks.select(
+        col("user_id"),
+        col("tus"),
+        lit(1).as("side"),
+        lit(null).cast("long").as("view_event_id"),
+        col("event_id").as("click_event_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      // side=0 (view) sorts before a click at the same instant, so
+      // ts >= view_ts semantics hold on ties.
+      .orderBy(col("tus").asc, col("side").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tagged
+      .withColumn("matched_view",
+        last(col("view_event_id"), ignoreNulls = true).over(w))
+      .withColumn("matched_tus",
+        last(when(col("side") === 0, col("tus")), ignoreNulls = true)
+          .over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("user_id"),
+        col("click_event_id"),
+        col("matched_view").as("view_event_id"),
+        ((col("tus") - col("matched_tus")).cast("long") / lit(1000000L))
+          .cast("long").as("gap_secs"))
+      .orderBy("user_id", "click_event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Map construction + extraction (scalar outputs only — map-typed
     // output columns don't round-trip comparably through parquet).
@@ -168,55 +222,13 @@ object MiscQueries {
     // the most recent view forward — the merge-based as-of algorithm,
     // linear per partition at any scale. Views are pre-deduped per
     // (user, µs) so the match is deterministic.
-    "join_asof" -> ((s, d) => {
-      val ev = events(s, d)
+    "join_asof" -> ((s, d) =>
+      asofJoin(events(s, d)
         .select(
           col("event_id"),
           col("user_id"),
           col("event_type"),
-          graft.Tables.tsMicros(col("ts")).as("tus"))
-      val clicks = ev.filter(col("event_type") === "click")
-      val views = ev
-        .filter(col("event_type") === "view")
-        .groupBy("user_id", "tus")
-        .agg(max(col("event_id")).as("view_event_id"))
-      val tagged = views
-        .select(
-          col("user_id"),
-          col("tus"),
-          lit(0).as("side"),
-          col("view_event_id"),
-          lit(null).cast("long").as("click_event_id"))
-        .unionByName(clicks.select(
-          col("user_id"),
-          col("tus"),
-          lit(1).as("side"),
-          lit(null).cast("long").as("view_event_id"),
-          col("event_id").as("click_event_id")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id")
-        // side=0 (view) sorts before a click at the same instant, so
-        // ts >= view_ts semantics hold on ties.
-        .orderBy(col("tus").asc, col("side").asc)
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      tagged
-        .withColumn("matched_view",
-          last(col("view_event_id"), ignoreNulls = true).over(w))
-        .withColumn("matched_tus",
-          last(when(col("side") === 0, col("tus")), ignoreNulls = true)
-            .over(w))
-        .filter(col("side") === 1)
-        .select(
-          col("user_id"),
-          col("click_event_id"),
-          col("matched_view").as("view_event_id"),
-          ((col("tus") - col("matched_tus")).cast("long") / lit(1000000L))
-            .cast("long").as("gap_secs"))
-        .orderBy("user_id", "click_event_id")
-    }),
-
+          graft.Tables.tsMicros(col("ts")).as("tus")))),
     // Sink + partition-pruned re-scan INSIDE the graded gate: write
     // documents hive-partitioned by lang, read back one partition.
     // The filter never touches non-en files (partition pruning — the
