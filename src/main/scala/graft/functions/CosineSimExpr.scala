@@ -23,8 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * and null elements also yield NULL (zip_with pads the shorter side
   * with nulls, which nulls the whole fold) — so the two forms are
   * interchangeable even outside the clean-embedding assumption.
+  *
+  * ZERO-NORM inputs follow the session's divide semantics, exactly
+  * like the HOF form's Divide: under ANSI (the Spark 4 default) a
+  * zero denominator throws DIVIDE_BY_ZERO; with ANSI off it is IEEE
+  * NaN. Without this the optimizer rewrite would silently turn an
+  * ANSI error into a NaN — found by CosinePropsSpec's degenerate
+  * random vectors.
   */
-case class CosineSimExpr(left: Expression, right: Expression)
+case class CosineSimExpr(
+    left: Expression,
+    right: Expression,
+    failOnError: Boolean =
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def nullable: Boolean = true
@@ -64,7 +75,13 @@ case class CosineSimExpr(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) {
+      // Mirror Spark's Divide exactly: ANSI throws, legacy is NULL
+      // (Spark's non-ANSI divide yields NULL on a zero divisor even
+      // for doubles — never IEEE NaN).
+      if (failOnError) throw CosineSimExpr.divideByZero() else null
+    } else dot / denom
   }
 
   override protected def doGenCode(
@@ -78,6 +95,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
@@ -97,8 +115,15 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |  }
          |}
          |if (!${ev.isNull}) {
-         |  ${ev.value} = $dot /
-         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  double $denom =
+         |    java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) {
+         |    ${if (failOnError)
+               "throw graft.functions.CosineSimExpr.divideByZero();"
+             else s"${ev.isNull} = true;"}
+         |  } else {
+         |    ${ev.value} = $dot / $denom;
+         |  }
          |}
        """.stripMargin
     })
@@ -110,6 +135,22 @@ case class CosineSimExpr(left: Expression, right: Expression)
 }
 
 object CosineSimExpr {
+
+  /** The error Spark's ANSI Divide raises on a zero divisor, same
+    * exception supertype (ArithmeticException) and message text.
+    * Spark's own SparkArithmeticException and QueryExecutionErrors
+    * are private[spark]/private[sql], so an extension expression
+    * cannot raise the exact class — callers matching on
+    * ArithmeticException or on the DIVIDE_BY_ZERO text behave
+    * identically. Called from both the interpreted eval and the
+    * generated code.
+    */
+  def divideByZero(): ArithmeticException =
+    new ArithmeticException(
+      "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to " +
+        "tolerate divisor being 0 and return NULL instead. If " +
+        "necessary set \"spark.sql.ansi.enabled\" to \"false\" to " +
+        "bypass this error. SQLSTATE: 22012")
 
   /** Idempotently register `cosine_sim(a, b)` in the session's function
     * registry so it is callable from SQL / expr(). (Also injectable at
