@@ -26,10 +26,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * ZERO-NORM inputs follow the session's divide semantics, exactly
   * like the HOF form's Divide: under ANSI (the Spark 4 default) a
-  * zero denominator throws DIVIDE_BY_ZERO; with ANSI off it is IEEE
-  * NaN. Without this the optimizer rewrite would silently turn an
-  * ANSI error into a NaN — found by CosinePropsSpec's degenerate
-  * random vectors.
+  * zero denominator throws DIVIDE_BY_ZERO; with ANSI off Spark's
+  * legacy Divide yields NULL (not IEEE NaN — see the eval comment
+  * below and CosinePropsSpec). Without this the optimizer rewrite
+  * would silently turn an ANSI error into a NaN — found by
+  * CosinePropsSpec's degenerate random vectors.
   */
 case class CosineSimExpr(
     left: Expression,

@@ -525,7 +525,16 @@ object SourceQueries {
     // asserted in the gate, duplicates/holes are caught by this
     // oracle's count+hash.
     "stream_v2_source" -> ((s, d) =>
-      graft.streaming.EventReplayGate.run(s, d))
+      graft.streaming.EventReplayGate.run(s, d)),
+
+    // The PARTITIONED form of the eventreplay kill/restart gate:
+    // composite {partition → position} offsets over a 3-file log, a
+    // per-partition mid-stream kill, and the committed composite
+    // offset read back from the checkpoint — every partition must
+    // resume from its OWN position (the broker contract). Same
+    // exactly-once oracle as the scalar gate.
+    "stream_v2_partitioned" -> ((s, d) =>
+      graft.streaming.EventReplayGate.runPartitioned(s, d))
   )
 
   /** DuckDB derivation of the CLOSED sessions (batch sessionization +
@@ -612,6 +621,13 @@ object SourceQueries {
 
   val oracleSql: Map[String, String] = Map(
     "stream_v2_source" ->
+      """SELECT event_id,
+        |       epoch_us(ts) AS ts_us,
+        |       user_id,
+        |       event_type,
+        |       CAST(round(value*100) AS BIGINT) AS value_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    "stream_v2_partitioned" ->
       """SELECT event_id,
         |       epoch_us(ts) AS ts_us,
         |       user_id,

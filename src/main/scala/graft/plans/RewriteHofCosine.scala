@@ -79,19 +79,27 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      // evalMode flows into the native expression so the rewrite
-      // preserves divide-by-zero behavior exactly: ANSI throws,
-      // LEGACY is IEEE NaN. TRY (try_divide) is left unrewritten —
-      // the null-on-zero contract has no native twin here and the
-      // HOF interpreter path is already correct for it.
-      case d @ Divide(num, Multiply(Sqrt(na), Sqrt(nb), _), evalMode)
-          if evalMode != EvalMode.TRY =>
+      // The divide's eval mode flows into the native expression so
+      // the rewrite preserves divide-by-zero behavior exactly: ANSI
+      // throws, LEGACY is NULL (Spark's legacy Divide semantics — not
+      // IEEE NaN). TRY (try_divide) is left unrewritten — the
+      // null-on-zero contract has no native twin here and the HOF
+      // interpreter path is already correct for it. NOTE: Divide's
+      // third field is a NumericEvalContext WRAPPER, not the EvalMode
+      // value — comparing the wrapper against EvalMode members
+      // typechecks (Any equality) but is always false, which would
+      // silently pin failOnError=false and downgrade an ANSI error to
+      // NULL; RewriteHofCosineSpec pins the unwrapped path on a
+      // non-local plan where the rule actually fires.
+      case d @ Divide(num, Multiply(Sqrt(na), Sqrt(nb), _), ctx)
+          if ctx.evalMode != EvalMode.TRY =>
         (asDot(num), asDot(na), asDot(nb)) match {
           case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
               if a1.semanticEquals(a2) && a1.semanticEquals(a) &&
                 b1.semanticEquals(b2) && b1.semanticEquals(b) &&
                 isFloatArray(a) && isFloatArray(b) =>
-            CosineSimExpr(a, b, failOnError = evalMode == EvalMode.ANSI)
+            CosineSimExpr(a, b,
+              failOnError = ctx.evalMode == EvalMode.ANSI)
           case _ => d
         }
     }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,31 +15,38 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `eventreplay` streaming DataSourceV2: a MicroBatchStream over a
   * staged event log with REAL offset management — the message-bus
   * shape (Kafka-like) that the file-source streaming queries can't
-  * exercise: offsets are positions in a durable log, each micro-batch
-  * is an exact [start, end) slice, admission control rate-limits the
-  * slice size, and a restarted query resumes from the offset the
+  * exercise: offsets are per-partition positions in a durable log,
+  * each micro-batch is an exact [start, end) slice per partition,
+  * admission control splits a row budget across the partitions, and a
+  * restarted query resumes EVERY partition from the position the
   * checkpoint committed — never from zero, never replaying delivered
   * rows.
   *
-  * The log here is a TSV file (one event per line:
-  * event_id \t ts_us \t user_id \t event_type \t value_cents) because
-  * the environment has no broker; the offset/commit/restart contract
-  * is the part under test and is identical to a broker-backed source.
-  * At 100 TB/day the only changes are inside the reader: a seekable
-  * log store (Kafka partitions, a WAL segment store) replaces the
-  * line-skip positioning, and one InputPartition per log partition
-  * replaces the row-range split. Everything above the reader —
-  * admission control, offset arithmetic, checkpoint recovery — is
-  * already the deployable shape.
+  * The log here is one TSV file per log partition (one event per
+  * line: event_id \t ts_us \t user_id \t event_type \t value_cents)
+  * because the environment has no broker; the offset/commit/restart
+  * contract is the part under test and is identical to a
+  * broker-backed source. The offset is the broker shape — a
+  * `{partition → position}` JSON map, one InputPartition per log
+  * partition, per-partition admission control — so at 100 TB/day the
+  * only change is inside the reader: a seekable log store (Kafka
+  * partitions, a WAL segment store) replaces the line-skip
+  * positioning. Everything above the reader — budget allocation,
+  * offset arithmetic, checkpoint recovery, the AvailableNow freeze —
+  * is already the deployable shape.
   *
-  * Options:
-  *   - `path` (required): the staged log file.
+  * Options (case-insensitive, like every DSV2 source):
+  *   - `path`: a single-partition log (one staged file), OR
+  *   - `paths`: comma-separated files, one log partition per file
+  *     (partition i = i-th path);
   *   - `rowsPerBatch` (default 5000): admission-control cap per
-  *     micro-batch ([[ReadLimit.maxRows]]).
-  *   - `maxRows` (optional): pretend the log ends after N rows — the
-  *     gate uses it to simulate a mid-stream kill deterministically
-  *     (phase 1 sees half the log, dies; phase 2 sees it all and must
-  *     resume from the committed offset).
+  *     micro-batch ACROSS all partitions ([[ReadLimit.maxRows]]);
+  *     the budget is split proportionally to per-partition backlog.
+  *   - `maxRows` / `maxRowsPerPartition` (optional): pretend each log
+  *     partition ends after N rows — the gates use it to simulate a
+  *     mid-stream kill deterministically (phase 1 sees half of every
+  *     partition, dies; phase 2 sees it all and must resume each
+  *     partition from its committed position).
   */
 class EventReplayDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -48,13 +55,26 @@ class EventReplayDataSource extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSV2 option maps are case-insensitive everywhere else; honor
+    // that here too (an option spelled `rowsperbatch` must not be
+    // silently ignored).
+    val opts = new CaseInsensitiveStringMap(properties)
+    val paths =
+      Option(opts.get("paths"))
+        .map(_.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+        .orElse(Option(opts.get("path")).map(p => IndexedSeq(p)))
+        .getOrElse(throw new IllegalArgumentException(
+          "eventreplay source: option 'path' or 'paths' is required"))
+    val horizon =
+      Option(opts.get("maxRowsPerPartition"))
+        .orElse(Option(opts.get("maxRows")))
+        .map(_.toLong)
     new EventReplayTable(
-      Option(properties.get("path")).getOrElse(
-        throw new IllegalArgumentException(
-          "eventreplay source: option 'path' is required")),
-      Option(properties.get("rowsPerBatch")).map(_.toLong).getOrElse(5000L),
-      Option(properties.get("maxRows")).map(_.toLong))
+      paths,
+      Option(opts.get("rowsPerBatch")).map(_.toLong).getOrElse(5000L),
+      horizon)
+  }
 }
 
 object EventReplayDataSource {
@@ -65,18 +85,20 @@ object EventReplayDataSource {
     StructField("event_type", StringType),
     StructField("value_cents", LongType)))
 
-  /** Target partition count when slicing one micro-batch's row range —
-    * mirrors a broker source's partition fan-out so the per-batch plan
-    * is multi-task like production, while staying small enough that
-    * tiny batches don't drown in task overhead.
+  /** Task count when slicing a SINGLE-partition micro-batch's row
+    * range — mirrors a broker source's partition fan-out so the
+    * per-batch plan is multi-task like production. Multi-partition
+    * logs instead get the broker mapping itself: one task per log
+    * partition.
     */
   val SplitsPerBatch = 4
 }
 
-class EventReplayTable(path: String, rowsPerBatch: Long, maxRows: Option[Long])
+class EventReplayTable(
+    paths: IndexedSeq[String], rowsPerBatch: Long, maxRows: Option[Long])
     extends Table
     with SupportsRead {
-  override def name(): String = s"eventreplay($path)"
+  override def name(): String = s"eventreplay(${paths.mkString(",")})"
   override def schema(): StructType = EventReplayDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -87,43 +109,110 @@ class EventReplayTable(path: String, rowsPerBatch: Long, maxRows: Option[Long])
         override def readSchema(): StructType = EventReplayDataSource.Schema
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
-          new EventReplayMicroBatchStream(path, rowsPerBatch, maxRows)
+          new EventReplayMicroBatchStream(paths, rowsPerBatch, maxRows)
         override def description(): String =
-          s"eventreplay [path=$path, rowsPerBatch=$rowsPerBatch" +
-            maxRows.map(m => s", maxRows=$m]").getOrElse("]")
+          s"eventreplay [paths=${paths.mkString(",")}, " +
+            s"rowsPerBatch=$rowsPerBatch" +
+            maxRows.map(m => s", maxRowsPerPartition=$m]").getOrElse("]")
       }
     }
 }
 
-/** Offset = number of log rows already delivered (the position AFTER
-  * the last served row). Serialized as its decimal string in the
-  * checkpoint offset log.
+/** Composite offset: for each log partition, the number of rows
+  * already delivered from it (the position AFTER the last served
+  * row) — the broker offset shape. Serialized as a `{"0":n0,"1":n1}`
+  * JSON map in the checkpoint offset log (partition id → position),
+  * exactly how the Kafka source records its per-TopicPartition
+  * offsets.
   */
-case class EventReplayOffset(row: Long) extends Offset {
-  override def json(): String = row.toString
+case class EventReplayOffset(positions: IndexedSeq[Long]) extends Offset {
+  override def json(): String =
+    positions.zipWithIndex
+      .map { case (p, i) => s""""$i":$p""" }
+      .mkString("{", ",", "}")
+}
+
+object EventReplayOffset {
+  def zero(nParts: Int): EventReplayOffset =
+    EventReplayOffset(IndexedSeq.fill(nParts)(0L))
+
+  /** Parse either the composite `{"0":n,...}` form or the round-9
+    * scalar form (a bare decimal — a single-partition checkpoint
+    * written before offsets grew the partition dimension).
+    */
+  def parse(json: String, nParts: Int): EventReplayOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      import org.json4s._
+      implicit val formats: Formats = DefaultFormats
+      val m = org.json4s.jackson.JsonMethods.parse(t)
+        .extract[Map[String, Long]]
+        .map { case (k, v) => k.toInt -> v }
+      require(m.keySet == (0 until nParts).toSet,
+        s"eventreplay offset $t does not cover partitions 0..${nParts - 1}")
+      EventReplayOffset((0 until nParts).map(m))
+    } else {
+      require(nParts == 1,
+        s"scalar offset '$t' is only valid for a single-partition log")
+      EventReplayOffset(IndexedSeq(t.toLong))
+    }
+  }
 }
 
 class EventReplayMicroBatchStream(
-    path: String, rowsPerBatch: Long, maxRows: Option[Long])
+    paths: IndexedSeq[String], rowsPerBatch: Long, maxRows: Option[Long])
     extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow
     with Logging {
 
-  /** End of the visible log: line count, capped by the simulated-kill
-    * option. Counted once per stream instantiation (a broker source
-    * asks the cluster for end offsets the same way).
-    */
-  private lazy val endOfLog: Long = {
-    val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
-    val n = try lines.count() finally lines.close()
-    maxRows.map(math.min(_, n)).getOrElse(n)
-  }
+  private val nParts = paths.length
 
-  override def initialOffset(): Offset = EventReplayOffset(0L)
+  /** (file size → line count) memo per partition: the visible head of
+    * a GROWING log must advance between micro-batches (a broker is
+    * asked for end offsets every batch), but re-counting an unchanged
+    * file every batch is waste. Size is the cheap change detector for
+    * an append-only log.
+    */
+  private val headCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]
+
+  /** Current end of the visible log, per partition: line count (re-
+    * checked each call so a growing log is followed), capped by the
+    * simulated-kill horizon.
+    */
+  private def logEnds: IndexedSeq[Long] =
+    paths.indices.map { i =>
+      val p = java.nio.file.Paths.get(paths(i))
+      val size = java.nio.file.Files.size(p)
+      val n = headCache.compute(i, (_, prev) =>
+        if (prev != null && prev._1 == size) prev
+        else {
+          val lines = java.nio.file.Files.lines(p)
+          val c = try lines.count() finally lines.close()
+          (size, c)
+        })._2
+      maxRows.map(math.min(_, n)).getOrElse(n)
+    }
+
+  /** Trigger.AvailableNow drain target, captured EXPLICITLY by
+    * [[prepareForTriggerAvailableNow]] (the Kafka source's
+    * `allDataForTriggerAvailableNow` field). When set, latestOffset /
+    * reportLatestOffset are capped at it, so rows appended to the log
+    * after query start are NOT drained — the AvailableNow contract is
+    * "all data available at the start of the query", and relying on a
+    * lazy-val side effect to freeze the head would break the moment
+    * the log grows mid-run.
+    */
+  @volatile private var availableNowEnds: Option[IndexedSeq[Long]] = None
+
+  private def visibleEnds: IndexedSeq[Long] =
+    availableNowEnds.getOrElse(logEnds)
+
+  override def initialOffset(): Offset = EventReplayOffset.zero(nParts)
 
   override def deserializeOffset(json: String): Offset =
-    EventReplayOffset(json.toLong)
+    EventReplayOffset.parse(json, nParts)
 
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(rowsPerBatch)
@@ -135,17 +224,62 @@ class EventReplayMicroBatchStream(
       "eventreplay implements SupportsAdmissionControl — " +
         "latestOffset(start, limit) is the entry point")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[EventReplayOffset].row
-    val cap = limit match {
-      case m: ReadMaxRows => s + m.maxRows()
-      case _ => endOfLog
-    }
-    EventReplayOffset(math.min(cap, endOfLog))
+  /** Extract the row budget from the ReadLimit: the direct maxRows
+    * cap, the maxRows component of a composite limit (the Kafka
+    * pattern — Spark sends CompositeReadLimit when e.g. minRows and
+    * maxRows are both configured), or no cap for ReadAllAvailable.
+    */
+  private def rowBudget(limit: ReadLimit): Option[Long] = limit match {
+    case m: ReadMaxRows => Some(m.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case m: ReadMaxRows => m.maxRows() }
+    case _: ReadAllAvailable => None
+    case _ => None // ReadMinRows etc.: no upper cap
   }
 
-  /** True head of the log, ignoring rate limits. */
-  override def reportLatestOffset(): Offset = EventReplayOffset(endOfLog)
+  /** Split a row budget across partitions proportionally to backlog
+    * (the Kafka source's rate-limit allocation): each partition gets
+    * floor(budget × backlog_i / total), and the remainder is handed
+    * out one row at a time in partition order to partitions with
+    * headroom — deterministic, sums to min(budget, total backlog).
+    */
+  private def allocate(
+      starts: IndexedSeq[Long], ends: IndexedSeq[Long],
+      budget: Long): IndexedSeq[Long] = {
+    val avail = paths.indices.map(i => math.max(0L, ends(i) - starts(i)))
+    val total = avail.sum
+    if (total <= budget) avail
+    else {
+      val base = avail.map(a => budget * a / total)
+      var left = budget - base.sum
+      val out = base.toArray
+      var i = 0
+      while (left > 0) {
+        if (out(i) < avail(i)) { out(i) += 1; left -= 1 }
+        i = (i + 1) % nParts
+      }
+      out.toIndexedSeq
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventReplayOffset].positions
+    val ends = visibleEnds
+    val next = rowBudget(limit) match {
+      case Some(budget) =>
+        val alloc = allocate(s, ends, budget)
+        paths.indices.map(i => s(i) + alloc(i))
+      case None => ends
+    }
+    EventReplayOffset(next)
+  }
+
+  /** True head of the log, ignoring rate limits (but respecting the
+    * AvailableNow freeze — progress reporting must not show a target
+    * the run will never drain to).
+    */
+  override def reportLatestOffset(): Offset =
+    EventReplayOffset(visibleEnds)
 
   /** Trigger.AvailableNow contract, implemented NATIVELY (the Kafka
     * source's shape): freeze the drain target once at query start;
@@ -158,29 +292,44 @@ class EventReplayMicroBatchStream(
     * unbounded one-shot read.
     */
   override def prepareForTriggerAvailableNow(): Unit = {
-    val head = endOfLog
-    logInfo(s"eventreplay available-now run will drain to offset $head")
+    val ends = logEnds
+    availableNowEnds = Some(ends)
+    logInfo("eventreplay available-now run will drain to " +
+      EventReplayOffset(ends).json())
   }
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[EventReplayOffset].row
-    val e = end.asInstanceOf[EventReplayOffset].row
-    if (e <= s) Array.empty
-    else {
-      val n = math.min(
-        EventReplayDataSource.SplitsPerBatch.toLong, e - s).toInt
-      val step = (e - s) / n
-      (0 until n).map { i =>
-        val lo = s + i * step
-        val hi = if (i == n - 1) e else lo + step
-        EventReplayInputPartition(lo, hi): InputPartition
-      }.toArray
+    val s = start.asInstanceOf[EventReplayOffset].positions
+    val e = end.asInstanceOf[EventReplayOffset].positions
+    if (nParts == 1) {
+      // Single-partition log: sub-split the slice so the per-batch
+      // plan is multi-task (a stand-in for broker partition fan-out).
+      val (lo0, hi0) = (s(0), e(0))
+      if (hi0 <= lo0) Array.empty
+      else {
+        val n = math.min(
+          EventReplayDataSource.SplitsPerBatch.toLong, hi0 - lo0).toInt
+        val step = (hi0 - lo0) / n
+        (0 until n).map { i =>
+          val lo = lo0 + i * step
+          val hi = if (i == n - 1) hi0 else lo + step
+          EventReplayInputPartition(paths(0), lo, hi): InputPartition
+        }.toArray
+      }
+    } else {
+      // Broker mapping: one task per log partition with a non-empty
+      // slice, each reading only its own file.
+      paths.indices
+        .filter(i => e(i) > s(i))
+        .map(i =>
+          EventReplayInputPartition(paths(i), s(i), e(i)): InputPartition)
+        .toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventReplayReaderFactory(path)
+    new EventReplayReaderFactory
 
   override def commit(end: Offset): Unit =
     logInfo(s"eventreplay committed through offset ${end.json()}")
@@ -188,22 +337,23 @@ class EventReplayMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-case class EventReplayInputPartition(startRow: Long, endRow: Long)
+case class EventReplayInputPartition(
+    path: String, startRow: Long, endRow: Long)
     extends InputPartition
 
-class EventReplayReaderFactory(path: String)
-    extends PartitionReaderFactory {
+class EventReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EventReplayInputPartition]
-    new EventReplayReader(path, p.startRow, p.endRow)
+    new EventReplayReader(p.path, p.startRow, p.endRow)
   }
 }
 
-/** Serves log rows [startRow, endRow) as InternalRows. Positioning is
-  * a line skip — O(offset) per partition, fine for a staged fixture
-  * log; a production log store seeks by offset index instead (same
-  * reader contract, different positioning cost).
+/** Serves log rows [startRow, endRow) of one log-partition file as
+  * InternalRows. Positioning is a line skip — O(offset) per
+  * partition, fine for a staged fixture log; a production log store
+  * seeks by offset index instead (same reader contract, different
+  * positioning cost).
   */
 class EventReplayReader(path: String, startRow: Long, endRow: Long)
     extends PartitionReader[InternalRow] {

@@ -26,6 +26,43 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventReplayGate {
 
+  /** Stage `df`'s single `value` string column as one text file and
+    * return the staged file's path.
+    */
+  private def stageLog(df: DataFrame, dir: String): String = {
+    df.coalesce(1).write.mode("overwrite").text(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .map(_.getAbsolutePath)
+      .head
+  }
+
+  /** One TSV line per event: integer-only fields so the text
+    * round-trip is format-exact.
+    */
+  private def eventLines(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        concat_ws("\t",
+          col("event_id"),
+          graft.Tables.tsMicros(col("ts")),
+          col("user_id"),
+          col("event_type"),
+          graft.operators.Money.cents(col("value"))).as("value"))
+
+  /** Last committed offset of source 0 in a checkpoint: the offset
+    * log's newest batch file is `v1`-header + metadata line + one
+    * offset JSON line per source.
+    */
+  private def lastCommittedOffsetJson(ckpt: String): String = {
+    val files = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val latest = files.maxBy(_.getName.toLong)
+    val lines = java.nio.file.Files.readAllLines(latest.toPath)
+    lines.get(lines.size() - 1)
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.Fs.sinkDir("graft_event_replay")
     graft.Fs.deleteRecursively(base)
@@ -33,21 +70,7 @@ object EventReplayGate {
     val out = s"$base/out"
     val ckpt = s"$base/ckpt"
 
-    // Stage the log: one TSV line per event, integer-only fields so
-    // the text round-trip is format-exact.
-    graft.Tables.events(spark, dir)
-      .select(concat_ws("\t",
-        col("event_id"),
-        graft.Tables.tsMicros(col("ts")),
-        col("user_id"),
-        col("event_type"),
-        graft.operators.Money.cents(col("value"))).as("value"))
-      .coalesce(1)
-      .write.mode("overwrite").text(stage)
-    val log = new java.io.File(stage).listFiles()
-      .filter(_.getName.startsWith("part-"))
-      .map(_.getAbsolutePath)
-      .head
+    val log = stageLog(eventLines(spark, dir).select("value"), stage)
     val total = spark.read.text(log).count()
     require(total > 10, s"staged replay log has only $total rows")
     val half = total / 2
@@ -90,6 +113,90 @@ object EventReplayGate {
 
     StreamingEvents.assertEmitted(
       spark.read.parquet(out), "stream_v2_source")
+      .orderBy("event_id")
+  }
+
+  /** The PARTITIONED kill/restart gate: the same exactly-once contract
+    * over a MULTI-partition log with composite `{partition → position}`
+    * offsets — the broker shape. The events fixture is staged as
+    * [[NLogParts]] TSV files (partition = event_id mod NLogParts), and
+    * two AvailableNow runs share one checkpoint:
+    *
+    *   - phase 1's per-partition horizon cuts EVERY partition mid-way
+    *     (`maxRowsPerPartition` — the deterministic multi-partition
+    *     kill), so resuming correctly requires each partition's OWN
+    *     committed position, not a single scalar;
+    *   - between the phases, the committed composite offset is read
+    *     back from the checkpoint's offset log and asserted to hold
+    *     the horizon position for every partition — replay-from-zero
+    *     on ANY partition, or a scalar offset, fails here;
+    *   - phase 2 must ingest exactly the per-partition remainders.
+    *
+    * The final sink must contain every event exactly once — the
+    * oracle (a straight projection of the events table) catches
+    * duplicates and holes by row count and hash.
+    */
+  val NLogParts = 3
+
+  def runPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.sinkDir("graft_event_replay_parts")
+    graft.Fs.deleteRecursively(base)
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+
+    val lines = eventLines(spark, dir)
+    val logs = (0 until NLogParts).map { p =>
+      stageLog(
+        lines.filter(pmod(col("event_id"), lit(NLogParts)) === p)
+          .select("value"),
+        s"$base/stage/p$p")
+    }
+    val counts = logs.map(l => spark.read.text(l).count())
+    val total = counts.sum
+    require(counts.forall(_ > 4),
+      s"staged partition logs too small: $counts")
+    // Cut every partition strictly mid-way: each has more rows than
+    // the horizon, so phase 2 has a non-empty remainder per partition.
+    val horizon = counts.min / 2
+    val perBatch = math.max(1L, total / 5)
+
+    def runPhase(capped: Boolean): Long = {
+      val rd = spark.readStream
+        .format(classOf[graft.sources.EventReplayDataSource].getName)
+        .option("paths", logs.mkString(","))
+        .option("rowsPerBatch", perBatch.toString)
+      if (capped) rd.option("maxRowsPerPartition", horizon.toString)
+      val q = rd.load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.map(_.numInputRows).sum
+    }
+
+    val rows1 = runPhase(capped = true)
+    require(rows1 == NLogParts * horizon,
+      s"phase 1 ingested $rows1 rows, expected ${NLogParts * horizon}")
+    // The checkpoint must hold the COMPOSITE offset with every
+    // partition at its horizon — this is the per-partition resumption
+    // evidence; a scalar or partial offset cannot pass.
+    val committed = graft.sources.EventReplayOffset
+      .parse(lastCommittedOffsetJson(ckpt), NLogParts)
+    require(committed.positions == IndexedSeq.fill(NLogParts)(horizon),
+      s"committed composite offset ${committed.json()} != " +
+        s"horizon $horizon on every partition")
+    val rows2 = runPhase(capped = false)
+    require(rows2 == total - NLogParts * horizon,
+      s"phase 2 ingested $rows2 rows, expected " +
+        s"${total - NLogParts * horizon} — some partition did not " +
+        "resume from its own committed position")
+
+    StreamingEvents.assertEmitted(
+      spark.read.parquet(out), "stream_v2_partitioned")
       .orderBy("event_id")
   }
 }
