@@ -69,7 +69,10 @@ object SkewBench {
     * The hot-key list comes from the same per-key count the
     * `skew_report` operator publishes — at 100 TB it is a handful of
     * keys collected from a grouped count, broadcast implicitly as a
-    * literal predicate.
+    * literal predicate (here the synthetic hot key is known to be 0;
+    * the production discovery flow is
+    * [[graft.operators.SkewKeys.discover]], which
+    * `join_salted_targeted` uses).
     */
   private def saltedPlan(f: DataFrame, d: DataFrame): DataFrame = {
     val hot = col("k") === 0L

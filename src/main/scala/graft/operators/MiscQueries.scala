@@ -143,39 +143,44 @@ object MiscQueries {
     }),
 
     // TARGETED salting — the deployable form of join_salted: only
-    // rows of identified hot keys (here: the skew_report shape, a
-    // handful of keys from a grouped count) carry a non-zero salt,
-    // and only those keys' dim rows are exploded across the salt
-    // range; the cold majority of the dimension is never replicated.
-    // graft.SkewBench measured the difference at sf0.1 with an 80%
-    // hot key: blanket salting 0.93× naive (dim-replication overhead
-    // EXCEEDS the skew cost), targeted salting 1.79× (SCALE.md
-    // "Skew"). Result must equal the unsalted join — same oracle.
+    // rows of DISCOVERED hot keys carry a non-zero salt, and only
+    // those keys' dim rows are exploded across the salt range; the
+    // cold majority of the dimension is never replicated. The hot-key
+    // list is not declared — [[SkewKeys.hotOrderCustkeys]] finds it
+    // from the same per-key grouped count `skew_report` publishes
+    // (≥1.5× mean order count, bounded top-8 collect), exactly the
+    // flow graft.SkewBench documents. SkewBench measured the variants
+    // at sf0.1 with an 80% hot key: blanket salting 0.93× naive
+    // (dim-replication overhead EXCEEDS the skew cost), targeted
+    // salting 1.79× (SCALE.md "Skew"). Salting is semantics-
+    // preserving, so the result must equal the unsalted join — the
+    // oracle runs the plain join; SkewKeysSpec pins that the salt
+    // engages exactly on the above-threshold keys.
     "join_salted_targeted" -> ((s, d) => {
       val nSalts = 8
-      val hotKeys = typedLit(Seq(1L, 2L, 3L)) // stand-in hot-key list
-      val hot = array_contains(hotKeys, col("l_orderkey"))
-      val fact = lineitem(s, d)
+      val hotKeys = typedLit(SkewKeys.hotOrderCustkeys(s, d))
+      val hot = array_contains(hotKeys, col("o_custkey"))
+      val fact = orders(s, d)
         .withColumn(
           "salt",
-          when(hot, pmod(col("l_linenumber"), lit(nSalts)))
+          when(hot, pmod(col("o_orderkey"), lit(nSalts)))
             .otherwise(lit(0)))
-      val dim = orders(s, d)
+      val dim = customer(s, d)
         .withColumn(
           "salt",
           explode(
-            when(array_contains(hotKeys, col("o_orderkey")),
+            when(array_contains(hotKeys, col("c_custkey")),
               sequence(lit(0), lit(nSalts - 1)))
               .otherwise(array(lit(0)))))
       fact
         .join(dim,
-          fact("l_orderkey") === dim("o_orderkey") &&
+          fact("o_custkey") === dim("c_custkey") &&
             fact("salt") === dim("salt"))
-        .groupBy("o_orderpriority")
+        .groupBy("c_mktsegment")
         .agg(
-          count(lit(1)).as("n_items"),
-          sum(cents(col("l_extendedprice"))).as("extprice_cents"))
-        .orderBy("o_orderpriority")
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("totalprice_cents"))
+        .orderBy("c_mktsegment")
     }),
 
     // Bloom-style semi-join reduction: when a selective dimension
@@ -1002,12 +1007,12 @@ object MiscQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_salted_targeted" ->
-      """SELECT o_orderpriority,
-        |       count(*) AS n_items,
-        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
-        |         AS extprice_cents
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |         AS totalprice_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "bloom_semijoin_reduce" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
         |       count(*) AS n_items,
