@@ -59,15 +59,15 @@ object AnnIndexQueries {
     s"${graft.Fs.sinkDir("graft_ann_index")}/$h"
   }
 
-  private def build(s: SparkSession, d: String): String = {
-    val dir = root(d)
-    val emb = embeddings(s, d)
-
-    // LSH vector store: NTables rows per vector, partitioned by
-    // (t, bucket). The embedding rides along — the store doubles as
-    // the float-vector table for exact scoring/re-rank, laid out so a
-    // probe's candidates are one partition directory.
-    val lshRows = emb
+  /** LSH vector store rows for a corpus: NTables rows per vector,
+    * partitioned downstream by (t, bucket). The embedding rides
+    * along — the store doubles as the float-vector table for exact
+    * scoring/re-rank, laid out so a probe's candidates are one
+    * partition directory. Shared by the full build and the
+    * incremental layers so the bucketing cannot drift.
+    */
+  private def lshRowsOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding"),
         explode(array((0 until NTables).map(t =>
           struct(lit(t).as("t"),
@@ -75,7 +75,30 @@ object AnnIndexQueries {
               .as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    lshRows.write.mode("overwrite")
+
+  /** IVF assignment of an arbitrary corpus against a PERSISTED
+    * centroid table (cid, centv): same bit-deterministic cosine and
+    * (sim desc, cid asc) argmax as the in-session `ivfProbes` — the
+    * append path must assign new vectors with the FROZEN quantizer,
+    * not retrain it.
+    */
+  private def assignAgainst(
+      corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    corpus
+      .crossJoin(broadcast(cents.select(col("cid"), col("centv"))))
+      .withColumn("csim", cosine(col("embedding"), col("centv")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  private def build(s: SparkSession, d: String): String = {
+    val dir = root(d)
+    val emb = embeddings(s, d)
+
+    lshRowsOf(emb).write.mode("overwrite")
       .partitionBy("t", "bucket").parquet(s"$dir/vectors")
 
     // IVF: centroid table (bounded by NCells — one file) and the
@@ -101,6 +124,152 @@ object AnnIndexQueries {
     dir
   }
 
+  // ------------------------------------------------------------------
+  // Incremental maintenance: append-only DELTA layers + compaction.
+  //
+  // A 100 TB persisted index is never fully rebuilt for a day's new
+  // embeddings: the append job hashes/assigns/encodes ONLY the new
+  // batch against the frozen quantizers (centroids + PQ codebook are
+  // trained at base-build time — both are derived from the smallest
+  // vec_ids, which live in the base corpus, so freezing them loses
+  // nothing here) and writes the derivations as a sibling DELTA layer
+  // under the index root. Serving reads base ∪ delta; a periodic
+  // compaction merges the layers back into one (restoring the
+  // one-directory-per-partition read pattern as deltas accumulate).
+  // Because every per-vector derivation (LSH bucket, cell id, PQ
+  // code) is corpus-independent given the quantizers, base ∪ delta is
+  // BYTE-IDENTICAL to a from-scratch rebuild over the unioned corpus
+  // — `ann_index_compact` pins that with the full-rebuild oracle, and
+  // the incr serve queries pin it with the in-session oracles.
+  // ------------------------------------------------------------------
+
+  /** The incremental build's observable result: the index root, the
+    * base/delta split point, and base-layer file snapshots taken
+    * before and after the append — AnnIndexSpec asserts they are
+    * identical (an append must touch ONLY delta files).
+    */
+  private[graft] case class IncrIndex(
+      dir: String,
+      threshold: Long,
+      baseAtAppend: Seq[(String, Long, Long)],
+      baseAfterAppend: Seq[(String, Long, Long)])
+
+  private val incrCache = new SessionMemo[IncrIndex]
+
+  private[graft] def incrIndex(s: SparkSession, d: String): IncrIndex =
+    incrCache.getOrCompute(s, d)(buildIncr(s, d))
+
+  private def incrRoot(d: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${graft.Fs.sinkDir("graft_ann_incr")}/$h"
+  }
+
+  /** Recursive (relative path, size, mtime) inventory of a layer dir,
+    * sorted — the "did the append touch base?" evidence.
+    */
+  private def snapshot(dir: String): Seq[(String, Long, Long)] = {
+    val base = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(base)) Seq.empty
+    else {
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => (
+            base.relativize(p).toString,
+            java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toSeq.sortBy(_._1)
+      } finally walk.close()
+    }
+  }
+
+  /** Write one layer (base or delta): the corpus's LSH rows, its IVF
+    * assignment against the frozen centroids, and its PQ codes
+    * against the frozen codebook. Identical stage code to the full
+    * build — only the corpus differs.
+    */
+  private def writeLayer(
+      s: SparkSession, corpus: DataFrame,
+      indexDir: String, layerDir: String): Unit = {
+    lshRowsOf(corpus).write.mode("overwrite")
+      .partitionBy("t", "bucket").parquet(s"$layerDir/vectors")
+    assignAgainst(corpus, s.read.parquet(s"$indexDir/ivf_centroids"))
+      .write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$layerDir/ivf_assign")
+    pqCodesOf(
+      pqSubvectors(corpus.select(col("vec_id"), col("embedding").as("vec"))),
+      s.read.parquet(s"$indexDir/pq_codebook"))
+      .write.mode("overwrite").parquet(s"$layerDir/pq_codes")
+  }
+
+  /** The three growing components and their partition layouts; the
+    * two quantizer tables are bounded and frozen, so they are never
+    * layered or compacted.
+    */
+  private val LayeredComponents: Seq[(String, Seq[String])] = Seq(
+    "vectors" -> Seq("t", "bucket"),
+    "ivf_assign" -> Seq("cid"),
+    "pq_codes" -> Seq.empty)
+
+  private def buildIncr(s: SparkSession, d: String): IncrIndex = {
+    val dir = incrRoot(d)
+    graft.Fs.deleteRecursively(dir)
+    val emb = embeddings(s, d)
+
+    // The "yesterday vs today" split: first 80% of vec_ids are the
+    // already-indexed corpus, the rest arrive as the append batch.
+    val n = emb.count()
+    val t = 4L * n / 5
+    require(t > math.max(NCells, PqCodes),
+      s"base corpus [0,$t) must contain the quantizer training rows")
+    val base = emb.filter(col("vec_id") < t)
+    val delta = emb.filter(col("vec_id") >= t)
+
+    // Base build: train (= snapshot) the quantizers, then write the
+    // base layer with them.
+    base.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("centv"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    pqCodebookOf(
+      pqSubvectors(base.select(col("vec_id"), col("embedding").as("vec"))))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+    writeLayer(s, base, dir, s"$dir/base")
+
+    // Append: derivations for the NEW batch only — base files must
+    // not be touched (snapshots prove it).
+    val atAppend = snapshot(s"$dir/base")
+    writeLayer(s, delta, dir, s"$dir/delta")
+    val afterAppend = snapshot(s"$dir/base")
+
+    // Compaction: merge each layered component back into one table,
+    // preserving its partition layout.
+    for ((comp, parts) <- LayeredComponents) {
+      val merged = layeredRead(s, dir, comp)
+      val w = merged.write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .parquet(s"$dir/compacted/$comp")
+    }
+
+    IncrIndex(dir, t, atAppend, afterAppend)
+  }
+
+  /** base ∪ delta read of one layered component — what the serve tier
+    * reads between compactions. Each layer root is read separately
+    * and unioned (Spark's partition inference rejects two partitioned
+    * roots in one read); pushed filters prune partitions in BOTH
+    * branches, so a probe still reads only its (t, bucket) or cid
+    * directories per layer.
+    */
+  private def layeredRead(
+      s: SparkSession, dir: String, comp: String): DataFrame =
+    s.read.parquet(s"$dir/base/$comp")
+      .unionByName(s.read.parquet(s"$dir/delta/$comp"))
+
   /** Component stats computed FROM a written table: rows, distinct
     * keys, and an integer content checksum — the triple the manifest
     * oracle-pins against DuckDB re-deriving the same index from the
@@ -116,6 +285,121 @@ object AnnIndexQueries {
       .select(lit(name).as("component"),
         col("n_rows"), col("n_keys"), col("key_sum"))
 
+  /** The three layered components' stats for one layer directory,
+    * tagged with the layer name — the `ann_index_append` manifest.
+    */
+  private def layerStats(
+      s: SparkSession, layer: String, layerDir: String): DataFrame =
+    stats("ivf_assign", s.read.parquet(s"$layerDir/ivf_assign"),
+        col("cid"), col("cid"))
+      .unionByName(stats("lsh_vectors",
+        s.read.parquet(s"$layerDir/vectors"), col("bucket"),
+        col("t") * lit(1 << NPlanes) + col("bucket")))
+      .unionByName(stats("pq_codes",
+        s.read.parquet(s"$layerDir/pq_codes"), col("code"),
+        col("m") * lit(PqCodes) + col("code")))
+      .select(lit(layer).as("layer"), col("component"),
+        col("n_rows"), col("n_keys"), col("key_sum"))
+
+  /** Five-component manifest over a set of component frames — shared
+    * by `ann_index_build` (full index) and `ann_index_compact`
+    * (merged layers), which must produce IDENTICAL manifests; both
+    * pin against the same full-rebuild oracle.
+    */
+  private def manifestOf(
+      vecs: DataFrame, cents: DataFrame, assign: DataFrame,
+      codebook: DataFrame, codes: DataFrame): DataFrame =
+    stats("ivf_assign", assign, col("cid"), col("cid"))
+      .unionByName(stats("ivf_centroids", cents,
+        col("cid"), col("cid")))
+      .unionByName(stats("lsh_vectors", vecs, col("bucket"),
+        col("t") * lit(1 << NPlanes) + col("bucket")))
+      .unionByName(stats("pq_codebook", codebook, col("code"),
+        col("m") * lit(PqCodes) + col("code")))
+      .unionByName(stats("pq_codes", codes, col("code"),
+        col("m") * lit(PqCodes) + col("code")))
+      .orderBy("component")
+
+  /** Serve the HIGH-RECALL LSH top-K from a persisted bucketed
+    * vector store: probe keys explode from the query rows of the
+    * store, the candidate join hits only probed (t, bucket)
+    * partitions, and exact scoring reads float vectors from the
+    * store itself — the source embeddings table is never touched.
+    * One implementation for the compact store and the base ∪ delta
+    * layered read, so the incremental serve cannot drift.
+    */
+  private def lshServe(vecs: DataFrame): DataFrame = {
+    val masks = (0 until (1 << NPlanes))
+      .filter(m => Integer.bitCount(m) <= ProbeRadius)
+    val probes = vecs
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("t"),
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cand = broadcast(probes)
+      .join(vecs.select(col("vec_id"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
+      .distinct()
+    // Canonical float-vector copy: table 0 of the store (each table
+    // carries the full vector set).
+    val store = vecs.filter(col("t") === 0)
+      .select(col("vec_id"), col("embedding"))
+    val qe = store.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand
+      .join(broadcast(qe), Seq("qid"))
+      .join(store, Seq("vec_id"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("qid", "vec_id", "rnk", "sim")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Serve IVF-PQ top-K from persisted component frames: centroids
+    * broadcast from the bounded centroid table, candidates arrive
+    * through the cid-partitioned assignment, and ADC scores against
+    * the codeword reconstruction decoded from codes ⋈ codebook (the
+    * decode tail is shared with the in-session encode, so the
+    * order-pinned L2 fold sees identical arrays). Shared by the
+    * compact and layered serve paths.
+    */
+  private def ivfpqServe(
+      vecs: DataFrame, cents: DataFrame, assign: DataFrame,
+      codebook: DataFrame, codes: DataFrame): DataFrame = {
+    val store = vecs.filter(col("t") === 0)
+      .select(col("vec_id"), col("embedding"))
+    val recon = pqReconFromCodes(codes, codebook)
+    val q = store.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val qprobes = q
+      .crossJoin(broadcast(cents)) // bounded by NCells
+      .withColumn("csim", cosine(col("qe"), col("centv")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= 2)
+      .select("qid", "cid")
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("ad2").asc, col("vec_id").asc)
+    broadcast(qprobes)
+      .join(assign, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
+      .distinct()
+      .join(recon, Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("ad2", l2sq(col("qe"), col("recon")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= TopK)
+      .select("qid", "vec_id", "rnk", "ad2")
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
@@ -128,21 +412,65 @@ object AnnIndexQueries {
     // checksum and fails the hash.
     "ann_index_build" -> ((s, d) => {
       val dir = indexDir(s, d)
-      val vecs = s.read.parquet(s"$dir/vectors")
-      val cents = s.read.parquet(s"$dir/ivf_centroids")
-      val assign = s.read.parquet(s"$dir/ivf_assign")
-      val codebook = s.read.parquet(s"$dir/pq_codebook")
-      val codes = s.read.parquet(s"$dir/pq_codes")
-      stats("ivf_assign", assign, col("cid"), col("cid"))
-        .unionByName(stats("ivf_centroids", cents,
-          col("cid"), col("cid")))
-        .unionByName(stats("lsh_vectors", vecs, col("bucket"),
-          col("t") * lit(1 << NPlanes) + col("bucket")))
-        .unionByName(stats("pq_codebook", codebook, col("code"),
-          col("m") * lit(PqCodes) + col("code")))
-        .unionByName(stats("pq_codes", codes, col("code"),
-          col("m") * lit(PqCodes) + col("code")))
-        .orderBy("component")
+      manifestOf(
+        s.read.parquet(s"$dir/vectors"),
+        s.read.parquet(s"$dir/ivf_centroids"),
+        s.read.parquet(s"$dir/ivf_assign"),
+        s.read.parquet(s"$dir/pq_codebook"),
+        s.read.parquet(s"$dir/pq_codes"))
+    }),
+
+    // INCREMENTAL append: hash/assign/encode ONLY the new batch (the
+    // last 20% of vec_ids) against the quantizers frozen at base-
+    // build time, writing a sibling delta layer — base files are not
+    // touched (AnnIndexSpec asserts the snapshots). The manifest
+    // reports each layer's three growing components read back from
+    // the written tables; the oracle re-derives the same split from
+    // the source embeddings, so a wrong bucket/cell/code in EITHER
+    // layer — or a row landing in the wrong layer — moves a checksum.
+    "ann_index_append" -> ((s, d) => {
+      val idx = incrIndex(s, d)
+      layerStats(s, "base", s"${idx.dir}/base")
+        .unionByName(layerStats(s, "delta", s"${idx.dir}/delta"))
+        .orderBy("layer", "component")
+    }),
+
+    // COMPACTION: merge base ∪ delta back into single component
+    // tables (same partition layouts). The manifest over the
+    // compacted tables is pinned against the SAME full-rebuild
+    // oracle as `ann_index_build` — compaction must be byte-
+    // identical (at checksum granularity) to rebuilding the whole
+    // index from the unioned corpus.
+    "ann_index_compact" -> ((s, d) => {
+      val idx = incrIndex(s, d)
+      manifestOf(
+        s.read.parquet(s"${idx.dir}/compacted/vectors"),
+        s.read.parquet(s"${idx.dir}/ivf_centroids"),
+        s.read.parquet(s"${idx.dir}/compacted/ivf_assign"),
+        s.read.parquet(s"${idx.dir}/pq_codebook"),
+        s.read.parquet(s"${idx.dir}/compacted/pq_codes"))
+    }),
+
+    // Serve between compactions: the SAME LSH top-K as
+    // `ann_index_query`, reading base ∪ delta — pinned to the same
+    // in-session oracle, so the layered read must give identical
+    // answers to both the compact index and the session derivation.
+    "ann_index_query_incr" -> ((s, d) => {
+      val idx = incrIndex(s, d)
+      lshServe(layeredRead(s, idx.dir, "vectors"))
+    }),
+
+    // And the IVF-PQ serve over the layered components (quantizer
+    // tables are shared/frozen; the three growing components read
+    // base ∪ delta).
+    "ann_index_ivfpq_incr" -> ((s, d) => {
+      val idx = incrIndex(s, d)
+      ivfpqServe(
+        layeredRead(s, idx.dir, "vectors"),
+        s.read.parquet(s"${idx.dir}/ivf_centroids"),
+        layeredRead(s, idx.dir, "ivf_assign"),
+        s.read.parquet(s"${idx.dir}/pq_codebook"),
+        layeredRead(s, idx.dir, "pq_codes"))
     }),
 
     // Serve the HIGH-RECALL LSH top-K from the PERSISTED index: probe
@@ -152,39 +480,8 @@ object AnnIndexQueries {
     // source embeddings table is never touched (AnnIndexSpec asserts
     // every scan in the plan is under the index root). Pinned to the
     // SAME oracle as the in-session `cosine_topk_lsh_hi`.
-    "ann_index_query" -> ((s, d) => {
-      val dir = indexDir(s, d)
-      val vecs = s.read.parquet(s"$dir/vectors")
-      val masks = (0 until (1 << NPlanes))
-        .filter(m => Integer.bitCount(m) <= ProbeRadius)
-      val probes = vecs
-        .filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("t"),
-          explode(array(masks.map(m =>
-            col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-      val cand = broadcast(probes)
-        .join(vecs.select(col("vec_id"), col("t"), col("bucket")),
-          Seq("t", "bucket"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select("qid", "vec_id")
-        .distinct()
-      // Canonical float-vector copy: table 0 of the store (each table
-      // carries the full vector set).
-      val store = vecs.filter(col("t") === 0)
-        .select(col("vec_id"), col("embedding"))
-      val qe = store.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      cand
-        .join(broadcast(qe), Seq("qid"))
-        .join(store, Seq("vec_id"))
-        .withColumn("sim", cosine(col("qe"), col("embedding")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "vec_id", "rnk", "sim")
-        .orderBy("qid", "rnk")
-    }),
+    "ann_index_query" -> ((s, d) =>
+      lshServe(s.read.parquet(s"${indexDir(s, d)}/vectors"))),
 
     // Serve IVF-PQ top-K from the PERSISTED index: centroids broadcast
     // from the bounded centroid table, candidates arrive through the
@@ -195,85 +492,110 @@ object AnnIndexQueries {
     // the in-session `ivfpq_topk`.
     "ann_index_ivfpq" -> ((s, d) => {
       val dir = indexDir(s, d)
-      val store = s.read.parquet(s"$dir/vectors")
-        .filter(col("t") === 0)
-        .select(col("vec_id"), col("embedding"))
-      val cents = s.read.parquet(s"$dir/ivf_centroids")
-      val assign = s.read.parquet(s"$dir/ivf_assign")
-      val codebook = s.read.parquet(s"$dir/pq_codebook")
-      val codes = s.read.parquet(s"$dir/pq_codes")
-      val recon = pqReconFromCodes(codes, codebook)
-      val q = store.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val wProbe = Window.partitionBy("qid")
-        .orderBy(col("csim").desc, col("cid").asc)
-      val qprobes = q
-        .crossJoin(broadcast(cents)) // bounded by NCells
-        .withColumn("csim", cosine(col("qe"), col("centv")))
-        .withColumn("crn", row_number().over(wProbe))
-        .filter(col("crn") <= 2)
-        .select("qid", "cid")
-      val wTop = Window.partitionBy("qid")
-        .orderBy(col("ad2").asc, col("vec_id").asc)
-      broadcast(qprobes)
-        .join(assign, Seq("cid"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select("qid", "vec_id")
-        .distinct()
-        .join(recon, Seq("vec_id"))
-        .join(broadcast(q), Seq("qid"))
-        .withColumn("ad2", l2sq(col("qe"), col("recon")))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= TopK)
-        .select("qid", "vec_id", "rnk", "ad2")
-        .orderBy("qid", "rnk")
+      ivfpqServe(
+        s.read.parquet(s"$dir/vectors"),
+        s.read.parquet(s"$dir/ivf_centroids"),
+        s.read.parquet(s"$dir/ivf_assign"),
+        s.read.parquet(s"$dir/pq_codebook"),
+        s.read.parquet(s"$dir/pq_codes"))
     }))
 
+  // Re-derive all five index components from the source embeddings
+  // with the same CTE chains the in-session oracles use, and emit
+  // the same (rows, keys, checksum) triple per component. Shared
+  // VERBATIM by `ann_index_build` (full index) and
+  // `ann_index_compact` (merged base ∪ delta layers): compaction must
+  // reproduce the full rebuild exactly.
+  private val fullManifestOracle: String =
+    s"""WITH $normCte,
+       |$assignCte,
+       |${tableBucketCte("t0", 0)},
+       |${tableBucketCte("t1", NPlanes)},
+       |$pqReconCtes,
+       |lshrows AS (
+       |  SELECT 0 AS t, vec_id, bucket FROM t0
+       |  UNION ALL
+       |  SELECT 1 AS t, vec_id, bucket FROM t1
+       |)
+       |SELECT component, n_rows, n_keys, key_sum FROM (
+       |  SELECT 'ivf_assign' AS component, count(*) AS n_rows,
+       |         count(DISTINCT cid) AS n_keys,
+       |         CAST(sum(cid) AS BIGINT) AS key_sum
+       |  FROM assign
+       |  UNION ALL
+       |  SELECT 'ivf_centroids', count(*), count(DISTINCT vec_id),
+       |         CAST(sum(vec_id) AS BIGINT)
+       |  FROM embeddings WHERE vec_id < $NCells
+       |  UNION ALL
+       |  SELECT 'lsh_vectors', count(*),
+       |         count(DISTINCT t * ${1 << NPlanes} + bucket),
+       |         CAST(sum(bucket) AS BIGINT)
+       |  FROM lshrows
+       |  UNION ALL
+       |  SELECT 'pq_codebook', count(*),
+       |         count(DISTINCT m * $PqCodes + code),
+       |         CAST(sum(code) AS BIGINT)
+       |  FROM cents
+       |  UNION ALL
+       |  SELECT 'pq_codes', count(*),
+       |         count(DISTINCT m * $PqCodes + code),
+       |         CAST(sum(code) AS BIGINT)
+       |  FROM codes
+       |) t ORDER BY component""".stripMargin
+
+  // The append manifest's oracle: the SAME component derivations,
+  // split into base/delta layers at the 80% vec_id threshold the
+  // incremental build uses. A row assigned to the wrong layer, or a
+  // wrong derivation in either layer, moves a per-layer checksum.
+  private val appendOracle: String =
+    s"""WITH $normCte,
+       |$assignCte,
+       |${tableBucketCte("t0", 0)},
+       |${tableBucketCte("t1", NPlanes)},
+       |$pqReconCtes,
+       |thr AS (SELECT (4 * count(*)) // 5 AS tv FROM embeddings),
+       |lshrows AS (
+       |  SELECT 0 AS t, vec_id, bucket FROM t0
+       |  UNION ALL
+       |  SELECT 1 AS t, vec_id, bucket FROM t1
+       |)
+       |SELECT layer, component, n_rows, n_keys, key_sum FROM (
+       |  SELECT CASE WHEN vec_id < (SELECT tv FROM thr)
+       |           THEN 'base' ELSE 'delta' END AS layer,
+       |         'ivf_assign' AS component, count(*) AS n_rows,
+       |         count(DISTINCT cid) AS n_keys,
+       |         CAST(sum(cid) AS BIGINT) AS key_sum
+       |  FROM assign GROUP BY 1
+       |  UNION ALL
+       |  SELECT CASE WHEN vec_id < (SELECT tv FROM thr)
+       |           THEN 'base' ELSE 'delta' END,
+       |         'lsh_vectors', count(*),
+       |         count(DISTINCT t * ${1 << NPlanes} + bucket),
+       |         CAST(sum(bucket) AS BIGINT)
+       |  FROM lshrows GROUP BY 1
+       |  UNION ALL
+       |  SELECT CASE WHEN vec_id < (SELECT tv FROM thr)
+       |           THEN 'base' ELSE 'delta' END,
+       |         'pq_codes', count(*),
+       |         count(DISTINCT m * $PqCodes + code),
+       |         CAST(sum(code) AS BIGINT)
+       |  FROM codes GROUP BY 1
+       |) t ORDER BY layer, component""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // Re-derive all five index components from the source embeddings
-    // with the same CTE chains the in-session oracles use, and emit
-    // the same (rows, keys, checksum) triple per component.
-    "ann_index_build" ->
-      s"""WITH $normCte,
-         |$assignCte,
-         |${tableBucketCte("t0", 0)},
-         |${tableBucketCte("t1", NPlanes)},
-         |$pqReconCtes,
-         |lshrows AS (
-         |  SELECT 0 AS t, vec_id, bucket FROM t0
-         |  UNION ALL
-         |  SELECT 1 AS t, vec_id, bucket FROM t1
-         |)
-         |SELECT component, n_rows, n_keys, key_sum FROM (
-         |  SELECT 'ivf_assign' AS component, count(*) AS n_rows,
-         |         count(DISTINCT cid) AS n_keys,
-         |         CAST(sum(cid) AS BIGINT) AS key_sum
-         |  FROM assign
-         |  UNION ALL
-         |  SELECT 'ivf_centroids', count(*), count(DISTINCT vec_id),
-         |         CAST(sum(vec_id) AS BIGINT)
-         |  FROM embeddings WHERE vec_id < $NCells
-         |  UNION ALL
-         |  SELECT 'lsh_vectors', count(*),
-         |         count(DISTINCT t * ${1 << NPlanes} + bucket),
-         |         CAST(sum(bucket) AS BIGINT)
-         |  FROM lshrows
-         |  UNION ALL
-         |  SELECT 'pq_codebook', count(*),
-         |         count(DISTINCT m * $PqCodes + code),
-         |         CAST(sum(code) AS BIGINT)
-         |  FROM cents
-         |  UNION ALL
-         |  SELECT 'pq_codes', count(*),
-         |         count(DISTINCT m * $PqCodes + code),
-         |         CAST(sum(code) AS BIGINT)
-         |  FROM codes
-         |) t ORDER BY component""".stripMargin,
+    "ann_index_build" -> fullManifestOracle,
+    "ann_index_compact" -> fullManifestOracle,
+    "ann_index_append" -> appendOracle,
     // The serve paths must reproduce their in-session twins EXACTLY —
-    // same oracle strings, so the persisted index cannot drift from
-    // the session derivation without failing the gate.
+    // same oracle strings, so neither the persisted index nor the
+    // layered base ∪ delta read can drift from the session derivation
+    // without failing the gate.
     "ann_index_query" ->
       SimilarityQueries.oracleSql("cosine_topk_lsh_hi"),
     "ann_index_ivfpq" ->
+      SimilarityQueries.oracleSql("ivfpq_topk"),
+    "ann_index_query_incr" ->
+      SimilarityQueries.oracleSql("cosine_topk_lsh_hi"),
+    "ann_index_ivfpq_incr" ->
       SimilarityQueries.oracleSql("ivfpq_topk"))
 }

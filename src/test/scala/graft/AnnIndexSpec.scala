@@ -45,6 +45,43 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("append touches only delta files, never the base layer") {
+    val idx = graft.operators.AnnIndexQueries.incrIndex(spark, sfDir)
+    assert(idx.baseAtAppend.nonEmpty, "base layer has no files")
+    assert(idx.baseAtAppend === idx.baseAfterAppend,
+      "append modified base-layer files (path/size/mtime drift)")
+    // The delta layer actually exists and carries the new batch.
+    val deltaRows = spark.read
+      .parquet(s"${idx.dir}/delta/vectors")
+    assert(deltaRows.count() > 0, "delta layer is empty")
+    import org.apache.spark.sql.functions.min
+    val minVec = deltaRows.agg(min("vec_id")).head().getLong(0)
+    assert(minVec >= idx.threshold,
+      s"delta contains base vec_id $minVec < ${idx.threshold}")
+  }
+
+  test("incremental serves ≡ compact-index serves ≡ in-session twins") {
+    assert(run("ann_index_query_incr").collect().toSeq ===
+      run("ann_index_query").collect().toSeq)
+    assert(run("ann_index_ivfpq_incr").collect().toSeq ===
+      run("ann_index_ivfpq").collect().toSeq)
+  }
+
+  test("compacted manifest is byte-identical to the full rebuild's") {
+    assert(run("ann_index_compact").collect().toSeq ===
+      run("ann_index_build").collect().toSeq)
+  }
+
+  test("incremental serve plans scan only the incremental index") {
+    for (name <- Seq("ann_index_query_incr", "ann_index_ivfpq_incr")) {
+      val paths = scannedPaths(run(name))
+      assert(paths.nonEmpty, s"$name: no file scans found")
+      val offenders = paths.filterNot(_.contains("graft_ann_incr"))
+      assert(offenders.isEmpty,
+        s"$name reads outside the incremental index: $offenders")
+    }
+  }
+
   test("manifest pins every component's shape") {
     val rows = run("ann_index_build").collect()
     val byName = rows.map(r =>
