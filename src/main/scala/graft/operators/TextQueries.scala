@@ -51,7 +51,7 @@ object TextQueries {
     * uncapped vs bounded with the cap), and at 100 TB an uncapped hot
     * bucket is a guaranteed straggler/OOM.
     */
-  private val BucketCap = 50
+  private[graft] val BucketCap = 50
 
   /** (doc_id, shingle) pairs, distinct, stop-shingles (df > cap)
     * removed; plus per-doc capped set sizes.
@@ -2001,6 +2001,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING near-dup: the incremental screen as a stateful
+    // stream — corpus band buckets live as BOUNDED transformWithState
+    // state (ListState capped at BucketCap + overflow counter), and
+    // each arriving new doc probes exactly its own band buckets.
+    // Bucket viability is decided over CORPUS members only (a stream
+    // cannot know future arrivals; see StreamNearDup's contract
+    // note) and the oracle pins exactly those semantics;
+    // StreamNearDupSpec additionally pins the stateful pipeline
+    // against an independent batch implementation of the same
+    // contract.
+    "stream_neardup" -> ((s, d) =>
+      graft.streaming.StreamNearDup.run(s, d, BucketCap)),
+
     // MinHash near-dup estimation: candidates share a 2-slot band,
     // similarity estimated as matching-slot fraction; top-20 pairs.
     "minhash_band_pairs" -> ((s, d) => {
@@ -3465,6 +3478,45 @@ object TextQueries {
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM small x JOIN small y
          |    ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id >= 250 AND y.doc_id < 250
+         |), scored AS (
+         |  SELECT a, b, $matchExpr AS n_match
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a
+         |  JOIN sigs sb ON sb.doc_id = b
+         |  WHERE $matchExpr >= 4
+         |), ranked AS (
+         |  SELECT a, b, n_match,
+         |         row_number() OVER (PARTITION BY a
+         |           ORDER BY n_match DESC, b ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT a AS doc_id, b AS dup_of, CAST(n_match AS INTEGER) AS n_match
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    // The streaming screen's contract: bucket viability over CORPUS
+    // members only (count BETWEEN 1 AND cap — the index side is
+    // bounded, queries add no state and cannot retroactively poison
+    // a bucket), candidates new×corpus within viable buckets,
+    // n_match ≥ 4, best match per new doc. Identical signature/band
+    // derivations to the batch oracles.
+    "stream_neardup" -> {
+      val bandSelects = bandSelectsSql
+      val matchExpr = (0 until 8)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $tokHashCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  $bandSelects
+         |), okb AS (
+         |  SELECT band, key FROM bands WHERE doc_id < 250
+         |  GROUP BY band, key HAVING count(*) BETWEEN 1 AND $BucketCap
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x
+         |  JOIN okb ON x.band = okb.band AND x.key = okb.key
+         |  JOIN bands y ON y.band = x.band AND y.key = x.key
          |  WHERE x.doc_id >= 250 AND y.doc_id < 250
          |), scored AS (
          |  SELECT a, b, $matchExpr AS n_match
