@@ -147,7 +147,7 @@ object StreamNearDup {
     * tail as the batch operator. Pairs may arrive duplicated across
     * bands; the max-struct fold absorbs them.
     */
-  private def bestMatch(pairs: DataFrame): DataFrame =
+  private[graft] def bestMatch(pairs: DataFrame): DataFrame =
     pairs
       .groupBy(col("a"))
       .agg(max(struct(col("n_match"), (-col("b")).as("neg")))
@@ -158,27 +158,34 @@ object StreamNearDup {
         col("best.n_match").as("n_match"))
       .orderBy("doc_id")
 
-  /** Stage the documents as FOUR parquet files in doc_id order (two
-    * corpus, two query), mtime-ordered so the file stream source with
-    * maxFilesPerTrigger=1 replays them as four micro-batches: every
-    * corpus bucket is in state before the first query arrives, and
-    * the run demonstrably spans several stateful batches.
+  /** The two corpus document slices and the two query slices, each
+    * (file suffix, filter) — staged corpus-before-queries so state is
+    * fully built before the first probe.
     */
-  private def stage(spark: SparkSession, dir: String): String = {
-    val stageDir = s"${graft.Fs.sinkDir("graft_stream_neardup")}/stage"
-    graft.Fs.deleteRecursively(stageDir)
+  private[graft] def corpusSlices = Seq(
+    ("000", col("doc_id") < CorpusSplit / 2),
+    ("001", col("doc_id") >= CorpusSplit / 2 &&
+      col("doc_id") < CorpusSplit))
+
+  private[graft] def querySlices = Seq(
+    ("002", col("doc_id") >= CorpusSplit &&
+      col("doc_id") < CorpusSplit * 3 / 2),
+    ("003", col("doc_id") >= CorpusSplit * 3 / 2))
+
+  /** Stage document slices as single parquet files under `stageDir`,
+    * mtime-ordered from `t0` so the file stream source with
+    * maxFilesPerTrigger=1 replays them as one micro-batch each (and
+    * files staged LATER — the restart spec's second phase — sort
+    * after every earlier file).
+    */
+  private[graft] def stageFiles(
+      spark: SparkSession, dir: String, stageDir: String,
+      slices: Seq[(String, org.apache.spark.sql.Column)],
+      t0: Long): Unit = {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(stageDir))
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-    val slices = Seq(
-      ("000", col("doc_id") < CorpusSplit / 2),
-      ("001", col("doc_id") >= CorpusSplit / 2 &&
-        col("doc_id") < CorpusSplit),
-      ("002", col("doc_id") >= CorpusSplit &&
-        col("doc_id") < CorpusSplit * 3 / 2),
-      ("003", col("doc_id") >= CorpusSplit * 3 / 2))
-    val t0 = System.currentTimeMillis()
     slices.zipWithIndex.foreach { case ((sfx, cond), i) =>
       val tmp = s"$stageDir-tmp-$sfx"
       docs.filter(cond).coalesce(1)
@@ -192,16 +199,45 @@ object StreamNearDup {
         java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
       graft.Fs.deleteRecursively(tmp)
     }
+  }
+
+  /** Stage all four slices fresh (the single-run gate's input). */
+  private def stage(spark: SparkSession, dir: String): String = {
+    val stageDir = s"${graft.Fs.sinkDir("graft_stream_neardup")}/stage"
+    graft.Fs.deleteRecursively(stageDir)
+    stageFiles(spark, dir, stageDir, corpusSlices ++ querySlices,
+      System.currentTimeMillis())
     stageDir
   }
 
-  /** Run the streaming near-dup to completion (RocksDB provider, four
-    * rate-limited micro-batches, memory sink) and return the
-    * best-match report.
+  /** The streaming pipeline over a staged directory: file stream →
+    * expression-only signatures → band rows → the stateful bucket
+    * processor. Shared by the single-run gate and the restart spec.
     */
-  def run(spark: SparkSession, dir: String, cap: Int): DataFrame = {
+  private[graft] def pipeline(
+      spark: SparkSession, stageDir: String, cap: Int): DataFrame = {
     import spark.implicits._
-    val stageDir = stage(spark, dir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    bandRows(stream)
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.key))
+      .transformWithState(
+        new BandBucketProcessor(cap),
+        TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  /** Run `body` with the RocksDB state-store provider and a small
+    * stream shuffle-partition count, restoring both afterwards (the
+    * scoped-conf pattern of the other stateful gates).
+    */
+  private[graft] def withStreamConfs[T](spark: SparkSession)(
+      body: => T): T = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     val shuffleKey = "spark.sql.shuffle.partitions"
@@ -213,23 +249,26 @@ object StreamNearDup {
     // keeps the per-batch store open/commit overhead proportionate
     // (same sizing note as Sessionize).
     spark.conf.set(shuffleKey, "8")
-    try {
-      val schema = spark.read.parquet(stageDir).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stageDir)
-      val pairs = bandRows(stream)
-        .as[BandRow]
-        .groupByKey(r => (r.band, r.key))
-        .transformWithState(
-          new BandBucketProcessor(cap),
-          TimeMode.None(),
-          OutputMode.Append())
-        .toDF()
+    try body
+    finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      spark.conf.set(shuffleKey, prevShuffle)
+    }
+  }
+
+  /** Run the streaming near-dup to completion (RocksDB provider, four
+    * rate-limited micro-batches, memory sink) and return the
+    * best-match report.
+    */
+  def run(spark: SparkSession, dir: String, cap: Int): DataFrame = {
+    val stageDir = stage(spark, dir)
+    withStreamConfs(spark) {
       val sink = "stream_neardup_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = pairs.writeStream
+      val q = pipeline(spark, stageDir, cap).writeStream
         .format("memory")
         .queryName(sink)
         .outputMode("append")
@@ -244,12 +283,6 @@ object StreamNearDup {
           "rate limiting or the staged ordering is broken")
       StreamingEvents.assertEmitted(
         bestMatch(MemorySinks.drain(spark, sink)), "stream_neardup")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
-      spark.conf.set(shuffleKey, prevShuffle)
     }
   }
 
