@@ -328,7 +328,7 @@ object AnnIndexQueries {
     * One implementation for the compact store and the base ∪ delta
     * layered read, so the incremental serve cannot drift.
     */
-  private def lshServe(vecs: DataFrame): DataFrame = {
+  private[graft] def lshServe(vecs: DataFrame): DataFrame = {
     val masks = (0 until (1 << NPlanes))
       .filter(m => Integer.bitCount(m) <= ProbeRadius)
     val probes = vecs
@@ -368,7 +368,7 @@ object AnnIndexQueries {
     * order-pinned L2 fold sees identical arrays). Shared by the
     * compact and layered serve paths.
     */
-  private def ivfpqServe(
+  private[graft] def ivfpqServe(
       vecs: DataFrame, cents: DataFrame, assign: DataFrame,
       codebook: DataFrame, codes: DataFrame): DataFrame = {
     val store = vecs.filter(col("t") === 0)

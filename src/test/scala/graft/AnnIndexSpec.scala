@@ -72,6 +72,26 @@ class AnnIndexSpec extends SparkTestBase {
       run("ann_index_build").collect().toSeq)
   }
 
+  test("serving FROM the compacted tables equals every other serve") {
+    // The post-compaction read path: once deltas are merged, the
+    // serve tier reads the compacted tables alone — answers must
+    // match the layered read and the full-index serve exactly.
+    import graft.operators.AnnIndexQueries
+    val idx = AnnIndexQueries.incrIndex(spark, sfDir)
+    val lsh = AnnIndexQueries.lshServe(
+      spark.read.parquet(s"${idx.dir}/compacted/vectors"))
+    assert(lsh.collect().toSeq ===
+      run("ann_index_query").collect().toSeq)
+    val ivfpq = AnnIndexQueries.ivfpqServe(
+      spark.read.parquet(s"${idx.dir}/compacted/vectors"),
+      spark.read.parquet(s"${idx.dir}/ivf_centroids"),
+      spark.read.parquet(s"${idx.dir}/compacted/ivf_assign"),
+      spark.read.parquet(s"${idx.dir}/pq_codebook"),
+      spark.read.parquet(s"${idx.dir}/compacted/pq_codes"))
+    assert(ivfpq.collect().toSeq ===
+      run("ann_index_ivfpq").collect().toSeq)
+  }
+
   test("incremental serve plans scan only the incremental index") {
     for (name <- Seq("ann_index_query_incr", "ann_index_ivfpq_incr")) {
       val paths = scannedPaths(run(name))
