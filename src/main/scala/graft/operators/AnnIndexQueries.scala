@@ -144,15 +144,17 @@ object AnnIndexQueries {
   // ------------------------------------------------------------------
 
   /** The incremental build's observable result: the index root, the
-    * base/delta split point, and base-layer file snapshots taken
-    * before and after the append — AnnIndexSpec asserts they are
-    * identical (an append must touch ONLY delta files).
+    * layer split points (layer i holds vec_ids in
+    * [thresholds(i), thresholds(i+1))), and — per append — file
+    * snapshots of every EXISTING layer taken before and after that
+    * append. AnnIndexSpec asserts each pair is identical: an append
+    * must touch ONLY its own new delta, never base or earlier deltas.
     */
   private[graft] case class IncrIndex(
       dir: String,
-      threshold: Long,
-      baseAtAppend: Seq[(String, Long, Long)],
-      baseAfterAppend: Seq[(String, Long, Long)])
+      thresholds: Seq[Long],
+      appendProofs: Seq[(Seq[(String, Long, Long)],
+        Seq[(String, Long, Long)])])
 
   private val incrCache = new SessionMemo[IncrIndex]
 
@@ -214,19 +216,32 @@ object AnnIndexQueries {
     "ivf_assign" -> Seq("cid"),
     "pq_codes" -> Seq.empty)
 
+  /** Number of accumulated append batches in the incremental build —
+    * deltas ACCUMULATE between compactions, so two proves the general
+    * shape (layer isolation per append, serve over base ∪ all
+    * deltas), not the one-delta special case.
+    */
+  private[graft] val NDeltas = 2
+
   private def buildIncr(s: SparkSession, d: String): IncrIndex = {
     val dir = incrRoot(d)
     graft.Fs.deleteRecursively(dir)
     val emb = embeddings(s, d)
 
-    // The "yesterday vs today" split: first 80% of vec_ids are the
-    // already-indexed corpus, the rest arrive as the append batch.
+    // The "history vs arriving days" split: first 80% of vec_ids are
+    // the already-indexed corpus, the rest arrive as two successive
+    // append batches (80–90%, 90–100%).
     val n = emb.count()
-    val t = 4L * n / 5
-    require(t > math.max(NCells, PqCodes),
-      s"base corpus [0,$t) must contain the quantizer training rows")
-    val base = emb.filter(col("vec_id") < t)
-    val delta = emb.filter(col("vec_id") >= t)
+    val thresholds = Seq(0L, 4L * n / 5, 9L * n / 10, n)
+    require(thresholds(1) > math.max(NCells, PqCodes),
+      s"base corpus [0,${thresholds(1)}) must contain the quantizer " +
+        "training rows")
+    require(thresholds.sliding(2).forall(w => w(1) > w.head),
+      s"degenerate layer split $thresholds for corpus of $n")
+    def slice(i: Int): DataFrame = emb.filter(
+      col("vec_id") >= thresholds(i) &&
+        col("vec_id") < thresholds(i + 1))
+    val base = slice(0)
 
     // Base build: train (= snapshot) the quantizers, then write the
     // base layer with them.
@@ -240,11 +255,17 @@ object AnnIndexQueries {
       .write.mode("overwrite").parquet(s"$dir/pq_codebook")
     writeLayer(s, base, dir, s"$dir/base")
 
-    // Append: derivations for the NEW batch only — base files must
-    // not be touched (snapshots prove it).
-    val atAppend = snapshot(s"$dir/base")
-    writeLayer(s, delta, dir, s"$dir/delta")
-    val afterAppend = snapshot(s"$dir/base")
+    // Appends: derivations for each NEW batch only — every layer
+    // already on disk must be untouched by every later append
+    // (snapshots prove it per append).
+    val proofs = (0 until NDeltas).map { i =>
+      val watched = s"$dir/base" +:
+        (0 until i).map(j => s"$dir/delta/d$j")
+      val before = watched.flatMap(snapshot)
+      writeLayer(s, slice(i + 1), dir, s"$dir/delta/d$i")
+      val after = watched.flatMap(snapshot)
+      (before, after)
+    }
 
     // Compaction: merge each layered component back into one table,
     // preserving its partition layout.
@@ -255,20 +276,22 @@ object AnnIndexQueries {
         .parquet(s"$dir/compacted/$comp")
     }
 
-    IncrIndex(dir, t, atAppend, afterAppend)
+    IncrIndex(dir, thresholds, proofs)
   }
 
-  /** base ∪ delta read of one layered component — what the serve tier
-    * reads between compactions. Each layer root is read separately
-    * and unioned (Spark's partition inference rejects two partitioned
-    * roots in one read); pushed filters prune partitions in BOTH
-    * branches, so a probe still reads only its (t, bucket) or cid
-    * directories per layer.
+  /** base ∪ delta0 ∪ … read of one layered component — what the
+    * serve tier reads between compactions. Each layer root is read
+    * separately and unioned (Spark's partition inference rejects
+    * multiple partitioned roots in one read); pushed filters prune
+    * partitions in EVERY branch, so a probe still reads only its
+    * (t, bucket) or cid directories per layer.
     */
   private def layeredRead(
       s: SparkSession, dir: String, comp: String): DataFrame =
-    s.read.parquet(s"$dir/base/$comp")
-      .unionByName(s.read.parquet(s"$dir/delta/$comp"))
+    ((s"$dir/base/$comp") +:
+      (0 until NDeltas).map(i => s"$dir/delta/d$i/$comp"))
+      .map(p => s.read.parquet(p))
+      .reduce(_ unionByName _)
 
   /** Component stats computed FROM a written table: rows, distinct
     * keys, and an integer content checksum — the triple the manifest
@@ -420,18 +443,22 @@ object AnnIndexQueries {
         s.read.parquet(s"$dir/pq_codes"))
     }),
 
-    // INCREMENTAL append: hash/assign/encode ONLY the new batch (the
-    // last 20% of vec_ids) against the quantizers frozen at base-
-    // build time, writing a sibling delta layer — base files are not
-    // touched (AnnIndexSpec asserts the snapshots). The manifest
-    // reports each layer's three growing components read back from
-    // the written tables; the oracle re-derives the same split from
-    // the source embeddings, so a wrong bucket/cell/code in EITHER
-    // layer — or a row landing in the wrong layer — moves a checksum.
+    // INCREMENTAL appends: hash/assign/encode ONLY each new batch
+    // (the last 20% of vec_ids, arriving as TWO successive appends —
+    // deltas accumulate between compactions) against the quantizers
+    // frozen at base-build time, each writing its own sibling delta
+    // layer — base and earlier deltas are not touched (AnnIndexSpec
+    // asserts the per-append snapshots). The manifest reports every
+    // layer's three growing components read back from the written
+    // tables; the oracle re-derives the same three-way split from the
+    // source embeddings, so a wrong bucket/cell/code in ANY layer —
+    // or a row landing in the wrong layer — moves a checksum.
     "ann_index_append" -> ((s, d) => {
       val idx = incrIndex(s, d)
-      layerStats(s, "base", s"${idx.dir}/base")
-        .unionByName(layerStats(s, "delta", s"${idx.dir}/delta"))
+      (0 until NDeltas)
+        .map(i => layerStats(s, s"delta$i", s"${idx.dir}/delta/d$i"))
+        .foldLeft(layerStats(s, "base", s"${idx.dir}/base"))(
+          _ unionByName _)
         .orderBy("layer", "component")
     }),
 
@@ -544,43 +571,47 @@ object AnnIndexQueries {
        |) t ORDER BY component""".stripMargin
 
   // The append manifest's oracle: the SAME component derivations,
-  // split into base/delta layers at the 80% vec_id threshold the
-  // incremental build uses. A row assigned to the wrong layer, or a
-  // wrong derivation in either layer, moves a per-layer checksum.
-  private val appendOracle: String =
+  // split into base/delta0/delta1 layers at the 80%/90% vec_id
+  // thresholds the incremental build uses. A row assigned to the
+  // wrong layer, or a wrong derivation in any layer, moves a
+  // per-layer checksum.
+  private val appendOracle: String = {
+    val layerCase =
+      """CASE WHEN vec_id < (SELECT tv1 FROM thr) THEN 'base'
+        |         WHEN vec_id < (SELECT tv2 FROM thr) THEN 'delta0'
+        |         ELSE 'delta1' END""".stripMargin
     s"""WITH $normCte,
        |$assignCte,
        |${tableBucketCte("t0", 0)},
        |${tableBucketCte("t1", NPlanes)},
        |$pqReconCtes,
-       |thr AS (SELECT (4 * count(*)) // 5 AS tv FROM embeddings),
+       |thr AS (SELECT (4 * count(*)) // 5 AS tv1,
+       |               (9 * count(*)) // 10 AS tv2 FROM embeddings),
        |lshrows AS (
        |  SELECT 0 AS t, vec_id, bucket FROM t0
        |  UNION ALL
        |  SELECT 1 AS t, vec_id, bucket FROM t1
        |)
        |SELECT layer, component, n_rows, n_keys, key_sum FROM (
-       |  SELECT CASE WHEN vec_id < (SELECT tv FROM thr)
-       |           THEN 'base' ELSE 'delta' END AS layer,
+       |  SELECT $layerCase AS layer,
        |         'ivf_assign' AS component, count(*) AS n_rows,
        |         count(DISTINCT cid) AS n_keys,
        |         CAST(sum(cid) AS BIGINT) AS key_sum
        |  FROM assign GROUP BY 1
        |  UNION ALL
-       |  SELECT CASE WHEN vec_id < (SELECT tv FROM thr)
-       |           THEN 'base' ELSE 'delta' END,
+       |  SELECT $layerCase,
        |         'lsh_vectors', count(*),
        |         count(DISTINCT t * ${1 << NPlanes} + bucket),
        |         CAST(sum(bucket) AS BIGINT)
        |  FROM lshrows GROUP BY 1
        |  UNION ALL
-       |  SELECT CASE WHEN vec_id < (SELECT tv FROM thr)
-       |           THEN 'base' ELSE 'delta' END,
+       |  SELECT $layerCase,
        |         'pq_codes', count(*),
        |         count(DISTINCT m * $PqCodes + code),
        |         CAST(sum(code) AS BIGINT)
        |  FROM codes GROUP BY 1
        |) t ORDER BY layer, component""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "ann_index_build" -> fullManifestOracle,

@@ -45,19 +45,26 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
-  test("append touches only delta files, never the base layer") {
+  test("each append touches only its own delta layer") {
+    import org.apache.spark.sql.functions.{max, min}
     val idx = graft.operators.AnnIndexQueries.incrIndex(spark, sfDir)
-    assert(idx.baseAtAppend.nonEmpty, "base layer has no files")
-    assert(idx.baseAtAppend === idx.baseAfterAppend,
-      "append modified base-layer files (path/size/mtime drift)")
-    // The delta layer actually exists and carries the new batch.
-    val deltaRows = spark.read
-      .parquet(s"${idx.dir}/delta/vectors")
-    assert(deltaRows.count() > 0, "delta layer is empty")
-    import org.apache.spark.sql.functions.min
-    val minVec = deltaRows.agg(min("vec_id")).head().getLong(0)
-    assert(minVec >= idx.threshold,
-      s"delta contains base vec_id $minVec < ${idx.threshold}")
+    assert(idx.appendProofs.size ===
+      graft.operators.AnnIndexQueries.NDeltas)
+    idx.appendProofs.zipWithIndex.foreach { case ((before, after), i) =>
+      assert(before.nonEmpty, s"append $i watched no existing files")
+      assert(before === after,
+        s"append $i modified existing layers (path/size/mtime drift)")
+    }
+    // Every delta layer exists and carries exactly its own id range.
+    (0 until graft.operators.AnnIndexQueries.NDeltas).foreach { i =>
+      val rows = spark.read.parquet(s"${idx.dir}/delta/d$i/vectors")
+      val (lo, hi) = (idx.thresholds(i + 1), idx.thresholds(i + 2))
+      val mm = rows.agg(min("vec_id"), max("vec_id")).head()
+      assert(rows.count() > 0, s"delta d$i is empty")
+      assert(mm.getLong(0) >= lo && mm.getLong(1) < hi,
+        s"delta d$i ids [${mm.getLong(0)}, ${mm.getLong(1)}] outside " +
+          s"its layer range [$lo, $hi)")
+    }
   }
 
   test("incremental serves ≡ compact-index serves ≡ in-session twins") {
