@@ -159,6 +159,40 @@ object EventReplayOffset {
   }
 }
 
+/** The admission-control budget split, as a pure function so its
+  * invariants are property-testable ([[graft.EventReplayPropsSpec]]).
+  */
+object EventReplayAdmission {
+
+  /** Split a row budget across partitions proportionally to backlog
+    * (the Kafka source's rate-limit allocation): each partition gets
+    * floor(budget × backlog_i / total), and the remainder is handed
+    * out one row at a time in partition order to partitions with
+    * headroom — deterministic, sums to min(budget, total backlog),
+    * never exceeds any partition's backlog.
+    */
+  def allocate(
+      starts: IndexedSeq[Long], ends: IndexedSeq[Long],
+      budget: Long): IndexedSeq[Long] = {
+    val n = starts.length
+    val avail = (0 until n).map(i => math.max(0L, ends(i) - starts(i)))
+    val total = avail.sum
+    val budget0 = math.max(0L, budget)
+    if (total <= budget0) avail
+    else {
+      val base = avail.map(a => budget0 * a / total)
+      var left = budget0 - base.sum
+      val out = base.toArray
+      var i = 0
+      while (left > 0) {
+        if (out(i) < avail(i)) { out(i) += 1; left -= 1 }
+        i = (i + 1) % n
+      }
+      out.toIndexedSeq
+    }
+  }
+}
+
 class EventReplayMicroBatchStream(
     paths: IndexedSeq[String], rowsPerBatch: Long, maxRows: Option[Long])
     extends MicroBatchStream
@@ -237,37 +271,12 @@ class EventReplayMicroBatchStream(
     case _ => None // ReadMinRows etc.: no upper cap
   }
 
-  /** Split a row budget across partitions proportionally to backlog
-    * (the Kafka source's rate-limit allocation): each partition gets
-    * floor(budget × backlog_i / total), and the remainder is handed
-    * out one row at a time in partition order to partitions with
-    * headroom — deterministic, sums to min(budget, total backlog).
-    */
-  private def allocate(
-      starts: IndexedSeq[Long], ends: IndexedSeq[Long],
-      budget: Long): IndexedSeq[Long] = {
-    val avail = paths.indices.map(i => math.max(0L, ends(i) - starts(i)))
-    val total = avail.sum
-    if (total <= budget) avail
-    else {
-      val base = avail.map(a => budget * a / total)
-      var left = budget - base.sum
-      val out = base.toArray
-      var i = 0
-      while (left > 0) {
-        if (out(i) < avail(i)) { out(i) += 1; left -= 1 }
-        i = (i + 1) % nParts
-      }
-      out.toIndexedSeq
-    }
-  }
-
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[EventReplayOffset].positions
     val ends = visibleEnds
     val next = rowBudget(limit) match {
       case Some(budget) =>
-        val alloc = allocate(s, ends, budget)
+        val alloc = EventReplayAdmission.allocate(s, ends, budget)
         paths.indices.map(i => s(i) + alloc(i))
       case None => ends
     }

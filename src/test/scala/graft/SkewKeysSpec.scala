@@ -44,6 +44,40 @@ class SkewKeysSpec extends SparkTestBase {
       "fixture has above-threshold customers; discovery found none")
   }
 
+  test("discover ≡ brute force on random count multisets") {
+    // Randomized differential (the CanonicalPropsSpec pattern): for
+    // arbitrary per-key multiplicities, the distributed discovery
+    // must select exactly the keys a driver-side brute force selects,
+    // in the same (count desc, key asc) order, cap applied last.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val multiGen: Gen[Map[Long, Int]] = for {
+      nKeys <- Gen.choose(1, 20)
+      counts <- Gen.listOfN(nKeys, Gen.choose(1, 40))
+    } yield counts.zipWithIndex
+      .map { case (c, k) => k.toLong -> c }.toMap
+    val params = Gen.Parameters.default
+    val samples = (0 until 25)
+      .flatMap(i => multiGen.apply(params, Seed(4242L + i)).toSeq)
+    assert(samples.size >= 20)
+    samples.zipWithIndex.foreach { case (m, si) =>
+      val rows = m.toSeq.flatMap { case (k, c) => Seq.fill(c)(k) }
+      val mean = rows.size.toDouble / m.size
+      for (factorX1000 <- Seq(1000L, 1500L, 2500L); cap <- Seq(2, 8)) {
+        val expected = m.toSeq
+          .filter { case (_, c) => c * 1000 >= mean * factorX1000 }
+          .sortBy { case (k, c) => (-c, k) }
+          .take(cap).map(_._1)
+        val got = SkewKeys.discover(
+          rows.toDF("k"), col("k"), cap, factorX1000)
+        assert(got == expected,
+          s"sample $si factor=$factorX1000 cap=$cap: " +
+            s"got $got expected $expected (counts=$m)")
+      }
+    }
+  }
+
   test("targeted salting does not change the join's answer") {
     val salted = SparkEntry.queries("join_salted_targeted")(spark, sfDir)
       .collect().toSeq
