@@ -123,6 +123,56 @@ class EventReplaySpec extends SparkTestBase {
       EventReplayOffset.parse("""{"0":1}""", 2))
   }
 
+  test("seek-indexed reader serves exact ranges across stride bounds") {
+    import graft.sources.{EventReplayLineIndex, EventReplayReader}
+    // > 2×Stride lines, with multi-byte UTF-8 in the string field so
+    // BYTE offsets diverge from character counts — a seek that
+    // confused the two would land mid-line and fail the 5-field parse.
+    val n = 2 * EventReplayLineIndex.Stride + 421
+    val p = java.nio.file.Paths.get(
+      Fs.sinkDir("graft_replay_unit"), "seek.tsv")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      (0 until n).map(i => s"$i\t${i * 7L}\t${i % 5}\tclick_é中$i\t$i")
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val log = p.toString
+
+    def readRange(lo: Long, hi: Long): Seq[(Long, String)] = {
+      val r = new EventReplayReader(log, lo, hi)
+      try {
+        Iterator.continually(r)
+          .takeWhile(_.next())
+          .map { rr =>
+            val row = rr.get()
+            (row.getLong(0), row.getUTF8String(3).toString)
+          }
+          .toList
+      } finally r.close()
+    }
+
+    for ((lo, hi) <- Seq(
+        (0L, 10L),
+        (EventReplayLineIndex.Stride - 3L,
+          EventReplayLineIndex.Stride + 3L), // crosses a stride bound
+        (1500L, 1510L),
+        (n - 7L, n.toLong),
+        (n - 7L, n + 50L))) { // endRow past EOF drains to EOF
+      val got = readRange(lo, hi)
+      val want = (lo until math.min(hi, n.toLong))
+        .map(i => (i, s"click_é中$i"))
+      assert(got == want, s"range [$lo,$hi) mismatch: got ${got.take(3)}")
+    }
+
+    // Appending re-indexes (the (path, size) key): new rows readable.
+    java.nio.file.Files.write(p,
+      (n until n + 5).map(i => s"$i\t0\t0\tx\t0")
+        .mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(readRange(n.toLong, n + 5L).map(_._1) ==
+      (n.toLong until n + 5L).toSeq)
+  }
+
   test("CompositeReadLimit's maxRows component caps the batch") {
     val log = writeLog("comp.tsv", 0 until 20)
     val stream = new EventReplayMicroBatchStream(
