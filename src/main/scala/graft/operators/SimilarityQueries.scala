@@ -159,6 +159,30 @@ object SimilarityQueries {
     "cosine_topk_lsh_hi" -> ((s, d) =>
       scoreCandidates(s, d, lshCandidates(s, d, NTables, ProbeRadius))),
 
+    // FILTERED vector search — ANN under a metadata predicate, the
+    // production shape every vector deployment hits ("nearest
+    // neighbors among documents in MY language/shard/tenant"). The
+    // predicate here varies PER QUERY (candidate label must equal the
+    // query's own label) and is applied to the candidate ID pairs
+    // BEFORE any scoring — pre-filtering, so no top-K slot is wasted
+    // on rows the predicate will drop (post-filtering silently
+    // degrades recall@K) and the float vectors never ride the
+    // filtered-out rows' joins. At 100 TB the label join is key-equi
+    // on the candidate ids (bounded by candidate volume, never N);
+    // the per-query label side is NQueries rows, broadcast.
+    "cosine_topk_lsh_filtered" -> ((s, d) => {
+      val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+      val qLabels = labels
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      val cand = lshCandidates(s, d, NTables, ProbeRadius)
+        .join(labels, Seq("vec_id"))
+        .join(broadcast(qLabels), Seq("qid"))
+        .filter(col("label") === col("qlabel"))
+        .select("qid", "vec_id")
+      scoreCandidates(s, d, cand)
+    }),
+
     // Embedding-cosine NEAR-DUP pairs — the dedup-family member that
     // uses the vector space itself: candidates are same-LSH-bucket
     // pairs (a shuffle self-join on bucket, never all-pairs), kept
@@ -2107,6 +2131,54 @@ object SimilarityQueries {
          |  SELECT qid, vid AS vec_id, eq.embedding AS qe,
          |         ec.embedding AS ce
          |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = qid
+         |  JOIN embeddings ec ON ec.vec_id = vid
+         |),
+         |${dotCte("dots", "qe", "ce")},
+         |$normCte,
+         |sims AS (
+         |  SELECT qid, d.vec_id,
+         |         d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sims) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+    },
+    // Same candidate derivation as the hi config, with the per-query
+    // label predicate applied to the candidate IDs before scoring —
+    // the oracle mirrors the pre-filter exactly.
+    "cosine_topk_lsh_filtered" -> {
+      val tableCand = (0 until NTables).map { t =>
+        s"""  SELECT bq.vec_id AS qid, bc.vec_id AS vid
+           |  FROM t$t bq JOIN t$t bc
+           |    ON bit_count(CAST(xor(bq.bucket, bc.bucket) AS BIGINT))
+           |       <= $ProbeRadius
+           |  WHERE bq.vec_id < $NQueries AND bq.vec_id <> bc.vec_id"""
+          .stripMargin
+      }.mkString("\n  UNION\n")
+      s"""WITH ${(0 until NTables)
+          .map(t => tableBucketCte(s"t$t", t * NPlanes))
+          .mkString(",\n")},
+         |cand AS (
+         |$tableCand
+         |),
+         |fcand AS (
+         |  SELECT c.qid, c.vid
+         |  FROM cand c
+         |  JOIN embeddings lq ON lq.vec_id = c.qid
+         |  JOIN embeddings lc ON lc.vec_id = c.vid
+         |  WHERE lq.label = lc.label
+         |),
+         |pairs AS (
+         |  SELECT qid, vid AS vec_id, eq.embedding AS qe,
+         |         ec.embedding AS ce
+         |  FROM fcand
          |  JOIN embeddings eq ON eq.vec_id = qid
          |  JOIN embeddings ec ON ec.vec_id = vid
          |),
