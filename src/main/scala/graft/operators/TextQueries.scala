@@ -2014,6 +2014,28 @@ object TextQueries {
     "stream_neardup" -> ((s, d) =>
       graft.streaming.StreamNearDup.run(s, d, BucketCap)),
 
+    // "No silent caps" for the STREAMING screen (the
+    // neardup_cap_report principle applied to stream_neardup's
+    // corpus-only viability rule): per band, how many buckets hold
+    // corpus members, how many are poisoned (corpus count > cap ⇒
+    // probed by nobody), and how many corpus postings sit in poisoned
+    // buckets — the recall the bounded-state guard trades away,
+    // observable instead of silent. Exact integers over the same
+    // band-key derivation the stream uses.
+    "stream_neardup_report" -> ((s, d) => {
+      val counts = graft.streaming.StreamNearDup
+        .corpusBandCounts(s, d)
+      counts
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n") > BucketCap, 1L).otherwise(0L))
+            .as("n_poisoned"),
+          sum(when(col("n") > BucketCap, col("n")).otherwise(0L))
+            .as("n_postings_dropped"))
+        .orderBy("band")
+    }),
+
     // MinHash near-dup estimation: candidates share a 2-slot band,
     // similarity estimated as matching-slot fraction; top-20 pairs.
     "minhash_band_pairs" -> ((s, d) => {
@@ -3532,6 +3554,23 @@ object TextQueries {
          |)
          |SELECT a AS doc_id, b AS dup_of, CAST(n_match AS INTEGER) AS n_match
          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    "stream_neardup_report" -> {
+      val bandSelects = bandSelectsSql
+      s"""WITH $tokHashCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  $bandSelects
+         |)
+         |SELECT band, count(*) AS n_buckets,
+         |       CAST(sum(CASE WHEN n > $BucketCap THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_poisoned,
+         |       CAST(sum(CASE WHEN n > $BucketCap THEN n ELSE 0 END)
+         |         AS BIGINT) AS n_postings_dropped
+         |FROM (SELECT band, key, count(*) AS n
+         |      FROM bands WHERE doc_id < 250
+         |      GROUP BY band, key) c
+         |GROUP BY band ORDER BY band""".stripMargin
     },
     "minhash_agg_typed" -> {
       val sigConcat = (0 until 8).map(i => s"h$i").mkString(", ")

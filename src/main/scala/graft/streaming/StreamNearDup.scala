@@ -286,6 +286,18 @@ object StreamNearDup {
     }
   }
 
+  /** Per-(band, key) corpus member counts — the stream's bucket
+    * viability input, exposed for the `stream_neardup_report`
+    * cap-observability query.
+    */
+  def corpusBandCounts(spark: SparkSession, dir: String): DataFrame =
+    bandRows(
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .filter(!col("isQuery"))
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+
   /** Independent BATCH implementation of the same corpus-capped
     * contract (plain joins, no streaming state) — the differential
     * twin `StreamNearDupSpec` pins the stateful pipeline against.

@@ -8,6 +8,33 @@ package graft
   */
 class LshRecallSpec extends SparkTestBase {
 
+  test("filtered search honors the predicate and never post-filters") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val rows = SparkEntry.queries("cosine_topk_lsh_filtered")(
+        spark, sfDir)
+      .join(labels.withColumnRenamed("label", "clabel"), "vec_id")
+      .join(
+        labels.select(col("vec_id").as("qid"),
+          col("label").as("qlabel")),
+        "qid")
+      .collect()
+    assert(rows.nonEmpty)
+    // Every returned neighbor satisfies the query's predicate...
+    rows.foreach(r =>
+      assert(r.getAs[Int]("clabel") == r.getAs[Int]("qlabel"),
+        s"neighbor violates the label predicate: $r"))
+    // ...and ranks are contiguous from 1 per query — the filter ran
+    // BEFORE ranking (post-filtering would leave rank gaps).
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val rnks = rs.map(_.getAs[Int]("rnk")).sorted.toSeq
+      assert(rnks == (1 to rnks.size),
+        s"query $qid has non-contiguous ranks $rnks — " +
+          "predicate applied after ranking?")
+    }
+  }
+
   private def topkSets(name: String): Map[Long, Set[Long]] =
     SparkEntry
       .queries(name)(spark, sfDir)
