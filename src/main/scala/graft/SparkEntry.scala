@@ -29,6 +29,7 @@ object SparkEntry {
       FunctionQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
+      SketchQueries.queries ++
       AnnIndexQueries.queries ++
       MultimodalQueries.queries ++
       SourceQueries.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       FunctionQueries.oracleSql ++
       TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
+      SketchQueries.oracleSql ++
       AnnIndexQueries.oracleSql ++
       MultimodalQueries.oracleSql ++
       SourceQueries.oracleSql ++
