@@ -37,7 +37,23 @@ object MiscQueries {
     * Extracted so AsofPropsSpec can differential-test the semantics
     * on synthetic tie-heavy frames against a brute-force scan.
     */
-  private[graft] def asofJoin(ev: DataFrame): DataFrame = {
+  private[graft] def asofJoin(ev: DataFrame): DataFrame =
+    asofJoinDir(ev, forward = false, tolUs = None)
+
+  /** Directional, tolerance-aware generalization: `forward = false`
+    * matches each click to the user's LATEST view at-or-BEFORE it,
+    * `forward = true` to the EARLIEST view at-or-AFTER it (the same
+    * merge algorithm over reversed time). `tolUs` bounds the match
+    * gap — a click whose nearest view is further away than the
+    * tolerance reports NULLs, the left-join-with-window semantics of
+    * pandas `merge_asof(tolerance=...)`. The tolerance is a pure
+    * post-filter on the merged result, so the plan shape (one union,
+    * one shuffle, one linear window pass) is unchanged.
+    */
+  private[graft] def asofJoinDir(
+      ev: DataFrame,
+      forward: Boolean,
+      tolUs: Option[Long]): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
     val views = ev
       .filter(col("event_type") === "view")
@@ -58,12 +74,22 @@ object MiscQueries {
         col("event_id").as("click_event_id")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
-      // side=0 (view) sorts before a click at the same instant, so
-      // ts >= view_ts semantics hold on ties.
-      .orderBy(col("tus").asc, col("side").asc)
+      // side=0 (view) sorts before a click at the same instant in
+      // EITHER direction, so the at-or-before / at-or-after bound is
+      // inclusive on ties.
+      .orderBy(
+        if (forward) col("tus").desc else col("tus").asc,
+        col("side").asc)
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    val gapUs =
+      if (forward) col("matched_tus") - col("tus")
+      else col("tus") - col("matched_tus")
+    val valid = tolUs match {
+      case Some(t) => col("matched_view").isNotNull && gapUs <= t
+      case None => col("matched_view").isNotNull
+    }
     tagged
       .withColumn("matched_view",
         last(col("view_event_id"), ignoreNulls = true).over(w))
@@ -74,9 +100,10 @@ object MiscQueries {
       .select(
         col("user_id"),
         col("click_event_id"),
-        col("matched_view").as("view_event_id"),
-        ((col("tus") - col("matched_tus")).cast("long") / lit(1000000L))
-          .cast("long").as("gap_secs"))
+        when(valid, col("matched_view")).as("view_event_id"),
+        when(valid,
+          (gapUs.cast("long") / lit(1000000L)).cast("long"))
+          .as("gap_secs"))
       .orderBy("user_id", "click_event_id")
   }
 
@@ -234,6 +261,29 @@ object MiscQueries {
           col("user_id"),
           col("event_type"),
           graft.Tables.tsMicros(col("ts")).as("tus")))),
+    // Forward as-of: each click matched to the user's EARLIEST view
+    // at-or-AFTER it — the same merge algorithm over reversed time
+    // (identical plan shape: one union, one shuffle, linear window).
+    "join_asof_forward" -> ((s, d) =>
+      asofJoinDir(events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          graft.Tables.tsMicros(col("ts")).as("tus")),
+        forward = true, tolUs = None)),
+    // Tolerance-bounded as-of: backward match, but a click whose
+    // nearest view is more than 10 minutes old reports NULLs
+    // (pandas merge_asof(tolerance=...) semantics). Post-filter on
+    // the merged result — the window pass is unchanged.
+    "join_asof_tolerance" -> ((s, d) =>
+      asofJoinDir(events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          graft.Tables.tsMicros(col("ts")).as("tus")),
+        forward = false, tolUs = Some(600L * 1000000L))),
     // Sink + partition-pruned re-scan INSIDE the graded gate: write
     // documents hive-partitioned by lang, read back one partition.
     // The filter never touches non-en files (partition pruning — the
@@ -1145,6 +1195,44 @@ object MiscQueries {
         |)
         |SELECT c.user_id, c.click_event_id, v.view_event_id,
         |       CAST((c.tus - v.tus) // 1000000 AS BIGINT) AS gap_secs
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.tus >= v.tus
+        |ORDER BY c.user_id, click_event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, event_id AS click_event_id, tus
+        |  FROM ev WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, tus, max(event_id) AS view_event_id
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id, tus
+        |)
+        |SELECT c.user_id, c.click_event_id, v.view_event_id,
+        |       CAST((v.tus - c.tus) // 1000000 AS BIGINT) AS gap_secs
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.tus <= v.tus
+        |ORDER BY c.user_id, click_event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, event_id AS click_event_id, tus
+        |  FROM ev WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, tus, max(event_id) AS view_event_id
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id, tus
+        |)
+        |SELECT c.user_id, c.click_event_id,
+        |       CASE WHEN c.tus - v.tus <= 600000000
+        |            THEN v.view_event_id END AS view_event_id,
+        |       CASE WHEN c.tus - v.tus <= 600000000
+        |            THEN CAST((c.tus - v.tus) // 1000000 AS BIGINT)
+        |       END AS gap_secs
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.tus >= v.tus
         |ORDER BY c.user_id, click_event_id""".stripMargin,

@@ -32,7 +32,13 @@ class AsofPropsSpec extends SparkTestBase {
       (i.toLong, u, typ, tus)
     }
 
-  private def brute(rows: Seq[(Long, Long, String, Long)])
+  /** Directional/tolerance-aware brute force, mirroring
+    * [[MiscQueries.asofJoinDir]]'s contract independently.
+    */
+  private def bruteDir(
+      rows: Seq[(Long, Long, String, Long)],
+      forward: Boolean,
+      tolUs: Option[Long])
       : Set[(Long, Long, Option[Long], Option[Long])] = {
     val dedupedViews = rows
       .filter(_._3 == "view")
@@ -40,24 +46,35 @@ class AsofPropsSpec extends SparkTestBase {
       .map { case ((u, tus), vs) => (u, tus, vs.map(_._1).max) }
       .toSeq
     rows.filter(_._3 == "click").map { case (cid, u, _, ctus) =>
-      val cands = dedupedViews.filter(v => v._1 == u && v._2 <= ctus)
-      if (cands.isEmpty) (u, cid, None, None)
-      else {
-        val best = cands.maxBy(_._2)
-        (u, cid, Some(best._3), Some((ctus - best._2) / 1000000L))
+      val cands = dedupedViews.filter(v =>
+        v._1 == u && (if (forward) v._2 >= ctus else v._2 <= ctus))
+      val best =
+        if (cands.isEmpty) None
+        else Some(if (forward) cands.minBy(_._2) else cands.maxBy(_._2))
+      val inTol = best.filter(b =>
+        tolUs.forall(t =>
+          (if (forward) b._2 - ctus else ctus - b._2) <= t))
+      inTol match {
+        case Some(b) =>
+          val gap = if (forward) b._2 - ctus else ctus - b._2
+          (u, cid, Some(b._3), Some(gap / 1000000L))
+        case None => (u, cid, None, None)
       }
     }.toSet
   }
 
-  test("random tie-heavy frames: windowed as-of ≡ brute-force scan") {
+  private def runDiff(
+      forward: Boolean, tolUs: Option[Long], seedBase: Long): Unit = {
     import spark.implicits._
     val params = Gen.Parameters.default
     val cases = (0 until 10).flatMap(i =>
-      frameGen.apply(params, Seed(9090L + i)).toSeq)
+      frameGen.apply(params, Seed(seedBase + i)).toSeq)
     assert(cases.size >= 8)
     cases.zipWithIndex.foreach { case (rows, i) =>
       val got = MiscQueries
-        .asofJoin(rows.toDF("event_id", "user_id", "event_type", "tus"))
+        .asofJoinDir(
+          rows.toDF("event_id", "user_id", "event_type", "tus"),
+          forward, tolUs)
         .collect()
         .map(r => (
           r.getLong(0),
@@ -65,10 +82,25 @@ class AsofPropsSpec extends SparkTestBase {
           if (r.isNullAt(2)) None else Some(r.getLong(2)),
           if (r.isNullAt(3)) None else Some(r.getLong(3))))
         .toSet
-      val want = brute(rows)
+      val want = bruteDir(rows, forward, tolUs)
       assert(got == want,
-        s"case #$i (${rows.size} events): " +
+        s"case #$i (${rows.size} events, fwd=$forward tol=$tolUs): " +
           s"extra=${(got diff want).take(3)} missing=${(want diff got).take(3)}")
     }
+  }
+
+  test("random tie-heavy frames: windowed as-of ≡ brute-force scan") {
+    runDiff(forward = false, tolUs = None, seedBase = 9090L)
+  }
+
+  test("forward as-of ≡ brute-force earliest-at-or-after scan") {
+    runDiff(forward = true, tolUs = None, seedBase = 7171L)
+  }
+
+  test("tolerance-bounded as-of ≡ brute-force with gap cutoff") {
+    // 5 s tolerance over a 0–30 s instant domain: both bound-hit and
+    // bound-miss cases occur constantly.
+    runDiff(forward = false, tolUs = Some(5000000L), seedBase = 5252L)
+    runDiff(forward = true, tolUs = Some(5000000L), seedBase = 6363L)
   }
 }
