@@ -28,6 +28,7 @@ object SparkEntry {
       RelationalQueries.queries ++
       FunctionQueries.queries ++
       TextQueries.queries ++
+      UnigramQueries.queries ++
       SimilarityQueries.queries ++
       SketchQueries.queries ++
       AnnIndexQueries.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       RelationalQueries.oracleSql ++
       FunctionQueries.oracleSql ++
       TextQueries.oracleSql ++
+      UnigramQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
       SketchQueries.oracleSql ++
       AnnIndexQueries.oracleSql ++
