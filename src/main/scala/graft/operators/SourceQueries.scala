@@ -341,6 +341,37 @@ object SourceQueries {
       }
     }),
 
+    // Stateful EWMA ANOMALY screen: per event_type the stream keeps
+    // two integer EWMAs (level + mean-abs-deviation) and flags events
+    // deviating more than 4× the running scale — in-stream
+    // monitoring with O(1) state per key. Integer α=1/8 updates with
+    // truncating division, so the oracle replays the IDENTICAL
+    // recurrence as a recursive CTE and the final state values
+    // hash-pin the whole per-key update order, not just the flag
+    // counts.
+    "stream_anomaly" -> ((s, d) => {
+      val sink = "stream_anomaly_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingEvents.anomalyStream(s, d)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamingEvents.assertSingleBatch(
+        q, "stream_anomaly")
+      graft.streaming.MemorySinks.drain(s, sink)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          max_by(col("ewma_cents"), col("seq")).as("last_ewma_cents"),
+          max_by(col("ewmad_cents"), col("seq")).as("last_ewmad_cents"))
+        .orderBy("event_type")
+    }),
+
     // WARM-START quota (StatefulProcessorWithInitialState): the
     // batch→streaming HANDOVER — history (even event ids) counted
     // once offline into the initial state, the stream processes only
@@ -784,6 +815,50 @@ object SourceQueries {
           graft.streaming.StreamingEvents.RecentK
         }
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The EWMA recurrence replayed exactly: trunc division
+    // (a − a % 8) // 8 matches the JVM's `/ 8` for either sign
+    // (DuckDB % keeps the dividend's sign). Depth = max per-key
+    // event count under the fixed AnomMaxEventId horizon.
+    "stream_anomaly" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_id, event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_id < ${
+          graft.streaming.StreamingEvents.AnomMaxEventId
+        }),
+         |rn AS (
+         |  SELECT event_id, event_type, cents,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY tus, event_id) AS seq
+         |  FROM ev),
+         |rec AS (
+         |  SELECT event_type, seq, cents AS ewma,
+         |         CAST(0 AS BIGINT) AS ewmad,
+         |         CAST(0 AS BIGINT) AS n_flagged
+         |  FROM rn WHERE seq = 1
+         |  UNION ALL
+         |  SELECT r.event_type, n.seq,
+         |         r.ewma + ((n.cents - r.ewma)
+         |           - ((n.cents - r.ewma) % 8)) // 8,
+         |         r.ewmad + ((abs(n.cents - r.ewma) - r.ewmad)
+         |           - ((abs(n.cents - r.ewma) - r.ewmad) % 8)) // 8,
+         |         r.n_flagged + CASE WHEN r.ewmad > 0
+         |           AND abs(n.cents - r.ewma) > 4 * r.ewmad
+         |           THEN 1 ELSE 0 END
+         |  FROM rec r JOIN rn n
+         |    ON n.event_type = r.event_type AND n.seq = r.seq + 1),
+         |fin AS (
+         |  SELECT event_type, max(seq) AS mseq FROM rec
+         |  GROUP BY event_type)
+         |SELECT r.event_type, CAST(f.mseq AS BIGINT) AS n_events,
+         |       r.n_flagged,
+         |       r.ewma AS last_ewma_cents,
+         |       r.ewmad AS last_ewmad_cents
+         |FROM rec r JOIN fin f
+         |  ON r.event_type = f.event_type AND r.seq = f.mseq
+         |ORDER BY r.event_type""".stripMargin,
     // Combined rank = batch history count + stream rank per
     // (user, event-time day); only the stream half is emitted.
     "stream_quota_warm" ->

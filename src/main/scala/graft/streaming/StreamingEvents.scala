@@ -712,4 +712,75 @@ object StreamingEvents {
         initState)
       .toDF()
   }
+
+  // ------------------------------------------------------------------
+  // Per-key EWMA anomaly screen
+  // ------------------------------------------------------------------
+
+  case class AnomEv(
+      event_id: Long, event_type: String, tsMicros: Long, cents: Long)
+  case class AnomOut(
+      event_type: String, seq: Long, event_id: Long, dev_cents: Long,
+      flagged: Boolean, ewma_cents: Long, ewmad_cents: Long)
+
+  /** Streaming ANOMALY detector: per event_type the state is two
+    * integer EWMAs — a level estimate and a mean-absolute-deviation
+    * estimate — and an event is flagged when its deviation from the
+    * pre-update level exceeds 4× the running deviation scale (the
+    * self-calibrating z-score-style screen a monitoring pipeline runs
+    * in-stream; O(1) state per key). INTEGER arithmetic throughout,
+    * per the money-determinism convention: cents values, α = 1/8 as
+    * TRUNCATING division `(x − ewma) / 8` (JVM semantics) — the
+    * oracle mirrors it with `(a − a % 8) // 8`, which equals
+    * truncation for either sign because DuckDB's `%` keeps the
+    * dividend's sign. The first event of a key initializes the level
+    * and is never flagged. Same determinism contract as the quota:
+    * group-sorted by (event time, event_id), single-batch asserted.
+    */
+  def anomGroup(
+      key: String,
+      events: Iterator[AnomEv],
+      state: GroupState[(Long, Long, Long)]): Iterator[AnomOut] = {
+    var (ewma, ewmad, seq) =
+      state.getOption.getOrElse((0L, 0L, 0L))
+    val out = events.toSeq
+      .sortBy(e => (e.tsMicros, e.event_id))
+      .map { e =>
+        seq += 1
+        if (seq == 1L) {
+          ewma = e.cents
+          ewmad = 0L
+          AnomOut(key, seq, e.event_id, 0L, flagged = false, ewma, ewmad)
+        } else {
+          val dev = math.abs(e.cents - ewma)
+          val flagged = ewmad > 0 && dev > 4 * ewmad
+          ewma = ewma + (e.cents - ewma) / 8
+          ewmad = ewmad + (dev - ewmad) / 8
+          AnomOut(key, seq, e.event_id, dev, flagged, ewma, ewmad)
+        }
+      }
+    state.update((ewma, ewmad, seq))
+    out.iterator
+  }
+
+  /** Bounded replay slice for the anomaly screen: the oracle replays
+    * the identical recurrence as a recursive CTE whose depth is the
+    * max per-key event count, so the gate input is capped at a
+    * fixed event_id horizon (identical rows at every sf).
+    */
+  val AnomMaxEventId = 4000L
+
+  def anomalyStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stream(spark, dir)
+      .filter(col("event_id") < AnomMaxEventId)
+      .select(col("event_id"), col("event_type"),
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"),
+        graft.operators.Money.cents(col("value")).as("cents"))
+      .as[AnomEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(anomGroup)
+      .toDF()
+  }
 }
