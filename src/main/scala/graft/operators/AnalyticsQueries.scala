@@ -223,6 +223,48 @@ object AnalyticsQueries {
           col("day_offset"),
           col("n_users"))
         .orderBy("cohort", "day_offset")
+    }),
+
+    // Grouped OLS trend fit — "is revenue trending up per priority
+    // class": daily revenue (integer dollars) regressed on the day
+    // index, per group. Sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    // are EXACT integer sums that partial-aggregate map-side — the
+    // one-pass distributed regression shape — and the slope is
+    // emitted both as an exact integer fraction (numerator /
+    // denominator, hash-pinned) and as the single-division double.
+    // Dollars (not cents) keep n·Σxy far from int64 range at any
+    // gate sf.
+    "linreg_daily_revenue" -> ((s, d) => {
+      val daily = orders(s, d)
+        .select(
+          col("o_orderpriority").as("prio"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1990-01-01").cast("date")).cast("long").as("x"),
+          cents(col("o_totalprice")).as("cents"))
+        .groupBy("prio", "x")
+        .agg(expr("CAST(sum(cents) DIV 100 AS BIGINT)").as("y"))
+      daily.groupBy("prio")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          col("prio"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .as("slope_den"),
+          col("sx"), col("sy"))
+        .withColumn("slope",
+          col("slope_num").cast("double") / col("slope_den").cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"))
+        .select(col("prio"), col("n"), col("slope_num"),
+          col("slope_den"), col("slope"), col("intercept"))
+        .orderBy("prio")
     })
   )
 
@@ -323,6 +365,36 @@ object AnalyticsQueries {
         |FROM active a JOIN first_day f ON a.user_id = f.user_id
         |WHERE datediff('day', cohort, day) <= 7
         |GROUP BY f.cohort, day_offset
-        |ORDER BY cohort, day_offset""".stripMargin
+        |ORDER BY cohort, day_offset""".stripMargin,
+    // Slope as the exact integer fraction; the doubles are single
+    // IEEE operations over those exact integers, written in the
+    // identical op order as the Spark side.
+    "linreg_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         date_diff('day', DATE '1990-01-01',
+        |           CAST(o_orderdate AS DATE)) AS x,
+        |         CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) // 100 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (
+        |  SELECT prio, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x*y) AS BIGINT) AS sxy,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY prio),
+        |sl AS (
+        |  SELECT prio, n, n*sxy - sx*sy AS slope_num,
+        |         n*sxx - sx*sx AS slope_den, sx, sy
+        |  FROM st)
+        |SELECT prio, n, slope_num, slope_den,
+        |       CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+        |         AS slope,
+        |       (CAST(sy AS DOUBLE)
+        |         - (CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE))
+        |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |         AS intercept
+        |FROM sl ORDER BY prio""".stripMargin
   )
 }

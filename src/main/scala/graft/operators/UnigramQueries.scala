@@ -232,6 +232,32 @@ object UnigramQueries {
         .orderBy(col("cnt").desc, col("w").asc)
     }),
 
+    // Per-document token-distribution ENTROPY in the same integer
+    // sixteenth-bit units: H_q16 = Σ_tokens c·(q16(N) − q16(c)) —
+    // exactly N·H(p) quantized, the repetition/diversity score a
+    // quality filter thresholds on, computed with zero libm. One
+    // corpus scan, per-doc aggregation; the q16 expressions are the
+    // shared quantizer the oracle rebuilds bit-identically.
+    "token_entropy_q16" -> ((s, d) => {
+      val tk = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 1)
+      val cnts = tk.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val tot = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cnts.join(tot, "doc_id")
+        .select(col("doc_id"), col("n"), col("c"),
+          (expr(q16SparkSql("n")) - expr(q16SparkSql("c"))).as("s"))
+        .groupBy("doc_id")
+        .agg(
+          max(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("s")).as("entropy_q16"))
+        .withColumn("bits_per_token",
+          col("entropy_q16").cast("double") / lit(16.0)
+            / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // Per-document subword token counts: the DP runs once per
     // DISTINCT word and joins back to the token stream — the
     // vocabulary-sized-compute / corpus-sized-scan split a 100 TB
@@ -268,6 +294,28 @@ object UnigramQueries {
          |${dpCte("wtop")}
          |SELECT w, cnt, n_pieces, cost FROM seg
          |ORDER BY cnt DESC, w ASC""".stripMargin,
+    "token_entropy_q16" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id,
+         |           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents) z
+         |  WHERE length(w) >= 1),
+         |cnts AS (SELECT doc_id, w, count(*) AS c FROM tk
+         |         GROUP BY doc_id, w),
+         |tot AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+         |j AS (
+         |  SELECT c.doc_id, t.n, c.c,
+         |         ${q16DuckSql("n")} - ${q16DuckSql("c")} AS s
+         |  FROM cnts c JOIN tot t USING (doc_id)),
+         |g AS (
+         |  SELECT doc_id, max(n) AS n_tokens, count(*) AS n_distinct,
+         |         CAST(sum(c * s) AS BIGINT) AS entropy_q16
+         |  FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct, entropy_q16,
+         |       CAST(entropy_q16 AS DOUBLE) / 16.0
+         |         / CAST(n_tokens AS DOUBLE) AS bits_per_token
+         |FROM g ORDER BY doc_id""".stripMargin,
     "unigram_token_count" ->
       s"""WITH RECURSIVE $vocabCte,
          |${dpCte("wd")},
