@@ -924,6 +924,33 @@ object MiscQueries {
           sum(when(col("n") < 5, col("n")).otherwise(0L))
             .as("n_risky_rows"))
         .orderBy("segment")
+    }),
+
+    // l-diversity audit — k-anonymity's complement: a QI group can be
+    // large yet still leak if everyone in it shares the same
+    // SENSITIVE value (homogeneity attack). QI = (nation, balance
+    // band), sensitive = market segment; a group is low-diversity
+    // when it carries fewer than l=3 distinct segments. Same
+    // 100 TB shape as k_anonymity: one shuffle on the QI key (the
+    // distinct-count partial-aggregates map-side), one bounded
+    // reduce per nation.
+    "l_diversity" -> ((s, d) => {
+      val groups = customer(s, d)
+        .groupBy(
+          col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") / 100).cast("long").as("band"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("ndiv"))
+      groups.groupBy("nat")
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("ndiv") < 3, 1L).otherwise(0L))
+            .as("n_low_div_groups"),
+          sum(when(col("ndiv") < 3, col("n")).otherwise(0L))
+            .as("n_rows_at_risk"),
+          min(col("ndiv")).as("min_diversity"))
+        .orderBy("nat")
     })
   )
 
@@ -964,6 +991,21 @@ object MiscQueries {
         |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
         |         AS n_risky_rows
         |FROM g GROUP BY segment ORDER BY segment""".stripMargin,
+    "l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey AS nat,
+        |         CAST(floor(c_acctbal / 100) AS BIGINT) AS band,
+        |         count(*) AS n,
+        |         count(DISTINCT c_mktsegment) AS ndiv
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT nat, count(*) AS n_groups,
+        |       CAST(sum(CASE WHEN ndiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_low_div_groups,
+        |       CAST(sum(CASE WHEN ndiv < 3 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_rows_at_risk,
+        |       CAST(min(ndiv) AS BIGINT) AS min_diversity
+        |FROM g GROUP BY nat ORDER BY nat""".stripMargin,
     // The catalog round-trip must be lossless: the oracle reads the
     // source parquet directly, so any drop/dup through saveAsTable +
     // spark.table breaks the hash.

@@ -86,6 +86,36 @@ object MultimodalQueries {
       MultimodalPipeline.videoFrameStats(s, d).toDF()
         .orderBy("doc_id", "frame_idx")),
 
+    // Scene-change detection over the sampled frames: a boundary is a
+    // frame whose summed per-channel delta vs the previous sampled
+    // frame exceeds 25% of their combined mass — the shot-
+    // segmentation pass a video-curation pipeline runs before
+    // per-scene captioning. Pure integer compare (delta·4 >
+    // cur+prev), computed with one lag window per doc over the
+    // already-decoded frame sums; no second decode pass.
+    "video_scene_change" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      MultimodalPipeline.videoFrameStats(s, d).toDF()
+        .withColumn("total",
+          col("sum_r") + col("sum_g") + col("sum_b"))
+        .withColumn("delta",
+          abs(col("sum_r") - lag("sum_r", 1).over(w)) +
+            abs(col("sum_g") - lag("sum_g", 1).over(w)) +
+            abs(col("sum_b") - lag("sum_b", 1).over(w)))
+        .withColumn("prev_total", lag("total", 1).over(w))
+        .withColumn("boundary",
+          col("prev_total").isNotNull &&
+            col("delta") * 4 > col("total") + col("prev_total"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("boundary"), 1L).otherwise(0L))
+            .as("n_boundaries"),
+          max(coalesce(col("delta"), lit(0L))).as("max_delta"))
+        .orderBy("doc_id")
+    }),
+
     // PERCEPTUAL-HASH image near-dup — the image twin of simhash
     // dedup, composed from the really-decoded thumbnails: per-cell
     // luma (r+g+b over the 4×3 grid), aHash bit i = luma_i·12 >
@@ -374,6 +404,51 @@ object MultimodalQueries {
         |FROM px
         |GROUP BY doc_id, f, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same frame-sum formulas, then the identical lag-window boundary
+    // predicate (integer 25% relative-change compare).
+    "video_scene_change" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         doc_id % 13 + 4 AS w,
+        |         doc_id % 7 + 3 AS h,
+        |         doc_id % 4 + 2 AS n
+        |  FROM documents
+        |), frames AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, n - 1)) AS f
+        |  FROM dims
+        |), sampled AS (
+        |  SELECT doc_id, w, h, f FROM frames WHERE f % 2 = 0
+        |), xs AS (
+        |  SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x
+        |  FROM sampled
+        |), px AS (
+        |  SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs
+        |), fs AS (
+        |  SELECT doc_id, f,
+        |         CAST(SUM((x*31 + y*17 + doc_id + f*101) % 256) AS BIGINT)
+        |           AS sum_r,
+        |         CAST(SUM((x*7 + y*29 + doc_id*3 + f*59) % 256) AS BIGINT)
+        |           AS sum_g,
+        |         CAST(SUM((x*13 + y*5 + doc_id*7 + f*23) % 256) AS BIGINT)
+        |           AS sum_b
+        |  FROM px GROUP BY doc_id, f
+        |), lg AS (
+        |  SELECT doc_id, f,
+        |         sum_r + sum_g + sum_b AS total,
+        |         abs(sum_r - lag(sum_r) OVER win)
+        |           + abs(sum_g - lag(sum_g) OVER win)
+        |           + abs(sum_b - lag(sum_b) OVER win) AS delta,
+        |         lag(sum_r + sum_g + sum_b) OVER win AS prev_total
+        |  FROM fs
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY f)
+        |)
+        |SELECT doc_id, count(*) AS n_frames,
+        |       CAST(sum(CASE WHEN prev_total IS NOT NULL
+        |         AND delta * 4 > total + prev_total
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+        |       CAST(max(coalesce(delta, 0)) AS BIGINT) AS max_delta
+        |FROM lg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "audio_neardup" ->
       """WITH n_ AS (
         |  SELECT doc_id, doc_id % 50 + 20 AS n FROM documents
