@@ -54,6 +54,77 @@ object OpsQueries {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** Hilbert curve index of two 8-bit coordinates — the standard
+    * iterative quadrant walk (per bit plane s: quadrant digit
+    * (3·rx) XOR ry, then reflect+swap when ry=0). Unlike Morton,
+    * CONSECUTIVE Hilbert indices are always spatially adjacent
+    * (Manhattan distance 1 — HilbertLayoutSpec proves it
+    * exhaustively), which is why it clusters range scans strictly
+    * better; `curve_locality` measures the difference on the real
+    * table.
+    *
+    * Built as a CHAIN of per-plane projections (one withColumn layer
+    * per bit plane, rotated coordinates materialized as named
+    * columns) rather than one nested Column expression: the rotation
+    * references each coordinate three times, so a single inlined
+    * expression grows ~3× per plane — ~3^8 nodes, which ballooned
+    * codegen to a >100 MB task binary when first tried. The layered
+    * form stays linear (Catalyst's CollapseProject declines to
+    * inline multiply-referenced non-cheap aliases) — the same reason
+    * the oracle mirrors it as a CTE chain.
+    */
+  private[graft] def withHilbert(
+      df: DataFrame, x0: String, y0: String, out: String): DataFrame = {
+    var cur = df
+      .withColumn("_hx", col(x0).cast("int"))
+      .withColumn("_hy", col(y0).cast("int"))
+      .withColumn(out, lit(0L))
+    for (s <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
+      val rx = when(col("_hx").bitwiseAND(lit(s)) > 0, 1).otherwise(0)
+      val ry = when(col("_hy").bitwiseAND(lit(s)) > 0, 1).otherwise(0)
+      cur = cur
+        // d first — it must see the PRE-rotation coordinates.
+        .withColumn(out,
+          col(out) + lit(s.toLong * s) *
+            (rx * 3).bitwiseXOR(ry).cast("long"))
+        .withColumn("_hx2", when(ry === 0,
+          when(rx === 1, lit(s - 1) - col("_hy")).otherwise(col("_hy")))
+          .otherwise(col("_hx")))
+        .withColumn("_hy2", when(ry === 0,
+          when(rx === 1, lit(s - 1) - col("_hx")).otherwise(col("_hx")))
+          .otherwise(col("_hy")))
+        .withColumn("_hx", col("_hx2"))
+        .withColumn("_hy", col("_hy2"))
+    }
+    cur.drop("_hx", "_hy", "_hx2", "_hy2")
+  }
+
+  /** The same Hilbert walk as a chain of per-bit-plane CTE steps for
+    * the DuckDB oracle: `src(…, x, y, d)` → h128 → … → h1, linear
+    * (each step materializes the rotated coordinates once — the
+    * nested-CASE expression the Spark side builds would grow 3× per
+    * plane in plain SQL).
+    */
+  private def hilbert8Ctes(src: String, carry: String): String =
+    Seq(128, 64, 32, 16, 8, 4, 2, 1).foldLeft((src, "")) {
+      case ((prev, acc), s) =>
+        val step =
+          s"""h$s AS (
+             |  SELECT $carry,
+             |         CASE WHEN (y & $s) = 0 THEN
+             |           CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END
+             |         ELSE x END AS x,
+             |         CASE WHEN (y & $s) = 0 THEN
+             |           CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END
+             |         ELSE y END AS y,
+             |         d + ${s.toLong * s} * CAST(xor(
+             |           3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+             |           CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS d
+             |  FROM $prev)""".stripMargin
+        (s"h$s", if (acc.isEmpty) step else s"$acc,\n$step")
+    }._2
+
   /** Undirected customer–supplier purchase graph (node ids: customers
     * even, suppliers odd), materialized ONCE per (session, dir) via
     * `Checkpoints.pin` and memoized — shared by `pagerank_fixed` and
@@ -139,6 +210,47 @@ object OpsQueries {
         .withColumn("zval", morton8(col("zx"), col("zy")))
         .orderBy(col("zval"), col("c_custkey"))
         .select("c_custkey", "zx", "zy", "zval")),
+
+    // Hilbert clustering key over the same (nation, balance-band)
+    // coordinates — the space-filling curve with strictly better
+    // locality than Morton (no long diagonal jumps between
+    // quadrants). Same pinning contract as zorder_layout.
+    "hilbert_layout" -> ((s, d) =>
+      withHilbert(customerZ(s, d), "zx", "zy", "hval")
+        .orderBy(col("hval"), col("c_custkey"))
+        .select("c_custkey", "zx", "zy", "hval")),
+
+    // MEASURED curve-locality comparison on the real table: mean
+    // Manhattan distance between CONSECUTIVE rows in each curve
+    // order (the gaps a range scan pays when neighbors on disk are
+    // far apart in key space). Exact integers; the global window is
+    // the measurement harness, not a layout pass — the layouts
+    // themselves are written and pruned in ZOrderLayoutSpec.
+    "curve_locality" -> ((s, d) => {
+      val base = withHilbert(
+        customerZ(s, d)
+          .withColumn("zval", morton8(col("zx"), col("zy"))),
+        "zx", "zy", "hval")
+      def locality(valCol: String, name: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col(valCol), col("c_custkey"))
+        base
+          .withColumn("dx", abs(col("zx") - lag("zx", 1).over(w)))
+          .withColumn("dy", abs(col("zy") - lag("zy", 1).over(w)))
+          .filter(col("dx").isNotNull)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum((col("dx") + col("dy")).cast("long"))
+              .as("total_manhattan"))
+          .select(lit(name).as("curve"), col("n_pairs"),
+            col("total_manhattan"),
+            expr("1000 * total_manhattan DIV n_pairs")
+              .as("mean_x1000"))
+      }
+      locality("hval", "hilbert")
+        .unionByName(locality("zval", "morton"))
+        .orderBy("curve")
+    }),
 
     // One-pass-per-table data-quality audit: row-level checks fused
     // into single aggregates, plus the cross-table referential check
@@ -575,6 +687,57 @@ object OpsQueries {
          |SELECT c_custkey, zx, zy,
          |       CAST(${morton8Sql("zx", "zy")} AS BIGINT) AS zval
          |FROM z ORDER BY zval, c_custkey""".stripMargin,
+    "hilbert_layout" ->
+      s"""WITH z AS (
+         |  SELECT c_custkey,
+         |         CAST(c_nationkey AS INTEGER) AS zx,
+         |         CAST((CAST(round(c_acctbal*100) AS BIGINT) + 100000)
+         |              // 5000 AS INTEGER) AS zy
+         |  FROM customer
+         |),
+         |h0 AS (
+         |  SELECT c_custkey, zx, zy, zx AS x, zy AS y,
+         |         CAST(0 AS BIGINT) AS d
+         |  FROM z),
+         |${hilbert8Ctes("h0", "c_custkey, zx, zy")}
+         |SELECT c_custkey, zx, zy, d AS hval
+         |FROM h1 ORDER BY hval, c_custkey""".stripMargin,
+    "curve_locality" ->
+      s"""WITH z AS (
+         |  SELECT c_custkey,
+         |         CAST(c_nationkey AS INTEGER) AS zx,
+         |         CAST((CAST(round(c_acctbal*100) AS BIGINT) + 100000)
+         |              // 5000 AS INTEGER) AS zy
+         |  FROM customer
+         |),
+         |h0 AS (
+         |  SELECT c_custkey, zx, zy, zx AS x, zy AS y,
+         |         CAST(0 AS BIGINT) AS d
+         |  FROM z),
+         |${hilbert8Ctes("h0", "c_custkey, zx, zy")},
+         |bz AS (
+         |  SELECT z.c_custkey, z.zx, z.zy,
+         |         CAST(${morton8Sql("z.zx", "z.zy")} AS BIGINT) AS zval,
+         |         h1.d AS hval
+         |  FROM z JOIN h1 ON z.c_custkey = h1.c_custkey),
+         |hd AS (
+         |  SELECT 'hilbert' AS curve,
+         |         abs(zx - lag(zx) OVER w) + abs(zy - lag(zy) OVER w)
+         |           AS md
+         |  FROM bz WINDOW w AS (ORDER BY hval, c_custkey)),
+         |md_ AS (
+         |  SELECT 'morton' AS curve,
+         |         abs(zx - lag(zx) OVER w) + abs(zy - lag(zy) OVER w)
+         |           AS md
+         |  FROM bz WINDOW w AS (ORDER BY zval, c_custkey)),
+         |u AS (
+         |  SELECT * FROM hd WHERE md IS NOT NULL
+         |  UNION ALL SELECT * FROM md_ WHERE md IS NOT NULL)
+         |SELECT curve, count(*) AS n_pairs,
+         |       CAST(sum(md) AS BIGINT) AS total_manhattan,
+         |       CAST((1000 * CAST(sum(md) AS BIGINT)) // count(*)
+         |         AS BIGINT) AS mean_x1000
+         |FROM u GROUP BY curve ORDER BY curve""".stripMargin,
     "dq_audit" ->
       """SELECT * FROM (
         |  SELECT 'orphan_lineitem_rows' AS "check",
