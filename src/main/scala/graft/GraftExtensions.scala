@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.L2SqExpr(args(0), args(1))))
     ext.injectFunction(
       (
+        new FunctionIdentifier("hilbert_index"),
+        new ExpressionInfo(
+          classOf[graft.functions.HilbertIndexExpr].getName,
+          "hilbert_index"),
+        (args: Seq[Expression]) =>
+          graft.functions.HilbertIndexExpr(args(0), args(1))))
+    ext.injectFunction(
+      (
         new FunctionIdentifier("parse_movies"),
         new ExpressionInfo(
           classOf[graft.functions.ParseMoviesGenerator].getName,

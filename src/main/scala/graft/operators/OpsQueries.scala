@@ -71,7 +71,11 @@ object OpsQueries {
     * codegen to a >100 MB task binary when first tried. The layered
     * form stays linear (Catalyst's CollapseProject declines to
     * inline multiply-referenced non-cheap aliases) — the same reason
-    * the oracle mirrors it as a CTE chain.
+    * the oracle mirrors it as a CTE chain. The REGISTERED queries use
+    * the native [[graft.functions.HilbertIndexExpr]] (one codegen'd
+    * Java loop, no projection layers); this chain is the
+    * pure-DataFrame reference formulation HilbertLayoutSpec proves
+    * bit-identical to it over the full grid.
     */
   private[graft] def withHilbert(
       df: DataFrame, x0: String, y0: String, out: String): DataFrame = {
@@ -215,10 +219,13 @@ object OpsQueries {
     // coordinates — the space-filling curve with strictly better
     // locality than Morton (no long diagonal jumps between
     // quadrants). Same pinning contract as zorder_layout.
-    "hilbert_layout" -> ((s, d) =>
-      withHilbert(customerZ(s, d), "zx", "zy", "hval")
+    "hilbert_layout" -> ((s, d) => {
+      graft.functions.HilbertIndexExpr.register(s)
+      customerZ(s, d)
+        .withColumn("hval", expr("hilbert_index(zx, zy)"))
         .orderBy(col("hval"), col("c_custkey"))
-        .select("c_custkey", "zx", "zy", "hval")),
+        .select("c_custkey", "zx", "zy", "hval")
+    }),
 
     // MEASURED curve-locality comparison on the real table: mean
     // Manhattan distance between CONSECUTIVE rows in each curve
@@ -227,10 +234,10 @@ object OpsQueries {
     // the measurement harness, not a layout pass — the layouts
     // themselves are written and pruned in ZOrderLayoutSpec.
     "curve_locality" -> ((s, d) => {
-      val base = withHilbert(
-        customerZ(s, d)
-          .withColumn("zval", morton8(col("zx"), col("zy"))),
-        "zx", "zy", "hval")
+      graft.functions.HilbertIndexExpr.register(s)
+      val base = customerZ(s, d)
+        .withColumn("zval", morton8(col("zx"), col("zy")))
+        .withColumn("hval", expr("hilbert_index(zx, zy)"))
       def locality(valCol: String, name: String): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col(valCol), col("c_custkey"))

@@ -36,6 +36,28 @@ class HilbertLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("native hilbert_index expression ≡ projection chain on the grid") {
+    // Evaluated as two SEPARATE plans and compared driver-side: a
+    // single combined plan inlines the 40-projection chain into the
+    // comparison filter and the optimizer OOMs on the exponential
+    // inlined expression — the precise failure mode the native
+    // expression exists to avoid.
+    graft.functions.HilbertIndexExpr.register(spark)
+    def grid = spark.range(256L * 256L)
+      .select(
+        (col("id") % 256).cast("int").as("x"),
+        (col("id") / 256).cast("int").as("y"))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val chain = asMap(OpsQueries.withHilbert(grid, "x", "y", "h")
+      .select("x", "y", "h").collect())
+    val native = asMap(grid
+      .withColumn("h", expr("hilbert_index(x, y)"))
+      .select("x", "y", "h").collect())
+    assert(chain.size == 65536 && native.size == 65536)
+    assert(chain == native)
+  }
+
   test("curve_locality query: hilbert mean strictly below morton's") {
     val rows = SparkEntry.queries("curve_locality")(spark, sfDir)
       .collect()
