@@ -926,6 +926,34 @@ object MiscQueries {
         .orderBy("segment")
     }),
 
+    // Deterministic WEIGHTED sampling per group — the reproducible
+    // sampling a training pipeline needs (re-running the job must
+    // pick the SAME sample): integer priority = hash60(id) DIV
+    // weight, keep the k smallest per source. Heavier documents get
+    // proportionally smaller priorities, so inclusion odds scale
+    // with weight (WeightedSampleSpec measures it), while the whole
+    // draw stays a pure function of the ids — no RNG state, exact
+    // integer arithmetic, oracle-rebuildable. At 100 TB the top-k
+    // per group is a bounded-state aggregation (the BottomKAggregator
+    // shape), not the sort+window the gate-scale form uses.
+    "weighted_sample" -> ((s, d) => {
+      import graft.functions.TextFunctions.hash60
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          greatest(col("n_chars"), lit(1L)).as("w"))
+        .withColumn("priority", hash60(col("doc_id").cast("string")))
+        .withColumn("priority", expr("priority DIV w"))
+      base
+        .withColumn("smp_rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("source")
+              .orderBy(col("priority"), col("doc_id"))))
+        .filter(col("smp_rank") <= 5)
+        .select("source", "smp_rank", "doc_id", "w", "priority")
+        .orderBy("source", "smp_rank")
+    }),
+
     // l-diversity audit — k-anonymity's complement: a QI group can be
     // large yet still leak if everyone in it shares the same
     // SENSITIVE value (homogeneity attack). QI = (nation, balance
@@ -991,6 +1019,21 @@ object MiscQueries {
         |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
         |         AS n_risky_rows
         |FROM g GROUP BY segment ORDER BY segment""".stripMargin,
+    "weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         greatest(n_chars, 1) AS w,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |           AS BIGINT) // greatest(n_chars, 1) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, w, priority,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY priority, doc_id) AS smp_rank
+        |  FROM b)
+        |SELECT source, smp_rank, doc_id, w, priority
+        |FROM r WHERE smp_rank <= 5
+        |ORDER BY source, smp_rank""".stripMargin,
     "l_diversity" ->
       """WITH g AS (
         |  SELECT c_nationkey AS nat,
