@@ -70,6 +70,44 @@ object SimilarityQueries {
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** Per-vector symmetric int8 quantization (the embedding_quantize
+    * formula): (vec_id, scale, q8). Zero-norm vectors code to all
+    * zeros.
+    */
+  private def sq8Frame(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding")
+    embeddings(s, d)
+      .withColumn("scale",
+        array_max(transform(e, x => abs(x.cast("double")))) / lit(127.0))
+      .withColumn("q8",
+        when(col("scale") === 0, transform(e, _ => lit(0)))
+          .otherwise(transform(e, x =>
+            floor(x.cast("double") / col("scale") + lit(0.5))
+              .cast("int"))))
+      .select(col("vec_id"), col("scale"), col("q8"))
+  }
+
+  /** All (query, candidate) int8 scores for the first NQueries
+    * vectors: integer dot (exact long) + the de-scaled approximate
+    * similarity. Shared by sq8_topk and the rerank shortlist.
+    */
+  private def sq8Scored(s: SparkSession, d: String): DataFrame = {
+    val z = sq8Frame(s, d)
+    val q = z.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("scale").as("qs"),
+        col("q8").as("qq"))
+    broadcast(q)
+      .join(z, col("qid") =!= col("vec_id"))
+      .withColumn("idot",
+        aggregate(
+          zip_with(col("qq"), col("q8"), (a, b) => (a * b).cast("long")),
+          lit(0L),
+          (acc, v) => acc + v))
+      .withColumn("approx",
+        col("idot").cast("double") * col("qs") * col("scale"))
+      .select("qid", "vec_id", "idot", "approx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // Exact brute-force cosine top-k for the first NQueries vectors.
@@ -597,6 +635,58 @@ object SimilarityQueries {
                 abs(qi.cast("double") * col("scale")
                   - xi.cast("double")))).as("max_abs_err"))
         .orderBy("vec_id")
+    }),
+
+    // SQ8 int8 similarity search — the FOURTH compression path
+    // beside LSH/IVF/PQ (FAISS's ScalarQuantizer): per-vector
+    // symmetric int8 codes (the embedding_quantize formula), scored
+    // by the INTEGER dot product scaled back by the two per-vector
+    // scales — candidates carry dim bytes instead of 4·dim, and the
+    // hot loop is int8 MACs (the SIMD-friendly production kernel).
+    // This is the quantized BRUTE reference (bounded NQueries
+    // broadcast, same class as cosine_topk_brute — the point is
+    // bytes-per-candidate, not candidate pruning; at scale the int8
+    // codes ride the existing LSH/IVF bucket joins unchanged). The
+    // integer dot is emitted alongside the scaled score, so the
+    // int8 arithmetic path itself is hash-pinned, not just the
+    // ranking.
+    "sq8_topk" -> ((s, d) => {
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("approx").desc, col("vec_id").asc)
+      sq8Scored(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "idot", "approx")
+        .orderBy("qid", "rnk")
+    }),
+
+    // SQ8 + exact re-rank — the production deployment (mirror of
+    // pq_topk_rerank): the int8 scores pick a PqShortlist-sized
+    // shortlist, exact float cosine touches ONLY those ~25·Q rows.
+    "sq8_topk_rerank" -> ((s, d) => {
+      val wa = Window
+        .partitionBy("qid")
+        .orderBy(col("approx").desc, col("vec_id").asc)
+      val shortlist = sq8Scored(s, d)
+        .withColumn("arn", row_number().over(wa))
+        .filter(col("arn") <= PqShortlist)
+        .select("qid", "vec_id")
+      val raw = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qraw = embeddings(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wr = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      shortlist
+        .join(raw, "vec_id")
+        .join(broadcast(qraw), "qid")
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
     }),
 
     // Semantic DECONTAMINATION — the embedding-space twin of the
@@ -1320,6 +1410,36 @@ object SimilarityQueries {
     * to the Spark fold — verified). `from` parameterizes the pair
     * table so multi-config oracles (ann_report) can reuse it.
     */
+  /** Oracle CTE chain rebuilding the int8 path: per-vector scales →
+    * codes → all query×candidate integer dots with the de-scaled
+    * score. Ends in `sdots(qid, vec_id, idot, approx)`.
+    */
+  private val sq8Cte =
+    s"""am AS (
+       |  SELECT vec_id, max(abs(CAST(x AS DOUBLE))) / 127 AS scale
+       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) u
+       |  GROUP BY vec_id),
+       |qz AS MATERIALIZED (
+       |  SELECT e.vec_id, a.scale,
+       |         list_transform(e.embedding, x ->
+       |           CASE WHEN a.scale = 0 THEN 0
+       |                ELSE CAST(floor(CAST(x AS DOUBLE) / a.scale + 0.5)
+       |                     AS INTEGER) END) AS q8
+       |  FROM embeddings e JOIN am a ON a.vec_id = e.vec_id),
+       |spairs AS (
+       |  SELECT q.vec_id AS qid, q.scale AS qs, q.q8 AS qq,
+       |         c.vec_id, c.scale, c.q8
+       |  FROM qz q CROSS JOIN qz c
+       |  WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |sdots AS (
+       |  SELECT qid, vec_id,
+       |         CAST(sum(a * b) AS BIGINT) AS idot,
+       |         CAST(CAST(sum(a * b) AS BIGINT) AS DOUBLE) * qs * scale
+       |           AS approx
+       |  FROM (SELECT qid, vec_id, qs, scale, unnest(qq) AS a,
+       |          unnest(q8) AS b FROM spairs) u
+       |  GROUP BY qid, vec_id, qs, scale)""".stripMargin
+
   private def dotCte(
       name: String, left: String, right: String,
       from: String = "pairs") =
@@ -1980,6 +2100,41 @@ object SimilarityQueries {
          |         CAST(row_number() OVER (PARTITION BY qid
          |           ORDER BY ad2 ASC, vec_id ASC) AS INTEGER) AS rnk
          |  FROM iad) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "sq8_topk" ->
+      s"""WITH $sq8Cte
+         |SELECT qid, vec_id, rnk, idot, approx FROM (
+         |  SELECT qid, vec_id, idot, approx,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY approx DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM sdots) t
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "sq8_topk_rerank" ->
+      s"""WITH $sq8Cte,
+         |short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY approx DESC, vec_id ASC) AS arn
+         |    FROM sdots) t
+         |  WHERE arn <= $PqShortlist),
+         |ipairs AS (
+         |  SELECT s.qid, s.vec_id, q.embedding AS qe, c.embedding AS ce
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.qid
+         |  JOIN embeddings c ON c.vec_id = s.vec_id),
+         |${dotCte("rdots", "qe", "ce", "ipairs")},
+         |$normCte,
+         |rsims AS (
+         |  SELECT d.qid, d.vec_id, d.dot / (nq.nrm * nc.nrm) AS sim
+         |  FROM rdots d
+         |  JOIN norms nq ON nq.vec_id = d.qid
+         |  JOIN norms nc ON nc.vec_id = d.vec_id)
+         |SELECT qid, vec_id, rnk, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+         |  FROM rsims) t
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
     "cosine_topk_brute" ->
       s"""WITH pairs AS (
