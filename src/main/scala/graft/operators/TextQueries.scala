@@ -746,6 +746,34 @@ object TextQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Quantized Flesch reading-ease — the readability member of the
+    // quality-signal family, in the repo's integer convention:
+    // score_milli = 206835 − (1015·words) DIV sentences
+    //             − (84600·syllables) DIV words,
+    // with sentences = max(#[.!?], 1) and syllables = maximal
+    // [aeiouy]+ runs in the lowercased text (runs can't span
+    // whitespace, so the whole-text count equals the per-word sum —
+    // one regexp pass, no explode). Floor divisions over positive
+    // integers are identical cross-engine; zero libm. Pure
+    // projection, zero shuffle.
+    "readability" -> ((s, d) =>
+      documents(s, d)
+        .filter(length(trim(col("text"))) >= 1)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_words"),
+          greatest(
+            size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+              .cast("long"),
+            lit(1L)).as("n_sentences"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[aeiouy]+"), lit(0))).cast("long").as("n_syllables"))
+        .withColumn("flesch_milli",
+          lit(206835L)
+            - expr("(1015 * n_words) DIV n_sentences")
+            - expr("(84600 * n_syllables) DIV n_words"))
+        .orderBy("doc_id")),
+
     // Cross-document boilerplate signal: the fraction of a document's
     // 3-gram shingles that are CORPUS-COMMON (df > DfCap — navigation
     // chrome, license blocks, templated headers). High ratio → the
@@ -2650,6 +2678,20 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |           AS BIGINT) AS n_words,
+        |         greatest(CAST(len(regexp_extract_all(text, '[.!?]'))
+        |           AS BIGINT), 1) AS n_sentences,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |           AS BIGINT) AS n_syllables
+        |  FROM documents WHERE length(trim(text)) >= 1)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       206835 - (1015 * n_words) // n_sentences
+        |              - (84600 * n_syllables) // n_words AS flesch_milli
+        |FROM b ORDER BY doc_id""".stripMargin,
     "boilerplate_ratio" ->
       s"""WITH rows_ AS (
          |  SELECT DISTINCT doc_id, sh FROM (
