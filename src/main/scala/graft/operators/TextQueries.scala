@@ -1590,6 +1590,66 @@ object TextQueries {
         .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
         .limit(20)),
 
+    // EXACT set-similarity join via PPJoin-style PREFIX FILTERING
+    // (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) — the exact
+    // counterpart to the probabilistic MinHash screen: for token-set
+    // Jaccard ≥ τ = 4/5, any qualifying pair must (a) satisfy the
+    // LENGTH filter 4·max(|a|,|b|) ≤ 5·min(|a|,|b|), and (b) share a
+    // token among each side's first |d| − ceil(4|d|/5) + 1 tokens
+    // under a GLOBAL rarest-first order (df asc, token asc) — so
+    // candidates come from a SHORT prefix-token equi-join over
+    // mostly-rare postings, never all pairs, and exact verification
+    // touches only candidates. ceil(4|d|/5) = (4|d|+4) DIV 5 keeps
+    // every bound in integers. The sets are 3-gram SHINGLE hashes —
+    // the family's established granularity; raw token sets measured
+    // degenerate on the tiny-vocabulary fixture (30k+ qualifying
+    // pairs at τ=0.8 because most documents cover most of the
+    // 31-word vocabulary, while shingle sets separate them).
+    // `SetSimJoinSpec` proves COMPLETENESS (≡ brute-force all-pairs)
+    // on randomized inputs — a lossy filter is the failure mode the
+    // spec exists for.
+    "setsim_prefix_join" -> ((s, d) => {
+      val rows = documents(s, d)
+        .select(col("doc_id"),
+          explode(wordShingles(tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), hash60(col("sh")).as("tok"))
+        .distinct()
+      val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfs = rows.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ordered = rows.join(dfs, "tok")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("df").asc, col("tok").asc)))
+        .join(sizes, "doc_id")
+        // prefix length p = sz − ceil(4·sz/5) + 1
+        .filter(col("rn") <=
+          col("sz") - expr("(4 * sz + 4) DIV 5") + 1)
+        .select(col("doc_id"), col("tok"), col("sz"))
+      val cand = ordered.select(
+          col("tok"), col("doc_id").as("a"), col("sz").as("sa"))
+        .join(ordered.select(
+          col("tok"), col("doc_id").as("b"), col("sz").as("sb")),
+          Seq("tok"))
+        .filter(col("a") < col("b") &&
+          greatest(col("sa"), col("sb")) * 4 <=
+            least(col("sa"), col("sb")) * 5)
+        .select("a", "b", "sa", "sb")
+        .distinct()
+      val inter = cand
+        .join(rows.select(col("doc_id").as("a"), col("tok")), Seq("a"))
+        .join(rows.select(col("doc_id").as("b"), col("tok")),
+          Seq("b", "tok"))
+        .groupBy("a", "b", "sa", "sb")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .withColumn("n_union", col("sa") + col("sb") - col("n_inter"))
+        .filter(col("n_inter") * 5 >= col("n_union") * 4)
+        .select(col("a"), col("b"), col("n_inter"), col("n_union"),
+          (col("n_inter").cast("double") / col("n_union").cast("double"))
+            .as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
     // ASYMMETRIC containment — the dedup relation symmetric Jaccard
     // misses: a short document wholly quoted inside a long one has
     // low Jaccard (union is large) but containment ≈ 1, and the
@@ -3269,6 +3329,39 @@ object TextQueries {
          |FROM (SELECT * FROM rows_ WHERE doc_id >= 5) t
          |LEFT JOIN bench b ON t.sh = b.sh
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "setsim_prefix_join" ->
+      s"""WITH rows_ AS (
+         |  SELECT DISTINCT doc_id, ${hash60Sql("sh")} AS tok FROM (
+         |    SELECT doc_id, unnest(${wordShinglesSql(toksSql, 3)}) AS sh
+         |    FROM documents) z),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM rows_
+         |          GROUP BY doc_id),
+         |dfs AS (SELECT tok, count(*) AS df FROM rows_ GROUP BY tok),
+         |ordered AS (
+         |  SELECT r.doc_id, r.tok, s.sz FROM (
+         |    SELECT r.doc_id, r.tok,
+         |           row_number() OVER (PARTITION BY r.doc_id
+         |             ORDER BY d.df ASC, r.tok ASC) AS rn
+         |    FROM rows_ r JOIN dfs d ON d.tok = r.tok) r
+         |  JOIN sizes s ON s.doc_id = r.doc_id
+         |  WHERE r.rn <= s.sz - (4 * s.sz + 4) // 5 + 1),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |         x.sz AS sa, y.sz AS sb
+         |  FROM ordered x JOIN ordered y ON x.tok = y.tok
+         |    AND x.doc_id < y.doc_id
+         |    AND greatest(x.sz, y.sz) * 4 <= least(x.sz, y.sz) * 5),
+         |inter AS (
+         |  SELECT c.a, c.b, c.sa, c.sb, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN rows_ ra ON ra.doc_id = c.a
+         |  JOIN rows_ rb ON rb.doc_id = c.b AND rb.tok = ra.tok
+         |  GROUP BY c.a, c.b, c.sa, c.sb)
+         |SELECT a, b, n_inter, sa + sb - n_inter AS n_union,
+         |       CAST(n_inter AS DOUBLE) /
+         |         CAST(sa + sb - n_inter AS DOUBLE) AS jaccard
+         |FROM inter WHERE n_inter * 5 >= (sa + sb - n_inter) * 4
+         |ORDER BY a, b""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $jaccardPairsSqlCte
          |SELECT a, b, inter, jaccard FROM pairs
