@@ -568,6 +568,46 @@ object OpsQueries {
             .as("mad_x4"))
     }),
 
+    // WINSORIZED robust statistics per group — the outlier-capping
+    // pass a metrics pipeline runs before averaging: clamp each value
+    // to the group's exact nearest-rank [p05, p95] band and report
+    // raw vs clamped sums plus the clamp counts. Quantiles are
+    // NEAREST-RANK by explicit integer formula (idx = ceil(p·n) as
+    // (k·n + k') DIV 20 — no interpolation, no quantile-definition
+    // drift between engines); everything stays integer cents, so the
+    // whole row hash-pins. One shuffle to rank per group, one
+    // key-equi join back — the window partitions by group, never
+    // globally.
+    "winsorized_stats" -> ((s, d) => {
+      val v = events(s, d)
+        .select(col("event_type"), col("event_id"),
+          cents(col("value")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy(col("v").asc)
+      val ranked = v.withColumn("rn", row_number().over(w))
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val bounds = ranked.join(n, "event_type")
+        .filter(
+          col("rn") === expr("(n + 19) DIV 20") ||
+            col("rn") === expr("(19 * n + 19) DIV 20"))
+        .groupBy("event_type")
+        .agg(min(col("v")).as("p05"), max(col("v")).as("p95"))
+      v.join(bounds, "event_type")
+        .withColumn("clamped",
+          least(greatest(col("v"), col("p05")), col("p95")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("p05")).as("p05_cents"),
+          min(col("p95")).as("p95_cents"),
+          sum(col("v")).as("sum_raw_cents"),
+          sum(col("clamped")).as("sum_winsorized_cents"),
+          sum(when(col("v") < col("p05"), 1L).otherwise(0L))
+            .as("n_clamped_low"),
+          sum(when(col("v") > col("p95"), 1L).otherwise(0L))
+            .as("n_clamped_high"))
+        .orderBy("event_type")
+    }),
+
     // Market-basket CO-OCCURRENCE: part pairs ordered together, top-30
     // by support. Baskets aggregate per order (state bounded by the
     // order's own line count — naturally small, unlike corpus-frequency
@@ -918,6 +958,35 @@ object OpsQueries {
         |       CAST(quantile_cont(abs(c.v - m.m), 0.5) * 4 AS BIGINT)
         |         AS mad_x4
         |FROM c, m GROUP BY m.m""".stripMargin,
+    "winsorized_stats" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |n_ AS (SELECT event_type, count(*) AS n FROM v
+        |       GROUP BY event_type),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY v ASC) AS rn
+        |  FROM v),
+        |bounds AS (
+        |  SELECT r.event_type, min(r.v) AS p05, max(r.v) AS p95
+        |  FROM ranked r JOIN n_ ON n_.event_type = r.event_type
+        |  WHERE r.rn = (n_.n + 19) // 20
+        |     OR r.rn = (19 * n_.n + 19) // 20
+        |  GROUP BY r.event_type)
+        |SELECT v.event_type, count(*) AS n,
+        |       min(b.p05) AS p05_cents, min(b.p95) AS p95_cents,
+        |       CAST(sum(v.v) AS BIGINT) AS sum_raw_cents,
+        |       CAST(sum(least(greatest(v.v, b.p05), b.p95)) AS BIGINT)
+        |         AS sum_winsorized_cents,
+        |       CAST(sum(CASE WHEN v.v < b.p05 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_clamped_low,
+        |       CAST(sum(CASE WHEN v.v > b.p95 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_clamped_high
+        |FROM v JOIN bounds b ON b.event_type = v.event_type
+        |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin,
     "cooccurrence_topk" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
