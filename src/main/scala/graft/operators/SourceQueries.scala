@@ -505,6 +505,30 @@ object SourceQueries {
           col("click_id").asc_nulls_first,
           col("view_id").asc_nulls_first)),
 
+    // Streaming AS-OF join, run THROUGH the stream: the event-time-
+    // bounded stream-stream join chained into an append-mode windowed
+    // aggregation picking each click's latest view (two stateful
+    // operators in one query — Spark 4's multi-stateful support).
+    // The final no-data micro-batch flushes exactly the clicks whose
+    // hour window the propagated watermark has passed; the oracle
+    // derives the same emission horizon arithmetically (min of the
+    // two sides' max event times, minus the 1 h delay).
+    "stream_asof" -> ((s, d) => {
+      val sink = "stream_asof_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingEvents
+        .clickViewAsofStream(graft.streaming.StreamingEvents.stream(s, d))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.MemorySinks.drain(s, sink)
+        .orderBy("user_id", "click_id")
+    }),
+
     // Sessionization, batch form (window functions); its streaming
     // twin (flatMapGroupsWithState) is asserted equal in SessionizeSpec.
     "sessionize_batch" -> ((s, d) =>
@@ -747,6 +771,43 @@ object SourceQueries {
     "sessionize_sink_parquet" -> closedSessionsOracle,
     "sessionize_stateful" -> closedSessionsOracle,
     "sessionize_tws" -> closedSessionsOracle,
+    // The as-of emission horizon derived arithmetically: a click
+    // emits iff its 1 h tumbling window has CLOSED under the final
+    // propagated watermark = min(max click ts, max view ts) − 1 h
+    // (min across the two watermarked inputs, the stream-stream
+    // governance rule the outer-join specs already pin). Within the
+    // horizon, the match is the batch as-of: latest qualifying view,
+    // ties to the larger view_id (max over (ts, id) structs).
+    "stream_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id AS click_id, tus
+        |  FROM ev WHERE event_type = 'click'
+        |), v AS (
+        |  SELECT user_id, event_id AS view_id, tus
+        |  FROM ev WHERE event_type = 'view'
+        |), wm AS (
+        |  SELECT least((SELECT max(tus) FROM c),
+        |               (SELECT max(tus) FROM v)) - 3600000000 AS wm
+        |), j AS (
+        |  SELECT c.user_id, c.click_id, c.tus AS ctus,
+        |         v.view_id, v.tus AS vtus
+        |  FROM c JOIN v ON v.user_id = c.user_id
+        |    AND v.tus >= c.tus - 3600000000 AND v.tus <= c.tus
+        |), best AS (
+        |  SELECT user_id, click_id, ctus, view_id,
+        |         row_number() OVER (PARTITION BY click_id
+        |           ORDER BY vtus DESC, view_id DESC) AS rn
+        |  FROM j
+        |)
+        |SELECT b.user_id, b.click_id, b.view_id
+        |FROM best b, wm
+        |WHERE b.rn = 1
+        |  AND ((b.ctus // 3600000000) + 1) * 3600000000 <= wm.wm
+        |ORDER BY b.user_id, b.click_id""".stripMargin,
     "stream_join_batch" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

@@ -232,6 +232,34 @@ object StreamingEvents {
     (clicks, views, cond)
   }
 
+  /** Streaming AS-OF join — the temporal operator chained from TWO
+    * stateful stages (Spark 4's multiple-stateful-operator support):
+    * the event-time-bounded stream-stream join buffers candidate
+    * (click, view) pairs, and a downstream APPEND-mode windowed
+    * aggregation picks each click's LATEST view via max(struct
+    * (view_ts, view_id)) — the streaming twin of the batch
+    * `join_asof_tolerance` (1-hour window). Groups key on
+    * (window(click_ts, 1h), user, click), so aggregation state
+    * closes when the propagated watermark passes the hour window —
+    * the final no-data micro-batch flushes exactly the provably-
+    * closed clicks, the same emission contract the sessionizer
+    * pins.
+    */
+  def clickViewAsofStream(events: DataFrame): DataFrame = {
+    val (clicks, views, cond) = clickViewSides(events)
+    clicks
+      .join(views, cond)
+      .groupBy(
+        window(col("click_ts"), "1 hour").as("w"),
+        col("c_user"),
+        col("click_id"))
+      .agg(max(struct(col("view_ts"), col("view_id"))).as("best"))
+      .select(
+        col("c_user").as("user_id"),
+        col("click_id"),
+        col("best.view_id").as("view_id"))
+  }
+
   /** LEFT OUTER twin of [[clickViewJoin]]: unmatched clicks emit with a
     * NULL view_id — but only once the watermark PROVES no qualifying
     * view can still arrive (append-mode outer rule), so clicks inside
