@@ -34,6 +34,19 @@ object MultimodalQueries {
     thumbFeatureCache.getOrCompute(s, d)(
       graft.Checkpoints.pin(MultimodalPipeline.thumbFeatures(s, d).toDF()))
 
+  /** Decoded per-frame channel sums, pinned and memoized per
+    * (session, dir): the synthesize→demux→decode pass runs ONCE and
+    * is shared by `multimodal_video_frames` and `video_scene_change`
+    * (unpinned, each consumer re-ran the codec over the corpus —
+    * measured ~4 s per extra consumer in the sf0.1 sweep).
+    */
+  private val frameStatsCache = new SessionMemo[DataFrame]
+
+  private def pinnedFrameStats(s: SparkSession, d: String): DataFrame =
+    frameStatsCache.getOrCompute(s, d)(
+      graft.Checkpoints.pin(
+        MultimodalPipeline.videoFrameStats(s, d).toDF()))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction over synthesized payloads
     // (documents.text re-encoded as the opaque media bytes).
@@ -83,7 +96,7 @@ object MultimodalQueries {
     // (the rest are SKIPPED, never inflated — the cheap-frame-sample
     // access pattern) and reduced to exact per-frame channel sums.
     "multimodal_video_frames" -> ((s, d) =>
-      MultimodalPipeline.videoFrameStats(s, d).toDF()
+      pinnedFrameStats(s, d)
         .orderBy("doc_id", "frame_idx")),
 
     // Scene-change detection over the sampled frames: a boundary is a
@@ -96,7 +109,7 @@ object MultimodalQueries {
     "video_scene_change" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("frame_idx")
-      MultimodalPipeline.videoFrameStats(s, d).toDF()
+      pinnedFrameStats(s, d)
         .withColumn("total",
           col("sum_r") + col("sum_g") + col("sum_b"))
         .withColumn("delta",
