@@ -225,6 +225,53 @@ object AnalyticsQueries {
         .orderBy("cohort", "day_offset")
     }),
 
+    // Equal-frequency DISCRETIZATION (decile binning) — the feature
+    // transform a training pipeline applies to heavy-tailed numerics:
+    // bin = ((rank − 1) · 10) DIV n over the (cents, orderkey)-ranked
+    // group, so bins are integer-exact and the tie order is pinned by
+    // the key. Output is the per-(group, bin) profile a feature store
+    // keeps; the window partitions by group, never globally.
+    "quantile_bins" -> ((s, d) => {
+      val v = orders(s, d)
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("prio").orderBy(col("v").asc, col("o_orderkey").asc)
+      val n = v.groupBy("prio").agg(count(lit(1)).as("n"))
+      v.withColumn("rn", row_number().over(w))
+        .join(n, "prio")
+        .withColumn("bin", expr("((rn - 1) * 10) DIV n"))
+        .groupBy("prio", "bin")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("v")).as("lo_cents"),
+          max(col("v")).as("hi_cents"))
+        .orderBy("prio", "bin")
+    }),
+
+    // Smoothed TARGET ENCODING — the categorical-feature encoder:
+    // enc = (Σ target + m·prior) DIV (n + m) with m=10 and the prior
+    // the global mean, all in integer cents (one floor division per
+    // level, one for the prior) so the encoding table hash-pins. The
+    // prior is a one-row broadcast; per-level state is (n, sum).
+    "target_encoding" -> ((s, d) => {
+      val v = customer(s, d)
+        .select(col("c_mktsegment").as("segment"),
+          cents(col("c_acctbal")).as("v"))
+      val prior = v.agg(
+        expr("CAST(sum(v) DIV count(*) AS BIGINT)").as("prior_cents"))
+      v.groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"))
+        .crossJoin(broadcast(prior)) // ONE-ROW prior
+        .select(
+          col("segment"), col("n"),
+          expr("CAST(sum_cents DIV n AS BIGINT)").as("raw_mean_cents"),
+          col("prior_cents"),
+          expr("CAST((sum_cents + 10 * prior_cents) DIV (n + 10) " +
+            "AS BIGINT)").as("encoded_cents"))
+        .orderBy("segment")
+    }),
+
     // Grouped OLS trend fit — "is revenue trending up per priority
     // class": daily revenue (integer dollars) regressed on the day
     // index, per group. Sufficient statistics (n, Σx, Σy, Σxy, Σx²)
@@ -366,6 +413,45 @@ object AnalyticsQueries {
         |WHERE datediff('day', cohort, day) <= 7
         |GROUP BY f.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin,
+    "quantile_bins" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders),
+        |n_ AS (SELECT prio, count(*) AS n FROM v GROUP BY prio),
+        |r AS (
+        |  SELECT prio, v,
+        |         row_number() OVER (PARTITION BY prio
+        |           ORDER BY v ASC, o_orderkey ASC) AS rn
+        |  FROM v)
+        |SELECT r.prio, ((r.rn - 1) * 10) // n_.n AS bin,
+        |       count(*) AS n_rows,
+        |       min(r.v) AS lo_cents, max(r.v) AS hi_cents
+        |FROM r JOIN n_ ON n_.prio = r.prio
+        |GROUP BY r.prio, bin ORDER BY r.prio, bin""".stripMargin,
+    // Divisions use the trunc-toward-zero form (a − a % b) // b to
+    // match Spark's DIV even if a regenerated fixture turns a
+    // segment's balance sum negative (DuckDB // floors).
+    "target_encoding" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(round(c_acctbal*100) AS BIGINT) AS v
+        |  FROM customer),
+        |p AS (
+        |  SELECT CAST((s - s % n) // n AS BIGINT) AS prior_cents
+        |  FROM (SELECT CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |        FROM v) t),
+        |g AS (SELECT segment, count(*) AS n,
+        |             CAST(sum(v) AS BIGINT) AS sum_cents
+        |      FROM v GROUP BY segment)
+        |SELECT segment, n,
+        |       CAST((sum_cents - sum_cents % n) // n AS BIGINT)
+        |         AS raw_mean_cents,
+        |       prior_cents,
+        |       CAST(((sum_cents + 10 * prior_cents)
+        |         - (sum_cents + 10 * prior_cents) % (n + 10))
+        |         // (n + 10) AS BIGINT) AS encoded_cents
+        |FROM g, p ORDER BY segment""".stripMargin,
     // Slope as the exact integer fraction; the doubles are single
     // IEEE operations over those exact integers, written in the
     // identical op order as the Spark side.
