@@ -568,6 +568,43 @@ object OpsQueries {
             .as("mad_x4"))
     }),
 
+    // SNAPSHOT DIFF — the CDC-shaped audit between two corpus states:
+    // which documents were added / removed / changed / unchanged, per
+    // source. The second state is DERIVED deterministically from the
+    // first (hash-bucketed drops, edits, and additions), so both
+    // engines build the identical "v2" and the diff itself — one
+    // full-outer key join comparing content fingerprints — is what
+    // the hash pins. At 100 TB this is the ingest-to-ingest delta
+    // report: only doc ids and fingerprints shuffle, never content.
+    "snapshot_diff" -> ((s, d) => {
+      import graft.functions.TextFunctions.{hash60, normText}
+      val v1 = documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("hb", pmod(hash60(normText(col("text"))), lit(10)))
+      val v2 = v1.filter(col("hb") =!= 0) // bucket 0 removed
+        .withColumn("text",
+          when(col("hb").isin(1, 2), concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))) // buckets 1-2 edited
+        .select(col("doc_id"), col("source"), col("text"))
+        .unionByName(v1.filter(col("hb") === 3) // bucket 3 spawns adds
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            col("source"), concat(lit("new "), col("text")).as("text")))
+      val f1 = v1.select(col("doc_id"), col("source").as("src1"),
+        hash60(col("text")).as("fp1"))
+      val f2 = v2.select(col("doc_id"), col("source").as("src2"),
+        hash60(col("text")).as("fp2"))
+      f1.join(f2, Seq("doc_id"), "full_outer")
+        .select(
+          coalesce(col("src1"), col("src2")).as("source"),
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") === col("fp2"), "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
+    }),
+
     // WINSORIZED robust statistics per group — the outlier-capping
     // pass a metrics pipeline runs before averaging: clamp each value
     // to the group's exact nearest-rank [p05, p95] band and report
@@ -958,6 +995,33 @@ object OpsQueries {
         |       CAST(quantile_cont(abs(c.v - m.m), 0.5) * 4 AS BIGINT)
         |         AS mad_x4
         |FROM c, m GROUP BY m.m""".stripMargin,
+    "snapshot_diff" -> {
+      val norm =
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+      val hb =
+        s"CAST('0x' || substr(md5($norm), 1, 15) AS BIGINT) % 10"
+      val fp = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)"
+      s"""WITH v1 AS (
+         |  SELECT doc_id, source, text, $hb AS hb FROM documents),
+         |v2 AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN hb IN (1, 2) THEN text || ' v2'
+         |              ELSE text END AS text
+         |  FROM v1 WHERE hb <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, source, 'new ' || text
+         |  FROM v1 WHERE hb = 3),
+         |f1 AS (SELECT doc_id, source AS src1, $fp AS fp1 FROM v1),
+         |f2 AS (SELECT doc_id, source AS src2, $fp AS fp2 FROM v2)
+         |SELECT coalesce(src1, src2) AS source,
+         |       CASE WHEN fp1 IS NULL THEN 'added'
+         |            WHEN fp2 IS NULL THEN 'removed'
+         |            WHEN fp1 = fp2 THEN 'unchanged'
+         |            ELSE 'changed' END AS status,
+         |       count(*) AS n_docs
+         |FROM f1 FULL JOIN f2 USING (doc_id)
+         |GROUP BY source, status ORDER BY source, status""".stripMargin
+    },
     "winsorized_stats" ->
       """WITH v AS (
         |  SELECT event_type, event_id,
