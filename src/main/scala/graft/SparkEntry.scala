@@ -31,6 +31,7 @@ object SparkEntry {
       UnigramQueries.queries ++
       SimilarityQueries.queries ++
       SketchQueries.queries ++
+      PcaQueries.queries ++
       AnnIndexQueries.queries ++
       MultimodalQueries.queries ++
       SourceQueries.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       UnigramQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
       SketchQueries.oracleSql ++
+      PcaQueries.oracleSql ++
       AnnIndexQueries.oracleSql ++
       MultimodalQueries.oracleSql ++
       SourceQueries.oracleSql ++
