@@ -32,6 +32,7 @@ object SparkEntry {
       SimilarityQueries.queries ++
       SketchQueries.queries ++
       PcaQueries.queries ++
+      FeatureQueries.queries ++
       AnnIndexQueries.queries ++
       MultimodalQueries.queries ++
       SourceQueries.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++
       SketchQueries.oracleSql ++
       PcaQueries.oracleSql ++
+      FeatureQueries.oracleSql ++
       AnnIndexQueries.oracleSql ++
       MultimodalQueries.oracleSql ++
       SourceQueries.oracleSql ++

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural properties of the training-data-prep family that the
+  * value-level oracle cannot see:
+  *
+  *   - span corruption is LOSSLESS: substituting each target span
+  *     back into its corrupted sentinel reproduces the original
+  *     token stream exactly, for every document;
+  *   - the mask selection is a pure function of (doc_id, pos) — the
+  *     hashed draw is invariant under repartitioning (the property
+  *     that makes the pair generation reproducible across cluster
+  *     layouts);
+  *   - feature hashing stays within its declared dimensionality and
+  *     the chi2 report is shaped (5 langs × 5 ranked rows).
+  */
+class FeatureQueriesSpec extends SparkTestBase {
+
+  test("span corruption is lossless under sentinel substitution") {
+    val rows = SparkEntry.queries("span_corrupt")(spark, sfDir)
+      .collect()
+    assert(rows.length > 0)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(
+          filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0), " ").as("orig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var maskedTotal = 0L
+    var tokensTotal = 0L
+    rows.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val corrupted = r.getAs[String]("corrupted")
+      val target = r.getAs[String]("target")
+      maskedTotal += r.getAs[Long]("n_masked")
+      tokensTotal += r.getAs[Long]("n_tokens")
+      // target = "<extra_id_0> tok tok <extra_id_1> tok ..." — split
+      // into span texts keyed by sentinel.
+      val spans = "<extra_id_(\\d+)>".r
+        .split(target).drop(1).map(_.trim)
+      val restored = corrupted.split(" ").flatMap { t =>
+        "<extra_id_(\\d+)>".r.findFirstMatchIn(t) match {
+          case Some(m) => spans(m.group(1).toInt).split(" ")
+          case None => Array(t)
+        }
+      }.mkString(" ")
+      assert(restored == docs(docId),
+        s"doc $docId: sentinel substitution does not restore original")
+    }
+    // ≈1/5 of positions masked (binomial tolerance at corpus size).
+    val rate = maskedTotal.toDouble / tokensTotal
+    assert(rate > 0.15 && rate < 0.25, s"mask rate $rate off target 0.2")
+  }
+
+  test("mask draw and feature hash are partition-invariant") {
+    def run(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+    val sc1 = run("span_corrupt")
+    val fh1 = run("feature_hash")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(run("span_corrupt") == sc1)
+      assert(run("feature_hash") == fh1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(fh1.forall { r =>
+      val b = r.getAs[Int]("bucket"); b >= 0 && b < 64
+    })
+  }
+
+  test("token_chi2: 5 ranked rows per language, chi2 descending") {
+    val rows = SparkEntry.queries("token_chi2")(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 5),
+        s"$lang ranks not 1..5")
+      val chis = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("chi2"))
+      assert(chis.zip(chis.tail).forall { case (a, b) => a >= b },
+        s"$lang chi2 not descending")
+    }
+  }
+}
