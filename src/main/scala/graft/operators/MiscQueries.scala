@@ -979,6 +979,61 @@ object MiscQueries {
             .as("n_rows_at_risk"),
           min(col("ndiv")).as("min_diversity"))
         .orderBy("nat")
+    }),
+
+    // t-closeness audit — the third privacy gate (k-anonymity bounds
+    // group SIZE, l-diversity bounds sensitive-value VARIETY;
+    // t-closeness bounds how far a group's sensitive DISTRIBUTION
+    // drifts from the corpus-wide one — a group can be large and
+    // varied yet still leak if it is 90% one segment when the corpus
+    // is 20%). Distance is the variational EMD for categorical
+    // attributes, kept EXACT: for group g,
+    //   t_g = Σ_s |n_gs·N − n_s·n_g| / (2·n_g·N)
+    // where the numerator is an exact long and the t > 0.5 breach
+    // test is the integer comparison t_num > n_g·N (no float
+    // boundary). Same 100 TB shape as its siblings: one shuffle on
+    // the (QI, sensitive) key, a second on QI, a broadcast of the
+    // 5-row global segment histogram, bounded per-nation reduce.
+    "t_closeness" -> ((s, d) => {
+      val cells = customer(s, d)
+        .groupBy(
+          col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") / 100).cast("long").as("band"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_gs"))
+      val glob = customer(s, d)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_s"))
+      val nn = customer(s, d).agg(count(lit(1)).as("n_tot"))
+      // Per-group EMD numerator: present segments contribute
+      // |n_gs·N − n_s·n_g|; segments ABSENT from the group still
+      // contribute n_s·n_g each, folded in as (N − Σ_present n_s)·n_g
+      // so the missing rows never need generating.
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy("nat", "band")
+      val groups = cells
+        .join(broadcast(glob), Seq("seg"))
+        .crossJoin(broadcast(nn))
+        .withColumn("n_g", sum(col("n_gs")).over(wg))
+        .groupBy("nat", "band", "n_tot", "n_g")
+        .agg(
+          sum(abs(col("n_gs") * col("n_tot") -
+            col("n_s") * col("n_g"))).as("present_term"),
+          sum(col("n_s")).as("present_ns"))
+        .withColumn("t_num",
+          col("present_term") +
+            (col("n_tot") - col("present_ns")) * col("n_g"))
+      groups.groupBy("nat")
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("t_num") > col("n_g") * col("n_tot"), 1L)
+            .otherwise(0L)).as("n_breach_groups"),
+          sum(when(col("t_num") > col("n_g") * col("n_tot"),
+            col("n_g")).otherwise(0L)).as("n_rows_at_risk"),
+          max(col("t_num").cast("double") /
+            (lit(2.0) * col("n_g").cast("double") *
+              col("n_tot").cast("double"))).as("max_t"))
+        .orderBy("nat")
     })
   )
 
@@ -1049,6 +1104,42 @@ object MiscQueries {
         |         AS n_rows_at_risk,
         |       CAST(min(ndiv) AS BIGINT) AS min_diversity
         |FROM g GROUP BY nat ORDER BY nat""".stripMargin,
+    "t_closeness" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS nat,
+        |         CAST(floor(c_acctbal / 100) AS BIGINT) AS band,
+        |         c_mktsegment AS seg, count(*) AS n_gs
+        |  FROM customer GROUP BY 1, 2, 3
+        |), gseg AS (
+        |  SELECT c_mktsegment AS seg, count(*) AS n_s
+        |  FROM customer GROUP BY 1
+        |), nn AS (SELECT count(*) AS n_tot FROM customer),
+        |gt AS (
+        |  SELECT nat, band, CAST(sum(n_gs) AS BIGINT) AS n_g
+        |  FROM cells GROUP BY 1, 2
+        |), grp AS (
+        |  SELECT c.nat, c.band, n.n_tot, g.n_g,
+        |         CAST(sum(abs(c.n_gs * n.n_tot - gl.n_s * g.n_g))
+        |           AS BIGINT)
+        |           + (n.n_tot - CAST(sum(gl.n_s) AS BIGINT)) * g.n_g
+        |           AS t_num
+        |  FROM cells c
+        |  JOIN gseg gl USING (seg)
+        |  JOIN gt g ON g.nat = c.nat AND g.band = c.band
+        |  CROSS JOIN nn n
+        |  GROUP BY c.nat, c.band, n.n_tot, g.n_g
+        |)
+        |SELECT nat, count(*) AS n_groups,
+        |       CAST(sum(CASE WHEN t_num > n_g * n_tot
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_breach_groups,
+        |       CAST(sum(CASE WHEN t_num > n_g * n_tot
+        |                     THEN n_g ELSE 0 END) AS BIGINT)
+        |         AS n_rows_at_risk,
+        |       max(CAST(t_num AS DOUBLE) /
+        |           (2.0 * CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE)))
+        |         AS max_t
+        |FROM grp GROUP BY nat ORDER BY nat""".stripMargin,
     // The catalog round-trip must be lossless: the oracle reads the
     // source parquet directly, so any drop/dup through saveAsTable +
     // spark.table breaks the hash.

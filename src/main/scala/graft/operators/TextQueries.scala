@@ -2106,6 +2106,33 @@ object TextQueries {
     "stream_neardup" -> ((s, d) =>
       graft.streaming.StreamNearDup.run(s, d, BucketCap)),
 
+    // STREAMING heavy hitters: the Misra-Gries summary lives as
+    // transformWithState state sharded over 8 token-hash ranges while
+    // the corpus replays as four micro-batches; the batch tail then
+    // recounts the bounded candidate set EXACTLY and applies the same
+    // freq·64 > n cut as `heavy_hitters` — identical output (and the
+    // identical oracle) under any arrival order, because the MG
+    // guarantee makes every above-threshold token survive the stream
+    // no matter how merges interleave. See StreamHeavyHitters.
+    "stream_heavy_hitters" -> ((s, d) => {
+      val cands = graft.streaming.StreamHeavyHitters.candidates(s, d)
+      val toks = documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      toks
+        .join(broadcast(cands), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("tok", "n")
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") * 64 > col("n"))
+        .select(
+          col("tok"),
+          col("freq"),
+          (col("freq").cast("double") / col("n").cast("double"))
+            .as("frac_of_corpus"))
+        .orderBy(col("freq").desc, col("tok").asc)
+    }),
+
     // "No silent caps" for the STREAMING screen (the
     // neardup_cap_report principle applied to stream_neardup's
     // corpus-only viability rule): per band, how many buckets hold
@@ -2692,6 +2719,19 @@ object TextQueries {
        |$clusterClosureCtes
        |SELECT doc_id, cluster FROM clusters
        |ORDER BY doc_id""".stripMargin
+
+  private lazy val heavyHittersOracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest($toksSql) AS tok FROM documents
+       |), tot AS (
+       |  SELECT count(*) AS n FROM toks
+       |)
+       |SELECT tok, count(*) AS freq,
+       |       CAST(count(*) AS DOUBLE) / CAST(min(n) AS DOUBLE)
+       |         AS frac_of_corpus
+       |FROM toks, tot
+       |GROUP BY tok, n HAVING count(*) * 64 > n
+       |ORDER BY freq DESC, tok ASC""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -3838,18 +3878,12 @@ object TextQueries {
         |FROM documents d, thr t
         |WHERE d.n_chars >= t.p90_threshold
         |GROUP BY t.p90_threshold, t.n_docs_total""".stripMargin,
-    "heavy_hitters" ->
-      s"""WITH toks AS (
-         |  SELECT unnest($toksSql) AS tok FROM documents
-         |), tot AS (
-         |  SELECT count(*) AS n FROM toks
-         |)
-         |SELECT tok, count(*) AS freq,
-         |       CAST(count(*) AS DOUBLE) / CAST(min(n) AS DOUBLE)
-         |         AS frac_of_corpus
-         |FROM toks, tot
-         |GROUP BY tok, n HAVING count(*) * 64 > n
-         |ORDER BY freq DESC, tok ASC""".stripMargin,
+    "heavy_hitters" -> heavyHittersOracle,
+    // The STREAMING summary must land on the identical final report:
+    // same oracle string, so the stateful path cannot drift from the
+    // batch sketch (both are candidates + exact recount; see
+    // StreamHeavyHitters' determinism contract).
+    "stream_heavy_hitters" -> heavyHittersOracle,
     "cms_estimate" ->
       s"""WITH toks AS MATERIALIZED (
          |  SELECT unnest($toksSql) AS token FROM documents
