@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -197,6 +198,37 @@ object AnalyticsQueries {
         .crossJoin(clicked.agg(count(lit(1)).as("n_clicked_after_view")))
         .crossJoin(
           purchased.agg(count(lit(1)).as("n_purchased_after_click")))
+    }),
+
+    // Markov TRANSITION MATRIX over per-user event sequences: for
+    // each ordered pair of consecutive events of one user, count
+    // (src_type → dst_type) and report the row-normalized transition
+    // probability in exact ppm — the artifact behavior-model and
+    // anomaly passes consume (event_anomaly scores against marginal
+    // rates; this is the conditional structure). One window shuffle
+    // on user_id (bounded per-user state: the lead is one row), one
+    // vocabulary-bounded aggregation; the per-src totals ride a
+    // 5-partition window, never a second scan. Ordering is
+    // (second-truncated ts, event_id) — the same cross-engine tie
+    // contract as event_funnel (the fixture's ns timestamps reach
+    // Spark µs-truncated, so finer ordering would diverge from the
+    // ns-precise oracle).
+    "event_transitions" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val ws = Window.partitionBy("src")
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("src"),
+          date_trunc("second", col("ts")).as("ts"))
+        .withColumn("dst", lead(col("src"), 1).over(wu))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(ws))
+        .withColumn("p_ppm", expr("1000000 * n DIV tot"))
+        .select("src", "dst", "n", "p_ppm")
+        .orderBy("src", "dst")
     }),
 
     // Day-N retention cohorts: users grouped by their first-seen day,
@@ -397,6 +429,23 @@ object AnalyticsQueries {
         |       (SELECT count(*) FROM clicked) AS n_clicked_after_view,
         |       (SELECT count(*) FROM purchased)
         |         AS n_purchased_after_click""".stripMargin,
+    "event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type AS src,
+        |         date_trunc('second', ts) AS ts
+        |  FROM events
+        |), prs AS (
+        |  SELECT src, lead(src) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS dst
+        |  FROM ev
+        |), cnt AS (
+        |  SELECT src, dst, count(*) AS n FROM prs
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src, dst, n,
+        |       CAST(1000000 * n // sum(n) OVER (PARTITION BY src)
+        |         AS BIGINT) AS p_ppm
+        |FROM cnt ORDER BY src, dst""".stripMargin,
     "retention_cohorts" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day

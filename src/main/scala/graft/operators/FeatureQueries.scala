@@ -117,6 +117,87 @@ object FeatureQueries {
         .filter(col("v") =!= 0)
         .orderBy("doc_id", "bucket")),
 
+    // EXACT AUC (Mann–Whitney rank-sum with midranks) of a candidate
+    // quality signal — here n_chars separating English from
+    // non-English docs: the eval a curation pipeline runs before
+    // trusting any heuristic score as a filter. Entirely integer:
+    // group by DISTINCT score value (the only row-scale shuffle, with
+    // map-side combine), then the tie-aware rank-sum folds over the
+    // aggregated score frame via one ordered prefix-sum —
+    //   S2 = Σ_s p_s·(2·C_s + c_s + 1),  2U = S2 − n_pos·(n_pos+1),
+    //   auc_ppm = 10⁶·2U DIV (2·n_pos·n_neg)
+    // (validated: ties contribute ½ via the midrank term). The
+    // unpartitioned window runs over the DISTINCT-SCORE frame, not
+    // rows — the equal-frequency-binning scale contract; were score
+    // cardinality itself row-scale, the prefix-sum would move to the
+    // GlobalRank range scheme.
+    "auc_quality" -> ((s, d) => {
+      val g = documents(s, d)
+        .groupBy(col("n_chars").as("score"))
+        .agg(
+          count(lit(1)).as("c"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+        .agg(
+          sum(col("p")).as("n_pos"),
+          (sum(col("c")) - sum(col("p"))).as("n_neg"),
+          sum(col("p") * (lit(2) * col("cum") + col("c") + lit(1)))
+            .as("s2"))
+        .withColumn("u2",
+          col("s2") - col("n_pos") * (col("n_pos") + 1))
+        .withColumn("auc_ppm",
+          expr("1000000 * u2 DIV (2 * n_pos * n_neg)"))
+        .select("n_pos", "n_neg", "u2", "auc_ppm")
+    }),
+
+    // PRECISION/RECALL CURVE for the same signal, at ten exact
+    // volume-decile thresholds: decile i's threshold is the highest
+    // score t where "keep if score ≥ t" keeps at least i·N/10 rows.
+    // Same scale shape as auc_quality: cumulative sums run over the
+    // DISTINCT-SCORE frame (descending), and the decile selection is
+    // a 10-row broadcast joined on cum_prev < target ≤ cum — one row
+    // can serve several deciles when a heavy score value straddles
+    // them. All counts exact; the two ratios are integer ppm.
+    "pr_curve" -> ((s, d) => {
+      val g = documents(s, d)
+        .groupBy(col("n_chars").as("score"))
+        .agg(
+          count(lit(1)).as("c"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g
+        .withColumn("cumc", sum(col("c")).over(wd))
+        .withColumn("cump", sum(col("p")).over(wd))
+        .withColumn("cum_prev", col("cumc") - col("c"))
+      val tot = documents(s, d)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .as("n_pos"))
+      val deciles = tot
+        .select(col("n_docs"), col("n_pos"),
+          explode(sequence(lit(1), lit(10))).as("decile"))
+        .withColumn("target", expr("decile * n_docs DIV 10"))
+      broadcast(deciles)
+        .join(cum,
+          col("cum_prev") < col("target") &&
+            col("target") <= col("cumc"))
+        .withColumn("tp", col("cump"))
+        .withColumn("fp", col("cumc") - col("cump"))
+        .withColumn("fn", col("n_pos") - col("cump"))
+        .withColumn("prec_ppm", expr("1000000 * tp DIV cumc"))
+        .withColumn("rec_ppm", expr("1000000 * tp DIV n_pos"))
+        .select(col("decile"), col("score").as("threshold"),
+          col("tp"), col("fp"), col("fn"),
+          col("prec_ppm"), col("rec_ppm"))
+        .orderBy("decile")
+    }),
+
     // T5-STYLE SPAN CORRUPTION: deterministically mask ≈1/MaskMod of
     // token positions (selection hash on (doc_id, pos) — reproducible
     // across runs, engines, partitionings), collapse masked runs into
@@ -228,6 +309,63 @@ object FeatureQueries {
          |FROM fh GROUP BY 1, 2
          |HAVING sum(sgn) <> 0
          |ORDER BY doc_id, bucket""".stripMargin,
+    "auc_quality" ->
+      """WITH g AS (
+        |  SELECT n_chars AS score, count(*) AS c,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS p
+        |  FROM documents GROUP BY 1
+        |), cumg AS (
+        |  SELECT score, c, p,
+        |         coalesce(sum(c) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS cum
+        |  FROM g
+        |), tot AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |         CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+        |         CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS s2
+        |  FROM cumg
+        |)
+        |SELECT n_pos, n_neg,
+        |       s2 - n_pos * (n_pos + 1) AS u2,
+        |       CAST(1000000 * (s2 - n_pos * (n_pos + 1))
+        |         // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        |FROM tot""".stripMargin,
+    "pr_curve" ->
+      """WITH g AS (
+        |  SELECT n_chars AS score, count(*) AS c,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS p
+        |  FROM documents GROUP BY 1
+        |), cum AS (
+        |  SELECT score, c, p,
+        |         sum(c) OVER (ORDER BY score DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cumc,
+        |         sum(p) OVER (ORDER BY score DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cump
+        |  FROM g
+        |), tot AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_pos
+        |  FROM documents
+        |), dec AS (
+        |  SELECT i AS decile, (i * n_docs) // 10 AS target,
+        |         n_docs, n_pos
+        |  FROM tot, LATERAL unnest(generate_series(1, 10)) AS u(i)
+        |)
+        |SELECT CAST(d.decile AS INTEGER) AS decile,
+        |       c.score AS threshold,
+        |       c.cump AS tp, c.cumc - c.cump AS fp,
+        |       d.n_pos - c.cump AS fn,
+        |       CAST(1000000 * c.cump // c.cumc AS BIGINT) AS prec_ppm,
+        |       CAST(1000000 * c.cump // d.n_pos AS BIGINT) AS rec_ppm
+        |FROM dec d JOIN cum c
+        |  ON c.cumc - c.c < d.target AND d.target <= c.cumc
+        |ORDER BY decile""".stripMargin,
     "span_corrupt" ->
       s"""WITH $posToksCte,
          |pt AS MATERIALIZED (

@@ -70,6 +70,52 @@ class FeatureQueriesSpec extends SparkTestBase {
     })
   }
 
+  test("auc_quality matches a brute-force pairwise AUC") {
+    val r = SparkEntry.queries("auc_quality")(spark, sfDir)
+      .collect().head
+    // Brute force: over all (pos, neg) pairs count wins + half-ties.
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("n_chars"), (col("lang") === "en").as("pos"))
+      .collect()
+      .map(x => (x.getLong(0), x.getBoolean(1)))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = 1000000L * wins2 / (2L * pos.length * neg.length)
+    assert(r.getAs[Long]("n_pos") == pos.length)
+    assert(r.getAs[Long]("n_neg") == neg.length)
+    assert(r.getAs[Long]("auc_ppm") == expected,
+      s"rank-sum AUC ${r.getAs[Long]("auc_ppm")} != pairwise $expected")
+  }
+
+  test("pr_curve: thresholds fall, recall rises, decile 10 keeps all") {
+    val rows = SparkEntry.queries("pr_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("threshold") >= b.getAs[Long]("threshold"))
+      assert(a.getAs[Long]("rec_ppm") <= b.getAs[Long]("rec_ppm"))
+      assert(a.getAs[Long]("tp") <= b.getAs[Long]("tp"))
+    }
+    val last = rows.last
+    assert(last.getAs[Long]("rec_ppm") == 1000000L,
+      "decile 10 must keep every row, so recall is exactly 1")
+    assert(last.getAs[Long]("fn") == 0L)
+  }
+
+  test("event_transitions rows are per-source stochastic") {
+    val rows = SparkEntry.queries("event_transitions")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
+      val pSum = rs.map(_.getAs[Long]("p_ppm")).sum
+      // Integer floor division loses at most (n_dst − 1) ppm total.
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"$src row sums to $pSum ppm")
+    }
+  }
+
   test("token_chi2: 5 ranked rows per language, chi2 descending") {
     val rows = SparkEntry.queries("token_chi2")(spark, sfDir).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))

@@ -15,7 +15,9 @@ package graft
 class PcaSpec extends SparkTestBase {
 
   test("covariance plan is join-free: explode + one hash aggregate") {
-    val plan = SparkEntry.queries("pca_covariance")(spark, sfDir)
+    // covBuild, not the registered query: the registered frame is
+    // pinned (checkpoint scan), which hides the builder's plan.
+    val plan = graft.operators.PcaQueries.covBuild(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"),
       s"covariance pass should not join:\n$plan")
@@ -65,8 +67,23 @@ class PcaSpec extends SparkTestBase {
       s"projection top-1 $top != double-PCA top-1 $bestDouble")
   }
 
+  test("pca_top_corr: 10 ordered pairs with corr² in [0,1]") {
+    val rows = SparkEntry.queries("pca_top_corr")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    val corrs = rows.map(_.getAs[Double]("corr2"))
+    assert(corrs.zip(corrs.tail).forall { case (a, b) => a >= b },
+      "corr² not descending")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("i") < r.getAs[Int]("j"))
+      val c2 = r.getAs[Double]("corr2")
+      assert(c2 >= 0.0 && c2 <= 1.0, s"corr² $c2 out of range")
+    }
+  }
+
   test("oracle SQL registered for every pca query") {
-    Seq("pca_covariance", "pca_power_topvec", "pca_project_topk")
+    Seq("pca_covariance", "pca_power_topvec", "pca_project_topk",
+      "pca_top_corr")
       .foreach { q =>
         assert(SparkEntry.oracleSql.contains(q), s"missing oracle: $q")
       }
