@@ -668,6 +668,167 @@ object OpsQueries {
         .limit(30)
     }),
 
+    // ASSOCIATION RULES a→b over the same order baskets: support,
+    // confidence and lift in exact ppm for every DIRECTED pair
+    // co-ordered ≥2 times, top-30 by lift. The pair frame is the
+    // bounded per-basket O(b²) explode (b ≈ items per order, never
+    // corpus-scale); per-item order counts join back ON THE ITEM KEY
+    // (one shuffle per side, both frames already aggregated), and the
+    // basket total is a one-row broadcast. Lift stays integer by
+    // cross-multiplying: lift_ppm = 10⁶·n_ab·N DIV (n_a·n_b) — at
+    // n_ab ≤ N ≤ 10⁹ the numerator is ≤ 10²⁴/… bounded because n_ab
+    // ≤ min(n_a, n_b) keeps 10⁶·n_ab·N ≤ 10⁶·N² — fine to N ≈ 3·10⁶
+    // per long; beyond that the documented widening is decimal(38).
+    "basket_rules" -> ((s, d) => {
+      val b = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = b.groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+        .filter(size(col("items")) >= 2)
+        .select(TextQueries.pairCombinations(col("items")).as("pr"))
+        .select(col("pr.a").as("pa"), col("pr.b").as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      // Directed rules: both orientations of each canonical pair.
+      val rules = pairs.select(
+          col("pa").as("ante"), col("pb").as("cons"), col("n_ab"))
+        .unionByName(pairs.select(
+          col("pb").as("ante"), col("pa").as("cons"), col("n_ab")))
+      val itemN = b.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("n_item"))
+      val total = b.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      rules
+        .join(itemN.select(col("item").as("ante"),
+          col("n_item").as("n_a")), Seq("ante"))
+        .join(itemN.select(col("item").as("cons"),
+          col("n_item").as("n_b")), Seq("cons"))
+        .crossJoin(broadcast(total))
+        .withColumn("support_ppm",
+          expr("1000000 * n_ab DIV n_baskets"))
+        .withColumn("confidence_ppm",
+          expr("1000000 * n_ab DIV n_a"))
+        .withColumn("lift_ppm",
+          expr("1000000 * n_ab * n_baskets DIV (n_a * n_b)"))
+        .select("ante", "cons", "n_ab", "n_a", "n_b",
+          "support_ppm", "confidence_ppm", "lift_ppm")
+        .orderBy(col("lift_ppm").desc, col("n_ab").desc,
+          col("ante"), col("cons"))
+        .limit(30)
+    }),
+
+    // ITEM-ITEM COLLABORATIVE FILTERING: for each of the 20 most
+    // co-ordered parts, its top-5 neighbors by binary cosine over the
+    // order×part incidence matrix — cos²(a,b) = n_ab²/(n_a·n_b) kept
+    // exact in ppm (squaring avoids the sqrt; n_ab ≤ min(n_a,n_b)
+    // bounds the numerator by 10⁶·n_ab ≤ 10⁶·N per factor). The
+    // neighbor window partitions by the anchor item (per-item state =
+    // its candidate pairs, basket-bounded); the anchor set is a
+    // 20-row broadcast semi-join, so the full pair frame is pruned
+    // before any window runs — the "related items" serving shape.
+    "item_cf_topk" -> ((s, d) => {
+      val b = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = b.groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+        .filter(size(col("items")) >= 2)
+        .select(TextQueries.pairCombinations(col("items")).as("pr"))
+        .select(col("pr.a").as("pa"), col("pr.b").as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_ab"))
+      val sym = pairs.select(
+          col("pa").as("item"), col("pb").as("nbr"), col("n_ab"))
+        .unionByName(pairs.select(
+          col("pb").as("item"), col("pa").as("nbr"), col("n_ab")))
+      val itemN = b.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("n_item"))
+      val anchors = sym.groupBy("item")
+        .agg(sum(col("n_ab")).as("w"))
+        .orderBy(col("w").desc, col("item"))
+        .limit(20)
+        .select("item")
+      val w = Window.partitionBy("item")
+        .orderBy(col("cos2_ppm").desc, col("n_ab").desc,
+          col("nbr").asc)
+      sym
+        .join(broadcast(anchors), Seq("item"), "left_semi")
+        .join(itemN.select(col("item"), col("n_item").as("n_a")),
+          Seq("item"))
+        .join(itemN.select(col("item").as("nbr"),
+          col("n_item").as("n_b")), Seq("nbr"))
+        .withColumn("cos2_ppm",
+          expr("1000000 * n_ab * n_ab DIV (n_a * n_b)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("item", "rnk", "nbr", "n_ab", "cos2_ppm")
+        .orderBy("item", "rnk")
+    }),
+
+    // WEIGHTED single-source shortest paths (3-round Bellman-Ford)
+    // over the purchase graph, edge weight = the CHEAPEST trade
+    // between the endpoints in cents — "what is the lowest-cost
+    // 3-trade route from supplier 1 to every counterparty". Each
+    // round is one key-equi join + min-aggregation over the full
+    // tentative-distance frame (relaxation can improve already-seen
+    // nodes, so unlike bfs_hops the frontier trick would be WRONG
+    // here — correctness forces the full rejoin, and the oracle
+    // unrolls the identical rounds). Distances stay ≤ 3·max-cents,
+    // far inside long range at any scale.
+    "sssp_weighted" -> ((s, d) => {
+      val wp = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(
+          (col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .agg(min(cents(col("l_extendedprice"))).as("wgt"))
+      val edges = Checkpoints.pin(
+        wp.select(col("c").as("src"), col("p").as("dst"), col("wgt"))
+          .unionByName(
+            wp.select(col("p").as("src"), col("c").as("dst"),
+              col("wgt"))))
+      val d0 = s.range(1)
+        .select(lit(3L).as("node"), lit(0L).as("dist"))
+      val dk = (1 to 3).foldLeft(d0.toDF) { (dist, _) =>
+        val relaxed = edges
+          .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            (col("dist") + col("wgt")).as("dist"))
+        dist.unionByName(relaxed)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+      }
+      dk.orderBy("node")
+    }),
+
+    // BENFORD first-digit audit of order totals — the classic
+    // fabricated-amounts screen a data-governance pass runs over any
+    // money column. One scan, 9-row output: observed first-significant-
+    // digit counts vs the Benford expectation, both in exact ppm (the
+    // expectations are the nine pre-rounded log₁₀(1+1/d) constants —
+    // summing to exactly 10⁶ — hardcoded identically in both engines,
+    // so no runtime float enters the comparison). The first digit
+    // comes from the decimal string of the cents integer: ×100 shifts
+    // the decimal point, which never changes the leading significant
+    // digit.
+    "benford_audit" -> ((s, d) => {
+      val expPpm = typedLit(Map(
+        1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+        9 -> 45757L))
+      orders(s, d)
+        .select(substring(cents(col("o_totalprice")).cast("string"),
+          1, 1).cast("int").as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_total",
+          sum(col("n")).over(Window.partitionBy()))
+        .withColumn("obs_ppm", expr("1000000 * n DIV n_total"))
+        .withColumn("exp_ppm", element_at(expPpm, col("digit")))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm")
+        .orderBy("digit")
+    }),
+
     // SKYLINE (Pareto frontier): parts not dominated on (bigger size,
     // cheaper price). The dominance test runs on the BOUNDED size
     // domain — per-size min prices (≤50 rows), running mins over that
@@ -1062,6 +1223,126 @@ object OpsQueries {
         | AND x.l_partkey < y.l_partkey
         |GROUP BY part_a, part_b
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 30""".stripMargin,
+    "basket_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+        |         count(*) AS n_ab
+        |  FROM b x JOIN b y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), rules AS (
+        |  SELECT pa AS ante, pb AS cons, n_ab FROM pairs
+        |  UNION ALL SELECT pb, pa, n_ab FROM pairs
+        |), item_n AS (
+        |  SELECT l_partkey AS item, count(*) AS n_item FROM b
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b
+        |)
+        |SELECT r.ante, r.cons, r.n_ab,
+        |       a.n_item AS n_a, c.n_item AS n_b,
+        |       CAST(1000000 * r.n_ab // t.n_baskets AS BIGINT)
+        |         AS support_ppm,
+        |       CAST(1000000 * r.n_ab // a.n_item AS BIGINT)
+        |         AS confidence_ppm,
+        |       CAST(1000000 * r.n_ab * t.n_baskets
+        |         // (a.n_item * c.n_item) AS BIGINT) AS lift_ppm
+        |FROM rules r
+        |JOIN item_n a ON a.item = r.ante
+        |JOIN item_n c ON c.item = r.cons
+        |CROSS JOIN tot t
+        |ORDER BY lift_ppm DESC, n_ab DESC, ante, cons
+        |LIMIT 30""".stripMargin,
+    "item_cf_topk" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+        |         count(*) AS n_ab
+        |  FROM b x JOIN b y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2
+        |), sym AS (
+        |  SELECT pa AS item, pb AS nbr, n_ab FROM pairs
+        |  UNION ALL SELECT pb, pa, n_ab FROM pairs
+        |), item_n AS (
+        |  SELECT l_partkey AS item, count(*) AS n_item FROM b
+        |  GROUP BY 1
+        |), anchors AS (
+        |  SELECT item FROM sym GROUP BY item
+        |  ORDER BY sum(n_ab) DESC, item LIMIT 20
+        |), scored AS (
+        |  SELECT s.item, s.nbr, s.n_ab,
+        |         CAST(1000000 * s.n_ab * s.n_ab
+        |           // (a.n_item * c.n_item) AS BIGINT) AS cos2_ppm
+        |  FROM sym s
+        |  JOIN item_n a ON a.item = s.item
+        |  JOIN item_n c ON c.item = s.nbr
+        |  WHERE s.item IN (SELECT item FROM anchors)
+        |), ranked AS (
+        |  SELECT item, nbr, n_ab, cos2_ppm,
+        |         row_number() OVER (PARTITION BY item
+        |           ORDER BY cos2_ppm DESC, n_ab DESC, nbr ASC)
+        |           AS rnk
+        |  FROM scored
+        |)
+        |SELECT item, CAST(rnk AS INT) AS rnk, nbr, n_ab, cos2_ppm
+        |FROM ranked WHERE rnk <= 5 ORDER BY item, rnk""".stripMargin,
+    "sssp_weighted" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""f$k AS (
+           |  SELECT e.dst AS node, d.dist + e.wgt AS dist
+           |  FROM wedges e JOIN d${k - 1} d ON e.src = d.node
+           |), d$k AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT * FROM d${k - 1} UNION ALL SELECT * FROM f$k) u
+           |  GROUP BY node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wp AS (
+         |  SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p,
+         |         min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+         |           AS wgt
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2
+         |), wedges AS (
+         |  SELECT c AS src, p AS dst, wgt FROM wp
+         |  UNION ALL SELECT p, c, wgt FROM wp
+         |),
+         |d0 AS (SELECT CAST(3 AS BIGINT) AS node,
+         |              CAST(0 AS BIGINT) AS dist),
+         |$rounds
+         |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
+    },
+    "benford_audit" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(
+        |           CAST(round(o_totalprice * 100) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders
+        |), cnt AS (
+        |  SELECT digit, count(*) AS n FROM digits GROUP BY 1
+        |), tot AS (SELECT sum(n) AS n_total FROM cnt)
+        |SELECT c.digit, c.n,
+        |       CAST(1000000 * c.n // t.n_total AS BIGINT) AS obs_ppm,
+        |       CAST(CASE c.digit
+        |         WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |         WHEN 3 THEN 124939 WHEN 4 THEN 96910
+        |         WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |         WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |         ELSE 45757 END AS BIGINT) AS exp_ppm,
+        |       CAST(abs(CAST(1000000 * c.n // t.n_total AS BIGINT) -
+        |         CASE c.digit
+        |           WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |           WHEN 3 THEN 124939 WHEN 4 THEN 96910
+        |           WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |           WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |           ELSE 45757 END) AS BIGINT) AS dev_ppm
+        |FROM cnt c CROSS JOIN tot t ORDER BY c.digit""".stripMargin,
     "skyline_pareto" ->
       """WITH p AS (
         |  SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
