@@ -344,6 +344,52 @@ object AnalyticsQueries {
         .select(col("prio"), col("n"), col("slope_num"),
           col("slope_den"), col("slope"), col("intercept"))
         .orderBy("prio")
+    }),
+
+    // AUTOCORRELATION of the daily-revenue series at lags 1..7 — the
+    // seasonality screen a forecasting pass runs before fitting
+    // anything. The series first aggregates to one row per order day
+    // (calendar-bounded — windows beyond this point run over ~2400
+    // rows, never raw orders), positions come from a row_number over
+    // the bounded frame, and each lag's pairs form by EXPLODING the
+    // 7 shifted positions and equi-joining on position — never a
+    // non-equi self-join. Per lag the five Pearson sufficient
+    // statistics stay exact longs: revenue is scaled to "kilodollar"
+    // units (cents DIV 100000) so n·Σxy holds inside long range
+    // through sf10 (decimal widening is the documented one-liner
+    // beyond); num/den1/den2 are the cross-multiplied numerator and
+    // variance terms — r = num/√(den1·den2) is the consumer's one
+    // float, kept out of the pinned output.
+    "acf_daily" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+          + " DIV 100000 AS BIGINT)").as("y"))
+      val wPos = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val srs = daily
+        .withColumn("rn", row_number().over(wPos).cast("long"))
+        .select("rn", "y")
+      val shifted = srs.select(
+          col("y").as("ya"),
+          explode(sequence(lit(1L), lit(7L))).as("lag"),
+          col("rn"))
+        .select(col("ya"), col("lag"), (col("rn") + col("lag")).as("rn"))
+      shifted
+        .join(srs.withColumnRenamed("y", "yb"), Seq("rn"))
+        .groupBy("lag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("ya")).as("sx"),
+          sum(col("yb")).as("sy"),
+          sum(col("ya") * col("yb")).as("sxy"),
+          sum(col("ya") * col("ya")).as("sxx"),
+          sum(col("yb") * col("yb")).as("syy"))
+        .select(
+          col("lag"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den1"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("den2"))
+        .orderBy("lag")
     })
   )
 
@@ -530,6 +576,30 @@ object AnalyticsQueries {
         |         - (CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE))
         |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
         |         AS intercept
-        |FROM sl ORDER BY prio""".stripMargin
+        |FROM sl ORDER BY prio""".stripMargin,
+    "acf_daily" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), srs AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |           AS rn, y
+        |  FROM daily
+        |), prs AS (
+        |  SELECT g.k AS lag, a.y AS ya, b.y AS yb
+        |  FROM srs a
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) g
+        |  JOIN srs b ON b.rn = a.rn + g.k
+        |)
+        |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n,
+        |       CAST(count(*) * sum(ya*yb) - sum(ya) * sum(yb)
+        |         AS BIGINT) AS num,
+        |       CAST(count(*) * sum(ya*ya) - sum(ya) * sum(ya)
+        |         AS BIGINT) AS den1,
+        |       CAST(count(*) * sum(yb*yb) - sum(yb) * sum(yb)
+        |         AS BIGINT) AS den2
+        |FROM prs GROUP BY 1 ORDER BY lag""".stripMargin
   )
 }

@@ -198,6 +198,41 @@ object FeatureQueries {
         .orderBy("decile")
     }),
 
+    // CALIBRATION (reliability diagram) of the same signal read as a
+    // probability via its ECDF: p̂(doc) = 10⁶·cum_le(score) DIV N,
+    // binned into ten equal-width probability bins, each reporting
+    // mean predicted vs actual positive rate — the "is the score a
+    // probability?" check that decides whether a quality signal can
+    // gate by threshold or needs recalibration first. Same scale
+    // shape as auc_quality: the ECDF prefix-sum and the binning run
+    // entirely over the DISTINCT-SCORE frame; only the initial
+    // group-by touches rows. All ratios exact integer ppm.
+    "calibration_bins" -> ((s, d) => {
+      val g = documents(s, d)
+        .groupBy(col("n_chars").as("score"))
+        .agg(
+          count(lit(1)).as("c"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      g.withColumn("cum_le", sum(col("c")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("p_hat", expr("1000000 * cum_le DIV n_docs"))
+        .withColumn("bin",
+          least(expr("p_hat DIV 100000"), lit(9L)).cast("int"))
+        .groupBy("bin")
+        .agg(
+          sum(col("c")).as("n"),
+          sum(col("c") * col("p_hat")).as("pred_sum"),
+          sum(col("p")).as("n_pos"))
+        .withColumn("mean_pred_ppm", expr("pred_sum DIV n"))
+        .withColumn("actual_ppm", expr("1000000 * n_pos DIV n"))
+        .select("bin", "n", "mean_pred_ppm", "actual_ppm")
+        .orderBy("bin")
+    }),
+
     // T5-STYLE SPAN CORRUPTION: deterministically mask ≈1/MaskMod of
     // token positions (selection hash on (doc_id, pos) — reproducible
     // across runs, engines, partitionings), collapse masked runs into
@@ -366,6 +401,30 @@ object FeatureQueries {
         |FROM dec d JOIN cum c
         |  ON c.cumc - c.c < d.target AND d.target <= c.cumc
         |ORDER BY decile""".stripMargin,
+    "calibration_bins" ->
+      """WITH g AS (
+        |  SELECT n_chars AS score, count(*) AS c,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS p
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT count(*) AS n_docs FROM documents),
+        |e AS (
+        |  SELECT score, c, p,
+        |         CAST(1000000 * (sum(c) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |           // t.n_docs AS BIGINT) AS p_hat
+        |  FROM g CROSS JOIN tot t
+        |), b AS (
+        |  SELECT CAST(least(p_hat // 100000, 9) AS INT) AS bin,
+        |         CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(c * p_hat) AS BIGINT) AS pred_sum,
+        |         CAST(sum(p) AS BIGINT) AS n_pos
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT bin, n,
+        |       CAST(pred_sum // n AS BIGINT) AS mean_pred_ppm,
+        |       CAST(1000000 * n_pos // n AS BIGINT) AS actual_ppm
+        |FROM b ORDER BY bin""".stripMargin,
     "span_corrupt" ->
       s"""WITH $posToksCte,
          |pt AS MATERIALIZED (

@@ -72,4 +72,44 @@ class LinregEntropySpec extends SparkTestBase {
       assert(r.getAs[Long]("n_tokens") == n)
     }
   }
+
+  test("acf_daily: 7 lags, Pearson r in [-1,1], n shrinks with lag") {
+    val rows = SparkEntry.queries("acf_daily")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("lag"))
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (1L to 7L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n") >= b.getAs[Long]("n"),
+        "pair count cannot grow with lag")
+    }
+    rows.foreach { r =>
+      val (num, d1, d2) = (r.getAs[Long]("num"),
+        r.getAs[Long]("den1"), r.getAs[Long]("den2"))
+      assert(d1 >= 0 && d2 >= 0, "variance terms must be non-negative")
+      // Cauchy-Schwarz on the exact integers: num² ≤ den1·den2,
+      // compared in double to dodge the num² overflow — the bound
+      // check tolerates the ~2⁻⁵² slack, the sign does not.
+      val r2 = num.toDouble * num.toDouble / (d1.toDouble * d2.toDouble)
+      assert(r2 <= 1.0 + 1e-9, s"lag ${r.getAs[Long]("lag")}: |r| > 1")
+    }
+  }
+
+  test("calibration_bins: bins partition the corpus, ppm ranges hold") {
+    val rows = SparkEntry.queries("calibration_bins")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("bin"))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs,
+      "every document lands in exactly one calibration bin")
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val mp = r.getAs[Long]("mean_pred_ppm")
+      // Mean predicted ECDF must sit inside the bin's own range
+      // (bin 9 absorbs the p̂ = 1e6 endpoint).
+      assert(mp >= bin * 100000L &&
+        (mp < (bin + 1) * 100000L || (bin == 9 && mp <= 1000000L)),
+        s"bin $bin mean_pred $mp outside its range")
+      val ap = r.getAs[Long]("actual_ppm")
+      assert(ap >= 0L && ap <= 1000000L)
+    }
+  }
 }
