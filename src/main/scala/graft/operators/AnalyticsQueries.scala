@@ -231,6 +231,65 @@ object AnalyticsQueries {
         .orderBy("src", "dst")
     }),
 
+    // Behavioral MOTIF MINING: the top-20 event-type TRIGRAMS across
+    // per-user sequences — the order-3 extension of
+    // `event_transitions` (frequent sub-sequences feed session
+    // clustering and bot detection, where single transitions are too
+    // coarse). One user-key window carries both leads (two rows of
+    // per-user state), the trigram count is a vocabulary³-bounded
+    // aggregation, and top-20 rides TakeOrderedAndProject. Same
+    // (second-truncated ts, event_id) ordering contract as the
+    // transition matrix.
+    "event_ngrams" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("t1"),
+          date_trunc("second", col("ts")).as("ts"))
+        .withColumn("t2", lead(col("t1"), 1).over(wu))
+        .withColumn("t3", lead(col("t1"), 2).over(wu))
+        .filter(col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
+    // SEASONAL ANOMALY SCREEN: each order day scored against its own
+    // DAY-OF-WEEK population — the de-seasonalized outlier test a
+    // forecasting pass runs where a global z-score would just flag
+    // every weekend. Entirely exact integers via the cross-multiplied
+    // z²: z² = (n·y − Σy)²/(n·Σy² − (Σy)²) per dow group, so
+    // z²_ppm = 10⁶·dev² DIV var_num hash-pins; revenue is in
+    // kilodollar units to keep dev² inside long through sf10. The
+    // series aggregates to the calendar frame first; the 7-row dow
+    // stats broadcast back by an equi-join on dow. Top-10 by z².
+    "dow_anomaly" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+          + " DIV 100000 AS BIGINT)").as("y"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val dstats = daily.groupBy("dow")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+      daily
+        .join(broadcast(dstats), Seq("dow"))
+        .withColumn("dev", col("n") * col("y") - col("sy"))
+        .withColumn("var_num",
+          col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("z2_ppm",
+          expr("1000000 * (dev * dev) DIV var_num"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dow"), col("y"), col("dev"),
+          col("var_num"), col("z2_ppm"))
+        .orderBy(col("z2_ppm").desc, col("day"))
+        .limit(10)
+    }),
+
     // Day-N retention cohorts: users grouped by their first-seen day,
     // activity counted per (cohort, day offset ≤ 7). Two shuffles
     // (per-user first day, then the cohort×offset rollup); the
@@ -577,6 +636,47 @@ object AnalyticsQueries {
         |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
         |         AS intercept
         |FROM sl ORDER BY prio""".stripMargin,
+    "event_ngrams" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type AS t1,
+        |         date_trunc('second', ts) AS ts
+        |  FROM events
+        |), tri AS (
+        |  SELECT t1,
+        |         lead(t1, 1) OVER w AS t2,
+        |         lead(t1, 2) OVER w AS t3
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT t1, t2, t3, count(*) AS n FROM tri
+        |WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    "dow_anomaly" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |         CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT d, y, CAST(dayofweek(d) + 1 AS BIGINT) AS dow
+        |  FROM daily
+        |), st AS (
+        |  SELECT dow, count(*) AS n,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM dd GROUP BY 1
+        |)
+        |SELECT strftime(dd.d, '%Y-%m-%d') AS day, dd.dow, dd.y,
+        |       CAST(st.n * dd.y - st.sy AS BIGINT) AS dev,
+        |       CAST(st.n * st.syy - st.sy * st.sy AS BIGINT)
+        |         AS var_num,
+        |       CAST(1000000 * ((st.n * dd.y - st.sy)
+        |           * (st.n * dd.y - st.sy))
+        |         // (st.n * st.syy - st.sy * st.sy) AS BIGINT)
+        |         AS z2_ppm
+        |FROM dd JOIN st ON st.dow = dd.dow
+        |ORDER BY z2_ppm DESC, day LIMIT 10""".stripMargin,
     "acf_daily" ->
       """WITH daily AS (
         |  SELECT o_orderdate AS day,

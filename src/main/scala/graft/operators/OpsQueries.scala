@@ -800,6 +800,35 @@ object OpsQueries {
       dk.orderBy("node")
     }),
 
+    // K-CORE PEELING (3 rounds, k=5) over the purchase graph: nodes
+    // with fewer than 5 distinct counterparties are removed and the
+    // degrees of their neighbors recomputed — the standard graph
+    // densification pass before community/triangle work (peripheral
+    // one-trade nodes dominate raw purchase graphs and add nothing
+    // but join fan-out). Each round is one degree aggregation + two
+    // semi-joins filtering the edge list to surviving endpoints —
+    // all key-equi, monotone shrinking. Reports each survivor with
+    // its round-3 degree; a fixed round count (like pagerank_fixed)
+    // keeps the oracle an unrolled CTE chain rather than a fixpoint.
+    "kcore" -> ((s, d) => {
+      val k = 5
+      val edges0 = purchaseEdges(s, d)
+      val peeled = (1 to 3).foldLeft(edges0) { (edges, _) =>
+        val alive = edges.groupBy("src")
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("node"))
+        edges
+          .join(alive.withColumnRenamed("node", "src"),
+            Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("node", "dst"),
+            Seq("dst"), "left_semi")
+      }
+      peeled.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .orderBy("node")
+    }),
+
     // BENFORD first-digit audit of order totals — the classic
     // fabricated-amounts screen a data-governance pass runs over any
     // money column. One scan, 9-row output: observed first-significant-
@@ -1317,6 +1346,23 @@ object OpsQueries {
          |              CAST(0 AS BIGINT) AS dist),
          |$rounds
          |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
+    },
+    "kcore" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""a$r AS (
+           |  SELECT src AS node FROM e${r - 1}
+           |  GROUP BY src HAVING count(*) >= 5
+           |), e$r AS (
+           |  SELECT e.src, e.dst FROM e${r - 1} e
+           |  WHERE e.src IN (SELECT node FROM a$r)
+           |    AND e.dst IN (SELECT node FROM a$r)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSqlCte,
+         |e0 AS (SELECT src, dst FROM edges),
+         |$rounds
+         |SELECT src AS node, count(*) AS core_deg
+         |FROM e3 GROUP BY src ORDER BY node""".stripMargin
     },
     "benford_audit" ->
       """WITH digits AS (

@@ -95,8 +95,32 @@ class BasketGraphSpec extends SparkTestBase {
     }
   }
 
+  test("kcore: monotone peel — every survivor saw degree >= k once") {
+    val rows = SparkEntry.queries("kcore")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // Survivors of round 3 passed the k=5 gate at round 3's START;
+    // the subsequent endpoint filter can only LOWER degrees, so the
+    // reported core_deg may dip below k, but never below 1, and the
+    // core must be a subset of the full graph's >= k-degree nodes.
+    val fullDeg = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct().collect()
+      .flatMap(r => Seq(r.getAs[Long]("c") -> r.getAs[Long]("p"),
+        r.getAs[Long]("p") -> r.getAs[Long]("c")))
+      .groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    rows.foreach { r =>
+      val node = r.getAs[Long]("node")
+      val cd = r.getAs[Long]("core_deg")
+      assert(cd >= 1L && cd <= fullDeg(node),
+        s"node $node core degree $cd outside [1, ${fullDeg(node)}]")
+    }
+  }
+
   test("pair-family plans stay cartesian-free") {
-    Seq("basket_rules", "item_cf_topk", "sssp_weighted").foreach { q =>
+    Seq("basket_rules", "item_cf_topk", "sssp_weighted", "kcore").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -116,6 +116,40 @@ class FeatureQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("event_ngrams: trigram counts bounded by the transition counts") {
+    val tri = SparkEntry.queries("event_ngrams")(spark, sfDir).collect()
+    assert(tri.nonEmpty && tri.length <= 20)
+    val ns = tri.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // Every trigram (t1,t2,t3) is a witness of the bigram (t1,t2), so
+    // its count cannot exceed that transition's count.
+    val big = SparkEntry.queries("event_transitions")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        r.getAs[Long]("n")).toMap
+    tri.foreach { r =>
+      val key = (r.getAs[String]("t1"), r.getAs[String]("t2"))
+      assert(r.getAs[Long]("n") <= big.getOrElse(key, 0L),
+        s"trigram $key exceeds its bigram count")
+    }
+  }
+
+  test("dow_anomaly: top-10 by z², scores internally consistent") {
+    val rows = SparkEntry.queries("dow_anomaly")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val zs = rows.map(_.getAs[Long]("z2_ppm"))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val dev = r.getAs[Long]("dev")
+      assert(r.getAs[Long]("var_num") > 0,
+        "a dow group with zero variance cannot be scored")
+      assert(r.getAs[Long]("z2_ppm") ==
+        1000000L * dev * dev / r.getAs[Long]("var_num"))
+      val dow = r.getAs[Long]("dow")
+      assert(dow >= 1L && dow <= 7L)
+    }
+  }
+
   test("token_chi2: 5 ranked rows per language, chi2 descending") {
     val rows = SparkEntry.queries("token_chi2")(spark, sfDir).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
