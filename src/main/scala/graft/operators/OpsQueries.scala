@@ -150,6 +150,73 @@ object OpsQueries {
         .unionByName(pairs.select(col("p").as("src"), col("c").as("dst"))))
     }
 
+  /** Thresholded supplier CO-PURCHASE graph (edge = two suppliers
+    * sharing ≥180 distinct customers), canonical u<v rows — memoized
+    * and pinned once per (session, dir) now that three queries
+    * (`triangle_count`, `clustering_coeff`, `degree_assortativity`)
+    * consume it; the bipartite projection self-join is the expensive
+    * stage, the thresholded result is small.
+    */
+  private val coPurchaseCache = new SessionMemo[DataFrame]
+
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    coPurchaseCache.getOrCompute(s, d) {
+      val cs = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      Checkpoints.pin(cs.as("a")
+        .join(cs.as("b"),
+          col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("u"), col("b.sp").as("v"))
+        .agg(count(lit(1)).as("ncommon"))
+        .filter(col("ncommon") >= 180)
+        .select("u", "v"))
+    }
+
+  /** Undirected degrees of the canonical edge list. */
+  private def coPurchaseDeg(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+
+  /** Per-node triangle counts via the degree-ordered compact-forward
+    * orientation (see `triangle_count`'s Scaladoc for why the wedge
+    * work is bounded by oriented out-degree, O(sqrt m) on any graph).
+    */
+  private def triNodeCounts(edges: DataFrame, deg: DataFrame): DataFrame = {
+    // Orient from (deg, id)-lower to higher; carry the dst rank key
+    // so the wedge join can order its two legs without re-joining
+    // degrees.
+    val oriented = edges
+      .join(deg.withColumnRenamed("n", "u")
+        .withColumnRenamed("deg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v")
+        .withColumnRenamed("deg", "dv"), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            col("dv").as("ddeg")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+            col("du").as("ddeg"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddeg"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("apex"),
+        col("e1.dst").as("b1"), col("e2.dst").as("b2"))
+    wedges
+      .join(oriented.select(col("src").as("b1"), col("dst").as("b2")),
+        Seq("b1", "b2"))
+      .select(explode(array(col("apex"), col("b1"), col("b2")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   private val edgesSqlCte =
     """pairs_ AS (
       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
@@ -426,53 +493,63 @@ object OpsQueries {
     // independent, so the oracle counts the same triangles with the
     // naive a<b<c three-way join.
     "triangle_count" -> ((s, d) => {
-      val cs = lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      val edges = cs.as("a")
-        .join(cs.as("b"),
-          col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
-        .groupBy(col("a.sp").as("u"), col("b.sp").as("v"))
-        .agg(count(lit(1)).as("ncommon"))
-        .filter(col("ncommon") >= 180)
-        .select("u", "v")
-      val deg = edges.select(col("u").as("n"))
-        .unionByName(edges.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      // Orient from (deg, id)-lower to higher; carry the dst rank key
-      // so the wedge join can order its two legs without re-joining
-      // degrees.
-      val oriented = edges
-        .join(deg.withColumnRenamed("n", "u")
-          .withColumnRenamed("deg", "du"), Seq("u"))
-        .join(deg.withColumnRenamed("n", "v")
-          .withColumnRenamed("deg", "dv"), Seq("v"))
-        .select(
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")),
-            struct(col("u").as("src"), col("v").as("dst"),
-              col("dv").as("ddeg")))
-            .otherwise(struct(col("v").as("src"), col("u").as("dst"),
-              col("du").as("ddeg"))).as("e"))
-        .select(col("e.src"), col("e.dst"), col("e.ddeg"))
-      val wedges = oriented.as("e1")
-        .join(oriented.as("e2"),
-          col("e1.src") === col("e2.src") &&
-            (col("e1.ddeg") < col("e2.ddeg") ||
-              (col("e1.ddeg") === col("e2.ddeg") &&
-                col("e1.dst") < col("e2.dst"))))
-        .select(col("e1.src").as("apex"),
-          col("e1.dst").as("b1"), col("e2.dst").as("b2"))
-      val tris = wedges
-        .join(oriented.select(col("src").as("b1"), col("dst").as("b2")),
-          Seq("b1", "b2"))
-      tris
-        .select(explode(array(col("apex"), col("b1"), col("b2")))
-          .as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      val edges = coPurchaseEdges(s, d)
+      triNodeCounts(edges, coPurchaseDeg(edges))
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)
+    }),
+
+    // LOCAL CLUSTERING COEFFICIENT per node of the same co-purchase
+    // graph: coeff = 2T/(d(d−1)) in exact ppm — "how interconnected
+    // is each supplier's neighborhood", the per-node texture that
+    // global triangle counts flatten. Reuses the memoized thresholded
+    // edge list; triangles come from the identical degree-oriented
+    // wedge join as `triangle_count` (id-ordered in the oracle — the
+    // two enumerations agree because both count each triangle once);
+    // the tie-out is a key-equi left join of two aggregated frames.
+    // Nodes of degree <2 have no defined coefficient and are the
+    // peel `kcore` handles, so they are excluded here.
+    "clustering_coeff" -> ((s, d) => {
+      val edges = coPurchaseEdges(s, d)
+      val deg = coPurchaseDeg(edges)
+      val tri = triNodeCounts(edges, deg)
+      deg.filter(col("deg") >= 2)
+        .join(tri.withColumnRenamed("node", "n"), Seq("n"), "left")
+        .withColumn("n_tri", coalesce(col("n_triangles"), lit(0L)))
+        .withColumn("coeff_ppm",
+          expr("1000000 * 2 * n_tri DIV (deg * (deg - 1))"))
+        .select(col("n").as("node"), col("deg"), col("n_tri"),
+          col("coeff_ppm"))
+        .orderBy("node")
+    }),
+
+    // DEGREE ASSORTATIVITY of the co-purchase graph — one row of
+    // exact Pearson sufficient statistics over (deg(u), deg(v)) at
+    // every directed edge: do high-degree suppliers trade with other
+    // hubs (num > 0) or with the periphery (num < 0)? Both edge
+    // directions are counted, making the two marginals identical, so
+    // ONE den term suffices (den1 = den2 by symmetry). Two key-equi
+    // degree joins + a one-row aggregate; r = num/den is the
+    // consumer's float, kept out of the pinned output.
+    "degree_assortativity" -> ((s, d) => {
+      val edges = coPurchaseEdges(s, d)
+      val deg = coPurchaseDeg(edges)
+      val both = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      both
+        .join(deg.select(col("n").as("u"), col("deg").as("x")),
+          Seq("u"))
+        .join(deg.select(col("n").as("v"), col("deg").as("y")),
+          Seq("v"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(
+          col("n"), col("sx"), col("sxy"), col("sxx"),
+          (col("n") * col("sxy") - col("sx") * col("sx")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
     }),
 
     // Ratio-to-report: each group's share of the grand total in exact
@@ -1128,6 +1205,63 @@ object OpsQueries {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c3 FROM tri) x
         |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
+    "clustering_coeff" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), te AS (
+        |  SELECT a.sp AS u, b.sp AS v
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+        |  GROUP BY a.sp, b.sp HAVING count(*) >= 180
+        |), deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM te UNION ALL SELECT v FROM te) x
+        |  GROUP BY n
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c3
+        |  FROM te e1 JOIN te e2 ON e1.v = e2.u
+        |       JOIN te e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), tn AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c3 FROM tri) x
+        |  GROUP BY node
+        |)
+        |SELECT d.n AS node, d.deg,
+        |       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(1000000 * 2 * coalesce(t.n_tri, 0)
+        |         // (d.deg * (d.deg - 1)) AS BIGINT) AS coeff_ppm
+        |FROM deg d LEFT JOIN tn t ON t.node = d.n
+        |WHERE d.deg >= 2 ORDER BY node""".stripMargin,
+    "degree_assortativity" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), te AS (
+        |  SELECT a.sp AS u, b.sp AS v
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.sp < b.sp
+        |  GROUP BY a.sp, b.sp HAVING count(*) >= 180
+        |), deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM te UNION ALL SELECT v FROM te) x
+        |  GROUP BY n
+        |), ed AS (
+        |  SELECT u, v FROM te UNION ALL SELECT v, u FROM te
+        |), j AS (
+        |  SELECT du.deg AS x, dv.deg AS y
+        |  FROM ed JOIN deg du ON du.n = ed.u
+        |          JOIN deg dv ON dv.n = ed.v
+        |)
+        |SELECT count(*) AS n,
+        |       CAST(sum(x) AS BIGINT) AS sx,
+        |       CAST(sum(x*y) AS BIGINT) AS sxy,
+        |       CAST(sum(x*x) AS BIGINT) AS sxx,
+        |       CAST(count(*) * sum(x*y) - sum(x) * sum(x) AS BIGINT)
+        |         AS num,
+        |       CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT)
+        |         AS den
+        |FROM j""".stripMargin,
     "ratio_to_report" ->
       """WITH g AS (
         |  SELECT o_orderpriority, count(*) AS n_orders,

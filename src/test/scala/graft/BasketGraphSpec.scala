@@ -119,6 +119,62 @@ class BasketGraphSpec extends SparkTestBase {
     }
   }
 
+  test("clustering_coeff + assortativity match a brute graph replay") {
+    // The >=180-shared-customers threshold empties the co-purchase
+    // graph below sf0.01, so this differential runs there.
+    val dir = "/root/testdata/sf0.01"
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("c"), r.getAs[Long]("sp")))
+      .groupBy(_._1).values
+      .flatMap { grp =>
+        val sps = grp.map(_._2).distinct.sorted
+        for (i <- sps.indices; j <- i + 1 until sps.length)
+          yield (sps(i), sps(j))
+      }
+      // .iterator before collect: a Map.collect producing pairs
+      // would REBUILD a Map and silently collapse edges sharing a
+      // source node.
+      .groupBy(identity).iterator.collect {
+        case (e, occ) if occ.size >= 180 => e
+      }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val rows = SparkEntry.queries("clustering_coeff")(spark, dir)
+      .collect()
+    val expected = adj.filter(_._2.size >= 2).map { case (n, nb) =>
+      val t = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      n -> (nb.size.toLong, t.toLong,
+        1000000L * 2 * t / (nb.size.toLong * (nb.size - 1)))
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (deg, tri, coeff) = expected(r.getAs[Long]("node"))
+      assert(r.getAs[Long]("deg") == deg)
+      assert(r.getAs[Long]("n_tri") == tri)
+      assert(r.getAs[Long]("coeff_ppm") == coeff)
+    }
+    // Assortativity: replay the sufficient statistics on both edge
+    // directions and compare exactly.
+    val degM = adj.map { case (n, nb) => n -> nb.size.toLong }
+    val dirs = edges.toSeq.flatMap { case (u, v) =>
+      Seq((degM(u), degM(v)), (degM(v), degM(u))) }
+    val a = SparkEntry.queries("degree_assortativity")(spark, dir)
+      .collect().head
+    assert(a.getAs[Long]("n") == dirs.length)
+    assert(a.getAs[Long]("sxy") == dirs.map(p => p._1 * p._2).sum)
+    val n = dirs.length.toLong
+    val sx = dirs.map(_._1).sum
+    assert(a.getAs[Long]("num") ==
+      n * dirs.map(p => p._1 * p._2).sum - sx * sx)
+    assert(a.getAs[Long]("den") ==
+      n * dirs.map(p => p._1 * p._1).sum - sx * sx)
+  }
+
   test("pair-family plans stay cartesian-free") {
     Seq("basket_rules", "item_cf_topk", "sssp_weighted", "kcore").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir)
