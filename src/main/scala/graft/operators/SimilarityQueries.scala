@@ -31,6 +31,12 @@ object SimilarityQueries {
     * hash tables and the multi-probe Hamming radius per table.
     */
   private[operators] val NTables = 2
+
+  /** Eval-query population for the kNN classifier confusion matrix —
+    * 10× NQueries because accuracy needs a population where recall@K
+    * needs per-query precision.
+    */
+  private[operators] val KnnQueries = 50
   private[operators] val ProbeRadius = 2
 
   /** Near-dup cosine threshold. The fixture embeddings are near-random
@@ -956,6 +962,73 @@ object SimilarityQueries {
           max(when(col("dim") === 0, col("pv")))
             .as("pooled_dim0_milli"))
         .orderBy("label")
+    }),
+
+    // kNN CLASSIFIER EVAL — leave-one-out 5-NN majority vote over the
+    // embedding space, reported as an exact CONFUSION MATRIX: "is
+    // this embedding good enough that neighbors predict the label?"
+    // is the eval run on every new encoder before anything else
+    // trusts its geometry. 50 eval queries (10× the ANN family's
+    // NQueries — accuracy needs population, recall@K needs precision
+    // per query) brute-score against the corpus (the bounded
+    // broadcast side is the query set; candidates never self-join),
+    // the vote is a per-query (count desc, label asc) argmax — fully
+    // deterministic under ties — and only integer counts are pinned;
+    // cosine enters ordering, not values.
+    "knn_accuracy" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("true_label"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val top = broadcast(q.select("qid", "qe"))
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("qid") =!= col("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id")
+      val wVote = Window.partitionBy("qid")
+        .orderBy(col("votes").desc, col("label").asc)
+      val pred = top
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy("qid", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("qid"), col("label").as("pred_label"))
+      pred
+        .join(broadcast(q.select("qid", "true_label")), Seq("qid"))
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    }),
+
+    // CLUSTER PURITY of the IVF coarse quantizer against the labels —
+    // "do the cells carve the space along class lines?", the
+    // unsupervised-vs-supervised agreement check that decides whether
+    // cell-restricted search can skip cross-label candidates. Reuses
+    // the exact nprobe=1 assignment the IVF family serves from; per
+    // cell the majority label is the same deterministic argmax as the
+    // kNN vote; purity is exact ppm. Cell count bounds every frame
+    // after the assignment join.
+    "cluster_purity" -> ((s, d) => {
+      val byCell = ivfProbes(s, d, 1)
+        .select(col("vec_id"), col("cid"), col("label"))
+        .groupBy("cid", "label")
+        .agg(count(lit(1)).as("n_lab"))
+      val wTot = Window.partitionBy("cid")
+      val wMaj = Window.partitionBy("cid")
+        .orderBy(col("n_lab").desc, col("label").asc)
+      byCell
+        .withColumn("n", sum(col("n_lab")).over(wTot))
+        .withColumn("r", row_number().over(wMaj))
+        .filter(col("r") === 1)
+        .select(col("cid"), col("n"),
+          col("label").as("maj_label"), col("n_lab").as("n_maj"))
+        .withColumn("purity_ppm", expr("1000000 * n_maj DIV n"))
+        .orderBy("cid")
     }),
 
     // Deterministic random negatives: for each query vector, TopK
@@ -2660,6 +2733,61 @@ object SimilarityQueries {
         |       CAST(max(CASE WHEN dim = 0 THEN pv END) AS BIGINT)
         |         AS pooled_dim0_milli
         |FROM pooled GROUP BY label ORDER BY label""".stripMargin,
+    "knn_accuracy" ->
+      s"""WITH $normCte,
+         |kpairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < $KnnQueries AND c.vec_id <> q.vec_id
+         |), ${dotCte("kdots", "qe", "ce", "kpairs")},
+         |ktop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT d.qid, d.vec_id,
+         |           row_number() OVER (PARTITION BY d.qid
+         |             ORDER BY d.dot/(nq.nrm*nc.nrm) DESC,
+         |               d.vec_id ASC) AS rn
+         |    FROM kdots d
+         |    JOIN norms nq ON nq.vec_id = d.qid
+         |    JOIN norms nc ON nc.vec_id = d.vec_id) t
+         |  WHERE rn <= $TopK
+         |), kvotes AS (
+         |  SELECT t.qid, e.label, count(*) AS votes
+         |  FROM ktop t JOIN embeddings e ON e.vec_id = t.vec_id
+         |  GROUP BY 1, 2
+         |), kpred AS (
+         |  SELECT qid, label AS pred_label FROM (
+         |    SELECT qid, label,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY votes DESC, label ASC) AS vr
+         |    FROM kvotes) v
+         |  WHERE vr = 1
+         |)
+         |SELECT q.label AS true_label, p.pred_label, count(*) AS n
+         |FROM kpred p JOIN embeddings q ON q.vec_id = p.qid
+         |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
+    "cluster_purity" ->
+      s"""WITH $normCte,
+         |$assignCte,
+         |cl AS (
+         |  SELECT a.cid, e.label, count(*) AS n_lab
+         |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |), ct AS (
+         |  SELECT cid, CAST(sum(n_lab) AS BIGINT) AS n FROM cl
+         |  GROUP BY 1
+         |), mj AS (
+         |  SELECT cid, label, n_lab FROM (
+         |    SELECT cid, label, n_lab,
+         |           row_number() OVER (PARTITION BY cid
+         |             ORDER BY n_lab DESC, label ASC) AS r
+         |    FROM cl) x
+         |  WHERE r = 1
+         |)
+         |SELECT m.cid, t.n, m.label AS maj_label, m.n_lab AS n_maj,
+         |       CAST(1000000 * m.n_lab // t.n AS BIGINT) AS purity_ppm
+         |FROM mj m JOIN ct t ON t.cid = m.cid
+         |ORDER BY m.cid""".stripMargin,
     "negative_pairs" ->
       s"""SELECT qid, vec_id, rnk FROM (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,

@@ -54,4 +54,35 @@ class RetrievalSpec extends SparkTestBase {
     val counts = fused.groupBy("qid").count().collect()
     assert(counts.length == 5 && counts.forall(_.getLong(1) <= 5))
   }
+
+  test("knn_accuracy confusion matrix covers all 50 eval queries") {
+    val rows = SparkEntry.queries("knn_accuracy")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 50L,
+      "every eval query lands in exactly one confusion cell")
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().collect()
+      .map(_.getAs[Int]("label")).toSet
+    rows.foreach { r =>
+      assert(labels.contains(r.getAs[Int]("true_label")))
+      assert(labels.contains(r.getAs[Int]("pred_label")))
+      assert(r.getAs[Long]("n") >= 1L)
+    }
+  }
+
+  test("cluster_purity: cells partition the corpus, majority is honest") {
+    val rows = SparkEntry.queries("cluster_purity")(spark, sfDir)
+      .collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nVecs,
+      "nprobe=1 assignment must place every vector in one cell")
+    rows.foreach { r =>
+      val (n, nMaj) = (r.getAs[Long]("n"), r.getAs[Long]("n_maj"))
+      assert(nMaj >= 1L && nMaj <= n)
+      assert(r.getAs[Long]("purity_ppm") == 1000000L * nMaj / n)
+      // A majority label must hold at least its fair share of a
+      // uniform split across the labels present in the corpus.
+      assert(r.getAs[Long]("purity_ppm") >= 1000000L / math.max(1, n))
+    }
+  }
 }
