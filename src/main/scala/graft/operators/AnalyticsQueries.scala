@@ -231,6 +231,56 @@ object AnalyticsQueries {
         .orderBy("src", "dst")
     }),
 
+    // FUNNEL LATENCY distribution: time-to-convert per funnel stage
+    // (first view → first subsequent click, first click → first
+    // subsequent purchase) with EXACT rank-selected percentiles —
+    // p50/p90 are the values at ceil-rank positions over the
+    // per-stage ordered latency frame, so no interpolation and no
+    // float enters the pinned row. Stage frames reuse the funnel's
+    // semantics (same second-truncated timeline); the rank window
+    // partitions by stage over the users-bounded latency frame;
+    // tie order under equal latencies cannot change the selected
+    // VALUE, so row_number ordered by latency alone stays
+    // deterministic.
+    "funnel_latency" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
+      val viewed = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val clicked = ev.filter(col("event_type") === "click")
+        .join(viewed, "user_id")
+        .filter(col("ts") >= col("tv"))
+        .groupBy("user_id").agg(min(col("ts")).as("tc"))
+      val purchased = ev.filter(col("event_type") === "purchase")
+        .join(clicked, "user_id")
+        .filter(col("ts") >= col("tc"))
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      val lats = clicked.join(viewed, "user_id")
+        .select(lit("view_to_click").as("stage"),
+          (unix_timestamp(col("tc")) - unix_timestamp(col("tv")))
+            .as("lat"))
+        .unionByName(purchased.join(clicked, "user_id")
+          .select(lit("click_to_purchase").as("stage"),
+            (unix_timestamp(col("tp")) - unix_timestamp(col("tc")))
+              .as("lat")))
+      lats
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("stage").orderBy("lat")))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("stage")))
+        .groupBy("stage")
+        .agg(
+          max(col("n")).as("n"),
+          min(col("lat")).as("min_s"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("lat")))
+            .as("p50_s"),
+          max(when(col("rn") === expr("(9 * n + 9) DIV 10"),
+            col("lat"))).as("p90_s"),
+          max(col("lat")).as("max_s"))
+        .orderBy("stage")
+    }),
+
     // Behavioral MOTIF MINING: the top-20 event-type TRIGRAMS across
     // per-user sequences — the order-3 extension of
     // `event_transitions` (frequent sub-sequences feed session
@@ -636,6 +686,43 @@ object AnalyticsQueries {
         |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
         |         AS intercept
         |FROM sl ORDER BY prio""".stripMargin,
+    "funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS ts
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts) AS tv FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS tc
+        |  FROM ev e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS tp
+        |  FROM ev e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1
+        |), lat AS (
+        |  SELECT 'view_to_click' AS stage,
+        |         CAST(epoch(c.tc) - epoch(v.tv) AS BIGINT) AS lat
+        |  FROM c JOIN v USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |         CAST(epoch(p.tp) - epoch(c.tc) AS BIGINT)
+        |  FROM p JOIN c USING (user_id)
+        |), r AS (
+        |  SELECT stage, lat,
+        |         row_number() OVER (PARTITION BY stage ORDER BY lat)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY stage) AS n
+        |  FROM lat
+        |)
+        |SELECT stage, CAST(max(n) AS BIGINT) AS n,
+        |       min(lat) AS min_s,
+        |       max(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS p50_s,
+        |       max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat END)
+        |         AS p90_s,
+        |       max(lat) AS max_s
+        |FROM r GROUP BY stage ORDER BY stage""".stripMargin,
     "event_ngrams" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type AS t1,

@@ -2185,6 +2185,46 @@ object TextQueries {
         .limit(20)
     }),
 
+    // MINHASH CANDIDATE-GENERATOR EVAL — the dedup family's
+    // `ann_report`: on a 200-doc sample, score the PRODUCTION banded
+    // candidate pairs (whole-corpus buckets, caps and all, restricted
+    // to sample pairs — so cap-drops count against recall, as they
+    // would in production) against exact token-set Jaccard ≥ 4/5
+    // ground truth. The truth side is a posting join WITHIN the
+    // bounded sample (token-hash rows, so both engines see identical
+    // collision behavior); the threshold test cross-multiplies
+    // (5·inter ≥ 4·union) — no float Jaccard anywhere. One row:
+    // exact counts + precision/recall in integer ppm, ppm guarded
+    // against empty denominators.
+    "minhash_eval" -> ((s, d) => {
+      val sample = 200
+      val th = documents(s, d).filter(col("doc_id") < sample)
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+        .select(col("doc_id"), hash60(col("tok")).as("h"))
+      val sizes = th.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = th.select(col("doc_id").as("a"), col("h"))
+        .join(th.select(col("doc_id").as("b"), col("h")), Seq("h"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      val truth = inter
+        .join(sizes.toDF("a", "sza"), "a")
+        .join(sizes.toDF("b", "szb"), "b")
+        .filter(col("inter") * 5 >=
+          (col("sza") + col("szb") - col("inter")) * 4)
+        .select("a", "b")
+      val cand = minhashCandidatePairs(minhashSigs(s, d))
+        .filter(col("a") < sample && col("b") < sample)
+      val tp = cand.join(truth, Seq("a", "b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .withColumn("precision_ppm",
+          when(col("n_cand") > 0, expr("1000000 * n_tp DIV n_cand")))
+        .withColumn("recall_ppm",
+          when(col("n_truth") > 0, expr("1000000 * n_tp DIV n_truth")))
+    }),
+
     // "No silent caps": the near-dup generators bound candidate
     // growth with three df/bucket caps (shingle DfCap, MinHash band
     // BucketCap, inverted-index InvIdxDfCap) — each trades recall
@@ -3660,6 +3700,51 @@ object TextQueries {
          |JOIN sigs sa ON sa.doc_id = a
          |JOIN sigs sb ON sb.doc_id = b
          |ORDER BY n_match DESC, a ASC, b ASC LIMIT 20""".stripMargin
+    },
+    "minhash_eval" -> {
+      val bandSelects = bandSelectsSql
+      s"""WITH $tokHashCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  $bandSelects
+         |), small AS (
+         |  SELECT b.* FROM bands b
+         |  JOIN (SELECT band, key FROM bands GROUP BY band, key
+         |        HAVING count(*) BETWEEN 2 AND $BucketCap) ok
+         |    ON b.band = ok.band AND b.key = ok.key
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM small x JOIN small y
+         |    ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id
+         |    AND x.doc_id < 200 AND y.doc_id < 200
+         |), st AS (
+         |  SELECT doc_id, h FROM tok WHERE doc_id < 200
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS sz FROM st GROUP BY 1
+         |), intr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |  FROM st x JOIN st y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), truth AS (
+         |  SELECT i.a, i.b FROM intr i
+         |  JOIN sz za ON za.doc_id = i.a
+         |  JOIN sz zb ON zb.doc_id = i.b
+         |  WHERE i.i * 5 >= (za.sz + zb.sz - i.i) * 4
+         |), counts AS (
+         |  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         |         (SELECT count(*) FROM cand) AS n_cand,
+         |         (SELECT count(*) FROM cand c JOIN truth t
+         |            ON t.a = c.a AND t.b = c.b) AS n_tp
+         |)
+         |SELECT n_truth, n_cand, n_tp,
+         |       CASE WHEN n_cand > 0
+         |         THEN CAST(1000000 * n_tp // n_cand AS BIGINT)
+         |       END AS precision_ppm,
+         |       CASE WHEN n_truth > 0
+         |         THEN CAST(1000000 * n_tp // n_truth AS BIGINT)
+         |       END AS recall_ppm
+         |FROM counts""".stripMargin
     },
     "incremental_neardup" -> {
       val bandSelects = bandSelectsSql

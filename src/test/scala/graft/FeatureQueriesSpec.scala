@@ -150,6 +150,35 @@ class FeatureQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("funnel_latency: ordered percentiles, counts bound by funnel") {
+    val rows = SparkEntry.queries("funnel_latency")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("stage") -> r).toMap
+    assert(rows.keySet == Set("view_to_click", "click_to_purchase"))
+    rows.values.foreach { r =>
+      val (mn, p50, p90, mx) = (r.getAs[Long]("min_s"),
+        r.getAs[Long]("p50_s"), r.getAs[Long]("p90_s"),
+        r.getAs[Long]("max_s"))
+      assert(mn >= 0L, "latency after the gating stage cannot be negative")
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx,
+        s"percentiles out of order: $mn $p50 $p90 $mx")
+    }
+    // Funnel monotonicity: converters at a later stage are a subset.
+    assert(rows("click_to_purchase").getAs[Long]("n") <=
+      rows("view_to_click").getAs[Long]("n"))
+  }
+
+  test("minhash_eval: confusion counts internally consistent") {
+    val r = SparkEntry.queries("minhash_eval")(spark, sfDir)
+      .collect().head
+    val (t, c, tp) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("n_tp"))
+    assert(tp <= math.min(t, c), "TP cannot exceed either side")
+    if (c > 0)
+      assert(r.getAs[Long]("precision_ppm") == 1000000L * tp / c)
+    if (t > 0)
+      assert(r.getAs[Long]("recall_ppm") == 1000000L * tp / t)
+  }
+
   test("token_chi2: 5 ranked rows per language, chi2 descending") {
     val rows = SparkEntry.queries("token_chi2")(spark, sfDir).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
