@@ -623,6 +623,33 @@ object TextQueries {
     * band-pair generation, estimator calibration, incremental
     * near-dup).
     */
+  /** Stopword-vote language prediction — ONE expression shared by
+    * `lang_id` (the operator) and `langid_confusion` (its eval), so
+    * the eval always scores exactly what the operator predicts.
+    */
+  private def withPredLang(docs: DataFrame): DataFrame = {
+    def hits(ws: Seq[String]) =
+      size(filter(tokens(lower(col("text"))), t => t.isin(ws: _*)))
+    docs
+      .withColumn("en_hits", hits(Seq("the", "a", "of", "and")))
+      .withColumn("de_hits", hits(Seq("der", "die", "das", "und")))
+      .withColumn("fr_hits", hits(Seq("le", "la", "et", "les")))
+      .withColumn("es_hits", hits(Seq("el", "los", "y", "una")))
+      .withColumn(
+        "pred_lang",
+        when(
+          col("en_hits") >= greatest(
+            col("de_hits"), col("fr_hits"), col("es_hits")) &&
+            col("en_hits") > 0, "en")
+          .when(
+            col("de_hits") >= greatest(col("fr_hits"), col("es_hits")) &&
+              col("de_hits") > 0, "de")
+          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0,
+            "fr")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("unknown"))
+  }
+
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(
@@ -711,30 +738,29 @@ object TextQueries {
 
     // Language-ID heuristic: stopword-set voting with deterministic
     // tie-break order (en > de > fr > es > unknown).
-    "lang_id" -> ((s, d) => {
-      def hits(ws: Seq[String]) =
-        size(filter(tokens(lower(col("text"))), t => t.isin(ws: _*)))
-      documents(s, d)
-        .withColumn("en_hits", hits(Seq("the", "a", "of", "and")))
-        .withColumn("de_hits", hits(Seq("der", "die", "das", "und")))
-        .withColumn("fr_hits", hits(Seq("le", "la", "et", "les")))
-        .withColumn("es_hits", hits(Seq("el", "los", "y", "una")))
-        .withColumn(
-          "pred_lang",
-          when(
-            col("en_hits") >= greatest(
-              col("de_hits"), col("fr_hits"), col("es_hits")) &&
-              col("en_hits") > 0, "en")
-            .when(
-              col("de_hits") >= greatest(col("fr_hits"), col("es_hits")) &&
-                col("de_hits") > 0, "de")
-            .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0,
-              "fr")
-            .when(col("es_hits") > 0, "es")
-            .otherwise("unknown"))
+    "lang_id" -> ((s, d) =>
+      withPredLang(documents(s, d))
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("pred_lang")
+        .orderBy("pred_lang")),
+
+    // LANG-ID CONFUSION vs the gold `lang` labels — the classifier
+    // eval the `lang_id` heuristic itself needs before any corpus-mix
+    // decision trusts its output (the sibling of `knn_accuracy` on
+    // the text side). Same prediction expression (shared helper —
+    // the eval can never drift from the operator it scores); each
+    // (gold, pred) cell carries its count and share of the gold row
+    // in exact ppm, so per-language recall reads straight off the
+    // diagonal.
+    "langid_confusion" -> ((s, d) => {
+      val wg = Window.partitionBy("lang")
+      withPredLang(documents(s, d))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_gold", sum(col("n")).over(wg))
+        .withColumn("share_ppm", expr("1000000 * n DIV n_gold"))
+        .select("lang", "pred_lang", "n", "n_gold", "share_ppm")
+        .orderBy("lang", "pred_lang")
     }),
 
     // Global token frequency top-20.
@@ -2627,6 +2653,32 @@ object TextQueries {
   private val normSql =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
+  /** Shared CTE: per-doc stopword-vote scores + prediction — the
+    * `lang_id`/`langid_confusion` twin of [[withPredLang]].
+    */
+  private val langScoredCte =
+    s"""hits AS (
+       |  SELECT lang,
+       |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+'), t -> t IN ('the','a','of','and'))) AS en_hits,
+       |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+'), t -> t IN ('der','die','das','und'))) AS de_hits,
+       |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+'), t -> t IN ('le','la','et','les'))) AS fr_hits,
+       |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+'), t -> t IN ('el','los','y','una'))) AS es_hits
+       |  FROM documents
+       |), scored AS (
+       |  SELECT lang, CASE
+       |    WHEN en_hits >= greatest(de_hits, fr_hits, es_hits)
+       |         AND en_hits > 0 THEN 'en'
+       |    WHEN de_hits >= greatest(fr_hits, es_hits)
+       |         AND de_hits > 0 THEN 'de'
+       |    WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+       |    WHEN es_hits > 0 THEN 'es'
+       |    ELSE 'unknown' END AS pred_lang
+       |  FROM hits)""".stripMargin
+
   /** Shared CTE: distinct (doc_id, token-hash) pairs. */
   private val tokHashCte =
     s"""tok AS (
@@ -2797,27 +2849,22 @@ object TextQueries {
          |         AS DOUBLE) / length(text) AS alpha_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
-      s"""WITH scored AS (
-         |  SELECT
-         |    len(list_filter(regexp_split_to_array(trim(lower(text)),
-         |      '\\s+'), t -> t IN ('the','a','of','and'))) AS en_hits,
-         |    len(list_filter(regexp_split_to_array(trim(lower(text)),
-         |      '\\s+'), t -> t IN ('der','die','das','und'))) AS de_hits,
-         |    len(list_filter(regexp_split_to_array(trim(lower(text)),
-         |      '\\s+'), t -> t IN ('le','la','et','les'))) AS fr_hits,
-         |    len(list_filter(regexp_split_to_array(trim(lower(text)),
-         |      '\\s+'), t -> t IN ('el','los','y','una'))) AS es_hits
-         |  FROM documents)
-         |SELECT CASE
-         |    WHEN en_hits >= greatest(de_hits, fr_hits, es_hits)
-         |         AND en_hits > 0 THEN 'en'
-         |    WHEN de_hits >= greatest(fr_hits, es_hits)
-         |         AND de_hits > 0 THEN 'de'
-         |    WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
-         |    WHEN es_hits > 0 THEN 'es'
-         |    ELSE 'unknown' END AS pred_lang,
-         |  count(*) AS n_docs
+      s"""WITH $langScoredCte
+         |SELECT pred_lang, count(*) AS n_docs
          |FROM scored GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+    "langid_confusion" ->
+      s"""WITH $langScoredCte,
+         |cells AS (
+         |  SELECT lang, pred_lang, count(*) AS n
+         |  FROM scored GROUP BY 1, 2
+         |)
+         |SELECT lang, pred_lang, n,
+         |       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         |         AS n_gold,
+         |       CAST(1000000 * n
+         |         // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         |         AS share_ppm
+         |FROM cells ORDER BY lang, pred_lang""".stripMargin,
     "token_topk" ->
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t

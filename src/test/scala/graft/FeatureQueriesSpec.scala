@@ -167,6 +167,29 @@ class FeatureQueriesSpec extends SparkTestBase {
       rows("view_to_click").getAs[Long]("n"))
   }
 
+  test("langid_confusion: cells partition the corpus and tie to lang_id") {
+    val cells = SparkEntry.queries("langid_confusion")(spark, sfDir)
+      .collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(cells.map(_.getAs[Long]("n")).sum == nDocs)
+    cells.groupBy(_.getAs[String]("lang")).foreach { case (g, rs) =>
+      val total = rs.head.getAs[Long]("n_gold")
+      assert(rs.map(_.getAs[Long]("n")).sum == total,
+        s"gold-row total mismatch for $g")
+      rs.foreach(r => assert(r.getAs[Long]("share_ppm") ==
+        1000000L * r.getAs[Long]("n") / total))
+    }
+    // Column-marginals must reproduce lang_id's per-prediction counts.
+    val predTotals = cells.groupBy(_.getAs[String]("pred_lang"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("n")).sum }
+    val langId = SparkEntry.queries("lang_id")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("pred_lang") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(predTotals == langId,
+      "confusion column marginals must equal the lang_id report")
+  }
+
   test("minhash_eval: confusion counts internally consistent") {
     val r = SparkEntry.queries("minhash_eval")(spark, sfDir)
       .collect().head
