@@ -366,6 +366,37 @@ object AnalyticsQueries {
         .orderBy("cohort", "day_offset")
     }),
 
+    // COHORT REVENUE (LTV curve): purchase revenue per first-seen-day
+    // cohort per WEEK offset — the monetary companion of
+    // `retention_cohorts` (activity says users came back; this says
+    // what the cohort is worth as it ages, the curve every
+    // acquisition decision discounts against). First-day frame is one
+    // per-user aggregation; purchase cents join their user's cohort
+    // on the user key; the rollup is (cohort × offset)-bounded. All
+    // cents exact.
+    "cohort_revenue" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val firstDay = ev.groupBy("user_id")
+        .agg(min(col("day")).as("cohort"))
+      ev.filter(col("event_type") === "purchase")
+        .join(firstDay, "user_id")
+        .withColumn("week_offset",
+          expr("CAST(datediff(day, cohort) DIV 7 AS BIGINT)"))
+        .groupBy("cohort", "week_offset")
+        .agg(
+          countDistinct(col("user_id")).as("n_buyers"),
+          count(lit(1)).as("n_purchases"),
+          sum(cents(col("value"))).as("revenue_cents"))
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("week_offset"), col("n_buyers"), col("n_purchases"),
+          col("revenue_cents"))
+        .orderBy("cohort", "week_offset")
+    }),
+
     // Equal-frequency DISCRETIZATION (decile binning) — the feature
     // transform a training pipeline applies to heavy-tailed numerics:
     // bin = ((rank − 1) · 10) DIV n over the (cents, orderkey)-ranked
@@ -617,6 +648,24 @@ object AnalyticsQueries {
         |WHERE datediff('day', cohort, day) <= 7
         |GROUP BY f.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin,
+    "cohort_revenue" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         event_type, value
+        |  FROM events
+        |), fd AS (
+        |  SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1
+        |)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(datediff('day', f.cohort, e.day) // 7 AS BIGINT)
+        |         AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_buyers,
+        |       count(*) AS n_purchases,
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+        |         AS BIGINT) AS revenue_cents
+        |FROM ev e JOIN fd f ON f.user_id = e.user_id
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
     "quantile_bins" ->
       """WITH v AS (
         |  SELECT o_orderpriority AS prio, o_orderkey,

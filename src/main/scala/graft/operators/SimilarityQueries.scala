@@ -964,6 +964,44 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // EMBEDDING DRIFT monitor — the vector-space sibling of the
+    // categorical `dataset_drift`: per-dimension mean shift between
+    // two corpus snapshots (first half vs second half of vec_ids —
+    // the "yesterday's index vs today's append" split). Quantize
+    // with the PCA family's floor(x·1000 + 0.5) contract, keep the
+    // mean difference exact by cross-multiplying
+    // (s1·n2 − s2·n1)/(n1·n2), and factor the SIGN out of the
+    // integer division (Spark DIV truncates, DuckDB // floors; they
+    // agree only on non-negative operands). One narrow
+    // scan + posexplode + hash agg — the same join-free shape as the
+    // PCA covariance pass, d rows out.
+    "embedding_drift" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val half = emb.agg(expr("CAST(count(1) DIV 2 AS BIGINT)").as("h"))
+      emb.crossJoin(broadcast(half))
+        .select(col("vec_id"), col("h"),
+          posexplode(transform(col("embedding"), x =>
+            floor(x.cast("double") * lit(1000.0) + lit(0.5))
+              .cast("long"))).as(Seq("dim", "qv")))
+        .withColumn("snap",
+          when(col("vec_id") < col("h"), 1).otherwise(2))
+        .groupBy("dim")
+        .agg(
+          sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("snap") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("snap") === 1, col("qv")).otherwise(0L))
+            .as("s1"),
+          sum(when(col("snap") === 2, col("qv")).otherwise(0L))
+            .as("s2"))
+        .withColumn("num", col("s1") * col("n2") - col("s2") * col("n1"))
+        .withColumn("drift_micro",
+          when(col("num") >= 0,
+            expr("1000 * num DIV (n1 * n2)"))
+            .otherwise(-expr("1000 * (-num) DIV (n1 * n2)")))
+        .select("dim", "n1", "n2", "s1", "s2", "drift_micro")
+        .orderBy("dim")
+    }),
+
     // kNN CLASSIFIER EVAL — leave-one-out 5-NN majority vote over the
     // embedding space, reported as an exact CONFUSION MATRIX: "is
     // this embedding good enough that neighbors predict the label?"
@@ -2733,6 +2771,36 @@ object SimilarityQueries {
         |       CAST(max(CASE WHEN dim = 0 THEN pv END) AS BIGINT)
         |         AS pooled_dim0_milli
         |FROM pooled GROUP BY label ORDER BY label""".stripMargin,
+    "embedding_drift" ->
+      s"""WITH hf AS (
+         |  SELECT CAST(count(*) // 2 AS BIGINT) AS h FROM embeddings
+         |), qm AS (
+         |  SELECT vec_id, k - 1 AS dim,
+         |         CAST(floor(CAST(embedding[k] AS DOUBLE) * 1000
+         |           + 0.5) AS BIGINT) AS qv
+         |  FROM embeddings CROSS JOIN
+         |    (SELECT unnest(generate_series(1, ${PcaQueries.Dim}))
+         |       AS k) dims
+         |), st AS (
+         |  SELECT dim,
+         |         CAST(sum(CASE WHEN vec_id < hf.h THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN vec_id >= hf.h THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n2,
+         |         CAST(sum(CASE WHEN vec_id < hf.h THEN qv ELSE 0 END)
+         |           AS BIGINT) AS s1,
+         |         CAST(sum(CASE WHEN vec_id >= hf.h THEN qv ELSE 0 END)
+         |           AS BIGINT) AS s2
+         |  FROM qm CROSS JOIN hf GROUP BY dim
+         |)
+         |SELECT dim, n1, n2, s1, s2,
+         |       CASE WHEN s1 * n2 - s2 * n1 >= 0
+         |         THEN CAST(1000 * (s1 * n2 - s2 * n1)
+         |           // (n1 * n2) AS BIGINT)
+         |         ELSE -CAST(1000 * (s2 * n1 - s1 * n2)
+         |           // (n1 * n2) AS BIGINT)
+         |       END AS drift_micro
+         |FROM st ORDER BY dim""".stripMargin,
     "knn_accuracy" ->
       s"""WITH $normCte,
          |kpairs AS (

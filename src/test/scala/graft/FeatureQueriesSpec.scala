@@ -167,6 +167,42 @@ class FeatureQueriesSpec extends SparkTestBase {
       rows("view_to_click").getAs[Long]("n"))
   }
 
+  test("cohort_revenue: non-negative offsets, buyers bound purchases") {
+    val rows = SparkEntry.queries("cohort_revenue")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0L,
+        "a purchase cannot precede its user's first activity")
+      assert(r.getAs[Long]("n_buyers") <= r.getAs[Long]("n_purchases"))
+      assert(r.getAs[Long]("n_buyers") >= 1L)
+    }
+  }
+
+  test("embedding_drift matches a driver-side quantized replay") {
+    val rows = SparkEntry.queries("embedding_drift")(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(rows.size == 64)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding")))
+    val h = vecs.length / 2
+    def q(x: Float): Long = math.floor(x.toDouble * 1000.0 + 0.5).toLong
+    for (dim <- 0 until 64) {
+      val fst = vecs.filter(_._1 < h).map(v => q(v._2(dim)))
+      val snd = vecs.filter(_._1 >= h).map(v => q(v._2(dim)))
+      val r = rows(dim)
+      assert(r.getAs[Long]("n1") == fst.length)
+      assert(r.getAs[Long]("s1") == fst.sum)
+      assert(r.getAs[Long]("s2") == snd.sum)
+      val num = fst.sum * snd.length - snd.sum * fst.length
+      val den = fst.length.toLong * snd.length
+      val want = if (num >= 0) 1000 * num / den else -(1000 * -num / den)
+      assert(r.getAs[Long]("drift_micro") == want, s"dim $dim")
+    }
+  }
+
   test("langid_confusion: cells partition the corpus and tie to lang_id") {
     val cells = SparkEntry.queries("langid_confusion")(spark, sfDir)
       .collect()
