@@ -342,6 +342,52 @@ object SourceQueries {
     }),
 
     // Stateful EWMA ANOMALY screen: per event_type the stream keeps
+    // Streaming MARKOV TRANSITIONS: the batch `event_transitions`
+    // matrix built in-stream — one ValueState row per user (the last
+    // event) on RocksDB, one (src, dst) emission per consecutive
+    // pair, chains continuing across batch boundaries from the
+    // retained state. The drained emissions aggregate to the
+    // identical matrix, so the query pins against the SAME oracle
+    // string as its batch twin — replay ≡ batch is the gate, not an
+    // aspiration.
+    "stream_event_transitions" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val sink = "stream_event_transitions_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingEvents
+          .transitionsStream(s, d)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingEvents.assertSingleBatch(
+          q, "stream_event_transitions")
+        val ws = org.apache.spark.sql.expressions.Window
+          .partitionBy("src")
+        graft.streaming.MemorySinks.drain(s, sink)
+          .groupBy("src", "dst")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum(col("n")).over(ws))
+          .withColumn("p_ppm", expr("1000000 * n DIV tot"))
+          .select("src", "dst", "n", "p_ppm")
+          .orderBy("src", "dst")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // two integer EWMAs (level + mean-abs-deviation) and flags events
     // deviating more than 4× the running scale — in-stream
     // monitoring with O(1) state per key. Integer α=1/8 updates with
@@ -699,6 +745,10 @@ object SourceQueries {
       s"""SELECT '${PageParsers.ImdbUrl}' AS url""".stripMargin,
     "webpage_rankings" ->
       FlagshipQueries.oracleSql("raw_rankings"),
+    // The streaming Markov matrix must reproduce its batch twin
+    // bit-for-bit — same oracle string, so stream ≡ batch is gated.
+    "stream_event_transitions" ->
+      AnalyticsQueries.oracleSql("event_transitions"),
     "rankings_sql" ->
       FlagshipQueries.oracleSql("raw_rankings"),
     "v2_sink_roundtrip" ->

@@ -811,4 +811,74 @@ object StreamingEvents {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(anomGroup)
       .toDF()
   }
+
+  /** The last event a user's transition chain has consumed — ONE row
+    * of ValueState per user, the minimal state a streaming Markov
+    * tally needs.
+    */
+  case class LastEv(tsSec: Long, event_id: Long, tpe: String)
+
+  case class TransEv(
+      user_id: Long, event_id: Long, event_type: String, tsSec: Long)
+
+  case class TransOut(user_id: Long, src: String, dst: String)
+
+  /** Streaming twin of the batch `event_transitions` Markov matrix:
+    * per user the processor keeps only the LAST event (ValueState)
+    * and emits one (src, dst) row per consecutive pair. Within a
+    * micro-batch rows sort by the batch contract's
+    * (second-truncated ts, event_id) key; across batches the chain
+    * continues from the retained last event, so replaying the fixture
+    * log reproduces the batch matrix exactly — the registered query
+    * pins against the SAME oracle string as `event_transitions`.
+    */
+  class TransitionsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TransEv, TransOut] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var last
+        : org.apache.spark.sql.streaming.ValueState[LastEv] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[LastEv](
+        "lastEvent",
+        org.apache.spark.sql.Encoders.product[LastEv],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TransEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TransOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+      var prev: Option[LastEv] =
+        if (last.exists()) Some(last.get()) else None
+      rows.toSeq.sortBy(e => (e.tsSec, e.event_id)).foreach { e =>
+        prev.foreach(p => out += TransOut(key, p.tpe, e.event_type))
+        prev = Some(LastEv(e.tsSec, e.event_id, e.event_type))
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  def transitionsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"))
+      .withColumn("tsSec",
+        expr("CAST(tsMicros DIV 1000000 AS BIGINT)"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("tsSec"))
+      .as[TransEv]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TransitionsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
 }
