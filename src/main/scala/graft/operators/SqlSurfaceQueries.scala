@@ -27,6 +27,44 @@ object SqlSurfaceQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL SCRIPTING (Spark 4 BEGIN…END procedural blocks): a WHILE
+    // loop doubles an integer cents cutoff until at most 400
+    // customers exceed it, then reports the landing cutoff and its
+    // survivors — the control-flow surface (DECLARE/SET/WHILE) that
+    // replaces driver-side glue for threshold searches. Entirely
+    // integer, so the loop's landing point is engine-independent; the
+    // oracle (no scripting in DuckDB) unrolls the search as a
+    // generate_series over the same power-of-two ladder and picks the
+    // first qualifying rung — loop ≡ ladder by construction.
+    "sql_scripting" -> ((s, d) => {
+      views(s, d)
+      val key = "spark.sql.scripting.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        s.sql(
+          """BEGIN
+            |  DECLARE cutoff BIGINT DEFAULT 100000;
+            |  WHILE (SELECT count(*) FROM customer_sq
+            |         WHERE CAST(round(c_acctbal*100) AS BIGINT)
+            |               > cutoff) > 400 DO
+            |    SET cutoff = cutoff * 2;
+            |  END WHILE;
+            |  SELECT cutoff,
+            |         count(*) AS n_above,
+            |         CAST(sum(CAST(round(c_acctbal*100) AS BIGINT))
+            |           AS BIGINT) AS cents_above
+            |  FROM customer_sq
+            |  WHERE CAST(round(c_acctbal*100) AS BIGINT) > cutoff;
+            |END""".stripMargin)
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // Correlated EXISTS — planned as a semi join (the decorrelation
     // rule), so it scales exactly like the API-level join_semi.
     "subquery_exists" -> ((s, d) => {
@@ -312,6 +350,29 @@ object SqlSurfaceQueries {
   private val centsBal = "CAST(round(c_acctbal*100) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "sql_scripting" ->
+      """WITH ks AS (
+        |  SELECT unnest(generate_series(0, 20)) AS k
+        |), ladder AS (
+        |  SELECT k, CAST(100000 * (1 << k) AS BIGINT) AS cutoff
+        |  FROM ks
+        |), counted AS (
+        |  SELECT l.k, l.cutoff,
+        |         (SELECT count(*) FROM customer
+        |          WHERE CAST(round(c_acctbal*100) AS BIGINT)
+        |                > l.cutoff) AS n_above
+        |  FROM ladder l
+        |), landing AS (
+        |  SELECT cutoff FROM counted WHERE n_above <= 400
+        |  ORDER BY k LIMIT 1
+        |)
+        |SELECT g.cutoff,
+        |       count(c.c_custkey) AS n_above,
+        |       CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT))
+        |         AS BIGINT) AS cents_above
+        |FROM landing g LEFT JOIN customer c
+        |  ON CAST(round(c.c_acctbal*100) AS BIGINT) > g.cutoff
+        |GROUP BY g.cutoff""".stripMargin,
     "pipe_syntax_agg" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_orders,
