@@ -366,6 +366,43 @@ object AnalyticsQueries {
         .orderBy("cohort", "day_offset")
     }),
 
+    // DAILY ACTIVE ROLLUP: per activity day, DAU (distinct users),
+    // trailing-7-day WAU, and first-time users — the engagement
+    // scorecard every product dashboard opens with. Everything
+    // derives from ONE distinct (user, day) frame (the only row-scale
+    // shuffle): DAU is its day rollup, WAU explodes each activity row
+    // into the 7 target days it supports and counts distinct users
+    // per target (countDistinct absorbs multi-day users — no
+    // sliding-window distinct state), n_new joins the per-user
+    // first-day frame. Output limited to days with direct activity.
+    "daily_active_rollup" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"), col("day"))
+        .select(col("user_id"),
+          date_add(col("day"), col("k")).cast("timestamp").as("wday"))
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val fresh = ud.groupBy("user_id")
+        .agg(min(col("day")).as("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_new"))
+      dau
+        .join(wau, Seq("day"))
+        .join(fresh, Seq("day"), "left")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .orderBy("day")
+    }),
+
     // COHORT REVENUE (LTV curve): purchase revenue per first-seen-day
     // cohort per WEEK offset — the monetary companion of
     // `retention_cohorts` (activity says users came back; this says
@@ -648,6 +685,29 @@ object AnalyticsQueries {
         |WHERE datediff('day', cohort, day) <= 7
         |GROUP BY f.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin,
+    "daily_active_rollup" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau FROM ud
+        |  GROUP BY 1
+        |), wau AS (
+        |  SELECT wday AS day, count(DISTINCT user_id) AS wau FROM (
+        |    SELECT u.user_id, u.day + INTERVAL (g.k) DAY AS wday
+        |    FROM ud u, (SELECT unnest(generate_series(0, 6)) AS k) g
+        |  ) x GROUP BY 1
+        |), fresh AS (
+        |  SELECT day, count(*) AS n_new FROM (
+        |    SELECT user_id, min(day) AS day FROM ud GROUP BY 1
+        |  ) f GROUP BY 1
+        |)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        |       CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new
+        |FROM dau d
+        |JOIN wau w ON w.day = d.day
+        |LEFT JOIN fresh f ON f.day = d.day
+        |ORDER BY day""".stripMargin,
     "cohort_revenue" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,

@@ -167,6 +167,25 @@ class FeatureQueriesSpec extends SparkTestBase {
       rows("view_to_click").getAs[Long]("n"))
   }
 
+  test("daily_active_rollup: WAU bounds DAU, new users telescope") {
+    val rows = SparkEntry.queries("daily_active_rollup")(spark, sfDir)
+      .collect().sortBy(_.getAs[String]("day"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"),
+        "a day's actives are a subset of its trailing week's")
+      assert(r.getAs[Long]("n_new") <= r.getAs[Long]("dau"))
+    }
+    // Every user is new exactly once: new-user counts sum to the
+    // distinct user population.
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == nUsers)
+    // First active day: everyone present is new.
+    assert(rows.head.getAs[Long]("n_new") ==
+      rows.head.getAs[Long]("dau"))
+  }
+
   test("cohort_revenue: non-negative offsets, buyers bound purchases") {
     val rows = SparkEntry.queries("cohort_revenue")(spark, sfDir)
       .collect()
