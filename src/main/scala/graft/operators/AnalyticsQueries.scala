@@ -366,6 +366,50 @@ object AnalyticsQueries {
         .orderBy("cohort", "day_offset")
     }),
 
+    // REVENUE INEQUALITY per market segment: exact Gini coefficient
+    // (rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over
+    // ascending-sorted per-customer revenue) and the top-decile
+    // revenue share — the concentration scorecard behind "do 10% of
+    // customers carry the segment". Revenue is scaled to kilodollar
+    // units so 10⁶·num stays inside long through sf0.1 (decimal
+    // widening is the documented one-liner beyond); both ranks break
+    // ties by custkey, though the Gini sum is tie-order-invariant
+    // anyway (equal x under any order contribute the same Σi·xᵢ).
+    // Windows run over the customers-bounded per-customer frame.
+    "revenue_gini" -> ((s, d) => {
+      val perCust = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+          + " DIV 100000 AS BIGINT)").as("x"))
+      val wAsc = Window.partitionBy("segment")
+        .orderBy(col("x").asc, col("c_custkey").asc)
+      val wDesc = Window.partitionBy("segment")
+        .orderBy(col("x").desc, col("c_custkey").asc)
+      perCust
+        .withColumn("i", row_number().over(wAsc).cast("long"))
+        .withColumn("rd", row_number().over(wDesc).cast("long"))
+        .withColumn("nseg",
+          count(lit(1)).over(Window.partitionBy("segment")))
+        .groupBy("segment")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(col("x")).as("total_kusd"),
+          sum(col("i") * col("x")).as("six"),
+          // top decile = rd <= ceil(nseg/10) ⟺ 10·rd <= nseg + 9
+          sum(when(col("rd") * 10 <= col("nseg") + 9, col("x"))
+            .otherwise(0L)).as("top_decile_kusd"))
+        .withColumn("gini_num",
+          lit(2) * col("six") - (col("n_cust") + 1) * col("total_kusd"))
+        .withColumn("gini_ppm",
+          expr("1000000 * gini_num DIV (n_cust * total_kusd)"))
+        .withColumn("top10_share_ppm",
+          expr("1000000 * top_decile_kusd DIV total_kusd"))
+        .select("segment", "n_cust", "total_kusd", "gini_num",
+          "gini_ppm", "top_decile_kusd", "top10_share_ppm")
+        .orderBy("segment")
+    }),
+
     // DAILY ACTIVE ROLLUP: per activity day, DAU (distinct users),
     // trailing-7-day WAU, and first-time users — the engagement
     // scorecard every product dashboard opens with. Everything
@@ -685,6 +729,37 @@ object AnalyticsQueries {
         |WHERE datediff('day', cohort, day) <= 7
         |GROUP BY f.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin,
+    "revenue_gini" ->
+      """WITH pc AS (
+        |  SELECT c.c_mktsegment AS segment, c.c_custkey,
+        |         CAST(CAST(sum(CAST(round(o.o_totalprice*100)
+        |           AS BIGINT)) AS BIGINT) // 100000 AS BIGINT) AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT segment, x,
+        |         CAST(row_number() OVER (PARTITION BY segment
+        |           ORDER BY x ASC, c_custkey ASC) AS BIGINT) AS i,
+        |         CAST(row_number() OVER (PARTITION BY segment
+        |           ORDER BY x DESC, c_custkey ASC) AS BIGINT) AS rd,
+        |         count(*) OVER (PARTITION BY segment) AS nseg
+        |  FROM pc
+        |), g AS (
+        |  SELECT segment, count(*) AS n_cust,
+        |         CAST(sum(x) AS BIGINT) AS total_kusd,
+        |         CAST(sum(i * x) AS BIGINT) AS six,
+        |         CAST(sum(CASE WHEN rd * 10 <= nseg + 9 THEN x
+        |           ELSE 0 END) AS BIGINT) AS top_decile_kusd
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT segment, n_cust, total_kusd,
+        |       2 * six - (n_cust + 1) * total_kusd AS gini_num,
+        |       CAST(1000000 * (2 * six - (n_cust + 1) * total_kusd)
+        |         // (n_cust * total_kusd) AS BIGINT) AS gini_ppm,
+        |       top_decile_kusd,
+        |       CAST(1000000 * top_decile_kusd // total_kusd AS BIGINT)
+        |         AS top10_share_ppm
+        |FROM g ORDER BY segment""".stripMargin,
     "daily_active_rollup" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day

@@ -167,6 +167,39 @@ class FeatureQueriesSpec extends SparkTestBase {
       rows("view_to_click").getAs[Long]("n"))
   }
 
+  test("revenue_gini matches brute mean-absolute-difference Gini") {
+    val rows = SparkEntry.queries("revenue_gini")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val perCust = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+        + " DIV 100000 AS BIGINT)").as("x"))
+      .collect()
+      .groupBy(_.getAs[String]("seg"))
+      .map { case (sg, rs) => sg -> rs.map(_.getAs[Long]("x")) }
+    rows.foreach { r =>
+      val xs = perCust(r.getAs[String]("segment"))
+      val n = xs.length.toLong
+      val s = xs.sum
+      // Gini ≡ mean absolute difference / (2·mean): the rank formula
+      // must equal the definitional O(n²) form exactly.
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      assert(mad == 2L * r.getAs[Long]("gini_num"),
+        s"rank-formula Gini diverges from MAD form in ${r.get(0)}")
+      assert(r.getAs[Long]("n_cust") == n)
+      assert(r.getAs[Long]("gini_ppm") ==
+        1000000L * r.getAs[Long]("gini_num") / (n * s))
+      val topShare = r.getAs[Long]("top10_share_ppm")
+      // Concentration sanity: the top decile holds at least its
+      // uniform share.
+      assert(topShare >= 1000000L / 10 - 1)
+      assert(topShare <= 1000000L)
+    }
+  }
+
   test("daily_active_rollup: WAU bounds DAU, new users telescope") {
     val rows = SparkEntry.queries("daily_active_rollup")(spark, sfDir)
       .collect().sortBy(_.getAs[String]("day"))
