@@ -366,6 +366,40 @@ object AnalyticsQueries {
         .orderBy("cohort", "day_offset")
     }),
 
+    // ABC (Pareto) CLASSIFICATION of parts by revenue: A = parts
+    // covering the first 80% of revenue, B = to 95%, C = the tail —
+    // the inventory-prioritization rollup. Class membership is the
+    // integer rule on the PRE-part cumulative (a straddling part
+    // joins the better class): A iff 5·cum_prev < 4·total,
+    // B iff 20·cum_prev < 19·total. The cumulative window runs over
+    // the parts-bounded aggregated revenue frame ordered by
+    // (revenue desc, partkey) — never raw lineitem.
+    "abc_classification" -> ((s, d) => {
+      val perPart = lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perPart
+        .withColumn("cum_prev", coalesce(sum(col("rev")).over(w),
+          lit(0L)))
+        .crossJoin(broadcast(
+          perPart.agg(sum(col("rev")).as("total"))))
+        .withColumn("abc_class",
+          when(col("cum_prev") * 5 < col("total") * 4, "A")
+            .when(col("cum_prev") * 20 < col("total") * 19, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("rev")).as("revenue_cents"),
+          max(col("total")).as("total"))
+        .withColumn("share_ppm",
+          expr("1000000 * revenue_cents DIV total"))
+        .select("abc_class", "n_parts", "revenue_cents", "share_ppm")
+        .orderBy("abc_class")
+    }),
+
     // REVENUE INEQUALITY per market segment: exact Gini coefficient
     // (rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over
     // ascending-sorted per-customer revenue) and the top-decile
@@ -729,6 +763,32 @@ object AnalyticsQueries {
         |WHERE datediff('day', cohort, day) <= 7
         |GROUP BY f.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin,
+    "abc_classification" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |           AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM pp),
+        |c AS (
+        |  SELECT rev,
+        |         coalesce(sum(rev) OVER (ORDER BY rev DESC,
+        |           l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0) AS cum_prev
+        |  FROM pp
+        |), cls AS (
+        |  SELECT CASE
+        |           WHEN c.cum_prev * 5 < t.total * 4 THEN 'A'
+        |           WHEN c.cum_prev * 20 < t.total * 19 THEN 'B'
+        |           ELSE 'C' END AS abc_class,
+        |         c.rev, t.total
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT abc_class, count(*) AS n_parts,
+        |       CAST(sum(rev) AS BIGINT) AS revenue_cents,
+        |       CAST(1000000 * CAST(sum(rev) AS BIGINT)
+        |         // max(total) AS BIGINT) AS share_ppm
+        |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin,
     "revenue_gini" ->
       """WITH pc AS (
         |  SELECT c.c_mktsegment AS segment, c.c_custkey,

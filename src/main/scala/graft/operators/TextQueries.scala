@@ -772,6 +772,28 @@ object TextQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // TOKEN BURSTINESS (Church–Gale): collection frequency over
+    // document frequency — a token that appears 40 times across 4
+    // docs (bursty: topical, content-bearing) reads very differently
+    // from one appearing 40 times across 40 docs (dispersed:
+    // function-word-like), and the ratio is the standard stopword/
+    // keyword discriminator a curation pass uses where raw frequency
+    // cannot. ONE token explode feeds both counts (cf = all
+    // occurrences, df = distinct docs) in a single aggregation;
+    // burst_ppm = 10⁶·cf DIV df stays exact. df ≥ 10 drops the
+    // unstable tail; top-20 by (burst desc, token).
+    "token_burstiness" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(
+          count(lit(1)).as("cf"),
+          countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 10)
+        .withColumn("burst_ppm", expr("1000000 * cf DIV df"))
+        .orderBy(col("burst_ppm").desc, col("token").asc)
+        .limit(20)),
+
     // Quantized Flesch reading-ease — the readability member of the
     // quality-signal family, in the repo's integer convention:
     // score_milli = 206835 − (1015·words) DIV sentences
@@ -2869,6 +2891,18 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "token_burstiness" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), agg AS (
+         |  SELECT token, count(*) AS cf,
+         |         count(DISTINCT doc_id) AS df
+         |  FROM tk GROUP BY token HAVING count(DISTINCT doc_id) >= 10
+         |)
+         |SELECT token, cf, df,
+         |       CAST(1000000 * cf // df AS BIGINT) AS burst_ppm
+         |FROM agg ORDER BY burst_ppm DESC, token ASC
+         |LIMIT 20""".stripMargin,
     "readability" ->
       """WITH b AS (
         |  SELECT doc_id,

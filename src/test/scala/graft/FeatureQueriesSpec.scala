@@ -167,6 +167,47 @@ class FeatureQueriesSpec extends SparkTestBase {
       rows("view_to_click").getAs[Long]("n"))
   }
 
+  test("abc_classification: classes partition parts, A dominates") {
+    val rows = SparkEntry.queries("abc_classification")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("abc_class") -> r).toMap
+    assert(rows.keySet == Set("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_.getAs[Long]("n_parts")).sum == nParts)
+    val shares = rows.map { case (k, r) =>
+      k -> r.getAs[Long]("share_ppm") }
+    // The A class crosses the 80% line (straddler included), B ends
+    // past 95%, and shares telescope to ~100%.
+    assert(shares("A") >= 800000L)
+    assert(shares("A") + shares("B") >= 950000L)
+    val tot = shares.values.sum
+    assert(tot >= 999997L && tot <= 1000000L,
+      s"class shares sum to $tot ppm")
+    // Class efficiency: A's revenue-per-part can never be worse than
+    // C's (it holds the highest-revenue parts by construction). The
+    // near-uniform fixture makes A the LARGEST class — the classes
+    // describe the data honestly rather than assuming a power law.
+    val revPerPart = rows.map { case (k, r) =>
+      k -> (r.getAs[Long]("revenue_cents").toDouble /
+        r.getAs[Long]("n_parts")) }
+    assert(revPerPart("A") >= revPerPart("B") &&
+      revPerPart("B") >= revPerPart("C"))
+  }
+
+  test("token_burstiness: ratios honest, threshold respected") {
+    val rows = SparkEntry.queries("token_burstiness")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (cf, df) = (r.getAs[Long]("cf"), r.getAs[Long]("df"))
+      assert(df >= 10L && cf >= df,
+        "collection frequency cannot undercut document frequency")
+      assert(r.getAs[Long]("burst_ppm") == 1000000L * cf / df)
+    }
+    val bs = rows.map(_.getAs[Long]("burst_ppm"))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("revenue_gini matches brute mean-absolute-difference Gini") {
     val rows = SparkEntry.queries("revenue_gini")(spark, sfDir)
       .collect()
