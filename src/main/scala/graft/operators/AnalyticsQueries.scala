@@ -366,6 +366,37 @@ object AnalyticsQueries {
         .orderBy("cohort", "day_offset")
     }),
 
+    // OPEN-ORDER BACKLOG over time, by SWEEP-LINE delta accumulation:
+    // each order contributes +1 at its order day and −1 at its last
+    // ship day (open on [order, last-ship) — the fixture schema carries
+    // l_shipdate as the fulfillment timestamp), deltas aggregate per
+    // day, and one cumulative sum over the CALENDAR-bounded delta
+    // frame yields the concurrent-open count — the interval-counting
+    // shape that replaces a per-day interval join (which at 100 TB
+    // re-scans every open order once per day it spans). Reported at
+    // delta days; the count is constant between them.
+    "open_orders_daily" -> ((s, d) => {
+      val close = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(date_trunc("day", col("l_shipdate"))).as("cday"))
+      val spans = orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("day", col("o_orderdate")).as("oday"))
+        .join(close, col("o_orderkey") === col("l_orderkey"))
+      val deltas = spans
+        .select(col("oday").as("day"), lit(1L).as("delta"))
+        .unionByName(spans
+          .select(col("cday").as("day"), lit(-1L).as("delta")))
+        .groupBy("day").agg(sum(col("delta")).as("delta"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("n_open", sum(col("delta")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("delta"), col("n_open"))
+        .orderBy("day")
+    }),
+
     // ABC (Pareto) CLASSIFICATION of parts by revenue: A = parts
     // covering the first 80% of revenue, B = to 95%, C = the tail —
     // the inventory-prioritization rollup. Class membership is the
@@ -763,6 +794,25 @@ object AnalyticsQueries {
         |WHERE datediff('day', cohort, day) <= 7
         |GROUP BY f.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin,
+    "open_orders_daily" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey,
+        |         max(date_trunc('day', l_shipdate)) AS cday
+        |  FROM lineitem GROUP BY 1
+        |), sp AS (
+        |  SELECT date_trunc('day', o.o_orderdate) AS oday, c.cday
+        |  FROM orders o JOIN cl c ON c.l_orderkey = o.o_orderkey
+        |), dl AS (
+        |  SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        |    SELECT oday AS day, 1 AS delta FROM sp
+        |    UNION ALL SELECT cday, -1 FROM sp
+        |  ) u GROUP BY 1
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+        |       CAST(sum(delta) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS n_open
+        |FROM dl ORDER BY day""".stripMargin,
     "abc_classification" ->
       """WITH pp AS (
         |  SELECT l_partkey,

@@ -1043,6 +1043,44 @@ object SimilarityQueries {
         .orderBy("true_label", "pred_label")
     }),
 
+    // LABEL-NOISE SCREEN (confident-learning lite): the eval queries
+    // whose 5-NN majority DISAGREES with their own label, with the
+    // vote split — the review queue a labeling pipeline drains before
+    // retraining (a clean point in a wrong-label neighborhood and a
+    // mislabeled point in a clean one look identical to the
+    // confusion matrix; this names them). Same brute top-5 + argmax
+    // pipeline as `knn_accuracy` — the screen can never disagree
+    // with the eval it explains.
+    "knn_suspects" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < KnnQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("true_label"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val top = broadcast(q.select("qid", "qe"))
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("qid") =!= col("vec_id"))
+        .withColumn("sim", cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= TopK)
+        .select("qid", "vec_id")
+      val wVote = Window.partitionBy("qid")
+        .orderBy(col("votes").desc, col("label").asc)
+      top
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy("qid", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("qid"), col("label").as("pred_label"),
+          col("votes"))
+        .join(broadcast(q.select("qid", "true_label")), Seq("qid"))
+        .filter(col("pred_label") =!= col("true_label"))
+        .select("qid", "true_label", "pred_label", "votes")
+        .orderBy("qid")
+    }),
+
     // CLUSTER PURITY of the IVF coarse quantizer against the labels —
     // "do the cells carve the space along class lines?", the
     // unsupervised-vs-supervised agreement check that decides whether
@@ -2801,6 +2839,40 @@ object SimilarityQueries {
          |           // (n1 * n2) AS BIGINT)
          |       END AS drift_micro
          |FROM st ORDER BY dim""".stripMargin,
+    "knn_suspects" ->
+      s"""WITH $normCte,
+         |kpairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < $KnnQueries AND c.vec_id <> q.vec_id
+         |), ${dotCte("kdots", "qe", "ce", "kpairs")},
+         |ktop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT d.qid, d.vec_id,
+         |           row_number() OVER (PARTITION BY d.qid
+         |             ORDER BY d.dot/(nq.nrm*nc.nrm) DESC,
+         |               d.vec_id ASC) AS rn
+         |    FROM kdots d
+         |    JOIN norms nq ON nq.vec_id = d.qid
+         |    JOIN norms nc ON nc.vec_id = d.vec_id) t
+         |  WHERE rn <= $TopK
+         |), kvotes AS (
+         |  SELECT t.qid, e.label, count(*) AS votes
+         |  FROM ktop t JOIN embeddings e ON e.vec_id = t.vec_id
+         |  GROUP BY 1, 2
+         |), kpred AS (
+         |  SELECT qid, label AS pred_label, votes FROM (
+         |    SELECT qid, label, votes,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY votes DESC, label ASC) AS vr
+         |    FROM kvotes) v
+         |  WHERE vr = 1
+         |)
+         |SELECT p.qid, q.label AS true_label, p.pred_label, p.votes
+         |FROM kpred p JOIN embeddings q ON q.vec_id = p.qid
+         |WHERE p.pred_label <> q.label
+         |ORDER BY p.qid""".stripMargin,
     "knn_accuracy" ->
       s"""WITH $normCte,
          |kpairs AS (

@@ -167,6 +167,20 @@ class FeatureQueriesSpec extends SparkTestBase {
       rows("view_to_click").getAs[Long]("n"))
   }
 
+  test("open_orders_daily: sweep-line conserves and never dips below 0") {
+    val rows = SparkEntry.queries("open_orders_daily")(spark, sfDir)
+      .collect().sortBy(_.getAs[String]("day"))
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_open") >= 0L,
+      "an order closed before it opened"))
+    assert(rows.map(_.getAs[Long]("delta")).sum == 0L,
+      "every opened order must eventually close")
+    assert(rows.last.getAs[Long]("n_open") == 0L)
+    // Conservation: the peak backlog is bounded by total orders.
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_open")).max <= nOrders)
+  }
+
   test("abc_classification: classes partition parts, A dominates") {
     val rows = SparkEntry.queries("abc_classification")(spark, sfDir)
       .collect().map(r => r.getAs[String]("abc_class") -> r).toMap

@@ -70,6 +70,23 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("knn_suspects = exactly the off-diagonal of knn_accuracy") {
+    val suspects = SparkEntry.queries("knn_suspects")(spark, sfDir)
+      .collect()
+    val offDiag = SparkEntry.queries("knn_accuracy")(spark, sfDir)
+      .collect()
+      .filter(r => r.getAs[Int]("true_label") !=
+        r.getAs[Int]("pred_label"))
+      .map(_.getAs[Long]("n")).sum
+    assert(suspects.length.toLong == offDiag,
+      "the suspect queue must enumerate the confusion off-diagonal")
+    suspects.foreach { r =>
+      assert(r.getAs[Int]("true_label") != r.getAs[Int]("pred_label"))
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1L && v <= 5L)
+    }
+  }
+
   test("cluster_purity: cells partition the corpus, majority is honest") {
     val rows = SparkEntry.queries("cluster_purity")(spark, sfDir)
       .collect()
