@@ -457,6 +457,31 @@ object MiscQueries {
     // multi-line corpus needs JSONL (jsonl_roundtrip), not raw text.
     // The per-line hashes sum inside DECIMAL and re-reduce mod the
     // prime so the checksum cannot overflow at any corpus size.
+    // FIXED-WIDTH format round-trip — the mainframe/EDI ingest shape
+    // no packaged reader covers: rows serialize as zero-padded
+    // numeric and space-padded string columns at fixed offsets
+    // (4+20+4), and ingest is pure substring-schema mapping over the
+    // text source (`substring` + `trim` + cast — all codegen'd
+    // expressions, no parser library). The round-trip must
+    // reconstruct the nation table losslessly; the oracle reads the
+    // ORIGINAL table, so any padding/offset/cast slip breaks the
+    // hash.
+    "fixedwidth_scan" -> ((s, d) => {
+      val dir = sinkDir("graft_fixedwidth")
+      nation(s, d)
+        .select(format_string("%04d%-20s%04d",
+          col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(
+          substring(col("value"), 1, 4).cast("long").as("n_nationkey"),
+          trim(substring(col("value"), 5, 20)).as("n_name"),
+          substring(col("value"), 25, 4).cast("long")
+            .as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     "text_sink_source" -> ((s, d) => {
       val dir = sinkDir("graft_text_sink")
       documents(s, d)
@@ -1323,6 +1348,10 @@ object MiscQueries {
          |         AS surrogate
          |FROM customer WHERE c_custkey <= 50
          |ORDER BY c_custkey""".stripMargin,
+    "fixedwidth_scan" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "text_sink_source" ->
       s"""SELECT count(*) AS n_lines,
          |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
