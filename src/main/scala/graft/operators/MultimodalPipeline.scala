@@ -156,6 +156,43 @@ object MultimodalPipeline {
       .mapPartitions(decodePngPartition _)
   }
 
+  /** One 8-bin R-channel histogram row per (image, bin) from a REAL
+    * decode — ALL 8 bins emitted (zeros included) so the downstream
+    * pair join on the bin key sees every coordinate of the L1
+    * distance, never just the intersection.
+    */
+  case class HistRow(doc_id: Long, bin: Int, c: Long, npix: Long)
+
+  def histogramPartition(items: Iterator[PngImage]): Iterator[HistRow] =
+    items.flatMap { item =>
+      val img = readPng(item.doc_id, item.png)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val bins = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bins(((img.getRGB(x, y) >> 16) & 0xff) / 32) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val np = w.toLong * h
+      (0 until 8).iterator.map(b => HistRow(item.doc_id, b, bins(b), np))
+    }
+
+  def imageHistograms(
+      spark: SparkSession, dir: String): Dataset[HistRow] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(encodePngPartition _)
+      .mapPartitions(histogramPartition _)
+  }
+
   /** Nearest-neighbor resize statistics from a REAL decode: the 4×3
     * thumbnail's per-channel sums.
     */

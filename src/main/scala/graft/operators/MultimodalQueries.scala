@@ -84,6 +84,34 @@ object MultimodalQueries {
     "multimodal_resize" -> ((s, d) =>
       MultimodalPipeline.resizeStats(s, d).toDF().orderBy("doc_id")),
 
+    // COLOR-HISTOGRAM near-dup over REAL decodes — the
+    // pre-embedding visual screen (pHash catches structural dupes;
+    // histogram distance catches palette-level ones like re-encodes
+    // and crops): each image's 8-bin R-channel histogram comes from
+    // decoded pixels, pairs join on the BIN key (all 8 bins emitted,
+    // zeros included, so the L1 sees every coordinate), and the L1
+    // threshold cross-multiplies against the pixel counts —
+    // 10·Σ|c_a·n_b − c_b·n_a| ≤ n_a·n_b is exactly L1 ≤ 100‰ with
+    // per-image normalization and ZERO floats. Pairs run over the
+    // bounded 100-image eval sample; at scale the pair source swaps
+    // for an LSH bucket join like every other near-dup family.
+    "image_hist_neardup" -> ((s, d) => {
+      val hist = MultimodalPipeline.imageHistograms(s, d).toDF()
+      val a = hist.toDF("a", "bin", "ca", "na")
+      val b = hist.toDF("b", "bin", "cb", "nb")
+      a.join(b, Seq("bin"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("l1num"),
+          max(col("na") * col("nb")).as("den"))
+        .filter(col("l1num") * 10 <= col("den"))
+        .withColumn("l1_pm", expr("1000 * l1num DIV den"))
+        .select("a", "b", "l1num", "den", "l1_pm")
+        .orderBy("a", "b")
+    }),
+
     // REAL audio decode: synthesize an 8-bit mono PCM WAV per doc via
     // javax.sound.sampled, decode it back, and report header fields
     // (frame count, rate, depth — parsed from the container, not
@@ -341,6 +369,43 @@ object MultimodalQueries {
         |FROM px
         |GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin,
+    "image_hist_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+        |         CAST(doc_id % 7 + 3 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id < 100
+        |), px AS (
+        |  SELECT doc_id, w, h, x,
+        |         unnest(generate_series(0, h - 1)) AS y
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(generate_series(0, w - 1)) AS x
+        |        FROM dims) q
+        |), cnt AS (
+        |  SELECT doc_id,
+        |         ((x*31 + y*17 + doc_id) % 256) // 32 AS bin,
+        |         count(*) AS c
+        |  FROM px GROUP BY 1, 2
+        |), hh AS (
+        |  SELECT d.doc_id, g.bin,
+        |         CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+        |         CAST(d.w * d.h AS BIGINT) AS np
+        |  FROM dims d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bin) g
+        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = g.bin
+        |), pr AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(sum(abs(x.c*y.np - y.c*x.np)) AS BIGINT)
+        |           AS l1num,
+        |         CAST(max(x.np*y.np) AS BIGINT) AS den
+        |  FROM hh x JOIN hh y
+        |    ON x.bin = y.bin AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, l1num, den,
+        |       CAST(1000 * l1num // den AS BIGINT) AS l1_pm
+        |FROM pr WHERE l1num * 10 <= den
+        |ORDER BY a, b""".stripMargin,
     "multimodal_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,

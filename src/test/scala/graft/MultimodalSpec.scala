@@ -115,4 +115,26 @@ class MultimodalSpec extends SparkTestBase {
       assert(m.checksum > 0)
     }
   }
+
+  test("image_hist_neardup: threshold honest, histograms conserve") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("image_hist_neardup")(spark, sfDir)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Long]("l1num") * 10 <= r.getAs[Long]("den"))
+      assert(r.getAs[Long]("l1_pm") <= 100L)
+    }
+    // Decoded histograms must conserve pixels: per image the 8 bins
+    // sum to width·height.
+    val hists = graft.operators.MultimodalPipeline
+      .imageHistograms(spark, sfDir).toDF().collect()
+    hists.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      assert(rs.length == 8, s"image $id missing bins")
+      assert(rs.map(_.getAs[Long]("c")).sum ==
+        rs.head.getAs[Long]("npix"),
+        s"image $id histogram loses pixels")
+    }
+  }
 }
