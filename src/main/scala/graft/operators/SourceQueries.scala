@@ -342,6 +342,49 @@ object SourceQueries {
     }),
 
     // Stateful EWMA ANOMALY screen: per event_type the stream keeps
+    // Streaming FUNNEL: the batch conversion funnel as a per-user
+    // state machine — ValueState holds the three stage-first
+    // timestamps, rows process grouped by SECOND (views before
+    // clicks before purchases within a second, which is what makes
+    // the min-based batch semantics exact in one pass), and each
+    // stage emits once when first reached. The drained emission
+    // counts ARE the batch funnel row — same oracle string.
+    "stream_funnel" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val sink = "stream_funnel_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingEvents.funnelStream(s, d)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingEvents.assertSingleBatch(
+          q, "stream_funnel")
+        graft.streaming.MemorySinks.drain(s, sink)
+          .agg(
+            sum(when(col("stage") === "viewed", 1L).otherwise(0L))
+              .as("n_viewed"),
+            sum(when(col("stage") === "clicked", 1L).otherwise(0L))
+              .as("n_clicked_after_view"),
+            sum(when(col("stage") === "purchased", 1L).otherwise(0L))
+              .as("n_purchased_after_click"))
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // Streaming MARKOV TRANSITIONS: the batch `event_transitions`
     // matrix built in-stream — one ValueState row per user (the last
     // event) on RocksDB, one (src, dst) emission per consecutive
@@ -749,6 +792,9 @@ object SourceQueries {
     // bit-for-bit — same oracle string, so stream ≡ batch is gated.
     "stream_event_transitions" ->
       AnalyticsQueries.oracleSql("event_transitions"),
+    // Stream ≡ batch funnel, gated by the shared oracle string.
+    "stream_funnel" ->
+      AnalyticsQueries.oracleSql("event_funnel"),
     "rankings_sql" ->
       FlagshipQueries.oracleSql("raw_rankings"),
     "v2_sink_roundtrip" ->

@@ -772,6 +772,44 @@ object TextQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // TOKEN PMI COLLOCATIONS (word2phrase shape): top-20 token pairs
+    // by document-level pointwise mutual information — the phrase
+    // detector run before tokenizer training merges multi-word units.
+    // PMI ranks by the integer cross-multiplication
+    // lift_ppm = 10⁶·n_ab·N DIV (n_a·n_b) (monotone in PMI, no log
+    // needed), computed over the SAME basket machinery as the
+    // market-basket family: per-doc distinct token sets explode into
+    // canonical pairs (doc-bounded O(t²), the fixture's ~40-token
+    // docs), counts aggregate map-side, marginals join on the token
+    // key, and n_ab ≥ 5 drops the unstable tail.
+    "token_pmi" -> ((s, d) => {
+      val dt = documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+      val pairs = dt.groupBy("doc_id")
+        .agg(array_sort(collect_set(col("tok"))).as("items"))
+        .select(pairCombinations(col("items")).as("p"))
+        .select(col("p.a").as("ta"), col("p.b").as("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val marg = dt.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_tok"))
+      val total = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(marg.select(col("tok").as("ta"),
+          col("n_tok").as("n_a")), Seq("ta"))
+        .join(marg.select(col("tok").as("tb"),
+          col("n_tok").as("n_b")), Seq("tb"))
+        .crossJoin(broadcast(total))
+        .withColumn("lift_ppm",
+          expr("1000000 * n_ab * n_docs DIV (n_a * n_b)"))
+        .select("ta", "tb", "n_ab", "n_a", "n_b", "lift_ppm")
+        .orderBy(col("lift_ppm").desc, col("n_ab").desc,
+          col("ta"), col("tb"))
+        .limit(20)
+    }),
+
     // TOKEN BURSTINESS (Church–Gale): collection frequency over
     // document frequency — a token that appears 40 times across 4
     // docs (bursty: topical, content-bearing) reads very differently
@@ -2891,6 +2929,29 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "token_pmi" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct($toksSql))
+         |    AS tok
+         |  FROM documents
+         |), pr AS (
+         |  SELECT x.tok AS ta, y.tok AS tb, count(*) AS n_ab
+         |  FROM dt x JOIN dt y
+         |    ON x.doc_id = y.doc_id AND x.tok < y.tok
+         |  GROUP BY 1, 2 HAVING count(*) >= 5
+         |), mg AS (
+         |  SELECT tok, count(*) AS n_tok FROM dt GROUP BY 1
+         |), t AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT p.ta, p.tb, p.n_ab,
+         |       a.n_tok AS n_a, b.n_tok AS n_b,
+         |       CAST(1000000 * p.n_ab * t.n_docs
+         |         // (a.n_tok * b.n_tok) AS BIGINT) AS lift_ppm
+         |FROM pr p
+         |JOIN mg a ON a.tok = p.ta
+         |JOIN mg b ON b.tok = p.tb
+         |CROSS JOIN t
+         |ORDER BY lift_ppm DESC, n_ab DESC, ta, tb
+         |LIMIT 20""".stripMargin,
     "token_burstiness" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest($toksSql) AS token FROM documents

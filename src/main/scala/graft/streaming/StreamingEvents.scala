@@ -864,6 +864,83 @@ object StreamingEvents {
     }
   }
 
+  /** Funnel stage firsts per user — second-granularity timestamps
+    * with −1 = not reached, mirroring the batch funnel's min-ts
+    * semantics.
+    */
+  case class FunnelSt(tv: Long, tc: Long, tp: Long)
+
+  case class FunnelOut(user_id: Long, stage: String)
+
+  /** Streaming funnel state machine: one ValueState row per user
+    * holding the three stage-first timestamps. Rows process grouped
+    * by SECOND in ascending (tsSec) order, and within one second
+    * views apply before clicks before purchases — exactly the batch
+    * `event_funnel`'s min-based semantics (tc = min click ts ≥ tv
+    * qualifies same-second clicks regardless of event order, so the
+    * per-second grouping, not per-event processing, is what makes
+    * stream ≡ batch). Each stage emits once per user at the moment
+    * it is first reached; the drained emission counts ARE the batch
+    * funnel row, pinned by the same oracle.
+    */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TransEv, FunnelOut] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var st
+        : org.apache.spark.sql.streaming.ValueState[FunnelSt] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FunnelSt](
+        "funnelFirsts",
+        org.apache.spark.sql.Encoders.product[FunnelSt],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TransEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FunnelOut] = {
+      var s = if (st.exists()) st.get() else FunnelSt(-1L, -1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+      rows.toSeq.groupBy(_.tsSec).toSeq.sortBy(_._1)
+        .foreach { case (sec, evs) =>
+          val types = evs.map(_.event_type).toSet
+          if (s.tv < 0 && types.contains("view")) {
+            s = s.copy(tv = sec); out += FunnelOut(key, "viewed")
+          }
+          if (s.tv >= 0 && s.tc < 0 && types.contains("click")) {
+            s = s.copy(tc = sec); out += FunnelOut(key, "clicked")
+          }
+          if (s.tc >= 0 && s.tp < 0 && types.contains("purchase")) {
+            s = s.copy(tp = sec); out += FunnelOut(key, "purchased")
+          }
+        }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def funnelStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"))
+      .withColumn("tsSec",
+        expr("CAST(tsMicros DIV 1000000 AS BIGINT)"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("tsSec"))
+      .as[TransEv]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   def transitionsStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     stream(spark, dir)
