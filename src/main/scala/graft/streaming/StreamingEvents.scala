@@ -852,15 +852,32 @@ object StreamingEvents {
         rows: Iterator[TransEv],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[TransOut] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
-      var prev: Option[LastEv] =
+      val prev: Option[LastEv] =
         if (last.exists()) Some(last.get()) else None
-      rows.toSeq.sortBy(e => (e.tsSec, e.event_id)).foreach { e =>
-        prev.foreach(p => out += TransOut(key, p.tpe, e.event_type))
+      val (next, pairs) =
+        TransitionsProcessor.advance(prev, rows.toSeq)
+      next.foreach(last.update)
+      pairs.iterator.map { case (src, dst) => TransOut(key, src, dst) }
+    }
+  }
+
+  object TransitionsProcessor {
+    /** The pure batch step — last-event state + a micro-batch's rows
+      * → new state + the (src, dst) pairs emitted. Factored out for
+      * the randomized property spec (same contract as
+      * [[FunnelProcessor.advance]]).
+      */
+    def advance(
+        prev0: Option[LastEv], rows: Seq[TransEv])
+        : (Option[LastEv], Seq[(String, String)]) = {
+      var prev = prev0
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      rows.sortBy(e => (e.tsSec, e.event_id)).foreach { e =>
+        prev.foreach(p => out += ((p.tpe, e.event_type)))
         prev = Some(LastEv(e.tsSec, e.event_id, e.event_type))
       }
-      prev.foreach(last.update)
-      out.iterator
+      (prev, out.toSeq)
     }
   }
 
@@ -903,23 +920,38 @@ object StreamingEvents {
         rows: Iterator[TransEv],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[FunnelOut] = {
-      var s = if (st.exists()) st.get() else FunnelSt(-1L, -1L, -1L)
-      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
-      rows.toSeq.groupBy(_.tsSec).toSeq.sortBy(_._1)
+      val s0 = if (st.exists()) st.get() else FunnelSt(-1L, -1L, -1L)
+      val (s1, stages) = FunnelProcessor.advance(s0, rows.toSeq)
+      st.update(s1)
+      stages.iterator.map(FunnelOut(key, _))
+    }
+  }
+
+  object FunnelProcessor {
+    /** The pure batch step — state + a micro-batch's rows → new
+      * state + the stages first reached. Factored out so the
+      * randomized property spec can drive it against a brute
+      * min-timestamp replay without streaming machinery; the
+      * processor is a thin ValueState wrapper around this.
+      */
+    def advance(
+        s0: FunnelSt, rows: Seq[TransEv]): (FunnelSt, Seq[String]) = {
+      var s = s0
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      rows.groupBy(_.tsSec).toSeq.sortBy(_._1)
         .foreach { case (sec, evs) =>
           val types = evs.map(_.event_type).toSet
           if (s.tv < 0 && types.contains("view")) {
-            s = s.copy(tv = sec); out += FunnelOut(key, "viewed")
+            s = s.copy(tv = sec); out += "viewed"
           }
           if (s.tv >= 0 && s.tc < 0 && types.contains("click")) {
-            s = s.copy(tc = sec); out += FunnelOut(key, "clicked")
+            s = s.copy(tc = sec); out += "clicked"
           }
           if (s.tc >= 0 && s.tp < 0 && types.contains("purchase")) {
-            s = s.copy(tp = sec); out += FunnelOut(key, "purchased")
+            s = s.copy(tp = sec); out += "purchased"
           }
         }
-      st.update(s)
-      out.iterator
+      (s, out.toSeq)
     }
   }
 
