@@ -772,6 +772,42 @@ object TextQueries {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // TOKEN DRIFT between corpus snapshots — the text-side sibling of
+    // `embedding_drift` (and the per-token refinement of
+    // `dataset_drift`'s whole-distribution TVD): which WORDS moved
+    // between yesterday's corpus and today's append. Rate difference
+    // per token kept exact by cross-multiplying against each half's
+    // total token count (c1·T2 − c2·T1), sign factored out of the
+    // division; top-20 by absolute drift. One explode + one
+    // aggregation carrying both halves' counts; the two totals ride
+    // a one-row broadcast.
+    "token_drift" -> ((s, d) => {
+      val half = documents(s, d)
+        .agg(expr("CAST(count(1) DIV 2 AS BIGINT)").as("h"))
+      val tok = documents(s, d)
+        .crossJoin(broadcast(half))
+        .select(col("doc_id"), col("h"),
+          explode(tokens(col("text"))).as("tok"))
+        .withColumn("snap",
+          when(col("doc_id") < col("h"), 1).otherwise(2))
+      val counts = tok.groupBy("tok")
+        .agg(
+          sum(when(col("snap") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("snap") === 2, 1L).otherwise(0L)).as("c2"))
+      val totals = counts.agg(
+        sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("num", col("c1") * col("t2") - col("c2") * col("t1"))
+        .withColumn("drift_ppm",
+          when(col("num") >= 0,
+            expr("1000000 * num DIV (t1 * t2)"))
+            .otherwise(-expr("1000000 * (-num) DIV (t1 * t2)")))
+        .withColumn("abs_ppm", abs(col("drift_ppm")))
+        .orderBy(col("abs_ppm").desc, col("tok").asc)
+        .limit(20)
+        .select("tok", "c1", "c2", "drift_ppm")
+    }),
+
     // TOKEN PMI COLLOCATIONS (word2phrase shape): top-20 token pairs
     // by document-level pointwise mutual information — the phrase
     // detector run before tokenizer training merges multi-word units.
@@ -2929,6 +2965,37 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "token_drift" ->
+      s"""WITH hf AS (
+         |  SELECT CAST(count(*) // 2 AS BIGINT) AS h FROM documents
+         |), tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |), cnt AS (
+         |  SELECT tok,
+         |         CAST(sum(CASE WHEN t.doc_id < hf.h THEN 1 ELSE 0
+         |           END) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN t.doc_id >= hf.h THEN 1 ELSE 0
+         |           END) AS BIGINT) AS c2
+         |  FROM tk t CROSS JOIN hf GROUP BY tok
+         |), tt AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS t1,
+         |         CAST(sum(c2) AS BIGINT) AS t2
+         |  FROM cnt
+         |)
+         |SELECT tok, c1, c2,
+         |       CASE WHEN c1 * t2 - c2 * t1 >= 0
+         |         THEN CAST(1000000 * (c1 * t2 - c2 * t1)
+         |           // (t1 * t2) AS BIGINT)
+         |         ELSE -CAST(1000000 * (c2 * t1 - c1 * t2)
+         |           // (t1 * t2) AS BIGINT)
+         |       END AS drift_ppm
+         |FROM cnt CROSS JOIN tt
+         |ORDER BY abs(CASE WHEN c1 * t2 - c2 * t1 >= 0
+         |    THEN CAST(1000000 * (c1 * t2 - c2 * t1)
+         |      // (t1 * t2) AS BIGINT)
+         |    ELSE -CAST(1000000 * (c2 * t1 - c1 * t2)
+         |      // (t1 * t2) AS BIGINT) END) DESC, tok ASC
+         |LIMIT 20""".stripMargin,
     "token_pmi" ->
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, unnest(list_distinct($toksSql))

@@ -208,6 +208,32 @@ class FeatureQueriesSpec extends SparkTestBase {
       revPerPart("B") >= revPerPart("C"))
   }
 
+  test("token_drift matches a driver-side count replay") {
+    val rows = SparkEntry.queries("token_drift")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val h = docs.length / 2
+    def counts(half: Int): Map[String, Long] =
+      docs.filter(d => if (half == 1) d._1 < h else d._1 >= h)
+        .flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val (m1, m2) = (counts(1), counts(2))
+    val (t1, t2) = (m1.values.sum, m2.values.sum)
+    rows.foreach { r =>
+      val tok = r.getAs[String]("tok")
+      val (c1, c2) = (m1.getOrElse(tok, 0L), m2.getOrElse(tok, 0L))
+      assert(r.getAs[Long]("c1") == c1 && r.getAs[Long]("c2") == c2)
+      val num = c1 * t2 - c2 * t1
+      val want =
+        if (num >= 0) 1000000L * num / (t1 * t2)
+        else -(1000000L * -num / (t1 * t2))
+      assert(r.getAs[Long]("drift_ppm") == want, s"token $tok")
+    }
+  }
+
   test("token_burstiness: ratios honest, threshold respected") {
     val rows = SparkEntry.queries("token_burstiness")(spark, sfDir)
       .collect()
