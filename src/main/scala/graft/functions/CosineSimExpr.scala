@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * zero denominator throws DIVIDE_BY_ZERO; with ANSI off Spark's
   * legacy Divide yields NULL (not IEEE NaN — see the eval comment
   * below and CosinePropsSpec). Without this the optimizer rewrite
-  * would silently turn an ANSI error into a NaN — found by
+  * would silently turn an ANSI error into a legacy NULL — found by
   * CosinePropsSpec's degenerate random vectors.
   */
 case class CosineSimExpr(

@@ -312,7 +312,10 @@ object AnalyticsQueries {
     // every weekend. Entirely exact integers via the cross-multiplied
     // z²: z² = (n·y − Σy)²/(n·Σy² − (Σy)²) per dow group, so
     // z²_ppm = 10⁶·dev² DIV var_num hash-pins; revenue is in
-    // kilodollar units to keep dev² inside long through sf10. The
+    // kilodollar units, which keeps 10⁶·dev² inside long only up to
+    // ~sf1 (|dev| ≤ ~3.0e6; at sf10 a typical day's dev ≈ 4e6 and the
+    // multiply would wrap in Spark while DuckDB raises) — beyond sf1
+    // widen to DECIMAL as revenue_gini/acf_daily do. The
     // series aggregates to the calendar frame first; the 7-row dow
     // stats broadcast back by an equi-join on dow. Top-10 by z².
     "dow_anomaly" -> ((s, d) => {

@@ -375,12 +375,12 @@ object FeatureQueries {
         |  FROM documents GROUP BY 1
         |), cum AS (
         |  SELECT score, c, p,
-        |         sum(c) OVER (ORDER BY score DESC
+        |         CAST(sum(c) OVER (ORDER BY score DESC
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS cumc,
-        |         sum(p) OVER (ORDER BY score DESC
+        |           AS BIGINT) AS cumc,
+        |         CAST(sum(p) OVER (ORDER BY score DESC
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS cump
+        |           AS BIGINT) AS cump
         |  FROM g
         |), tot AS (
         |  SELECT count(*) AS n_docs,
@@ -394,8 +394,9 @@ object FeatureQueries {
         |)
         |SELECT CAST(d.decile AS INTEGER) AS decile,
         |       c.score AS threshold,
-        |       c.cump AS tp, c.cumc - c.cump AS fp,
-        |       d.n_pos - c.cump AS fn,
+        |       CAST(c.cump AS BIGINT) AS tp,
+        |       CAST(c.cumc - c.cump AS BIGINT) AS fp,
+        |       CAST(d.n_pos - c.cump AS BIGINT) AS fn,
         |       CAST(1000000 * c.cump // c.cumc AS BIGINT) AS prec_ppm,
         |       CAST(1000000 * c.cump // d.n_pos AS BIGINT) AS rec_ppm
         |FROM dec d JOIN cum c

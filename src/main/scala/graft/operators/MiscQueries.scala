@@ -447,16 +447,6 @@ object MiscQueries {
             .as("surrogate"))
         .orderBy("c_custkey")),
 
-    // Plain-text sink + source round-trip (spark.read.text — the raw
-    // line-oriented format): document texts out as lines, read back,
-    // and pinned row-by-row with an order-independent checksum (sum of
-    // per-line hashes mod a prime, so it's insensitive to the file
-    // ordering text sinks don't preserve but still catches any
-    // dropped/corrupted line). ASSUMES one doc per line — the fixture
-    // corpus has no embedded \n/\r (verified at every SF); a
-    // multi-line corpus needs JSONL (jsonl_roundtrip), not raw text.
-    // The per-line hashes sum inside DECIMAL and re-reduce mod the
-    // prime so the checksum cannot overflow at any corpus size.
     // FIXED-WIDTH format round-trip — the mainframe/EDI ingest shape
     // no packaged reader covers: rows serialize as zero-padded
     // numeric and space-padded string columns at fixed offsets
@@ -482,6 +472,16 @@ object MiscQueries {
         .orderBy("n_nationkey")
     }),
 
+    // Plain-text sink + source round-trip (spark.read.text — the raw
+    // line-oriented format): document texts out as lines, read back,
+    // and pinned row-by-row with an order-independent checksum (sum of
+    // per-line hashes mod a prime, so it's insensitive to the file
+    // ordering text sinks don't preserve but still catches any
+    // dropped/corrupted line). ASSUMES one doc per line — the fixture
+    // corpus has no embedded \n/\r (verified at every SF); a
+    // multi-line corpus needs JSONL (jsonl_roundtrip), not raw text.
+    // The per-line hashes sum inside DECIMAL and re-reduce mod the
+    // prime so the checksum cannot overflow at any corpus size.
     "text_sink_source" -> ((s, d) => {
       val dir = sinkDir("graft_text_sink")
       documents(s, d)

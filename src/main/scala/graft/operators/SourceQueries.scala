@@ -341,7 +341,6 @@ object SourceQueries {
       }
     }),
 
-    // Stateful EWMA ANOMALY screen: per event_type the stream keeps
     // Streaming FUNNEL: the batch conversion funnel as a per-user
     // state machine — ValueState holds the three stage-first
     // timestamps, rows process grouped by SECOND (views before
@@ -431,6 +430,7 @@ object SourceQueries {
       }
     }),
 
+    // Stateful EWMA ANOMALY screen: per event_type the stream keeps
     // two integer EWMAs (level + mean-abs-deviation) and flags events
     // deviating more than 4× the running scale — in-stream
     // monitoring with O(1) state per key. Integer α=1/8 updates with
