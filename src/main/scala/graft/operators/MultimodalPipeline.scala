@@ -193,6 +193,24 @@ object MultimodalPipeline {
       .mapPartitions(histogramPartition _)
   }
 
+  /** FULL-corpus twin of [[imageHistograms]] — no eval-sample cap.
+    * This is the scale-path candidate source for `image_hist_lsh`:
+    * downstream consumers bucket on quantized-histogram band keys,
+    * never all-pairs, so the only per-row cost here is the one
+    * decode pass (callers pin+memoize the frame so the codec runs
+    * once per (session, dir) across all consumers and self-joins).
+    */
+  def imageHistogramsAll(
+      spark: SparkSession, dir: String): Dataset[HistRow] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(encodePngPartition _)
+      .mapPartitions(histogramPartition _)
+  }
+
   /** Nearest-neighbor resize statistics from a REAL decode: the 4×3
     * thumbnail's per-channel sums.
     */

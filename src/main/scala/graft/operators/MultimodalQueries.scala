@@ -47,6 +47,27 @@ object MultimodalQueries {
       graft.Checkpoints.pin(
         MultimodalPipeline.videoFrameStats(s, d).toDF()))
 
+  /** Full-corpus decoded histograms, pinned and memoized: the frame
+    * feeds the band signatures AND both sides of the exact verify
+    * join in `image_hist_lsh` — unpinned, the PNG codec would run
+    * three times over the whole corpus.
+    */
+  private val histAllCache = new SessionMemo[DataFrame]
+
+  private def pinnedHistAll(s: SparkSession, d: String): DataFrame =
+    histAllCache.getOrCompute(s, d)(
+      graft.Checkpoints.pin(
+        MultimodalPipeline.imageHistogramsAll(s, d).toDF()))
+
+  /** Bucket-viability cap for the histogram LSH, same role (and
+    * value) as TextQueries.BucketCap: a band bucket larger than this
+    * is poisoned — its postings are dropped from candidate
+    * generation (observable: `n_poisoned`-style reporting belongs to
+    * the caller), which is what bounds the join output at corpus
+    * scale on palette-degenerate data.
+    */
+  private[graft] val HistBucketCap = 50
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction over synthesized payloads
     // (documents.text re-encoded as the opaque media bytes).
@@ -101,6 +122,59 @@ object MultimodalQueries {
       val b = hist.toDF("b", "bin", "cb", "nb")
       a.join(b, Seq("bin"))
         .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("l1num"),
+          max(col("na") * col("nb")).as("den"))
+        .filter(col("l1num") * 10 <= col("den"))
+        .withColumn("l1_pm", expr("1000 * l1num DIV den"))
+        .select("a", "b", "l1num", "den", "l1_pm")
+        .orderBy("a", "b")
+    }),
+
+    // The SCALE PATH for the visual-histogram family: same exact L1
+    // verify as `image_hist_neardup`, but candidates come from a
+    // band-bucket EQUI-join over the WHOLE corpus (no eval-sample
+    // cap) — the shape every other near-dup family here uses. Each
+    // image's 8-bin histogram splits into 4 bands of 2 adjacent
+    // bins; a band's key is the pair of 32nd-quantized bin masses
+    // ((32·c) DIV npix — integer, so the oracle replays it exactly),
+    // and two images are candidates iff they share some band's full
+    // key in a VIABLE bucket (2..HistBucketCap members; larger
+    // buckets are palette-degenerate and dropped, the same
+    // cap-don't-scan rule as the MinHash band join). Candidate pairs
+    // dedup across bands before the 8-row-per-pair exact verify, so
+    // the verify cost is per-pair, not per-(pair×band).
+    "image_hist_lsh" -> ((s, d) => {
+      val hist = pinnedHistAll(s, d)
+      val sig = hist
+        .withColumn("band", expr("bin DIV 2"))
+        .withColumn("q", expr("(32 * c) DIV npix"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(
+          max(when(col("bin") % 2 === 0, col("q"))).as("k0"),
+          max(when(col("bin") % 2 === 1, col("q"))).as("k1"))
+      val ok = sig
+        .groupBy("band", "k0", "k1")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, HistBucketCap))
+        .select("band", "k0", "k1")
+      val small = sig.join(ok, Seq("band", "k0", "k1"), "left_semi")
+      val cand = small
+        .select(col("band"), col("k0"), col("k1"), col("doc_id").as("a"))
+        .join(
+          small.select(
+            col("band"), col("k0"), col("k1"), col("doc_id").as("b")),
+          Seq("band", "k0", "k1"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+      val ha = hist.toDF("a", "bin", "ca", "na")
+      val hb = hist.toDF("b", "bin", "cb", "nb")
+      cand
+        .join(ha, Seq("a"))
+        .join(hb, Seq("b", "bin"))
         .groupBy("a", "b")
         .agg(
           sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
@@ -400,6 +474,63 @@ object MultimodalQueries {
         |         CAST(max(x.np*y.np) AS BIGINT) AS den
         |  FROM hh x JOIN hh y
         |    ON x.bin = y.bin AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, l1num, den,
+        |       CAST(1000 * l1num // den AS BIGINT) AS l1_pm
+        |FROM pr WHERE l1num * 10 <= den
+        |ORDER BY a, b""".stripMargin,
+    "image_hist_lsh" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+        |         CAST(doc_id % 7 + 3 AS INTEGER) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, x,
+        |         unnest(generate_series(0, h - 1)) AS y
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(generate_series(0, w - 1)) AS x
+        |        FROM dims) q
+        |), cnt AS (
+        |  SELECT doc_id,
+        |         ((x*31 + y*17 + doc_id) % 256) // 32 AS bin,
+        |         count(*) AS c
+        |  FROM px GROUP BY 1, 2
+        |), hh AS (
+        |  SELECT d.doc_id, g.bin,
+        |         CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+        |         CAST(d.w * d.h AS BIGINT) AS np
+        |  FROM dims d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bin) g
+        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = g.bin
+        |), sig AS (
+        |  SELECT doc_id, bin // 2 AS band,
+        |         max(CASE WHEN bin % 2 = 0 THEN (32*c) // np END)
+        |           AS k0,
+        |         max(CASE WHEN bin % 2 = 1 THEN (32*c) // np END)
+        |           AS k1
+        |  FROM hh GROUP BY 1, 2
+        |), ok AS (
+        |  SELECT band, k0, k1 FROM sig
+        |  GROUP BY 1, 2, 3
+        |  HAVING count(*) BETWEEN 2 AND 50
+        |), small AS (
+        |  SELECT s.* FROM sig s JOIN ok o
+        |    ON s.band = o.band AND s.k0 = o.k0 AND s.k1 = o.k1
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM small x JOIN small y
+        |    ON x.band = y.band AND x.k0 = y.k0 AND x.k1 = y.k1
+        |   AND x.doc_id < y.doc_id
+        |), pr AS (
+        |  SELECT c.a, c.b,
+        |         CAST(sum(abs(x.c*y.np - y.c*x.np)) AS BIGINT)
+        |           AS l1num,
+        |         CAST(max(x.np*y.np) AS BIGINT) AS den
+        |  FROM cand c
+        |  JOIN hh x ON x.doc_id = c.a
+        |  JOIN hh y ON y.doc_id = c.b AND y.bin = x.bin
         |  GROUP BY 1, 2
         |)
         |SELECT a, b, l1num, den,

@@ -1,0 +1,91 @@
+package graft
+
+/** Scale-path assertions for the visual-histogram near-dup family.
+  *
+  * `image_hist_neardup` is the bounded-sample exact truth twin; the
+  * LSH variant must (a) source candidates from the WHOLE corpus — no
+  * eval-sample cap anywhere under the candidate join — and (b) get
+  * its pairs from a band-bucket equi-join, never an all-pairs shape.
+  * Same forced-broadcast methodology as NearDupPlanSpec: with
+  * autoBroadcastJoinThreshold = -1 only a hint can emit a
+  * BroadcastExchange, so an exchange-free plan proves the
+  * per-document frames all shuffle on their keys.
+  */
+class ImageHistLshPlanSpec extends SparkTestBase {
+
+  test("imageHistogramsAll covers the whole corpus (no sample cap)") {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val hist =
+      operators.MultimodalPipeline.imageHistogramsAll(spark, sfDir).toDF()
+    assert(hist.count() == 8 * nDocs,
+      "expected all 8 bins for every document in the corpus")
+    assert(hist.select("doc_id").distinct().count() == nDocs,
+      "every document must contribute a histogram")
+  }
+
+  test("image_hist_lsh plans without forced broadcasts or all-pairs") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("image_hist_lsh")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"image_hist_lsh must not broadcast a per-document table:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"image_hist_lsh must join on band keys, never all-pairs:\n$plan")
+      assert(df.count() > 0, "image_hist_lsh returned no rows")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("every emitted pair is a true near-dup sharing a viable band") {
+    import org.apache.spark.sql.functions._
+    val hist = operators.MultimodalPipeline
+      .imageHistogramsAll(spark, sfDir).toDF()
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val byBin = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        val np = rows.head.getLong(3)
+        id -> ((0 until 8).map(byBin(_)), np)
+      }
+    // Independent driver-side replay of the contract over the small
+    // fixture: band keys, viability cap, exact L1 threshold.
+    def bandKeys(h: Seq[Long], np: Long): Seq[(Int, Long, Long)] =
+      (0 until 4).map(b => (b, 32 * h(2 * b) / np, 32 * h(2 * b + 1) / np))
+    val buckets = hist.toSeq
+      .flatMap { case (id, (h, np)) =>
+        bandKeys(h, np).map(k => k -> id)
+      }
+      .groupBy(_._1)
+      .collect {
+        case (_, members)
+            if members.size >= 2 &&
+              members.size <= operators.MultimodalQueries.HistBucketCap =>
+          members.map(_._2).sorted
+      }
+    val allCand: Set[(Long, Long)] = buckets
+      .flatMap(ids =>
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j)))
+      .toSet
+    val expected = allCand
+      .filter { case (a, b) =>
+        val (ha, na) = hist(a)
+        val (hb, nb) = hist(b)
+        val l1 = (0 until 8).map(k =>
+          math.abs(ha(k) * nb - hb(k) * na)).sum
+        l1 * 10 <= na * nb
+      }
+    val got = SparkEntry.queries("image_hist_lsh")(spark, sfDir)
+      .select("a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == expected,
+      s"pair set mismatch: extra=${(got -- expected).take(5)} " +
+        s"missing=${(expected -- got).take(5)}")
+  }
+}
