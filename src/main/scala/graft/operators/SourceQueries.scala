@@ -98,7 +98,7 @@ object SourceQueries {
     // reduced to per-type counts. If dedup dropped nothing, n_events
     // doubles; if it over-dropped, counts fall short — the oracle
     // (raw events, undoubled) pins both failure directions.
-    "stream_dedup" -> ((s, d) => {
+    "stream_dedup" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val sink = "stream_dedup_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingEvents.dedupStream(s, d)
@@ -124,7 +124,7 @@ object SourceQueries {
     // active (user, day); the accept decision sorts each group by
     // (event time, event_id), so it is deterministic under any
     // partitioning and the oracle reproduces it as a row_number cut.
-    "stream_quota" -> ((s, d) => {
+    "stream_quota" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val sink = "stream_quota_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingEvents.quotaStream(s, d)
@@ -159,7 +159,7 @@ object SourceQueries {
     // reading vN and writing vN+1 also never overwrites what it
     // reads. Counts/sums are associative, so the final state ≡ the
     // oracle's one-shot aggregation.
-    "stream_foreach_upsert" -> ((s, d) => {
+    "stream_foreach_upsert" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val base = graft.Fs.sinkDir("graft_feb")
       graft.Fs.deleteRecursively(base)
       val ingest = s"$base/ingest"
@@ -257,7 +257,9 @@ object SourceQueries {
     // directions pin: un-dropped late rows add ~15 days of windows;
     // over-dropping loses the final-day hours.
     "stream_late_drop" -> ((s, d) =>
-      graft.streaming.StreamingEvents.lateDropResult(s, d)),
+      graft.streaming.StreamGates.withStateParts(s) {
+        graft.streaming.StreamingEvents.lateDropResult(s, d)
+      }),
 
     // The SAME quota through Spark 4's transformWithState (typed
     // MapState handles on the RocksDB state store the operator
@@ -265,7 +267,7 @@ object SourceQueries {
     // so the legacy and successor state APIs are proven
     // gate-indistinguishable. The provider conf is scoped to this
     // query and restored after.
-    "stream_quota_tws" -> ((s, d) => {
+    "stream_quota_tws" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key,
@@ -307,7 +309,7 @@ object SourceQueries {
     // arrival beyond K emits the evicted oldest event. The oracle
     // derives evictions as rank-from-newest > K, so both over- and
     // under-eviction break the hash.
-    "stream_recent_k" -> ((s, d) => {
+    "stream_recent_k" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key,
@@ -348,7 +350,7 @@ object SourceQueries {
     // the min-based batch semantics exact in one pass), and each
     // stage emits once when first reached. The drained emission
     // counts ARE the batch funnel row — same oracle string.
-    "stream_funnel" -> ((s, d) => {
+    "stream_funnel" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key,
@@ -392,7 +394,7 @@ object SourceQueries {
     // identical matrix, so the query pins against the SAME oracle
     // string as its batch twin — replay ≡ batch is the gate, not an
     // aspiration.
-    "stream_event_transitions" -> ((s, d) => {
+    "stream_event_transitions" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key,
@@ -438,7 +440,7 @@ object SourceQueries {
     // recurrence as a recursive CTE and the final state values
     // hash-pin the whole per-key update order, not just the flag
     // counts.
-    "stream_anomaly" -> ((s, d) => {
+    "stream_anomaly" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val sink = "stream_anomaly_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingEvents.anomalyStream(s, d)
@@ -469,7 +471,7 @@ object SourceQueries {
     // (history count + stream rank per user-day), so un-loaded
     // initial state (accepts too much) and double-counted history
     // both break the hash.
-    "stream_quota_warm" -> ((s, d) => {
+    "stream_quota_warm" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key,
@@ -514,7 +516,9 @@ object SourceQueries {
     // stateful aggregations). The oracle re-derives the silver layer
     // arithmetically and folds it the same way.
     "stream_multihop" -> ((s, d) =>
-      graft.streaming.StreamingEvents.multihopResult(s, d)),
+      graft.streaming.StreamGates.withStateParts(s) {
+        graft.streaming.StreamingEvents.multihopResult(s, d)
+      }),
 
     // The streaming pipeline's aggregation, batch-executed.
     "stream_window_batch" -> ((s, d) =>
@@ -602,7 +606,7 @@ object SourceQueries {
     // hour window the propagated watermark has passed; the oracle
     // derives the same emission horizon arithmetically (min of the
     // two sides' max event times, minus the 1 h delay).
-    "stream_asof" -> ((s, d) => {
+    "stream_asof" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val sink = "stream_asof_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingEvents
@@ -631,7 +635,7 @@ object SourceQueries {
     // derives independently in DuckDB from the batch definition
     // (end + gap < max event time), so the streaming state machine's
     // output is hash-pinned, not just spec-compared.
-    "sessionize_stateful" -> ((s, d) => {
+    "sessionize_stateful" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val sink = "sess_stateful_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       graft.streaming.Sessionize
@@ -644,7 +648,7 @@ object SourceQueries {
     // against the identical closed-session oracle, so the legacy
     // GroupState timeout and the successor timer mechanism are
     // proven gate-indistinguishable.
-    "sessionize_tws" -> ((s, d) => {
+    "sessionize_tws" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
       val sink = "sess_tws_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       graft.streaming.Sessionize
@@ -657,9 +661,11 @@ object SourceQueries {
     // manifest), read back from the files — hash-pinned against the
     // identical closed-session oracle as the memory-sink form.
     "sessionize_sink_parquet" -> ((s, d) =>
-      graft.streaming.Sessionize
-        .runStatefulStreamToParquet(s, d)
-        .orderBy("user_id", "session_start")),
+      graft.streaming.StreamGates.withStateParts(s) {
+        graft.streaming.Sessionize
+          .runStatefulStreamToParquet(s, d)
+          .orderBy("user_id", "session_start")
+      }),
 
     // Streaming DataSourceV2 with REAL offset management: the
     // `eventreplay` MicroBatchStream serves the staged event log in
@@ -669,7 +675,9 @@ object SourceQueries {
     // asserted in the gate, duplicates/holes are caught by this
     // oracle's count+hash.
     "stream_v2_source" -> ((s, d) =>
-      graft.streaming.EventReplayGate.run(s, d)),
+      graft.streaming.StreamGates.withStateParts(s) {
+        graft.streaming.EventReplayGate.run(s, d)
+      }),
 
     // The PARTITIONED form of the eventreplay kill/restart gate:
     // composite {partition → position} offsets over a 3-file log, a
@@ -678,7 +686,9 @@ object SourceQueries {
     // resume from its OWN position (the broker contract). Same
     // exactly-once oracle as the scalar gate.
     "stream_v2_partitioned" -> ((s, d) =>
-      graft.streaming.EventReplayGate.runPartitioned(s, d))
+      graft.streaming.StreamGates.withStateParts(s) {
+        graft.streaming.EventReplayGate.runPartitioned(s, d)
+      })
   )
 
   /** DuckDB derivation of the CLOSED sessions (batch sessionization +
