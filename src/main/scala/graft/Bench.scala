@@ -154,7 +154,9 @@ object Bench {
     // number alone cannot support a cross-round regression claim. After
     // the sweep we rebuild the session (fresh executor state, no
     // accumulated cache/GC pressure), re-warm, and time best-of-3 for:
-    //   - the 10 slowest sweep queries,
+    //   - the 50 slowest sweep queries (broad enough that every
+    //     query with meaningful absolute cost carries a
+    //     contention-free cross-round perf history),
     //   - every query >2× its prior-round sweep time AND >0.3 s now
     //     (the floor keeps 0.05→0.12 s jitter from flooding the pass —
     //     sub-0.3 s queries cannot be meaningful regressions at sf0.1),
@@ -165,7 +167,7 @@ object Bench {
       val watchlist = Seq("tpch_q3", "tpch_q5", "tpch_q10", "bigram_topk",
         "date_trunc_events", "cosine_topk_lsh")
       val byTime = results.sortBy(-_._2)
-      val top10 = byTime.take(10).map(_._1)
+      val top50 = byTime.take(50).map(_._1)
       val regressedAll = results.collect {
         case (n, t) if t > 0.3 && prior.get(n).exists(p => t > 2 * p) =>
           (n, t / prior(n))
@@ -179,11 +181,11 @@ object Bench {
           s"[bench] isolated pass capped: ${regressedAll.size - 20} " +
             s"regressed queries beyond the 20 worst were dropped: " +
             regressedAll.sortBy(-_._2).drop(20).map(_._1).mkString(","))
-      val flagged = (top10 ++ regressed ++ watchlist).distinct
+      val flagged = (top50 ++ regressed ++ watchlist).distinct
         .filter(SparkEntry.queries.contains)
       System.err.println(
         s"[bench] isolated re-run: ${flagged.size} queries " +
-          s"(top10=${top10.size}, regressed=${regressed.size}, " +
+          s"(top50=${top50.size}, regressed=${regressed.size}, " +
           s"watchlist=${watchlist.size})")
       spark.stop()
       spark = buildSession(cpus)

@@ -679,6 +679,177 @@ object AnalyticsQueries {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("den1"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("den2"))
         .orderBy("lag")
+    }),
+
+    // ACCOUNTS-RECEIVABLE AGING — the finance close report: every
+    // order still OPEN at the as-of date (ordered on or before it,
+    // last shipment strictly after it) bucketed by how long it has
+    // been open. The per-order last-ship date is one key-equi
+    // aggregation join (the open_orders_daily machinery at a single
+    // as-of point); bands are closed-form integer CASE cuts, so the
+    // report is one scan + one join + one 4-row rollup at any scale.
+    "order_aging" -> ((s, d) => {
+      val asof = lit("1998-01-01").cast("date")
+      val lastShip = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+      orders(s, d)
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") <= asof && col("last_ship") > asof)
+        .withColumn("days_open", datediff(asof, col("o_orderdate")))
+        .withColumn("band",
+          when(col("days_open") <= 30, "a_0_30")
+            .when(col("days_open") <= 90, "b_31_90")
+            .when(col("days_open") <= 365, "c_91_365")
+            .otherwise("d_365_plus"))
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("n_open"),
+          sum(cents(col("o_totalprice"))).as("open_cents"),
+          min(col("days_open").cast("long")).as("min_days"),
+          max(col("days_open").cast("long")).as("max_days"))
+        .orderBy("band")
+    }),
+
+    // Pairwise CORRELATION MATRIX in ONE scan — the EDA pass over a
+    // metric vector (order price, line count, quantity sum, discount
+    // sum per order) computing all six pairwise Pearson sufficient-
+    // statistic triples from a single aggregation, not one
+    // corr() scan per pair. All sums exact longs over integer-scaled
+    // metrics; num/den cross-multiplied as in acf_daily, the one
+    // float left to the consumer. Output unpivots to the 6-row
+    // (metric_a, metric_b) triangle.
+    "corr_matrix" -> ((s, d) => {
+      val m = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("m_lines"),
+          sum(col("l_quantity").cast("long")).as("m_qty"),
+          sum(cents(col("l_discount"))).as("m_disc"),
+          // Kilodollar units: n·Σ(m_price²) must stay inside long —
+          // ~2e15 at sf0.1, ~2e17 at sf1; DECIMAL widening is the
+          // documented step beyond (the dow_anomaly convention).
+          sum(expr("CAST(round(l_extendedprice*100) AS BIGINT)" +
+            " DIV 100000")).as("m_price"))
+      val metrics = Seq("m_lines", "m_qty", "m_disc", "m_price")
+      val aggs = metrics.map(a => sum(col(a)).as(s"s_$a")) ++
+        metrics.map(a => sum(col(a) * col(a)).as(s"ss_$a")) ++
+        (for {
+          i <- metrics.indices; j <- i + 1 until metrics.size
+        } yield sum(col(metrics(i)) * col(metrics(j)))
+          .as(s"sp_${metrics(i)}_${metrics(j)}")) :+
+        count(lit(1)).as("n")
+      val one = m.agg(aggs.head, aggs.tail: _*)
+      val pairs = for {
+        i <- metrics.indices; j <- i + 1 until metrics.size
+        a = metrics(i); b = metrics(j)
+      } yield s"'$a', '$b', n * sp_${a}_$b - s_$a * s_$b, " +
+        s"n * ss_$a - s_$a * s_$a, n * ss_$b - s_$b * s_$b"
+      one.select(
+        expr(s"stack(${pairs.size}, ${pairs.mkString(", ")}) " +
+          "AS (metric_a, metric_b, num, den_a, den_b)"))
+        .orderBy("metric_a", "metric_b")
+    }),
+
+    // MATCH_RECOGNIZE stand-in — Spark has no row-pattern clause, so
+    // the canonical DOWN{2} UP{2} V-shape pattern compiles to lag/lead
+    // comparisons over the ordered series instead: day t matches when
+    // y(t-2) > y(t-1) > y(t) < y(t+1) < y(t+2), strict, which is
+    // exactly the pattern's match-at-trough semantics with no
+    // backtracking needed because the pattern is fixed-length. Runs
+    // over the CALENDAR-BOUNDED daily revenue frame (~2.4k rows at
+    // any SF — the same scale contract as acf_daily), never raw
+    // orders; depth_cents measures the V's arms for ranking. A
+    // variable-length pattern (DOWN+ UP+) would move to the
+    // gaps-and-islands form exact_substring_spans uses.
+    "pattern_vshape" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+      val w = Window.orderBy("day")
+      daily
+        .withColumn("p2", lag(col("y"), 2).over(w))
+        .withColumn("p1", lag(col("y"), 1).over(w))
+        .withColumn("n1", lead(col("y"), 1).over(w))
+        .withColumn("n2", lead(col("y"), 2).over(w))
+        .filter(
+          col("p2") > col("p1") && col("p1") > col("y") &&
+            col("y") < col("n1") && col("n1") < col("n2"))
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("y"),
+          (col("p1") - col("y") + col("n1") - col("y"))
+            .as("depth_cents"))
+        .orderBy("day")
+    }),
+
+    // Month-over-month / year-over-year growth — the calendar-aligned
+    // BI report every revenue dashboard leads with. Deltas are exact
+    // integer ppm with the SIGN FACTORED OUT of the division
+    // (sign·(10⁶·|Δ| DIV prev)) because Spark's DIV truncates toward
+    // zero while DuckDB's // floors — they agree only on non-negative
+    // operands (the embedding_drift rule). First months carry NULL
+    // deltas in both engines. Windows run over the ~80-row month
+    // frame, never raw orders.
+    "monthly_yoy" -> ((s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_m", lag(col("y"), 1).over(w))
+        .withColumn("prev_y", lag(col("y"), 12).over(w))
+        .select(
+          col("month"), col("y"),
+          (when(col("y") >= col("prev_m"), 1L).otherwise(-1L) *
+            expr("(1000000 * abs(y - prev_m)) DIV prev_m"))
+            .as("mom_ppm"),
+          (when(col("y") >= col("prev_y"), 1L).otherwise(-1L) *
+            expr("(1000000 * abs(y - prev_y)) DIV prev_y"))
+            .as("yoy_ppm"))
+        .orderBy("month")
+    }),
+
+    // Two-proportion A/B test on user conversion (converted = at
+    // least 14 purchase events — a median split of the fixture's
+    // per-user purchase counts, so both proportions stay mid-range
+    // and the pooled variance never degenerates to zero at any SF;
+    // "has any purchase" converts 100% of this dense fixture and
+    // divides by zero), arms split by user-id parity — the experiment
+    // readout a growth team runs, kept exact: the pooled z² statistic
+    // cross-multiplies into one integer ratio,
+    //   z² = (c1·n2 − c2·n1)²·(n1+n2) / (n1·n2·c·(n−c)),
+    // reported as z2_milli = 10³·num DIV den (10³, not ppm, keeps
+    // 10³·num inside long through sf0.1's 1.5k users; beyond that the
+    // documented step is DECIMAL widening, the dow_anomaly rule).
+    // One distinct-user aggregation is the only row-scale shuffle;
+    // the 2×2 table folds on the driver-free one-row frame.
+    "ab_proportion_test" -> ((s, d) => {
+      val users = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("n_purch"))
+        .withColumn("conv",
+          when(col("n_purch") >= 14, 1L).otherwise(0L))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      users
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+            .as("c1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+            .as("c2"))
+        .withColumn("num",
+          (col("c1") * col("n2") - col("c2") * col("n1")) *
+            (col("c1") * col("n2") - col("c2") * col("n1")) *
+            (col("n1") + col("n2")))
+        .withColumn("den",
+          col("n1") * col("n2") * (col("c1") + col("c2")) *
+            (col("n1") + col("n2") - col("c1") - col("c2")))
+        .select(
+          col("n1"), col("c1"), col("n2"), col("c2"),
+          expr("1000 * num DIV den").as("z2_milli"))
     })
   )
 
@@ -1084,6 +1255,163 @@ object AnalyticsQueries {
         |         AS BIGINT) AS den1,
         |       CAST(count(*) * sum(yb*yb) - sum(yb) * sum(yb)
         |         AS BIGINT) AS den2
-        |FROM prs GROUP BY 1 ORDER BY lag""".stripMargin
+        |FROM prs GROUP BY 1 ORDER BY lag""".stripMargin,
+    "order_aging" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1
+        |), open_o AS (
+        |  SELECT o.*,
+        |         datediff('day', CAST(o.o_orderdate AS DATE),
+        |                  DATE '1998-01-01') AS days_open
+        |  FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey
+        |  WHERE o.o_orderdate <= TIMESTAMP '1998-01-01'
+        |    AND ls.last_ship > TIMESTAMP '1998-01-01'
+        |)
+        |SELECT CASE WHEN days_open <= 30 THEN 'a_0_30'
+        |            WHEN days_open <= 90 THEN 'b_31_90'
+        |            WHEN days_open <= 365 THEN 'c_91_365'
+        |            ELSE 'd_365_plus' END AS band,
+        |       CAST(count(*) AS BIGINT) AS n_open,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |         AS BIGINT) AS open_cents,
+        |       CAST(min(days_open) AS BIGINT) AS min_days,
+        |       CAST(max(days_open) AS BIGINT) AS max_days
+        |FROM open_o GROUP BY 1 ORDER BY band""".stripMargin,
+    "corr_matrix" ->
+      """WITH m AS (
+        |  SELECT l_orderkey,
+        |         CAST(count(*) AS BIGINT) AS m_lines,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |           AS m_qty,
+        |         CAST(sum(CAST(round(l_discount*100) AS BIGINT))
+        |           AS BIGINT) AS m_disc,
+        |         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |           // 100000) AS BIGINT) AS m_price
+        |  FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(m_lines) AS BIGINT) AS s_m_lines,
+        |    CAST(sum(m_qty) AS BIGINT) AS s_m_qty,
+        |    CAST(sum(m_disc) AS BIGINT) AS s_m_disc,
+        |    CAST(sum(m_price) AS BIGINT) AS s_m_price,
+        |    CAST(sum(m_lines*m_lines) AS BIGINT) AS ss_m_lines,
+        |    CAST(sum(m_qty*m_qty) AS BIGINT) AS ss_m_qty,
+        |    CAST(sum(m_disc*m_disc) AS BIGINT) AS ss_m_disc,
+        |    CAST(sum(m_price*m_price) AS BIGINT) AS ss_m_price,
+        |    CAST(sum(m_lines*m_qty) AS BIGINT) AS sp_lines_qty,
+        |    CAST(sum(m_lines*m_disc) AS BIGINT) AS sp_lines_disc,
+        |    CAST(sum(m_lines*m_price) AS BIGINT) AS sp_lines_price,
+        |    CAST(sum(m_qty*m_disc) AS BIGINT) AS sp_qty_disc,
+        |    CAST(sum(m_qty*m_price) AS BIGINT) AS sp_qty_price,
+        |    CAST(sum(m_disc*m_price) AS BIGINT) AS sp_disc_price
+        |  FROM m
+        |)
+        |SELECT metric_a, metric_b,
+        |       CAST(num AS BIGINT) AS num,
+        |       CAST(den_a AS BIGINT) AS den_a,
+        |       CAST(den_b AS BIGINT) AS den_b
+        |FROM (
+        |  SELECT 'm_lines' AS metric_a, 'm_disc' AS metric_b,
+        |         n*sp_lines_disc - s_m_lines*s_m_disc AS num,
+        |         n*ss_m_lines - s_m_lines*s_m_lines AS den_a,
+        |         n*ss_m_disc - s_m_disc*s_m_disc AS den_b
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'm_lines', 'm_price',
+        |         n*sp_lines_price - s_m_lines*s_m_price,
+        |         n*ss_m_lines - s_m_lines*s_m_lines,
+        |         n*ss_m_price - s_m_price*s_m_price
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'm_lines', 'm_qty',
+        |         n*sp_lines_qty - s_m_lines*s_m_qty,
+        |         n*ss_m_lines - s_m_lines*s_m_lines,
+        |         n*ss_m_qty - s_m_qty*s_m_qty
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'm_qty', 'm_disc',
+        |         n*sp_qty_disc - s_m_qty*s_m_disc,
+        |         n*ss_m_qty - s_m_qty*s_m_qty,
+        |         n*ss_m_disc - s_m_disc*s_m_disc
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'm_qty', 'm_price',
+        |         n*sp_qty_price - s_m_qty*s_m_price,
+        |         n*ss_m_qty - s_m_qty*s_m_qty,
+        |         n*ss_m_price - s_m_price*s_m_price
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'm_disc', 'm_price',
+        |         n*sp_disc_price - s_m_disc*s_m_price,
+        |         n*ss_m_disc - s_m_disc*s_m_disc,
+        |         n*ss_m_price - s_m_price*s_m_price
+        |  FROM t
+        |) u ORDER BY metric_a, metric_b""".stripMargin,
+    "pattern_vshape" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT day, y,
+        |         lag(y, 2) OVER (ORDER BY day) AS p2,
+        |         lag(y, 1) OVER (ORDER BY day) AS p1,
+        |         lead(y, 1) OVER (ORDER BY day) AS n1,
+        |         lead(y, 2) OVER (ORDER BY day) AS n2
+        |  FROM daily
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, y,
+        |       CAST(p1 - y + n1 - y AS BIGINT) AS depth_cents
+        |FROM l
+        |WHERE p2 > p1 AND p1 > y AND y < n1 AND n1 < n2
+        |ORDER BY day""".stripMargin,
+    "monthly_yoy" ->
+      """WITH monthly AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT month, y,
+        |         lag(y, 1) OVER (ORDER BY month) AS prev_m,
+        |         lag(y, 12) OVER (ORDER BY month) AS prev_y
+        |  FROM monthly
+        |)
+        |SELECT month, y,
+        |       CAST(CASE WHEN y >= prev_m THEN 1 ELSE -1 END
+        |         * ((1000000 * abs(y - prev_m)) // prev_m)
+        |         AS BIGINT) AS mom_ppm,
+        |       CAST(CASE WHEN y >= prev_y THEN 1 ELSE -1 END
+        |         * ((1000000 * abs(y - prev_y)) // prev_y)
+        |         AS BIGINT) AS yoy_ppm
+        |FROM l ORDER BY month""".stripMargin,
+    "ab_proportion_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |           THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+        |           AS conv,
+        |         user_id % 2 AS arm
+        |  FROM events GROUP BY user_id
+        |), t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM u
+        |)
+        |SELECT n1, c1, n2, c2,
+        |       CAST((1000 * ((c1*n2 - c2*n1) * (c1*n2 - c2*n1)
+        |           * (n1 + n2)))
+        |         // (n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))
+        |         AS BIGINT) AS z2_milli
+        |FROM t""".stripMargin
   )
 }

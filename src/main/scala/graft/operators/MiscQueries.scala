@@ -855,6 +855,33 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Bucketed-table EXCHANGE-FREE AGGREGATION — the other payoff of
+    // bucketing besides co-located joins: a groupBy on the bucket key
+    // reads each bucket as one pre-clustered partition, so the plan
+    // has ZERO shuffle exchanges (asserted in BucketedAggSpec) — at
+    // 100 TB the recurring per-key rollup over a bucketed fact table
+    // costs one local scan, not a full-network shuffle. Buckets here
+    // are the per-customer order rollup; the oracle recomputes from
+    // raw rows, so a bucket-pruned or double-read file breaks the
+    // hash. Output folds to per-bucket-count bands to stay bounded.
+    "bucketed_agg" -> ((s, d) => {
+      val ordTbl = graft.Fs.runTable("graft_ord_bktagg")
+      graft.Fs.dropTableAndLocation(s, ordTbl)
+      orders(s, d)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(ordTbl)
+      s.table(ordTbl)
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("cents"))
+        .groupBy(col("n_orders").as("orders_per_customer"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("band_cents"))
+        .orderBy("orders_per_customer")
+    }),
+
     // DYNAMIC partition overwrite — the BACKFILL pattern: a
     // day-partitioned table gets one corrected day rewritten in
     // place (overwrite mode with partitionOverwriteMode=dynamic
@@ -1474,6 +1501,18 @@ object MiscQueries {
         |       count(*) AS n_with_region,
         |       count(DISTINCT n_nationkey) AS n_distinct_keys
         |FROM nation""".stripMargin,
+    "bucketed_agg" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT CAST(n_orders AS BIGINT) AS orders_per_customer,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(cents) AS BIGINT) AS band_cents
+        |FROM per_cust GROUP BY 1
+        |ORDER BY orders_per_customer""".stripMargin,
     "bucketed_join" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_orders,

@@ -197,6 +197,43 @@ object OpsQueries {
         .select("u", "v"))
     }
 
+  /** Grid-bucketed radius self-join over a point frame (id, x, y):
+    * side A posts its home cell, side B its 3×3 cell neighborhood,
+    * candidates key-equi join on the cell, and the exact integer
+    * d² ≤ r² filter verifies. Cell size == radius, so every in-radius
+    * pair differs by ≤1 cell per axis and is found in EXACTLY one
+    * (home, neighbor) combination — complete, and duplicate-free with
+    * no dedup step. Factored out so SpatialGridJoinSpec can drive it
+    * with a dense synthetic frame (the sf fixture plane is sparse).
+    */
+  private[graft] def gridPairs(pts: DataFrame, r: Long): DataFrame = {
+    val home = pts.select(
+      col("id").as("a"), col("x").as("xa"), col("y").as("ya"),
+      expr(s"x DIV $r").as("cx"),
+      expr(s"y DIV $r").as("cy"))
+    val nbr = pts
+      .select(
+        col("id").as("b"), col("x").as("xb"), col("y").as("yb"),
+        expr(s"x DIV $r").as("bx"),
+        expr(s"y DIV $r").as("by"),
+        explode(sequence(lit(-1L), lit(1L))).as("dx"))
+      .select(
+        col("b"), col("xb"), col("yb"),
+        (col("bx") + col("dx")).as("cx"), col("by"),
+        explode(sequence(lit(-1L), lit(1L))).as("dy"))
+      .select(
+        col("b"), col("xb"), col("yb"), col("cx"),
+        (col("by") + col("dy")).as("cy"))
+    home
+      .join(nbr, Seq("cx", "cy"))
+      .filter(col("a") < col("b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= r * r)
+      .select("a", "b", "d2")
+  }
+
   /** Undirected degrees of the canonical edge list. */
   private def coPurchaseDeg(edges: DataFrame): DataFrame =
     edges.select(col("u").as("n"))
@@ -1002,7 +1039,157 @@ object OpsQueries {
                  DIV datediff(nd, pd)"""))
             .as("value_milli_cents"))
         .orderBy("user_id", "day")
-    })
+    }),
+
+    // CDC LOG COMPACTION — the Debezium/Hudi/Delta ingestion shape
+    // `upsert_join` doesn't cover: an ORDERED change log per key with
+    // DELETE tombstones, compacted to latest-op-wins state. The event
+    // stream reads as the log (key = user_id, op = D for error events
+    // else U, payload = cents), the winner per key is one max_by over
+    // the (ts, event_id) order — a single hash aggregation carrying
+    // O(1) state per key, never a per-key sort — and tombstoned keys
+    // drop from live state but are REPORTED (a compactor that
+    // silently loses deletes corrupts downstream sync). Output is the
+    // bounded compaction summary, not row-scale state.
+    "cdc_compact" -> ((s, d) => {
+      val log = events(s, d).select(
+        col("user_id").as("k"),
+        when(col("event_type") === "error", "D").otherwise("U")
+          .as("op"),
+        Money.cents(col("value")).as("v"),
+        col("ts"), col("event_id"))
+      log
+        .groupBy("k")
+        .agg(
+          max_by(
+            struct(col("op"), col("v")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_ops"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("last.op") === "U", 1L).otherwise(0L))
+            .as("n_live"),
+          sum(when(col("last.op") === "D", 1L).otherwise(0L))
+            .as("n_tombstoned"),
+          sum(when(col("last.op") === "U", col("last.v"))
+            .otherwise(0L)).as("live_cents"),
+          sum(col("n_ops")).as("n_log_rows"))
+    }),
+
+    // LATE-ARRIVING DIMENSION handling — the warehouse load pattern
+    // where fact rows land before their dimension row exists: facts
+    // keep loading against an UNKNOWN member (never dropped, never
+    // blocked) and reconcile when the dimension backfills. Simulated
+    // by hiding every 50th customer from the dimension; the LEFT join
+    // + coalesce('UNKNOWN') is the unknown-member fallback, and the
+    // per-segment report carries the orphan count a reconciliation
+    // job watches. The join stays a key-equi shuffle (customer is
+    // row-scale); only the fallback literal differs from a normal
+    // dim join.
+    "late_arriving_dim" -> ((s, d) => {
+      val dim = customer(s, d)
+        .filter(col("c_custkey") % 50 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      orders(s, d)
+        .join(dim, col("o_custkey") === col("c_custkey"), "left")
+        .withColumn("segment",
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+        .groupBy("segment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(Money.cents(col("o_totalprice"))).as("cents"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_orphaned"))
+        .orderBy("segment")
+    }),
+
+    // HITS hubs & authorities — the OTHER eigenvector centrality
+    // (pagerank_fixed ranks by random-walk mass; HITS separates
+    // "buys broadly" hubs from "bought broadly" authorities, the
+    // natural reading on a bipartite purchase graph). Two mutual-
+    // reinforcement rounds over the customer→supplier edges of the
+    // shared pinned edge list: a(p) = Σ h(c), h(c) = Σ a(p), each
+    // side MAX-normalized to 10⁶ with exact integer division (the
+    // usual L2 norm is a float; max-normalization preserves the
+    // ranking and keeps every intermediate a long — bounded by
+    // 10⁶·n_customers ≈ 1.5e18 at sf10). Every step is a key-equi
+    // join + hash agg; the norm is a one-row broadcast.
+    "hits_scores" -> ((s, d) => {
+      val cp = purchaseEdges(s, d)
+        .filter(col("src") % 2 === 0)
+        .select(col("src").as("c"), col("dst").as("p"))
+      def maxNorm(df: DataFrame, v: String): DataFrame = {
+        val m = df.agg(max(col(v)).as("mx"))
+        val keep = df.columns.filter(_ != v).map(col).toSeq
+        df.crossJoin(broadcast(m))
+          .select(keep :+ expr(s"(1000000 * $v) DIV mx").as(v): _*)
+      }
+      val h0 = cp.select("c").distinct()
+        .withColumn("h", lit(1000000L))
+      val (h2, a2) = (1 to 2)
+        .foldLeft((h0, h0.select(col("c").as("p"), col("h").as("a")))) {
+          case ((h, _), _) =>
+            val a = maxNorm(
+              cp.join(h, Seq("c"))
+                .groupBy("p").agg(sum(col("h")).as("a")), "a")
+            val hn = maxNorm(
+              cp.join(a, Seq("p"))
+                .groupBy("c").agg(sum(col("a")).as("h")), "h")
+            (hn, a)
+        }
+      a2.orderBy(col("a").desc, col("p")).limit(10)
+        .select(lit("authority").as("kind"), col("p").as("node"),
+          col("a").as("score"))
+        .unionByName(
+          h2.orderBy(col("h").desc, col("c")).limit(10)
+            .select(lit("hub").as("kind"), col("c").as("node"),
+              col("h").as("score")))
+        .orderBy(col("kind"), col("score").desc, col("node"))
+    }),
+
+    // Deterministic MODE aggregate — the categorical "most common
+    // value per group" report. Spark 3.4's builtin mode() breaks
+    // ties arbitrarily (expressly non-deterministic), so the modal
+    // order month per priority class computes as count + rank with
+    // the (n DESC, month ASC) tiebreak pinned — the only mode a
+    // cross-engine hash gate can accept.
+    "agg_mode" -> ((s, d) => {
+      val counts = orders(s, d)
+        .groupBy(
+          col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("n").desc, col("month"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("month").as("mode_month"),
+          col("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // SPATIAL NEIGHBOR JOIN — the grid-bucketed radius search every
+    // geo pipeline runs (store catchments, sensor clustering), with
+    // the same no-all-pairs discipline as the near-dup families.
+    // Points are deterministic integer coordinates derived from the
+    // customer key (a 1000×1000 plane); side A posts its HOME cell,
+    // side B posts its full 3×3 cell NEIGHBORHOOD, and the join is
+    // key-equi on the cell. Cell size == radius (5), so any pair
+    // within L2 radius differs by ≤1 cell per axis and is found in
+    // EXACTLY one (home, neighbor) combination — complete with no
+    // cross-band dedup step. The exact integer d² ≤ r² filter then
+    // prunes the corner candidates. Neighborhood fan-out is the fixed
+    // 9×, independent of data size; candidate volume is bounded by
+    // cell occupancy, never n².
+    "spatial_grid_join" -> ((s, d) =>
+      gridPairs(
+        customer(s, d).select(
+          col("c_custkey").as("id"),
+          ((col("c_custkey") * 2654435761L) % 1000L).as("x"),
+          ((col("c_custkey") * 40503L) % 1000L).as("y")),
+        5L)
+        .orderBy("a", "b"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1584,6 +1771,104 @@ object OpsQueries {
         |                  + nv * datediff('day', pd, day)) * 1000
         |                 // datediff('day', pd, nd) END AS BIGINT)
         |         AS value_milli_cents
-        |FROM j ORDER BY user_id, day""".stripMargin
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "cdc_compact" ->
+      """WITH log AS (
+        |  SELECT user_id AS k,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+        |           AS op,
+        |         CAST(round(value*100) AS BIGINT) AS v,
+        |         ts, event_id
+        |  FROM events
+        |), win AS (
+        |  SELECT k, op, v,
+        |         row_number() OVER (PARTITION BY k
+        |           ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY k) AS n_ops
+        |  FROM log
+        |), last AS (SELECT * FROM win WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_live,
+        |       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_tombstoned,
+        |       CAST(sum(CASE WHEN op = 'U' THEN v ELSE 0 END)
+        |         AS BIGINT) AS live_cents,
+        |       CAST(sum(n_ops) AS BIGINT) AS n_log_rows
+        |FROM last""".stripMargin,
+    "late_arriving_dim" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 50 <> 0
+        |)
+        |SELECT coalesce(d.c_mktsegment, 'UNKNOWN') AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |         AS BIGINT) AS cents,
+        |       CAST(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0
+        |         END) AS BIGINT) AS n_orphaned
+        |FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "hits_scores" ->
+      s"""WITH $edgesSqlCte,
+         |cp AS (SELECT c, p FROM pairs_),
+         |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h
+         |       FROM cp),
+         |a1r AS (SELECT p, CAST(sum(h) AS BIGINT) AS a
+         |        FROM cp JOIN h0 USING (c) GROUP BY p),
+         |a1 AS (SELECT p, CAST(1000000 * a
+         |         // (SELECT max(a) FROM a1r) AS BIGINT) AS a
+         |       FROM a1r),
+         |h1r AS (SELECT c, CAST(sum(a) AS BIGINT) AS h
+         |        FROM cp JOIN a1 USING (p) GROUP BY c),
+         |h1 AS (SELECT c, CAST(1000000 * h
+         |         // (SELECT max(h) FROM h1r) AS BIGINT) AS h
+         |       FROM h1r),
+         |a2r AS (SELECT p, CAST(sum(h) AS BIGINT) AS a
+         |        FROM cp JOIN h1 USING (c) GROUP BY p),
+         |a2 AS (SELECT p, CAST(1000000 * a
+         |         // (SELECT max(a) FROM a2r) AS BIGINT) AS a
+         |       FROM a2r),
+         |h2r AS (SELECT c, CAST(sum(a) AS BIGINT) AS h
+         |        FROM cp JOIN a2 USING (p) GROUP BY c),
+         |h2 AS (SELECT c, CAST(1000000 * h
+         |         // (SELECT max(h) FROM h2r) AS BIGINT) AS h
+         |       FROM h2r)
+         |SELECT * FROM (
+         |  (SELECT 'authority' AS kind, p AS node, a AS score
+         |   FROM a2 ORDER BY a DESC, p LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 'hub' AS kind, c AS node, h AS score
+         |   FROM h2 ORDER BY h DESC, c LIMIT 10)
+         |) u ORDER BY kind, score DESC, node""".stripMargin,
+    "agg_mode" ->
+      """WITH counts AS (
+        |  SELECT o_orderpriority,
+        |         strftime(o_orderdate, '%Y-%m') AS month,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderpriority, month, n,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY n DESC, month) AS rn
+        |  FROM counts
+        |)
+        |SELECT o_orderpriority, month AS mode_month,
+        |       CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "spatial_grid_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |         (c_custkey * 2654435761) % 1000 AS x,
+        |         (c_custkey * 40503) % 1000 AS y
+        |  FROM customer
+        |)
+        |SELECT a.id AS a, b.id AS b,
+        |       CAST((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+        |         AS BIGINT) AS d2
+        |FROM pts a JOIN pts b
+        |  ON a.id < b.id
+        | AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 25
+        |ORDER BY a, b""".stripMargin
   )
 }

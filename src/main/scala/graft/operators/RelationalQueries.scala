@@ -365,6 +365,44 @@ object RelationalQueries {
           expr("percentile(cents, 0.75)").as("q3_cents"))
         .orderBy("o_orderpriority")),
 
+    // Exact WEIGHTED median — "half the segment's ORDERS come from
+    // customers with balance ≤ X" (agg_median's percentile() weights
+    // every row equally; business medians usually weight by volume).
+    // Per customer one (balance, order-count) row; per segment a
+    // cumulative-weight window over the (cents, custkey) total order
+    // picks the first row where 2·cumw ≥ totw — the lower weighted
+    // median, exact integers throughout. Windows run over the
+    // per-customer aggregated frame (the revenue_gini scale caveat:
+    // row-scale but 5-way partitioned; the GlobalRank range scheme
+    // is the documented swap past that).
+    "weighted_median" -> ((s, d) => {
+      val perCust = customer(s, d)
+        .join(orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal_cents"))
+        .agg(count(col("o_orderkey")).as("w"))
+      val wOrd = Window.partitionBy("c_mktsegment")
+        .orderBy(col("bal_cents"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("c_mktsegment")
+      perCust
+        .withColumn("cumw", sum(col("w")).over(wOrd))
+        .withColumn("totw", sum(col("w")).over(wTot))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          min_by(
+            struct(col("bal_cents"), col("cumw"), col("totw")),
+            struct(col("bal_cents"), col("c_custkey"))).as("m"))
+        .select(
+          col("c_mktsegment"),
+          col("m.bal_cents").as("wmedian_bal_cents"),
+          col("m.cumw").as("cum_orders"),
+          col("m.totw").as("total_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Top-K: plans as TakeOrderedAndProject (per-partition heap, no
     // full sort) — the scale-safe form of ORDER BY + LIMIT.
     "topk_orders" -> ((s, d) =>
@@ -679,6 +717,31 @@ object RelationalQueries {
         |         AS q3_cents
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "weighted_median" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, c.c_mktsegment,
+        |         CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+        |         CAST(count(o.o_orderkey) AS BIGINT) AS w
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3
+        |), cw AS (
+        |  SELECT c_mktsegment, c_custkey, bal_cents,
+        |         CAST(sum(w) OVER (PARTITION BY c_mktsegment
+        |           ORDER BY bal_cents, c_custkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cumw,
+        |         CAST(sum(w) OVER (PARTITION BY c_mktsegment)
+        |           AS BIGINT) AS totw
+        |  FROM pc
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY bal_cents, c_custkey) AS rn
+        |  FROM cw WHERE cumw * 2 >= totw
+        |)
+        |SELECT c_mktsegment, bal_cents AS wmedian_bal_cents,
+        |       cumw AS cum_orders, totw AS total_orders
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey,
         |       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents

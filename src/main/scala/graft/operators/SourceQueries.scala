@@ -463,6 +463,36 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // Streaming CUSUM changepoint screen — the sustained-shift
+    // complement of the EWMA anomaly screen: per event_type one
+    // cumulative-excess integer S ← max(0, S + (x − K)), alarm +
+    // reset past H. Inherently sequential recurrence ⇒ stateful
+    // stream with O(1) state per key; the oracle replays the
+    // identical recurrence as a recursive CTE over the same bounded
+    // event slice, so the final S values hash-pin the whole per-key
+    // update order.
+    "stream_cusum" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
+      val sink = "stream_cusum_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingEvents.cusumStream(s, d)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamingEvents.assertSingleBatch(
+        q, "stream_cusum")
+      graft.streaming.MemorySinks.drain(s, sink)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          max_by(col("s_cents"), col("seq")).as("last_s_cents"))
+        .orderBy("event_type")
+    }),
+
     // WARM-START quota (StatefulProcessorWithInitialState): the
     // batch→streaming HANDOVER — history (even event ids) counted
     // once offline into the initial state, the stream processes only
@@ -1023,6 +1053,49 @@ object SourceQueries {
          |       r.n_flagged,
          |       r.ewma AS last_ewma_cents,
          |       r.ewmad AS last_ewmad_cents
+         |FROM rec r JOIN fin f
+         |  ON r.event_type = f.event_type AND r.seq = f.mseq
+         |ORDER BY r.event_type""".stripMargin,
+    "stream_cusum" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_id, event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_id < ${
+          graft.streaming.StreamingEvents.AnomMaxEventId
+        }),
+         |rn AS (
+         |  SELECT event_id, event_type, cents,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY tus, event_id) AS seq
+         |  FROM ev),
+         |rec AS (
+         |  SELECT event_type, CAST(0 AS BIGINT) AS seq,
+         |         CAST(0 AS BIGINT) AS s,
+         |         CAST(0 AS BIGINT) AS n_alarms
+         |  FROM (SELECT DISTINCT event_type FROM ev)
+         |  UNION ALL
+         |  SELECT r.event_type, n.seq,
+         |         CASE WHEN greatest(0, r.s + n.cents - ${
+          graft.streaming.StreamingEvents.CusumK
+        }) > ${graft.streaming.StreamingEvents.CusumH}
+         |           THEN 0
+         |           ELSE greatest(0, r.s + n.cents - ${
+          graft.streaming.StreamingEvents.CusumK
+        }) END,
+         |         r.n_alarms + CASE WHEN
+         |           greatest(0, r.s + n.cents - ${
+          graft.streaming.StreamingEvents.CusumK
+        }) > ${graft.streaming.StreamingEvents.CusumH}
+         |           THEN 1 ELSE 0 END
+         |  FROM rec r JOIN rn n
+         |    ON n.event_type = r.event_type AND n.seq = r.seq + 1),
+         |fin AS (
+         |  SELECT event_type, max(seq) AS mseq FROM rec
+         |  GROUP BY event_type)
+         |SELECT r.event_type, CAST(f.mseq AS BIGINT) AS n_events,
+         |       r.n_alarms, r.s AS last_s_cents
          |FROM rec r JOIN fin f
          |  ON r.event_type = f.event_type AND r.seq = f.mseq
          |ORDER BY r.event_type""".stripMargin,

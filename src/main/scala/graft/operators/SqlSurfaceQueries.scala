@@ -228,6 +228,23 @@ object SqlSurfaceQueries {
           |ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // LATERAL COLUMN ALIAS (Spark 3.4+, SPARK-27561): a SELECT item
+    // referencing an alias defined earlier in the SAME select list —
+    // the chained-derivation spelling that otherwise forces nested
+    // subqueries. Three chained hops (cents → dollars → kdollars)
+    // prove transitive resolution; DuckDB resolves the identical
+    // syntax natively, so one string could serve both engines.
+    "lateral_alias" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """SELECT o_orderkey,
+          |       CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+          |       cents DIV 100 AS dollars,
+          |       dollars DIV 1000 AS kdollars
+          |FROM orders_sq
+          |ORDER BY cents DESC, o_orderkey LIMIT 25""".stripMargin)
+    }),
+
     // SQL PIPE syntax (Spark 4, SPARK-49555): the |> operator chain —
     // FROM … |> WHERE … |> EXTEND … |> AGGREGATE … |> ORDER BY — the
     // linear query-flow spelling the SQL front end now accepts. Same
@@ -350,6 +367,13 @@ object SqlSurfaceQueries {
   private val centsBal = "CAST(round(c_acctbal*100) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "lateral_alias" ->
+      """SELECT o_orderkey,
+        |       CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |       cents // 100 AS dollars,
+        |       dollars // 1000 AS kdollars
+        |FROM orders
+        |ORDER BY cents DESC, o_orderkey LIMIT 25""".stripMargin,
     "sql_scripting" ->
       """WITH ks AS (
         |  SELECT unnest(generate_series(0, 20)) AS k

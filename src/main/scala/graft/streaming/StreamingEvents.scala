@@ -812,6 +812,68 @@ object StreamingEvents {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // Per-key CUSUM changepoint screen
+  // ------------------------------------------------------------------
+
+  case class CusumOut(
+      event_type: String, seq: Long, event_id: Long, s_cents: Long,
+      alarm: Boolean)
+
+  /** CUSUM drift allowance (cents; ≈ p55 of the fixture's event
+    * values, so the statistic drifts down on typical traffic and
+    * accumulates only on sustained high-value runs) and alarm
+    * threshold. Both engines replay the identical recurrence, so the
+    * exact values only shape how often alarms fire, never
+    * correctness.
+    */
+  val CusumK = 5500L
+  val CusumH = 30000L
+
+  /** Streaming CUSUM changepoint detector — the upward-shift screen
+    * that catches SUSTAINED level changes an EWMA z-score (the
+    * anomaly screen) smooths over: per event_type the state is one
+    * cumulative-excess integer S with the textbook recurrence
+    * S ← max(0, S + (x − K)), alarm + reset when S > H. The
+    * recursion is inherently sequential, which is WHY it runs as a
+    * stateful stream (O(1) state per key) rather than a window — and
+    * the oracle replays the identical recurrence as a recursive CTE
+    * over the same bounded event slice. Determinism contract as the
+    * EWMA screen: group-sorted by (event time, event_id),
+    * single-batch asserted.
+    */
+  def cusumGroup(
+      key: String,
+      events: Iterator[AnomEv],
+      state: GroupState[(Long, Long)]): Iterator[CusumOut] = {
+    var (s, seq) = state.getOption.getOrElse((0L, 0L))
+    val out = events.toSeq
+      .sortBy(e => (e.tsMicros, e.event_id))
+      .map { e =>
+        seq += 1
+        s = math.max(0L, s + e.cents - CusumK)
+        val alarm = s > CusumH
+        if (alarm) s = 0L
+        CusumOut(key, seq, e.event_id, s, alarm)
+      }
+    state.update((s, seq))
+    out.iterator
+  }
+
+  def cusumStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stream(spark, dir)
+      .filter(col("event_id") < AnomMaxEventId)
+      .select(col("event_id"), col("event_type"),
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"),
+        graft.operators.Money.cents(col("value")).as("cents"))
+      .as[AnomEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(cusumGroup)
+      .toDF()
+  }
+
   /** The last event a user's transition chain has consumed — ONE row
     * of ValueState per user, the minimal state a streaming Markov
     * tally needs.
