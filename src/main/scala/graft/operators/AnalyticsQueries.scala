@@ -681,6 +681,76 @@ object AnalyticsQueries {
         .orderBy("lag")
     }),
 
+    // SHARE-OF-PARENT hierarchical rollup — the drill-down ratio
+    // report (what % of its region is each nation, what % of total
+    // each region) every BI tree view renders. One revenue
+    // aggregation at the leaf grain; the two parent totals are
+    // WINDOW sums over the ~25-row aggregated frame (never a second
+    // scan), shares exact integer ppm.
+    "share_of_parent" -> ((s, d) => {
+      val leaf = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      val wr = Window.partitionBy("n_regionkey")
+      val wt = Window.partitionBy()
+      leaf
+        .withColumn("region_cents", sum(col("cents")).over(wr))
+        .withColumn("total_cents", sum(col("cents")).over(wt))
+        .select(
+          col("n_regionkey").cast("long").as("regionkey"),
+          col("n_name").as("nation"),
+          col("cents"),
+          expr("1000000 * cents DIV region_cents")
+            .as("share_of_region_ppm"),
+          expr("1000000 * region_cents DIV total_cents")
+            .as("region_share_ppm"))
+        .orderBy("regionkey", "nation")
+    }),
+
+    // TIME-CONSTRAINED funnel — event_funnel orders stages by min
+    // timestamp with no deadline; real conversion attribution bounds
+    // each hop (click within 24 h of a view, purchase within 24 h of
+    // a QUALIFIED click — a day, because the fixture's per-user event
+    // rate is ~0.2/day and an hour-bounded hop would never chain). Stages chain as user-key equi joins with the
+    // hop bound as a join predicate — per-user in-window pair counts
+    // are rate×window bounded, so the join never goes quadratic in
+    // history length. Distinct-id semi-join between stages keeps one
+    // row per qualifying event no matter how many antecedents.
+    "funnel_windowed" -> ((s, d) => {
+      val ev = events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        graft.Tables.tsMicros(col("ts")).as("tus"))
+      val hopUs = 86400L * 1000000L
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val qClicks = stage("click").as("c")
+        .join(stage("view").as("v"),
+          col("c.user_id") === col("v.user_id") &&
+            col("v.tus") > col("c.tus") - hopUs &&
+            col("v.tus") <= col("c.tus"))
+        .select(col("c.event_id").as("click_id"),
+          col("c.user_id").as("user_id"),
+          col("c.tus").as("click_tus"))
+        .distinct()
+      val qPurch = stage("purchase").as("p")
+        .join(qClicks.as("q"),
+          col("p.user_id") === col("q.user_id") &&
+            col("q.click_tus") > col("p.tus") - hopUs &&
+            col("q.click_tus") <= col("p.tus"))
+        .select(col("p.event_id").as("purchase_id"),
+          col("p.user_id").as("user_id"))
+        .distinct()
+      val c = qClicks.agg(
+        count(lit(1)).as("n_qualified_clicks"),
+        countDistinct(col("user_id")).as("n_click_users"))
+      val p = qPurch.agg(
+        count(lit(1)).as("n_qualified_purchases"),
+        countDistinct(col("user_id")).as("n_purchase_users"))
+      c.crossJoin(p)
+    }),
+
     // ACCOUNTS-RECEIVABLE AGING — the finance close report: every
     // order still OPEN at the as-of date (ordered on or before it,
     // last shipment strictly after it) bucketed by how long it has
@@ -1256,6 +1326,58 @@ object AnalyticsQueries {
         |       CAST(count(*) * sum(yb*yb) - sum(yb) * sum(yb)
         |         AS BIGINT) AS den2
         |FROM prs GROUP BY 1 ORDER BY lag""".stripMargin,
+    "share_of_parent" ->
+      """WITH leaf AS (
+        |  SELECT n.n_regionkey, n.n_name,
+        |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2
+        |), wins AS (
+        |  SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+        |         n_name AS nation, cents,
+        |         CAST(sum(cents) OVER (PARTITION BY n_regionkey)
+        |           AS BIGINT) AS region_cents,
+        |         CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        |  FROM leaf
+        |)
+        |SELECT regionkey, nation, cents,
+        |       CAST(1000000 * cents // region_cents AS BIGINT)
+        |         AS share_of_region_ppm,
+        |       CAST(1000000 * region_cents // total_cents AS BIGINT)
+        |         AS region_share_ppm
+        |FROM wins ORDER BY regionkey, nation""".stripMargin,
+    "funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |), qc AS (
+        |  SELECT DISTINCT c.event_id AS click_id, c.user_id,
+        |         c.tus AS click_tus
+        |  FROM ev c JOIN ev v
+        |    ON v.user_id = c.user_id AND v.event_type = 'view'
+        |   AND v.tus > c.tus - 86400000000 AND v.tus <= c.tus
+        |  WHERE c.event_type = 'click'
+        |), qp AS (
+        |  SELECT DISTINCT p.event_id AS purchase_id, p.user_id
+        |  FROM ev p JOIN qc q
+        |    ON q.user_id = p.user_id
+        |   AND q.click_tus > p.tus - 86400000000
+        |   AND q.click_tus <= p.tus
+        |  WHERE p.event_type = 'purchase'
+        |)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM qc)
+        |    AS n_qualified_clicks,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM qc)
+        |    AS n_click_users,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM qp)
+        |    AS n_qualified_purchases,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM qp)
+        |    AS n_purchase_users""".stripMargin,
     "order_aging" ->
       """WITH ls AS (
         |  SELECT l_orderkey, max(l_shipdate) AS last_ship

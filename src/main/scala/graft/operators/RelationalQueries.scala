@@ -322,6 +322,54 @@ object RelationalQueries {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // SCD2 AS-OF LOOKUP — the consumer side of scd2_intervals: each
+    // fact (purchase) resolves the dimension version VALID AT its
+    // timestamp, the effective-dated join every versioned-dimension
+    // warehouse runs. The dimension is the user's BROWSING regime
+    // (non-purchase events only — versioning the fact's own event
+    // type would make every lookup resolve to itself). The join is key-equi on the entity (user) with
+    // the [valid_from, valid_to) containment as a join predicate —
+    // versions-per-entity is bounded by regime changes, so the
+    // per-key fan-out stays small at any history length, and interval
+    // partitioning guarantees EXACTLY one version matches each fact
+    // (an unmatched or doubly-matched fact breaks the row count).
+    "scd2_asof_lookup" -> ((s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val dim = events(s, d)
+        .filter(col("user_id") < 50 && col("event_type") =!= "purchase")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(
+          col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        // Micros integers for the containment bounds: type-proof
+        // across both ts encodings the fixtures have shipped (LTZ
+        // micros and NTZ), per the tsMicros convention.
+        .withColumn("valid_from_us", graft.Tables.tsMicros(col("ts")))
+        .withColumn(
+          "valid_to_us",
+          coalesce(
+            graft.Tables.tsMicros(lead(col("ts"), 1).over(w)),
+            lit(Long.MaxValue)))
+        .select(
+          col("user_id").as("d_user"), col("event_type").as("regime"),
+          col("valid_from_us"), col("valid_to_us"))
+      events(s, d)
+        .filter(col("user_id") < 50 && col("event_type") === "purchase")
+        .withColumn("tus", graft.Tables.tsMicros(col("ts")))
+        .join(dim,
+          col("user_id") === col("d_user") &&
+            col("tus") >= col("valid_from_us") &&
+            col("tus") < col("valid_to_us"))
+        .groupBy("regime")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(cents(col("value"))).as("cents"))
+        .orderBy("regime")
+    }),
+
     // RANGE frame (value-based, vs the ROWS frame in
     // window_running_sum): rolling 30-day order revenue per customer.
     // The frame bound is an integer day offset, so peer handling and
@@ -676,6 +724,41 @@ object RelationalQueries {
         |    ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
         |  FROM customer) t
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "scd2_asof_lookup" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type,
+        |         lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS next_start
+        |  FROM events
+        |  WHERE user_id < 50 AND event_type <> 'purchase'
+        |), dim0 AS (
+        |  SELECT user_id AS d_user, event_type AS regime,
+        |         tus AS valid_from_us,
+        |         lead(tus) OVER (PARTITION BY user_id
+        |           ORDER BY tus, event_id) AS nxt
+        |  FROM l
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), dim AS (
+        |  SELECT d_user, regime, valid_from_us,
+        |         coalesce(nxt, 9223372036854775807) AS valid_to_us
+        |  FROM dim0
+        |)
+        |SELECT d.regime,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(round(p.value*100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |FROM (SELECT user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value
+        |      FROM events
+        |      WHERE user_id < 50 AND event_type = 'purchase') p
+        |JOIN dim d ON p.user_id = d.d_user
+        |  AND p.tus >= d.valid_from_us AND p.tus < d.valid_to_us
+        |GROUP BY 1 ORDER BY d.regime""".stripMargin,
     "scd2_intervals" ->
       """WITH l AS (
         |  SELECT user_id, event_id, event_type, ts,
