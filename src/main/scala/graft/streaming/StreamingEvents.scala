@@ -846,18 +846,35 @@ object StreamingEvents {
       key: String,
       events: Iterator[AnomEv],
       state: GroupState[(Long, Long)]): Iterator[CusumOut] = {
-    var (s, seq) = state.getOption.getOrElse((0L, 0L))
-    val out = events.toSeq
-      .sortBy(e => (e.tsMicros, e.event_id))
-      .map { e =>
-        seq += 1
-        s = math.max(0L, s + e.cents - CusumK)
-        val alarm = s > CusumH
-        if (alarm) s = 0L
-        CusumOut(key, seq, e.event_id, s, alarm)
-      }
-    state.update((s, seq))
+    val (next, out) =
+      CusumStep.advance(key, state.getOption.getOrElse((0L, 0L)),
+        events.toSeq)
+    state.update(next)
     out.iterator
+  }
+
+  /** The CUSUM recurrence's pure micro-batch step, factored out so
+    * StreamStatePropsSpec can sweep it under randomized
+    * order-preserving batchings without streaming machinery (the
+    * same contract as FunnelProcessor.advance /
+    * TransitionsProcessor.advance).
+    */
+  object CusumStep {
+    def advance(
+        key: String, state0: (Long, Long), rows: Seq[AnomEv])
+        : ((Long, Long), Seq[CusumOut]) = {
+      var (s, seq) = state0
+      val out = rows
+        .sortBy(e => (e.tsMicros, e.event_id))
+        .map { e =>
+          seq += 1
+          s = math.max(0L, s + e.cents - CusumK)
+          val alarm = s > CusumH
+          if (alarm) s = 0L
+          CusumOut(key, seq, e.event_id, s, alarm)
+        }
+      ((s, seq), out)
+    }
   }
 
   def cusumStream(spark: SparkSession, dir: String): DataFrame = {

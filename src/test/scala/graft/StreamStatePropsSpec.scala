@@ -103,4 +103,44 @@ class StreamStatePropsSpec extends AnyFunSuite {
       assert(st.map(_.event_id) == sorted.lastOption.map(_.event_id))
     }
   }
+
+  /** CUSUM step under any ORDER-PRESERVING batching (cuts anywhere in
+    * the (tsMicros, event_id) order, arbitrary shuffle WITHIN each
+    * batch) must reproduce the one-shot run exactly: same emission
+    * sequence, same final (S, seq) state, same alarm count — the
+    * cross-batch state-threading contract the streaming gate relies
+    * on, swept without streaming machinery.
+    */
+  test("cusum advance over any order-preserving batching ≡ one-shot") {
+    for (trial <- 1 to 300) {
+      val n = 1 + rnd.nextInt(40)
+      var tus = 0L
+      val evs = (1 to n).map { i =>
+        tus += 1 + rnd.nextInt(1000)
+        AnomEv(i.toLong, "k", tus,
+          rnd.nextInt(20000).toLong - 2000L)
+      }
+      val (oneState, oneOut) =
+        CusumStep.advance("k", (0L, 0L), evs)
+      // Random order-preserving cuts, then shuffle within batches.
+      val batches = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[AnomEv])
+      evs.foreach { e =>
+        if (rnd.nextBoolean() && batches.last.nonEmpty)
+          batches += scala.collection.mutable.ArrayBuffer.empty[AnomEv]
+        batches.last += e
+      }
+      var st = (0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+      batches.foreach { b =>
+        val (s1, o) = CusumStep.advance("k", st, rnd.shuffle(b.toSeq))
+        st = s1; out ++= o
+      }
+      assert(st == oneState,
+        s"trial $trial: state $st != $oneState")
+      assert(out.toSeq == oneOut,
+        s"trial $trial: emissions diverged at batching $batches")
+      assert(out.count(_.alarm) == oneOut.count(_.alarm))
+    }
+  }
 }
