@@ -681,6 +681,42 @@ object AnalyticsQueries {
         .orderBy("lag")
     }),
 
+    // ACTIVITY STREAKS — longest run of CONSECUTIVE active days per
+    // user, the classic gaps-and-islands: island id = day −
+    // dense_rank over the user's distinct active days (constant
+    // within a consecutive run), then a per-island length and a
+    // per-user max. Top-20 streaks, fully tiebroken. Windows run
+    // over the distinct (user, day) frame — bounded by users ×
+    // active days, with per-user partitions, never one global sort.
+    "user_streaks" -> ((s, d) => {
+      val days = events(s, d)
+        .select(
+          col("user_id"),
+          expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) " +
+            "DIV 86400000000 AS BIGINT)").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp",
+          col("day") - dense_rank().over(w).cast("long"))
+        .groupBy("user_id", "grp")
+        .agg(
+          count(lit(1)).as("len"),
+          min(col("day")).as("start_day"))
+        .groupBy("user_id")
+        .agg(
+          max(struct(col("len"), (-col("start_day")).as("ns")))
+            .as("best"),
+          count(lit(1)).as("n_streaks"))
+        .select(
+          col("user_id"),
+          col("best.len").as("longest_streak"),
+          (-col("best.ns")).as("streak_start_day"),
+          col("n_streaks"))
+        .orderBy(col("longest_streak").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // SHARE-OF-PARENT hierarchical rollup — the drill-down ratio
     // report (what % of its region is each nation, what % of total
     // each region) every BI tree view renders. One revenue
@@ -1326,6 +1362,33 @@ object AnalyticsQueries {
         |       CAST(count(*) * sum(yb*yb) - sum(yb) * sum(yb)
         |         AS BIGINT) AS den2
         |FROM prs GROUP BY 1 ORDER BY lag""".stripMargin,
+    "user_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |           AS day
+        |  FROM events
+        |), isl AS (
+        |  SELECT user_id, day,
+        |         day - dense_rank() OVER (PARTITION BY user_id
+        |           ORDER BY day) AS grp
+        |  FROM days
+        |), runs AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |         CAST(min(day) AS BIGINT) AS start_day
+        |  FROM isl GROUP BY 1, 2
+        |), best AS (
+        |  SELECT user_id, len, start_day,
+        |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |           AS n_streaks,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY len DESC, start_day ASC) AS rn
+        |  FROM runs
+        |)
+        |SELECT user_id, len AS longest_streak,
+        |       start_day AS streak_start_day, n_streaks
+        |FROM best WHERE rn = 1
+        |ORDER BY longest_streak DESC, user_id LIMIT 20""".stripMargin,
     "share_of_parent" ->
       """WITH leaf AS (
         |  SELECT n.n_regionkey, n.n_name,

@@ -763,6 +763,44 @@ object TextQueries {
         .orderBy("lang", "pred_lang")
     }),
 
+    // VOCABULARY COVERAGE curve — the tokenizer-budget question every
+    // vocab-size decision starts from: what share of corpus token
+    // OCCURRENCES does a top-k frequency vocabulary cover, at several
+    // k. Cumulative sum runs over the DISTINCT-TOKEN frame in
+    // (count DESC, token ASC) rank order (the auc_quality scale
+    // contract — vocabulary-scale, never corpus-scale), and each
+    // requested k reads the row at rank min(k, |V|) via a 4-row
+    // broadcast join. Exact integer ppm.
+    "ngram_coverage" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)
+      val cum = counts
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("cum_n", sum(col("n")).over(w))
+      val tot = counts.agg(
+        sum(col("n")).as("total_n"),
+        count(lit(1)).as("vocab_n"))
+      val ks = tot.select(
+        col("total_n"), col("vocab_n"),
+        explode(array(lit(100L), lit(1000L), lit(5000L),
+          lit(20000L))).as("k"))
+        .withColumn("rank", least(col("k"), col("vocab_n")))
+      broadcast(ks)
+        .join(cum.select("rank", "cum_n"), Seq("rank"))
+        .select(
+          col("k"),
+          col("rank").as("vocab_used"),
+          expr("1000000 * cum_n DIV total_n").as("covered_ppm"))
+        .orderBy("k")
+    }),
+
     // Global token frequency top-20.
     "token_topk" -> ((s, d) =>
       documents(s, d)
@@ -2967,6 +3005,33 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "ngram_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY token
+         |), cum AS (
+         |  SELECT CAST(row_number() OVER
+         |           (ORDER BY n DESC, token ASC) AS BIGINT) AS rank,
+         |         CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_n
+         |  FROM counts
+         |), tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS total_n,
+         |         CAST(count(*) AS BIGINT) AS vocab_n
+         |  FROM counts
+         |), ks AS (
+         |  SELECT k, least(k, vocab_n) AS rank, total_n
+         |  FROM tot, LATERAL unnest([CAST(100 AS BIGINT),
+         |    CAST(1000 AS BIGINT), CAST(5000 AS BIGINT),
+         |    CAST(20000 AS BIGINT)]) AS u(k)
+         |)
+         |SELECT ks.k, ks.rank AS vocab_used,
+         |       CAST(1000000 * c.cum_n // ks.total_n AS BIGINT)
+         |         AS covered_ppm
+         |FROM ks JOIN cum c ON c.rank = ks.rank
+         |ORDER BY ks.k""".stripMargin,
     "token_drift" ->
       s"""WITH hf AS (
          |  SELECT CAST(count(*) // 2 AS BIGINT) AS h FROM documents
