@@ -855,6 +855,76 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // DYNAMIC PARTITION PRUNING — the OTHER partition-pruning
+    // mechanism (partitioned_sink_prune pins static pruning from a
+    // literal predicate): here the pruning predicate only exists at
+    // RUNTIME — the kept day-partitions come from a FILTERED
+    // dimension table, so Catalyst injects a dynamicpruning subquery
+    // into the fact scan's partition filters and the fact table reads
+    // ONLY the joined days' partitions (DppJoinSpec asserts the
+    // subquery in the plan and the pruned partition count from scan
+    // metrics). At 100 TB this is what keeps a fact⋈dim join from
+    // scanning every partition when the dim filter is selective.
+    "dpp_join" -> ((s, d) => {
+      val base = graft.Fs.sinkDir("graft_dpp")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(base))
+      val factDir = s"$base/fact"
+      events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(factDir)
+      val dimDir = s"$base/dim"
+      // The dim key must be the SAME TYPE the fact's partition-column
+      // inference lands on (date) — a string dim key would put a cast
+      // on the join key and defeat the broadcast-reuse check DPP
+      // insertion depends on.
+      // The dim filter must be a real COMPARISON (dom <= 7): DPP's
+      // insertion rule only fires behind a likely-selective predicate,
+      // and a pre-collapsed bare boolean column does not qualify.
+      events(s, d)
+        .select(to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("dom", dayofmonth(col("day")))
+        .write.mode("overwrite").parquet(dimDir)
+      val fact = s.read.parquet(factDir)
+      val dim = s.read.parquet(dimDir).filter(col("dom") <= 7)
+      fact
+        .join(broadcast(dim.select("day")), Seq("day"))
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(graft.operators.Money.cents(col("value"))).as("cents"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("cents"))
+        .orderBy("day")
+    }),
+
+    // COLUMN-LEVEL LINEAGE — "which source columns feed each output?"
+    // answered from the ANALYZED plan (graft.plans.Lineage): leaf
+    // relations seed names, Project/Aggregate/Window map what they
+    // define to the union of referenced sources, joins/filters just
+    // merge. Driver-side plan metadata — microseconds at any table
+    // size, which is why catalogs ingest plan lineage instead of
+    // scanning data. The probe frame exercises a join, a multi-column
+    // arithmetic aggregate, a literal-only aggregate (empty source
+    // set), and a window; the oracle pins the expected edge list
+    // literally, so any regression in the walker (a dropped Window
+    // case, a lost multi-source union) breaks the gate.
+    "lineage_report" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+      val frame = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("disc_price_cents"),
+          max(col("o_orderdate")).as("latest_order"))
+        .withColumn("share_rows",
+          sum(col("n_rows")).over(w))
+      graft.plans.Lineage.report(frame).orderBy("out_col")
+    }),
+
     // Bucketed-table EXCHANGE-FREE AGGREGATION — the other payoff of
     // bucketing besides co-located joins: a groupBy on the bucket key
     // reads each bucket as one pre-clustered partition, so the plan
@@ -1501,6 +1571,30 @@ object MiscQueries {
         |       count(*) AS n_with_region,
         |       count(DISTINCT n_nationkey) AS n_distinct_keys
         |FROM nation""".stripMargin,
+    // The expected column-lineage edge list, pinned literally: the
+    // walker's output is a pure function of the probe frame's plan,
+    // so any regression (dropped Window case, lost multi-source
+    // union, literal aggregate gaining a phantom source) changes a
+    // row. share_rows traces to l_returnflag because the window
+    // PARTITION key determines the value; n_rows is a literal count
+    // with a genuinely empty source set.
+    "lineage_report" ->
+      """SELECT * FROM (VALUES
+        |  ('disc_price_cents', 'l_discount,l_extendedprice'),
+        |  ('l_returnflag', 'l_returnflag'),
+        |  ('latest_order', 'o_orderdate'),
+        |  ('n_rows', ''),
+        |  ('share_rows', 'l_returnflag'))
+        |  AS t(out_col, src_cols)
+        |ORDER BY out_col""".stripMargin,
+    "dpp_join" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM events
+        |WHERE CAST(strftime(ts, '%d') AS INT) <= 7
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "bucketed_agg" ->
       """WITH per_cust AS (
         |  SELECT o_custkey, count(*) AS n_orders,
