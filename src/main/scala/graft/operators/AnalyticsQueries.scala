@@ -681,6 +681,33 @@ object AnalyticsQueries {
         .orderBy("lag")
     }),
 
+    // CUMULATIVE REACH — unique users ever seen, by day (the growth
+    // curve next to daily_active_rollup's DAU/WAU): running
+    // countDistinct would need unbounded dedup state, so the curve
+    // computes from each user's FIRST-SEEN day (one distinct-user
+    // aggregation) joined to the observed-day calendar with a
+    // cumulative sum over the 30-row day frame — days with zero new
+    // users still advance the curve.
+    "reach_curve" -> ((s, d) => {
+      val userDay = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) " +
+          "DIV 86400000000 AS BIGINT)")).as("first_day"))
+        .groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val calendar = events(s, d)
+        .select(expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) " +
+          "DIV 86400000000 AS BIGINT)").as("day"))
+        .distinct()
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      calendar
+        .join(userDay, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users", sum(col("n_new")).over(w))
+        .orderBy("day")
+    }),
+
     // ACTIVITY STREAKS — longest run of CONSECUTIVE active days per
     // user, the classic gaps-and-islands: island id = day −
     // dense_rank over the user's distinct active days (constant
@@ -1362,6 +1389,28 @@ object AnalyticsQueries {
         |       CAST(count(*) * sum(yb*yb) - sum(yb) * sum(yb)
         |         AS BIGINT) AS den2
         |FROM prs GROUP BY 1 ORDER BY lag""".stripMargin,
+    "reach_curve" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |         min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |           AS first_day
+        |  FROM events GROUP BY 1
+        |), nd AS (
+        |  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY 1
+        |), cal AS (
+        |  SELECT DISTINCT
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |           AS day
+        |  FROM events
+        |)
+        |SELECT CAST(c.day AS BIGINT) AS day,
+        |       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY c.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_users
+        |FROM cal c LEFT JOIN nd n ON c.day = n.day
+        |ORDER BY day""".stripMargin,
     "user_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

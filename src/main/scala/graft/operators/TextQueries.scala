@@ -763,6 +763,46 @@ object TextQueries {
         .orderBy("lang", "pred_lang")
     }),
 
+    // PREFERENCE-PAIR ASSEMBLY — the DPO/RLHF data-prep shape: within
+    // each source bucket, pair high-scored documents (chosen) against
+    // low-scored ones (rejected) with a minimum quality gap, capped
+    // per bucket. Score is the integer stopword-density proxy
+    // (1000·n_stop DIV n_tokens — the text_quality convention);
+    // chosen = top-3 per source, rejected = bottom-3, pairs cross
+    // WITHIN the bucket only (9 per source before the gap cut), so
+    // pair volume is buckets × 9 at any corpus size — never a
+    // corpus-scale pair join. Windows rank within per-source
+    // partitions over the scored doc frame.
+    "preference_pairs" -> ((s, d) => {
+      val scored = documents(s, d)
+        .select(
+          col("doc_id"), col("source"),
+          expr("(1000 * CAST(size(filter(split(trim(text), '\\\\s+'), " +
+            s"t -> t IN ($StopSqlList))) AS BIGINT)) DIV " +
+            "size(split(trim(text), '\\\\s+'))").as("score_milli"))
+      val wTop = Window.partitionBy("source")
+        .orderBy(col("score_milli").desc, col("doc_id"))
+      val wBot = Window.partitionBy("source")
+        .orderBy(col("score_milli").asc, col("doc_id"))
+      val chosen = scored
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("doc_id").as("chosen_id"),
+          col("score_milli").as("chosen_score"))
+      val rejected = scored
+        .withColumn("rn", row_number().over(wBot))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("doc_id").as("rejected_id"),
+          col("score_milli").as("rejected_score"))
+      chosen
+        .join(rejected, Seq("source"))
+        .withColumn("gap_milli",
+          col("chosen_score") - col("rejected_score"))
+        .filter(col("gap_milli") >= 100)
+        .select("source", "chosen_id", "rejected_id", "gap_milli")
+        .orderBy("source", "chosen_id", "rejected_id")
+    }),
+
     // VOCABULARY COVERAGE curve — the tokenizer-budget question every
     // vocab-size decision starts from: what share of corpus token
     // OCCURRENCES does a top-k frequency vocabulary cover, at several
@@ -3005,6 +3045,33 @@ object TextQueries {
       s"""SELECT token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "preference_pairs" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |         CAST((1000 * CAST(len(list_filter($toksSql,
+         |             t -> t IN ($StopSqlList))) AS BIGINT))
+         |           // len($toksSql) AS BIGINT) AS score_milli
+         |  FROM documents
+         |), ch AS (
+         |  SELECT source, doc_id AS chosen_id,
+         |         score_milli AS chosen_score,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY score_milli DESC, doc_id) AS rn
+         |  FROM scored
+         |), rj AS (
+         |  SELECT source, doc_id AS rejected_id,
+         |         score_milli AS rejected_score,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY score_milli ASC, doc_id) AS rn
+         |  FROM scored
+         |)
+         |SELECT c.source, c.chosen_id, r.rejected_id,
+         |       CAST(c.chosen_score - r.rejected_score AS BIGINT)
+         |         AS gap_milli
+         |FROM ch c JOIN rj r ON c.source = r.source
+         |WHERE c.rn <= 3 AND r.rn <= 3
+         |  AND c.chosen_score - r.rejected_score >= 100
+         |ORDER BY c.source, c.chosen_id, r.rejected_id""".stripMargin,
     "ngram_coverage" ->
       s"""WITH counts AS (
          |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
