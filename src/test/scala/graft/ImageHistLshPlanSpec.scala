@@ -40,6 +40,44 @@ class ImageHistLshPlanSpec extends SparkTestBase {
     }
   }
 
+  test("measured recall vs the exact-twin truth set") {
+    // Truth: ALL L1-near-dup pairs among the corpus (brute force over
+    // the collected histograms — test SF only). LSH recall = found /
+    // truth; the capped band join trades some recall for bounded
+    // buckets, so this pins the trade at a measured floor instead of
+    // leaving it anecdotal (the LshRecallSpec discipline applied to
+    // the visual family).
+    val hist = operators.MultimodalPipeline
+      .imageHistogramsAll(spark, sfDir).toDF()
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val byBin = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        id -> ((0 until 8).map(byBin(_)), rows.head.getLong(3))
+      }
+    val ids = hist.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- i + 1 until ids.size
+      a = ids(i); b = ids(j)
+      (ha, na) = hist(a); (hb, nb) = hist(b)
+      l1 = (0 until 8).map(k => math.abs(ha(k) * nb - hb(k) * na)).sum
+      if l1 * 10 <= na * nb
+    } yield (a, b)).toSet
+    val found = SparkEntry.queries("image_hist_lsh")(spark, sfDir)
+      .select("a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.nonEmpty, "degenerate fixture: no true near-dups")
+    assert((found -- truth).isEmpty,
+      "precision must be 1.0 — every emitted pair passes the exact L1")
+    val recallPct = 100.0 * found.size / truth.size
+    info(f"image_hist_lsh recall: ${found.size}/${truth.size} " +
+      f"($recallPct%.1f%%) at cap ${operators.MultimodalQueries.HistBucketCap}")
+    assert(recallPct >= 20.0,
+      s"recall collapsed below the measured floor: $recallPct%")
+  }
+
   test("every emitted pair is a true near-dup sharing a viable band") {
     import org.apache.spark.sql.functions._
     val hist = operators.MultimodalPipeline
