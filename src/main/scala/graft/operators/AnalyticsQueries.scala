@@ -315,7 +315,7 @@ object AnalyticsQueries {
     // kilodollar units, which keeps 10⁶·dev² inside long only up to
     // ~sf1 (|dev| ≤ ~3.0e6; at sf10 a typical day's dev ≈ 4e6 and the
     // multiply would wrap in Spark while DuckDB raises) — beyond sf1
-    // widen to DECIMAL as revenue_gini/acf_daily do. The
+    // use `dow_anomaly_wide`, the DECIMAL(38,0) twin below. The
     // series aggregates to the calendar frame first; the 7-row dow
     // stats broadcast back by an equi-join on dow. Top-10 by z².
     "dow_anomaly" -> ((s, d) => {
@@ -336,6 +336,44 @@ object AnalyticsQueries {
           col("n") * col("syy") - col("sy") * col("sy"))
         .withColumn("z2_ppm",
           expr("1000000 * (dev * dev) DIV var_num"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dow"), col("y"), col("dev"),
+          col("var_num"), col("z2_ppm"))
+        .orderBy(col("z2_ppm").desc, col("day"))
+        .limit(10)
+    }),
+
+    // The sf10-SAFE twin of dow_anomaly — the "DECIMAL widening is
+    // the documented step beyond" made real instead of documented:
+    // 10⁶·dev² computes in DECIMAL(38,0) (Spark) against HUGEINT
+    // (DuckDB), so the statistic stays exact long past the ~sf1 long
+    // bound (10⁶·(4e6)² ≈ 1.6e19 overflows long, fits both wide
+    // types with 18 digits to spare); only the final ppm — which
+    // always fits long — casts back to BIGINT. Same plan shape and
+    // same answer as dow_anomaly at test SF, which is exactly the
+    // point: the widening changes the overflow ceiling, not the
+    // result.
+    "dow_anomaly_wide" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+          + " DIV 100000 AS BIGINT)").as("y"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val dstats = daily.groupBy("dow")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+      daily
+        .join(broadcast(dstats), Seq("dow"))
+        .withColumn("dev", col("n") * col("y") - col("sy"))
+        .withColumn("var_num",
+          col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("z2_ppm",
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) " +
+            "* CAST(dev AS DECIMAL(38,0)) " +
+            "* CAST(dev AS DECIMAL(38,0))) " +
+            "DIV CAST(var_num AS DECIMAL(38,0)) AS BIGINT)"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("dow"), col("y"), col("dev"),
           col("var_num"), col("z2_ppm"))
@@ -1363,6 +1401,32 @@ object AnalyticsQueries {
         |           * (st.n * dd.y - st.sy))
         |         // (st.n * st.syy - st.sy * st.sy) AS BIGINT)
         |         AS z2_ppm
+        |FROM dd JOIN st ON st.dow = dd.dow
+        |ORDER BY z2_ppm DESC, day LIMIT 10""".stripMargin,
+    "dow_anomaly_wide" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |         CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT d, y, CAST(dayofweek(d) + 1 AS BIGINT) AS dow
+        |  FROM daily
+        |), st AS (
+        |  SELECT dow, count(*) AS n,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM dd GROUP BY 1
+        |)
+        |SELECT strftime(dd.d, '%Y-%m-%d') AS day, dd.dow, dd.y,
+        |       CAST(st.n * dd.y - st.sy AS BIGINT) AS dev,
+        |       CAST(st.n * st.syy - st.sy * st.sy AS BIGINT)
+        |         AS var_num,
+        |       CAST((CAST(1000000 AS HUGEINT)
+        |           * CAST(st.n * dd.y - st.sy AS HUGEINT)
+        |           * CAST(st.n * dd.y - st.sy AS HUGEINT))
+        |         // CAST(st.n * st.syy - st.sy * st.sy AS HUGEINT)
+        |         AS BIGINT) AS z2_ppm
         |FROM dd JOIN st ON st.dow = dd.dow
         |ORDER BY z2_ppm DESC, day LIMIT 10""".stripMargin,
     "acf_daily" ->
