@@ -463,6 +463,84 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING REACH — the cumulative unique-user curve fed by a
+    // first-seen detector (one BIT of ValueState per user; the state
+    // keyspace is genuinely unbounded because "ever seen" is an
+    // unbounded question, but the payload is minimal and the
+    // emission is exactly-once per user). Emissions aggregate to the
+    // per-day new-user counts and pin against the SAME oracle string
+    // as the batch `reach_curve` — replay ≡ batch, the gate not an
+    // aspiration. The observed-day calendar joins from the batch
+    // read so zero-new days still advance the curve.
+    "stream_reach" -> ((s, d) => graft.streaming.StreamGates.withStateParts(s) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val sink = "stream_reach_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingEvents.reachStream(s, d)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingEvents.assertSingleBatch(
+          q, "stream_reach")
+        val newPerDay = graft.streaming.MemorySinks.drain(s, sink)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_new"))
+        val calendar = graft.Tables.events(s, d)
+          .select(expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) " +
+            "DIV 86400000000 AS BIGINT)").as("day"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        calendar
+          .join(newPerDay, Seq("day"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+          .orderBy("day")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
+    // Native session_window with a DYNAMIC per-row gap (Spark's
+    // gapDuration-as-expression form): purchases close their session
+    // after 5 minutes, everything else after 30 — the
+    // intent-dependent timeout a checkout flow uses. Sessions merge
+    // while a window overlaps the running maximum end, so the oracle
+    // reconstructs them with a cumulative-max island pass on the
+    // identical integer-microsecond timeline.
+    "session_window_dynamic" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(
+          col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "purchase", "5 minutes")
+              .otherwise("30 minutes")).as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("n_purchases"))
+        .select(
+          col("user_id"),
+          graft.Tables.tsMicros(col("sw.start")).as("start_us"),
+          graft.Tables.tsMicros(col("sw.end")).as("end_us"),
+          col("n_events"), col("n_purchases"))
+        .orderBy("user_id", "start_us")),
+
     // Streaming CUSUM changepoint screen — the sustained-shift
     // complement of the EWMA anomaly screen: per event_type one
     // cumulative-excess integer S ← max(0, S + (x − K)), alarm +
@@ -1056,6 +1134,60 @@ object SourceQueries {
          |FROM rec r JOIN fin f
          |  ON r.event_type = f.event_type AND r.seq = f.mseq
          |ORDER BY r.event_type""".stripMargin,
+    "stream_reach" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |         min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |           AS first_day
+        |  FROM events GROUP BY 1
+        |), nd AS (
+        |  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY 1
+        |), cal AS (
+        |  SELECT DISTINCT
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |           AS day
+        |  FROM events
+        |)
+        |SELECT CAST(c.day AS BIGINT) AS day,
+        |       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY c.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_users
+        |FROM cal c LEFT JOIN nd n ON c.day = n.day
+        |ORDER BY day""".stripMargin,
+    "session_window_dynamic" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN 300000000 ELSE 1800000000 END AS gap_us,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS is_p
+        |  FROM events
+        |), m AS (
+        |  SELECT *, max(us + gap_us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_max_end
+        |  FROM l
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_max_end IS NULL
+        |      OR us >= prev_max_end THEN 1 ELSE 0 END AS new_session
+        |  FROM m
+        |), s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id,
+        |       CAST(min(us) AS BIGINT) AS start_us,
+        |       CAST(max(us + gap_us) AS BIGINT) AS end_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(is_p) AS BIGINT) AS n_purchases
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, start_us""".stripMargin,
     "stream_cusum" ->
       s"""WITH RECURSIVE ev AS (
          |  SELECT event_id, event_type,

@@ -813,6 +813,68 @@ object StreamingEvents {
   }
 
   // ------------------------------------------------------------------
+  // Per-user first-seen screen (streaming reach)
+  // ------------------------------------------------------------------
+
+  case class FirstSeenOut(user_id: Long, day: Long)
+
+  /** First-seen detector: one BOOLEAN of ValueState per user; the
+    * first event a user ever shows emits their (user, first-seen day)
+    * exactly once — the streaming feed of the cumulative-reach curve,
+    * whose batch twin derives the same frame from min(day) per user.
+    * Dedup state for reach is GENUINELY unbounded (one key per user
+    * forever — that is what "ever seen" means); what stays bounded is
+    * the per-key payload: one bit. Within a batch rows process in the
+    * (tsSec, event_id) order (the established single-batch contract),
+    * so "first" is deterministic.
+    */
+  class FirstSeenProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TransEv, FirstSeenOut] {
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var seen
+        : org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", org.apache.spark.sql.Encoders.scalaBoolean,
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TransEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FirstSeenOut] =
+      if (seen.exists()) Iterator.empty
+      else {
+        val first = rows.minBy(e => (e.tsSec, e.event_id))
+        seen.update(true)
+        Iterator.single(
+          FirstSeenOut(key, first.tsSec / 86400L))
+      }
+  }
+
+  def reachStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Tables.tsMicros(col("ts")).as("tsMicros"))
+      .withColumn("tsSec",
+        expr("CAST(tsMicros DIV 1000000 AS BIGINT)"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("tsSec"))
+      .as[TransEv]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FirstSeenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
   // Per-key CUSUM changepoint screen
   // ------------------------------------------------------------------
 
