@@ -763,6 +763,41 @@ object TextQueries {
         .orderBy("lang", "pred_lang")
     }),
 
+    // CONCAT-THEN-CHUNK blocks — the GPT-style pretraining layout
+    // token_pack does NOT cover: documents concatenate into one token
+    // stream (per shard) and cut every 2048 tokens REGARDLESS of
+    // document boundaries, so a document can span blocks. Per shard:
+    // block count (ceil of the token total), boundary-spanning doc
+    // count (start block ≠ end block — the attention-masking cost of
+    // this layout), and the tail block's fill. Offsets come from one
+    // cumulative sum over the per-shard doc order — the same sharded
+    // prefix-sum scale shape as token_pack.
+    "concat_blocks" -> ((s, d) => {
+      val w = Window
+        .partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          (hash60(normText(col("text"))) % 8).as("shard"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("blk_start", expr("(cum - n_tokens) DIV 2048"))
+        .withColumn("blk_end", expr("(cum - 1) DIV 2048"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          expr("CAST((sum(n_tokens) + 2047) DIV 2048 AS BIGINT)")
+            .as("n_blocks"),
+          sum(when(col("blk_end") > col("blk_start"), 1L)
+            .otherwise(0L)).as("n_spanning"),
+          expr("CAST(sum(n_tokens) % 2048 AS BIGINT)")
+            .as("tail_fill"))
+        .orderBy("shard")
+    }),
+
     // PREFERENCE-PAIR ASSEMBLY — the DPO/RLHF data-prep shape: within
     // each source bucket, pair high-scored documents (chosen) against
     // low-scored ones (rejected) with a minimum quality gap, capped
@@ -3358,6 +3393,28 @@ object TextQueries {
         |       CAST(((1000000 * w_milli) // wt * nt) // 1000000
         |         AS BIGINT) AS target_docs
         |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+    "concat_blocks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         ${hash60Sql(normSql)} % 8 AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum
+         |  FROM t
+         |)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT)
+         |         AS n_blocks,
+         |       CAST(sum(CASE WHEN (cum - 1) // 2048
+         |           > (cum - n_tokens) // 2048 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_spanning,
+         |       CAST(sum(n_tokens) % 2048 AS BIGINT) AS tail_fill
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
     "token_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
