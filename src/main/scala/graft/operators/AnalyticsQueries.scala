@@ -306,6 +306,52 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    // THEIL-SEN TREND — the robust median-slope estimator (an outlier
+    // day can't drag it the way least squares lets it): pairwise
+    // slopes over the daily revenue series, WINDOWED to day gaps
+    // 1..30 so pairs form by exploding the 30 shifted offsets and
+    // equi-joining on day position (the acf_daily shape — never a
+    // non-equi self-join, which would plan as a nested loop). Slopes
+    // kept exact as sign·(1000·|Δy| DIV Δt) milli-kilodollars/day;
+    // the lower median and quartiles are rank-selected values over
+    // the calendar×30-bounded slope frame.
+    "theilsen_trend" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+          + " DIV 100000 AS BIGINT)").as("y"))
+        .withColumn("t",
+          datediff(col("day"), lit("1995-01-01").cast("date"))
+            .cast("long"))
+      val shifted = daily.select(
+          col("y").as("ya"), col("t").as("ta"),
+          explode(sequence(lit(1L), lit(30L))).as("gap"))
+        .select(col("ya"), col("ta"), col("gap"),
+          (col("ta") + col("gap")).as("t"))
+      val slopes = shifted
+        .join(daily.select(col("t"), col("y").as("yb")), Seq("t"))
+        .select(
+          (when(col("yb") >= col("ya"), 1L).otherwise(-1L) *
+            expr("(1000 * abs(yb - ya)) DIV gap")).as("slope_milli"))
+      val w = Window.orderBy("slope_milli")
+      slopes
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(
+          slopes.agg(count(lit(1)).as("n_pairs"))))
+        .filter(
+          col("rn") === expr("(n_pairs + 1) DIV 2") ||
+            col("rn") === expr("(n_pairs + 1) DIV 4") ||
+            col("rn") === expr("(3 * (n_pairs + 1)) DIV 4"))
+        .groupBy(col("n_pairs"))
+        .agg(
+          max(when(col("rn") === expr("(n_pairs + 1) DIV 4"),
+            col("slope_milli"))).as("q1_slope_milli"),
+          max(when(col("rn") === expr("(n_pairs + 1) DIV 2"),
+            col("slope_milli"))).as("median_slope_milli"),
+          max(when(col("rn") === expr("(3 * (n_pairs + 1)) DIV 4"),
+            col("slope_milli"))).as("q3_slope_milli"))
+    }),
+
     // SEASONAL ANOMALY SCREEN: each order day scored against its own
     // DAY-OF-WEEK population — the de-seasonalized outlier test a
     // forecasting pass runs where a global z-score would just flag
@@ -1378,6 +1424,42 @@ object AnalyticsQueries {
         |WHERE t3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    "theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) // 100000 AS BIGINT) AS y,
+        |         CAST(datediff('day', DATE '1995-01-01',
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+        |  FROM orders GROUP BY 1
+        |), sh AS (
+        |  SELECT d.y AS ya, d.t AS ta, g.gap, d.t + g.gap AS t
+        |  FROM daily d
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 30)) AS gap) g
+        |), slopes AS (
+        |  SELECT CAST(CASE WHEN b.y >= s.ya THEN 1 ELSE -1 END
+        |    * ((1000 * abs(b.y - s.ya)) // s.gap) AS BIGINT)
+        |    AS slope_milli
+        |  FROM sh s JOIN daily b ON b.t = s.t
+        |), r AS (
+        |  SELECT slope_milli,
+        |         CAST(row_number() OVER (ORDER BY slope_milli)
+        |           AS BIGINT) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_pairs
+        |  FROM slopes
+        |)
+        |SELECT n_pairs,
+        |       CAST(max(CASE WHEN rn = (n_pairs + 1) // 4
+        |         THEN slope_milli END) AS BIGINT) AS q1_slope_milli,
+        |       CAST(max(CASE WHEN rn = (n_pairs + 1) // 2
+        |         THEN slope_milli END) AS BIGINT)
+        |         AS median_slope_milli,
+        |       CAST(max(CASE WHEN rn = (3 * (n_pairs + 1)) // 4
+        |         THEN slope_milli END) AS BIGINT) AS q3_slope_milli
+        |FROM r
+        |WHERE rn IN ((n_pairs + 1) // 4, (n_pairs + 1) // 2,
+        |             (3 * (n_pairs + 1)) // 4)
+        |GROUP BY n_pairs""".stripMargin,
     "dow_anomaly" ->
       """WITH daily AS (
         |  SELECT o_orderdate AS d,

@@ -763,6 +763,70 @@ object TextQueries {
         .orderBy("lang", "pred_lang")
     }),
 
+    // LSH PARAMETER SWEEP — the bands×rows tuning table a near-dup
+    // deployment reads before committing to a banding: the SAME
+    // 8-slot signatures evaluated at 8×1 / 4×2 / 2×4 / 1×8, each
+    // config generating candidates through the standard viable-bucket
+    // join (2..BucketCap — the production path, caps included) and
+    // scored by the family's ≥4/8 signature-match acceptance. More
+    // bands ⇒ more candidates, lower precision; the sweep makes that
+    // curve a measured table instead of folklore. One signature
+    // build serves all four configs and both sides of the scoring
+    // join.
+    "lsh_param_sweep" -> ((s, d) => {
+      val sig = minhashSigs(s, d)
+      val cands = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map {
+        case (nb, r) =>
+          val bands = (0 until nb).map { j =>
+            sig.select(
+              col("doc_id"),
+              lit(nb.toLong).as("bands"),
+              lit(j).as("band"),
+              concat_ws("_",
+                (0 until r).map(k => col(s"h${j * r + k}")): _*)
+                .as("key"))
+          }.reduce(_ unionByName _)
+          val ok = bands
+            .groupBy("band", "key")
+            .agg(count(lit(1)).as("n"))
+            .filter(col("n").between(2, BucketCap))
+            .select("band", "key")
+          val small = bands.join(ok, Seq("band", "key"), "left_semi")
+          small
+            .select(col("bands"), col("band"), col("key"),
+              col("doc_id").as("a"))
+            .join(
+              small.select(col("band"), col("key"),
+                col("doc_id").as("b")),
+              Seq("band", "key"))
+            .filter(col("a") < col("b"))
+            .select(col("bands"), col("a"), col("b"))
+            .distinct()
+      }.reduce(_ unionByName _)
+      val sa = sig.toDF("a" +: (0 until 8).map(i => s"a$i"): _*)
+      val sb = sig.toDF("b" +: (0 until 8).map(i => s"b$i"): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cands
+        .join(sa, "a")
+        .join(sb, "b")
+        .withColumn("n_match", matches)
+        .groupBy("bands")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("n_match") >= 4, 1L).otherwise(0L))
+            .as("n_accepted"))
+        .select(
+          col("bands"),
+          expr("CAST(8 DIV bands AS BIGINT)").as("rows_per_band"),
+          col("n_candidates"), col("n_accepted"),
+          when(col("n_candidates") > 0,
+            expr("1000000 * n_accepted DIV n_candidates"))
+            .as("precision_ppm"))
+        .orderBy("bands")
+    }),
+
     // CONCAT-THEN-CHUNK blocks — the GPT-style pretraining layout
     // token_pack does NOT cover: documents concatenate into one token
     // stream (per shard) and cut every 2048 tokens REGARDLESS of
@@ -3393,6 +3457,65 @@ object TextQueries {
         |       CAST(((1000000 * w_milli) // wt * nt) // 1000000
         |         AS BIGINT) AS target_docs
         |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+    "lsh_param_sweep" -> {
+      val matchExpr = (0 until 8)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val perConfig = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map {
+        case (nb, r) =>
+          val bandSel = (0 until nb).map { j =>
+            val key = (0 until r)
+              .map(k => s"h${j * r + k}").mkString(", ")
+            s"SELECT doc_id, $j AS band, concat_ws('_', $key) AS key" +
+              " FROM sigs"
+          }.mkString("\n  UNION ALL\n  ")
+          s"""cand_$nb AS (
+             |  SELECT DISTINCT $nb AS bands, x.doc_id AS a,
+             |         y.doc_id AS b
+             |  FROM (
+             |    SELECT b.* FROM (
+             |      $bandSel) b
+             |    JOIN (SELECT band, key FROM (
+             |            $bandSel) g
+             |          GROUP BY band, key
+             |          HAVING count(*) BETWEEN 2 AND $BucketCap) ok
+             |      ON b.band = ok.band AND b.key = ok.key) x
+             |  JOIN (
+             |    SELECT b.* FROM (
+             |      $bandSel) b
+             |    JOIN (SELECT band, key FROM (
+             |            $bandSel) g
+             |          GROUP BY band, key
+             |          HAVING count(*) BETWEEN 2 AND $BucketCap) ok
+             |      ON b.band = ok.band AND b.key = ok.key) y
+             |    ON x.band = y.band AND x.key = y.key
+             |   AND x.doc_id < y.doc_id
+             |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $tokHashCte,
+         |sigs AS ($sigSelect),
+         |$perConfig,
+         |cand AS (
+         |  SELECT * FROM cand_8 UNION ALL SELECT * FROM cand_4
+         |  UNION ALL SELECT * FROM cand_2 UNION ALL
+         |  SELECT * FROM cand_1
+         |), scored AS (
+         |  SELECT c.bands, ($matchExpr) AS n_match
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.a
+         |  JOIN sigs sb ON sb.doc_id = c.b
+         |)
+         |SELECT CAST(bands AS BIGINT) AS bands,
+         |       CAST(8 // bands AS BIGINT) AS rows_per_band,
+         |       CAST(count(*) AS BIGINT) AS n_candidates,
+         |       CAST(sum(CASE WHEN n_match >= 4 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_accepted,
+         |       CAST(CASE WHEN count(*) > 0
+         |         THEN 1000000 * sum(CASE WHEN n_match >= 4
+         |                 THEN 1 ELSE 0 END) // count(*)
+         |         END AS BIGINT) AS precision_ppm
+         |FROM scored GROUP BY bands ORDER BY bands""".stripMargin
+    },
     "concat_blocks" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
