@@ -19,7 +19,12 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // multi-signal clustering, expression-level segmentation,
     // hashed-bucket selection, robust alarm.
     "ivfpq_topk", "dedup_policy", "wordpiece_stats",
-    "dsir_weights", "event_anomaly")
+    "dsir_weights", "event_anomaly",
+    // round-11 additions, one per new family: banded visual LSH,
+    // grid spatial join, HITS integer normalization, rank-selected
+    // robust trend, LSH tuning sweep, cumulative reach.
+    "image_hist_lsh", "spatial_grid_join", "hits_scores",
+    "theilsen_trend", "lsh_param_sweep", "reach_curve")
 
   test("representative queries are partition-count invariant") {
     val wide = spark
