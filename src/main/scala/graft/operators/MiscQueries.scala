@@ -855,6 +855,48 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // JSON QUARANTINE — the JSONL twin of csv_corrupt_recovery, a
+    // DIFFERENT parser with different failure modes: truncated
+    // objects, type mismatches on a declared field, and raw garbage
+    // all land in the _corrupt column under PERMISSIVE instead of
+    // failing the batch; good rows keep flowing. The corruption mix
+    // is fixed so the recovery counts pin exactly.
+    "json_corrupt_recovery" -> ((s, _) => {
+      val dir = sinkDir("graft_json_corrupt")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir))
+      val lines = Seq(
+        """{"k": 0, "name": "ALGERIA"}""",
+        """{"k": 1, "name": "ARGENTINA"}""",
+        """{"k": "notanint", "name": "CORRUPT_TYPE"}""",
+        """{"k": 2, "name": "BRAZIL"""",
+        """{"k": 3, "name": "CANADA"}""",
+        """not json at all""",
+        """{"k": 5, "name": "ETHIOPIA"}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part.jsonl"),
+        lines.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val schema = StructType(Seq(
+        StructField("k", IntegerType),
+        StructField("name", StringType),
+        StructField("_corrupt", StringType)))
+      s.read
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("k").cast("long"))
+            .otherwise(0L)).as("sum_good_keys"))
+    }),
+
     // DYNAMIC PARTITION PRUNING — the OTHER partition-pruning
     // mechanism (partitioned_sink_prune pins static pruning from a
     // literal predicate): here the pruning predicate only exists at
@@ -1587,6 +1629,11 @@ object MiscQueries {
         |  ('share_rows', 'l_returnflag'))
         |  AS t(out_col, src_cols)
         |ORDER BY out_col""".stripMargin,
+    "json_corrupt_recovery" ->
+      """SELECT CAST(7 AS BIGINT) AS n_rows,
+        |       CAST(4 AS BIGINT) AS n_good,
+        |       CAST(3 AS BIGINT) AS n_corrupt,
+        |       CAST(9 AS BIGINT) AS sum_good_keys""".stripMargin,
     "dpp_join" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |       CAST(count(*) AS BIGINT) AS n_events,
