@@ -463,6 +463,63 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // UPDATE output mode — the dashboard shape (append emits a
+    // window only when the watermark CLOSES it; update re-emits a
+    // key's row every time it changes). The memory sink accumulates
+    // every intermediate version; per-key counts are MONOTONE under
+    // accumulation, so max() over the drained versions IS the final
+    // value — pinned against the same batch aggregation oracle, which
+    // makes over-emission (stale versions winning) and missed updates
+    // both detectable.
+    "stream_update_mode" -> ((s, d) =>
+      graft.streaming.StreamGates.withStateParts(s) {
+        val sink = "stream_upd_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingEvents
+          .windowedAgg(graft.streaming.StreamingEvents.stream(s, d))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.MemorySinks.drain(s, sink)
+          .groupBy("day", "event_type")
+          .agg(
+            max(col("n_events")).as("n_events"),
+            max(col("value_cents")).as("value_cents"))
+          .orderBy("day", "event_type")
+      }),
+
+    // COMPLETE output mode — the full-snapshot-per-trigger shape for
+    // small-cardinality aggregates (a memory sink in complete mode
+    // REPLACES the table each batch, so what remains after the final
+    // trigger is exactly the final snapshot). Pinned against the
+    // one-shot batch totals.
+    "stream_complete_mode" -> ((s, d) =>
+      graft.streaming.StreamGates.withStateParts(s) {
+        val sink = "stream_cmp_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingEvents.stream(s, d)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(graft.operators.Money.cents(col("value")))
+              .as("value_cents"))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.MemorySinks.drain(s, sink)
+          .orderBy("event_type")
+      }),
+
     // STREAMING REACH — the cumulative unique-user curve fed by a
     // first-seen detector (one BIT of ValueState per user; the state
     // keyspace is genuinely unbounded because "ever seen" is an
@@ -1134,6 +1191,19 @@ object SourceQueries {
          |FROM rec r JOIN fin f
          |  ON r.event_type = f.event_type AND r.seq = f.mseq
          |ORDER BY r.event_type""".stripMargin,
+    "stream_update_mode" ->
+      """SELECT strftime(CAST(date_trunc('day', ts) AS DATE),
+        |         '%Y-%m-%d') AS day,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_complete_mode" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "stream_reach" ->
       """WITH fs AS (
         |  SELECT user_id,
