@@ -855,6 +855,36 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // HIDDEN METADATA COLUMNS — the `_metadata` struct every file
+    // scan carries (file_path/file_size/row_index...), the lineage
+    // hook audit pipelines read without a custom source. The table
+    // writes partitioned by a derived bucket with one file per
+    // partition (repartition on the partition key), then the scan
+    // groups by the bucket EXTRACTED FROM _metadata.file_path — so
+    // the oracle (plain per-bucket counts from raw rows) only matches
+    // if the metadata column reports the true provenance of every
+    // row, and n_files pins the one-file-per-partition layout.
+    "file_metadata_scan" -> ((s, d) => {
+      val dir = sinkDir("graft_meta_scan")
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      events(s, d)
+        .withColumn("bucket", (col("event_id") % 4).cast("long"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(dir)
+      s.read.parquet(dir)
+        .select(
+          col("_metadata.file_path").as("fp"),
+          graft.operators.Money.cents(col("value")).as("cents"))
+        .withColumn("bucket",
+          regexp_extract(col("fp"), "bucket=(\\d+)", 1).cast("long"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("fp")).as("n_files"),
+          sum(col("cents")).as("cents"))
+        .orderBy("bucket")
+    }),
+
     // JSON QUARANTINE — the JSONL twin of csv_corrupt_recovery, a
     // DIFFERENT parser with different failure modes: truncated
     // objects, type mismatches on a declared field, and raw garbage
@@ -1629,6 +1659,13 @@ object MiscQueries {
         |  ('share_rows', 'l_returnflag'))
         |  AS t(out_col, src_cols)
         |ORDER BY out_col""".stripMargin,
+    "file_metadata_scan" ->
+      """SELECT CAST(event_id % 4 AS BIGINT) AS bucket,
+        |       count(*) AS n_rows,
+        |       CAST(1 AS BIGINT) AS n_files,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "json_corrupt_recovery" ->
       """SELECT CAST(7 AS BIGINT) AS n_rows,
         |       CAST(4 AS BIGINT) AS n_good,
