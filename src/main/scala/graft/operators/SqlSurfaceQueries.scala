@@ -298,6 +298,25 @@ object SqlSurfaceQueries {
           |  USING min_bal""".stripMargin)
     }),
 
+    // PARAMETERIZED SQL (spark.sql(text, args) with named :markers —
+    // SPARK-44140): the injection-safe API twin of EXECUTE IMMEDIATE's
+    // session-variable form. Parameters bind as typed literals, not
+    // string splices, so the date bounds arrive as real values; the
+    // oracle is the same query with the parameters resolved.
+    "sql_parameterized" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |       sum(CAST(round(o_totalprice*100) AS BIGINT))
+          |         AS cents
+          |FROM orders_sq
+          |WHERE o_orderdate >= CAST(:lo AS DATE)
+          |  AND o_orderdate < CAST(:hi AS DATE)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+        Map("lo" -> "1996-01-01", "hi" -> "1997-01-01"))
+    }),
+
     // GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar): every
     // non-aggregate select item becomes a grouping key — the
     // ad-hoc-analytics spelling; the oracle names the keys
@@ -501,6 +520,15 @@ object SqlSurfaceQueries {
       """SELECT c_mktsegment, count(*) AS n_high
         |FROM customer WHERE c_acctbal > 5000.0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sql_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "stats_corr" ->
       """WITH b AS (
         |  SELECT CAST(round(l_extendedprice) AS BIGINT) AS x,
