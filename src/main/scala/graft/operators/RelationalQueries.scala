@@ -413,6 +413,30 @@ object RelationalQueries {
           expr("percentile(cents, 0.75)").as("q3_cents"))
         .orderBy("o_orderpriority")),
 
+    // Boolean & bitwise aggregate surface — count_if / bool_and /
+    // bool_or and the bit_and/or/xor fold family, the flag-rollup
+    // shapes permission masks and feature-flag audits use. Operands
+    // derive from the JSON props field (k mod 16 as a 4-bit flag
+    // word) so the bit folds see varied masks; every aggregate is
+    // order-independent, so the rollup is partition-proof by
+    // construction.
+    "agg_bool_bit" -> ((s, d) =>
+      events(s, d)
+        .select(
+          col("event_type"),
+          col("value"),
+          (get_json_object(col("props"), "$.k").cast("long") % 16)
+            .as("flags"))
+        .groupBy("event_type")
+        .agg(
+          count_if(col("value") > 15.0).as("n_high"),
+          bool_and(col("value") > 0.0).as("all_positive"),
+          bool_or(col("value") > 19.0).as("any_extreme"),
+          bit_and(col("flags")).as("flags_and"),
+          bit_or(col("flags")).as("flags_or"),
+          bit_xor(col("flags")).as("flags_xor"))
+        .orderBy("event_type")),
+
     // Exact WEIGHTED median — "half the segment's ORDERS come from
     // customers with balance ≤ X" (agg_median's percentile() weights
     // every row equally; business medians usually weight by volume).
@@ -800,6 +824,19 @@ object RelationalQueries {
         |         AS q3_cents
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_bool_bit" ->
+      """SELECT event_type,
+        |       CAST(sum(CASE WHEN value > 15.0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_high,
+        |       bool_and(value > 0.0) AS all_positive,
+        |       bool_or(value > 19.0) AS any_extreme,
+        |       CAST(bit_and(CAST(json_extract_string(props, '$.k')
+        |         AS BIGINT) % 16) AS BIGINT) AS flags_and,
+        |       CAST(bit_or(CAST(json_extract_string(props, '$.k')
+        |         AS BIGINT) % 16) AS BIGINT) AS flags_or,
+        |       CAST(bit_xor(CAST(json_extract_string(props, '$.k')
+        |         AS BIGINT) % 16) AS BIGINT) AS flags_xor
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "weighted_median" ->
       """WITH pc AS (
         |  SELECT c.c_custkey, c.c_mktsegment,
