@@ -37,6 +37,18 @@ object SourceQueries {
         .select(col("url"))
         .orderBy("url")),
 
+    // METADATA COLUMN through the V2 source — the `_metadata`-style
+    // provenance hook (Kafka's partition/offset shape) on a custom
+    // connector: `_partition_idx` is hidden until a query names it,
+    // and reports the row's InputPartition ordinal in the TABLE's
+    // url list. The oracle pins the full url→ordinal mapping
+    // literally, so renumbering under pruning or a misrouted row
+    // breaks the gate.
+    "webpage_metadata_cols" -> ((s, _) =>
+      webpages(s)
+        .select(col("url"), col("_partition_idx"))
+        .orderBy("url")),
+
     // Full ingest through the V2 source: identical output (and oracle)
     // to raw_rankings, which reads fixtures without the connector.
     "webpage_rankings" -> ((s, _) => {
@@ -1191,6 +1203,15 @@ object SourceQueries {
          |FROM rec r JOIN fin f
          |  ON r.event_type = f.event_type AND r.seq = f.mseq
          |ORDER BY r.event_type""".stripMargin,
+    "webpage_metadata_cols" ->
+      """SELECT * FROM (VALUES
+        |  ('https://www.empireonline.com/movies/features/best-movies/',
+        |   CAST(2 AS INTEGER)),
+        |  ('https://www.imdb.com/chart/top', CAST(0 AS INTEGER)),
+        |  ('https://www.ranker.com/crowdranked-list/the-best-movies-of-all-time',
+        |   CAST(1 AS INTEGER)))
+        |  AS t(url, _partition_idx)
+        |ORDER BY url""".stripMargin,
     "stream_update_mode" ->
       """SELECT strftime(CAST(date_trunc('day', ts) AS DATE),
         |         '%Y-%m-%d') AS day,

@@ -4,10 +4,10 @@ import java.util
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -158,7 +158,8 @@ object WebpageDataSource {
 
 class WebpageTable(urls: Seq[String], mode: String)
     extends Table
-    with SupportsRead {
+    with SupportsRead
+    with SupportsMetadataColumns {
   override def name(): String = "webpage"
   override def schema(): StructType = WebpageDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -166,6 +167,20 @@ class WebpageTable(urls: Seq[String], mode: String)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new WebpageScanBuilder(urls, mode)
+
+  /** Hidden METADATA COLUMN (the `_metadata`-style provenance hook,
+    * Kafka's partition/offset shape): `_partition_idx` is the row's
+    * InputPartition ordinal in the TABLE's url list — stable under
+    * filter pushdown (pruning skips partitions, it never renumbers
+    * them), visible only when a query names it.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_partition_idx"
+      override def dataType(): DataType = IntegerType
+      override def comment(): String =
+        "ordinal of the row's InputPartition in the table's url list"
+    })
 }
 
 /** ScanBuilder with REAL pushdown — the 100 TB story applied to a
@@ -217,12 +232,18 @@ class WebpageScanBuilder(urls: Seq[String], mode: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new WebpageScan(prunedUrls, mode, required, pushed.map(_.toString))
+  override def build(): Scan = {
+    // Partition ordinals are assigned on the TABLE's url list, then
+    // carried through pruning — provenance must not renumber.
+    val withIdx = urls.zipWithIndex.filter {
+      case (u, _) => prunedUrls.contains(u)
+    }
+    new WebpageScan(withIdx, mode, required, pushed.map(_.toString))
+  }
 }
 
 class WebpageScan(
-    urls: Seq[String],
+    urls: Seq[(String, Int)],
     mode: String,
     required: StructType,
     pushedDesc: Array[String])
@@ -232,7 +253,9 @@ class WebpageScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    urls.map(u => WebpageInputPartition(u): InputPartition).toArray
+    urls.map { case (u, i) =>
+      WebpageInputPartition(u, i): InputPartition
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new WebpageReaderFactory(mode, required.fieldNames.toSeq)
   override def description(): String =
@@ -256,17 +279,20 @@ class WebpageScan(
   }
 }
 
-case class WebpageInputPartition(url: String) extends InputPartition
+case class WebpageInputPartition(url: String, idx: Int)
+    extends InputPartition
 
 class WebpageReaderFactory(mode: String, fields: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new WebpageReader(
-      partition.asInstanceOf[WebpageInputPartition].url, mode, fields)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WebpageInputPartition]
+    new WebpageReader(p.url, p.idx, mode, fields)
+  }
 }
 
-class WebpageReader(url: String, mode: String, fields: Seq[String])
+class WebpageReader(
+    url: String, idx: Int, mode: String, fields: Seq[String])
     extends PartitionReader[InternalRow]
     with Logging {
   private var emitted = false
@@ -295,6 +321,7 @@ class WebpageReader(url: String, mode: String, fields: Seq[String])
               case "url" => UTF8String.fromString(url)
               case "html" =>
                 UTF8String.fromString(html.getOrElse(""))
+              case "_partition_idx" => idx: java.lang.Integer
             }: _*)
           true
         case None =>
