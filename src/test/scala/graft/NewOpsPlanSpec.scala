@@ -67,4 +67,27 @@ class NewOpsPlanSpec extends SparkTestBase {
       plan.contains("windowspecdefinition(shard"),
       s"window must partition by shard:\n$plan")
   }
+
+  test("corr_matrix: one aggregation pass, no cartesian") {
+    val plan = executedPlan("corr_matrix")
+    assert(!plan.contains("CartesianProduct"))
+    // The whole point is ONE sufficient-statistics pass: exactly one
+    // aggregation pair (partial+final) over the per-order frame plus
+    // the per-order rollup itself — a corr()-per-pair refactor would
+    // multiply the HashAggregate count.
+    val nAgg = countOf(plan, "HashAggregate")
+    assert(nAgg <= 4,
+      s"expected one sufficient-stats pass (≤4 HashAggregates incl. " +
+        s"partials), got $nAgg:\n$plan")
+  }
+
+  test("lsh_param_sweep and image_hist_lsh: no cartesian") {
+    Seq("lsh_param_sweep", "image_hist_lsh").foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never plan a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name candidates must come from key-equi band joins:\n$plan")
+    }
+  }
 }
