@@ -589,9 +589,12 @@ object SourceQueries {
     // gapDuration-as-expression form): purchases close their session
     // after 5 minutes, everything else after 30 — the
     // intent-dependent timeout a checkout flow uses. Sessions merge
-    // while a window overlaps the running maximum end, so the oracle
-    // reconstructs them with a cumulative-max island pass on the
-    // identical integer-microsecond timeline.
+    // while a window starts AT OR BEFORE the running maximum end
+    // (exact boundary contact MERGES — pinned by the randomized
+    // differential sweep in SessionWindowDynamicPropsSpec, whose
+    // first run caught the >= split this oracle briefly had), so the
+    // oracle reconstructs them with a cumulative-max island pass on
+    // the identical integer-microsecond timeline.
     "session_window_dynamic" -> ((s, d) =>
       graft.Tables.events(s, d)
         .groupBy(
@@ -1005,7 +1008,7 @@ object SourceQueries {
         |  FROM events
         |), f AS (
         |  SELECT *, CASE WHEN prev_us IS NULL
-        |      OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END
+        |      OR us - prev_us > 1800000000 THEN 1 ELSE 0 END
         |    AS new_session
         |  FROM l
         |), s AS (
@@ -1263,7 +1266,7 @@ object SourceQueries {
         |  FROM l
         |), f AS (
         |  SELECT *, CASE WHEN prev_max_end IS NULL
-        |      OR us >= prev_max_end THEN 1 ELSE 0 END AS new_session
+        |      OR us > prev_max_end THEN 1 ELSE 0 END AS new_session
         |  FROM m
         |), s AS (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
