@@ -868,6 +868,18 @@ object SourceQueries {
     "stream_v2_partitioned" -> ((s, d) =>
       graft.streaming.StreamGates.withStateParts(s) {
         graft.streaming.EventReplayGate.runPartitioned(s, d)
+      }),
+
+    // Broker-provenance METADATA COLUMNS through the STREAMING V2
+    // source (SupportsMetadataColumns on eventreplay): _replay_part /
+    // _replay_pos are hidden until named and bind positionally after
+    // the data schema; per-partition aggregates — including
+    // Σpos = n(n−1)/2, which pins positions as a contiguous 0-based
+    // sequence — derive in the oracle from raw events via the
+    // event_id mod 3 routing rule.
+    "stream_v2_metadata" -> ((s, d) =>
+      graft.streaming.StreamGates.withStateParts(s) {
+        graft.streaming.EventReplayGate.runMetadata(s, d)
       })
   )
 
@@ -1282,6 +1294,15 @@ object SourceQueries {
         |       CAST(sum(is_p) AS BIGINT) AS n_purchases
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, start_us""".stripMargin,
+    "stream_v2_metadata" ->
+      """SELECT event_id % 3 AS part,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       CAST(0 AS BIGINT) AS min_pos,
+        |       CAST(count(*) - 1 AS BIGINT) AS max_pos,
+        |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+        |         AS sum_pos
+        |FROM events GROUP BY 1 ORDER BY part""".stripMargin,
     "stream_cusum" ->
       s"""WITH RECURSIVE ev AS (
          |  SELECT event_id, event_type,

@@ -92,12 +92,41 @@ object EventReplayDataSource {
     * partition.
     */
   val SplitsPerBatch = 4
+
 }
 
 class EventReplayTable(
     paths: IndexedSeq[String], rowsPerBatch: Long, maxRows: Option[Long])
     extends Table
-    with SupportsRead {
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Broker-provenance METADATA COLUMNS (the Kafka partition/offset
+    * shape): `_replay_part` = log partition index, `_replay_pos` =
+    * the row's 0-based position within its partition — hidden until
+    * a query names them, served by the reader from the slice bounds
+    * it already carries (zero extra I/O). The streaming plan binds a
+    * referenced metadata column POSITIONALLY at dataSchema.length +
+    * its declared index (streaming scans run no column pruning), so
+    * the reader always appends both in declaration order; a query
+    * that references neither never reads past the base fields.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_replay_part"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          IntegerType
+        override def comment(): String = "log partition index"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_replay_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def comment(): String =
+          "0-based row position within the log partition"
+      })
   override def name(): String = s"eventreplay(${paths.mkString(",")})"
   override def schema(): StructType = EventReplayDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -106,7 +135,8 @@ class EventReplayTable(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = EventReplayDataSource.Schema
+        override def readSchema(): StructType =
+          EventReplayDataSource.Schema
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
           new EventReplayMicroBatchStream(paths, rowsPerBatch, maxRows)
@@ -323,7 +353,8 @@ class EventReplayMicroBatchStream(
         (0 until n).map { i =>
           val lo = lo0 + i * step
           val hi = if (i == n - 1) hi0 else lo + step
-          EventReplayInputPartition(paths(0), lo, hi): InputPartition
+          EventReplayInputPartition(paths(0), lo, hi, 0)
+            : InputPartition
         }.toArray
       }
     } else {
@@ -332,7 +363,8 @@ class EventReplayMicroBatchStream(
       paths.indices
         .filter(i => e(i) > s(i))
         .map(i =>
-          EventReplayInputPartition(paths(i), s(i), e(i)): InputPartition)
+          EventReplayInputPartition(paths(i), s(i), e(i), i)
+            : InputPartition)
         .toArray
     }
   }
@@ -347,14 +379,14 @@ class EventReplayMicroBatchStream(
 }
 
 case class EventReplayInputPartition(
-    path: String, startRow: Long, endRow: Long)
+    path: String, startRow: Long, endRow: Long, partIdx: Int)
     extends InputPartition
 
 class EventReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EventReplayInputPartition]
-    new EventReplayReader(p.path, p.startRow, p.endRow)
+    new EventReplayReader(p.path, p.startRow, p.endRow, p.partIdx)
   }
 }
 
@@ -412,7 +444,8 @@ object EventReplayLineIndex {
   * Stride−1 line skips) — the seekable-log-store read path, not a
   * from-zero scan per batch.
   */
-class EventReplayReader(path: String, startRow: Long, endRow: Long)
+class EventReplayReader(
+    path: String, startRow: Long, endRow: Long, partIdx: Int = 0)
     extends PartitionReader[InternalRow] {
   private val channel = java.nio.file.Files.newByteChannel(
     java.nio.file.Paths.get(path))
@@ -436,16 +469,24 @@ class EventReplayReader(path: String, startRow: Long, endRow: Long)
       val line = reader.readLine()
       if (line == null) false
       else {
+        val rowPos = pos
         pos += 1
         val f = line.split('\t')
         require(f.length == 5,
           s"eventreplay: malformed log line (${f.length} fields): $line")
-        current = InternalRow(
+        val base: Seq[Any] = Seq(
           f(0).toLong,
           f(1).toLong,
           f(2).toLong,
           UTF8String.fromString(f(3)),
           f(4).toLong)
+        // Broker-provenance metadata ALWAYS appends after the base
+        // schema in metadataColumns() declaration order: the
+        // STREAMING path never runs column pruning, and Spark binds
+        // a referenced metadata column positionally at
+        // dataSchema.length + its declared index — a query that
+        // references none simply never reads past position 4.
+        current = InternalRow((base :+ partIdx :+ rowPos): _*)
         true
       }
     }

@@ -199,4 +199,49 @@ object EventReplayGate {
       spark.read.parquet(out), "stream_v2_partitioned")
       .orderBy("event_id")
   }
+
+  /** Broker-provenance METADATA COLUMNS through the streaming V2
+    * source: the same 3-partition staged log read back with
+    * `_replay_part` / `_replay_pos` selected, reduced per partition.
+    * Events route to log p by event_id mod 3, so the oracle derives
+    * every aggregate — including Σpos = n(n−1)/2, which pins the
+    * positions as a CONTIGUOUS 0-based sequence per partition —
+    * from the raw events table; a misrouted row, an offset gap, or a
+    * renumbered partition all break the hash.
+    */
+  def runMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Fs.sinkDir("graft_event_replay_meta")
+    graft.Fs.deleteRecursively(base)
+    val lines = eventLines(spark, dir)
+    val logs = (0 until NLogParts).map { p =>
+      stageLog(
+        lines.filter(pmod(col("event_id"), lit(NLogParts)) === p)
+          .select("value"),
+        s"$base/stage/p$p")
+    }
+    val sink = "erp_meta_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .format(classOf[graft.sources.EventReplayDataSource].getName)
+      .option("paths", logs.mkString(","))
+      .option("rowsPerBatch", "5000")
+      .load()
+      .select(col("event_id"), col("_replay_part"), col("_replay_pos"))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    MemorySinks.drain(spark, sink)
+      .groupBy(col("_replay_part").cast("long").as("part"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_ids"),
+        min(col("_replay_pos")).as("min_pos"),
+        max(col("_replay_pos")).as("max_pos"),
+        sum(col("_replay_pos")).as("sum_pos"))
+      .orderBy("part")
+  }
 }
