@@ -763,6 +763,39 @@ object TextQueries {
         .orderBy("lang", "pred_lang")
     }),
 
+    // approx_top_k (Spark 4.1's DataSketches frequent-items surface):
+    // the sketch tracks far more items than this corpus's vocabulary,
+    // so its counts are EXACT here — which is what makes the
+    // estimator gateable: every token whose exact count strictly
+    // exceeds the rank-11 count MUST appear in any correct top-10
+    // (ties at the boundary are the only legitimately ambiguous
+    // members, so the harness excludes them), and each must carry its
+    // exact count. The oracle derives the same qualifying set from
+    // plain counts.
+    "approx_topk_sketch" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val est = toks
+        .agg(expr("approx_top_k(tok, 10)").as("tops"))
+        .select(explode(col("tops")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").as("est_n"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val r11 = exact
+        .orderBy(col("n").desc, col("tok"))
+        .limit(11)
+        .agg(min(col("n")).as("boundary_n"))
+      val mustAppear = exact
+        .crossJoin(broadcast(r11))
+        .filter(col("n") > col("boundary_n"))
+      mustAppear
+        .join(est, Seq("tok"), "left")
+        .select(
+          col("tok"), col("n"),
+          (col("est_n").isNotNull &&
+            col("est_n") === col("n")).as("exact_in_topk"))
+        .orderBy(col("n").desc, col("tok"))
+    }),
+
     // LSH PARAMETER SWEEP — the bands×rows tuning table a near-dup
     // deployment reads before committing to a banding: the SAME
     // 8-slot signatures evaluated at 8×1 / 4×2 / 2×4 / 1×8, each
@@ -3457,6 +3490,20 @@ object TextQueries {
         |       CAST(((1000000 * w_milli) // wt * nt) // 1000000
         |         AS BIGINT) AS target_docs
         |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+    "approx_topk_sketch" ->
+      s"""WITH counts AS (
+         |  SELECT token AS tok, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY tok
+         |), r11 AS (
+         |  SELECT min(n) AS boundary_n FROM (
+         |    SELECT n FROM counts
+         |    ORDER BY n DESC, tok LIMIT 11) q
+         |)
+         |SELECT c.tok, c.n, TRUE AS exact_in_topk
+         |FROM counts c CROSS JOIN r11
+         |WHERE c.n > r11.boundary_n
+         |ORDER BY c.n DESC, c.tok""".stripMargin,
     "lsh_param_sweep" -> {
       val matchExpr = (0 until 8)
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
