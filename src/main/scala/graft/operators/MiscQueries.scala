@@ -643,6 +643,38 @@ object MiscQueries {
             .as("within_tol"))
         .orderBy("o_orderpriority")),
 
+    // NATIVE DataSketches HLL (Spark 3.5+ hll_sketch_agg /
+    // hll_union_agg / hll_sketch_estimate — the interoperable binary
+    // sketch surface next to our own typed HLL aggregator): one
+    // sketch per priority, each estimate within-tolerance of its
+    // exact count, and the UNION of the five sketches estimating the
+    // global distinct — the mergeability contract that makes sketch
+    // columns storable and re-aggregable at any rollup level. The
+    // default lgK=12 sketch errs ~1.6%; the gate allows 5%.
+    "hll_native_union" -> ((s, d) => {
+      val perPrio = orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("hll_sketch_agg(o_custkey)").as("sk"),
+          countDistinct(col("o_custkey")).as("exact_n"))
+      val per = perPrio.select(
+        col("o_orderpriority").as("scope"),
+        col("exact_n"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("exact_n"))
+          .cast("double") / col("exact_n") <= 0.05).as("within_tol"))
+      val all = perPrio
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_u"))
+        .crossJoin(broadcast(
+          orders(s, d).agg(
+            countDistinct(col("o_custkey")).as("exact_n"))))
+        .select(
+          lit("ALL_UNION").as("scope"),
+          col("exact_n"),
+          (abs(col("est_u") - col("exact_n")).cast("double")
+            / col("exact_n") <= 0.05).as("within_tol"))
+      per.unionByName(all).orderBy("scope")
+    }),
+
     // Null-safe equality (<=>): pairs of statuses where nullified
     // values still compare equal.
     "null_safe_eq" -> ((s, d) => {
@@ -1610,6 +1642,16 @@ object MiscQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.tus >= v.tus
         |ORDER BY c.user_id, click_event_id""".stripMargin,
+    "hll_native_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority AS scope,
+        |         count(DISTINCT o_custkey) AS exact_n,
+        |         TRUE AS within_tol
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL_UNION', count(DISTINCT o_custkey), TRUE
+        |  FROM orders
+        |) u ORDER BY scope""".stripMargin,
     "approx_distinct" ->
       """SELECT o_orderpriority,
         |       count(DISTINCT o_custkey) AS exact_custs,
