@@ -643,6 +643,50 @@ object MiscQueries {
             .as("within_tol"))
         .orderBy("o_orderpriority")),
 
+    // NATIVE DataSketches KLL quantile sketch (Spark 4.1's
+    // kll_sketch_agg_bigint family) — the mergeable rank/quantile
+    // summary a 100 TB percentile dashboard ships instead of exact
+    // sorts. Gated on the RANK contract (the guarantee KLL actually
+    // makes): the exact rank of the sketch's reported p50 must land
+    // within ±5% of 0.5 (default k errs ~1.65%, and the band also
+    // absorbs the sketch's randomized compaction), per priority AND
+    // for the five per-group sketches MERGED via kll_merge_agg —
+    // mergeability being the reason sketch columns beat exact
+    // percentiles at scale.
+    "kll_quantile_sketch" -> ((s, d) => {
+      val cents = orders(s, d).select(
+        col("o_orderpriority"),
+        graft.operators.Money.cents(col("o_totalprice")).as("v"))
+      val perPrio = cents
+        .groupBy("o_orderpriority")
+        .agg(expr("kll_sketch_agg_bigint(v)").as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          expr("kll_sketch_get_quantile_bigint(sk, 0.5d)").as("q50"),
+          col("sk"))
+      val perChecked = perPrio.as("p")
+        .join(cents.as("c"), col("p.o_orderpriority") === col("c.o_orderpriority"))
+        .groupBy(col("p.o_orderpriority").as("scope"), col("p.n").as("n"))
+        .agg(
+          (abs(sum(when(col("c.v") <= col("p.q50"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) - 0.5) <= 0.05)
+            .as("p50_rank_within_tol"))
+      val mergedQ = perPrio
+        .agg(expr(
+          "kll_sketch_get_quantile_bigint(kll_merge_agg_bigint(sk), 0.5d)")
+          .as("q50"))
+      val allChecked = cents
+        .crossJoin(broadcast(mergedQ))
+        .agg(
+          count(lit(1)).as("n"),
+          (abs(sum(when(col("v") <= col("q50"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) - 0.5) <= 0.05)
+            .as("p50_rank_within_tol"))
+        .select(lit("ALL_MERGED").as("scope"), col("n"),
+          col("p50_rank_within_tol"))
+      perChecked.unionByName(allChecked).orderBy("scope")
+    }),
+
     // NATIVE DataSketches HLL (Spark 3.5+ hll_sketch_agg /
     // hll_union_agg / hll_sketch_estimate — the interoperable binary
     // sketch surface next to our own typed HLL aggregator): one
@@ -1642,6 +1686,16 @@ object MiscQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.tus >= v.tus
         |ORDER BY c.user_id, click_event_id""".stripMargin,
+    "kll_quantile_sketch" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority AS scope,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         TRUE AS p50_rank_within_tol
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL_MERGED', CAST(count(*) AS BIGINT), TRUE
+        |  FROM orders
+        |) u ORDER BY scope""".stripMargin,
     "hll_native_union" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority AS scope,
