@@ -298,6 +298,30 @@ object SqlSurfaceQueries {
           |  USING min_bal""".stripMargin)
     }),
 
+    // The try_* error-safe arithmetic family — under ANSI mode (the
+    // Spark 4 default, which this engine keeps ON so real overflows
+    // FAIL loudly) these are the sanctioned escape hatches: overflow,
+    // division by zero, bad casts, and out-of-bounds access yield
+    // NULL instead of an exception. Control values prove the happy
+    // path stays exact; DuckDB pins the NULL/value contract from
+    // literals.
+    "try_arithmetic" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """SELECT
+          |  try_add(9223372036854775807L, 1L) AS add_overflow,
+          |  try_add(40L, 2L) AS add_ok,
+          |  try_subtract(-9223372036854775808L, 1L) AS sub_overflow,
+          |  try_multiply(4611686018427387904L, 4L) AS mul_overflow,
+          |  try_divide(10L, 0L) AS div_zero,
+          |  try_divide(10L, 4L) AS div_ok,
+          |  try_mod(10L, 0L) AS mod_zero,
+          |  try_to_number('not a number', '999') AS bad_number,
+          |  try_element_at(array(1L, 2L, 3L), 99) AS oob_element,
+          |  try_element_at(array(1L, 2L, 3L), 2) AS ok_element
+          |""".stripMargin)
+    }),
+
     // PARAMETERIZED SQL (spark.sql(text, args) with named :markers —
     // SPARK-44140): the injection-safe API twin of EXECUTE IMMEDIATE's
     // session-variable form. Parameters bind as typed literals, not
@@ -520,6 +544,17 @@ object SqlSurfaceQueries {
       """SELECT c_mktsegment, count(*) AS n_high
         |FROM customer WHERE c_acctbal > 5000.0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "try_arithmetic" ->
+      """SELECT CAST(NULL AS BIGINT) AS add_overflow,
+        |       CAST(42 AS BIGINT) AS add_ok,
+        |       CAST(NULL AS BIGINT) AS sub_overflow,
+        |       CAST(NULL AS BIGINT) AS mul_overflow,
+        |       CAST(NULL AS DOUBLE) AS div_zero,
+        |       CAST(2.5 AS DOUBLE) AS div_ok,
+        |       CAST(NULL AS BIGINT) AS mod_zero,
+        |       CAST(NULL AS DECIMAL(3,0)) AS bad_number,
+        |       CAST(NULL AS BIGINT) AS oob_element,
+        |       CAST(2 AS BIGINT) AS ok_element""".stripMargin,
     "sql_parameterized" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
