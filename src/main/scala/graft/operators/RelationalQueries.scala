@@ -413,6 +413,54 @@ object RelationalQueries {
           expr("percentile(cents, 0.75)").as("q3_cents"))
         .orderBy("o_orderpriority")),
 
+    // IGNORE NULLS window navigation — first_value / last_value /
+    // nth_value skipping the gaps a sparse column carries (order
+    // status nulled for 'F' rows simulates sparsity): the
+    // carry-forward/backward primitives ts_interpolate composes,
+    // exposed as their own pinned surface. Frames and total order
+    // fixed, so the picked values are exact in both engines.
+    "window_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      orders(s, d)
+        .filter(col("o_custkey") <= 30)
+        .withColumn("sparse_status",
+          when(col("o_orderstatus") === "F", lit(null))
+            .otherwise(col("o_orderstatus")))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("sparse_status"), ignoreNulls = true).over(w)
+            .as("first_nn"),
+          last(col("sparse_status"), ignoreNulls = true).over(w)
+            .as("last_nn"),
+          nth_value(col("sparse_status"), 2, ignoreNulls = true)
+            .over(w).as("second_nn"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Discrete percentile — percentile_disc returns an ACTUAL data
+    // value (the value at ceil-rank), never an interpolation, which
+    // is what makes it hash-gateable without the float caveats the
+    // continuous form needs. p25/p50/p75 of order cents per
+    // priority.
+    "agg_percentile_disc" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("v"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)")
+            .as("p25_cents"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+            .as("p50_cents"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)")
+            .as("p75_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Boolean & bitwise aggregate surface — count_if / bool_and /
     // bool_or and the bit_and/or/xor fold family, the flag-rollup
     // shapes permission masks and feature-flag audits use. Operands
@@ -822,6 +870,38 @@ object RelationalQueries {
         |         AS median_cents,
         |       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75)
         |         AS q3_cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "window_ignore_nulls" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         CASE WHEN o_orderstatus = 'F' THEN NULL
+        |              ELSE o_orderstatus END AS sparse_status
+        |  FROM orders WHERE o_custkey <= 30
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |       first_value(sparse_status IGNORE NULLS) OVER w
+        |         AS first_nn,
+        |       last_value(sparse_status IGNORE NULLS) OVER w
+        |         AS last_nn,
+        |       nth_value(sparse_status, 2 IGNORE NULLS) OVER w
+        |         AS second_nn
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(quantile_disc(
+        |         CAST(round(o_totalprice*100) AS BIGINT), 0.25)
+        |         AS BIGINT) AS p25_cents,
+        |       CAST(quantile_disc(
+        |         CAST(round(o_totalprice*100) AS BIGINT), 0.5)
+        |         AS BIGINT) AS p50_cents,
+        |       CAST(quantile_disc(
+        |         CAST(round(o_totalprice*100) AS BIGINT), 0.75)
+        |         AS BIGINT) AS p75_cents
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "agg_bool_bit" ->
