@@ -126,6 +126,31 @@ object MiscQueries {
           size(col("m")).as("m_size"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // MAP higher-order functions — map_filter / transform_values /
+    // map_zip_with, the per-row map algebra a feature-store column
+    // needs (map_functions covers construction and access). The
+    // oracle computes every result from the underlying scalars
+    // directly, so each lambda's semantics — which entries survive
+    // the filter, values transform in place, zip aligns by key —
+    // pins against plain arithmetic.
+    "map_hof_functions" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_orderkey") <= 50)
+        .withColumn("m", map(
+          lit("qty"), cents(col("l_quantity")),
+          lit("price"), cents(col("l_extendedprice")),
+          lit("tax"), cents(col("l_tax"))))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          size(expr("map_filter(m, (k, v) -> v > 1000)"))
+            .as("n_large_entries"),
+          expr("element_at(transform_values(m, (k, v) -> v DIV 100)," +
+            " 'price')").as("price_dollars"),
+          expr("element_at(map_zip_with(m," +
+            " transform_values(m, (k, v) -> v * 3)," +
+            " (k, a, b) -> b - 2 * a), 'qty')").as("zip_qty"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // CSV scalar functions: to_csv → from_csv round-trip.
     "csv_roundtrip" -> ((s, d) =>
       part(s, d)
@@ -1424,6 +1449,21 @@ object MiscQueries {
         |       min(n_name) AS first_nation
         |FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin,
+    "map_hof_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST((CASE WHEN CAST(round(l_quantity*100) AS BIGINT)
+        |               > 1000 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN CAST(round(l_extendedprice*100)
+        |               AS BIGINT) > 1000 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN CAST(round(l_tax*100) AS BIGINT)
+        |               > 1000 THEN 1 ELSE 0 END) AS INTEGER)
+        |         AS n_large_entries,
+        |       CAST(CAST(round(l_extendedprice*100) AS BIGINT) // 100
+        |         AS BIGINT) AS price_dollars,
+        |       CAST(CAST(round(l_quantity*100) AS BIGINT)
+        |         AS BIGINT) AS zip_qty
+        |FROM lineitem WHERE l_orderkey <= 50
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "map_functions" ->
       """SELECT l_orderkey, l_linenumber,
         |       map(['qty','price'],
