@@ -1006,18 +1006,26 @@ object AnalyticsQueries {
     // (sign·(10⁶·|Δ| DIV prev)) because Spark's DIV truncates toward
     // zero while DuckDB's // floors — they agree only on non-negative
     // operands (the embedding_drift rule). First months carry NULL
-    // deltas in both engines. Windows run over the ~80-row month
-    // frame, never raw orders.
+    // deltas in both engines. Prior periods come from CALENDAR-keyed
+    // self-joins (add_months −1 / −12), not lag(1)/lag(12) row
+    // offsets: a gap month in the series would silently shift a
+    // row-offset comparison to the wrong month while both engines
+    // drift identically, so the gate could never catch it. The joins
+    // run over the ~80-row month frame (broadcast-sized at any raw
+    // scale), never raw orders.
     "monthly_yoy" -> ((s, d) => {
       val monthly = orders(s, d)
-        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .groupBy(trunc(col("o_orderdate"), "mm").as("month_d"))
         .agg(sum(cents(col("o_totalprice"))).as("y"))
-      val w = Window.orderBy("month")
+      val pm = monthly.select(col("month_d").as("pm_d"),
+        col("y").as("prev_m"))
+      val py = monthly.select(col("month_d").as("py_d"),
+        col("y").as("prev_y"))
       monthly
-        .withColumn("prev_m", lag(col("y"), 1).over(w))
-        .withColumn("prev_y", lag(col("y"), 12).over(w))
+        .join(pm, add_months(col("month_d"), -1) === col("pm_d"), "left")
+        .join(py, add_months(col("month_d"), -12) === col("py_d"), "left")
         .select(
-          col("month"), col("y"),
+          date_format(col("month_d"), "yyyy-MM").as("month"), col("y"),
           (when(col("y") >= col("prev_m"), 1L).otherwise(-1L) *
             expr("(1000000 * abs(y - prev_m)) DIV prev_m"))
             .as("mom_ppm"),
@@ -1749,17 +1757,19 @@ object AnalyticsQueries {
         |ORDER BY day""".stripMargin,
     "monthly_yoy" ->
       """WITH monthly AS (
-        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  SELECT date_trunc('month', o_orderdate) AS month_d,
         |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM orders GROUP BY 1
         |), l AS (
-        |  SELECT month, y,
-        |         lag(y, 1) OVER (ORDER BY month) AS prev_m,
-        |         lag(y, 12) OVER (ORDER BY month) AS prev_y
-        |  FROM monthly
+        |  SELECT m.month_d, m.y, pm.y AS prev_m, py.y AS prev_y
+        |  FROM monthly m
+        |  LEFT JOIN monthly pm
+        |    ON pm.month_d = m.month_d - INTERVAL 1 MONTH
+        |  LEFT JOIN monthly py
+        |    ON py.month_d = m.month_d - INTERVAL 12 MONTH
         |)
-        |SELECT month, y,
+        |SELECT strftime(month_d, '%Y-%m') AS month, y,
         |       CAST(CASE WHEN y >= prev_m THEN 1 ELSE -1 END
         |         * ((1000000 * abs(y - prev_m)) // prev_m)
         |         AS BIGINT) AS mom_ppm,

@@ -1079,9 +1079,12 @@ object MiscQueries {
     // size, which is why catalogs ingest plan lineage instead of
     // scanning data. The probe frame exercises a join, a multi-column
     // arithmetic aggregate, a literal-only aggregate (empty source
-    // set), and a window; the oracle pins the expected edge list
-    // literally, so any regression in the walker (a dropped Window
-    // case, a lost multi-source union) breaks the gate.
+    // set), and a window; a second probe frame pins the Union case
+    // (a Union's output reuses the first child's ExprIds, so a
+    // merge-only walker silently drops branches 2..n — the exact bug
+    // class this gate exists to catch). The oracle pins the expected
+    // edge list literally, so any regression in the walker (a dropped
+    // Window case, a lost multi-source union) breaks the gate.
     "lineage_report" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("l_returnflag")
@@ -1095,7 +1098,19 @@ object MiscQueries {
           max(col("o_orderdate")).as("latest_order"))
         .withColumn("share_rows",
           sum(col("n_rows")).over(w))
-      graft.plans.Lineage.report(frame).orderBy("out_col")
+      val uframe = lineitem(s, d)
+        .select(col("l_returnflag").as("tag"),
+          cents(col("l_extendedprice")).as("val_cents"))
+        .unionByName(orders(s, d)
+          .select(col("o_orderpriority").as("tag"),
+            cents(col("o_totalprice")).as("val_cents")))
+        .groupBy("tag")
+        .agg(sum(col("val_cents")).as("cents_sum"))
+      graft.plans.Lineage.report(frame)
+        .unionByName(graft.plans.Lineage.report(uframe)
+          .select(concat(lit("u_"), col("out_col")).as("out_col"),
+            col("src_cols")))
+        .orderBy("out_col")
     }),
 
     // Bucketed-table EXCHANGE-FREE AGGREGATION — the other payoff of
@@ -1785,14 +1800,19 @@ object MiscQueries {
     // union, literal aggregate gaining a phantom source) changes a
     // row. share_rows traces to l_returnflag because the window
     // PARTITION key determines the value; n_rows is a literal count
-    // with a genuinely empty source set.
+    // with a genuinely empty source set. The u_-prefixed rows pin the
+    // Union walker case: each output position unions that position's
+    // sources across ALL branches (lineitem AND orders), not just the
+    // first child whose ExprIds the Union output happens to reuse.
     "lineage_report" ->
       """SELECT * FROM (VALUES
         |  ('disc_price_cents', 'l_discount,l_extendedprice'),
         |  ('l_returnflag', 'l_returnflag'),
         |  ('latest_order', 'o_orderdate'),
         |  ('n_rows', ''),
-        |  ('share_rows', 'l_returnflag'))
+        |  ('share_rows', 'l_returnflag'),
+        |  ('u_cents_sum', 'l_extendedprice,o_totalprice'),
+        |  ('u_tag', 'l_returnflag,o_orderpriority'))
         |  AS t(out_col, src_cols)
         |ORDER BY out_col""".stripMargin,
     "file_metadata_scan" ->

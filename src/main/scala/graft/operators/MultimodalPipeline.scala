@@ -211,6 +211,71 @@ object MultimodalPipeline {
       .mapPartitions(histogramPartition _)
   }
 
+  /** CLUSTERED-PALETTE eval corpus parameters: cluster `c` fixes the
+    * two occupied histogram bins (a palette); variant `v` sets the
+    * pixel-mass shift `m` between them — v<4 are PERTURBED NEAR-DUPS
+    * (m differs by ≤3 of 128 pixels, ~2% mass, well inside the 100‰
+    * L1 threshold), v≥4 are same-palette non-dups (m steps of 8, 6.3%
+    * each — adjacent steps already exceed the threshold). This is the
+    * corpus that makes `image_hist_eval` recall MEAN something: the
+    * default synthRgb images are pseudo-uniform, so every band bucket
+    * is palette-degenerate and the cap poisons the lot (the round-11
+    * 21.8% "recall" was a fixture artifact, not an LSH property).
+    * Returns (cluster, variant, shift).
+    */
+  private[operators] def evalParams(docId: Long): (Int, Int, Int) = {
+    val c = (docId % 20).toInt
+    val v = (docId / 20).toInt
+    val m = if (v < 4) v + 1 + (c % 2) else 16 + 8 * (v - 4)
+    (c, v, m)
+  }
+
+  /** Eval images are a fixed 16×8: pixel index p occupies bin
+    * b0 = c%8 while p < 96−m, else bin b1 = (c+3)%8; the R value is
+    * 32·bin + (7p + docId) mod 32 (stays inside its bin), G/B are
+    * filler. All integer arithmetic, so the DuckDB oracle replays the
+    * exact histogram without a codec while the Spark side derives it
+    * from REAL decoded pixels.
+    */
+  def encodeEvalPngPartition(ids: Iterator[Long]): Iterator[PngImage] = {
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    ids.map { docId =>
+      val (c, _, m) = evalParams(docId)
+      val b0 = c % 8
+      val b1 = (c + 3) % 8
+      val img = new java.awt.image.BufferedImage(
+        16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < 128) {
+        val bin = if (p < 96 - m) b0 else b1
+        val r = 32 * bin + ((p * 7 + docId) % 32).toInt
+        val g = ((p * 3 + docId) % 256).toInt
+        val b = ((p * 11 + docId * 5) % 256).toInt
+        img.setRGB(p % 16, p / 16, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      bos.reset()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      PngImage(docId, bos.toByteArray)
+    }
+  }
+
+  /** Histograms over the 200-image eval corpus (REAL PNG round trip,
+    * same decode+histogram path production uses) — the bounded sample
+    * `image_hist_eval` scores the banded candidate generator on.
+    */
+  def imageHistogramsEval(
+      spark: SparkSession, dir: String): Dataset[HistRow] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(encodeEvalPngPartition _)
+      .mapPartitions(histogramPartition _)
+  }
+
   /** Nearest-neighbor resize statistics from a REAL decode: the 4×3
     * thumbnail's per-channel sums.
     */

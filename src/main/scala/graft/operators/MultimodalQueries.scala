@@ -68,6 +68,52 @@ object MultimodalQueries {
     */
   private[graft] val HistBucketCap = 50
 
+  /** Decoded eval-corpus histograms, pinned and memoized: truth,
+    * signature, and verify branches of `image_hist_eval` all read the
+    * frame — unpinned, the PNG codec would run per consumer.
+    */
+  private val histEvalCache = new SessionMemo[DataFrame]
+
+  private def pinnedHistEval(s: SparkSession, d: String): DataFrame =
+    histEvalCache.getOrCompute(s, d)(
+      graft.Checkpoints.pin(
+        MultimodalPipeline.imageHistogramsEval(s, d).toDF()))
+
+  /** The PRODUCTION quantized-histogram band generator, shared by the
+    * scale path (`image_hist_lsh`) and its eval so the eval scores
+    * exactly what production runs: 4 bands of 2 adjacent bins, band
+    * key = the pair of 32nd-quantized bin masses, viable buckets are
+    * 2..HistBucketCap members (larger ones are palette-degenerate and
+    * dropped — the cap-don't-scan rule). Returns (bucket sizes,
+    * deduped candidate pairs).
+    */
+  private def histBandCand(hist: DataFrame): (DataFrame, DataFrame) = {
+    val sig = hist
+      .withColumn("band", expr("bin DIV 2"))
+      .withColumn("q", expr("(32 * c) DIV npix"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(
+        max(when(col("bin") % 2 === 0, col("q"))).as("k0"),
+        max(when(col("bin") % 2 === 1, col("q"))).as("k1"))
+    val sizes = sig
+      .groupBy("band", "k0", "k1")
+      .agg(count(lit(1)).as("n"))
+    val ok = sizes
+      .filter(col("n").between(2, HistBucketCap))
+      .select("band", "k0", "k1")
+    val small = sig.join(ok, Seq("band", "k0", "k1"), "left_semi")
+    val cand = small
+      .select(col("band"), col("k0"), col("k1"), col("doc_id").as("a"))
+      .join(
+        small.select(
+          col("band"), col("k0"), col("k1"), col("doc_id").as("b")),
+        Seq("band", "k0", "k1"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    (sizes, cand)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary-column metadata extraction over synthesized payloads
     // (documents.text re-encoded as the opaque media bytes).
@@ -148,28 +194,7 @@ object MultimodalQueries {
     // the verify cost is per-pair, not per-(pair×band).
     "image_hist_lsh" -> ((s, d) => {
       val hist = pinnedHistAll(s, d)
-      val sig = hist
-        .withColumn("band", expr("bin DIV 2"))
-        .withColumn("q", expr("(32 * c) DIV npix"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(
-          max(when(col("bin") % 2 === 0, col("q"))).as("k0"),
-          max(when(col("bin") % 2 === 1, col("q"))).as("k1"))
-      val ok = sig
-        .groupBy("band", "k0", "k1")
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, HistBucketCap))
-        .select("band", "k0", "k1")
-      val small = sig.join(ok, Seq("band", "k0", "k1"), "left_semi")
-      val cand = small
-        .select(col("band"), col("k0"), col("k1"), col("doc_id").as("a"))
-        .join(
-          small.select(
-            col("band"), col("k0"), col("k1"), col("doc_id").as("b")),
-          Seq("band", "k0", "k1"))
-        .filter(col("a") < col("b"))
-        .select("a", "b")
-        .distinct()
+      val (_, cand) = histBandCand(hist)
       val ha = hist.toDF("a", "bin", "ca", "na")
       val hb = hist.toDF("b", "bin", "cb", "nb")
       cand
@@ -184,6 +209,47 @@ object MultimodalQueries {
         .withColumn("l1_pm", expr("1000 * l1num DIV den"))
         .select("a", "b", "l1num", "den", "l1_pm")
         .orderBy("a", "b")
+    }),
+
+    // VISUAL-LSH CANDIDATE-GENERATOR EVAL — `minhash_eval`'s role for
+    // the image family, on a corpus where the numbers MEAN something:
+    // 20 clustered palettes (two occupied bins each) with perturbed
+    // near-dups (≤3-of-128-pixel shifts) and same-palette non-dups
+    // (8-pixel steps), REAL PNG encode→decode on the Spark side, the
+    // pixel formula replayed arithmetically by the oracle. Ground
+    // truth is the exact pairwise cross-multiplied L1 ≤ 100‰ over the
+    // bounded 200-image sample; candidates come from the PRODUCTION
+    // band generator (same keys, same HistBucketCap — cap-drops count
+    // against recall exactly as in production). Output is one row of
+    // exact counts, the poisoned-bucket count (the cap trade, still
+    // reported), and precision/recall in integer ppm. Design recall
+    // at the 200-image corpus is 89% — the loss is real quantization-
+    // boundary misses, not fixture degeneracy.
+    "image_hist_eval" -> ((s, d) => {
+      val hist = pinnedHistEval(s, d)
+      val a = hist.toDF("a", "bin", "ca", "na")
+      val b = hist.toDF("b", "bin", "cb", "nb")
+      val truth = a.join(b, Seq("bin"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("l1num"),
+          max(col("na") * col("nb")).as("den"))
+        .filter(col("l1num") * 10 <= col("den"))
+        .select("a", "b")
+      val (sizes, cand) = histBandCand(hist)
+      val tp = cand.join(truth, Seq("a", "b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+        .crossJoin(broadcast(sizes.agg(
+          sum(when(col("n") > HistBucketCap, 1L).otherwise(0L))
+            .as("n_poisoned_buckets"))))
+        .withColumn("precision_ppm",
+          when(col("n_cand") > 0, expr("1000000 * n_tp DIV n_cand")))
+        .withColumn("recall_ppm",
+          when(col("n_truth") > 0, expr("1000000 * n_tp DIV n_truth")))
     }),
 
     // REAL audio decode: synthesize an 8-bit mono PCM WAV per doc via
@@ -537,6 +603,73 @@ object MultimodalQueries {
         |       CAST(1000 * l1num // den AS BIGINT) AS l1_pm
         |FROM pr WHERE l1num * 10 <= den
         |ORDER BY a, b""".stripMargin,
+    "image_hist_eval" ->
+      """WITH mm AS (
+        |  SELECT doc_id, doc_id % 20 AS c,
+        |         CASE WHEN doc_id // 20 < 4
+        |           THEN doc_id // 20 + 1 + (doc_id % 20) % 2
+        |           ELSE 16 + 8 * (doc_id // 20 - 4) END AS m
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, c, m, unnest(generate_series(0, 127)) AS p
+        |  FROM mm
+        |), cnt AS (
+        |  SELECT doc_id,
+        |         CASE WHEN p < 96 - m THEN c % 8
+        |              ELSE (c + 3) % 8 END AS bin,
+        |         count(*) AS c
+        |  FROM px GROUP BY 1, 2
+        |), hh AS (
+        |  SELECT d.doc_id, g.bin,
+        |         CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+        |         CAST(128 AS BIGINT) AS np
+        |  FROM mm d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bin) g
+        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = g.bin
+        |), truth AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM hh x JOIN hh y
+        |    ON x.bin = y.bin AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING sum(abs(x.c*y.np - y.c*x.np)) * 10 <= max(x.np*y.np)
+        |), sig AS (
+        |  SELECT doc_id, bin // 2 AS band,
+        |         max(CASE WHEN bin % 2 = 0 THEN (32*c) // np END)
+        |           AS k0,
+        |         max(CASE WHEN bin % 2 = 1 THEN (32*c) // np END)
+        |           AS k1
+        |  FROM hh GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT band, k0, k1, count(*) AS n FROM sig
+        |  GROUP BY 1, 2, 3
+        |), small AS (
+        |  SELECT s.* FROM sig s JOIN sizes o
+        |    ON s.band = o.band AND s.k0 = o.k0 AND s.k1 = o.k1
+        |  WHERE o.n BETWEEN 2 AND 50
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM small x JOIN small y
+        |    ON x.band = y.band AND x.k0 = y.k0 AND x.k1 = y.k1
+        |   AND x.doc_id < y.doc_id
+        |), counts AS (
+        |  SELECT (SELECT count(*) FROM truth) AS n_truth,
+        |         (SELECT count(*) FROM cand) AS n_cand,
+        |         (SELECT count(*) FROM cand c JOIN truth t
+        |            ON t.a = c.a AND t.b = c.b) AS n_tp,
+        |         (SELECT coalesce(sum(CASE WHEN n > 50 THEN 1 END), 0)
+        |            FROM sizes) AS n_poisoned_buckets
+        |)
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+        |       CAST(n_cand AS BIGINT) AS n_cand,
+        |       CAST(n_tp AS BIGINT) AS n_tp,
+        |       CAST(n_poisoned_buckets AS BIGINT) AS n_poisoned_buckets,
+        |       CASE WHEN n_cand > 0
+        |         THEN CAST(1000000 * n_tp // n_cand AS BIGINT)
+        |       END AS precision_ppm,
+        |       CASE WHEN n_truth > 0
+        |         THEN CAST(1000000 * n_tp // n_truth AS BIGINT)
+        |       END AS recall_ppm
+        |FROM counts""".stripMargin,
     "multimodal_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,

@@ -444,7 +444,10 @@ object RelationalQueries {
     // value (the value at ceil-rank), never an interpolation, which
     // is what makes it hash-gateable without the float caveats the
     // continuous form needs. p25/p50/p75 of order cents per
-    // priority.
+    // priority. Spark's percentile_disc yields DOUBLE even for
+    // integral input, so each quantile is CAST back to BIGINT (exact:
+    // the value is one of the long cent inputs) to match the oracle's
+    // type-sensitive hash.
     "agg_percentile_disc" -> ((s, d) => {
       orders(s, d)
         .select(col("o_orderpriority"),
@@ -452,12 +455,46 @@ object RelationalQueries {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n_orders"),
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)")
-            .as("p25_cents"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
-            .as("p50_cents"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)")
-            .as("p75_cents"))
+          expr(
+            "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v)" +
+              " AS BIGINT)").as("p25_cents"),
+          expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)" +
+              " AS BIGINT)").as("p50_cents"),
+          expr(
+            "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v)" +
+              " AS BIGINT)").as("p75_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Continuous percentile — the interpolating companion
+    // (percentile_cont / quantile_cont), the form SQL users reach for
+    // first. Both engines use the same rank convention
+    // rn = p·(n−1) with linear interpolation, and for quartile
+    // probabilities the fractional rank is always a dyadic quarter,
+    // so 4× the interpolated cent value is an EXACT integer in both
+    // engines — the float caveat is handled the repo's usual way by
+    // reporting quarter-cents as BIGINT (round(4·q) — exact, no
+    // tolerance needed) instead of hash-gating raw doubles.
+    "agg_percentile_cont" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("v"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr(
+            "CAST(round(4 * (percentile_cont(0.25)" +
+              " WITHIN GROUP (ORDER BY v))) AS BIGINT)")
+            .as("p25_qcents"),
+          expr(
+            "CAST(round(4 * (percentile_cont(0.5)" +
+              " WITHIN GROUP (ORDER BY v))) AS BIGINT)")
+            .as("p50_qcents"),
+          expr(
+            "CAST(round(4 * (percentile_cont(0.75)" +
+              " WITHIN GROUP (ORDER BY v))) AS BIGINT)")
+            .as("p75_qcents"))
         .orderBy("o_orderpriority")
     }),
 
@@ -902,6 +939,19 @@ object RelationalQueries {
         |       CAST(quantile_disc(
         |         CAST(round(o_totalprice*100) AS BIGINT), 0.75)
         |         AS BIGINT) AS p75_cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_percentile_cont" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(round(4 * quantile_cont(
+        |         CAST(round(o_totalprice*100) AS BIGINT), 0.25))
+        |         AS BIGINT) AS p25_qcents,
+        |       CAST(round(4 * quantile_cont(
+        |         CAST(round(o_totalprice*100) AS BIGINT), 0.5))
+        |         AS BIGINT) AS p50_qcents,
+        |       CAST(round(4 * quantile_cont(
+        |         CAST(round(o_totalprice*100) AS BIGINT), 0.75))
+        |         AS BIGINT) AS p75_qcents
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "agg_bool_bit" ->

@@ -61,6 +61,28 @@ object Lineage {
               childMaps.getOrElse(r.exprId, Set(r.name)))
           }.toSet
         }
+      case u: Union =>
+        // A Union's output reuses the FIRST child's ExprIds, so the
+        // merge-only fall-through would silently drop every source
+        // feeding branches 2..n. Map each output position to the
+        // union, across ALL children, of that position's source sets.
+        childMaps ++ u.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> u.children.flatMap { c =>
+            val ca = c.output(i)
+            childMaps.getOrElse(ca.exprId, Set(ca.name))
+          }.toSet
+        }
+      case so: SetOperation =>
+        // Intersect/Except policy: although output VALUES come from
+        // the left child, the right child's same-position column
+        // determines membership row-by-row — for governance that is a
+        // value-determining input, so both sides count as sources.
+        childMaps ++ so.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> so.children.flatMap { c =>
+            val ca = c.output(i)
+            childMaps.getOrElse(ca.exprId, Set(ca.name))
+          }.toSet
+        }
       case o if o.isInstanceOf[SerializeFromObject] ||
           o.isInstanceOf[MapPartitions] ||
           o.isInstanceOf[DeserializeToObject] =>

@@ -93,6 +93,15 @@ object EventReplayDataSource {
     */
   val SplitsPerBatch = 4
 
+  /** Number of broker-provenance metadata columns the reader appends
+    * after every base row (`_replay_part`, `_replay_pos`). The reader
+    * asserts its emitted arity against Schema.length + this, so a
+    * schema or metadata-column change that forgets the other side
+    * fails loudly instead of silently misaligning the positional
+    * metadata binding.
+    */
+  val MetadataFieldCount = 2
+
 }
 
 class EventReplayTable(
@@ -472,7 +481,7 @@ class EventReplayReader(
         val rowPos = pos
         pos += 1
         val f = line.split('\t')
-        require(f.length == 5,
+        require(f.length == EventReplayDataSource.Schema.length,
           s"eventreplay: malformed log line (${f.length} fields): $line")
         val base: Seq[Any] = Seq(
           f(0).toLong,
@@ -482,11 +491,25 @@ class EventReplayReader(
           f(4).toLong)
         // Broker-provenance metadata ALWAYS appends after the base
         // schema in metadataColumns() declaration order: the
-        // STREAMING path never runs column pruning, and Spark binds
-        // a referenced metadata column positionally at
-        // dataSchema.length + its declared index — a query that
-        // references none simply never reads past position 4.
-        current = InternalRow((base :+ partIdx :+ rowPos): _*)
+        // STREAMING path never runs column pruning (this builder
+        // implements no SupportsPushDownRequiredColumns, so Spark
+        // CANNOT prune this scan), and Spark binds a referenced
+        // metadata column positionally at dataSchema.length + its
+        // declared index — a query that references none simply never
+        // reads past position 4. HARD CONTRACT ASSERTION: emitted
+        // arity must be base schema + declared metadata count; any
+        // future batch-read support or schema change that breaks the
+        // positional contract fails here instead of misaligning
+        // columns silently.
+        val out = base :+ partIdx :+ rowPos
+        assert(
+          out.length == EventReplayDataSource.Schema.length +
+            EventReplayDataSource.MetadataFieldCount,
+          s"eventreplay positional-binding contract broken: emitting " +
+            s"${out.length} fields, expected " +
+            s"${EventReplayDataSource.Schema.length} base + " +
+            s"${EventReplayDataSource.MetadataFieldCount} metadata")
+        current = InternalRow(out: _*)
         true
       }
     }

@@ -208,7 +208,13 @@ class WebpageScanBuilder(urls: Seq[String], mode: String)
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 
   private var pushed: Array[Filter] = Array.empty
-  private var prunedUrls: Seq[String] = urls
+  // Partition ordinals are assigned on the TABLE's url list ONCE,
+  // then pruning filters the (url, ordinal) pairs directly —
+  // provenance must not renumber, and pruning by pair (not by
+  // re-deriving string membership in build()) keeps it O(n) and
+  // makes each surviving partition exactly one pair even when the
+  // table's url list contains duplicates.
+  private var prunedPairs: Seq[(String, Int)] = urls.zipWithIndex
   private var required: StructType = WebpageDataSource.Schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -218,8 +224,8 @@ class WebpageScanBuilder(urls: Seq[String], mode: String)
         (f: Filter, vs.map(_.asInstanceOf[String]).toSet)
     }
     pushed = handled.map(_._1)
-    prunedUrls = handled.foldLeft(urls) { case (us, (_, keep)) =>
-      us.filter(keep.contains)
+    prunedPairs = handled.foldLeft(urls.zipWithIndex) {
+      case (pairs, (_, keep)) => pairs.filter { case (u, _) => keep(u) }
     }
     // Everything stays residual: Spark re-applies the predicates on
     // the emitted rows, so the prune can only skip work, never
@@ -232,14 +238,8 @@ class WebpageScanBuilder(urls: Seq[String], mode: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    // Partition ordinals are assigned on the TABLE's url list, then
-    // carried through pruning — provenance must not renumber.
-    val withIdx = urls.zipWithIndex.filter {
-      case (u, _) => prunedUrls.contains(u)
-    }
-    new WebpageScan(withIdx, mode, required, pushed.map(_.toString))
-  }
+  override def build(): Scan =
+    new WebpageScan(prunedPairs, mode, required, pushed.map(_.toString))
 }
 
 class WebpageScan(

@@ -78,6 +78,28 @@ class ImageHistLshPlanSpec extends SparkTestBase {
       s"recall collapsed below the measured floor: $recallPct%")
   }
 
+  test("eval corpus recall exceeds 80% with the cap still active") {
+    // The clustered-palette eval corpus exists precisely so this
+    // number means something: near-dups are ≤3-pixel palette
+    // perturbations, non-dups are 8-pixel steps, and the only recall
+    // loss is genuine quantization-boundary misses. The production
+    // generator (same keys, same cap) must clear 80% here — if it
+    // drops below, banding or quantization regressed, not the
+    // fixture.
+    val row = SparkEntry.queries("image_hist_eval")(spark, sfDir)
+      .collect().head
+    val nTruth = row.getAs[Long]("n_truth")
+    val nTp = row.getAs[Long]("n_tp")
+    val recallPpm = row.getAs[Long]("recall_ppm")
+    info(s"image_hist_eval: $nTp/$nTruth true pairs found " +
+      s"(${recallPpm / 10000.0}%), " +
+      s"${row.getAs[Long]("n_poisoned_buckets")} poisoned buckets")
+    assert(nTruth > 0, "degenerate eval corpus: no true near-dups")
+    assert(recallPpm > 800000L,
+      s"eval recall fell to ${recallPpm}ppm — the banded generator " +
+        "regressed (the corpus is designed for ~890000)")
+  }
+
   test("every emitted pair is a true near-dup sharing a viable band") {
     import org.apache.spark.sql.functions._
     val hist = operators.MultimodalPipeline

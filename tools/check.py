@@ -89,6 +89,19 @@ def main():
         bad, warn = None, None
         for c in sp.columns:
             a, b = sp[c], du[c]
+            # Driver hash is TYPE-sensitive: an integer-valued DOUBLE
+            # ("1.3015867E7") never hash-matches a BIGINT ("13015867")
+            # even when float-coercion says the values agree. This blind
+            # spot produced two consecutive driver-only failures
+            # (pr_curve r10, agg_percentile_disc r11) — flag any
+            # float-vs-integral dtype split as a hard FAIL before the
+            # float-tolerant value compare can mask it.
+            if _is_float(a) != _is_float(b) and (_is_int(a) or _is_int(b)):
+                print(f"FAIL {name}: col {c} DTYPE split: "
+                      f"spark={a.dtype} duck={b.dtype} — driver hash is "
+                      f"type-sensitive; cast both sides to the same type")
+                bad = "__dtype__"
+                break
             if (np.issubdtype(a.dtype, np.floating)
                     or np.issubdtype(b.dtype, np.floating)):
                 af = a.astype(float).values
@@ -105,7 +118,9 @@ def main():
                 if not (av == bv).all():
                     bad = c
                     break
-        if bad is not None:
+        if bad == "__dtype__":
+            n_fail += 1  # message already printed at detection site
+        elif bad is not None:
             # default=-1: a dtype-formatting-only mismatch (e.g. int 5
             # vs float 5.0) has no locatable row — still report the
             # FAIL instead of crashing the whole compare run.
@@ -129,6 +144,16 @@ def main():
     print(f"== {n_pass} pass, {n_warn} float-warn, {n_fail} fail, "
           f"{len(oracle)} total")
     sys.exit(1 if n_fail else 0)
+
+
+def _is_float(s):
+    return (np.issubdtype(s.dtype, np.floating)
+            or str(s.dtype).startswith("Float"))
+
+
+def _is_int(s):
+    return (np.issubdtype(s.dtype, np.integer)
+            or str(s.dtype).startswith(("Int", "UInt")))
 
 
 def _close(x, y):
