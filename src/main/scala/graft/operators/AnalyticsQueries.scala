@@ -1035,6 +1035,39 @@ object AnalyticsQueries {
         .orderBy("month")
     }),
 
+    // The GAP-MONTH twin of monthly_yoy — the hazard that motivated
+    // the calendar-keyed join, pinned behaviorally: one mid-series
+    // month (1995-06) is dropped from the month frame, and the gate
+    // proves the comparisons stay calendar-aligned — 1995-07's MoM
+    // and 1996-06's YoY are NULL (their prior period is the gap), and
+    // every other month compares against its true calendar
+    // predecessor. A lag(1)/lag(12) row-offset form would instead
+    // silently shift every post-gap comparison one month — in BOTH
+    // engines identically, which is exactly why the plain gate could
+    // never catch it and this one exists.
+    "monthly_yoy_gapped" -> ((s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(trunc(col("o_orderdate"), "mm").as("month_d"))
+        .agg(sum(cents(col("o_totalprice"))).as("y"))
+        .filter(date_format(col("month_d"), "yyyy-MM") =!= "1995-06")
+      val pm = monthly.select(col("month_d").as("pm_d"),
+        col("y").as("prev_m"))
+      val py = monthly.select(col("month_d").as("py_d"),
+        col("y").as("prev_y"))
+      monthly
+        .join(pm, add_months(col("month_d"), -1) === col("pm_d"), "left")
+        .join(py, add_months(col("month_d"), -12) === col("py_d"), "left")
+        .select(
+          date_format(col("month_d"), "yyyy-MM").as("month"), col("y"),
+          (when(col("y") >= col("prev_m"), 1L).otherwise(-1L) *
+            expr("(1000000 * abs(y - prev_m)) DIV prev_m"))
+            .as("mom_ppm"),
+          (when(col("y") >= col("prev_y"), 1L).otherwise(-1L) *
+            expr("(1000000 * abs(y - prev_y)) DIV prev_y"))
+            .as("yoy_ppm"))
+        .orderBy("month")
+    }),
+
     // Two-proportion A/B test on user conversion (converted = at
     // least 14 purchase events — a median split of the fixture's
     // per-user purchase counts, so both proportions stay mid-range
@@ -1761,6 +1794,31 @@ object AnalyticsQueries {
         |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT m.month_d, m.y, pm.y AS prev_m, py.y AS prev_y
+        |  FROM monthly m
+        |  LEFT JOIN monthly pm
+        |    ON pm.month_d = m.month_d - INTERVAL 1 MONTH
+        |  LEFT JOIN monthly py
+        |    ON py.month_d = m.month_d - INTERVAL 12 MONTH
+        |)
+        |SELECT strftime(month_d, '%Y-%m') AS month, y,
+        |       CAST(CASE WHEN y >= prev_m THEN 1 ELSE -1 END
+        |         * ((1000000 * abs(y - prev_m)) // prev_m)
+        |         AS BIGINT) AS mom_ppm,
+        |       CAST(CASE WHEN y >= prev_y THEN 1 ELSE -1 END
+        |         * ((1000000 * abs(y - prev_y)) // prev_y)
+        |         AS BIGINT) AS yoy_ppm
+        |FROM l ORDER BY month""".stripMargin,
+    "monthly_yoy_gapped" ->
+      """WITH monthly0 AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month_d,
+        |         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), monthly AS (
+        |  SELECT * FROM monthly0
+        |  WHERE strftime(month_d, '%Y-%m') <> '1995-06'
         |), l AS (
         |  SELECT m.month_d, m.y, pm.y AS prev_m, py.y AS prev_y
         |  FROM monthly m

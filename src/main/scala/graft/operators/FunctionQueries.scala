@@ -242,7 +242,56 @@ object FunctionQueries {
           Array(col("n_orders"), col("total_cents")),
           "metric",
           "value")
-        .orderBy("o_orderpriority", "metric"))
+        .orderBy("o_orderpriority", "metric")),
+
+    // Spark 4.1's native APPROX_TOP_K — the space-saving heavy-hitter
+    // sketch as a one-call SQL surface (the packaged sibling of the
+    // hand-built Misra-Gries gate). Gated in its PROVABLE regime,
+    // the sketch-suite discipline: maxItemsTracked (100) far exceeds
+    // the column's distinct count, where the sketch is contractually
+    // exact, so item+count hash-pin against the exact GROUP BY twin;
+    // k exceeds the distinct count too, so no tie-at-the-cutoff can
+    // make selection ambiguous. At 100 TB the same one-liner rolls up
+    // mergeable per-partition sketches instead of shuffling raw rows.
+    "approx_top_k_events" -> ((s, d) =>
+      events(s, d)
+        .agg(expr("approx_top_k(event_type, 10, 100)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(
+          col("e.item").as("item"),
+          col("e.count").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))),
+
+    // Spark 4 COLLATION-aware comparison — a case-insensitive
+    // equi-JOIN keyed on COLLATE UTF8_LCASE, no lower() rewrite on
+    // the join key: the fact side's event_type is case-mangled by row
+    // parity, the dim side is lowercase, and the collated equality
+    // still plans as a key-equi SortMergeJoin (collated strings don't
+    // support binary equality, so Spark declines hash joins and
+    // sort-merges on the collation order instead — still a scalable
+    // shuffle-on-key plan, never a nested loop; a pre-collation
+    // engine needs the lower() normalization the oracle spells out).
+    // Group keys come from the lowercase dim side, so output values
+    // are deterministic.
+    "collated_join" -> ((s, d) => {
+      val fact = events(s, d)
+        .select(
+          when(col("event_id") % 2 === 0, upper(col("event_type")))
+            .otherwise(col("event_type")).as("etype_mixed"),
+          col("value"))
+      val dim = events(s, d)
+        .select(lower(col("event_type")).as("etype"))
+        .distinct()
+      fact
+        .join(dim,
+          expr("collate(etype_mixed, 'UTF8_LCASE') = " +
+            "collate(etype, 'UTF8_LCASE')"))
+        .groupBy("etype")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(Money.cents(col("value"))).as("cents"))
+        .orderBy("etype")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -389,6 +438,24 @@ object FunctionQueries {
         |UNION ALL
         |SELECT o_orderpriority, 'total_cents' AS metric,
         |       total_cents AS value FROM wide
-        |ORDER BY o_orderpriority, metric""".stripMargin
+        |ORDER BY o_orderpriority, metric""".stripMargin,
+    "approx_top_k_events" ->
+      """SELECT event_type AS item, count(*) AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, item""".stripMargin,
+    "collated_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |              ELSE event_type END AS em,
+        |         value
+        |  FROM events
+        |), dim AS (
+        |  SELECT DISTINCT lower(event_type) AS etype FROM events
+        |)
+        |SELECT etype, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM fact JOIN dim ON lower(em) = etype
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
