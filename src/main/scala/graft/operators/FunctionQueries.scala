@@ -244,6 +244,27 @@ object FunctionQueries {
           "value")
         .orderBy("o_orderpriority", "metric")),
 
+    // Spark 4.0's native DataFrame TRANSPOSE — the third reshape
+    // beside pivot (long→wide by key) and unpivot (wide→long):
+    // rows↔columns wholesale, index values become column NAMES and
+    // former column names land in `key`. Correct use is exactly this
+    // shape — a small aggregate report flipped for presentation
+    // (transpose materializes the index on the driver, so it is a
+    // REPORT operator, never a data-scale one; the upstream aggregate
+    // is where the distributed work happens). All metrics are long so
+    // the transposed value columns share one type; event_type values
+    // are fixture-stable identifiers, so the column set is
+    // deterministic and the oracle can name them literally.
+    "transpose_metrics" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(Money.cents(col("value"))).as("cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .transpose()
+        .orderBy("key")),
+
     // Spark 4.1's native APPROX_TOP_K — the space-saving heavy-hitter
     // sketch as a one-call SQL surface (the packaged sibling of the
     // hand-built Misra-Gries gate). Gated in its PROVABLE regime,
@@ -443,6 +464,35 @@ object FunctionQueries {
       """SELECT event_type AS item, count(*) AS cnt
         |FROM events GROUP BY 1
         |ORDER BY cnt DESC, item""".stripMargin,
+    "transpose_metrics" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT))
+        |           AS BIGINT) AS cents,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1
+        |), keys AS (
+        |  SELECT unnest(['cents', 'n_events', 'n_users']) AS key
+        |)
+        |SELECT k.key,
+        |       (SELECT CASE k.key WHEN 'n_events' THEN n_events
+        |          WHEN 'cents' THEN cents ELSE n_users END
+        |        FROM m WHERE event_type = 'click') AS click,
+        |       (SELECT CASE k.key WHEN 'n_events' THEN n_events
+        |          WHEN 'cents' THEN cents ELSE n_users END
+        |        FROM m WHERE event_type = 'error') AS error,
+        |       (SELECT CASE k.key WHEN 'n_events' THEN n_events
+        |          WHEN 'cents' THEN cents ELSE n_users END
+        |        FROM m WHERE event_type = 'purchase') AS purchase,
+        |       (SELECT CASE k.key WHEN 'n_events' THEN n_events
+        |          WHEN 'cents' THEN cents ELSE n_users END
+        |        FROM m WHERE event_type = 'signup') AS signup,
+        |       (SELECT CASE k.key WHEN 'n_events' THEN n_events
+        |          WHEN 'cents' THEN cents ELSE n_users END
+        |        FROM m WHERE event_type = 'view') AS view
+        |FROM keys k
+        |ORDER BY k.key""".stripMargin,
     "collated_join" ->
       """WITH fact AS (
         |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)

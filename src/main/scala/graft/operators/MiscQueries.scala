@@ -472,6 +472,24 @@ object MiscQueries {
             .as("surrogate"))
         .orderBy("c_custkey")),
 
+    // The NATIVE masking sibling of pii_mask: Spark 3.4+ `mask()`
+    // does the per-character-class redaction (upper→X, lower→x,
+    // digit→n, other kept; all four classes overridable) as one
+    // codegen'd expression instead of the regexp_replace chain —
+    // the built-in a redaction pipeline should reach for first. The
+    // custom variant overrides the digit and other classes, which the
+    // oracle replays as an explicit per-class regexp chain (safe
+    // here: the source text contains no literal mask characters, so
+    // the sequential replacements can't collide).
+    "pii_mask_native" -> ((s, d) =>
+      customer(s, d)
+        .filter(col("c_custkey") <= 50)
+        .select(
+          col("c_custkey"),
+          expr("mask(c_name)").as("masked_default"),
+          expr("mask(c_name, 'X', 'x', '9', '*')").as("masked_custom"))
+        .orderBy("c_custkey")),
+
     // FIXED-WIDTH format round-trip — the mainframe/EDI ingest shape
     // no packaged reader covers: rows serialize as zero-padded
     // numeric and space-padded string columns at fixed offsets
@@ -856,6 +874,34 @@ object MiscQueries {
           (abs(col("est") - col("exact_custs")).cast("double") /
             col("exact_custs") <= 0.05).as("within_tol"))
         .orderBy("r_name")
+    }),
+
+    // MERGEABLE-EXACT distinct counting via Spark 3.5+ BITMAP
+    // aggregates — the dense-integer-domain complement to hll_union:
+    // when the key is a bounded integer id (user ids here), fixed
+    // 4KB-bucket bitmaps give EXACT distinct counts that still merge
+    // by OR, so the two-level rollup (per-group partials → or-merged
+    // totals) never re-reads rows AND never pays an estimator's
+    // tolerance. Per event_type: bitmap_construct_agg over
+    // (bucket, bit-position) decomposed ids, counted by summing
+    // bitmap_count per bucket; the __all__ row re-aggregates the SAME
+    // per-type bitmaps with bitmap_or_agg — users appearing under
+    // several types count once, proving the merge dedups across
+    // groups. Exact, so the oracle is plain count(DISTINCT).
+    "bitmap_distinct_rollup" -> ((s, d) => {
+      val b = events(s, d)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      val perType = b.groupBy("event_type")
+        .agg(expr("sum(bitmap_count(bm))").cast("long").as("n_distinct"))
+        .select(col("event_type").as("scope"), col("n_distinct"))
+      val merged = b.groupBy("bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .agg(expr("sum(bitmap_count(bm))").cast("long").as("n_distinct"))
+        .select(lit("__all__").as("scope"), col("n_distinct"))
+      perType.unionByName(merged).orderBy("scope")
     }),
 
     // Malformed-ROW tolerance in ingestion: PERMISSIVE CSV parsing
@@ -1648,6 +1694,18 @@ object MiscQueries {
          |         AS surrogate
          |FROM customer WHERE c_custkey <= 50
          |ORDER BY c_custkey""".stripMargin,
+    "pii_mask_native" ->
+      """SELECT c_custkey,
+        |       regexp_replace(regexp_replace(regexp_replace(c_name,
+        |         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+        |         '[0-9]', 'n', 'g') AS masked_default,
+        |       regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(c_name,
+        |           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+        |           '[0-9]', '9', 'g'), '[^Xx9]', '*', 'g')
+        |         AS masked_custom
+        |FROM customer WHERE c_custkey <= 50
+        |ORDER BY c_custkey""".stripMargin,
     "fixedwidth_scan" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
@@ -1775,6 +1833,15 @@ object MiscQueries {
         |       TRUE AS stddev_ok
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "bitmap_distinct_rollup" ->
+      """SELECT event_type AS scope,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__all__' AS scope,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events
+        |ORDER BY scope""".stripMargin,
     "hll_union" ->
       """SELECT r_name,
         |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_custs,

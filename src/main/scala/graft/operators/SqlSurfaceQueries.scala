@@ -356,6 +356,31 @@ object SqlSurfaceQueries {
           |ORDER BY ALL""".stripMargin)
     }),
 
+    // The SQL FILTER (WHERE ...) aggregate modifier — per-aggregate
+    // selective inputs WITHOUT exploding the query into CASE WHEN
+    // arms or self-joins: one pass computes the unconditional count
+    // beside three differently-filtered aggregates (count, sum,
+    // count DISTINCT). Plans as a single hash aggregation with
+    // conditional accumulation — the conditional-rollup shape every
+    // KPI query wants, and a standard-SQL clause both engines parse
+    // natively.
+    "agg_filter_clause" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """SELECT event_type,
+          |       count(*) AS n_all,
+          |       count(*) FILTER (WHERE value > 15.0) AS n_high,
+          |       CAST(coalesce(
+          |         sum(CAST(round(value*100) AS BIGINT))
+          |           FILTER (WHERE user_id % 2 = 0), 0)
+          |         AS BIGINT) AS even_cents,
+          |       count(DISTINCT user_id)
+          |         FILTER (WHERE value <= 15.0) AS n_low_users
+          |FROM events_sq
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    }),
+
     // Pearson correlation + sample stddev from EXACT integer
     // sufficient statistics. Inputs are integer DOLLARS (not cents)
     // so every sum stays below 2^53 at the graded scales and converts
@@ -410,6 +435,19 @@ object SqlSurfaceQueries {
   private val centsBal = "CAST(round(c_acctbal*100) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "agg_filter_clause" ->
+      """SELECT event_type,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE value > 15.0) AS n_high,
+        |       CAST(coalesce(
+        |         sum(CAST(round(value*100) AS BIGINT))
+        |           FILTER (WHERE user_id % 2 = 0), 0)
+        |         AS BIGINT) AS even_cents,
+        |       count(DISTINCT user_id)
+        |         FILTER (WHERE value <= 15.0) AS n_low_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "lateral_alias" ->
       """SELECT o_orderkey,
         |       CAST(round(o_totalprice*100) AS BIGINT) AS cents,
