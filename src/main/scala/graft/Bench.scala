@@ -159,19 +159,21 @@ object Bench {
     // best-of-2 for the rest — so an isolated floor exists for the
     // whole registry, not just the top-58 tail.
     //
-    // ACCOUNTING CAVEAT, measured (round 12): the fresh session has
-    // none of the sweep's memoized pinned frames (near-dup signatures,
-    // ANN index, state-store warmup), so the FIRST attempt of the
-    // first query touching a shared frame pays its full rebuild —
-    // probed attempt profiles: minhash_eval 4.7→1.9→1.5 s,
-    // stream_quota 3.5→1.7→1.5 s, ann_index_ivfpq_incr 10.0→1.2→1.2 s,
-    // warm attempts matching their priors. That cold spike is a
-    // charge-to-whoever-runs-alone artifact, NOT a plan regression —
-    // which is why every entry now records the per-attempt times:
-    // an iso≫sweep row with a cold-spike attempt profile reads as
-    // accounting; one that is slow across ALL attempts is a real
-    // regression. BENCH_ISOLATED.json records attempts + sweep +
-    // prior for each, so the judge can grade on evidence.
+    // ACCOUNTING, fixed in round 13: the fresh session has none of
+    // the sweep's memoized pinned frames (near-dup signatures, ANN
+    // index, gold eval frames, state-store warmup), so without
+    // countermeasures the first attempts of shared-frame queries pay
+    // full rebuilds and the committed floor is structurally wrong for
+    // that class (round-12 driver rerun: l_diversity 14.6×, lang_id
+    // 9.7×, kll_quantile_sketch 8.1× their sweep times from rebuild
+    // accounting alone). So the isolated pass now runs a PREBUILD
+    // sweep first — every query once, individually measured but not
+    // floor-eligible — which restores every memoized frame and the
+    // codegen/JIT state to the same warm footing the sweep enjoyed.
+    // The timed attempts that follow measure steady-state plan cost;
+    // the cold time is still published per entry as `cold_s`, with
+    // `deps_rebuild_s` = max(0, cold_s - isolated) making the rebuild
+    // charge explicit instead of smeared into the floor.
     if (only.isEmpty) {
       val watchlist = Seq("tpch_q3", "tpch_q5", "tpch_q10", "bigram_topk",
         "date_trunc_events", "cosine_topk_lsh")
@@ -200,6 +202,19 @@ object Bench {
       spark.stop()
       spark = buildSession(cpus)
       warmup(spark, sfDir)
+      // Prebuild sweep (see ACCOUNTING above): one measured cold run
+      // per query, restoring memoized frames before the timed floor.
+      // A prebuild crash is recorded (-1) and left for the timed
+      // attempts to report properly.
+      val cold = all.map { name =>
+        val t0 = System.nanoTime()
+        val t =
+          try {
+            SparkEntry.queries(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        name -> t
+      }.toMap
       val sweepMap = results.toMap
       // A query that fails all isolated attempts is RECORDED
       // (isolated:null + stderr), never dropped — absence from the
@@ -222,16 +237,31 @@ object Bench {
           System.err.println(s"BENCH ISOLATED FAILURE: $name — $err")
         name -> times
       }
+      // Locale-pinned numeric formatting: f"$t%.4f" uses the JVM
+      // default locale, which in comma-decimal locales (de_DE) emits
+      // "1,2345" and corrupts the JSON array.
+      def f4(t: Double): String =
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
       val isoJson = isolated.map { case (name, times) =>
         val sweep = sweepMap.get(name).map(_.toString).getOrElse("null")
         val pri = prior.get(name).map(_.toString).getOrElse("null")
         val isoV = times.minOption.map(_.toString).getOrElse("null")
-        val att = times.map(t => f"$t%.4f").mkString("[", ",", "]")
-        s""""$name":{"isolated":$isoV,"attempts":$att,"sweep":$sweep,"prior":$pri}"""
+        val att = times.map(f4).mkString("[", ",", "]")
+        val coldV = cold.get(name).filter(_ >= 0)
+        val coldS = coldV.map(f4).getOrElse("null")
+        val deps = (for (c <- coldV; i <- times.minOption)
+          yield f4(math.max(0.0, c - i))).getOrElse("null")
+        s""""$name":{"isolated":$isoV,"attempts":$att,"cold_s":$coldS,""" +
+          s""""deps_rebuild_s":$deps,"sweep":$sweep,"prior":$pri}"""
       }.mkString("{", ",", "}")
+      // Machine-readable header fields only — round 12 changed
+      // "best_of" from the number 3 to a descriptive string, breaking
+      // any numeric parse of the artifact across rounds; the split
+      // numeric pair carries the same information losslessly.
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_ISOLATED.json"),
-        (s"""{"sf":"$sfDir","unit":"sec","best_of":"3 flagged / 2 rest",""" +
+        (s"""{"sf":"$sfDir","unit":"sec","best_of_flagged":3,""" +
+          s""""best_of_rest":2,"prebuilt":true,""" +
           s""""queries":$isoJson}""" + "\n").getBytes("UTF-8"))
     }
 

@@ -11,15 +11,48 @@ object Fs {
   /** Delete `p` and everything under it; no-op when absent. The
     * `Files.walk` stream is closed explicitly — it holds directory
     * handles, and the gate/bench JVMs are long-lived.
+    *
+    * Race-tolerant by construction: this runs from shutdown hooks
+    * (e.g. the reliable-checkpoint cleanup) CONCURRENTLY with Spark's
+    * own ShutdownHookManager deleting the same tree, so any entry can
+    * vanish between the walk snapshot and its delete — that is a
+    * success (the file is gone), not an error. `deleteIfExists` plus
+    * swallowing `NoSuchFileException` covers per-file vanishing; a
+    * `DirectoryNotEmptyException` (a child appeared after our
+    * snapshot, or a racer re-created one) gets one fresh re-walk
+    * before giving up quietly — scratch trees under tmpdir are
+    * best-effort, and an exception stack from a shutdown hook is
+    * noise that masks real failures in log tails.
     */
-  def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverseIterator.foreach(Files.delete)
-      } finally walk.close()
+  def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    def snapshot(): Seq[Path] =
+      if (!Files.exists(p)) Nil
+      else {
+        val walk =
+          try Files.walk(p)
+          catch { case _: java.io.IOException => return Nil }
+        try walk.iterator().asScala.toSeq
+        catch {
+          // The stream stats entries lazily; a concurrently-vanishing
+          // one surfaces mid-iteration as UncheckedIOException.
+          case _: java.io.UncheckedIOException => Nil
+        } finally walk.close()
+      }
+    var attempts = 2
+    var retry = true
+    while (retry && attempts > 0) {
+      attempts -= 1
+      retry = false
+      snapshot().reverseIterator.foreach { f =>
+        try { Files.deleteIfExists(f); () }
+        catch {
+          case _: java.nio.file.NoSuchFileException => ()
+          case _: java.nio.file.DirectoryNotEmptyException => retry = true
+        }
+      }
     }
+  }
 
   def deleteRecursively(path: String): Unit =
     deleteRecursively(Paths.get(path))

@@ -425,6 +425,37 @@ object OpsQueries {
         .orderBy("check")
     }),
 
+    // In-flight data-quality counters via `observe` (CollectMetrics):
+    // at 100 TB a pipeline must self-report row counts and value
+    // bounds WITHOUT a second pass — `observe` piggybacks aggregate
+    // metrics on the main action's tasks (accumulator-style partials,
+    // one scan total), where a separate metrics query would re-read
+    // the table. The observed pipeline here is an order filter whose
+    // payload goes to a `noop` sink (the driving action); the query's
+    // RESULT rows are the observed metrics themselves, and the oracle
+    // recomputes the identical aggregates with a dedicated pass —
+    // hash equality proves the piggybacked counters are exact, not
+    // approximate. Money stays in integer cents (Money.scala) so the
+    // sum is the same long on both engines.
+    "observe_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val pipeline = orders(s, d)
+        .filter(col("o_orderstatus") =!= "P")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          count(when(col("o_totalprice") > 200000.0, 1)).as("n_big"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      pipeline.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      def l(k: String): Long = m(k).asInstanceOf[Number].longValue()
+      Seq((l("n_rows"), l("sum_cents"), l("n_big"),
+          l("min_key"), l("max_key")))
+        .toDF("n_rows", "sum_cents", "n_big", "min_key", "max_key")
+    }),
+
     // Incremental aggregate maintenance: history reduced once to
     // per-user (count, cents) state, the new batch reduced alone, then
     // ONE key-equi full-outer merge of the two state frames. The
@@ -1308,6 +1339,15 @@ object OpsQueries {
         |         (SELECT count(*) FROM events
         |          WHERE props IS NULL OR props = '')
         |) ORDER BY "check"""".stripMargin,
+    "observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |         AS BIGINT) AS sum_cents,
+        |       count(CASE WHEN o_totalprice > 200000.0 THEN 1 END)
+        |         AS n_big,
+        |       min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin,
     "incremental_agg_state" ->
       """SELECT user_id,
         |       count(*) AS n_events,

@@ -1971,6 +1971,16 @@ object TextQueries {
             least(col("sa"), col("sb")) * 5)
         .select("a", "b", "sa", "sb")
         .distinct()
+      // Round-13 drift adjudication (the +25% r11→r12 clean-sweep
+      // move with no code change): a dedicated-JVM stage probe
+      // measured pin(shingle+distinct) at 3.4-5.6 s as the dominant
+      // cost, candidate gen ~1.0 s, and BOTH verification shapes —
+      // this explode-join and an array_intersect-over-candidate-pairs
+      // variant — at 1.5 s each, with full-query steady state ~4.25 s
+      // under either (COVERAGE.md, round 13). The sweep numbers
+      // 4.09→5.12 bracket that; the drift is run-to-run scatter on
+      // the scan+shuffle, not a plan regression, so the established
+      // shape stays.
       val inter = cand
         .join(rows.select(col("doc_id").as("a"), col("tok")), Seq("a"))
         .join(rows.select(col("doc_id").as("b"), col("tok")),
@@ -2081,8 +2091,15 @@ object TextQueries {
         val dir = graft.Fs.sinkDir("graft-reliable-ckpt")
         // Checkpoint FILES outlive unpin (only blocks are released);
         // reap our own dir at JVM exit instead of leaving it to a
-        // later process's 6-hour stale collector.
-        sys.addShutdownHook(graft.Fs.deleteRecursively(dir))
+        // later process's 6-hour stale collector. The hook races
+        // Spark's own ShutdownHookManager on the same tree —
+        // deleteRecursively tolerates vanishing entries, and the
+        // catch-all keeps any residual FS surprise (permission flaps
+        // on half-deleted dirs) out of the shutdown log tail: cleanup
+        // of a tmpdir tree is best-effort by definition.
+        sys.addShutdownHook(
+          try graft.Fs.deleteRecursively(dir)
+          catch { case _: Throwable => () })
         ns.conf.set(graft.Checkpoints.ConfKey, dir)
         ns
       }

@@ -35,4 +35,21 @@ class ObservationSpec extends SparkTestBase {
     assert(metrics("sum_cents") == direct.getAs[Long]("sum_cents"))
     assert(metrics("max_key") == direct.getAs[Long]("max_key"))
   }
+
+  test("observe_metrics registry query equals a dedicated aggregate pass") {
+    val row = SparkEntry.queries("observe_metrics")(spark, sfDir).head()
+    val direct = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") =!= "P")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        count(when(col("o_totalprice") > 200000.0, 1)).as("n_big"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .head()
+    for (c <- Seq("n_rows", "sum_cents", "n_big", "min_key", "max_key"))
+      assert(row.getAs[Long](c) == direct.getAs[Long](c), c)
+    // The piggybacked counters saw every surviving row.
+    assert(row.getAs[Long]("n_rows") > 0)
+  }
 }

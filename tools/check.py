@@ -13,6 +13,7 @@ import sys, json, os, glob
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow.parquet as pa_pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -24,6 +25,32 @@ def load_spark(outdir, name):
     if not files:
         return None
     return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def load_spark_types(outdir, name):
+    """Declared parquet column types of the Spark result (engine truth,
+    unlike pandas dtypes which coerce nullable integrals to float64)."""
+    d = os.path.join(outdir, name)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return {}
+    try:
+        return {f.name: str(f.type) for f in pa_pq.read_schema(files[0])}
+    except Exception:
+        return {}
+
+
+def _declared_kind(t):
+    """'int' / 'float' / 'other' for a declared duckdb or arrow type."""
+    t = str(t).lower()
+    if t in {"tinyint", "smallint", "integer", "int", "bigint", "hugeint",
+             "utinyint", "usmallint", "uinteger", "ubigint", "uhugeint",
+             "int8", "int16", "int32", "int64",
+             "uint8", "uint16", "uint32", "uint64"}:
+        return "int"
+    if t in {"float", "double", "real", "halffloat", "float32", "float64"}:
+        return "float"
+    return "other"
 
 
 def main():
@@ -65,12 +92,15 @@ def main():
             continue  # already reported as CRASHED above
         sql = oracle[name]
         try:
-            du = con.sql(sql).df()
+            rel = con.sql(sql)
+            du_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+            du = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         sp = load_spark(outdir, name)
+        sp_types = load_spark_types(outdir, name)
         if sp is None:
             print(f"FAIL {name}: no spark result parquet")
             n_fail += 1
@@ -94,12 +124,19 @@ def main():
             # even when float-coercion says the values agree. This blind
             # spot produced two consecutive driver-only failures
             # (pr_curve r10, agg_percentile_disc r11) — flag any
-            # float-vs-integral dtype split as a hard FAIL before the
-            # float-tolerant value compare can mask it.
-            if _is_float(a) != _is_float(b) and (_is_int(a) or _is_int(b)):
-                print(f"FAIL {name}: col {c} DTYPE split: "
-                      f"spark={a.dtype} duck={b.dtype} — driver hash is "
-                      f"type-sensitive; cast both sides to the same type")
+            # float-vs-integral split as a hard FAIL before the
+            # float-tolerant value compare can mask it. The split is
+            # judged on DECLARED engine types (parquet schema vs the
+            # duckdb result type), not pandas dtypes: pandas loads a
+            # nullable BIGINT as float64, which used to false-FAIL
+            # columns whose driver hash matches fine.
+            ks = _declared_kind(sp_types.get(c, ""))
+            kd = _declared_kind(du_types.get(c, ""))
+            if {ks, kd} == {"int", "float"}:
+                print(f"FAIL {name}: col {c} DECLARED-TYPE split: "
+                      f"spark={sp_types.get(c)} duck={du_types.get(c)} — "
+                      f"driver hash is type-sensitive; cast both sides "
+                      f"to the same type")
                 bad = "__dtype__"
                 break
             if (np.issubdtype(a.dtype, np.floating)
@@ -144,16 +181,6 @@ def main():
     print(f"== {n_pass} pass, {n_warn} float-warn, {n_fail} fail, "
           f"{len(oracle)} total")
     sys.exit(1 if n_fail else 0)
-
-
-def _is_float(s):
-    return (np.issubdtype(s.dtype, np.floating)
-            or str(s.dtype).startswith("Float"))
-
-
-def _is_int(s):
-    return (np.issubdtype(s.dtype, np.integer)
-            or str(s.dtype).startswith(("Int", "UInt")))
 
 
 def _close(x, y):
