@@ -179,6 +179,54 @@ object SqlSurfaceQueries {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // VARIANT SHREDDING round-trip (Spark 4.1 writeShredding +
+    // inferShreddingSchema): the variant column is PHYSICALLY written
+    // as a typed parquet subcolumn (typed_value) instead of opaque
+    // binary — the layout that lets a 100 TB scan read just '$.k' as
+    // a plain int column with row-group statistics instead of
+    // decoding every variant blob (pushVariantIntoScan then rewrites
+    // the scan schema to the requested struct fields). The gate
+    // writes shredded, reads back, and re-aggregates the extracted
+    // field; the oracle recomputes from the raw JSON — hash equality
+    // proves shred→read is lossless. VariantShreddedSpec proves the
+    // physical claim (typed_value present in the footer schema iff
+    // shredding was on).
+    "variant_shredded_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.Fs.sinkDir("graft_variant_shred")
+      // Both write-side confs default ON in Spark 4.1; pinned here so
+      // a deployment-level override can't silently degrade the gate
+      // to unshredded binary. They are write-side only: the returned
+      // frame executes AFTER the finally restores them, and reading
+      // shredded files is governed by
+      // spark.sql.variant.allowReadingShredded, also default-on (the
+      // spec exercises the read eagerly, so a default flip would fail
+      // loudly there, never silently here).
+      val confs = Seq(
+        "spark.sql.variant.writeShredding.enabled" -> "true",
+        "spark.sql.variant.inferShreddingSchema" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        events(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("parse_json(props)").as("v"))
+          .write.mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(expr("CAST(variant_get(v, '$.k', 'int') AS BIGINT)"))
+              .as("sum_k"),
+            min(expr("variant_get(v, '$.k', 'int')")).as("min_k"),
+            max(expr("variant_get(v, '$.k', 'int')")).as("max_k"))
+          .orderBy("event_type")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // XML round-trip: rows serialized to XML and parsed back with
     // from_xml (native in Spark 4); the oracle computes the same
     // output straight from the source columns, so the parse must be
@@ -540,6 +588,17 @@ object SqlSurfaceQueries {
          |  ORDER BY $centsBal, c_custkey)
          |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "variant_extract" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |         AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |         AS INTEGER) AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |         AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "variant_shredded_roundtrip" ->
       """SELECT event_type,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
