@@ -456,6 +456,43 @@ object OpsQueries {
         .toDF("n_rows", "sum_cents", "n_big", "min_key", "max_key")
     }),
 
+    // Streaming twin of observe_metrics: the same CollectMetrics
+    // counters attached to a three-batch event replay, harvested
+    // from each micro-batch's progress event and summed — the
+    // always-on pipeline's self-reporting path (per-batch counts
+    // ride the batch's own tasks; alerting reads progress, never the
+    // sink). Oracle recomputes over the whole log in one pass;
+    // count/sum decompose exactly across batches, so hash equality
+    // proves no batch was dropped or double-counted
+    // (StreamObserve.scala).
+    "stream_observe_metrics" -> ((s, d) =>
+      graft.streaming.StreamObserve.run(s, d)),
+
+    // Offline STATE-STORE inspection: a three-batch replayed
+    // streaming agg commits its per-key (count, cents-sum) buffers
+    // to a checkpoint, and the query's RESULT is what Spark's
+    // `statestore` data source reads back out of that checkpoint —
+    // the non-destructive way to debug stateful pipelines at 100 TB
+    // (one scan partition per state partition, no replay, no sink
+    // round-trip). The oracle recomputes the aggregates from the raw
+    // events in one batch pass; hash equality proves the checkpoint
+    // state is exactly the aggregation's truth, end to end
+    // (StateStoreRead.scala has the staging + provider notes).
+    "state_store_read" -> ((s, d) =>
+      graft.streaming.StateStoreRead.run(s, d)),
+
+    // State CHANGE FEED over the same checkpoint (one streaming run
+    // serves both readers, memoized per session like a production
+    // checkpoint serves every inspection): every per-batch state
+    // mutation since batch 0, folded per key into (n_updates,
+    // final count, final sum). n_updates is the sharp claim — exactly
+    // one update per batch that touched the key; the oracle
+    // recomputes it as the number of distinct replay slices each
+    // event_type appears in, pure event_id arithmetic DuckDB
+    // reproduces exactly (StateStoreRead.changeFeed).
+    "state_store_changefeed" -> ((s, d) =>
+      graft.streaming.StateStoreRead.changeFeed(s, d)),
+
     // Incremental aggregate maintenance: history reduced once to
     // per-user (count, cents) state, the new batch reduced alone, then
     // ONE key-equi full-outer merge of the two state frames. The
@@ -1348,6 +1385,37 @@ object OpsQueries {
         |       min(o_orderkey) AS min_key,
         |       max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin,
+    "stream_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       count(CASE WHEN value > 100.0 THEN 1 END) AS n_big,
+        |       count(CASE WHEN props IS NULL OR props = '' THEN 1 END)
+        |         AS n_blank_props
+        |FROM events""".stripMargin,
+    "state_store_changefeed" ->
+      """WITH m AS (SELECT max(event_id) + 1 AS mx FROM events),
+        |sliced AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id < (SELECT mx FROM m) // 3 THEN 0
+        |              WHEN event_id < (2 * (SELECT mx FROM m)) // 3
+        |                THEN 1
+        |              ELSE 2 END AS slice,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type,
+        |       count(DISTINCT slice) AS n_updates,
+        |       count(*) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM sliced GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "state_store_read" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "incremental_agg_state" ->
       """SELECT user_id,
         |       count(*) AS n_events,

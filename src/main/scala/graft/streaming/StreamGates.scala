@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 
 /** State-partition right-sizing for the registered streaming gates.
   *
@@ -39,5 +40,40 @@ object StreamGates {
     s.conf.set(key, LocalStateParts.toString)
     try body
     finally s.conf.set(key, prev)
+  }
+
+  /** Stage `df` as `n` single-file parquet slices of `keyCol`'s
+    * (long) range under `Fs.sinkDir(sinkName)/stage`, mtime-ordered
+    * so a file stream with maxFilesPerTrigger=1 replays them as `n`
+    * sequential micro-batches — the shared replay harness of the
+    * stateful gates (each slice is one "day" of arrivals).
+    */
+  private[graft] def stageSlices(
+      spark: SparkSession, df: DataFrame, keyCol: String,
+      sinkName: String, n: Int): String = {
+    val maxKey = df.agg(max(keyCol)).head().getLong(0) + 1
+    val stageDir = s"${graft.Fs.sinkDir(sinkName)}/stage"
+    graft.Fs.deleteRecursively(stageDir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stageDir))
+    val t0 = System.currentTimeMillis()
+    (0 until n).foreach { i =>
+      val tmp = s"$stageDir-tmp-$i"
+      df
+        .filter(col(keyCol) >= i * maxKey / n &&
+          col(keyCol) < (i + 1) * maxKey / n)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst =
+        java.nio.file.Paths.get(stageDir, f"slice_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+      graft.Fs.deleteRecursively(tmp)
+    }
+    stageDir
   }
 }

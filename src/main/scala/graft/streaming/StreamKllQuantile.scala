@@ -76,35 +76,13 @@ object StreamKllQuantile {
     * o_orderkey (single parquet files, mtime-ordered so
     * maxFilesPerTrigger=1 replays them in sequence).
     */
-  private def stage(spark: SparkSession, dir: String): String = {
-    val orders = graft.Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        graft.operators.Money.cents(col("o_totalprice")).as("v"))
-    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0) + 1
-    val stageDir = s"${graft.Fs.sinkDir("graft_stream_kll")}/stage"
-    graft.Fs.deleteRecursively(stageDir)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(stageDir))
-    val t0 = System.currentTimeMillis()
-    (0 until 4).foreach { i =>
-      val tmp = s"$stageDir-tmp-$i"
-      orders
-        .filter(col("o_orderkey") >= i * maxKey / 4 &&
-          col("o_orderkey") < (i + 1) * maxKey / 4)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
-      val dst =
-        java.nio.file.Paths.get(stageDir, f"orders_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
-      graft.Fs.deleteRecursively(tmp)
-    }
-    stageDir
-  }
+  private def stage(spark: SparkSession, dir: String): String =
+    StreamGates.stageSlices(
+      spark,
+      graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          graft.operators.Money.cents(col("o_totalprice")).as("v")),
+      "o_orderkey", "graft_stream_kll", 4)
 
   /** Run the replay to completion; return the FINAL per-group sketch
     * rows (prio, n, sk) — last emission per group.
