@@ -17,6 +17,23 @@ object SourceQueries {
   private def webpages(s: SparkSession): DataFrame =
     s.read.format("graft.sources.WebpageDataSource").load()
 
+  /** Register the kv TableCatalog on this session and (re)create an
+    * empty `graft_kv.default.<name>` — the setup step of the SQL DML
+    * gates. Idempotent per run (bench re-executes gates), run-id
+    * isolated via the sinkDir warehouse.
+    */
+  private def kvTable(
+      s: SparkSession, name: String): String = {
+    s.conf.set("spark.sql.catalog.graft_kv",
+      classOf[graft.sources.KvCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_kv.warehouse",
+      graft.Fs.sinkDir("graft_kv_wh"))
+    val t = s"graft_kv.default.$name"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (key BIGINT, value STRING)")
+    t
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V2 scan shape: one row per successfully-fetched URL.
     "webpage_scan" -> ((s, _) =>
@@ -101,6 +118,62 @@ object SourceQueries {
           count(lit(1)).as("n_orders"),
           sum(col("key")).as("sum_keys"))
         .orderBy("value")
+    }),
+
+    // SQL row-level DML on the kv connector, part 1: DELETE FROM.
+    // The table lives in the custom `graft_kv` TableCatalog
+    // (KvCatalog.scala); DELETE resolves through
+    // SupportsRowLevelOperations into the GROUP-BASED copy-on-write
+    // rewrite — a fully distributed plan (scan + surviving-rows
+    // filter + two-phase-commit replace), the same protocol
+    // Delta/Iceberg run per file group, never a driver-side row loop.
+    // The oracle applies the inverse predicate to the raw orders:
+    // hash equality proves DELETE removed exactly the matching rows.
+    "catalog_dml_delete" -> ((s, d) => {
+      val t = kvTable(s, "dml_del")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"DELETE FROM $t WHERE key % 3 = 0")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // Part 2: UPDATE — same rewrite machinery, with the update
+    // projection (CASE on the condition) computed inside the
+    // distributed query. The oracle recomputes the post-image from
+    // the raw orders.
+    "catalog_dml_update" -> ((s, d) => {
+      val t = kvTable(s, "dml_upd")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"UPDATE $t SET value = concat('X-', value) " +
+        s"WHERE key % 5 = 0")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // Part 3: MERGE INTO — the upsert: even-keyed orders as the
+    // target, multiple-of-3-keyed orders (re-valued) as the source;
+    // matched rows update, unmatched insert. The oracle is the
+    // equivalent full-outer-join post-image. This is the operation a
+    // 100 TB dimension-maintenance pipeline runs per batch; here it
+    // plans as one distributed merge join + replace commit.
+    "catalog_dml_merge" -> ((s, d) => {
+      val t = kvTable(s, "dml_mrg")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0")
+      s.sql(s"SELECT o_orderkey AS key, " +
+        s"concat('M-', o_orderpriority) AS value " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0")
+        .createOrReplaceTempView("dml_mrg_src")
+      s.sql(
+        s"""MERGE INTO $t AS tgt USING dml_mrg_src AS src
+           |ON tgt.key = src.key
+           |WHEN MATCHED THEN UPDATE SET value = src.value
+           |WHEN NOT MATCHED THEN INSERT (key, value)
+           |  VALUES (src.key, src.value)""".stripMargin)
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
     }),
 
     // Streaming exact-dedup through the gate: the event stream
@@ -1004,6 +1077,35 @@ object SourceQueries {
         |       count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    "catalog_dml_delete" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    "catalog_dml_update" ->
+      """SELECT CASE WHEN o_orderkey % 5 = 0
+        |            THEN 'X-' || o_orderpriority
+        |            ELSE o_orderpriority END AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY value""".stripMargin,
+    "catalog_dml_merge" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderpriority AS p
+        |           FROM orders WHERE o_orderkey % 2 = 0),
+        |s AS (SELECT o_orderkey AS k, 'M-' || o_orderpriority AS p
+        |      FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT coalesce(s.k, t.k) AS key,
+        |         coalesce(s.p, t.p) AS value
+        |  FROM t FULL OUTER JOIN s ON t.k = s.k)
+        |SELECT value, count(*) AS n_orders,
+        |       CAST(sum(key) AS BIGINT) AS sum_keys
+        |FROM merged GROUP BY value
         |ORDER BY value""".stripMargin,
     "stream_static_join" ->
       """SELECT c.c_mktsegment AS segment,

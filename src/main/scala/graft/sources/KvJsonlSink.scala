@@ -3,8 +3,9 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,8 +55,59 @@ object KvJsonlSink {
     StructField("key", LongType),
     StructField("value", StringType)))
 
+  /** Hidden `_file` metadata column (the provenance column every
+    * file-based source exposes); also the row-level operations'
+    * required metadata attribute — see KvRowLevelOperation.
+    */
+  val FileColumn = "_file"
+
   def tempDir(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path, "_temporary")
+
+  /** Exact inverse of the writer's line format (see
+    * [[KvJsonlDataWriter.write]]): `{"key":K,"value":V}` with K a
+    * long or `null` and V `null` or a double-quoted [[escape]]d
+    * string. Strict by design — these files are only ever written by
+    * this sink, so a malformed line is corruption, not dialect.
+    */
+  def parseLine(line: String): (Option[Long], Option[String]) = {
+    require(line.startsWith("{\"key\":"), s"bad kvjsonl line: $line")
+    var i = 7
+    val keyStart = i
+    while (line.charAt(i) != ',') i += 1
+    val keyTok = line.substring(keyStart, i)
+    val key = if (keyTok == "null") None else Some(keyTok.toLong)
+    require(line.startsWith(",\"value\":", i),
+      s"bad kvjsonl line: $line")
+    i += 9
+    if (line.startsWith("null}", i)) (key, None)
+    else {
+      require(line.charAt(i) == '"', s"bad kvjsonl line: $line")
+      i += 1
+      val b = new StringBuilder
+      while (line.charAt(i) != '"') {
+        val c = line.charAt(i)
+        if (c == '\\') {
+          line.charAt(i + 1) match {
+            case '"' => b.append('"'); i += 2
+            case '\\' => b.append('\\'); i += 2
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'u' =>
+              b.append(
+                Integer.parseInt(line.substring(i + 2, i + 6), 16)
+                  .toChar)
+              i += 6
+            case other =>
+              throw new IllegalArgumentException(
+                s"bad escape \\$other in kvjsonl line: $line")
+          }
+        } else { b.append(c); i += 1 }
+      }
+      (key, Some(b.toString))
+    }
+  }
 
   /** Minimal JSON string escaping for the value column (the key is a
     * long). Mirrors what a JSON reader must invert; kept tiny because
@@ -76,14 +128,46 @@ object KvJsonlSink {
   }
 }
 
-class KvJsonlTable(path: String) extends Table with SupportsWrite {
+class KvJsonlTable(path: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
   override def name(): String = s"kvjsonl($path)"
   override def schema(): StructType = KvJsonlSink.Schema
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = KvJsonlSink.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "jsonl file this row was read from"
+    })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
+      TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(path)
+
+  /** SQL row-level DML (DELETE / UPDATE / MERGE) via the GROUP-BASED
+    * (copy-on-write) protocol: Catalyst rewrites the command into a
+    * distributed query computing the surviving rows of the affected
+    * groups and hands them to this operation's write, whose commit
+    * REPLACES those groups atomically. This table is one group (no
+    * partitioning metadata), so the write is truncate-and-publish
+    * under the existing two-phase commit — the same shape
+    * Delta/Iceberg use per file-group, and the rewrite query itself
+    * is an ordinary distributed plan (scan + anti-condition filter /
+    * merge join), never a driver-side row loop.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new KvRowLevelOperation(path, info.command())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Fail at plan time, not mid-write, on a schema the sink can't hold.
@@ -250,6 +334,16 @@ class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
     out.write(s"""{"key":$key,"value":$value}""")
     out.newLine()
   }
+
+  /** Metadata-carrying variant invoked by the row-level-operation
+    * rewrite (DataAndMetadataWritingSparkTask): `meta` is the
+    * operation's required metadata projection (`_file`). This sink
+    * commits by replacing the whole table, so provenance is
+    * discarded; a per-file-group committer would collect it here to
+    * scope the replacement.
+    */
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    write(row)
 
   override def commit(): WriterCommitMessage = {
     out.close()
