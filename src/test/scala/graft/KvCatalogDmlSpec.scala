@@ -94,6 +94,34 @@ class KvCatalogDmlSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("INSERT OVERWRITE replaces the table contents") {
+    val t = freshTable("ovr")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'old'), (2, 'old')")
+    spark.sql(s"INSERT OVERWRITE $t VALUES (7, 'new'), (8, 'new')")
+    val got = spark.sql(s"SELECT key, value FROM $t ORDER BY key")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((7L, "new"), (8L, "new")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("streaming writeStream.toTable lands in the catalog table") {
+    val t = freshTable("strm")
+    import spark.implicits._
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    src.addData((1L, "a"), (2L, "b"))
+    val q = src.toDF().toDF("key", "value")
+      .writeStream
+      .option("checkpointLocation", Fs.sinkDir("graft_kv_strm_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    q.awaitTermination()
+    val got = spark.sql(s"SELECT key, value FROM $t ORDER BY key")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("jsonl line format round-trips hostile strings") {
     import graft.sources.KvJsonlSink.{escape, parseLine}
     val cases = Seq("", "plain", "with \"quotes\"", "back\\slash",
