@@ -176,6 +176,29 @@ object SourceQueries {
         s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
     }),
 
+    // Catalog MAINTENANCE procedure (Spark 4's V2 ProcedureCatalog —
+    // the rewrite_data_files shape): a 16-file fragmented table
+    // compacted to 2 through `CALL graft_kv.system.compact(...)`, a
+    // DISTRIBUTED rewrite under the connector's atomic
+    // truncate+publish commit. File counts are require()d in the gate
+    // (16 -> 2, fail-loud); the hashed result is the post-compaction
+    // data, pinned against raw orders — compaction must be lossless.
+    // At 100 TB file COUNT, not bytes, is what kills scan planning;
+    // this is the SQL-invocable twin of compact_small_files.
+    "catalog_compact_call" -> ((s, d) => {
+      val t = kvTable(s, "cmp_gate")
+      s.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(16) */ " +
+        s"o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      val res = s.sql(
+        "CALL graft_kv.system.compact(table => 'default.cmp_gate', " +
+          "target_files => 2)").collect().head
+      require(res.getLong(0) == 16L && res.getLong(1) == 2L,
+        s"compact file counts off: $res")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
     // Streaming exact-dedup through the gate: the event stream
     // unioned with itself (every event twice), deduped on event_id by
     // dropDuplicatesWithinWatermark — the bounded-state form whose
@@ -1073,6 +1096,12 @@ object SourceQueries {
     "rankings_sql" ->
       FlagshipQueries.oracleSql("raw_rankings"),
     "v2_sink_roundtrip" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    "catalog_compact_call" ->
       """SELECT o_orderpriority AS value,
         |       count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys

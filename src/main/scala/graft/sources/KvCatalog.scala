@@ -170,10 +170,17 @@ class KvRowLevelOperation(
   * two-phase-commit write, so the catalog adds no scale constraint
   * beyond the connector's own.
   */
-class KvCatalog extends TableCatalog with SupportsNamespaces {
+class KvCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
+
+  /** Reserved virtual namespace holding the catalog's maintenance
+    * procedures (`CALL graft_kv.system.compact(...)`) — always
+    * "exists", holds no tables, cannot be created or dropped.
+    */
+  private val SystemNs = Array("system")
 
   override def initialize(
       name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -200,6 +207,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
   // ---- tables ----
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
+    if (ns.sameElements(SystemNs)) return Array.empty
     val p = nsPath(ns)
     if (!java.nio.file.Files.isDirectory(p))
       throw new NoSuchNamespaceException(ns)
@@ -284,8 +292,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(ns)
 
   override def namespaceExists(ns: Array[String]): Boolean =
-    ns.length == 1 &&
-      java.nio.file.Files.isDirectory(warehouse.resolve(ns.head))
+    ns.sameElements(SystemNs) ||
+      (ns.length == 1 &&
+        java.nio.file.Files.isDirectory(warehouse.resolve(ns.head)))
 
   override def loadNamespaceMetadata(
       ns: Array[String]): util.Map[String, String] =
@@ -308,8 +317,46 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "kv catalog namespaces carry no metadata to alter")
 
+  // ---- procedures (CALL graft_kv.system.<proc>(...)) ----
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(SystemNs))
+      Array(Identifier.of(SystemNs, "compact"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(SystemNs) ||
+        ident.name() != "compact")
+      throw new IllegalArgumentException(
+        s"no such procedure: ${ident.namespace().mkString(".")}." +
+          s"${ident.name()} (the kv catalog ships " +
+          "system.compact(table, target_files))")
+    new KvCompactProcedure(this)
+  }
+
+  /** Resolve `"namespace.table"` (or bare `"table"` → default) to its
+    * directory, for procedures that take the table as a string arg.
+    */
+  private[sources] def resolveTableDir(
+      table: String): java.nio.file.Path = {
+    val parts = table.split('.')
+    val ident = parts match {
+      case Array(t) => Identifier.of(Array("default"), t)
+      case Array(ns, t) => Identifier.of(Array(ns), t)
+      case _ => throw new IllegalArgumentException(
+        s"table must be 'table' or 'namespace.table': $table")
+    }
+    val p = tablePath(ident)
+    if (!java.nio.file.Files.isDirectory(p))
+      throw new NoSuchTableException(ident)
+    p
+  }
+
   override def dropNamespace(
       ns: Array[String], cascade: Boolean): Boolean = {
+    if (ns.sameElements(SystemNs))
+      throw new IllegalArgumentException(
+        "the system namespace is reserved for procedures")
     if (!namespaceExists(ns)) return false
     if (!cascade && listTables(ns).nonEmpty)
       throw new IllegalStateException(
@@ -317,4 +364,102 @@ class KvCatalog extends TableCatalog with SupportsNamespaces {
     graft.Fs.deleteRecursively(warehouse.resolve(ns.head).toString)
     true
   }
+}
+
+/** `system.compact` — the small-files MAINTENANCE procedure
+  * (Iceberg's `rewrite_data_files` shape):
+  *
+  * {{{ CALL graft_kv.system.compact(table => 'default.t',
+  *                                  target_files => 2) }}}
+  *
+  * A long-appended table accumulates one file per write task per
+  * job; at 100 TB the resulting file-count — not byte-count — is
+  * what kills scan planning (one input partition per file here, one
+  * footer/open per file everywhere). The rewrite is a DISTRIBUTED
+  * job: the table read through its own scan, repartitioned to the
+  * target file count, written back through the connector's
+  * two-phase-commit overwrite — tasks read the old files while the
+  * replacement stays invisible in `_temporary`, and the
+  * truncate+publish happens atomically at driver commit, so a
+  * concurrent reader sees old or new, never a mix. Returns one row
+  * (files_before, files_after, n_rows) via a LocalScan.
+  *
+  * The batch `compact_small_files` gate pins the same maintenance
+  * shape for parquet paths; this is its catalog-DML twin, invocable
+  * from pure SQL.
+  */
+class KvCompactProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "rewrite a kv table's jsonl files into target_files files"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "compact"
+      override def description(): String = KvCompactProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("target_files", org.apache.spark.sql.types.IntegerType)
+            .defaultValue("1")
+            .comment("file count after the rewrite")
+            .build())
+
+      override def call(
+          input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val table = input.getUTF8String(0).toString
+        val target =
+          if (input.numFields > 1 && !input.isNullAt(1)) input.getInt(1)
+          else 1
+        require(target >= 1, s"target_files must be >= 1, got $target")
+        val dir = cat.resolveTableDir(table)
+
+        def jsonlCount: Long = {
+          val s = java.nio.file.Files.list(dir)
+          try s.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".jsonl"))
+          finally s.close()
+        }
+
+        val spark = org.apache.spark.sql.SparkSession.active
+        val before = jsonlCount
+        val rows = spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .repartition(target)
+          .write
+          .format("graft.sources.KvJsonlSink")
+          .mode("overwrite")
+          .save(dir.toString)
+        val after = jsonlCount
+        val nRows = spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .count()
+        val out: org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def readSchema(): StructType =
+              KvCompactProcedure.OutSchema
+            override def rows(): Array[InternalRow] =
+              Array(InternalRow(before, after, nRows))
+          }
+        util.Collections.singletonList(out).iterator()
+      }
+    }
+}
+
+object KvCompactProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("files_before", LongType),
+    org.apache.spark.sql.types.StructField("files_after", LongType),
+    org.apache.spark.sql.types.StructField("n_rows", LongType)))
 }

@@ -147,6 +147,40 @@ class KvCatalogDmlSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("CALL system.compact rewrites small files distributively") {
+    val t = freshTable("cmp")
+    spark.sql(
+      s"INSERT INTO $t SELECT /*+ REPARTITION(16) */ o_orderkey, " +
+        s"o_orderpriority FROM parquet.`$sfDir/orders.parquet`")
+    val before = spark.sql(s"SELECT sum(key) AS s, count(*) AS n FROM $t")
+      .collect().head
+    val res = spark.sql(
+      "CALL graft_kv.system.compact(table => 'default.cmp', " +
+        "target_files => 2)").collect().head
+    assert(res.getLong(0) == 16L, s"files_before: $res")
+    assert(res.getLong(1) == 2L, s"files_after: $res")
+    assert(res.getLong(2) == before.getAs[Long]("n"), res.toString)
+    val after = spark.sql(s"SELECT sum(key) AS s, count(*) AS n FROM $t")
+      .collect().head
+    assert(after == before)
+    // Positional + defaulted form: back to one file.
+    val res2 = spark.sql("CALL graft_kv.system.compact('default.cmp')")
+      .collect().head
+    assert(res2.getLong(0) == 2L && res2.getLong(1) == 1L, res2.toString)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("procedure edges: unknown procedure, missing table") {
+    cat()
+    intercept[Exception] {
+      spark.sql("CALL graft_kv.system.nope()").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CALL graft_kv.system.compact('default.absent')")
+        .collect()
+    }
+  }
+
   test("catalog DDL edges: duplicate create, missing table, rename") {
     cat()
     val t = freshTable("edges")
