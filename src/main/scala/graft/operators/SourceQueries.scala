@@ -110,9 +110,16 @@ object SourceQueries {
         .write.format("graft.sources.KvJsonlSink")
         .mode("overwrite")
         .save(dir)
+      // pathGlobFilter rather than a glob IN the path: Spark 4.1's
+      // single-pass resolver resolves an in-path glob literally,
+      // throws FileNotFoundException, and falls back to the
+      // fixed-point analyzer — correct result, but a full exception
+      // stack in every verify log. The option form avoids the
+      // dual-run quirk entirely.
       s.read
         .schema(graft.sources.KvJsonlSink.Schema)
-        .json(s"$dir/*.jsonl")
+        .option("pathGlobFilter", "*.jsonl")
+        .json(dir)
         .groupBy("value")
         .agg(
           count(lit(1)).as("n_orders"),

@@ -26,21 +26,86 @@ import org.apache.spark.unsafe.types.UTF8String
   * read-side half of the sink's exactly-once story.
   */
 class KvScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   // Column pruning lands HERE, not in the reader: a 2-column table
   // still profits (count(*) scans parse no fields), and the `_file`
   // metadata column only materializes when the plan asks for it.
   private var required: StructType = KvJsonlSink.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new KvScan(path, required)
+
+  // Key-predicate pushdown: comparisons against the long key are
+  // evaluated in the reader on the PARSED key, before any value
+  // unescape or UTF8String materialization — the row-level analogue
+  // of parquet's row-group skip (this format has no per-file stats,
+  // so file-level pruning isn't available; at deployment scale the
+  // sink would write a min/max manifest to get it). Every filter is
+  // ALSO returned to Spark for re-evaluation — the reader skip is a
+  // pure optimization, never a correctness dependency, so a
+  // predicate class the reader half-understands can't corrupt
+  // results.
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(KvKeyPredicate.supports)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  override def build(): Scan = new KvScan(path, required, pushed)
 }
 
-class KvScan(path: String, required: StructType)
+/** The reader-side compiled form of the pushed key predicates. */
+object KvKeyPredicate {
+  import org.apache.spark.sql.sources._
+
+  def supports(f: Filter): Boolean = f match {
+    case EqualTo("key", _: java.lang.Long) => true
+    case GreaterThan("key", _: java.lang.Long) => true
+    case GreaterThanOrEqual("key", _: java.lang.Long) => true
+    case LessThan("key", _: java.lang.Long) => true
+    case LessThanOrEqual("key", _: java.lang.Long) => true
+    case IsNotNull("key") => true
+    case _ => false
+  }
+
+  /** Conjunction of all supported filters over the parsed key (None
+    * = null key): comparisons are null-rejecting like SQL.
+    */
+  def eval(filters: Array[Filter], key: Option[Long]): Boolean =
+    filters.forall {
+      case IsNotNull("key") => key.isDefined
+      case EqualTo("key", v: java.lang.Long) => key.contains(v.longValue)
+      case GreaterThan("key", v: java.lang.Long) =>
+        key.exists(_ > v.longValue)
+      case GreaterThanOrEqual("key", v: java.lang.Long) =>
+        key.exists(_ >= v.longValue)
+      case LessThan("key", v: java.lang.Long) =>
+        key.exists(_ < v.longValue)
+      case LessThanOrEqual("key", v: java.lang.Long) =>
+        key.exists(_ <= v.longValue)
+      case _ => true
+    }
+
+  /** Test observability: rows skipped by reader-side predicate
+    * evaluation in this JVM (single-JVM specs read it; at deployment
+    * this would be a custom task metric).
+    */
+  val skipped = new java.util.concurrent.atomic.AtomicLong
+}
+
+class KvScan(
+    path: String, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"kvjsonl $path"
+  override def description(): String =
+    s"kvjsonl $path PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = java.nio.file.Paths.get(path)
@@ -58,20 +123,24 @@ class KvScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required.fieldNames)
+    new KvReaderFactory(required.fieldNames, pushed)
 }
 
 case class KvInputPartition(file: String) extends InputPartition
 
-class KvReaderFactory(fields: Array[String])
+class KvReaderFactory(
+    fields: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new KvPartitionReader(
-      partition.asInstanceOf[KvInputPartition].file, fields)
+      partition.asInstanceOf[KvInputPartition].file, fields, pushed)
 }
 
-class KvPartitionReader(file: String, fields: Array[String])
+class KvPartitionReader(
+    file: String, fields: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val in = java.nio.file.Files.newBufferedReader(
@@ -80,10 +149,15 @@ class KvPartitionReader(file: String, fields: Array[String])
   private val fileUtf8 = UTF8String.fromString(file)
   private var row: InternalRow = _
 
-  override def next(): Boolean = {
+  @annotation.tailrec
+  final override def next(): Boolean = {
     val line = in.readLine()
     if (line == null) false
-    else {
+    else if (pushed.nonEmpty &&
+        !KvKeyPredicate.eval(pushed, KvJsonlSink.parseKey(line))) {
+      KvKeyPredicate.skipped.incrementAndGet()
+      next()
+    } else {
       val (k, v) = KvJsonlSink.parseLine(line)
       row = InternalRow.fromSeq(fields.toSeq.map {
         case "key" => k.map(Long.box).orNull

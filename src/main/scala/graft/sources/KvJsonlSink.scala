@@ -64,6 +64,19 @@ object KvJsonlSink {
   def tempDir(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path, "_temporary")
 
+  /** Key-only parse of a sink line — the cheap prefix read the
+    * pushed-filter path uses to reject rows before [[parseLine]]
+    * pays for the value unescape.
+    */
+  def parseKey(line: String): Option[Long] = {
+    require(line.startsWith("{\"key\":"), s"bad kvjsonl line: $line")
+    var i = 7
+    val keyStart = i
+    while (line.charAt(i) != ',') i += 1
+    val keyTok = line.substring(keyStart, i)
+    if (keyTok == "null") None else Some(keyTok.toLong)
+  }
+
   /** Exact inverse of the writer's line format (see
     * [[KvJsonlDataWriter.write]]): `{"key":K,"value":V}` with K a
     * long or `null` and V `null` or a double-quoted [[escape]]d

@@ -147,6 +147,26 @@ class KvCatalogDmlSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("key predicates push into the reader and skip rows at parse") {
+    val t = freshTable("push")
+    spark.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+      s"FROM parquet.`$sfDir/orders.parquet`")
+    val skipBefore = graft.sources.KvKeyPredicate.skipped.get()
+    val df = spark.sql(s"SELECT key, value FROM $t WHERE key <= 100")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("LessThanOrEqual(key,100)"), plan)
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") <= 100).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // Rows outside the bound were rejected reader-side, before any
+    // value unescape (the JVM-local counter is the observable).
+    assert(graft.sources.KvKeyPredicate.skipped.get() > skipBefore)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("CALL system.compact rewrites small files distributively") {
     val t = freshTable("cmp")
     spark.sql(
