@@ -22,16 +22,87 @@ object SourceQueries {
     * gates. Idempotent per run (bench re-executes gates), run-id
     * isolated via the sinkDir warehouse.
     */
-  private def kvTable(
-      s: SparkSession, name: String): String = {
+  private def registerKvCatalog(s: SparkSession): Unit = {
     s.conf.set("spark.sql.catalog.graft_kv",
       classOf[graft.sources.KvCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_kv.warehouse",
       graft.Fs.sinkDir("graft_kv_wh"))
+  }
+
+  private def kvTable(
+      s: SparkSession, name: String): String = {
+    registerKvCatalog(s)
     val t = s"graft_kv.default.$name"
     s.sql(s"DROP TABLE IF EXISTS $t")
     s.sql(s"CREATE TABLE $t (key BIGINT, value STRING)")
     t
+  }
+
+  /** Scoped session-conf override with restore — for gates that need
+    * a planner switch (SPJ enablement, broadcast suppression) without
+    * leaking it into the rest of the shared-session run.
+    */
+  private def withConfs[T](
+      s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(p)) => s.conf.set(k, p)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The bucketed-table pair behind the storage-partitioned-join and
+    * runtime-filter gates: orders and lineitem projected to
+    * (key, value) and CO-BUCKETED 8 ways on key at write time (the
+    * INSERT resolves the catalog's V2 bucket function to cluster rows
+    * before writing). Memoized per (session, dir) — the tables are
+    * read-only for these gates, like production bucketed facts.
+    */
+  private val spjTables = new SessionMemo[(String, String)]
+
+  private def spjPair(s: SparkSession, d: String): (String, String) =
+    spjTables.getOrCompute(s, d) {
+      registerKvCatalog(s)
+      val t1 = "graft_kv.default.spj_orders"
+      val t2 = "graft_kv.default.spj_items"
+      for (t <- Seq(t1, t2)) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+          "PARTITIONED BY (bucket(8, key))")
+      }
+      s.sql(s"INSERT INTO $t1 SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"INSERT INTO $t2 SELECT l_orderkey, l_returnflag " +
+        s"FROM parquet.`$d/lineitem.parquet`")
+      (t1, t2)
+    }
+
+  /** Unwrap AQE, assert there is a shuffle-family join and that NO
+    * shuffle exchange feeds it — the storage-partitioned-join claim,
+    * checked on the plan that actually ran.
+    */
+  private def requireShuffleFreeJoin(
+      df: org.apache.spark.sql.DataFrame, gate: String): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case other => other
+    }
+    val plan = unwrap(df.queryExecution.executedPlan)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    require(joins.nonEmpty,
+      s"$gate: no shuffle-family join in the plan:\n$plan")
+    val shuffles = joins.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    require(shuffles.isEmpty,
+      s"$gate: join children were SHUFFLED — storage-partitioned " +
+        s"join did not engage:\n$plan")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -204,6 +275,67 @@ object SourceQueries {
         s"compact file counts off: $res")
       s.sql(s"SELECT value, count(*) AS n_orders, " +
         s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // STORAGE-PARTITIONED JOIN (SPARK-37377, the Iceberg bucket-join
+    // shape): two kv tables co-bucketed 8 ways on key, scans
+    // reporting KeyGroupedPartitioning over the catalog-served V2
+    // bucket function, joined with broadcast suppressed — planned as
+    // a sort-merge join whose children are the raw scans, ZERO
+    // shuffle. At 100 TB the join shuffle is THE dominant cost of a
+    // fact-fact join; co-bucketing at write time makes every
+    // subsequent co-keyed join exchange-free. The gate require()s the
+    // executed plan shuffle-free below the join (fail-loud — a silent
+    // fallback to a shuffled join would still produce correct rows),
+    // and the oracle pins the join result against the raw parquet.
+    "catalog_spj_join" -> ((s, d) => {
+      val (t1, t2) = spjPair(s, d)
+      withConfs(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        // plain (non-AQE) plan so the no-shuffle assertion can walk
+        // the join subtree without query-stage opacity
+        "spark.sql.adaptive.enabled" -> "false") {
+        val df = s.sql(
+          s"""SELECT a.value AS priority, b.value AS flag,
+             |count(*) AS n_items, sum(b.key) AS sum_keys
+             |FROM $t1 a JOIN $t2 b ON a.key = b.key
+             |GROUP BY a.value, b.value
+             |ORDER BY priority, flag""".stripMargin)
+        val rows = df.collect()
+        requireShuffleFreeJoin(df, "catalog_spj_join")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
+    // RUNTIME V2 FILTERING (dynamic partition pruning into a custom
+    // connector): the bucketed kv fact joined to a selectively
+    // filtered dim — Spark materializes the dim's join keys at
+    // runtime and pushes them into the scan via
+    // SupportsRuntimeV2Filtering.filter(). The connector maps the key
+    // set through the bucket function: keys hitting only buckets
+    // {0,1} prove buckets 2..7 matchless, so their files are pruned
+    // WITHOUT OPENING (at 100 TB this is the difference between
+    // scanning a fact table and scanning a quarter of it). The gate
+    // require()s observed file pruning; the oracle pins the join
+    // result.
+    "catalog_runtime_filter" -> ((s, d) => {
+      val (_, t2) = spjPair(s, d)
+      graft.sources.KvRuntimeFilter.prunedFiles.set(0)
+      graft.sources.KvRuntimeFilter.rowSkips.set(0)
+      val df = s.sql(
+        s"""SELECT b.value AS flag, count(*) AS n_items,
+           |sum(b.key) AS sum_keys
+           |FROM $t2 b JOIN parquet.`$d/orders.parquet` o
+           |ON b.key = o.o_orderkey
+           |WHERE o.o_orderkey % 8 < 2
+           |GROUP BY b.value ORDER BY flag""".stripMargin)
+      val rows = df.collect()
+      require(graft.sources.KvRuntimeFilter.prunedFiles.get() > 0,
+        "catalog_runtime_filter: no files were pruned — the runtime " +
+          "join-key filter never reached the kv scan")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
     }),
 
     // Streaming exact-dedup through the gate: the event stream
@@ -1121,6 +1253,22 @@ object SourceQueries {
         |FROM orders WHERE o_orderkey % 3 <> 0
         |GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
+    "catalog_spj_join" ->
+      """SELECT a.o_orderpriority AS priority,
+        |       b.l_returnflag AS flag,
+        |       count(*) AS n_items,
+        |       CAST(sum(b.l_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY priority, flag""".stripMargin,
+    "catalog_runtime_filter" ->
+      """SELECT b.l_returnflag AS flag,
+        |       count(*) AS n_items,
+        |       CAST(sum(b.l_orderkey) AS BIGINT) AS sum_keys
+        |FROM lineitem b JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 8 < 2
+        |GROUP BY 1
+        |ORDER BY flag""".stripMargin,
     "catalog_dml_update" ->
       """SELECT CASE WHEN o_orderkey % 5 = 0
         |            THEN 'X-' || o_orderpriority

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+
+/** Bucket partitioning for kvjsonl tables — the layout that makes
+  * STORAGE-PARTITIONED JOINS possible: two tables bucketed the same
+  * way on `key` join with ZERO shuffle, because Spark's
+  * KeyGroupedPartitioning machinery proves both scans already cluster
+  * rows identically (SPARK-37377, the Iceberg bucket-join shape). At
+  * 100 TB the join shuffle is usually THE dominant cost of a fact-fact
+  * join; bucketing both tables at write time pays one clustered write
+  * and then every subsequent co-keyed join is exchange-free.
+  *
+  * The bucket function is `floorMod(key, n)` (null key → bucket 0) —
+  * deliberately transparent rather than a murmur-style hash, because
+  * every participant must agree on it EXACTLY and the specs verify
+  * row placement by recomputing it: the writer routes rows with it,
+  * the scan reports it as the partition transform, and the V2
+  * FunctionCatalog serves it to Catalyst so plans can (a) prove two
+  * scans compatible via `canonicalName` and (b) evaluate it when a
+  * write requests `Distributions.clustered(bucket(n, key))`. A skewed
+  * long domain would want the hash variant; the machinery is
+  * identical.
+  *
+  * Bucketed tables keep the connector's FLAT file layout — the bucket
+  * id is carried in the file NAME (`part-...-b0003.jsonl`), not a
+  * subdirectory — so every existing code path (truncate, compact
+  * listing, `_file` provenance, the two-phase commit) works unchanged
+  * on bucketed tables.
+  */
+object KvBucketing {
+
+  /** Table-level partitioning metadata, one tiny JSON file per table
+    * dir. Absent ⇒ unpartitioned (every pre-existing table).
+    */
+  val MetaFile = "_meta.json"
+
+  /** The connector's bucket spec. Null keys go to bucket 0 (they can
+    * never satisfy an equi-join, so their placement only needs to be
+    * deterministic, not balanced).
+    */
+  def bucketOf(key: java.lang.Long, n: Int): Int =
+    if (key == null) 0 else java.lang.Math.floorMod(key.longValue, n.toLong).toInt
+
+  def writeMeta(dir: String, buckets: Int): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, MetaFile),
+      s"""{"buckets":$buckets}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+
+  def readMeta(dir: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(dir, MetaFile)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else {
+      val s = new String(
+        java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val m = """\{"buckets":(\d+)\}""".r
+      s match {
+        case m(n) => Some(n.toInt)
+        case other => throw new IllegalArgumentException(
+          s"corrupt $MetaFile in $dir: $other")
+      }
+    }
+  }
+
+  private val BucketInName = """-b(\d+)\.jsonl$""".r
+
+  /** Final-name suffix the bucketed writer appends; [[fileBucket]] is
+    * its exact inverse on the file NAME (not path).
+    */
+  def bucketSuffix(bucket: Int): String = f"-b$bucket%04d"
+
+  def fileBucket(fileName: String): Option[Int] =
+    BucketInName.findFirstMatchIn(fileName).map(_.group(1).toInt)
+}
+
+/** The `bucket` V2 function the kv catalog serves through
+  * FunctionCatalog — Catalyst resolves the scan-reported
+  * `bucket(n, key)` transform against THIS object: equality of
+  * [[KvBucketBound.canonicalName]] across two scans is what lets
+  * EnsureRequirements prove their KeyGroupedPartitionings compatible
+  * (the storage-partitioned join), and `produceResult` is what the
+  * shuffle evaluates when a write requests clustering by the
+  * transform.
+  */
+class KvBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): floorMod(key, n) — kvjsonl bucket spec"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(
+      inputType.length == 2 &&
+        inputType(0).dataType == IntegerType &&
+        inputType(1).dataType == LongType,
+      s"bucket expects (INT n, BIGINT key); got ${inputType.catalogString}")
+    new KvBucketBound
+  }
+}
+
+class KvBucketBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] =
+    Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.kv.bucket"
+  override def isResultNullable: Boolean = false
+  override def isDeterministic: Boolean = true
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val key: java.lang.Long =
+      if (input.isNullAt(1)) null else Long.box(input.getLong(1))
+    Int.box(KvBucketing.bucketOf(key, n))
+  }
+}
+
+/** Spec/gate observability for the runtime-filter path (single-JVM
+  * counters, the local stand-in for custom task metrics).
+  */
+object KvRuntimeFilter {
+  /** Files whose bucket a runtime join-key filter proved empty of
+    * matches — whole-file I/O skipped at the planning of a
+    * runtime-filtered scan.
+    */
+  val prunedFiles = new java.util.concurrent.atomic.AtomicLong
+  /** Rows skipped by the reader's runtime key-set check (the
+    * row-level residue of the runtime filter on files that DID need
+    * opening).
+    */
+  val rowSkips = new java.util.concurrent.atomic.AtomicLong
+}

@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * concurrent with a write only ever sees published files — the
   * read-side half of the sink's exactly-once story.
   */
-class KvScanBuilder(path: String)
+class KvScanBuilder(path: String, buckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   // Column pruning lands HERE, not in the reader: a 2-column table
@@ -56,7 +56,7 @@ class KvScanBuilder(path: String)
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
 
-  override def build(): Scan = new KvScan(path, required, pushed)
+  override def build(): Scan = new KvScan(path, required, pushed, buckets)
 }
 
 /** The reader-side compiled form of the pushed key predicates. */
@@ -100,14 +100,72 @@ object KvKeyPredicate {
 
 class KvScan(
     path: String, required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
-    extends Scan with Batch {
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    buckets: Option[Int] = None)
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"kvjsonl $path PushedFilters: [${pushed.mkString(", ")}]"
+    s"kvjsonl $path PushedFilters: [${pushed.mkString(", ")}]" +
+      buckets.fold("")(n => s" buckets: $n")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Join-key values pushed at RUNTIME (dynamic partition pruning /
+    * runtime filtering): Spark materializes the selective side's keys
+    * and hands them to [[filter]] before (re-)planning input
+    * partitions. Driver-side state — BatchScanExec calls filter()
+    * then planInputPartitions() on this same Scan instance.
+    */
+  private var runtimeKeys: Option[Set[Long]] = None
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("key"))
+
+  /** Runtime predicates arrive as V2 `Predicate`s (IN / = over the
+    * join key with materialized literals). Anything unparseable is
+    * IGNORED — the runtime filter is a pure optimization (Spark
+    * re-applies the join itself), so the only safe failure mode is
+    * "no pruning", never "wrong pruning". At deployment scale the IN
+    * list is bounded by Spark's own DPP fallback thresholds; here it
+    * compiles to (a) whole-bucket file pruning when the table is
+    * bucketed — key k can only live in bucket floorMod(k, n), so a
+    * bucket outside the runtime key set's bucket image is skipped
+    * without opening its files — and (b) a reader-side key-set row
+    * skip for files that do get opened.
+    */
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val sets = predicates.flatMap(KvRuntimePredicate.keySet)
+    if (sets.nonEmpty) runtimeKeys = Some(sets.reduce(_ intersect _))
+  }
+
+  /** Bucketed tables report `KeyGroupedPartitioning(bucket(n, key), n)`
+    * — the storage-partitioned-join handshake. ALL n buckets are
+    * always planned (an empty bucket yields a no-file partition), so
+    * two same-n tables present identical sorted partition-value lists
+    * and EnsureRequirements can align them 1:1 without the
+    * push-part-values machinery. Unbucketed tables report the honest
+    * UnknownPartitioning.
+    */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    buckets match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, "key")),
+            n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  private def listFiles(): Array[String] = {
     val dir = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(dir)) Array.empty
     else {
@@ -117,61 +175,170 @@ class KvScan(
         .filter(_.endsWith(".jsonl"))
         .toArray
         .sorted // deterministic partition order across runs
-        .map(f => KvInputPartition(f): InputPartition)
       finally s.close()
     }
   }
 
+  override def planInputPartitions(): Array[InputPartition] =
+    buckets match {
+      case None =>
+        // Unbucketed: one partition per committed file (no per-file
+        // key stats, so a runtime filter prunes rows in the reader,
+        // never files).
+        listFiles().map(f => KvInputPartition(f): InputPartition)
+      case Some(n) =>
+        val byBucket = listFiles().groupBy { f =>
+          val name = java.nio.file.Paths.get(f).getFileName.toString
+          KvBucketing.fileBucket(name).getOrElse(
+            throw new IllegalStateException(
+              s"unbucketed file $f in bucketed table $path"))
+        }
+        val keep: Option[Set[Int]] = runtimeKeys.map(
+          _.map(k => KvBucketing.bucketOf(k, n)))
+        (0 until n).map { i =>
+          val all = byBucket.getOrElse(i, Array.empty[String])
+          val files =
+            if (keep.forall(_.contains(i))) all
+            else {
+              KvRuntimeFilter.prunedFiles.addAndGet(all.length.toLong)
+              Array.empty[String]
+            }
+          KvBucketPartition(files, i): InputPartition
+        }.toArray
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required.fieldNames, pushed)
+    new KvReaderFactory(required.fieldNames, pushed, runtimeKeys)
+}
+
+/** Compile a runtime V2 predicate to a join-key set (None = can't,
+  * which disables pruning for that predicate — never wrong, only
+  * less pruned).
+  */
+object KvRuntimePredicate {
+  import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private def isKey(e: Expression): Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array("key"))
+    case _ => false
+  }
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case l: Literal[_] if l.dataType == LongType =>
+      Option(l.value).map(_.asInstanceOf[java.lang.Long].longValue)
+    case _ => None
+  }
+
+  def keySet(p: Predicate): Option[Set[Long]] = p.name() match {
+    case "IN" =>
+      val cs = p.children()
+      if (cs.length >= 2 && isKey(cs.head)) {
+        val vals = cs.tail.map(longLit)
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+      } else None
+    case "=" =>
+      p.children() match {
+        case Array(k, v) if isKey(k) => longLit(v).map(Set(_))
+        case Array(v, k) if isKey(k) => longLit(v).map(Set(_))
+        case _ => None
+      }
+    case _ => None
+  }
 }
 
 case class KvInputPartition(file: String) extends InputPartition
 
+/** One bucket of a bucketed kvjsonl table: all its committed files,
+  * plus the partition key (the bucket ordinal) that KeyGrouped
+  * planning groups and aligns on.
+  */
+case class KvBucketPartition(files: Array[String], bucket: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 class KvReaderFactory(
     fields: Array[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    runtimeKeys: Option[Set[Long]] = None)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(
-      partition.asInstanceOf[KvInputPartition].file, fields, pushed)
+    partition match {
+      case KvInputPartition(file) =>
+        new KvPartitionReader(Array(file), fields, pushed, runtimeKeys)
+      case KvBucketPartition(files, _) =>
+        new KvPartitionReader(files, fields, pushed, runtimeKeys)
+    }
 }
 
 class KvPartitionReader(
-    file: String, fields: Array[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    files: Array[String], fields: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    runtimeKeys: Option[Set[Long]] = None)
     extends PartitionReader[InternalRow] {
 
-  private val in = java.nio.file.Files.newBufferedReader(
-    java.nio.file.Paths.get(file),
-    java.nio.charset.StandardCharsets.UTF_8)
-  private val fileUtf8 = UTF8String.fromString(file)
+  private var fileIdx = -1
+  private var in: java.io.BufferedReader = _
+  private var fileUtf8: UTF8String = _
   private var row: InternalRow = _
 
-  @annotation.tailrec
-  final override def next(): Boolean = {
-    val line = in.readLine()
-    if (line == null) false
-    else if (pushed.nonEmpty &&
-        !KvKeyPredicate.eval(pushed, KvJsonlSink.parseKey(line))) {
-      KvKeyPredicate.skipped.incrementAndGet()
-      next()
-    } else {
-      val (k, v) = KvJsonlSink.parseLine(line)
-      row = InternalRow.fromSeq(fields.toSeq.map {
-        case "key" => k.map(Long.box).orNull
-        case "value" => v.map(UTF8String.fromString).orNull
-        case KvJsonlSink.FileColumn => fileUtf8
-        case other => throw new IllegalArgumentException(
-          s"kvjsonl scan cannot produce column $other")
-      })
+  /** Advance to the next file; false when the partition is exhausted.
+    * (A bucket partition holds several files; empty-file-list
+    * partitions — a pruned or genuinely empty bucket — read nothing.)
+    */
+  private def nextFile(): Boolean = {
+    if (in != null) in.close()
+    fileIdx += 1
+    if (fileIdx >= files.length) { in = null; false }
+    else {
+      val f = files(fileIdx)
+      in = java.nio.file.Files.newBufferedReader(
+        java.nio.file.Paths.get(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+      fileUtf8 = UTF8String.fromString(f)
       true
     }
   }
 
+  @annotation.tailrec
+  final override def next(): Boolean = {
+    if (in == null && !nextFile()) false
+    else {
+      val line = in.readLine()
+      if (line == null) {
+        if (!nextFile()) false else next()
+      } else if (pushed.nonEmpty || runtimeKeys.isDefined) {
+        val k = KvJsonlSink.parseKey(line)
+        if (pushed.nonEmpty && !KvKeyPredicate.eval(pushed, k)) {
+          KvKeyPredicate.skipped.incrementAndGet()
+          next()
+        } else if (runtimeKeys.exists(ks => !k.exists(ks.contains))) {
+          // Runtime join-key set: a row whose key is outside it can
+          // never match the join (null keys included — IN(null) is
+          // never true), so skipping preserves the result.
+          KvRuntimeFilter.rowSkips.incrementAndGet()
+          next()
+        } else { materialize(line); true }
+      } else { materialize(line); true }
+    }
+  }
+
+  private def materialize(line: String): Unit = {
+    val (k, v) = KvJsonlSink.parseLine(line)
+    row = InternalRow.fromSeq(fields.toSeq.map {
+      case "key" => k.map(Long.box).orNull
+      case "value" => v.map(UTF8String.fromString).orNull
+      case KvJsonlSink.FileColumn => fileUtf8
+      case other => throw new IllegalArgumentException(
+        s"kvjsonl scan cannot produce column $other")
+    })
+  }
+
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }
 
 /** The group-based row-level operation behind SQL DELETE / UPDATE /
@@ -245,7 +412,7 @@ class KvRowLevelOperation(
   * beyond the connector's own.
   */
 class KvCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
@@ -298,7 +465,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     val p = tablePath(ident)
     if (!java.nio.file.Files.isDirectory(p))
       throw new NoSuchTableException(ident)
-    new KvJsonlTable(p.toString)
+    new KvJsonlTable(p.toString, viaCatalog = true)
   }
 
   override def createTable(
@@ -306,9 +473,30 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "kvjsonl tables are unpartitioned (the sink's commit protocol " +
-        "publishes whole files, not partition dirs)")
+    // The only supported partitioning is bucket(n, key) — the layout
+    // behind storage-partitioned joins (see KvBucketing.scala). The
+    // sink's commit protocol publishes whole files either way; a
+    // bucketed table just carries the bucket in the file name.
+    val buckets: Option[Int] = partitions match {
+      case Array() => None
+      case Array(t) if t.name == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().asInstanceOf[Number].intValue
+        }
+        val col = t.arguments().collectFirst {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames().mkString(".")
+        }
+        require(n.nonEmpty && col.contains("key"),
+          s"kvjsonl bucketing must be bucket(n, key); got $t")
+        require(n.get >= 1 && n.get <= 4096,
+          s"kvjsonl bucket count out of range [1, 4096]: ${n.get}")
+        n
+      case other => throw new UnsupportedOperationException(
+        "kvjsonl tables support only PARTITIONED BY (bucket(n, key)); " +
+          s"got ${other.mkString(", ")}")
+    }
     val want = KvJsonlSink.Schema
     require(
       schema.length == 2 &&
@@ -322,7 +510,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
-    new KvJsonlTable(p.toString)
+    buckets.foreach(n => KvBucketing.writeMeta(p.toString, n))
+    new KvJsonlTable(p.toString, viaCatalog = true)
   }
 
   override def alterTable(
@@ -390,6 +579,31 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       ns: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException(
       "kv catalog namespaces carry no metadata to alter")
+
+  // ---- functions (the V2 FunctionCatalog surface) ----
+  //
+  // Catalyst resolves a scan-reported `bucket(n, key)` transform by
+  // loading `bucket` from THIS catalog with an EMPTY-namespace
+  // identifier (V2ExpressionUtils.loadV2FunctionOpt) — serving it here
+  // is what turns the reported KeyGroupedPartitioning into a
+  // TransformExpression that storage-partitioned-join planning can
+  // compare across scans and that a clustered-write shuffle can
+  // evaluate.
+
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(SystemNs))
+      Array(Identifier.of(ns, "bucket"))
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadFunction(
+      ident: Identifier): functions.UnboundFunction =
+    if (ident.name() == "bucket" &&
+        (ident.namespace().isEmpty ||
+          ident.namespace().sameElements(SystemNs)))
+      new KvBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ---- procedures (CALL graft_kv.system.<proc>(...)) ----
 
@@ -496,6 +710,10 @@ class KvCompactProcedure(cat: KvCatalog)
           else 1
         require(target >= 1, s"target_files must be >= 1, got $target")
         val dir = cat.resolveTableDir(table)
+        require(KvBucketing.readMeta(dir.toString).isEmpty,
+          "system.compact supports unbucketed tables only (a bucketed " +
+            "table's file grain is its buckets; compacting it would " +
+            "need a per-bucket rewrite)")
 
         def jsonlCount: Long = {
           val s = java.nio.file.Files.list(dir)

@@ -64,6 +64,17 @@ object KvJsonlSink {
   def tempDir(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path, "_temporary")
 
+  /** One row → one sink line; shared by the plain and bucketed
+    * writers so [[parseLine]] stays the single inverse.
+    */
+  def formatLine(row: InternalRow): String = {
+    val value =
+      if (row.isNullAt(1)) "null"
+      else "\"" + escape(row.getUTF8String(1).toString) + "\""
+    val key = if (row.isNullAt(0)) "null" else row.getLong(0).toString
+    s"""{"key":$key,"value":$value}"""
+  }
+
   /** Key-only parse of a sink line — the cheap prefix read the
     * pushed-filter path uses to reject rows before [[parseLine]]
     * pays for the value unescape.
@@ -141,11 +152,23 @@ object KvJsonlSink {
   }
 }
 
-class KvJsonlTable(path: String) extends Table
+class KvJsonlTable(path: String, viaCatalog: Boolean = false)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns {
   override def name(): String = s"kvjsonl($path)"
   override def schema(): StructType = KvJsonlSink.Schema
+
+  /** Bucket-partitioning metadata (see KvBucketing.scala): present ⇒
+    * the scan reports KeyGroupedPartitioning (storage-partitioned
+    * joins) and every batch write routes rows to per-bucket files.
+    */
+  private lazy val buckets: Option[Int] = KvBucketing.readMeta(path)
+
+  override def partitioning(): Array[Transform] =
+    buckets.toArray.map(n =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(n, "key"))
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -165,7 +188,7 @@ class KvJsonlTable(path: String) extends Table
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path)
+    new KvScanBuilder(path, buckets)
 
   /** SQL row-level DML (DELETE / UPDATE / MERGE) via the GROUP-BASED
     * (copy-on-write) protocol: Catalyst rewrites the command into a
@@ -195,20 +218,58 @@ class KvJsonlTable(path: String) extends Table
       // never leaves the target half-cleared (abort keeps old files).
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
-      override def build(): Write = new Write {
-        // The per-write queryId is baked into batch final names so an
-        // APPEND write can never collide with (and REPLACE) an earlier
-        // job's same-numbered partitions.
-        override def toBatch: BatchWrite =
-          new KvJsonlBatchWrite(path, truncateFirst, info.queryId())
-        override def toStreaming: streaming.StreamingWrite =
-          new KvJsonlStreamingWrite(path)
+      override def build(): Write = buckets match {
+        // Bucketed table reached through the catalog: REQUEST the
+        // clustered-by-bucket distribution (Spark shuffles incoming
+        // rows by the V2 bucket function before the write), so each
+        // task sees ~one bucket and writes ~one file — the layout a
+        // 100 TB bucketed write needs. Correctness never depends on
+        // it (the fan-out writer routes any distribution); it's the
+        // file-count optimization. Only on the catalog path because
+        // resolving the bucket transform needs the FunctionCatalog —
+        // a format/path write to a bucketed dir still bucket-routes,
+        // it just can't ask for the pre-shuffle.
+        case Some(n) if viaCatalog =>
+          new Write with RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .bucket(n, "key")))
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array.empty
+            override def toBatch: BatchWrite =
+              new KvJsonlBatchWrite(path, truncateFirst, info.queryId())
+            override def toStreaming: streaming.StreamingWrite =
+              throw new UnsupportedOperationException(
+                "streaming append to a BUCKETED kvjsonl table is not " +
+                  "supported (per-epoch bucket routing would need " +
+                  "epoch-scoped bucket files)")
+          }
+        case _ => new Write {
+          // The per-write queryId is baked into batch final names so an
+          // APPEND write can never collide with (and REPLACE) an earlier
+          // job's same-numbered partitions.
+          override def toBatch: BatchWrite =
+            new KvJsonlBatchWrite(path, truncateFirst, info.queryId())
+          override def toStreaming: streaming.StreamingWrite =
+            new KvJsonlStreamingWrite(path)
+        }
       }
     }
   }
 }
 
 case class KvJsonlCommitMessage(tempFile: String, finalName: String)
+    extends WriterCommitMessage
+
+/** Bucketed task message: one (temp, final) pair per bucket the task
+  * saw. Publish semantics are identical — the driver renames exactly
+  * the named files.
+  */
+case class KvJsonlBucketedCommitMessage(files: Seq[(String, String)])
     extends WriterCommitMessage
 
 class KvJsonlBatchWrite(
@@ -219,7 +280,10 @@ class KvJsonlBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val tmp = KvJsonlSink.tempDir(path)
     java.nio.file.Files.createDirectories(tmp)
-    new KvJsonlWriterFactory(path, jobId)
+    // Bucket routing is decided by the TABLE DIR's metadata, not the
+    // caller, so every write path (catalog insert, DML rewrite,
+    // format-path save) keeps a bucketed table bucketed.
+    new KvJsonlWriterFactory(path, jobId, KvBucketing.readMeta(path))
   }
 
   /** Driver-side publish: ONLY files named in commit messages become
@@ -237,7 +301,11 @@ class KvJsonlBatchWrite(
           java.nio.file.Files.delete(p)
       } finally old.close()
     }
-    messages.foreach { case KvJsonlCommitMessage(tempFile, finalName) =>
+    messages.flatMap {
+      case KvJsonlCommitMessage(tempFile, finalName) =>
+        Seq((tempFile, finalName))
+      case KvJsonlBucketedCommitMessage(files) => files
+    }.foreach { case (tempFile, finalName) =>
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tempFile),
         dir.resolve(finalName),
@@ -252,14 +320,72 @@ class KvJsonlBatchWrite(
     graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
 }
 
-class KvJsonlWriterFactory(path: String, jobId: String)
+class KvJsonlWriterFactory(
+    path: String, jobId: String, buckets: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
-    new KvJsonlDataWriter(path,
-      f"attempt-$jobId-$partitionId%05d-$taskId",
-      f"part-$jobId-$partitionId%05d.jsonl")
+      taskId: Long): DataWriter[InternalRow] = buckets match {
+    case Some(n) =>
+      new KvJsonlBucketedDataWriter(path, jobId, partitionId, taskId, n)
+    case None =>
+      new KvJsonlDataWriter(path,
+        f"attempt-$jobId-$partitionId%05d-$taskId",
+        f"part-$jobId-$partitionId%05d.jsonl")
+  }
+}
+
+/** Bucketed task writer: routes each row to its bucket's file
+  * (`bucketOf(key, n)` — the same function the scan reports and the
+  * catalog serves), opening at most one file per bucket SEEN. Under
+  * the write's requested clustered-by-bucket distribution a task sees
+  * ~one bucket; without it (format-path writes) the fan-out is the
+  * correctness backstop. Same attempt-isolation + driver-publish
+  * protocol as the plain writer, just with a per-bucket file list in
+  * the commit message.
+  */
+class KvJsonlBucketedDataWriter(
+    path: String, jobId: String, partitionId: Int, taskId: Long, n: Int)
+    extends DataWriter[InternalRow] {
+
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[Int, (java.nio.file.Path, java.io.BufferedWriter)]
+
+  private def writerFor(b: Int): java.io.BufferedWriter =
+    open.getOrElseUpdate(b, {
+      val temp = KvJsonlSink.tempDir(path).resolve(
+        f"attempt-$jobId-$partitionId%05d-$taskId-b$b%04d")
+      (temp, java.nio.file.Files.newBufferedWriter(
+        temp, java.nio.charset.StandardCharsets.UTF_8))
+    })._2
+
+  override def write(row: InternalRow): Unit = {
+    val key: java.lang.Long =
+      if (row.isNullAt(0)) null else Long.box(row.getLong(0))
+    val out = writerFor(KvBucketing.bucketOf(key, n))
+    out.write(KvJsonlSink.formatLine(row))
+    out.write('\n')
+  }
+
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._2.close())
+    KvJsonlBucketedCommitMessage(
+      open.toSeq.sortBy(_._1).map { case (b, (temp, _)) =>
+        (temp.toString,
+          f"part-$jobId-$partitionId%05d${KvBucketing.bucketSuffix(b)}.jsonl")
+      })
+  }
+
+  override def abort(): Unit =
+    open.values.foreach { case (temp, out) =>
+      out.close()
+      java.nio.file.Files.deleteIfExists(temp)
+    }
+
+  override def close(): Unit = ()
 }
 
 /** Streaming (micro-batch) write path: same attempt-isolation protocol
@@ -277,6 +403,8 @@ class KvJsonlStreamingWrite(path: String)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    require(KvBucketing.readMeta(path).isEmpty,
+      s"streaming append to a BUCKETED kvjsonl table is not supported: $path")
     java.nio.file.Files.createDirectories(KvJsonlSink.tempDir(path))
     // A named top-level factory: the instance ships to executors, so it
     // must not capture this (non-serializable) driver-side write object.
@@ -340,11 +468,7 @@ class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
     tempFile, java.nio.charset.StandardCharsets.UTF_8)
 
   override def write(row: InternalRow): Unit = {
-    val value =
-      if (row.isNullAt(1)) "null"
-      else "\"" + KvJsonlSink.escape(row.getUTF8String(1).toString) + "\""
-    val key = if (row.isNullAt(0)) "null" else row.getLong(0).toString
-    out.write(s"""{"key":$key,"value":$value}""")
+    out.write(KvJsonlSink.formatLine(row))
     out.newLine()
   }
 
