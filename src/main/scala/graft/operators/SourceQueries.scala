@@ -277,6 +277,150 @@ object SourceQueries {
         s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
     }),
 
+    // TIME TRAVEL (`VERSION AS OF`, the Delta/Iceberg snapshot-read
+    // shape on the kv catalog): a table created with snapshots on
+    // retains every commit's membership in a manifest — the batch
+    // commit stops deleting replaced files and publishes the next
+    // manifest instead — so v1 (first insert), v2 (append) and v3
+    // (post-DELETE, the copy-on-write rewrite) are ALL readable at
+    // once. The gate reads all three versions in one query and the
+    // oracle recomputes each state from the raw parquet: any
+    // membership leak between versions (a deleted row resurfacing, a
+    // retained file bleeding into the current read) breaks the hash.
+    "catalog_time_travel" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.tt_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1")
+      s.sql(s"DELETE FROM $t WHERE key % 3 = 0")
+      s.sql(
+        s"""SELECT * FROM (
+           |  SELECT 1 AS version, value, count(*) AS n_orders,
+           |         sum(key) AS sum_keys
+           |  FROM $t VERSION AS OF 1 GROUP BY value
+           |  UNION ALL
+           |  SELECT 2, value, count(*), sum(key)
+           |  FROM $t VERSION AS OF 2 GROUP BY value
+           |  UNION ALL
+           |  SELECT 3, value, count(*), sum(key)
+           |  FROM $t GROUP BY value)
+           |ORDER BY version, value""".stripMargin)
+    }),
+
+    // SNAPSHOT EXPIRATION (`system.expire_snapshots`, Iceberg's
+    // reclamation procedure): after the same v1/v2/v3 history,
+    // keep_last => 1 must drop exactly two manifests and physically
+    // delete only the files no surviving snapshot references — the
+    // require()s pin the counts and that time travel to v1 now fails,
+    // while the hashed result proves the CURRENT data is untouched by
+    // the reclamation.
+    "catalog_expire_call" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.exp_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1")
+      s.sql(s"DELETE FROM $t WHERE key % 3 = 0")
+      val res = s.sql(
+        "CALL graft_kv.system.expire_snapshots(" +
+          "table => 'default.exp_gate', keep_last => 1)")
+        .collect().head
+      require(res.getLong(0) == 3L && res.getLong(1) == 1L &&
+          res.getLong(2) > 0L,
+        s"expire_snapshots counts off: $res")
+      val gone =
+        try { s.sql(s"SELECT count(*) FROM $t VERSION AS OF 1")
+          .collect(); false }
+        catch { case _: Exception => true }
+      require(gone,
+        "catalog_expire_call: v1 still readable after expiration")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // MANIFEST-ANSWERED COUNT(*) (aggregate pushdown into the custom
+    // connector): snapshot manifests record per-file row counts at
+    // commit time (the tasks counted anyway), so a bare count(*)
+    // pushes down completely — the scan emits ONE row computed from
+    // the manifest and never opens a data file. The DELETE before the
+    // count forces the counts through a copy-on-write rewrite, so a
+    // stale or double-counted manifest breaks the hash; the require()
+    // pins that the manifest path (not a data scan) actually answered.
+    // At 100 TB this is the difference between a metadata lookup and
+    // a table scan.
+    "catalog_count_pushdown" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.cnt_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"DELETE FROM $t WHERE key % 5 = 0")
+      graft.sources.KvCountScan.served.set(0)
+      val rows = s.sql(s"SELECT count(*) AS n_orders FROM $t").collect()
+      require(graft.sources.KvCountScan.served.get() > 0,
+        "catalog_count_pushdown: count(*) was answered by a data " +
+          "scan, not the manifest")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "n_orders", org.apache.spark.sql.types.LongType,
+            nullable = false))))
+    }),
+
+    // TABLE CHANGE FEED (streaming reads of a snapshotted kv table —
+    // the Delta-CDF / Iceberg-incremental-read shape): the table's
+    // snapshot manifests double as the streaming offset log, one
+    // COMMIT per micro-batch via admission control, each batch
+    // carrying exactly its commit's added files. Three INSERTs →
+    // exactly three data micro-batches (require()d from query
+    // progress), drained with AvailableNow against the drain target
+    // captured at prepare time; the oracle pins the union of the
+    // three commits against raw orders — a lost, duplicated, or
+    // misattributed commit breaks either the batch-count require or
+    // the hash.
+    "catalog_changefeed" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.cf_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      for (r <- 0 to 2)
+        s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+          s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = $r")
+      val sink = "cf_gate_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.table(t)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 3,
+        s"catalog_changefeed: expected 3 one-commit micro-batches, " +
+          s"saw $dataBatches")
+      graft.streaming.MemorySinks.drain(s, sink)
+        .groupBy("value")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("key")).as("sum_keys"))
+        .orderBy("value")
+    }),
+
     // STORAGE-PARTITIONED JOIN (SPARK-37377, the Iceberg bucket-join
     // shape): two kv tables co-bucketed 8 ways on key, scans
     // reporting KeyGroupedPartitioning over the catalog-served V2
@@ -1247,6 +1391,37 @@ object SourceQueries {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
     "catalog_dml_delete" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    "catalog_count_pushdown" ->
+      """SELECT count(*) AS n_orders
+        |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+    "catalog_changefeed" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    "catalog_time_travel" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS version, o_orderpriority AS value,
+        |         count(*) AS n_orders,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 2, o_orderpriority, count(*),
+        |         CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders GROUP BY 2
+        |  UNION ALL
+        |  SELECT 3, o_orderpriority, count(*),
+        |         CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 2)
+        |ORDER BY version, value""".stripMargin,
+    "catalog_expire_call" ->
       """SELECT o_orderpriority AS value,
         |       count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys

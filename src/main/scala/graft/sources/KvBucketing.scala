@@ -32,10 +32,17 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
   */
 object KvBucketing {
 
-  /** Table-level partitioning metadata, one tiny JSON file per table
-    * dir. Absent ⇒ unpartitioned (every pre-existing table).
+  /** Table-level metadata, one tiny JSON file per table dir. Absent ⇒
+    * unpartitioned, unsnapshotted (every pre-existing table).
     */
   val MetaFile = "_meta.json"
+
+  /** Full table meta: optional bucket partitioning plus the
+    * snapshots (time-travel) flag — see KvSnapshots.scala.
+    */
+  case class KvMeta(buckets: Option[Int], snapshots: Boolean) {
+    def isEmpty: Boolean = buckets.isEmpty && !snapshots
+  }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
     * never satisfy an equi-join, so their placement only needs to be
@@ -44,27 +51,49 @@ object KvBucketing {
   def bucketOf(key: java.lang.Long, n: Int): Int =
     if (key == null) 0 else java.lang.Math.floorMod(key.longValue, n.toLong).toInt
 
-  def writeMeta(dir: String, buckets: Int): Unit =
+  def writeMeta(dir: String, meta: KvMeta): Unit = {
+    require(!meta.isEmpty, "refusing to write an empty table meta")
+    val fields =
+      meta.buckets.map(n => s""""buckets":$n""").toSeq ++
+        (if (meta.snapshots) Seq(""""snapshots":true""") else Seq.empty)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, MetaFile),
-      s"""{"buckets":$buckets}""".getBytes(
+      fields.mkString("{", ",", "}").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+  }
 
-  def readMeta(dir: String): Option[Int] = {
+  def writeMeta(dir: String, buckets: Int): Unit =
+    writeMeta(dir, KvMeta(Some(buckets), snapshots = false))
+
+  private val BucketsField = """"buckets":(\d+)""".r
+  private val SnapshotsField = """"snapshots":true""".r
+
+  def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
-    if (!java.nio.file.Files.isRegularFile(p)) None
+    if (!java.nio.file.Files.isRegularFile(p))
+      KvMeta(None, snapshots = false)
     else {
       val s = new String(
         java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      val m = """\{"buckets":(\d+)\}""".r
-      s match {
-        case m(n) => Some(n.toInt)
-        case other => throw new IllegalArgumentException(
-          s"corrupt $MetaFile in $dir: $other")
+      require(s.startsWith("{") && s.endsWith("}"),
+        s"corrupt $MetaFile in $dir: $s")
+      val fields = s.substring(1, s.length - 1).split(',').toSeq
+        .filter(_.nonEmpty)
+      // Strict field set: an unknown field is corruption (this file
+      // is only ever written by writeMeta), never silently ignored.
+      val meta = fields.foldLeft(KvMeta(None, snapshots = false)) {
+        case (m, BucketsField(n)) => m.copy(buckets = Some(n.toInt))
+        case (m, SnapshotsField()) => m.copy(snapshots = true)
+        case (_, other) => throw new IllegalArgumentException(
+          s"corrupt $MetaFile field in $dir: $other")
       }
+      require(!meta.isEmpty, s"corrupt (empty) $MetaFile in $dir: $s")
+      meta
     }
   }
+
+  def readMeta(dir: String): Option[Int] = readMetaFull(dir).buckets
 
   private val BucketInName = """-b(\d+)\.jsonl$""".r
 

@@ -25,9 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * concurrent with a write only ever sees published files — the
   * read-side half of the sink's exactly-once story.
   */
-class KvScanBuilder(path: String, buckets: Option[Int] = None)
+class KvScanBuilder(
+    path: String,
+    buckets: Option[Int] = None,
+    snapshots: Boolean = false,
+    pinnedVersion: Option[Int] = None,
+    forRowLevelOp: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   // Column pruning lands HERE, not in the reader: a 2-column table
   // still profits (count(*) scans parse no fields), and the `_file`
   // metadata column only materializes when the plan asks for it.
@@ -50,13 +56,117 @@ class KvScanBuilder(path: String, buckets: Option[Int] = None)
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
-    pushed = filters.filter(KvKeyPredicate.supports)
+    // A ROW-LEVEL-OPERATION scan accepts NO pushdown: Catalyst pushes
+    // the DML's MATCHING condition here (to let stats-capable formats
+    // narrow the affected file groups), and this format's only
+    // pushdown mechanism is row-accurate reader skipping — which
+    // would drop the SURVIVORS the rewrite must carry forward.
+    // Discovered by `DELETE WHERE key = 2` (a pushable equality; the
+    // gate DMLs use `%`, which isn't pushable, so they never tripped
+    // it) leaving an empty table. Group-selective pushdown needs
+    // per-file stats; without them, scan everything.
+    pushed =
+      if (forRowLevelOp) Array.empty
+      else filters.filter(KvKeyPredicate.supports)
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
 
-  override def build(): Scan = new KvScan(path, required, pushed, buckets)
+  /** COUNT(*) answered from the MANIFEST (no grouping, no residual
+    * filters, snapshotted table with row counts recorded at commit):
+    * complete pushdown — the scan emits the single final row and
+    * never opens a data file. At 100 TB this is the difference
+    * between a count and a table scan; the same counts feed
+    * [[KvScan.estimateStatistics]] for the planner. Anything the
+    * manifest can't answer exactly (a filter, a group-by, an unknown
+    * count, a row-level-op rewrite scan) declines the pushdown and
+    * the ordinary scan+aggregate runs.
+    */
+  private var countPushed = false
+
+  private def canPushCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    snapshots && !forRowLevelOp && pushed.isEmpty &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar] && {
+        pinnedVersion.orElse(KvSnapshots.latest(path)).forall { v =>
+          KvSnapshots.membersWithCounts(path, v).forall(_._2 >= 0)
+        }
+      }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = canPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    countPushed = canPushCount(agg)
+    countPushed
+  }
+
+  override def build(): Scan =
+    if (countPushed) new KvCountScan(path, pinnedVersion)
+    else new KvScan(path, required, pushed, buckets, snapshots,
+      pinnedVersion, forRowLevelOp)
+}
+
+/** The manifest-only COUNT(*) scan: one partition, one row, zero data
+  * files opened. `served` is the spec/gate observability counter.
+  */
+class KvCountScan(path: String, pinnedVersion: Option[Int])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = KvCountScan.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"kvjsonl $path PushedAggregation: [COUNT(*)] (manifest-only)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = pinnedVersion.orElse(KvSnapshots.latest(path)) match {
+      case None => 0L
+      case Some(v) =>
+        val counts = KvSnapshots.membersWithCounts(path, v).map(_._2)
+        require(counts.forall(_ >= 0),
+          s"manifest v$v of $path has unknown row counts — the " +
+            "builder must not have pushed the aggregate")
+        counts.sum
+    }
+    KvCountScan.served.incrementAndGet()
+    Array(KvCountPartition(total))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val total =
+            partition.asInstanceOf[KvCountPartition].total
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow = InternalRow(total)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class KvCountPartition(total: Long) extends InputPartition
+
+object KvCountScan {
+  val Schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "count(*)", LongType, nullable = false)))
+
+  /** Manifest-answered counts served in this JVM (observability for
+    * the gate's fail-loud require).
+    */
+  val served = new java.util.concurrent.atomic.AtomicLong
 }
 
 /** The reader-side compiled form of the pushed key predicates. */
@@ -101,14 +211,19 @@ object KvKeyPredicate {
 class KvScan(
     path: String, required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None,
+    snapshots: Boolean = false,
+    pinnedVersion: Option[Int] = None,
+    forRowLevelOp: Boolean = false)
     extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"kvjsonl $path PushedFilters: [${pushed.mkString(", ")}]" +
-      buckets.fold("")(n => s" buckets: $n")
+      buckets.fold("")(n => s" buckets: $n") +
+      pinnedVersion.fold("")(v => s" version: $v")
 
   /** Join-key values pushed at RUNTIME (dynamic partition pruning /
     * runtime filtering): Spark materializes the selective side's keys
@@ -118,10 +233,25 @@ class KvScan(
     */
   private var runtimeKeys: Option[Set[Long]] = None
 
+  /** Empty (⇒ no runtime filtering) for a ROW-LEVEL-OPERATION scan:
+    * Spark's runtime group filter would push the keys MATCHING the
+    * DML condition, and pruning by them drops the survivors a
+    * whole-table-replacement commit must rewrite — sound only for
+    * per-group committers that preserve unscanned groups. Discovered
+    * the hard way: DELETE key%2=0 on a bucket(4) table pruned the
+    * odd-key buckets (pure survivors) out of the rewrite and the
+    * truncate-replace deleted them. Pinned by KvSnapshotsSpec's
+    * compose test and KvBucketingSpec's %2 DML test. (The static
+    * twin of this hazard — pushed DML conditions — is rejected in
+    * KvScanBuilder.pushFilters.)
+    */
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column("key"))
+    if (forRowLevelOp)
+      Array.empty
+    else
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("key"))
 
   /** Runtime predicates arrive as V2 `Predicate`s (IN / = over the
     * join key with materialized literals). Anything unparseable is
@@ -138,7 +268,7 @@ class KvScan(
   override def filter(
       predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
+      : Unit = if (!forRowLevelOp) {
     val sets = predicates.flatMap(KvRuntimePredicate.keySet)
     if (sets.nonEmpty) runtimeKeys = Some(sets.reduce(_ intersect _))
   }
@@ -165,19 +295,31 @@ class KvScan(
           .UnknownPartitioning(0)
     }
 
-  private def listFiles(): Array[String] = {
-    val dir = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
-    else {
-      val s = java.nio.file.Files.list(dir)
-      try s.iterator().asScala
-        .map(_.toString)
-        .filter(_.endsWith(".jsonl"))
-        .toArray
-        .sorted // deterministic partition order across runs
-      finally s.close()
+  private def listFiles(): Array[String] =
+    if (snapshots) {
+      // Snapshotted table: membership is the MANIFEST (pinned version
+      // for a time-travel read, else the latest), never the directory
+      // — retained prior-version files must stay invisible to a
+      // current read.
+      pinnedVersion.orElse(KvSnapshots.latest(path)) match {
+        case None => Array.empty
+        case Some(v) => KvSnapshots.members(path, v)
+          .map(n => java.nio.file.Paths.get(path, n).toString)
+          .toArray.sorted
+      }
+    } else {
+      val dir = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+      else {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala
+          .map(_.toString)
+          .filter(_.endsWith(".jsonl"))
+          .toArray
+          .sorted // deterministic partition order across runs
+        finally s.close()
+      }
     }
-  }
 
   override def planInputPartitions(): Array[InputPartition] =
     buckets match {
@@ -207,8 +349,52 @@ class KvScan(
         }.toArray
     }
 
+  /** Planner statistics: byte size from the live file list (what
+    * every file source reports — it drives the hint-free broadcast
+    * decision), and EXACT row counts from the snapshot manifest when
+    * the table records them. Estimates by contract — a pushed filter
+    * makes them upper bounds, which is the conservative direction for
+    * join sizing.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val files = listFiles()
+    val size = files.map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val rows: java.util.OptionalLong =
+      if (!snapshots) java.util.OptionalLong.empty()
+      else pinnedVersion.orElse(KvSnapshots.latest(path)) match {
+        case None => java.util.OptionalLong.of(0L)
+        case Some(v) =>
+          val counts = KvSnapshots.membersWithCounts(path, v).map(_._2)
+          if (counts.forall(_ >= 0))
+            java.util.OptionalLong.of(counts.sum)
+          else java.util.OptionalLong.empty()
+      }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(required.fieldNames, pushed, runtimeKeys)
+
+  /** Streaming read = the table's CHANGE FEED (KvChangeFeed.scala),
+    * offsets = snapshot manifest versions — hence snapshotted tables
+    * only: without retained manifests there is no commit log to tail.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(snapshots,
+      s"streaming reads of $path need a snapshotted table " +
+        "(TBLPROPERTIES ('snapshots'='true')) — the manifest log is " +
+        "the offset log")
+    new KvChangeFeedStream(path, required.fieldNames)
+  }
 }
 
 /** Compile a runtime V2 predicate to a join-key set (None = can't,
@@ -350,14 +536,20 @@ class KvPartitionReader(
   * or merge join) — the connector only supplies scan + replace-write.
   */
 class KvRowLevelOperation(
-    path: String, cmd: RowLevelOperation.Command)
+    path: String, cmd: RowLevelOperation.Command,
+    buckets: Option[Int] = None, snapshots: Boolean = false)
     extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path)
+    // forRowLevelOp: the rewrite's scan must carry every survivor —
+    // both the runtime group filter (KvScan.filterAttributes) and
+    // static condition pushdown (KvScanBuilder.pushFilters) would
+    // row-skip them out of a whole-table-replacement commit.
+    new KvScanBuilder(path, buckets, snapshots,
+      forRowLevelOp = true)
 
   /** `_file` rides along so Catalyst plans the metadata-aware
     * replace-write (ProjectingInternalRow strips the rewrite's
@@ -468,6 +660,48 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     new KvJsonlTable(p.toString, viaCatalog = true)
   }
 
+  /** TIME TRAVEL — `SELECT ... FROM t VERSION AS OF n` resolves here
+    * (and `TIMESTAMP AS OF` below): the returned table is PINNED to
+    * snapshot n's manifest; reads see exactly that membership and
+    * writes are rejected. Requires the table to have been created
+    * with TBLPROPERTIES ('snapshots'='true') — see KvSnapshots.scala.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!java.nio.file.Files.isDirectory(p))
+      throw new NoSuchTableException(ident)
+    require(KvBucketing.readMetaFull(p.toString).snapshots,
+      s"table ${ident.name()} was not created with " +
+        "TBLPROPERTIES ('snapshots'='true'); no versions to travel to")
+    val v =
+      try version.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"kv snapshot versions are integers; got '$version'")
+      }
+    val have = KvSnapshots.versions(p.toString)
+    require(have.contains(v),
+      s"no snapshot v$v of ${ident.name()} " +
+        s"(versions: ${have.mkString(", ")})")
+    new KvJsonlTable(p.toString, viaCatalog = true,
+      pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands the timestamp in MICROSECONDS;
+    * resolve to the newest snapshot committed at or before it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!java.nio.file.Files.isDirectory(p))
+      throw new NoSuchTableException(ident)
+    require(KvBucketing.readMetaFull(p.toString).snapshots,
+      s"table ${ident.name()} was not created with " +
+        "TBLPROPERTIES ('snapshots'='true'); no versions to travel to")
+    new KvJsonlTable(p.toString, viaCatalog = true,
+      pinnedVersion = Some(
+        KvSnapshots.resolveTimestamp(p.toString, timestamp)))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -506,11 +740,22 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         schema(1).dataType == StringType,
       s"kvjsonl tables have the fixed schema ${want.catalogString}; " +
         s"got ${schema.catalogString}")
+    // Opt-in snapshot retention (time travel): TBLPROPERTIES
+    // ('snapshots'='true'). Strict parse — a typo'd value must not
+    // silently create an unsnapshotted table.
+    val snapshots = Option(properties.get("snapshots")) match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"table property snapshots must be true or false; got '$other'")
+    }
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
-    buckets.foreach(n => KvBucketing.writeMeta(p.toString, n))
+    val meta = KvBucketing.KvMeta(buckets, snapshots)
+    if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
     new KvJsonlTable(p.toString, viaCatalog = true)
   }
 
@@ -609,17 +854,24 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(SystemNs))
-      Array(Identifier.of(SystemNs, "compact"))
+      Array(
+        Identifier.of(SystemNs, "compact"),
+        Identifier.of(SystemNs, "expire_snapshots"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
-    if (!ident.namespace().sameElements(SystemNs) ||
-        ident.name() != "compact")
+    if (!ident.namespace().sameElements(SystemNs))
       throw new IllegalArgumentException(
         s"no such procedure: ${ident.namespace().mkString(".")}." +
-          s"${ident.name()} (the kv catalog ships " +
-          "system.compact(table, target_files))")
-    new KvCompactProcedure(this)
+          s"${ident.name()} (procedures live in the system namespace)")
+    ident.name() match {
+      case "compact" => new KvCompactProcedure(this)
+      case "expire_snapshots" => new KvExpireProcedure(this)
+      case other => throw new IllegalArgumentException(
+        s"no such procedure: system.$other (the kv catalog ships " +
+          "system.compact(table, target_files) and " +
+          "system.expire_snapshots(table, keep_last))")
+    }
   }
 
   /** Resolve `"namespace.table"` (or bare `"table"` → default) to its
@@ -710,10 +962,11 @@ class KvCompactProcedure(cat: KvCatalog)
           else 1
         require(target >= 1, s"target_files must be >= 1, got $target")
         val dir = cat.resolveTableDir(table)
-        require(KvBucketing.readMeta(dir.toString).isEmpty,
-          "system.compact supports unbucketed tables only (a bucketed " +
-            "table's file grain is its buckets; compacting it would " +
-            "need a per-bucket rewrite)")
+        require(KvBucketing.readMetaFull(dir.toString).isEmpty,
+          "system.compact supports plain tables only (a bucketed " +
+            "table's file grain is its buckets, and a snapshotted " +
+            "table's retained files would break the file-count " +
+            "contract — expire_snapshots is its maintenance path)")
 
         def jsonlCount: Long = {
           val s = java.nio.file.Files.list(dir)
@@ -754,4 +1007,77 @@ object KvCompactProcedure {
     org.apache.spark.sql.types.StructField("files_before", LongType),
     org.apache.spark.sql.types.StructField("files_after", LongType),
     org.apache.spark.sql.types.StructField("n_rows", LongType)))
+}
+
+/** `system.expire_snapshots` — the RECLAMATION half of time travel
+  * (Iceberg's `expire_snapshots` shape):
+  *
+  * {{{ CALL graft_kv.system.expire_snapshots(
+  *       table => 'default.t', keep_last => 1) }}}
+  *
+  * A snapshotted table never deletes data at commit; history is
+  * reclaimed HERE, explicitly: drop all but the newest `keep_last`
+  * manifests, then delete every data file referenced only by the
+  * dropped ones (a file shared with a surviving snapshot stays). At
+  * 100 TB this split — cheap retained commits, scheduled expiration —
+  * is what makes copy-on-write affordable. Metadata-only (manifest
+  * reads + file deletes), so it runs on the driver; returns one row
+  * (snapshots_before, snapshots_after, files_deleted).
+  */
+class KvExpireProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "drop all but the newest keep_last snapshots and reclaim their files"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "expire_snapshots"
+      override def description(): String =
+        KvExpireProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("keep_last", org.apache.spark.sql.types.IntegerType)
+            .defaultValue("1")
+            .comment("how many newest snapshots survive")
+            .build())
+
+      override def call(
+          input: InternalRow): util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val table = input.getUTF8String(0).toString
+        val keep =
+          if (input.numFields > 1 && !input.isNullAt(1)) input.getInt(1)
+          else 1
+        val dir = cat.resolveTableDir(table)
+        require(KvBucketing.readMetaFull(dir.toString).snapshots,
+          s"$table is not a snapshotted table " +
+            "(TBLPROPERTIES ('snapshots'='true'))")
+        val (before, after, deleted) =
+          KvSnapshots.expire(dir.toString, keep)
+        val out: org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def readSchema(): StructType =
+              KvExpireProcedure.OutSchema
+            override def rows(): Array[InternalRow] =
+              Array(InternalRow(before, after, deleted))
+          }
+        util.Collections.singletonList(out).iterator()
+      }
+    }
+}
+
+object KvExpireProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("snapshots_before", LongType),
+    org.apache.spark.sql.types.StructField("snapshots_after", LongType),
+    org.apache.spark.sql.types.StructField("files_deleted", LongType)))
 }

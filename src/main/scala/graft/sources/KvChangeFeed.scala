@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+
+/** Streaming CHANGE FEED over a snapshotted kv table — `spark
+  * .readStream.table("graft_kv.default.t")`, the Delta-CDF /
+  * Iceberg-incremental-read shape: the table's own commit log (its
+  * snapshot manifests, KvSnapshots.scala) doubles as the streaming
+  * offset log.
+  *
+  *   - Offset = manifest VERSION. `initialOffset` is version 0
+  *     (before the first commit); the checkpoint therefore resumes
+  *     mid-history exactly like any other source.
+  *   - One COMMIT per micro-batch (admission control: `latestOffset
+  *     (start, limit)` advances a single version), so batch N carries
+  *     exactly commit N's delta — the grain downstream CDC consumers
+  *     reason about. Under Trigger.AvailableNow the engine keeps
+  *     planning one-commit batches until the drain target captured at
+  *     prepare time is reached.
+  *   - A batch's rows are the files ADDED by its commit
+  *     (`members(v) -- members(v-1)`): exact for append-only history
+  *     (INSERT INTO). A copy-on-write rewrite (DML, INSERT OVERWRITE)
+  *     re-adds its surviving rows and its removals are NOT emitted —
+  *     the documented file-add-feed contract; full CDC would need
+  *     per-commit tombstone manifests.
+  *
+  * Files already committed never change (the sink only ever publishes
+  * new names), so a batch is replayable forever — the property that
+  * makes checkpoint recovery exact.
+  */
+class KvChangeFeedStream(path: String, fields: Array[String])
+    extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** AvailableNow drain target, captured EXPLICITLY at prepare time
+    * (the Kafka source idiom — see EventReplaySource for the longer
+    * rationale): commits landing after query start must not extend
+    * the drain.
+    */
+  @volatile private var availableNowEnd: Option[Int] = None
+
+  private def head: Int =
+    availableNowEnd.getOrElse(KvSnapshots.latest(path).getOrElse(0))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(KvSnapshots.latest(path).getOrElse(0))
+
+  override def initialOffset(): Offset = KvVersionOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    KvVersionOffset.parse(json)
+
+  // Admission-control sources get the (start, limit) overload; the
+  // legacy no-arg form must never be called.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "kv changefeed implements SupportsAdmissionControl — " +
+        "latestOffset(start, limit) is the entry point")
+
+  /** One commit per micro-batch, whatever the limit asks: version
+    * grain IS the admission unit here (a commit is indivisible), so
+    * row-based limits don't subdivide it.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KvVersionOffset].version
+    KvVersionOffset(math.min(s + 1, math.max(s, head)))
+  }
+
+  override def reportLatestOffset(): Offset = KvVersionOffset(head)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KvVersionOffset].version
+    val e = end.asInstanceOf[KvVersionOffset].version
+    if (e <= s) Array.empty
+    else {
+      // Union of per-commit deltas across (s, e] — normally one
+      // version, but a checkpoint restart replays whatever range the
+      // offset log pinned.
+      val before: Set[String] =
+        if (s == 0) Set.empty else KvSnapshots.members(path, s).toSet
+      (s + 1 to e).flatMap { v =>
+        val prev: Set[String] =
+          if (v == 1) Set.empty
+          else KvSnapshots.members(path, v - 1).toSet
+        KvSnapshots.members(path, v).filterNot(prev.contains)
+      }.distinct
+        .filterNot(before.contains)
+        .sorted
+        .map(n => KvInputPartition(
+          java.nio.file.Paths.get(path, n).toString): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new KvReaderFactory(fields, Array.empty, None)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** `{"version":N}` in the checkpoint offset log. */
+case class KvVersionOffset(version: Int) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object KvVersionOffset {
+  private val Json = """\{"version":(\d+)\}""".r
+  def parse(json: String): KvVersionOffset = json.trim match {
+    case Json(v) => KvVersionOffset(v.toInt)
+    case other => throw new IllegalArgumentException(
+      s"bad kv changefeed offset: $other")
+  }
+}

@@ -152,18 +152,26 @@ object KvJsonlSink {
   }
 }
 
-class KvJsonlTable(path: String, viaCatalog: Boolean = false)
+class KvJsonlTable(
+    path: String,
+    viaCatalog: Boolean = false,
+    pinnedVersion: Option[Int] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns {
-  override def name(): String = s"kvjsonl($path)"
+  override def name(): String =
+    s"kvjsonl($path${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = KvJsonlSink.Schema
 
-  /** Bucket-partitioning metadata (see KvBucketing.scala): present ⇒
-    * the scan reports KeyGroupedPartitioning (storage-partitioned
-    * joins) and every batch write routes rows to per-bucket files.
+  /** Table meta (see KvBucketing.scala): bucket partitioning ⇒ the
+    * scan reports KeyGroupedPartitioning (storage-partitioned joins)
+    * and every batch write routes rows to per-bucket files; snapshots
+    * ⇒ membership comes from manifests and commits retain history
+    * (time travel — see KvSnapshots.scala).
     */
-  private lazy val buckets: Option[Int] = KvBucketing.readMeta(path)
+  private lazy val meta: KvBucketing.KvMeta =
+    KvBucketing.readMetaFull(path)
+  private def buckets: Option[Int] = meta.buckets
 
   override def partitioning(): Array[Transform] =
     buckets.toArray.map(n =>
@@ -179,16 +187,21 @@ class KvJsonlTable(path: String, viaCatalog: Boolean = false)
       override def comment(): String =
         "jsonl file this row was read from"
     })
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+    // Snapshotted tables are streamable: their manifest log is a
+    // change feed (KvChangeFeed.scala).
+    if (meta.snapshots) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path, buckets)
+    new KvScanBuilder(path, buckets, meta.snapshots, pinnedVersion)
 
   /** SQL row-level DML (DELETE / UPDATE / MERGE) via the GROUP-BASED
     * (copy-on-write) protocol: Catalyst rewrites the command into a
@@ -202,10 +215,16 @@ class KvJsonlTable(path: String, viaCatalog: Boolean = false)
     * merge join), never a driver-side row loop.
     */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new KvRowLevelOperation(path, info.command())
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot run row-level DML against a time-travel snapshot: ${name()}")
+    () => new KvRowLevelOperation(path, info.command(),
+      buckets, meta.snapshots)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to a time-travel snapshot: ${name()}")
     // Fail at plan time, not mid-write, on a schema the sink can't hold.
     val s = info.schema()
     require(
@@ -262,14 +281,18 @@ class KvJsonlTable(path: String, viaCatalog: Boolean = false)
   }
 }
 
-case class KvJsonlCommitMessage(tempFile: String, finalName: String)
+case class KvJsonlCommitMessage(
+    tempFile: String, finalName: String, rows: Long = -1L)
     extends WriterCommitMessage
 
-/** Bucketed task message: one (temp, final) pair per bucket the task
-  * saw. Publish semantics are identical — the driver renames exactly
-  * the named files.
+/** Bucketed task message: one (temp, final, rows) triple per bucket
+  * the task saw. Publish semantics are identical — the driver renames
+  * exactly the named files. Row counts ride along for free (the task
+  * counted while writing) and land in the snapshot manifest — the
+  * statistics a 100 TB planner reads instead of the data.
   */
-case class KvJsonlBucketedCommitMessage(files: Seq[(String, String)])
+case class KvJsonlBucketedCommitMessage(
+    files: Seq[(String, String, Long)])
     extends WriterCommitMessage
 
 class KvJsonlBatchWrite(
@@ -293,7 +316,12 @@ class KvJsonlBatchWrite(
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    if (truncateFirst) {
+    val snapshots = KvBucketing.readMetaFull(path).snapshots
+    // A snapshotted table's truncate is LOGICAL: replaced files stay
+    // on disk (prior versions keep reading them) and only the new
+    // manifest's membership changes. Unsnapshotted truncate deletes,
+    // as before.
+    if (truncateFirst && !snapshots) {
       val old = java.nio.file.Files.list(dir)
       try old.forEach { p =>
         val n = p.getFileName.toString
@@ -301,15 +329,25 @@ class KvJsonlBatchWrite(
           java.nio.file.Files.delete(p)
       } finally old.close()
     }
-    messages.flatMap {
-      case KvJsonlCommitMessage(tempFile, finalName) =>
-        Seq((tempFile, finalName))
+    val published = messages.flatMap {
+      case KvJsonlCommitMessage(tempFile, finalName, rows) =>
+        Seq((tempFile, finalName, rows))
       case KvJsonlBucketedCommitMessage(files) => files
-    }.foreach { case (tempFile, finalName) =>
+    }
+    published.foreach { case (tempFile, finalName, _) =>
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tempFile),
         dir.resolve(finalName),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (snapshots) {
+      val prev =
+        if (truncateFirst) Seq.empty[(String, Long)]
+        else KvSnapshots.latest(path)
+          .map(KvSnapshots.membersWithCounts(path, _))
+          .getOrElse(Seq.empty)
+      KvSnapshots.commit(path,
+        prev ++ published.map { case (_, name, rows) => (name, rows) })
     }
     graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
     java.nio.file.Files.write(
@@ -348,41 +386,47 @@ class KvJsonlBucketedDataWriter(
     path: String, jobId: String, partitionId: Int, taskId: Long, n: Int)
     extends DataWriter[InternalRow] {
 
-  private val open = scala.collection.mutable.LinkedHashMap
-    .empty[Int, (java.nio.file.Path, java.io.BufferedWriter)]
+  private class BucketOut(val temp: java.nio.file.Path) {
+    val out: java.io.BufferedWriter =
+      java.nio.file.Files.newBufferedWriter(
+        temp, java.nio.charset.StandardCharsets.UTF_8)
+    var rows = 0L
+  }
 
-  private def writerFor(b: Int): java.io.BufferedWriter =
-    open.getOrElseUpdate(b, {
-      val temp = KvJsonlSink.tempDir(path).resolve(
-        f"attempt-$jobId-$partitionId%05d-$taskId-b$b%04d")
-      (temp, java.nio.file.Files.newBufferedWriter(
-        temp, java.nio.charset.StandardCharsets.UTF_8))
-    })._2
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[Int, BucketOut]
+
+  private def writerFor(b: Int): BucketOut =
+    open.getOrElseUpdate(b, new BucketOut(
+      KvJsonlSink.tempDir(path).resolve(
+        f"attempt-$jobId-$partitionId%05d-$taskId-b$b%04d")))
 
   override def write(row: InternalRow): Unit = {
     val key: java.lang.Long =
       if (row.isNullAt(0)) null else Long.box(row.getLong(0))
-    val out = writerFor(KvBucketing.bucketOf(key, n))
-    out.write(KvJsonlSink.formatLine(row))
-    out.write('\n')
+    val w = writerFor(KvBucketing.bucketOf(key, n))
+    w.out.write(KvJsonlSink.formatLine(row))
+    w.out.write('\n')
+    w.rows += 1
   }
 
   override def write(meta: InternalRow, row: InternalRow): Unit =
     write(row)
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_._2.close())
+    open.values.foreach(_.out.close())
     KvJsonlBucketedCommitMessage(
-      open.toSeq.sortBy(_._1).map { case (b, (temp, _)) =>
-        (temp.toString,
-          f"part-$jobId-$partitionId%05d${KvBucketing.bucketSuffix(b)}.jsonl")
+      open.toSeq.sortBy(_._1).map { case (b, w) =>
+        (w.temp.toString,
+          f"part-$jobId-$partitionId%05d${KvBucketing.bucketSuffix(b)}.jsonl",
+          w.rows)
       })
   }
 
   override def abort(): Unit =
-    open.values.foreach { case (temp, out) =>
-      out.close()
-      java.nio.file.Files.deleteIfExists(temp)
+    open.values.foreach { w =>
+      w.out.close()
+      java.nio.file.Files.deleteIfExists(w.temp)
     }
 
   override def close(): Unit = ()
@@ -403,8 +447,9 @@ class KvJsonlStreamingWrite(path: String)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
-    require(KvBucketing.readMeta(path).isEmpty,
-      s"streaming append to a BUCKETED kvjsonl table is not supported: $path")
+    require(KvBucketing.readMetaFull(path).isEmpty,
+      "streaming append to a BUCKETED or SNAPSHOTTED kvjsonl table " +
+        s"is not supported: $path")
     java.nio.file.Files.createDirectories(KvJsonlSink.tempDir(path))
     // A named top-level factory: the instance ships to executors, so it
     // must not capture this (non-serializable) driver-side write object.
@@ -415,7 +460,7 @@ class KvJsonlStreamingWrite(path: String)
       epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    messages.foreach { case KvJsonlCommitMessage(tempFile, finalName) =>
+    messages.foreach { case KvJsonlCommitMessage(tempFile, finalName, _) =>
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tempFile),
         dir.resolve(finalName),
@@ -466,10 +511,12 @@ class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
   private val tempFile = KvJsonlSink.tempDir(path).resolve(tempName)
   private val out = java.nio.file.Files.newBufferedWriter(
     tempFile, java.nio.charset.StandardCharsets.UTF_8)
+  private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
     out.write(KvJsonlSink.formatLine(row))
     out.newLine()
+    rows += 1
   }
 
   /** Metadata-carrying variant invoked by the row-level-operation
@@ -484,7 +531,7 @@ class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    KvJsonlCommitMessage(tempFile.toString, finalName)
+    KvJsonlCommitMessage(tempFile.toString, finalName, rows)
   }
 
   override def abort(): Unit = {

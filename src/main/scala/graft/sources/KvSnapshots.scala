@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** Snapshot manifests for kvjsonl tables — the TIME-TRAVEL layer
+  * (`SELECT ... FROM t VERSION AS OF n`, Delta/Iceberg's shape,
+  * reduced to its essentials):
+  *
+  *   - table membership is defined by `_snapshots/v%05d.manifest`
+  *     (one committed file NAME per line), not by directory listing;
+  *   - every batch commit writes the NEXT manifest atomically
+  *     (temp + rename) instead of deleting replaced files, so every
+  *     prior version stays readable until explicitly expired;
+  *   - a read resolves the latest manifest — or a PINNED one, when
+  *     the catalog was asked for `VERSION AS OF` / `TIMESTAMP AS OF`;
+  *   - `system.expire_snapshots` is the reclamation half: drop old
+  *     manifests, then delete files no surviving manifest references.
+  *
+  * Snapshots are OPT-IN per table (`TBLPROPERTIES
+  * ('snapshots'='true')`): tables without the flag keep the original
+  * list-the-directory semantics and byte-identical commit behavior.
+  * Single-writer-at-a-time is assumed, as for the rest of the
+  * connector's local-FS commit protocol; the deployment version of
+  * `commit` is a conditional put of the next manifest name, which is
+  * exactly how the table formats detect concurrent committers.
+  */
+object KvSnapshots {
+
+  val DirName = "_snapshots"
+
+  private def snapDir(path: String): Path = Paths.get(path, DirName)
+
+  private val ManifestName = """v(\d{5})\.manifest""".r
+
+  def versions(path: String): Seq[Int] = {
+    val d = snapDir(path)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case ManifestName(v) => v.toInt }
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def latest(path: String): Option[Int] = versions(path).lastOption
+
+  private def manifestPath(path: String, version: Int): Path =
+    snapDir(path).resolve(f"v$version%05d.manifest")
+
+  /** Manifest lines carry per-file ROW COUNTS beside the name
+    * (`name<TAB>rows`) — written for free at commit time (each task
+    * counted its rows anyway) and the basis of the manifest-only
+    * statistics surface: exact `numRows` for the planner and the
+    * metadata-answered COUNT(*) pushdown (KvCountScan). A count of -1
+    * means unknown (tolerated on read, never written by this sink).
+    */
+  def membersWithCounts(
+      path: String, version: Int): Seq[(String, Long)] = {
+    val m = manifestPath(path, version)
+    require(Files.isRegularFile(m),
+      s"no snapshot v$version of $path (versions: " +
+        s"${versions(path).mkString(", ")})")
+    Files.readAllLines(m, java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty)
+      .map { line =>
+        line.split('\t') match {
+          case Array(name) => (name, -1L)
+          case Array(name, n) => (name, n.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"corrupt manifest line in v$version of $path: $line")
+        }
+      }
+  }
+
+  /** File NAMES of snapshot `version` (fail-loud on a version no
+    * manifest records — a time-travel read of a never-committed or
+    * expired version).
+    */
+  def members(path: String, version: Int): Seq[String] =
+    membersWithCounts(path, version).map(_._1)
+
+  /** Publish the next snapshot: write-temp + atomic rename, the same
+    * last-writer-visibility idiom as the data-file commit itself.
+    * Returns the new version number.
+    */
+  def commit(path: String, membership: Seq[(String, Long)]): Int = {
+    val d = snapDir(path)
+    Files.createDirectories(d)
+    val v = latest(path).getOrElse(0) + 1
+    val tmp = d.resolve(f"v$v%05d.manifest.tmp")
+    Files.write(tmp,
+      membership.sortBy(_._1)
+        .map { case (name, n) => s"$name\t$n" }
+        .mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(path, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Largest version whose manifest was committed at or before the
+    * given microsecond timestamp (the `TIMESTAMP AS OF` resolution).
+    */
+  def resolveTimestamp(path: String, micros: Long): Int = {
+    val at = versions(path).filter { v =>
+      Files.getLastModifiedTime(manifestPath(path, v)).toMillis * 1000L <=
+        micros
+    }
+    require(at.nonEmpty,
+      s"no snapshot of $path at or before timestamp $micros µs")
+    at.last
+  }
+
+  /** Reclamation: keep the newest `keepLast` manifests, delete the
+    * rest, then delete every data file referenced ONLY by the dropped
+    * manifests. Returns (snapshotsBefore, snapshotsAfter,
+    * filesDeleted).
+    */
+  def expire(path: String, keepLast: Int): (Long, Long, Long) = {
+    require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
+    val all = versions(path)
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val live: Set[String] =
+      keep.flatMap(v => members(path, v)).toSet
+    var deleted = 0L
+    drop.foreach { v =>
+      members(path, v).foreach { f =>
+        if (!live.contains(f) &&
+            Files.deleteIfExists(Paths.get(path, f))) deleted += 1
+      }
+      Files.deleteIfExists(manifestPath(path, v))
+    }
+    (all.size.toLong, keep.size.toLong, deleted)
+  }
+}

@@ -41,6 +41,27 @@ class KvCatalogDmlSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("DELETE with a PUSHABLE predicate keeps every survivor") {
+    // Regression: Catalyst pushes the DML's matching condition into
+    // the row-level scan; a connector that row-skips on it (as this
+    // one does for SELECT pushdown) filters the SURVIVORS out of the
+    // rewrite — `key = 2` is pushable (unlike the `%` predicates the
+    // gates use), and before the forRowLevelOp guard it emptied the
+    // whole table.
+    val t = freshTable("del_push")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"DELETE FROM $t WHERE key = 2")
+    val keys = spark.sql(s"SELECT key FROM $t ORDER BY key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys === Seq(1L, 3L))
+    // UPDATE takes the same scan path
+    spark.sql(s"UPDATE $t SET value = 'X' WHERE key = 1")
+    val vals = spark.sql(s"SELECT value FROM $t ORDER BY key")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals === Seq("X", "c"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("DELETE FROM removes exactly the matching rows") {
     val t = freshTable("del")
     spark.sql(

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.{KvJsonlSink, KvVersionOffset}
+
+/** The kv table change feed end to end: offset round-trip, the gate's
+  * one-commit-per-batch drain (run via SparkEntry), CHECKPOINTED
+  * CONTINUATION across two AvailableNow runs (the incremental-ETL
+  * shape: run 2 picks up exactly the commits that landed after run 1,
+  * no replays, no gaps — dogfooded through the connector's own
+  * streaming SINK so the whole loop is kv table → change feed → kv
+  * files), the documented file-add contract under a copy-on-write
+  * DELETE, and the fail-loud rejection of streaming reads on
+  * unsnapshotted tables.
+  */
+class KvChangeFeedSpec extends SparkTestBase {
+
+  private def cat(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_kv",
+      classOf[graft.sources.KvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_kv.warehouse",
+      Fs.sinkDir("graft_kv_wh"))
+  }
+
+  private def snapTable(name: String): String = {
+    cat()
+    val t = s"graft_kv.default.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    t
+  }
+
+  test("offset json round-trip, bad offset fails loud") {
+    assert(KvVersionOffset.parse(KvVersionOffset(7).json()) ===
+      KvVersionOffset(7))
+    intercept[IllegalArgumentException](KvVersionOffset.parse("{}"))
+  }
+
+  test("gate: three commits, three micro-batches, exact union") {
+    val rows = SparkEntry.queries("catalog_changefeed")(spark, sfDir)
+      .collect()
+    val want = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_orderpriority").as("value"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("value")
+      .collect()
+    assert(rows.toSeq === want.toSeq)
+  }
+
+  test("checkpointed continuation: run 2 reads exactly the new commits") {
+    val t = snapTable("cf_cont")
+    val ckpt = Files.createTempDirectory("graft_cf_ckpt").toString
+    val out = Files.createTempDirectory("graft_cf_out").toString
+
+    def drain(): Unit = {
+      val q = spark.readStream.table(t)
+        .writeStream
+        .format("graft.sources.KvJsonlSink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sunk(): Seq[Long] = spark.read
+      .schema(KvJsonlSink.Schema)
+      .option("pathGlobFilter", "*.jsonl")
+      .json(out)
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    drain()
+    assert(sunk() === Seq(1L, 2L))
+
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'd')")
+    drain()
+    assert(sunk() === Seq(1L, 2L, 3L, 4L),
+      "run 2 must deliver exactly the two new commits, no replays")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("file-add contract: a COW DELETE re-adds its survivors") {
+    val t = snapTable("cf_cow")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"DELETE FROM $t WHERE key = 2")
+    val sink = "cf_cow_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.table(t)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val keys = graft.streaming.MemorySinks.drain(spark, sink)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // commit 1 adds {1,2,3}; the DELETE's rewrite re-adds survivors
+    // {1,3} — the documented append-feed view of a COW commit.
+    assert(keys === Seq(1L, 1L, 2L, 3L, 3L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("streaming read of an unsnapshotted table fails loud") {
+    cat()
+    val t = "graft_kv.default.cf_plain"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING)")
+    val ex = intercept[Exception] {
+      val q = spark.readStream.table(t)
+        .writeStream.format("memory")
+        .queryName("cf_plain_sink")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(ex.getMessage != null)
+    spark.sql(s"DROP TABLE $t")
+  }
+}
