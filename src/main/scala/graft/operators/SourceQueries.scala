@@ -347,6 +347,37 @@ object SourceQueries {
         s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
     }),
 
+    // SNAPSHOT MIGRATION (ALTER TABLE ... SET TBLPROPERTIES
+    // ('snapshots'='true') on an EXISTING table): enablement is
+    // metadata-only — the live files become snapshot v1 without a
+    // scan (row counts stay unknown until the next rewrite refreshes
+    // them), and history accumulates from that point. The gate reads
+    // v1 (the pre-migration state), v2 (post-append) and v3
+    // (post-DELETE) in one query; a migration that lost, duplicated,
+    // or re-scanned membership breaks the hash against the raw-parquet
+    // oracle.
+    "catalog_enable_snapshots" -> ((s, d) => {
+      val t = kvTable(s, "mig_gate") // plain table, no snapshots
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0")
+      s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1")
+      s.sql(s"DELETE FROM $t WHERE key % 3 = 0")
+      s.sql(
+        s"""SELECT * FROM (
+           |  SELECT 1 AS version, value, count(*) AS n_orders,
+           |         sum(key) AS sum_keys
+           |  FROM $t VERSION AS OF 1 GROUP BY value
+           |  UNION ALL
+           |  SELECT 2, value, count(*), sum(key)
+           |  FROM $t VERSION AS OF 2 GROUP BY value
+           |  UNION ALL
+           |  SELECT 3, value, count(*), sum(key)
+           |  FROM $t GROUP BY value)
+           |ORDER BY version, value""".stripMargin)
+    }),
+
     // MANIFEST-ANSWERED COUNT(*) (aggregate pushdown into the custom
     // connector): snapshot manifests record per-file row counts at
     // commit time (the tasks counted anyway), so a bare count(*)
@@ -366,9 +397,9 @@ object SourceQueries {
       s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
         s"FROM parquet.`$d/orders.parquet`")
       s.sql(s"DELETE FROM $t WHERE key % 5 = 0")
-      graft.sources.KvCountScan.served.set(0)
+      graft.sources.KvAggScan.served.set(0)
       val rows = s.sql(s"SELECT count(*) AS n_orders FROM $t").collect()
-      require(graft.sources.KvCountScan.served.get() > 0,
+      require(graft.sources.KvAggScan.served.get() > 0,
         "catalog_count_pushdown: count(*) was answered by a data " +
           "scan, not the manifest")
       import scala.jdk.CollectionConverters._
@@ -377,6 +408,61 @@ object SourceQueries {
           org.apache.spark.sql.types.StructField(
             "n_orders", org.apache.spark.sql.types.LongType,
             nullable = false))))
+    }),
+
+    // ZONE-MAP FILE SKIPPING (manifest min/max stats): the snapshot
+    // manifest records each file's key range at commit, so a pushed
+    // key predicate prunes whole files WITHOUT OPENING them — the
+    // row-group-stats skip parquet footers provide, recovered for a
+    // plain line format. The insert range-clusters by key (the layout
+    // that makes zone maps selective, as a production table sorted on
+    // ingest would be), the predicate keeps only the low range, and
+    // the require() pins that files were actually skipped; the oracle
+    // pins that skipping lost nothing.
+    "catalog_zonemap_prune" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.zm_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t " +
+        s"SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */ " +
+        s"o_orderkey, o_orderpriority FROM parquet.`$d/orders.parquet`")
+      graft.sources.KvZoneMap.prunedFiles.set(0)
+      val df = s.sql(
+        s"""SELECT value, count(*) AS n_orders, sum(key) AS sum_keys
+           |FROM $t WHERE key <= 1000
+           |GROUP BY value ORDER BY value""".stripMargin)
+      val rows = df.collect()
+      require(graft.sources.KvZoneMap.prunedFiles.get() > 0,
+        "catalog_zonemap_prune: no files were zone-map skipped")
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    }),
+
+    // MANIFEST-ANSWERED MIN/MAX (the aggregate-pushdown vector
+    // beyond COUNT): count(*), min(key) and max(key) in ONE query,
+    // all answered from the manifest's per-file stats in a single
+    // metadata row — zero data files opened, require()d. The DELETE
+    // beforehand forces the stats through a copy-on-write rewrite.
+    "catalog_minmax_pushdown" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.mm_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"DELETE FROM $t WHERE key % 5 = 0")
+      graft.sources.KvAggScan.served.set(0)
+      val df = s.sql(s"SELECT count(*) AS n_orders, " +
+        s"min(key) AS min_key, max(key) AS max_key FROM $t")
+      val rows = df.collect()
+      require(graft.sources.KvAggScan.served.get() > 0,
+        "catalog_minmax_pushdown: aggregates were answered by a " +
+          "data scan, not the manifest")
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
     }),
 
     // TABLE CHANGE FEED (streaming reads of a snapshotted kv table —
@@ -1400,6 +1486,33 @@ object SourceQueries {
     "catalog_count_pushdown" ->
       """SELECT count(*) AS n_orders
         |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+    "catalog_zonemap_prune" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey <= 1000
+        |GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    "catalog_minmax_pushdown" ->
+      """SELECT count(*) AS n_orders,
+        |       min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+    "catalog_enable_snapshots" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS version, o_orderpriority AS value,
+        |         count(*) AS n_orders,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 2, o_orderpriority, count(*),
+        |         CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders GROUP BY 2
+        |  UNION ALL
+        |  SELECT 3, o_orderpriority, count(*),
+        |         CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 2)
+        |ORDER BY version, value""".stripMargin,
     "catalog_changefeed" ->
       """SELECT o_orderpriority AS value,
         |       count(*) AS n_orders,

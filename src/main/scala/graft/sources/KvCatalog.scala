@@ -73,71 +73,111 @@ class KvScanBuilder(
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
 
-  /** COUNT(*) answered from the MANIFEST (no grouping, no residual
-    * filters, snapshotted table with row counts recorded at commit):
-    * complete pushdown — the scan emits the single final row and
-    * never opens a data file. At 100 TB this is the difference
-    * between a count and a table scan; the same counts feed
-    * [[KvScan.estimateStatistics]] for the planner. Anything the
-    * manifest can't answer exactly (a filter, a group-by, an unknown
-    * count, a row-level-op rewrite scan) declines the pushdown and
-    * the ordinary scan+aggregate runs.
+  /** COUNT(*) / MIN(key) / MAX(key) answered from the MANIFEST (no
+    * grouping, no residual filters, snapshotted table with per-file
+    * stats recorded at commit): complete pushdown — the scan emits
+    * the single final row and never opens a data file. At 100 TB this
+    * is the difference between a metadata lookup and a table scan;
+    * the same stats feed [[KvScan.estimateStatistics]] for the
+    * planner. Anything the manifest can't answer exactly (a filter, a
+    * group-by, an aggregate over `value`, an unknown-stats migrated
+    * file, a row-level-op rewrite scan) declines the pushdown and the
+    * ordinary scan+aggregate runs.
     */
-  private var countPushed = false
+  private var pushedAggs: Option[Seq[KvAggScan.PushedAgg]] = None
 
-  private def canPushCount(
+  private def compileAggs(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    snapshots && !forRowLevelOp && pushed.isEmpty &&
-      agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar] && {
-        pinnedVersion.orElse(KvSnapshots.latest(path)).forall { v =>
-          KvSnapshots.membersWithCounts(path, v).forall(_._2 >= 0)
-        }
+      : Option[Seq[KvAggScan.PushedAgg]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isKey(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("key"))
+        case _ => false
       }
+    if (!(snapshots && !forRowLevelOp && pushed.isEmpty &&
+        agg.groupByExpressions().isEmpty &&
+        agg.aggregateExpressions().nonEmpty)) None
+    else {
+      val compiled = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(KvAggScan.AggCount)
+        case m: Min if isKey(m.column()) => Some(KvAggScan.AggMinKey)
+        case m: Max if isKey(m.column()) => Some(KvAggScan.AggMaxKey)
+        case _ => None
+      }
+      val statsKnown =
+        pinnedVersion.orElse(KvSnapshots.latest(path)).forall { v =>
+          KvSnapshots.membersWithStats(path, v).forall(_.rows >= 0)
+        }
+      if (statsKnown && compiled.forall(_.isDefined))
+        Some(compiled.flatten)
+      else None
+    }
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = canPushCount(agg)
+      : Boolean = compileAggs(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    countPushed = canPushCount(agg)
-    countPushed
+    pushedAggs = compileAggs(agg)
+    pushedAggs.isDefined
   }
 
-  override def build(): Scan =
-    if (countPushed) new KvCountScan(path, pinnedVersion)
-    else new KvScan(path, required, pushed, buckets, snapshots,
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new KvAggScan(path, pinnedVersion, aggs)
+    case None => new KvScan(path, required, pushed, buckets, snapshots,
       pinnedVersion, forRowLevelOp)
+  }
 }
 
-/** The manifest-only COUNT(*) scan: one partition, one row, zero data
-  * files opened. `served` is the spec/gate observability counter.
+/** The manifest-only aggregate scan: one partition, one row, zero
+  * data files opened. `served` is the spec/gate observability
+  * counter.
   */
-class KvCountScan(path: String, pinnedVersion: Option[Int])
+class KvAggScan(
+    path: String, pinnedVersion: Option[Int],
+    aggs: Seq[KvAggScan.PushedAgg])
     extends Scan with Batch {
 
-  override def readSchema(): StructType = KvCountScan.Schema
+  override def readSchema(): StructType =
+    StructType(aggs.map {
+      case KvAggScan.AggCount => org.apache.spark.sql.types
+        .StructField("count(*)", LongType, nullable = false)
+      case KvAggScan.AggMinKey => org.apache.spark.sql.types
+        .StructField("min(key)", LongType, nullable = true)
+      case KvAggScan.AggMaxKey => org.apache.spark.sql.types
+        .StructField("max(key)", LongType, nullable = true)
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"kvjsonl $path PushedAggregation: [COUNT(*)] (manifest-only)"
+    s"kvjsonl $path PushedAggregation: [${aggs.mkString(", ")}] " +
+      "(manifest-only)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = pinnedVersion.orElse(KvSnapshots.latest(path)) match {
-      case None => 0L
+    val stats = pinnedVersion.orElse(KvSnapshots.latest(path)) match {
+      case None => Seq.empty[KvSnapshots.KvFileStat]
       case Some(v) =>
-        val counts = KvSnapshots.membersWithCounts(path, v).map(_._2)
-        require(counts.forall(_ >= 0),
-          s"manifest v$v of $path has unknown row counts — the " +
-            "builder must not have pushed the aggregate")
-        counts.sum
+        val st = KvSnapshots.membersWithStats(path, v)
+        require(st.forall(_.rows >= 0),
+          s"manifest v$v of $path has unknown stats — the builder " +
+            "must not have pushed the aggregate")
+        st
     }
-    KvCountScan.served.incrementAndGet()
-    Array(KvCountPartition(total))
+    val values: Seq[Any] = aggs.map {
+      case KvAggScan.AggCount => stats.map(_.rows).sum
+      case KvAggScan.AggMinKey =>
+        stats.flatMap(_.minKey)
+          .reduceOption(math.min(_, _)).map(Long.box).orNull
+      case KvAggScan.AggMaxKey =>
+        stats.flatMap(_.maxKey)
+          .reduceOption(math.max(_, _)).map(Long.box).orNull
+    }
+    KvAggScan.served.incrementAndGet()
+    Array(KvAggPartition(values))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -145,26 +185,34 @@ class KvCountScan(path: String, pinnedVersion: Option[Int])
       override def createReader(
           partition: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val total =
-            partition.asInstanceOf[KvCountPartition].total
+          private val values =
+            partition.asInstanceOf[KvAggPartition].values
           private var done = false
           override def next(): Boolean =
             if (done) false else { done = true; true }
-          override def get(): InternalRow = InternalRow(total)
+          override def get(): InternalRow =
+            InternalRow.fromSeq(values)
           override def close(): Unit = ()
         }
     }
 }
 
-case class KvCountPartition(total: Long) extends InputPartition
+case class KvAggPartition(values: Seq[Any]) extends InputPartition
 
-object KvCountScan {
-  val Schema: StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField(
-      "count(*)", LongType, nullable = false)))
+object KvAggScan {
+  sealed trait PushedAgg
+  case object AggCount extends PushedAgg {
+    override def toString: String = "COUNT(*)"
+  }
+  case object AggMinKey extends PushedAgg {
+    override def toString: String = "MIN(key)"
+  }
+  case object AggMaxKey extends PushedAgg {
+    override def toString: String = "MAX(key)"
+  }
 
-  /** Manifest-answered counts served in this JVM (observability for
-    * the gate's fail-loud require).
+  /** Manifest-answered aggregates served in this JVM (observability
+    * for the gates' fail-loud requires).
     */
   val served = new java.util.concurrent.atomic.AtomicLong
 }
@@ -300,12 +348,27 @@ class KvScan(
       // Snapshotted table: membership is the MANIFEST (pinned version
       // for a time-travel read, else the latest), never the directory
       // — retained prior-version files must stay invisible to a
-      // current read.
+      // current read. The manifest's per-file zone maps (min/max key)
+      // skip files a pushed or runtime key predicate proves matchless
+      // — the row-group-stats skip parquet footers provide, recovered
+      // for a plain line format. Unknown stats (rows = -1, a migrated
+      // pre-snapshot file) never skip; a known keyless file (rows
+      // recorded, no non-null keys) is matchless under every
+      // null-rejecting key comparison.
       pinnedVersion.orElse(KvSnapshots.latest(path)) match {
         case None => Array.empty
-        case Some(v) => KvSnapshots.members(path, v)
-          .map(n => java.nio.file.Paths.get(path, n).toString)
-          .toArray.sorted
+        case Some(v) =>
+          KvSnapshots.membersWithStats(path, v)
+            .filter { st =>
+              val keep =
+                KvZoneMap.mayMatch(st, pushed) &&
+                  runtimeKeys.forall(ks => KvZoneMap.mayMatchKeys(st, ks))
+              if (!keep) KvZoneMap.prunedFiles.incrementAndGet()
+              keep
+            }
+            .map(st =>
+              java.nio.file.Paths.get(path, st.name).toString)
+            .toArray.sorted
       }
     } else {
       val dir = java.nio.file.Paths.get(path)
@@ -759,10 +822,70 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     new KvJsonlTable(p.toString, viaCatalog = true)
   }
 
+  /** The one mutable piece of table metadata is the `snapshots` flag
+    * — the MIGRATION story for time travel:
+    *
+    *   - ENABLE (`ALTER TABLE t SET TBLPROPERTIES ('snapshots' =
+    *     'true')`): metadata-only — the current files become snapshot
+    *     v1 with UNKNOWN row counts (a 100 TB enablement must not
+    *     scan; counts refresh on the next rewrite commit, until which
+    *     the count(*) pushdown and exact numRows simply decline).
+    *   - DISABLE (`... UNSET TBLPROPERTIES ('snapshots')`): collapses
+    *     history — files outside the CURRENT membership and all
+    *     manifests are deleted, returning the table to plain
+    *     directory-listing semantics.
+    *
+    * Everything else (schema, bucketing) is immutable by design.
+    */
   override def alterTable(
-      ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "kvjsonl tables have a fixed schema; ALTER TABLE is not supported")
+      ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!java.nio.file.Files.isDirectory(p))
+      throw new NoSuchTableException(ident)
+    val dir = p.toString
+    changes.foreach {
+      case set: TableChange.SetProperty
+          if set.property() == "snapshots" && set.value() == "true" =>
+        val meta = KvBucketing.readMetaFull(dir)
+        require(!meta.snapshots,
+          s"${ident.name()} already has snapshots enabled")
+        val files = {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.endsWith(".jsonl"))
+            .toSeq.sorted
+          finally s.close()
+        }
+        KvSnapshots.commit(dir, files.map(
+          KvSnapshots.KvFileStat(_, -1L, None, None)))
+        KvBucketing.writeMeta(dir, meta.copy(snapshots = true))
+      case rm: TableChange.RemoveProperty
+          if rm.property() == "snapshots" =>
+        val meta = KvBucketing.readMetaFull(dir)
+        require(meta.snapshots,
+          s"${ident.name()} does not have snapshots enabled")
+        val current: Set[String] = KvSnapshots.latest(dir)
+          .map(KvSnapshots.members(dir, _).toSet).getOrElse(Set.empty)
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.toSeq.foreach { f =>
+          val n = f.getFileName.toString
+          if (n.endsWith(".jsonl") && !current.contains(n))
+            java.nio.file.Files.delete(f)
+        } finally s.close()
+        graft.Fs.deleteRecursively(
+          p.resolve(KvSnapshots.DirName).toString)
+        if (meta.buckets.isEmpty)
+          java.nio.file.Files.deleteIfExists(
+            p.resolve(KvBucketing.MetaFile))
+        else
+          KvBucketing.writeMeta(dir, meta.copy(snapshots = false))
+      case other => throw new UnsupportedOperationException(
+        "kvjsonl tables have a fixed schema and immutable bucketing; " +
+          s"only the snapshots property can be altered (got $other)")
+    }
+    new KvJsonlTable(dir, viaCatalog = true)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

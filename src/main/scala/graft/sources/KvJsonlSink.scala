@@ -178,6 +178,12 @@ class KvJsonlTable(
       org.apache.spark.sql.connector.expressions.Expressions
         .bucket(n, "key"))
 
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (meta.snapshots) m.put("snapshots", "true")
+    m
+  }
+
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
       override def name(): String = KvJsonlSink.FileColumn
@@ -281,18 +287,23 @@ class KvJsonlTable(
   }
 }
 
-case class KvJsonlCommitMessage(
-    tempFile: String, finalName: String, rows: Long = -1L)
+/** One published file: temp path, final name, and the per-file
+  * statistics the task tracked while writing (row count + min/max
+  * over non-null keys — the manifest ZONE MAP a 100 TB planner reads
+  * instead of the data).
+  */
+case class KvWrittenFile(
+    tempFile: String, finalName: String, rows: Long,
+    minKey: Option[Long], maxKey: Option[Long])
+
+case class KvJsonlCommitMessage(file: KvWrittenFile)
     extends WriterCommitMessage
 
-/** Bucketed task message: one (temp, final, rows) triple per bucket
-  * the task saw. Publish semantics are identical — the driver renames
-  * exactly the named files. Row counts ride along for free (the task
-  * counted while writing) and land in the snapshot manifest — the
-  * statistics a 100 TB planner reads instead of the data.
+/** Bucketed task message: one written file per bucket the task saw.
+  * Publish semantics are identical — the driver renames exactly the
+  * named files.
   */
-case class KvJsonlBucketedCommitMessage(
-    files: Seq[(String, String, Long)])
+case class KvJsonlBucketedCommitMessage(files: Seq[KvWrittenFile])
     extends WriterCommitMessage
 
 class KvJsonlBatchWrite(
@@ -330,24 +341,24 @@ class KvJsonlBatchWrite(
       } finally old.close()
     }
     val published = messages.flatMap {
-      case KvJsonlCommitMessage(tempFile, finalName, rows) =>
-        Seq((tempFile, finalName, rows))
+      case KvJsonlCommitMessage(file) => Seq(file)
       case KvJsonlBucketedCommitMessage(files) => files
     }
-    published.foreach { case (tempFile, finalName, _) =>
+    published.foreach { f =>
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(tempFile),
-        dir.resolve(finalName),
+        java.nio.file.Paths.get(f.tempFile),
+        dir.resolve(f.finalName),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     if (snapshots) {
       val prev =
-        if (truncateFirst) Seq.empty[(String, Long)]
+        if (truncateFirst) Seq.empty[KvSnapshots.KvFileStat]
         else KvSnapshots.latest(path)
-          .map(KvSnapshots.membersWithCounts(path, _))
+          .map(KvSnapshots.membersWithStats(path, _))
           .getOrElse(Seq.empty)
       KvSnapshots.commit(path,
-        prev ++ published.map { case (_, name, rows) => (name, rows) })
+        prev ++ published.map(f =>
+          KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey, f.maxKey)))
     }
     graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
     java.nio.file.Files.write(
@@ -391,6 +402,9 @@ class KvJsonlBucketedDataWriter(
       java.nio.file.Files.newBufferedWriter(
         temp, java.nio.charset.StandardCharsets.UTF_8)
     var rows = 0L
+    var minKey = Long.MaxValue
+    var maxKey = Long.MinValue
+    var hasKeys = false
   }
 
   private val open =
@@ -408,6 +422,12 @@ class KvJsonlBucketedDataWriter(
     w.out.write(KvJsonlSink.formatLine(row))
     w.out.write('\n')
     w.rows += 1
+    if (key != null) {
+      val k = key.longValue
+      if (k < w.minKey) w.minKey = k
+      if (k > w.maxKey) w.maxKey = k
+      w.hasKeys = true
+    }
   }
 
   override def write(meta: InternalRow, row: InternalRow): Unit =
@@ -417,9 +437,12 @@ class KvJsonlBucketedDataWriter(
     open.values.foreach(_.out.close())
     KvJsonlBucketedCommitMessage(
       open.toSeq.sortBy(_._1).map { case (b, w) =>
-        (w.temp.toString,
+        KvWrittenFile(
+          w.temp.toString,
           f"part-$jobId-$partitionId%05d${KvBucketing.bucketSuffix(b)}.jsonl",
-          w.rows)
+          w.rows,
+          if (w.hasKeys) Some(w.minKey) else None,
+          if (w.hasKeys) Some(w.maxKey) else None)
       })
   }
 
@@ -460,10 +483,10 @@ class KvJsonlStreamingWrite(path: String)
       epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    messages.foreach { case KvJsonlCommitMessage(tempFile, finalName, _) =>
+    messages.foreach { case KvJsonlCommitMessage(f) =>
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(tempFile),
-        dir.resolve(finalName),
+        java.nio.file.Paths.get(f.tempFile),
+        dir.resolve(f.finalName),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     dropEpochTemps(epochId) // losing speculative attempts of this epoch
@@ -512,11 +535,20 @@ class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
   private val out = java.nio.file.Files.newBufferedWriter(
     tempFile, java.nio.charset.StandardCharsets.UTF_8)
   private var rows = 0L
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
+  private var hasKeys = false
 
   override def write(row: InternalRow): Unit = {
     out.write(KvJsonlSink.formatLine(row))
     out.newLine()
     rows += 1
+    if (!row.isNullAt(0)) {
+      val k = row.getLong(0)
+      if (k < minKey) minKey = k
+      if (k > maxKey) maxKey = k
+      hasKeys = true
+    }
   }
 
   /** Metadata-carrying variant invoked by the row-level-operation
@@ -531,7 +563,10 @@ class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    KvJsonlCommitMessage(tempFile.toString, finalName, rows)
+    KvJsonlCommitMessage(KvWrittenFile(
+      tempFile.toString, finalName, rows,
+      if (hasKeys) Some(minKey) else None,
+      if (hasKeys) Some(maxKey) else None))
   }
 
   override def abort(): Unit = {

@@ -52,15 +52,28 @@ object KvSnapshots {
   private def manifestPath(path: String, version: Int): Path =
     snapDir(path).resolve(f"v$version%05d.manifest")
 
-  /** Manifest lines carry per-file ROW COUNTS beside the name
-    * (`name<TAB>rows`) — written for free at commit time (each task
-    * counted its rows anyway) and the basis of the manifest-only
-    * statistics surface: exact `numRows` for the planner and the
-    * metadata-answered COUNT(*) pushdown (KvCountScan). A count of -1
-    * means unknown (tolerated on read, never written by this sink).
+  /** Per-file statistics a manifest line carries beside the name —
+    * the ZONE MAP of this format: row count, and min/max over the
+    * file's non-null keys. All recorded for free at commit time (each
+    * write task tracked them while writing) and the basis of the
+    * manifest-only planner surfaces: exact `numRows`, the
+    * metadata-answered COUNT/MIN/MAX pushdown (KvAggScan), and
+    * file-level skipping of key predicates (the row-group-stats skip
+    * parquet gets from its footers, recovered for a plain line
+    * format). `rows` = -1 means unknown (a migrated pre-snapshot
+    * file — tolerated on read, never written by the sink);
+    * `minKey`/`maxKey` absent means no non-null keys OR unknown —
+    * both directions must only ever DISABLE an optimization.
     */
-  def membersWithCounts(
-      path: String, version: Int): Seq[(String, Long)] = {
+  case class KvFileStat(
+      name: String, rows: Long,
+      minKey: Option[Long], maxKey: Option[Long])
+
+  /** Manifest line: `name<TAB>rows[<TAB>min<TAB>max]` (stats omitted
+    * when unknown or keyless). A bare `name` parses as fully unknown.
+    */
+  def membersWithStats(
+      path: String, version: Int): Seq[KvFileStat] = {
     val m = manifestPath(path, version)
     require(Files.isRegularFile(m),
       s"no snapshot v$version of $path (versions: " +
@@ -69,33 +82,43 @@ object KvSnapshots {
       .asScala.toSeq.filter(_.nonEmpty)
       .map { line =>
         line.split('\t') match {
-          case Array(name) => (name, -1L)
-          case Array(name, n) => (name, n.toLong)
+          case Array(name) => KvFileStat(name, -1L, None, None)
+          case Array(name, n) => KvFileStat(name, n.toLong, None, None)
+          case Array(name, n, mn, mx) =>
+            KvFileStat(name, n.toLong, Some(mn.toLong), Some(mx.toLong))
           case _ => throw new IllegalArgumentException(
             s"corrupt manifest line in v$version of $path: $line")
         }
       }
   }
 
+  def membersWithCounts(
+      path: String, version: Int): Seq[(String, Long)] =
+    membersWithStats(path, version).map(s => (s.name, s.rows))
+
   /** File NAMES of snapshot `version` (fail-loud on a version no
     * manifest records — a time-travel read of a never-committed or
     * expired version).
     */
   def members(path: String, version: Int): Seq[String] =
-    membersWithCounts(path, version).map(_._1)
+    membersWithStats(path, version).map(_.name)
 
   /** Publish the next snapshot: write-temp + atomic rename, the same
     * last-writer-visibility idiom as the data-file commit itself.
     * Returns the new version number.
     */
-  def commit(path: String, membership: Seq[(String, Long)]): Int = {
+  def commit(path: String, membership: Seq[KvFileStat]): Int = {
     val d = snapDir(path)
     Files.createDirectories(d)
     val v = latest(path).getOrElse(0) + 1
     val tmp = d.resolve(f"v$v%05d.manifest.tmp")
     Files.write(tmp,
-      membership.sortBy(_._1)
-        .map { case (name, n) => s"$name\t$n" }
+      membership.sortBy(_.name)
+        .map {
+          case KvFileStat(name, n, Some(mn), Some(mx)) =>
+            s"$name\t$n\t$mn\t$mx"
+          case KvFileStat(name, n, _, _) => s"$name\t$n"
+        }
         .mkString("\n").getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(path, v),
@@ -137,4 +160,56 @@ object KvSnapshots {
     }
     (all.size.toLong, keep.size.toLong, deleted)
   }
+}
+
+/** Zone-map satisfiability: can a file with the given manifest stats
+  * contain ANY row matching the predicates? False only on PROOF —
+  * unknown stats always pass, so a wrong answer here can only ever
+  * mean "didn't skip", never "skipped a match".
+  */
+object KvZoneMap {
+  import org.apache.spark.sql.sources._
+
+  /** Files skipped by manifest zone maps in this JVM (spec/gate
+    * observability, like the reader-side counters).
+    */
+  val prunedFiles = new java.util.concurrent.atomic.AtomicLong
+
+  def mayMatch(
+      stat: KvSnapshots.KvFileStat, filters: Array[Filter]): Boolean = {
+    if (filters.isEmpty) true
+    else if (stat.rows == 0L) false // provably empty
+    else if (stat.rows < 0L) true // unknown stats — never skip
+    else filters.forall {
+      // rows recorded ⇒ min/max are EXACT over non-null keys; absent
+      // means the file has no non-null keys, which no null-rejecting
+      // key comparison can match.
+      case IsNotNull("key") => stat.minKey.isDefined
+      case EqualTo("key", v: java.lang.Long) =>
+        stat.minKey.exists(_ <= v.longValue) &&
+          stat.maxKey.exists(_ >= v.longValue)
+      case GreaterThan("key", v: java.lang.Long) =>
+        stat.maxKey.exists(_ > v.longValue)
+      case GreaterThanOrEqual("key", v: java.lang.Long) =>
+        stat.maxKey.exists(_ >= v.longValue)
+      case LessThan("key", v: java.lang.Long) =>
+        stat.minKey.exists(_ < v.longValue)
+      case LessThanOrEqual("key", v: java.lang.Long) =>
+        stat.minKey.exists(_ <= v.longValue)
+      case _ => true
+    }
+  }
+
+  /** Runtime join-key set vs the file's key range (the coarse
+    * [setMin, setMax] envelope — cheap and sound; the reader's exact
+    * per-row membership check handles the rest).
+    */
+  def mayMatchKeys(
+      stat: KvSnapshots.KvFileStat, keys: Set[Long]): Boolean =
+    if (stat.rows < 0L) true
+    else if (stat.rows == 0L || keys.isEmpty) false
+    else (stat.minKey, stat.maxKey) match {
+      case (Some(mn), Some(mx)) => keys.min <= mx && keys.max >= mn
+      case _ => false // keyless file can't equi-match
+    }
 }

@@ -40,17 +40,27 @@ class KvSnapshotsSpec extends SparkTestBase {
   }
 
   test("manifest mechanics: commit, members, timestamps, expire") {
+    import KvSnapshots.KvFileStat
     val d = Files.createTempDirectory("graft_snap").toString
     assert(KvSnapshots.latest(d).isEmpty)
-    assert(KvSnapshots.commit(d, Seq(("a.jsonl", 1L))) === 1)
-    Thread.sleep(20)
     assert(KvSnapshots.commit(d,
-      Seq(("a.jsonl", 1L), ("b.jsonl", 2L))) === 2)
+      Seq(KvFileStat("a.jsonl", 1L, Some(5L), Some(5L)))) === 1)
+    Thread.sleep(20)
+    assert(KvSnapshots.commit(d, Seq(
+      KvFileStat("a.jsonl", 1L, Some(5L), Some(5L)),
+      KvFileStat("b.jsonl", 2L, None, None), // keyless
+      KvFileStat("c.jsonl", -1L, None, None))) === 2) // unknown
     assert(KvSnapshots.versions(d) === Seq(1, 2))
     assert(KvSnapshots.members(d, 1) === Seq("a.jsonl"))
-    assert(KvSnapshots.members(d, 2) === Seq("a.jsonl", "b.jsonl"))
+    assert(KvSnapshots.members(d, 2) ===
+      Seq("a.jsonl", "b.jsonl", "c.jsonl"))
+    // stats round-trip distinguishes known-keyless from unknown
+    assert(KvSnapshots.membersWithStats(d, 2) === Seq(
+      KvFileStat("a.jsonl", 1L, Some(5L), Some(5L)),
+      KvFileStat("b.jsonl", 2L, None, None),
+      KvFileStat("c.jsonl", -1L, None, None)))
     assert(KvSnapshots.membersWithCounts(d, 2) ===
-      Seq(("a.jsonl", 1L), ("b.jsonl", 2L)))
+      Seq(("a.jsonl", 1L), ("b.jsonl", 2L), ("c.jsonl", -1L)))
     intercept[IllegalArgumentException](KvSnapshots.members(d, 3))
     val now = System.currentTimeMillis() * 1000L + 1000000L
     assert(KvSnapshots.resolveTimestamp(d, now) === 2)
@@ -162,6 +172,62 @@ class KvSnapshotsSpec extends SparkTestBase {
     assert(KvBucketing.readMetaFull(dir).isEmpty)
     val rows = spark.sql(s"SELECT key FROM $t").collect().map(_.getLong(0))
     assert(rows.toSeq === Seq(2L), "overwrite must fully replace")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("enable-snapshots migration: v1 is the pre-state, counts refresh on rewrite") {
+    val rows = SparkEntry.queries("catalog_enable_snapshots")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the gate's own oracle pins values; here pin the count-pushdown
+    // interplay: post-migration v1 has UNKNOWN counts (no pushdown),
+    // but the DELETE rewrite refreshed the current manifest, so the
+    // current count IS manifest-answered.
+    graft.sources.KvAggScan.served.set(0)
+    val t = "graft_kv.default.mig_gate"
+    val v1 = spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(graft.sources.KvAggScan.served.get() === 0,
+      "v1 has unknown counts — it must take the data scan")
+    val cur = spark.sql(s"SELECT count(*) FROM $t")
+      .collect().head.getLong(0)
+    assert(graft.sources.KvAggScan.served.get() >= 1,
+      "the rewritten current version must manifest-answer")
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey AS key")
+    import org.apache.spark.sql.functions.col
+    assert(v1 === src.filter(col("key") % 2 === 0).count())
+    assert(cur === src.filter(col("key") % 3 =!= 0).count())
+  }
+
+  test("disable-snapshots collapses history to the current state") {
+    val t = history("dis_spec")
+    val dir = warehouseDir("dis_spec")
+    val before = spark.sql(s"SELECT sum(key) FROM $t")
+      .collect().head.getLong(0)
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('snapshots')")
+    assert(!Files.exists(Paths.get(dir, KvSnapshots.DirName)))
+    assert(KvBucketing.readMetaFull(dir).isEmpty)
+    assert(spark.sql(s"SELECT sum(key) FROM $t")
+      .collect().head.getLong(0) === before,
+      "current data must survive the collapse")
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("other ALTERs stay rejected") {
+    cat()
+    val t = "graft_kv.default.alt_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN extra STRING")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('foo'='bar')")
+    }
     spark.sql(s"DROP TABLE $t")
   }
 
