@@ -78,19 +78,44 @@ object SourceQueries {
       (t1, t2)
     }
 
+  private def unwrapAqe(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      unwrapAqe(a.executedPlan)
+    case other => other
+  }
+
+  /** Assert the OUTERMOST key-grouped aggregate's subtree contains no
+    * shuffle exchange — the bucketed-aggregation claim: a GROUP BY on
+    * the bucket key of a KeyGrouped scan completes (partial AND
+    * final) without moving a row.
+    */
+  private def requireShuffleFreeKeyAgg(
+      df: org.apache.spark.sql.DataFrame, gate: String): Unit = {
+    val plan = unwrapAqe(df.queryExecution.executedPlan)
+    val keyAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.exists(
+            _.references.exists(_.name == "key")) => a
+    }
+    require(keyAggs.nonEmpty,
+      s"$gate: no key-grouped hash aggregate in the plan:\n$plan")
+    val shuffles = keyAggs.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    require(shuffles.isEmpty,
+      s"$gate: the key aggregation SHUFFLED — bucketed aggregation " +
+        s"did not engage:\n$plan")
+  }
+
   /** Unwrap AQE, assert there is a shuffle-family join and that NO
     * shuffle exchange feeds it — the storage-partitioned-join claim,
     * checked on the plan that actually ran.
     */
   private def requireShuffleFreeJoin(
       df: org.apache.spark.sql.DataFrame, gate: String): Unit = {
-    import org.apache.spark.sql.execution.SparkPlan
-    def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        unwrap(a.executedPlan)
-      case other => other
-    }
-    val plan = unwrap(df.queryExecution.executedPlan)
+    val plan = unwrapAqe(df.queryExecution.executedPlan)
     val joins = plan.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
@@ -534,6 +559,32 @@ object SourceQueries {
              |ORDER BY priority, flag""".stripMargin)
         val rows = df.collect()
         requireShuffleFreeJoin(df, "catalog_spj_join")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
+    // BUCKETED AGGREGATION (the other half of the co-bucketing
+    // payoff): a GROUP BY on the bucket key of a KeyGrouped kv scan
+    // satisfies the aggregate's clustered distribution outright —
+    // partial AND final HashAggregate complete in one whole-stage
+    // span directly over the scan, ZERO exchange (require()d on the
+    // executed plan). The outer histogram re-aggregation shuffles its
+    // key-count-sized input, which is the point: at 100 TB the raw
+    // rows never move, only the aggregate does.
+    "catalog_bucketed_agg" -> ((s, d) => {
+      val (_, t2) = spjPair(s, d)
+      withConfs(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val df = s.sql(
+          s"""SELECT n_items, count(*) AS n_keys,
+             |sum(sum_keys) AS sum_keys
+             |FROM (SELECT key, count(*) AS n_items,
+             |      sum(key) AS sum_keys FROM $t2 GROUP BY key)
+             |GROUP BY n_items ORDER BY n_items""".stripMargin)
+        val rows = df.collect()
+        requireShuffleFreeKeyAgg(df, "catalog_bucketed_agg")
         s.createDataFrame(
           java.util.Arrays.asList(rows: _*), df.schema)
       }
@@ -1549,6 +1600,13 @@ object SourceQueries {
         |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
         |GROUP BY 1, 2
         |ORDER BY priority, flag""".stripMargin,
+    "catalog_bucketed_agg" ->
+      """SELECT n_items, count(*) AS n_keys,
+        |       CAST(sum(sum_keys) AS BIGINT) AS sum_keys
+        |FROM (SELECT l_orderkey, count(*) AS n_items,
+        |      CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
+        |      FROM lineitem GROUP BY l_orderkey) t
+        |GROUP BY n_items ORDER BY n_items""".stripMargin,
     "catalog_runtime_filter" ->
       """SELECT b.l_returnflag AS flag,
         |       count(*) AS n_items,

@@ -114,6 +114,19 @@ class KvBucketingSpec extends SparkTestBase {
     assert(KvRuntimeFilter.prunedFiles.get() > 0)
   }
 
+  test("bucketed aggregation gate: key agg shuffle-free, rows correct") {
+    val rows = SparkEntry.queries("catalog_bucketed_agg")(spark, sfDir)
+      .collect()
+    val want = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), sum("l_orderkey").as("sk"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_keys"), sum("sk").as("sum_keys"))
+      .orderBy("n_items")
+      .collect()
+    assert(rows.toSeq === want.toSeq)
+  }
+
   test("row-level DML on a bucketed table preserves the layout") {
     cat()
     val t = "graft_kv.default.bkt_dml"
