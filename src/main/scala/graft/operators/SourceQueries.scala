@@ -365,7 +365,17 @@ object SourceQueries {
       val gone =
         try { s.sql(s"SELECT count(*) FROM $t VERSION AS OF 1")
           .collect(); false }
-        catch { case _: Exception => true }
+        catch {
+          // ONLY the expiration error counts as pass — a catch-all
+          // would let any unrelated failure (catalog misconfig, IO)
+          // masquerade as "v1 expired". Spark may wrap the catalog's
+          // error, so the cause chain is searched.
+          case e: Exception =>
+            val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(5)
+              .flatMap(t => Option(t.getMessage)).mkString(" | ")
+            if (msgs.contains("no snapshot v1")) true else throw e
+        }
       require(gone,
         "catalog_expire_call: v1 still readable after expiration")
       s.sql(s"SELECT value, count(*) AS n_orders, " +

@@ -56,10 +56,17 @@ object KvBucketing {
     val fields =
       meta.buckets.map(n => s""""buckets":$n""").toSeq ++
         (if (meta.snapshots) Seq(""""snapshots":true""") else Seq.empty)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, MetaFile),
+    // Temp + atomic rename, same as the manifest commit: an in-place
+    // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
+    // would leave a truncated meta that bricks every subsequent access.
+    val tmp = java.nio.file.Paths.get(dir, MetaFile + ".tmp")
+    java.nio.file.Files.write(tmp,
       fields.mkString("{", ",", "}").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir, MetaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def writeMeta(dir: String, buckets: Int): Unit =

@@ -86,9 +86,18 @@ class KvScanBuilder(
     */
   private var pushedAggs: Option[Seq[KvAggScan.PushedAgg]] = None
 
+  // Spark probes supportCompletePushDown then pushAggregation with
+  // the same Aggregation; compiling reads the whole manifest, so the
+  // result is cached by instance identity rather than computed twice.
+  private var compiledCache
+      : (org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+        Option[Seq[KvAggScan.PushedAgg]]) = null
+
   private def compileAggs(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[KvAggScan.PushedAgg]] = {
+    if (compiledCache != null && (compiledCache._1 eq agg))
+      return compiledCache._2
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     def isKey(e: org.apache.spark.sql.connector.expressions.Expression) =
@@ -96,24 +105,35 @@ class KvScanBuilder(
         case r: NamedReference => r.fieldNames.sameElements(Array("key"))
         case _ => false
       }
-    if (!(snapshots && !forRowLevelOp && pushed.isEmpty &&
-        agg.groupByExpressions().isEmpty &&
-        agg.aggregateExpressions().nonEmpty)) None
-    else {
-      val compiled = agg.aggregateExpressions().toSeq.map {
-        case _: CountStar => Some(KvAggScan.AggCount)
-        case m: Min if isKey(m.column()) => Some(KvAggScan.AggMinKey)
-        case m: Max if isKey(m.column()) => Some(KvAggScan.AggMaxKey)
-        case _ => None
-      }
-      val statsKnown =
-        pinnedVersion.orElse(KvSnapshots.latest(path)).forall { v =>
-          KvSnapshots.membersWithStats(path, v).forall(_.rows >= 0)
+    val result: Option[Seq[KvAggScan.PushedAgg]] =
+      if (!(snapshots && !forRowLevelOp && pushed.isEmpty &&
+          agg.groupByExpressions().isEmpty &&
+          agg.aggregateExpressions().nonEmpty)) None
+      else {
+        val compiled = agg.aggregateExpressions().toSeq.map {
+          case _: CountStar => Some(KvAggScan.AggCount)
+          case m: Min if isKey(m.column()) => Some(KvAggScan.AggMinKey)
+          case m: Max if isKey(m.column()) => Some(KvAggScan.AggMaxKey)
+          case _ => None
         }
-      if (statsKnown && compiled.forall(_.isDefined))
-        Some(compiled.flatten)
-      else None
-    }
+        if (!compiled.forall(_.isDefined)) None
+        else {
+          // ONE manifest read; requirements are per-agg: COUNT needs
+          // exact row counts, MIN/MAX need exact key stats (a migrated
+          // manifest may have neither — decline, scan instead).
+          val stats = pinnedVersion.orElse(KvSnapshots.latest(path))
+            .map(KvSnapshots.membersWithStats(path, _))
+            .getOrElse(Seq.empty)
+          val ok = compiled.flatten.forall {
+            case KvAggScan.AggCount => stats.forall(_.rows >= 0)
+            case KvAggScan.AggMinKey | KvAggScan.AggMaxKey =>
+              stats.forall(_.keysKnown)
+          }
+          if (ok) Some(compiled.flatten) else None
+        }
+      }
+    compiledCache = (agg, result)
+    result
   }
 
   override def supportCompletePushDown(
@@ -162,9 +182,16 @@ class KvAggScan(
       case None => Seq.empty[KvSnapshots.KvFileStat]
       case Some(v) =>
         val st = KvSnapshots.membersWithStats(path, v)
-        require(st.forall(_.rows >= 0),
-          s"manifest v$v of $path has unknown stats — the builder " +
-            "must not have pushed the aggregate")
+        // Fail-loud TOCTOU guard: a commit landing between the
+        // builder's check and execution could de-qualify the stats.
+        require(
+          aggs.forall {
+            case KvAggScan.AggCount => st.forall(_.rows >= 0)
+            case KvAggScan.AggMinKey | KvAggScan.AggMaxKey =>
+              st.forall(_.keysKnown)
+          },
+          s"manifest v$v of $path lost the stats the pushed " +
+            "aggregate needs (concurrent commit?)")
         st
     }
     val values: Seq[Any] = aggs.map {
@@ -635,10 +662,36 @@ class KvRowLevelOperation(
       s"kvjsonl row-level write needs (BIGINT, STRING); " +
         s"got ${s.catalogString}")
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-          new KvJsonlBatchWrite(
-            path, truncateFirst = true, info.queryId())
+      override def build(): Write = buckets match {
+        // The rewrite of a bucketed table requests the same
+        // clustered-by-bucket distribution the ordinary catalog write
+        // does (row-level ops always resolve through the catalog, so
+        // the bucket function resolves): without it every rewrite
+        // task fans out across ALL buckets — up to n open writers per
+        // task and tasks×n files per DML instead of ~n.
+        case Some(n) =>
+          new Write with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .bucket(n, "key")))
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array.empty
+            override def toBatch
+                : org.apache.spark.sql.connector.write.BatchWrite =
+              new KvJsonlBatchWrite(
+                path, truncateFirst = true, info.queryId())
+          }
+        case None => new Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new KvJsonlBatchWrite(
+              path, truncateFirst = true, info.queryId())
+        }
       }
     }
   }
@@ -858,13 +911,21 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           finally s.close()
         }
         KvSnapshots.commit(dir, files.map(
-          KvSnapshots.KvFileStat(_, -1L, None, None)))
+          KvSnapshots.KvFileStat(_, -1L, None, None, keysKnown = false)))
         KvBucketing.writeMeta(dir, meta.copy(snapshots = true))
       case rm: TableChange.RemoveProperty
           if rm.property() == "snapshots" =>
         val meta = KvBucketing.readMetaFull(dir)
         require(meta.snapshots,
           s"${ident.name()} does not have snapshots enabled")
+        // Crash-ordering matters: (1) delete non-member files — the
+        // table is still snapshotted, so reads (manifest-driven) never
+        // see them anyway; (2) flip the meta — from here reads list
+        // the directory, which now holds exactly the membership;
+        // (3) drop the manifests, by now unreferenced. The reverse
+        // order has a window where meta says snapshots but the
+        // manifests are gone: the table reads EMPTY and the next
+        // commit would orphan every existing file.
         val current: Set[String] = KvSnapshots.latest(dir)
           .map(KvSnapshots.members(dir, _).toSet).getOrElse(Set.empty)
         val s = java.nio.file.Files.list(p)
@@ -873,13 +934,13 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           if (n.endsWith(".jsonl") && !current.contains(n))
             java.nio.file.Files.delete(f)
         } finally s.close()
-        graft.Fs.deleteRecursively(
-          p.resolve(KvSnapshots.DirName).toString)
         if (meta.buckets.isEmpty)
           java.nio.file.Files.deleteIfExists(
             p.resolve(KvBucketing.MetaFile))
         else
           KvBucketing.writeMeta(dir, meta.copy(snapshots = false))
+        graft.Fs.deleteRecursively(
+          p.resolve(KvSnapshots.DirName).toString)
       case other => throw new UnsupportedOperationException(
         "kvjsonl tables have a fixed schema and immutable bucketing; " +
           s"only the snapshots property can be altered (got $other)")

@@ -47,7 +47,15 @@ class KvChangeFeedStream(path: String, fields: Array[String])
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(KvSnapshots.latest(path).getOrElse(0))
 
-  override def initialOffset(): Offset = KvVersionOffset(0)
+  /** A FRESH stream starts just before the OLDEST RETAINED snapshot
+    * (not 0): after `expire_snapshots` the early manifests are gone,
+    * and anchoring at oldest−1 makes the first batch the oldest
+    * retained snapshot's full membership — the "initial snapshot"
+    * semantics every table-stream source ships.
+    */
+  override def initialOffset(): Offset =
+    KvVersionOffset(
+      KvSnapshots.versions(path).headOption.map(_ - 1).getOrElse(0))
 
   override def deserializeOffset(json: String): Offset =
     KvVersionOffset.parse(json)
@@ -78,14 +86,29 @@ class KvChangeFeedStream(path: String, fields: Array[String])
     else {
       // Union of per-commit deltas across (s, e] — normally one
       // version, but a checkpoint restart replays whatever range the
-      // offset log pinned.
+      // offset log pinned. Every version IN the range must still be
+      // retained (an expired one means the checkpoint predates the
+      // table's retained history — fail loud, the deltas are gone);
+      // a missing PREDECESSOR manifest only degrades the diff to the
+      // version's full membership — at-least-once across expiration,
+      // the earliest-offset-reset contract.
       val before: Set[String] =
-        if (s == 0) Set.empty else KvSnapshots.members(path, s).toSet
+        if (s == 0) Set.empty
+        else KvSnapshots.membersIfPresent(path, s)
+          .map(_.toSet).getOrElse(Set.empty)
       (s + 1 to e).flatMap { v =>
+        val cur = KvSnapshots.membersIfPresent(path, v).getOrElse(
+          throw new IllegalStateException(
+            s"change feed of $path needs snapshot v$v, which has " +
+              s"been expired (retained: " +
+              s"${KvSnapshots.versions(path).mkString(", ")}) — " +
+              "restart the stream with a fresh checkpoint to resume " +
+              "from the oldest retained snapshot"))
         val prev: Set[String] =
           if (v == 1) Set.empty
-          else KvSnapshots.members(path, v - 1).toSet
-        KvSnapshots.members(path, v).filterNot(prev.contains)
+          else KvSnapshots.membersIfPresent(path, v - 1)
+            .map(_.toSet).getOrElse(Set.empty)
+        cur.filterNot(prev.contains)
       }.distinct
         .filterNot(before.contains)
         .sorted

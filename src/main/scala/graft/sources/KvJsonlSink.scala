@@ -296,6 +296,31 @@ case class KvWrittenFile(
     tempFile: String, finalName: String, rows: Long,
     minKey: Option[Long], maxKey: Option[Long])
 
+/** Per-file stat accumulation shared by the plain and bucketed
+  * writers — ONE definition of what the manifest records.
+  */
+final class KvKeyStats {
+  private var rows = 0L
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
+  private var hasKeys = false
+
+  def update(row: InternalRow): Unit = {
+    rows += 1
+    if (!row.isNullAt(0)) {
+      val k = row.getLong(0)
+      if (k < minKey) minKey = k
+      if (k > maxKey) maxKey = k
+      hasKeys = true
+    }
+  }
+
+  def written(tempFile: String, finalName: String): KvWrittenFile =
+    KvWrittenFile(tempFile, finalName, rows,
+      if (hasKeys) Some(minKey) else None,
+      if (hasKeys) Some(maxKey) else None)
+}
+
 case class KvJsonlCommitMessage(file: KvWrittenFile)
     extends WriterCommitMessage
 
@@ -358,7 +383,8 @@ class KvJsonlBatchWrite(
           .getOrElse(Seq.empty)
       KvSnapshots.commit(path,
         prev ++ published.map(f =>
-          KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey, f.maxKey)))
+          KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey, f.maxKey,
+            keysKnown = true)))
     }
     graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
     java.nio.file.Files.write(
@@ -401,10 +427,7 @@ class KvJsonlBucketedDataWriter(
     val out: java.io.BufferedWriter =
       java.nio.file.Files.newBufferedWriter(
         temp, java.nio.charset.StandardCharsets.UTF_8)
-    var rows = 0L
-    var minKey = Long.MaxValue
-    var maxKey = Long.MinValue
-    var hasKeys = false
+    val stats = new KvKeyStats
   }
 
   private val open =
@@ -421,13 +444,7 @@ class KvJsonlBucketedDataWriter(
     val w = writerFor(KvBucketing.bucketOf(key, n))
     w.out.write(KvJsonlSink.formatLine(row))
     w.out.write('\n')
-    w.rows += 1
-    if (key != null) {
-      val k = key.longValue
-      if (k < w.minKey) w.minKey = k
-      if (k > w.maxKey) w.maxKey = k
-      w.hasKeys = true
-    }
+    w.stats.update(row)
   }
 
   override def write(meta: InternalRow, row: InternalRow): Unit =
@@ -437,12 +454,9 @@ class KvJsonlBucketedDataWriter(
     open.values.foreach(_.out.close())
     KvJsonlBucketedCommitMessage(
       open.toSeq.sortBy(_._1).map { case (b, w) =>
-        KvWrittenFile(
+        w.stats.written(
           w.temp.toString,
-          f"part-$jobId-$partitionId%05d${KvBucketing.bucketSuffix(b)}.jsonl",
-          w.rows,
-          if (w.hasKeys) Some(w.minKey) else None,
-          if (w.hasKeys) Some(w.maxKey) else None)
+          f"part-$jobId-$partitionId%05d${KvBucketing.bucketSuffix(b)}.jsonl")
       })
   }
 
@@ -534,21 +548,12 @@ class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
   private val tempFile = KvJsonlSink.tempDir(path).resolve(tempName)
   private val out = java.nio.file.Files.newBufferedWriter(
     tempFile, java.nio.charset.StandardCharsets.UTF_8)
-  private var rows = 0L
-  private var minKey = Long.MaxValue
-  private var maxKey = Long.MinValue
-  private var hasKeys = false
+  private val stats = new KvKeyStats
 
   override def write(row: InternalRow): Unit = {
     out.write(KvJsonlSink.formatLine(row))
     out.newLine()
-    rows += 1
-    if (!row.isNullAt(0)) {
-      val k = row.getLong(0)
-      if (k < minKey) minKey = k
-      if (k > maxKey) maxKey = k
-      hasKeys = true
-    }
+    stats.update(row)
   }
 
   /** Metadata-carrying variant invoked by the row-level-operation
@@ -563,10 +568,7 @@ class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    KvJsonlCommitMessage(KvWrittenFile(
-      tempFile.toString, finalName, rows,
-      if (hasKeys) Some(minKey) else None,
-      if (hasKeys) Some(maxKey) else None))
+    KvJsonlCommitMessage(stats.written(tempFile.toString, finalName))
   }
 
   override def abort(): Unit = {

@@ -32,7 +32,10 @@ object KvSnapshots {
 
   private def snapDir(path: String): Path = Paths.get(path, DirName)
 
-  private val ManifestName = """v(\d{5})\.manifest""".r
+  // 5+ digits: the %05d formatting grows naturally past v99999, and
+  // a fixed-width pattern would silently stop LISTING those versions
+  // (latest() frozen, new commits re-numbering over the same file).
+  private val ManifestName = """v(\d{5,})\.manifest""".r
 
   def versions(path: String): Seq[Int] = {
     val d = snapDir(path)
@@ -67,10 +70,15 @@ object KvSnapshots {
     */
   case class KvFileStat(
       name: String, rows: Long,
-      minKey: Option[Long], maxKey: Option[Long])
+      minKey: Option[Long], maxKey: Option[Long],
+      keysKnown: Boolean)
 
-  /** Manifest line: `name<TAB>rows[<TAB>min<TAB>max]` (stats omitted
-    * when unknown or keyless). A bare `name` parses as fully unknown.
+  /** Manifest line: `name<TAB>rows<TAB>min<TAB>max` when the writer
+    * tracked key stats — `-` is the EXPLICIT known-keyless marker (the
+    * file has no non-null keys), distinct from a 2-field line, which
+    * means the stats are UNKNOWN (a migrated pre-snapshot file). The
+    * distinction is load-bearing: known-keyless files may be zone-map
+    * skipped under key predicates; unknown files never may.
     */
   def membersWithStats(
       path: String, version: Int): Seq[KvFileStat] = {
@@ -78,14 +86,19 @@ object KvSnapshots {
     require(Files.isRegularFile(m),
       s"no snapshot v$version of $path (versions: " +
         s"${versions(path).mkString(", ")})")
+    def bound(s: String): Option[Long] =
+      if (s == "-") None else Some(s.toLong)
     Files.readAllLines(m, java.nio.charset.StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty)
       .map { line =>
         line.split('\t') match {
-          case Array(name) => KvFileStat(name, -1L, None, None)
-          case Array(name, n) => KvFileStat(name, n.toLong, None, None)
+          case Array(name) =>
+            KvFileStat(name, -1L, None, None, keysKnown = false)
+          case Array(name, n) =>
+            KvFileStat(name, n.toLong, None, None, keysKnown = false)
           case Array(name, n, mn, mx) =>
-            KvFileStat(name, n.toLong, Some(mn.toLong), Some(mx.toLong))
+            KvFileStat(name, n.toLong, bound(mn), bound(mx),
+              keysKnown = true)
           case _ => throw new IllegalArgumentException(
             s"corrupt manifest line in v$version of $path: $line")
         }
@@ -103,6 +116,15 @@ object KvSnapshots {
   def members(path: String, version: Int): Seq[String] =
     membersWithStats(path, version).map(_.name)
 
+  /** Non-throwing variant for consumers that can tolerate an EXPIRED
+    * version (the change feed's at-least-once resume semantics).
+    */
+  def membersIfPresent(
+      path: String, version: Int): Option[Seq[String]] =
+    if (Files.isRegularFile(manifestPath(path, version)))
+      Some(members(path, version))
+    else None
+
   /** Publish the next snapshot: write-temp + atomic rename, the same
     * last-writer-visibility idiom as the data-file commit itself.
     * Returns the new version number.
@@ -114,10 +136,11 @@ object KvSnapshots {
     val tmp = d.resolve(f"v$v%05d.manifest.tmp")
     Files.write(tmp,
       membership.sortBy(_.name)
-        .map {
-          case KvFileStat(name, n, Some(mn), Some(mx)) =>
-            s"$name\t$n\t$mn\t$mx"
-          case KvFileStat(name, n, _, _) => s"$name\t$n"
+        .map { st =>
+          if (st.keysKnown)
+            s"${st.name}\t${st.rows}" +
+              s"\t${st.minKey.getOrElse("-")}\t${st.maxKey.getOrElse("-")}"
+          else s"${st.name}\t${st.rows}"
         }
         .mkString("\n").getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
@@ -128,12 +151,16 @@ object KvSnapshots {
 
   /** Largest version whose manifest was committed at or before the
     * given microsecond timestamp (the `TIMESTAMP AS OF` resolution).
+    * The commit time is rounded UP to the next microsecond, so a
+    * sub-microsecond truncation can only ever EXCLUDE a borderline
+    * snapshot, never include one committed after the asked-for time.
     */
   def resolveTimestamp(path: String, micros: Long): Int = {
-    val at = versions(path).filter { v =>
-      Files.getLastModifiedTime(manifestPath(path, v)).toMillis * 1000L <=
-        micros
+    def commitMicros(v: Int): Long = {
+      val t = Files.getLastModifiedTime(manifestPath(path, v)).toInstant
+      t.getEpochSecond * 1000000L + (t.getNano + 999L) / 1000L
     }
+    val at = versions(path).filter(commitMicros(_) <= micros)
     require(at.nonEmpty,
       s"no snapshot of $path at or before timestamp $micros µs")
     at.last
@@ -179,9 +206,9 @@ object KvZoneMap {
       stat: KvSnapshots.KvFileStat, filters: Array[Filter]): Boolean = {
     if (filters.isEmpty) true
     else if (stat.rows == 0L) false // provably empty
-    else if (stat.rows < 0L) true // unknown stats — never skip
+    else if (!stat.keysKnown) true // unknown stats — never skip
     else filters.forall {
-      // rows recorded ⇒ min/max are EXACT over non-null keys; absent
+      // keysKnown ⇒ min/max are EXACT over non-null keys; absent
       // means the file has no non-null keys, which no null-rejecting
       // key comparison can match.
       case IsNotNull("key") => stat.minKey.isDefined
@@ -206,10 +233,11 @@ object KvZoneMap {
     */
   def mayMatchKeys(
       stat: KvSnapshots.KvFileStat, keys: Set[Long]): Boolean =
-    if (stat.rows < 0L) true
-    else if (stat.rows == 0L || keys.isEmpty) false
+    if (stat.rows == 0L) false
+    else if (!stat.keysKnown) true
+    else if (keys.isEmpty) false
     else (stat.minKey, stat.maxKey) match {
       case (Some(mn), Some(mx)) => keys.min <= mx && keys.max >= mn
-      case _ => false // keyless file can't equi-match
+      case _ => false // known-keyless file can't equi-match
     }
 }

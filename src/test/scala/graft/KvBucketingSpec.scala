@@ -152,6 +152,10 @@ class KvBucketingSpec extends SparkTestBase {
       .filter(col("o_orderkey") % 2 =!= 0)
       .agg(count(lit(1)), sum(col("o_orderkey"))).collect().head
     assert(got === want)
+    // the rewrite requested the clustered-by-bucket distribution, so
+    // the table holds ~one file per non-empty bucket, not tasks×n
+    assert(files.size <= 4 * 2,
+      s"DML rewrite fanned out: ${files.size} files for 4 buckets")
     spark.sql(s"DROP TABLE $t")
   }
 

@@ -106,6 +106,30 @@ class KvChangeFeedSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("fresh stream after expiration starts at the oldest retained snapshot") {
+    val t = snapTable("cf_exp")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c')")
+    spark.sql("CALL graft_kv.system.expire_snapshots(" +
+      "table => 'default.cf_exp', keep_last => 1)")
+    // v1/v2 manifests are gone; a NEW stream must anchor at the
+    // oldest retained snapshot and drain its full membership — not
+    // fail on the expired history (the pre-fix behavior).
+    val sink = "cf_exp_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.table(t)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val keys = graft.streaming.MemorySinks.drain(spark, sink)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(keys === Seq(1L, 2L, 3L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("streaming read of an unsnapshotted table fails loud") {
     cat()
     val t = "graft_kv.default.cf_plain"

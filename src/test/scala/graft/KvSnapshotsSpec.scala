@@ -44,23 +44,32 @@ class KvSnapshotsSpec extends SparkTestBase {
     val d = Files.createTempDirectory("graft_snap").toString
     assert(KvSnapshots.latest(d).isEmpty)
     assert(KvSnapshots.commit(d,
-      Seq(KvFileStat("a.jsonl", 1L, Some(5L), Some(5L)))) === 1)
+      Seq(KvFileStat("a.jsonl", 1L, Some(5L), Some(5L),
+        keysKnown = true))) === 1)
     Thread.sleep(20)
     assert(KvSnapshots.commit(d, Seq(
-      KvFileStat("a.jsonl", 1L, Some(5L), Some(5L)),
-      KvFileStat("b.jsonl", 2L, None, None), // keyless
-      KvFileStat("c.jsonl", -1L, None, None))) === 2) // unknown
+      KvFileStat("a.jsonl", 1L, Some(5L), Some(5L), keysKnown = true),
+      KvFileStat("b.jsonl", 2L, None, None, keysKnown = true), // keyless
+      KvFileStat("c.jsonl", -1L, None, None,
+        keysKnown = false))) === 2) // unknown (migrated)
     assert(KvSnapshots.versions(d) === Seq(1, 2))
     assert(KvSnapshots.members(d, 1) === Seq("a.jsonl"))
     assert(KvSnapshots.members(d, 2) ===
       Seq("a.jsonl", "b.jsonl", "c.jsonl"))
-    // stats round-trip distinguishes known-keyless from unknown
+    // stats round-trip: the '-' marker keeps known-keyless distinct
+    // from unknown
     assert(KvSnapshots.membersWithStats(d, 2) === Seq(
-      KvFileStat("a.jsonl", 1L, Some(5L), Some(5L)),
-      KvFileStat("b.jsonl", 2L, None, None),
-      KvFileStat("c.jsonl", -1L, None, None)))
+      KvFileStat("a.jsonl", 1L, Some(5L), Some(5L), keysKnown = true),
+      KvFileStat("b.jsonl", 2L, None, None, keysKnown = true),
+      KvFileStat("c.jsonl", -1L, None, None, keysKnown = false)))
     assert(KvSnapshots.membersWithCounts(d, 2) ===
       Seq(("a.jsonl", 1L), ("b.jsonl", 2L), ("c.jsonl", -1L)))
+    // manifest numbering survives the 5-digit formatting width
+    Files.write(Paths.get(d, "_snapshots", "v100000.manifest"),
+      "z.jsonl\t1\t1\t1".getBytes)
+    assert(KvSnapshots.versions(d) === Seq(1, 2, 100000))
+    assert(KvSnapshots.latest(d) === Some(100000))
+    Files.delete(Paths.get(d, "_snapshots", "v100000.manifest"))
     intercept[IllegalArgumentException](KvSnapshots.members(d, 3))
     val now = System.currentTimeMillis() * 1000L + 1000000L
     assert(KvSnapshots.resolveTimestamp(d, now) === 2)

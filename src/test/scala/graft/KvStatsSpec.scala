@@ -93,10 +93,14 @@ class KvStatsSpec extends SparkTestBase {
   test("zone-map satisfiability: unknown keeps, keyless and empty skip") {
     import graft.sources.{KvSnapshots, KvZoneMap}
     import org.apache.spark.sql.sources._
-    val known = KvSnapshots.KvFileStat("f", 10L, Some(100L), Some(200L))
-    val keyless = KvSnapshots.KvFileStat("f", 3L, None, None)
-    val unknown = KvSnapshots.KvFileStat("f", -1L, None, None)
-    val empty = KvSnapshots.KvFileStat("f", 0L, None, None)
+    val known = KvSnapshots.KvFileStat(
+      "f", 10L, Some(100L), Some(200L), keysKnown = true)
+    val keyless = KvSnapshots.KvFileStat(
+      "f", 3L, None, None, keysKnown = true)
+    val unknown = KvSnapshots.KvFileStat(
+      "f", -1L, None, None, keysKnown = false)
+    val empty = KvSnapshots.KvFileStat(
+      "f", 0L, None, None, keysKnown = true)
     val le50 = Array[Filter](LessThanOrEqual("key", Long.box(50L)))
     val ge150 = Array[Filter](GreaterThanOrEqual("key", Long.box(150L)))
     val eq150 = Array[Filter](EqualTo("key", Long.box(150L)))
