@@ -205,14 +205,17 @@ object Bench {
       // Prebuild sweep (see ACCOUNTING above): one measured cold run
       // per query, restoring memoized frames before the timed floor.
       // A prebuild crash is recorded (-1) and left for the timed
-      // attempts to report properly.
+      // attempts to report properly. NonFatal only — an OOM or other
+      // fatal JVM error must abort the bench loudly, not continue
+      // timed attempts on a possibly-corrupted session and silently
+      // distort the committed floors.
       val cold = all.map { name =>
         val t0 = System.nanoTime()
         val t =
           try {
             SparkEntry.queries(name)(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 }
+          } catch { case scala.util.control.NonFatal(_) => -1.0 }
         name -> t
       }.toMap
       val sweepMap = results.toMap

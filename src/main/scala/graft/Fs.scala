@@ -57,6 +57,27 @@ object Fs {
   def deleteRecursively(path: String): Unit =
     deleteRecursively(Paths.get(path))
 
+  /** Strict variant for DDL paths (DROP TABLE / DROP NAMESPACE, the
+    * snapshot-collapse manifest cleanup): same race-tolerant walk,
+    * but VERIFIES the tree is gone and throws when it survives both
+    * attempts. The best-effort swallow is right for shutdown-hook
+    * scratch cleanup and wrong for DDL — DROP TABLE must not report
+    * success while the directory still exists (a later CREATE TABLE
+    * would throw TableAlreadyExists), and a surviving `_snapshots`
+    * dir after the meta flip would corrupt version numbering if
+    * snapshots are re-enabled.
+    */
+  def deleteRecursivelyVerified(p: Path): Unit = {
+    deleteRecursively(p)
+    if (Files.exists(p))
+      throw new java.io.IOException(
+        s"failed to delete $p — the directory survived two delete " +
+          "passes (concurrent writer?)")
+  }
+
+  def deleteRecursivelyVerified(path: String): Unit =
+    deleteRecursivelyVerified(Paths.get(path))
+
   /** Per-process namespace token: two JVMs on one host (e.g. `sbt
     * test` overlapping a gate Verify run on a CI box) must never
     * share a scratch sink or a warehouse table name, or they corrupt

@@ -36,7 +36,13 @@ def load_spark_types(outdir, name):
         return {}
     try:
         return {f.name: str(f.type) for f in pa_pq.read_schema(files[0])}
-    except Exception:
+    except Exception as e:
+        # Loud, not silent: {} deactivates the int-vs-float declared-type
+        # guard below for every column of this query — exactly the blind
+        # spot the guard was added to close. The caller warns per-column
+        # too; this names the root cause once.
+        print(f"WARN {name}: spark parquet schema unreadable ({e}) — "
+              f"declared-type split check is OFF for this query")
         return {}
 
 
@@ -50,6 +56,11 @@ def _declared_kind(t):
         return "int"
     if t in {"float", "double", "real", "halffloat", "float32", "float64"}:
         return "float"
+    # DECIMAL is its own kind (exact, but formats unlike int): a
+    # decimal-vs-int or decimal-vs-float pairing is as hash-hostile as
+    # int-vs-float and must not dissolve into 'other'.
+    if t.startswith("decimal"):
+        return "decimal"
     return "other"
 
 
@@ -130,9 +141,17 @@ def main():
             # duckdb result type), not pandas dtypes: pandas loads a
             # nullable BIGINT as float64, which used to false-FAIL
             # columns whose driver hash matches fine.
+            if c not in sp_types:
+                # No declared type ⇒ the split check cannot run for this
+                # column. Warn instead of silently skipping — two prior
+                # driver-only failures were exactly this blind spot.
+                print(f"WARN {name}: col {c} has no declared spark type "
+                      f"— declared-type split check skipped")
+                n_warn += 1
             ks = _declared_kind(sp_types.get(c, ""))
             kd = _declared_kind(du_types.get(c, ""))
-            if {ks, kd} == {"int", "float"}:
+            numeric = {"int", "float", "decimal"}
+            if ks != kd and ks in numeric and kd in numeric:
                 print(f"FAIL {name}: col {c} DECLARED-TYPE split: "
                       f"spark={sp_types.get(c)} duck={du_types.get(c)} — "
                       f"driver hash is type-sensitive; cast both sides "
