@@ -629,6 +629,179 @@ object SourceQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
     }),
 
+    // MERGE-ON-READ DELETE (TBLPROPERTIES 'dml'='mor', the SupportsDelta
+    // protocol — KvMerge.scala): the DML commits POSITIONAL TOMBSTONES
+    // beside the data instead of rewriting surviving file groups. At
+    // 100 TB this is the difference between a 0.1%-sized tombstone
+    // write and a full-group copy-on-write rewrite — the single largest
+    // scale gap VERDICT r13 named in the catalog substrate. The gate
+    // require()s the contract directly: the data-file set is UNCHANGED
+    // by the DELETE (nothing rewritten), at least one `.del` member
+    // appeared, and the pre-DML snapshot still time-travels to the full
+    // row count. The hashed result pins that scans apply the tombstones
+    // exactly (the oracle is the inverse predicate over raw orders).
+    "catalog_dml_delete_mor" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.mor_del_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      val dir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/mor_del_gate"
+      def members = graft.sources.KvSnapshots.membersWithStats(
+        dir, graft.sources.KvSnapshots.latest(dir).get)
+      val dataBefore = graft.sources.KvSnapshots.dataFiles(members)
+        .map(_.name).sorted
+      s.sql(s"DELETE FROM $t WHERE key % 3 = 0")
+      val after = members
+      require(graft.sources.KvSnapshots.dataFiles(after)
+          .map(_.name).sorted == dataBefore,
+        "catalog_dml_delete_mor: the DELETE rewrote data files — " +
+          "that is copy-on-write, not merge-on-read")
+      require(graft.sources.KvSnapshots.deleteFiles(after).nonEmpty,
+        "catalog_dml_delete_mor: no positional delete file committed")
+      val full = s.sql(s"SELECT count(*) FROM $t VERSION AS OF 1")
+        .head().getLong(0)
+      val live = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+      require(full > live,
+        s"catalog_dml_delete_mor: time travel to v1 returned $full " +
+          s"rows vs $live live — pre-DML history lost")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // MERGE-ON-READ UPDATE: delete+insert through the delta writer —
+    // old addresses tombstoned, updated rows appended as NEW files,
+    // original data files untouched (require()d as a subset of the
+    // post-DML membership). The oracle recomputes the post-image from
+    // raw orders, so a resurrected tombstone or a lost survivor breaks
+    // the hash.
+    "catalog_dml_update_mor" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.mor_upd_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      val dir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/mor_upd_gate"
+      def members = graft.sources.KvSnapshots.membersWithStats(
+        dir, graft.sources.KvSnapshots.latest(dir).get)
+      val dataBefore = graft.sources.KvSnapshots.dataFiles(members)
+        .map(_.name).toSet
+      s.sql(s"UPDATE $t SET value = concat('X-', value) " +
+        s"WHERE key % 5 = 0")
+      val after = members
+      val dataAfter = graft.sources.KvSnapshots.dataFiles(after)
+        .map(_.name).toSet
+      require(dataBefore.subsetOf(dataAfter) && dataAfter != dataBefore,
+        "catalog_dml_update_mor: expected original data files kept " +
+          "plus appended update files")
+      require(graft.sources.KvSnapshots.deleteFiles(after).nonEmpty,
+        "catalog_dml_update_mor: no positional delete file committed")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // MERGE-ON-READ MERGE INTO: the upsert through the delta path —
+    // matched rows become tombstone+insert pairs, unmatched source
+    // rows plain inserts; same full-outer-join oracle as the CoW twin,
+    // so the two protocols are pinned to IDENTICAL answers.
+    "catalog_dml_merge_mor" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.mor_mrg_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0")
+      s.sql(s"SELECT o_orderkey AS key, " +
+        s"concat('M-', o_orderpriority) AS value " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0")
+        .createOrReplaceTempView("mor_mrg_gate_src")
+      s.sql(
+        s"""MERGE INTO $t AS tgt USING mor_mrg_gate_src AS src
+           |ON tgt.key = src.key
+           |WHEN MATCHED THEN UPDATE SET value = src.value
+           |WHEN NOT MATCHED THEN INSERT (key, value)
+           |  VALUES (src.key, src.value)""".stripMargin)
+      val dir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/mor_mrg_gate"
+      require(graft.sources.KvSnapshots.deleteFiles(
+          graft.sources.KvSnapshots.membersWithStats(
+            dir, graft.sources.KvSnapshots.latest(dir).get)).nonEmpty,
+        "catalog_dml_merge_mor: merge committed no tombstones — the " +
+          "matched updates went through a rewrite, not the delta path")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // CDC CHANGE FEED (`t$changes`, KvChanges.scala — the Delta
+    // table_changes / Iceberg changelog shape): the staged history
+    // (insert evens → insert odds → MoR DELETE of the %7 keys) replays
+    // as typed change rows with the commit version attached. The
+    // delete rows carry the ACTUAL deleted values (positions resolved
+    // against retained data files) — the capability the rows feed
+    // documents away (file-add-only) and VERDICT r13 listed as missing.
+    // The oracle reconstructs all three commits from raw orders; a
+    // lost tombstone, a misattributed version, or a value-less delete
+    // breaks the hash.
+    "catalog_changefeed_cdc" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.cdc_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1")
+      s.sql(s"DELETE FROM $t WHERE key % 7 = 0")
+      s.sql(
+        s"""SELECT _commit_version, _change_type, value,
+           |count(*) AS n_rows, sum(key) AS sum_keys
+           |FROM graft_kv.default.`cdc_gate$$changes`
+           |GROUP BY 1, 2, 3
+           |ORDER BY 1, 2, 3""".stripMargin)
+    }),
+
+    // OCC COMMIT RETRY (KvSnapshots.commitWith): two INSERT INTO jobs
+    // race on one snapshotted table; the conditional-put publish makes
+    // the loser REBASE onto the winner's manifest instead of
+    // overwriting it. The require()s pin a linear 2-version history
+    // (both commits landed, neither clobbered), and the oracle — the
+    // full orders rollup — proves no row was lost whichever writer
+    // won. KvOccSpec forces the CAS collision deterministically with a
+    // barrier; this gate exercises the same path under real job
+    // scheduling.
+    "catalog_commit_retry" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.occ_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      val ready = new java.util.concurrent.CountDownLatch(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      def insert(r: Int) = pool.submit(new Runnable {
+        override def run(): Unit = {
+          ready.countDown()
+          ready.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+            s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = $r")
+        }
+      })
+      val jobs = Seq(insert(0), insert(1))
+      jobs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      val dir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/occ_gate"
+      val versions = graft.sources.KvSnapshots.versions(dir)
+      require(versions == Seq(1, 2),
+        s"catalog_commit_retry: expected a linear 2-commit history, " +
+          s"got versions $versions")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
     // Streaming exact-dedup through the gate: the event stream
     // unioned with itself (every event twice), deduped on event_id by
     // dropDuplicatesWithinWatermark — the bounded-state form whose
@@ -1633,6 +1806,57 @@ object SourceQueries {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders
         |GROUP BY 1
+        |ORDER BY value""".stripMargin,
+    "catalog_dml_delete_mor" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    "catalog_dml_update_mor" ->
+      """SELECT CASE WHEN o_orderkey % 5 = 0
+        |            THEN 'X-' || o_orderpriority
+        |            ELSE o_orderpriority END AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY value""".stripMargin,
+    "catalog_dml_merge_mor" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderpriority AS p
+        |           FROM orders WHERE o_orderkey % 2 = 0),
+        |s AS (SELECT o_orderkey AS k, 'M-' || o_orderpriority AS p
+        |      FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT coalesce(s.k, t.k) AS key,
+        |         coalesce(s.p, t.p) AS value
+        |  FROM t FULL OUTER JOIN s ON t.k = s.k)
+        |SELECT value, count(*) AS n_orders,
+        |       CAST(sum(key) AS BIGINT) AS sum_keys
+        |FROM merged GROUP BY value
+        |ORDER BY value""".stripMargin,
+    "catalog_changefeed_cdc" ->
+      """WITH ch AS (
+        |  SELECT 1 AS _commit_version, 'insert' AS _change_type,
+        |         o_orderpriority AS value, o_orderkey AS key
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, 'insert', o_orderpriority, o_orderkey
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_orderpriority, o_orderkey
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT _commit_version, _change_type, value,
+        |       count(*) AS n_rows,
+        |       CAST(sum(key) AS BIGINT) AS sum_keys
+        |FROM ch GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "catalog_commit_retry" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
     "catalog_dml_merge" ->
       """WITH t AS (SELECT o_orderkey AS k, o_orderpriority AS p

@@ -37,11 +37,16 @@ object KvBucketing {
     */
   val MetaFile = "_meta.json"
 
-  /** Full table meta: optional bucket partitioning plus the
-    * snapshots (time-travel) flag — see KvSnapshots.scala.
+  /** Full table meta: optional bucket partitioning, the snapshots
+    * (time-travel) flag — see KvSnapshots.scala — and the DML mode:
+    * `mor` = MERGE-ON-READ row-level operations (positional delete
+    * files applied at scan time, SupportsDelta) instead of the
+    * default copy-on-write group rewrite. MoR requires snapshots —
+    * delete files are manifest-tracked members of a version.
     */
-  case class KvMeta(buckets: Option[Int], snapshots: Boolean) {
-    def isEmpty: Boolean = buckets.isEmpty && !snapshots
+  case class KvMeta(
+      buckets: Option[Int], snapshots: Boolean, mor: Boolean = false) {
+    def isEmpty: Boolean = buckets.isEmpty && !snapshots && !mor
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -55,7 +60,8 @@ object KvBucketing {
     require(!meta.isEmpty, "refusing to write an empty table meta")
     val fields =
       meta.buckets.map(n => s""""buckets":$n""").toSeq ++
-        (if (meta.snapshots) Seq(""""snapshots":true""") else Seq.empty)
+        (if (meta.snapshots) Seq(""""snapshots":true""") else Seq.empty) ++
+        (if (meta.mor) Seq(""""dml":"mor"""") else Seq.empty)
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -74,6 +80,7 @@ object KvBucketing {
 
   private val BucketsField = """"buckets":(\d+)""".r
   private val SnapshotsField = """"snapshots":true""".r
+  private val MorField = """"dml":"mor"""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -92,6 +99,7 @@ object KvBucketing {
       val meta = fields.foldLeft(KvMeta(None, snapshots = false)) {
         case (m, BucketsField(n)) => m.copy(buckets = Some(n.toInt))
         case (m, SnapshotsField()) => m.copy(snapshots = true)
+        case (m, MorField()) => m.copy(mor = true)
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }

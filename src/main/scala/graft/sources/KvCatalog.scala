@@ -119,15 +119,22 @@ class KvScanBuilder(
         if (!compiled.forall(_.isDefined)) None
         else {
           // ONE manifest read; requirements are per-agg: COUNT needs
-          // exact row counts, MIN/MAX need exact key stats (a migrated
-          // manifest may have neither — decline, scan instead).
+          // exact row counts (tombstone counts are exact too — the
+          // manifest answer is dataRows − deletedRows), MIN/MAX need
+          // exact key stats AND no tombstones (a positional delete
+          // could have removed the extremal row, making the file
+          // stats an over-approximation — sound for zone-map
+          // skipping, wrong as an aggregate ANSWER). A migrated
+          // manifest may have neither — decline, scan instead.
           val stats = pinnedVersion.orElse(KvSnapshots.latest(path))
             .map(KvSnapshots.membersWithStats(path, _))
             .getOrElse(Seq.empty)
+          val hasDeletes = KvSnapshots.deleteFiles(stats).nonEmpty
           val ok = compiled.flatten.forall {
             case KvAggScan.AggCount => stats.forall(_.rows >= 0)
             case KvAggScan.AggMinKey | KvAggScan.AggMaxKey =>
-              stats.forall(_.keysKnown)
+              !hasDeletes &&
+                KvSnapshots.dataFiles(stats).forall(_.keysKnown)
           }
           if (ok) Some(compiled.flatten) else None
         }
@@ -188,19 +195,25 @@ class KvAggScan(
           aggs.forall {
             case KvAggScan.AggCount => st.forall(_.rows >= 0)
             case KvAggScan.AggMinKey | KvAggScan.AggMaxKey =>
-              st.forall(_.keysKnown)
+              KvSnapshots.deleteFiles(st).isEmpty &&
+                KvSnapshots.dataFiles(st).forall(_.keysKnown)
           },
           s"manifest v$v of $path lost the stats the pushed " +
             "aggregate needs (concurrent commit?)")
         st
     }
+    val data = KvSnapshots.dataFiles(stats)
     val values: Seq[Any] = aggs.map {
-      case KvAggScan.AggCount => stats.map(_.rows).sum
+      // COUNT(*) over a MoR table = physical data rows minus
+      // tombstones — both exact manifest numbers.
+      case KvAggScan.AggCount =>
+        data.map(_.rows).sum -
+          KvSnapshots.deleteFiles(stats).map(_.rows).sum
       case KvAggScan.AggMinKey =>
-        stats.flatMap(_.minKey)
+        data.flatMap(_.minKey)
           .reduceOption(math.min(_, _)).map(Long.box).orNull
       case KvAggScan.AggMaxKey =>
-        stats.flatMap(_.maxKey)
+        data.flatMap(_.maxKey)
           .reduceOption(math.max(_, _)).map(Long.box).orNull
     }
     KvAggScan.served.incrementAndGet()
@@ -370,7 +383,15 @@ class KvScan(
           .UnknownPartitioning(0)
     }
 
-  private def listFiles(): Array[String] =
+  /** The scan's data files, each with its SORTED tombstone positions
+    * (merge-on-read: the manifest's `.del` members are loaded ONCE at
+    * planning into a name→positions index — tombstones are one line
+    * per deleted row, so this is metadata-sized — and each file's
+    * slice rides into its partition; the reader applies them in one
+    * sequential merge while counting lines). Empty for unsnapshotted
+    * and tombstone-free tables.
+    */
+  private def listFiles(): Array[(String, Array[Long])] =
     if (snapshots) {
       // Snapshotted table: membership is the MANIFEST (pinned version
       // for a time-travel read, else the latest), never the directory
@@ -381,11 +402,14 @@ class KvScan(
       // for a plain line format. Unknown stats (rows = -1, a migrated
       // pre-snapshot file) never skip; a known keyless file (rows
       // recorded, no non-null keys) is matchless under every
-      // null-rejecting key comparison.
+      // null-rejecting key comparison. Tombstones only ever REMOVE
+      // rows, so a file's recorded key range is an over-approximation
+      // of its live rows — exactly the sound direction for skipping.
       pinnedVersion.orElse(KvSnapshots.latest(path)) match {
         case None => Array.empty
         case Some(v) =>
-          KvSnapshots.membersWithStats(path, v)
+          val dels = KvSnapshots.deleteIndex(path, v)
+          KvSnapshots.dataFiles(KvSnapshots.membersWithStats(path, v))
             .filter { st =>
               val keep =
                 KvZoneMap.mayMatch(st, pushed) &&
@@ -393,9 +417,11 @@ class KvScan(
               if (!keep) KvZoneMap.prunedFiles.incrementAndGet()
               keep
             }
-            .map(st =>
-              java.nio.file.Paths.get(path, st.name).toString)
-            .toArray.sorted
+            .sortBy(_.name)
+            .map(st => (
+              java.nio.file.Paths.get(path, st.name).toString,
+              dels.getOrElse(st.name, Array.empty[Long])))
+            .toArray
       }
     } else {
       val dir = java.nio.file.Paths.get(path)
@@ -407,6 +433,7 @@ class KvScan(
           .filter(_.endsWith(".jsonl"))
           .toArray
           .sorted // deterministic partition order across runs
+          .map((_, Array.empty[Long]))
         finally s.close()
       }
     }
@@ -417,9 +444,11 @@ class KvScan(
         // Unbucketed: one partition per committed file (no per-file
         // key stats, so a runtime filter prunes rows in the reader,
         // never files).
-        listFiles().map(f => KvInputPartition(f): InputPartition)
+        listFiles().map { case (f, dels) =>
+          KvInputPartition(f, dels): InputPartition
+        }
       case Some(n) =>
-        val byBucket = listFiles().groupBy { f =>
+        val byBucket = listFiles().groupBy { case (f, _) =>
           val name = java.nio.file.Paths.get(f).getFileName.toString
           KvBucketing.fileBucket(name).getOrElse(
             throw new IllegalStateException(
@@ -428,14 +457,15 @@ class KvScan(
         val keep: Option[Set[Int]] = runtimeKeys.map(
           _.map(k => KvBucketing.bucketOf(k, n)))
         (0 until n).map { i =>
-          val all = byBucket.getOrElse(i, Array.empty[String])
+          val all = byBucket.getOrElse(i, Array.empty[(String, Array[Long])])
           val files =
             if (keep.forall(_.contains(i))) all
             else {
               KvRuntimeFilter.prunedFiles.addAndGet(all.length.toLong)
-              Array.empty[String]
+              Array.empty[(String, Array[Long])]
             }
-          KvBucketPartition(files, i): InputPartition
+          KvBucketPartition(files.map(_._1), i, files.map(_._2))
+            : InputPartition
         }.toArray
     }
 
@@ -449,7 +479,7 @@ class KvScan(
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val files = listFiles()
-    val size = files.map { f =>
+    val size = files.map { case (f, _) =>
       try java.nio.file.Files.size(java.nio.file.Paths.get(f))
       catch { case _: java.io.IOException => 0L }
     }.sum
@@ -458,9 +488,12 @@ class KvScan(
       else pinnedVersion.orElse(KvSnapshots.latest(path)) match {
         case None => java.util.OptionalLong.of(0L)
         case Some(v) =>
-          val counts = KvSnapshots.membersWithCounts(path, v).map(_._2)
+          // Live rows = data rows − tombstones (both manifest-exact).
+          val stats = KvSnapshots.membersWithStats(path, v)
+          val counts = KvSnapshots.dataFiles(stats).map(_.rows)
           if (counts.forall(_ >= 0))
-            java.util.OptionalLong.of(counts.sum)
+            java.util.OptionalLong.of(counts.sum -
+              KvSnapshots.deleteFiles(stats).map(_.rows).sum)
           else java.util.OptionalLong.empty()
       }
     new org.apache.spark.sql.connector.read.Statistics {
@@ -523,13 +556,18 @@ object KvRuntimePredicate {
   }
 }
 
-case class KvInputPartition(file: String) extends InputPartition
+case class KvInputPartition(
+    file: String, deletes: Array[Long] = Array.empty)
+    extends InputPartition
 
-/** One bucket of a bucketed kvjsonl table: all its committed files,
-  * plus the partition key (the bucket ordinal) that KeyGrouped
-  * planning groups and aligns on.
+/** One bucket of a bucketed kvjsonl table: all its committed files
+  * (with per-file tombstone positions, aligned by index), plus the
+  * partition key (the bucket ordinal) that KeyGrouped planning groups
+  * and aligns on.
   */
-case class KvBucketPartition(files: Array[String], bucket: Int)
+case class KvBucketPartition(
+    files: Array[String], bucket: Int,
+    deletes: Array[Array[Long]] = Array.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
@@ -543,23 +581,41 @@ class KvReaderFactory(
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case KvInputPartition(file) =>
-        new KvPartitionReader(Array(file), fields, pushed, runtimeKeys)
-      case KvBucketPartition(files, _) =>
-        new KvPartitionReader(files, fields, pushed, runtimeKeys)
+      case KvInputPartition(file, dels) =>
+        new KvPartitionReader(Array(file), fields, pushed, runtimeKeys,
+          Array(dels))
+      case KvBucketPartition(files, _, dels) =>
+        new KvPartitionReader(files, fields, pushed, runtimeKeys,
+          if (dels.length == files.length) dels
+          else files.map(_ => Array.empty[Long]))
     }
 }
 
 class KvPartitionReader(
     files: Array[String], fields: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    runtimeKeys: Option[Set[Long]] = None)
+    runtimeKeys: Option[Set[Long]] = None,
+    deletes: Array[Array[Long]] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private var fileIdx = -1
   private var in: java.io.BufferedReader = _
   private var fileUtf8: UTF8String = _
   private var row: InternalRow = _
+
+  /** Physical position of the CURRENT line within its file (0-based
+    * line ordinal, counted over every line including predicate- and
+    * tombstone-skipped ones — the stable row address the merge-on-read
+    * delete files and the `_pos` metadata column are defined over).
+    */
+  private var pos = -1L
+
+  /** This file's tombstones (sorted ascending) and the merge cursor:
+    * positions arrive sorted and lines are read sequentially, so the
+    * check is one pointer compare per line, never a search.
+    */
+  private var dels: Array[Long] = Array.empty
+  private var delIdx = 0
 
   /** Advance to the next file; false when the partition is exhausted.
     * (A bucket partition holds several files; empty-file-list
@@ -575,6 +631,11 @@ class KvPartitionReader(
         java.nio.file.Paths.get(f),
         java.nio.charset.StandardCharsets.UTF_8)
       fileUtf8 = UTF8String.fromString(f)
+      pos = -1L
+      dels =
+        if (fileIdx < deletes.length) deletes(fileIdx)
+        else Array.empty[Long]
+      delIdx = 0
       true
     }
   }
@@ -586,19 +647,33 @@ class KvPartitionReader(
       val line = in.readLine()
       if (line == null) {
         if (!nextFile()) false else next()
-      } else if (pushed.nonEmpty || runtimeKeys.isDefined) {
-        val k = KvJsonlSink.parseKey(line)
-        if (pushed.nonEmpty && !KvKeyPredicate.eval(pushed, k)) {
-          KvKeyPredicate.skipped.incrementAndGet()
+      } else {
+        pos += 1
+        // Advance past any stale cursor entries first (defensive: the
+        // index is deduped at planning, but a cursor stuck on a
+        // duplicate would silently stop applying later tombstones).
+        while (delIdx < dels.length && dels(delIdx) < pos) delIdx += 1
+        if (delIdx < dels.length && dels(delIdx) == pos) {
+          // Merge-on-read: this physical row is tombstoned by a
+          // positional delete file — invisible to every read,
+          // including the row-level-operation rewrite scans (an
+          // UPDATE must never resurrect a deleted row).
+          delIdx += 1
           next()
-        } else if (runtimeKeys.exists(ks => !k.exists(ks.contains))) {
-          // Runtime join-key set: a row whose key is outside it can
-          // never match the join (null keys included — IN(null) is
-          // never true), so skipping preserves the result.
-          KvRuntimeFilter.rowSkips.incrementAndGet()
-          next()
+        } else if (pushed.nonEmpty || runtimeKeys.isDefined) {
+          val k = KvJsonlSink.parseKey(line)
+          if (pushed.nonEmpty && !KvKeyPredicate.eval(pushed, k)) {
+            KvKeyPredicate.skipped.incrementAndGet()
+            next()
+          } else if (runtimeKeys.exists(ks => !k.exists(ks.contains))) {
+            // Runtime join-key set: a row whose key is outside it can
+            // never match the join (null keys included — IN(null) is
+            // never true), so skipping preserves the result.
+            KvRuntimeFilter.rowSkips.incrementAndGet()
+            next()
+          } else { materialize(line); true }
         } else { materialize(line); true }
-      } else { materialize(line); true }
+      }
     }
   }
 
@@ -608,6 +683,7 @@ class KvPartitionReader(
       case "key" => k.map(Long.box).orNull
       case "value" => v.map(UTF8String.fromString).orNull
       case KvJsonlSink.FileColumn => fileUtf8
+      case KvJsonlSink.PosColumn => Long.box(pos)
       case other => throw new IllegalArgumentException(
         s"kvjsonl scan cannot produce column $other")
     })
@@ -769,7 +845,26 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     finally s.close()
   }
 
+  /** Virtual CDC table suffix: `t$changes` reads table `t`'s commit
+    * history as typed change rows (KvChanges.scala) — the Iceberg
+    * metadata-table addressing shape (quote it in SQL:
+    * {{{ SELECT * FROM graft_kv.default.`t$changes` }}}).
+    */
+  private val ChangesSuffix = "$changes"
+
   override def loadTable(ident: Identifier): Table = {
+    if (ident.name().endsWith(ChangesSuffix)) {
+      val base = Identifier.of(
+        ident.namespace(), ident.name().stripSuffix(ChangesSuffix))
+      val p = tablePath(base)
+      if (!java.nio.file.Files.isDirectory(p))
+        throw new NoSuchTableException(base)
+      require(KvBucketing.readMetaFull(p.toString).snapshots,
+        s"${base.name()}$ChangesSuffix needs a snapshotted base table " +
+          "(TBLPROPERTIES ('snapshots'='true')) — the manifest log IS " +
+          "the change history")
+      return new KvChangesTable(p.toString, s"kvjsonl changes($p)")
+    }
     val p = tablePath(ident)
     if (!java.nio.file.Files.isDirectory(p))
       throw new NoSuchTableException(ident)
@@ -866,11 +961,25 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       case Some(other) => throw new IllegalArgumentException(
         s"table property snapshots must be true or false; got '$other'")
     }
+    // DML mode: 'cow' (default — group-based copy-on-write rewrite)
+    // or 'mor' (merge-on-read: positional delete files applied at
+    // scan, SupportsDelta — KvMerge.scala). Strict parse, like
+    // snapshots. MoR requires snapshots: delete files are manifest
+    // members, and commit conflict detection needs the version log.
+    val mor = Option(properties.get("dml")) match {
+      case None | Some("cow") => false
+      case Some("mor") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"table property dml must be cow or mor; got '$other'")
+    }
+    require(!mor || snapshots,
+      "TBLPROPERTIES ('dml'='mor') requires ('snapshots'='true') — " +
+        "positional delete files live in the snapshot manifests")
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
-    val meta = KvBucketing.KvMeta(buckets, snapshots)
+    val meta = KvBucketing.KvMeta(buckets, snapshots, mor)
     if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
     new KvJsonlTable(p.toString, viaCatalog = true)
   }
@@ -918,6 +1027,13 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         val meta = KvBucketing.readMetaFull(dir)
         require(meta.snapshots,
           s"${ident.name()} does not have snapshots enabled")
+        // A MoR table's CURRENT state includes tombstones; collapsing
+        // to directory-listing semantics would drop them and
+        // resurrect every deleted row.
+        require(!meta.mor,
+          s"cannot disable snapshots on ${ident.name()}: the table " +
+            "uses merge-on-read DML, whose delete files only exist " +
+            "in the snapshot manifests")
         // Crash-ordering matters: (1) delete non-member files — the
         // table is still snapshotted, so reads (manifest-driven) never
         // see them anyway; (2) flip the meta — from here reads list
@@ -939,7 +1055,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
             p.resolve(KvBucketing.MetaFile))
         else
           KvBucketing.writeMeta(dir, meta.copy(snapshots = false))
-        graft.Fs.deleteRecursively(
+        // Strict delete: a silently-surviving _snapshots dir after the
+        // meta flip would corrupt version numbering on re-enable.
+        graft.Fs.deleteRecursivelyVerified(
           p.resolve(KvSnapshots.DirName).toString)
       case other => throw new UnsupportedOperationException(
         "kvjsonl tables have a fixed schema and immutable bucketing; " +
@@ -951,7 +1069,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
     if (!java.nio.file.Files.isDirectory(p)) false
-    else { graft.Fs.deleteRecursively(p.toString); true }
+    // Verified delete: returning true while the directory survives
+    // would make the next CREATE TABLE throw TableAlreadyExists.
+    else { graft.Fs.deleteRecursivelyVerified(p.toString); true }
   }
 
   override def renameTable(
@@ -1085,7 +1205,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     if (!cascade && listTables(ns).nonEmpty)
       throw new IllegalStateException(
         s"namespace ${ns.head} is not empty")
-    graft.Fs.deleteRecursively(warehouse.resolve(ns.head).toString)
+    graft.Fs.deleteRecursivelyVerified(
+      warehouse.resolve(ns.head).toString)
     true
   }
 }
@@ -1104,9 +1225,14 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
   * target file count, written back through the connector's
   * two-phase-commit overwrite — tasks read the old files while the
   * replacement stays invisible in `_temporary`, and the
-  * truncate+publish happens atomically at driver commit, so a
-  * concurrent reader sees old or new, never a mix. Returns one row
-  * (files_before, files_after, n_rows) via a LocalScan.
+  * truncate+publish happens at driver commit. Like every mutation in
+  * this connector the commit assumes SINGLE-WRITER-AT-A-TIME; a
+  * reader listing a plain (non-snapshotted) table's directory inside
+  * the truncate→publish window can observe a partially-published
+  * state, exactly as with INSERT OVERWRITE (snapshotted tables don't
+  * have the window — membership flips atomically with the manifest).
+  * Returns one row (files_before, files_after, n_rows) via a
+  * LocalScan.
   *
   * The batch `compact_small_files` gate pins the same maintenance
   * shape for parquet paths; this is its catalog-DML twin, invocable

@@ -73,6 +73,21 @@ class KvChangeFeedStream(path: String, fields: Array[String])
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[KvVersionOffset].version
+    // A checkpoint AHEAD of the table's history (table dropped and
+    // recreated under the same path, or manifests lost) must fail
+    // loud, mirroring the expired-version error in
+    // planInputPartitions — silently clamping would plan empty
+    // batches forever, masking that the checkpoint no longer
+    // corresponds to this table. `head` (not the availableNow pin) is
+    // the comparison point: a drain target captured below the
+    // checkpoint is the same staleness.
+    val latest = KvSnapshots.latest(path).getOrElse(0)
+    if (s > latest)
+      throw new IllegalStateException(
+        s"change feed of $path resumed from checkpoint version $s, " +
+          s"but the table's latest snapshot is v$latest — the " +
+          "checkpoint does not belong to this table's history " +
+          "(dropped and recreated?); restart with a fresh checkpoint")
     KvVersionOffset(math.min(s + 1, math.max(s, head)))
   }
 
@@ -96,7 +111,7 @@ class KvChangeFeedStream(path: String, fields: Array[String])
         if (s == 0) Set.empty
         else KvSnapshots.membersIfPresent(path, s)
           .map(_.toSet).getOrElse(Set.empty)
-      (s + 1 to e).flatMap { v =>
+      val added = (s + 1 to e).flatMap { v =>
         val cur = KvSnapshots.membersIfPresent(path, v).getOrElse(
           throw new IllegalStateException(
             s"change feed of $path needs snapshot v$v, which has " +
@@ -111,9 +126,23 @@ class KvChangeFeedStream(path: String, fields: Array[String])
         cur.filterNot(prev.contains)
       }.distinct
         .filterNot(before.contains)
+        // DATA files only: a `.del` member added by a merge-on-read
+        // DML is a REMOVAL record — the rows feed stays add-only
+        // (see the contract above); the `$changes` CDC table is
+        // where tombstones surface as delete rows.
+        .filterNot(KvSnapshots.isDeleteFile)
         .sorted
+      // A degraded range (missing predecessor ⇒ a version's FULL
+      // membership became the batch — the initial-snapshot case) must
+      // apply the END version's tombstones, or rows already deleted
+      // by then would resurrect in the replayed snapshot. For pure
+      // add-diffs this is a no-op: tombstones never target a file
+      // created by the same or a later commit.
+      val dels = KvSnapshots.deleteIndex(path, e)
+      added
         .map(n => KvInputPartition(
-          java.nio.file.Paths.get(path, n).toString): InputPartition)
+          java.nio.file.Paths.get(path, n).toString,
+          dels.getOrElse(n, Array.empty[Long])): InputPartition)
         .toArray
     }
   }

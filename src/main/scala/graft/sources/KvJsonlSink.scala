@@ -61,8 +61,38 @@ object KvJsonlSink {
     */
   val FileColumn = "_file"
 
+  /** Hidden `_pos` metadata column: the row's 0-based physical line
+    * ordinal within its file. (`_file`, `_pos`) is the stable row
+    * address the merge-on-read path uses as its ROW ID — positional
+    * delete files tombstone exactly these addresses (see
+    * KvMerge.scala), the Iceberg position-delete shape.
+    */
+  val PosColumn = "_pos"
+
   def tempDir(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path, "_temporary")
+
+  /** Per-JOB attempt scratch: `_temporary/<jobId>/`. Batch jobs are
+    * scoped to their own subdir so one job's commit-time cleanup can
+    * never delete a CONCURRENT job's in-flight attempt files — found
+    * by KvOccSpec's racing-INSERT test (NoSuchFileException in the
+    * loser's writer when the winner's commit swept the shared dir).
+    * The streaming writer keeps the base dir: one query owns a sink,
+    * and its per-epoch names are reaped by prefix, not recursively.
+    */
+  def tempDir(path: String, jobId: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "_temporary", jobId)
+
+  /** Job-scoped temp cleanup: drop this job's subdir, then the base
+    * `_temporary` IF now empty — a concurrent job's live subdir keeps
+    * it (DirectoryNotEmptyException, swallowed by design); a lone job
+    * leaves the table dir as clean as the pre-subdir layout did.
+    */
+  def cleanupJobTemp(path: String, jobId: String): Unit = {
+    graft.Fs.deleteRecursively(tempDir(path, jobId))
+    try { java.nio.file.Files.deleteIfExists(tempDir(path)); () }
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+  }
 
   /** One row → one sink line; shared by the plain and bucketed
     * writers so [[parseLine]] stays the single inverse.
@@ -181,18 +211,28 @@ class KvJsonlTable(
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     if (meta.snapshots) m.put("snapshots", "true")
+    if (meta.mor) m.put("dml", "mor")
     m
   }
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
-      override def name(): String = KvJsonlSink.FileColumn
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "jsonl file this row was read from"
-    })
+    Array(
+      new MetadataColumn {
+        override def name(): String = KvJsonlSink.FileColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "jsonl file this row was read from"
+      },
+      new MetadataColumn {
+        override def name(): String = KvJsonlSink.PosColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "0-based physical line ordinal within _file (the MoR row id)"
+      })
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -224,8 +264,15 @@ class KvJsonlTable(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot run row-level DML against a time-travel snapshot: ${name()}")
-    () => new KvRowLevelOperation(path, info.command(),
-      buckets, meta.snapshots)
+    if (meta.mor)
+      // MERGE-ON-READ (TBLPROPERTIES 'dml'='mor'): the delta-based
+      // protocol — positional tombstones committed beside the data,
+      // applied at scan time; a 0.1% DELETE writes 0.1% tombstone
+      // lines instead of rewriting whole file groups. KvMerge.scala.
+      () => new KvMorRowLevelOperation(path, info.command(), buckets)
+    else
+      () => new KvRowLevelOperation(path, info.command(),
+        buckets, meta.snapshots)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -337,7 +384,7 @@ class KvJsonlBatchWrite(
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val tmp = KvJsonlSink.tempDir(path)
+    val tmp = KvJsonlSink.tempDir(path, jobId)
     java.nio.file.Files.createDirectories(tmp)
     // Bucket routing is decided by the TABLE DIR's metadata, not the
     // caller, so every write path (catalog insert, DML rewrite,
@@ -376,23 +423,29 @@ class KvJsonlBatchWrite(
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     if (snapshots) {
-      val prev =
-        if (truncateFirst) Seq.empty[KvSnapshots.KvFileStat]
-        else KvSnapshots.latest(path)
-          .map(KvSnapshots.membersWithStats(path, _))
-          .getOrElse(Seq.empty)
-      KvSnapshots.commit(path,
+      // OCC append commit: the previous membership is computed INSIDE
+      // the conditional-put retry, so a loser rebases onto the
+      // winner's version instead of dropping its files (a truncate
+      // re-proposes just its own files at the next version — two
+      // overlapping INSERT OVERWRITEs serialize last-writer-wins,
+      // the SQL semantics).
+      KvSnapshots.commitWith(path) { base =>
+        val prev =
+          if (truncateFirst || base == 0)
+            Seq.empty[KvSnapshots.KvFileStat]
+          else KvSnapshots.membersWithStats(path, base)
         prev ++ published.map(f =>
           KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey, f.maxKey,
-            keysKnown = true)))
+            keysKnown = true))
+      }
     }
-    graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
+    KvJsonlSink.cleanupJobTemp(path, jobId)
     java.nio.file.Files.write(
       dir.resolve("_SUCCESS"), Array.emptyByteArray)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    graft.Fs.deleteRecursively(KvJsonlSink.tempDir(path))
+    KvJsonlSink.cleanupJobTemp(path, jobId)
 }
 
 class KvJsonlWriterFactory(
@@ -406,7 +459,8 @@ class KvJsonlWriterFactory(
     case None =>
       new KvJsonlDataWriter(path,
         f"attempt-$jobId-$partitionId%05d-$taskId",
-        f"part-$jobId-$partitionId%05d.jsonl")
+        f"part-$jobId-$partitionId%05d.jsonl",
+        jobSubdir = jobId)
   }
 }
 
@@ -433,9 +487,15 @@ class KvJsonlBucketedDataWriter(
   private val open =
     scala.collection.mutable.LinkedHashMap.empty[Int, BucketOut]
 
+  private val tempBase = {
+    val d = KvJsonlSink.tempDir(path, jobId)
+    java.nio.file.Files.createDirectories(d) // idempotent; executor-side
+    d
+  }
+
   private def writerFor(b: Int): BucketOut =
     open.getOrElseUpdate(b, new BucketOut(
-      KvJsonlSink.tempDir(path).resolve(
+      tempBase.resolve(
         f"attempt-$jobId-$partitionId%05d-$taskId-b$b%04d")))
 
   override def write(row: InternalRow): Unit = {
@@ -542,10 +602,18 @@ case class KvJsonlStreamingWriterFactory(path: String)
   * attempt whose message reaches the driver is published under the
   * partition's final name.
   */
-class KvJsonlDataWriter(path: String, tempName: String, finalName: String)
+class KvJsonlDataWriter(
+    path: String, tempName: String, finalName: String,
+    jobSubdir: String = "")
     extends DataWriter[InternalRow] {
 
-  private val tempFile = KvJsonlSink.tempDir(path).resolve(tempName)
+  private val tempFile = {
+    val d =
+      if (jobSubdir.isEmpty) KvJsonlSink.tempDir(path)
+      else KvJsonlSink.tempDir(path, jobSubdir)
+    java.nio.file.Files.createDirectories(d) // idempotent; executor-side
+    d.resolve(tempName)
+  }
   private val out = java.nio.file.Files.newBufferedWriter(
     tempFile, java.nio.charset.StandardCharsets.UTF_8)
   private val stats = new KvKeyStats

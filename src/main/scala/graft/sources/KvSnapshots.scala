@@ -21,10 +21,12 @@ import scala.jdk.CollectionConverters._
   * Snapshots are OPT-IN per table (`TBLPROPERTIES
   * ('snapshots'='true')`): tables without the flag keep the original
   * list-the-directory semantics and byte-identical commit behavior.
-  * Single-writer-at-a-time is assumed, as for the rest of the
-  * connector's local-FS commit protocol; the deployment version of
-  * `commit` is a conditional put of the next manifest name, which is
-  * exactly how the table formats detect concurrent committers.
+  * Manifest publication runs under OPTIMISTIC CONCURRENCY CONTROL
+  * ([[commitWith]]): a conditional put (create-exclusive link) of the
+  * next manifest name detects a concurrent committer, and the loser
+  * rebases its membership against the winner's version and retries —
+  * two racing appends both land, in a linear version history, with no
+  * lost update (KvOccSpec forces the collision deterministically).
   */
 object KvSnapshots {
 
@@ -109,6 +111,54 @@ object KvSnapshots {
       path: String, version: Int): Seq[(String, Long)] =
     membersWithStats(path, version).map(s => (s.name, s.rows))
 
+  /** A manifest records two member kinds, told apart by extension:
+    * `.jsonl` data files and `.del` POSITIONAL DELETE files (the
+    * merge-on-read tombstones — `rows` is the tombstone count,
+    * key stats never apply). Splitting is the single point every
+    * consumer goes through, so a new kind can't silently leak into a
+    * data-file code path.
+    */
+  def isDeleteFile(name: String): Boolean = name.endsWith(".del")
+
+  def dataFiles(stats: Seq[KvFileStat]): Seq[KvFileStat] =
+    stats.filterNot(s => isDeleteFile(s.name))
+
+  def deleteFiles(stats: Seq[KvFileStat]): Seq[KvFileStat] =
+    stats.filter(s => isDeleteFile(s.name))
+
+  /** Parse one positional-delete file: `dataFileName<TAB>pos` lines →
+    * positions per data file NAME. Tombstones are small by
+    * construction (one line per deleted row, no values), which is
+    * what makes loading them at scan PLANNING affordable — the same
+    * delete-file-index-at-planning shape Iceberg's MoR reads use.
+    */
+  def readDeleteFile(path: String, name: String): Map[String, Seq[Long]] =
+    Files.readAllLines(
+      Paths.get(path, name), java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"corrupt delete-file line in $name: $line")
+        (line.substring(0, i), line.substring(i + 1).toLong)
+      }
+      .groupMap(_._1)(_._2)
+
+  /** The merged tombstone index of a version: data file name → SORTED
+    * positions of its deleted rows, across every delete file the
+    * manifest lists. Positions are unique by construction (a row is
+    * tombstoned at most once — later DML never sees it again), so no
+    * dedup pass is needed; sortedness is what lets the reader apply
+    * them in one sequential merge.
+    */
+  def deleteIndex(path: String, version: Int): Map[String, Array[Long]] = {
+    val dels = deleteFiles(membersWithStats(path, version))
+    if (dels.isEmpty) Map.empty
+    else dels
+      .flatMap(d => readDeleteFile(path, d.name).toSeq)
+      .groupMapReduce(_._1)(_._2)(_ ++ _)
+      .map { case (f, ps) => f -> ps.distinct.toArray.sorted }
+  }
+
   /** File NAMES of snapshot `version` (fail-loud on a version no
     * manifest records — a time-travel read of a never-committed or
     * expired version).
@@ -125,29 +175,75 @@ object KvSnapshots {
       Some(members(path, version))
     else None
 
-  /** Publish the next snapshot: write-temp + atomic rename, the same
-    * last-writer-visibility idiom as the data-file commit itself.
-    * Returns the new version number.
+  /** Commit conflict the OCC publish could not resolve within its
+    * retry budget (or that the caller declared non-rebaseable).
     */
-  def commit(path: String, membership: Seq[KvFileStat]): Int = {
+  final class CommitConflictException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Publish the next snapshot under OPTIMISTIC CONCURRENCY CONTROL —
+    * the conditional-put commit every production table format runs:
+    *
+    *   1. read the current latest version `base`;
+    *   2. the caller's `membership(base)` computes the FULL member
+    *     list for base+1 AGAINST that base (an append re-reads base's
+    *     members and adds its files; a truncate ignores base);
+    *   3. publish atomically at base+1 via create-exclusive
+    *     (`Files.createLink` — link(2) fails EEXIST atomically, the
+    *     local-FS conditional put). A loser's link fails ⇒ some other
+    *     writer won base+1 ⇒ RETRY from step 1 against the new base,
+    *     so the loser's commit REBASES instead of overwriting the
+    *     winner — no lost update, and the version history stays
+    *     linear by construction.
+    *
+    * The temp file carries a per-attempt unique suffix so racing
+    * writers never collide on it either. Returns the committed
+    * version.
+    */
+  def commitWith(path: String)(
+      membership: Int => Seq[KvFileStat]): Int = {
     val d = snapDir(path)
     Files.createDirectories(d)
-    val v = latest(path).getOrElse(0) + 1
-    val tmp = d.resolve(f"v$v%05d.manifest.tmp")
-    Files.write(tmp,
-      membership.sortBy(_.name)
-        .map { st =>
-          if (st.keysKnown)
-            s"${st.name}\t${st.rows}" +
-              s"\t${st.minKey.getOrElse("-")}\t${st.maxKey.getOrElse("-")}"
-          else s"${st.name}\t${st.rows}"
-        }
-        .mkString("\n").getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(path, v),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    v
+    var attempts = 0
+    while (true) {
+      val base = latest(path).getOrElse(0)
+      val v = base + 1
+      val tmp = d.resolve(
+        f"v$v%05d.manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp,
+        membership(base).sortBy(_.name)
+          .map { st =>
+            if (st.keysKnown)
+              s"${st.name}\t${st.rows}" +
+                s"\t${st.minKey.getOrElse("-")}\t${st.maxKey.getOrElse("-")}"
+            else s"${st.name}\t${st.rows}"
+          }
+          .mkString("\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        Files.createLink(manifestPath(path, v), tmp)
+        Files.deleteIfExists(tmp)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempts += 1
+          if (attempts >= 50)
+            throw new CommitConflictException(
+              s"snapshot commit of $path lost $attempts consecutive " +
+                "races — giving up (livelocked writer herd?)")
+      }
+    }
+    -1 // unreachable
   }
+
+  /** Fixed-membership commit (the common single-writer call): rebase
+    * under conflict re-proposes the SAME membership at the next
+    * version — right for truncate/replace semantics and for callers
+    * that already hold the full member list.
+    */
+  def commit(path: String, membership: Seq[KvFileStat]): Int =
+    commitWith(path)(_ => membership)
 
   /** Largest version whose manifest was committed at or before the
     * given microsecond timestamp (the `TIMESTAMP AS OF` resolution).
