@@ -802,6 +802,161 @@ object SourceQueries {
         s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
     }),
 
+    // SORT-BY-KEY CLUSTERING (`system.cluster`, Delta OPTIMIZE
+    // ZORDER / Iceberg rewrite(sort) shape on the connector's long
+    // key): zone maps over RANDOMLY placed keys have full-range
+    // min/max per file and prune NOTHING — the layout, not the stats,
+    // is what makes skipping work at 100 TB. The gate writes the
+    // anti-clustered layout (hash repartition), proves the key-range
+    // query prunes zero files, CALLs cluster, and require()s that the
+    // SAME query now prunes most of the table; the oracle pins that
+    // the rewrite lost/duplicated nothing.
+    "catalog_cluster_zonemap" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.cluster_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t " +
+        s"SELECT /*+ REPARTITION(8) */ o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      val probe = s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t WHERE key <= 1000 " +
+        s"GROUP BY value ORDER BY value"
+      graft.sources.KvZoneMap.prunedFiles.set(0)
+      s.sql(probe).collect()
+      val prunedBefore = graft.sources.KvZoneMap.prunedFiles.get()
+      require(prunedBefore == 0,
+        s"catalog_cluster_zonemap: the hash-scattered layout pruned " +
+          s"$prunedBefore files — the 'before' side must be the " +
+          "no-skipping baseline or the gate proves nothing")
+      val res = s.sql(
+        "CALL graft_kv.system.cluster(" +
+          "table => 'default.cluster_gate', target_files => 8)")
+        .collect().head
+      require(res.getLong(0) == 8L && res.getLong(1) == 8L,
+        s"cluster file counts off: $res")
+      graft.sources.KvZoneMap.prunedFiles.set(0)
+      val rows = s.sql(probe).collect()
+      val prunedAfter = graft.sources.KvZoneMap.prunedFiles.get()
+      require(prunedAfter >= 6,
+        s"catalog_cluster_zonemap: only $prunedAfter of 8 files " +
+          "zone-map skipped after clustering — disjoint key ranges " +
+          "should leave at most the boundary files")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        s.sql(probe).schema)
+    }),
+
+    // SNAPSHOT ROLLBACK (`system.rollback`, Iceberg's
+    // rollback_to_snapshot shape): undo a bad commit as METADATA —
+    // version N+1 re-commits the target version's membership, no data
+    // rewritten, the rolled-back-over versions still time-travel
+    // readable (require()d). The oracle recomputes the restored state
+    // from raw orders: a leaked post-rollback row or a lost original
+    // breaks the hash.
+    "catalog_rollback" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.rb_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      // the bad batch: clobber priorities, then delete a third
+      s.sql(s"UPDATE $t SET value = 'CORRUPT' WHERE key % 2 = 0")
+      s.sql(s"DELETE FROM $t WHERE key % 3 = 0")
+      val res = s.sql(
+        "CALL graft_kv.system.rollback(" +
+          "table => 'default.rb_gate', version => 1)").collect().head
+      require(res.getLong(0) == 3L && res.getLong(1) == 1L &&
+          res.getLong(2) == 4L,
+        s"catalog_rollback: expected 3 -> 1 committing v4, got $res")
+      val corrupt = s.sql(
+        s"SELECT count(*) FROM $t VERSION AS OF 3 " +
+          "WHERE value = 'CORRUPT'").head().getLong(0)
+      require(corrupt > 0,
+        "catalog_rollback: the rolled-back-over v3 lost its history " +
+          "— rollback must append, never erase")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // ORPHAN-FILE VACUUM (`system.vacuum`): a crashed job's
+    // published-but-never-committed files are invisible to manifests
+    // (so expire_snapshots can never reclaim them) and invisible to
+    // reads (membership IS the manifest) — but they are real bytes.
+    // The gate plants two orphans next to a live table, CALLs vacuum,
+    // and require()s exactly those two deleted with the live
+    // membership intact; the oracle pins the table content unchanged.
+    "catalog_vacuum" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.vac_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      val dir = java.nio.file.Paths.get(
+        graft.Fs.sinkDir("graft_kv_wh"), "default", "vac_gate")
+      // a crashed writer's leftovers: a data file that never made a
+      // manifest, and a stray tombstone file
+      java.nio.file.Files.write(dir.resolve("orphan-data.jsonl"),
+        "{\"key\":999999,\"value\":\"ghost\"}\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("orphan-tomb.del"),
+        "orphan-data.jsonl\t0\n".getBytes("UTF-8"))
+      val before = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+      val res = s.sql(
+        "CALL graft_kv.system.vacuum(table => 'default.vac_gate')")
+        .collect().head
+      require(res.getLong(1) == 2L,
+        s"catalog_vacuum: expected exactly the 2 planted orphans " +
+          s"deleted, got $res")
+      require(!java.nio.file.Files.exists(
+          dir.resolve("orphan-data.jsonl")),
+        "catalog_vacuum: the orphan data file survived")
+      val after = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+      require(before == after,
+        s"catalog_vacuum: row count changed $before -> $after — " +
+          "vacuum touched live membership")
+      s.sql(s"SELECT value, count(*) AS n_orders, " +
+        s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // INCREMENTAL MATERIALIZED VIEW over the CDC feed: the canonical
+    // downstream use of `$changes` — maintain a grouped aggregate
+    // from signed change rows alone (insert = +1, delete = -1),
+    // never rescanning the base table. The gate replays a
+    // mixed-DML history (insert, MoR update, delete) through the
+    // changes table and folds it into the MV; the oracle recomputes
+    // the SAME aggregate from the final state by plain SQL — any
+    // missed tombstone, double-counted restatement, or lost insert
+    // shifts a group's count/sum and breaks the hash. Groups whose
+    // rows all cancel must VANISH (HAVING), exactly as a true MV
+    // refresh would drop them.
+    "catalog_incremental_mv" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.mv_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"UPDATE $t SET value = concat('U-', value) " +
+        "WHERE key % 7 = 0")
+      s.sql(s"DELETE FROM $t WHERE key % 5 = 0")
+      s.sql(
+        s"""SELECT value,
+           |       sum(CASE _change_type WHEN 'insert' THEN 1
+           |           ELSE -1 END) AS n_orders,
+           |       sum(CASE _change_type WHEN 'insert' THEN key
+           |           ELSE -key END) AS sum_keys
+           |FROM graft_kv.default.`mv_gate$$changes`
+           |GROUP BY value
+           |HAVING sum(CASE _change_type WHEN 'insert' THEN 1
+           |           ELSE -1 END) > 0
+           |ORDER BY value""".stripMargin)
+    }),
+
     // Streaming exact-dedup through the gate: the event stream
     // unioned with itself (every event twice), deduped on event_id by
     // dropDuplicatesWithinWatermark — the bounded-state form whose
@@ -1858,6 +2013,43 @@ object SourceQueries {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
+    // Same key-range probe as catalog_zonemap_prune — clustering must
+    // change WHICH files a scan opens, never what the query returns.
+    "catalog_cluster_zonemap" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey <= 1000
+        |GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    // Rollback to v1 restores the pristine full insert.
+    "catalog_rollback" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    // Vacuum reclaims orphans only — live content must be untouched.
+    "catalog_vacuum" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
+    // The MV folded from signed change rows must equal the final
+    // table state recomputed from scratch (update = key%7 restate,
+    // delete = key%5 removal, applied in that order).
+    "catalog_incremental_mv" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS key,
+        |         CASE WHEN o_orderkey % 7 = 0
+        |              THEN 'U-' || o_orderpriority
+        |              ELSE o_orderpriority END AS value
+        |  FROM orders)
+        |SELECT value, count(*) AS n_orders,
+        |       CAST(sum(key) AS BIGINT) AS sum_keys
+        |FROM st WHERE key % 5 <> 0
+        |GROUP BY value ORDER BY value""".stripMargin,
     "catalog_dml_merge" ->
       """WITH t AS (SELECT o_orderkey AS k, o_orderpriority AS p
         |           FROM orders WHERE o_orderkey % 2 = 0),

@@ -1160,7 +1160,10 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     if (ns.sameElements(SystemNs))
       Array(
         Identifier.of(SystemNs, "compact"),
-        Identifier.of(SystemNs, "expire_snapshots"))
+        Identifier.of(SystemNs, "expire_snapshots"),
+        Identifier.of(SystemNs, "cluster"),
+        Identifier.of(SystemNs, "rollback"),
+        Identifier.of(SystemNs, "vacuum"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
@@ -1171,10 +1174,15 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     ident.name() match {
       case "compact" => new KvCompactProcedure(this)
       case "expire_snapshots" => new KvExpireProcedure(this)
+      case "cluster" => new KvClusterProcedure(this)
+      case "rollback" => new KvRollbackProcedure(this)
+      case "vacuum" => new KvVacuumProcedure(this)
       case other => throw new IllegalArgumentException(
         s"no such procedure: system.$other (the kv catalog ships " +
-          "system.compact(table, target_files) and " +
-          "system.expire_snapshots(table, keep_last))")
+          "system.compact(table, target_files), " +
+          "system.expire_snapshots(table, keep_last), " +
+          "system.cluster(table, target_files), " +
+          "system.rollback(table, version) and system.vacuum(table))")
     }
   }
 

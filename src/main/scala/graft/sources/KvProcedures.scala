@@ -1,0 +1,298 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** Round-14 snapshot-lifecycle procedures for the kv catalog. The
+  * compact/expire pair (KvCatalog.scala) covers file-grain and
+  * history-retention maintenance; these three complete the lifecycle
+  * a production table format ships:
+  *
+  *   - `system.cluster`  — sort-by-key data layout rewrite, the step
+  *     that makes the manifest zone maps actually PRUNE (Delta
+  *     `OPTIMIZE ZORDER BY` / Iceberg `rewrite_data_files(sort)`
+  *     shape, on the connector's single long key);
+  *   - `system.rollback` — commit a PRIOR snapshot's membership as
+  *     the new current version (Iceberg `rollback_to_snapshot`
+  *     shape): an undo that never rewrites data and keeps history
+  *     linear — the rolled-back-over versions stay readable;
+  *   - `system.vacuum`   — delete files in the table directory that
+  *     NO retained manifest references (crashed-job leftovers,
+  *     expired-then-restored edges), the safety-net half of
+  *     reclamation that `expire_snapshots` (which only walks
+  *     manifests) structurally cannot see.
+  *
+  * All three are metadata-driven and run on the driver except
+  * cluster's rewrite, which is a distributed job through the
+  * connector's two-phase-commit write — same contract as
+  * `system.compact`.
+  */
+object KvProcedures {
+
+  private[sources] def localScan(
+      schema: StructType, row: InternalRow): util.Iterator[Scan] = {
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }
+    util.Collections.singletonList(out).iterator()
+  }
+
+  private[sources] def requireSnapshotted(
+      table: String, dir: java.nio.file.Path): Unit =
+    require(KvBucketing.readMetaFull(dir.toString).snapshots,
+      s"$table is not a snapshotted table " +
+        "(TBLPROPERTIES ('snapshots'='true'))")
+}
+
+/** `system.cluster` — sort-by-key layout rewrite:
+  *
+  * {{{ CALL graft_kv.system.cluster(table => 'default.t',
+  *                                  target_files => 8) }}}
+  *
+  * Reads the table's CURRENT snapshot (merge-on-read tombstones
+  * applied — clustering doubles as tombstone materialization),
+  * range-repartitions on the key, sorts within partitions, and
+  * commits the sorted files as the next snapshot. After the rewrite
+  * every data file covers a DISJOINT key range, so the manifest zone
+  * maps ([[KvSnapshots.KvFileStat]]) skip all but the files a key
+  * predicate can touch — the layout half of data skipping, which at
+  * 100 TB matters more than the stats themselves (stats over randomly
+  * placed keys have full-range min/max and prune nothing; the
+  * `catalog_cluster_zonemap` gate require()s the before/after pruning
+  * difference). Returns one row
+  * (files_before, files_after, n_rows, version).
+  */
+class KvClusterProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "cluster"
+  override def description(): String =
+    "rewrite a snapshotted kv table sorted by key into target_files " +
+      "files with disjoint key ranges"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "cluster"
+      override def description(): String =
+        KvClusterProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("target_files", IntegerType)
+            .defaultValue("8")
+            .comment("file count after the rewrite (one key range each)")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val target =
+          if (input.numFields > 1 && !input.isNullAt(1)) input.getInt(1)
+          else 8
+        require(target >= 1, s"target_files must be >= 1, got $target")
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        require(KvBucketing.readMeta(dir.toString).isEmpty,
+          "system.cluster supports unbucketed tables only (a bucketed " +
+            "table's layout contract is hash placement, not key order)")
+
+        def dataFileCount: Long =
+          KvSnapshots.latest(dir.toString).map { v =>
+            KvSnapshots.dataFiles(
+              KvSnapshots.membersWithStats(dir.toString, v)).size.toLong
+          }.getOrElse(0L)
+
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        val before = dataFileCount
+        // Range-partition + in-partition sort: each write task emits
+        // one file whose (minKey, maxKey) is disjoint from every
+        // sibling's. The read and the overwrite target the same dir —
+        // safe under the sink's two-phase commit (tasks read the old
+        // membership while replacements stage in _temporary; the
+        // manifest flip at driver commit is atomic).
+        spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .repartitionByRange(target, col("key"))
+          .sortWithinPartitions("key")
+          .write
+          .format("graft.sources.KvJsonlSink")
+          .mode("overwrite")
+          .save(dir.toString)
+        val after = dataFileCount
+        val version = KvSnapshots.latest(dir.toString).getOrElse(0)
+        val nRows = spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .count()
+        KvProcedures.localScan(KvClusterProcedure.OutSchema,
+          InternalRow(before, after, nRows, version.toLong))
+      }
+    }
+}
+
+object KvClusterProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("files_before", LongType),
+    StructField("files_after", LongType),
+    StructField("n_rows", LongType),
+    StructField("version", LongType)))
+}
+
+/** `system.rollback` — undo to a prior snapshot without rewriting
+  * data:
+  *
+  * {{{ CALL graft_kv.system.rollback(table => 'default.t',
+  *                                   version => 2) }}}
+  *
+  * Commits version N+1 with EXACTLY the membership of the target
+  * version — history stays linear and append-only (no manifest is
+  * ever deleted here; `expire_snapshots` remains the only
+  * reclamation), the rolled-back-over versions stay time-travel
+  * readable, and the change feed sees the rollback as one ordinary
+  * commit. This is the operational answer to a bad batch at 100 TB:
+  * O(metadata) undo instead of an O(data) restore job. Returns one
+  * row (from_version, to_version, new_version).
+  */
+class KvRollbackProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "rollback"
+  override def description(): String =
+    "commit a prior snapshot's membership as the new current version"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "rollback"
+      override def description(): String =
+        KvRollbackProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("version", IntegerType)
+            .comment("snapshot version to roll back to (must be retained)")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        require(!input.isNullAt(1), "version is required")
+        val to = input.getInt(1)
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val path = dir.toString
+        val from = KvSnapshots.latest(path).getOrElse(
+          throw new IllegalStateException(
+            s"$table has no committed snapshots to roll back"))
+        // membersWithStats fail-louds on an unknown/expired version,
+        // listing what IS retained — rolling back to reclaimed
+        // history must be an error, never an empty table.
+        val membership = KvSnapshots.membersWithStats(path, to)
+        val newV = KvSnapshots.commit(path, membership)
+        KvProcedures.localScan(KvRollbackProcedure.OutSchema,
+          InternalRow(from.toLong, to.toLong, newV.toLong))
+      }
+    }
+}
+
+object KvRollbackProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("from_version", LongType),
+    StructField("to_version", LongType),
+    StructField("new_version", LongType)))
+}
+
+/** `system.vacuum` — reclaim files NO retained manifest references:
+  *
+  * {{{ CALL graft_kv.system.vacuum(table => 'default.t') }}}
+  *
+  * `expire_snapshots` walks manifests and can only delete what some
+  * manifest names; a crashed job's published-but-never-committed
+  * files (or files restored by hand next to the table) are invisible
+  * to it and would sit in the directory forever — harmless to reads
+  * (snapshotted membership is the manifest, never the listing) but
+  * real bytes at 100 TB. Vacuum takes the complement: list the
+  * directory, keep everything ANY retained manifest references, plus
+  * live metadata (`_snapshots`, `_meta.json`, `_SUCCESS`) and
+  * in-flight attempt scratch (`_temporary` — deleting a racing job's
+  * staging is exactly the bug the per-job temp split fixed), delete
+  * the rest. Returns one row
+  * (files_referenced, orphans_deleted).
+  */
+class KvVacuumProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "delete table-dir files no retained snapshot references"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "vacuum"
+      override def description(): String =
+        KvVacuumProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val path = dir.toString
+        val referenced: Set[String] =
+          KvSnapshots.versions(path)
+            .flatMap(v => KvSnapshots.members(path, v)).toSet
+        val keepNames =
+          Set(KvSnapshots.DirName, KvBucketing.MetaFile, "_SUCCESS",
+            "_temporary")
+        var deleted = 0L
+        val s = java.nio.file.Files.list(dir)
+        val orphans =
+          try s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filterNot(referenced)
+            .filterNot(keepNames)
+            .toList
+          finally s.close()
+        orphans.foreach { n =>
+          java.nio.file.Files.deleteIfExists(dir.resolve(n))
+          deleted += 1
+        }
+        KvProcedures.localScan(KvVacuumProcedure.OutSchema,
+          InternalRow(referenced.size.toLong, deleted))
+      }
+    }
+}
+
+object KvVacuumProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("files_referenced", LongType),
+    StructField("orphans_deleted", LongType)))
+}
