@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full registry is ~430 whole-stage-codegen'd queries, each
+  // compiling multiple generated classes per run; the JDK default
+  // ReservedCodeCacheSize (240m) fills mid-sweep and code-cache
+  // flushing then evicts HOT methods — measured as a 2x slowdown of
+  // whichever alphabet block runs while the sweeper thrashes (the
+  // round-14 drift bisect; see SweepDiag's codeMB samples). Sized so
+  // the whole sweep's compiled code fits.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

@@ -199,9 +199,27 @@ object Bench {
         s"[bench] isolated re-run: ${all.size} queries " +
           s"(best-of-3 for ${flagged.size}: top50=${top50.size}, " +
           s"regressed=${regressed.size}, watchlist=${watchlist.size})")
+      // SESSION PROBE (round-14 floor-accounting item): one fixed
+      // cheap query — the flagship at sf0.001 — timed at anchor
+      // points in BOTH sessions. If the isolated session's probes
+      // match the sweep session's, the two sessions are equivalent by
+      // measurement and a >2× floor is attributable to the query's
+      // own run (or box noise at that moment), not to fresh-session
+      // warmup; a probe gap IS the measured session_warmup the driver
+      // rerun previously had no way to adjudicate.
+      def sessionProbe(): Double = {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries("flagship")(
+            spark, sfDir.replace("sf0.1", "sf0.001")).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(_) => -1.0 }
+      }
+      val probeSweepSession = sessionProbe()
       spark.stop()
       spark = buildSession(cpus)
       warmup(spark, sfDir)
+      val probeAfterWarmup = sessionProbe()
       // Prebuild sweep (see ACCOUNTING above): one measured cold run
       // per query, restoring memoized frames before the timed floor.
       // A prebuild crash is recorded (-1) and left for the timed
@@ -218,6 +236,7 @@ object Bench {
           } catch { case scala.util.control.NonFatal(_) => -1.0 }
         name -> t
       }.toMap
+      val probeAfterPrebuild = sessionProbe()
       val sweepMap = results.toMap
       // A query that fails all isolated attempts is RECORDED
       // (isolated:null + stderr), never dropped — absence from the
@@ -261,10 +280,15 @@ object Bench {
       // "best_of" from the number 3 to a descriptive string, breaking
       // any numeric parse of the artifact across rounds; the split
       // numeric pair carries the same information losslessly.
+      val probeEnd = sessionProbe()
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_ISOLATED.json"),
         (s"""{"sf":"$sfDir","unit":"sec","best_of_flagged":3,""" +
           s""""best_of_rest":2,"prebuilt":true,""" +
+          s""""session_probe_s":{"sweep_session":${f4(probeSweepSession)},""" +
+          s""""iso_after_warmup":${f4(probeAfterWarmup)},""" +
+          s""""iso_after_prebuild":${f4(probeAfterPrebuild)},""" +
+          s""""iso_end":${f4(probeEnd)}},""" +
           s""""queries":$isoJson}""" + "\n").getBytes("UTF-8"))
     }
 
