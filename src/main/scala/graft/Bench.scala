@@ -101,13 +101,26 @@ object Bench {
       case None => SparkEntry.queries
     }
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = selected.toSeq.sortBy(_._1).flatMap {
+    // Process-CPU is sampled beside wall per run: the round-14 drift
+    // bisect showed sweep regressions on untouched queries come from
+    // CONCURRENT WORK on the box (whichever alphabet block runs during
+    // a compile loses its cores), which a wall number alone cannot
+    // distinguish from a real plan regression. cpu/wall adjudicates:
+    // wall up with CPU flat = contention; wall and CPU up together =
+    // the query really did more work. Written as the BENCH_CPU sidecar
+    // so cross-round parsers of BENCH_PERQ's {name: sec} map survive.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val resultsCpu = selected.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val times = (1 to 2).flatMap { _ =>
+          val c0 = osBean.getProcessCpuTime
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
+            Some(((System.nanoTime() - t0) / 1e9,
+              (osBean.getProcessCpuTime - c0) / 1e9))
           } catch {
             case e: Throwable =>
               failures(name) =
@@ -115,8 +128,9 @@ object Bench {
               None
           }
         }
-        if (times.nonEmpty) Some(name -> times.min) else None
+        if (times.nonEmpty) Some(name -> times.minBy(_._1)) else None
     }
+    val results = resultsCpu.map { case (k, (w, _)) => k -> w }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -144,6 +158,17 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"BENCH_PERQ$suffix.json"),
       (s"""{"sf":"$sfDir","unit":"sec","queries":$qs}""" + "\n")
+        .getBytes("UTF-8"))
+    // Contention sidecar: per-query process-CPU seconds of the chosen
+    // (fastest) run. See the sampling comment above the sweep loop.
+    val cpuQs = resultsCpu.map { case (k, (_, c)) =>
+      // Locale-pinned (same rationale as the isolated pass's f4)
+      s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(c))
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_CPU$suffix.json"),
+      (s"""{"sf":"$sfDir","unit":"cpu-sec","queries":$cpuQs}""" + "\n")
         .getBytes("UTF-8"))
     failures.foreach { case (name, err) =>
       System.err.println(s"BENCH FAILURE: $name — $err")
