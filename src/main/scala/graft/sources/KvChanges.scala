@@ -32,7 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     therefore RESTATES them (delete+insert of the same values) —
   *     the honest row-set diff of a file-granular log, exactly what
   *     Iceberg's changelog emits for rewritten files without
-  *     row-lineage tracking.
+  *     row-lineage tracking;
+  *   - a REMOVED delete file (`system.rollback` across a MoR DELETE:
+  *     the data file stays a member, its tombstones vanish) emits
+  *     INSERT rows for the resurrected positions — rows live again
+  *     at the commit are part of its row-set diff.
   *
   * Everything is computed from retained manifests + retained files,
   * so a batch read is replayable and a streaming checkpoint resumes
@@ -95,7 +99,29 @@ object KvChanges {
           part(f, "delete", ps.distinct.toArray.sorted, Array.empty,
             useInclude = true)
         }
-      inserts ++ removed ++ tombstoned
+      // REMOVED delete files — `system.rollback` across a MoR DELETE
+      // produces exactly this: a data file stays a member while the
+      // `.del` that tombstoned some of its rows vanishes from the
+      // membership. Those rows are live again at v, so the commit's
+      // honest row-set diff must emit them as INSERTS (resurrections);
+      // dropping them silently would desynchronize every CDC consumer
+      // (the incremental-MV gate's fold, most directly). Positions
+      // still tombstoned at v (by a delete file both versions share)
+      // are NOT back — subtract the current index per file.
+      val resurrected =
+        if ((prevDels -- curDels).isEmpty) Seq.empty
+        else {
+          val curDelIndex = KvSnapshots.deleteIndex(path, v)
+          (curData intersect prevData).toSeq.sorted.flatMap { f =>
+            val was = prevDelIndex.getOrElse(f, Array.empty[Long])
+            val still = curDelIndex.getOrElse(f, Array.empty[Long]).toSet
+            val back = was.filterNot(still)
+            if (back.isEmpty) None
+            else Some(part(f, "insert", back, Array.empty,
+              useInclude = true))
+          }
+        }
+      inserts ++ removed ++ tombstoned ++ resurrected
     }
   }
 }

@@ -224,7 +224,8 @@ object KvRollbackProcedure {
 
 /** `system.vacuum` — reclaim files NO retained manifest references:
   *
-  * {{{ CALL graft_kv.system.vacuum(table => 'default.t') }}}
+  * {{{ CALL graft_kv.system.vacuum(table => 'default.t',
+  *                                 older_than_ms => 86400000) }}}
   *
   * `expire_snapshots` walks manifests and can only delete what some
   * manifest names; a crashed job's published-but-never-committed
@@ -236,8 +237,18 @@ object KvRollbackProcedure {
   * live metadata (`_snapshots`, `_meta.json`, `_SUCCESS`) and
   * in-flight attempt scratch (`_temporary` — deleting a racing job's
   * staging is exactly the bug the per-job temp split fixed), delete
-  * the rest. Returns one row
-  * (files_referenced, orphans_deleted).
+  * the rest — but ONLY files older than the `older_than_ms` grace
+  * window (default 3 days, Iceberg's `remove_orphan_files` default).
+  * The grace window is the concurrent-writer guard: batch and delta
+  * commits publish files to their FINAL names BEFORE the manifest
+  * conditional-put lands (KvJsonlBatchWrite.commit,
+  * KvMorDeltaBatchWrite.commit), so a vacuum racing that window sees
+  * referenced-by-nothing files that are about to become members —
+  * deleting them would let the writer's commit succeed while its
+  * manifest references vanished files, silent data loss. Any sane
+  * grace dwarfs a commit's publish→manifest gap; `older_than_ms => 0`
+  * remains available for tests and for tables provably quiesced.
+  * Returns one row (files_referenced, orphans_deleted).
   */
 class KvVacuumProcedure(cat: KvCatalog)
     extends procedures.UnboundProcedure {
@@ -259,10 +270,20 @@ class KvVacuumProcedure(cat: KvCatalog)
           procedures.ProcedureParameter
             .in("table", StringType)
             .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("older_than_ms", LongType)
+            .defaultValue(KvVacuumProcedure.DefaultGraceMs.toString)
+            .comment("only delete orphans last modified more than this " +
+              "many ms ago (grace window for in-flight commits)")
             .build())
 
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
+        val grace =
+          if (input.numFields > 1 && !input.isNullAt(1)) input.getLong(1)
+          else KvVacuumProcedure.DefaultGraceMs
+        require(grace >= 0, s"older_than_ms must be >= 0, got $grace")
         val dir = cat.resolveTableDir(table)
         KvProcedures.requireSnapshotted(table, dir)
         val path = dir.toString
@@ -272,13 +293,24 @@ class KvVacuumProcedure(cat: KvCatalog)
         val keepNames =
           Set(KvSnapshots.DirName, KvBucketing.MetaFile, "_SUCCESS",
             "_temporary")
+        val cutoff = System.currentTimeMillis() - grace
         var deleted = 0L
         val s = java.nio.file.Files.list(dir)
         val orphans =
           try s.iterator().asScala
+            .filter { p =>
+              val n = p.getFileName.toString
+              !referenced(n) && !keepNames(n) &&
+                // Grace window: a file younger than the cutoff may be a
+                // concurrent commit's published-but-not-yet-manifested
+                // output — skipping it is the difference between
+                // reclamation and data loss. An unreadable mtime skips
+                // too (the conservative direction).
+                (try java.nio.file.Files.getLastModifiedTime(p)
+                   .toMillis <= cutoff
+                 catch { case _: java.io.IOException => false })
+            }
             .map(_.getFileName.toString)
-            .filterNot(referenced)
-            .filterNot(keepNames)
             .toList
           finally s.close()
         orphans.foreach { n =>
@@ -292,6 +324,11 @@ class KvVacuumProcedure(cat: KvCatalog)
 }
 
 object KvVacuumProcedure {
+  /** 3 days — Iceberg `remove_orphan_files`' default, orders of
+    * magnitude beyond any commit's publish→manifest window.
+    */
+  val DefaultGraceMs: Long = 3L * 24 * 3600 * 1000
+
   val OutSchema: StructType = StructType(Seq(
     StructField("files_referenced", LongType),
     StructField("orphans_deleted", LongType)))

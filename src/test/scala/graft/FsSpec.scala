@@ -32,6 +32,57 @@ class FsSpec extends AnyFunSuite {
     assert(!Files.exists(root))
   }
 
+  test("deleteRecursivelyVerified deletes a quiet tree and verifies") {
+    val root = mkTree(25)
+    Fs.deleteRecursivelyVerified(root)
+    assert(!Files.exists(root))
+    // and is a no-op (not an error) on an already-absent path
+    Fs.deleteRecursivelyVerified(root)
+  }
+
+  test("deleteRecursivelyVerified throws when the tree survives") {
+    // The DDL contract (DROP TABLE / DROP NAMESPACE / manifest
+    // cleanup): reporting success while the directory survives makes
+    // a later CREATE throw TableAlreadyExists spuriously. Force
+    // survival with a re-creator thread that keeps repopulating the
+    // tree faster than the two delete passes drain it. The race is
+    // probabilistic per round, so retry a few rounds and require the
+    // verified variant to have failed loud at least once.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var threw = false
+    var round = 0
+    while (!threw && round < 8) {
+      round += 1
+      stop.set(false)
+      val root = mkTree(10)
+      val sub = root.resolve("keep")
+      Files.createDirectories(sub)
+      val racer = new Thread(() => {
+        var i = 0
+        while (!stop.get()) {
+          try {
+            Files.createDirectories(sub)
+            Files.write(sub.resolve(s"r$i"), Array[Byte](1))
+          } catch { case _: java.io.IOException => () }
+          i += 1
+        }
+      })
+      racer.start()
+      try {
+        Fs.deleteRecursivelyVerified(root)
+      } catch {
+        case _: java.io.IOException => threw = true
+      } finally {
+        stop.set(true)
+        racer.join()
+        Fs.deleteRecursively(root)
+      }
+    }
+    assert(threw,
+      "deleteRecursivelyVerified never failed loud across 8 rounds " +
+        "of a surviving tree")
+  }
+
   test("two concurrent deleters of one tree never throw") {
     // Probabilistic by nature, so repeat: each round builds a tree and
     // races two threads over it. Before the fix this threw

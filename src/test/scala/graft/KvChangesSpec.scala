@@ -91,6 +91,34 @@ class KvChangesSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("rollback across a MoR delete emits resurrection inserts") {
+    val t = fresh("cdc_rb", mor = true)
+    spark.sql(s"INSERT INTO $t SELECT id, concat('a', id) " +
+      "FROM range(0, 6)") // v1
+    spark.sql(s"DELETE FROM $t WHERE key < 2") // v2: tombstones 0,1
+    spark.sql("CALL graft_kv.system.rollback(" +
+      "table => 'default.cdc_rb', version => 1)") // v3 = v1 membership
+    val got = changes("cdc_rb").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSeq
+    // v3 removed the delete file while its data file stayed a member:
+    // rows 0,1 are LIVE again, so the commit's row-set diff must
+    // report them as inserts — a CDC consumer folding the feed (the
+    // incremental-MV shape) otherwise silently loses them.
+    val expect =
+      (0L until 6L).map(k => (k, s"a$k", "insert", 1)) ++
+        Seq(0L, 1L).map(k => (k, s"a$k", "delete", 2)) ++
+        Seq(0L, 1L).map(k => (k, s"a$k", "insert", 3))
+    assert(got === expect)
+    // and the fold of the feed reproduces the table's current state
+    val folded = spark.sql(
+      s"SELECT sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 " +
+        s"END) AS n FROM graft_kv.default.`cdc_rb$$changes`")
+      .head.getLong(0)
+    assert(folded ==
+      spark.sql(s"SELECT count(*) FROM $t").head.getLong(0))
+  }
+
   test("expiration degrades the oldest version to an initial snapshot") {
     val t = fresh("cdc_exp", mor = true)
     spark.sql(s"INSERT INTO $t SELECT id, concat('a', id) " +

@@ -128,13 +128,20 @@ class KvProceduresSpec extends SparkTestBase {
     assert(e.getMessage.contains("no snapshot"))
   }
 
-  test("vacuum: deletes only unreferenced files, spares scratch") {
+  test("vacuum: deletes only aged unreferenced files, spares scratch") {
     val t = snapTable("proc_vac")
     spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(100)")
     spark.sql(s"INSERT INTO $t SELECT id + 100, 'b' FROM range(100)")
     val d = Paths.get(dir("proc_vac"))
     Files.write(d.resolve("orphan.jsonl"),
       "{\"key\":1,\"value\":\"ghost\"}\n".getBytes("UTF-8"))
+    Files.setLastModifiedTime(d.resolve("orphan.jsonl"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 4L * 24 * 3600 * 1000))
+    // a concurrent commit's just-published (not yet manifested) file:
+    // fresh mtime, so the default grace window must spare it
+    Files.write(d.resolve("inflight.jsonl"),
+      "{\"key\":2,\"value\":\"committing\"}\n".getBytes("UTF-8"))
     Files.createDirectories(d.resolve("_temporary").resolve("job-x"))
     Files.write(
       d.resolve("_temporary").resolve("job-x").resolve("att.jsonl"),
@@ -142,9 +149,11 @@ class KvProceduresSpec extends SparkTestBase {
     val res = spark.sql(
       "CALL graft_kv.system.vacuum(table => 'default.proc_vac')")
       .collect().head
-    assert(res.getLong(1) == 1, s"expected 1 orphan deleted: $res")
+    assert(res.getLong(1) == 1, s"expected 1 aged orphan deleted: $res")
     assert(!Files.exists(d.resolve("orphan.jsonl")))
-    // in-flight scratch and metadata survive
+    // fresh orphan, in-flight scratch and metadata survive
+    assert(Files.exists(d.resolve("inflight.jsonl")),
+      "grace window violated: fresh file deleted")
     assert(Files.exists(
       d.resolve("_temporary").resolve("job-x").resolve("att.jsonl")))
     assert(Files.isDirectory(d.resolve(KvSnapshots.DirName)))
@@ -153,6 +162,12 @@ class KvProceduresSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1")
       .head.getLong(0) == 100)
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 200)
+    // older_than_ms => 0 disables the grace window explicitly
+    val res0 = spark.sql(
+      "CALL graft_kv.system.vacuum(table => 'default.proc_vac', " +
+        "older_than_ms => 0)").collect().head
+    assert(res0.getLong(1) == 1, s"expected the fresh orphan: $res0")
+    assert(!Files.exists(d.resolve("inflight.jsonl")))
   }
 
   test("vacuum then expire compose: expire drops history, vacuum noop") {
