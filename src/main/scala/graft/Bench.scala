@@ -67,10 +67,32 @@ object Bench {
         Map.empty
     }
 
+  /** Per-query process-CPU seconds of the PREVIOUS sweep (BENCH_CPU
+    * .json before this run overwrites it). The cross-round
+    * adjudication signal: a wall regression with flat CPU is the box,
+    * not the plan.
+    */
+  private def priorCpuTimes(sfDir: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_CPU.json")), "UTF-8")
+      if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+      else {
+        val qsIdx = txt.indexOf("\"queries\":")
+        if (qsIdx < 0) Map.empty
+        else
+          """"([^"]+)":([0-9][0-9.Ee+-]*)""".r
+            .findAllMatchIn(txt.substring(qsIdx + 10))
+            .flatMap(m =>
+              m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val prior = priorTimes(sfDir)
+    val priorCpu = priorCpuTimes(sfDir)
     var spark = buildSession(cpus)
     warmup(spark, sfDir)
 
@@ -263,17 +285,40 @@ object Bench {
       }.toMap
       val probeAfterPrebuild = sessionProbe()
       val sweepMap = results.toMap
+      val sweepCpuMap = resultsCpu.map { case (k, (_, c)) => k -> c }.toMap
+      // Locale-pinned numeric formatting: f"$t%.4f" uses the JVM
+      // default locale, which in comma-decimal locales (de_DE) emits
+      // "1,2345" and corrupts the JSON array.
+      def f4(t: Double): String =
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
+      // PER-ENTRY ADJUDICATION (round-15, closing the round-14 bisect):
+      // a floor >2× its sweep time used to be unexplainable per entry —
+      // the bisect proved box CO-TENANCY causes the k–n-alphabet-block
+      // clusters, but nothing in the artifact said so per query. Two
+      // signals now ride with every entry:
+      //   - process-CPU seconds of the chosen attempt, vs the sweep's
+      //     (same work + stretched wall = the box, not the plan);
+      //   - a PROBE TIMELINE: the canonical session probe re-timed
+      //     every 25 entries, so any slow block can be checked against
+      //     what the box was doing right then.
+      val probeTimeline =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       // A query that fails all isolated attempts is RECORDED
       // (isolated:null + stderr), never dropped — absence from the
       // artifact must mean "not in the sweep", not "crashed quietly".
-      val isolated = all.map { name =>
+      val isolated = all.zipWithIndex.map { case (name, idx) =>
+        if (idx % 25 == 0) probeTimeline += ((name, sessionProbe()))
         val fn = SparkEntry.queries(name)
         val nAttempts = if (flagged(name)) 3 else 2
         var err: String = null
         val times = (1 to nAttempts).flatMap { _ =>
+          val c0 = osBean.getProcessCpuTime
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch {
+          try {
+            fn(spark, sfDir).count()
+            Some(((System.nanoTime() - t0) / 1e9,
+              (osBean.getProcessCpuTime - c0) / 1e9))
+          } catch {
             case e: Throwable =>
               err = s"${e.getClass.getSimpleName}: " +
                 Option(e.getMessage).getOrElse("").take(120)
@@ -284,23 +329,35 @@ object Bench {
           System.err.println(s"BENCH ISOLATED FAILURE: $name — $err")
         name -> times
       }
-      // Locale-pinned numeric formatting: f"$t%.4f" uses the JVM
-      // default locale, which in comma-decimal locales (de_DE) emits
-      // "1,2345" and corrupts the JSON array.
-      def f4(t: Double): String =
-        String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
       val isoJson = isolated.map { case (name, times) =>
         val sweep = sweepMap.get(name).map(_.toString).getOrElse("null")
         val pri = prior.get(name).map(_.toString).getOrElse("null")
-        val isoV = times.minOption.map(_.toString).getOrElse("null")
-        val att = times.map(f4).mkString("[", ",", "]")
+        val best = times.minByOption(_._1)
+        val isoV = best.map(_._1.toString).getOrElse("null")
+        val cpuS = best.map(b => f4(b._2)).getOrElse("null")
+        val att = times.map(t => f4(t._1)).mkString("[", ",", "]")
         val coldV = cold.get(name).filter(_ >= 0)
         val coldS = coldV.map(f4).getOrElse("null")
-        val deps = (for (c <- coldV; i <- times.minOption)
+        val deps = (for (c <- coldV; i <- best.map(_._1))
           yield f4(math.max(0.0, c - i))).getOrElse("null")
-        s""""$name":{"isolated":$isoV,"attempts":$att,"cold_s":$coldS,""" +
-          s""""deps_rebuild_s":$deps,"sweep":$sweep,"prior":$pri}"""
+        val sweepCpu = sweepCpuMap.get(name).map(f4).getOrElse("null")
+        val priCpu = priorCpu.get(name).map(f4).getOrElse("null")
+        // contended: the floor blew past 2× its sweep wall while doing
+        // ESSENTIALLY THE SAME CPU WORK (≤1.5× sweep CPU) — the
+        // co-tenancy signature the round-14 bisect isolated. A floor
+        // whose CPU grew with its wall is the query's own doing and
+        // stays contended=false for a human to chase.
+        val contended = (for {
+          b <- best; sw <- sweepMap.get(name); sc <- sweepCpuMap.get(name)
+        } yield b._1 > 2 * sw && b._2 <= 1.5 * sc).getOrElse(false)
+        s""""$name":{"isolated":$isoV,"attempts":$att,"cpu_s":$cpuS,""" +
+          s""""cold_s":$coldS,"deps_rebuild_s":$deps,"sweep":$sweep,""" +
+          s""""sweep_cpu":$sweepCpu,"prior":$pri,"prior_cpu":$priCpu,""" +
+          s""""contended":$contended}"""
       }.mkString("{", ",", "}")
+      val timelineJson = probeTimeline.map { case (at, p) =>
+        s"""{"at":"$at","probe_s":${f4(p)}}"""
+      }.mkString("[", ",", "]")
       // Machine-readable header fields only — round 12 changed
       // "best_of" from the number 3 to a descriptive string, breaking
       // any numeric parse of the artifact across rounds; the split
@@ -314,6 +371,7 @@ object Bench {
           s""""iso_after_warmup":${f4(probeAfterWarmup)},""" +
           s""""iso_after_prebuild":${f4(probeAfterPrebuild)},""" +
           s""""iso_end":${f4(probeEnd)}},""" +
+          s""""probe_timeline":$timelineJson,""" +
           s""""queries":$isoJson}""" + "\n").getBytes("UTF-8"))
     }
 

@@ -885,9 +885,13 @@ object SourceQueries {
     // published-but-never-committed files are invisible to manifests
     // (so expire_snapshots can never reclaim them) and invisible to
     // reads (membership IS the manifest) — but they are real bytes.
-    // The gate plants two orphans next to a live table, CALLs vacuum,
-    // and require()s exactly those two deleted with the live
-    // membership intact; the oracle pins the table content unchanged.
+    // The gate plants two AGED orphans (mtime backdated past the
+    // default 3-day grace) and one FRESH orphan next to a live table,
+    // CALLs vacuum, and require()s exactly the two aged ones deleted:
+    // the fresh survivor proves the grace window that protects a
+    // concurrent commit's published-but-not-yet-manifested files
+    // (data files hit final names BEFORE the manifest conditional-put
+    // lands). Live membership intact; the oracle pins table content.
     "catalog_vacuum" -> ((s, d) => {
       registerKvCatalog(s)
       val t = "graft_kv.default.vac_gate"
@@ -899,27 +903,95 @@ object SourceQueries {
       val dir = java.nio.file.Paths.get(
         graft.Fs.sinkDir("graft_kv_wh"), "default", "vac_gate")
       // a crashed writer's leftovers: a data file that never made a
-      // manifest, and a stray tombstone file
-      java.nio.file.Files.write(dir.resolve("orphan-data.jsonl"),
-        "{\"key\":999999,\"value\":\"ghost\"}\n".getBytes("UTF-8"))
-      java.nio.file.Files.write(dir.resolve("orphan-tomb.del"),
-        "orphan-data.jsonl\t0\n".getBytes("UTF-8"))
+      // manifest, and a stray tombstone file — both LONG dead
+      val aged = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 4L * 24 * 3600 * 1000)
+      Seq("orphan-data.jsonl" ->
+            "{\"key\":999999,\"value\":\"ghost\"}\n",
+          "orphan-tomb.del" -> "orphan-data.jsonl\t0\n")
+        .foreach { case (n, body) =>
+          val p = dir.resolve(n)
+          java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+          java.nio.file.Files.setLastModifiedTime(p, aged)
+        }
+      // an in-flight commit's just-published file (no manifest YET)
+      java.nio.file.Files.write(dir.resolve("inflight.jsonl"),
+        "{\"key\":5,\"value\":\"committing\"}\n".getBytes("UTF-8"))
       val before = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
       val res = s.sql(
         "CALL graft_kv.system.vacuum(table => 'default.vac_gate')")
         .collect().head
       require(res.getLong(1) == 2L,
-        s"catalog_vacuum: expected exactly the 2 planted orphans " +
+        s"catalog_vacuum: expected exactly the 2 aged orphans " +
           s"deleted, got $res")
       require(!java.nio.file.Files.exists(
           dir.resolve("orphan-data.jsonl")),
-        "catalog_vacuum: the orphan data file survived")
+        "catalog_vacuum: the aged orphan data file survived")
+      require(java.nio.file.Files.exists(dir.resolve("inflight.jsonl")),
+        "catalog_vacuum: the grace window failed — a fresh (possibly " +
+          "in-flight-commit) file was deleted")
+      java.nio.file.Files.delete(dir.resolve("inflight.jsonl"))
       val after = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
       require(before == after,
         s"catalog_vacuum: row count changed $before -> $after — " +
           "vacuum touched live membership")
       s.sql(s"SELECT value, count(*) AS n_orders, " +
         s"sum(key) AS sum_keys FROM $t GROUP BY value ORDER BY value")
+    }),
+
+    // SCHEMA EVOLUTION (KvSchema.scala): ALTER TABLE ADD/RENAME
+    // COLUMN as METADATA-ONLY operations with schema-versioned
+    // snapshots — the Iceberg field-id model. At 100 TB this is the
+    // difference between a registry write and a full-table rewrite:
+    // every production table evolves its schema within weeks. The
+    // gate ADDs a column (require()s no data file was touched),
+    // inserts new-shape rows, time-travels ACROSS the change
+    // (require()s the pre-ALTER snapshot reads with its own 2-column
+    // schema), RENAMEs the new column (pure metadata — data stays
+    // under the stable field id), and pins the merged old+new read:
+    // pre-ALTER rows surface NULL in the added column, and the
+    // renamed column still reads every byte written under its old
+    // name. The oracle recomputes the same union from raw orders.
+    "catalog_schema_evolution" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.evo_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`") // v1
+      val dir = java.nio.file.Paths.get(
+        graft.Fs.sinkDir("graft_kv_wh"), "default", "evo_gate")
+      def dataFiles: Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(dir)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".jsonl")).toSet
+        finally l.close()
+      }
+      val filesBefore = dataFiles
+      s.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+      require(dataFiles == filesBefore,
+        "catalog_schema_evolution: ADD COLUMN touched data files — " +
+          "evolution must be metadata-only")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey + 10000000, " +
+        "concat('NEW-', o_orderpriority), o_orderkey * 0.5 " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 4 = 0")
+      // time travel ACROSS the schema change: v1 reads its own shape
+      val v1 = s.sql(s"SELECT * FROM $t VERSION AS OF 1")
+      require(v1.schema.fieldNames.toSeq == Seq("key", "value"),
+        s"catalog_schema_evolution: v1 schema widened to " +
+          s"${v1.schema.fieldNames.mkString(",")} — old snapshots " +
+          "must read with the schema they were written under")
+      // RENAME is pure metadata: the stable field id keeps serving
+      // every line written under the old name
+      s.sql(s"ALTER TABLE $t RENAME COLUMN score TO weight")
+      s.sql(
+        s"""SELECT value, count(*) AS n_rows,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys,
+           |       CAST(sum(coalesce(weight * 2, 0)) AS BIGINT)
+           |         AS weight2
+           |FROM $t GROUP BY value ORDER BY value""".stripMargin)
     }),
 
     // INCREMENTAL MATERIALIZED VIEW over the CDC feed: the canonical
@@ -2029,6 +2101,22 @@ object SourceQueries {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
+    // The evolved table's final state: v1 full insert (weight NULL
+    // ⇒ coalesce 0) unioned with the post-ALTER new-shape insert
+    // (key-shifted, weight = key/2 ⇒ weight*2 = key, integer-exact).
+    "catalog_schema_evolution" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS key, o_orderpriority AS value,
+        |         NULL::DOUBLE AS weight
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'NEW-' || o_orderpriority,
+        |         o_orderkey * 0.5
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT value, count(*) AS n_rows,
+        |       CAST(sum(key) AS BIGINT) AS sum_keys,
+        |       CAST(sum(coalesce(weight * 2, 0)) AS BIGINT) AS weight2
+        |FROM t GROUP BY value ORDER BY value""".stripMargin,
     // Vacuum reclaims orphans only — live content must be untouched.
     "catalog_vacuum" ->
       """SELECT o_orderpriority AS value,

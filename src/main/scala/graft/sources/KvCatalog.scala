@@ -30,14 +30,28 @@ class KvScanBuilder(
     buckets: Option[Int] = None,
     snapshots: Boolean = false,
     pinnedVersion: Option[Int] = None,
-    forRowLevelOp: Boolean = false)
+    forRowLevelOp: Boolean = false,
+    colsOverride: Option[Seq[KvSchema.Col]] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  /** The table's columns at THIS scan's version: pinned reads use the
+    * schema in effect at the pinned snapshot (time travel across an
+    * ALTER), current reads the registry head. `colsOverride` is the
+    * row-level-DML escape hatch — a MoR rewrite scan pins MEMBERSHIP
+    * to its scan version but must still produce CURRENT-schema rows,
+    * because Catalyst plans the rewrite against the table's current
+    * schema.
+    */
+  private val cols: Seq[KvSchema.Col] =
+    colsOverride.getOrElse(KvSchema.colsAsOf(path, pinnedVersion))
+
   // Column pruning lands HERE, not in the reader: a 2-column table
   // still profits (count(*) scans parse no fields), and the `_file`
   // metadata column only materializes when the plan asks for it.
-  private var required: StructType = KvJsonlSink.Schema
+  private var required: StructType = KvSchema.toStruct(cols)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -157,7 +171,7 @@ class KvScanBuilder(
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new KvAggScan(path, pinnedVersion, aggs)
     case None => new KvScan(path, required, pushed, buckets, snapshots,
-      pinnedVersion, forRowLevelOp)
+      pinnedVersion, forRowLevelOp, cols, maxBytesPerTrigger)
   }
 }
 
@@ -302,7 +316,9 @@ class KvScan(
     buckets: Option[Int] = None,
     snapshots: Boolean = false,
     pinnedVersion: Option[Int] = None,
-    forRowLevelOp: Boolean = false)
+    forRowLevelOp: Boolean = false,
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
@@ -504,7 +520,7 @@ class KvScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required.fieldNames, pushed, runtimeKeys)
+    new KvReaderFactory(required.fieldNames, pushed, runtimeKeys, cols)
 
   /** Streaming read = the table's CHANGE FEED (KvChangeFeed.scala),
     * offsets = snapshot manifest versions — hence snapshotted tables
@@ -516,7 +532,8 @@ class KvScan(
       s"streaming reads of $path need a snapshotted table " +
         "(TBLPROPERTIES ('snapshots'='true')) — the manifest log is " +
         "the offset log")
-    new KvChangeFeedStream(path, required.fieldNames)
+    new KvChangeFeedStream(path, required.fieldNames, cols,
+      maxBytesPerTrigger)
   }
 }
 
@@ -576,18 +593,30 @@ case class KvBucketPartition(
 class KvReaderFactory(
     fields: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    runtimeKeys: Option[Set[Long]] = None)
+    runtimeKeys: Option[Set[Long]] = None,
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case KvInputPartition(file, dels) =>
         new KvPartitionReader(Array(file), fields, pushed, runtimeKeys,
-          Array(dels))
-      case KvBucketPartition(files, _, dels) =>
+          Array(dels), cols)
+      case KvBucketPartition(files, bucket, dels) =>
+        // Tombstone arrays align with files BY INDEX; planning always
+        // builds them together (or passes an explicit empty for
+        // tombstone-free scans). A length mismatch is a planner bug —
+        // fail loud rather than "default" to dropping every tombstone
+        // in the partition, which would silently resurrect deleted
+        // rows.
+        if (dels.nonEmpty && dels.length != files.length)
+          throw new IllegalStateException(
+            s"bucket $bucket partition carries ${dels.length} " +
+              s"tombstone slices for ${files.length} files — " +
+              "misaligned merge-on-read planning")
         new KvPartitionReader(files, fields, pushed, runtimeKeys,
-          if (dels.length == files.length) dels
-          else files.map(_ => Array.empty[Long]))
+          if (dels.isEmpty) files.map(_ => Array.empty[Long]) else dels,
+          cols)
     }
 }
 
@@ -595,8 +624,36 @@ class KvPartitionReader(
     files: Array[String], fields: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
     runtimeKeys: Option[Set[Long]] = None,
-    deletes: Array[Array[Long]] = Array.empty)
+    deletes: Array[Array[Long]] = Array.empty,
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends PartitionReader[InternalRow] {
+
+  import KvPartitionReader._
+
+  /** Each requested field resolved ONCE against the scan's column
+    * registry: metadata columns by reserved name, data columns by
+    * their CURRENT name (so a renamed column still reads its stable
+    * storage field). SrcExtra only exists on schema-evolved tables —
+    * founding tables keep the byte-identical fast parse.
+    */
+  private val srcs: Array[FieldSrc] = fields.map { f =>
+    if (f == KvJsonlSink.FileColumn) SrcFile
+    else if (f == KvJsonlSink.PosColumn) SrcPos
+    else cols.find(_.name == f) match {
+      case Some(c) if c.id == 1 => SrcKey
+      case Some(c) if c.id == 2 => SrcValue
+      case Some(c) => SrcExtra(c.storageName, c.dtype)
+      case None => throw new IllegalArgumentException(
+        s"kvjsonl scan cannot produce column $f " +
+          s"(columns: ${cols.map(_.name).mkString(", ")})")
+    }
+  }
+
+  /** Only pay the extras parse when a projected field needs it: a
+    * (key, value) projection of an evolved table still skips the tail
+    * in one pass.
+    */
+  private val needsExtras = srcs.exists(_.isInstanceOf[SrcExtra])
 
   private var fileIdx = -1
   private var in: java.io.BufferedReader = _
@@ -678,19 +735,51 @@ class KvPartitionReader(
   }
 
   private def materialize(line: String): Unit = {
-    val (k, v) = KvJsonlSink.parseLine(line)
-    row = InternalRow.fromSeq(fields.toSeq.map {
-      case "key" => k.map(Long.box).orNull
-      case "value" => v.map(UTF8String.fromString).orNull
-      case KvJsonlSink.FileColumn => fileUtf8
-      case KvJsonlSink.PosColumn => Long.box(pos)
-      case other => throw new IllegalArgumentException(
-        s"kvjsonl scan cannot produce column $other")
+    val (k, v, extras) =
+      if (needsExtras) KvSchema.parseRow(line)
+      else {
+        val (k0, v0) = KvJsonlSink.parseLine(line)
+        (k0, v0, null)
+      }
+    row = InternalRow.fromSeq(srcs.toSeq.map {
+      case SrcKey => k.map(Long.box).orNull
+      case SrcValue => v.map(UTF8String.fromString).orNull
+      case SrcFile => fileUtf8
+      case SrcPos => Long.box(pos)
+      case SrcExtra(storage, dtype) =>
+        // Absent = NULL: a file written before the ADD COLUMN simply
+        // lacks the storage field (parquet's missing-column reads).
+        extras.get(storage) match {
+          case None => null
+          case Some(x) => dtype match {
+            case LongType => Long.box(x.asInstanceOf[Long])
+            case org.apache.spark.sql.types.DoubleType =>
+              Double.box(x.asInstanceOf[Double])
+            case StringType =>
+              UTF8String.fromString(x.asInstanceOf[String])
+            case other => throw new IllegalStateException(
+              s"unreachable kvjsonl column type $other")
+          }
+        }
     })
   }
 
   override def get(): InternalRow = row
   override def close(): Unit = if (in != null) in.close()
+}
+
+object KvPartitionReader {
+  /** Where a projected field's bytes come from — resolved once per
+    * reader in the constructor, never per row.
+    */
+  sealed trait FieldSrc
+  case object SrcKey extends FieldSrc
+  case object SrcValue extends FieldSrc
+  case object SrcFile extends FieldSrc
+  case object SrcPos extends FieldSrc
+  final case class SrcExtra(
+      storage: String, dtype: org.apache.spark.sql.types.DataType)
+      extends FieldSrc
 }
 
 /** The group-based row-level operation behind SQL DELETE / UPDATE /
@@ -732,10 +821,12 @@ class KvRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
+    val want = KvSchema.currentCols(path)
     require(
-      s.length == 2 &&
-        s(0).dataType == LongType && s(1).dataType == StringType,
-      s"kvjsonl row-level write needs (BIGINT, STRING); " +
+      s.length == want.length &&
+        s.zip(want).forall { case (f, c) => f.dataType == c.dtype },
+      s"kvjsonl row-level write needs " +
+        s"${KvSchema.toStruct(want).catalogString}; " +
         s"got ${s.catalogString}")
     new WriteBuilder {
       override def build(): Write = buckets match {
@@ -942,15 +1033,44 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         "kvjsonl tables support only PARTITIONED BY (bucket(n, key)); " +
           s"got ${other.mkString(", ")}")
     }
-    val want = KvJsonlSink.Schema
+    // Schema rules (KvSchema.scala has the storage model): the first
+    // column is ALWAYS `key BIGINT` — bucketing, predicate/aggregate
+    // pushdown, zone maps and the MoR row addressing build on it —
+    // and every column's type must be one the line format encodes.
+    // The founding (key, value) pair stays registry-free and
+    // byte-identical to every pre-evolution table; anything wider
+    // births a column registry with stable field ids.
     require(
-      schema.length == 2 &&
-        schema(0).name == want(0).name &&
-        schema(0).dataType == LongType &&
-        schema(1).name == want(1).name &&
-        schema(1).dataType == StringType,
-      s"kvjsonl tables have the fixed schema ${want.catalogString}; " +
+      schema.nonEmpty && schema(0).name == "key" &&
+        schema(0).dataType == LongType,
+      "kvjsonl tables require `key BIGINT` as their first column; " +
         s"got ${schema.catalogString}")
+    schema.fields.foreach { f =>
+      require(KvSchema.isSupported(f.dataType),
+        s"kvjsonl column ${f.name} has unsupported type " +
+          s"${f.dataType.simpleString} (bigint/string/double only)")
+      require(
+        f.name != KvJsonlSink.FileColumn && f.name != KvJsonlSink.PosColumn,
+        s"column name ${f.name} is reserved for a metadata column")
+    }
+    require(
+      schema.fields.map(_.name.toLowerCase(java.util.Locale.ROOT))
+        .distinct.length == schema.length,
+      s"duplicate column names in ${schema.catalogString}")
+    val cols: Seq[KvSchema.Col] = {
+      // Field-id assignment: key is id 1; a STRING column named
+      // `value` keeps the founding id 2 (and its literal storage
+      // name, so such tables interoperate with founding readers);
+      // everything else gets fresh ids from 3.
+      val valueIdx = schema.fields.indexWhere(f =>
+        f.name == "value" && f.dataType == StringType)
+      var nextId = 2
+      schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        if (i == 0) KvSchema.Col(1, f.name, f.dataType)
+        else if (i == valueIdx) KvSchema.Col(2, f.name, f.dataType)
+        else { nextId += 1; KvSchema.Col(nextId, f.name, f.dataType) }
+      }
+    }
     // Opt-in snapshot retention (time travel): TBLPROPERTIES
     // ('snapshots'='true'). Strict parse — a typo'd value must not
     // silently create an unsnapshotted table.
@@ -981,11 +1101,45 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     java.nio.file.Files.createDirectories(p)
     val meta = KvBucketing.KvMeta(buckets, snapshots, mor)
     if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
+    if (cols != KvSchema.Legacy)
+      KvSchema.write(p.toString,
+        KvSchema.Registry(Seq(KvSchema.Version(0, cols))))
     new KvJsonlTable(p.toString, viaCatalog = true)
   }
 
-  /** The one mutable piece of table metadata is the `snapshots` flag
-    * — the MIGRATION story for time travel:
+  /** Append a new schema version derived from the current one. The
+    * version takes effect FROM the next snapshot commit (latest + 1),
+    * so every EXISTING snapshot — including the current one — keeps
+    * reading with the schema it was written under; a current
+    * (unpinned) read always uses the registry head. Unsnapshotted
+    * tables have no versions to key by (and no time travel), so their
+    * registry is effectively single-headed at from=0.
+    */
+  private def evolveSchema(
+      dir: String,
+      change: (KvSchema.Registry, Seq[KvSchema.Col]) => Seq[KvSchema.Col])
+      : Unit = {
+    val reg = KvSchema.read(dir).getOrElse(
+      KvSchema.Registry(Seq(KvSchema.Version(0, KvSchema.Legacy))))
+    val from =
+      if (KvBucketing.readMetaFull(dir).snapshots)
+        KvSnapshots.latest(dir).getOrElse(0) + 1
+      else 0
+    val next = change(reg, reg.current)
+    KvSchema.write(dir, KvSchema.Registry(
+      reg.versions :+ KvSchema.Version(from, next)))
+  }
+
+  private def singleName(fieldNames: Array[String]): String = {
+    require(fieldNames.length == 1,
+      "kvjsonl columns are flat; nested field " +
+        s"${fieldNames.mkString(".")} is not supported")
+    fieldNames.head
+  }
+
+  /** Mutable table metadata: the `snapshots` flag (the MIGRATION
+    * story for time travel) and the COLUMN SET (schema evolution —
+    * the ADD/RENAME/DROP COLUMN cases below). For snapshots:
     *
     *   - ENABLE (`ALTER TABLE t SET TBLPROPERTIES ('snapshots' =
     *     'true')`): metadata-only — the current files become snapshot
@@ -997,7 +1151,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     *     manifests are deleted, returning the table to plain
     *     directory-listing semantics.
     *
-    * Everything else (schema, bucketing) is immutable by design.
+    * Bucketing (and the key column) stay immutable by design.
     */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
@@ -1059,9 +1213,77 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         // meta flip would corrupt version numbering on re-enable.
         graft.Fs.deleteRecursivelyVerified(
           p.resolve(KvSnapshots.DirName).toString)
+
+      // ---- SCHEMA EVOLUTION (KvSchema.scala): ADD / RENAME / DROP
+      // COLUMN are all METADATA-ONLY — no data file is read or
+      // rewritten, the only I/O is the registry write. Old snapshots
+      // keep reading with the schema they were written under.
+      case add: TableChange.AddColumn =>
+        val colName = singleName(add.fieldNames())
+        require(KvSchema.isSupported(add.dataType()),
+          s"kvjsonl column $colName has unsupported type " +
+            s"${add.dataType().simpleString} (bigint/string/double only)")
+        require(add.position() == null,
+          "kvjsonl ADD COLUMN appends; FIRST/AFTER positions are not " +
+            "supported (column order is storage-id order)")
+        require(add.isNullable,
+          "kvjsonl added columns are nullable by construction — " +
+            "files written before the ALTER read the new column as NULL")
+        require(
+          colName != KvJsonlSink.FileColumn &&
+            colName != KvJsonlSink.PosColumn,
+          s"column name $colName is reserved for a metadata column")
+        evolveSchema(dir, (reg, cur) => {
+          require(!cur.exists(_.name.equalsIgnoreCase(colName)),
+            s"column $colName already exists in ${ident.name()}")
+          cur :+ KvSchema.Col(reg.nextId, colName, add.dataType())
+        })
+      case ren: TableChange.RenameColumn =>
+        val fromName = singleName(ren.fieldNames())
+        val toName = ren.newName()
+        require(
+          toName != KvJsonlSink.FileColumn &&
+            toName != KvJsonlSink.PosColumn,
+          s"column name $toName is reserved for a metadata column")
+        evolveSchema(dir, (_, cur) => {
+          val col = cur.find(_.name.equalsIgnoreCase(fromName))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $fromName in ${ident.name()}"))
+          require(col.id != 1,
+            "the key column cannot be renamed — bucketing, pushdown " +
+              "and the MoR row addressing are defined over it")
+          require(!cur.exists(_.name.equalsIgnoreCase(toName)),
+            s"column $toName already exists in ${ident.name()}")
+          // Pure metadata: data stays under the id-derived storage
+          // name, so no file changes and old snapshots keep the old
+          // name through their own schema version.
+          cur.map(c => if (c.id == col.id) c.copy(name = toName) else c)
+        })
+      case del: TableChange.DeleteColumn =>
+        val colName = singleName(del.fieldNames())
+        evolveSchema(dir, (_, cur) => {
+          cur.find(_.name.equalsIgnoreCase(colName)) match {
+            case None =>
+              if (del.ifExists()) cur
+              else throw new IllegalArgumentException(
+                s"no column $colName in ${ident.name()}")
+            case Some(col) =>
+              require(col.id != 1,
+                "the key column cannot be dropped — bucketing, " +
+                  "pushdown and the MoR row addressing are defined " +
+                  "over it")
+              // Metadata-only: old files keep the field, readers of
+              // the new schema never project it; the id is never
+              // reused (Registry.nextId walks ALL versions), so a
+              // later ADD can't resurrect dropped data.
+              cur.filterNot(_.id == col.id)
+          }
+        })
+
       case other => throw new UnsupportedOperationException(
-        "kvjsonl tables have a fixed schema and immutable bucketing; " +
-          s"only the snapshots property can be altered (got $other)")
+        "kvjsonl tables support ADD/RENAME/DROP COLUMN and the " +
+          s"snapshots property; got $other (bucketing and the key " +
+          "column are immutable)")
     }
     new KvJsonlTable(dir, viaCatalog = true)
   }
@@ -1182,7 +1404,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           "system.compact(table, target_files), " +
           "system.expire_snapshots(table, keep_last), " +
           "system.cluster(table, target_files), " +
-          "system.rollback(table, version) and system.vacuum(table))")
+          "system.rollback(table, version) and " +
+          "system.vacuum(table, older_than_ms))")
     }
   }
 
@@ -1233,12 +1456,14 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
   * target file count, written back through the connector's
   * two-phase-commit overwrite — tasks read the old files while the
   * replacement stays invisible in `_temporary`, and the
-  * truncate+publish happens at driver commit. Like every mutation in
+  * publish+sweep happens at driver commit. Like every mutation in
   * this connector the commit assumes SINGLE-WRITER-AT-A-TIME; a
   * reader listing a plain (non-snapshotted) table's directory inside
-  * the truncate→publish window can observe a partially-published
-  * state, exactly as with INSERT OVERWRITE (snapshotted tables don't
-  * have the window — membership flips atomically with the manifest).
+  * the publish→sweep window can observe BOTH generations at once
+  * (transient duplicate rows — the replacement publishes before the
+  * stale files sweep, so the window never shows a hole), exactly as
+  * with INSERT OVERWRITE (snapshotted tables don't have the window —
+  * membership flips atomically with the manifest).
   * Returns one row (files_before, files_after, n_rows) via a
   * LocalScan.
   *

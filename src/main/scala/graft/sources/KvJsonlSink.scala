@@ -36,8 +36,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * exactly what a cloud committer implements with multipart uploads.
   */
 class KvJsonlSink extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KvJsonlSink.Schema
+  // Format-path reads of a SCHEMA-EVOLVED table dir (written through
+  // the catalog) must surface the evolved columns, not the founding
+  // pair — the registry travels with the directory.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    if (path == null || path.isEmpty) KvJsonlSink.Schema
+    else KvSchema.toStruct(KvSchema.currentCols(path))
+  }
 
   override def getTable(
       schema: StructType,
@@ -122,7 +128,12 @@ object KvJsonlSink {
     * [[KvJsonlDataWriter.write]]): `{"key":K,"value":V}` with K a
     * long or `null` and V `null` or a double-quoted [[escape]]d
     * string. Strict by design — these files are only ever written by
-    * this sink, so a malformed line is corruption, not dialect.
+    * this sink, so a malformed line is corruption, not dialect. A
+    * SCHEMA-EVOLVED line (KvSchema.formatRow) keeps this exact prefix
+    * and appends `,"c<id>":...` fields after the value token; this
+    * parser stops at the value token either way, so every founding
+    * (key, value) projection — the $changes table, the change feed,
+    * the fast scan path — reads evolved files unchanged.
     */
   def parseLine(line: String): (Option[Long], Option[String]) = {
     require(line.startsWith("{\"key\":"), s"bad kvjsonl line: $line")
@@ -134,7 +145,7 @@ object KvJsonlSink {
     require(line.startsWith(",\"value\":", i),
       s"bad kvjsonl line: $line")
     i += 9
-    if (line.startsWith("null}", i)) (key, None)
+    if (line.startsWith("null", i)) (key, None)
     else {
       require(line.charAt(i) == '"', s"bad kvjsonl line: $line")
       i += 1
@@ -191,7 +202,16 @@ class KvJsonlTable(
     with SupportsMetadataColumns {
   override def name(): String =
     s"kvjsonl($path${pinnedVersion.fold("")(v => s"@v$v")})"
-  override def schema(): StructType = KvJsonlSink.Schema
+
+  /** The table's columns — the founding (key, value) pair unless a
+    * `_schema.json` registry records evolution (KvSchema.scala). A
+    * PINNED table reports the schema in effect AT that snapshot, so
+    * time travel across an ALTER reads old versions with their own
+    * shape.
+    */
+  private lazy val cols: Seq[KvSchema.Col] =
+    KvSchema.colsAsOf(path, pinnedVersion)
+  override def schema(): StructType = KvSchema.toStruct(cols)
 
   /** Table meta (see KvBucketing.scala): bucket partitioning ⇒ the
     * scan reports KeyGroupedPartitioning (storage-partitioned joins)
@@ -246,8 +266,20 @@ class KvJsonlTable(
   }
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path, buckets, meta.snapshots, pinnedVersion)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Size-based streaming admission (`spark.readStream
+    // .option("maxBytesPerTrigger", "128m")`): at 100 TB a
+    // commit-per-batch replay is O(commits) micro-batches; a bytes
+    // target makes it O(data / target). Batch reads ignore it.
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map { v =>
+      val b = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(v)
+      require(b > 0, s"maxBytesPerTrigger must be positive; got $v")
+      b
+    }
+    new KvScanBuilder(path, buckets, meta.snapshots, pinnedVersion,
+      maxBytesPerTrigger = maxBytes)
+  }
 
   /** SQL row-level DML (DELETE / UPDATE / MERGE) via the GROUP-BASED
     * (copy-on-write) protocol: Catalyst rewrites the command into a
@@ -278,12 +310,18 @@ class KvJsonlTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to a time-travel snapshot: ${name()}")
-    // Fail at plan time, not mid-write, on a schema the sink can't hold.
+    // Fail at plan time, not mid-write, on a schema the sink can't
+    // hold: the incoming row shape must match the table's CURRENT
+    // columns type-for-type (names are the caller's business — a
+    // format-path save of differently-named columns of the right
+    // types has always worked).
     val s = info.schema()
+    val want = KvSchema.currentCols(path)
     require(
-      s.length == 2 &&
-        s(0).dataType == LongType && s(1).dataType == StringType,
-      s"kvjsonl sink writes (key BIGINT, value STRING); got ${s.catalogString}")
+      s.length == want.length &&
+        s.zip(want).forall { case (f, c) => f.dataType == c.dtype },
+      s"kvjsonl sink at $path writes " +
+        s"${KvSchema.toStruct(want).catalogString}; got ${s.catalogString}")
     new WriteBuilder with SupportsTruncate {
       // mode("overwrite") plans as truncate-then-append; the actual
       // delete happens DRIVER-SIDE at commit time so a failed job
@@ -388,40 +426,41 @@ class KvJsonlBatchWrite(
     java.nio.file.Files.createDirectories(tmp)
     // Bucket routing is decided by the TABLE DIR's metadata, not the
     // caller, so every write path (catalog insert, DML rewrite,
-    // format-path save) keeps a bucketed table bucketed.
-    new KvJsonlWriterFactory(path, jobId, KvBucketing.readMeta(path))
+    // format-path save) keeps a bucketed table bucketed. The column
+    // registry is captured HERE (driver-side, once per job) so every
+    // task of this write formats rows against the same schema version
+    // even if an ALTER lands mid-job.
+    new KvJsonlWriterFactory(path, jobId, KvBucketing.readMeta(path),
+      KvSchema.currentCols(path))
   }
 
   /** Driver-side publish: ONLY files named in commit messages become
     * visible. Rename is per-file; the `_SUCCESS` manifest written last
     * is the read-side completeness marker (the standard Hadoop
     * committer contract).
+    *
+    * TRUNCATE ordering (unsnapshotted tables): PUBLISH the replacement
+    * files first, THEN sweep the stale ones. A directory-listing
+    * reader concurrent with the window between the two steps sees a
+    * SUPERSET (old and new together — transient duplicates, the same
+    * window shape INSERT OVERWRITE has always had on listing-based
+    * sources); it can never see a HOLE (rows missing from both
+    * generations), which the delete-first ordering allowed. Final
+    * names carry the per-write queryId, so a replacement can never
+    * collide with a stale name. Snapshotted tables have no window at
+    * all — truncate is LOGICAL (replaced files stay for prior
+    * versions; membership flips atomically with the manifest).
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val snapshots = KvBucketing.readMetaFull(path).snapshots
-    // A snapshotted table's truncate is LOGICAL: replaced files stay
-    // on disk (prior versions keep reading them) and only the new
-    // manifest's membership changes. Unsnapshotted truncate deletes,
-    // as before.
-    if (truncateFirst && !snapshots) {
-      val old = java.nio.file.Files.list(dir)
-      try old.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.endsWith(".jsonl") || n == "_SUCCESS")
-          java.nio.file.Files.delete(p)
-      } finally old.close()
-    }
     val published = messages.flatMap {
       case KvJsonlCommitMessage(file) => Seq(file)
       case KvJsonlBucketedCommitMessage(files) => files
     }
-    published.foreach { f =>
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(f.tempFile),
-        dir.resolve(f.finalName),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    publishFiles(dir, published)
+    if (truncateFirst && !snapshots)
+      sweepStale(dir, published.map(_.finalName).toSet)
     if (snapshots) {
       // OCC append commit: the previous membership is computed INSIDE
       // the conditional-put retry, so a loser rebases onto the
@@ -444,23 +483,50 @@ class KvJsonlBatchWrite(
       dir.resolve("_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Step 1 of the truncate commit (package-visible so the
+    * reader-during-replace spec can drive the window between the two
+    * steps deterministically): move every committed temp file to its
+    * final name.
+    */
+  private[graft] def publishFiles(
+      dir: java.nio.file.Path, published: Seq[KvWrittenFile]): Unit =
+    published.foreach { f =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.tempFile),
+        dir.resolve(f.finalName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Step 2: delete every data file the replacement didn't publish. */
+  private[graft] def sweepStale(
+      dir: java.nio.file.Path, keep: Set[String]): Unit = {
+    val old = java.nio.file.Files.list(dir)
+    try old.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".jsonl") && !keep(n))
+        java.nio.file.Files.delete(p)
+    } finally old.close()
+  }
+
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     KvJsonlSink.cleanupJobTemp(path, jobId)
 }
 
 class KvJsonlWriterFactory(
-    path: String, jobId: String, buckets: Option[Int] = None)
+    path: String, jobId: String, buckets: Option[Int] = None,
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = buckets match {
     case Some(n) =>
-      new KvJsonlBucketedDataWriter(path, jobId, partitionId, taskId, n)
+      new KvJsonlBucketedDataWriter(path, jobId, partitionId, taskId, n,
+        cols)
     case None =>
       new KvJsonlDataWriter(path,
         f"attempt-$jobId-$partitionId%05d-$taskId",
         f"part-$jobId-$partitionId%05d.jsonl",
-        jobSubdir = jobId)
+        jobSubdir = jobId, cols = cols)
   }
 }
 
@@ -474,8 +540,12 @@ class KvJsonlWriterFactory(
   * the commit message.
   */
 class KvJsonlBucketedDataWriter(
-    path: String, jobId: String, partitionId: Int, taskId: Long, n: Int)
+    path: String, jobId: String, partitionId: Int, taskId: Long, n: Int,
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends DataWriter[InternalRow] {
+
+  // Founding tables keep the byte-identical fast-path formatter.
+  private val evolved = cols != KvSchema.Legacy
 
   private class BucketOut(val temp: java.nio.file.Path) {
     val out: java.io.BufferedWriter =
@@ -502,7 +572,9 @@ class KvJsonlBucketedDataWriter(
     val key: java.lang.Long =
       if (row.isNullAt(0)) null else Long.box(row.getLong(0))
     val w = writerFor(KvBucketing.bucketOf(key, n))
-    w.out.write(KvJsonlSink.formatLine(row))
+    w.out.write(
+      if (evolved) KvSchema.formatRow(row, cols)
+      else KvJsonlSink.formatLine(row))
     w.out.write('\n')
     w.stats.update(row)
   }
@@ -550,7 +622,7 @@ class KvJsonlStreamingWrite(path: String)
     java.nio.file.Files.createDirectories(KvJsonlSink.tempDir(path))
     // A named top-level factory: the instance ships to executors, so it
     // must not capture this (non-serializable) driver-side write object.
-    KvJsonlStreamingWriterFactory(path)
+    KvJsonlStreamingWriterFactory(path, KvSchema.currentCols(path))
   }
 
   override def commit(
@@ -585,7 +657,8 @@ class KvJsonlStreamingWrite(path: String)
   }
 }
 
-case class KvJsonlStreamingWriterFactory(path: String)
+case class KvJsonlStreamingWriterFactory(
+    path: String, cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int,
@@ -593,7 +666,8 @@ case class KvJsonlStreamingWriterFactory(path: String)
       epochId: Long): DataWriter[InternalRow] =
     new KvJsonlDataWriter(path,
       f"attempt-e$epochId%05d-$partitionId%05d-$taskId",
-      f"part-e$epochId%05d-$partitionId%05d.jsonl")
+      f"part-e$epochId%05d-$partitionId%05d.jsonl",
+      cols = cols)
 }
 
 /** One task attempt's writer: a private temp file keyed by the
@@ -604,8 +678,12 @@ case class KvJsonlStreamingWriterFactory(path: String)
   */
 class KvJsonlDataWriter(
     path: String, tempName: String, finalName: String,
-    jobSubdir: String = "")
+    jobSubdir: String = "",
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends DataWriter[InternalRow] {
+
+  // Founding tables keep the byte-identical fast-path formatter.
+  private val evolved = cols != KvSchema.Legacy
 
   private val tempFile = {
     val d =
@@ -619,7 +697,9 @@ class KvJsonlDataWriter(
   private val stats = new KvKeyStats
 
   override def write(row: InternalRow): Unit = {
-    out.write(KvJsonlSink.formatLine(row))
+    out.write(
+      if (evolved) KvSchema.formatRow(row, cols)
+      else KvJsonlSink.formatLine(row))
     out.newLine()
     stats.update(row)
   }

@@ -61,8 +61,13 @@ class KvMorRowLevelOperation(
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
+    // Membership pins to the scan version (conflict detection needs
+    // a stable base), but the SCHEMA must be the table's CURRENT one:
+    // Catalyst plans the whole rewrite against table.schema(), and
+    // the re-insert rows are written current-shape.
     new KvScanBuilder(path, buckets, snapshots = true,
-      pinnedVersion = Some(scanVersion).filter(_ > 0))
+      pinnedVersion = Some(scanVersion).filter(_ > 0),
+      colsOverride = Some(KvSchema.currentCols(path)))
 
   override def rowId(): Array[NamedReference] =
     Array(
@@ -82,11 +87,13 @@ class KvMorRowLevelOperation(
     // writes no data rows at all — its schema is EMPTY (struct<>),
     // discovered the hard way on the first end-to-end DELETE.
     val s = info.schema()
+    val want = KvSchema.currentCols(path)
     require(
       s.isEmpty ||
-        (s.length == 2 &&
-          s(0).dataType == LongType && s(1).dataType == StringType),
-      s"kvjsonl MoR delta write needs (BIGINT, STRING) or no data " +
+        (s.length == want.length &&
+          s.zip(want).forall { case (f, c) => f.dataType == c.dtype }),
+      s"kvjsonl MoR delta write needs " +
+        s"${KvSchema.toStruct(want).catalogString} or no data " +
         s"columns (DELETE); got ${s.catalogString}")
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
@@ -119,7 +126,10 @@ class KvMorDeltaBatchWrite(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     java.nio.file.Files.createDirectories(
       KvJsonlSink.tempDir(path, jobId))
-    new KvMorDeltaWriterFactory(path, jobId, buckets)
+    // Column registry captured driver-side, once per job — same
+    // mid-job-ALTER isolation as the batch write factory.
+    new KvMorDeltaWriterFactory(path, jobId, buckets,
+      KvSchema.currentCols(path))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -180,11 +190,12 @@ class KvMorDeltaBatchWrite(
 }
 
 class KvMorDeltaWriterFactory(
-    path: String, jobId: String, buckets: Option[Int])
+    path: String, jobId: String, buckets: Option[Int],
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new KvMorDeltaWriter(path, jobId, partitionId, taskId, buckets)
+    new KvMorDeltaWriter(path, jobId, partitionId, taskId, buckets, cols)
 }
 
 /** Per-task delta writer: inserts delegate to the ordinary data
@@ -198,7 +209,8 @@ class KvMorDeltaWriterFactory(
   */
 class KvMorDeltaWriter(
     path: String, jobId: String, partitionId: Int, taskId: Long,
-    buckets: Option[Int])
+    buckets: Option[Int],
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends DeltaWriter[InternalRow] {
 
   private var dataWriter: DataWriter[InternalRow] = _
@@ -207,12 +219,13 @@ class KvMorDeltaWriter(
     if (dataWriter == null)
       dataWriter = buckets match {
         case Some(n) =>
-          new KvJsonlBucketedDataWriter(path, jobId, partitionId, taskId, n)
+          new KvJsonlBucketedDataWriter(
+            path, jobId, partitionId, taskId, n, cols)
         case None =>
           new KvJsonlDataWriter(path,
             f"attempt-$jobId-$partitionId%05d-$taskId",
             f"part-$jobId-$partitionId%05d.jsonl",
-            jobSubdir = jobId)
+            jobSubdir = jobId, cols = cols)
       }
     dataWriter
   }

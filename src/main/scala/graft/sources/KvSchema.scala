@@ -1,0 +1,340 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+
+/** SCHEMA EVOLUTION for kvjsonl tables — the Iceberg field-ID model
+  * reduced to this connector's essentials:
+  *
+  *   - every column has a STABLE FIELD ID, assigned once at CREATE /
+  *     ADD COLUMN and never reused. The JSON line format stores data
+  *     under the ID-derived name (`"c<id>"` — except the founding
+  *     `key`/`value` pair, ids 1 and 2, which keep their literal
+  *     storage names so every pre-evolution file and the fast-path
+  *     parser stay byte-compatible), so RENAME COLUMN is pure
+  *     metadata: no file rewrite, no reader mapping table;
+  *   - the schema HISTORY lives in `_schema.json` beside the table's
+  *     `_meta.json`: a list of versions, each recording the snapshot
+  *     version it took effect FROM. A current read uses the newest
+  *     entry; a `VERSION AS OF v` read uses the newest entry with
+  *     `from <= v` — old snapshots read with their own schema, the
+  *     "Done" contract of time travel across a schema change;
+  *   - ADD COLUMN is metadata-only: files written before it simply
+  *     lack the storage field and read as NULL (exactly parquet's
+  *     missing-column semantics). DROP COLUMN is metadata-only too:
+  *     old files keep the field, readers never project it. Field
+  *     TYPES are immutable per id (a type change would need a
+  *     rewrite; unsupported by design);
+  *   - absent `_schema.json` ⇒ the founding fixed schema
+  *     (`key BIGINT, value STRING`) — every pre-evolution table reads
+  *     and writes byte-identically to before this layer existed.
+  *
+  * Supported column types: BIGINT, STRING, DOUBLE — the id→type
+  * binding is permanent, so a storage field's JSON encoding never
+  * changes across the table's life. `key` (id 1) is immutable in
+  * name, type and position (bucketing, predicate/aggregate pushdown,
+  * zone maps and the MoR row addressing all build on it).
+  *
+  * Like the rest of the catalog's metadata, writes are atomic
+  * (temp + rename) and assume single-writer DDL; data commits are
+  * OCC-protected separately (KvSnapshots.commitWith).
+  */
+object KvSchema {
+
+  val FileName = "_schema.json"
+
+  /** One column: stable id, CURRENT name at this schema version, and
+    * the (immutable) type. The storage name is derived from the id
+    * alone — the indirection that makes rename metadata-only.
+    */
+  case class Col(id: Int, name: String, dtype: DataType) {
+    def storageName: String = id match {
+      case 1 => "key"
+      case 2 => "value"
+      case n => s"c$n"
+    }
+  }
+
+  /** The founding pair — also the implicit schema of every table with
+    * no `_schema.json`.
+    */
+  val Legacy: Seq[Col] =
+    Seq(Col(1, "key", LongType), Col(2, "value", StringType))
+
+  /** One schema version: effective for snapshots >= `from`. */
+  case class Version(from: Int, cols: Seq[Col])
+
+  case class Registry(versions: Seq[Version]) {
+    require(versions.nonEmpty, "empty schema registry")
+    def current: Seq[Col] = versions.last.cols
+
+    /** Schema as of snapshot `v`: the newest version in effect at or
+      * before it. A pin below every recorded `from` (possible only on
+      * a registry materialized by a later ALTER) falls back to the
+      * FIRST version — which the ALTER path seeds with the schema the
+      * table had before any change.
+      */
+    def asOf(v: Int): Seq[Col] =
+      versions.filter(_.from <= v).lastOption
+        .getOrElse(versions.head).cols
+
+    /** Ids are never reused, even for dropped columns. */
+    def nextId: Int =
+      (versions.flatMap(_.cols.map(_.id)) :+ 2).max + 1
+  }
+
+  def typeName(t: DataType): String = t match {
+    case LongType => "bigint"
+    case StringType => "string"
+    case DoubleType => "double"
+    case other => throw new IllegalArgumentException(
+      s"kvjsonl columns support bigint/string/double; got $other")
+  }
+
+  def typeOf(s: String): DataType = s match {
+    case "bigint" => LongType
+    case "string" => StringType
+    case "double" => DoubleType
+    case other => throw new IllegalArgumentException(
+      s"corrupt $FileName type: $other")
+  }
+
+  def isSupported(t: DataType): Boolean =
+    t == LongType || t == StringType || t == DoubleType
+
+  def toStruct(cols: Seq[Col]): StructType =
+    StructType(cols.map(c =>
+      StructField(c.name, c.dtype, nullable = true)))
+
+  // ---- registry persistence (hand-rolled like _meta.json: this file
+  // is only ever written by `write`, so the parser is strict) ----
+
+  def write(dir: String, reg: Registry): Unit = {
+    val body = reg.versions.map { v =>
+      val cols = v.cols.map(c =>
+        s"""{"id":${c.id},"name":"${escapeName(c.name)}",""" +
+          s""""type":"${typeName(c.dtype)}"}""").mkString("[", ",", "]")
+      s"""{"from":${v.from},"cols":$cols}"""
+    }.mkString("""{"versions":[""", ",", "]}")
+    val tmp = Paths.get(dir, FileName + ".tmp")
+    Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, FileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // Column names land inside JSON string literals; the catalog
+  // validates identifiers, but escape the two structural characters
+  // anyway so a hostile name can't corrupt the registry.
+  private def escapeName(n: String): String =
+    n.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private val VersionRe =
+    """\{"from":(\d+),"cols":\[(.*?)\]\}""".r
+  private val ColRe =
+    """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)","type":"(\w+)"\}""".r
+
+  def read(dir: String): Option[Registry] = {
+    val p = Paths.get(dir, FileName)
+    if (!Files.isRegularFile(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(s.startsWith("""{"versions":[""") && s.endsWith("]}"),
+        s"corrupt $FileName in $dir: $s")
+      val versions = VersionRe.findAllMatchIn(s).map { m =>
+        val cols = ColRe.findAllMatchIn(m.group(2)).map { c =>
+          Col(c.group(1).toInt,
+            c.group(2).replace("\\\"", "\"").replace("\\\\", "\\"),
+            typeOf(c.group(3)))
+        }.toSeq
+        require(cols.nonEmpty, s"corrupt $FileName version in $dir")
+        Version(m.group(1).toInt, cols)
+      }.toSeq
+      require(versions.nonEmpty, s"corrupt $FileName in $dir: $s")
+      Some(Registry(versions))
+    }
+  }
+
+  /** The table's CURRENT columns (registry, or the founding pair). */
+  def currentCols(dir: String): Seq[Col] =
+    read(dir).map(_.current).getOrElse(Legacy)
+
+  /** Columns as of a (possibly pinned) snapshot version. */
+  def colsAsOf(dir: String, pinned: Option[Int]): Seq[Col] =
+    pinned match {
+      case None => currentCols(dir)
+      case Some(v) => read(dir).map(_.asOf(v)).getOrElse(Legacy)
+    }
+
+  // ---- row format (the generalized twin of KvJsonlSink.formatLine /
+  // parseLine; the founding 2-col fast path is byte-identical) ----
+
+  /** One row → one sink line. `key` and `value` fields are ALWAYS
+    * present (value as `null` when the schema no longer carries id 2)
+    * so [[parseTail]]'s fixed prefix — and every pre-evolution
+    * reader's — keeps holding; extra columns append as
+    * `,"c<id>":<json>` in schema order.
+    */
+  def formatRow(
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      cols: Seq[Col]): String = {
+    val b = new StringBuilder(64)
+    b.append("{\"key\":")
+    if (row.isNullAt(0)) b.append("null")
+    else b.append(row.getLong(0))
+    // id-2 slot: present in the line even when dropped from the schema
+    val valueIdx = cols.indexWhere(_.id == 2)
+    b.append(",\"value\":")
+    if (valueIdx < 0 || row.isNullAt(valueIdx)) b.append("null")
+    else b.append('"')
+      .append(KvJsonlSink.escape(row.getUTF8String(valueIdx).toString))
+      .append('"')
+    cols.zipWithIndex.foreach { case (c, i) =>
+      if (c.id > 2) {
+        b.append(",\"").append(c.storageName).append("\":")
+        if (row.isNullAt(i)) b.append("null")
+        else c.dtype match {
+          case LongType => b.append(row.getLong(i))
+          case DoubleType => b.append(fmtDouble(row.getDouble(i)))
+          case StringType => b.append('"')
+            .append(KvJsonlSink.escape(row.getUTF8String(i).toString))
+            .append('"')
+          case other => throw new IllegalStateException(
+            s"unreachable column type $other")
+        }
+      }
+    }
+    b.append('}')
+    b.toString
+  }
+
+  /** Doubles round-trip via Double.toString; NaN/±Infinity are
+    * written as bare tokens — not strict JSON, but this format's only
+    * reader is [[parseExtras]], and lossy null-ing real float states
+    * would be worse than a dialect.
+    */
+  private def fmtDouble(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d == Double.PositiveInfinity) "Infinity"
+    else if (d == Double.NegativeInfinity) "-Infinity"
+    else java.lang.Double.toString(d)
+
+  /** Full parse of one sink line: the founding (key, value) prefix —
+    * byte-compatible with [[KvJsonlSink.parseLine]] — plus the evolved
+    * extra fields as a storage-name→value map (see [[parseExtras]]).
+    * The scan's generalized materializer; founding-format lines come
+    * back with the shared empty map.
+    */
+  def parseRow(line: String)
+      : (Option[Long], Option[String], Map[String, Any]) = {
+    require(line.startsWith("{\"key\":"), s"bad kvjsonl line: $line")
+    var i = 7
+    val keyStart = i
+    while (line.charAt(i) != ',') i += 1
+    val keyTok = line.substring(keyStart, i)
+    val key = if (keyTok == "null") None else Some(keyTok.toLong)
+    require(line.startsWith(",\"value\":", i),
+      s"bad kvjsonl line: $line")
+    i += 9
+    val value: Option[String] =
+      if (line.startsWith("null", i)) { i += 4; None }
+      else {
+        require(line.charAt(i) == '"', s"bad kvjsonl line: $line")
+        i += 1
+        val b = new StringBuilder
+        while (line.charAt(i) != '"') {
+          val c = line.charAt(i)
+          if (c == '\\') {
+            line.charAt(i + 1) match {
+              case '"' => b.append('"'); i += 2
+              case '\\' => b.append('\\'); i += 2
+              case 'n' => b.append('\n'); i += 2
+              case 'r' => b.append('\r'); i += 2
+              case 't' => b.append('\t'); i += 2
+              case 'u' =>
+                b.append(Integer.parseInt(
+                  line.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case other => throw new IllegalArgumentException(
+                s"bad escape \\$other in kvjsonl line: $line")
+            }
+          } else { b.append(c); i += 1 }
+        }
+        i += 1
+        Some(b.toString)
+      }
+    (key, value, parseExtras(line, i))
+  }
+
+  /** Parse the extra fields of a line, returning (valueEnd reached —
+    * always) a name→Any map (Long / Double / String per the writer's
+    * encoding; `null` fields are simply absent). `i` must point at
+    * the character right after the value field's token (where the
+    * founding parser stops: either `}` or `,`). Returns an EMPTY map
+    * for founding-format lines without touching the heap beyond the
+    * shared empty.
+    */
+  def parseExtras(line: String, start: Int): Map[String, Any] = {
+    var i = start
+    if (i < line.length && line.charAt(i) == '}') return Map.empty
+    var m = Map.empty[String, Any]
+    while (i < line.length && line.charAt(i) == ',') {
+      i += 1
+      require(line.charAt(i) == '"', s"bad kvjsonl line: $line")
+      i += 1
+      val nameStart = i
+      while (line.charAt(i) != '"') i += 1
+      val name = line.substring(nameStart, i)
+      i += 1
+      require(line.charAt(i) == ':', s"bad kvjsonl line: $line")
+      i += 1
+      line.charAt(i) match {
+        case 'n' => // null
+          require(line.startsWith("null", i), s"bad kvjsonl line: $line")
+          i += 4
+        case '"' =>
+          i += 1
+          val b = new StringBuilder
+          while (line.charAt(i) != '"') {
+            val c = line.charAt(i)
+            if (c == '\\') {
+              line.charAt(i + 1) match {
+                case '"' => b.append('"'); i += 2
+                case '\\' => b.append('\\'); i += 2
+                case 'n' => b.append('\n'); i += 2
+                case 'r' => b.append('\r'); i += 2
+                case 't' => b.append('\t'); i += 2
+                case 'u' =>
+                  b.append(Integer.parseInt(
+                    line.substring(i + 2, i + 6), 16).toChar)
+                  i += 6
+                case other => throw new IllegalArgumentException(
+                  s"bad escape \\$other in kvjsonl line: $line")
+              }
+            } else { b.append(c); i += 1 }
+          }
+          i += 1
+          m = m.updated(name, b.toString)
+        case _ =>
+          val tokStart = i
+          while (i < line.length && line.charAt(i) != ',' &&
+            line.charAt(i) != '}') i += 1
+          val tok = line.substring(tokStart, i)
+          val v: Any =
+            if (tok == "NaN") Double.NaN
+            else if (tok == "Infinity") Double.PositiveInfinity
+            else if (tok == "-Infinity") Double.NegativeInfinity
+            else if (tok.indexOf('.') >= 0 || tok.indexOf('E') >= 0 ||
+              tok.indexOf('e') >= 0) java.lang.Double.parseDouble(tok)
+            else java.lang.Long.parseLong(tok)
+          m = m.updated(name, v)
+      }
+    }
+    require(i < line.length && line.charAt(i) == '}',
+      s"bad kvjsonl line: $line")
+    m
+  }
+}

@@ -221,10 +221,17 @@ object EventReplayGate {
     }
     val sink = "erp_meta_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // Admission scaled to the INPUT, not a constant: a fixed 5000-row
+    // cap replays 10x data in 10x micro-batches (the sf1.0 probe's one
+    // super-linear outlier — batch-machinery overhead, not plan cost).
+    // Sizing the cap to ~a dozen batches keeps the batch count flat at
+    // any scale, exactly like a bytes-per-trigger knob on a real
+    // broker source; the floor keeps the sf0.1 gate multi-batch.
+    val perBatch = math.max(5000L, lines.count() / 12)
     val q = spark.readStream
       .format(classOf[graft.sources.EventReplayDataSource].getName)
       .option("paths", logs.mkString(","))
-      .option("rowsPerBatch", "5000")
+      .option("rowsPerBatch", perBatch.toString)
       .load()
       .select(col("event_id"), col("_replay_part"), col("_replay_pos"))
       .writeStream

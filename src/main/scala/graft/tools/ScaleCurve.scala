@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Three-point scaling curve for the queries the sf1.0 probe flagged
+  * as super-linear (round-14 verdict item 8): one scale step cannot
+  * distinguish log-linear growth from quadratic onset — 2.8× time for
+  * 10× data is excellent if the curve is flattening and alarming if
+  * it is steepening. This probe times each query at 1×, 3× and 10×
+  * replicas (same JVM, best-of-2, small-scale JIT warm pass first)
+  * and fits the local log-log slope between consecutive points:
+  *
+  *   alpha = ln(t_b / t_a) / ln(b / a)
+  *
+  * alpha < 1 means sub-linear in data (fixed costs still amortizing
+  * or parallel slack absorbing the growth), ~1 linear, > 1.2
+  * super-linear. The SHAPE verdict compares the two slopes: a
+  * steepening curve (alpha_3_10 − alpha_1_3 > 0.25) is flagged
+  * `steepening` — the quadratic-onset signature — while flat or
+  * falling slopes are `stable` / `flattening`.
+  *
+  * Env: SPARK_GRAFT_SF_DIR   (1× dir, default /root/testdata/sf0.1)
+  *      SPARK_GRAFT_SF3_DIR  (3× dir, default /root/repo/tmp_scale/sf0.3)
+  *      SPARK_GRAFT_SF1_DIR  (10× dir, default /root/repo/tmp_scale/sf1.0)
+  * Both scaled dirs come from graft.tools.ScaleGen (SPARK_GRAFT_SCALE
+  * = 3 / 10).
+  */
+object ScaleCurve {
+
+  /** The round-14 super-linear trio, plus the best scaler as a
+    * control (a probe that flags pq_report too is measuring the box,
+    * not the plans).
+    */
+  val Targets: Seq[String] = Seq(
+    "setsim_prefix_join", "lsh_param_sweep", "tpch_q18", "pq_report")
+
+  def main(args: Array[String]): Unit = {
+    val sf1x =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf3x =
+      sys.env.getOrElse("SPARK_GRAFT_SF3_DIR", "/root/repo/tmp_scale/sf0.3")
+    val sf10x =
+      sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/tmp_scale/sf1.0")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    Seq(sf3x -> 3, sf10x -> 10).foreach { case (d, k) =>
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(d, "documents.parquet")),
+        s"no ${k}x data at $d — run graft.tools.ScaleGen with " +
+          s"SPARK_GRAFT_SCALE=$k SPARK_GRAFT_OUT_DIR=$d first")
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    Targets.foreach { n =>
+      try graft.SparkEntry.queries(n)(
+        spark, sf1x.replace("sf0.1", "sf0.01")).count()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val rows = Targets.map { n =>
+      val t1 = time(n, sf1x)
+      val t3 = time(n, sf3x)
+      val t10 = time(n, sf10x)
+      val a13 = math.log(t3 / t1) / math.log(3.0)
+      val a310 = math.log(t10 / t3) / math.log(10.0 / 3.0)
+      val shape =
+        if (a310 - a13 > 0.25) "steepening"
+        else if (a13 - a310 > 0.25) "flattening"
+        else "stable"
+      val regime =
+        if (a310 < 0.9) "sub-linear"
+        else if (a310 <= 1.2) "linear"
+        else "super-linear"
+      println(f"[scalecurve] $n%-22s t1=${t1}%6.2fs t3=${t3}%6.2fs " +
+        f"t10=${t10}%6.2fs alpha(1→3)=${a13}%5.2f " +
+        f"alpha(3→10)=${a310}%5.2f $regime/$shape")
+      s""""$n":{"t_1x_s":${f3(t1)},"t_3x_s":${f3(t3)},""" +
+        s""""t_10x_s":${f3(t10)},"alpha_1_3":${f3(a13)},""" +
+        s""""alpha_3_10":${f3(a310)},"regime":"$regime",""" +
+        s""""shape":"$shape"}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SCALE_CURVE.json"),
+      (s"""{"unit":"sec","points":[1,3,10],"base":"$sf1x",""" +
+        s""""best_of":2,"queries":{${rows.mkString(",")}}}""" +
+        "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

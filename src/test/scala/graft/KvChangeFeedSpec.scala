@@ -130,6 +130,80 @@ class KvChangeFeedSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("maxBytesPerTrigger admits many commits per batch; default " +
+      "stays one-commit-per-batch") {
+    val t = snapTable("cf_bytes")
+    (1 to 6).foreach { i =>
+      spark.sql(s"INSERT INTO $t VALUES ($i, 'v$i')")
+    }
+    def drain(opts: Map[String, String]): (Seq[Long], Int) = {
+      val sink = "cf_bytes_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table(t)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      val keys = graft.streaming.MemorySinks.drain(spark, sink)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      (keys, batches)
+    }
+    // default: version grain — 6 commits, 6 non-empty batches
+    val (defKeys, defBatches) = drain(Map.empty)
+    assert(defKeys === (1L to 6L))
+    assert(defBatches == 6, s"expected 6 one-commit batches: $defBatches")
+    // a generous bytes target folds the whole history into ONE batch
+    val (bigKeys, bigBatches) =
+      drain(Map("maxBytesPerTrigger" -> "64m"))
+    assert(bigKeys === (1L to 6L))
+    assert(bigBatches == 1,
+      s"expected the replay to collapse into one batch: $bigBatches")
+    // a 1-byte target still progresses (at least one commit per batch)
+    val (tinyKeys, tinyBatches) =
+      drain(Map("maxBytesPerTrigger" -> "1"))
+    assert(tinyKeys === (1L to 6L))
+    assert(tinyBatches == 6,
+      s"expected per-commit batches under a tiny target: $tinyBatches")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("a checkpoint ahead of the table's history fails loud " +
+      "(drop + recreate under the same name)") {
+    val t = snapTable("cf_stale")
+    val ckpt = Files.createTempDirectory("graft_cf_stale_ckpt").toString
+    val out = Files.createTempDirectory("graft_cf_stale_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table(t)
+        .writeStream
+        .format("graft.sources.KvJsonlSink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i, 'a')"))
+    drain() // checkpoint now at v3
+    // the same table name, a NEW history with only v1
+    spark.sql(s"DROP TABLE $t")
+    snapTable("cf_stale")
+    spark.sql(s"INSERT INTO $t VALUES (9, 'z')")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty
+      else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(ex).exists(
+        _.contains("does not belong to this table's history")),
+      s"expected the stale-checkpoint error, got: ${messages(ex)}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("streaming read of an unsnapshotted table fails loud") {
     cat()
     val t = "graft_kv.default.cf_plain"

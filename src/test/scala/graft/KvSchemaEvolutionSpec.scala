@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.sources.KvSchema
+
+/** Schema evolution on kv catalog tables (KvSchema.scala): stable
+  * field ids under ADD / RENAME / DROP COLUMN, metadata-only ALTERs
+  * (no data file rewritten), and time travel reading each snapshot
+  * with the schema it was written under.
+  */
+class KvSchemaEvolutionSpec extends SparkTestBase {
+
+  private def cat(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_kv",
+      classOf[graft.sources.KvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_kv.warehouse",
+      Fs.sinkDir("graft_kv_wh"))
+  }
+
+  private def dir(t: String): String =
+    Paths.get(Fs.sinkDir("graft_kv_wh"), "default", t).toString
+
+  private def fresh(
+      t: String, ddlCols: String = "key BIGINT, value STRING",
+      props: String = "TBLPROPERTIES ('snapshots'='true')"): String = {
+    cat()
+    val full = s"graft_kv.default.$t"
+    spark.sql(s"DROP TABLE IF EXISTS $full")
+    spark.sql(s"CREATE TABLE $full ($ddlCols) $props")
+    full
+  }
+
+  test("CREATE with extra columns births a registry and round-trips") {
+    val t = fresh("evo_create", "key BIGINT, value STRING, score DOUBLE")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.5), (2, null, null), " +
+      "(3, 'c\"quote', -0.25)")
+    val got = spark.sql(s"SELECT * FROM $t ORDER BY key").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a", 1.5), (2L, null, null),
+      (3L, "c\"quote", -0.25)))
+    // the registry exists with the expected stable ids
+    val reg = KvSchema.read(dir("evo_create")).get
+    assert(reg.current.map(c => (c.id, c.name, c.dtype)) ===
+      Seq((1, "key", LongType), (2, "value", StringType),
+        (3, "score", DoubleType)))
+  }
+
+  test("ADD COLUMN is metadata-only; old rows read NULL; time travel " +
+      "reads each snapshot with its own schema") {
+    val t = fresh("evo_add")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')") // v1
+    val filesBefore = Files.list(Paths.get(dir("evo_add"))).toArray.toSet
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    // metadata-only: no data file touched (only _schema.json appears)
+    val filesAfter = Files.list(Paths.get(dir("evo_add"))).toArray.toSet
+    assert((filesAfter -- filesBefore).map(_.toString)
+      .forall(_.endsWith(KvSchema.FileName)),
+      s"ALTER rewrote data files: ${filesAfter -- filesBefore}")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 9.5)") // v2
+    // current read: new column, pre-ALTER rows as NULL
+    val cur = spark.sql(s"SELECT key, score FROM $t ORDER BY key")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    assert(cur === Seq((1L, null), (2L, null), (3L, 9.5)))
+    // time travel to v1 reads with the OLD schema (no score column)
+    val v1 = spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq === Seq("key", "value"))
+    assert(v1.count() == 2)
+    // the new column exists at v2
+    val v2 = spark.sql(s"SELECT * FROM $t VERSION AS OF 2")
+    assert(v2.schema.fieldNames.toSeq === Seq("key", "value", "score"))
+  }
+
+  test("RENAME COLUMN is pure metadata: same storage, old snapshots " +
+      "keep the old name") {
+    val t = fresh("evo_ren")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'x')") // v1
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO label")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'y')") // v2
+    val got = spark.sql(s"SELECT key, label FROM $t ORDER BY key")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "x"), (2L, "y")))
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+      .schema.fieldNames.toSeq === Seq("key", "value"))
+  }
+
+  test("DROP then re-ADD the same name gets a FRESH id — dropped " +
+      "data never resurrects") {
+    val t = fresh("evo_drop", "key BIGINT, value STRING, score DOUBLE")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 42.0)") // v1
+    spark.sql(s"ALTER TABLE $t DROP COLUMN score")
+    assert(spark.sql(s"SELECT * FROM $t").schema.fieldNames.toSeq ===
+      Seq("key", "value"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    // old file still holds c3:42.0, but the re-added column is id 4
+    val reg = KvSchema.read(dir("evo_drop")).get
+    assert(reg.current.last.id == 4, s"expected fresh id: ${reg.current}")
+    val got = spark.sql(s"SELECT key, score FROM $t").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    assert(got === Seq((1L, null)))
+    // the pre-DROP snapshot still reads the original value
+    assert(spark.sql(s"SELECT score FROM $t VERSION AS OF 1")
+      .head.getDouble(0) == 42.0)
+  }
+
+  test("MoR DML on an evolved table: UPDATE writes the new shape") {
+    val t = fresh("evo_mor",
+      props = "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('r', id) FROM range(6)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    spark.sql(s"UPDATE $t SET score = CAST(key AS DOUBLE) * 2 " +
+      "WHERE key >= 4")
+    spark.sql(s"DELETE FROM $t WHERE key = 0")
+    val got = spark.sql(
+      s"SELECT key, value, score FROM $t ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got === Seq(
+      (1L, "r1", null), (2L, "r2", null), (3L, "r3", null),
+      (4L, "r4", 8.0), (5L, "r5", 10.0)))
+  }
+
+  test("guards: key is immutable, duplicates and bad types rejected") {
+    val t = fresh("evo_guard")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN key TO id") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN key") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN value STRING") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN m MAP<STRING, STRING>") }
+    // still usable after the rejected ALTERs
+    spark.sql(s"INSERT INTO $t VALUES (1, 'ok')")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 1)
+  }
+
+  test("formatRow/parseRow round-trip the evolved encodings " +
+      "(escapes, NaN, infinities, nulls)") {
+    val cols = Seq(
+      KvSchema.Col(1, "key", LongType),
+      KvSchema.Col(2, "value", StringType),
+      KvSchema.Col(3, "d", DoubleType),
+      KvSchema.Col(4, "s", StringType),
+      KvSchema.Col(5, "n", LongType))
+    def roundtrip(k: java.lang.Long, v: String, d: java.lang.Double,
+        s: String, n: java.lang.Long) = {
+      val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(Seq(
+        k,
+        Option(v).map(
+          org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+        d,
+        Option(s).map(
+          org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+        n))
+      val line = KvSchema.formatRow(row, cols)
+      val (pk, pv, extras) = KvSchema.parseRow(line)
+      assert(pk === Option(k).map(_.longValue))
+      assert(pv === Option(v))
+      assert(extras.get("c3") === Option(d).map(_.doubleValue))
+      assert(extras.get("c4") === Option(s))
+      assert(extras.get("c5") === Option(n).map(_.longValue))
+    }
+    roundtrip(1L, "a\"b\\c\nd", 1.5, "tab\there", 7L)
+    roundtrip(null, null, null, null, null)
+    roundtrip(2L, "v", Double.PositiveInfinity, "", 0L)
+    roundtrip(3L, "v", Double.NegativeInfinity, "ctl", -1L)
+    // NaN != NaN, so check it via isNaN
+    val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(Seq(
+      4L: java.lang.Long, null, Double.box(Double.NaN), null, null))
+    val (_, _, ex) = KvSchema.parseRow(KvSchema.formatRow(row, cols))
+    assert(ex("c3").asInstanceOf[Double].isNaN)
+  }
+}

@@ -226,14 +226,15 @@ class KvSnapshotsSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
-  test("other ALTERs stay rejected") {
+  test("other ALTERs stay rejected (column changes are supported now)") {
     cat()
     val t = "graft_kv.default.alt_spec"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING)")
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE $t ADD COLUMN extra STRING")
-    }
+    // ADD COLUMN is schema evolution since KvSchema.scala — supported
+    spark.sql(s"ALTER TABLE $t ADD COLUMN extra STRING")
+    assert(spark.table(t).schema.fieldNames.toSeq ===
+      Seq("key", "value", "extra"))
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('foo'='bar')")
     }

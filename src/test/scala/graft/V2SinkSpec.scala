@@ -63,6 +63,38 @@ class V2SinkSpec extends SparkTestBase {
     assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "new")))
   }
 
+  test("truncate commit publishes replacements BEFORE sweeping stale files") {
+    // Drives the two halves of the overwrite commit separately (the
+    // package-visible seam) with a read in the window between them:
+    // a directory-listing reader concurrent with the replace must see
+    // a SUPERSET (old ∪ new — transient duplicates), never a hole.
+    val dir = newDir("window")
+    import spark.implicits._
+    Seq((1L, "old1"), (2L, "old2")).toDF("key", "value").repartition(2)
+      .write.format("graft.sources.KvJsonlSink").mode("overwrite").save(dir)
+
+    val bw = new KvJsonlBatchWrite(dir, true, "jobW")
+    val tmp = KvJsonlSink.tempDir(dir, "jobW")
+    Files.createDirectories(tmp)
+    val t = tmp.resolve("attempt-jobW-00000-0")
+    Files.write(t, "{\"key\":9,\"value\":\"new\"}\n".getBytes("UTF-8"))
+    val f = KvWrittenFile(
+      t.toString, "part-jobW-00000.jsonl", 1L, Some(9L), Some(9L))
+
+    bw.publishFiles(Paths.get(dir), Seq(f))
+    val window = spark.read.schema(KvJsonlSink.Schema)
+      .json(s"$dir/*.jsonl").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(window === Seq(1L, 2L, 9L),
+      s"mid-replace reader must see old ∪ new, got $window")
+
+    bw.sweepStale(Paths.get(dir), Set("part-jobW-00000.jsonl"))
+    val after = spark.read.schema(KvJsonlSink.Schema)
+      .json(s"$dir/*.jsonl").collect()
+      .map(_.getLong(0)).toSeq
+    assert(after === Seq(9L))
+  }
+
   test("append after overwrite keeps both jobs' rows (no name clobber)") {
     val dir = newDir("append")
     import spark.implicits._
