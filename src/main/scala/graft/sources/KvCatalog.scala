@@ -1049,8 +1049,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       require(KvSchema.isSupported(f.dataType),
         s"kvjsonl column ${f.name} has unsupported type " +
           s"${f.dataType.simpleString} (bigint/string/double only)")
-      require(
-        f.name != KvJsonlSink.FileColumn && f.name != KvJsonlSink.PosColumn,
+      require(!KvSchema.ReservedNames(f.name),
         s"column name ${f.name} is reserved for a metadata column")
     }
     require(
@@ -1229,9 +1228,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         require(add.isNullable,
           "kvjsonl added columns are nullable by construction — " +
             "files written before the ALTER read the new column as NULL")
-        require(
-          colName != KvJsonlSink.FileColumn &&
-            colName != KvJsonlSink.PosColumn,
+        require(!KvSchema.ReservedNames(colName),
           s"column name $colName is reserved for a metadata column")
         evolveSchema(dir, (reg, cur) => {
           require(!cur.exists(_.name.equalsIgnoreCase(colName)),
@@ -1241,9 +1238,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       case ren: TableChange.RenameColumn =>
         val fromName = singleName(ren.fieldNames())
         val toName = ren.newName()
-        require(
-          toName != KvJsonlSink.FileColumn &&
-            toName != KvJsonlSink.PosColumn,
+        require(!KvSchema.ReservedNames(toName),
           s"column name $toName is reserved for a metadata column")
         evolveSchema(dir, (_, cur) => {
           val col = cur.find(_.name.equalsIgnoreCase(fromName))

@@ -52,6 +52,17 @@ object KvChanges {
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_version", IntegerType, nullable = false)))
 
+  /** The changes view of an EVOLVED table: its CURRENT columns plus
+    * the two bookkeeping columns — the Delta-CDF convention (history
+    * is read with the table's current schema; rows written before an
+    * ADD COLUMN surface NULL there, renames apply retroactively via
+    * the stable field ids).
+    */
+  def schemaFor(cols: Seq[KvSchema.Col]): StructType =
+    StructType(KvSchema.toStruct(cols).fields.toSeq ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", IntegerType, nullable = false)))
+
   /** Change partitions of commit `v`. `initial` = emit the version's
     * full LIVE membership as inserts (predecessor expired or absent —
     * the initial-snapshot degradation); otherwise the exact
@@ -138,26 +149,28 @@ case class KvChangePartition(
 
 class KvChangesTable(path: String, tableName: String)
     extends Table with SupportsRead {
+  private lazy val cols: Seq[KvSchema.Col] = KvSchema.currentCols(path)
   override def name(): String = tableName
-  override def schema(): StructType = KvChanges.Schema
+  override def schema(): StructType = KvChanges.schemaFor(cols)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvChangesScanBuilder(path)
+    new KvChangesScanBuilder(path, cols)
 }
 
-class KvChangesScanBuilder(path: String)
+class KvChangesScanBuilder(path: String, cols: Seq[KvSchema.Col])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = KvChanges.Schema
+  private var required: StructType = KvChanges.schemaFor(cols)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new KvChangesScan(path, required)
+  override def build(): Scan = new KvChangesScan(path, required, cols)
 }
 
-class KvChangesScan(path: String, required: StructType)
+class KvChangesScan(
+    path: String, required: StructType, cols: Seq[KvSchema.Col])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -176,26 +189,39 @@ class KvChangesScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvChangesReaderFactory(required.fieldNames)
+    new KvChangesReaderFactory(required.fieldNames, cols)
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new KvChangesStream(path, required.fieldNames)
+    new KvChangesStream(path, required.fieldNames, cols)
 }
 
-class KvChangesReaderFactory(fields: Array[String])
+class KvChangesReaderFactory(
+    fields: Array[String], cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new KvChangesReader(
-      partition.asInstanceOf[KvChangePartition], fields)
+      partition.asInstanceOf[KvChangePartition], fields, cols)
 }
 
 /** Sequential file read with the same one-pointer position merge as
   * the main reader, emitting (pruned) change rows.
   */
-class KvChangesReader(p: KvChangePartition, fields: Array[String])
+class KvChangesReader(
+    p: KvChangePartition, fields: Array[String],
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends PartitionReader[InternalRow] {
+
+  /** Data columns resolve by CURRENT name against the registry (same
+    * contract as the main scan); history rows predating an ADD COLUMN
+    * surface NULL there. Only pay the extras parse when a projected
+    * field needs it.
+    */
+  private val colByName: Map[String, KvSchema.Col] =
+    cols.map(c => c.name -> c).toMap
+  private val needsExtras =
+    fields.exists(f => colByName.get(f).exists(_.id > 2))
 
   private val in = java.nio.file.Files.newBufferedReader(
     java.nio.file.Paths.get(p.file),
@@ -226,14 +252,36 @@ class KvChangesReader(p: KvChangePartition, fields: Array[String])
           }
         if (!emit) next()
         else {
-          val (k, v) = KvJsonlSink.parseLine(line)
+          val (k, v, extras) =
+            if (needsExtras) KvSchema.parseRow(line)
+            else {
+              val (k0, v0) = KvJsonlSink.parseLine(line)
+              (k0, v0, null)
+            }
           row = InternalRow.fromSeq(fields.toSeq.map {
-            case "key" => k.map(Long.box).orNull
-            case "value" => v.map(UTF8String.fromString).orNull
             case "_change_type" => typeUtf8
             case "_commit_version" => Int.box(p.version)
-            case other => throw new IllegalArgumentException(
-              s"kvjsonl changes scan cannot produce column $other")
+            case f => colByName.get(f) match {
+              case Some(c) if c.id == 1 => k.map(Long.box).orNull
+              case Some(c) if c.id == 2 =>
+                v.map(UTF8String.fromString).orNull
+              case Some(c) => extras.get(c.storageName) match {
+                case None => null
+                case Some(x) => c.dtype match {
+                  case org.apache.spark.sql.types.LongType =>
+                    Long.box(x.asInstanceOf[Long])
+                  case org.apache.spark.sql.types.DoubleType =>
+                    Double.box(x.asInstanceOf[Double])
+                  case org.apache.spark.sql.types.StringType =>
+                    UTF8String.fromString(x.asInstanceOf[String])
+                  case other => throw new IllegalStateException(
+                    s"unreachable kvjsonl column type $other")
+                }
+              }
+              case None => throw new IllegalArgumentException(
+                s"kvjsonl changes scan cannot produce column $f " +
+                  s"(columns: ${cols.map(_.name).mkString(", ")})")
+            }
           })
           true
         }
@@ -249,7 +297,9 @@ class KvChangesReader(p: KvChangePartition, fields: Array[String])
   * drain target pinned at prepare), but batches carry typed change
   * rows instead of bare adds.
   */
-class KvChangesStream(path: String, fields: Array[String])
+class KvChangesStream(
+    path: String, fields: Array[String],
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -311,7 +361,7 @@ class KvChangesStream(path: String, fields: Array[String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvChangesReaderFactory(fields)
+    new KvChangesReaderFactory(fields, cols)
 
   override def commit(end: Offset): Unit = ()
 

@@ -62,6 +62,13 @@ object KvSchema {
   val Legacy: Seq[Col] =
     Seq(Col(1, "key", LongType), Col(2, "value", StringType))
 
+  /** Names no user column may take: the scan's metadata columns and
+    * the `$changes` CDC table's bookkeeping columns (a user column
+    * with one of these names would shadow them in projections).
+    */
+  val ReservedNames: Set[String] =
+    Set("_file", "_pos", "_change_type", "_commit_version")
+
   /** One schema version: effective for snapshots >= `from`. */
   case class Version(from: Int, cols: Seq[Col])
 

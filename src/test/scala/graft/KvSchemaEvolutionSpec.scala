@@ -127,6 +127,41 @@ class KvSchemaEvolutionSpec extends SparkTestBase {
       (4L, "r4", 8.0), (5L, "r5", 10.0)))
   }
 
+  test("$changes reads history with the CURRENT schema (Delta-CDF " +
+      "convention): pre-ALTER rows NULL-fill the added column") {
+    val t = fresh("evo_cdc")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')") // v1
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 4.5)") // v2
+    val ch = spark.sql(
+      "SELECT key, value, score, _change_type, _commit_version " +
+        "FROM graft_kv.default.`evo_cdc$changes` ORDER BY key")
+    val got = ch.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2),
+      r.getString(3), r.getInt(4))).toSeq
+    assert(got === Seq(
+      (1L, "a", null, "insert", 1),
+      (2L, "b", 4.5, "insert", 2)))
+  }
+
+  test("streaming read of an evolved table carries the new column") {
+    val t = fresh("evo_stream")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 2.5), (2, 'b', null)")
+    val sink = "evo_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.table(t)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(sink).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a", 2.5), (2L, "b", null)))
+  }
+
   test("guards: key is immutable, duplicates and bad types rejected") {
     val t = fresh("evo_guard")
     intercept[Exception] {
