@@ -994,6 +994,38 @@ object SourceQueries {
            |FROM $t GROUP BY value ORDER BY value""".stripMargin)
     }),
 
+    // SNAPSHOT-HISTORY METADATA TABLE (`t$snapshots`, KvMetaTables
+    // .scala — the Iceberg .snapshots / DESCRIBE HISTORY shape): one
+    // row per retained manifest version, computed from manifest
+    // metadata alone — at 100 TB the audit query costs the same as at
+    // 100 KB because no data file is ever opened. The gate drives a
+    // mixed history (append, append, MoR DELETE) and pins the
+    // manifest-exact live-row arithmetic per version (data rows −
+    // tombstones), the delete-file flag, and that a MoR DELETE
+    // removes NO members (removed_files = 0 — tombstones are
+    // additions). The oracle recomputes each version's live count
+    // from raw orders.
+    "catalog_snapshots_table" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.snap_meta_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`") // v1
+      s.sql(s"INSERT INTO $t SELECT o_orderkey + 10000000, " +
+        "concat('N-', o_orderpriority) " +
+        s"FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 4 = 0") // v2
+      s.sql(s"DELETE FROM $t WHERE key % 3 = 0") // v3: tombstones only
+      s.sql(
+        s"""SELECT CAST(version AS BIGINT) AS version, live_rows,
+           |       CAST(n_delete_files > 0 AS BIGINT) AS has_deletes,
+           |       removed_files
+           |FROM graft_kv.default.`snap_meta_gate$$snapshots`
+           |ORDER BY version""".stripMargin)
+    }),
+
     // INCREMENTAL MATERIALIZED VIEW over the CDC feed: the canonical
     // downstream use of `$changes` — maintain a grouped aggregate
     // from signed change rows alone (insert = +1, delete = -1),
@@ -2117,6 +2149,24 @@ object SourceQueries {
         |       CAST(sum(key) AS BIGINT) AS sum_keys,
         |       CAST(sum(coalesce(weight * 2, 0)) AS BIGINT) AS weight2
         |FROM t GROUP BY value ORDER BY value""".stripMargin,
+    // Per-version live-row arithmetic recomputed from raw orders:
+    // v1 = the full insert, v2 adds the shifted %4 subset, v3 MoR-
+    // deletes every key % 3 = 0 (tombstones: has_deletes flips, no
+    // member removed).
+    "catalog_snapshots_table" ->
+      """WITH base AS (SELECT o_orderkey AS k FROM orders),
+        |added AS (SELECT o_orderkey + 10000000 AS k FROM orders
+        |          WHERE o_orderkey % 4 = 0),
+        |t AS (SELECT k FROM base UNION ALL SELECT k FROM added)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |       (SELECT count(*) FROM base) AS live_rows,
+        |       CAST(0 AS BIGINT) AS has_deletes,
+        |       CAST(0 AS BIGINT) AS removed_files
+        |UNION ALL
+        |SELECT 2, (SELECT count(*) FROM t), 0, 0
+        |UNION ALL
+        |SELECT 3, (SELECT count(*) FROM t WHERE k % 3 <> 0), 1, 0
+        |ORDER BY version""".stripMargin,
     // Vacuum reclaims orphans only — live content must be untouched.
     "catalog_vacuum" ->
       """SELECT o_orderpriority AS value,

@@ -753,8 +753,14 @@ class KvPartitionReader(
           case None => null
           case Some(x) => dtype match {
             case LongType => Long.box(x.asInstanceOf[Long])
-            case org.apache.spark.sql.types.DoubleType =>
-              Double.box(x.asInstanceOf[Double])
+            case org.apache.spark.sql.types.DoubleType => x match {
+              case d: Double => Double.box(d)
+              // bigint → double widened column: tokens written before
+              // the ALTER are longs — exactly representable, coerce.
+              case l: Long => Double.box(l.toDouble)
+              case other => throw new IllegalStateException(
+                s"double column $storage holds ${other.getClass}")
+            }
             case StringType =>
               UTF8String.fromString(x.asInstanceOf[String])
             case other => throw new IllegalStateException(
@@ -943,7 +949,25 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     */
   private val ChangesSuffix = "$changes"
 
+  /** Commit-history metadata table: `t$snapshots` (KvMetaTables
+    * .scala) — one row per retained manifest version, manifest-only.
+    */
+  private val SnapshotsSuffix = "$snapshots"
+
   override def loadTable(ident: Identifier): Table = {
+    if (ident.name().endsWith(SnapshotsSuffix)) {
+      val base = Identifier.of(
+        ident.namespace(), ident.name().stripSuffix(SnapshotsSuffix))
+      val p = tablePath(base)
+      if (!java.nio.file.Files.isDirectory(p))
+        throw new NoSuchTableException(base)
+      require(KvBucketing.readMetaFull(p.toString).snapshots,
+        s"${base.name()}$SnapshotsSuffix needs a snapshotted base " +
+          "table (TBLPROPERTIES ('snapshots'='true')) — the manifest " +
+          "log IS the history")
+      return new KvSnapshotsMetaTable(
+        p.toString, s"kvjsonl snapshots($p)")
+    }
     if (ident.name().endsWith(ChangesSuffix)) {
       val base = Identifier.of(
         ident.namespace(), ident.name().stripSuffix(ChangesSuffix))
@@ -1254,6 +1278,27 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           // name through their own schema version.
           cur.map(c => if (c.id == col.id) c.copy(name = toName) else c)
         })
+      case upd: TableChange.UpdateColumnType =>
+        val colName = singleName(upd.fieldNames())
+        evolveSchema(dir, (_, cur) => {
+          val col = cur.find(_.name.equalsIgnoreCase(colName))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $colName in ${ident.name()}"))
+          // The ONE safe widening: every stored bigint token is
+          // exactly representable as a double, the reader coerces
+          // old-encoding values at materialization, and pinned reads
+          // keep the old type through their own schema version. The
+          // key (id 1) and the id-2 string slot are structural.
+          require(
+            col.id > 2 && col.dtype == LongType &&
+              upd.newDataType() == org.apache.spark.sql.types.DoubleType,
+            s"unsupported type change ${col.dtype.simpleString} -> " +
+              s"${upd.newDataType().simpleString} for $colName: only " +
+              "bigint -> double widening is metadata-safe (anything " +
+              "else would reinterpret or rewrite stored data)")
+          cur.map(c =>
+            if (c.id == col.id) c.copy(dtype = upd.newDataType()) else c)
+        })
       case del: TableChange.DeleteColumn =>
         val colName = singleName(del.fieldNames())
         evolveSchema(dir, (_, cur) => {
@@ -1276,9 +1321,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         })
 
       case other => throw new UnsupportedOperationException(
-        "kvjsonl tables support ADD/RENAME/DROP COLUMN and the " +
-          s"snapshots property; got $other (bucketing and the key " +
-          "column are immutable)")
+        "kvjsonl tables support ADD/RENAME/DROP COLUMN, " +
+          "bigint->double widening, and the snapshots property; " +
+          s"got $other (bucketing and the key column are immutable)")
     }
     new KvJsonlTable(dir, viaCatalog = true)
   }

@@ -270,8 +270,15 @@ class KvChangesReader(
                 case Some(x) => c.dtype match {
                   case org.apache.spark.sql.types.LongType =>
                     Long.box(x.asInstanceOf[Long])
-                  case org.apache.spark.sql.types.DoubleType =>
-                    Double.box(x.asInstanceOf[Double])
+                  case org.apache.spark.sql.types.DoubleType => x match {
+                    case d: Double => Double.box(d)
+                    // bigint → double widened column: pre-ALTER tokens
+                    // are longs — exactly representable, coerce.
+                    case l: Long => Double.box(l.toDouble)
+                    case other => throw new IllegalStateException(
+                      s"double column ${c.storageName} holds " +
+                        s"${other.getClass}")
+                  }
                   case org.apache.spark.sql.types.StringType =>
                     UTF8String.fromString(x.asInstanceOf[String])
                   case other => throw new IllegalStateException(

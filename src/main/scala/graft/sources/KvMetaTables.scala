@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `<table>$snapshots` — the commit-history metadata table of a
+  * snapshotted kv table (Iceberg's `.snapshots` / Delta's DESCRIBE
+  * HISTORY shape): one row per RETAINED manifest version, computed
+  * entirely from manifest metadata — no data file is ever opened, so
+  * the query costs the same at 100 TB as at 100 KB.
+  *
+  * {{{ SELECT * FROM graft_kv.default.`t$snapshots` }}}
+  *
+  * Columns:
+  *   - `version`          — the manifest version (the time-travel pin)
+  *   - `committed_at_ms`  — manifest commit wall time (epoch millis)
+  *   - `n_data_files` / `n_delete_files` — membership composition
+  *   - `live_rows`        — data rows − tombstones (NULL when any
+  *     member predates stats — a migrated file with unknown counts)
+  *   - `added_files` / `removed_files` — membership diff vs the
+  *     predecessor (NULL for the oldest retained version when its
+  *     predecessor has been expired — the diff is unknowable, same
+  *     honesty rule as everywhere else in the connector)
+  */
+object KvSnapshotsMetaTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("committed_at_ms", LongType, nullable = false),
+    StructField("n_data_files", LongType, nullable = false),
+    StructField("n_delete_files", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = true),
+    StructField("added_files", LongType, nullable = true),
+    StructField("removed_files", LongType, nullable = true)))
+
+  /** One row per retained version, oldest first. Driver-side and
+    * metadata-only by construction: the row count is the number of
+    * retained snapshots, bounded by the expiration policy.
+    */
+  def rows(path: String): Seq[Seq[Any]] = {
+    val vs = KvSnapshots.versions(path)
+    vs.map { v =>
+      val stats = KvSnapshots.membersWithStats(path, v)
+      val data = KvSnapshots.dataFiles(stats)
+      val dels = KvSnapshots.deleteFiles(stats)
+      val live: Any =
+        if (stats.exists(_.rows < 0)) null
+        else Long.box(data.map(_.rows).sum - dels.map(_.rows).sum)
+      val prev: Option[Set[String]] =
+        if (v == vs.head && v > 1) None // predecessor expired
+        else if (v == 1) Some(Set.empty)
+        else KvSnapshots.membersIfPresent(path, v - 1).map(_.toSet)
+      val names = stats.map(_.name).toSet
+      val added: Any =
+        prev.map(p => Long.box((names -- p).size.toLong)).orNull
+      val removed: Any =
+        prev.map(p => Long.box((p -- names).size.toLong)).orNull
+      Seq(
+        Int.box(v),
+        Long.box(KvSnapshots.commitMillis(path, v)),
+        Long.box(data.size.toLong),
+        Long.box(dels.size.toLong),
+        live, added, removed)
+    }
+  }
+}
+
+class KvSnapshotsMetaTable(path: String, tableName: String)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = KvSnapshotsMetaTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KvSnapshotsMetaScan(path)
+}
+
+/** Single-partition local scan: the rows are computed at PLANNING
+  * time on the driver (they are manifest metadata — a handful per
+  * retained version) and ship to the one task whole.
+  */
+class KvSnapshotsMetaScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = KvSnapshotsMetaTable.Schema
+  override def toBatch: Batch = this
+  override def description(): String = s"kvjsonl snapshots($path)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvLocalRowsPartition(KvSnapshotsMetaTable.rows(path)))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition
+          .asInstanceOf[KvLocalRowsPartition].rows.iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!rows.hasNext) false
+            else { cur = InternalRow.fromSeq(rows.next()); true }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class KvLocalRowsPartition(rows: Seq[Seq[Any]])
+    extends InputPartition

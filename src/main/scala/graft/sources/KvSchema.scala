@@ -24,8 +24,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
   *     lack the storage field and read as NULL (exactly parquet's
   *     missing-column semantics). DROP COLUMN is metadata-only too:
   *     old files keep the field, readers never project it. Field
-  *     TYPES are immutable per id (a type change would need a
-  *     rewrite; unsupported by design);
+  *     TYPES are immutable per id except the one SAFE WIDENING,
+  *     bigint → double (ALTER COLUMN c TYPE DOUBLE): every stored
+  *     long token is exactly representable, the reader coerces
+  *     old-encoding values at materialization, and old snapshots keep
+  *     reading the old type through their own schema version. All
+  *     other changes would need a rewrite; unsupported by design;
   *   - absent `_schema.json` ⇒ the founding fixed schema
   *     (`key BIGINT, value STRING`) — every pre-evolution table reads
   *     and writes byte-identically to before this layer existed.

@@ -251,6 +251,12 @@ object KvSnapshots {
     * sub-microsecond truncation can only ever EXCLUDE a borderline
     * snapshot, never include one committed after the asked-for time.
     */
+  /** Commit wall time of a version (manifest mtime, epoch millis) —
+    * the `$snapshots` metadata table's `committed_at_ms`.
+    */
+  def commitMillis(path: String, version: Int): Long =
+    Files.getLastModifiedTime(manifestPath(path, version)).toMillis
+
   def resolveTimestamp(path: String, micros: Long): Int = {
     def commitMicros(v: Int): Long = {
       val t = Files.getLastModifiedTime(manifestPath(path, v)).toInstant

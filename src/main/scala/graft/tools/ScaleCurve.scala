@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * distinguish log-linear growth from quadratic onset — 2.8× time for
   * 10× data is excellent if the curve is flattening and alarming if
   * it is steepening. This probe times each query at 1×, 3× and 10×
-  * replicas (same JVM, best-of-2, small-scale JIT warm pass first)
+  * replicas (same JVM, best-of-3, warm passes first)
   * and fits the local log-log slope between consecutive points:
   *
   *   alpha = ln(t_b / t_a) / ln(b / a)
@@ -58,16 +58,26 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Best-of-3: contention on this shared box only ever ADDS time,
+    // and the three points of one query span ~30s of wall — enough
+    // for a co-tenant burst to poison a single-shot slope. The min of
+    // three samples per point is the defensible steady-state.
     def time(name: String, dir: String): Double =
-      (1 to 2).map { _ =>
+      (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    // Warm twice: once at sf0.01 (codegen/JIT) and once UNTIMED at the
+    // 1x scale itself — the first 3-point run showed the first timed
+    // point absorbing residual warmup (t_3x < t_1x for the first
+    // target), which corrupts the fitted slope signs.
     Targets.foreach { n =>
       try graft.SparkEntry.queries(n)(
         spark, sf1x.replace("sf0.1", "sf0.01")).count()
+      catch { case scala.util.control.NonFatal(_) => () }
+      try graft.SparkEntry.queries(n)(spark, sf1x).count()
       catch { case scala.util.control.NonFatal(_) => () }
     }
     def f3(d: Double): String =
@@ -78,8 +88,16 @@ object ScaleCurve {
       val t10 = time(n, sf10x)
       val a13 = math.log(t3 / t1) / math.log(3.0)
       val a310 = math.log(t10 / t3) / math.log(10.0 / 3.0)
+      // A NEGATIVE 1→3 slope (more data, less time) cannot be work
+      // growth — it is the base layout: the driver's sf0.1 tables are
+      // single parquet files while the ScaleGen replicas are multi-
+      // file, so the 1× point under-parallelizes its scan stage. The
+      // shape verdict then rests on the 3→10 slope alone (both points
+      // share the replica layout) and says so.
+      val layoutArtifact = a13 < 0
       val shape =
-        if (a310 - a13 > 0.25) "steepening"
+        if (layoutArtifact) "3-10-only (1x base under-parallelized)"
+        else if (a310 - a13 > 0.25) "steepening"
         else if (a13 - a310 > 0.25) "flattening"
         else "stable"
       val regime =
@@ -97,7 +115,7 @@ object ScaleCurve {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SCALE_CURVE.json"),
       (s"""{"unit":"sec","points":[1,3,10],"base":"$sf1x",""" +
-        s""""best_of":2,"queries":{${rows.mkString(",")}}}""" +
+        s""""best_of":3,"queries":{${rows.mkString(",")}}}""" +
         "\n").getBytes("UTF-8"))
     spark.stop()
   }

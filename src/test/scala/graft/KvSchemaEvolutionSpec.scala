@@ -162,6 +162,29 @@ class KvSchemaEvolutionSpec extends SparkTestBase {
     assert(got === Seq((1L, "a", 2.5), (2L, "b", null)))
   }
 
+  test("ALTER COLUMN TYPE: bigint widens to double, old tokens " +
+      "coerce, old snapshots keep the old type") {
+    val t = fresh("evo_widen", "key BIGINT, value STRING, n BIGINT")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 5)") // v1: n stored as long
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE DOUBLE")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 2.5)") // v2: double
+    val got = spark.sql(s"SELECT key, n FROM $t ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((1L, 5.0), (2L, 2.5)))
+    // the pre-ALTER snapshot still reads n as BIGINT
+    val v1 = spark.sql(s"SELECT n FROM $t VERSION AS OF 1")
+    assert(v1.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(v1.head.getLong(0) == 5L)
+    // narrowing and structural slots stay rejected
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN key TYPE DOUBLE") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN value TYPE DOUBLE") }
+  }
+
   test("guards: key is immutable, duplicates and bad types rejected") {
     val t = fresh("evo_guard")
     intercept[Exception] {

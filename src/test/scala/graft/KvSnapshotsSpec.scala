@@ -226,6 +226,41 @@ class KvSnapshotsSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("$snapshots metadata table: per-version history; expiration " +
+      "degrades the oldest diff to NULL") {
+    cat()
+    val t = "graft_kv.default.snapmeta_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(10)") // v1
+    spark.sql(s"INSERT INTO $t SELECT id + 10, 'b' FROM range(5)") // v2
+    val meta = "graft_kv.default.`snapmeta_spec$snapshots`"
+    val rows = spark.sql(
+      s"SELECT version, n_data_files, n_delete_files, live_rows, " +
+        s"removed_files FROM $meta ORDER BY version").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(rows.map(_.getLong(3)).toSeq === Seq(10L, 15L))
+    assert(rows.forall(_.getLong(2) == 0L)) // no tombstones
+    assert(rows.forall(_.getLong(4) == 0L)) // appends remove nothing
+    assert(rows.forall(_.getLong(1) > 0L))
+    // commit times are monotone non-decreasing
+    val ts = spark.sql(s"SELECT committed_at_ms FROM $meta " +
+      "ORDER BY version").collect().map(_.getLong(0))
+    assert(ts.sorted.toSeq === ts.toSeq)
+    // expire history: the surviving oldest version cannot know its
+    // diff — added/removed honestly NULL, the rest still served
+    spark.sql("CALL graft_kv.system.expire_snapshots(" +
+      "table => 'default.snapmeta_spec', keep_last => 1)")
+    val left = spark.sql(
+      s"SELECT version, live_rows, added_files FROM $meta").collect()
+    assert(left.length == 1 && left.head.getInt(0) == 2)
+    assert(left.head.getLong(1) == 15L)
+    assert(left.head.isNullAt(2),
+      "added_files must be NULL once the predecessor manifest expired")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("other ALTERs stay rejected (column changes are supported now)") {
     cat()
     val t = "graft_kv.default.alt_spec"
