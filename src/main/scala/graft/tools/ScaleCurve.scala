@@ -27,12 +27,17 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleCurve {
 
-  /** The round-14 super-linear trio, plus the best scaler as a
-    * control (a probe that flags pq_report too is measuring the box,
+  /** The round-14 super-linear trio first (the open question), then
+    * the rest of the sf1.0 probe's heavy set — a shape verdict for
+    * every query whose 10x ratio the probe measured. pq_report acts
+    * as the control (a probe that flags it too is measuring the box,
     * not the plans).
     */
   val Targets: Seq[String] = Seq(
-    "setsim_prefix_join", "lsh_param_sweep", "tpch_q18", "pq_report")
+    "setsim_prefix_join", "lsh_param_sweep", "tpch_q18", "pq_report",
+    "dedup_policy", "token_pmi", "theilsen_trend", "repetition_score",
+    "minhash_band_pairs", "top_terms_per_source",
+    "stream_heavy_hitters", "stream_v2_metadata")
 
   def main(args: Array[String]): Unit = {
     val sf1x =
