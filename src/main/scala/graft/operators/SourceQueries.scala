@@ -1026,6 +1026,45 @@ object SourceQueries {
            |ORDER BY version""".stripMargin)
     }),
 
+    // SNAPSHOT TAGS (KvRefs.scala — the Iceberg ref model's read-only
+    // half): `system.tag` pins a name to a version, `VERSION AS OF
+    // 'name'` reads it, and the pin is EXPIRE-PROOF — the lineage
+    // contract a training pipeline needs (the dataset a model shipped
+    // from stays readable until the tag is dropped). The gate tags
+    // the pristine v1, garbles the current state with a DELETE, runs
+    // expire_snapshots(keep_last => 1) — which reclaims everything
+    // untagged but must keep v1 alive — and hashes the tag read: any
+    // expired manifest, resurrected tombstone, or tag drift breaks it
+    // against the raw-orders oracle.
+    "catalog_tags" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.tags_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`") // v1
+      s.sql("CALL graft_kv.system.tag(table => 'default.tags_gate', " +
+        "name => 'pristine')")
+      s.sql(s"DELETE FROM $t WHERE key % 2 = 0") // v2 (CoW rewrite)
+      s.sql(s"INSERT INTO $t VALUES (-1, 'JUNK')") // v3
+      s.sql("CALL graft_kv.system.expire_snapshots(" +
+        "table => 'default.tags_gate', keep_last => 1)")
+      val retained = graft.sources.KvSnapshots.versions(
+        s"${graft.Fs.sinkDir("graft_kv_wh")}/default/tags_gate")
+      require(retained.contains(1),
+        s"catalog_tags: expire reclaimed the TAGGED v1 " +
+          s"(retained: ${retained.mkString(",")})")
+      require(!retained.contains(2),
+        s"catalog_tags: expire kept the untagged v2 " +
+          s"(retained: ${retained.mkString(",")})")
+      s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t VERSION AS OF 'pristine'
+           |GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
     // INCREMENTAL MATERIALIZED VIEW over the CDC feed: the canonical
     // downstream use of `$changes` — maintain a grouped aggregate
     // from signed change rows alone (insert = +1, delete = -1),
@@ -2167,6 +2206,14 @@ object SourceQueries {
         |UNION ALL
         |SELECT 3, (SELECT count(*) FROM t WHERE k % 3 <> 0), 1, 0
         |ORDER BY version""".stripMargin,
+    // The tag pins the PRISTINE v1 — the full unmodified insert,
+    // however the current state was garbled afterwards.
+    "catalog_tags" ->
+      """SELECT o_orderpriority AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY value""".stripMargin,
     // Vacuum reclaims orphans only — live content must be untouched.
     "catalog_vacuum" ->
       """SELECT o_orderpriority AS value,

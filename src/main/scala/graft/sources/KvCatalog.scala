@@ -999,12 +999,14 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     require(KvBucketing.readMetaFull(p.toString).snapshots,
       s"table ${ident.name()} was not created with " +
         "TBLPROPERTIES ('snapshots'='true'); no versions to travel to")
-    val v =
-      try version.toInt
-      catch { case _: NumberFormatException =>
+    // An integer is a version pin; anything else resolves as a TAG
+    // (KvRefs.scala) — `VERSION AS OF 'training-data-v1'`.
+    val v = version.toIntOption.getOrElse(
+      KvRefs.resolve(p.toString, version).getOrElse(
         throw new IllegalArgumentException(
-          s"kv snapshot versions are integers; got '$version'")
-      }
+          s"'$version' is neither a snapshot version nor a tag of " +
+            s"${ident.name()} (tags: " +
+            s"${KvRefs.read(p.toString).keys.toSeq.sorted.mkString(", ")})")))
     val have = KvSnapshots.versions(p.toString)
     require(have.contains(v),
       s"no snapshot v$v of ${ident.name()} " +
@@ -1211,6 +1213,12 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           s"cannot disable snapshots on ${ident.name()}: the table " +
             "uses merge-on-read DML, whose delete files only exist " +
             "in the snapshot manifests")
+        // Tags pin versions; collapsing history would tear the pinned
+        // manifests out from under `VERSION AS OF 'name'` readers.
+        require(KvRefs.read(dir).isEmpty,
+          s"cannot disable snapshots on ${ident.name()}: tags exist " +
+            s"(${KvRefs.read(dir).keys.toSeq.sorted.mkString(", ")}) — " +
+            "drop them first")
         // Crash-ordering matters: (1) delete non-member files — the
         // table is still snapshotted, so reads (manifest-driven) never
         // see them anyway; (2) flip the meta — from here reads list
@@ -1425,7 +1433,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(SystemNs, "expire_snapshots"),
         Identifier.of(SystemNs, "cluster"),
         Identifier.of(SystemNs, "rollback"),
-        Identifier.of(SystemNs, "vacuum"))
+        Identifier.of(SystemNs, "vacuum"),
+        Identifier.of(SystemNs, "tag"),
+        Identifier.of(SystemNs, "drop_tag"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
@@ -1439,13 +1449,17 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       case "cluster" => new KvClusterProcedure(this)
       case "rollback" => new KvRollbackProcedure(this)
       case "vacuum" => new KvVacuumProcedure(this)
+      case "tag" => new KvTagProcedure(this)
+      case "drop_tag" => new KvDropTagProcedure(this)
       case other => throw new IllegalArgumentException(
         s"no such procedure: system.$other (the kv catalog ships " +
           "system.compact(table, target_files), " +
           "system.expire_snapshots(table, keep_last), " +
           "system.cluster(table, target_files), " +
-          "system.rollback(table, version) and " +
-          "system.vacuum(table, older_than_ms))")
+          "system.rollback(table, version), " +
+          "system.vacuum(table, older_than_ms), " +
+          "system.tag(table, name, version) and " +
+          "system.drop_tag(table, name))")
     }
   }
 

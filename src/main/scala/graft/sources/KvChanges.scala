@@ -176,14 +176,17 @@ class KvChangesScan(
   override def toBatch: Batch = this
   override def description(): String = s"kvjsonl changes $path"
 
-  /** Batch = the WHOLE retained history: the oldest retained version
-    * as an initial snapshot when its predecessor is gone, exact diffs
-    * from there.
+  /** Batch = the WHOLE retained history: any version whose
+    * predecessor manifest is gone — the oldest retained one, or a
+    * version just past a GAP (tag-protected retention is
+    * non-contiguous after expiration) — degrades to an initial
+    * snapshot; exact diffs everywhere else.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val versions = KvSnapshots.versions(path)
-    versions.zipWithIndex.flatMap { case (v, i) =>
-      val initial = i == 0 && v > 1
+    versions.flatMap { v =>
+      val initial = v > 1 &&
+        KvSnapshots.membersIfPresent(path, v - 1).isEmpty
       KvChanges.commitPartitions(path, v, initial)
     }.toArray
   }

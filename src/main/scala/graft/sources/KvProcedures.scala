@@ -292,7 +292,7 @@ class KvVacuumProcedure(cat: KvCatalog)
             .flatMap(v => KvSnapshots.members(path, v)).toSet
         val keepNames =
           Set(KvSnapshots.DirName, KvBucketing.MetaFile, "_SUCCESS",
-            "_temporary")
+            "_temporary", KvSchema.FileName, KvRefs.FileName)
         val cutoff = System.currentTimeMillis() - grace
         var deleted = 0L
         val s = java.nio.file.Files.list(dir)
@@ -332,4 +332,129 @@ object KvVacuumProcedure {
   val OutSchema: StructType = StructType(Seq(
     StructField("files_referenced", LongType),
     StructField("orphans_deleted", LongType)))
+}
+
+/** `system.tag` — pin a human name to a retained snapshot version
+  * (KvRefs.scala):
+  *
+  * {{{ CALL graft_kv.system.tag(table => 'default.t',
+  *                              name => 'training-data-v1',
+  *                              version => 7) }}}
+  *
+  * After which `VERSION AS OF 'training-data-v1'` reads v7 forever:
+  * tagged versions survive `expire_snapshots` however old they get —
+  * the lineage pin a 100 TB training pipeline needs (the dataset a
+  * model shipped from stays readable until the tag is dropped).
+  * Omitting `version` tags the CURRENT snapshot. Tags are immutable
+  * pins: re-pointing requires an explicit drop first. Returns one row
+  * (name, version).
+  */
+class KvTagProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin a name to a snapshot version (expire-proof; " +
+      "readable as VERSION AS OF 'name')"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "tag"
+      override def description(): String =
+        KvTagProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("name", StringType)
+            .comment("tag name ([A-Za-z0-9._-]+, not an integer)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("version", IntegerType)
+            .defaultValue("NULL")
+            .comment("snapshot version to pin (default: the current one)")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val tagName = input.getUTF8String(1).toString
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val path = dir.toString
+        val v =
+          if (input.numFields > 2 && !input.isNullAt(2)) input.getInt(2)
+          else KvSnapshots.latest(path).getOrElse(
+            throw new IllegalStateException(
+              s"$table has no committed snapshots to tag"))
+        KvRefs.tag(path, tagName, v)
+        KvProcedures.localScan(KvTagProcedure.OutSchema,
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(tagName),
+            v.toLong))
+      }
+    }
+}
+
+object KvTagProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("version", LongType)))
+}
+
+/** `system.drop_tag` — remove a tag; the pinned version becomes
+  * expirable again under the ordinary keep_last policy. Returns one
+  * row (name, was_version).
+  */
+class KvDropTagProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "drop_tag"
+  override def description(): String =
+    "remove a snapshot tag (the version becomes expirable again)"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "drop_tag"
+      override def description(): String =
+        KvDropTagProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("name", StringType)
+            .comment("tag to drop")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val tagName = input.getUTF8String(1).toString
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val was = KvRefs.dropTag(dir.toString, tagName)
+        KvProcedures.localScan(KvDropTagProcedure.OutSchema,
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(tagName),
+            was.toLong))
+      }
+    }
+}
+
+object KvDropTagProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("was_version", LongType)))
 }

@@ -276,7 +276,16 @@ object KvSnapshots {
   def expire(path: String, keepLast: Int): (Long, Long, Long) = {
     require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
     val all = versions(path)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    // TAGGED versions survive expiration however old they get — a
+    // tag is a lineage pin (KvRefs.scala); reclaiming one from under
+    // a `VERSION AS OF 'name'` reader would be silent data loss. The
+    // retained set can therefore be NON-CONTIGUOUS; every
+    // history-walking read path tolerates gaps (missing predecessor
+    // degrades diffs to initial-snapshot / NULL, never crashes).
+    val tagged = KvRefs.taggedVersions(path)
+    val tail = all.takeRight(keepLast).toSet
+    val keep = all.filter(v => tail(v) || tagged(v))
+    val drop = all.filterNot(v => tail(v) || tagged(v))
     val live: Set[String] =
       keep.flatMap(v => members(path, v)).toSet
     var deleted = 0L
