@@ -9,10 +9,12 @@ import org.apache.spark.sql.connector.catalog.procedures
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
-/** Round-14 snapshot-lifecycle procedures for the kv catalog. The
+/** Snapshot-lifecycle procedures for the kv catalog. The
   * compact/expire pair (KvCatalog.scala) covers file-grain and
-  * history-retention maintenance; these three complete the lifecycle
-  * a production table format ships:
+  * history-retention maintenance; this file completes the lifecycle
+  * a production table format ships — cluster/rollback/vacuum plus
+  * the tag/drop_tag pair (expire-proof named version pins,
+  * KvRefs.scala):
   *
   *   - `system.cluster`  — sort-by-key data layout rewrite, the step
   *     that makes the manifest zone maps actually PRUNE (Delta

@@ -185,6 +185,38 @@ class KvSchemaEvolutionSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE $t ALTER COLUMN value TYPE DOUBLE") }
   }
 
+  test("compact and cluster rewrite evolved tables losslessly") {
+    def fingerprint(t: String): Seq[(Long, String, Any)] =
+      spark.sql(s"SELECT key, value, score FROM $t ORDER BY key")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    def fill(t: String): Unit = {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+      // several commits → several files, mixed null/value extras
+      spark.sql(s"INSERT INTO $t SELECT id, concat('a', id), " +
+        "CAST(id AS DOUBLE) / 2 FROM range(0, 50)")
+      spark.sql(s"INSERT INTO $t SELECT id, concat('b', id), NULL " +
+        "FROM range(50, 100)")
+    }
+    // compact maintains PLAIN tables, cluster snapshotted ones —
+    // each must carry the evolved extras through its rewrite
+    val tc = fresh("evo_compact", props = "")
+    fill(tc)
+    val beforeC = fingerprint(tc)
+    spark.sql("CALL graft_kv.system.compact(" +
+      "table => 'default.evo_compact', target_files => 2)")
+    assert(fingerprint(tc) === beforeC,
+      "compact dropped or mangled evolved column data")
+    val tk = fresh("evo_cluster")
+    fill(tk)
+    val beforeK = fingerprint(tk)
+    spark.sql("CALL graft_kv.system.cluster(" +
+      "table => 'default.evo_cluster', target_files => 3)")
+    assert(fingerprint(tk) === beforeK,
+      "cluster dropped or mangled evolved column data")
+  }
+
   test("guards: key is immutable, duplicates and bad types rejected") {
     val t = fresh("evo_guard")
     intercept[Exception] {
