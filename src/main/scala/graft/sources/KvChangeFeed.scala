@@ -98,44 +98,8 @@ class KvChangeFeedStream(
           s"but the table's latest snapshot is v$latest — the " +
           "checkpoint does not belong to this table's history " +
           "(dropped and recreated?); restart with a fresh checkpoint")
-    val target = math.max(s, head)
-    maxBytesPerTrigger match {
-      case None => KvVersionOffset(math.min(s + 1, target))
-      case Some(maxB) =>
-        // Walk versions while the cumulative size of their ADDED data
-        // files fits. Sizes come from the live files (metadata-only —
-        // one Files.size per added file, the same listing the batch
-        // planner pays); a version whose predecessor manifest expired
-        // degrades to full membership, matching what
-        // planInputPartitions will actually read for it.
-        var v = s
-        var total = 0L
-        var continue = true
-        while (continue && v < target) {
-          val next = addedBytes(v + 1)
-          if (v > s && total + next > maxB) continue = false
-          else { v += 1; total += next }
-        }
-        KvVersionOffset(v)
-    }
-  }
-
-  /** Bytes of the data files version `v` ADDED over its predecessor
-    * (the batch content the feed emits for it).
-    */
-  private def addedBytes(v: Int): Long = {
-    val cur = KvSnapshots.membersIfPresent(path, v)
-      .getOrElse(Seq.empty)
-    val prev: Set[String] =
-      if (v <= 1) Set.empty
-      else KvSnapshots.membersIfPresent(path, v - 1)
-        .map(_.toSet).getOrElse(Set.empty)
-    cur.filterNot(prev.contains)
-      .filterNot(KvSnapshots.isDeleteFile)
-      .map { n =>
-        try java.nio.file.Files.size(java.nio.file.Paths.get(path, n))
-        catch { case _: java.io.IOException => 0L }
-      }.sum
+    KvVersionOffset(KvFeedAdmission.admit(
+      path, s, math.max(s, head), maxBytesPerTrigger))
   }
 
   override def reportLatestOffset(): Offset = KvVersionOffset(head)
@@ -214,5 +178,57 @@ object KvVersionOffset {
     case Json(v) => KvVersionOffset(v.toInt)
     case other => throw new IllegalArgumentException(
       s"bad kv changefeed offset: $other")
+  }
+}
+
+/** Shared streaming-admission arithmetic for the rows feed AND the
+  * `$changes` CDC stream: walk forward from a start version,
+  * admitting as many consecutive commits as fit a bytes target —
+  * always at least one (the progress guarantee every Spark source
+  * honors). Without a target, one commit per batch: the natural CDC
+  * grain. With one, a from-scratch replay of a 100 TB table's history
+  * plans O(data / target) micro-batches instead of O(commits).
+  */
+private[sources] object KvFeedAdmission {
+
+  /** Highest admissible end version in (start, target]. */
+  def admit(
+      path: String, start: Int, target: Int,
+      maxBytesPerTrigger: Option[Long]): Int =
+    maxBytesPerTrigger match {
+      case None => math.min(start + 1, target)
+      case Some(maxB) =>
+        // Sizes come from the live files (metadata-only — one
+        // Files.size per added file, the same listing the batch
+        // planner pays); a version whose predecessor manifest expired
+        // degrades to full membership, matching what the planner will
+        // actually read for it.
+        var v = start
+        var total = 0L
+        var continue = true
+        while (continue && v < target) {
+          val next = addedBytes(path, v + 1)
+          if (v > start && total + next > maxB) continue = false
+          else { v += 1; total += next }
+        }
+        v
+    }
+
+  /** Bytes of the data files version `v` ADDED over its predecessor
+    * (the batch content a feed emits for it).
+    */
+  private def addedBytes(path: String, v: Int): Long = {
+    val cur = KvSnapshots.membersIfPresent(path, v)
+      .getOrElse(Seq.empty)
+    val prev: Set[String] =
+      if (v <= 1) Set.empty
+      else KvSnapshots.membersIfPresent(path, v - 1)
+        .map(_.toSet).getOrElse(Set.empty)
+    cur.filterNot(prev.contains)
+      .filterNot(KvSnapshots.isDeleteFile)
+      .map { n =>
+        try java.nio.file.Files.size(java.nio.file.Paths.get(path, n))
+        catch { case _: java.io.IOException => 0L }
+      }.sum
   }
 }

@@ -157,20 +157,36 @@ class KvChangesTable(path: String, tableName: String)
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvChangesScanBuilder(path, cols)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Same size-based streaming admission knob as the rows feed: a
+    // CDC replay defaults to one commit per batch (the transactional
+    // fold grain) but can right-size batches by bytes — correctness
+    // is unaffected either way because every change row carries its
+    // `_commit_version`.
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map { v =>
+      val b = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(v)
+      require(b > 0, s"maxBytesPerTrigger must be positive; got $v")
+      b
+    }
+    new KvChangesScanBuilder(path, cols, maxBytes)
+  }
 }
 
-class KvChangesScanBuilder(path: String, cols: Seq[KvSchema.Col])
+class KvChangesScanBuilder(
+    path: String, cols: Seq[KvSchema.Col],
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = KvChanges.schemaFor(cols)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new KvChangesScan(path, required, cols)
+  override def build(): Scan =
+    new KvChangesScan(path, required, cols, maxBytesPerTrigger)
 }
 
 class KvChangesScan(
-    path: String, required: StructType, cols: Seq[KvSchema.Col])
+    path: String, required: StructType, cols: Seq[KvSchema.Col],
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -196,7 +212,8 @@ class KvChangesScan(
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new KvChangesStream(path, required.fieldNames, cols)
+    new KvChangesStream(path, required.fieldNames, cols,
+      maxBytesPerTrigger)
 }
 
 class KvChangesReaderFactory(
@@ -309,7 +326,8 @@ class KvChangesReader(
   */
 class KvChangesStream(
     path: String, fields: Array[String],
-    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -343,7 +361,8 @@ class KvChangesStream(
           s"$s, but the table's latest snapshot is v$latest — the " +
           "checkpoint does not belong to this table's history " +
           "(dropped and recreated?); restart with a fresh checkpoint")
-    KvVersionOffset(math.min(s + 1, math.max(s, head)))
+    KvVersionOffset(KvFeedAdmission.admit(
+      path, s, math.max(s, head), maxBytesPerTrigger))
   }
 
   override def reportLatestOffset(): Offset = KvVersionOffset(head)

@@ -167,6 +167,38 @@ class KvChangesSpec extends SparkTestBase {
     assert(rows === expect)
   }
 
+  test("streaming: maxBytesPerTrigger folds many commits into one " +
+      "batch, same change rows") {
+    val t = fresh("cdc_bytes", mor = true)
+    spark.sql(s"INSERT INTO $t SELECT id, concat('a', id) " +
+      "FROM range(0, 50)") // v1
+    spark.sql(s"DELETE FROM $t WHERE key % 10 = 0") // v2
+    spark.sql(s"INSERT INTO $t SELECT id, concat('b', id) " +
+      "FROM range(50, 60)") // v3
+    val sink = "cdc_bytes_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .option("maxBytesPerTrigger", "64m")
+      .table(s"graft_kv.default.`cdc_bytes$$changes`")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) === 1,
+      "a generous bytes target must fold the replay into one batch")
+    // the fold grain changed; the CHANGE ROWS must not — every row
+    // still carries its own _commit_version
+    val rows = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSeq.sorted
+    val expect = (
+      (0L until 50L).map(k => (k, s"a$k", "insert", 1)) ++
+        (0L until 50L by 10).map(k => (k, s"a$k", "delete", 2)) ++
+        (50L until 60L).map(k => (k, s"b$k", "insert", 3))).sorted
+    assert(rows === expect)
+  }
+
   test("$changes demands a snapshotted base and a real base table") {
     cat()
     val t = "graft_kv.default.cdc_plain"
