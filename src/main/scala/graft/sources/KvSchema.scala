@@ -34,6 +34,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
   *     (`key BIGINT, value STRING`) — every pre-evolution table reads
   *     and writes byte-identically to before this layer existed.
   *
+  * DELIBERATELY UNSUPPORTED: column DEFAULT values. Existence
+  * defaults (Iceberg initial-default) need the reader to distinguish
+  * "field absent because the row predates the column" from "writer
+  * wrote NULL" — but this format writes explicit nulls and
+  * [[parseExtras]] folds them into absence, which is exactly what
+  * makes absent-means-NULL reads and the null-vs-missing equivalence
+  * simple and safe. Added columns are nullable and read NULL for
+  * pre-ALTER rows, full stop; a pipeline that wants a fill value says
+  * `coalesce(c, default)` where it reads.
+  *
   * Supported column types: BIGINT, STRING, DOUBLE — the id→type
   * binding is permanent, so a storage field's JSON encoding never
   * changes across the table's life. `key` (id 1) is immutable in
