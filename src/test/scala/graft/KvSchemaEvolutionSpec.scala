@@ -217,6 +217,38 @@ class KvSchemaEvolutionSpec extends SparkTestBase {
       "cluster dropped or mangled evolved column data")
   }
 
+  test("evolution composes with bucketing: routed writes, evolved " +
+      "reads, bucketed MoR DML") {
+    val t = fresh("evo_bucket",
+      props = "PARTITIONED BY (bucket(4, key)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('r', id), " +
+      "CAST(id AS DOUBLE) FROM range(0, 40)")
+    // every data file carries its bucket suffix (routing survived the
+    // evolved writer)
+    val dir = java.nio.file.Paths.get(
+      Fs.sinkDir("graft_kv_wh"), "default", "evo_bucket").toString
+    val members = graft.sources.KvSnapshots.membersWithStats(
+      dir, graft.sources.KvSnapshots.latest(dir).get)
+    val dataFiles = graft.sources.KvSnapshots.dataFiles(members)
+    assert(dataFiles.nonEmpty && dataFiles.forall(f =>
+      graft.sources.KvBucketing.fileBucket(f.name).isDefined),
+      s"unrouted files in evolved bucketed table: ${dataFiles.map(_.name)}")
+    // evolved MoR DML against the bucketed layout
+    spark.sql(s"UPDATE $t SET score = score * 10 WHERE key < 4")
+    spark.sql(s"DELETE FROM $t WHERE key >= 36")
+    val got = spark.sql(
+      s"SELECT count(*) AS n, CAST(sum(score) AS BIGINT) AS s FROM $t")
+      .head
+    // rows 0..35 live; scores: 0..3 ×10 (=60), 4..35 as-is (=624)
+    assert(got.getLong(0) == 36 && got.getLong(1) == 60 + 624,
+      s"got $got")
+    // key-equality reads (bucket pruning path) see evolved columns
+    val one = spark.sql(s"SELECT score FROM $t WHERE key = 2").head
+    assert(one.getDouble(0) == 20.0)
+  }
+
   test("guards: key is immutable, duplicates and bad types rejected") {
     val t = fresh("evo_guard")
     intercept[Exception] {
