@@ -1074,8 +1074,10 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     schema.fields.foreach { f =>
       require(KvSchema.isSupported(f.dataType),
         s"kvjsonl column ${f.name} has unsupported type " +
-          s"${f.dataType.simpleString} (bigint/string/double only)")
-      require(!KvSchema.ReservedNames(f.name),
+          s"${f.dataType.simpleString} " +
+          s"(${KvSchema.SupportedTypeNames} only)")
+      KvSchema.requireValidColName(f.name)
+      require(!KvSchema.isReserved(f.name),
         s"column name ${f.name} is reserved for a metadata column")
     }
     require(
@@ -1240,6 +1242,17 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
             p.resolve(KvBucketing.MetaFile))
         else
           KvBucketing.writeMeta(dir, meta.copy(snapshots = false))
+        // A schema-evolved table's registry keys its Version.from
+        // markers to the numbering being destroyed here; after a
+        // re-enable (numbering restarts at v1) stale markers would
+        // resolve VERSION AS OF pins against the WRONG schema version
+        // (e.g. a pinned v1 surfacing the pre-ALTER column set for
+        // post-ALTER data). Collapse to a single Version(0, current):
+        // the history those markers described is gone either way.
+        KvSchema.read(dir).filter(_.versions.length > 1).foreach { reg =>
+          KvSchema.write(dir,
+            KvSchema.Registry(Seq(KvSchema.Version(0, reg.current))))
+        }
         // Strict delete: a silently-surviving _snapshots dir after the
         // meta flip would corrupt version numbering on re-enable.
         graft.Fs.deleteRecursivelyVerified(
@@ -1253,14 +1266,16 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         val colName = singleName(add.fieldNames())
         require(KvSchema.isSupported(add.dataType()),
           s"kvjsonl column $colName has unsupported type " +
-            s"${add.dataType().simpleString} (bigint/string/double only)")
+            s"${add.dataType().simpleString} " +
+            s"(${KvSchema.SupportedTypeNames} only)")
         require(add.position() == null,
           "kvjsonl ADD COLUMN appends; FIRST/AFTER positions are not " +
             "supported (column order is storage-id order)")
         require(add.isNullable,
           "kvjsonl added columns are nullable by construction — " +
             "files written before the ALTER read the new column as NULL")
-        require(!KvSchema.ReservedNames(colName),
+        KvSchema.requireValidColName(colName)
+        require(!KvSchema.isReserved(colName),
           s"column name $colName is reserved for a metadata column")
         evolveSchema(dir, (reg, cur) => {
           require(!cur.exists(_.name.equalsIgnoreCase(colName)),
@@ -1270,7 +1285,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       case ren: TableChange.RenameColumn =>
         val fromName = singleName(ren.fieldNames())
         val toName = ren.newName()
-        require(!KvSchema.ReservedNames(toName),
+        KvSchema.requireValidColName(toName)
+        require(!KvSchema.isReserved(toName),
           s"column name $toName is reserved for a metadata column")
         evolveSchema(dir, (_, cur) => {
           val col = cur.find(_.name.equalsIgnoreCase(fromName))

@@ -145,7 +145,17 @@ object KvJsonlSink {
     require(line.startsWith(",\"value\":", i),
       s"bad kvjsonl line: $line")
     i += 9
-    if (line.startsWith("null", i)) (key, None)
+    if (line.startsWith("null", i)) {
+      // Terminator check: after the `null` token a well-formed line
+      // continues with `}` (founding 2-column format) or `,` (evolved
+      // extra fields). Without it a TRUNCATED line `{"key":1,"value":null`
+      // would parse cleanly, weakening the "malformed line is
+      // corruption" contract this strict parser exists to enforce.
+      require(i + 4 < line.length &&
+        (line.charAt(i + 4) == '}' || line.charAt(i + 4) == ','),
+        s"bad kvjsonl line: $line")
+      (key, None)
+    }
     else {
       require(line.charAt(i) == '"', s"bad kvjsonl line: $line")
       i += 1

@@ -79,9 +79,38 @@ object KvSchema {
   /** Names no user column may take: the scan's metadata columns and
     * the `$changes` CDC table's bookkeeping columns (a user column
     * with one of these names would shadow them in projections).
+    * Checked CASE-INSENSITIVELY ([[isReserved]]): Spark resolves
+    * column references case-insensitively by default, so a column
+    * named `_File` would shadow `_file` in projections just the same
+    * — and broken MoR row addressing is silent data corruption.
     */
   val ReservedNames: Set[String] =
     Set("_file", "_pos", "_change_type", "_commit_version")
+
+  def isReserved(name: String): Boolean =
+    ReservedNames(name.toLowerCase(java.util.Locale.ROOT))
+
+  /** Legal user column names: the same identifier charset tags use
+    * (KvRefs.NameRe minus `.` and `-`, which Spark treats as
+    * structural in references). The restriction is LOAD-BEARING, not
+    * cosmetic: names land inside the hand-rolled `_schema.json`
+    * whose regex parser ([[VersionRe]]) scans for literal `]}` — a
+    * backtick-quoted name containing regex-structural text (e.g.
+    * `` `x]}` ``) would write a registry that parses back with every
+    * later column SILENTLY DROPPED, permanently orphaning their
+    * data. Enforced at every DDL site (CREATE / ADD / RENAME) and as
+    * a backstop in [[write]], so no registry that can be written can
+    * ever read back differently.
+    */
+  private val ColNameRe = "[A-Za-z0-9_]+".r
+
+  def validColName(name: String): Boolean = ColNameRe.matches(name)
+
+  def requireValidColName(name: String): Unit =
+    require(validColName(name),
+      s"invalid kvjsonl column name '$name': letters, digits and _ " +
+        "only (the schema registry's line format cannot hold " +
+        "structural characters safely)")
 
   /** One schema version: effective for snapshots >= `from`. */
   case class Version(from: Int, cols: Seq[Col])
@@ -104,6 +133,9 @@ object KvSchema {
     def nextId: Int =
       (versions.flatMap(_.cols.map(_.id)) :+ 2).max + 1
   }
+
+  /** For error messages — the one list of what [[isSupported]] says. */
+  val SupportedTypeNames = "bigint/string/double"
 
   def typeName(t: DataType): String = t match {
     case LongType => "bigint"
@@ -132,6 +164,10 @@ object KvSchema {
   // is only ever written by `write`, so the parser is strict) ----
 
   def write(dir: String, reg: Registry): Unit = {
+    // Backstop for the DDL-site validation: every name this file can
+    // hold must read back identically (KvSchemaPropsSpec pins it as a
+    // property over the full accepted charset).
+    reg.versions.flatMap(_.cols).foreach(c => requireValidColName(c.name))
     val body = reg.versions.map { v =>
       val cols = v.cols.map(c =>
         s"""{"id":${c.id},"name":"${escapeName(c.name)}",""" +

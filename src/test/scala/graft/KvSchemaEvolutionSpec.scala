@@ -300,4 +300,70 @@ class KvSchemaEvolutionSpec extends SparkTestBase {
     val (_, _, ex) = KvSchema.parseRow(KvSchema.formatRow(row, cols))
     assert(ex("c3").asInstanceOf[Double].isNaN)
   }
+
+  test("hostile column names are REJECTED at every DDL site — the " +
+      "registry's regex parser cannot hold them safely") {
+    val t = fresh("evo_hostile")
+    // Backtick-quoted identifiers smuggle arbitrary text past SQL
+    // parsing; each of these would truncate the non-greedy cols group
+    // on read-back, silently dropping every later column.
+    // Every DDL must throw (our validation, or Spark's parser for the
+    // ones even backticks can't express) — and crucially the registry
+    // must stay byte-intact afterwards.
+    for (bad <- Seq("x]}", "a\"b", "c,d", "e f")) {
+      val quoted = s"`$bad`"
+      intercept[Exception](
+        spark.sql(s"ALTER TABLE $t ADD COLUMN $quoted DOUBLE"))
+      intercept[Exception](
+        spark.sql(s"ALTER TABLE $t RENAME COLUMN value TO $quoted"))
+      intercept[Exception] {
+        spark.sql("DROP TABLE IF EXISTS graft_kv.default.evo_hostile2")
+        spark.sql("CREATE TABLE graft_kv.default.evo_hostile2 " +
+          s"(key BIGINT, $quoted STRING)")
+      }
+    }
+    // the direct (non-SQL) surface rejects too — no registry that
+    // write() accepts can read back differently
+    intercept[IllegalArgumentException](
+      KvSchema.write(dir("evo_hostile"), KvSchema.Registry(Seq(
+        KvSchema.Version(0, Seq(
+          KvSchema.Col(1, "key", LongType),
+          KvSchema.Col(2, "x]}", StringType)))))))
+    // after all the rejected DDL the registry still reads back intact
+    assert(KvSchema.currentCols(dir("evo_hostile")).map(_.name) ===
+      Seq("key", "value"))
+  }
+
+  test("reserved metadata names are rejected CASE-INSENSITIVELY — " +
+      "Spark's default resolution would let `_File` shadow `_file`") {
+    val t = fresh("evo_reserved")
+    for (bad <- Seq("_File", "_POS", "_Change_Type")) {
+      // Spark may wrap the catalog's IllegalArgumentException
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $t ADD COLUMN $bad DOUBLE"))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("reserved"), msgs)
+    }
+  }
+
+  test("disabling snapshots COLLAPSES the registry: stale Version.from " +
+      "markers must not survive into a restarted numbering") {
+    val t = fresh("evo_unset")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')") // v1
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE") // from v2
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 2.5)") // v2
+    assert(KvSchema.read(dir("evo_unset")).get.versions.length === 2)
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('snapshots')")
+    // single-version registry at from=0: no marker can resolve wrong
+    val collapsed = KvSchema.read(dir("evo_unset")).get
+    assert(collapsed.versions.map(_.from) === Seq(0))
+    assert(collapsed.current.map(_.name) === Seq("key", "value", "score"))
+    // re-enable: numbering restarts at v1; a pinned read of the new v1
+    // must see the CURRENT (post-ALTER) schema, not the founding pair
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('snapshots'='true')")
+    val pinned = spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+    assert(pinned.columns.toSeq === Seq("key", "value", "score"))
+    assert(pinned.count() === 2)
+  }
 }

@@ -121,6 +121,57 @@ class KvSchemaPropsSpec extends AnyFunSuite {
     assert(checked == 500)
   }
 
+  test("any registry write() accepts reads back with the IDENTICAL " +
+      "column list (property over the full accepted name charset)") {
+    val params = Gen.Parameters.default
+    val nameGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 12)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.const('_')))
+    } yield cs.mkString
+    val dir = java.nio.file.Files
+      .createTempDirectory("kvschema-props").toString
+    (0 until 200).foreach { i =>
+      val seed = Seed(4242L + i)
+      val nVersions = Gen.chooseNum(1, 4).apply(params, seed).get
+      var s = seed.next
+      var nextId = 3
+      val versions = (0 until nVersions).map { vi =>
+        val nCols = Gen.chooseNum(0, 5).apply(params, s).get; s = s.next
+        val extras = (0 until nCols).map { _ =>
+          val name = nameGen.apply(params, s).get; s = s.next
+          val t = Gen.oneOf(LongType, StringType, DoubleType)
+            .apply(params, s).get; s = s.next
+          nextId += 1
+          KvSchema.Col(nextId, name, t)
+        }
+        KvSchema.Version(vi * 2,
+          Seq(KvSchema.Col(1, "key", LongType)) ++ extras)
+      }
+      val reg = KvSchema.Registry(versions)
+      KvSchema.write(dir, reg)
+      val back = KvSchema.read(dir).get
+      assert(back.versions.map(v => (v.from, v.cols)) ===
+        reg.versions.map(v => (v.from, v.cols)),
+        s"registry round-trip diverged at iteration $i")
+    }
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("a TRUNCATED null-value line is rejected, not parsed clean") {
+    for (bad <- Seq("{\"key\":1,\"value\":null", "{\"key\":1,\"value\":nul",
+        "{\"key\":1,\"value\":nullx")) {
+      intercept[IllegalArgumentException](
+        graft.sources.KvJsonlSink.parseLine(bad))
+      intercept[Exception](KvSchema.parseRow(bad))
+    }
+    // the two legal continuations still parse
+    assert(graft.sources.KvJsonlSink.parseLine(
+      "{\"key\":1,\"value\":null}") === ((Some(1L), None)))
+    assert(KvSchema.parseRow(
+      "{\"key\":1,\"value\":null,\"c3\":7}")._3 === Map("c3" -> 7L))
+  }
+
   test("founding-format lines parse identically through both parsers") {
     val params = Gen.Parameters.default
     (0 until 200).foreach { i =>
