@@ -122,6 +122,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Pre-sweep throwaway pass (round-16, closing the round-15 warmup
+    // tail): the sf0.001 warmup above compiles the SHARED codegen/JIT
+    // paths, but every quiet round-15 sweep still showed the first ~5
+    // ALPHABETICAL entries at 2-3× their isolated floors — full-scale
+    // machinery (shuffle service, parquet footer cache, broadcast
+    // threads) warms over the first few sf0.1 queries regardless of
+    // which they are. Run the first five of THIS sweep's order once,
+    // untimed, so the a-block pays the tax here instead of in its
+    // recorded numbers.
+    selected.toSeq.sortBy(_._1).take(5).foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     // Process-CPU is sampled beside wall per run: the round-14 drift
     // bisect showed sweep regressions on untouched queries come from
@@ -221,6 +234,14 @@ object Bench {
     // the cold time is still published per entry as `cold_s`, with
     // `deps_rebuild_s` = max(0, cold_s - isolated) making the rebuild
     // charge explicit instead of smeared into the floor.
+    // Filled by the isolated pass below; ride into the FINAL stdout
+    // lines so the driver-captured bench artifact self-describes
+    // sweep-side contention (round-15's 314.8 s of-record run was box
+    // co-tenancy provable from fields already collected, but no flag
+    // said so IN the artifact — a contended box read as a 1.24×
+    // engine regression until hand-adjudicated).
+    var nSweepContended = -1
+    var adjustedTotal = total
     if (only.isEmpty) {
       val watchlist = Seq("tpch_q3", "tpch_q5", "tpch_q10", "bigram_topk",
         "date_trunc_events", "cosine_topk_lsh")
@@ -350,11 +371,35 @@ object Bench {
         val contended = (for {
           b <- best; sw <- sweepMap.get(name); sc <- sweepCpuMap.get(name)
         } yield b._1 > 2 * sw && b._2 <= 1.5 * sc).getOrElse(false)
+        // The SYMMETRIC flag (round-16): the SWEEP time blew past 2×
+        // this isolated floor while doing essentially the floor's CPU
+        // work — the sweep ran on a contended box and the OF-RECORD
+        // total overstates the engine. One direction only ever fires
+        // per entry; both false = the two runs agree.
+        val sweepContended = (for {
+          b <- best; sw <- sweepMap.get(name); sc <- sweepCpuMap.get(name)
+        } yield sw > 2 * b._1 && sc <= 1.5 * b._2).getOrElse(false)
         s""""$name":{"isolated":$isoV,"attempts":$att,"cpu_s":$cpuS,""" +
           s""""cold_s":$coldS,"deps_rebuild_s":$deps,"sweep":$sweep,""" +
           s""""sweep_cpu":$sweepCpu,"prior":$pri,"prior_cpu":$priCpu,""" +
-          s""""contended":$contended}"""
+          s""""contended":$contended,"sweep_contended":$sweepContended}"""
       }.mkString("{", ",", "}")
+      // Sweep-side adjudication summary: how many entries the flag
+      // fired on, and the total with each entry charged min(sweep,
+      // floor) — the box-noise-insensitive number to compare across
+      // rounds. Computed from the SAME fields the per-entry flags use.
+      val floors: Map[String, (Double, Double)] = isolated.flatMap {
+        case (name, times) => times.minByOption(_._1).map(b => name -> b)
+      }.toMap
+      nSweepContended = results.count { case (name, sw) =>
+        floors.get(name).exists { case (iso, isoCpu) =>
+          sweepCpuMap.get(name).exists(sc =>
+            sw > 2 * iso && sc <= 1.5 * isoCpu)
+        }
+      }
+      adjustedTotal = results.map { case (name, sw) =>
+        floors.get(name).map(f => math.min(sw, f._1)).getOrElse(sw)
+      }.sum
       val timelineJson = probeTimeline.map { case (at, p) =>
         s"""{"at":"$at","probe_s":${f4(p)}}"""
       }.mkString("[", ",", "]")
@@ -367,6 +412,8 @@ object Bench {
         java.nio.file.Paths.get("BENCH_ISOLATED.json"),
         (s"""{"sf":"$sfDir","unit":"sec","best_of_flagged":3,""" +
           s""""best_of_rest":2,"prebuilt":true,""" +
+          s""""n_sweep_contended":$nSweepContended,""" +
+          s""""adjusted_total":${f4(adjustedTotal)},""" +
           s""""session_probe_s":{"sweep_session":${f4(probeSweepSession)},""" +
           s""""iso_after_warmup":${f4(probeAfterWarmup)},""" +
           s""""iso_after_prebuild":${f4(probeAfterPrebuild)},""" +
@@ -381,8 +428,24 @@ object Bench {
     // whose log output then flooded the tail capture. Everything that
     // can log (queries, isolated pass, SparkContext shutdown) is done
     // by this point, so these lines are what a tail-parser sees.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nFail,"sf":"$sfDir"}""")
-    println(shortLine)
+    // Adjudication fields (full sweeps only): n_sweep_contended = -1
+    // means "not adjudicated" (subset run), never "zero contention".
+    val adjudFields =
+      if (only.isEmpty)
+        s""","n_sweep_contended":$nSweepContended,"adjusted_total":""" +
+          String.format(java.util.Locale.ROOT, "%.4f",
+            Double.box(adjustedTotal))
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nFail$adjudFields,"sf":"$sfDir"}""")
+    val finalShort =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFail$adjudFields,"sf":"$sfDir"}"""
+    println(finalShort)
+    // Re-write the totals artifact WITH the adjudication so the file
+    // copy self-describes too (the pre-isolated write above exists so
+    // a crash mid-isolated-pass still leaves a parseable record).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_TOTAL$suffix.json"),
+      (finalShort + "\n").getBytes("UTF-8"))
     // A bench run whose artifact didn't land is a failed bench, not a
     // quiet one — the files are the only parse-proof record.
     val totalFile = java.nio.file.Paths.get(s"BENCH_TOTAL$suffix.json")

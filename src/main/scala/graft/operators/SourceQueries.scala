@@ -1065,6 +1065,168 @@ object SourceQueries {
            |GROUP BY value ORDER BY value""".stripMargin)
     }),
 
+    // DATE-PARTITIONED catalog table (`PARTITIONED BY (days(col))` —
+    // KvBucketing.KvMeta.partitionDays): the most common 100 TB
+    // layout, where a temporal predicate must prune whole FILES
+    // independent of key zone maps. The gate creates a table
+    // partitioned by (month-truncated) day, inserts raw orders — the
+    // catalog write requests clustered-by-days distribution, each
+    // task writing ~one file per day — then queries one year:
+    // KvPartitionPrune.prunedFiles must advance (files actually
+    // skipped at planning, 0 < pruned < total — both an unpruned scan
+    // and an over-pruned one fail), and the rows are oracle-pinned
+    // against DuckDB recomputing the same predicate from raw parquet.
+    "catalog_partition_prune" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.pp_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "ts TIMESTAMP, mo DATE) PARTITIONED BY (days(mo)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        "o_orderdate, CAST(date_trunc('MONTH', o_orderdate) AS DATE) " +
+        s"FROM parquet.`$d/orders.parquet`")
+      val dirPath =
+        s"${graft.Fs.sinkDir("graft_kv_wh")}/default/pp_gate"
+      val total = graft.sources.KvSnapshots.members(dirPath,
+        graft.sources.KvSnapshots.latest(dirPath).get).size
+      val before = graft.sources.KvPartitionPrune.prunedFiles.get()
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t
+           |WHERE mo >= DATE '1997-01-01' AND mo < DATE '1998-01-01'
+           |GROUP BY value ORDER BY value""".stripMargin)
+      require(out.count() > 0, "catalog_partition_prune: empty result")
+      // The counter moves once per partition-planning pass; a re-plan
+      // (AQE) may count a file more than once, so the pinned bound is
+      // a floor: at least the ~4 non-1997 years of monthly files must
+      // have been skipped. Over-pruning is caught by the oracle hash
+      // (a dropped month shifts every count), so no upper require.
+      val pruned =
+        graft.sources.KvPartitionPrune.prunedFiles.get() - before
+      require(pruned >= total / 3,
+        s"catalog_partition_prune: only $pruned of $total files " +
+          "skipped — the date predicate did not partition-prune")
+      out
+    }),
+
+    // WRITE-AUDIT-PUBLISH branches (KvBranches.scala — the writable
+    // half of the ref model; tags are the read-only half): the gate
+    // runs the full staging lifecycle. (1) create_branch at main v1;
+    // (2) write the risky load to the branch — main's count is
+    // require()d unchanged while VERSION AS OF 'audit' sees the
+    // staged rows; (3) fast_forward — main atomically adopts the
+    // branch head; (4) a second branch stages more rows, main is
+    // garbled by a CoW DELETE (whose rewrite REPLACES the old files),
+    // and expire_snapshots(keep_last=1) reclaims all untagged main
+    // history — the branch's manifests must keep the pre-DELETE files
+    // alive (require()d readable at the right count; without the
+    // branch-aware live set they'd be deleted from under it). The
+    // oracle recomputes the final main state — orders plus the
+    // published staged rows, minus the DELETE — from raw parquet; the
+    // never-published second branch must leave no trace in it.
+    "catalog_wap" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.wap_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`") // main v1
+      s.sql("CALL graft_kv.system.create_branch(" +
+        "table => 'default.wap_gate', name => 'audit')")
+      s.read.parquet(s"$d/orders.parquet")
+        .where("o_orderkey % 3 = 0")
+        .selectExpr("o_orderkey + 20000000 AS key",
+          "concat('W-', o_orderpriority) AS value")
+        .writeTo(t).option("branch", "audit").append()
+      val mainCnt = s.table(t).count()
+      val origCnt = s.read.parquet(s"$d/orders.parquet").count()
+      require(mainCnt == origCnt,
+        s"catalog_wap: branch write leaked into main " +
+          s"($mainCnt rows, expected $origCnt)")
+      val auditCnt = s.sql(
+        s"SELECT count(*) FROM $t VERSION AS OF 'audit'")
+        .collect().head.getLong(0)
+      require(auditCnt > mainCnt,
+        "catalog_wap: the audit read is missing the staged rows")
+      s.sql("CALL graft_kv.system.fast_forward(" +
+        "table => 'default.wap_gate', branch => 'audit')")
+      require(s.table(t).count() == auditCnt,
+        "catalog_wap: fast_forward did not publish the branch head")
+      s.sql("CALL graft_kv.system.drop_branch(" +
+        "table => 'default.wap_gate', name => 'audit')")
+      // Second branch: stage rows, then garble main with a CoW DELETE
+      // (file-replacing) and expire everything untagged.
+      s.sql("CALL graft_kv.system.create_branch(" +
+        "table => 'default.wap_gate', name => 'stage2')")
+      s.read.parquet(s"$d/orders.parquet")
+        .where("o_orderkey % 7 = 0")
+        .selectExpr("o_orderkey + 30000000 AS key",
+          "'S2' AS value")
+        .writeTo(t).option("branch", "stage2").append()
+      val staged2 = s.read.parquet(s"$d/orders.parquet")
+        .where("o_orderkey % 7 = 0").count()
+      s.sql(s"DELETE FROM $t WHERE key % 2 = 0") // CoW rewrite
+      s.sql("CALL graft_kv.system.expire_snapshots(" +
+        "table => 'default.wap_gate', keep_last => 1)")
+      val stage2Cnt = s.sql(
+        s"SELECT count(*) FROM $t VERSION AS OF 'stage2'")
+        .collect().head.getLong(0)
+      require(stage2Cnt == auditCnt + staged2,
+        s"catalog_wap: expire reclaimed branch-referenced files " +
+          s"(branch reads $stage2Cnt rows, expected " +
+          s"${auditCnt + staged2})")
+      s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
+    // TIMESTAMP / DATE catalog columns (KvSchema.scala): stored as
+    // int64-micros / int32-days tokens — Spark's own internal
+    // representations — so the line format needs no new dialect and
+    // the id→type binding stays permanent. The gate CREATEs with both
+    // temporal types, inserts from raw orders, evolves a bigint
+    // column alongside (mixed pre/post-ALTER files), filters on the
+    // timestamp AND the date with measured reader-side pushdown
+    // (KvExtraPredicate.skipped must move — a silently unpushed
+    // filter fails the require), and pins counts, key sums and the
+    // temporal extrema against DuckDB recomputing from the raw
+    // parquet at UTC.
+    "catalog_ts_column" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.ts_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "ts TIMESTAMP, day DATE) TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        "o_orderdate, CAST(o_orderdate AS DATE) " +
+        s"FROM parquet.`$d/orders.parquet`") // v1
+      s.sql(s"ALTER TABLE $t ADD COLUMN qty BIGINT")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey + 10000000, " +
+        "o_orderpriority, o_orderdate, CAST(o_orderdate AS DATE), " +
+        s"o_custkey + 7 FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 5 = 0") // v2, post-ALTER shape
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys,
+           |       CAST(sum(coalesce(qty, 0)) AS BIGINT) AS sum_qty,
+           |       unix_micros(min(ts)) AS min_ts_us,
+           |       CAST(max(day) AS STRING) AS max_day
+           |FROM $t
+           |WHERE ts >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND day < DATE '1999-01-01'
+           |GROUP BY value ORDER BY value""".stripMargin)
+      val before = graft.sources.KvExtraPredicate.skipped.get()
+      require(out.count() > 0, "catalog_ts_column: empty result")
+      require(graft.sources.KvExtraPredicate.skipped.get() > before,
+        "catalog_ts_column: no reader-side temporal row skip " +
+          "observed — the timestamp/date filters did not push down")
+      out
+    }),
+
     // INCREMENTAL MATERIALIZED VIEW over the CDC feed: the canonical
     // downstream use of `$changes` — maintain a grouped aggregate
     // from signed change rows alone (insert = +1, delete = -1),
@@ -2214,6 +2376,53 @@ object SourceQueries {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
+    // The 1997 month-partition slice recomputed from raw orders.
+    "catalog_partition_prune" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS key, o_orderpriority AS value,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS mo
+        |  FROM orders)
+        |SELECT value, count(*) AS n_orders,
+        |       CAST(sum(key) AS BIGINT) AS sum_keys
+        |FROM t
+        |WHERE mo >= DATE '1997-01-01' AND mo < DATE '1998-01-01'
+        |GROUP BY value ORDER BY value""".stripMargin,
+    // Final main state: orders plus the PUBLISHED staged rows (the
+    // %3 W- replica), minus the CoW DELETE — the never-published
+    // second branch leaves no trace.
+    "catalog_wap" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS key, o_orderpriority AS value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 'W-' || o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT value, count(*) AS n_orders,
+        |       CAST(sum(key) AS BIGINT) AS sum_keys
+        |FROM t WHERE key % 2 <> 0
+        |GROUP BY value ORDER BY value""".stripMargin,
+    // Temporal columns recomputed from raw orders at UTC: the v1
+    // insert plus the post-ALTER %5 replica, filtered on both
+    // temporal columns exactly as the Spark side pushed them.
+    "catalog_ts_column" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS key, o_orderpriority AS value,
+        |         o_orderdate AS ts, CAST(o_orderdate AS DATE) AS day,
+        |         NULL AS qty
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, o_orderdate,
+        |         CAST(o_orderdate AS DATE), o_custkey + 7
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT value, count(*) AS n_orders,
+        |       CAST(sum(key) AS BIGINT) AS sum_keys,
+        |       CAST(sum(coalesce(qty, 0)) AS BIGINT) AS sum_qty,
+        |       epoch_us(min(ts)) AS min_ts_us,
+        |       CAST(max(day) AS VARCHAR) AS max_day
+        |FROM t
+        |WHERE ts >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND day < DATE '1999-01-01'
+        |GROUP BY value ORDER BY value""".stripMargin,
     // Vacuum reclaims orphans only — live content must be untouched.
     "catalog_vacuum" ->
       """SELECT o_orderpriority AS value,

@@ -38,15 +38,23 @@ object KvBucketing {
   val MetaFile = "_meta.json"
 
   /** Full table meta: optional bucket partitioning, the snapshots
-    * (time-travel) flag — see KvSnapshots.scala — and the DML mode:
+    * (time-travel) flag — see KvSnapshots.scala — the DML mode:
     * `mor` = MERGE-ON-READ row-level operations (positional delete
     * files applied at scan time, SupportsDelta) instead of the
-    * default copy-on-write group rewrite. MoR requires snapshots —
-    * delete files are manifest-tracked members of a version.
+    * default copy-on-write group rewrite (MoR requires snapshots —
+    * delete files are manifest-tracked members of a version) — and
+    * optional DATE PARTITIONING: `partitionDays` holds the FIELD ID
+    * (rename-proof, like the schema registry) of the TIMESTAMP/DATE
+    * column the table is `PARTITIONED BY (days(col))` over. Like
+    * buckets, the partition value is carried in the file NAME
+    * (`part-...-d9862.jsonl`, epoch days), keeping the flat layout
+    * every existing code path works on.
     */
   case class KvMeta(
-      buckets: Option[Int], snapshots: Boolean, mor: Boolean = false) {
-    def isEmpty: Boolean = buckets.isEmpty && !snapshots && !mor
+      buckets: Option[Int], snapshots: Boolean, mor: Boolean = false,
+      partitionDays: Option[Int] = None) {
+    def isEmpty: Boolean =
+      buckets.isEmpty && !snapshots && !mor && partitionDays.isEmpty
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -61,7 +69,8 @@ object KvBucketing {
     val fields =
       meta.buckets.map(n => s""""buckets":$n""").toSeq ++
         (if (meta.snapshots) Seq(""""snapshots":true""") else Seq.empty) ++
-        (if (meta.mor) Seq(""""dml":"mor"""") else Seq.empty)
+        (if (meta.mor) Seq(""""dml":"mor"""") else Seq.empty) ++
+        meta.partitionDays.map(id => s""""pdays":$id""").toSeq
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -81,6 +90,7 @@ object KvBucketing {
   private val BucketsField = """"buckets":(\d+)""".r
   private val SnapshotsField = """"snapshots":true""".r
   private val MorField = """"dml":"mor"""".r
+  private val PdaysField = """"pdays":(\d+)""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -100,6 +110,7 @@ object KvBucketing {
         case (m, BucketsField(n)) => m.copy(buckets = Some(n.toInt))
         case (m, SnapshotsField()) => m.copy(snapshots = true)
         case (m, MorField()) => m.copy(mor = true)
+        case (m, PdaysField(id)) => m.copy(partitionDays = Some(id.toInt))
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }
@@ -119,6 +130,79 @@ object KvBucketing {
 
   def fileBucket(fileName: String): Option[Int] =
     BucketInName.findFirstMatchIn(fileName).map(_.group(1).toInt)
+
+  val MicrosPerDay: Long = 86400L * 1000 * 1000
+
+  /** A partitioned write's day token for one row's partition-column
+    * value: epoch days (timestamps floor toward -∞, so pre-1970
+    * values land on the right calendar day), None for NULL rows.
+    */
+  def dayToken(
+      micros: Option[Long], isDate: Boolean): Option[Long] =
+    micros.map(v =>
+      if (isDate) v else java.lang.Math.floorDiv(v, MicrosPerDay))
+
+  private val DayInName = """-d(-?\d+|null)\.jsonl$""".r
+
+  /** Day-partition suffix; [[fileDay]] is its exact inverse. The
+    * token is epoch days; `null` marks the null partition (rows whose
+    * partition column is NULL — they can never satisfy a comparison,
+    * so a day-range prune always skips them).
+    */
+  def daySuffix(tok: Option[Long]): String =
+    s"-d${tok.fold("null")(_.toString)}"
+
+  /** None = no day token in the name; Some(None) = the null
+    * partition; Some(Some(d)) = day d.
+    */
+  def fileDay(fileName: String): Option[Option[Long]] =
+    DayInName.findFirstMatchIn(fileName).map { m =>
+      val g = m.group(1)
+      if (g == "null") None else Some(g.toLong)
+    }
+}
+
+/** The `days` V2 function the kv catalog serves through
+  * FunctionCatalog — resolving the scan/write-reported `days(col)`
+  * transform is what lets a catalog write request
+  * `Distributions.clustered(days(col))`: Spark shuffles incoming rows
+  * by day BEFORE the write, so each task sees ~one day and writes ~one
+  * file per day instead of every task fanning out across all days —
+  * the file-count control a date-partitioned 100 TB write needs.
+  */
+class KvDaysUnbound extends UnboundFunction {
+  override def name(): String = "days"
+  override def description(): String =
+    "days(col): epoch days of a timestamp/date — kvjsonl partition spec"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1 &&
+      (inputType(0).dataType ==
+        org.apache.spark.sql.types.TimestampType ||
+        inputType(0).dataType == org.apache.spark.sql.types.DateType),
+      s"days expects (TIMESTAMP) or (DATE); got ${inputType.catalogString}")
+    new KvDaysBound(
+      isDate = inputType(0).dataType ==
+        org.apache.spark.sql.types.DateType)
+  }
+}
+
+class KvDaysBound(isDate: Boolean) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] =
+    Array(
+      if (isDate) org.apache.spark.sql.types.DateType
+      else org.apache.spark.sql.types.TimestampType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.kv.days"
+  override def isResultNullable: Boolean = true
+  override def isDeterministic: Boolean = true
+
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else if (isDate) Int.box(input.getInt(0))
+    else Int.box(java.lang.Math.floorDiv(
+      input.getLong(0), KvBucketing.MicrosPerDay).toInt)
 }
 
 /** The `bucket` V2 function the kv catalog serves through

@@ -32,7 +32,9 @@ class KvScanBuilder(
     pinnedVersion: Option[Int] = None,
     forRowLevelOp: Boolean = false,
     colsOverride: Option[Seq[KvSchema.Col]] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    branch: Option[String] = None,
+    partitionDaysId: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -81,7 +83,8 @@ class KvScanBuilder(
     // per-file stats; without them, scan everything.
     pushed =
       if (forRowLevelOp) Array.empty
-      else filters.filter(KvKeyPredicate.supports)
+      else filters.filter(f =>
+        KvKeyPredicate.supports(f) || KvExtraPredicate.supports(f, cols))
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
@@ -141,7 +144,7 @@ class KvScanBuilder(
           // skipping, wrong as an aggregate ANSWER). A migrated
           // manifest may have neither — decline, scan instead.
           val stats = pinnedVersion.orElse(KvSnapshots.latest(path))
-            .map(KvSnapshots.membersWithStats(path, _))
+            .map(KvSnapshots.membersWithStats(path, _, branch))
             .getOrElse(Seq.empty)
           val hasDeletes = KvSnapshots.deleteFiles(stats).nonEmpty
           val ok = compiled.flatten.forall {
@@ -169,9 +172,10 @@ class KvScanBuilder(
   }
 
   override def build(): Scan = pushedAggs match {
-    case Some(aggs) => new KvAggScan(path, pinnedVersion, aggs)
+    case Some(aggs) => new KvAggScan(path, pinnedVersion, aggs, branch)
     case None => new KvScan(path, required, pushed, buckets, snapshots,
-      pinnedVersion, forRowLevelOp, cols, maxBytesPerTrigger)
+      pinnedVersion, forRowLevelOp, cols, maxBytesPerTrigger, branch,
+      partitionDaysId)
   }
 }
 
@@ -181,7 +185,8 @@ class KvScanBuilder(
   */
 class KvAggScan(
     path: String, pinnedVersion: Option[Int],
-    aggs: Seq[KvAggScan.PushedAgg])
+    aggs: Seq[KvAggScan.PushedAgg],
+    branch: Option[String] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -202,7 +207,7 @@ class KvAggScan(
     val stats = pinnedVersion.orElse(KvSnapshots.latest(path)) match {
       case None => Seq.empty[KvSnapshots.KvFileStat]
       case Some(v) =>
-        val st = KvSnapshots.membersWithStats(path, v)
+        val st = KvSnapshots.membersWithStats(path, v, branch)
         // Fail-loud TOCTOU guard: a commit landing between the
         // builder's check and execution could de-qualify the stats.
         require(
@@ -310,6 +315,177 @@ object KvKeyPredicate {
   val skipped = new java.util.concurrent.atomic.AtomicLong
 }
 
+/** Reader-side pushdown for EVOLVED comparable columns — bigint,
+  * timestamp and date extras (ids > 2), whose storage tokens are all
+  * integer-domain (long / micros / epoch-days). Comparisons compile
+  * once per scan to (storage field, op, long) and evaluate on the
+  * PARSED token map, skipping rows before InternalRow materialization.
+  * Zone maps stay key-only (manifests record key stats alone), so this
+  * is the row-level half of pushdown for evolved columns; like every
+  * pushed filter here it is returned to Spark for re-evaluation, but
+  * the SKIP itself must be exact — a skipped row never reaches Spark —
+  * which is why [[token]] refuses any literal class it doesn't know
+  * byte-for-byte (refusal = the filter isn't accepted at all).
+  */
+object KvExtraPredicate {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types.{DateType, TimestampType}
+
+  sealed trait Op
+  case object OpEq extends Op
+  case object OpGt extends Op
+  case object OpGe extends Op
+  case object OpLt extends Op
+  case object OpLe extends Op
+  case object OpNotNull extends Op
+
+  /** One compiled predicate over a storage field's integer token. */
+  final case class Compiled(storage: String, op: Op, v: Long)
+
+  /** Literal → the column's token domain. Uses the SAME conversions
+    * Spark used to build the literal (DateTimeUtils), so the reader's
+    * token compare is bit-identical to the engine's own semantics.
+    */
+  private[sources] def token(
+      dtype: org.apache.spark.sql.types.DataType,
+      value: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    (dtype, value) match {
+      case (LongType, l: java.lang.Long) => Some(l.longValue)
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(DateTimeUtils.fromJavaTimestamp(t))
+      case (TimestampType, t: java.time.Instant) =>
+        Some(DateTimeUtils.instantToMicros(t))
+      case (DateType, d: java.sql.Date) =>
+        Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case (DateType, d: java.time.LocalDate) =>
+        Some(DateTimeUtils.localDateToDays(d).toLong)
+      case _ => None
+    }
+  }
+
+  private def comparable(c: KvSchema.Col): Boolean =
+    c.id > 2 && (c.dtype == LongType || c.dtype == TimestampType ||
+      c.dtype == DateType)
+
+  def compile(f: Filter, cols: Seq[KvSchema.Col]): Option[Compiled] = {
+    def col(name: String): Option[KvSchema.Col] =
+      cols.find(c => c.name == name && comparable(c))
+    f match {
+      case IsNotNull(a) =>
+        col(a).map(c => Compiled(c.storageName, OpNotNull, 0L))
+      case EqualTo(a, v) => for { c <- col(a); t <- token(c.dtype, v) }
+        yield Compiled(c.storageName, OpEq, t)
+      case GreaterThan(a, v) => for { c <- col(a); t <- token(c.dtype, v) }
+        yield Compiled(c.storageName, OpGt, t)
+      case GreaterThanOrEqual(a, v) =>
+        for { c <- col(a); t <- token(c.dtype, v) }
+          yield Compiled(c.storageName, OpGe, t)
+      case LessThan(a, v) => for { c <- col(a); t <- token(c.dtype, v) }
+        yield Compiled(c.storageName, OpLt, t)
+      case LessThanOrEqual(a, v) =>
+        for { c <- col(a); t <- token(c.dtype, v) }
+          yield Compiled(c.storageName, OpLe, t)
+      case _ => None
+    }
+  }
+
+  def supports(f: Filter, cols: Seq[KvSchema.Col]): Boolean =
+    compile(f, cols).isDefined
+
+  /** Conjunction over a parsed line's extras. Absent = NULL, which is
+    * null-rejecting for every op here (IsNotNull included — that IS
+    * the test). A token of an unexpected class never skips (the only
+    * safe failure direction; cannot occur for compiled columns, whose
+    * tokens are always longs).
+    */
+  def eval(ps: Array[Compiled], extras: Map[String, Any]): Boolean =
+    ps.forall { p =>
+      extras.get(p.storage) match {
+        case Some(x: Long) => p.op match {
+          case OpNotNull => true
+          case OpEq => x == p.v
+          case OpGt => x > p.v
+          case OpGe => x >= p.v
+          case OpLt => x < p.v
+          case OpLe => x <= p.v
+        }
+        case Some(_) => true // unexpected token class — never skip
+        case None => false
+      }
+    }
+
+  /** Rows skipped by evolved-column predicate evaluation in this JVM
+    * (gate/spec observability, like KvKeyPredicate.skipped).
+    */
+  val skipped = new java.util.concurrent.atomic.AtomicLong
+}
+
+/** FILE-level partition pruning for date-partitioned tables
+  * (`PARTITIONED BY (days(col))` — KvBucketing.KvMeta.partitionDays):
+  * pushed comparisons on the partition column compile to an inclusive
+  * epoch-day interval, and a file whose name-token day falls outside
+  * it is skipped WITHOUT OPENING — pruning independent of key zone
+  * maps, on the axis a 100 TB time-series table is actually laid out
+  * by. Always an over-approximation in the safe direction: bounds
+  * only ever widen to whole days (a file can only be skipped when NO
+  * row in its day could match), unknown literal classes impose no
+  * bound, and files without a day token never skip.
+  */
+object KvPartitionPrune {
+  import org.apache.spark.sql.sources._
+
+  /** Inclusive [lo, hi] epoch-day interval; `active` only when at
+    * least one comparison bound the partition column (an active range
+    * also skips the null partition — NULL satisfies no comparison).
+    */
+  final case class DayRange(lo: Long, hi: Long) {
+    def admits(day: Option[Long]): Boolean =
+      day.exists(d => d >= lo && d <= hi)
+  }
+
+  /** Day of a partition-column token: timestamps floor to their day;
+    * DATE tokens already are days.
+    */
+  private def dayOf(
+      dtype: org.apache.spark.sql.types.DataType, tok: Long): Long =
+    if (dtype == org.apache.spark.sql.types.DateType) tok
+    else java.lang.Math.floorDiv(tok, KvBucketing.MicrosPerDay)
+
+  def compile(
+      filters: Array[Filter],
+      pcol: KvSchema.Col): Option[DayRange] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var active = false
+    def bound(value: Any)(apply: Long => Unit): Unit =
+      KvExtraPredicate.token(pcol.dtype, value).foreach { t =>
+        apply(dayOf(pcol.dtype, t)); active = true
+      }
+    filters.foreach {
+      case EqualTo(a, v) if a == pcol.name =>
+        bound(v) { d => lo = math.max(lo, d); hi = math.min(hi, d) }
+      case GreaterThan(a, v) if a == pcol.name =>
+        // ts > T admits day(T) itself (rows later the same day) —
+        // conservative; DATE could tighten to d+1 but never must.
+        bound(v) { d => lo = math.max(lo, d) }
+      case GreaterThanOrEqual(a, v) if a == pcol.name =>
+        bound(v) { d => lo = math.max(lo, d) }
+      case LessThan(a, v) if a == pcol.name =>
+        bound(v) { d => hi = math.min(hi, d) }
+      case LessThanOrEqual(a, v) if a == pcol.name =>
+        bound(v) { d => hi = math.min(hi, d) }
+      case _ => ()
+    }
+    if (active) Some(DayRange(lo, hi)) else None
+  }
+
+  /** Files skipped by day-partition pruning in this JVM (gate/spec
+    * observability).
+    */
+  val prunedFiles = new java.util.concurrent.atomic.AtomicLong
+}
+
 class KvScan(
     path: String, required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
@@ -318,7 +494,9 @@ class KvScan(
     pinnedVersion: Option[Int] = None,
     forRowLevelOp: Boolean = false,
     cols: Seq[KvSchema.Col] = KvSchema.Legacy,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    branch: Option[String] = None,
+    partitionDaysId: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
@@ -327,7 +505,8 @@ class KvScan(
   override def description(): String =
     s"kvjsonl $path PushedFilters: [${pushed.mkString(", ")}]" +
       buckets.fold("")(n => s" buckets: $n") +
-      pinnedVersion.fold("")(v => s" version: $v")
+      pinnedVersion.fold("")(v => s" version: $v") +
+      branch.fold("")(b => s" branch: $b")
 
   /** Join-key values pushed at RUNTIME (dynamic partition pruning /
     * runtime filtering): Spark materializes the selective side's keys
@@ -407,7 +586,35 @@ class KvScan(
     * sequential merge while counting lines). Empty for unsnapshotted
     * and tombstone-free tables.
     */
-  private def listFiles(): Array[(String, Array[Long])] =
+  /** The pushed day-interval over the partition column (date-
+    * partitioned tables only), compiled once per scan.
+    */
+  private lazy val dayRange: Option[KvPartitionPrune.DayRange] =
+    for {
+      id <- partitionDaysId
+      pcol <- cols.find(_.id == id)
+      r <- KvPartitionPrune.compile(pushed, pcol)
+    } yield r
+
+  /** Day-partition file skip: a file whose name-token day falls
+    * outside the pushed interval (or the null partition, which no
+    * comparison admits) never opens. Token-less files never skip.
+    * The prune counter only moves on COUNTED listings (partition
+    * planning) — the statistics estimate walks the same list and
+    * must not double-count.
+    */
+  private def dayAdmits(fileName: String, count: Boolean): Boolean =
+    dayRange.forall { r =>
+      KvBucketing.fileDay(fileName).forall { day =>
+        val keep = r.admits(day)
+        if (!keep && count)
+          KvPartitionPrune.prunedFiles.incrementAndGet()
+        keep
+      }
+    }
+
+  private def listFiles(
+      countPrunes: Boolean = true): Array[(String, Array[Long])] =
     if (snapshots) {
       // Snapshotted table: membership is the MANIFEST (pinned version
       // for a time-travel read, else the latest), never the directory
@@ -424,8 +631,10 @@ class KvScan(
       pinnedVersion.orElse(KvSnapshots.latest(path)) match {
         case None => Array.empty
         case Some(v) =>
-          val dels = KvSnapshots.deleteIndex(path, v)
-          KvSnapshots.dataFiles(KvSnapshots.membersWithStats(path, v))
+          val dels = KvSnapshots.deleteIndex(path, v, branch)
+          KvSnapshots.dataFiles(
+            KvSnapshots.membersWithStats(path, v, branch))
+            .filter(st => dayAdmits(st.name, countPrunes))
             .filter { st =>
               val keep =
                 KvZoneMap.mayMatch(st, pushed) &&
@@ -447,6 +656,9 @@ class KvScan(
         try s.iterator().asScala
           .map(_.toString)
           .filter(_.endsWith(".jsonl"))
+          .filter(f => dayAdmits(
+            java.nio.file.Paths.get(f).getFileName.toString,
+            countPrunes))
           .toArray
           .sorted // deterministic partition order across runs
           .map((_, Array.empty[Long]))
@@ -494,7 +706,7 @@ class KvScan(
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val files = listFiles()
+    val files = listFiles(countPrunes = false)
     val size = files.map { case (f, _) =>
       try java.nio.file.Files.size(java.nio.file.Paths.get(f))
       catch { case _: java.io.IOException => 0L }
@@ -505,7 +717,7 @@ class KvScan(
         case None => java.util.OptionalLong.of(0L)
         case Some(v) =>
           // Live rows = data rows − tombstones (both manifest-exact).
-          val stats = KvSnapshots.membersWithStats(path, v)
+          val stats = KvSnapshots.membersWithStats(path, v, branch)
           val counts = KvSnapshots.dataFiles(stats).map(_.rows)
           if (counts.forall(_ >= 0))
             java.util.OptionalLong.of(counts.sum -
@@ -532,6 +744,9 @@ class KvScan(
       s"streaming reads of $path need a snapshotted table " +
         "(TBLPROPERTIES ('snapshots'='true')) — the manifest log is " +
         "the offset log")
+    require(branch.isEmpty,
+      "streaming reads follow MAIN's manifest log; a branch is an " +
+        "audit staging area, not a feed — fast-forward it first")
     new KvChangeFeedStream(path, required.fieldNames, cols,
       maxBytesPerTrigger)
   }
@@ -655,6 +870,15 @@ class KvPartitionReader(
     */
   private val needsExtras = srcs.exists(_.isInstanceOf[SrcExtra])
 
+  /** The pushed filters split by evaluation site: key predicates run
+    * on the cheap key-prefix parse; evolved-column predicates need the
+    * full token parse (and so only ever cost anything on evolved
+    * tables that pushed one).
+    */
+  private val keyPushed = pushed.filter(KvKeyPredicate.supports)
+  private val extraPushed: Array[KvExtraPredicate.Compiled] =
+    pushed.flatMap(KvExtraPredicate.compile(_, cols))
+
   private var fileIdx = -1
   private var in: java.io.BufferedReader = _
   private var fileUtf8: UTF8String = _
@@ -719,7 +943,7 @@ class KvPartitionReader(
           next()
         } else if (pushed.nonEmpty || runtimeKeys.isDefined) {
           val k = KvJsonlSink.parseKey(line)
-          if (pushed.nonEmpty && !KvKeyPredicate.eval(pushed, k)) {
+          if (keyPushed.nonEmpty && !KvKeyPredicate.eval(keyPushed, k)) {
             KvKeyPredicate.skipped.incrementAndGet()
             next()
           } else if (runtimeKeys.exists(ks => !k.exists(ks.contains))) {
@@ -728,19 +952,32 @@ class KvPartitionReader(
             // never true), so skipping preserves the result.
             KvRuntimeFilter.rowSkips.incrementAndGet()
             next()
+          } else if (extraPushed.nonEmpty) {
+            // Evolved-column predicates need the full token parse —
+            // done ONCE here and handed to materialization, so a
+            // surviving row never parses twice.
+            val parsed = KvSchema.parseRow(line)
+            if (!KvExtraPredicate.eval(extraPushed, parsed._3)) {
+              KvExtraPredicate.skipped.incrementAndGet()
+              next()
+            } else { materializeParsed(parsed); true }
           } else { materialize(line); true }
         } else { materialize(line); true }
       }
     }
   }
 
-  private def materialize(line: String): Unit = {
-    val (k, v, extras) =
+  private def materialize(line: String): Unit =
+    materializeParsed(
       if (needsExtras) KvSchema.parseRow(line)
       else {
         val (k0, v0) = KvJsonlSink.parseLine(line)
         (k0, v0, null)
-      }
+      })
+
+  private def materializeParsed(
+      parsed: (Option[Long], Option[String], Map[String, Any])): Unit = {
+    val (k, v, extras) = parsed
     row = InternalRow.fromSeq(srcs.toSeq.map {
       case SrcKey => k.map(Long.box).orNull
       case SrcValue => v.map(UTF8String.fromString).orNull
@@ -751,21 +988,7 @@ class KvPartitionReader(
         // lacks the storage field (parquet's missing-column reads).
         extras.get(storage) match {
           case None => null
-          case Some(x) => dtype match {
-            case LongType => Long.box(x.asInstanceOf[Long])
-            case org.apache.spark.sql.types.DoubleType => x match {
-              case d: Double => Double.box(d)
-              // bigint → double widened column: tokens written before
-              // the ALTER are longs — exactly representable, coerce.
-              case l: Long => Double.box(l.toDouble)
-              case other => throw new IllegalStateException(
-                s"double column $storage holds ${other.getClass}")
-            }
-            case StringType =>
-              UTF8String.fromString(x.asInstanceOf[String])
-            case other => throw new IllegalStateException(
-              s"unreachable kvjsonl column type $other")
-          }
+          case Some(x) => KvSchema.materializeExtra(x, dtype, storage)
         }
     })
   }
@@ -1000,19 +1223,32 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       s"table ${ident.name()} was not created with " +
         "TBLPROPERTIES ('snapshots'='true'); no versions to travel to")
     // An integer is a version pin; anything else resolves as a TAG
-    // (KvRefs.scala) — `VERSION AS OF 'training-data-v1'`.
-    val v = version.toIntOption.getOrElse(
-      KvRefs.resolve(p.toString, version).getOrElse(
+    // (KvRefs.scala) or a BRANCH head (KvBranches.scala) —
+    // `VERSION AS OF 'training-data-v1'` / `VERSION AS OF 'audit'`.
+    // Tags and branches share one name namespace (enforced at
+    // creation), so the order here can never pick the wrong kind.
+    version.toIntOption
+      .orElse(KvRefs.resolve(p.toString, version)) match {
+      case Some(v) =>
+        val have = KvSnapshots.versions(p.toString)
+        require(have.contains(v),
+          s"no snapshot v$v of ${ident.name()} " +
+            s"(versions: ${have.mkString(", ")})")
+        new KvJsonlTable(p.toString, viaCatalog = true,
+          pinnedVersion = Some(v))
+      case None if KvBranches.exists(p.toString, version) =>
+        // Branch AUDIT read: pinned to the branch's current head, on
+        // the branch's own manifest lineage.
+        new KvJsonlTable(p.toString, viaCatalog = true,
+          pinnedVersion = Some(KvBranches.head(p.toString, version)),
+          branch = Some(version))
+      case None =>
         throw new IllegalArgumentException(
-          s"'$version' is neither a snapshot version nor a tag of " +
-            s"${ident.name()} (tags: " +
-            s"${KvRefs.read(p.toString).keys.toSeq.sorted.mkString(", ")})")))
-    val have = KvSnapshots.versions(p.toString)
-    require(have.contains(v),
-      s"no snapshot v$v of ${ident.name()} " +
-        s"(versions: ${have.mkString(", ")})")
-    new KvJsonlTable(p.toString, viaCatalog = true,
-      pinnedVersion = Some(v))
+          s"'$version' is neither a snapshot version, a tag, nor a " +
+            s"branch of ${ident.name()} (tags: " +
+            s"${KvRefs.read(p.toString).keys.toSeq.sorted.mkString(", ")}; " +
+            s"branches: ${KvBranches.list(p.toString).mkString(", ")})")
+    }
   }
 
   /** `TIMESTAMP AS OF` — Spark hands the timestamp in MICROSECONDS;
@@ -1039,26 +1275,41 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     // behind storage-partitioned joins (see KvBucketing.scala). The
     // sink's commit protocol publishes whole files either way; a
     // bucketed table just carries the bucket in the file name.
-    val buckets: Option[Int] = partitions match {
-      case Array() => None
-      case Array(t) if t.name == "bucket" =>
-        val n = t.arguments().collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            l.value().asInstanceOf[Number].intValue
-        }
-        val col = t.arguments().collectFirst {
-          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-            r.fieldNames().mkString(".")
-        }
-        require(n.nonEmpty && col.contains("key"),
-          s"kvjsonl bucketing must be bucket(n, key); got $t")
-        require(n.get >= 1 && n.get <= 4096,
-          s"kvjsonl bucket count out of range [1, 4096]: ${n.get}")
-        n
-      case other => throw new UnsupportedOperationException(
-        "kvjsonl tables support only PARTITIONED BY (bucket(n, key)); " +
-          s"got ${other.mkString(", ")}")
-    }
+    val (buckets, pdaysColName): (Option[Int], Option[String]) =
+      partitions match {
+        case Array() => (None, None)
+        case Array(t) if t.name == "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().asInstanceOf[Number].intValue
+          }
+          val col = t.arguments().collectFirst {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+              r.fieldNames().mkString(".")
+          }
+          require(n.nonEmpty && col.contains("key"),
+            s"kvjsonl bucketing must be bucket(n, key); got $t")
+          require(n.get >= 1 && n.get <= 4096,
+            s"kvjsonl bucket count out of range [1, 4096]: ${n.get}")
+          (n, None)
+        // DATE PARTITIONING — `PARTITIONED BY (days(ts))`: the most
+        // common 100 TB table layout. The day token rides in the file
+        // name (like buckets), and scan-time pruning on a temporal
+        // predicate skips whole files independent of key zone maps.
+        // months/years/hours would be the same machinery on a
+        // different divisor.
+        case Array(t) if t.name == "days" =>
+          val col = t.arguments().collectFirst {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+              r.fieldNames().mkString(".")
+          }
+          require(col.nonEmpty,
+            s"kvjsonl days() partitioning needs a column; got $t")
+          (None, col)
+        case other => throw new UnsupportedOperationException(
+          "kvjsonl tables support PARTITIONED BY (bucket(n, key)) or " +
+            s"PARTITIONED BY (days(col)); got ${other.mkString(", ")}")
+      }
     // Schema rules (KvSchema.scala has the storage model): the first
     // column is ALWAYS `key BIGINT` — bucketing, predicate/aggregate
     // pushdown, zone maps and the MoR row addressing build on it —
@@ -1122,11 +1373,25 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     require(!mor || snapshots,
       "TBLPROPERTIES ('dml'='mor') requires ('snapshots'='true') — " +
         "positional delete files live in the snapshot manifests")
+    // Resolve the days() partition column against the final column
+    // set; recorded by FIELD ID so a later RENAME stays metadata-only.
+    val pdays: Option[Int] = pdaysColName.map { cn =>
+      val c = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
+        throw new IllegalArgumentException(
+          s"days() partition column $cn is not a column of " +
+            s"${schema.catalogString}"))
+      require(
+        c.dtype == org.apache.spark.sql.types.TimestampType ||
+          c.dtype == org.apache.spark.sql.types.DateType,
+        s"days() partitioning needs a TIMESTAMP or DATE column; " +
+          s"$cn is ${c.dtype.simpleString}")
+      c.id
+    }
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
-    val meta = KvBucketing.KvMeta(buckets, snapshots, mor)
+    val meta = KvBucketing.KvMeta(buckets, snapshots, mor, pdays)
     if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
     if (cols != KvSchema.Legacy)
       KvSchema.write(p.toString,
@@ -1146,6 +1411,13 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       dir: String,
       change: (KvSchema.Registry, Seq[KvSchema.Col]) => Seq[KvSchema.Col])
       : Unit = {
+    // Schema evolution is FROZEN while branches exist: Version.from
+    // markers are MAIN-space, so an ALTER landing mid-audit would
+    // silently re-shape branch reads that never saw it.
+    require(KvBranches.list(dir).isEmpty,
+      s"cannot ALTER the schema while branches exist " +
+        s"(${KvBranches.list(dir).mkString(", ")}) — fast-forward or " +
+        "drop them first")
     val reg = KvSchema.read(dir).getOrElse(
       KvSchema.Registry(Seq(KvSchema.Version(0, KvSchema.Legacy))))
     val from =
@@ -1221,6 +1493,12 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           s"cannot disable snapshots on ${ident.name()}: tags exist " +
             s"(${KvRefs.read(dir).keys.toSeq.sorted.mkString(", ")}) — " +
             "drop them first")
+        // Branches stage unpublished commits whose files the
+        // delete-non-members sweep below would reclaim.
+        require(KvBranches.list(dir).isEmpty,
+          s"cannot disable snapshots on ${ident.name()}: branches " +
+            s"exist (${KvBranches.list(dir).mkString(", ")}) — " +
+            "fast-forward or drop them first")
         // Crash-ordering matters: (1) delete non-member files — the
         // table is still snapshotted, so reads (manifest-driven) never
         // see them anyway; (2) flip the meta — from here reads list
@@ -1237,11 +1515,12 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           if (n.endsWith(".jsonl") && !current.contains(n))
             java.nio.file.Files.delete(f)
         } finally s.close()
-        if (meta.buckets.isEmpty)
+        val flipped = meta.copy(snapshots = false)
+        if (flipped.isEmpty)
           java.nio.file.Files.deleteIfExists(
             p.resolve(KvBucketing.MetaFile))
         else
-          KvBucketing.writeMeta(dir, meta.copy(snapshots = false))
+          KvBucketing.writeMeta(dir, flipped)
         // A schema-evolved table's registry keys its Version.from
         // markers to the numbering being destroyed here; after a
         // re-enable (numbering restarts at v1) stale markers would
@@ -1336,6 +1615,10 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
                 "the key column cannot be dropped — bucketing, " +
                   "pushdown and the MoR row addressing are defined " +
                   "over it")
+              require(!KvBucketing.readMetaFull(dir).partitionDays
+                  .contains(col.id),
+                s"cannot drop ${col.name}: it is the table's days() " +
+                  "partition column (the file layout is keyed to it)")
               // Metadata-only: old files keep the field, readers of
               // the new schema never project it; the id is never
               // reused (Registry.nextId walks ALL versions), so a
@@ -1427,16 +1710,20 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
 
   override def listFunctions(ns: Array[String]): Array[Identifier] =
     if (ns.isEmpty || ns.sameElements(SystemNs))
-      Array(Identifier.of(ns, "bucket"))
+      Array(Identifier.of(ns, "bucket"), Identifier.of(ns, "days"))
     else if (namespaceExists(ns)) Array.empty
     else throw new NoSuchNamespaceException(ns)
 
   override def loadFunction(
       ident: Identifier): functions.UnboundFunction =
-    if (ident.name() == "bucket" &&
-        (ident.namespace().isEmpty ||
-          ident.namespace().sameElements(SystemNs)))
-      new KvBucketUnbound
+    if (ident.namespace().isEmpty ||
+        ident.namespace().sameElements(SystemNs))
+      ident.name() match {
+        case "bucket" => new KvBucketUnbound
+        case "days" => new KvDaysUnbound
+        case _ => throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident)
+      }
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
@@ -1451,7 +1738,10 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(SystemNs, "rollback"),
         Identifier.of(SystemNs, "vacuum"),
         Identifier.of(SystemNs, "tag"),
-        Identifier.of(SystemNs, "drop_tag"))
+        Identifier.of(SystemNs, "drop_tag"),
+        Identifier.of(SystemNs, "create_branch"),
+        Identifier.of(SystemNs, "fast_forward"),
+        Identifier.of(SystemNs, "drop_branch"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
@@ -1467,6 +1757,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum" => new KvVacuumProcedure(this)
       case "tag" => new KvTagProcedure(this)
       case "drop_tag" => new KvDropTagProcedure(this)
+      case "create_branch" => new KvCreateBranchProcedure(this)
+      case "fast_forward" => new KvFastForwardProcedure(this)
+      case "drop_branch" => new KvDropBranchProcedure(this)
       case other => throw new IllegalArgumentException(
         s"no such procedure: system.$other (the kv catalog ships " +
           "system.compact(table, target_files), " +
@@ -1474,8 +1767,11 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           "system.cluster(table, target_files), " +
           "system.rollback(table, version), " +
           "system.vacuum(table, older_than_ms), " +
-          "system.tag(table, name, version) and " +
-          "system.drop_tag(table, name))")
+          "system.tag(table, name, version), " +
+          "system.drop_tag(table, name), " +
+          "system.create_branch(table, name), " +
+          "system.fast_forward(table, branch) and " +
+          "system.drop_branch(table, name))")
     }
   }
 

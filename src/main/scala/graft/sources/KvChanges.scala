@@ -287,23 +287,8 @@ class KvChangesReader(
                 v.map(UTF8String.fromString).orNull
               case Some(c) => extras.get(c.storageName) match {
                 case None => null
-                case Some(x) => c.dtype match {
-                  case org.apache.spark.sql.types.LongType =>
-                    Long.box(x.asInstanceOf[Long])
-                  case org.apache.spark.sql.types.DoubleType => x match {
-                    case d: Double => Double.box(d)
-                    // bigint → double widened column: pre-ALTER tokens
-                    // are longs — exactly representable, coerce.
-                    case l: Long => Double.box(l.toDouble)
-                    case other => throw new IllegalStateException(
-                      s"double column ${c.storageName} holds " +
-                        s"${other.getClass}")
-                  }
-                  case org.apache.spark.sql.types.StringType =>
-                    UTF8String.fromString(x.asInstanceOf[String])
-                  case other => throw new IllegalStateException(
-                    s"unreachable kvjsonl column type $other")
-                }
+                case Some(x) =>
+                  KvSchema.materializeExtra(x, c.dtype, c.storageName)
               }
               case None => throw new IllegalArgumentException(
                 s"kvjsonl changes scan cannot produce column $f " +

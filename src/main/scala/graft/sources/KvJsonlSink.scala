@@ -206,12 +206,14 @@ object KvJsonlSink {
 class KvJsonlTable(
     path: String,
     viaCatalog: Boolean = false,
-    pinnedVersion: Option[Int] = None)
+    pinnedVersion: Option[Int] = None,
+    branch: Option[String] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns {
   override def name(): String =
-    s"kvjsonl($path${pinnedVersion.fold("")(v => s"@v$v")})"
+    s"kvjsonl($path${pinnedVersion.fold("")(v => s"@v$v")}" +
+      s"${branch.fold("")(b => s"@branch=$b")})"
 
   /** The table's columns — the founding (key, value) pair unless a
     * `_schema.json` registry records evolution (KvSchema.scala). A
@@ -236,7 +238,11 @@ class KvJsonlTable(
   override def partitioning(): Array[Transform] =
     buckets.toArray.map(n =>
       org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(n, "key"))
+        .bucket(n, "key")) ++
+      meta.partitionDays.toArray.flatMap(id =>
+        cols.find(_.id == id).map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .days(c.name): Transform))
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -288,7 +294,8 @@ class KvJsonlTable(
       b
     }
     new KvScanBuilder(path, buckets, meta.snapshots, pinnedVersion,
-      maxBytesPerTrigger = maxBytes)
+      maxBytesPerTrigger = maxBytes, branch = branch,
+      partitionDaysId = meta.partitionDays)
   }
 
   /** SQL row-level DML (DELETE / UPDATE / MERGE) via the GROUP-BASED
@@ -320,6 +327,20 @@ class KvJsonlTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to a time-travel snapshot: ${name()}")
+    // WRITE-AUDIT-PUBLISH staging: `.option("branch", "audit")`
+    // targets the branch's manifest lineage (KvBranches.scala) — the
+    // files publish to the table dir as usual but ONLY the branch's
+    // manifests reference them, so main readers never see the commit
+    // until system.fast_forward adopts it.
+    val writeBranch = Option(info.options.get("branch"))
+    writeBranch.foreach { b =>
+      require(meta.snapshots,
+        s"branch writes need a snapshotted table ($path is not)")
+      require(KvBranches.exists(path, b),
+        s"no branch '$b' of $path (branches: " +
+          s"${KvBranches.list(path).mkString(", ")}) — " +
+          "CALL system.create_branch first")
+    }
     // Fail at plan time, not mid-write, on a schema the sink can't
     // hold: the incoming row shape must match the table's CURRENT
     // columns type-for-type (names are the caller's business — a
@@ -338,7 +359,7 @@ class KvJsonlTable(
       // never leaves the target half-cleared (abort keeps old files).
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
-      override def build(): Write = buckets match {
+      override def build(): Write = (buckets, meta.partitionDays) match {
         // Bucketed table reached through the catalog: REQUEST the
         // clustered-by-bucket distribution (Spark shuffles incoming
         // rows by the V2 bucket function before the write), so each
@@ -349,7 +370,7 @@ class KvJsonlTable(
         // resolving the bucket transform needs the FunctionCatalog —
         // a format/path write to a bucketed dir still bucket-routes,
         // it just can't ask for the pre-shuffle.
-        case Some(n) if viaCatalog =>
+        case (Some(n), _) if viaCatalog =>
           new Write with RequiresDistributionAndOrdering {
             override def requiredDistribution()
                 : org.apache.spark.sql.connector.distributions.Distribution =
@@ -361,19 +382,52 @@ class KvJsonlTable(
                 : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
               Array.empty
             override def toBatch: BatchWrite =
-              new KvJsonlBatchWrite(path, truncateFirst, info.queryId())
+              new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
+                writeBranch)
             override def toStreaming: streaming.StreamingWrite =
               throw new UnsupportedOperationException(
                 "streaming append to a BUCKETED kvjsonl table is not " +
                   "supported (per-epoch bucket routing would need " +
                   "epoch-scoped bucket files)")
           }
+        // Date-partitioned catalog write: REQUEST clustering by
+        // days(col) (Spark resolves the transform through this
+        // catalog's `days` function and shuffles rows by day before
+        // the write), so each task writes ~one file per day instead
+        // of every task fanning out across all days — the file-count
+        // control a date-partitioned 100 TB write needs. Correctness
+        // never depends on it: the fan-out writer routes any
+        // distribution (format-path writes still day-route).
+        case (None, Some(id)) if viaCatalog =>
+          val pcolName = cols.find(_.id == id).map(_.name).getOrElse(
+            throw new IllegalStateException(
+              s"partition field id $id missing from the schema of $path"))
+          new Write with RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .days(pcolName)))
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array.empty
+            override def toBatch: BatchWrite =
+              new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
+                writeBranch)
+            override def toStreaming: streaming.StreamingWrite =
+              throw new UnsupportedOperationException(
+                "streaming append to a DATE-PARTITIONED kvjsonl table " +
+                  "is not supported (per-epoch day routing would need " +
+                  "epoch-scoped partition files)")
+          }
         case _ => new Write {
           // The per-write queryId is baked into batch final names so an
           // APPEND write can never collide with (and REPLACE) an earlier
           // job's same-numbered partitions.
           override def toBatch: BatchWrite =
-            new KvJsonlBatchWrite(path, truncateFirst, info.queryId())
+            new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
+              writeBranch)
           override def toStreaming: streaming.StreamingWrite =
             new KvJsonlStreamingWrite(path)
         }
@@ -427,21 +481,24 @@ case class KvJsonlBucketedCommitMessage(files: Seq[KvWrittenFile])
     extends WriterCommitMessage
 
 class KvJsonlBatchWrite(
-    path: String, truncateFirst: Boolean, jobId: String)
+    path: String, truncateFirst: Boolean, jobId: String,
+    branch: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val tmp = KvJsonlSink.tempDir(path, jobId)
     java.nio.file.Files.createDirectories(tmp)
-    // Bucket routing is decided by the TABLE DIR's metadata, not the
-    // caller, so every write path (catalog insert, DML rewrite,
-    // format-path save) keeps a bucketed table bucketed. The column
-    // registry is captured HERE (driver-side, once per job) so every
-    // task of this write formats rows against the same schema version
-    // even if an ALTER lands mid-job.
-    new KvJsonlWriterFactory(path, jobId, KvBucketing.readMeta(path),
-      KvSchema.currentCols(path))
+    // Bucket/day routing is decided by the TABLE DIR's metadata, not
+    // the caller, so every write path (catalog insert, DML rewrite,
+    // format-path save) keeps a bucketed table bucketed and a
+    // partitioned table partitioned. The column registry is captured
+    // HERE (driver-side, once per job) so every task of this write
+    // formats rows against the same schema version even if an ALTER
+    // lands mid-job.
+    val meta = KvBucketing.readMetaFull(path)
+    new KvJsonlWriterFactory(path, jobId, meta.buckets,
+      KvSchema.currentCols(path), meta.partitionDays)
   }
 
   /** Driver-side publish: ONLY files named in commit messages become
@@ -478,14 +535,25 @@ class KvJsonlBatchWrite(
       // re-proposes just its own files at the next version — two
       // overlapping INSERT OVERWRITEs serialize last-writer-wins,
       // the SQL semantics).
-      KvSnapshots.commitWith(path) { base =>
-        val prev =
-          if (truncateFirst || base == 0)
-            Seq.empty[KvSnapshots.KvFileStat]
-          else KvSnapshots.membersWithStats(path, base)
-        prev ++ published.map(f =>
+      def nextMembership(prev: Seq[KvSnapshots.KvFileStat])
+          : Seq[KvSnapshots.KvFileStat] =
+        (if (truncateFirst) Seq.empty else prev) ++ published.map(f =>
           KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey, f.maxKey,
             keysKnown = true))
+      branch match {
+        // Branch-targeted write (write-audit-publish): the commit
+        // lands on the BRANCH's lineage; main's manifests — and every
+        // main reader — are untouched by construction.
+        case Some(b) =>
+          KvBranches.commit(path, b) { head =>
+            nextMembership(KvBranches.membersWithStats(path, b, head))
+          }
+        case None =>
+          KvSnapshots.commitWith(path) { base =>
+            nextMembership(
+              if (base == 0) Seq.empty
+              else KvSnapshots.membersWithStats(path, base))
+          }
       }
     }
     KvJsonlSink.cleanupJobTemp(path, jobId)
@@ -524,15 +592,19 @@ class KvJsonlBatchWrite(
 
 class KvJsonlWriterFactory(
     path: String, jobId: String, buckets: Option[Int] = None,
-    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    partitionDays: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = buckets match {
-    case Some(n) =>
+      taskId: Long): DataWriter[InternalRow] = (buckets, partitionDays) match {
+    case (Some(n), _) =>
       new KvJsonlBucketedDataWriter(path, jobId, partitionId, taskId, n,
         cols)
-    case None =>
+    case (None, Some(id)) =>
+      new KvJsonlDayPartitionedDataWriter(path, jobId, partitionId,
+        taskId, id, cols)
+    case _ =>
       new KvJsonlDataWriter(path,
         f"attempt-$jobId-$partitionId%05d-$taskId",
         f"part-$jobId-$partitionId%05d.jsonl",
@@ -599,6 +671,91 @@ class KvJsonlBucketedDataWriter(
         w.stats.written(
           w.temp.toString,
           f"part-$jobId-$partitionId%05d${KvBucketing.bucketSuffix(b)}.jsonl")
+      })
+  }
+
+  override def abort(): Unit =
+    open.values.foreach { w =>
+      w.out.close()
+      java.nio.file.Files.deleteIfExists(w.temp)
+    }
+
+  override def close(): Unit = ()
+}
+
+/** Date-partitioned task writer: routes each row to its DAY's file
+  * (`daySuffix(dayToken(...))` — the same token the scan's partition
+  * pruning parses back from the name), opening at most one file per
+  * day SEEN. Under the write's requested clustered-by-days
+  * distribution a task sees ~one day; without it (format-path writes)
+  * the fan-out is the correctness backstop — the bucketed writer's
+  * exact shape, keyed by day instead of bucket. NULL partition values
+  * route to the explicit `null` partition file.
+  */
+class KvJsonlDayPartitionedDataWriter(
+    path: String, jobId: String, partitionId: Int, taskId: Long,
+    partitionFieldId: Int, cols: Seq[KvSchema.Col])
+    extends DataWriter[InternalRow] {
+
+  private val evolved = cols != KvSchema.Legacy
+
+  /** The partition column's row ordinal and date-ness, resolved once
+    * (the write schema was validated type-for-type against `cols`).
+    */
+  private val partIdx = cols.indexWhere(_.id == partitionFieldId)
+  require(partIdx >= 0,
+    s"partition field id $partitionFieldId missing from the write " +
+      s"schema of $path")
+  private val partIsDate =
+    cols(partIdx).dtype == org.apache.spark.sql.types.DateType
+
+  private class DayOut(val temp: java.nio.file.Path) {
+    val out: java.io.BufferedWriter =
+      java.nio.file.Files.newBufferedWriter(
+        temp, java.nio.charset.StandardCharsets.UTF_8)
+    val stats = new KvKeyStats
+  }
+
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[Option[Long], DayOut]
+
+  private val tempBase = {
+    val d = KvJsonlSink.tempDir(path, jobId)
+    java.nio.file.Files.createDirectories(d) // idempotent; executor-side
+    d
+  }
+
+  private def writerFor(tok: Option[Long]): DayOut =
+    open.getOrElseUpdate(tok, new DayOut(
+      tempBase.resolve(
+        f"attempt-$jobId-$partitionId%05d-$taskId" +
+          KvBucketing.daySuffix(tok))))
+
+  override def write(row: InternalRow): Unit = {
+    val raw: Option[Long] =
+      if (row.isNullAt(partIdx)) None
+      else if (partIsDate) Some(row.getInt(partIdx).toLong)
+      else Some(row.getLong(partIdx))
+    val w = writerFor(KvBucketing.dayToken(raw, partIsDate))
+    w.out.write(
+      if (evolved) KvSchema.formatRow(row, cols)
+      else KvJsonlSink.formatLine(row))
+    w.out.write('\n')
+    w.stats.update(row)
+  }
+
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_.out.close())
+    KvJsonlBucketedCommitMessage(
+      open.toSeq.sortBy(_._1.getOrElse(Long.MinValue)).map {
+        case (tok, w) =>
+          w.stats.written(
+            w.temp.toString,
+            f"part-$jobId-$partitionId%05d" +
+              s"${KvBucketing.daySuffix(tok)}.jsonl")
       })
   }
 

@@ -289,9 +289,12 @@ class KvVacuumProcedure(cat: KvCatalog)
         val dir = cat.resolveTableDir(table)
         KvProcedures.requireSnapshotted(table, dir)
         val path = dir.toString
+        // Branch manifests are live references too (KvBranches.scala):
+        // a file staged on an un-published branch is not an orphan.
         val referenced: Set[String] =
           KvSnapshots.versions(path)
-            .flatMap(v => KvSnapshots.members(path, v)).toSet
+            .flatMap(v => KvSnapshots.members(path, v)).toSet ++
+            KvBranches.referencedFiles(path)
         val keepNames =
           Set(KvSnapshots.DirName, KvBucketing.MetaFile, "_SUCCESS",
             "_temporary", KvSchema.FileName, KvRefs.FileName)
@@ -459,4 +462,188 @@ object KvDropTagProcedure {
   val OutSchema: StructType = StructType(Seq(
     StructField("name", StringType),
     StructField("was_version", LongType)))
+}
+
+/** `system.create_branch` — start a writable branch at main's current
+  * snapshot (KvBranches.scala has the write-audit-publish overview):
+  *
+  * {{{ CALL graft_kv.system.create_branch(table => 'default.t',
+  *                                        name => 'audit') }}}
+  *
+  * After which `.option("branch", "audit")` writes land on the
+  * branch's lineage, `VERSION AS OF 'audit'` reads its head, and
+  * `system.fast_forward` publishes it to main atomically. Returns one
+  * row (name, base_version).
+  */
+class KvCreateBranchProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "create_branch"
+  override def description(): String =
+    "start a writable branch at the current snapshot " +
+      "(write-audit-publish staging)"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "create_branch"
+      override def description(): String =
+        KvCreateBranchProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("name", StringType)
+            .comment("branch name ([A-Za-z0-9._-]+, not an integer)")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val branchName = input.getUTF8String(1).toString
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val base = KvBranches.create(dir.toString, branchName)
+        KvProcedures.localScan(KvCreateBranchProcedure.OutSchema,
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(branchName),
+            base.toLong))
+      }
+    }
+}
+
+object KvCreateBranchProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("base_version", LongType)))
+}
+
+/** `system.fast_forward` — atomically publish a branch to main:
+  *
+  * {{{ CALL graft_kv.system.fast_forward(table => 'default.t',
+  *                                       branch => 'audit') }}}
+  *
+  * Commits the branch head's EXACT membership as main's next version
+  * under the same OCC conditional-put every commit uses — but only if
+  * main has not advanced past the branch's creation base (the
+  * fast-forward precondition; a diverged main fails LOUD with a
+  * CommitConflictException rather than silently clobbering concurrent
+  * work). The branch itself stays (re-audit or drop at leisure).
+  * Returns one row (branch, branch_head, new_version).
+  */
+class KvFastForwardProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch's head to main atomically (fails if main " +
+      "advanced since the branch was created)"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "fast_forward"
+      override def description(): String =
+        KvFastForwardProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("branch", StringType)
+            .comment("branch to publish")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val branchName = input.getUTF8String(1).toString
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val path = dir.toString
+        val base = KvBranches.base(path, branchName)
+        val head = KvBranches.head(path, branchName)
+        val members = KvBranches.membersWithStats(path, branchName, head)
+        val newV = KvSnapshots.commitWith(path) { mainBase =>
+          if (mainBase != base)
+            throw new KvSnapshots.CommitConflictException(
+              s"main of $table is at v$mainBase but branch " +
+                s"'$branchName' was created at v$base — not " +
+                "fast-forwardable (main advanced mid-audit; create a " +
+                "fresh branch from the new head and re-apply)")
+          members
+        }
+        KvProcedures.localScan(KvFastForwardProcedure.OutSchema,
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(branchName),
+            head.toLong, newV.toLong))
+      }
+    }
+}
+
+object KvFastForwardProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("branch", StringType),
+    StructField("branch_head", LongType),
+    StructField("new_version", LongType)))
+}
+
+/** `system.drop_branch` — abandon a branch; files staged only on it
+  * become vacuum-reclaimable orphans. Returns one row
+  * (name, was_head).
+  */
+class KvDropBranchProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "drop a branch (its staged-only files become vacuum-reclaimable)"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String =
+        KvDropBranchProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("name", StringType)
+            .comment("branch to drop")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val branchName = input.getUTF8String(1).toString
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val was = KvBranches.drop(dir.toString, branchName)
+        KvProcedures.localScan(KvDropBranchProcedure.OutSchema,
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(branchName),
+            was.toLong))
+      }
+    }
+}
+
+object KvDropBranchProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("was_head", LongType)))
 }

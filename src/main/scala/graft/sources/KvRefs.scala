@@ -67,6 +67,9 @@ object KvRefs {
     require(!tags.contains(name),
       s"tag '$name' already exists (at v${tags(name)}) — drop it " +
         "first; tags are immutable pins, not movable pointers")
+    require(!KvBranches.exists(dir, name),
+      s"a BRANCH named '$name' exists — tags and branches share the " +
+        "VERSION AS OF namespace")
     val have = KvSnapshots.versions(dir)
     require(have.contains(version),
       s"cannot tag v$version: not a retained snapshot " +

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** SCHEMA EVOLUTION for kvjsonl tables — the Iceberg field-ID model
   * reduced to this connector's essentials:
@@ -44,11 +44,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
   * pre-ALTER rows, full stop; a pipeline that wants a fill value says
   * `coalesce(c, default)` where it reads.
   *
-  * Supported column types: BIGINT, STRING, DOUBLE — the id→type
-  * binding is permanent, so a storage field's JSON encoding never
-  * changes across the table's life. `key` (id 1) is immutable in
-  * name, type and position (bucketing, predicate/aggregate pushdown,
-  * zone maps and the MoR row addressing all build on it).
+  * Supported column types: BIGINT, STRING, DOUBLE, TIMESTAMP (stored
+  * as int64 micros-since-epoch), DATE (int32 days-since-epoch) — the
+  * id→type binding is permanent, so a storage field's JSON encoding
+  * never changes across the table's life. `key` (id 1) is immutable
+  * in name, type and position (bucketing, predicate/aggregate
+  * pushdown, zone maps and the MoR row addressing all build on it).
   *
   * Like the rest of the catalog's metadata, writes are atomic
   * (temp + rename) and assume single-writer DDL; data commits are
@@ -135,26 +136,39 @@ object KvSchema {
   }
 
   /** For error messages — the one list of what [[isSupported]] says. */
-  val SupportedTypeNames = "bigint/string/double"
+  val SupportedTypeNames = "bigint/string/double/timestamp/date"
 
+  /** TIMESTAMP and DATE encode as the integer tokens Spark already
+    * uses internally — micros-since-epoch (int64) and days-since-epoch
+    * (int32) — so the line format needs NO new dialect: both are bare
+    * long tokens to [[parseExtras]], lossless in both directions, and
+    * the id→type binding stays permanent like every other column. The
+    * session timezone never touches storage (micros/days are absolute),
+    * exactly parquet's TIMESTAMP(MICROS)/DATE physical model.
+    */
   def typeName(t: DataType): String = t match {
     case LongType => "bigint"
     case StringType => "string"
     case DoubleType => "double"
+    case TimestampType => "timestamp"
+    case DateType => "date"
     case other => throw new IllegalArgumentException(
-      s"kvjsonl columns support bigint/string/double; got $other")
+      s"kvjsonl columns support $SupportedTypeNames; got $other")
   }
 
   def typeOf(s: String): DataType = s match {
     case "bigint" => LongType
     case "string" => StringType
     case "double" => DoubleType
+    case "timestamp" => TimestampType
+    case "date" => DateType
     case other => throw new IllegalArgumentException(
       s"corrupt $FileName type: $other")
   }
 
   def isSupported(t: DataType): Boolean =
-    t == LongType || t == StringType || t == DoubleType
+    t == LongType || t == StringType || t == DoubleType ||
+      t == TimestampType || t == DateType
 
   def toStruct(cols: Seq[Col]): StructType =
     StructType(cols.map(c =>
@@ -215,6 +229,33 @@ object KvSchema {
     }
   }
 
+  /** One parsed extra-field token → the column's InternalRow value —
+    * THE shared materializer of every evolved-column reader (the scan,
+    * the `$changes` CDC table, the change feed), so a new column type
+    * can never half-land in one path. Absent fields never reach here
+    * (absent = NULL); the token is a Long, Double or String per the
+    * writer's encoding.
+    */
+  def materializeExtra(x: Any, dtype: DataType, storage: String): Any =
+    dtype match {
+      case LongType => Long.box(x.asInstanceOf[Long])
+      case DoubleType => x match {
+        case d: Double => Double.box(d)
+        // bigint → double widened column: tokens written before the
+        // ALTER are longs — exactly representable, coerce.
+        case l: Long => Double.box(l.toDouble)
+        case other => throw new IllegalStateException(
+          s"double column $storage holds ${other.getClass}")
+      }
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(x.asInstanceOf[String])
+      case TimestampType => Long.box(x.asInstanceOf[Long]) // micros
+      case DateType => Int.box(x.asInstanceOf[Long].toInt) // epoch days
+      case other => throw new IllegalStateException(
+        s"unreachable kvjsonl column type $other")
+    }
+
   /** The table's CURRENT columns (registry, or the founding pair). */
   def currentCols(dir: String): Seq[Col] =
     read(dir).map(_.current).getOrElse(Legacy)
@@ -259,6 +300,9 @@ object KvSchema {
           case StringType => b.append('"')
             .append(KvJsonlSink.escape(row.getUTF8String(i).toString))
             .append('"')
+          // Spark's internal representations ARE the storage tokens.
+          case TimestampType => b.append(row.getLong(i)) // micros
+          case DateType => b.append(row.getInt(i)) // epoch days
           case other => throw new IllegalStateException(
             s"unreachable column type $other")
         }

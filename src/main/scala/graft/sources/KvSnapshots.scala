@@ -39,8 +39,11 @@ object KvSnapshots {
   // (latest() frozen, new commits re-numbering over the same file).
   private val ManifestName = """v(\d{5,})\.manifest""".r
 
-  def versions(path: String): Seq[Int] = {
-    val d = snapDir(path)
+  /** Dir-parameterized core, shared with the branch lineages
+    * (KvBranches.scala): a branch is the same manifest machinery
+    * rooted at `_snapshots/branch-<name>/` instead of `_snapshots/`.
+    */
+  private[sources] def versionsIn(d: Path): Seq[Int] = {
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val s = Files.list(d)
@@ -52,10 +55,15 @@ object KvSnapshots {
     }
   }
 
+  def versions(path: String): Seq[Int] = versionsIn(snapDir(path))
+
   def latest(path: String): Option[Int] = versions(path).lastOption
 
+  private[sources] def manifestPathIn(d: Path, version: Int): Path =
+    d.resolve(f"v$version%05d.manifest")
+
   private def manifestPath(path: String, version: Int): Path =
-    snapDir(path).resolve(f"v$version%05d.manifest")
+    manifestPathIn(snapDir(path), version)
 
   /** Per-file statistics a manifest line carries beside the name —
     * the ZONE MAP of this format: row count, and min/max over the
@@ -83,11 +91,26 @@ object KvSnapshots {
     * skipped under key predicates; unknown files never may.
     */
   def membersWithStats(
-      path: String, version: Int): Seq[KvFileStat] = {
-    val m = manifestPath(path, version)
+      path: String, version: Int): Seq[KvFileStat] =
+    membersWithStatsIn(snapDir(path), version, path)
+
+  /** Read a branch's manifest instead of main's when `branch` is set
+    * — the one switch every branch-capable read path goes through.
+    */
+  def membersWithStats(
+      path: String, version: Int,
+      branch: Option[String]): Seq[KvFileStat] =
+    branch match {
+      case None => membersWithStats(path, version)
+      case Some(b) => KvBranches.membersWithStats(path, b, version)
+    }
+
+  private[sources] def membersWithStatsIn(
+      d: Path, version: Int, what: String): Seq[KvFileStat] = {
+    val m = manifestPathIn(d, version)
     require(Files.isRegularFile(m),
-      s"no snapshot v$version of $path (versions: " +
-        s"${versions(path).mkString(", ")})")
+      s"no snapshot v$version of $what (versions: " +
+        s"${versionsIn(d).mkString(", ")})")
     def bound(s: String): Option[Long] =
       if (s == "-") None else Some(s.toLong)
     Files.readAllLines(m, java.nio.charset.StandardCharsets.UTF_8)
@@ -102,7 +125,7 @@ object KvSnapshots {
             KvFileStat(name, n.toLong, bound(mn), bound(mx),
               keysKnown = true)
           case _ => throw new IllegalArgumentException(
-            s"corrupt manifest line in v$version of $path: $line")
+            s"corrupt manifest line in v$version of $what: $line")
         }
       }
   }
@@ -150,8 +173,13 @@ object KvSnapshots {
     * dedup pass is needed; sortedness is what lets the reader apply
     * them in one sequential merge.
     */
-  def deleteIndex(path: String, version: Int): Map[String, Array[Long]] = {
-    val dels = deleteFiles(membersWithStats(path, version))
+  def deleteIndex(path: String, version: Int): Map[String, Array[Long]] =
+    deleteIndex(path, version, None)
+
+  def deleteIndex(
+      path: String, version: Int,
+      branch: Option[String]): Map[String, Array[Long]] = {
+    val dels = deleteFiles(membersWithStats(path, version, branch))
     if (dels.isEmpty) Map.empty
     else dels
       .flatMap(d => readDeleteFile(path, d.name).toSeq)
@@ -201,27 +229,44 @@ object KvSnapshots {
     * version.
     */
   def commitWith(path: String)(
+      membership: Int => Seq[KvFileStat]): Int =
+    commitWithIn(snapDir(path))(membership)
+
+  private def manifestBytes(membership: Seq[KvFileStat]): Array[Byte] =
+    membership.sortBy(_.name)
+      .map { st =>
+        if (st.keysKnown)
+          s"${st.name}\t${st.rows}" +
+            s"\t${st.minKey.getOrElse("-")}\t${st.maxKey.getOrElse("-")}"
+        else s"${st.name}\t${st.rows}"
+      }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Single-writer manifest write at a FIXED version (branch
+    * creation's seed copy) — create-exclusive, never replaces.
+    */
+  private[sources] def writeManifestIn(
+      d: Path, version: Int, membership: Seq[KvFileStat]): Unit = {
+    val tmp = d.resolve(
+      f"v$version%05d.manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, manifestBytes(membership))
+    Files.createLink(manifestPathIn(d, version), tmp)
+    Files.deleteIfExists(tmp)
+    ()
+  }
+
+  private[sources] def commitWithIn(d: Path)(
       membership: Int => Seq[KvFileStat]): Int = {
-    val d = snapDir(path)
     Files.createDirectories(d)
     var attempts = 0
     while (true) {
-      val base = latest(path).getOrElse(0)
+      val base = versionsIn(d).lastOption.getOrElse(0)
       val v = base + 1
       val tmp = d.resolve(
         f"v$v%05d.manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.write(tmp,
-        membership(base).sortBy(_.name)
-          .map { st =>
-            if (st.keysKnown)
-              s"${st.name}\t${st.rows}" +
-                s"\t${st.minKey.getOrElse("-")}\t${st.maxKey.getOrElse("-")}"
-            else s"${st.name}\t${st.rows}"
-          }
-          .mkString("\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
+      Files.write(tmp, manifestBytes(membership(base)))
       try {
-        Files.createLink(manifestPath(path, v), tmp)
+        Files.createLink(manifestPathIn(d, v), tmp)
         Files.deleteIfExists(tmp)
         return v
       } catch {
@@ -230,7 +275,7 @@ object KvSnapshots {
           attempts += 1
           if (attempts >= 50)
             throw new CommitConflictException(
-              s"snapshot commit of $path lost $attempts consecutive " +
+              s"snapshot commit of $d lost $attempts consecutive " +
                 "races — giving up (livelocked writer herd?)")
       }
     }
@@ -286,8 +331,14 @@ object KvSnapshots {
     val tail = all.takeRight(keepLast).toSet
     val keep = all.filter(v => tail(v) || tagged(v))
     val drop = all.filterNot(v => tail(v) || tagged(v))
+    // BRANCH manifests (KvBranches.scala) are live references too:
+    // expire walks MAIN's lineage only (branch dirs never match the
+    // manifest listing), but a file staged on an un-published branch
+    // — or shared between a dropped main version and a branch base —
+    // must survive until the branch is dropped or fast-forwarded.
     val live: Set[String] =
-      keep.flatMap(v => members(path, v)).toSet
+      keep.flatMap(v => members(path, v)).toSet ++
+        KvBranches.referencedFiles(path)
     var deleted = 0L
     drop.foreach { v =>
       members(path, v).foreach { f =>

@@ -39,6 +39,16 @@ object ScaleCurve {
     "minhash_band_pairs", "top_terms_per_source",
     "stream_heavy_hitters", "stream_v2_metadata")
 
+  /** Optional FOURTH point (round-16): the two heavies whose 3→10
+    * slope sat at the linear boundary (setsim_prefix_join 0.93,
+    * repetition_score 0.94) get a 30× measurement when the replica
+    * dir exists — one more tripling decides whether "linear" was the
+    * truth or the early face of super-linear growth the 10× window
+    * couldn't see.
+    */
+  val Targets30: Set[String] =
+    Set("setsim_prefix_join", "repetition_score")
+
   def main(args: Array[String]): Unit = {
     val sf1x =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,12 +97,26 @@ object ScaleCurve {
     }
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val sf30x = sys.env.getOrElse(
+      "SPARK_GRAFT_SF30_DIR", "/root/repo/tmp_scale/sf3.0")
+    val have30 = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(sf30x, "documents.parquet"))
+    if (!have30)
+      System.err.println(
+        s"[scalecurve] no 30x data at $sf30x — the 4th point is " +
+          "skipped (run ScaleGen with SPARK_GRAFT_SCALE=30 to add it)")
     val rows = Targets.map { n =>
       val t1 = time(n, sf1x)
       val t3 = time(n, sf3x)
       val t10 = time(n, sf10x)
       val a13 = math.log(t3 / t1) / math.log(3.0)
       val a310 = math.log(t10 / t3) / math.log(10.0 / 3.0)
+      // 10→30 slope for the boundary-linear heavies (see Targets30).
+      val p30: Option[(Double, Double)] =
+        if (have30 && Targets30(n)) {
+          val t30 = time(n, sf30x)
+          Some((t30, math.log(t30 / t10) / math.log(3.0)))
+        } else None
       // A NEGATIVE 1→3 slope (more data, less time) cannot be work
       // growth — it is the base layout: the driver's sf0.1 tables are
       // single parquet files while the ScaleGen replicas are multi-
@@ -100,27 +124,39 @@ object ScaleCurve {
       // shape verdict then rests on the 3→10 slope alone (both points
       // share the replica layout) and says so.
       val layoutArtifact = a13 < 0
+      // The shape verdict uses the FARTHEST measured slope: with a
+      // 30x point the question "does the slope hold past 10x?" is
+      // answered by alpha(10→30) against alpha(3→10).
+      val lastA = p30.map(_._2).getOrElse(a310)
+      val prevA = if (p30.isDefined) a310 else a13
       val shape =
-        if (layoutArtifact) "3-10-only (1x base under-parallelized)"
-        else if (a310 - a13 > 0.25) "steepening"
-        else if (a13 - a310 > 0.25) "flattening"
+        if (layoutArtifact && p30.isEmpty)
+          "3-10-only (1x base under-parallelized)"
+        else if (lastA - prevA > 0.25) "steepening"
+        else if (prevA - lastA > 0.25) "flattening"
         else "stable"
       val regime =
-        if (a310 < 0.9) "sub-linear"
-        else if (a310 <= 1.2) "linear"
+        if (lastA < 0.9) "sub-linear"
+        else if (lastA <= 1.2) "linear"
         else "super-linear"
       println(f"[scalecurve] $n%-22s t1=${t1}%6.2fs t3=${t3}%6.2fs " +
         f"t10=${t10}%6.2fs alpha(1→3)=${a13}%5.2f " +
-        f"alpha(3→10)=${a310}%5.2f $regime/$shape")
+        f"alpha(3→10)=${a310}%5.2f" +
+        p30.fold("")(p =>
+          f" t30=${p._1}%6.2fs alpha(10→30)=${p._2}%5.2f") +
+        f" $regime/$shape")
       s""""$n":{"t_1x_s":${f3(t1)},"t_3x_s":${f3(t3)},""" +
         s""""t_10x_s":${f3(t10)},"alpha_1_3":${f3(a13)},""" +
-        s""""alpha_3_10":${f3(a310)},"regime":"$regime",""" +
-        s""""shape":"$shape"}"""
+        s""""alpha_3_10":${f3(a310)},""" +
+        p30.fold("")(p =>
+          s""""t_30x_s":${f3(p._1)},"alpha_10_30":${f3(p._2)},""") +
+        s""""regime":"$regime","shape":"$shape"}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SCALE_CURVE.json"),
-      (s"""{"unit":"sec","points":[1,3,10],"base":"$sf1x",""" +
-        s""""best_of":3,"queries":{${rows.mkString(",")}}}""" +
+      (s"""{"unit":"sec","points":[1,3,10${if (have30) ",30" else ""}],""" +
+        s""""base":"$sf1x","best_of":3,""" +
+        s""""queries":{${rows.mkString(",")}}}""" +
         "\n").getBytes("UTF-8"))
     spark.stop()
   }

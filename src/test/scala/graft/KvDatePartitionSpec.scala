@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{KvBucketing, KvPartitionPrune}
+
+/** Date partitioning (`PARTITIONED BY (days(col))`): day-routed
+  * writes carry the day token in the file name, temporal predicates
+  * prune whole files at planning, nulls land in (and prune out of)
+  * the explicit null partition, and DML rewrites preserve the layout.
+  */
+class KvDatePartitionSpec extends SparkTestBase {
+
+  private def cat(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_kv",
+      classOf[graft.sources.KvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_kv.warehouse",
+      Fs.sinkDir("graft_kv_wh"))
+  }
+
+  private def dir(t: String): String =
+    Paths.get(Fs.sinkDir("graft_kv_wh"), "default", t).toString
+
+  private def jsonlFiles(t: String): Seq[String] = {
+    val s = Files.list(Paths.get(dir(t)))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".jsonl")).toSeq.sorted
+    finally s.close()
+  }
+
+  test("writes route by day token; a date range prunes whole files; " +
+      "the null partition exists and prunes out of comparisons") {
+    cat()
+    val t = "graft_kv.default.dp_basic"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING, day DATE) " +
+      "PARTITIONED BY (days(day))")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'a', DATE '1995-01-01'), (2, 'b', DATE '1995-01-01'), " +
+      "(3, 'c', DATE '1995-01-02'), (4, 'd', DATE '1995-03-05'), " +
+      "(5, 'e', null)")
+    // one file per day seen (+ the null partition)
+    val files = jsonlFiles("dp_basic")
+    val days = files.flatMap(KvBucketing.fileDay)
+    assert(days.count(_.isEmpty) === 1, s"null partition: $files")
+    assert(days.flatten.distinct.size === 3, s"day partitions: $files")
+    // a day-range query prunes the out-of-range and null files
+    val before = KvPartitionPrune.prunedFiles.get()
+    val got = spark.sql(s"SELECT sum(key) FROM $t " +
+      "WHERE day >= DATE '1995-01-01' AND day <= DATE '1995-01-02'")
+      .collect().head.getLong(0)
+    assert(got === 6L) // keys 1+2+3; null row excluded by comparison
+    assert(KvPartitionPrune.prunedFiles.get() - before >= 2,
+      "expected the 1995-03-05 file AND the null partition pruned")
+    // equality on a single day
+    assert(spark.sql(
+      s"SELECT count(*) FROM $t WHERE day = DATE '1995-03-05'")
+      .collect().head.getLong(0) === 1L)
+    // the table reports its transform
+    assert(spark.sql(s"SHOW CREATE TABLE $t").collect().head
+      .getString(0).contains("days(day)"))
+  }
+
+  test("timestamp partition column floors to calendar days; DML " +
+      "rewrites preserve the layout; the partition column cannot drop") {
+    cat()
+    val t = "graft_kv.default.dp_ts"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+      "ts TIMESTAMP) PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'a', TIMESTAMP '1995-01-01 00:00:00'), " +
+      "(2, 'b', TIMESTAMP '1995-01-01 23:59:59.999999'), " +
+      "(3, 'c', TIMESTAMP '1995-01-02 00:00:00')")
+    // both 01-01 rows share a file-day; 01-02 is separate
+    val v1 = graft.sources.KvSnapshots.latest(dir("dp_ts")).get
+    val days1 = graft.sources.KvSnapshots.members(dir("dp_ts"), v1)
+      .flatMap(KvBucketing.fileDay).flatten.distinct
+    assert(days1.size === 2, s"expected 2 day partitions: $days1")
+    // CoW DELETE rewrites through the routed writer: layout preserved
+    spark.sql(s"DELETE FROM $t WHERE key = 1")
+    val v2 = graft.sources.KvSnapshots.latest(dir("dp_ts")).get
+    val files2 = graft.sources.KvSnapshots.members(dir("dp_ts"), v2)
+    assert(files2.forall(f => KvBucketing.fileDay(f).isDefined),
+      s"rewrite lost day tokens: $files2")
+    assert(spark.sql(s"SELECT count(*) FROM $t " +
+      "WHERE ts < TIMESTAMP '1995-01-02 00:00:00'")
+      .collect().head.getLong(0) === 1L)
+    // the partition column is structural
+    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN ts"))
+    // but RENAME is fine — the meta records the FIELD ID
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN ts TO event_ts")
+    assert(spark.sql(s"SELECT count(*) FROM $t " +
+      "WHERE event_ts >= TIMESTAMP '1995-01-02 00:00:00'")
+      .collect().head.getLong(0) === 1L)
+  }
+
+  test("format-path (non-catalog) writes still day-route, and " +
+      "bucket+days together are rejected at CREATE") {
+    cat()
+    val t = "graft_kv.default.dp_format"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING, day DATE) " +
+      "PARTITIONED BY (days(day))")
+    import org.apache.spark.sql.functions._
+    spark.range(2)
+      .select(col("id").as("key"), lit("x").as("value"),
+        expr("DATE '2001-05-05'").as("day"))
+      .write.format("graft.sources.KvJsonlSink")
+      .mode("append").save(dir("dp_format"))
+    assert(jsonlFiles("dp_format")
+      .forall(f => KvBucketing.fileDay(f).isDefined))
+    intercept[Exception] {
+      spark.sql("DROP TABLE IF EXISTS graft_kv.default.dp_bad")
+      spark.sql("CREATE TABLE graft_kv.default.dp_bad " +
+        "(key BIGINT, value STRING, day DATE) " +
+        "PARTITIONED BY (bucket(4, key), days(day))")
+    }
+  }
+}

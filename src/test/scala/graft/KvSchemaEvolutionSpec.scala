@@ -347,6 +347,51 @@ class KvSchemaEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("TIMESTAMP and DATE columns: micros-lossless round-trip, " +
+      "reader-side pushdown, time travel across an ALTER beside them") {
+    val t = fresh("evo_temporal",
+      "key BIGINT, value STRING, ts TIMESTAMP, day DATE")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'a', TIMESTAMP '1995-06-01 12:34:56.789012', " +
+      "DATE '1995-06-01'), (2, 'b', null, null)") // v1
+    // registry types recorded; storage is integer tokens
+    val reg = KvSchema.read(dir("evo_temporal")).get
+    assert(reg.current.map(c => KvSchema.typeName(c.dtype)) ===
+      Seq("bigint", "string", "timestamp", "date"))
+    // full micros precision survives the line format
+    val got = spark.sql(
+      s"SELECT CAST(ts AS STRING) AS s, CAST(day AS STRING) AS d " +
+        s"FROM $t WHERE key = 1").collect().head
+    assert(got.getString(0) === "1995-06-01 12:34:56.789012")
+    assert(got.getString(1) === "1995-06-01")
+    // nulls read back as nulls (absent-token contract)
+    assert(spark.sql(s"SELECT ts, day FROM $t WHERE key = 2")
+      .collect().head.anyNull)
+    // reader-side pushdown: the null-ts row is skipped by the pushed
+    // comparison (null-rejecting), observed on the counter
+    val before = graft.sources.KvExtraPredicate.skipped.get()
+    assert(spark.sql(s"SELECT count(*) FROM $t " +
+      "WHERE ts > TIMESTAMP '1995-01-01 00:00:00'")
+      .collect().head.getLong(0) === 1L)
+    assert(graft.sources.KvExtraPredicate.skipped.get() > before,
+      "temporal predicate did not row-skip in the reader")
+    // evolve a bigint column beside the temporal ones; old rows NULL
+    spark.sql(s"ALTER TABLE $t ADD COLUMN qty BIGINT")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(3, 'c', TIMESTAMP '1996-01-01 00:00:00', DATE '1996-01-01', 9)")
+    assert(spark.sql(s"SELECT sum(coalesce(qty, 0)) FROM $t")
+      .collect().head.getLong(0) === 9L)
+    // time travel: v1 predates the ALTER — its schema has no qty,
+    // and the temporal values read back unchanged
+    val v1 = spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+    assert(v1.columns.toSeq === Seq("key", "value", "ts", "day"))
+    assert(v1.count() === 2)
+    // date equality pushdown compiles too
+    assert(spark.sql(
+      s"SELECT count(*) FROM $t WHERE day = DATE '1996-01-01'")
+      .collect().head.getLong(0) === 1L)
+  }
+
   test("disabling snapshots COLLAPSES the registry: stale Version.from " +
       "markers must not survive into a restarted numbering") {
     val t = fresh("evo_unset")
