@@ -1065,6 +1065,36 @@ object SourceQueries {
            |GROUP BY value ORDER BY value""".stripMargin)
     }),
 
+    // `$refs` METADATA TABLE (KvMetaTables.scala — Iceberg's `.refs`
+    // shape): one row per tag and branch, the observability surface
+    // of the whole ref lifecycle. The gate builds a deterministic ref
+    // state — tag 'pristine' at v1, branch 'audit' created at v2 with
+    // one staged commit (head v3 in branch space) — and pins the
+    // exact rows (names, kinds, resolved versions, branch base)
+    // against a literal oracle: any drift in version numbering, head
+    // resolution or base bookkeeping breaks the hash.
+    "catalog_refs_table" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.refs_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`") // v1
+      s.sql("CALL graft_kv.system.tag(" +
+        "table => 'default.refs_gate', name => 'pristine', " +
+        "version => 1)")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey + 10000000, " +
+        s"o_orderpriority FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 4 = 0") // v2
+      s.sql("CALL graft_kv.system.create_branch(" +
+        "table => 'default.refs_gate', name => 'audit')") // base v2
+      s.range(1, 4).selectExpr("id + 90000000 AS key", "'S' AS value")
+        .writeTo(t).option("branch", "audit").append() // head v3
+      s.sql("SELECT name, kind, version, base_version " +
+        s"FROM graft_kv.default.`refs_gate$$refs` ORDER BY name")
+    }),
+
     // DATE-PARTITIONED catalog table (`PARTITIONED BY (days(col))` —
     // KvBucketing.KvMeta.partitionDays): the most common 100 TB
     // layout, where a temporal predicate must prune whole FILES
@@ -2376,6 +2406,17 @@ object SourceQueries {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
+    // The deterministic ref state: tag at v1; branch created at main
+    // v2, one staged commit => head 3 (branch numbering continues
+    // main's at creation).
+    "catalog_refs_table" ->
+      """SELECT * FROM (
+        |  SELECT 'audit' AS name, 'branch' AS kind,
+        |         CAST(3 AS BIGINT) AS version,
+        |         CAST(2 AS BIGINT) AS base_version
+        |  UNION ALL
+        |  SELECT 'pristine', 'tag', CAST(1 AS BIGINT), NULL
+        |) ORDER BY name""".stripMargin,
     // The 1997 month-partition slice recomputed from raw orders.
     "catalog_partition_prune" ->
       """WITH t AS (

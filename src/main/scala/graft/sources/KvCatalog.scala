@@ -1177,7 +1177,24 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     */
   private val SnapshotsSuffix = "$snapshots"
 
+  /** Named-ref metadata table: `t$refs` — one row per tag and branch
+    * (KvMetaTables.scala), the WAP lifecycle's observability surface.
+    */
+  private val RefsSuffix = "$refs"
+
   override def loadTable(ident: Identifier): Table = {
+    if (ident.name().endsWith(RefsSuffix)) {
+      val base = Identifier.of(
+        ident.namespace(), ident.name().stripSuffix(RefsSuffix))
+      val p = tablePath(base)
+      if (!java.nio.file.Files.isDirectory(p))
+        throw new NoSuchTableException(base)
+      require(KvBucketing.readMetaFull(p.toString).snapshots,
+        s"${base.name()}$RefsSuffix needs a snapshotted base table " +
+          "(TBLPROPERTIES ('snapshots'='true')) — tags and branches " +
+          "pin manifest versions")
+      return new KvRefsMetaTable(p.toString, s"kvjsonl refs($p)")
+    }
     if (ident.name().endsWith(SnapshotsSuffix)) {
       val base = Identifier.of(
         ident.namespace(), ident.name().stripSuffix(SnapshotsSuffix))

@@ -112,3 +112,78 @@ class KvSnapshotsMetaScan(path: String) extends Scan with Batch {
 
 case class KvLocalRowsPartition(rows: Seq[Seq[Any]])
     extends InputPartition
+
+/** `<table>$refs` — the named-ref metadata table (Iceberg's `.refs`
+  * shape): one row per TAG (KvRefs.scala) and per BRANCH
+  * (KvBranches.scala), metadata-only like `$snapshots`.
+  *
+  * {{{ SELECT * FROM graft_kv.default.`t$refs` }}}
+  *
+  * Columns:
+  *   - `name` / `kind`  — the ref and whether it is a tag or branch
+  *   - `version`        — what a `VERSION AS OF name` read resolves
+  *     to: the pinned version (tag) or the current head (branch)
+  *   - `base_version`   — the main version a branch was created at
+  *     (what fast_forward checks against); NULL for tags
+  */
+object KvRefsMetaTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("name", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("kind", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("base_version", LongType, nullable = true)))
+
+  def rows(path: String): Seq[Seq[Any]] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tags = KvRefs.read(path).toSeq.sortBy(_._1).map {
+      case (n, v) =>
+        Seq(UTF8String.fromString(n), UTF8String.fromString("tag"),
+          Long.box(v.toLong), null)
+    }
+    val branches = KvBranches.list(path).map { b =>
+      Seq(UTF8String.fromString(b), UTF8String.fromString("branch"),
+        Long.box(KvBranches.head(path, b).toLong),
+        Long.box(KvBranches.base(path, b).toLong))
+    }
+    tags ++ branches
+  }
+}
+
+class KvRefsMetaTable(path: String, tableName: String)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = KvRefsMetaTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KvRefsMetaScan(path)
+}
+
+class KvRefsMetaScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = KvRefsMetaTable.Schema
+  override def toBatch: Batch = this
+  override def description(): String = s"kvjsonl refs($path)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvLocalRowsPartition(KvRefsMetaTable.rows(path)))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition
+          .asInstanceOf[KvLocalRowsPartition].rows.iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!rows.hasNext) false
+            else { cur = InternalRow.fromSeq(rows.next()); true }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
