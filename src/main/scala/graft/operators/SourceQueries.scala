@@ -1141,6 +1141,42 @@ object SourceQueries {
       out
     }),
 
+    // MONTHS() partitioning — the days() machinery on the coarser
+    // divisor (KvBucketing.PartMonths; the archive-table layout).
+    // Raw order timestamps spread over ~60 natural months, a one-year
+    // predicate must skip most of them at planning, and the rows pin
+    // against DuckDB on the same range.
+    "catalog_partition_months" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.pm_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "ts TIMESTAMP) PARTITIONED BY (months(ts)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        s"o_orderdate FROM parquet.`$d/orders.parquet`")
+      val dirPath =
+        s"${graft.Fs.sinkDir("graft_kv_wh")}/default/pm_gate"
+      val total = graft.sources.KvSnapshots.members(dirPath,
+        graft.sources.KvSnapshots.latest(dirPath).get).size
+      val before = graft.sources.KvPartitionPrune.prunedFiles.get()
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys,
+           |       unix_micros(max(ts)) AS max_ts_us
+           |FROM $t
+           |WHERE ts >= TIMESTAMP '1996-07-01 00:00:00'
+           |  AND ts < TIMESTAMP '1997-07-01 00:00:00'
+           |GROUP BY value ORDER BY value""".stripMargin)
+      require(out.count() > 0, "catalog_partition_months: empty result")
+      val pruned =
+        graft.sources.KvPartitionPrune.prunedFiles.get() - before
+      require(pruned >= total / 3,
+        s"catalog_partition_months: only $pruned of $total files " +
+          "skipped — the month predicate did not partition-prune")
+      out
+    }),
+
     // WRITE-AUDIT-PUBLISH branches (KvBranches.scala — the writable
     // half of the ref model; tags are the read-only half): the gate
     // runs the full staging lifecycle. (1) create_branch at main v1;
@@ -2427,6 +2463,15 @@ object SourceQueries {
         |       CAST(sum(key) AS BIGINT) AS sum_keys
         |FROM t
         |WHERE mo >= DATE '1997-01-01' AND mo < DATE '1998-01-01'
+        |GROUP BY value ORDER BY value""".stripMargin,
+    // The one-year month-partition slice recomputed from raw orders.
+    "catalog_partition_months" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+        |       epoch_us(max(o_orderdate)) AS max_ts_us
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
         |GROUP BY value ORDER BY value""".stripMargin,
     // Final main state: orders plus the PUBLISHED staged rows (the
     // %3 W- replica), minus the CoW DELETE — the never-published

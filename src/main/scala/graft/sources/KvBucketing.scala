@@ -43,18 +43,20 @@ object KvBucketing {
     * files applied at scan time, SupportsDelta) instead of the
     * default copy-on-write group rewrite (MoR requires snapshots —
     * delete files are manifest-tracked members of a version) — and
-    * optional DATE PARTITIONING: `partitionDays` holds the FIELD ID
-    * (rename-proof, like the schema registry) of the TIMESTAMP/DATE
-    * column the table is `PARTITIONED BY (days(col))` over. Like
+    * optional TEMPORAL PARTITIONING: `partition` holds the unit
+    * (days / months) and the FIELD ID (rename-proof, like the schema
+    * registry) of the TIMESTAMP/DATE column the table is
+    * `PARTITIONED BY (days(col))` / `(months(col))` over. Like
     * buckets, the partition value is carried in the file NAME
-    * (`part-...-d9862.jsonl`, epoch days), keeping the flat layout
-    * every existing code path works on.
+    * (`part-...-d9862.jsonl` epoch days / `-m334` months since
+    * 1970-01), keeping the flat layout every existing code path
+    * works on.
     */
   case class KvMeta(
       buckets: Option[Int], snapshots: Boolean, mor: Boolean = false,
-      partitionDays: Option[Int] = None) {
+      partition: Option[(PartUnit, Int)] = None) {
     def isEmpty: Boolean =
-      buckets.isEmpty && !snapshots && !mor && partitionDays.isEmpty
+      buckets.isEmpty && !snapshots && !mor && partition.isEmpty
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -70,7 +72,8 @@ object KvBucketing {
       meta.buckets.map(n => s""""buckets":$n""").toSeq ++
         (if (meta.snapshots) Seq(""""snapshots":true""") else Seq.empty) ++
         (if (meta.mor) Seq(""""dml":"mor"""") else Seq.empty) ++
-        meta.partitionDays.map(id => s""""pdays":$id""").toSeq
+        meta.partition.map { case (u, id) =>
+          s""""p${u.name}":$id""" }.toSeq
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -91,6 +94,7 @@ object KvBucketing {
   private val SnapshotsField = """"snapshots":true""".r
   private val MorField = """"dml":"mor"""".r
   private val PdaysField = """"pdays":(\d+)""".r
+  private val PmonthsField = """"pmonths":(\d+)""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -110,7 +114,10 @@ object KvBucketing {
         case (m, BucketsField(n)) => m.copy(buckets = Some(n.toInt))
         case (m, SnapshotsField()) => m.copy(snapshots = true)
         case (m, MorField()) => m.copy(mor = true)
-        case (m, PdaysField(id)) => m.copy(partitionDays = Some(id.toInt))
+        case (m, PdaysField(id)) =>
+          m.copy(partition = Some((PartDays, id.toInt)))
+        case (m, PmonthsField(id)) =>
+          m.copy(partition = Some((PartMonths, id.toInt)))
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }
@@ -133,76 +140,126 @@ object KvBucketing {
 
   val MicrosPerDay: Long = 86400L * 1000 * 1000
 
-  /** A partitioned write's day token for one row's partition-column
-    * value: epoch days (timestamps floor toward -∞, so pre-1970
-    * values land on the right calendar day), None for NULL rows.
+  /** Temporal partition GRANULARITY: `days` (epoch days) or `months`
+    * (months since 1970-01). One trait, two divisors — the whole
+    * partition machinery (routing, file-name tokens, pruning, the
+    * served V2 transform function) is granularity-generic through it.
+    * years/hours would be two more objects here.
     */
-  def dayToken(
-      micros: Option[Long], isDate: Boolean): Option[Long] =
-    micros.map(v =>
-      if (isDate) v else java.lang.Math.floorDiv(v, MicrosPerDay))
+  sealed abstract class PartUnit(
+      val name: String, val tag: Char) extends Serializable {
+    /** Unit value of a raw storage token (micros for TIMESTAMP
+      * columns, epoch days for DATE columns). Floors toward -∞ so
+      * pre-1970 values land in the right calendar unit.
+      */
+    def unitOf(raw: Long, isDate: Boolean): Long
+  }
 
-  private val DayInName = """-d(-?\d+|null)\.jsonl$""".r
+  case object PartDays extends PartUnit("days", 'd') {
+    def unitOf(raw: Long, isDate: Boolean): Long =
+      if (isDate) raw else java.lang.Math.floorDiv(raw, MicrosPerDay)
+  }
 
-  /** Day-partition suffix; [[fileDay]] is its exact inverse. The
-    * token is epoch days; `null` marks the null partition (rows whose
-    * partition column is NULL — they can never satisfy a comparison,
-    * so a day-range prune always skips them).
-    */
-  def daySuffix(tok: Option[Long]): String =
-    s"-d${tok.fold("null")(_.toString)}"
-
-  /** None = no day token in the name; Some(None) = the null
-    * partition; Some(Some(d)) = day d.
-    */
-  def fileDay(fileName: String): Option[Option[Long]] =
-    DayInName.findFirstMatchIn(fileName).map { m =>
-      val g = m.group(1)
-      if (g == "null") None else Some(g.toLong)
+  case object PartMonths extends PartUnit("months", 'm') {
+    def unitOf(raw: Long, isDate: Boolean): Long = {
+      val day = PartDays.unitOf(raw, isDate)
+      val ld = java.time.LocalDate.ofEpochDay(day)
+      (ld.getYear - 1970).toLong * 12 + (ld.getMonthValue - 1)
     }
+  }
+
+  def partUnit(name: String): Option[PartUnit] = name match {
+    case "days" => Some(PartDays)
+    case "months" => Some(PartMonths)
+    case _ => None
+  }
+
+  /** A partitioned write's token for one row's partition-column
+    * value; None for NULL rows.
+    */
+  def partToken(
+      raw: Option[Long], isDate: Boolean, unit: PartUnit): Option[Long] =
+    raw.map(unit.unitOf(_, isDate))
+
+  private val PartInName = """-([dm])(-?\d+|null)\.jsonl$""".r
+
+  /** Partition suffix (`-d9862` / `-m334`); [[filePart]] is its exact
+    * inverse. `null` marks the null partition (rows whose partition
+    * column is NULL — they can never satisfy a comparison, so a
+    * range prune always skips them).
+    */
+  def partSuffix(tok: Option[Long], unit: PartUnit): String =
+    s"-${unit.tag}${tok.fold("null")(_.toString)}"
+
+  /** None = no partition token in the name; Some(None) = the null
+    * partition; Some(Some(v)) = unit value v. The unit is the
+    * TABLE's (from its meta) — a token of the other unit's tag is
+    * treated as token-less (never skipped), so a transform change
+    * could never mis-prune leftover files.
+    */
+  def filePart(
+      fileName: String, unit: PartUnit): Option[Option[Long]] =
+    PartInName.findFirstMatchIn(fileName)
+      .filter(_.group(1).head == unit.tag)
+      .map { m =>
+        val g = m.group(2)
+        if (g == "null") None else Some(g.toLong)
+      }
+
+  /** Day-granularity reader kept for specs/tools. */
+  def fileDay(fileName: String): Option[Option[Long]] =
+    filePart(fileName, PartDays)
 }
 
-/** The `days` V2 function the kv catalog serves through
-  * FunctionCatalog — resolving the scan/write-reported `days(col)`
-  * transform is what lets a catalog write request
+/** The `days` / `months` V2 functions the kv catalog serves through
+  * FunctionCatalog — resolving the scan/write-reported transform is
+  * what lets a catalog write request
   * `Distributions.clustered(days(col))`: Spark shuffles incoming rows
-  * by day BEFORE the write, so each task sees ~one day and writes ~one
-  * file per day instead of every task fanning out across all days —
-  * the file-count control a date-partitioned 100 TB write needs.
+  * by unit BEFORE the write, so each task sees ~one unit value and
+  * writes ~one file per value instead of every task fanning out
+  * across all of them — the file-count control a date-partitioned
+  * 100 TB write needs. One implementation, parameterized by the same
+  * [[KvBucketing.PartUnit]] the writer and the pruner use, so all
+  * three sides of the transform agree by construction.
   */
-class KvDaysUnbound extends UnboundFunction {
-  override def name(): String = "days"
+class KvPartFnUnbound(unit: KvBucketing.PartUnit)
+    extends UnboundFunction {
+  override def name(): String = unit.name
   override def description(): String =
-    "days(col): epoch days of a timestamp/date — kvjsonl partition spec"
+    s"${unit.name}(col): ${unit.name}-since-epoch of a " +
+      "timestamp/date — kvjsonl partition spec"
 
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.length == 1 &&
       (inputType(0).dataType ==
         org.apache.spark.sql.types.TimestampType ||
         inputType(0).dataType == org.apache.spark.sql.types.DateType),
-      s"days expects (TIMESTAMP) or (DATE); got ${inputType.catalogString}")
-    new KvDaysBound(
+      s"${unit.name} expects (TIMESTAMP) or (DATE); " +
+        s"got ${inputType.catalogString}")
+    new KvPartFnBound(unit,
       isDate = inputType(0).dataType ==
         org.apache.spark.sql.types.DateType)
   }
 }
 
-class KvDaysBound(isDate: Boolean) extends ScalarFunction[Integer] {
+class KvPartFnBound(unit: KvBucketing.PartUnit, isDate: Boolean)
+    extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] =
     Array(
       if (isDate) org.apache.spark.sql.types.DateType
       else org.apache.spark.sql.types.TimestampType)
   override def resultType(): DataType = IntegerType
-  override def name(): String = "days"
-  override def canonicalName(): String = "graft.kv.days"
+  override def name(): String = unit.name
+  override def canonicalName(): String = s"graft.kv.${unit.name}"
   override def isResultNullable: Boolean = true
   override def isDeterministic: Boolean = true
 
   override def produceResult(input: InternalRow): Integer =
     if (input.isNullAt(0)) null
-    else if (isDate) Int.box(input.getInt(0))
-    else Int.box(java.lang.Math.floorDiv(
-      input.getLong(0), KvBucketing.MicrosPerDay).toInt)
+    else if (isDate)
+      Int.box(unit.unitOf(input.getInt(0).toLong, isDate = true).toInt)
+    else
+      Int.box(unit.unitOf(input.getLong(0), isDate = false).toInt)
 }
 
 /** The `bucket` V2 function the kv catalog serves through

@@ -34,7 +34,7 @@ class KvScanBuilder(
     colsOverride: Option[Seq[KvSchema.Col]] = None,
     maxBytesPerTrigger: Option[Long] = None,
     branch: Option[String] = None,
-    partitionDaysId: Option[Int] = None)
+    partitionSpec: Option[(KvBucketing.PartUnit, Int)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -175,7 +175,7 @@ class KvScanBuilder(
     case Some(aggs) => new KvAggScan(path, pinnedVersion, aggs, branch)
     case None => new KvScan(path, required, pushed, buckets, snapshots,
       pinnedVersion, forRowLevelOp, cols, maxBytesPerTrigger, branch,
-      partitionDaysId)
+      partitionSpec)
   }
 }
 
@@ -421,53 +421,49 @@ object KvExtraPredicate {
   val skipped = new java.util.concurrent.atomic.AtomicLong
 }
 
-/** FILE-level partition pruning for date-partitioned tables
-  * (`PARTITIONED BY (days(col))` — KvBucketing.KvMeta.partitionDays):
-  * pushed comparisons on the partition column compile to an inclusive
-  * epoch-day interval, and a file whose name-token day falls outside
-  * it is skipped WITHOUT OPENING — pruning independent of key zone
-  * maps, on the axis a 100 TB time-series table is actually laid out
-  * by. Always an over-approximation in the safe direction: bounds
-  * only ever widen to whole days (a file can only be skipped when NO
-  * row in its day could match), unknown literal classes impose no
-  * bound, and files without a day token never skip.
+/** FILE-level partition pruning for temporally partitioned tables
+  * (`PARTITIONED BY (days(col))` / `(months(col))` —
+  * KvBucketing.KvMeta.partition): pushed comparisons on the partition
+  * column compile to an inclusive unit interval (epoch days / months
+  * since 1970-01), and a file whose name-token value falls outside it
+  * is skipped WITHOUT OPENING — pruning independent of key zone maps,
+  * on the axis a 100 TB time-series table is actually laid out by.
+  * Always an over-approximation in the safe direction: bounds only
+  * ever widen to whole units (a file can only be skipped when NO row
+  * in its unit could match), unknown literal classes impose no bound,
+  * and files without a token never skip.
   */
 object KvPartitionPrune {
   import org.apache.spark.sql.sources._
 
-  /** Inclusive [lo, hi] epoch-day interval; `active` only when at
-    * least one comparison bound the partition column (an active range
-    * also skips the null partition — NULL satisfies no comparison).
+  /** Inclusive [lo, hi] unit interval; existing only when at least
+    * one comparison bound the partition column (an active range also
+    * skips the null partition — NULL satisfies no comparison).
     */
-  final case class DayRange(lo: Long, hi: Long) {
-    def admits(day: Option[Long]): Boolean =
-      day.exists(d => d >= lo && d <= hi)
+  final case class UnitRange(lo: Long, hi: Long) {
+    def admits(v: Option[Long]): Boolean =
+      v.exists(d => d >= lo && d <= hi)
   }
-
-  /** Day of a partition-column token: timestamps floor to their day;
-    * DATE tokens already are days.
-    */
-  private def dayOf(
-      dtype: org.apache.spark.sql.types.DataType, tok: Long): Long =
-    if (dtype == org.apache.spark.sql.types.DateType) tok
-    else java.lang.Math.floorDiv(tok, KvBucketing.MicrosPerDay)
 
   def compile(
       filters: Array[Filter],
-      pcol: KvSchema.Col): Option[DayRange] = {
+      pcol: KvSchema.Col,
+      unit: KvBucketing.PartUnit): Option[UnitRange] = {
+    val isDate = pcol.dtype == org.apache.spark.sql.types.DateType
     var lo = Long.MinValue
     var hi = Long.MaxValue
     var active = false
     def bound(value: Any)(apply: Long => Unit): Unit =
       KvExtraPredicate.token(pcol.dtype, value).foreach { t =>
-        apply(dayOf(pcol.dtype, t)); active = true
+        apply(unit.unitOf(t, isDate)); active = true
       }
     filters.foreach {
       case EqualTo(a, v) if a == pcol.name =>
         bound(v) { d => lo = math.max(lo, d); hi = math.min(hi, d) }
       case GreaterThan(a, v) if a == pcol.name =>
-        // ts > T admits day(T) itself (rows later the same day) —
-        // conservative; DATE could tighten to d+1 but never must.
+        // ts > T admits unit(T) itself (rows later in the same unit)
+        // — conservative; DATE+days could tighten to d+1 but never
+        // must.
         bound(v) { d => lo = math.max(lo, d) }
       case GreaterThanOrEqual(a, v) if a == pcol.name =>
         bound(v) { d => lo = math.max(lo, d) }
@@ -477,7 +473,7 @@ object KvPartitionPrune {
         bound(v) { d => hi = math.min(hi, d) }
       case _ => ()
     }
-    if (active) Some(DayRange(lo, hi)) else None
+    if (active) Some(UnitRange(lo, hi)) else None
   }
 
   /** Files skipped by day-partition pruning in this JVM (gate/spec
@@ -496,7 +492,7 @@ class KvScan(
     cols: Seq[KvSchema.Col] = KvSchema.Legacy,
     maxBytesPerTrigger: Option[Long] = None,
     branch: Option[String] = None,
-    partitionDaysId: Option[Int] = None)
+    partitionSpec: Option[(KvBucketing.PartUnit, Int)] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
@@ -586,27 +582,28 @@ class KvScan(
     * sequential merge while counting lines). Empty for unsnapshotted
     * and tombstone-free tables.
     */
-  /** The pushed day-interval over the partition column (date-
+  /** The pushed unit-interval over the partition column (temporally
     * partitioned tables only), compiled once per scan.
     */
-  private lazy val dayRange: Option[KvPartitionPrune.DayRange] =
+  private lazy val partRange
+      : Option[(KvBucketing.PartUnit, KvPartitionPrune.UnitRange)] =
     for {
-      id <- partitionDaysId
+      (unit, id) <- partitionSpec
       pcol <- cols.find(_.id == id)
-      r <- KvPartitionPrune.compile(pushed, pcol)
-    } yield r
+      r <- KvPartitionPrune.compile(pushed, pcol, unit)
+    } yield (unit, r)
 
-  /** Day-partition file skip: a file whose name-token day falls
-    * outside the pushed interval (or the null partition, which no
-    * comparison admits) never opens. Token-less files never skip.
-    * The prune counter only moves on COUNTED listings (partition
-    * planning) — the statistics estimate walks the same list and
-    * must not double-count.
+  /** Partition file skip: a file whose name-token value falls outside
+    * the pushed interval (or the null partition, which no comparison
+    * admits) never opens. Token-less files never skip. The prune
+    * counter only moves on COUNTED listings (partition planning) —
+    * the statistics estimate walks the same list and must not
+    * double-count.
     */
   private def dayAdmits(fileName: String, count: Boolean): Boolean =
-    dayRange.forall { r =>
-      KvBucketing.fileDay(fileName).forall { day =>
-        val keep = r.admits(day)
+    partRange.forall { case (unit, r) =>
+      KvBucketing.filePart(fileName, unit).forall { v =>
+        val keep = r.admits(v)
         if (!keep && count)
           KvPartitionPrune.prunedFiles.incrementAndGet()
         keep
@@ -1292,7 +1289,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     // behind storage-partitioned joins (see KvBucketing.scala). The
     // sink's commit protocol publishes whole files either way; a
     // bucketed table just carries the bucket in the file name.
-    val (buckets, pdaysColName): (Option[Int], Option[String]) =
+    val (buckets, partColName)
+        : (Option[Int], Option[(KvBucketing.PartUnit, String)]) =
       partitions match {
         case Array() => (None, None)
         case Array(t) if t.name == "bucket" =>
@@ -1309,23 +1307,24 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           require(n.get >= 1 && n.get <= 4096,
             s"kvjsonl bucket count out of range [1, 4096]: ${n.get}")
           (n, None)
-        // DATE PARTITIONING — `PARTITIONED BY (days(ts))`: the most
-        // common 100 TB table layout. The day token rides in the file
-        // name (like buckets), and scan-time pruning on a temporal
-        // predicate skips whole files independent of key zone maps.
-        // months/years/hours would be the same machinery on a
-        // different divisor.
-        case Array(t) if t.name == "days" =>
+        // TEMPORAL PARTITIONING — `PARTITIONED BY (days(ts))` or
+        // `(months(ts))`: the most common 100 TB table layouts. The
+        // unit token rides in the file name (like buckets), and
+        // scan-time pruning on a temporal predicate skips whole files
+        // independent of key zone maps. years/hours would be the same
+        // machinery on a different divisor (KvBucketing.PartUnit).
+        case Array(t) if KvBucketing.partUnit(t.name).isDefined =>
           val col = t.arguments().collectFirst {
             case r: org.apache.spark.sql.connector.expressions.NamedReference =>
               r.fieldNames().mkString(".")
           }
           require(col.nonEmpty,
-            s"kvjsonl days() partitioning needs a column; got $t")
-          (None, col)
+            s"kvjsonl ${t.name}() partitioning needs a column; got $t")
+          (None, col.map(c => (KvBucketing.partUnit(t.name).get, c)))
         case other => throw new UnsupportedOperationException(
-          "kvjsonl tables support PARTITIONED BY (bucket(n, key)) or " +
-            s"PARTITIONED BY (days(col)); got ${other.mkString(", ")}")
+          "kvjsonl tables support PARTITIONED BY (bucket(n, key)), " +
+            "PARTITIONED BY (days(col)) or PARTITIONED BY " +
+            s"(months(col)); got ${other.mkString(", ")}")
       }
     // Schema rules (KvSchema.scala has the storage model): the first
     // column is ALWAYS `key BIGINT` — bucketing, predicate/aggregate
@@ -1390,25 +1389,26 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     require(!mor || snapshots,
       "TBLPROPERTIES ('dml'='mor') requires ('snapshots'='true') — " +
         "positional delete files live in the snapshot manifests")
-    // Resolve the days() partition column against the final column
-    // set; recorded by FIELD ID so a later RENAME stays metadata-only.
-    val pdays: Option[Int] = pdaysColName.map { cn =>
-      val c = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
-        throw new IllegalArgumentException(
-          s"days() partition column $cn is not a column of " +
-            s"${schema.catalogString}"))
-      require(
-        c.dtype == org.apache.spark.sql.types.TimestampType ||
-          c.dtype == org.apache.spark.sql.types.DateType,
-        s"days() partitioning needs a TIMESTAMP or DATE column; " +
-          s"$cn is ${c.dtype.simpleString}")
-      c.id
-    }
+    // Resolve the partition column against the final column set;
+    // recorded by FIELD ID so a later RENAME stays metadata-only.
+    val partition: Option[(KvBucketing.PartUnit, Int)] =
+      partColName.map { case (unit, cn) =>
+        val c = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
+          throw new IllegalArgumentException(
+            s"${unit.name}() partition column $cn is not a column of " +
+              s"${schema.catalogString}"))
+        require(
+          c.dtype == org.apache.spark.sql.types.TimestampType ||
+            c.dtype == org.apache.spark.sql.types.DateType,
+          s"${unit.name}() partitioning needs a TIMESTAMP or DATE " +
+            s"column; $cn is ${c.dtype.simpleString}")
+        (unit, c.id)
+      }
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
-    val meta = KvBucketing.KvMeta(buckets, snapshots, mor, pdays)
+    val meta = KvBucketing.KvMeta(buckets, snapshots, mor, partition)
     if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
     if (cols != KvSchema.Legacy)
       KvSchema.write(p.toString,
@@ -1632,9 +1632,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
                 "the key column cannot be dropped — bucketing, " +
                   "pushdown and the MoR row addressing are defined " +
                   "over it")
-              require(!KvBucketing.readMetaFull(dir).partitionDays
-                  .contains(col.id),
-                s"cannot drop ${col.name}: it is the table's days() " +
+              require(!KvBucketing.readMetaFull(dir).partition
+                  .exists(_._2 == col.id),
+                s"cannot drop ${col.name}: it is the table's " +
                   "partition column (the file layout is keyed to it)")
               // Metadata-only: old files keep the field, readers of
               // the new schema never project it; the id is never
@@ -1727,7 +1727,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
 
   override def listFunctions(ns: Array[String]): Array[Identifier] =
     if (ns.isEmpty || ns.sameElements(SystemNs))
-      Array(Identifier.of(ns, "bucket"), Identifier.of(ns, "days"))
+      Array(Identifier.of(ns, "bucket"), Identifier.of(ns, "days"),
+        Identifier.of(ns, "months"))
     else if (namespaceExists(ns)) Array.empty
     else throw new NoSuchNamespaceException(ns)
 
@@ -1737,7 +1738,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         ident.namespace().sameElements(SystemNs))
       ident.name() match {
         case "bucket" => new KvBucketUnbound
-        case "days" => new KvDaysUnbound
+        case "days" => new KvPartFnUnbound(KvBucketing.PartDays)
+        case "months" => new KvPartFnUnbound(KvBucketing.PartMonths)
         case _ => throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchFunctionException(ident)
       }

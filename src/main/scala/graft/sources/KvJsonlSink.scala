@@ -203,6 +203,22 @@ object KvJsonlSink {
   }
 }
 
+object KvJsonlTable {
+  /** The V2 transform for a partition unit — the one mapping from
+    * [[KvBucketing.PartUnit]] to Spark's transform vocabulary.
+    */
+  def partTransform(
+      unit: KvBucketing.PartUnit, colName: String): Transform =
+    unit match {
+      case KvBucketing.PartDays =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .days(colName)
+      case KvBucketing.PartMonths =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .months(colName)
+    }
+}
+
 class KvJsonlTable(
     path: String,
     viaCatalog: Boolean = false,
@@ -239,10 +255,10 @@ class KvJsonlTable(
     buckets.toArray.map(n =>
       org.apache.spark.sql.connector.expressions.Expressions
         .bucket(n, "key")) ++
-      meta.partitionDays.toArray.flatMap(id =>
+      meta.partition.toArray.flatMap { case (u, id) =>
         cols.find(_.id == id).map(c =>
-          org.apache.spark.sql.connector.expressions.Expressions
-            .days(c.name): Transform))
+          KvJsonlTable.partTransform(u, c.name))
+      }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -295,7 +311,7 @@ class KvJsonlTable(
     }
     new KvScanBuilder(path, buckets, meta.snapshots, pinnedVersion,
       maxBytesPerTrigger = maxBytes, branch = branch,
-      partitionDaysId = meta.partitionDays)
+      partitionSpec = meta.partition)
   }
 
   /** SQL row-level DML (DELETE / UPDATE / MERGE) via the GROUP-BASED
@@ -359,7 +375,7 @@ class KvJsonlTable(
       // never leaves the target half-cleared (abort keeps old files).
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
-      override def build(): Write = (buckets, meta.partitionDays) match {
+      override def build(): Write = (buckets, meta.partition) match {
         // Bucketed table reached through the catalog: REQUEST the
         // clustered-by-bucket distribution (Spark shuffles incoming
         // rows by the V2 bucket function before the write), so each
@@ -390,15 +406,15 @@ class KvJsonlTable(
                   "supported (per-epoch bucket routing would need " +
                   "epoch-scoped bucket files)")
           }
-        // Date-partitioned catalog write: REQUEST clustering by
-        // days(col) (Spark resolves the transform through this
-        // catalog's `days` function and shuffles rows by day before
-        // the write), so each task writes ~one file per day instead
-        // of every task fanning out across all days — the file-count
-        // control a date-partitioned 100 TB write needs. Correctness
-        // never depends on it: the fan-out writer routes any
-        // distribution (format-path writes still day-route).
-        case (None, Some(id)) if viaCatalog =>
+        // Date-partitioned catalog write: REQUEST clustering by the
+        // partition transform (Spark resolves it through this
+        // catalog's days/months function and shuffles rows by unit
+        // before the write), so each task writes ~one file per unit
+        // value instead of every task fanning out across all of them
+        // — the file-count control a date-partitioned 100 TB write
+        // needs. Correctness never depends on it: the fan-out writer
+        // routes any distribution (format-path writes still route).
+        case (None, Some((unit, id))) if viaCatalog =>
           val pcolName = cols.find(_.id == id).map(_.name).getOrElse(
             throw new IllegalStateException(
               s"partition field id $id missing from the schema of $path"))
@@ -407,8 +423,7 @@ class KvJsonlTable(
                 : org.apache.spark.sql.connector.distributions.Distribution =
               org.apache.spark.sql.connector.distributions.Distributions
                 .clustered(Array(
-                  org.apache.spark.sql.connector.expressions.Expressions
-                    .days(pcolName)))
+                  KvJsonlTable.partTransform(unit, pcolName)))
             override def requiredOrdering()
                 : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
               Array.empty
@@ -498,7 +513,7 @@ class KvJsonlBatchWrite(
     // lands mid-job.
     val meta = KvBucketing.readMetaFull(path)
     new KvJsonlWriterFactory(path, jobId, meta.buckets,
-      KvSchema.currentCols(path), meta.partitionDays)
+      KvSchema.currentCols(path), meta.partition)
   }
 
   /** Driver-side publish: ONLY files named in commit messages become
@@ -593,17 +608,17 @@ class KvJsonlBatchWrite(
 class KvJsonlWriterFactory(
     path: String, jobId: String, buckets: Option[Int] = None,
     cols: Seq[KvSchema.Col] = KvSchema.Legacy,
-    partitionDays: Option[Int] = None)
+    partition: Option[(KvBucketing.PartUnit, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = (buckets, partitionDays) match {
+      taskId: Long): DataWriter[InternalRow] = (buckets, partition) match {
     case (Some(n), _) =>
       new KvJsonlBucketedDataWriter(path, jobId, partitionId, taskId, n,
         cols)
-    case (None, Some(id)) =>
-      new KvJsonlDayPartitionedDataWriter(path, jobId, partitionId,
-        taskId, id, cols)
+    case (None, Some((unit, id))) =>
+      new KvJsonlPartitionedDataWriter(path, jobId, partitionId,
+        taskId, unit, id, cols)
     case _ =>
       new KvJsonlDataWriter(path,
         f"attempt-$jobId-$partitionId%05d-$taskId",
@@ -683,18 +698,20 @@ class KvJsonlBucketedDataWriter(
   override def close(): Unit = ()
 }
 
-/** Date-partitioned task writer: routes each row to its DAY's file
-  * (`daySuffix(dayToken(...))` — the same token the scan's partition
-  * pruning parses back from the name), opening at most one file per
-  * day SEEN. Under the write's requested clustered-by-days
-  * distribution a task sees ~one day; without it (format-path writes)
-  * the fan-out is the correctness backstop — the bucketed writer's
-  * exact shape, keyed by day instead of bucket. NULL partition values
-  * route to the explicit `null` partition file.
+/** Temporally-partitioned task writer: routes each row to its
+  * UNIT's file (`partSuffix(partToken(...))` — the same token the
+  * scan's partition pruning parses back from the name), opening at
+  * most one file per unit value SEEN. Under the write's requested
+  * clustered-by-transform distribution a task sees ~one value;
+  * without it (format-path writes) the fan-out is the correctness
+  * backstop — the bucketed writer's exact shape, keyed by day/month
+  * instead of bucket. NULL partition values route to the explicit
+  * `null` partition file.
   */
-class KvJsonlDayPartitionedDataWriter(
+class KvJsonlPartitionedDataWriter(
     path: String, jobId: String, partitionId: Int, taskId: Long,
-    partitionFieldId: Int, cols: Seq[KvSchema.Col])
+    unit: KvBucketing.PartUnit, partitionFieldId: Int,
+    cols: Seq[KvSchema.Col])
     extends DataWriter[InternalRow] {
 
   private val evolved = cols != KvSchema.Legacy
@@ -729,14 +746,14 @@ class KvJsonlDayPartitionedDataWriter(
     open.getOrElseUpdate(tok, new DayOut(
       tempBase.resolve(
         f"attempt-$jobId-$partitionId%05d-$taskId" +
-          KvBucketing.daySuffix(tok))))
+          KvBucketing.partSuffix(tok, unit))))
 
   override def write(row: InternalRow): Unit = {
     val raw: Option[Long] =
       if (row.isNullAt(partIdx)) None
       else if (partIsDate) Some(row.getInt(partIdx).toLong)
       else Some(row.getLong(partIdx))
-    val w = writerFor(KvBucketing.dayToken(raw, partIsDate))
+    val w = writerFor(KvBucketing.partToken(raw, partIsDate, unit))
     w.out.write(
       if (evolved) KvSchema.formatRow(row, cols)
       else KvJsonlSink.formatLine(row))
@@ -755,7 +772,7 @@ class KvJsonlDayPartitionedDataWriter(
           w.stats.written(
             w.temp.toString,
             f"part-$jobId-$partitionId%05d" +
-              s"${KvBucketing.daySuffix(tok)}.jsonl")
+              s"${KvBucketing.partSuffix(tok, unit)}.jsonl")
       })
   }
 

@@ -98,6 +98,35 @@ class KvDatePartitionSpec extends SparkTestBase {
       .collect().head.getLong(0) === 1L)
   }
 
+  test("months() partitioning: rows of one calendar month share a " +
+      "file, month-range predicates prune, year boundaries respected") {
+    cat()
+    val t = "graft_kv.default.dp_months"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+      "ts TIMESTAMP) PARTITIONED BY (months(ts))")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'a', TIMESTAMP '1995-01-03 10:00:00'), " +
+      "(2, 'b', TIMESTAMP '1995-01-28 23:00:00'), " + // same month as 1
+      "(3, 'c', TIMESTAMP '1995-12-31 23:59:59'), " +
+      "(4, 'd', TIMESTAMP '1996-01-01 00:00:00'), " + // next month/year
+      "(5, 'e', TIMESTAMP '1969-06-15 12:00:00')") // pre-epoch month
+    val files = jsonlFiles("dp_months")
+    val months = files.flatMap(
+      KvBucketing.filePart(_, KvBucketing.PartMonths)).flatten
+    assert(months.distinct.sorted ===
+      Seq(-7L, 300L, 311L, 312L), s"month tokens: $files")
+    // months since 1970-01: 1995-01 = 300, 1995-12 = 311, 1996-01 =
+    // 312, 1969-06 = -7 (floors toward -inf across the epoch)
+    val before = KvPartitionPrune.prunedFiles.get()
+    assert(spark.sql(s"SELECT sum(key) FROM $t " +
+      "WHERE ts >= TIMESTAMP '1995-01-01 00:00:00' " +
+      "AND ts < TIMESTAMP '1995-02-01 00:00:00'")
+      .collect().head.getLong(0) === 3L)
+    assert(KvPartitionPrune.prunedFiles.get() - before >= 2,
+      "expected at least the 1995-12 and 1969-06 files pruned")
+  }
+
   test("format-path (non-catalog) writes still day-route, and " +
       "bucket+days together are rejected at CREATE") {
     cat()
