@@ -95,6 +95,8 @@ object KvBucketing {
   private val MorField = """"dml":"mor"""".r
   private val PdaysField = """"pdays":(\d+)""".r
   private val PmonthsField = """"pmonths":(\d+)""".r
+  private val PyearsField = """"pyears":(\d+)""".r
+  private val PhoursField = """"phours":(\d+)""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -118,6 +120,10 @@ object KvBucketing {
           m.copy(partition = Some((PartDays, id.toInt)))
         case (m, PmonthsField(id)) =>
           m.copy(partition = Some((PartMonths, id.toInt)))
+        case (m, PyearsField(id)) =>
+          m.copy(partition = Some((PartYears, id.toInt)))
+        case (m, PhoursField(id)) =>
+          m.copy(partition = Some((PartHours, id.toInt)))
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }
@@ -140,11 +146,13 @@ object KvBucketing {
 
   val MicrosPerDay: Long = 86400L * 1000 * 1000
 
-  /** Temporal partition GRANULARITY: `days` (epoch days) or `months`
-    * (months since 1970-01). One trait, two divisors — the whole
-    * partition machinery (routing, file-name tokens, pruning, the
-    * served V2 transform function) is granularity-generic through it.
-    * years/hours would be two more objects here.
+  val MicrosPerHour: Long = 3600L * 1000 * 1000
+
+  /** Temporal partition GRANULARITY — Iceberg's full transform family
+    * (`years`/`months`/`days`/`hours`). One trait, four divisors —
+    * the whole partition machinery (routing, file-name tokens,
+    * pruning, the served V2 transform function) is
+    * granularity-generic through it.
     */
   sealed abstract class PartUnit(
       val name: String, val tag: Char) extends Serializable {
@@ -153,6 +161,11 @@ object KvBucketing {
       * pre-1970 values land in the right calendar unit.
       */
     def unitOf(raw: Long, isDate: Boolean): Long
+
+    /** `hours` is meaningless over DATE (every row would share the
+      * midnight hour) — Iceberg rejects it too.
+      */
+    def supportsDate: Boolean = true
   }
 
   case object PartDays extends PartUnit("days", 'd') {
@@ -162,15 +175,31 @@ object KvBucketing {
 
   case object PartMonths extends PartUnit("months", 'm') {
     def unitOf(raw: Long, isDate: Boolean): Long = {
-      val day = PartDays.unitOf(raw, isDate)
-      val ld = java.time.LocalDate.ofEpochDay(day)
+      val ld = java.time.LocalDate.ofEpochDay(
+        PartDays.unitOf(raw, isDate))
       (ld.getYear - 1970).toLong * 12 + (ld.getMonthValue - 1)
     }
+  }
+
+  case object PartYears extends PartUnit("years", 'y') {
+    def unitOf(raw: Long, isDate: Boolean): Long =
+      (java.time.LocalDate.ofEpochDay(PartDays.unitOf(raw, isDate))
+        .getYear - 1970).toLong
+  }
+
+  case object PartHours extends PartUnit("hours", 'h') {
+    def unitOf(raw: Long, isDate: Boolean): Long = {
+      require(!isDate, "hours() is not defined over DATE columns")
+      java.lang.Math.floorDiv(raw, MicrosPerHour)
+    }
+    override def supportsDate: Boolean = false
   }
 
   def partUnit(name: String): Option[PartUnit] = name match {
     case "days" => Some(PartDays)
     case "months" => Some(PartMonths)
+    case "years" => Some(PartYears)
+    case "hours" => Some(PartHours)
     case _ => None
   }
 
@@ -181,7 +210,7 @@ object KvBucketing {
       raw: Option[Long], isDate: Boolean, unit: PartUnit): Option[Long] =
     raw.map(unit.unitOf(_, isDate))
 
-  private val PartInName = """-([dm])(-?\d+|null)\.jsonl$""".r
+  private val PartInName = """-([dmyh])(-?\d+|null)\.jsonl$""".r
 
   /** Partition suffix (`-d9862` / `-m334`); [[filePart]] is its exact
     * inverse. `null` marks the null partition (rows whose partition
@@ -233,9 +262,11 @@ class KvPartFnUnbound(unit: KvBucketing.PartUnit)
     require(inputType.length == 1 &&
       (inputType(0).dataType ==
         org.apache.spark.sql.types.TimestampType ||
-        inputType(0).dataType == org.apache.spark.sql.types.DateType),
-      s"${unit.name} expects (TIMESTAMP) or (DATE); " +
-        s"got ${inputType.catalogString}")
+        (inputType(0).dataType == org.apache.spark.sql.types.DateType &&
+          unit.supportsDate)),
+      s"${unit.name} expects (TIMESTAMP)" +
+        (if (unit.supportsDate) " or (DATE)" else "") +
+        s"; got ${inputType.catalogString}")
     new KvPartFnBound(unit,
       isDate = inputType(0).dataType ==
         org.apache.spark.sql.types.DateType)

@@ -1307,12 +1307,12 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           require(n.get >= 1 && n.get <= 4096,
             s"kvjsonl bucket count out of range [1, 4096]: ${n.get}")
           (n, None)
-        // TEMPORAL PARTITIONING — `PARTITIONED BY (days(ts))` or
-        // `(months(ts))`: the most common 100 TB table layouts. The
-        // unit token rides in the file name (like buckets), and
-        // scan-time pruning on a temporal predicate skips whole files
-        // independent of key zone maps. years/hours would be the same
-        // machinery on a different divisor (KvBucketing.PartUnit).
+        // TEMPORAL PARTITIONING — `PARTITIONED BY (years|months|days|
+        // hours(ts))`, Iceberg's full transform family: the common
+        // 100 TB table layouts. The unit token rides in the file name
+        // (like buckets), and scan-time pruning on a temporal
+        // predicate skips whole files independent of key zone maps
+        // (one granularity-generic machinery: KvBucketing.PartUnit).
         case Array(t) if KvBucketing.partUnit(t.name).isDefined =>
           val col = t.arguments().collectFirst {
             case r: org.apache.spark.sql.connector.expressions.NamedReference =>
@@ -1322,9 +1322,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
             s"kvjsonl ${t.name}() partitioning needs a column; got $t")
           (None, col.map(c => (KvBucketing.partUnit(t.name).get, c)))
         case other => throw new UnsupportedOperationException(
-          "kvjsonl tables support PARTITIONED BY (bucket(n, key)), " +
-            "PARTITIONED BY (days(col)) or PARTITIONED BY " +
-            s"(months(col)); got ${other.mkString(", ")}")
+          "kvjsonl tables support PARTITIONED BY (bucket(n, key)) or " +
+            "PARTITIONED BY (years|months|days|hours(col)); " +
+            s"got ${other.mkString(", ")}")
       }
     // Schema rules (KvSchema.scala has the storage model): the first
     // column is ALWAYS `key BIGINT` — bucketing, predicate/aggregate
@@ -1399,9 +1399,11 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
               s"${schema.catalogString}"))
         require(
           c.dtype == org.apache.spark.sql.types.TimestampType ||
-            c.dtype == org.apache.spark.sql.types.DateType,
-          s"${unit.name}() partitioning needs a TIMESTAMP or DATE " +
-            s"column; $cn is ${c.dtype.simpleString}")
+            (c.dtype == org.apache.spark.sql.types.DateType &&
+              unit.supportsDate),
+          s"${unit.name}() partitioning needs a TIMESTAMP" +
+            (if (unit.supportsDate) " or DATE" else "") +
+            s" column; $cn is ${c.dtype.simpleString}")
         (unit, c.id)
       }
     val p = tablePath(ident)
@@ -1728,7 +1730,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
   override def listFunctions(ns: Array[String]): Array[Identifier] =
     if (ns.isEmpty || ns.sameElements(SystemNs))
       Array(Identifier.of(ns, "bucket"), Identifier.of(ns, "days"),
-        Identifier.of(ns, "months"))
+        Identifier.of(ns, "months"), Identifier.of(ns, "years"),
+        Identifier.of(ns, "hours"))
     else if (namespaceExists(ns)) Array.empty
     else throw new NoSuchNamespaceException(ns)
 
@@ -1740,6 +1743,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         case "bucket" => new KvBucketUnbound
         case "days" => new KvPartFnUnbound(KvBucketing.PartDays)
         case "months" => new KvPartFnUnbound(KvBucketing.PartMonths)
+        case "years" => new KvPartFnUnbound(KvBucketing.PartYears)
+        case "hours" => new KvPartFnUnbound(KvBucketing.PartHours)
         case _ => throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchFunctionException(ident)
       }

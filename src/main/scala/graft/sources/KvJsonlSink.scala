@@ -208,15 +208,15 @@ object KvJsonlTable {
     * [[KvBucketing.PartUnit]] to Spark's transform vocabulary.
     */
   def partTransform(
-      unit: KvBucketing.PartUnit, colName: String): Transform =
+      unit: KvBucketing.PartUnit, colName: String): Transform = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
     unit match {
-      case KvBucketing.PartDays =>
-        org.apache.spark.sql.connector.expressions.Expressions
-          .days(colName)
-      case KvBucketing.PartMonths =>
-        org.apache.spark.sql.connector.expressions.Expressions
-          .months(colName)
+      case KvBucketing.PartDays => E.days(colName)
+      case KvBucketing.PartMonths => E.months(colName)
+      case KvBucketing.PartYears => E.years(colName)
+      case KvBucketing.PartHours => E.hours(colName)
     }
+  }
 }
 
 class KvJsonlTable(

@@ -127,6 +127,50 @@ class KvDatePartitionSpec extends SparkTestBase {
       "expected at least the 1995-12 and 1969-06 files pruned")
   }
 
+  test("years() and hours() complete the transform family; hours " +
+      "over DATE is rejected like Iceberg") {
+    cat()
+    val ty = "graft_kv.default.dp_years"
+    spark.sql(s"DROP TABLE IF EXISTS $ty")
+    spark.sql(s"CREATE TABLE $ty (key BIGINT, value STRING, " +
+      "day DATE) PARTITIONED BY (years(day))")
+    spark.sql(s"INSERT INTO $ty VALUES " +
+      "(1, 'a', DATE '1995-01-01'), (2, 'b', DATE '1995-12-31'), " +
+      "(3, 'c', DATE '1997-06-15'), (4, 'd', DATE '1969-02-01')")
+    val yTokens = jsonlFiles("dp_years").flatMap(
+      KvBucketing.filePart(_, KvBucketing.PartYears)).flatten
+    assert(yTokens.distinct.sorted === Seq(-1L, 25L, 27L),
+      s"year tokens: ${jsonlFiles("dp_years")}")
+    val before = KvPartitionPrune.prunedFiles.get()
+    assert(spark.sql(s"SELECT sum(key) FROM $ty " +
+      "WHERE day >= DATE '1995-01-01' AND day < DATE '1996-01-01'")
+      .collect().head.getLong(0) === 3L)
+    assert(KvPartitionPrune.prunedFiles.get() - before >= 2)
+
+    val th = "graft_kv.default.dp_hours"
+    spark.sql(s"DROP TABLE IF EXISTS $th")
+    spark.sql(s"CREATE TABLE $th (key BIGINT, value STRING, " +
+      "ts TIMESTAMP) PARTITIONED BY (hours(ts))")
+    spark.sql(s"INSERT INTO $th VALUES " +
+      "(1, 'a', TIMESTAMP '1995-01-01 10:15:00'), " +
+      "(2, 'b', TIMESTAMP '1995-01-01 10:59:59'), " + // same hour
+      "(3, 'c', TIMESTAMP '1995-01-01 11:00:00')")
+    val hTokens = jsonlFiles("dp_hours").flatMap(
+      KvBucketing.filePart(_, KvBucketing.PartHours)).flatten
+    assert(hTokens.distinct.size === 2,
+      s"hour tokens: ${jsonlFiles("dp_hours")}")
+    assert(spark.sql(s"SELECT count(*) FROM $th " +
+      "WHERE ts >= TIMESTAMP '1995-01-01 11:00:00'")
+      .collect().head.getLong(0) === 1L)
+    // hours(DATE) rejected at CREATE
+    intercept[Exception] {
+      spark.sql("DROP TABLE IF EXISTS graft_kv.default.dp_hbad")
+      spark.sql("CREATE TABLE graft_kv.default.dp_hbad " +
+        "(key BIGINT, value STRING, day DATE) " +
+        "PARTITIONED BY (hours(day))")
+    }
+  }
+
   test("format-path (non-catalog) writes still day-route, and " +
       "bucket+days together are rejected at CREATE") {
     cat()
