@@ -110,6 +110,11 @@ class KvClusterProcedure(cat: KvCatalog)
         require(KvBucketing.readMeta(dir.toString).isEmpty,
           "system.cluster supports unbucketed tables only (a bucketed " +
             "table's layout contract is hash placement, not key order)")
+        require(KvBucketing.readMetaFull(dir.toString).partition.isEmpty,
+          "system.cluster supports unpartitioned tables only (a " +
+            "temporally partitioned table's layout contract is its " +
+            "unit routing; clustering by key would multiply files per " +
+            "unit without improving partition pruning)")
 
         def dataFileCount: Long =
           KvSnapshots.latest(dir.toString).map { v =>

@@ -171,6 +171,22 @@ class KvDatePartitionSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance guards: compact and cluster refuse partitioned " +
+      "tables (a rewrite would multiply files per unit)") {
+    cat()
+    val t = "graft_kv.default.dp_maint"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING, day DATE) " +
+      "PARTITIONED BY (days(day)) TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', DATE '1995-01-01')")
+    intercept[Exception](spark.sql(
+      "CALL graft_kv.system.cluster(table => 'default.dp_maint')"))
+    intercept[Exception](spark.sql(
+      "CALL graft_kv.system.compact(table => 'default.dp_maint')"))
+    // the table is untouched by the refused calls
+    assert(spark.table(t).count() === 1)
+  }
+
   test("format-path (non-catalog) writes still day-route, and " +
       "bucket+days together are rejected at CREATE") {
     cat()
