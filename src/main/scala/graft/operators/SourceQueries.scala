@@ -1177,6 +1177,188 @@ object SourceQueries {
       out
     }),
 
+    // PER-COLUMN ZONE MAPS (KvFileStat.colStats): the sink records
+    // min/max for every evolved fixed-domain column (bigint / double /
+    // timestamp / date) in the manifest, and a pushed comparison on a
+    // NON-KEY column skips whole files at planning — parquet's
+    // per-column footer stats recovered for the line format, pruning
+    // on whatever axis the data was LOADED by rather than keyed by
+    // (at 100 TB most tables cluster naturally by ingest batch on
+    // several columns at once). Three price-banded inserts give the
+    // files disjoint `price` ranges; the one-band predicate must skip
+    // files (require()d on the zone-map counter), and the rows pin
+    // against DuckDB over raw orders.
+    "catalog_colstats_prune" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.csp_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "price DOUBLE) TBLPROPERTIES ('snapshots'='true')")
+      for ((lo, hi) <- Seq((0, 100000), (100000, 200000),
+          (200000, 10000000)))
+        s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+          s"o_totalprice FROM parquet.`$d/orders.parquet` " +
+          s"WHERE o_totalprice >= $lo AND o_totalprice < $hi")
+      val before = graft.sources.KvZoneMap.prunedFiles.get()
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t WHERE price < 100000.0D
+           |GROUP BY value ORDER BY value""".stripMargin)
+      require(out.count() > 0, "catalog_colstats_prune: empty result")
+      val pruned = graft.sources.KvZoneMap.prunedFiles.get() - before
+      require(pruned > 0, "catalog_colstats_prune: no files skipped " +
+        "by per-column zone maps under the price predicate")
+      out
+    }),
+
+    // PARTITION EVOLUTION (system.set_partition): a days(ts) table
+    // evolves to months(ts) METADATA-ONLY mid-life — earlier files
+    // keep day tokens, later ones carry month tokens, and one pushed
+    // time predicate prunes BOTH generations (each token
+    // self-describes its unit; KvScan compiles one interval per
+    // unit). At 100 TB this is the no-rewrite answer to "our ingest
+    // granularity changed" — the alternative is rewriting the table.
+    // The rows pin against DuckDB over raw orders split on the same
+    // date boundary.
+    "catalog_partition_evolution" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.pe_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "ts TIMESTAMP) PARTITIONED BY (days(ts)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        s"o_orderdate FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'")
+      s.sql("CALL graft_kv.system.set_partition(" +
+        "table => 'default.pe_gate', spec => 'months(ts)')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        s"o_orderdate FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'")
+      val before = graft.sources.KvPartitionPrune.prunedFiles.get()
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t
+           |WHERE ts >= TIMESTAMP '1994-07-01 00:00:00'
+           |  AND ts < TIMESTAMP '1995-07-01 00:00:00'
+           |GROUP BY value ORDER BY value""".stripMargin)
+      require(out.count() > 0, "catalog_partition_evolution: empty")
+      val pruned =
+        graft.sources.KvPartitionPrune.prunedFiles.get() - before
+      require(pruned > 0, "catalog_partition_evolution: the time " +
+        "predicate pruned nothing across the evolved layout")
+      out
+    }),
+
+    // MANIFEST-ANSWERED MIN/MAX over EVOLVED columns: the per-column
+    // zone maps double as an aggregate index — an unfiltered
+    // MIN/MAX/COUNT over any fixed-domain column (here a double and
+    // a timestamp) is served from the manifest without opening one
+    // data file (require()d on the KvAggScan counter), the extension
+    // of the key-only catalog_minmax_pushdown to the whole column
+    // set. Values pin against DuckDB over raw orders.
+    "catalog_colagg_pushdown" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.ca_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "price DOUBLE, ts TIMESTAMP) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        s"o_totalprice, o_orderdate FROM parquet.`$d/orders.parquet`")
+      graft.sources.KvAggScan.served.set(0)
+      val df = s.sql(s"SELECT count(*) AS n_orders, " +
+        "min(price) AS min_price, max(price) AS max_price, " +
+        "unix_micros(min(ts)) AS min_ts_us, " +
+        "unix_micros(max(ts)) AS max_ts_us FROM $t"
+          .replace("$t", t))
+      val rows = df.collect()
+      require(graft.sources.KvAggScan.served.get() > 0,
+        "catalog_colagg_pushdown: aggregates were answered by a " +
+          "data scan, not the manifest column stats")
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    }),
+
+    // Z-ORDER REWRITE + per-column zone maps, composed
+    // (system.zorder): orders load in orderkey sequence, so custkey
+    // and totalprice are SCATTERED across every file — no 2-D
+    // predicate can prune. The Morton rewrite re-banded both columns
+    // per file; the corner-box query must then skip files at
+    // planning (require()d on the zone-map counter) and still return
+    // the exact DuckDB rows. This is Delta's OPTIMIZE ZORDER BY
+    // reduced to its essence: at 100 TB it is the difference between
+    // a 2-D dashboard filter opening every file and opening ~sqrt of
+    // them.
+    "catalog_zorder_prune" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.zp_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, ck BIGINT, " +
+        "price DOUBLE) TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        s"o_custkey, o_totalprice FROM parquet.`$d/orders.parquet`")
+      s.sql("CALL graft_kv.system.zorder(table => 'default.zp_gate', " +
+        "cols => 'ck,price', target_files => 16)")
+      val before = graft.sources.KvZoneMap.prunedFiles.get()
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t WHERE ck < 30000 AND price < 50000.0D
+           |GROUP BY value ORDER BY value""".stripMargin)
+      require(out.count() > 0, "catalog_zorder_prune: empty result")
+      val pruned = graft.sources.KvZoneMap.prunedFiles.get() - before
+      require(pruned > 0, "catalog_zorder_prune: the 2-D box skipped " +
+        "no files after the z-order rewrite")
+      out
+    }),
+
+    // EXACTLY-ONCE STREAMING INGESTION into a snapshotted catalog
+    // table (KvJsonlStreamingWrite, snapshotted path): a checkpointed
+    // micro-batch query streams a source table's change feed into a
+    // destination table, each epoch landing as ONE OCC manifest
+    // commit (idempotent under epoch replay via the epoch file-name
+    // prefix). Three source commits → three feed batches → the
+    // destination's snapshot count is require()d to grow by exactly
+    // the data epochs, and the rows pin against DuckDB over raw
+    // orders — a lost, duplicated, or replayed epoch breaks the count
+    // or the hash. This is the lakehouse loop closed: stream in,
+    // time-travel/CDC out, all through the same manifests batch
+    // writers commit to.
+    "catalog_stream_sink" -> ((s, d) => {
+      registerKvCatalog(s)
+      val src = "graft_kv.default.sk_src"
+      val dst = "graft_kv.default.sk_dst"
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $src (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"CREATE TABLE $dst (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      for (r <- 0 to 2)
+        s.sql(s"INSERT INTO $src SELECT o_orderkey, o_orderpriority " +
+          s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = $r")
+      val cp = graft.Fs.sinkDir("sk_cp_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      val q = s.readStream.table(src)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination(120000)
+      require(!q.isActive, "catalog_stream_sink: drain timed out")
+      val dstDir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/sk_dst"
+      val nSnaps = graft.sources.KvSnapshots.versions(dstDir).size
+      require(nSnaps == 3,
+        s"catalog_stream_sink: expected 3 epoch commits, got $nSnaps")
+      s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $dst GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
     // WRITE-AUDIT-PUBLISH branches (KvBranches.scala — the writable
     // half of the ref model; tags are the read-only half): the gate
     // runs the full staging lifecycle. (1) create_branch at main v1;
@@ -2463,6 +2645,42 @@ object SourceQueries {
         |       CAST(sum(key) AS BIGINT) AS sum_keys
         |FROM t
         |WHERE mo >= DATE '1997-01-01' AND mo < DATE '1998-01-01'
+        |GROUP BY value ORDER BY value""".stripMargin,
+    // The straddling one-year slice recomputed from raw orders
+    // (evolution changes files-opened only, never rows).
+    "catalog_partition_evolution" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |GROUP BY value ORDER BY value""".stripMargin,
+    // The same unfiltered aggregates recomputed from raw orders.
+    "catalog_colagg_pushdown" ->
+      """SELECT count(*) AS n_orders,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price,
+        |       epoch_us(min(o_orderdate)) AS min_ts_us,
+        |       epoch_us(max(o_orderdate)) AS max_ts_us
+        |FROM orders""".stripMargin,
+    // The corner box recomputed from raw orders (a rewrite + zone
+    // maps change files-opened only, never rows).
+    "catalog_zorder_prune" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_custkey < 30000 AND o_totalprice < 50000.0
+        |GROUP BY value ORDER BY value""".stripMargin,
+    // The streamed destination is exactly the source = all of orders.
+    "catalog_stream_sink" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY value ORDER BY value""".stripMargin,
+    // The sub-band slice recomputed from raw orders (column zone maps
+    // change files-opened only, never rows).
+    "catalog_colstats_prune" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_totalprice < 100000.0
         |GROUP BY value ORDER BY value""".stripMargin,
     // The one-year month-partition slice recomputed from raw orders.
     "catalog_partition_months" ->

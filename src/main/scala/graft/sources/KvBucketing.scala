@@ -52,11 +52,24 @@ object KvBucketing {
     * 1970-01), keeping the flat layout every existing code path
     * works on.
     */
+  /** `partitionLineage` is the ONE field id this table has ever been
+    * temporally partitioned over — set at the first enable, immutable
+    * afterwards, retained across a disable. Partition tokens in file
+    * names record the unit but NOT the column, so re-partitioning
+    * over a DIFFERENT column would make every leftover token
+    * ambiguous (a `-d` token from the old column pruned against the
+    * new column's predicate = silent wrong results). Pinning the
+    * lineage makes partition EVOLUTION (unit changes, disable,
+    * re-enable) sound by construction; the deployment-scale
+    * alternative is Iceberg's per-file spec ids.
+    */
   case class KvMeta(
       buckets: Option[Int], snapshots: Boolean, mor: Boolean = false,
-      partition: Option[(PartUnit, Int)] = None) {
+      partition: Option[(PartUnit, Int)] = None,
+      partitionLineage: Option[Int] = None) {
     def isEmpty: Boolean =
-      buckets.isEmpty && !snapshots && !mor && partition.isEmpty
+      buckets.isEmpty && !snapshots && !mor && partition.isEmpty &&
+        partitionLineage.isEmpty
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -73,7 +86,12 @@ object KvBucketing {
         (if (meta.snapshots) Seq(""""snapshots":true""") else Seq.empty) ++
         (if (meta.mor) Seq(""""dml":"mor"""") else Seq.empty) ++
         meta.partition.map { case (u, id) =>
-          s""""p${u.name}":$id""" }.toSeq
+          s""""p${u.name}":$id""" }.toSeq ++
+        // written only when it differs from the current spec's column
+        // (disable keeps it; the common enabled case stays compact)
+        meta.partitionLineage
+          .filterNot(id => meta.partition.exists(_._2 == id))
+          .map(id => s""""plineage":$id""").toSeq
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -97,6 +115,7 @@ object KvBucketing {
   private val PmonthsField = """"pmonths":(\d+)""".r
   private val PyearsField = """"pyears":(\d+)""".r
   private val PhoursField = """"phours":(\d+)""".r
+  private val PlineageField = """"plineage":(\d+)""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -124,11 +143,17 @@ object KvBucketing {
           m.copy(partition = Some((PartYears, id.toInt)))
         case (m, PhoursField(id)) =>
           m.copy(partition = Some((PartHours, id.toInt)))
+        case (m, PlineageField(id)) =>
+          m.copy(partitionLineage = Some(id.toInt))
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }
       require(!meta.isEmpty, s"corrupt (empty) $MetaFile in $dir: $s")
-      meta
+      // an enabled spec IS its own lineage (writeMeta elides the
+      // redundant field)
+      if (meta.partitionLineage.isEmpty && meta.partition.isDefined)
+        meta.copy(partitionLineage = meta.partition.map(_._2))
+      else meta
     }
   }
 

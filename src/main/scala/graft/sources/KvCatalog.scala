@@ -84,7 +84,8 @@ class KvScanBuilder(
     pushed =
       if (forRowLevelOp) Array.empty
       else filters.filter(f =>
-        KvKeyPredicate.supports(f) || KvExtraPredicate.supports(f, cols))
+        KvKeyPredicate.supports(f) || KvExtraPredicate.supports(f, cols) ||
+          KvZoneMap.supportsCol(f, cols))
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
@@ -122,6 +123,22 @@ class KvScanBuilder(
         case r: NamedReference => r.fieldNames.sameElements(Array("key"))
         case _ => false
       }
+    // MIN/MAX over an EVOLVED fixed-domain column answer from the
+    // per-column zone maps (KvFileStat.colStats) — same contract as
+    // the key: exact stats on every data file, no tombstones. A
+    // NaN-bearing double file recorded NO stats, so the presence
+    // check below also declines exactly the case where IEEE range
+    // reasoning and Spark's NaN-is-largest MIN/MAX would disagree.
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[KvSchema.Col] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        cols.find(c => c.name == r.fieldNames.head && c.id > 2 &&
+          (c.dtype == LongType ||
+            c.dtype == org.apache.spark.sql.types.DoubleType ||
+            c.dtype == org.apache.spark.sql.types.TimestampType ||
+            c.dtype == org.apache.spark.sql.types.DateType))
+      case _ => None
+    }
     val result: Option[Seq[KvAggScan.PushedAgg]] =
       if (!(snapshots && !forRowLevelOp && pushed.isEmpty &&
           agg.groupByExpressions().isEmpty &&
@@ -131,6 +148,8 @@ class KvScanBuilder(
           case _: CountStar => Some(KvAggScan.AggCount)
           case m: Min if isKey(m.column()) => Some(KvAggScan.AggMinKey)
           case m: Max if isKey(m.column()) => Some(KvAggScan.AggMaxKey)
+          case m: Min => colOf(m.column()).map(KvAggScan.AggMinCol)
+          case m: Max => colOf(m.column()).map(KvAggScan.AggMaxCol)
           case _ => None
         }
         if (!compiled.forall(_.isDefined)) None
@@ -152,6 +171,12 @@ class KvScanBuilder(
             case KvAggScan.AggMinKey | KvAggScan.AggMaxKey =>
               !hasDeletes &&
                 KvSnapshots.dataFiles(stats).forall(_.keysKnown)
+            case KvAggScan.AggMinCol(c) => !hasDeletes &&
+              KvSnapshots.dataFiles(stats)
+                .forall(_.colStats.contains(c.id))
+            case KvAggScan.AggMaxCol(c) => !hasDeletes &&
+              KvSnapshots.dataFiles(stats)
+                .forall(_.colStats.contains(c.id))
           }
           if (ok) Some(compiled.flatten) else None
         }
@@ -197,6 +222,10 @@ class KvAggScan(
         .StructField("min(key)", LongType, nullable = true)
       case KvAggScan.AggMaxKey => org.apache.spark.sql.types
         .StructField("max(key)", LongType, nullable = true)
+      case KvAggScan.AggMinCol(c) => org.apache.spark.sql.types
+        .StructField(s"min(${c.name})", c.dtype, nullable = true)
+      case KvAggScan.AggMaxCol(c) => org.apache.spark.sql.types
+        .StructField(s"max(${c.name})", c.dtype, nullable = true)
     })
   override def toBatch: Batch = this
   override def description(): String =
@@ -216,12 +245,39 @@ class KvAggScan(
             case KvAggScan.AggMinKey | KvAggScan.AggMaxKey =>
               KvSnapshots.deleteFiles(st).isEmpty &&
                 KvSnapshots.dataFiles(st).forall(_.keysKnown)
+            case KvAggScan.AggMinCol(c) =>
+              KvSnapshots.deleteFiles(st).isEmpty &&
+                KvSnapshots.dataFiles(st)
+                  .forall(_.colStats.contains(c.id))
+            case KvAggScan.AggMaxCol(c) =>
+              KvSnapshots.deleteFiles(st).isEmpty &&
+                KvSnapshots.dataFiles(st)
+                  .forall(_.colStats.contains(c.id))
           },
           s"manifest v$v of $path lost the stats the pushed " +
             "aggregate needs (concurrent commit?)")
         st
     }
     val data = KvSnapshots.dataFiles(stats)
+    // Column min/max from the recorded tokens, boxed to the column's
+    // INTERNAL type (micros long / epoch-day int / long / double) —
+    // all-null files contribute nothing, an empty reduce is SQL NULL.
+    def colAgg(
+        c: KvSchema.Col, pick: ((String, String)) => String,
+        reduce: (Long, Long) => Long,
+        reduceD: (Double, Double) => Double): Any = {
+      val toks = data.flatMap(st => st.colStats(c.id).map(pick))
+      c.dtype match {
+        case org.apache.spark.sql.types.DoubleType =>
+          toks.map(_.toDouble).reduceOption(reduceD)
+            .map(Double.box).orNull
+        case org.apache.spark.sql.types.DateType =>
+          toks.map(_.toLong).reduceOption(reduce)
+            .map(l => Int.box(l.toInt)).orNull
+        case _ =>
+          toks.map(_.toLong).reduceOption(reduce).map(Long.box).orNull
+      }
+    }
     val values: Seq[Any] = aggs.map {
       // COUNT(*) over a MoR table = physical data rows minus
       // tombstones — both exact manifest numbers.
@@ -234,6 +290,10 @@ class KvAggScan(
       case KvAggScan.AggMaxKey =>
         data.flatMap(_.maxKey)
           .reduceOption(math.max(_, _)).map(Long.box).orNull
+      case KvAggScan.AggMinCol(c) =>
+        colAgg(c, _._1, math.min(_, _), math.min(_, _))
+      case KvAggScan.AggMaxCol(c) =>
+        colAgg(c, _._2, math.max(_, _), math.max(_, _))
     }
     KvAggScan.served.incrementAndGet()
     Array(KvAggPartition(values))
@@ -268,6 +328,12 @@ object KvAggScan {
   }
   case object AggMaxKey extends PushedAgg {
     override def toString: String = "MAX(key)"
+  }
+  final case class AggMinCol(c: KvSchema.Col) extends PushedAgg {
+    override def toString: String = s"MIN(${c.name})"
+  }
+  final case class AggMaxCol(c: KvSchema.Col) extends PushedAgg {
+    override def toString: String = s"MAX(${c.name})"
   }
 
   /** Manifest-answered aggregates served in this JVM (observability
@@ -582,26 +648,39 @@ class KvScan(
     * sequential merge while counting lines). Empty for unsnapshotted
     * and tombstone-free tables.
     */
-  /** The pushed unit-interval over the partition column (temporally
-    * partitioned tables only), compiled once per scan.
+  /** The pushed unit-intervals over the partition column, compiled
+    * once per scan — one interval PER TEMPORAL UNIT, not just the
+    * current spec's: after partition EVOLUTION (days → months, say)
+    * the table's files carry MIXED-generation tokens, each
+    * self-describing its unit via the suffix tag, and every
+    * generation prunes under its own interval. All intervals derive
+    * from the same pushed timestamp bounds on the same column
+    * (partition lineage pins the column across evolutions), so a
+    * `-d` file from before the change and an `-m` file from after
+    * both skip on the same predicate.
     */
-  private lazy val partRange
-      : Option[(KvBucketing.PartUnit, KvPartitionPrune.UnitRange)] =
-    for {
-      (unit, id) <- partitionSpec
-      pcol <- cols.find(_.id == id)
+  private lazy val partRanges
+      : Seq[(KvBucketing.PartUnit, KvPartitionPrune.UnitRange)] =
+    (for {
+      (_, id) <- partitionSpec.toSeq
+      pcol <- cols.find(_.id == id).toSeq
+      unit <- Seq(KvBucketing.PartHours, KvBucketing.PartDays,
+        KvBucketing.PartMonths, KvBucketing.PartYears)
+      if unit.supportsDate ||
+        pcol.dtype != org.apache.spark.sql.types.DateType
       r <- KvPartitionPrune.compile(pushed, pcol, unit)
-    } yield (unit, r)
+    } yield (unit, r))
 
   /** Partition file skip: a file whose name-token value falls outside
     * the pushed interval (or the null partition, which no comparison
-    * admits) never opens. Token-less files never skip. The prune
-    * counter only moves on COUNTED listings (partition planning) —
-    * the statistics estimate walks the same list and must not
-    * double-count.
+    * admits) never opens. Token-less files never skip, and a file's
+    * token is only ever tested against ITS OWN unit's interval. The
+    * prune counter only moves on COUNTED listings (partition
+    * planning) — the statistics estimate walks the same list and
+    * must not double-count.
     */
   private def dayAdmits(fileName: String, count: Boolean): Boolean =
-    partRange.forall { case (unit, r) =>
+    partRanges.forall { case (unit, r) =>
       KvBucketing.filePart(fileName, unit).forall { v =>
         val keep = r.admits(v)
         if (!keep && count)
@@ -635,6 +714,7 @@ class KvScan(
             .filter { st =>
               val keep =
                 KvZoneMap.mayMatch(st, pushed) &&
+                  KvZoneMap.mayMatchCols(st, pushed, cols) &&
                   runtimeKeys.forall(ks => KvZoneMap.mayMatchKeys(st, ks))
               if (!keep) KvZoneMap.prunedFiles.incrementAndGet()
               keep
@@ -1765,7 +1845,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(SystemNs, "drop_tag"),
         Identifier.of(SystemNs, "create_branch"),
         Identifier.of(SystemNs, "fast_forward"),
-        Identifier.of(SystemNs, "drop_branch"))
+        Identifier.of(SystemNs, "drop_branch"),
+        Identifier.of(SystemNs, "set_partition"),
+        Identifier.of(SystemNs, "zorder"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
@@ -1784,6 +1866,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       case "create_branch" => new KvCreateBranchProcedure(this)
       case "fast_forward" => new KvFastForwardProcedure(this)
       case "drop_branch" => new KvDropBranchProcedure(this)
+      case "set_partition" => new KvSetPartitionProcedure(this)
+      case "zorder" => new KvZorderProcedure(this)
       case other => throw new IllegalArgumentException(
         s"no such procedure: system.$other (the kv catalog ships " +
           "system.compact(table, target_files), " +
@@ -1794,8 +1878,10 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
           "system.tag(table, name, version), " +
           "system.drop_tag(table, name), " +
           "system.create_branch(table, name), " +
-          "system.fast_forward(table, branch) and " +
-          "system.drop_branch(table, name))")
+          "system.fast_forward(table, branch), " +
+          "system.drop_branch(table, name), " +
+          "system.set_partition(table, spec) and " +
+          "system.zorder(table, cols, target_files))")
     }
   }
 

@@ -443,8 +443,12 @@ class KvJsonlTable(
           override def toBatch: BatchWrite =
             new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
               writeBranch)
-          override def toStreaming: streaming.StreamingWrite =
-            new KvJsonlStreamingWrite(path)
+          override def toStreaming: streaming.StreamingWrite = {
+            require(writeBranch.isEmpty,
+              "streaming append to a BRANCH is not supported — stream " +
+                "to main, or stage with batch writes and fast_forward")
+            new KvJsonlStreamingWrite(path, info.queryId())
+          }
         }
       }
     }
@@ -458,16 +462,47 @@ class KvJsonlTable(
   */
 case class KvWrittenFile(
     tempFile: String, finalName: String, rows: Long,
-    minKey: Option[Long], maxKey: Option[Long])
+    minKey: Option[Long], maxKey: Option[Long],
+    colStats: Map[Int, Option[(String, String)]] = Map.empty)
 
 /** Per-file stat accumulation shared by the plain and bucketed
-  * writers — ONE definition of what the manifest records.
+  * writers — ONE definition of what the manifest records. Beyond the
+  * key zone map, every EVOLVED fixed-domain column (bigint / double /
+  * timestamp / date, id > 2) gets a per-file min/max tracked in the
+  * same single pass — the manifest-level data skipping parquet
+  * footers give every column, recovered for the line format. Stats
+  * are keyed by FIELD ID (rename-proof, like the schema registry);
+  * a double column that saw a NaN records NO stats (unknown — NaN
+  * breaks range reasoning, and "didn't skip" is the only safe
+  * failure direction).
   */
-final class KvKeyStats {
+final class KvKeyStats(cols: Seq[KvSchema.Col] = KvSchema.Legacy) {
+  import org.apache.spark.sql.types.{DateType, DoubleType, LongType,
+    TimestampType}
+
   private var rows = 0L
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
   private var hasKeys = false
+
+  private final class Track(
+      val id: Int, val ord: Int, val isDouble: Boolean,
+      val isDate: Boolean) {
+    var has = false
+    var nan = false
+    var minL = Long.MaxValue
+    var maxL = Long.MinValue
+    var minD = java.lang.Double.POSITIVE_INFINITY
+    var maxD = java.lang.Double.NEGATIVE_INFINITY
+  }
+
+  private val tracked: Array[Track] =
+    cols.iterator.zipWithIndex.collect {
+      case (c, i) if c.id > 2 &&
+          (c.dtype == LongType || c.dtype == TimestampType ||
+            c.dtype == DateType || c.dtype == DoubleType) =>
+        new Track(c.id, i, c.dtype == DoubleType, c.dtype == DateType)
+    }.toArray
 
   def update(row: InternalRow): Unit = {
     rows += 1
@@ -477,12 +512,41 @@ final class KvKeyStats {
       if (k > maxKey) maxKey = k
       hasKeys = true
     }
+    var j = 0
+    while (j < tracked.length) {
+      val t = tracked(j)
+      if (!row.isNullAt(t.ord)) {
+        if (t.isDouble) {
+          val v = row.getDouble(t.ord)
+          if (java.lang.Double.isNaN(v)) t.nan = true
+          else {
+            if (v < t.minD) t.minD = v
+            if (v > t.maxD) t.maxD = v
+            t.has = true
+          }
+        } else {
+          val v =
+            if (t.isDate) row.getInt(t.ord).toLong else row.getLong(t.ord)
+          if (v < t.minL) t.minL = v
+          if (v > t.maxL) t.maxL = v
+          t.has = true
+        }
+      }
+      j += 1
+    }
   }
 
   def written(tempFile: String, finalName: String): KvWrittenFile =
     KvWrittenFile(tempFile, finalName, rows,
       if (hasKeys) Some(minKey) else None,
-      if (hasKeys) Some(maxKey) else None)
+      if (hasKeys) Some(maxKey) else None,
+      tracked.iterator.flatMap { t =>
+        if (t.nan) None // unknown — never a basis for skipping
+        else if (!t.has) Some(t.id -> None) // known all-null
+        else Some(t.id -> Some((
+          if (t.isDouble) t.minD.toString else t.minL.toString,
+          if (t.isDouble) t.maxD.toString else t.maxL.toString)))
+      }.toMap)
 }
 
 case class KvJsonlCommitMessage(file: KvWrittenFile)
@@ -554,6 +618,7 @@ class KvJsonlBatchWrite(
           : Seq[KvSnapshots.KvFileStat] =
         (if (truncateFirst) Seq.empty else prev) ++ published.map(f =>
           KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey, f.maxKey,
+            colStats = f.colStats,
             keysKnown = true))
       branch match {
         // Branch-targeted write (write-audit-publish): the commit
@@ -648,7 +713,7 @@ class KvJsonlBucketedDataWriter(
     val out: java.io.BufferedWriter =
       java.nio.file.Files.newBufferedWriter(
         temp, java.nio.charset.StandardCharsets.UTF_8)
-    val stats = new KvKeyStats
+    val stats = new KvKeyStats(cols)
   }
 
   private val open =
@@ -730,7 +795,7 @@ class KvJsonlPartitionedDataWriter(
     val out: java.io.BufferedWriter =
       java.nio.file.Files.newBufferedWriter(
         temp, java.nio.charset.StandardCharsets.UTF_8)
-    val stats = new KvKeyStats
+    val stats = new KvKeyStats(cols)
   }
 
   private val open =
@@ -795,33 +860,93 @@ class KvJsonlPartitionedDataWriter(
   * `V2StreamingSinkSpec` drives the restart path end-to-end through a
   * checkpointed query.
   */
-class KvJsonlStreamingWrite(path: String)
+class KvJsonlStreamingWrite(path: String, queryId: String = "")
     extends streaming.StreamingWrite {
+
+  private val snapshots = KvBucketing.readMetaFull(path).snapshots
+
+  /** Per-query file tag for SNAPSHOTTED targets. The plain epoch-only
+    * names are safe for an unsnapshotted sink (one query owns a plain
+    * sink, and a replayed rename REPLACES in place); a snapshotted
+    * table keeps REPLACED FILES READABLE for prior versions, so a
+    * second query (or a fresh run restarting at epoch 0) landing on
+    * the same names would corrupt committed history. The streaming
+    * queryId is stable across driver restarts (it rides in the
+    * checkpoint), which is exactly what the replay detection needs.
+    */
+  private val qTag: String =
+    if (snapshots) s"q${queryId.replace("-", "")}-" else ""
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
-    require(KvBucketing.readMetaFull(path).isEmpty,
-      "streaming append to a BUCKETED or SNAPSHOTTED kvjsonl table " +
-        s"is not supported: $path")
+    val meta = KvBucketing.readMetaFull(path)
+    require(meta.buckets.isEmpty && meta.partition.isEmpty,
+      "streaming append to a BUCKETED or DATE-PARTITIONED kvjsonl " +
+        s"table is not supported: $path")
+    require(!snapshots || queryId.nonEmpty,
+      s"snapshotted streaming append to $path needs the query id " +
+        "for epoch replay detection")
     java.nio.file.Files.createDirectories(KvJsonlSink.tempDir(path))
     // A named top-level factory: the instance ships to executors, so it
     // must not capture this (non-serializable) driver-side write object.
-    KvJsonlStreamingWriterFactory(path, KvSchema.currentCols(path))
+    KvJsonlStreamingWriterFactory(path, KvSchema.currentCols(path), qTag)
   }
 
+  /** Per-epoch publish. Unsnapshotted: idempotent renames onto
+    * epoch-keyed names (replay REPLACES in place). Snapshotted:
+    * EXACTLY-ONCE via the manifest — the epoch's files enter
+    * membership in ONE OCC manifest commit, and a replayed epoch is
+    * detected by its file-name prefix already being a member (all of
+    * an epoch's files entered atomically, so any one present ⇒ the
+    * epoch committed; the check races nothing, because this query is
+    * the only writer of its own epoch names and Spark serializes a
+    * query's epochs). A crash BETWEEN rename and manifest commit
+    * leaves unreferenced files — invisible to every snapshot reader,
+    * re-published (or orphan-swept by system.vacuum) on replay.
+    * Concurrent batch INSERTs interleave safely: the OCC loser
+    * rebases its membership onto the winner's version, same as any
+    * two batch appends.
+    */
   override def commit(
       epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    messages.foreach { case KvJsonlCommitMessage(f) =>
+    def publish(f: KvWrittenFile): Unit =
       java.nio.file.Files.move(
         java.nio.file.Paths.get(f.tempFile),
         dir.resolve(f.finalName),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!snapshots) {
+      messages.foreach { case KvJsonlCommitMessage(f) => publish(f) }
+    } else {
+      val prefix = f"part-${qTag}e$epochId%05d-"
+      val replayed = KvSnapshots.latest(path).exists(v =>
+        KvSnapshots.members(path, v).exists(_.startsWith(prefix)))
+      if (!replayed) {
+        // 0-row task files never publish: an epoch's manifest commit
+        // carries exactly its data, and an all-empty epoch commits
+        // NOTHING (no snapshot churn from idle triggers).
+        val data = messages.collect {
+          case KvJsonlCommitMessage(f) if f.rows > 0L => f
+        }
+        if (data.nonEmpty) {
+          data.foreach(publish)
+          KvSnapshots.commitWith(path) { base =>
+            val prev =
+              if (base == 0) Seq.empty[KvSnapshots.KvFileStat]
+              else KvSnapshots.membersWithStats(path, base)
+            prev ++ data.map(f =>
+              KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey,
+                f.maxKey, keysKnown = true, colStats = f.colStats))
+          }
+          ()
+        }
+      }
     }
     dropEpochTemps(epochId) // losing speculative attempts of this epoch
     java.nio.file.Files.write(
       dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    ()
   }
 
   override def abort(
@@ -834,7 +959,8 @@ class KvJsonlStreamingWrite(path: String)
     if (java.nio.file.Files.isDirectory(tmp)) {
       val s = java.nio.file.Files.list(tmp)
       try s.forEach { p =>
-        if (p.getFileName.toString.startsWith(f"attempt-e$epochId%05d-"))
+        if (p.getFileName.toString
+            .startsWith(f"attempt-${qTag}e$epochId%05d-"))
           java.nio.file.Files.deleteIfExists(p)
       } finally s.close()
     }
@@ -842,15 +968,16 @@ class KvJsonlStreamingWrite(path: String)
 }
 
 case class KvJsonlStreamingWriterFactory(
-    path: String, cols: Seq[KvSchema.Col] = KvSchema.Legacy)
+    path: String, cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    qTag: String = "")
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new KvJsonlDataWriter(path,
-      f"attempt-e$epochId%05d-$partitionId%05d-$taskId",
-      f"part-e$epochId%05d-$partitionId%05d.jsonl",
+      f"attempt-${qTag}e$epochId%05d-$partitionId%05d-$taskId",
+      f"part-${qTag}e$epochId%05d-$partitionId%05d.jsonl",
       cols = cols)
 }
 
@@ -878,7 +1005,7 @@ class KvJsonlDataWriter(
   }
   private val out = java.nio.file.Files.newBufferedWriter(
     tempFile, java.nio.charset.StandardCharsets.UTF_8)
-  private val stats = new KvKeyStats
+  private val stats = new KvKeyStats(cols)
 
   override def write(row: InternalRow): Unit = {
     out.write(

@@ -146,7 +146,8 @@ class KvMorDeltaBatchWrite(
     val added = messages.toSeq.flatMap {
       case KvDeltaCommitMessage(data, del) =>
         data.map(f => KvSnapshots.KvFileStat(
-          f.finalName, f.rows, f.minKey, f.maxKey, keysKnown = true)) ++
+          f.finalName, f.rows, f.minKey, f.maxKey, keysKnown = true,
+          colStats = f.colStats)) ++
           del.map(f => KvSnapshots.KvFileStat(
             f.finalName, f.rows, None, None, keysKnown = false))
     }

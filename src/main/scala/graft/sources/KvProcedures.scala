@@ -652,3 +652,284 @@ object KvDropBranchProcedure {
     StructField("name", StringType),
     StructField("was_head", LongType)))
 }
+
+/** `system.set_partition` — PARTITION EVOLUTION (Iceberg
+  * `ALTER TABLE ... REPLACE PARTITION FIELD`, reduced to the sound
+  * core this format can carry):
+  *
+  * {{{ CALL graft_kv.system.set_partition(table => 'default.t',
+  *                                        spec => 'months(ts)') }}}
+  *
+  * A METADATA-ONLY change: no file is rewritten. Files written before
+  * the change keep their old unit tokens (`-d9862`), files after it
+  * carry the new one (`-m334`) — every token self-describes its unit
+  * via the suffix tag, and the scan compiles one pushed interval PER
+  * UNIT, so both generations keep pruning under the same predicate
+  * (KvScan.partRanges). `spec => 'none'` disables routing for new
+  * writes (old tokens stop pruning too — the current spec names the
+  * column the intervals compile against).
+  *
+  * The partition COLUMN is permanent once set (KvMeta.partitionLineage):
+  * tokens record their unit but not their column, so re-partitioning
+  * over a different column would make every leftover token ambiguous
+  * — rejected loudly, including across a disable/re-enable cycle.
+  * Returns one row (spec, column).
+  */
+class KvSetPartitionProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "set_partition"
+  override def description(): String =
+    "evolve the table's temporal partition spec (metadata-only; " +
+      "unit changes and disable only — the column is permanent)"
+
+  private val SpecRe = """([a-z]+)\(([A-Za-z0-9_]+)\)""".r
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "set_partition"
+      override def description(): String =
+        KvSetPartitionProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("spec", StringType)
+            .comment("'years|months|days|hours(col)' or 'none'")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val spec = input.getUTF8String(1).toString
+        val dir = cat.resolveTableDir(table).toString
+        val meta = KvBucketing.readMetaFull(dir)
+        require(meta.buckets.isEmpty,
+          s"$table is bucketed — bucket and temporal partitioning " +
+            "are mutually exclusive")
+        def out(specStr: String, colStr: String) =
+          KvProcedures.localScan(KvSetPartitionProcedure.OutSchema,
+            InternalRow(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(specStr),
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(colStr)))
+        spec match {
+          case "none" =>
+            if (meta.partition.isDefined) {
+              val next = meta.copy(partition = None)
+              // lineage is retained — writeMeta refuses empty metas,
+              // and a never-otherwise-flagged table keeps its pin
+              KvBucketing.writeMeta(dir, next)
+            }
+            out("none", "")
+          case SpecRe(unitName, colName) =>
+            val unit = KvBucketing.partUnit(unitName).getOrElse(
+              throw new IllegalArgumentException(
+                s"unknown partition transform '$unitName' " +
+                  "(years|months|days|hours)"))
+            val cols = KvSchema.currentCols(dir)
+            val c = cols.find(_.name.equalsIgnoreCase(colName))
+              .getOrElse(throw new IllegalArgumentException(
+                s"${unit.name}() partition column $colName is not a " +
+                  s"column of $table"))
+            require(
+              c.dtype == org.apache.spark.sql.types.TimestampType ||
+                (c.dtype == org.apache.spark.sql.types.DateType &&
+                  unit.supportsDate),
+              s"${unit.name}() partitioning needs a TIMESTAMP" +
+                (if (unit.supportsDate) " or DATE" else "") +
+                s" column; ${c.name} is ${c.dtype.simpleString}")
+            val lineage =
+              meta.partitionLineage.orElse(meta.partition.map(_._2))
+            lineage.foreach(lid => require(lid == c.id,
+              s"the partition column of $table is permanent once set " +
+                s"(field id $lid" +
+                cols.find(_.id == lid).map(x => s" '${x.name}'")
+                  .getOrElse("") +
+                "): partition tokens in file names do not record " +
+                "their column, so re-partitioning over a different " +
+                "column would make existing tokens ambiguous"))
+            KvBucketing.writeMeta(dir, meta.copy(
+              partition = Some((unit, c.id)),
+              partitionLineage = Some(c.id)))
+            out(s"${unit.name}(${c.name})", c.name)
+          case other => throw new IllegalArgumentException(
+            s"bad partition spec '$other': " +
+              "'years|months|days|hours(col)' or 'none'")
+        }
+      }
+    }
+}
+
+object KvSetPartitionProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("spec", StringType),
+    StructField("column", StringType)))
+}
+
+/** `system.zorder` — MULTI-DIMENSIONAL clustering rewrite (Delta
+  * `OPTIMIZE ZORDER BY` / Iceberg `rewrite_data_files(zorder)`):
+  *
+  * {{{ CALL graft_kv.system.zorder(table => 'default.t',
+  *                                 cols => 'ck,price',
+  *                                 target_files => 8) }}}
+  *
+  * Rows are ordered by the MORTON INTERLEAVE of the two named
+  * columns' 16-bit min/max-scaled coordinates and range-partitioned
+  * into `target_files` files, so rows close in BOTH dimensions land
+  * in the same file. The payoff is the composition with per-column
+  * zone maps (KvFileStat.colStats): after the rewrite each file's
+  * recorded [min,max] on EACH named column is a narrow band, and a
+  * predicate box on either or both columns skips most files at
+  * planning — the 2-D file pruning a single-key sort cannot give
+  * (sorting by `a` leaves `b` scattered: every file then spans all
+  * of `b`). `system.cluster` remains the 1-D (key) form.
+  *
+  * The interleave is an unrolled bit expression (whole-stage codegen,
+  * no UDF); coordinates scale by the table's CURRENT global min/max
+  * (one metadata-cheap agg), NULLs sort first. Same table contract
+  * as cluster: snapshotted, unbucketed, unpartitioned; the rewrite is
+  * one distributed job through the sink's two-phase commit with an
+  * atomic manifest flip. Returns (files_before, files_after, n_rows,
+  * version).
+  */
+class KvZorderProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "zorder"
+  override def description(): String =
+    "rewrite a snapshotted kv table in Morton (Z-order) of two " +
+      "columns for multi-dimensional zone-map pruning"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "zorder"
+      override def description(): String =
+        KvZorderProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("cols", StringType)
+            .comment("two comma-separated numeric-domain columns " +
+              "(bigint/double/timestamp/date), e.g. 'ck,price'")
+            .build(),
+          procedures.ProcedureParameter
+            .in("target_files", IntegerType)
+            .defaultValue("8")
+            .comment("file count after the rewrite (one z-band each)")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val colsArg = input.getUTF8String(1).toString
+        val target =
+          if (input.numFields > 2 && !input.isNullAt(2)) input.getInt(2)
+          else 8
+        require(target >= 1, s"target_files must be >= 1, got $target")
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        require(KvBucketing.readMeta(dir.toString).isEmpty,
+          "system.zorder supports unbucketed tables only")
+        require(KvBucketing.readMetaFull(dir.toString).partition.isEmpty,
+          "system.zorder supports unpartitioned tables only (a " +
+            "temporally partitioned table's layout contract is its " +
+            "unit routing)")
+        val names = colsArg.split(',').map(_.trim).filter(_.nonEmpty)
+        require(names.length == 2,
+          s"system.zorder takes exactly two columns; got '$colsArg'")
+        val schema = KvSchema.currentCols(dir.toString)
+        val zcols = names.map { n =>
+          val c = schema.find(_.name.equalsIgnoreCase(n)).getOrElse(
+            throw new IllegalArgumentException(
+              s"z-order column $n is not a column of $table"))
+          require(c.dtype != org.apache.spark.sql.types.StringType,
+            s"z-order needs a numeric-domain column; ${c.name} is " +
+              c.dtype.simpleString)
+          c
+        }
+
+        def dataFileCount: Long =
+          KvSnapshots.latest(dir.toString).map { v =>
+            KvSnapshots.dataFiles(
+              KvSnapshots.membersWithStats(dir.toString, v)).size.toLong
+          }.getOrElse(0L)
+
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+
+        val df = spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+
+        // Monotone double view of any supported column domain.
+        def asD(c: KvSchema.Col): Column = c.dtype match {
+          case org.apache.spark.sql.types.DateType =>
+            datediff(col(c.name), lit("1970-01-01")).cast("double")
+          case _ => col(c.name).cast("double")
+        }
+        val bounds = df.agg(
+          min(asD(zcols(0))), max(asD(zcols(0))),
+          min(asD(zcols(1))), max(asD(zcols(1)))).head()
+        def coord(c: KvSchema.Col, mnI: Int, mxI: Int): Column =
+          if (bounds.isNullAt(mnI) ||
+              bounds.getDouble(mxI) <= bounds.getDouble(mnI)) lit(0L)
+          else {
+            val mn = bounds.getDouble(mnI); val mx = bounds.getDouble(mxI)
+            // NULL → coordinate 0 (placement only — reads never
+            // depend on where a row landed)
+            least(lit(65535L), greatest(lit(0L),
+              floor((coalesce(asD(c), lit(mn)) - lit(mn)) /
+                lit(mx - mn) * 65536.0).cast("long")))
+          }
+        // 16-bit Morton interleave, unrolled so it stays inside
+        // whole-stage codegen (same shape as the zorder_layout gate's
+        // 8-bit form).
+        def morton16(x: Column, y: Column): Column =
+          (0 until 16).map { i =>
+            shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+              shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+          }.reduce(_ + _).cast("long")
+
+        val before = dataFileCount
+        df.withColumn("_z",
+            morton16(coord(zcols(0), 0, 1), coord(zcols(1), 2, 3)))
+          .repartitionByRange(target, col("_z"))
+          .sortWithinPartitions("_z")
+          .select(schema.map(c => col(c.name)): _*)
+          .write
+          .format("graft.sources.KvJsonlSink")
+          .mode("overwrite")
+          .save(dir.toString)
+        val after = dataFileCount
+        val version = KvSnapshots.latest(dir.toString).getOrElse(0)
+        val nRows = spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .count()
+        KvProcedures.localScan(KvZorderProcedure.OutSchema,
+          InternalRow(before, after, nRows, version.toLong))
+      }
+    }
+}
+
+object KvZorderProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("files_before", LongType),
+    StructField("files_after", LongType),
+    StructField("n_rows", LongType),
+    StructField("version", LongType)))
+}

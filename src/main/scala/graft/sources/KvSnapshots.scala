@@ -78,17 +78,34 @@ object KvSnapshots {
     * `minKey`/`maxKey` absent means no non-null keys OR unknown —
     * both directions must only ever DISABLE an optimization.
     */
+  /** `colStats` extends the key zone map to EVOLVED fixed-domain
+    * columns (bigint / double / timestamp / date): field id →
+    * `Some((minTok, maxTok))` with both tokens EXACT over the file's
+    * non-null, non-NaN values, or `None` = the file has NO non-null
+    * values in that column (skippable under every null-rejecting
+    * comparison). A column ABSENT from the map is UNKNOWN — never a
+    * basis for skipping (old manifests, migrated files, NaN-bearing
+    * double columns). Tokens stay STRINGS at this layer: the manifest
+    * is schema-agnostic; the scan parses them against the column's
+    * dtype (long tokens compared as longs — a double round-trip of a
+    * >2^53 bigint under a STRICT comparison could skip a matching
+    * file).
+    */
   case class KvFileStat(
       name: String, rows: Long,
       minKey: Option[Long], maxKey: Option[Long],
-      keysKnown: Boolean)
+      keysKnown: Boolean,
+      colStats: Map[Int, Option[(String, String)]] = Map.empty)
 
   /** Manifest line: `name<TAB>rows<TAB>min<TAB>max` when the writer
     * tracked key stats — `-` is the EXPLICIT known-keyless marker (the
     * file has no non-null keys), distinct from a 2-field line, which
     * means the stats are UNKNOWN (a migrated pre-snapshot file). The
     * distinction is load-bearing: known-keyless files may be zone-map
-    * skipped under key predicates; unknown files never may.
+    * skipped under key predicates; unknown files never may. An
+    * optional FIFTH field carries the per-column zone maps:
+    * `id:min:max` / `id:-` (known all-null) pairs joined by `,`,
+    * sorted by id — absent pairs (and the absent field) mean unknown.
     */
   def membersWithStats(
       path: String, version: Int): Seq[KvFileStat] =
@@ -124,6 +141,9 @@ object KvSnapshots {
           case Array(name, n, mn, mx) =>
             KvFileStat(name, n.toLong, bound(mn), bound(mx),
               keysKnown = true)
+          case Array(name, n, mn, mx, cs) =>
+            KvFileStat(name, n.toLong, bound(mn), bound(mx),
+              keysKnown = true, colStats = decodeColStats(cs, what))
           case _ => throw new IllegalArgumentException(
             s"corrupt manifest line in v$version of $what: $line")
         }
@@ -232,13 +252,44 @@ object KvSnapshots {
       membership: Int => Seq[KvFileStat]): Int =
     commitWithIn(snapDir(path))(membership)
 
+  /** Column-stat token charset: numeric toString output only (long or
+    * double) — enforced on WRITE so no token can ever hold the pair
+    * (`:`), list (`,`) or field (TAB) separators; the manifest format
+    * stays unambiguous by construction, not by escaping.
+    */
+  private val StatTokenRe = "[0-9A-Za-z+.-]+".r
+
+  private[sources] def encodeColStats(
+      cs: Map[Int, Option[(String, String)]]): String =
+    cs.toSeq.sortBy(_._1).map {
+      case (id, None) => s"$id:-"
+      case (id, Some((mn, mx))) =>
+        require(StatTokenRe.matches(mn) && StatTokenRe.matches(mx),
+          s"unencodable column-stat token for field $id: '$mn'/'$mx'")
+        s"$id:$mn:$mx"
+    }.mkString(",")
+
+  private[sources] def decodeColStats(
+      s: String, what: String): Map[Int, Option[(String, String)]] =
+    s.split(',').iterator.filter(_.nonEmpty).map { p =>
+      p.split(':') match {
+        case Array(id, "-") => id.toInt -> None
+        case Array(id, mn, mx) =>
+          id.toInt -> Some((mn, mx)): (Int, Option[(String, String)])
+        case _ => throw new IllegalArgumentException(
+          s"corrupt manifest column stats of $what: $p")
+      }
+    }.toMap
+
   private def manifestBytes(membership: Seq[KvFileStat]): Array[Byte] =
     membership.sortBy(_.name)
       .map { st =>
-        if (st.keysKnown)
-          s"${st.name}\t${st.rows}" +
+        if (st.keysKnown) {
+          val base = s"${st.name}\t${st.rows}" +
             s"\t${st.minKey.getOrElse("-")}\t${st.maxKey.getOrElse("-")}"
-        else s"${st.name}\t${st.rows}"
+          if (st.colStats.isEmpty) base
+          else base + "\t" + encodeColStats(st.colStats)
+        } else s"${st.name}\t${st.rows}"
       }
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
@@ -386,6 +437,97 @@ object KvZoneMap {
       case LessThanOrEqual("key", v: java.lang.Long) =>
         stat.minKey.exists(_ <= v.longValue)
       case _ => true
+    }
+  }
+
+  /** Per-COLUMN zone maps (KvFileStat.colStats): the same
+    * satisfiability test over any evolved fixed-domain column a pushed
+    * comparison names. Resolution is name → FIELD ID against the
+    * scan's schema version, so stats recorded before a RENAME COLUMN
+    * keep pruning after it. Long-token columns (bigint / timestamp /
+    * date) compare as longs — routing a >2^53 bigint through double
+    * would let a strict comparison skip a matching file; doubles
+    * compare as doubles (NaN-bearing files recorded no stats at all).
+    * All-null columns (`Some(None)`) fail every null-rejecting
+    * comparison; unknown (absent) stats never skip.
+    */
+  def mayMatchCols(
+      stat: KvSnapshots.KvFileStat,
+      filters: Array[Filter],
+      cols: Seq[KvSchema.Col]): Boolean =
+    stat.colStats.isEmpty || filters.isEmpty ||
+      filters.forall(f => colFilterMayMatch(stat, cols, f))
+
+  private def colFilterMayMatch(
+      stat: KvSnapshots.KvFileStat,
+      cols: Seq[KvSchema.Col],
+      f: Filter): Boolean = {
+    def statsOf(a: String)
+        : Option[(KvSchema.Col, Option[(String, String)])] =
+      cols.find(c => c.name == a && c.id > 2)
+        .flatMap(c => stat.colStats.get(c.id).map(c -> _))
+    def cmp(a: String, v: Any)(
+        ok: (Long, Long, Long) => Boolean)(
+        okD: (Double, Double, Double) => Boolean): Boolean =
+      statsOf(a) match {
+        case None => true // unknown column or unknown stats
+        case Some((_, None)) => false // all-null vs null-rejecting op
+        case Some((c, Some((mn, mx)))) =>
+          if (c.dtype == org.apache.spark.sql.types.DoubleType) v match {
+            // Spark orders NaN LARGER than every double (unlike IEEE,
+            // where every NaN comparison is false): `x < NaN` matches
+            // every non-NaN row, `= NaN` matches NaN rows. An IEEE
+            // range test against a NaN literal would prune files full
+            // of matches — a NaN literal never prunes.
+            case d: java.lang.Double if !d.isNaN =>
+              okD(mn.toDouble, mx.toDouble, d.doubleValue)
+            case _ => true
+          } else KvExtraPredicate.token(c.dtype, v) match {
+            case Some(t) => ok(mn.toLong, mx.toLong, t)
+            case None => true
+          }
+      }
+    f match {
+      case IsNotNull(a) => statsOf(a) match {
+        case Some((_, None)) => false
+        case _ => true
+      }
+      case EqualTo(a, v) =>
+        cmp(a, v)((mn, mx, t) => mn <= t && mx >= t)(
+          (mn, mx, t) => mn <= t && mx >= t)
+      case GreaterThan(a, v) =>
+        cmp(a, v)((_, mx, t) => mx > t)((_, mx, t) => mx > t)
+      case GreaterThanOrEqual(a, v) =>
+        cmp(a, v)((_, mx, t) => mx >= t)((_, mx, t) => mx >= t)
+      case LessThan(a, v) =>
+        cmp(a, v)((mn, _, t) => mn < t)((mn, _, t) => mn < t)
+      case LessThanOrEqual(a, v) =>
+        cmp(a, v)((mn, _, t) => mn <= t)((mn, _, t) => mn <= t)
+      case _ => true
+    }
+  }
+
+  /** Double-column comparisons have no reader-side row-skip compile
+    * (KvExtraPredicate's token domain is long) but CAN file-prune via
+    * [[mayMatchCols]] — this is the pushdown admission test for them.
+    * The reader ignores pushed filters it can't compile and Spark
+    * re-evaluates every filter, so over-admitting is always safe.
+    */
+  def supportsCol(f: Filter, cols: Seq[KvSchema.Col]): Boolean = {
+    def dbl(a: String, v: Any): Boolean =
+      v.isInstanceOf[java.lang.Double] &&
+        cols.exists(c => c.name == a && c.id > 2 &&
+          c.dtype == org.apache.spark.sql.types.DoubleType)
+    f match {
+      case EqualTo(a, v) => dbl(a, v)
+      case GreaterThan(a, v) => dbl(a, v)
+      case GreaterThanOrEqual(a, v) => dbl(a, v)
+      case LessThan(a, v) => dbl(a, v)
+      case LessThanOrEqual(a, v) => dbl(a, v)
+      case IsNotNull(a) =>
+        cols.exists(c => c.name == a && c.id > 2 &&
+          c.dtype == org.apache.spark.sql.types.DoubleType)
+      case _ => false
     }
   }
 
