@@ -1212,6 +1212,53 @@ object SourceQueries {
       out
     }),
 
+    // STREAMING INGESTION into a DATE-PARTITIONED snapshotted table —
+    // THE canonical 100 TB pipeline shape (events stream continuously
+    // into days(ts) partitions): the routed batch writers run inside
+    // the streaming epoch (epoch-scoped jobId), so every streamed
+    // file lands with its day token and a later time-ranged query
+    // partition-prunes streamed data exactly like batch-loaded data
+    // (require()d on the prune counter). Exactly-once still holds —
+    // one OCC manifest commit per epoch, replay-idempotent. Rows pin
+    // against DuckDB over the same month slice of raw orders.
+    "catalog_stream_partitioned" -> ((s, d) => {
+      registerKvCatalog(s)
+      val src = "graft_kv.default.sp_src"
+      val dst = "graft_kv.default.sp_dst"
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $src (key BIGINT, value STRING, " +
+        "ts TIMESTAMP) TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"CREATE TABLE $dst (key BIGINT, value STRING, " +
+        "ts TIMESTAMP) PARTITIONED BY (months(ts)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $src SELECT o_orderkey, o_orderpriority, " +
+        s"o_orderdate FROM parquet.`$d/orders.parquet`")
+      val cp = graft.Fs.sinkDir("sp_cp_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      val q = s.readStream.table(src)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination(120000)
+      require(!q.isActive, "catalog_stream_partitioned: drain timeout")
+      val before = graft.sources.KvPartitionPrune.prunedFiles.get()
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $dst
+           |WHERE ts >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY value ORDER BY value""".stripMargin)
+      require(out.count() > 0, "catalog_stream_partitioned: empty")
+      require(
+        graft.sources.KvPartitionPrune.prunedFiles.get() > before,
+        "catalog_stream_partitioned: streamed files did not " +
+          "partition-prune under the time predicate")
+      out
+    }),
+
     // PARTITION EVOLUTION (system.set_partition): a days(ts) table
     // evolves to months(ts) METADATA-ONLY mid-life — earlier files
     // keep day tokens, later ones carry month tokens, and one pushed
@@ -1250,6 +1297,46 @@ object SourceQueries {
       require(pruned > 0, "catalog_partition_evolution: the time " +
         "predicate pruned nothing across the evolved layout")
       out
+    }),
+
+    // $files METADATA TABLE (Iceberg's `.files` shape): one row per
+    // current-snapshot member straight from the manifest — kind,
+    // row/tombstone counts, key zone map, layout token, per-column
+    // stats. The gate DMLs a MoR table so BOTH kinds exist, then
+    // computes the live-row arithmetic FROM $files alone
+    // (data − tombstones) and pins it against DuckDB recomputing the
+    // same DELETE from raw orders — if $files misreported a single
+    // file or count, the hash breaks. No data file is opened.
+    "catalog_files_table" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.ft_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "price DOUBLE) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        s"o_totalprice FROM parquet.`$d/orders.parquet`")
+      s.sql(s"DELETE FROM $t WHERE key % 7 = 0")
+      val files = s.sql("SELECT * FROM " +
+        "graft_kv.default.`ft_gate$files`")
+      // structural requires: both kinds present, data files carry
+      // per-column stats, plain table → no layout token
+      val byKind = files.groupBy("kind").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      require(byKind.getOrElse("data", 0L) > 0 &&
+        byKind.getOrElse("delete", 0L) > 0,
+        s"catalog_files_table: expected both kinds, got $byKind")
+      require(files.where("kind = 'data' AND n_col_stats = 0")
+        .count() == 0,
+        "catalog_files_table: a data file lost its column stats")
+      s.sql(
+        """SELECT CAST(sum(CASE WHEN kind = 'data' THEN rows END)
+          |         AS BIGINT) AS data_rows,
+          |       CAST(sum(CASE WHEN kind = 'delete' THEN rows END)
+          |         AS BIGINT) AS tombstones,
+          |       CAST(sum(CASE WHEN kind = 'data' THEN rows
+          |                     ELSE -rows END) AS BIGINT) AS live_rows
+          |FROM graft_kv.default.`ft_gate$files`""".stripMargin)
     }),
 
     // MANIFEST-ANSWERED MIN/MAX over EVOLVED columns: the per-column
@@ -2646,6 +2733,14 @@ object SourceQueries {
         |FROM t
         |WHERE mo >= DATE '1997-01-01' AND mo < DATE '1998-01-01'
         |GROUP BY value ORDER BY value""".stripMargin,
+    // The streamed one-year slice recomputed from raw orders.
+    "catalog_stream_partitioned" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY value ORDER BY value""".stripMargin,
     // The straddling one-year slice recomputed from raw orders
     // (evolution changes files-opened only, never rows).
     "catalog_partition_evolution" ->
@@ -2655,6 +2750,14 @@ object SourceQueries {
         |WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
         |GROUP BY value ORDER BY value""".stripMargin,
+    // The same live-row arithmetic recomputed from raw orders.
+    "catalog_files_table" ->
+      """SELECT count(*) AS data_rows,
+        |       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0
+        |                END) AS BIGINT) AS tombstones,
+        |       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 1
+        |                END) AS BIGINT) AS live_rows
+        |FROM orders""".stripMargin,
     // The same unfiltered aggregates recomputed from raw orders.
     "catalog_colagg_pushdown" ->
       """SELECT count(*) AS n_orders,

@@ -1259,7 +1259,24 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     */
   private val RefsSuffix = "$refs"
 
+  /** Per-file metadata table: `t$files` — one row per current-snapshot
+    * member with its zone maps and layout token (KvMetaTables.scala).
+    */
+  private val FilesSuffix = "$files"
+
   override def loadTable(ident: Identifier): Table = {
+    if (ident.name().endsWith(FilesSuffix)) {
+      val base = Identifier.of(
+        ident.namespace(), ident.name().stripSuffix(FilesSuffix))
+      val p = tablePath(base)
+      if (!java.nio.file.Files.isDirectory(p))
+        throw new NoSuchTableException(base)
+      require(KvBucketing.readMetaFull(p.toString).snapshots,
+        s"${base.name()}$FilesSuffix needs a snapshotted base table " +
+          "(TBLPROPERTIES ('snapshots'='true')) — the manifest is " +
+          "what the rows come from")
+      return new KvFilesMetaTable(p.toString, s"kvjsonl files($p)")
+    }
     if (ident.name().endsWith(RefsSuffix)) {
       val base = Identifier.of(
         ident.namespace(), ident.name().stripSuffix(RefsSuffix))

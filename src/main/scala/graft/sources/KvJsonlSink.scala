@@ -400,11 +400,11 @@ class KvJsonlTable(
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
                 writeBranch)
-            override def toStreaming: streaming.StreamingWrite =
-              throw new UnsupportedOperationException(
-                "streaming append to a BUCKETED kvjsonl table is not " +
-                  "supported (per-epoch bucket routing would need " +
-                  "epoch-scoped bucket files)")
+            override def toStreaming: streaming.StreamingWrite = {
+              require(writeBranch.isEmpty,
+                "streaming append to a BRANCH is not supported")
+              new KvJsonlStreamingWrite(path, info.queryId())
+            }
           }
         // Date-partitioned catalog write: REQUEST clustering by the
         // partition transform (Spark resolves it through this
@@ -430,11 +430,11 @@ class KvJsonlTable(
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
                 writeBranch)
-            override def toStreaming: streaming.StreamingWrite =
-              throw new UnsupportedOperationException(
-                "streaming append to a DATE-PARTITIONED kvjsonl table " +
-                  "is not supported (per-epoch day routing would need " +
-                  "epoch-scoped partition files)")
+            override def toStreaming: streaming.StreamingWrite = {
+              require(writeBranch.isEmpty,
+                "streaming append to a BRANCH is not supported")
+              new KvJsonlStreamingWrite(path, info.queryId())
+            }
           }
         case _ => new Write {
           // The per-write queryId is baked into batch final names so an
@@ -880,16 +880,25 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     val meta = KvBucketing.readMetaFull(path)
-    require(meta.buckets.isEmpty && meta.partition.isEmpty,
+    // Bucketed / date-partitioned targets stream through the SAME
+    // routed writers the batch path uses, with the epoch-scoped job
+    // tag as their jobId — file names come out epoch-prefixed AND
+    // unit/bucket-suffixed, so replay detection and layout contracts
+    // compose. They need snapshots: the manifest commit is what makes
+    // a replayed epoch a no-op (an unsnapshotted routed layout has no
+    // transactional membership to dedup against).
+    require(meta.buckets.isEmpty && meta.partition.isEmpty ||
+      meta.snapshots,
       "streaming append to a BUCKETED or DATE-PARTITIONED kvjsonl " +
-        s"table is not supported: $path")
+        s"table requires TBLPROPERTIES ('snapshots'='true'): $path")
     require(!snapshots || queryId.nonEmpty,
       s"snapshotted streaming append to $path needs the query id " +
         "for epoch replay detection")
     java.nio.file.Files.createDirectories(KvJsonlSink.tempDir(path))
     // A named top-level factory: the instance ships to executors, so it
     // must not capture this (non-serializable) driver-side write object.
-    KvJsonlStreamingWriterFactory(path, KvSchema.currentCols(path), qTag)
+    KvJsonlStreamingWriterFactory(path, KvSchema.currentCols(path), qTag,
+      meta.buckets, meta.partition)
   }
 
   /** Per-epoch publish. Unsnapshotted: idempotent renames onto
@@ -925,10 +934,13 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
       if (!replayed) {
         // 0-row task files never publish: an epoch's manifest commit
         // carries exactly its data, and an all-empty epoch commits
-        // NOTHING (no snapshot churn from idle triggers).
-        val data = messages.collect {
-          case KvJsonlCommitMessage(f) if f.rows > 0L => f
-        }
+        // NOTHING (no snapshot churn from idle triggers). Routed
+        // writers (bucketed / partitioned) report one file per
+        // bucket/unit SEEN, so they never produce empties.
+        val data = messages.flatMap {
+          case KvJsonlCommitMessage(f) => Seq(f)
+          case KvJsonlBucketedCommitMessage(fs) => fs
+        }.filter(_.rows > 0L)
         if (data.nonEmpty) {
           data.foreach(publish)
           KvSnapshots.commitWith(path) { base =>
@@ -964,21 +976,42 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
           java.nio.file.Files.deleteIfExists(p)
       } finally s.close()
     }
+    // Routed writers (bucketed / partitioned) stage under the
+    // epoch-scoped JOB subdir instead of the base temp dir.
+    KvJsonlSink.cleanupJobTemp(path, f"${qTag}e$epochId%05d")
   }
 }
 
 case class KvJsonlStreamingWriterFactory(
     path: String, cols: Seq[KvSchema.Col] = KvSchema.Legacy,
-    qTag: String = "")
+    qTag: String = "",
+    buckets: Option[Int] = None,
+    partition: Option[(KvBucketing.PartUnit, Int)] = None)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new KvJsonlDataWriter(path,
-      f"attempt-${qTag}e$epochId%05d-$partitionId%05d-$taskId",
-      f"part-${qTag}e$epochId%05d-$partitionId%05d.jsonl",
-      cols = cols)
+      epochId: Long): DataWriter[InternalRow] = {
+    // Routed targets reuse the batch writers verbatim: the
+    // epoch-scoped tag is their jobId, so final names come out
+    // `part-q<qid>-e00001-00003-d9862.jsonl` — epoch-prefixed for
+    // replay detection, unit/bucket-suffixed for the layout
+    // contracts (partition pruning, storage-partitioned joins).
+    val epochJob = f"${qTag}e$epochId%05d"
+    (buckets, partition) match {
+      case (Some(n), _) =>
+        new KvJsonlBucketedDataWriter(
+          path, epochJob, partitionId, taskId, n, cols)
+      case (None, Some((unit, id))) =>
+        new KvJsonlPartitionedDataWriter(
+          path, epochJob, partitionId, taskId, unit, id, cols)
+      case _ =>
+        new KvJsonlDataWriter(path,
+          f"attempt-$epochJob-$partitionId%05d-$taskId",
+          f"part-$epochJob-$partitionId%05d.jsonl",
+          cols = cols)
+    }
+  }
 }
 
 /** One task attempt's writer: a private temp file keyed by the

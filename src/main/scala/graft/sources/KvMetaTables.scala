@@ -187,3 +187,96 @@ class KvRefsMetaScan(path: String) extends Scan with Batch {
       }
     }
 }
+
+/** `<table>$files` — the per-FILE metadata table (Iceberg's `.files`
+  * shape): one row per member of the CURRENT snapshot, straight from
+  * the manifest — name, kind, row/tombstone count, the key zone map,
+  * the layout token the file name carries (bucket or partition unit),
+  * and the per-column stats. Metadata-only like `$snapshots`: this is
+  * the ops surface for "why didn't my query prune" at 100 TB, where
+  * opening files to answer that would itself be the problem.
+  *
+  * {{{ SELECT * FROM graft_kv.default.`t$files` }}}
+  */
+object KvFilesMetaTable {
+  import org.apache.spark.sql.types.StringType
+
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("min_key", LongType, nullable = true),
+    StructField("max_key", LongType, nullable = true),
+    StructField("layout", StringType, nullable = true),
+    StructField("n_col_stats", IntegerType, nullable = false),
+    StructField("col_stats", StringType, nullable = true)))
+
+  def rows(path: String): Seq[Seq[Any]] =
+    KvSnapshots.latest(path).toSeq.flatMap { v =>
+      KvSnapshots.membersWithStats(path, v).map { st =>
+        val isDel = KvSnapshots.isDeleteFile(st.name)
+        // the self-describing layout token, exactly as the file name
+        // carries it: `b0003` (bucket) or `d9862`/`m334`/... (unit)
+        val layout: Any = {
+          val b = KvBucketing.fileBucket(st.name)
+            .map(b => f"b$b%04d")
+          val p = Seq(KvBucketing.PartHours, KvBucketing.PartDays,
+            KvBucketing.PartMonths, KvBucketing.PartYears).flatMap(u =>
+            KvBucketing.filePart(st.name, u).map(t =>
+              s"${u.tag}${t.fold("null")(_.toString)}"))
+            .headOption
+          b.orElse(p).map(org.apache.spark.unsafe.types.UTF8String
+            .fromString).orNull
+        }
+        Seq(
+          org.apache.spark.unsafe.types.UTF8String.fromString(st.name),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            if (isDel) "delete" else "data"),
+          if (st.rows < 0) null else Long.box(st.rows),
+          st.minKey.map(Long.box).orNull,
+          st.maxKey.map(Long.box).orNull,
+          layout,
+          Int.box(st.colStats.size),
+          if (st.colStats.isEmpty) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(
+            KvSnapshots.encodeColStats(st.colStats)))
+      }
+    }
+}
+
+class KvFilesMetaTable(path: String, tableName: String)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = KvFilesMetaTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KvFilesMetaScan(path)
+}
+
+class KvFilesMetaScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = KvFilesMetaTable.Schema
+  override def toBatch: Batch = this
+  override def description(): String = s"kvjsonl files($path)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvLocalRowsPartition(KvFilesMetaTable.rows(path)))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition
+          .asInstanceOf[KvLocalRowsPartition].rows.iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!rows.hasNext) false
+            else { cur = InternalRow.fromSeq(rows.next()); true }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
