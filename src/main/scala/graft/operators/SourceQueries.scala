@@ -1299,6 +1299,77 @@ object SourceQueries {
       out
     }),
 
+    // SORTED WRITES (TBLPROPERTIES 'write.sort'='key'): every INSERT
+    // requests a global key order — range distribution + in-partition
+    // sort — so files land with DISJOINT key ranges and zone maps
+    // prune from the first write, with no system.cluster maintenance
+    // call (Iceberg's write.sort-order as a standing property). The
+    // key-range query must skip files at planning (require()d), rows
+    // pinned against DuckDB. AQE partition coalescing is pinned off
+    // for the INSERT so the layout exists at gate scale too.
+    "catalog_sorted_write" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.so_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'write.sort'='key')")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      try s.sql(s"INSERT INTO $t SELECT o_orderkey, " +
+        s"o_orderpriority FROM parquet.`$d/orders.parquet`")
+      finally s.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.enabled")
+      val before = graft.sources.KvZoneMap.prunedFiles.get()
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t WHERE key < 10000
+           |GROUP BY value ORDER BY value""".stripMargin)
+      require(out.count() > 0, "catalog_sorted_write: empty result")
+      require(graft.sources.KvZoneMap.prunedFiles.get() > before,
+        "catalog_sorted_write: the key range skipped no files — the " +
+          "sorted write did not land disjoint ranges")
+      out
+    }),
+
+    // GROUP-SELECTIVE copy-on-write DML: the rewrite scan prunes
+    // files the pushed DELETE condition provably cannot touch (per-
+    // column zone maps over the banded `price` layout), and the
+    // commit replaces EXACTLY the scanned files — the low bands
+    // survive BY NAME (require()d against the manifest), so a
+    // retention DELETE on a 100 TB table rewrites one band, not the
+    // table. Rows pin against DuckDB applying the same DELETE to raw
+    // orders.
+    "catalog_dml_selective" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.ds_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "price DOUBLE) TBLPROPERTIES ('snapshots'='true')")
+      for ((lo, hi) <- Seq((0, 100000), (100000, 200000),
+          (200000, 10000000)))
+        s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+          s"o_totalprice FROM parquet.`$d/orders.parquet` " +
+          s"WHERE o_totalprice >= $lo AND o_totalprice < $hi")
+      val dirPath =
+        s"${graft.Fs.sinkDir("graft_kv_wh")}/default/ds_gate"
+      def names: Set[String] =
+        graft.sources.KvSnapshots.dataFiles(
+          graft.sources.KvSnapshots.membersWithStats(dirPath,
+            graft.sources.KvSnapshots.latest(dirPath).get))
+          .map(_.name).toSet
+      val before = names
+      s.sql(s"DELETE FROM $t WHERE price >= 200000.0D")
+      val survivors = before intersect names
+      require(survivors.nonEmpty,
+        "catalog_dml_selective: the low-band files were rewritten — " +
+          "the DELETE was not group-selective")
+      s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
     // $files METADATA TABLE (Iceberg's `.files` shape): one row per
     // current-snapshot member straight from the manifest — kind,
     // row/tombstone counts, key zone map, layout token, per-column
@@ -2749,6 +2820,18 @@ object SourceQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |GROUP BY value ORDER BY value""".stripMargin,
+    // The key-range slice recomputed from raw orders.
+    "catalog_sorted_write" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey < 10000
+        |GROUP BY value ORDER BY value""".stripMargin,
+    // The post-DELETE table recomputed from raw orders.
+    "catalog_dml_selective" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_totalprice < 200000.0
         |GROUP BY value ORDER BY value""".stripMargin,
     // The same live-row arithmetic recomputed from raw orders.
     "catalog_files_table" ->

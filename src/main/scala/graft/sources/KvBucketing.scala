@@ -63,13 +63,21 @@ object KvBucketing {
     * re-enable) sound by construction; the deployment-scale
     * alternative is Iceberg's per-file spec ids.
     */
+  /** `sorted`: every batch write to this table requests a GLOBAL
+    * key order (range distribution + in-partition sort), so files
+    * land with disjoint key ranges and the manifest zone maps prune
+    * from the first INSERT — `system.cluster`'s layout as a standing
+    * write-path property instead of a maintenance call (Iceberg's
+    * `write.sort-order`).
+    */
   case class KvMeta(
       buckets: Option[Int], snapshots: Boolean, mor: Boolean = false,
       partition: Option[(PartUnit, Int)] = None,
-      partitionLineage: Option[Int] = None) {
+      partitionLineage: Option[Int] = None,
+      sorted: Boolean = false) {
     def isEmpty: Boolean =
       buckets.isEmpty && !snapshots && !mor && partition.isEmpty &&
-        partitionLineage.isEmpty
+        partitionLineage.isEmpty && !sorted
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -91,7 +99,8 @@ object KvBucketing {
         // (disable keeps it; the common enabled case stays compact)
         meta.partitionLineage
           .filterNot(id => meta.partition.exists(_._2 == id))
-          .map(id => s""""plineage":$id""").toSeq
+          .map(id => s""""plineage":$id""").toSeq ++
+        (if (meta.sorted) Seq(""""sort":"key"""") else Seq.empty)
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -116,6 +125,7 @@ object KvBucketing {
   private val PyearsField = """"pyears":(\d+)""".r
   private val PhoursField = """"phours":(\d+)""".r
   private val PlineageField = """"plineage":(\d+)""".r
+  private val SortField = """"sort":"key"""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -145,6 +155,7 @@ object KvBucketing {
           m.copy(partition = Some((PartHours, id.toInt)))
         case (m, PlineageField(id)) =>
           m.copy(partitionLineage = Some(id.toInt))
+        case (m, SortField()) => m.copy(sorted = true)
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }

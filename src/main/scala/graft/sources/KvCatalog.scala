@@ -34,7 +34,9 @@ class KvScanBuilder(
     colsOverride: Option[Seq[KvSchema.Col]] = None,
     maxBytesPerTrigger: Option[Long] = None,
     branch: Option[String] = None,
-    partitionSpec: Option[(KvBucketing.PartUnit, Int)] = None)
+    partitionSpec: Option[(KvBucketing.PartUnit, Int)] = None,
+    scannedSink: Option[
+      java.util.concurrent.atomic.AtomicReference[Set[String]]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -72,18 +74,20 @@ class KvScanBuilder(
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
-    // A ROW-LEVEL-OPERATION scan accepts NO pushdown: Catalyst pushes
-    // the DML's MATCHING condition here (to let stats-capable formats
-    // narrow the affected file groups), and this format's only
-    // pushdown mechanism is row-accurate reader skipping — which
-    // would drop the SURVIVORS the rewrite must carry forward.
-    // Discovered by `DELETE WHERE key = 2` (a pushable equality; the
-    // gate DMLs use `%`, which isn't pushable, so they never tripped
-    // it) leaving an empty table. Group-selective pushdown needs
-    // per-file stats; without them, scan everything.
+    // A ROW-LEVEL-OPERATION scan accepts the DML's MATCHING condition
+    // (Catalyst pushes it exactly so stats-capable formats can narrow
+    // the affected file groups) for FILE-LEVEL pruning ONLY: a file
+    // the zone maps / partition tokens prove condition-free holds
+    // pure survivors, is excluded from the rewrite, and SURVIVES the
+    // group-selective commit untouched (KvJsonlBatchWrite replaces
+    // exactly the files this scan planned). Reader-side ROW skipping
+    // stays disabled (KvScan gates it on forRowLevelOp) — it would
+    // drop the survivors the rewrite must carry forward out of an
+    // opened file. Discovered by `DELETE WHERE key = 2` leaving an
+    // empty table back when the whole-table truncate commit paired
+    // with row-accurate skipping.
     pushed =
-      if (forRowLevelOp) Array.empty
-      else filters.filter(f =>
+      filters.filter(f =>
         KvKeyPredicate.supports(f) || KvExtraPredicate.supports(f, cols) ||
           KvZoneMap.supportsCol(f, cols))
     filters
@@ -200,7 +204,7 @@ class KvScanBuilder(
     case Some(aggs) => new KvAggScan(path, pinnedVersion, aggs, branch)
     case None => new KvScan(path, required, pushed, buckets, snapshots,
       pinnedVersion, forRowLevelOp, cols, maxBytesPerTrigger, branch,
-      partitionSpec)
+      partitionSpec, scannedSink)
   }
 }
 
@@ -558,7 +562,9 @@ class KvScan(
     cols: Seq[KvSchema.Col] = KvSchema.Legacy,
     maxBytesPerTrigger: Option[Long] = None,
     branch: Option[String] = None,
-    partitionSpec: Option[(KvBucketing.PartUnit, Int)] = None)
+    partitionSpec: Option[(KvBucketing.PartUnit, Int)] = None,
+    scannedSink: Option[
+      java.util.concurrent.atomic.AtomicReference[Set[String]]] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
@@ -743,7 +749,16 @@ class KvScan(
       }
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // A row-level-operation scan REPORTS its planned file set: the
+    // group-selective commit (KvJsonlBatchWrite.replaceOnly) replaces
+    // exactly these files and keeps every pruned file untouched —
+    // the scan/commit handshake that turns file pruning on the DML
+    // condition from a correctness hazard into the optimization.
+    scannedSink.foreach(_.set(
+      listFiles(countPrunes = false).map { case (f, _) =>
+        java.nio.file.Paths.get(f).getFileName.toString
+      }.toSet))
     buckets match {
       case None =>
         // Unbucketed: one partition per committed file (no per-file
@@ -773,6 +788,7 @@ class KvScan(
             : InputPartition
         }.toArray
     }
+  }
 
   /** Planner statistics: byte size from the live file list (what
     * every file source reports — it drives the hint-free broadcast
@@ -809,7 +825,11 @@ class KvScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required.fieldNames, pushed, runtimeKeys, cols)
+    // A row-level-operation reader gets NO filters: every pushed
+    // predicate served file-level pruning only, and a row skip in an
+    // OPENED file would drop survivors the rewrite must carry.
+    new KvReaderFactory(required.fieldNames,
+      if (forRowLevelOp) Array.empty else pushed, runtimeKeys, cols)
 
   /** Streaming read = the table's CHANGE FEED (KvChangeFeed.scala),
     * offsets = snapshot manifest versions — hence snapshotted tables
@@ -1098,19 +1118,33 @@ object KvPartitionReader {
   */
 class KvRowLevelOperation(
     path: String, cmd: RowLevelOperation.Command,
-    buckets: Option[Int] = None, snapshots: Boolean = false)
+    buckets: Option[Int] = None, snapshots: Boolean = false,
+    sorted: Boolean = false)
     extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** The scan → commit handshake that makes the rewrite
+    * GROUP-SELECTIVE: the rewrite scan records the files it planned
+    * (after pruning by the pushed DML condition against zone maps /
+    * partition tokens), and the write's commit replaces EXACTLY that
+    * set — pruned files hold pure survivors and stay untouched. At
+    * 100 TB this is the difference between `DELETE WHERE ts <
+    * retention` rewriting one month's files and rewriting the table.
+    * One operation instance serves one DML, so this driver-side cell
+    * is single-writer by construction.
+    */
+  private val scanned =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    // forRowLevelOp: the rewrite's scan must carry every survivor —
-    // both the runtime group filter (KvScan.filterAttributes) and
-    // static condition pushdown (KvScanBuilder.pushFilters) would
-    // row-skip them out of a whole-table-replacement commit.
+    // forRowLevelOp: the rewrite's scan carries every survivor OF THE
+    // FILES IT OPENS — pushed DML conditions prune whole files only
+    // (KvScanBuilder.pushFilters), reader row-skip and the runtime
+    // key filter stay disabled (KvScan gates both).
     new KvScanBuilder(path, buckets, snapshots,
-      forRowLevelOp = true)
+      forRowLevelOp = true, scannedSink = Some(scanned))
 
   /** `_file` rides along so Catalyst plans the metadata-aware
     * replace-write (ProjectingInternalRow strips the rewrite's
@@ -1157,16 +1191,52 @@ class KvRowLevelOperation(
             override def toBatch
                 : org.apache.spark.sql.connector.write.BatchWrite =
               new KvJsonlBatchWrite(
-                path, truncateFirst = true, info.queryId())
+                path, truncateFirst = true, info.queryId(),
+                replaceOnly = Some(replacedFiles _))
+          }
+        // A sorted table's rewrite re-requests the global key order,
+        // so replacement bands stay zone-map-prunable.
+        case None if sorted =>
+          new Write with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+            private val keyAsc =
+              org.apache.spark.sql.connector.expressions.Expressions
+                .sort(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .column("key"),
+                  org.apache.spark.sql.connector.expressions
+                    .SortDirection.ASCENDING)
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .ordered(Array(keyAsc))
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array(keyAsc)
+            override def toBatch
+                : org.apache.spark.sql.connector.write.BatchWrite =
+              new KvJsonlBatchWrite(
+                path, truncateFirst = true, info.queryId(),
+                replaceOnly = Some(replacedFiles _))
           }
         case None => new Write {
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new KvJsonlBatchWrite(
-              path, truncateFirst = true, info.queryId())
+              path, truncateFirst = true, info.queryId(),
+              replaceOnly = Some(replacedFiles _))
         }
       }
     }
+  }
+
+  private def replacedFiles(): Set[String] = {
+    val s = scanned.get()
+    if (s == null)
+      throw new IllegalStateException(
+        s"row-level rewrite of $path committed before its scan " +
+          "planned — the group-selective commit has no replaced set")
+    s
   }
 }
 
@@ -1503,11 +1573,26 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
             s" column; $cn is ${c.dtype.simpleString}")
         (unit, c.id)
       }
+    // Standing write-path sort order: TBLPROPERTIES
+    // ('write.sort'='key'). Strict parse; plain tables only — a
+    // bucketed table's layout is hash placement, a partitioned one's
+    // is unit routing (per-unit ordering would compose, but isn't
+    // worth the write-path complexity until asked for).
+    val sorted = Option(properties.get("write.sort")) match {
+      case None => false
+      case Some("key") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"table property write.sort supports only 'key'; got '$other'")
+    }
+    require(!sorted || (buckets.isEmpty && partition.isEmpty),
+      "TBLPROPERTIES ('write.sort'='key') needs a plain table — " +
+        "bucketed and date-partitioned layouts own their placement")
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
-    val meta = KvBucketing.KvMeta(buckets, snapshots, mor, partition)
+    val meta = KvBucketing.KvMeta(buckets, snapshots, mor, partition,
+      sorted = sorted)
     if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
     if (cols != KvSchema.Legacy)
       KvSchema.write(p.toString,

@@ -337,7 +337,7 @@ class KvJsonlTable(
       () => new KvMorRowLevelOperation(path, info.command(), buckets)
     else
       () => new KvRowLevelOperation(path, info.command(),
-        buckets, meta.snapshots)
+        buckets, meta.snapshots, meta.sorted)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -427,6 +427,37 @@ class KvJsonlTable(
             override def requiredOrdering()
                 : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
               Array.empty
+            override def toBatch: BatchWrite =
+              new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
+                writeBranch)
+            override def toStreaming: streaming.StreamingWrite = {
+              require(writeBranch.isEmpty,
+                "streaming append to a BRANCH is not supported")
+              new KvJsonlStreamingWrite(path, info.queryId())
+            }
+          }
+        // SORTED table (TBLPROPERTIES 'write.sort'='key'): every batch
+        // write requests a GLOBAL key order — range distribution +
+        // in-partition sort — so each task emits one file with a key
+        // range disjoint from every sibling's and the manifest zone
+        // maps prune from the FIRST INSERT, no system.cluster call
+        // needed (Iceberg's write.sort-order as a standing property).
+        case _ if meta.sorted =>
+          new Write with RequiresDistributionAndOrdering {
+            private val keyAsc =
+              org.apache.spark.sql.connector.expressions.Expressions
+                .sort(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .column("key"),
+                  org.apache.spark.sql.connector.expressions
+                    .SortDirection.ASCENDING)
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .ordered(Array(keyAsc))
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array(keyAsc)
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
                 writeBranch)
@@ -561,7 +592,8 @@ case class KvJsonlBucketedCommitMessage(files: Seq[KvWrittenFile])
 
 class KvJsonlBatchWrite(
     path: String, truncateFirst: Boolean, jobId: String,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    replaceOnly: Option[() => Set[String]] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -600,26 +632,67 @@ class KvJsonlBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val snapshots = KvBucketing.readMetaFull(path).snapshots
-    val published = messages.flatMap {
-      case KvJsonlCommitMessage(file) => Seq(file)
-      case KvJsonlBucketedCommitMessage(files) => files
+    // GROUP-SELECTIVE row-level commit: replace exactly the files the
+    // rewrite SCAN planned (every pruned file held pure survivors and
+    // stays). Resolved lazily — the scan plans before any write task
+    // runs, the thunk reads its report at commit time. Selective
+    // rewrites never publish 0-row replacement files (a scanned file
+    // whose every row was deleted is simply DROPPED from membership;
+    // an eager writer's empty temp is not data) — without this, an
+    // all-pruned DML would still commit one empty file as a new
+    // version.
+    val replaced: Option[Set[String]] = replaceOnly.map(_.apply())
+    val published = {
+      val all = messages.flatMap {
+        case KvJsonlCommitMessage(file) => Seq(file)
+        case KvJsonlBucketedCommitMessage(files) => files
+      }
+      if (replaced.isDefined) all.filter(_.rows > 0L) else all
     }
     publishFiles(dir, published)
-    if (truncateFirst && !snapshots)
-      sweepStale(dir, published.map(_.finalName).toSet)
+    if (replaced.exists(_.isEmpty) && published.isEmpty) {
+      // the DML condition pruned EVERY file — a provable no-op;
+      // don't churn a new identical snapshot version
+      KvJsonlSink.cleanupJobTemp(path, jobId)
+      java.nio.file.Files.write(
+        dir.resolve("_SUCCESS"), Array.emptyByteArray)
+      return
+    }
+    if (!snapshots) {
+      if (replaced.isDefined)
+        replaced.get.foreach(n =>
+          java.nio.file.Files.deleteIfExists(dir.resolve(n)))
+      else if (truncateFirst)
+        sweepStale(dir, published.map(_.finalName).toSet)
+    }
     if (snapshots) {
       // OCC append commit: the previous membership is computed INSIDE
       // the conditional-put retry, so a loser rebases onto the
       // winner's version instead of dropping its files (a truncate
       // re-proposes just its own files at the next version — two
       // overlapping INSERT OVERWRITEs serialize last-writer-wins,
-      // the SQL semantics).
+      // the SQL semantics). A group-selective DML rebases too, but
+      // FAILS LOUD if a concurrent commit replaced one of its scanned
+      // files — committing anyway would resurrect rows the other
+      // writer removed or lose its rewrite.
       def nextMembership(prev: Seq[KvSnapshots.KvFileStat])
-          : Seq[KvSnapshots.KvFileStat] =
-        (if (truncateFirst) Seq.empty else prev) ++ published.map(f =>
+          : Seq[KvSnapshots.KvFileStat] = {
+        val kept = replaced match {
+          case Some(scanned) =>
+            val names = prev.map(_.name).toSet
+            val gone = scanned -- names
+            if (gone.nonEmpty)
+              throw new KvSnapshots.CommitConflictException(
+                s"group-selective rewrite of $path scanned files a " +
+                  s"concurrent commit replaced: ${gone.mkString(", ")}")
+            prev.filterNot(st => scanned(st.name))
+          case None => if (truncateFirst) Seq.empty else prev
+        }
+        kept ++ published.map(f =>
           KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey, f.maxKey,
             colStats = f.colStats,
             keysKnown = true))
+      }
       branch match {
         // Branch-targeted write (write-audit-publish): the commit
         // lands on the BRANCH's lineage; main's manifests — and every

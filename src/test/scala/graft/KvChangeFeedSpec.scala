@@ -86,10 +86,14 @@ class KvChangeFeedSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
-  test("file-add contract: a COW DELETE re-adds its survivors") {
+  test("file-add contract: a COW DELETE re-adds the survivors OF THE " +
+      "FILES IT REWROTE — group-selective, pruned files re-add nothing") {
     val t = snapTable("cf_cow")
     spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
-    spark.sql(s"DELETE FROM $t WHERE key = 2")
+    // UNPUSHABLE condition ⇒ every file scanned and replaced: the
+    // append feed sees the survivors {1,3} re-added (the documented
+    // file-add view of a full COW rewrite)
+    spark.sql(s"DELETE FROM $t WHERE key % 2 = 0")
     val sink = "cf_cow_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.table(t)
@@ -100,10 +104,31 @@ class KvChangeFeedSpec extends SparkTestBase {
     q.awaitTermination()
     val keys = graft.streaming.MemorySinks.drain(spark, sink)
       .collect().map(_.getLong(0)).toSeq.sorted
-    // commit 1 adds {1,2,3}; the DELETE's rewrite re-adds survivors
-    // {1,3} — the documented append-feed view of a COW commit.
     assert(keys === Seq(1L, 1L, 2L, 3L, 3L))
     spark.sql(s"DROP TABLE $t")
+
+    // PUSHABLE condition ⇒ group-selective: files the zone maps
+    // prove survivor-only are pruned from the rewrite and the feed
+    // sees NO re-adds for them
+    val t2 = snapTable("cf_cow_sel")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"DELETE FROM $t2 WHERE key = 2")
+    val sink2 = "cf_cow_sel_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q2 = spark.readStream.table(t2)
+      .writeStream.format("memory").queryName(sink2)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val keys2 = graft.streaming.MemorySinks.drain(spark, sink2)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // the initial adds, plus re-adds ONLY for survivors that shared
+    // a rewritten file with key 2 (none, when the VALUES insert
+    // split rows across files)
+    assert(keys2.take(3) === Seq(1L, 2L, 3L) &&
+      !keys2.drop(3).contains(2L), keys2.toString)
+    spark.sql(s"DROP TABLE $t2")
   }
 
   test("fresh stream after expiration starts at the oldest retained snapshot") {

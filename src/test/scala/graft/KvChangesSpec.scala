@@ -53,20 +53,55 @@ class KvChangesSpec extends SparkTestBase {
     assert(got === expect)
   }
 
-  test("copy-on-write overwrite restates as delete+insert") {
+  test("copy-on-write DML restates at FILE granularity — which, " +
+      "group-selective, means pruned files add NO churn") {
     val t = fresh("cdc_cow", mor = false)
     spark.sql(s"INSERT INTO $t SELECT id, concat('a', id) " +
       "FROM range(0, 6)") // v1
-    spark.sql(s"DELETE FROM $t WHERE key >= 4") // v2: CoW rewrite
+    spark.sql(s"DELETE FROM $t WHERE key >= 4") // v2: selective CoW
     val got = changes("cdc_cow").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getInt(3))).toSeq
-    // v2 removed the original file (6 delete rows) and re-added the
-    // 4 survivors — the documented file-granular restatement.
+    // The pushable condition pruned every file holding only keys < 4
+    // out of the rewrite, so v2's file-granular diff is exactly the
+    // semantic change — deletes of the matched rows, plus re-inserts
+    // ONLY for survivors that shared a file with a matched row.
+    val inserts = (0L until 6L).map(k => (k, s"a$k", "insert", 1))
+    assert(got.take(6) === inserts)
+    val v2 = got.drop(6)
+    val (dels, ins) = v2.partition(_._3 == "delete")
+    // every matched row is deleted exactly once...
+    assert(dels.filter(d => d._1 >= 4L).map(_._1).sorted ===
+      Seq(4L, 5L))
+    // ...and the net effect of v2 (inserts − deletes, per key) is
+    // "keys >= 4 gone, keys < 4 present" — restated survivors cancel
+    val net = (0L until 6L).map { k =>
+      k -> (ins.count(_._1 == k) - dels.count(_._1 == k) +
+        (if (k < 6) 1 else 0)) // +1 for the v1 insert
+    }.toMap
+    assert((0L until 4L).forall(net(_) == 1), s"v2=$v2")
+    assert((4L until 6L).forall(net(_) == 0), s"v2=$v2")
+    // selectivity observable in the feed: no delete of key 0 at v2
+    // (its file was pruned from the rewrite)
+    assert(!dels.exists(_._1 == 0L), s"v2=$v2")
+  }
+
+  test("copy-on-write DML with an UNPUSHABLE condition restates the " +
+      "scanned files as delete+insert (the documented fallback)") {
+    val t = fresh("cdc_cow_full", mor = false)
+    spark.sql(s"INSERT INTO $t SELECT id, concat('a', id) " +
+      "FROM range(0, 6)") // v1
+    spark.sql(s"DELETE FROM $t WHERE key % 5 = 4") // v2: full rewrite
+    val got = changes("cdc_cow_full").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSeq
+    // unpushable ⇒ every file scanned and replaced: 6 deletes, 5
+    // survivor re-inserts at v2
     val expect =
       (0L until 6L).map(k => (k, s"a$k", "insert", 1)) ++
         (0L until 6L).map(k => (k, s"a$k", "delete", 2)) ++
-        (0L until 4L).map(k => (k, s"a$k", "insert", 2))
+        (0L until 6L).filter(_ % 5 != 4).map(k =>
+          (k, s"a$k", "insert", 2))
     assert(got === expect)
   }
 
