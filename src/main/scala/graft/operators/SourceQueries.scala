@@ -1410,6 +1410,112 @@ object SourceQueries {
           |FROM graft_kv.default.`ft_gate$files`""".stripMargin)
     }),
 
+    // $partitions METADATA TABLE (Iceberg's `.partitions` shape): the
+    // manifest aggregated by layout token — per-partition file/row
+    // composition plus the partition-level key zone map, the
+    // capacity-planning surface ("which month is hot") answered
+    // without opening a data file. The gate builds a months()-
+    // partitioned table and pins the ENTIRE per-partition row count
+    // AND min/max key against DuckDB recomputing the same month
+    // tokens from raw orders — a single misattributed file breaks the
+    // hash. A MoR twin then DELETEs a stripe and require()s the
+    // partition-agnostic tombstone files land on the NULL row with
+    // the exact tombstone count (the documented honesty rule).
+    "catalog_partitions_table" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.pt_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "ts TIMESTAMP) PARTITIONED BY (months(ts)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+        "CAST(o_orderdate AS TIMESTAMP) " +
+        s"FROM parquet.`$d/orders.parquet`")
+      val parts = s.sql("SELECT * FROM " +
+        "graft_kv.default.`pt_gate$partitions`")
+      require(parts.where("partition IS NULL").count() == 0,
+        "catalog_partitions_table: a member lost its layout token")
+      require(parts.where("n_data_files < 1").count() == 0,
+        "catalog_partitions_table: a partition lost its files")
+      // MoR twin: tombstone files are partition-agnostic → NULL row,
+      // exact count, and the data partitions keep tombstones = 0
+      val tm = "graft_kv.default.pt_gate_mor"
+      s.sql(s"DROP TABLE IF EXISTS $tm")
+      s.sql(s"CREATE TABLE $tm (key BIGINT, value STRING, " +
+        "ts TIMESTAMP) PARTITIONED BY (months(ts)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $tm SELECT o_orderkey, o_orderpriority, " +
+        "CAST(o_orderdate AS TIMESTAMP) " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey < 2000")
+      s.sql(s"DELETE FROM $tm WHERE key % 7 = 0")
+      val morNull = s.sql("SELECT tombstones, n_data_files FROM " +
+        "graft_kv.default.`pt_gate_mor$partitions` " +
+        "WHERE partition IS NULL").collect()
+      val expectedDels = s.sql(
+        s"""SELECT count(*) FROM parquet.`$d/orders.parquet`
+           |WHERE o_orderkey < 2000 AND o_orderkey % 7 = 0"""
+          .stripMargin).collect()(0).getLong(0)
+      require(morNull.length == 1 && morNull(0).getLong(0) ==
+        expectedDels && morNull(0).getLong(1) == 0,
+        s"catalog_partitions_table: tombstones misattributed — " +
+          s"expected $expectedDels on the NULL row, got " +
+          morNull.mkString(", "))
+      require(s.sql("SELECT count(*) FROM " +
+        "graft_kv.default.`pt_gate_mor$partitions` " +
+        "WHERE partition IS NOT NULL AND tombstones != 0")
+        .collect()(0).getLong(0) == 0,
+        "catalog_partitions_table: a data partition claimed tombstones")
+      s.sql(
+        """SELECT partition,
+          |       CAST(data_rows AS BIGINT) AS data_rows,
+          |       min_key, max_key
+          |FROM graft_kv.default.`pt_gate$partitions`
+          |ORDER BY partition""".stripMargin)
+    }),
+
+    // PER-FILE BLOOM FILTERS (parquet column blooms / Iceberg puffin,
+    // recovered for the line format — KvBloom.scala): point-lookup
+    // FILE skipping on a high-cardinality string column whose values
+    // are hash-scattered across files, the exact case zone maps can
+    // never prune (every file's min/max spans the domain). The gate
+    // loads orders into a bloom_cols table in 4 hash-disjoint chunks
+    // (each file holds 1/4 of the value domain), runs an IN point
+    // lookup, require()s that bloom sidecars pruned at least half the
+    // files, and pins the surviving rows against DuckDB over raw
+    // orders — an over-eager bloom (false negative) drops a group and
+    // breaks the hash.
+    "catalog_bloom_prune" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.bp_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'bloom_cols'='value')")
+      for (g <- 0 until 4)
+        s.sql(s"INSERT INTO $t SELECT o_orderkey, " +
+          "concat('c', o_custkey) " +
+          s"FROM parquet.`$d/orders.parquet` " +
+          s"WHERE pmod(hash(o_custkey), 4) = $g")
+      val dirPath =
+        s"${graft.Fs.sinkDir("graft_kv_wh")}/default/bp_gate"
+      val total = graft.sources.KvSnapshots.dataFiles(
+        graft.sources.KvSnapshots.membersWithStats(dirPath,
+          graft.sources.KvSnapshots.latest(dirPath).get)).size
+      val before = graft.sources.KvBloomPrune.prunedFiles.get()
+      val out = s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t WHERE value IN ('c7', 'c19', 'c31')
+           |GROUP BY value ORDER BY value""".stripMargin)
+      require(out.count() == 3, "catalog_bloom_prune: expected the 3 " +
+        "probed customers to have orders")
+      val pruned =
+        graft.sources.KvBloomPrune.prunedFiles.get() - before
+      require(pruned >= total / 2,
+        s"catalog_bloom_prune: only $pruned of $total files " +
+          "bloom-skipped — the point lookup did not prune")
+      out
+    }),
+
     // MANIFEST-ANSWERED MIN/MAX over EVOLVED columns: the per-column
     // zone maps double as an aggregate index — an unfiltered
     // MIN/MAX/COUNT over any fixed-domain column (here a double and
@@ -2841,6 +2947,22 @@ object SourceQueries {
         |       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 1
         |                END) AS BIGINT) AS live_rows
         |FROM orders""".stripMargin,
+    // The same per-month arithmetic recomputed from raw orders; the
+    // token is the months-since-1970 unit value the file names carry.
+    "catalog_partitions_table" ->
+      """SELECT 'm' || CAST((year(o_orderdate) - 1970) * 12
+        |         + month(o_orderdate) - 1 AS VARCHAR) AS partition,
+        |       count(*) AS data_rows,
+        |       min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY partition""".stripMargin,
+    // The same point lookup recomputed from raw orders.
+    "catalog_bloom_prune" ->
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_custkey IN (7, 19, 31)
+        |GROUP BY 1 ORDER BY value""".stripMargin,
     // The same unfiltered aggregates recomputed from raw orders.
     "catalog_colagg_pushdown" ->
       """SELECT count(*) AS n_orders,

@@ -70,14 +70,20 @@ object KvBucketing {
     * write-path property instead of a maintenance call (Iceberg's
     * `write.sort-order`).
     */
+  /** `blooms`: the FIELD IDS (rename-proof) of columns every write
+    * tracks a per-file bloom filter sidecar for (KvBloom.scala) —
+    * `TBLPROPERTIES ('bloom_cols'='value,user')`. STRING or BIGINT
+    * columns only (the point-lookup types zone maps can't skip on).
+    */
   case class KvMeta(
       buckets: Option[Int], snapshots: Boolean, mor: Boolean = false,
       partition: Option[(PartUnit, Int)] = None,
       partitionLineage: Option[Int] = None,
-      sorted: Boolean = false) {
+      sorted: Boolean = false,
+      blooms: Seq[Int] = Nil) {
     def isEmpty: Boolean =
       buckets.isEmpty && !snapshots && !mor && partition.isEmpty &&
-        partitionLineage.isEmpty && !sorted
+        partitionLineage.isEmpty && !sorted && blooms.isEmpty
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -100,7 +106,12 @@ object KvBucketing {
         meta.partitionLineage
           .filterNot(id => meta.partition.exists(_._2 == id))
           .map(id => s""""plineage":$id""").toSeq ++
-        (if (meta.sorted) Seq(""""sort":"key"""") else Seq.empty)
+        (if (meta.sorted) Seq(""""sort":"key"""") else Seq.empty) ++
+        // semicolon-joined so the strict comma-split parser below
+        // reads the list as ONE field
+        (if (meta.blooms.nonEmpty)
+          Seq(s""""blooms":"${meta.blooms.sorted.mkString(";")}"""")
+        else Seq.empty)
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -126,6 +137,7 @@ object KvBucketing {
   private val PhoursField = """"phours":(\d+)""".r
   private val PlineageField = """"plineage":(\d+)""".r
   private val SortField = """"sort":"key"""".r
+  private val BloomsField = """"blooms":"(\d+(?:;\d+)*)"""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -156,6 +168,8 @@ object KvBucketing {
         case (m, PlineageField(id)) =>
           m.copy(partitionLineage = Some(id.toInt))
         case (m, SortField()) => m.copy(sorted = true)
+        case (m, BloomsField(ids)) =>
+          m.copy(blooms = ids.split(';').map(_.toInt).toSeq)
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }

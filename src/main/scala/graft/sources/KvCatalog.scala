@@ -89,9 +89,19 @@ class KvScanBuilder(
     pushed =
       filters.filter(f =>
         KvKeyPredicate.supports(f) || KvExtraPredicate.supports(f, cols) ||
-          KvZoneMap.supportsCol(f, cols))
+          KvZoneMap.supportsCol(f, cols) ||
+          // equality on a bloom column: accepted for FILE-level
+          // sidecar pruning only (KvBloomPrune; Spark re-evaluates
+          // the filter on every surviving row)
+          KvBloomPrune.compile(Array(f), bloomIds, cols).nonEmpty)
     filters
   }
+
+  /** The table's bloom-filter column ids (meta `blooms`) — what makes
+    * an equality predicate pushable for sidecar file skipping.
+    */
+  private lazy val bloomIds: Seq[Int] =
+    KvBucketing.readMetaFull(path).blooms
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
 
@@ -677,6 +687,15 @@ class KvScan(
       r <- KvPartitionPrune.compile(pushed, pcol, unit)
     } yield (unit, r))
 
+  /** Compiled bloom point-lookup conjuncts (field id → candidate
+    * hashes) from the pushed equality predicates — empty unless the
+    * table declares bloom columns AND the query filters on one, so
+    * non-point-lookup scans never touch a sidecar.
+    */
+  private lazy val bloomConjuncts: Seq[(Int, Array[Long])] =
+    KvBloomPrune.compile(pushed,
+      KvBucketing.readMetaFull(path).blooms, cols)
+
   /** Partition file skip: a file whose name-token value falls outside
     * the pushed interval (or the null partition, which no comparison
     * admits) never opens. Token-less files never skip, and a file's
@@ -725,6 +744,16 @@ class KvScan(
               if (!keep) KvZoneMap.prunedFiles.incrementAndGet()
               keep
             }
+            // Bloom sidecar skip (KvBloom.scala) — point lookups on
+            // bloom columns; runs AFTER the free manifest checks so
+            // only zone-map survivors pay the sidecar read
+            .filter { st =>
+              val keep = KvBloomPrune.mayMatch(
+                path, st.name, bloomConjuncts)
+              if (!keep && countPrunes)
+                KvBloomPrune.prunedFiles.incrementAndGet()
+              keep
+            }
             .sortBy(_.name)
             .map(st => (
               java.nio.file.Paths.get(path, st.name).toString,
@@ -742,6 +771,14 @@ class KvScan(
           .filter(f => dayAdmits(
             java.nio.file.Paths.get(f).getFileName.toString,
             countPrunes))
+          .filter { f =>
+            val keep = KvBloomPrune.mayMatch(path,
+              java.nio.file.Paths.get(f).getFileName.toString,
+              bloomConjuncts)
+            if (!keep && countPrunes)
+              KvBloomPrune.prunedFiles.incrementAndGet()
+            keep
+          }
           .toArray
           .sorted // deterministic partition order across runs
           .map((_, Array.empty[Long]))
@@ -1334,7 +1371,26 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     */
   private val FilesSuffix = "$files"
 
+  /** Per-partition metadata table: `t$partitions` — one row per layout
+    * token (bucket / temporal unit) of the current snapshot, the
+    * manifest aggregated by partition (KvMetaTables.scala).
+    */
+  private val PartitionsSuffix = "$partitions"
+
   override def loadTable(ident: Identifier): Table = {
+    if (ident.name().endsWith(PartitionsSuffix)) {
+      val base = Identifier.of(
+        ident.namespace(), ident.name().stripSuffix(PartitionsSuffix))
+      val p = tablePath(base)
+      if (!java.nio.file.Files.isDirectory(p))
+        throw new NoSuchTableException(base)
+      require(KvBucketing.readMetaFull(p.toString).snapshots,
+        s"${base.name()}$PartitionsSuffix needs a snapshotted base " +
+          "table (TBLPROPERTIES ('snapshots'='true')) — the manifest " +
+          "is what the rows come from")
+      return new KvPartitionsMetaTable(
+        p.toString, s"kvjsonl partitions($p)")
+    }
     if (ident.name().endsWith(FilesSuffix)) {
       val base = Identifier.of(
         ident.namespace(), ident.name().stripSuffix(FilesSuffix))
@@ -1587,12 +1643,33 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     require(!sorted || (buckets.isEmpty && partition.isEmpty),
       "TBLPROPERTIES ('write.sort'='key') needs a plain table — " +
         "bucketed and date-partitioned layouts own their placement")
+    // Per-file bloom filter columns: TBLPROPERTIES
+    // ('bloom_cols'='value,user') — resolved to FIELD IDS (rename-
+    // proof) and validated to the point-lookup types (STRING /
+    // BIGINT; the fixed-domain types already have zone maps, and the
+    // key is the clustering column). See KvBloom.scala.
+    val blooms: Seq[Int] =
+      Option(properties.get("bloom_cols")).toSeq.flatMap(
+        _.split(',').map(_.trim).filter(_.nonEmpty)).map { cn =>
+        val c = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
+          throw new IllegalArgumentException(
+            s"bloom_cols column $cn is not a column of " +
+              s"${schema.catalogString}"))
+        require(c.id > 1, s"bloom_cols cannot include the key " +
+          "column — its manifest zone maps already skip point lookups")
+        require(
+          c.dtype == org.apache.spark.sql.types.StringType ||
+            c.dtype == LongType,
+          s"bloom_cols needs STRING or BIGINT columns; $cn is " +
+            c.dtype.simpleString)
+        c.id
+      }
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
     val meta = KvBucketing.KvMeta(buckets, snapshots, mor, partition,
-      sorted = sorted)
+      sorted = sorted, blooms = blooms)
     if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
     if (cols != KvSchema.Legacy)
       KvSchema.write(p.toString,

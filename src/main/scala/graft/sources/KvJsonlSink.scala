@@ -264,6 +264,9 @@ class KvJsonlTable(
     val m = new util.HashMap[String, String]()
     if (meta.snapshots) m.put("snapshots", "true")
     if (meta.mor) m.put("dml", "mor")
+    if (meta.blooms.nonEmpty)
+      m.put("bloom_cols", meta.blooms.flatMap(id =>
+        cols.find(_.id == id).map(_.name)).mkString(","))
     m
   }
 
@@ -494,7 +497,8 @@ class KvJsonlTable(
 case class KvWrittenFile(
     tempFile: String, finalName: String, rows: Long,
     minKey: Option[Long], maxKey: Option[Long],
-    colStats: Map[Int, Option[(String, String)]] = Map.empty)
+    colStats: Map[Int, Option[(String, String)]] = Map.empty,
+    blooms: Map[Int, KvBloom.Bloom] = Map.empty)
 
 /** Per-file stat accumulation shared by the plain and bucketed
   * writers — ONE definition of what the manifest records. Beyond the
@@ -507,9 +511,11 @@ case class KvWrittenFile(
   * breaks range reasoning, and "didn't skip" is the only safe
   * failure direction).
   */
-final class KvKeyStats(cols: Seq[KvSchema.Col] = KvSchema.Legacy) {
+final class KvKeyStats(
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    bloomIds: Seq[Int] = Nil) {
   import org.apache.spark.sql.types.{DateType, DoubleType, LongType,
-    TimestampType}
+    StringType, TimestampType}
 
   private var rows = 0L
   private var minKey = Long.MaxValue
@@ -533,6 +539,19 @@ final class KvKeyStats(cols: Seq[KvSchema.Col] = KvSchema.Legacy) {
           (c.dtype == LongType || c.dtype == TimestampType ||
             c.dtype == DateType || c.dtype == DoubleType) =>
         new Track(c.id, i, c.dtype == DoubleType, c.dtype == DateType)
+    }.toArray
+
+  /** Bloom-tracked columns (table meta `blooms`, KvBloom.scala):
+    * value hashes accumulate in the same single pass the zone maps
+    * use; the filters are built once at task commit. Only STRING and
+    * BIGINT columns qualify (enforced at DDL), the key never (its
+    * zone maps already skip point lookups on sorted/clustered data).
+    */
+  private val bloomTracked: Array[(Int, Int, Boolean, KvBloom.Builder)] =
+    cols.iterator.zipWithIndex.collect {
+      case (c, i) if c.id > 1 && bloomIds.contains(c.id) &&
+          (c.dtype == StringType || c.dtype == LongType) =>
+        (c.id, i, c.dtype == StringType, new KvBloom.Builder)
     }.toArray
 
   def update(row: InternalRow): Unit = {
@@ -565,13 +584,25 @@ final class KvKeyStats(cols: Seq[KvSchema.Col] = KvSchema.Legacy) {
       }
       j += 1
     }
+    j = 0
+    while (j < bloomTracked.length) {
+      val (_, ord, isStr, builder) = bloomTracked(j)
+      if (!row.isNullAt(ord))
+        builder.add(
+          if (isStr) KvBloom.hashBytes(row.getUTF8String(ord).getBytes)
+          else KvBloom.hashLong(row.getLong(ord)))
+      j += 1
+    }
   }
 
   def written(tempFile: String, finalName: String): KvWrittenFile =
     KvWrittenFile(tempFile, finalName, rows,
       if (hasKeys) Some(minKey) else None,
       if (hasKeys) Some(maxKey) else None,
-      tracked.iterator.flatMap { t =>
+      blooms = bloomTracked.iterator.flatMap { case (id, _, _, b) =>
+        b.result().map(id -> _)
+      }.toMap,
+      colStats = tracked.iterator.flatMap { t =>
         if (t.nan) None // unknown — never a basis for skipping
         else if (!t.has) Some(t.id -> None) // known all-null
         else Some(t.id -> Some((
@@ -609,7 +640,7 @@ class KvJsonlBatchWrite(
     // lands mid-job.
     val meta = KvBucketing.readMetaFull(path)
     new KvJsonlWriterFactory(path, jobId, meta.buckets,
-      KvSchema.currentCols(path), meta.partition)
+      KvSchema.currentCols(path), meta.partition, meta.blooms)
   }
 
   /** Driver-side publish: ONLY files named in commit messages become
@@ -660,8 +691,10 @@ class KvJsonlBatchWrite(
     }
     if (!snapshots) {
       if (replaced.isDefined)
-        replaced.get.foreach(n =>
-          java.nio.file.Files.deleteIfExists(dir.resolve(n)))
+        replaced.get.foreach { n =>
+          java.nio.file.Files.deleteIfExists(dir.resolve(n))
+          KvBloom.deleteSidecarOf(dir.resolve(n))
+        }
       else if (truncateFirst)
         sweepStale(dir, published.map(_.finalName).toSet)
     }
@@ -726,16 +759,28 @@ class KvJsonlBatchWrite(
         java.nio.file.Paths.get(f.tempFile),
         dir.resolve(f.finalName),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // Bloom sidecar published AFTER its data file: a reader racing
+      // the window sees data without sidecar = "unknown, don't skip"
+      // — the safe direction. (Sidecar before data would have no
+      // window to be wrong in either, but this order needs no proof.)
+      if (f.blooms.nonEmpty)
+        KvBloom.writeSidecar(
+          dir.resolve(KvBloom.sidecarName(f.finalName)), f.blooms)
     }
 
-  /** Step 2: delete every data file the replacement didn't publish. */
+  /** Step 2: delete every data file the replacement didn't publish
+    * (and its bloom sidecar — a sidecar's lifetime IS its data
+    * file's).
+    */
   private[graft] def sweepStale(
       dir: java.nio.file.Path, keep: Set[String]): Unit = {
     val old = java.nio.file.Files.list(dir)
     try old.forEach { p =>
       val n = p.getFileName.toString
-      if (n.endsWith(".jsonl") && !keep(n))
+      if (n.endsWith(".jsonl") && !keep(n)) {
         java.nio.file.Files.delete(p)
+        KvBloom.deleteSidecarOf(p)
+      }
     } finally old.close()
   }
 
@@ -746,22 +791,23 @@ class KvJsonlBatchWrite(
 class KvJsonlWriterFactory(
     path: String, jobId: String, buckets: Option[Int] = None,
     cols: Seq[KvSchema.Col] = KvSchema.Legacy,
-    partition: Option[(KvBucketing.PartUnit, Int)] = None)
+    partition: Option[(KvBucketing.PartUnit, Int)] = None,
+    bloomIds: Seq[Int] = Nil)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = (buckets, partition) match {
     case (Some(n), _) =>
       new KvJsonlBucketedDataWriter(path, jobId, partitionId, taskId, n,
-        cols)
+        cols, bloomIds)
     case (None, Some((unit, id))) =>
       new KvJsonlPartitionedDataWriter(path, jobId, partitionId,
-        taskId, unit, id, cols)
+        taskId, unit, id, cols, bloomIds)
     case _ =>
       new KvJsonlDataWriter(path,
         f"attempt-$jobId-$partitionId%05d-$taskId",
         f"part-$jobId-$partitionId%05d.jsonl",
-        jobSubdir = jobId, cols = cols)
+        jobSubdir = jobId, cols = cols, bloomIds = bloomIds)
   }
 }
 
@@ -776,7 +822,8 @@ class KvJsonlWriterFactory(
   */
 class KvJsonlBucketedDataWriter(
     path: String, jobId: String, partitionId: Int, taskId: Long, n: Int,
-    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    bloomIds: Seq[Int] = Nil)
     extends DataWriter[InternalRow] {
 
   // Founding tables keep the byte-identical fast-path formatter.
@@ -786,7 +833,7 @@ class KvJsonlBucketedDataWriter(
     val out: java.io.BufferedWriter =
       java.nio.file.Files.newBufferedWriter(
         temp, java.nio.charset.StandardCharsets.UTF_8)
-    val stats = new KvKeyStats(cols)
+    val stats = new KvKeyStats(cols, bloomIds)
   }
 
   private val open =
@@ -849,7 +896,8 @@ class KvJsonlBucketedDataWriter(
 class KvJsonlPartitionedDataWriter(
     path: String, jobId: String, partitionId: Int, taskId: Long,
     unit: KvBucketing.PartUnit, partitionFieldId: Int,
-    cols: Seq[KvSchema.Col])
+    cols: Seq[KvSchema.Col],
+    bloomIds: Seq[Int] = Nil)
     extends DataWriter[InternalRow] {
 
   private val evolved = cols != KvSchema.Legacy
@@ -868,7 +916,7 @@ class KvJsonlPartitionedDataWriter(
     val out: java.io.BufferedWriter =
       java.nio.file.Files.newBufferedWriter(
         temp, java.nio.charset.StandardCharsets.UTF_8)
-    val stats = new KvKeyStats(cols)
+    val stats = new KvKeyStats(cols, bloomIds)
   }
 
   private val open =
@@ -971,7 +1019,7 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
     // A named top-level factory: the instance ships to executors, so it
     // must not capture this (non-serializable) driver-side write object.
     KvJsonlStreamingWriterFactory(path, KvSchema.currentCols(path), qTag,
-      meta.buckets, meta.partition)
+      meta.buckets, meta.partition, meta.blooms)
   }
 
   /** Per-epoch publish. Unsnapshotted: idempotent renames onto
@@ -993,11 +1041,15 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
       epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
-    def publish(f: KvWrittenFile): Unit =
+    def publish(f: KvWrittenFile): Unit = {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(f.tempFile),
         dir.resolve(f.finalName),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (f.blooms.nonEmpty)
+        KvBloom.writeSidecar(
+          dir.resolve(KvBloom.sidecarName(f.finalName)), f.blooms)
+    }
     if (!snapshots) {
       messages.foreach { case KvJsonlCommitMessage(f) => publish(f) }
     } else {
@@ -1059,7 +1111,8 @@ case class KvJsonlStreamingWriterFactory(
     path: String, cols: Seq[KvSchema.Col] = KvSchema.Legacy,
     qTag: String = "",
     buckets: Option[Int] = None,
-    partition: Option[(KvBucketing.PartUnit, Int)] = None)
+    partition: Option[(KvBucketing.PartUnit, Int)] = None,
+    bloomIds: Seq[Int] = Nil)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int,
@@ -1074,15 +1127,15 @@ case class KvJsonlStreamingWriterFactory(
     (buckets, partition) match {
       case (Some(n), _) =>
         new KvJsonlBucketedDataWriter(
-          path, epochJob, partitionId, taskId, n, cols)
+          path, epochJob, partitionId, taskId, n, cols, bloomIds)
       case (None, Some((unit, id))) =>
         new KvJsonlPartitionedDataWriter(
-          path, epochJob, partitionId, taskId, unit, id, cols)
+          path, epochJob, partitionId, taskId, unit, id, cols, bloomIds)
       case _ =>
         new KvJsonlDataWriter(path,
           f"attempt-$epochJob-$partitionId%05d-$taskId",
           f"part-$epochJob-$partitionId%05d.jsonl",
-          cols = cols)
+          cols = cols, bloomIds = bloomIds)
     }
   }
 }
@@ -1096,7 +1149,8 @@ case class KvJsonlStreamingWriterFactory(
 class KvJsonlDataWriter(
     path: String, tempName: String, finalName: String,
     jobSubdir: String = "",
-    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    bloomIds: Seq[Int] = Nil)
     extends DataWriter[InternalRow] {
 
   // Founding tables keep the byte-identical fast-path formatter.
@@ -1111,7 +1165,7 @@ class KvJsonlDataWriter(
   }
   private val out = java.nio.file.Files.newBufferedWriter(
     tempFile, java.nio.charset.StandardCharsets.UTF_8)
-  private val stats = new KvKeyStats(cols)
+  private val stats = new KvKeyStats(cols, bloomIds)
 
   override def write(row: InternalRow): Unit = {
     out.write(

@@ -129,7 +129,8 @@ class KvMorDeltaBatchWrite(
     // Column registry captured driver-side, once per job — same
     // mid-job-ALTER isolation as the batch write factory.
     new KvMorDeltaWriterFactory(path, jobId, buckets,
-      KvSchema.currentCols(path))
+      KvSchema.currentCols(path),
+      KvBucketing.readMetaFull(path).blooms)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -192,11 +193,13 @@ class KvMorDeltaBatchWrite(
 
 class KvMorDeltaWriterFactory(
     path: String, jobId: String, buckets: Option[Int],
-    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    bloomIds: Seq[Int] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new KvMorDeltaWriter(path, jobId, partitionId, taskId, buckets, cols)
+    new KvMorDeltaWriter(path, jobId, partitionId, taskId, buckets, cols,
+      bloomIds)
 }
 
 /** Per-task delta writer: inserts delegate to the ordinary data
@@ -211,7 +214,8 @@ class KvMorDeltaWriterFactory(
 class KvMorDeltaWriter(
     path: String, jobId: String, partitionId: Int, taskId: Long,
     buckets: Option[Int],
-    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    bloomIds: Seq[Int] = Nil)
     extends DeltaWriter[InternalRow] {
 
   private var dataWriter: DataWriter[InternalRow] = _
@@ -221,12 +225,12 @@ class KvMorDeltaWriter(
       dataWriter = buckets match {
         case Some(n) =>
           new KvJsonlBucketedDataWriter(
-            path, jobId, partitionId, taskId, n, cols)
+            path, jobId, partitionId, taskId, n, cols, bloomIds)
         case None =>
           new KvJsonlDataWriter(path,
             f"attempt-$jobId-$partitionId%05d-$taskId",
             f"part-$jobId-$partitionId%05d.jsonl",
-            jobSubdir = jobId, cols = cols)
+            jobSubdir = jobId, cols = cols, bloomIds = bloomIds)
       }
     dataWriter
   }

@@ -280,3 +280,114 @@ class KvFilesMetaScan(path: String) extends Scan with Batch {
       }
     }
 }
+
+/** `<table>$partitions` — the per-PARTITION metadata table (Iceberg's
+  * `.partitions` shape): one row per layout token of the CURRENT
+  * snapshot — bucket (`b0003`) or temporal partition unit (`d9862`,
+  * `m334`, ...) — aggregating membership straight from the manifest.
+  * Metadata-only like `$files`: the capacity-planning surface ("which
+  * day is hot", "which bucket skewed") at 100 TB, where a data scan
+  * to answer it would be the problem.
+  *
+  * {{{ SELECT * FROM graft_kv.default.`t$partitions` }}}
+  *
+  * Columns:
+  *   - `partition`      — the layout token exactly as file names
+  *     carry it; NULL for files without one (an unlayouted table,
+  *     leftovers from before a partition-evolution ALTER — and every
+  *     positional delete file: `.del` members are PARTITION-AGNOSTIC
+  *     in this format (one job-named file may tombstone rows of many
+  *     partitions), so they aggregate under the NULL row rather than
+  *     claim a partition they can't prove)
+  *   - `n_data_files` / `n_delete_files` — membership composition
+  *   - `data_rows` / `tombstones` — data-row and tombstone counts
+  *     (NULL data_rows when any member predates stats)
+  *   - `min_key` / `max_key` — the partition-level key zone map
+  *     (union of its files' ranges; NULL when unknown or keyless)
+  */
+object KvPartitionsMetaTable {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("n_data_files", LongType, nullable = false),
+    StructField("n_delete_files", LongType, nullable = false),
+    StructField("data_rows", LongType, nullable = true),
+    StructField("tombstones", LongType, nullable = false),
+    StructField("min_key", LongType, nullable = true),
+    StructField("max_key", LongType, nullable = true)))
+
+  /** A member's layout token — the same derivation `$files` shows per
+    * file, here the GROUP key. Delete files never carry one (see the
+    * class doc), so they group under None by construction.
+    */
+  private def layoutToken(name: String): Option[String] = {
+    val b = KvBucketing.fileBucket(name).map(b => f"b$b%04d")
+    def p = Seq(KvBucketing.PartHours, KvBucketing.PartDays,
+      KvBucketing.PartMonths, KvBucketing.PartYears).flatMap(u =>
+      KvBucketing.filePart(name, u).map(t =>
+        s"${u.tag}${t.fold("null")(_.toString)}"))
+      .headOption
+    b.orElse(p)
+  }
+
+  def rows(path: String): Seq[Seq[Any]] =
+    KvSnapshots.latest(path).toSeq.flatMap { v =>
+      val stats = KvSnapshots.membersWithStats(path, v)
+      stats.groupBy(st => layoutToken(st.name))
+        .toSeq.sortBy(_._1)
+        .map { case (tok, members) =>
+          val data = KvSnapshots.dataFiles(members)
+          val dels = KvSnapshots.deleteFiles(members)
+          val rowsKnown = data.forall(_.rows >= 0)
+          val dataRows: Any =
+            if (rowsKnown) Long.box(data.map(_.rows).sum) else null
+          Seq(
+            tok.map(UTF8String.fromString).orNull,
+            Long.box(data.size.toLong),
+            Long.box(dels.size.toLong),
+            dataRows,
+            Long.box(dels.map(_.rows).sum),
+            data.flatMap(_.minKey).minOption.map(Long.box).orNull,
+            data.flatMap(_.maxKey).maxOption.map(Long.box).orNull)
+        }
+    }
+}
+
+class KvPartitionsMetaTable(path: String, tableName: String)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = KvPartitionsMetaTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KvPartitionsMetaScan(path)
+}
+
+class KvPartitionsMetaScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = KvPartitionsMetaTable.Schema
+  override def toBatch: Batch = this
+  override def description(): String = s"kvjsonl partitions($path)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvLocalRowsPartition(KvPartitionsMetaTable.rows(path)))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition
+          .asInstanceOf[KvLocalRowsPartition].rows.iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!rows.hasNext) false
+            else { cur = InternalRow.fromSeq(rows.next()); true }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}

@@ -310,7 +310,11 @@ class KvVacuumProcedure(cat: KvCatalog)
           try s.iterator().asScala
             .filter { p =>
               val n = p.getFileName.toString
-              !referenced(n) && !keepNames(n) &&
+              // a LIVE data file's bloom sidecar is referenced BY its
+              // data file (sidecars never appear in manifests); an
+              // orphaned data file's sidecar orphans with it
+              !referenced(n) && !referenced(n.stripSuffix(".bloom")) &&
+                !keepNames(n) &&
                 // Grace window: a file younger than the cutoff may be a
                 // concurrent commit's published-but-not-yet-manifested
                 // output — skipping it is the difference between

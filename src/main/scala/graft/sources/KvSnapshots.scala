@@ -394,7 +394,10 @@ object KvSnapshots {
     drop.foreach { v =>
       members(path, v).foreach { f =>
         if (!live.contains(f) &&
-            Files.deleteIfExists(Paths.get(path, f))) deleted += 1
+            Files.deleteIfExists(Paths.get(path, f))) {
+          KvBloom.deleteSidecarOf(Paths.get(path, f))
+          deleted += 1
+        }
       }
       Files.deleteIfExists(manifestPath(path, v))
     }

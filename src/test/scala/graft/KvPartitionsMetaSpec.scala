@@ -1,0 +1,103 @@
+package graft
+
+/** `t$partitions` — the per-partition metadata table: one row per
+  * layout token of the current snapshot, aggregated straight from the
+  * manifest (KvMetaTables.scala). Covers bucket tokens, temporal
+  * tokens (incl. the `null` partition for NULL partition-column
+  * rows), the partition-level key zone map, the NULL-row attribution
+  * of partition-agnostic delete files, and the snapshots-required
+  * guard. The gate twin (`catalog_partitions_table`) pins the
+  * per-month arithmetic against DuckDB.
+  */
+class KvPartitionsMetaSpec extends SparkTestBase {
+
+  private def cat(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_kv",
+      classOf[graft.sources.KvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_kv.warehouse",
+      Fs.sinkDir("graft_kv_wh"))
+  }
+
+  test("bucketed table: one row per bucket, counts and zone maps add up") {
+    cat()
+    val t = "graft_kv.default.pmeta_bkt"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "PARTITIONED BY (bucket(4, key)) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING) " +
+      "FROM range(0, 100)")
+    val rows = spark.sql(
+      s"SELECT * FROM graft_kv.default.`pmeta_bkt$$partitions`")
+      .collect()
+    assert(rows.length === 4)
+    val toks = rows.map(_.getString(0)).sorted
+    assert(toks === Array("b0000", "b0001", "b0002", "b0003"))
+    assert(rows.map(_.getLong(3)).sum === 100L) // data_rows
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L) // n_data_files
+      assert(r.getLong(2) === 0L) // n_delete_files
+      assert(r.getLong(4) === 0L) // tombstones
+      // zone map: floorMod(key,4) == bucket index for 0..99
+      val b = r.getString(0).drop(1).toInt
+      assert(r.getLong(5) === b.toLong) // min_key
+      assert(r.getLong(6) === (96 + b).toLong) // max_key
+    }
+  }
+
+  test("days partitioning: NULL partition-column rows land in 'dnull'") {
+    cat()
+    val t = "graft_kv.default.pmeta_days"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+      "ts TIMESTAMP) PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'a', TIMESTAMP '1997-01-01 10:00:00')," +
+      "(2, 'b', TIMESTAMP '1997-01-02 10:00:00')," +
+      "(3, 'c', NULL)")
+    val rows = spark.sql(
+      s"SELECT partition, data_rows FROM " +
+        s"graft_kv.default.`pmeta_days$$partitions` ORDER BY partition")
+      .collect()
+    val byTok = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTok === Map(
+      "d9862" -> 1L, "d9863" -> 1L, "dnull" -> 1L))
+  }
+
+  test("MoR deletes: tombstone files aggregate under the NULL row") {
+    cat()
+    val t = "graft_kv.default.pmeta_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "PARTITIONED BY (bucket(2, key)) " +
+      "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING) " +
+      "FROM range(0, 50)")
+    spark.sql(s"DELETE FROM $t WHERE key < 10")
+    val rows = spark.sql(
+      s"SELECT * FROM graft_kv.default.`pmeta_mor$$partitions`")
+      .collect()
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length === 1)
+    assert(nullRow(0).getLong(2) >= 1L) // n_delete_files
+    assert(nullRow(0).getLong(4) === 10L) // tombstones
+    assert(nullRow(0).getLong(1) === 0L) // no data files on NULL row
+    // the bucket rows keep their full pre-delete data_rows (MoR —
+    // membership unchanged, deletion is scan-time)
+    assert(rows.filterNot(_.isNullAt(0)).map(_.getLong(3)).sum === 50L)
+  }
+
+  test("$partitions requires a snapshotted base table") {
+    cat()
+    val t = "graft_kv.default.pmeta_plain"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING)")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_kv.default.`pmeta_plain$$partitions`")
+        .collect()
+    }
+    assert(e.getMessage.contains("snapshotted"))
+  }
+}
