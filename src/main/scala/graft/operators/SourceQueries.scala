@@ -130,6 +130,27 @@ object SourceQueries {
         s"join did not engage:\n$plan")
   }
 
+  /** The sorted-layout claim on top of the SPJ one: the sort-merge
+    * join's children contain NO SortExec either — the scans'
+    * reported key ordering (SupportsReportOrdering) satisfied the
+    * join's requirement directly.
+    */
+  private def requireSortFreeJoin(
+      df: org.apache.spark.sql.DataFrame, gate: String): Unit = {
+    val plan = unwrapAqe(df.queryExecution.executedPlan)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    require(joins.nonEmpty,
+      s"$gate: no sort-merge join in the plan:\n$plan")
+    val sorts = joins.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    })
+    require(sorts.isEmpty,
+      s"$gate: join children were RE-SORTED — the reported key " +
+        s"ordering did not engage:\n$plan")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V2 scan shape: one row per successfully-fetched URL.
     "webpage_scan" -> ((s, _) =>
@@ -569,6 +590,48 @@ object SourceQueries {
              |ORDER BY priority, flag""".stripMargin)
         val rows = df.collect()
         requireShuffleFreeJoin(df, "catalog_spj_join")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
+    // SORTED STORAGE-PARTITIONED JOIN (the full Iceberg bucket +
+    // sort-order layout): two tables co-bucketed 8 ways AND
+    // 'write.sort'='key' — each bucket's single file is key-ascending
+    // and the scans REPORT that ordering (SupportsReportOrdering), so
+    // the sort-merge join plans with ZERO exchanges (SPJ) and ZERO
+    // sorts (the reported ordering satisfies the join requirement).
+    // At 100 TB the sort of a fact-fact join is the second cost after
+    // its shuffle; this layout removes both for every co-keyed join.
+    // Both plan facts are require()d on the executed plan; rows pin
+    // against DuckDB joining the raw parquet.
+    "catalog_sorted_join" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t1 = "graft_kv.default.ssj_orders"
+      val t2 = "graft_kv.default.ssj_items"
+      for (t <- Seq(t1, t2)) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+          "PARTITIONED BY (bucket(8, key)) " +
+          "TBLPROPERTIES ('snapshots'='true', 'write.sort'='key')")
+      }
+      s.sql(s"INSERT INTO $t1 SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"INSERT INTO $t2 SELECT l_orderkey, l_returnflag " +
+        s"FROM parquet.`$d/lineitem.parquet`")
+      withConfs(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val df = s.sql(
+          s"""SELECT a.value AS priority, b.value AS flag,
+             |count(*) AS n_items, sum(b.key) AS sum_keys
+             |FROM $t1 a JOIN $t2 b ON a.key = b.key
+             |GROUP BY a.value, b.value
+             |ORDER BY priority, flag""".stripMargin)
+        val rows = df.collect()
+        requireShuffleFreeJoin(df, "catalog_sorted_join")
+        requireSortFreeJoin(df, "catalog_sorted_join")
         s.createDataFrame(
           java.util.Arrays.asList(rows: _*), df.schema)
       }
@@ -2748,6 +2811,16 @@ object SourceQueries {
         |GROUP BY o_orderpriority
         |ORDER BY value""".stripMargin,
     "catalog_spj_join" ->
+      """SELECT a.o_orderpriority AS priority,
+        |       b.l_returnflag AS flag,
+        |       count(*) AS n_items,
+        |       CAST(sum(b.l_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY priority, flag""".stripMargin,
+    // Same join as catalog_spj_join over the sorted-bucketed pair —
+    // the plan differs (no sorts), the rows must not.
+    "catalog_sorted_join" ->
       """SELECT a.o_orderpriority AS priority,
         |       b.l_returnflag AS flag,
         |       count(*) AS n_items,

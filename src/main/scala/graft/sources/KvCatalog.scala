@@ -577,7 +577,8 @@ class KvScan(
       java.util.concurrent.atomic.AtomicReference[Set[String]]] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -695,6 +696,44 @@ class KvScan(
   private lazy val bloomConjuncts: Seq[(Int, Array[Long])] =
     KvBloomPrune.compile(pushed,
       KvBucketing.readMetaFull(path).blooms, cols)
+
+  /** Per-partition ordering report (SupportsReportOrdering): a
+    * 'write.sort'='key' table's scan claims key-ascending partitions
+    * when the LAYOUT proves it — every file was written under the
+    * requested sort, and each input partition reads at most ONE file
+    * (always true unbucketed: one partition per file; true bucketed
+    * only while each bucket holds ≤1 data file — two appends
+    * CONCATENATE, so the claim is dropped until a rewrite restores
+    * the one-file layout). Paired with KeyGroupedPartitioning this
+    * removes the SORTS from a co-bucketed sort-merge join, on top of
+    * the exchanges SPJ already removes — at 100 TB the sort of a
+    * fact-fact join is the second-largest cost after its shuffle.
+    * MoR tables never claim (MERGE's delta writer appends unsorted
+    * data files); a pruned-out `key` column can't anchor the
+    * SortOrder, so those scans don't claim either.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val meta = KvBucketing.readMetaFull(path)
+    val sortedLayout =
+      meta.sorted && !meta.mor &&
+        required.fieldNames.contains("key") &&
+        (buckets match {
+          case None => true
+          case Some(_) =>
+            listFiles(countPrunes = false)
+              .groupBy { case (f, _) =>
+                KvBucketing.fileBucket(
+                  java.nio.file.Paths.get(f).getFileName.toString)
+              }
+              .values.forall(_.length <= 1)
+        })
+    if (sortedLayout) {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      Array(Expressions.sort(Expressions.column("key"),
+        SortDirection.ASCENDING))
+    } else Array.empty
+  }
 
   /** Partition file skip: a file whose name-token value falls outside
     * the pushed interval (or the null partition, which no comparison
@@ -1222,9 +1261,19 @@ class KvRowLevelOperation(
                 .clustered(Array(
                   org.apache.spark.sql.connector.expressions.Expressions
                     .bucket(n, "key")))
+            // a SORTED bucketed table's rewrite re-requests the
+            // (bucket, key) ordering, so replacement files stay
+            // per-bucket key-ascending (the write path's contract)
             override def requiredOrdering()
                 : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-              Array.empty
+              if (sorted) {
+                import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+                Array(
+                  Expressions.sort(Expressions.bucket(n, "key"),
+                    SortDirection.ASCENDING),
+                  Expressions.sort(Expressions.column("key"),
+                    SortDirection.ASCENDING))
+              } else Array.empty
             override def toBatch
                 : org.apache.spark.sql.connector.write.BatchWrite =
               new KvJsonlBatchWrite(
@@ -1630,19 +1679,23 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         (unit, c.id)
       }
     // Standing write-path sort order: TBLPROPERTIES
-    // ('write.sort'='key'). Strict parse; plain tables only — a
-    // bucketed table's layout is hash placement, a partitioned one's
-    // is unit routing (per-unit ordering would compose, but isn't
-    // worth the write-path complexity until asked for).
+    // ('write.sort'='key'). Strict parse. Plain tables get a GLOBAL
+    // key order (range-disjoint files → zone maps prune from the
+    // first INSERT); BUCKETED tables sort WITHIN each bucket's file
+    // (the Iceberg bucket+sort-order layout: the scan reports the
+    // ordering and co-keyed sort-merge joins skip their sorts — see
+    // KvScan.outputOrdering). Date-partitioned layouts still own
+    // their placement.
     val sorted = Option(properties.get("write.sort")) match {
       case None => false
       case Some("key") => true
       case Some(other) => throw new IllegalArgumentException(
         s"table property write.sort supports only 'key'; got '$other'")
     }
-    require(!sorted || (buckets.isEmpty && partition.isEmpty),
-      "TBLPROPERTIES ('write.sort'='key') needs a plain table — " +
-        "bucketed and date-partitioned layouts own their placement")
+    require(!sorted || partition.isEmpty,
+      "TBLPROPERTIES ('write.sort'='key') composes with plain and " +
+        "bucketed tables only — a date-partitioned layout owns its " +
+        "placement")
     // Per-file bloom filter columns: TBLPROPERTIES
     // ('bloom_cols'='value,user') — resolved to FIELD IDS (rename-
     // proof) and validated to the point-lookup types (STRING /

@@ -397,9 +397,23 @@ class KvJsonlTable(
                 .clustered(Array(
                   org.apache.spark.sql.connector.expressions.Expressions
                     .bucket(n, "key")))
+            // A SORTED bucketed table ('write.sort'='key' + buckets)
+            // additionally requests (bucket, key) task ordering: a
+            // task's rows arrive grouped by bucket and key-ascending
+            // within each group, so every bucket FILE lands sorted —
+            // what lets the scan report SupportsReportOrdering and a
+            // co-bucketed sort-merge join skip its sorts on top of
+            // its exchanges.
             override def requiredOrdering()
                 : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-              Array.empty
+              if (meta.sorted) {
+                import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+                Array(
+                  Expressions.sort(Expressions.bucket(n, "key"),
+                    SortDirection.ASCENDING),
+                  Expressions.sort(Expressions.column("key"),
+                    SortDirection.ASCENDING))
+              } else Array.empty
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
                 writeBranch)

@@ -86,18 +86,26 @@ class KvSortedWriteSpec extends SparkTestBase {
       .collect().head.getLong(0) === 5000L)
   }
 
-  test("validation: write.sort composes with snapshots only on " +
-      "plain tables; bad values rejected") {
+  test("validation: write.sort composes with plain AND bucketed " +
+      "tables (round 16), rejects date partitioning and bad values") {
     cat()
     spark.sql("DROP TABLE IF EXISTS graft_kv.default.sw_bad")
+    // bucketed+sorted is now a SUPPORTED layout (per-bucket key
+    // order + SupportsReportOrdering — KvSortedBucketSpec owns it)
+    spark.sql("CREATE TABLE graft_kv.default.sw_bad " +
+      "(key BIGINT, value STRING) " +
+      "PARTITIONED BY (bucket(4, key)) " +
+      "TBLPROPERTIES ('write.sort'='key')")
+    spark.sql("DROP TABLE graft_kv.default.sw_bad")
     val e = intercept[Exception](
       spark.sql("CREATE TABLE graft_kv.default.sw_bad " +
-        "(key BIGINT, value STRING) " +
-        "PARTITIONED BY (bucket(4, key)) " +
+        "(key BIGINT, value STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts)) " +
         "TBLPROPERTIES ('write.sort'='key')"))
     assert(Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null)
-      .exists(m => Option(m.getMessage).exists(_.contains("plain"))))
+      .exists(m => Option(m.getMessage).exists(
+        _.contains("date-partitioned"))))
     val e2 = intercept[Exception](
       spark.sql("CREATE TABLE graft_kv.default.sw_bad " +
         "(key BIGINT, value STRING) " +
