@@ -637,6 +637,79 @@ object SourceQueries {
       }
     }),
 
+    // PER-BUCKET COMPACTION (system.rewrite_buckets — Iceberg's
+    // rewrite_data_files + rewrite_position_delete_files for the
+    // bucketed layout): a fragmented sorted MoR table (two appends →
+    // 2 files/bucket, one DELETE → tombstones) rewrites to ONE
+    // key-sorted file per bucket with the tombstones FOLDED in — the
+    // maintenance call that restores the SupportsReportOrdering claim
+    // appends suspend (require()d via the executed scan's reported
+    // ordering) and keeps MoR read amplification bounded at 100 TB.
+    // Post-rewrite rows pin against DuckDB applying the same DELETE.
+    "catalog_rewrite_buckets" -> ((s, d) => {
+      registerKvCatalog(s)
+      // sorted CoW table: fragmentation suspends the ordering report,
+      // the rewrite restores it (MoR tables never report — the delta
+      // writer's provenance is untracked — so that claim is tested on
+      // the MoR twin below as tombstone folding only)
+      val t = "graft_kv.default.rw_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(8, key)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'write.sort'='key')")
+      // two appends split on a column UNCORRELATED with the bucket
+      // key, so both hit every bucket (a key-derived split would land
+      // disjoint buckets and never fragment)
+      for (cond <- Seq("o_totalprice < 150000.0",
+          "o_totalprice >= 150000.0"))
+        s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+          s"FROM parquet.`$d/orders.parquet` WHERE $cond")
+      def reported: Int = s.sql(s"SELECT key, value FROM $t")
+        .queryExecution.executedPlan.collectLeaves().collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.ordering.map(_.size).getOrElse(0)
+        }.sum
+      // pre-check BEFORE the DELETE: a CoW row-level rewrite itself
+      // re-clusters its scanned files per bucket, so only the
+      // freshly-appended state is provably fragmented
+      require(reported == 0,
+        "catalog_rewrite_buckets: a fragmented bucket layout must " +
+          "not report ordering")
+      s.sql(s"DELETE FROM $t WHERE key % 9 = 0")
+      val out = s.sql("CALL graft_kv.system.rewrite_buckets(" +
+        "table => 'default.rw_gate')").collect()(0)
+      require(out.getLong(1) == 8L,
+        s"catalog_rewrite_buckets: expected 8 files after, got " +
+          out.getLong(1))
+      require(reported > 0,
+        "catalog_rewrite_buckets: the rewrite did not restore the " +
+          "scan's reported key ordering")
+      // MoR twin: the rewrite FOLDS accumulated tombstones
+      val tm = "graft_kv.default.rw_gate_mor"
+      s.sql(s"DROP TABLE IF EXISTS $tm")
+      s.sql(s"CREATE TABLE $tm (key BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(4, key)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $tm SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey < 1000")
+      s.sql(s"DELETE FROM $tm WHERE key % 2 = 0")
+      val outM = s.sql("CALL graft_kv.system.rewrite_buckets(" +
+        "table => 'default.rw_gate_mor')").collect()(0)
+      require(outM.getLong(2) >= 1L,
+        "catalog_rewrite_buckets: no tombstone files were folded")
+      val expectLive = s.sql(
+        s"""SELECT count(*) FROM parquet.`$d/orders.parquet`
+           |WHERE o_orderkey < 1000 AND o_orderkey % 2 != 0"""
+          .stripMargin).collect()(0).getLong(0)
+      require(outM.getLong(3) == expectLive,
+        s"catalog_rewrite_buckets: MoR fold lost rows — expected " +
+          s"$expectLive, got ${outM.getLong(3)}")
+      s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
     // BUCKETED AGGREGATION (the other half of the co-bucketing
     // payoff): a GROUP BY on the bucket key of a KeyGrouped kv scan
     // satisfies the aggregate's clustered distribution outright —
@@ -2818,6 +2891,13 @@ object SourceQueries {
         |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
         |GROUP BY 1, 2
         |ORDER BY priority, flag""".stripMargin,
+    // The post-rewrite state recomputed from raw orders with the
+    // same DELETE applied.
+    "catalog_rewrite_buckets" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey % 9 != 0
+        |GROUP BY value ORDER BY value""".stripMargin,
     // Same join as catalog_spj_join over the sorted-bucketed pair —
     // the plan differs (no sorts), the rows must not.
     "catalog_sorted_join" ->

@@ -2079,7 +2079,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(SystemNs, "fast_forward"),
         Identifier.of(SystemNs, "drop_branch"),
         Identifier.of(SystemNs, "set_partition"),
-        Identifier.of(SystemNs, "zorder"))
+        Identifier.of(SystemNs, "zorder"),
+        Identifier.of(SystemNs, "rewrite_buckets"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
@@ -2100,6 +2101,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       case "drop_branch" => new KvDropBranchProcedure(this)
       case "set_partition" => new KvSetPartitionProcedure(this)
       case "zorder" => new KvZorderProcedure(this)
+      case "rewrite_buckets" => new KvRewriteBucketsProcedure(this)
       case other => throw new IllegalArgumentException(
         s"no such procedure: system.$other (the kv catalog ships " +
           "system.compact(table, target_files), " +

@@ -937,3 +937,103 @@ object KvZorderProcedure {
     StructField("n_rows", LongType),
     StructField("version", LongType)))
 }
+
+/** `system.rewrite_buckets` — per-bucket file compaction for BUCKETED
+  * snapshotted tables (the bucketed gap between `system.compact`,
+  * which is plain-table-only, and `system.cluster`, which is key-range
+  * layout): rewrite the table to exactly ONE file per bucket, rows
+  * key-ascending within each — which restores the
+  * SupportsReportOrdering claim a 'write.sort'='key' bucketed table
+  * loses after appends (two files per bucket concatenate; see
+  * KvScan.outputOrdering), and on a merge-on-read table FOLDS the
+  * accumulated tombstones into the rewrite (the scan applies them, the
+  * overwrite membership carries no delete files — Iceberg's
+  * rewrite_data_files + rewrite_position_delete_files in one pass).
+  *
+  * {{{ CALL graft_kv.system.rewrite_buckets(table => 'default.t') }}}
+  *
+  * Atomic like every commit here: readers keep the old snapshot until
+  * the manifest flips; old files stay readable for time travel and
+  * reclaim via expire_snapshots.
+  */
+class KvRewriteBucketsProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "rewrite_buckets"
+  override def description(): String =
+    "rewrite a bucketed kv table to one key-sorted file per bucket"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "rewrite_buckets"
+      override def description(): String =
+        KvRewriteBucketsProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val meta = KvBucketing.readMetaFull(dir.toString)
+        val n = meta.buckets.getOrElse(throw new IllegalArgumentException(
+          "system.rewrite_buckets needs a bucketed table — " +
+            "system.compact covers plain tables, system.cluster " +
+            "key-range layouts"))
+
+        def counts: (Long, Long) =
+          KvSnapshots.latest(dir.toString).map { v =>
+            val st = KvSnapshots.membersWithStats(dir.toString, v)
+            (KvSnapshots.dataFiles(st).size.toLong,
+              KvSnapshots.deleteFiles(st).size.toLong)
+          }.getOrElse((0L, 0L))
+
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.{coalesce, col, lit, pmod}
+        val (filesBefore, delsBefore) = counts
+        // The SAME bucket function the writer routes by and the scan
+        // reports (floorMod on key, null → 0): repartitioning by it
+        // puts each bucket wholly in one task, and the (bucket, key)
+        // task sort makes each bucket's single file key-ascending —
+        // the layout the ordering report needs. The writer's routing
+        // remains the correctness backstop either way.
+        val bucketExpr = coalesce(pmod(col("key"), lit(n.toLong)), lit(0L))
+        spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .repartition(n, bucketExpr)
+          .sortWithinPartitions(bucketExpr, col("key"))
+          .write
+          .format("graft.sources.KvJsonlSink")
+          .mode("overwrite")
+          .save(dir.toString)
+        val (filesAfter, delsAfter) = counts
+        require(delsAfter == 0,
+          s"rewrite_buckets of $table left delete files behind")
+        val version = KvSnapshots.latest(dir.toString).getOrElse(0)
+        val nRows = spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .count()
+        KvProcedures.localScan(KvRewriteBucketsProcedure.OutSchema,
+          InternalRow(filesBefore, filesAfter, delsBefore, nRows,
+            version.toLong))
+      }
+    }
+}
+
+object KvRewriteBucketsProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("files_before", LongType),
+    StructField("files_after", LongType),
+    StructField("tombstone_files_folded", LongType),
+    StructField("n_rows", LongType),
+    StructField("version", LongType)))
+}
