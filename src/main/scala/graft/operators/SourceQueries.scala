@@ -639,19 +639,17 @@ object SourceQueries {
 
     // PER-BUCKET COMPACTION (system.rewrite_buckets — Iceberg's
     // rewrite_data_files + rewrite_position_delete_files for the
-    // bucketed layout): a fragmented sorted MoR table (two appends →
-    // 2 files/bucket, one DELETE → tombstones) rewrites to ONE
-    // key-sorted file per bucket with the tombstones FOLDED in — the
-    // maintenance call that restores the SupportsReportOrdering claim
-    // appends suspend (require()d via the executed scan's reported
-    // ordering) and keeps MoR read amplification bounded at 100 TB.
-    // Post-rewrite rows pin against DuckDB applying the same DELETE.
+    // bucketed layout): a fragmented sorted table (two appends →
+    // 2 files/bucket) rewrites to ONE key-sorted file per bucket —
+    // the file-count maintenance that bounds per-bucket merge fan-in
+    // — and the MoR twin FOLDS its tombstones, bounding read
+    // amplification at 100 TB. The ordering claim itself is
+    // CONTINUOUS (fragmented buckets k-way merge at read —
+    // KvMergingBucketReader), require()d to hold both before and
+    // after. Post-rewrite rows pin against DuckDB applying the same
+    // DELETE.
     "catalog_rewrite_buckets" -> ((s, d) => {
       registerKvCatalog(s)
-      // sorted CoW table: fragmentation suspends the ordering report,
-      // the rewrite restores it (MoR tables never report — the delta
-      // writer's provenance is untracked — so that claim is tested on
-      // the MoR twin below as tombstone folding only)
       val t = "graft_kv.default.rw_gate"
       s.sql(s"DROP TABLE IF EXISTS $t")
       s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
@@ -669,12 +667,17 @@ object SourceQueries {
           case b: org.apache.spark.sql.execution.datasources.v2
             .BatchScanExec => b.ordering.map(_.size).getOrElse(0)
         }.sum
-      // pre-check BEFORE the DELETE: a CoW row-level rewrite itself
-      // re-clusters its scanned files per bucket, so only the
-      // freshly-appended state is provably fragmented
-      require(reported == 0,
-        "catalog_rewrite_buckets: a fragmented bucket layout must " +
-          "not report ordering")
+      def dataFiles: Long = {
+        val dir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/rw_gate"
+        graft.sources.KvSnapshots.dataFiles(
+          graft.sources.KvSnapshots.membersWithStats(dir,
+            graft.sources.KvSnapshots.latest(dir).get)).size.toLong
+      }
+      require(dataFiles > 8L,
+        "catalog_rewrite_buckets: the two appends did not fragment")
+      require(reported > 0,
+        "catalog_rewrite_buckets: a fragmented sorted layout must " +
+          "STILL report ordering (merge read)")
       s.sql(s"DELETE FROM $t WHERE key % 9 = 0")
       val out = s.sql("CALL graft_kv.system.rewrite_buckets(" +
         "table => 'default.rw_gate')").collect()(0)
@@ -682,8 +685,8 @@ object SourceQueries {
         s"catalog_rewrite_buckets: expected 8 files after, got " +
           out.getLong(1))
       require(reported > 0,
-        "catalog_rewrite_buckets: the rewrite did not restore the " +
-          "scan's reported key ordering")
+        "catalog_rewrite_buckets: the ordering claim fell over " +
+          "after the rewrite")
       // MoR twin: the rewrite FOLDS accumulated tombstones
       val tm = "graft_kv.default.rw_gate_mor"
       s.sql(s"DROP TABLE IF EXISTS $tm")

@@ -697,43 +697,37 @@ class KvScan(
     KvBloomPrune.compile(pushed,
       KvBucketing.readMetaFull(path).blooms, cols)
 
+  /** A 'write.sort'='key' table whose every data file is key-sorted:
+    * all writes (batch, streaming, DML rewrites) ran under the
+    * requested sort. MoR tables don't qualify — MERGE's delta writer
+    * appends data files with no ordering request, and per-file
+    * provenance isn't tracked.
+    */
+  private lazy val sortedLayout: Boolean = {
+    val meta = KvBucketing.readMetaFull(path)
+    meta.sorted && !meta.mor
+  }
+
   /** Per-partition ordering report (SupportsReportOrdering): a
     * 'write.sort'='key' table's scan claims key-ascending partitions
-    * when the LAYOUT proves it — every file was written under the
-    * requested sort, and each input partition reads at most ONE file
-    * (always true unbucketed: one partition per file; true bucketed
-    * only while each bucket holds ≤1 data file — two appends
-    * CONCATENATE, so the claim is dropped until a rewrite restores
-    * the one-file layout). Paired with KeyGroupedPartitioning this
+    * on EVERY membership state — unbucketed partitions are single
+    * sorted files, and a fragmented bucket (two appends → two sorted
+    * files) is K-WAY MERGED by the reader (KvMergingBucketReader)
+    * instead of concatenated. Paired with KeyGroupedPartitioning this
     * removes the SORTS from a co-bucketed sort-merge join, on top of
     * the exchanges SPJ already removes — at 100 TB the sort of a
     * fact-fact join is the second-largest cost after its shuffle.
-    * MoR tables never claim (MERGE's delta writer appends unsorted
-    * data files); a pruned-out `key` column can't anchor the
-    * SortOrder, so those scans don't claim either.
+    * MoR tables never claim (sortedLayout above); a pruned-out `key`
+    * column can't anchor the SortOrder, so those scans don't claim
+    * (and, consistently, their readers don't merge).
     */
   override def outputOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-    val meta = KvBucketing.readMetaFull(path)
-    val sortedLayout =
-      meta.sorted && !meta.mor &&
-        required.fieldNames.contains("key") &&
-        (buckets match {
-          case None => true
-          case Some(_) =>
-            listFiles(countPrunes = false)
-              .groupBy { case (f, _) =>
-                KvBucketing.fileBucket(
-                  java.nio.file.Paths.get(f).getFileName.toString)
-              }
-              .values.forall(_.length <= 1)
-        })
-    if (sortedLayout) {
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (sortedLayout && required.fieldNames.contains("key")) {
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
       Array(Expressions.sort(Expressions.column("key"),
         SortDirection.ASCENDING))
     } else Array.empty
-  }
 
   /** Partition file skip: a file whose name-token value falls outside
     * the pushed interval (or the null partition, which no comparison
@@ -905,7 +899,8 @@ class KvScan(
     // predicate served file-level pruning only, and a row skip in an
     // OPENED file would drop survivors the rewrite must carry.
     new KvReaderFactory(required.fieldNames,
-      if (forRowLevelOp) Array.empty else pushed, runtimeKeys, cols)
+      if (forRowLevelOp) Array.empty else pushed, runtimeKeys, cols,
+      mergeSortedBuckets = sortedLayout)
 
   /** Streaming read = the table's CHANGE FEED (KvChangeFeed.scala),
     * offsets = snapshot manifest versions — hence snapshotted tables
@@ -982,7 +977,8 @@ class KvReaderFactory(
     fields: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
     runtimeKeys: Option[Set[Long]] = None,
-    cols: Seq[KvSchema.Col] = KvSchema.Legacy)
+    cols: Seq[KvSchema.Col] = KvSchema.Legacy,
+    mergeSortedBuckets: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
@@ -1002,10 +998,81 @@ class KvReaderFactory(
             s"bucket $bucket partition carries ${dels.length} " +
               s"tombstone slices for ${files.length} files — " +
               "misaligned merge-on-read planning")
-        new KvPartitionReader(files, fields, pushed, runtimeKeys,
-          if (dels.isEmpty) files.map(_ => Array.empty[Long]) else dels,
-          cols)
+        val delsOf: Int => Array[Long] = i =>
+          if (dels.isEmpty) Array.empty[Long] else dels(i)
+        val keyOrd = fields.indexOf("key")
+        if (mergeSortedBuckets && files.length > 1 && keyOrd >= 0)
+          // SORTED table, fragmented bucket: k-way MERGE the bucket's
+          // key-ascending files so the partition stays key-ascending
+          // — what makes the scan's ordering claim (outputOrdering)
+          // hold on EVERY membership state, not just one-file
+          // buckets. Each sub-reader keeps its own sequential
+          // tombstone cursor; the wrapper only chooses emission
+          // order. When `key` isn't projected no ordering was
+          // claimed (the SortOrder couldn't anchor), so concatenation
+          // is fine and the merge is skipped.
+          new KvMergingBucketReader(
+            files.indices.map(i =>
+              new KvPartitionReader(Array(files(i)), fields, pushed,
+                runtimeKeys, Array(delsOf(i)), cols)).toArray,
+            keyOrd)
+        else
+          new KvPartitionReader(files, fields, pushed, runtimeKeys,
+            files.indices.map(delsOf).toArray, cols)
     }
+}
+
+/** K-way merge over one bucket's key-sorted files (see
+  * KvReaderFactory): one-row lookahead per sub-reader, smallest key
+  * wins, NULL keys first (Spark's ascending-nulls-first default —
+  * the same order the write path's requested SortOrder produced
+  * inside each file). Sub-readers build a fresh InternalRow per line,
+  * so the lookahead buffer never aliases.
+  */
+class KvMergingBucketReader(
+    subs: Array[KvPartitionReader], keyOrd: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val heads = new Array[InternalRow](subs.length)
+  private var initialized = false
+  private var current: InternalRow = _
+
+  private def advance(i: Int): Unit =
+    heads(i) = if (subs(i).next()) subs(i).get() else null
+
+  override def next(): Boolean = {
+    if (!initialized) {
+      var i = 0
+      while (i < subs.length) { advance(i); i += 1 }
+      initialized = true
+    }
+    var best = -1
+    var bestKey = 0L
+    var bestNull = false
+    var i = 0
+    while (i < heads.length) {
+      val h = heads(i)
+      if (h != null) {
+        val isNull = h.isNullAt(keyOrd)
+        val k = if (isNull) 0L else h.getLong(keyOrd)
+        val wins =
+          best < 0 ||
+            (isNull && !bestNull) ||
+            (isNull == bestNull && !isNull && k < bestKey)
+        if (wins) { best = i; bestKey = k; bestNull = isNull }
+      }
+      i += 1
+    }
+    if (best < 0) false
+    else {
+      current = heads(best)
+      advance(best)
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = subs.foreach(_.close())
 }
 
 class KvPartitionReader(

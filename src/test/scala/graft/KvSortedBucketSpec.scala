@@ -62,7 +62,7 @@ class KvSortedBucketSpec extends SparkTestBase {
     }
   }
 
-  test("scan reports key ordering at 1 file/bucket, drops it at 2") {
+  test("ordering holds across appends: fragmented buckets merge-read") {
     cat()
     val t = "graft_kv.default.sb_report"
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -72,13 +72,38 @@ class KvSortedBucketSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 100)")
     assert(scanOrdering(t) > 0,
       "single-file-per-bucket sorted table must report ordering")
+    // a second append fragments every bucket (2 sorted files each,
+    // INTERLEAVED key ranges) — the claim STANDS because the reader
+    // k-way merges (KvMergingBucketReader), and the merged partitions
+    // must actually BE key-ascending
     spark.sql(s"INSERT INTO $t SELECT id, 'b' FROM range(100, 200)")
-    assert(scanOrdering(t) === 0,
-      "two files per bucket concatenate — ordering must NOT be " +
-        "reported")
-    // correctness unchanged by the report flip
-    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0)
-      .getLong(0) === 200L)
+    assert(scanOrdering(t) > 0,
+      "fragmented sorted buckets must still report (merge read)")
+    val perPartition = spark.sql(s"SELECT key FROM $t")
+      .rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq))
+      .collect()
+    assert(perPartition.count(_.nonEmpty) === 4)
+    perPartition.foreach { keys =>
+      assert(keys == keys.sorted,
+        s"merge read emitted an unsorted partition: $keys")
+    }
+    assert(perPartition.map(_.size).sum === 200)
+  }
+
+  test("merge read applies each file's MoR-style tombstones — CoW " +
+      "DML then append keeps merged rows exact") {
+    cat()
+    val t = "graft_kv.default.sb_merge_dml"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "PARTITIONED BY (bucket(2, key)) " +
+      "TBLPROPERTIES ('snapshots'='true', 'write.sort'='key')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 50)")
+    spark.sql(s"DELETE FROM $t WHERE key >= 40")
+    spark.sql(s"INSERT INTO $t SELECT id, 'b' FROM range(25, 60)")
+    val keys = spark.sql(s"SELECT key FROM $t ORDER BY key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys === ((0L until 40L) ++ (25L until 60L)).sorted)
   }
 
   test("plain sorted table reports ordering (one sorted file per part)") {
