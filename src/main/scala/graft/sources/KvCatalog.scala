@@ -1770,20 +1770,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     // key is the clustering column). See KvBloom.scala.
     val blooms: Seq[Int] =
       Option(properties.get("bloom_cols")).toSeq.flatMap(
-        _.split(',').map(_.trim).filter(_.nonEmpty)).map { cn =>
-        val c = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
-          throw new IllegalArgumentException(
-            s"bloom_cols column $cn is not a column of " +
-              s"${schema.catalogString}"))
-        require(c.id > 1, s"bloom_cols cannot include the key " +
-          "column — its manifest zone maps already skip point lookups")
-        require(
-          c.dtype == org.apache.spark.sql.types.StringType ||
-            c.dtype == LongType,
-          s"bloom_cols needs STRING or BIGINT columns; $cn is " +
-            c.dtype.simpleString)
-        c.id
-      }
+        KvCatalog.resolveBloomCols(_, cols, schema.catalogString))
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
@@ -1934,6 +1921,33 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         // meta flip would corrupt version numbering on re-enable.
         graft.Fs.deleteRecursivelyVerified(
           p.resolve(KvSnapshots.DirName).toString)
+
+      // ---- BLOOM COLUMNS can be enabled / re-targeted / disabled
+      // after CREATE, metadata-only and always SOUND: files written
+      // before the change have no sidecar (or a sidecar keyed to
+      // field ids the scan no longer asks about) and read as
+      // "unknown — don't skip"; files written after track the new
+      // set. Field ids are never reused, so a stale sidecar can
+      // never answer for a different column.
+      case set: TableChange.SetProperty
+          if set.property() == "bloom_cols" =>
+        val ids = KvCatalog.resolveBloomCols(
+          set.value(), KvSchema.currentCols(dir), ident.name())
+        require(ids.nonEmpty,
+          s"ALTER TABLE ${ident.name()} SET ('bloom_cols') names no " +
+            "columns — UNSET the property to disable blooms")
+        KvBucketing.writeMeta(dir,
+          KvBucketing.readMetaFull(dir).copy(blooms = ids))
+      case rm: TableChange.RemoveProperty
+          if rm.property() == "bloom_cols" =>
+        val meta = KvBucketing.readMetaFull(dir)
+        require(meta.blooms.nonEmpty,
+          s"${ident.name()} has no bloom_cols to unset")
+        val flipped = meta.copy(blooms = Nil)
+        if (flipped.isEmpty)
+          java.nio.file.Files.deleteIfExists(
+            p.resolve(KvBucketing.MetaFile))
+        else KvBucketing.writeMeta(dir, flipped)
 
       // ---- SCHEMA EVOLUTION (KvSchema.scala): ADD / RENAME / DROP
       // COLUMN are all METADATA-ONLY — no data file is read or
@@ -2400,4 +2414,28 @@ object KvExpireProcedure {
     org.apache.spark.sql.types.StructField("snapshots_before", LongType),
     org.apache.spark.sql.types.StructField("snapshots_after", LongType),
     org.apache.spark.sql.types.StructField("files_deleted", LongType)))
+}
+
+/** Shared DDL validation for the `bloom_cols` table property (CREATE
+  * TABLE and ALTER ... SET): resolves a comma list of column names to
+  * FIELD IDS (rename-proof) and enforces the point-lookup types —
+  * STRING / BIGINT, never the key (its manifest zone maps already
+  * skip point lookups). See KvBloom.scala.
+  */
+object KvCatalog {
+  private[sources] def resolveBloomCols(
+      spec: String, cols: Seq[KvSchema.Col], what: String): Seq[Int] =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { cn =>
+      val c = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom_cols column $cn is not a column of $what"))
+      require(c.id > 1, "bloom_cols cannot include the key " +
+        "column — its manifest zone maps already skip point lookups")
+      require(
+        c.dtype == org.apache.spark.sql.types.StringType ||
+          c.dtype == LongType,
+        s"bloom_cols needs STRING or BIGINT columns; $cn is " +
+          c.dtype.simpleString)
+      c.id
+    }
 }

@@ -851,6 +851,14 @@ class KvZorderProcedure(cat: KvCatalog)
           "system.zorder supports unpartitioned tables only (a " +
             "temporally partitioned table's layout contract is its " +
             "unit routing)")
+        // A 'write.sort'='key' table's write path REQUESTS a global
+        // key order that would silently re-sort the z-arranged rows —
+        // the call would "succeed" while leaving a key-sorted layout.
+        // Fail loud instead of no-opping.
+        require(!KvBucketing.readMetaFull(dir.toString).sorted,
+          "system.zorder conflicts with TBLPROPERTIES " +
+            "('write.sort'='key') — the standing key sort would undo " +
+            "the z-order layout at write time")
         val names = colsArg.split(',').map(_.trim).filter(_.nonEmpty)
         require(names.length == 2,
           s"system.zorder takes exactly two columns; got '$colsArg'")

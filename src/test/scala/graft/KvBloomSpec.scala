@@ -162,6 +162,68 @@ class KvBloomSpec extends SparkTestBase {
       "TBLPROPERTIES ('bloom_cols'='price')", "STRING or BIGINT")
   }
 
+  test("ALTER SET bloom_cols enables tracking mid-life; UNSET stops") {
+    cat()
+    val t = "graft_kv.default.bloom_alter"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('p', id) " +
+      "FROM range(0, 100)")
+    val dir = Paths.get(warehouseDir("bloom_alter"))
+    def sidecars: Int = {
+      val s = Files.list(dir)
+      try {
+        val it = s.iterator(); var c = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".bloom")) c += 1
+        }
+        c
+      } finally s.close()
+    }
+    assert(sidecars === 0)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('bloom_cols'='value')")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('p', id) " +
+      "FROM range(100, 200)")
+    assert(sidecars >= 1, "post-ALTER writes must track sidecars")
+    // pre-ALTER files have no sidecar → unknown → never skipped: a
+    // pre-ALTER value still reads exactly
+    assert(spark.sql(s"SELECT key FROM $t WHERE value = 'p5'")
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // UNSET: tracking stops, reads stay exact (stale sidecars are
+    // simply never consulted)
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('bloom_cols')")
+    val before = sidecars
+    spark.sql(s"INSERT INTO $t SELECT id, concat('p', id) " +
+      "FROM range(200, 300)")
+    assert(sidecars === before, "post-UNSET writes must not track")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0)
+      .getLong(0) === 300L)
+    // validation still applies through ALTER
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('bloom_cols'='key')")
+    }
+    assert(e.getMessage.contains("key"))
+  }
+
+  test("system.zorder refuses a write.sort table (silent no-op trap)") {
+    cat()
+    val t = "graft_kv.default.bloom_zs"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+      "a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('snapshots'='true', 'write.sort'='key')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'x', id % 7, id % 11 " +
+      "FROM range(0, 100)")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_kv.system.zorder(" +
+        "table => 'default.bloom_zs', cols => 'a,b')").collect()
+    }
+    assert(e.getMessage.contains("write.sort"))
+  }
+
   test("vacuum keeps live sidecars, reclaims orphaned ones") {
     cat()
     val t = "graft_kv.default.bloom_vac"
