@@ -637,6 +637,47 @@ object SourceQueries {
       }
     }),
 
+    // RUNTIME BLOOM FILTERING — dynamic pruning for columns no layout
+    // clusters by: the scan declares its bloom columns as runtime
+    // filter attributes (SupportsRuntimeV2Filtering), so a selective
+    // dim join on the bloomed string column materializes the dim
+    // keys, hands them to the scan, and whole fact FILES are skipped
+    // through the sidecars before opening — DPP semantics on a
+    // high-cardinality value column. The gate joins a hash-chunked
+    // bloomed fact against a filtered dim and require()s files were
+    // bloom-pruned AT RUNTIME (no static predicate on the fact side
+    // at all); rows pin against DuckDB running the same join.
+    "catalog_runtime_bloom" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.rbf_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'bloom_cols'='value')")
+      for (g <- 0 until 4)
+        s.sql(s"INSERT INTO $t SELECT o_orderkey, " +
+          "concat('c', o_custkey) " +
+          s"FROM parquet.`$d/orders.parquet` " +
+          s"WHERE pmod(hash(o_custkey), 4) = $g")
+      val before = graft.sources.KvBloomPrune.prunedFiles.get()
+      val df = s.sql(
+        s"""SELECT f.value, count(*) AS n_orders,
+           |       CAST(sum(f.key) AS BIGINT) AS sum_keys
+           |FROM $t f JOIN (
+           |  SELECT concat('c', c_custkey) AS cv
+           |  FROM parquet.`$d/customer.parquet`
+           |  WHERE c_custkey IN (7, 19)
+           |) c ON f.value = c.cv
+           |GROUP BY f.value ORDER BY f.value""".stripMargin)
+      val rows = df.collect()
+      require(rows.nonEmpty, "catalog_runtime_bloom: empty join")
+      val pruned =
+        graft.sources.KvBloomPrune.prunedFiles.get() - before
+      require(pruned > 0,
+        "catalog_runtime_bloom: no files were bloom-pruned — the " +
+          "runtime join-key set never reached the sidecars")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }),
+
     // PER-BUCKET COMPACTION (system.rewrite_buckets — Iceberg's
     // rewrite_data_files + rewrite_position_delete_files for the
     // bucketed layout): a fragmented sorted table (two appends →
@@ -2894,6 +2935,14 @@ object SourceQueries {
         |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
         |GROUP BY 1, 2
         |ORDER BY priority, flag""".stripMargin,
+    // The same selective join recomputed from raw orders × customer.
+    "catalog_runtime_bloom" ->
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS value,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey IN (7, 19)
+        |GROUP BY 1 ORDER BY value""".stripMargin,
     // The post-rewrite state recomputed from raw orders with the
     // same DELETE applied.
     "catalog_rewrite_buckets" ->

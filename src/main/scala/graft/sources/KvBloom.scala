@@ -247,6 +247,61 @@ object KvBloomPrune {
     }
   }
 
+  /** Compile a RUNTIME V2 predicate (IN / = over a bloom column with
+    * materialized literals — what SupportsRuntimeV2Filtering hands a
+    * scan after the selective join side runs) to a (field id,
+    * candidate hashes) conjunct. None = unparseable = no pruning from
+    * this predicate — the only safe failure direction, as everywhere
+    * in this file.
+    */
+  def compileV2(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      bloomIds: Seq[Int],
+      cols: Seq[KvSchema.Col]): Option[(Int, Array[Long])] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    def colOf(e: Expression): Option[KvSchema.Col] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        cols.find(c =>
+          c.name == r.fieldNames.head && bloomIds.contains(c.id))
+      case _ => None
+    }
+    def hashOf(c: KvSchema.Col, e: Expression): Option[Long] = e match {
+      case l: Literal[_] if l.value != null =>
+        (c.dtype, l.value) match {
+          case (org.apache.spark.sql.types.StringType,
+              s: org.apache.spark.unsafe.types.UTF8String) =>
+            Some(KvBloom.hashBytes(s.getBytes))
+          case (org.apache.spark.sql.types.LongType,
+              v: java.lang.Long) =>
+            Some(KvBloom.hashLong(v.longValue))
+          case _ => None
+        }
+      case _ => None
+    }
+    p.name() match {
+      case "IN" =>
+        val children = p.children()
+        if (children.length < 2) None
+        else colOf(children.head).flatMap { c =>
+          val hs = children.tail.map(hashOf(c, _))
+          // any unhashable/NULL literal → incomplete disjunction →
+          // can't prune on this predicate
+          if (hs.forall(_.isDefined)) Some((c.id, hs.flatten))
+          else None
+        }
+      case "=" =>
+        p.children() match {
+          case Array(a, b) =>
+            colOf(a).flatMap(c => hashOf(c, b).map(h =>
+              (c.id, Array(h))))
+              .orElse(colOf(b).flatMap(c => hashOf(c, a).map(h =>
+                (c.id, Array(h)))))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** May file `name` (under table dir `path`) match every compiled
     * conjunct? Loads the sidecar at most once per call site pass.
     */

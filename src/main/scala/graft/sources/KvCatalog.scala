@@ -611,9 +611,22 @@ class KvScan(
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (forRowLevelOp)
       Array.empty
-    else
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column("key"))
+    else {
+      // the key (bucket file pruning + reader row skip) AND every
+      // declared bloom column: a selective dim join on a bloomed
+      // string/long column prunes fact FILES at runtime through the
+      // sidecars — DPP for columns no layout clusters by. Restricted
+      // to columns surviving THIS scan's projection: Spark's
+      // PartitionPruning resolves every declared attribute against
+      // the scan output and FAILS on a pruned-out one.
+      val present = required.fieldNames.toSet
+      ("key" +: KvBucketing.readMetaFull(path).blooms.flatMap(id =>
+        cols.find(_.id == id).map(_.name)))
+        .filter(present)
+        .map(org.apache.spark.sql.connector.expressions.Expressions
+          .column)
+        .toArray
+    }
 
   /** Runtime predicates arrive as V2 `Predicate`s (IN / = over the
     * join key with materialized literals). Anything unparseable is
@@ -633,7 +646,19 @@ class KvScan(
       : Unit = if (!forRowLevelOp) {
     val sets = predicates.flatMap(KvRuntimePredicate.keySet)
     if (sets.nonEmpty) runtimeKeys = Some(sets.reduce(_ intersect _))
+    // runtime predicates over BLOOM columns compile to extra sidecar
+    // conjuncts — same evaluation as the static pushed ones
+    val bloomIds = KvBucketing.readMetaFull(path).blooms
+    if (bloomIds.nonEmpty)
+      runtimeBloom = predicates.toSeq.flatMap(
+        KvBloomPrune.compileV2(_, bloomIds, cols))
   }
+
+  /** Runtime (field id → candidate hashes) conjuncts from [[filter]]
+    * — driver-side state like runtimeKeys; BatchScanExec calls
+    * filter() then (re-)plans partitions on this same instance.
+    */
+  private var runtimeBloom: Seq[(Int, Array[Long])] = Nil
 
   /** Bucketed tables report `KeyGroupedPartitioning(bucket(n, key), n)`
     * — the storage-partitioned-join handshake. ALL n buckets are
@@ -777,12 +802,13 @@ class KvScan(
               if (!keep) KvZoneMap.prunedFiles.incrementAndGet()
               keep
             }
-            // Bloom sidecar skip (KvBloom.scala) — point lookups on
-            // bloom columns; runs AFTER the free manifest checks so
-            // only zone-map survivors pay the sidecar read
+            // Bloom sidecar skip (KvBloom.scala) — static point
+            // lookups AND runtime join-key sets on bloom columns;
+            // runs AFTER the free manifest checks so only zone-map
+            // survivors pay the sidecar read
             .filter { st =>
               val keep = KvBloomPrune.mayMatch(
-                path, st.name, bloomConjuncts)
+                path, st.name, bloomConjuncts ++ runtimeBloom)
               if (!keep && countPrunes)
                 KvBloomPrune.prunedFiles.incrementAndGet()
               keep
@@ -807,7 +833,7 @@ class KvScan(
           .filter { f =>
             val keep = KvBloomPrune.mayMatch(path,
               java.nio.file.Paths.get(f).getFileName.toString,
-              bloomConjuncts)
+              bloomConjuncts ++ runtimeBloom)
             if (!keep && countPrunes)
               KvBloomPrune.prunedFiles.incrementAndGet()
             keep
@@ -1569,6 +1595,37 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     * with TBLPROPERTIES ('snapshots'='true') — see KvSnapshots.scala.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // VERSION-PINNED metadata tables: `t$files VERSION AS OF n` (and
+    // `t$partitions`) answer "what was the layout THEN" — the debug
+    // companion of data time travel. Tags resolve like data reads;
+    // snapshot-membership tables only ($snapshots/$refs/$changes are
+    // global or carry their own range options).
+    for (suffix <- Seq(PartitionsSuffix, FilesSuffix)
+        if ident.name().endsWith(suffix)) {
+      val base = Identifier.of(
+        ident.namespace(), ident.name().stripSuffix(suffix))
+      val bp = tablePath(base)
+      if (!java.nio.file.Files.isDirectory(bp))
+        throw new NoSuchTableException(base)
+      require(KvBucketing.readMetaFull(bp.toString).snapshots,
+        s"${base.name()}$suffix needs a snapshotted base table " +
+          "(TBLPROPERTIES ('snapshots'='true'))")
+      val v = version.toIntOption
+        .orElse(KvRefs.resolve(bp.toString, version)).getOrElse(
+          throw new IllegalArgumentException(
+            s"'$version' is neither a snapshot version nor a tag of " +
+              s"${base.name()}"))
+      val have = KvSnapshots.versions(bp.toString)
+      require(have.contains(v),
+        s"no snapshot v$v of ${base.name()} " +
+          s"(versions: ${have.mkString(", ")})")
+      return if (suffix == FilesSuffix)
+        new KvFilesMetaTable(bp.toString,
+          s"kvjsonl files($bp) v$v", Some(v))
+      else
+        new KvPartitionsMetaTable(bp.toString,
+          s"kvjsonl partitions($bp) v$v", Some(v))
+    }
     val p = tablePath(ident)
     if (!java.nio.file.Files.isDirectory(p))
       throw new NoSuchTableException(ident)

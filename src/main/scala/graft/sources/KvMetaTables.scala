@@ -211,8 +211,8 @@ object KvFilesMetaTable {
     StructField("n_col_stats", IntegerType, nullable = false),
     StructField("col_stats", StringType, nullable = true)))
 
-  def rows(path: String): Seq[Seq[Any]] =
-    KvSnapshots.latest(path).toSeq.flatMap { v =>
+  def rows(path: String, pinned: Option[Int] = None): Seq[Seq[Any]] =
+    pinned.orElse(KvSnapshots.latest(path)).toSeq.flatMap { v =>
       KvSnapshots.membersWithStats(path, v).map { st =>
         val isDel = KvSnapshots.isDeleteFile(st.name)
         // the self-describing layout token, exactly as the file name
@@ -244,7 +244,8 @@ object KvFilesMetaTable {
     }
 }
 
-class KvFilesMetaTable(path: String, tableName: String)
+class KvFilesMetaTable(
+    path: String, tableName: String, pinned: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = KvFilesMetaTable.Schema
@@ -252,16 +253,17 @@ class KvFilesMetaTable(path: String, tableName: String)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KvFilesMetaScan(path)
+    () => new KvFilesMetaScan(path, pinned)
 }
 
-class KvFilesMetaScan(path: String) extends Scan with Batch {
+class KvFilesMetaScan(path: String, pinned: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = KvFilesMetaTable.Schema
   override def toBatch: Batch = this
   override def description(): String = s"kvjsonl files($path)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(KvLocalRowsPartition(KvFilesMetaTable.rows(path)))
+    Array(KvLocalRowsPartition(KvFilesMetaTable.rows(path, pinned)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -332,8 +334,8 @@ object KvPartitionsMetaTable {
     b.orElse(p)
   }
 
-  def rows(path: String): Seq[Seq[Any]] =
-    KvSnapshots.latest(path).toSeq.flatMap { v =>
+  def rows(path: String, pinned: Option[Int] = None): Seq[Seq[Any]] =
+    pinned.orElse(KvSnapshots.latest(path)).toSeq.flatMap { v =>
       val stats = KvSnapshots.membersWithStats(path, v)
       stats.groupBy(st => layoutToken(st.name))
         .toSeq.sortBy(_._1)
@@ -355,7 +357,8 @@ object KvPartitionsMetaTable {
     }
 }
 
-class KvPartitionsMetaTable(path: String, tableName: String)
+class KvPartitionsMetaTable(
+    path: String, tableName: String, pinned: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = KvPartitionsMetaTable.Schema
@@ -363,16 +366,18 @@ class KvPartitionsMetaTable(path: String, tableName: String)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KvPartitionsMetaScan(path)
+    () => new KvPartitionsMetaScan(path, pinned)
 }
 
-class KvPartitionsMetaScan(path: String) extends Scan with Batch {
+class KvPartitionsMetaScan(path: String, pinned: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = KvPartitionsMetaTable.Schema
   override def toBatch: Batch = this
   override def description(): String = s"kvjsonl partitions($path)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(KvLocalRowsPartition(KvPartitionsMetaTable.rows(path)))
+    Array(KvLocalRowsPartition(
+      KvPartitionsMetaTable.rows(path, pinned)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {

@@ -224,6 +224,35 @@ class KvBloomSpec extends SparkTestBase {
     assert(e.getMessage.contains("write.sort"))
   }
 
+  test("runtime join-key sets prune files through the sidecars (DPP)") {
+    cat()
+    val t = "graft_kv.default.bloom_dpp"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true', 'bloom_cols'='value')")
+    // 4 files with hash-disjoint value sets
+    (0 until 4).foreach { g =>
+      spark.sql(s"INSERT INTO $t SELECT id, concat('u', id) " +
+        s"FROM range(0, 400) WHERE pmod(hash(concat('u', id)), 4) = $g")
+    }
+    // the dim side needs a SELECTIVE FILTER for Spark's DPP heuristic
+    // to inject the pruning subquery (a bare local relation doesn't
+    // qualify) — same shape as a filtered dimension table
+    spark.range(0, 400).selectExpr("id", "concat('u', id) AS uv")
+      .where("id = 137").select("uv")
+      .createOrReplaceTempView("bloom_dpp_dim")
+    val before = KvBloomPrune.prunedFiles.get()
+    // NO static predicate on the fact side: the only route to the
+    // sidecars is the runtime filter from the selective dim join
+    val rows = spark.sql(
+      s"""SELECT f.key FROM $t f
+         |JOIN bloom_dpp_dim d ON f.value = d.uv""".stripMargin)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(137L))
+    assert(KvBloomPrune.prunedFiles.get() - before >= 2,
+      "runtime bloom filtering pruned fewer than 2 of 4 files")
+  }
+
   test("vacuum keeps live sidecars, reclaims orphaned ones") {
     cat()
     val t = "graft_kv.default.bloom_vac"

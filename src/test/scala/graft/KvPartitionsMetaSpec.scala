@@ -88,6 +88,38 @@ class KvPartitionsMetaSpec extends SparkTestBase {
     assert(rows.filterNot(_.isNullAt(0)).map(_.getLong(3)).sum === 50L)
   }
 
+  test("VERSION AS OF pins $files and $partitions to a past layout") {
+    cat()
+    val t = "graft_kv.default.pmeta_tt"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "PARTITIONED BY (bucket(2, key)) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 20)")
+    spark.sql(s"INSERT INTO $t SELECT id, 'b' FROM range(20, 50)")
+    def rowsAt(meta: String, v: String): Long =
+      spark.sql(s"SELECT CAST(sum(data_rows) AS BIGINT) FROM " +
+        s"graft_kv.default.`pmeta_tt$$$meta` VERSION AS OF $v")
+        .collect()(0).getLong(0)
+    assert(rowsAt("partitions", "1") === 20L)
+    assert(rowsAt("partitions", "2") === 50L)
+    assert(spark.sql("SELECT count(*) FROM " +
+      s"graft_kv.default.`pmeta_tt$$files` VERSION AS OF 1")
+      .collect()(0).getLong(0) === 2L) // one file per bucket at v1
+    // tags resolve for metadata tables too
+    spark.sql("CALL graft_kv.system.tag(" +
+      "table => 'default.pmeta_tt', name => 'v1tag', version => 1)")
+      .collect()
+    assert(rowsAt("partitions", "'v1tag'") === 20L)
+    // a never-committed version fails loud
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM " +
+        s"graft_kv.default.`pmeta_tt$$partitions` VERSION AS OF 99")
+        .collect()
+    }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
   test("$partitions requires a snapshotted base table") {
     cat()
     val t = "graft_kv.default.pmeta_plain"
