@@ -1600,6 +1600,11 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     // companion of data time travel. Tags resolve like data reads;
     // snapshot-membership tables only ($snapshots/$refs/$changes are
     // global or carry their own range options).
+    for (suffix <- Seq(ChangesSuffix, SnapshotsSuffix, RefsSuffix)
+        if ident.name().endsWith(suffix))
+      throw new IllegalArgumentException(
+        s"${ident.name()} is not version-addressable — it IS the " +
+          "history (use $files/$partitions for a pinned layout)")
     for (suffix <- Seq(PartitionsSuffix, FilesSuffix)
         if ident.name().endsWith(suffix)) {
       val base = Identifier.of(
@@ -1610,21 +1615,30 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       require(KvBucketing.readMetaFull(bp.toString).snapshots,
         s"${base.name()}$suffix needs a snapshotted base table " +
           "(TBLPROPERTIES ('snapshots'='true'))")
-      val v = version.toIntOption
-        .orElse(KvRefs.resolve(bp.toString, version)).getOrElse(
+      def make(v: Int, branch: Option[String]): Table =
+        if (suffix == FilesSuffix)
+          new KvFilesMetaTable(bp.toString,
+            s"kvjsonl files($bp) v$v", Some(v), branch)
+        else
+          new KvPartitionsMetaTable(bp.toString,
+            s"kvjsonl partitions($bp) v$v", Some(v), branch)
+      version.toIntOption
+        .orElse(KvRefs.resolve(bp.toString, version)) match {
+        case Some(v) =>
+          val have = KvSnapshots.versions(bp.toString)
+          require(have.contains(v),
+            s"no snapshot v$v of ${base.name()} " +
+              s"(versions: ${have.mkString(", ")})")
+          return make(v, None)
+        case None if KvBranches.exists(bp.toString, version) =>
+          // the WAP audit question: "what files is my branch staging"
+          return make(
+            KvBranches.head(bp.toString, version), Some(version))
+        case None =>
           throw new IllegalArgumentException(
-            s"'$version' is neither a snapshot version nor a tag of " +
-              s"${base.name()}"))
-      val have = KvSnapshots.versions(bp.toString)
-      require(have.contains(v),
-        s"no snapshot v$v of ${base.name()} " +
-          s"(versions: ${have.mkString(", ")})")
-      return if (suffix == FilesSuffix)
-        new KvFilesMetaTable(bp.toString,
-          s"kvjsonl files($bp) v$v", Some(v))
-      else
-        new KvPartitionsMetaTable(bp.toString,
-          s"kvjsonl partitions($bp) v$v", Some(v))
+            s"'$version' is neither a snapshot version, a tag, nor " +
+              s"a branch of ${base.name()}")
+      }
     }
     val p = tablePath(ident)
     if (!java.nio.file.Files.isDirectory(p))
@@ -1665,6 +1679,31 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     * resolve to the newest snapshot committed at or before it.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    for (suffix <- Seq(ChangesSuffix, SnapshotsSuffix, RefsSuffix)
+        if ident.name().endsWith(suffix))
+      throw new IllegalArgumentException(
+        s"${ident.name()} is not timestamp-addressable — it IS the " +
+          "history (use $files/$partitions for a pinned layout)")
+    // TIMESTAMP AS OF on $files/$partitions resolves exactly like a
+    // data read: newest snapshot committed at or before the instant.
+    for (suffix <- Seq(PartitionsSuffix, FilesSuffix)
+        if ident.name().endsWith(suffix)) {
+      val base = Identifier.of(
+        ident.namespace(), ident.name().stripSuffix(suffix))
+      val bp = tablePath(base)
+      if (!java.nio.file.Files.isDirectory(bp))
+        throw new NoSuchTableException(base)
+      require(KvBucketing.readMetaFull(bp.toString).snapshots,
+        s"${base.name()}$suffix needs a snapshotted base table " +
+          "(TBLPROPERTIES ('snapshots'='true'))")
+      val v = KvSnapshots.resolveTimestamp(bp.toString, timestamp)
+      return if (suffix == FilesSuffix)
+        new KvFilesMetaTable(bp.toString,
+          s"kvjsonl files($bp) v$v", Some(v))
+      else
+        new KvPartitionsMetaTable(bp.toString,
+          s"kvjsonl partitions($bp) v$v", Some(v))
+    }
     val p = tablePath(ident)
     if (!java.nio.file.Files.isDirectory(p))
       throw new NoSuchTableException(ident)

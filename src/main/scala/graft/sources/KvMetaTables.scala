@@ -211,9 +211,11 @@ object KvFilesMetaTable {
     StructField("n_col_stats", IntegerType, nullable = false),
     StructField("col_stats", StringType, nullable = true)))
 
-  def rows(path: String, pinned: Option[Int] = None): Seq[Seq[Any]] =
+  def rows(
+      path: String, pinned: Option[Int] = None,
+      branch: Option[String] = None): Seq[Seq[Any]] =
     pinned.orElse(KvSnapshots.latest(path)).toSeq.flatMap { v =>
-      KvSnapshots.membersWithStats(path, v).map { st =>
+      KvSnapshots.membersWithStats(path, v, branch).map { st =>
         val isDel = KvSnapshots.isDeleteFile(st.name)
         // the self-describing layout token, exactly as the file name
         // carries it: `b0003` (bucket) or `d9862`/`m334`/... (unit)
@@ -245,7 +247,8 @@ object KvFilesMetaTable {
 }
 
 class KvFilesMetaTable(
-    path: String, tableName: String, pinned: Option[Int] = None)
+    path: String, tableName: String, pinned: Option[Int] = None,
+    branch: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = KvFilesMetaTable.Schema
@@ -253,17 +256,20 @@ class KvFilesMetaTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KvFilesMetaScan(path, pinned)
+    () => new KvFilesMetaScan(path, pinned, branch)
 }
 
-class KvFilesMetaScan(path: String, pinned: Option[Int] = None)
+class KvFilesMetaScan(
+    path: String, pinned: Option[Int] = None,
+    branch: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = KvFilesMetaTable.Schema
   override def toBatch: Batch = this
   override def description(): String = s"kvjsonl files($path)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(KvLocalRowsPartition(KvFilesMetaTable.rows(path, pinned)))
+    Array(KvLocalRowsPartition(
+      KvFilesMetaTable.rows(path, pinned, branch)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -334,9 +340,11 @@ object KvPartitionsMetaTable {
     b.orElse(p)
   }
 
-  def rows(path: String, pinned: Option[Int] = None): Seq[Seq[Any]] =
+  def rows(
+      path: String, pinned: Option[Int] = None,
+      branch: Option[String] = None): Seq[Seq[Any]] =
     pinned.orElse(KvSnapshots.latest(path)).toSeq.flatMap { v =>
-      val stats = KvSnapshots.membersWithStats(path, v)
+      val stats = KvSnapshots.membersWithStats(path, v, branch)
       stats.groupBy(st => layoutToken(st.name))
         .toSeq.sortBy(_._1)
         .map { case (tok, members) =>
@@ -358,7 +366,8 @@ object KvPartitionsMetaTable {
 }
 
 class KvPartitionsMetaTable(
-    path: String, tableName: String, pinned: Option[Int] = None)
+    path: String, tableName: String, pinned: Option[Int] = None,
+    branch: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = KvPartitionsMetaTable.Schema
@@ -366,10 +375,12 @@ class KvPartitionsMetaTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KvPartitionsMetaScan(path, pinned)
+    () => new KvPartitionsMetaScan(path, pinned, branch)
 }
 
-class KvPartitionsMetaScan(path: String, pinned: Option[Int] = None)
+class KvPartitionsMetaScan(
+    path: String, pinned: Option[Int] = None,
+    branch: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = KvPartitionsMetaTable.Schema
   override def toBatch: Batch = this
@@ -377,7 +388,7 @@ class KvPartitionsMetaScan(path: String, pinned: Option[Int] = None)
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(KvLocalRowsPartition(
-      KvPartitionsMetaTable.rows(path, pinned)))
+      KvPartitionsMetaTable.rows(path, pinned, branch)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {

@@ -120,6 +120,42 @@ class KvPartitionsMetaSpec extends SparkTestBase {
     assert(e.getMessage.contains("no snapshot"))
   }
 
+  test("branch heads and timestamps address the layout tables too; " +
+      "history tables reject version addressing") {
+    cat()
+    val t = "graft_kv.default.pmeta_br"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'main' FROM range(0, 10)")
+    spark.sql("CALL graft_kv.system.create_branch(" +
+      "table => 'default.pmeta_br', name => 'audit')").collect()
+    // stage 30 rows on the branch; main stays at 10
+    spark.sql(s"SELECT id AS key, 'staged' AS value FROM range(0, 30)")
+      .writeTo(t).option("branch", "audit").append()
+    def sumRows(v: String): Long =
+      spark.sql(s"SELECT CAST(sum(data_rows) AS BIGINT) FROM " +
+        s"graft_kv.default.`pmeta_br$$partitions` VERSION AS OF $v")
+        .collect()(0).getLong(0)
+    assert(sumRows("'audit'") === 40L,
+      "the branch head must show main + staged files")
+    assert(spark.sql("SELECT CAST(sum(data_rows) AS BIGINT) FROM " +
+      s"graft_kv.default.`pmeta_br$$partitions`")
+      .collect()(0).getLong(0) === 10L, "main must be unaffected")
+    // TIMESTAMP AS OF: far future resolves to the newest main version
+    assert(spark.sql("SELECT count(*) FROM " +
+      s"graft_kv.default.`pmeta_br$$files` " +
+      "TIMESTAMP AS OF '2099-01-01'").collect()(0).getLong(0) >= 1L)
+    // history tables are the history — version-addressing them is
+    // a loud error, not a confusing NoSuchTable
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM " +
+        s"graft_kv.default.`pmeta_br$$snapshots` VERSION AS OF 1")
+        .collect()
+    }
+    assert(e.getMessage.contains("not version-addressable"))
+  }
+
   test("$partitions requires a snapshotted base table") {
     cat()
     val t = "graft_kv.default.pmeta_plain"
