@@ -264,6 +264,7 @@ class KvJsonlTable(
     val m = new util.HashMap[String, String]()
     if (meta.snapshots) m.put("snapshots", "true")
     if (meta.mor) m.put("dml", "mor")
+    if (meta.sorted) m.put("write.sort", "key")
     if (meta.blooms.nonEmpty)
       m.put("bloom_cols", meta.blooms.flatMap(id =>
         cols.find(_.id == id).map(_.name)).mkString(","))

@@ -45,6 +45,11 @@ class KvSortedBucketSpec extends SparkTestBase {
     spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
       "PARTITIONED BY (bucket(4, key)) " +
       "TBLPROPERTIES ('snapshots'='true', 'write.sort'='key')")
+    // the standing sort is a visible table property (DESCRIBE/SHOW
+    // TBLPROPERTIES round-trips what CREATE declared)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.sort") === Some("key"))
     // reversed input: only the requested ordering can sort it
     spark.sql(s"INSERT INTO $t SELECT 1000 - id, 'v' FROM range(0, 1000)")
     val dir = Paths.get(dirOf("sb_layout"))
