@@ -144,9 +144,22 @@ object KvBloom {
 
   // ---- sidecar IO -------------------------------------------------
 
-  private val Header = "graft-bloom v1"
+  /** v2 carries a per-line CRC32 of the bitset bytes: a bit flip in a
+    * stored sidecar that still base64-decodes would otherwise SKIP a
+    * matching file (a cleared bit = silent false negative = lost
+    * rows). With the checksum, every corruption direction lands on
+    * "unknown — don't skip". Unrecognized headers (incl. v1) read as
+    * None for the same reason.
+    */
+  private val Header = "graft-bloom v2"
 
   def sidecarName(dataFileName: String): String = dataFileName + ".bloom"
+
+  private def crcOf(bytes: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(bytes)
+    c.getValue
+  }
 
   /** Written task-side next to the temp data file; the driver
     * publishes it with the same rename pass as the data file.
@@ -157,14 +170,17 @@ object KvBloom {
       case (id, b) =>
         val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
         b.words.foreach(bb.putLong)
-        s"$id ${b.k} ${b.mBits} ${enc.encodeToString(bb.array())}"
+        val bytes = bb.array()
+        s"$id ${b.k} ${b.mBits} ${enc.encodeToString(bytes)} " +
+          s"${crcOf(bytes)}"
     }
     Files.write(to, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     ()
   }
 
-  /** None on any structural problem — a sidecar is an optimization,
-    * so unreadable means "unknown", never an error.
+  /** None on any structural problem OR checksum mismatch — a sidecar
+    * is an optimization, so unreadable means "unknown", never an
+    * error and never a skip.
     */
   def readSidecar(file: Path): Option[Map[Int, Bloom]] = {
     if (!Files.isRegularFile(file)) return None
@@ -173,8 +189,9 @@ object KvBloom {
         Files.readAllBytes(file), StandardCharsets.UTF_8).split('\n')
       if (lines.isEmpty || lines(0) != Header) return None
       Some(lines.drop(1).filter(_.nonEmpty).map { l =>
-        val Array(id, k, m, b64) = l.split(' ')
+        val Array(id, k, m, b64, crc) = l.split(' ')
         val bytes = Base64.getDecoder.decode(b64)
+        require(crcOf(bytes) == crc.toLong, "sidecar checksum mismatch")
         val bb = java.nio.ByteBuffer.wrap(bytes)
         val words = new Array[Long](bytes.length / 8)
         var i = 0
