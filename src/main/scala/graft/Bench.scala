@@ -247,6 +247,18 @@ object Bench {
     // said so IN the artifact — a contended box read as a 1.24×
     // engine regression until hand-adjudicated).
     var nSweepContended = -1
+    // Third disposition (round-17): the sweep blew past 2× the floor
+    // WITH its CPU grown in step (>1.5× the floor's) — not the flat-CPU
+    // co-tenancy signature, but a box whose cycles themselves degraded
+    // (thermal/cgroup throttling, noisy-neighbor CPU steal). The
+    // round-16 of-record run was exactly this: 51 entries 5-50× their
+    // same-run floors, CPU grown 10-50× in lockstep, and the flat-CPU
+    // flag correctly declined to call it co-tenancy — so the artifact
+    // read "0 contended" on a run whose raw total was 2.05× its own
+    // adjusted total. With both counts printed, every >2× entry carries
+    // exactly one of {sweep_contended, cpu_inflated} and a degraded run
+    // can never again self-describe as clean.
+    var nCpuInflated = -1
     var adjustedTotal = total
     if (only.isEmpty) {
       val watchlist = Seq("tpch_q3", "tpch_q5", "tpch_q10", "bigram_topk",
@@ -384,11 +396,22 @@ object Bench {
         // per entry; both false = the two runs agree.
         val sweepContended = (for {
           b <- best; sw <- sweepMap.get(name); sc <- sweepCpuMap.get(name)
-        } yield sw > 2 * b._1 && sc <= 1.5 * b._2).getOrElse(false)
+        } yield BenchAdjud.sweepContended(sw, sc, b._1, b._2))
+          .getOrElse(false)
+        // The complementary disposition: sweep >2× floor AND sweep CPU
+        // >1.5× floor CPU — the box's cycles degraded (the round-16
+        // of-record signature). Exactly one of {sweep_contended,
+        // cpu_inflated} fires on any sweep entry >2× its floor
+        // (partition property pinned by BenchAdjudSpec).
+        val cpuInflated = (for {
+          b <- best; sw <- sweepMap.get(name); sc <- sweepCpuMap.get(name)
+        } yield BenchAdjud.cpuInflated(sw, sc, b._1, b._2))
+          .getOrElse(false)
         s""""$name":{"isolated":$isoV,"attempts":$att,"cpu_s":$cpuS,""" +
           s""""cold_s":$coldS,"deps_rebuild_s":$deps,"sweep":$sweep,""" +
           s""""sweep_cpu":$sweepCpu,"prior":$pri,"prior_cpu":$priCpu,""" +
-          s""""contended":$contended,"sweep_contended":$sweepContended}"""
+          s""""contended":$contended,"sweep_contended":$sweepContended,""" +
+          s""""cpu_inflated":$cpuInflated}"""
       }.mkString("{", ",", "}")
       // Sweep-side adjudication summary: how many entries the flag
       // fired on, and the total with each entry charged min(sweep,
@@ -400,7 +423,13 @@ object Bench {
       nSweepContended = results.count { case (name, sw) =>
         floors.get(name).exists { case (iso, isoCpu) =>
           sweepCpuMap.get(name).exists(sc =>
-            sw > 2 * iso && sc <= 1.5 * isoCpu)
+            BenchAdjud.sweepContended(sw, sc, iso, isoCpu))
+        }
+      }
+      nCpuInflated = results.count { case (name, sw) =>
+        floors.get(name).exists { case (iso, isoCpu) =>
+          sweepCpuMap.get(name).exists(sc =>
+            BenchAdjud.cpuInflated(sw, sc, iso, isoCpu))
         }
       }
       adjustedTotal = results.map { case (name, sw) =>
@@ -419,6 +448,7 @@ object Bench {
         (s"""{"sf":"$sfDir","unit":"sec","best_of_flagged":3,""" +
           s""""best_of_rest":2,"prebuilt":true,""" +
           s""""n_sweep_contended":$nSweepContended,""" +
+          s""""n_cpu_inflated":$nCpuInflated,""" +
           s""""adjusted_total":${f4(adjustedTotal)},""" +
           s""""session_probe_s":{"sweep_session":${f4(probeSweepSession)},""" +
           s""""iso_after_warmup":${f4(probeAfterWarmup)},""" +
@@ -438,7 +468,8 @@ object Bench {
     // means "not adjudicated" (subset run), never "zero contention".
     val adjudFields =
       if (only.isEmpty)
-        s""","n_sweep_contended":$nSweepContended,"adjusted_total":""" +
+        s""","n_sweep_contended":$nSweepContended,""" +
+          s""""n_cpu_inflated":$nCpuInflated,"adjusted_total":""" +
           String.format(java.util.Locale.ROOT, "%.4f",
             Double.box(adjustedTotal))
       else ""
