@@ -754,6 +754,99 @@ object SourceQueries {
            |FROM $t GROUP BY value ORDER BY value""".stripMargin)
     }),
 
+    // BUCKET-COUNT EVOLUTION (system.rebucket) + BOUNDED PER-BUCKET
+    // FILE SIZE (rewrite_buckets target_files_per_bucket) — the two
+    // round-16 scale gaps in one lifecycle: (1) a fragmented sorted
+    // bucket(8) fact table range-splits into ≥2 key-disjoint sorted
+    // files PER BUCKET (the 100 TB file-size bound; one file per
+    // bucket at bucket(8)×100 TB is a 12.5 TB file), and the sorted
+    // SPJ plan facts — ZERO exchanges, ZERO sorts — must hold over
+    // the multi-file buckets (merge read); (2) both join sides then
+    // rebucket 8→16 and the same plan facts must hold under the new
+    // count, while a read PINNED BELOW the rebucket must NOT claim
+    // the grouping (its files are old-generation) — require()d as a
+    // shuffle PRESENT in the pinned join. Rows pin against DuckDB
+    // joining the raw parquet.
+    "catalog_rebucket" -> ((s, d) => {
+      registerKvCatalog(s)
+      val ta = "graft_kv.default.rbk_orders"
+      val tb = "graft_kv.default.rbk_items"
+      for (t <- Seq(ta, tb)) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+          "PARTITIONED BY (bucket(8, key)) " +
+          "TBLPROPERTIES ('snapshots'='true', 'write.sort'='key')")
+      }
+      // fragment ta across every bucket (split uncorrelated with key)
+      for (cond <- Seq("o_totalprice < 150000.0",
+          "o_totalprice >= 150000.0"))
+        s.sql(s"INSERT INTO $ta SELECT o_orderkey, o_orderpriority " +
+          s"FROM parquet.`$d/orders.parquet` WHERE $cond")
+      s.sql(s"INSERT INTO $tb SELECT l_orderkey, l_returnflag " +
+        s"FROM parquet.`$d/lineitem.parquet`")
+      val dirA =
+        s"${graft.Fs.sinkDir("graft_kv_wh")}/default/rbk_orders"
+      def filesPerBucket(dir: String): Map[Int, Int] =
+        graft.sources.KvSnapshots.dataFiles(
+          graft.sources.KvSnapshots.membersWithStats(dir,
+            graft.sources.KvSnapshots.latest(dir).get))
+          .groupBy(f => graft.sources.KvBucketing.fileBucket(f.name)
+            .getOrElse(-1))
+          .map { case (b, fs) => b -> fs.size }
+      val out = s.sql("CALL graft_kv.system.rewrite_buckets(" +
+        "table => 'default.rbk_orders', " +
+        "target_files_per_bucket => 3)").collect()(0)
+      val perBucket = filesPerBucket(dirA)
+      require(out.getLong(1) > 8L &&
+        (0 until 8).forall(b => perBucket.getOrElse(b, 0) >= 2),
+        s"catalog_rebucket: range split did not bound file size — " +
+          s"files/bucket = $perBucket")
+      def spjAgg() = s.sql(
+        s"""SELECT a.value AS priority, b.value AS flag,
+           |count(*) AS n_items,
+           |CAST(sum(b.key) AS BIGINT) AS sum_keys
+           |FROM $ta a JOIN $tb b ON a.key = b.key
+           |GROUP BY a.value, b.value
+           |ORDER BY priority, flag""".stripMargin)
+      withConfs(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val df1 = spjAgg()
+        df1.collect()
+        requireShuffleFreeJoin(df1, "catalog_rebucket(split)")
+        requireSortFreeJoin(df1, "catalog_rebucket(split)")
+        val preV = graft.sources.KvSnapshots.latest(dirA).get
+        val reb = s.sql("CALL graft_kv.system.rebucket(" +
+          "table => 'default.rbk_orders', buckets => 16)")
+          .collect()(0)
+        require(reb.getLong(0) == 8L && reb.getLong(1) == 16L &&
+          reb.getLong(2) == 16L,
+          s"catalog_rebucket: unexpected rebucket result $reb")
+        s.sql("CALL graft_kv.system.rebucket(" +
+          "table => 'default.rbk_items', buckets => 16)").collect()
+        val df2 = spjAgg()
+        val rows = df2.collect()
+        requireShuffleFreeJoin(df2, "catalog_rebucket(16)")
+        requireSortFreeJoin(df2, "catalog_rebucket(16)")
+        // old-generation pin: claims suppressed → the join SHUFFLES
+        val dfOld = s.sql(
+          s"""SELECT count(*) AS n FROM
+             |$ta VERSION AS OF $preV a JOIN $tb b
+             |ON a.key = b.key""".stripMargin)
+        dfOld.collect()
+        val oldShuffles = dfOld.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }
+        require(oldShuffles.nonEmpty,
+          "catalog_rebucket: a pre-rebucket pinned read still " +
+            "claimed the NEW bucket grouping — generation gate broke")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df2.schema)
+      }
+    }),
+
     // BUCKETED AGGREGATION (the other half of the co-bucketing
     // payoff): a GROUP BY on the bucket key of a KeyGrouped kv scan
     // satisfies the aggregate's clustered distribution outright —
@@ -1245,6 +1338,56 @@ object SourceQueries {
            |GROUP BY value ORDER BY value""".stripMargin)
     }),
 
+    // ARRAY COLUMNS IN THE LAKEHOUSE (KvSchema array<double> /
+    // array<bigint>): the north-star asset — an embedding table —
+    // living INSIDE the catalog with the full lineage story: loaded
+    // from the fixture (float → double, exact widening), TAGGED,
+    // garbled by later commits, reclaimed by expire_snapshots, and
+    // read back through the expire-proof tag into the exact
+    // cosine-top-K plan cosine_topk_brute runs on raw parquet. The
+    // hash pins every element of every vector end-to-end through the
+    // line format (a single flipped bit in one stored double changes
+    // a sim), and the require()s pin that the tag survived
+    // reclamation while the junk versions did not.
+    "catalog_array_column" -> ((s, d) => {
+      registerKvCatalog(s)
+      import org.apache.spark.sql.expressions.Window
+      val t = "graft_kv.default.arr_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, embedding ARRAY<DOUBLE>, " +
+        "label BIGINT) TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT vec_id, " +
+        "CAST(embedding AS ARRAY<DOUBLE>), CAST(label AS BIGINT) " +
+        s"FROM parquet.`$d/embeddings.parquet`") // v1
+      s.sql("CALL graft_kv.system.tag(" +
+        "table => 'default.arr_gate', name => 'shipped')")
+      s.sql(s"INSERT INTO $t VALUES (-1, array(0.0D), -1)") // v2 junk
+      s.sql(s"DELETE FROM $t WHERE key = -1") // v3 CoW rewrite
+      s.sql("CALL graft_kv.system.expire_snapshots(" +
+        "table => 'default.arr_gate', keep_last => 1)")
+      val retained = graft.sources.KvSnapshots.versions(
+        s"${graft.Fs.sinkDir("graft_kv_wh")}/default/arr_gate")
+      require(retained.contains(1) && !retained.contains(2),
+        s"catalog_array_column: expire broke the tag pin " +
+          s"(retained: ${retained.mkString(",")})")
+      val pinned = s.sql(
+        s"SELECT key AS vec_id, embedding FROM $t VERSION AS OF 'shipped'")
+      val q = pinned
+        .filter(col("vec_id") < SimilarityQueries.NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q)
+        .join(pinned, col("qid") =!= col("vec_id"))
+        .withColumn("sim",
+          graft.functions.Vectors.cosine(col("qe"), col("embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= SimilarityQueries.TopK)
+        .select("qid", "vec_id", "rnk", "sim")
+        .orderBy("qid", "rnk")
+    }),
+
     // `$refs` METADATA TABLE (KvMetaTables.scala — Iceberg's `.refs`
     // shape): one row per tag and branch, the observability surface
     // of the whole ref lifecycle. The gate builds a deterministic ref
@@ -1694,6 +1837,73 @@ object SourceQueries {
         s"catalog_bloom_prune: only $pruned of $total files " +
           "bloom-skipped — the point lookup did not prune")
       out
+    }),
+
+    // BLOOM SIDECARS FOR TIMESTAMP / DATE / DOUBLE — the round-16
+    // gap: the newest column types were second-class to the newest
+    // pruning structure (a timestamp point lookup silently never
+    // pruned). Same construction as catalog_bloom_prune, but the
+    // point predicates land on a TIMESTAMP, a DATE and a DOUBLE
+    // column, each probed with a value that lives in exactly one of
+    // the 4 hash-split files (the split hashes o_orderdate, so the
+    // temporal probes correlate with the split; the double probe is a
+    // near-unique totalprice and prunes regardless). Zone maps can't
+    // help — every file spans ~the whole domain — so every skipped
+    // file is the sidecar's. The per-probe prune counts are
+    // require()d and the surviving rows pinned against DuckDB at UTC.
+    "catalog_bloom_temporal" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.bt_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING, " +
+        "ts TIMESTAMP, day DATE, price DOUBLE) " +
+        "TBLPROPERTIES ('snapshots'='true', " +
+        "'bloom_cols'='ts,day,price')")
+      for (g <- 0 until 4)
+        s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority, " +
+          "o_orderdate, CAST(o_orderdate AS DATE), o_totalprice " +
+          s"FROM parquet.`$d/orders.parquet` " +
+          s"WHERE pmod(hash(o_orderdate), 4) = $g")
+      // Deterministic MID-DOMAIN probe values that exist at every SF:
+      // the >= floors keep the probes INTERIOR to every chunk's
+      // [min,max] (the fixture spans 1992-1998 and prices to ~450k,
+      // so each hash chunk's range covers both floors) — the zone
+      // maps legitimately keep all 4 files and every skip below is
+      // the sidecar's alone.
+      val probe = s.sql(
+        s"""SELECT date_format(min(CASE WHEN o_orderdate >=
+           |         TIMESTAMP '1995-06-01 00:00:00'
+           |         THEN o_orderdate END),
+           |         'yyyy-MM-dd HH:mm:ss') AS ts,
+           |       CAST(min(CASE WHEN o_totalprice >= 100000.0
+           |         THEN o_totalprice END) AS STRING) AS price
+           |FROM parquet.`$d/orders.parquet`"""
+          .stripMargin).collect()(0)
+      val tsLit = probe.getString(0)
+      val dayLit = tsLit.take(10)
+      val priceLit = probe.getString(1)
+      def prunedBy(q: String): (Array[org.apache.spark.sql.Row], Long) = {
+        val b = graft.sources.KvBloomPrune.prunedFiles.get()
+        val rows = s.sql(q).collect()
+        (rows, graft.sources.KvBloomPrune.prunedFiles.get() - b)
+      }
+      val sel = (probe: String, cond: String) =>
+        s"""SELECT '$probe' AS probe, count(*) AS n_rows,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t WHERE $cond""".stripMargin
+      val (r1, p1) = prunedBy(sel("ts", s"ts = TIMESTAMP '$tsLit'"))
+      val (r2, p2) = prunedBy(sel("day", s"day = DATE '$dayLit'"))
+      val (r3, p3) = prunedBy(sel("price",
+        s"price = CAST('$priceLit' AS DOUBLE)"))
+      for ((nm, p) <- Seq(("ts", p1), ("day", p2), ("price", p3)))
+        require(p >= 2,
+          s"catalog_bloom_temporal: $nm point lookup bloom-pruned " +
+            s"only $p of 4 files")
+      require(r1(0).getLong(1) > 0 && r3(0).getLong(1) >= 1L,
+        "catalog_bloom_temporal: probes matched no rows")
+      s.createDataFrame(
+        java.util.Arrays.asList(r1 ++ r2 ++ r3: _*),
+        s.sql(sel("x", "1=0")).schema).orderBy("probe")
     }),
 
     // MANIFEST-ANSWERED MIN/MAX over EVOLVED columns: the per-column
@@ -2817,6 +3027,12 @@ object SourceQueries {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // The catalog round-trip (tag-pinned array<double> read) must
+    // reproduce cosine_topk_brute on the raw parquet BIT-FOR-BIT —
+    // the float→double widening at INSERT is exact, so the two
+    // pipelines share one oracle.
+    "catalog_array_column" ->
+      SimilarityQueries.oracleSql("cosine_topk_brute"),
     "stream_v2_source" ->
       """SELECT event_id,
         |       epoch_us(ts) AS ts_us,
@@ -3161,6 +3377,14 @@ object SourceQueries {
         |       min(o_orderkey) AS min_key,
         |       max(o_orderkey) AS max_key
         |FROM orders GROUP BY 1 ORDER BY partition""".stripMargin,
+    // The rebucketed SPJ aggregate recomputed from the raw parquet
+    // join (bucket layout changes plans, never rows).
+    "catalog_rebucket" ->
+      """SELECT o.o_orderpriority AS priority, l.l_returnflag AS flag,
+        |       count(*) AS n_items,
+        |       CAST(sum(l.l_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2 ORDER BY priority, flag""".stripMargin,
     // The same point lookup recomputed from raw orders.
     "catalog_bloom_prune" ->
       """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS value,
@@ -3168,6 +3392,31 @@ object SourceQueries {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_custkey IN (7, 19, 31)
         |GROUP BY 1 ORDER BY value""".stripMargin,
+    // The three temporal/double point lookups recomputed from raw
+    // orders with the SAME probe derivation (bloom pruning changes
+    // files-opened only, never rows).
+    "catalog_bloom_temporal" ->
+      """WITH p AS (
+        |  SELECT min(CASE WHEN o_orderdate >=
+        |           TIMESTAMP '1995-06-01 00:00:00'
+        |           THEN o_orderdate END) AS ts,
+        |         min(CASE WHEN o_totalprice >= 100000.0
+        |           THEN o_totalprice END) AS price
+        |  FROM orders)
+        |SELECT probe, n_rows, sum_keys FROM (
+        |  SELECT 'ts' AS probe, count(*) AS n_rows,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |  FROM orders, p WHERE o_orderdate = p.ts
+        |  UNION ALL
+        |  SELECT 'day', count(*),
+        |         CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders, p
+        |  WHERE CAST(o_orderdate AS DATE) = CAST(p.ts AS DATE)
+        |  UNION ALL
+        |  SELECT 'price', count(*),
+        |         CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders, p WHERE o_totalprice = p.price
+        |) t ORDER BY probe""".stripMargin,
     // The same unfiltered aggregates recomputed from raw orders.
     "catalog_colagg_pushdown" ->
       """SELECT count(*) AS n_orders,

@@ -55,6 +55,16 @@ object KvBloom {
 
   def hashLong(v: Long): Long = splitmix64(v)
 
+  /** DOUBLE values hash over their canonical bit pattern: -0.0
+    * normalizes to 0.0 first (SQL equality says they match, so their
+    * hashes must), and doubleToLongBits already canonicalizes every
+    * NaN payload. TIMESTAMP/DATE need no sibling — their storage
+    * tokens ARE longs (micros / epoch days) and hash via [[hashLong]].
+    */
+  def hashDouble(d: Double): Long =
+    splitmix64(java.lang.Double.doubleToLongBits(
+      if (d == 0.0d) 0.0d else d))
+
   /** FNV-1a 64 over the raw bytes, finalized through splitmix64 so
     * short keys still spread across the whole 64-bit space. The WRITE
     * side hashes the row's UTF8String bytes, the SCAN side the
@@ -248,6 +258,16 @@ object KvBloomPrune {
         Some(KvBloom.hashLong(l))
       case i: Int if c.dtype == org.apache.spark.sql.types.LongType =>
         Some(KvBloom.hashLong(i.toLong))
+      case d: Double
+          if c.dtype == org.apache.spark.sql.types.DoubleType =>
+        Some(KvBloom.hashDouble(d))
+      // TIMESTAMP/DATE literals → the column's int64 storage token,
+      // via the SAME conversions the evolved-column predicate compiler
+      // uses (KvExtraPredicate.token) — write-side and scan-side hash
+      // identical longs by construction.
+      case _ if c.dtype == org.apache.spark.sql.types.TimestampType ||
+          c.dtype == org.apache.spark.sql.types.DateType =>
+        KvExtraPredicate.token(c.dtype, v).map(KvBloom.hashLong)
       case _ => None
     }
     filters.toSeq.flatMap {
@@ -284,6 +304,9 @@ object KvBloomPrune {
     }
     def hashOf(c: KvSchema.Col, e: Expression): Option[Long] = e match {
       case l: Literal[_] if l.value != null =>
+        // V2 predicate literals carry Spark's INTERNAL values — which
+        // for timestamp/date are exactly the int64/int32 storage
+        // tokens this format writes, so they hash directly.
         (c.dtype, l.value) match {
           case (org.apache.spark.sql.types.StringType,
               s: org.apache.spark.unsafe.types.UTF8String) =>
@@ -291,6 +314,15 @@ object KvBloomPrune {
           case (org.apache.spark.sql.types.LongType,
               v: java.lang.Long) =>
             Some(KvBloom.hashLong(v.longValue))
+          case (org.apache.spark.sql.types.TimestampType,
+              v: java.lang.Long) =>
+            Some(KvBloom.hashLong(v.longValue))
+          case (org.apache.spark.sql.types.DateType,
+              v: java.lang.Integer) =>
+            Some(KvBloom.hashLong(v.longValue))
+          case (org.apache.spark.sql.types.DoubleType,
+              v: java.lang.Double) =>
+            Some(KvBloom.hashDouble(v.doubleValue))
           case _ => None
         }
       case _ => None

@@ -72,18 +72,38 @@ object KvBucketing {
     */
   /** `blooms`: the FIELD IDS (rename-proof) of columns every write
     * tracks a per-file bloom filter sidecar for (KvBloom.scala) —
-    * `TBLPROPERTIES ('bloom_cols'='value,user')`. STRING or BIGINT
-    * columns only (the point-lookup types zone maps can't skip on).
+    * `TBLPROPERTIES ('bloom_cols'='value,user')`. STRING / BIGINT /
+    * TIMESTAMP / DATE / DOUBLE columns (every equality-testable
+    * scalar whose point lookups zone maps can't skip on).
+    */
+  /** `rebucketTarget` / `bucketsFrom`: BUCKET-COUNT EVOLUTION
+    * (`system.rebucket`) bookkeeping, the bucket dimension's answer
+    * to partition lineage. File-name bucket tokens record a POSITION
+    * under the count they were written with, not the count itself, so
+    * a table whose membership mixes generations must never claim
+    * KeyGroupedPartitioning — the claim would be silently wrong.
+    * `rebucketTarget` marks a rebucket IN FLIGHT: writers route by
+    * the target (so the rewrite and any interleaved append land
+    * new-generation), readers claim UnknownPartitioning (sound in
+    * every crash window — a torn rebucket degrades plans, never
+    * results). `bucketsFrom` records the first main-space snapshot
+    * version whose membership is wholly the CURRENT count's
+    * generation: pinned/tagged reads below it also claim Unknown.
+    * Both absent on every never-rebucketed table (byte-identical
+    * meta).
     */
   case class KvMeta(
       buckets: Option[Int], snapshots: Boolean, mor: Boolean = false,
       partition: Option[(PartUnit, Int)] = None,
       partitionLineage: Option[Int] = None,
       sorted: Boolean = false,
-      blooms: Seq[Int] = Nil) {
+      blooms: Seq[Int] = Nil,
+      rebucketTarget: Option[Int] = None,
+      bucketsFrom: Option[Int] = None) {
     def isEmpty: Boolean =
       buckets.isEmpty && !snapshots && !mor && partition.isEmpty &&
-        partitionLineage.isEmpty && !sorted && blooms.isEmpty
+        partitionLineage.isEmpty && !sorted && blooms.isEmpty &&
+        rebucketTarget.isEmpty && bucketsFrom.isEmpty
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -111,7 +131,9 @@ object KvBucketing {
         // reads the list as ONE field
         (if (meta.blooms.nonEmpty)
           Seq(s""""blooms":"${meta.blooms.sorted.mkString(";")}"""")
-        else Seq.empty)
+        else Seq.empty) ++
+        meta.rebucketTarget.map(n => s""""rebucket":$n""").toSeq ++
+        meta.bucketsFrom.map(v => s""""bfrom":$v""").toSeq
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -138,6 +160,8 @@ object KvBucketing {
   private val PlineageField = """"plineage":(\d+)""".r
   private val SortField = """"sort":"key"""".r
   private val BloomsField = """"blooms":"(\d+(?:;\d+)*)"""".r
+  private val RebucketField = """"rebucket":(\d+)""".r
+  private val BfromField = """"bfrom":(\d+)""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -170,6 +194,10 @@ object KvBucketing {
         case (m, SortField()) => m.copy(sorted = true)
         case (m, BloomsField(ids)) =>
           m.copy(blooms = ids.split(';').map(_.toInt).toSeq)
+        case (m, RebucketField(n)) =>
+          m.copy(rebucketTarget = Some(n.toInt))
+        case (m, BfromField(v)) =>
+          m.copy(bucketsFrom = Some(v.toInt))
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }

@@ -660,17 +660,39 @@ class KvScan(
     */
   private var runtimeBloom: Seq[(Int, Array[Long])] = Nil
 
+  /** The bucket count this scan may CLAIM (and group partitions by):
+    * suppressed to None while a `system.rebucket` is in flight
+    * (membership may mix generations in every crash window) and for
+    * pinned/tagged/branch reads below `bucketsFrom` (their membership
+    * predates the current count — its file tokens are positions under
+    * the OLD count, so a KeyGroupedPartitioning claim would be
+    * silently wrong). Suppression degrades the plan (Spark shuffles),
+    * never the rows.
+    */
+  private lazy val claimBuckets: Option[Int] =
+    buckets.flatMap { _ =>
+      val meta = KvBucketing.readMetaFull(path)
+      if (meta.rebucketTarget.isDefined) None
+      else if (pinnedVersion.exists(v => meta.bucketsFrom.exists(_ > v)))
+        None
+      // the CURRENT count, not the constructor's: a table object
+      // loaded before a rebucket published must group (and claim) the
+      // new generation's files under the new count, never the old
+      else meta.buckets
+    }
+
   /** Bucketed tables report `KeyGroupedPartitioning(bucket(n, key), n)`
     * — the storage-partitioned-join handshake. ALL n buckets are
     * always planned (an empty bucket yields a no-file partition), so
     * two same-n tables present identical sorted partition-value lists
     * and EnsureRequirements can align them 1:1 without the
     * push-part-values machinery. Unbucketed tables report the honest
-    * UnknownPartitioning.
+    * UnknownPartitioning — as do bucketed scans whose membership may
+    * not be single-generation ([[claimBuckets]]).
     */
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    buckets match {
+    claimBuckets match {
       case Some(n) =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
@@ -855,11 +877,11 @@ class KvScan(
       listFiles(countPrunes = false).map { case (f, _) =>
         java.nio.file.Paths.get(f).getFileName.toString
       }.toSet))
-    buckets match {
+    claimBuckets match {
       case None =>
-        // Unbucketed: one partition per committed file (no per-file
-        // key stats, so a runtime filter prunes rows in the reader,
-        // never files).
+        // Unbucketed (or claim-suppressed around a rebucket): one
+        // partition per committed file (no per-file key stats, so a
+        // runtime filter prunes rows in the reader, never files).
         listFiles().map { case (f, dels) =>
           KvInputPartition(f, dels): InputPartition
         }
@@ -870,6 +892,15 @@ class KvScan(
             throw new IllegalStateException(
               s"unbucketed file $f in bucketed table $path"))
         }
+        // Fail-loud generation guard: a token outside [0, n) means
+        // the membership mixes bucket generations (a torn rebucket
+        // that somehow escaped the claim quarantine) — dropping the
+        // file from the (0 until n) grouping below would be silent
+        // data loss, so refuse instead.
+        require(byBucket.keys.forall(b => b >= 0 && b < n),
+          s"bucketed table $path membership carries bucket tokens " +
+            s"outside [0, $n) — mixed bucket generations; re-run " +
+            "system.rebucket to repair")
         val keep: Option[Set[Int]] = runtimeKeys.map(
           _.map(k => KvBucketing.bucketOf(k, n)))
         (0 until n).map { i =>
@@ -1333,7 +1364,8 @@ class KvRowLevelOperation(
     val want = KvSchema.currentCols(path)
     require(
       s.length == want.length &&
-        s.zip(want).forall { case (f, c) => f.dataType == c.dtype },
+        s.zip(want).forall { case (f, c) =>
+          KvSchema.normalize(f.dataType) == c.dtype },
       s"kvjsonl row-level write needs " +
         s"${KvSchema.toStruct(want).catalogString}; " +
         s"got ${s.catalogString}")
@@ -1794,10 +1826,14 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       val valueIdx = schema.fields.indexWhere(f =>
         f.name == "value" && f.dataType == StringType)
       var nextId = 2
+      // normalize: registry types are canonical (arrays store
+      // containsNull=true — the line format always admits a null
+      // element token), so a reload can never disagree with CREATE.
       schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-        if (i == 0) KvSchema.Col(1, f.name, f.dataType)
-        else if (i == valueIdx) KvSchema.Col(2, f.name, f.dataType)
-        else { nextId += 1; KvSchema.Col(nextId, f.name, f.dataType) }
+        val dt = KvSchema.normalize(f.dataType)
+        if (i == 0) KvSchema.Col(1, f.name, dt)
+        else if (i == valueIdx) KvSchema.Col(2, f.name, dt)
+        else { nextId += 1; KvSchema.Col(nextId, f.name, dt) }
       }
     }
     // Opt-in snapshot retention (time travel): TBLPROPERTIES
@@ -1862,8 +1898,9 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     // Per-file bloom filter columns: TBLPROPERTIES
     // ('bloom_cols'='value,user') — resolved to FIELD IDS (rename-
     // proof) and validated to the point-lookup types (STRING /
-    // BIGINT; the fixed-domain types already have zone maps, and the
-    // key is the clustering column). See KvBloom.scala.
+    // BIGINT / TIMESTAMP / DATE / DOUBLE — zone maps only beat blooms
+    // when the column correlates with write order, and the key is the
+    // clustering column). See KvBloom.scala.
     val blooms: Seq[Int] =
       Option(properties.get("bloom_cols")).toSeq.flatMap(
         KvCatalog.resolveBloomCols(_, cols, schema.catalogString))
@@ -2067,7 +2104,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         evolveSchema(dir, (reg, cur) => {
           require(!cur.exists(_.name.equalsIgnoreCase(colName)),
             s"column $colName already exists in ${ident.name()}")
-          cur :+ KvSchema.Col(reg.nextId, colName, add.dataType())
+          cur :+ KvSchema.Col(reg.nextId, colName,
+            KvSchema.normalize(add.dataType()))
         })
       case ren: TableChange.RenameColumn =>
         val fromName = singleName(ren.fieldNames())
@@ -2257,7 +2295,8 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(SystemNs, "drop_branch"),
         Identifier.of(SystemNs, "set_partition"),
         Identifier.of(SystemNs, "zorder"),
-        Identifier.of(SystemNs, "rewrite_buckets"))
+        Identifier.of(SystemNs, "rewrite_buckets"),
+        Identifier.of(SystemNs, "rebucket"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
@@ -2279,6 +2318,7 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       case "set_partition" => new KvSetPartitionProcedure(this)
       case "zorder" => new KvZorderProcedure(this)
       case "rewrite_buckets" => new KvRewriteBucketsProcedure(this)
+      case "rebucket" => new KvRebucketProcedure(this)
       case other => throw new IllegalArgumentException(
         s"no such procedure: system.$other (the kv catalog ships " +
           "system.compact(table, target_files), " +
@@ -2515,8 +2555,10 @@ object KvExpireProcedure {
 /** Shared DDL validation for the `bloom_cols` table property (CREATE
   * TABLE and ALTER ... SET): resolves a comma list of column names to
   * FIELD IDS (rename-proof) and enforces the point-lookup types —
-  * STRING / BIGINT, never the key (its manifest zone maps already
-  * skip point lookups). See KvBloom.scala.
+  * every equality-testable scalar (STRING / BIGINT / TIMESTAMP /
+  * DATE / DOUBLE), never the key (its manifest zone maps already
+  * skip point lookups) and never arrays (no point lookups to serve).
+  * See KvBloom.scala.
   */
 object KvCatalog {
   private[sources] def resolveBloomCols(
@@ -2529,9 +2571,12 @@ object KvCatalog {
         "column — its manifest zone maps already skip point lookups")
       require(
         c.dtype == org.apache.spark.sql.types.StringType ||
-          c.dtype == LongType,
-        s"bloom_cols needs STRING or BIGINT columns; $cn is " +
-          c.dtype.simpleString)
+          c.dtype == LongType ||
+          c.dtype == org.apache.spark.sql.types.TimestampType ||
+          c.dtype == org.apache.spark.sql.types.DateType ||
+          c.dtype == org.apache.spark.sql.types.DoubleType,
+        "bloom_cols needs STRING/BIGINT/TIMESTAMP/DATE/DOUBLE " +
+          s"columns; $cn is ${c.dtype.simpleString}")
       c.id
     }
 }

@@ -370,9 +370,24 @@ class KvJsonlTable(
     val want = KvSchema.currentCols(path)
     require(
       s.length == want.length &&
-        s.zip(want).forall { case (f, c) => f.dataType == c.dtype },
+        s.zip(want).forall { case (f, c) =>
+          // normalize: the registry's array types are canonically
+          // containsNull=true, but a query writing `array(1.0, 2.0)`
+          // legitimately carries containsNull=false — a strictly
+          // MORE nullable sink column always holds it
+          KvSchema.normalize(f.dataType) == c.dtype },
       s"kvjsonl sink at $path writes " +
         s"${KvSchema.toStruct(want).catalogString}; got ${s.catalogString}")
+    // Maintenance rewrites (system.rewrite_buckets / rebucket) OWN
+    // their placement: `.option("layout_rewrite", "true")` suppresses
+    // the standing distribution requests below — the procedure's
+    // explicit repartition decides file boundaries (a global-key
+    // ordered distribution would re-shuffle a range-split rewrite,
+    // and AQE would then coalesce it to one task) — while a plain
+    // key-ascending ordering is still REQUIRED, which keeps every
+    // per-bucket file sorted (any subsequence of a key-sorted task
+    // stream is key-sorted).
+    val layoutRewrite = "true" == info.options.get("layout_rewrite")
     new WriteBuilder with SupportsTruncate {
       // mode("overwrite") plans as truncate-then-append; the actual
       // delete happens DRIVER-SIDE at commit time so a failed job
@@ -380,6 +395,28 @@ class KvJsonlTable(
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = (buckets, meta.partition) match {
+        case _ if layoutRewrite =>
+          new Write with RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .sort(
+                    org.apache.spark.sql.connector.expressions.Expressions
+                      .column("key"),
+                    org.apache.spark.sql.connector.expressions
+                      .SortDirection.ASCENDING))
+            override def toBatch: BatchWrite =
+              new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
+                writeBranch)
+            override def toStreaming: streaming.StreamingWrite =
+              throw new UnsupportedOperationException(
+                "layout_rewrite is a batch-maintenance option")
+          }
         // Bucketed table reached through the catalog: REQUEST the
         // clustered-by-bucket distribution (Spark shuffles incoming
         // rows by the V2 bucket function before the write), so each
@@ -558,15 +595,22 @@ final class KvKeyStats(
 
   /** Bloom-tracked columns (table meta `blooms`, KvBloom.scala):
     * value hashes accumulate in the same single pass the zone maps
-    * use; the filters are built once at task commit. Only STRING and
-    * BIGINT columns qualify (enforced at DDL), the key never (its
-    * zone maps already skip point lookups on sorted/clustered data).
+    * use; the filters are built once at task commit. STRING, BIGINT,
+    * TIMESTAMP, DATE and DOUBLE columns qualify (enforced at DDL —
+    * every point-lookup-able scalar; the temporal types hash their
+    * int64 storage tokens, doubles their normalized bit pattern), the
+    * key never (its zone maps already skip point lookups on
+    * sorted/clustered data).
     */
-  private val bloomTracked: Array[(Int, Int, Boolean, KvBloom.Builder)] =
+  private val bloomTracked
+      : Array[(Int, Int, org.apache.spark.sql.types.DataType,
+        KvBloom.Builder)] =
     cols.iterator.zipWithIndex.collect {
       case (c, i) if c.id > 1 && bloomIds.contains(c.id) &&
-          (c.dtype == StringType || c.dtype == LongType) =>
-        (c.id, i, c.dtype == StringType, new KvBloom.Builder)
+          (c.dtype == StringType || c.dtype == LongType ||
+            c.dtype == TimestampType || c.dtype == DateType ||
+            c.dtype == DoubleType) =>
+        (c.id, i, c.dtype, new KvBloom.Builder)
     }.toArray
 
   def update(row: InternalRow): Unit = {
@@ -601,11 +645,16 @@ final class KvKeyStats(
     }
     j = 0
     while (j < bloomTracked.length) {
-      val (_, ord, isStr, builder) = bloomTracked(j)
+      val (_, ord, dtype, builder) = bloomTracked(j)
       if (!row.isNullAt(ord))
-        builder.add(
-          if (isStr) KvBloom.hashBytes(row.getUTF8String(ord).getBytes)
-          else KvBloom.hashLong(row.getLong(ord)))
+        builder.add(dtype match {
+          case StringType =>
+            KvBloom.hashBytes(row.getUTF8String(ord).getBytes)
+          case DoubleType => KvBloom.hashDouble(row.getDouble(ord))
+          case DateType => KvBloom.hashLong(row.getInt(ord).toLong)
+          // LongType and TimestampType: the storage token is the long
+          case _ => KvBloom.hashLong(row.getLong(ord))
+        })
       j += 1
     }
   }
@@ -616,7 +665,7 @@ final class KvKeyStats(
       if (hasKeys) Some(maxKey) else None,
       blooms = bloomTracked.iterator.flatMap { case (id, _, _, b) =>
         b.result().map(id -> _)
-      }.toMap,
+      }.toMap, // field-id keyed, unchanged across the type widening
       colStats = tracked.iterator.flatMap { t =>
         if (t.nan) None // unknown — never a basis for skipping
         else if (!t.has) Some(t.id -> None) // known all-null
@@ -654,7 +703,12 @@ class KvJsonlBatchWrite(
     // formats rows against the same schema version even if an ALTER
     // lands mid-job.
     val meta = KvBucketing.readMetaFull(path)
-    new KvJsonlWriterFactory(path, jobId, meta.buckets,
+    // During a bucket-count evolution (system.rebucket) writers route
+    // by the TARGET count: the rewrite itself and any interleaved
+    // append land new-generation files, while scans claim Unknown
+    // until the publish flips `buckets` (KvBucketing.KvMeta).
+    new KvJsonlWriterFactory(path, jobId,
+      meta.rebucketTarget.orElse(meta.buckets),
       KvSchema.currentCols(path), meta.partition, meta.blooms)
   }
 
@@ -1034,7 +1088,8 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
     // A named top-level factory: the instance ships to executors, so it
     // must not capture this (non-serializable) driver-side write object.
     KvJsonlStreamingWriterFactory(path, KvSchema.currentCols(path), qTag,
-      meta.buckets, meta.partition, meta.blooms)
+      meta.rebucketTarget.orElse(meta.buckets), meta.partition,
+      meta.blooms)
   }
 
   /** Per-epoch publish. Unsnapshotted: idempotent renames onto

@@ -91,7 +91,8 @@ class KvMorRowLevelOperation(
     require(
       s.isEmpty ||
         (s.length == want.length &&
-          s.zip(want).forall { case (f, c) => f.dataType == c.dtype }),
+          s.zip(want).forall { case (f, c) =>
+          KvSchema.normalize(f.dataType) == c.dtype }),
       s"kvjsonl MoR delta write needs " +
         s"${KvSchema.toStruct(want).catalogString} or no data " +
         s"columns (DELETE); got ${s.catalogString}")

@@ -949,7 +949,9 @@ object KvZorderProcedure {
 /** `system.rewrite_buckets` — per-bucket file compaction for BUCKETED
   * snapshotted tables (the bucketed gap between `system.compact`,
   * which is plain-table-only, and `system.cluster`, which is key-range
-  * layout): rewrite the table to exactly ONE file per bucket, rows
+  * layout): rewrite the table to `target_files_per_bucket` files per
+  * bucket (default ONE; >1 range-splits each bucket into key-disjoint
+  * sorted files — the file-size bound a 100 TB bucket needs), rows
   * key-ascending within each — which restores the
   * SupportsReportOrdering claim a 'write.sort'='key' bucketed table
   * loses after appends (two files per bucket concatenate; see
@@ -969,7 +971,8 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
 
   override def name(): String = "rewrite_buckets"
   override def description(): String =
-    "rewrite a bucketed kv table to one key-sorted file per bucket"
+    "rewrite a bucketed kv table to target_files_per_bucket " +
+      "key-sorted file(s) per bucket"
 
   override def bind(
       inputType: StructType): procedures.BoundProcedure =
@@ -984,10 +987,22 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
           procedures.ProcedureParameter
             .in("table", StringType)
             .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("target_files_per_bucket", IntegerType)
+            .defaultValue("1")
+            .comment("key-RANGE-split each bucket into this many " +
+              "sorted files (bounds file size at scale; ranges are " +
+              "disjoint, so zone maps and the merge read both hold)")
             .build())
 
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
+        val perBucket =
+          if (input.numFields > 1 && !input.isNullAt(1)) input.getInt(1)
+          else 1
+        require(perBucket >= 1 && perBucket <= 4096,
+          s"target_files_per_bucket out of range [1, 4096]: $perBucket")
         val dir = cat.resolveTableDir(table)
         KvProcedures.requireSnapshotted(table, dir)
         val meta = KvBucketing.readMetaFull(dir.toString)
@@ -1013,13 +1028,30 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
         // the layout the ordering report needs. The writer's routing
         // remains the correctness backstop either way.
         val bucketExpr = coalesce(pmod(col("key"), lit(n.toLong)), lit(0L))
-        spark.read
+        val src = spark.read
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)
-          .repartition(n, bucketExpr)
-          .sortWithinPartitions(bucketExpr, col("key"))
+        // target_files_per_bucket > 1: RANGE-partition on (bucket,
+        // key) instead — each task holds one contiguous (bucket, key)
+        // slice, the routed writer emits one file per bucket it sees,
+        // so every bucket lands as ~perBucket key-sorted files with
+        // DISJOINT key ranges. The ordering claim survives because
+        // fragmented buckets k-way merge at read
+        // (KvMergingBucketReader), and zone maps get tighter, not
+        // looser. This is the 100 TB maintenance knob: one file per
+        // bucket at bucket(8) over 100 TB is a 12.5 TB file.
+        // layout_rewrite: the procedure's repartition IS the layout —
+        // the sink must not re-shuffle it under the table's standing
+        // global-key distribution (which AQE then coalesces). A plain
+        // key sort per task keeps every routed bucket file ascending.
+        (if (perBucket == 1)
+          src.repartition(n, bucketExpr)
+        else
+          src.repartitionByRange(n * perBucket, bucketExpr, col("key")))
+          .sortWithinPartitions(col("key"))
           .write
           .format("graft.sources.KvJsonlSink")
+          .option("layout_rewrite", "true")
           .mode("overwrite")
           .save(dir.toString)
         val (filesAfter, delsAfter) = counts
@@ -1042,6 +1074,137 @@ object KvRewriteBucketsProcedure {
     StructField("files_before", LongType),
     StructField("files_after", LongType),
     StructField("tombstone_files_folded", LongType),
+    StructField("n_rows", LongType),
+    StructField("version", LongType)))
+}
+
+/** `system.rebucket` — BUCKET-COUNT EVOLUTION for bucketed
+  * snapshotted tables: a full OCC-committed rewrite of the data under
+  * a new `bucket(n, key)` count, the bucket dimension's equivalent of
+  * partition evolution. At 100 TB a table created `bucket(8, key)`
+  * eventually needs 256 — without this, the only path is a manual
+  * export/recreate that loses tags, history and CDC.
+  *
+  * {{{ CALL graft_kv.system.rebucket(
+  *       table => 'default.t', buckets => 16) }}}
+  *
+  * Crash-safe by QUARANTINE, not by luck (KvBucketing.KvMeta): the
+  * procedure (1) marks `rebucketTarget` in the table meta — from this
+  * instant every writer routes by the target count and every scan
+  * claims UnknownPartitioning; (2) runs the rewrite through the
+  * ordinary two-phase-commit overwrite (readers keep the old snapshot
+  * until the manifest flips; MoR tombstones fold like
+  * rewrite_buckets); (3) publishes — `buckets` flips to the target,
+  * the quarantine marker clears, and `bucketsFrom` records the
+  * rewrite's version so pinned/tagged reads BELOW it (old-generation
+  * membership) keep claiming Unknown forever. A crash in any window
+  * leaves a table whose claims are suppressed (degraded plans, right
+  * rows) and whose repair is re-running the same call.
+  *
+  * Branches are frozen out (like schema evolution): a branch's
+  * membership is not rewritten, so publishing a new count under it
+  * would let a later branch commit (version > bucketsFrom) claim a
+  * grouping its old-generation files don't have.
+  */
+class KvRebucketProcedure(cat: KvCatalog)
+    extends procedures.UnboundProcedure {
+
+  override def name(): String = "rebucket"
+  override def description(): String =
+    "rewrite a bucketed kv table under a new bucket(n, key) count"
+
+  override def bind(
+      inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "rebucket"
+      override def description(): String =
+        KvRebucketProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        Array(
+          procedures.ProcedureParameter
+            .in("table", StringType)
+            .comment("'namespace.table' (or bare table => default ns)")
+            .build(),
+          procedures.ProcedureParameter
+            .in("buckets", IntegerType)
+            .comment("the new bucket count")
+            .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        require(input.numFields > 1 && !input.isNullAt(1),
+          "system.rebucket needs a buckets => n argument")
+        val newN = input.getInt(1)
+        require(newN >= 1 && newN <= 4096,
+          s"bucket count out of range [1, 4096]: $newN")
+        val dir = cat.resolveTableDir(table)
+        KvProcedures.requireSnapshotted(table, dir)
+        val meta = KvBucketing.readMetaFull(dir.toString)
+        val oldN = meta.buckets.getOrElse(
+          throw new IllegalArgumentException(
+            "system.rebucket needs a bucketed table — use CREATE " +
+              "TABLE ... PARTITIONED BY (bucket(n, key)) for the " +
+              "initial layout"))
+        require(KvBranches.list(dir.toString).isEmpty,
+          s"cannot rebucket while branches exist " +
+            s"(${KvBranches.list(dir.toString).mkString(", ")}) — " +
+            "fast-forward or drop them first (branch memberships are " +
+            "not rewritten)")
+
+        // (1) QUARANTINE: writers route by the target, scans stop
+        // claiming KeyGroupedPartitioning. Atomic meta write; a crash
+        // after this point leaves a sound (claim-suppressed) table.
+        KvBucketing.writeMeta(dir.toString,
+          meta.copy(rebucketTarget = Some(newN)))
+
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.{coalesce, col, lit, pmod}
+        // (2) REWRITE under the new count: the routed writer (already
+        // reading the quarantine target) re-places every row; the
+        // task-side repartition+sort makes each new bucket one
+        // key-ascending file so sorted layouts keep their claim.
+        val bucketExpr =
+          coalesce(pmod(col("key"), lit(newN.toLong)), lit(0L))
+        spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .repartition(newN, bucketExpr)
+          .sortWithinPartitions(col("key"))
+          .write
+          .format("graft.sources.KvJsonlSink")
+          .option("layout_rewrite", "true")
+          .mode("overwrite")
+          .save(dir.toString)
+
+        // (3) PUBLISH: flip the count, clear the quarantine, pin the
+        // generation boundary at the rewrite's committed version.
+        val version = KvSnapshots.latest(dir.toString).getOrElse(0)
+        KvBucketing.writeMeta(dir.toString,
+          meta.copy(buckets = Some(newN), rebucketTarget = None,
+            bucketsFrom = Some(version)))
+
+        val stats = KvSnapshots.membersWithStats(dir.toString, version)
+        require(KvSnapshots.deleteFiles(stats).isEmpty,
+          s"rebucket of $table left delete files behind")
+        val nRows = spark.read
+          .format("graft.sources.KvJsonlSink")
+          .load(dir.toString)
+          .count()
+        KvProcedures.localScan(KvRebucketProcedure.OutSchema,
+          InternalRow(oldN.toLong, newN.toLong,
+            KvSnapshots.dataFiles(stats).size.toLong, nRows,
+            version.toLong))
+      }
+    }
+}
+
+object KvRebucketProcedure {
+  val OutSchema: StructType = StructType(Seq(
+    StructField("buckets_before", LongType),
+    StructField("buckets_after", LongType),
+    StructField("files_after", LongType),
     StructField("n_rows", LongType),
     StructField("version", LongType)))
 }

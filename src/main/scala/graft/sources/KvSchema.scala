@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** SCHEMA EVOLUTION for kvjsonl tables — the Iceberg field-ID model
   * reduced to this connector's essentials:
@@ -45,7 +45,9 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, Str
   * `coalesce(c, default)` where it reads.
   *
   * Supported column types: BIGINT, STRING, DOUBLE, TIMESTAMP (stored
-  * as int64 micros-since-epoch), DATE (int32 days-since-epoch) — the
+  * as int64 micros-since-epoch), DATE (int32 days-since-epoch), and
+  * ARRAY&lt;BIGINT&gt; / ARRAY&lt;DOUBLE&gt; (JSON array tokens — the
+  * embedding-vector types; see [[typeName]]) — the
   * id→type binding is permanent, so a storage field's JSON encoding
   * never changes across the table's life. `key` (id 1) is immutable
   * in name, type and position (bucketing, predicate/aggregate
@@ -136,7 +138,8 @@ object KvSchema {
   }
 
   /** For error messages — the one list of what [[isSupported]] says. */
-  val SupportedTypeNames = "bigint/string/double/timestamp/date"
+  val SupportedTypeNames =
+    "bigint/string/double/timestamp/date/array<bigint>/array<double>"
 
   /** TIMESTAMP and DATE encode as the integer tokens Spark already
     * uses internally — micros-since-epoch (int64) and days-since-epoch
@@ -146,12 +149,25 @@ object KvSchema {
     * session timezone never touches storage (micros/days are absolute),
     * exactly parquet's TIMESTAMP(MICROS)/DATE physical model.
     */
+  /** ARRAY<BIGINT> / ARRAY<DOUBLE> columns — the embedding-vector
+    * types a training pipeline's central asset actually carries —
+    * encode as JSON array tokens (`[1.0,2.5]`, `null` elements
+    * allowed), the one place the line format grows a bracket dialect.
+    * Arrays are VALUE-ONLY columns: no zone maps (no total order
+    * worth a range), no bloom sidecars, no predicate pushdown — every
+    * stats/pushdown site matches on the fixed-domain scalar types and
+    * so declines arrays by construction. Element types are limited to
+    * the two numeric tokens the extras parser already speaks; nested
+    * arrays and string elements stay unsupported by design.
+    */
   def typeName(t: DataType): String = t match {
     case LongType => "bigint"
     case StringType => "string"
     case DoubleType => "double"
     case TimestampType => "timestamp"
     case DateType => "date"
+    case ArrayType(LongType, _) => "array<bigint>"
+    case ArrayType(DoubleType, _) => "array<double>"
     case other => throw new IllegalArgumentException(
       s"kvjsonl columns support $SupportedTypeNames; got $other")
   }
@@ -162,13 +178,29 @@ object KvSchema {
     case "double" => DoubleType
     case "timestamp" => TimestampType
     case "date" => DateType
+    case "array<bigint>" => ArrayType(LongType, containsNull = true)
+    case "array<double>" => ArrayType(DoubleType, containsNull = true)
     case other => throw new IllegalArgumentException(
       s"corrupt $FileName type: $other")
   }
 
-  def isSupported(t: DataType): Boolean =
-    t == LongType || t == StringType || t == DoubleType ||
-      t == TimestampType || t == DateType
+  def isSupported(t: DataType): Boolean = t match {
+    case LongType | StringType | DoubleType | TimestampType |
+        DateType => true
+    case ArrayType(LongType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** The registry's canonical form of a supported type: arrays store
+    * as containsNull=true (the line format always admits a `null`
+    * element token), so a DDL-supplied ArrayType(_, false) and its
+    * registry round-trip can never disagree. Scalars are their own
+    * canonical form.
+    */
+  def normalize(t: DataType): DataType = t match {
+    case ArrayType(et, _) => ArrayType(et, containsNull = true)
+    case other => other
+  }
 
   def toStruct(cols: Seq[Col]): StructType =
     StructType(cols.map(c =>
@@ -205,7 +237,7 @@ object KvSchema {
   private val VersionRe =
     """\{"from":(\d+),"cols":\[(.*?)\]\}""".r
   private val ColRe =
-    """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)","type":"(\w+)"\}""".r
+    """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)","type":"([\w<>]+)"\}""".r
 
   def read(dir: String): Option[Registry] = {
     val p = Paths.get(dir, FileName)
@@ -252,6 +284,30 @@ object KvSchema {
           .fromString(x.asInstanceOf[String])
       case TimestampType => Long.box(x.asInstanceOf[Long]) // micros
       case DateType => Int.box(x.asInstanceOf[Long].toInt) // epoch days
+      case ArrayType(et, _) =>
+        val xs = x.asInstanceOf[Array[Any]]
+        val out = new Array[Any](xs.length)
+        var i = 0
+        while (i < xs.length) {
+          out(i) = xs(i) match {
+            case null => null
+            case l: Long =>
+              // An integral token in a double array cannot occur via
+              // this writer (fmtDouble always emits a '.'/'E'), but
+              // widening is exact — the same leniency the scalar
+              // double case extends to pre-widening tokens.
+              if (et == DoubleType) Double.box(l.toDouble)
+              else Long.box(l)
+            case d: Double =>
+              if (et == DoubleType) Double.box(d)
+              else throw new IllegalStateException(
+                s"bigint array column $storage holds a double token")
+            case other => throw new IllegalStateException(
+              s"array column $storage holds ${other.getClass}")
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
       case other => throw new IllegalStateException(
         s"unreachable kvjsonl column type $other")
     }
@@ -303,6 +359,22 @@ object KvSchema {
           // Spark's internal representations ARE the storage tokens.
           case TimestampType => b.append(row.getLong(i)) // micros
           case DateType => b.append(row.getInt(i)) // epoch days
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            b.append('[')
+            var j = 0
+            while (j < arr.numElements()) {
+              if (j > 0) b.append(',')
+              if (arr.isNullAt(j)) b.append("null")
+              else et match {
+                case LongType => b.append(arr.getLong(j))
+                case DoubleType => b.append(fmtDouble(arr.getDouble(j)))
+                case other => throw new IllegalStateException(
+                  s"unreachable array element type $other")
+              }
+              j += 1
+            }
+            b.append(']')
           case other => throw new IllegalStateException(
             s"unreachable column type $other")
         }
@@ -419,23 +491,52 @@ object KvSchema {
           }
           i += 1
           m = m.updated(name, b.toString)
+        case '[' =>
+          // ARRAY token: numeric/null elements only (the DDL admits
+          // only array<bigint> / array<double>), no nesting.
+          i += 1
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+          if (i < line.length && line.charAt(i) == ']') i += 1
+          else {
+            var done = false
+            while (!done) {
+              if (line.startsWith("null", i)) { buf += null; i += 4 }
+              else {
+                val tokStart = i
+                while (line.charAt(i) != ',' && line.charAt(i) != ']')
+                  i += 1
+                buf += numToken(line.substring(tokStart, i))
+              }
+              line.charAt(i) match {
+                case ',' => i += 1
+                case ']' => i += 1; done = true
+                case _ => throw new IllegalArgumentException(
+                  s"bad kvjsonl array in line: $line")
+              }
+            }
+          }
+          m = m.updated(name, buf.toArray)
         case _ =>
           val tokStart = i
           while (i < line.length && line.charAt(i) != ',' &&
             line.charAt(i) != '}') i += 1
-          val tok = line.substring(tokStart, i)
-          val v: Any =
-            if (tok == "NaN") Double.NaN
-            else if (tok == "Infinity") Double.PositiveInfinity
-            else if (tok == "-Infinity") Double.NegativeInfinity
-            else if (tok.indexOf('.') >= 0 || tok.indexOf('E') >= 0 ||
-              tok.indexOf('e') >= 0) java.lang.Double.parseDouble(tok)
-            else java.lang.Long.parseLong(tok)
-          m = m.updated(name, v)
+          m = m.updated(name, numToken(line.substring(tokStart, i)))
       }
     }
     require(i < line.length && line.charAt(i) == '}',
       s"bad kvjsonl line: $line")
     m
   }
+
+  /** One bare numeric token → Long or Double per the writer's
+    * encoding (shared by the scalar and array-element paths —
+    * fmtDouble's NaN/±Infinity dialect included).
+    */
+  private def numToken(tok: String): Any =
+    if (tok == "NaN") Double.NaN
+    else if (tok == "Infinity") Double.PositiveInfinity
+    else if (tok == "-Infinity") Double.NegativeInfinity
+    else if (tok.indexOf('.') >= 0 || tok.indexOf('E') >= 0 ||
+      tok.indexOf('e') >= 0) java.lang.Double.parseDouble(tok)
+    else java.lang.Long.parseLong(tok)
 }
