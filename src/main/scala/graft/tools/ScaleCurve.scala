@@ -37,7 +37,13 @@ object ScaleCurve {
     "setsim_prefix_join", "lsh_param_sweep", "tpch_q18", "pq_report",
     "dedup_policy", "token_pmi", "theilsen_trend", "repetition_score",
     "minhash_band_pairs", "top_terms_per_source",
-    "stream_heavy_hitters", "stream_v2_metadata")
+    "stream_heavy_hitters", "stream_v2_metadata",
+    // round-17: the newest pruning structures carry the same
+    // measured-slope evidence as the text/similarity heavies — the
+    // runtime-bloom-filtered join and the selective CoW DML rewrite
+    // (each gate rebuilds its kv table from the scaled fixture, so
+    // the curve covers ingest + the pruned path end-to-end).
+    "catalog_runtime_bloom", "catalog_dml_selective")
 
   /** Optional FOURTH point (round-16): the two heavies whose 3→10
     * slope sat at the linear boundary (setsim_prefix_join 0.93,
@@ -50,6 +56,15 @@ object ScaleCurve {
     Set("setsim_prefix_join", "repetition_score")
 
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_CURVE_ONLY=a,b — measure a subset and MERGE into the
+    // existing BENCH_SCALE_CURVE.json (entries not re-measured are
+    // kept verbatim), so adding one query's curve never discards the
+    // committed evidence for the rest.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_CURVE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val targets =
+      if (only.isEmpty) Targets else Targets.filter(only.contains)
     val sf1x =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf3x =
@@ -88,7 +103,7 @@ object ScaleCurve {
     // 1x scale itself — the first 3-point run showed the first timed
     // point absorbing residual warmup (t_3x < t_1x for the first
     // target), which corrupts the fitted slope signs.
-    Targets.foreach { n =>
+    targets.foreach { n =>
       try graft.SparkEntry.queries(n)(
         spark, sf1x.replace("sf0.1", "sf0.01")).count()
       catch { case scala.util.control.NonFatal(_) => () }
@@ -105,7 +120,7 @@ object ScaleCurve {
       System.err.println(
         s"[scalecurve] no 30x data at $sf30x — the 4th point is " +
           "skipped (run ScaleGen with SPARK_GRAFT_SCALE=30 to add it)")
-    val rows = Targets.map { n =>
+    val rows = targets.map { n =>
       val t1 = time(n, sf1x)
       val t3 = time(n, sf3x)
       val t10 = time(n, sf10x)
@@ -152,11 +167,30 @@ object ScaleCurve {
           s""""t_30x_s":${f3(p._1)},"alpha_10_30":${f3(p._2)},""") +
         s""""regime":"$regime","shape":"$shape"}"""
     }
+    // subset runs merge into the committed curve: keep every existing
+    // entry this run did not re-measure (the file is only ever written
+    // here, so the one-level-deep entry regex is exact)
+    val kept: Seq[String] =
+      if (only.isEmpty) Seq.empty
+      else {
+        val f = java.nio.file.Paths.get("BENCH_SCALE_CURVE.json")
+        if (!java.nio.file.Files.isRegularFile(f)) Seq.empty
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val entryRe = """"([A-Za-z0-9_]+)":\{[^{}]*\}""".r
+          val qStart = txt.indexOf("\"queries\":{")
+          if (qStart < 0) Seq.empty
+          else entryRe.findAllMatchIn(txt.substring(qStart + 11))
+            .filter(m => !targets.contains(m.group(1)))
+            .map(_.matched).toSeq
+        }
+      }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SCALE_CURVE.json"),
       (s"""{"unit":"sec","points":[1,3,10${if (have30) ",30" else ""}],""" +
         s""""base":"$sf1x","best_of":3,""" +
-        s""""queries":{${rows.mkString(",")}}}""" +
+        s""""queries":{${(kept ++ rows).mkString(",")}}}""" +
         "\n").getBytes("UTF-8"))
     spark.stop()
   }
