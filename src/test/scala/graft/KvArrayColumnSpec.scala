@@ -128,6 +128,33 @@ class KvArrayColumnSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("CDC ($changes) materializes array columns through its reader") {
+    cat()
+    val t = "graft_kv.default.arr_cdc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, emb ARRAY<DOUBLE>) " +
+      "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+    spark.sql(s"INSERT INTO $t SELECT id, array(CAST(id AS DOUBLE), " +
+      "-0.5D) FROM range(0, 20)")
+    spark.sql(s"DELETE FROM $t WHERE key < 5")
+    // inserts carry the arrays; MoR tombstone deletes RESOLVE the
+    // deleted rows' arrays from the retained data files — both go
+    // through KvSchema.materializeExtra's array branch
+    val rows = spark.sql(
+      s"""SELECT _change_type, count(*) AS n,
+         |CAST(sum(aggregate(emb, 0.0D, (a, x) -> a + x)) AS BIGINT)
+         |  AS s
+         |FROM graft_kv.default.`arr_cdc$$changes`
+         |GROUP BY _change_type ORDER BY _change_type"""
+        .stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("delete", "insert"))
+    assert(rows(1).getLong(1) === 20L &&
+      rows(1).getLong(2) === (0 until 20).map(_ - 0.5).sum.toLong)
+    assert(rows(0).getLong(1) === 5L &&
+      rows(0).getLong(2) === (0 until 5).map(_ - 0.5).sum.toLong)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("array columns are value-only: no blooms, no partition, no sort") {
     cat()
     val t = "graft_kv.default.arr_guard"
