@@ -1356,7 +1356,7 @@ object SimilarityQueries {
     * implementation so the tiebreak/limit semantics cannot drift
     * between the LSH, multi-probe and IVF variants.
     */
-  private def topkFromCandidates(
+  private[operators] def topkFromCandidates(
       q: DataFrame,
       c: DataFrame,
       joinKey: String): DataFrame = {

@@ -1388,6 +1388,35 @@ object SourceQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // ANN OVER CATALOG ARRAYS — the composition check on top of
+    // catalog_array_column: the SCALE path (LSH-bucketed top-K, the
+    // plan cosine_topk_lsh runs on raw parquet) over an embedding
+    // table stored in the engine's own lakehouse. Bit-identical to
+    // the raw-parquet twin (shared oracle): the float→double widening
+    // at INSERT is exact, the bucket signs and sims are the same
+    // left-to-right double folds.
+    "catalog_array_ann" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.ann_arr_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, embedding ARRAY<DOUBLE>) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT vec_id, " +
+        "CAST(embedding AS ARRAY<DOUBLE>) " +
+        s"FROM parquet.`$d/embeddings.parquet`")
+      val withBucket = s.sql(
+          s"SELECT key AS vec_id, embedding FROM $t")
+        .withColumn("bucket", graft.functions.Vectors.lshBucket(
+          col("embedding"), SimilarityQueries.NPlanes))
+      val q = withBucket
+        .filter(col("vec_id") < SimilarityQueries.NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket"))
+      val c = withBucket
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      SimilarityQueries.topkFromCandidates(q, c, "bucket")
+    }),
+
     // `$refs` METADATA TABLE (KvMetaTables.scala — Iceberg's `.refs`
     // shape): one row per tag and branch, the observability surface
     // of the whole ref lifecycle. The gate builds a deterministic ref
@@ -3033,6 +3062,9 @@ object SourceQueries {
     // pipelines share one oracle.
     "catalog_array_column" ->
       SimilarityQueries.oracleSql("cosine_topk_brute"),
+    // Same sharing for the LSH twin over the catalog table.
+    "catalog_array_ann" ->
+      SimilarityQueries.oracleSql("cosine_topk_lsh"),
     "stream_v2_source" ->
       """SELECT event_id,
         |       epoch_us(ts) AS ts_us,
