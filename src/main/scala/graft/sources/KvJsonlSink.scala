@@ -268,6 +268,14 @@ class KvJsonlTable(
     if (meta.blooms.nonEmpty)
       m.put("bloom_cols", meta.blooms.flatMap(id =>
         cols.find(_.id == id).map(_.name)).mkString(","))
+    // Bucket-generation observability (system.rebucket): an operator
+    // reading DESCRIBE EXTENDED can see both that an evolution is IN
+    // FLIGHT (claims suppressed) and where the current generation
+    // starts (pins below it read unclaimed).
+    meta.rebucketTarget.foreach(n =>
+      m.put("rebucket.in_progress_to", n.toString))
+    meta.bucketsFrom.foreach(v =>
+      m.put("buckets.from_version", v.toString))
     m
   }
 

@@ -128,6 +128,36 @@ class KvArrayColumnSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("MERGE INTO carries arrays through both CoW and MoR writers") {
+    cat()
+    for ((suffix, props) <- Seq(
+        ("cow", "'snapshots'='true'"),
+        ("mor", "'snapshots'='true', 'dml'='mor'"))) {
+      val t = s"graft_kv.default.arr_mrg_$suffix"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (key BIGINT, emb ARRAY<DOUBLE>) " +
+        s"TBLPROPERTIES ($props)")
+      spark.sql(s"INSERT INTO $t SELECT id, array(CAST(id AS DOUBLE)) " +
+        "FROM range(0, 5)")
+      spark.sql("SELECT * FROM VALUES " +
+        "(2L, array(20.5D, 21.5D)), (9L, array(90.5D)) " +
+        "AS s(key, emb)").createOrReplaceTempView(s"arr_mrg_src_$suffix")
+      spark.sql(
+        s"""MERGE INTO $t AS tgt USING arr_mrg_src_$suffix AS src
+           |ON tgt.key = src.key
+           |WHEN MATCHED THEN UPDATE SET emb = src.emb
+           |WHEN NOT MATCHED THEN INSERT (key, emb)
+           |  VALUES (src.key, src.emb)""".stripMargin)
+      val got = spark.sql(s"SELECT key, emb FROM $t ORDER BY key")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      assert(got === Seq(
+        0L -> Seq(0.0), 1L -> Seq(1.0), 2L -> Seq(20.5, 21.5),
+        3L -> Seq(3.0), 4L -> Seq(4.0), 9L -> Seq(90.5)),
+        s"$suffix merge drifted: $got")
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("CDC ($changes) materializes array columns through its reader") {
     cat()
     val t = "graft_kv.default.arr_cdc"

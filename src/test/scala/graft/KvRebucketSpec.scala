@@ -54,6 +54,12 @@ class KvRebucketSpec extends SparkTestBase {
     assert(meta.buckets.contains(8) && meta.rebucketTarget.isEmpty)
     assert(meta.bucketsFrom.contains(
       KvSnapshots.latest(dirOf("rbk_unit")).get))
+    // generation boundary is operator-visible in the table properties
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("buckets.from_version") ===
+      meta.bucketsFrom.map(_.toString))
+    assert(!props.contains("rebucket.in_progress_to"))
     // rows survived, new generation tokens in [0, 8)
     assert(spark.sql(s"SELECT count(*), CAST(sum(key) AS BIGINT) FROM $t")
       .collect()(0).toSeq === Seq(5000L, 4999L * 5000 / 2))
@@ -90,6 +96,10 @@ class KvRebucketSpec extends SparkTestBase {
     // reads: right rows (claims suppressed, per-file planning)
     assert(spark.sql(s"SELECT count(*) FROM $t")
       .collect()(0).getLong(0) === 100L)
+    // the in-flight marker is operator-visible
+    val torn = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(torn.get("rebucket.in_progress_to") === Some("4"))
     // writes DURING the quarantine route by the TARGET — mixed
     // generations on disk, still-right reads
     spark.sql(s"INSERT INTO $t SELECT id, 'b' FROM range(100, 200)")
