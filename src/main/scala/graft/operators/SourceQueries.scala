@@ -847,6 +847,52 @@ object SourceQueries {
       }
     }),
 
+    // CDC × MAINTENANCE (the dataChange=false contract): a
+    // maintenance rewrite is a live-row-set no-op, so the `$changes`
+    // table must emit NOTHING for it — without the commit-level
+    // marker (KvSnapshots.isMaintenance) a file-granular changelog
+    // restates every surviving row of every rewritten file, and at
+    // 100 TB one compaction pushes the whole table through every CDC
+    // consumer as phantom changes. The gate builds MoR history whose
+    // change rows are layout-independent (insert / tombstone-delete /
+    // insert), folds the tombstones with a rewrite_buckets call
+    // between them, and pins the ENTIRE change history against
+    // DuckDB recomputing it from raw orders — any phantom restatement
+    // from the maintenance commit adds rows and breaks the hash; the
+    // require() additionally names the invariant.
+    "catalog_cdc_maintenance" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.cdcm_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(4, key)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'dml'='mor')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey <= 20000") // v1
+      s.sql(s"DELETE FROM $t WHERE key % 3 = 0") // v2: tombstones only
+      s.sql("CALL graft_kv.system.rewrite_buckets(" +
+        "table => 'default.cdcm_gate')").collect() // v3: maintenance
+      val dirPath =
+        s"${graft.Fs.sinkDir("graft_kv_wh")}/default/cdcm_gate"
+      val v3 = graft.sources.KvSnapshots.latest(dirPath).get
+      require(graft.sources.KvSnapshots.isMaintenance(dirPath, v3),
+        "catalog_cdc_maintenance: the rewrite commit lost its marker")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey + 10000000, " +
+        s"o_orderpriority FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 7 = 0") // v4
+      val out = s.sql(
+        s"""SELECT _commit_version AS v, _change_type AS kind,
+           |count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM graft_kv.default.`cdcm_gate$$changes`
+           |GROUP BY 1, 2 ORDER BY v, kind""".stripMargin)
+      val rows = out.collect()
+      require(!rows.exists(_.getInt(0) == v3),
+        "catalog_cdc_maintenance: the maintenance commit emitted " +
+          "phantom CDC rows")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     // BUCKETED AGGREGATION (the other half of the co-bucketing
     // payoff): a GROUP BY on the bucket key of a KeyGrouped kv scan
     // satisfies the aggregate's clustered distribution outright —
@@ -3409,6 +3455,25 @@ object SourceQueries {
         |       min(o_orderkey) AS min_key,
         |       max(o_orderkey) AS max_key
         |FROM orders GROUP BY 1 ORDER BY partition""".stripMargin,
+    // The full change history recomputed from raw orders: v1 inserts,
+    // v2 tombstone deletes, NOTHING for the maintenance v3, v4
+    // inserts. The commit numbers are deterministic (3 DML commits +
+    // one rewrite on a fresh table).
+    "catalog_cdc_maintenance" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key FROM orders
+        |  WHERE o_orderkey <= 20000)
+        |SELECT v, kind, n_rows, sum_keys FROM (
+        |  SELECT 1 AS v, 'insert' AS kind, count(*) AS n_rows,
+        |         CAST(sum(key) AS BIGINT) AS sum_keys FROM base
+        |  UNION ALL
+        |  SELECT 2, 'delete', count(*), CAST(sum(key) AS BIGINT)
+        |  FROM base WHERE key % 3 = 0
+        |  UNION ALL
+        |  SELECT 4, 'insert', count(*),
+        |         CAST(sum(o_orderkey + 10000000) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |) t ORDER BY v, kind""".stripMargin,
     // The rebucketed SPJ aggregate recomputed from the raw parquet
     // join (bucket layout changes plans, never rows).
     "catalog_rebucket" ->

@@ -2453,6 +2453,7 @@ class KvCompactProcedure(cat: KvCatalog)
           .repartition(target)
           .write
           .format("graft.sources.KvJsonlSink")
+          .option("maintenance", "true")
           .mode("overwrite")
           .save(dir.toString)
         val after = jsonlCount

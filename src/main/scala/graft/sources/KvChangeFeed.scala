@@ -130,11 +130,20 @@ class KvChangeFeedStream(
               s"${KvSnapshots.versions(path).mkString(", ")}) — " +
               "restart the stream with a fresh checkpoint to resume " +
               "from the oldest retained snapshot"))
-        val prev: Set[String] =
-          if (v == 1) Set.empty
-          else KvSnapshots.membersIfPresent(path, v - 1)
-            .map(_.toSet).getOrElse(Set.empty)
-        cur.filterNot(prev.contains)
+        val prevOpt: Option[Set[String]] =
+          if (v == 1) Some(Set.empty)
+          else KvSnapshots.membersIfPresent(path, v - 1).map(_.toSet)
+        prevOpt match {
+          // MAINTENANCE commit (live rows unchanged — KvSnapshots
+          // .isMaintenance): its re-added files are the SAME rows
+          // relocated, so the add-only feed emits nothing. Never
+          // applies to a degraded diff (missing predecessor) — there
+          // the full membership IS the contract.
+          case Some(_) if KvSnapshots.isMaintenance(path, v) =>
+            Seq.empty
+          case Some(prev) => cur.filterNot(prev.contains)
+          case None => cur
+        }
       }.distinct
         .filterNot(before.contains)
         // DATA files only: a `.del` member added by a merge-on-read

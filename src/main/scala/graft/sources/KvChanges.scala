@@ -70,6 +70,16 @@ object KvChanges {
     */
   def commitPartitions(
       path: String, v: Int, initial: Boolean): Seq[InputPartition] = {
+    // MAINTENANCE commits (compaction/cluster/zorder/rewrite_buckets/
+    // rebucket — KvSnapshots.isMaintenance) are live-row-set no-ops:
+    // emitting their file diff would RESTATE every surviving row of
+    // every rewritten file, and at 100 TB one compaction would push
+    // the whole table through every CDC consumer as phantom changes
+    // (Delta's dataChange=false / Iceberg RewriteFiles semantics).
+    // The skip never applies to an INITIAL snapshot: when the
+    // predecessor expired, this version's full membership IS the
+    // contract, whatever kind of commit produced it.
+    if (!initial && KvSnapshots.isMaintenance(path, v)) return Seq.empty
     val cur = KvSnapshots.membersWithStats(path, v).map(_.name)
     val curData = cur.filterNot(KvSnapshots.isDeleteFile).toSet
     val curDels = cur.filter(KvSnapshots.isDeleteFile).toSet

@@ -396,6 +396,13 @@ class KvJsonlTable(
     // per-bucket file sorted (any subsequence of a key-sorted task
     // stream is key-sorted).
     val layoutRewrite = "true" == info.options.get("layout_rewrite")
+    // `maintenance=true` (set ONLY by the system.* rewrite
+    // procedures): the commit is flagged live-rows-unchanged, so the
+    // `$changes` CDC table emits nothing for it (KvSnapshots
+    // .commitWith has the full contract). Independent of
+    // layout_rewrite — compact/cluster/zorder keep their standing
+    // distributions but are maintenance all the same.
+    val maint = "true" == info.options.get("maintenance")
     new WriteBuilder with SupportsTruncate {
       // mode("overwrite") plans as truncate-then-append; the actual
       // delete happens DRIVER-SIDE at commit time so a failed job
@@ -420,7 +427,7 @@ class KvJsonlTable(
                       .SortDirection.ASCENDING))
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch)
+                writeBranch, maintenance = maint)
             override def toStreaming: streaming.StreamingWrite =
               throw new UnsupportedOperationException(
                 "layout_rewrite is a batch-maintenance option")
@@ -462,7 +469,7 @@ class KvJsonlTable(
               } else Array.empty
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch)
+                writeBranch, maintenance = maint)
             override def toStreaming: streaming.StreamingWrite = {
               require(writeBranch.isEmpty,
                 "streaming append to a BRANCH is not supported")
@@ -492,7 +499,7 @@ class KvJsonlTable(
               Array.empty
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch)
+                writeBranch, maintenance = maint)
             override def toStreaming: streaming.StreamingWrite = {
               require(writeBranch.isEmpty,
                 "streaming append to a BRANCH is not supported")
@@ -523,7 +530,7 @@ class KvJsonlTable(
               Array(keyAsc)
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch)
+                writeBranch, maintenance = maint)
             override def toStreaming: streaming.StreamingWrite = {
               require(writeBranch.isEmpty,
                 "streaming append to a BRANCH is not supported")
@@ -536,7 +543,7 @@ class KvJsonlTable(
           // job's same-numbered partitions.
           override def toBatch: BatchWrite =
             new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-              writeBranch)
+              writeBranch, maintenance = maint)
           override def toStreaming: streaming.StreamingWrite = {
             require(writeBranch.isEmpty,
               "streaming append to a BRANCH is not supported — stream " +
@@ -696,7 +703,8 @@ case class KvJsonlBucketedCommitMessage(files: Seq[KvWrittenFile])
 class KvJsonlBatchWrite(
     path: String, truncateFirst: Boolean, jobId: String,
     branch: Option[String] = None,
-    replaceOnly: Option[() => Set[String]] = None)
+    replaceOnly: Option[() => Set[String]] = None,
+    maintenance: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -812,7 +820,7 @@ class KvJsonlBatchWrite(
             nextMembership(KvBranches.membersWithStats(path, b, head))
           }
         case None =>
-          KvSnapshots.commitWith(path) { base =>
+          KvSnapshots.commitWith(path, maintenance) { base =>
             nextMembership(
               if (base == 0) Seq.empty
               else KvSnapshots.membersWithStats(path, base))

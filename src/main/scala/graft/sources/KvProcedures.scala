@@ -138,6 +138,7 @@ class KvClusterProcedure(cat: KvCatalog)
           .sortWithinPartitions("key")
           .write
           .format("graft.sources.KvJsonlSink")
+          .option("maintenance", "true")
           .mode("overwrite")
           .save(dir.toString)
         val after = dataFileCount
@@ -924,6 +925,7 @@ class KvZorderProcedure(cat: KvCatalog)
           .select(schema.map(c => col(c.name)): _*)
           .write
           .format("graft.sources.KvJsonlSink")
+          .option("maintenance", "true")
           .mode("overwrite")
           .save(dir.toString)
         val after = dataFileCount
@@ -1052,6 +1054,7 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
           .write
           .format("graft.sources.KvJsonlSink")
           .option("layout_rewrite", "true")
+          .option("maintenance", "true")
           .mode("overwrite")
           .save(dir.toString)
         val (filesAfter, delsAfter) = counts
@@ -1175,6 +1178,7 @@ class KvRebucketProcedure(cat: KvCatalog)
           .write
           .format("graft.sources.KvJsonlSink")
           .option("layout_rewrite", "true")
+          .option("maintenance", "true")
           .mode("overwrite")
           .save(dir.toString)
 

@@ -252,6 +252,33 @@ object KvSnapshots {
       membership: Int => Seq[KvFileStat]): Int =
     commitWithIn(snapDir(path))(membership)
 
+  /** MAINTENANCE-flagged commit: same OCC protocol, plus a sidecar
+    * marker (`vNNNNN.maint`) recording that this commit's LIVE ROW
+    * SET is provably identical to its predecessor's — compaction,
+    * clustering, z-order, per-bucket rewrite, rebucket. The `$changes`
+    * CDC table emits NOTHING for marked versions (Delta's
+    * dataChange=false / Iceberg's RewriteFiles semantics): without
+    * the marker, a file-granular changelog must restate every
+    * surviving row of a rewritten file, and at 100 TB that makes one
+    * compaction emit the whole table as phantom CDC. The marker
+    * travels nowhere else — time travel, expiry pins, rollback and
+    * the metadata tables all treat the version as ordinary.
+    */
+  def commitWith(path: String, maintenance: Boolean)(
+      membership: Int => Seq[KvFileStat]): Int =
+    commitWithIn(snapDir(path), maintenance)(membership)
+
+  private[sources] def maintPathIn(d: Path, version: Int): Path =
+    d.resolve(f"v$version%05d.maint")
+
+  /** Is `version` a maintenance commit? Consulted only for versions
+    * whose manifest exists — an orphaned marker (crashed attempt) is
+    * invisible here and reclaimed by the next commit at that version
+    * or by expiry.
+    */
+  def isMaintenance(path: String, version: Int): Boolean =
+    Files.isRegularFile(maintPathIn(snapDir(path), version))
+
   /** Column-stat token charset: numeric toString output only (long or
     * double) — enforced on WRITE so no token can ever hold the pair
     * (`:`), list (`,`) or field (TAB) separators; the manifest format
@@ -306,7 +333,8 @@ object KvSnapshots {
     ()
   }
 
-  private[sources] def commitWithIn(d: Path)(
+  private[sources] def commitWithIn(
+      d: Path, maintenance: Boolean = false)(
       membership: Int => Seq[KvFileStat]): Int = {
     Files.createDirectories(d)
     var attempts = 0
@@ -316,6 +344,15 @@ object KvSnapshots {
       val tmp = d.resolve(
         f"v$v%05d.manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       Files.write(tmp, manifestBytes(membership(base)))
+      // Marker discipline around the OCC link: a maintenance commit
+      // plants its marker BEFORE the link (readers only consult
+      // markers of versions whose manifest exists, so a crashed
+      // attempt leaves an invisible orphan); a data commit DELETES
+      // any orphaned marker at its version first — a stale marker
+      // must never attach to a later, row-changing commit.
+      if (maintenance)
+        Files.write(maintPathIn(d, v), Array.emptyByteArray)
+      else Files.deleteIfExists(maintPathIn(d, v))
       try {
         Files.createLink(manifestPathIn(d, v), tmp)
         Files.deleteIfExists(tmp)
@@ -323,6 +360,7 @@ object KvSnapshots {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
+          if (maintenance) Files.deleteIfExists(maintPathIn(d, v))
           attempts += 1
           if (attempts >= 50)
             throw new CommitConflictException(
@@ -400,6 +438,7 @@ object KvSnapshots {
         }
       }
       Files.deleteIfExists(manifestPath(path, v))
+      Files.deleteIfExists(maintPathIn(snapDir(path), v))
     }
     (all.size.toLong, keep.size.toLong, deleted)
   }

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.KvSnapshots
+
+/** The maintenance-commit CDC contract (Delta dataChange=false /
+  * Iceberg RewriteFiles): compaction-family rewrites are live-row-set
+  * no-ops, so neither the `$changes` table nor the add-only rows feed
+  * may emit anything for them — while every OTHER commit's behavior,
+  * the marker's crash orphans, and reclamation stay exact. The
+  * end-to-end oracle pin lives in the catalog_cdc_maintenance gate;
+  * this spec drives the edges.
+  */
+class KvCdcMaintenanceSpec extends SparkTestBase {
+
+  private def cat(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_kv",
+      classOf[graft.sources.KvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_kv.warehouse",
+      Fs.sinkDir("graft_kv_wh"))
+  }
+
+  private def dirOf(table: String): String =
+    s"${Fs.sinkDir("graft_kv_wh")}/default/$table"
+
+  private def changesByVersion(table: String): Map[Int, Long] =
+    spark.sql(
+      s"""SELECT _commit_version, count(*)
+         |FROM graft_kv.default.`$table$$changes`
+         |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("cluster and rebucket emit no CDC; DML around them stays exact") {
+    cat()
+    val t = "graft_kv.default.cdcm_unit"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 100)") // v1
+    spark.sql("CALL graft_kv.system.cluster(" +
+      "table => 'default.cdcm_unit', target_files => 3)").collect() // v2
+    spark.sql(s"INSERT INTO $t SELECT id, 'b' " +
+      "FROM range(100, 150)") // v3
+    val byV = changesByVersion("cdcm_unit")
+    assert(byV === Map(1 -> 100L, 3 -> 50L),
+      s"cluster polluted the change history: $byV")
+    assert(KvSnapshots.isMaintenance(dirOf("cdcm_unit"), 2))
+    // rebucket path too (a bucketed sibling)
+    val tb = "graft_kv.default.cdcm_rbk"
+    spark.sql(s"DROP TABLE IF EXISTS $tb")
+    spark.sql(s"CREATE TABLE $tb (key BIGINT, value STRING) " +
+      "PARTITIONED BY (bucket(2, key)) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $tb SELECT id, 'x' FROM range(0, 60)") // v1
+    spark.sql("CALL graft_kv.system.rebucket(" +
+      "table => 'default.cdcm_rbk', buckets => 4)").collect() // v2
+    assert(changesByVersion("cdcm_rbk") === Map(1 -> 60L))
+  }
+
+  test("rows feed skips maintenance commits, keeps real appends") {
+    cat()
+    val t = "graft_kv.default.cdcm_feed"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 40)")
+    spark.sql("CALL graft_kv.system.cluster(" +
+      "table => 'default.cdcm_feed', target_files => 2)").collect()
+    spark.sql(s"INSERT INTO $t SELECT id, 'b' FROM range(40, 70)")
+    val out = Fs.sinkDir("cdcm_feed_out")
+    val q = spark.readStream
+      .table("graft_kv.default.cdcm_feed")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", Fs.sinkDir("cdcm_feed_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // 40 + 30 real rows; the cluster commit's relocated files (which
+    // re-add all 40 rows under new names) must NOT re-emit
+    assert(spark.read.parquet(out).count() === 70L)
+  }
+
+  test("orphaned marker from a crashed attempt never flags a data commit") {
+    cat()
+    val t = "graft_kv.default.cdcm_orphan"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 10)") // v1
+    // simulate a maintenance attempt that planted its v2 marker and
+    // crashed before linking the manifest
+    val snaps = Paths.get(dirOf("cdcm_orphan"), "_snapshots")
+    Files.write(snaps.resolve("v00002.maint"), Array.emptyByteArray)
+    // an ordinary data commit then claims v2 — it must RECLAIM the
+    // orphan, or its rows would silently vanish from the CDC
+    spark.sql(s"INSERT INTO $t SELECT id, 'b' FROM range(10, 25)") // v2
+    assert(!KvSnapshots.isMaintenance(dirOf("cdcm_orphan"), 2))
+    assert(changesByVersion("cdcm_orphan") === Map(1 -> 10L, 2 -> 15L))
+  }
+
+  test("expire reclaims markers with their manifests") {
+    cat()
+    val t = "graft_kv.default.cdcm_exp"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 30)") // v1
+    spark.sql("CALL graft_kv.system.cluster(" +
+      "table => 'default.cdcm_exp', target_files => 2)").collect() // v2
+    spark.sql(s"INSERT INTO $t VALUES (99, 'z')") // v3
+    val marker =
+      Paths.get(dirOf("cdcm_exp"), "_snapshots", "v00002.maint")
+    assert(Files.isRegularFile(marker))
+    spark.sql("CALL graft_kv.system.expire_snapshots(" +
+      "table => 'default.cdcm_exp', keep_last => 1)").collect()
+    assert(!Files.isRegularFile(marker),
+      "expire left a maintenance marker behind")
+    // the oldest retained version degrades to an initial snapshot —
+    // full membership, EVEN IF it had been a maintenance commit
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 31L)
+  }
+}
