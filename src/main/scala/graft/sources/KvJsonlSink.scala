@@ -821,9 +821,33 @@ class KvJsonlBatchWrite(
           }
         case None =>
           KvSnapshots.commitWith(path, maintenance) { base =>
-            nextMembership(
+            val prev =
               if (base == 0) Seq.empty
-              else KvSnapshots.membersWithStats(path, base))
+              else KvSnapshots.membersWithStats(path, base)
+            val next = nextMembership(prev)
+            // The maintenance flag's commit-time INTERLOCK: flagged
+            // commits are CDC-invisible, so a flagged write that
+            // actually changed the live row set would silently
+            // desynchronize every CDC consumer. Manifest row counts
+            // are exact (the writer tracked them), so prove the
+            // no-op before publishing; unknown counts (migrated
+            // pre-snapshot files, rows = -1) can't prove and fail
+            // the flag rather than trust it.
+            if (maintenance) {
+              def live(m: Seq[KvSnapshots.KvFileStat]): Option[Long] =
+                if (m.exists(_.rows < 0)) None
+                else Some(
+                  KvSnapshots.dataFiles(m).map(_.rows).sum -
+                    KvSnapshots.deleteFiles(m).map(_.rows).sum)
+              (live(prev), live(next)) match {
+                case (Some(a), Some(b)) if a == b => ()
+                case (a, b) => throw new IllegalStateException(
+                  s"maintenance-flagged commit to $path does not " +
+                    s"preserve the live row set (before=$a after=$b) " +
+                    "— refusing to hide it from the change feeds")
+              }
+            }
+            next
           }
       }
     }

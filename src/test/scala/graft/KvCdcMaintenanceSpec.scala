@@ -101,6 +101,40 @@ class KvCdcMaintenanceSpec extends SparkTestBase {
     assert(changesByVersion("cdcm_orphan") === Map(1 -> 10L, 2 -> 15L))
   }
 
+  test("a spoofed maintenance flag that changes rows fails the commit") {
+    cat()
+    val t = "graft_kv.default.cdcm_spoof"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 10)")
+    val dir = dirOf("cdcm_spoof")
+    // a user-level append flagged maintenance ADDS rows — the commit
+    // interlock must refuse rather than hide 5 inserts from CDC
+    val e = intercept[Exception] {
+      spark.range(100, 105)
+        .selectExpr("id AS key", "'x' AS value")
+        .write
+        .format("graft.sources.KvJsonlSink")
+        .option("maintenance", "true")
+        .mode("append")
+        .save(dir)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    assert(msgs.contains("preserve the live row set"), msgs)
+    // the refused commit left no trace: rows, history and markers
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10L)
+    assert(KvSnapshots.latest(dir).contains(1))
+    assert(!KvSnapshots.isMaintenance(dir, 2))
+    // and a genuinely row-preserving flagged write still commits
+    spark.sql("CALL graft_kv.system.cluster(" +
+      "table => 'default.cdcm_spoof', target_files => 2)").collect()
+    assert(KvSnapshots.isMaintenance(dir, 2))
+    assert(changesByVersion("cdcm_spoof") === Map(1 -> 10L))
+  }
+
   test("expire reclaims markers with their manifests") {
     cat()
     val t = "graft_kv.default.cdcm_exp"
