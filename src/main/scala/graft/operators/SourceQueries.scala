@@ -637,6 +637,69 @@ object SourceQueries {
       }
     }),
 
+    // NAMED-KEY STORAGE-PARTITIONED JOIN — the catalog_sorted_join
+    // twin over tables whose key columns carry their REAL names
+    // (`PARTITIONED BY (bucket(8, o_orderkey))`): the key is a ROLE
+    // (field id 1), not a column literally named `key`, so the whole
+    // zero-exchange zero-sort machinery — bucket routing, the
+    // KeyGroupedPartitioning claim, the SupportsReportOrdering claim,
+    // zone maps — must work for the schema a real adopter has
+    // (o_orderkey / l_orderkey / user_id / doc_id) without a rename
+    // migration. Same plan-fact require()s as the `key`-named twin;
+    // rows pin against DuckDB joining the raw parquet. Note the two
+    // sides are bucketed over DIFFERENTLY-named columns — SPJ
+    // compatibility is keyed to the join condition and the shared V2
+    // bucket function, never to name equality.
+    "catalog_spj_named" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t1 = "graft_kv.default.spjn_orders"
+      val t2 = "graft_kv.default.spjn_items"
+      s.sql(s"DROP TABLE IF EXISTS $t1")
+      s.sql(s"CREATE TABLE $t1 (o_orderkey BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(8, o_orderkey)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'write.sort'='o_orderkey')")
+      s.sql(s"DROP TABLE IF EXISTS $t2")
+      s.sql(s"CREATE TABLE $t2 (l_orderkey BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(8, l_orderkey)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'write.sort'='l_orderkey')")
+      s.sql(s"INSERT INTO $t1 SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"INSERT INTO $t2 SELECT l_orderkey, l_returnflag " +
+        s"FROM parquet.`$d/lineitem.parquet`")
+      withConfs(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val df = s.sql(
+          s"""SELECT a.value AS priority, b.value AS flag,
+             |count(*) AS n_items, sum(b.l_orderkey) AS sum_keys
+             |FROM $t1 a JOIN $t2 b ON a.o_orderkey = b.l_orderkey
+             |GROUP BY a.value, b.value
+             |ORDER BY priority, flag""".stripMargin)
+        val rows = df.collect()
+        requireShuffleFreeJoin(df, "catalog_spj_named")
+        requireSortFreeJoin(df, "catalog_spj_named")
+        // key-predicate pushdown follows the role under the real name
+        // too: a point lookup on o_orderkey must skip rows in the
+        // READER (the pushed-key fast path), not just re-filter
+        // materialized rows in Spark
+        val probe = s.sql(s"SELECT min(o_orderkey) FROM " +
+          s"parquet.`$d/orders.parquet`").collect()(0).getLong(0)
+        val skBefore = graft.sources.KvKeyPredicate.skipped.get()
+        val one = s.sql(
+          s"SELECT count(*) AS n FROM $t1 WHERE o_orderkey = $probe")
+          .collect()(0).getLong(0)
+        require(one == 1L,
+          s"catalog_spj_named: point lookup on the named key " +
+            s"returned $one rows")
+        require(graft.sources.KvKeyPredicate.skipped.get() > skBefore,
+          "catalog_spj_named: a named-key point lookup skipped no " +
+            "reader rows — key pushdown did not follow the key role")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
     // RUNTIME BLOOM FILTERING — dynamic pruning for columns no layout
     // clusters by: the scan declares its bloom columns as runtime
     // filter attributes (SupportsRuntimeV2Filtering), so a selective
@@ -771,12 +834,20 @@ object SourceQueries {
       registerKvCatalog(s)
       val ta = "graft_kv.default.rbk_orders"
       val tb = "graft_kv.default.rbk_items"
-      for (t <- Seq(ta, tb)) {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
-          "PARTITIONED BY (bucket(8, key)) " +
-          "TBLPROPERTIES ('snapshots'='true', 'write.sort'='key')")
-      }
+      // The key column is a ROLE (field id 1), not a literal name:
+      // both tables carry their REAL join-key names — the adopter
+      // shape the whole SPJ/rebucket machinery must serve without a
+      // rename-to-`key` migration. Everything downstream (bucket
+      // routing, sorted claims, zone maps, rebucket, the pinned-read
+      // generation gate) runs over these names.
+      s.sql(s"DROP TABLE IF EXISTS $ta")
+      s.sql(s"CREATE TABLE $ta (o_orderkey BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(8, o_orderkey)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'write.sort'='o_orderkey')")
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      s.sql(s"CREATE TABLE $tb (l_orderkey BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(8, l_orderkey)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'write.sort'='l_orderkey')")
       // fragment ta across every bucket (split uncorrelated with key)
       for (cond <- Seq("o_totalprice < 150000.0",
           "o_totalprice >= 150000.0"))
@@ -804,8 +875,8 @@ object SourceQueries {
       def spjAgg() = s.sql(
         s"""SELECT a.value AS priority, b.value AS flag,
            |count(*) AS n_items,
-           |CAST(sum(b.key) AS BIGINT) AS sum_keys
-           |FROM $ta a JOIN $tb b ON a.key = b.key
+           |CAST(sum(b.l_orderkey) AS BIGINT) AS sum_keys
+           |FROM $ta a JOIN $tb b ON a.o_orderkey = b.l_orderkey
            |GROUP BY a.value, b.value
            |ORDER BY priority, flag""".stripMargin)
       withConfs(s,
@@ -817,12 +888,22 @@ object SourceQueries {
         requireShuffleFreeJoin(df1, "catalog_rebucket(split)")
         requireSortFreeJoin(df1, "catalog_rebucket(split)")
         val preV = graft.sources.KvSnapshots.latest(dirA).get
+        // rebucket 8→16 with the RANGE-SPLIT rewrite: parallelism and
+        // output file size bound by newN×perBucket, not by the target
+        // count (16 tasks writing ~6 TB files is the 100 TB
+        // scale-killer this knob exists for)
         val reb = s.sql("CALL graft_kv.system.rebucket(" +
-          "table => 'default.rbk_orders', buckets => 16)")
+          "table => 'default.rbk_orders', buckets => 16, " +
+          "target_files_per_bucket => 3)")
           .collect()(0)
         require(reb.getLong(0) == 8L && reb.getLong(1) == 16L &&
-          reb.getLong(2) == 16L,
+          reb.getLong(2) > 16L,
           s"catalog_rebucket: unexpected rebucket result $reb")
+        val perBucket16 = filesPerBucket(dirA)
+        require((0 until 16).forall(b =>
+            perBucket16.getOrElse(b, 0) >= 2),
+          "catalog_rebucket: the 8→16 rebucket did not range-split " +
+            s"— files/bucket = $perBucket16")
         s.sql("CALL graft_kv.system.rebucket(" +
           "table => 'default.rbk_items', buckets => 16)").collect()
         val df2 = spjAgg()
@@ -833,7 +914,7 @@ object SourceQueries {
         val dfOld = s.sql(
           s"""SELECT count(*) AS n FROM
              |$ta VERSION AS OF $preV a JOIN $tb b
-             |ON a.key = b.key""".stripMargin)
+             |ON a.o_orderkey = b.l_orderkey""".stripMargin)
         dfOld.collect()
         val oldShuffles = dfOld.queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange
@@ -3247,6 +3328,16 @@ object SourceQueries {
     // Same join as catalog_spj_join over the sorted-bucketed pair —
     // the plan differs (no sorts), the rows must not.
     "catalog_sorted_join" ->
+      """SELECT a.o_orderpriority AS priority,
+        |       b.l_returnflag AS flag,
+        |       count(*) AS n_items,
+        |       CAST(sum(b.l_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY priority, flag""".stripMargin,
+    // The named-key twin: same join recomputed from raw parquet —
+    // key-column naming changes plans never rows.
+    "catalog_spj_named" ->
       """SELECT a.o_orderpriority AS priority,
         |       b.l_returnflag AS flag,
         |       count(*) AS n_items,

@@ -52,6 +52,11 @@ class KvScanBuilder(
   private val cols: Seq[KvSchema.Col] =
     colsOverride.getOrElse(KvSchema.colsAsOf(path, pinnedVersion))
 
+  /** CURRENT display name of the key column (field id 1) — pushed
+    * filters and aggregate references arrive under it.
+    */
+  private val keyName: String = KvSchema.keyName(cols)
+
   // Column pruning lands HERE, not in the reader: a 2-column table
   // still profits (count(*) scans parse no fields), and the `_file`
   // metadata column only materializes when the plan asks for it.
@@ -88,7 +93,8 @@ class KvScanBuilder(
     // with row-accurate skipping.
     pushed =
       filters.filter(f =>
-        KvKeyPredicate.supports(f) || KvExtraPredicate.supports(f, cols) ||
+        KvKeyPredicate.supports(f, keyName) ||
+          KvExtraPredicate.supports(f, cols) ||
           KvZoneMap.supportsCol(f, cols) ||
           // equality on a bloom column: accepted for FILE-level
           // sidecar pruning only (KvBloomPrune; Spark re-evaluates
@@ -134,7 +140,8 @@ class KvScanBuilder(
     import org.apache.spark.sql.connector.expressions.NamedReference
     def isKey(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
-        case r: NamedReference => r.fieldNames.sameElements(Array("key"))
+        case r: NamedReference =>
+          r.fieldNames.sameElements(Array(keyName))
         case _ => false
       }
     // MIN/MAX over an EVOLVED fixed-domain column answer from the
@@ -356,34 +363,41 @@ object KvAggScan {
   val served = new java.util.concurrent.atomic.AtomicLong
 }
 
-/** The reader-side compiled form of the pushed key predicates. */
+/** The reader-side compiled form of the pushed key predicates.
+  * Filters arrive named by the table's CURRENT key-column name
+  * (`kn` — KvSchema.keyName), never the literal `key`: the key is a
+  * role (field id 1), its display name is per-table.
+  */
 object KvKeyPredicate {
   import org.apache.spark.sql.sources._
 
-  def supports(f: Filter): Boolean = f match {
-    case EqualTo("key", _: java.lang.Long) => true
-    case GreaterThan("key", _: java.lang.Long) => true
-    case GreaterThanOrEqual("key", _: java.lang.Long) => true
-    case LessThan("key", _: java.lang.Long) => true
-    case LessThanOrEqual("key", _: java.lang.Long) => true
-    case IsNotNull("key") => true
+  def supports(f: Filter, kn: String): Boolean = f match {
+    case EqualTo(a, _: java.lang.Long) => a == kn
+    case GreaterThan(a, _: java.lang.Long) => a == kn
+    case GreaterThanOrEqual(a, _: java.lang.Long) => a == kn
+    case LessThan(a, _: java.lang.Long) => a == kn
+    case LessThanOrEqual(a, _: java.lang.Long) => a == kn
+    case IsNotNull(a) => a == kn
     case _ => false
   }
 
   /** Conjunction of all supported filters over the parsed key (None
-    * = null key): comparisons are null-rejecting like SQL.
+    * = null key): comparisons are null-rejecting like SQL. Callers
+    * pre-filter with [[supports]], so attribute names need no
+    * re-check here — every supported shape over the key column
+    * evaluates, anything else passes through (Spark re-applies).
     */
   def eval(filters: Array[Filter], key: Option[Long]): Boolean =
     filters.forall {
-      case IsNotNull("key") => key.isDefined
-      case EqualTo("key", v: java.lang.Long) => key.contains(v.longValue)
-      case GreaterThan("key", v: java.lang.Long) =>
+      case IsNotNull(_) => key.isDefined
+      case EqualTo(_, v: java.lang.Long) => key.contains(v.longValue)
+      case GreaterThan(_, v: java.lang.Long) =>
         key.exists(_ > v.longValue)
-      case GreaterThanOrEqual("key", v: java.lang.Long) =>
+      case GreaterThanOrEqual(_, v: java.lang.Long) =>
         key.exists(_ >= v.longValue)
-      case LessThan("key", v: java.lang.Long) =>
+      case LessThan(_, v: java.lang.Long) =>
         key.exists(_ < v.longValue)
-      case LessThanOrEqual("key", v: java.lang.Long) =>
+      case LessThanOrEqual(_, v: java.lang.Long) =>
         key.exists(_ <= v.longValue)
       case _ => true
     }
@@ -579,6 +593,11 @@ class KvScan(
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+  /** CURRENT display name of the key column (field id 1): partition
+    * transforms, ordering claims and runtime predicates all speak it.
+    */
+  private val keyName: String = KvSchema.keyName(cols)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -620,7 +639,7 @@ class KvScan(
       // PartitionPruning resolves every declared attribute against
       // the scan output and FAILS on a pruned-out one.
       val present = required.fieldNames.toSet
-      ("key" +: KvBucketing.readMetaFull(path).blooms.flatMap(id =>
+      (keyName +: KvBucketing.readMetaFull(path).blooms.flatMap(id =>
         cols.find(_.id == id).map(_.name)))
         .filter(present)
         .map(org.apache.spark.sql.connector.expressions.Expressions
@@ -644,7 +663,7 @@ class KvScan(
       predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = if (!forRowLevelOp) {
-    val sets = predicates.flatMap(KvRuntimePredicate.keySet)
+    val sets = predicates.flatMap(KvRuntimePredicate.keySet(_, keyName))
     if (sets.nonEmpty) runtimeKeys = Some(sets.reduce(_ intersect _))
     // runtime predicates over BLOOM columns compile to extra sidecar
     // conjuncts — same evaluation as the static pushed ones
@@ -697,7 +716,7 @@ class KvScan(
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
             Array(org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, "key")),
+              .bucket(n, keyName)),
             n)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
@@ -770,9 +789,9 @@ class KvScan(
     */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (sortedLayout && required.fieldNames.contains("key")) {
+    if (sortedLayout && required.fieldNames.contains(keyName)) {
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-      Array(Expressions.sort(Expressions.column("key"),
+      Array(Expressions.sort(Expressions.column(keyName),
         SortDirection.ASCENDING))
     } else Array.empty
 
@@ -818,7 +837,7 @@ class KvScan(
             .filter(st => dayAdmits(st.name, countPrunes))
             .filter { st =>
               val keep =
-                KvZoneMap.mayMatch(st, pushed) &&
+                KvZoneMap.mayMatch(st, pushed, keyName) &&
                   KvZoneMap.mayMatchCols(st, pushed, cols) &&
                   runtimeKeys.forall(ks => KvZoneMap.mayMatchKeys(st, ks))
               if (!keep) KvZoneMap.prunedFiles.incrementAndGet()
@@ -985,8 +1004,8 @@ object KvRuntimePredicate {
   import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
-  private def isKey(e: Expression): Boolean = e match {
-    case r: NamedReference => r.fieldNames.sameElements(Array("key"))
+  private def isKey(e: Expression, kn: String): Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array(kn))
     case _ => false
   }
 
@@ -996,21 +1015,26 @@ object KvRuntimePredicate {
     case _ => None
   }
 
-  def keySet(p: Predicate): Option[Set[Long]] = p.name() match {
-    case "IN" =>
-      val cs = p.children()
-      if (cs.length >= 2 && isKey(cs.head)) {
-        val vals = cs.tail.map(longLit)
-        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
-      } else None
-    case "=" =>
-      p.children() match {
-        case Array(k, v) if isKey(k) => longLit(v).map(Set(_))
-        case Array(v, k) if isKey(k) => longLit(v).map(Set(_))
-        case _ => None
-      }
-    case _ => None
-  }
+  /** `kn` is the table's current key-column name (the key is a role
+    * — field id 1 — not a literal name).
+    */
+  def keySet(p: Predicate, kn: String): Option[Set[Long]] =
+    p.name() match {
+      case "IN" =>
+        val cs = p.children()
+        if (cs.length >= 2 && isKey(cs.head, kn)) {
+          val vals = cs.tail.map(longLit)
+          if (vals.forall(_.isDefined)) Some(vals.flatten.toSet)
+          else None
+        } else None
+      case "=" =>
+        p.children() match {
+          case Array(k, v) if isKey(k, kn) => longLit(v).map(Set(_))
+          case Array(v, k) if isKey(k, kn) => longLit(v).map(Set(_))
+          case _ => None
+        }
+      case _ => None
+    }
 }
 
 case class KvInputPartition(
@@ -1057,7 +1081,7 @@ class KvReaderFactory(
               "misaligned merge-on-read planning")
         val delsOf: Int => Array[Long] = i =>
           if (dels.isEmpty) Array.empty[Long] else dels(i)
-        val keyOrd = fields.indexOf("key")
+        val keyOrd = fields.indexOf(KvSchema.keyName(cols))
         if (mergeSortedBuckets && files.length > 1 && keyOrd >= 0)
           // SORTED table, fragmented bucket: k-way MERGE the bucket's
           // key-ascending files so the partition stays key-ascending
@@ -1172,7 +1196,8 @@ class KvPartitionReader(
     * full token parse (and so only ever cost anything on evolved
     * tables that pushed one).
     */
-  private val keyPushed = pushed.filter(KvKeyPredicate.supports)
+  private val keyPushed =
+    pushed.filter(KvKeyPredicate.supports(_, KvSchema.keyName(cols)))
   private val extraPushed: Array[KvExtraPredicate.Compiled] =
     pushed.flatMap(KvExtraPredicate.compile(_, cols))
 
@@ -1369,6 +1394,7 @@ class KvRowLevelOperation(
       s"kvjsonl row-level write needs " +
         s"${KvSchema.toStruct(want).catalogString}; " +
         s"got ${s.catalogString}")
+    val keyName = KvSchema.keyName(want)
     new WriteBuilder {
       override def build(): Write = buckets match {
         // The rewrite of a bucketed table requests the same
@@ -1385,7 +1411,7 @@ class KvRowLevelOperation(
               org.apache.spark.sql.connector.distributions.Distributions
                 .clustered(Array(
                   org.apache.spark.sql.connector.expressions.Expressions
-                    .bucket(n, "key")))
+                    .bucket(n, keyName)))
             // a SORTED bucketed table's rewrite re-requests the
             // (bucket, key) ordering, so replacement files stay
             // per-bucket key-ascending (the write path's contract)
@@ -1394,9 +1420,9 @@ class KvRowLevelOperation(
               if (sorted) {
                 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
                 Array(
-                  Expressions.sort(Expressions.bucket(n, "key"),
+                  Expressions.sort(Expressions.bucket(n, keyName),
                     SortDirection.ASCENDING),
-                  Expressions.sort(Expressions.column("key"),
+                  Expressions.sort(Expressions.column(keyName),
                     SortDirection.ASCENDING))
               } else Array.empty
             override def toBatch
@@ -1414,7 +1440,7 @@ class KvRowLevelOperation(
               org.apache.spark.sql.connector.expressions.Expressions
                 .sort(
                   org.apache.spark.sql.connector.expressions.Expressions
-                    .column("key"),
+                    .column(keyName),
                   org.apache.spark.sql.connector.expressions
                     .SortDirection.ASCENDING)
             override def requiredDistribution()
@@ -1769,8 +1795,16 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
             case r: org.apache.spark.sql.connector.expressions.NamedReference =>
               r.fieldNames().mkString(".")
           }
-          require(n.nonEmpty && col.contains("key"),
-            s"kvjsonl bucketing must be bucket(n, key); got $t")
+          // The bucket column is the KEY column — field id 1, the
+          // table's FIRST column, whatever it is named (`key`,
+          // `o_orderkey`, `user_id`): bucketing, zone maps, sorted
+          // layout and MoR addressing are one clustering machinery
+          // over that role, so they must agree on the column.
+          require(n.nonEmpty && col.exists(c =>
+              schema.nonEmpty &&
+                c.equalsIgnoreCase(schema.fields(0).name)),
+            s"kvjsonl bucketing must be bucket(n, <first column>) — " +
+              s"the key column; got $t over ${schema.catalogString}")
           require(n.get >= 1 && n.get <= 4096,
             s"kvjsonl bucket count out of range [1, 4096]: ${n.get}")
           (n, None)
@@ -1794,16 +1828,19 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
             s"got ${other.mkString(", ")}")
       }
     // Schema rules (KvSchema.scala has the storage model): the first
-    // column is ALWAYS `key BIGINT` — bucketing, predicate/aggregate
-    // pushdown, zone maps and the MoR row addressing build on it —
-    // and every column's type must be one the line format encodes.
-    // The founding (key, value) pair stays registry-free and
-    // byte-identical to every pre-evolution table; anything wider
-    // births a column registry with stable field ids.
+    // column is ALWAYS the BIGINT key column — bucketing,
+    // predicate/aggregate pushdown, zone maps and the MoR row
+    // addressing build on the ROLE (field id 1); its display NAME is
+    // the user's (`key`, `o_orderkey`, `user_id`, …), fixed for the
+    // table's life, while its storage token stays the literal `key`.
+    // Every column's type must be one the line format encodes. The
+    // founding (key, value) pair stays registry-free and
+    // byte-identical to every pre-evolution table; anything wider —
+    // including a non-`key` key name — births a column registry with
+    // stable field ids.
     require(
-      schema.nonEmpty && schema(0).name == "key" &&
-        schema(0).dataType == LongType,
-      "kvjsonl tables require `key BIGINT` as their first column; " +
+      schema.nonEmpty && schema(0).dataType == LongType,
+      "kvjsonl tables require a BIGINT key as their first column; " +
         s"got ${schema.catalogString}")
     schema.fields.foreach { f =>
       require(KvSchema.isSupported(f.dataType),
@@ -1885,11 +1922,16 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     // ordering and co-keyed sort-merge joins skip their sorts — see
     // KvScan.outputOrdering). Date-partitioned layouts still own
     // their placement.
+    // accepts the literal 'key' (the role) or the key column's actual
+    // name — both mean "sort by field id 1"
     val sorted = Option(properties.get("write.sort")) match {
       case None => false
-      case Some("key") => true
+      case Some(v)
+          if v == "key" || v.equalsIgnoreCase(schema.fields(0).name) =>
+        true
       case Some(other) => throw new IllegalArgumentException(
-        s"table property write.sort supports only 'key'; got '$other'")
+        "table property write.sort supports only the key column " +
+          s"('key' or '${schema.fields(0).name}'); got '$other'")
     }
     require(!sorted || partition.isEmpty,
       "TBLPROPERTIES ('write.sort'='key') composes with plain and " +

@@ -241,6 +241,12 @@ class KvJsonlTable(
     KvSchema.colsAsOf(path, pinnedVersion)
   override def schema(): StructType = KvSchema.toStruct(cols)
 
+  /** CURRENT display name of the key column (field id 1) — the name
+    * every Catalyst-facing transform/ordering reference must carry
+    * (the key is a role, not a literal name; KvSchema.keyName).
+    */
+  private lazy val keyName: String = KvSchema.keyName(cols)
+
   /** Table meta (see KvBucketing.scala): bucket partitioning ⇒ the
     * scan reports KeyGroupedPartitioning (storage-partitioned joins)
     * and every batch write routes rows to per-bucket files; snapshots
@@ -254,7 +260,7 @@ class KvJsonlTable(
   override def partitioning(): Array[Transform] =
     buckets.toArray.map(n =>
       org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(n, "key")) ++
+        .bucket(n, keyName)) ++
       meta.partition.toArray.flatMap { case (u, id) =>
         cols.find(_.id == id).map(c =>
           KvJsonlTable.partTransform(u, c.name))
@@ -264,7 +270,7 @@ class KvJsonlTable(
     val m = new util.HashMap[String, String]()
     if (meta.snapshots) m.put("snapshots", "true")
     if (meta.mor) m.put("dml", "mor")
-    if (meta.sorted) m.put("write.sort", "key")
+    if (meta.sorted) m.put("write.sort", keyName)
     if (meta.blooms.nonEmpty)
       m.put("bloom_cols", meta.blooms.flatMap(id =>
         cols.find(_.id == id).map(_.name)).mkString(","))
@@ -422,7 +428,7 @@ class KvJsonlTable(
                 org.apache.spark.sql.connector.expressions.Expressions
                   .sort(
                     org.apache.spark.sql.connector.expressions.Expressions
-                      .column("key"),
+                      .column(keyName),
                     org.apache.spark.sql.connector.expressions
                       .SortDirection.ASCENDING))
             override def toBatch: BatchWrite =
@@ -449,7 +455,7 @@ class KvJsonlTable(
               org.apache.spark.sql.connector.distributions.Distributions
                 .clustered(Array(
                   org.apache.spark.sql.connector.expressions.Expressions
-                    .bucket(n, "key")))
+                    .bucket(n, keyName)))
             // A SORTED bucketed table ('write.sort'='key' + buckets)
             // additionally requests (bucket, key) task ordering: a
             // task's rows arrive grouped by bucket and key-ascending
@@ -462,9 +468,9 @@ class KvJsonlTable(
               if (meta.sorted) {
                 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
                 Array(
-                  Expressions.sort(Expressions.bucket(n, "key"),
+                  Expressions.sort(Expressions.bucket(n, keyName),
                     SortDirection.ASCENDING),
-                  Expressions.sort(Expressions.column("key"),
+                  Expressions.sort(Expressions.column(keyName),
                     SortDirection.ASCENDING))
               } else Array.empty
             override def toBatch: BatchWrite =
@@ -518,7 +524,7 @@ class KvJsonlTable(
               org.apache.spark.sql.connector.expressions.Expressions
                 .sort(
                   org.apache.spark.sql.connector.expressions.Expressions
-                    .column("key"),
+                    .column(keyName),
                   org.apache.spark.sql.connector.expressions
                     .SortDirection.ASCENDING)
             override def requiredDistribution()

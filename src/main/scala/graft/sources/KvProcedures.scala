@@ -131,11 +131,12 @@ class KvClusterProcedure(cat: KvCatalog)
         // safe under the sink's two-phase commit (tasks read the old
         // membership while replacements stage in _temporary; the
         // manifest flip at driver commit is atomic).
+        val keyName = KvSchema.keyNameOf(dir.toString)
         spark.read
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)
-          .repartitionByRange(target, col("key"))
-          .sortWithinPartitions("key")
+          .repartitionByRange(target, col(keyName))
+          .sortWithinPartitions(keyName)
           .write
           .format("graft.sources.KvJsonlSink")
           .option("maintenance", "true")
@@ -1029,7 +1030,9 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
         // task sort makes each bucket's single file key-ascending —
         // the layout the ordering report needs. The writer's routing
         // remains the correctness backstop either way.
-        val bucketExpr = coalesce(pmod(col("key"), lit(n.toLong)), lit(0L))
+        val keyName = KvSchema.keyNameOf(dir.toString)
+        val bucketExpr =
+          coalesce(pmod(col(keyName), lit(n.toLong)), lit(0L))
         val src = spark.read
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)
@@ -1049,8 +1052,9 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
         (if (perBucket == 1)
           src.repartition(n, bucketExpr)
         else
-          src.repartitionByRange(n * perBucket, bucketExpr, col("key")))
-          .sortWithinPartitions(col("key"))
+          src.repartitionByRange(
+            n * perBucket, bucketExpr, col(keyName)))
+          .sortWithinPartitions(col(keyName))
           .write
           .format("graft.sources.KvJsonlSink")
           .option("layout_rewrite", "true")
@@ -1133,6 +1137,15 @@ class KvRebucketProcedure(cat: KvCatalog)
           procedures.ProcedureParameter
             .in("buckets", IntegerType)
             .comment("the new bucket count")
+            .build(),
+          procedures.ProcedureParameter
+            .in("target_files_per_bucket", IntegerType)
+            .defaultValue("1")
+            .comment("key-RANGE-split each new bucket into this many " +
+              "sorted files — bounds output file size AND rewrite " +
+              "parallelism independently of the target count (an " +
+              "8→16 rebucket of a 100 TB table must not be 16 tasks " +
+              "writing ~6 TB files)")
             .build())
 
       override def call(input: InternalRow): util.Iterator[Scan] = {
@@ -1142,39 +1155,63 @@ class KvRebucketProcedure(cat: KvCatalog)
         val newN = input.getInt(1)
         require(newN >= 1 && newN <= 4096,
           s"bucket count out of range [1, 4096]: $newN")
+        val perBucket =
+          if (input.numFields > 2 && !input.isNullAt(2)) input.getInt(2)
+          else 1
+        require(perBucket >= 1 && perBucket <= 4096,
+          s"target_files_per_bucket out of range [1, 4096]: $perBucket")
         val dir = cat.resolveTableDir(table)
         KvProcedures.requireSnapshotted(table, dir)
         val meta = KvBucketing.readMetaFull(dir.toString)
         val oldN = meta.buckets.getOrElse(
           throw new IllegalArgumentException(
             "system.rebucket needs a bucketed table — use CREATE " +
-              "TABLE ... PARTITIONED BY (bucket(n, key)) for the " +
-              "initial layout"))
+              "TABLE ... PARTITIONED BY (bucket(n, <key column>)) " +
+              "for the initial layout"))
         require(KvBranches.list(dir.toString).isEmpty,
           s"cannot rebucket while branches exist " +
             s"(${KvBranches.list(dir.toString).mkString(", ")}) — " +
             "fast-forward or drop them first (branch memberships are " +
             "not rewritten)")
 
+        // Meta writes below are READ-MODIFY-WRITE against the LIVE
+        // meta, patching only the rebucket fields: a concurrent ALTER
+        // landing during the (potentially long) rewrite — bloom_cols,
+        // partition, sort — must survive the publish, not be
+        // clobbered by a copy of the meta read before quarantine.
+        def patchMeta(patch: KvBucketing.KvMeta => KvBucketing.KvMeta)
+            : Unit =
+          KvBucketing.writeMeta(dir.toString,
+            patch(KvBucketing.readMetaFull(dir.toString)))
+
         // (1) QUARANTINE: writers route by the target, scans stop
         // claiming KeyGroupedPartitioning. Atomic meta write; a crash
         // after this point leaves a sound (claim-suppressed) table.
-        KvBucketing.writeMeta(dir.toString,
-          meta.copy(rebucketTarget = Some(newN)))
+        patchMeta(_.copy(rebucketTarget = Some(newN)))
 
         val spark = org.apache.spark.sql.SparkSession.active
         import org.apache.spark.sql.functions.{coalesce, col, lit, pmod}
         // (2) REWRITE under the new count: the routed writer (already
-        // reading the quarantine target) re-places every row; the
-        // task-side repartition+sort makes each new bucket one
-        // key-ascending file so sorted layouts keep their claim.
+        // reading the quarantine target) re-places every row.
+        // target_files_per_bucket = 1 keeps one task/file per new
+        // bucket; > 1 RANGE-partitions on (bucket, key) instead, so
+        // rewrite parallelism is newN×perBucket tasks and each bucket
+        // lands as ~perBucket key-sorted files with DISJOINT key
+        // ranges (fragmented buckets k-way merge at read —
+        // KvMergingBucketReader — so sorted layouts keep their claim
+        // either way).
+        val keyName = KvSchema.keyNameOf(dir.toString)
         val bucketExpr =
-          coalesce(pmod(col("key"), lit(newN.toLong)), lit(0L))
-        spark.read
+          coalesce(pmod(col(keyName), lit(newN.toLong)), lit(0L))
+        val src = spark.read
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)
-          .repartition(newN, bucketExpr)
-          .sortWithinPartitions(col("key"))
+        (if (perBucket == 1)
+          src.repartition(newN, bucketExpr)
+        else
+          src.repartitionByRange(
+            newN * perBucket, bucketExpr, col(keyName)))
+          .sortWithinPartitions(col(keyName))
           .write
           .format("graft.sources.KvJsonlSink")
           .option("layout_rewrite", "true")
@@ -1184,10 +1221,23 @@ class KvRebucketProcedure(cat: KvCatalog)
 
         // (3) PUBLISH: flip the count, clear the quarantine, pin the
         // generation boundary at the rewrite's committed version.
+        // Branch freeze-out is re-verified HERE, not just at entry: a
+        // branch created DURING the rewrite seeded old-generation
+        // membership, and publishing under it would let later branch
+        // commits (version >= bucketsFrom) claim the new-count
+        // grouping their files don't have — when newN > oldN the old
+        // tokens all fall inside [0, newN), so the scan's fail-loud
+        // guard could never catch it. Failing here leaves the table
+        // QUARANTINED (claims suppressed, rows right); the repair is
+        // dropping/fast-forwarding the branch and re-running the call.
+        require(KvBranches.list(dir.toString).isEmpty,
+          s"a branch was created while rebucketing $table " +
+            s"(${KvBranches.list(dir.toString).mkString(", ")}) — " +
+            "the table stays quarantined (claims suppressed); drop " +
+            "or fast-forward the branch and re-run system.rebucket")
         val version = KvSnapshots.latest(dir.toString).getOrElse(0)
-        KvBucketing.writeMeta(dir.toString,
-          meta.copy(buckets = Some(newN), rebucketTarget = None,
-            bucketsFrom = Some(version)))
+        patchMeta(_.copy(buckets = Some(newN), rebucketTarget = None,
+          bucketsFrom = Some(version)))
 
         val stats = KvSnapshots.membersWithStats(dir.toString, version)
         require(KvSnapshots.deleteFiles(stats).isEmpty,

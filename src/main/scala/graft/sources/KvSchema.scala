@@ -49,9 +49,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, Lo
   * ARRAY&lt;BIGINT&gt; / ARRAY&lt;DOUBLE&gt; (JSON array tokens — the
   * embedding-vector types; see [[typeName]]) — the
   * id→type binding is permanent, so a storage field's JSON encoding
-  * never changes across the table's life. `key` (id 1) is immutable
-  * in name, type and position (bucketing, predicate/aggregate
-  * pushdown, zone maps and the MoR row addressing all build on it).
+  * never changes across the table's life. The KEY column (id 1) is a
+  * ROLE, not a name: it is always the FIRST column, always BIGINT,
+  * and its DISPLAY name is chosen at CREATE (`key`, `o_orderkey`,
+  * `user_id`, …) and immutable afterwards — bucketing,
+  * predicate/aggregate pushdown, zone maps and the MoR row
+  * addressing are all defined over field id 1, and every name-based
+  * site resolves the CURRENT name through [[keyName]]. The STORAGE
+  * token stays the literal `key` whatever the display name, so
+  * every file and the fast-path parser are byte-identical across
+  * naming choices.
   *
   * Like the rest of the catalog's metadata, writes are atomic
   * (temp + rename) and assume single-writer DDL; data commits are
@@ -78,6 +85,18 @@ object KvSchema {
     */
   val Legacy: Seq[Col] =
     Seq(Col(1, "key", LongType), Col(2, "value", StringType))
+
+  /** CURRENT display name of the key column (field id 1) — what
+    * Catalyst-facing sites (pushed filters, partition transforms,
+    * ordering claims, runtime predicates) must match against, since
+    * Spark names attributes by the table's current schema. Falls back
+    * to the founding `key` for a registry-free table.
+    */
+  def keyName(cols: Seq[Col]): String =
+    cols.find(_.id == 1).map(_.name).getOrElse("key")
+
+  /** [[keyName]] resolved from a table directory's registry. */
+  def keyNameOf(dir: String): String = keyName(currentCols(dir))
 
   /** Names no user column may take: the scan's metadata columns and
     * the `$changes` CDC table's bookkeeping columns (a user column

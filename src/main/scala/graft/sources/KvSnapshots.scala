@@ -457,8 +457,13 @@ object KvZoneMap {
     */
   val prunedFiles = new java.util.concurrent.atomic.AtomicLong
 
+  /** `kn` is the table's CURRENT key-column name (field id 1's
+    * display name — KvSchema.keyName): pushed filters carry it, the
+    * manifest's min/max key stats are keyed to the role.
+    */
   def mayMatch(
-      stat: KvSnapshots.KvFileStat, filters: Array[Filter]): Boolean = {
+      stat: KvSnapshots.KvFileStat, filters: Array[Filter],
+      kn: String = "key"): Boolean = {
     if (filters.isEmpty) true
     else if (stat.rows == 0L) false // provably empty
     else if (!stat.keysKnown) true // unknown stats — never skip
@@ -466,17 +471,17 @@ object KvZoneMap {
       // keysKnown ⇒ min/max are EXACT over non-null keys; absent
       // means the file has no non-null keys, which no null-rejecting
       // key comparison can match.
-      case IsNotNull("key") => stat.minKey.isDefined
-      case EqualTo("key", v: java.lang.Long) =>
+      case IsNotNull(a) if a == kn => stat.minKey.isDefined
+      case EqualTo(a, v: java.lang.Long) if a == kn =>
         stat.minKey.exists(_ <= v.longValue) &&
           stat.maxKey.exists(_ >= v.longValue)
-      case GreaterThan("key", v: java.lang.Long) =>
+      case GreaterThan(a, v: java.lang.Long) if a == kn =>
         stat.maxKey.exists(_ > v.longValue)
-      case GreaterThanOrEqual("key", v: java.lang.Long) =>
+      case GreaterThanOrEqual(a, v: java.lang.Long) if a == kn =>
         stat.maxKey.exists(_ >= v.longValue)
-      case LessThan("key", v: java.lang.Long) =>
+      case LessThan(a, v: java.lang.Long) if a == kn =>
         stat.minKey.exists(_ < v.longValue)
-      case LessThanOrEqual("key", v: java.lang.Long) =>
+      case LessThanOrEqual(a, v: java.lang.Long) if a == kn =>
         stat.minKey.exists(_ <= v.longValue)
       case _ => true
     }

@@ -113,6 +113,6 @@ class KvSortedWriteSpec extends SparkTestBase {
     assert(Iterator.iterate(e2: Throwable)(_.getCause)
       .takeWhile(_ != null)
       .exists(m => Option(m.getMessage).exists(
-        _.contains("only 'key'"))))
+        _.contains("only the key column"))))
   }
 }
