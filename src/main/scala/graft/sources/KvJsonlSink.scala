@@ -409,6 +409,18 @@ class KvJsonlTable(
     // layout_rewrite — compact/cluster/zorder keep their standing
     // distributions but are maintenance all the same.
     val maint = "true" == info.options.get("maintenance")
+    // `maintenance_base=<version>` (set by the system.* procedures):
+    // the snapshot version the rewrite SCANNED. The commit refuses to
+    // publish against any other base — the exact guard against a
+    // concurrent commit landing between the rewrite's read and its
+    // publish, which a truncate-replace would otherwise silently
+    // drop AND (being maintenance-flagged) hide from CDC. A refused
+    // rewrite is simply re-run; at 100 TB compaction racing a
+    // streaming append is the common case, not the corner.
+    val maintBase: Option[Int] =
+      Option(info.options.get("maintenance_base")).map(_.toInt)
+    require(maintBase.isEmpty || maint,
+      "maintenance_base is only meaningful on a maintenance commit")
     new WriteBuilder with SupportsTruncate {
       // mode("overwrite") plans as truncate-then-append; the actual
       // delete happens DRIVER-SIDE at commit time so a failed job
@@ -433,7 +445,8 @@ class KvJsonlTable(
                       .SortDirection.ASCENDING))
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch, maintenance = maint)
+                writeBranch, maintenance = maint,
+                requireBase = maintBase)
             override def toStreaming: streaming.StreamingWrite =
               throw new UnsupportedOperationException(
                 "layout_rewrite is a batch-maintenance option")
@@ -475,7 +488,8 @@ class KvJsonlTable(
               } else Array.empty
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch, maintenance = maint)
+                writeBranch, maintenance = maint,
+                requireBase = maintBase)
             override def toStreaming: streaming.StreamingWrite = {
               require(writeBranch.isEmpty,
                 "streaming append to a BRANCH is not supported")
@@ -505,7 +519,8 @@ class KvJsonlTable(
               Array.empty
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch, maintenance = maint)
+                writeBranch, maintenance = maint,
+                requireBase = maintBase)
             override def toStreaming: streaming.StreamingWrite = {
               require(writeBranch.isEmpty,
                 "streaming append to a BRANCH is not supported")
@@ -536,7 +551,8 @@ class KvJsonlTable(
               Array(keyAsc)
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch, maintenance = maint)
+                writeBranch, maintenance = maint,
+                requireBase = maintBase)
             override def toStreaming: streaming.StreamingWrite = {
               require(writeBranch.isEmpty,
                 "streaming append to a BRANCH is not supported")
@@ -549,7 +565,8 @@ class KvJsonlTable(
           // job's same-numbered partitions.
           override def toBatch: BatchWrite =
             new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-              writeBranch, maintenance = maint)
+              writeBranch, maintenance = maint,
+                requireBase = maintBase)
           override def toStreaming: streaming.StreamingWrite = {
             require(writeBranch.isEmpty,
               "streaming append to a BRANCH is not supported — stream " +
@@ -710,7 +727,8 @@ class KvJsonlBatchWrite(
     path: String, truncateFirst: Boolean, jobId: String,
     branch: Option[String] = None,
     replaceOnly: Option[() => Set[String]] = None,
-    maintenance: Boolean = false)
+    maintenance: Boolean = false,
+    requireBase: Option[Int] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -827,6 +845,22 @@ class KvJsonlBatchWrite(
           }
         case None =>
           KvSnapshots.commitWith(path, maintenance) { base =>
+            // The BASE PIN (maintenance_base): a maintenance rewrite
+            // must publish against exactly the version it scanned —
+            // any other base means a concurrent commit interleaved,
+            // and this truncate-replace would drop its changes while
+            // the flag hides the damage from CDC. Exact where the
+            // row-count interlock below is only a heuristic (a
+            // concurrent +N/−N pair nets to zero); the count check
+            // stays as the spoof backstop for flagged writes that
+            // carry no pin.
+            requireBase.foreach { b0 =>
+              if (base != b0)
+                throw new KvSnapshots.CommitConflictException(
+                  s"maintenance rewrite of $path scanned v$b0 but " +
+                    s"would publish against v$base — a concurrent " +
+                    "commit interleaved; re-run the maintenance call")
+            }
             val prev =
               if (base == 0) Seq.empty
               else KvSnapshots.membersWithStats(path, base)
@@ -838,7 +872,9 @@ class KvJsonlBatchWrite(
             // are exact (the writer tracked them), so prove the
             // no-op before publishing; unknown counts (migrated
             // pre-snapshot files, rows = -1) can't prove and fail
-            // the flag rather than trust it.
+            // the flag rather than trust it. (A count-level check is
+            // a HEURISTIC — see the base pin above for the exact
+            // interleaving guard the system.* procedures ride.)
             if (maintenance) {
               def live(m: Seq[KvSnapshots.KvFileStat]): Option[Long] =
                 if (m.exists(_.rows < 0)) None

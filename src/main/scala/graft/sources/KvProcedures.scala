@@ -132,6 +132,10 @@ class KvClusterProcedure(cat: KvCatalog)
         // membership while replacements stage in _temporary; the
         // manifest flip at driver commit is atomic).
         val keyName = KvSchema.keyNameOf(dir.toString)
+        // maintenance_base: publish only against the version this
+        // rewrite scanned — a concurrent commit interleaving would
+        // otherwise be dropped by the overwrite AND hidden from CDC
+        val v0 = KvSnapshots.latest(dir.toString).getOrElse(0)
         spark.read
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)
@@ -140,6 +144,7 @@ class KvClusterProcedure(cat: KvCatalog)
           .write
           .format("graft.sources.KvJsonlSink")
           .option("maintenance", "true")
+          .option("maintenance_base", v0.toString)
           .mode("overwrite")
           .save(dir.toString)
         val after = dataFileCount
@@ -919,6 +924,7 @@ class KvZorderProcedure(cat: KvCatalog)
           }.reduce(_ + _).cast("long")
 
         val before = dataFileCount
+        val v0 = KvSnapshots.latest(dir.toString).getOrElse(0)
         df.withColumn("_z",
             morton16(coord(zcols(0), 0, 1), coord(zcols(1), 2, 3)))
           .repartitionByRange(target, col("_z"))
@@ -927,6 +933,7 @@ class KvZorderProcedure(cat: KvCatalog)
           .write
           .format("graft.sources.KvJsonlSink")
           .option("maintenance", "true")
+          .option("maintenance_base", v0.toString)
           .mode("overwrite")
           .save(dir.toString)
         val after = dataFileCount
@@ -1049,6 +1056,7 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
         // the sink must not re-shuffle it under the table's standing
         // global-key distribution (which AQE then coalesces). A plain
         // key sort per task keeps every routed bucket file ascending.
+        val v0 = KvSnapshots.latest(dir.toString).getOrElse(0)
         (if (perBucket == 1)
           src.repartition(n, bucketExpr)
         else
@@ -1059,6 +1067,7 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
           .format("graft.sources.KvJsonlSink")
           .option("layout_rewrite", "true")
           .option("maintenance", "true")
+          .option("maintenance_base", v0.toString)
           .mode("overwrite")
           .save(dir.toString)
         val (filesAfter, delsAfter) = counts
@@ -1206,6 +1215,7 @@ class KvRebucketProcedure(cat: KvCatalog)
         val src = spark.read
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)
+        val v0 = KvSnapshots.latest(dir.toString).getOrElse(0)
         (if (perBucket == 1)
           src.repartition(newN, bucketExpr)
         else
@@ -1216,6 +1226,7 @@ class KvRebucketProcedure(cat: KvCatalog)
           .format("graft.sources.KvJsonlSink")
           .option("layout_rewrite", "true")
           .option("maintenance", "true")
+          .option("maintenance_base", v0.toString)
           .mode("overwrite")
           .save(dir.toString)
 

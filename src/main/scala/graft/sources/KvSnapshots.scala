@@ -132,6 +132,9 @@ object KvSnapshots {
       if (s == "-") None else Some(s.toLong)
     Files.readAllLines(m, java.nio.charset.StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty)
+      // header lines (the `#maintenance` flag) are commit metadata,
+      // not members
+      .filterNot(_.startsWith("#"))
       .map { line =>
         line.split('\t') match {
           case Array(name) =>
@@ -252,32 +255,49 @@ object KvSnapshots {
       membership: Int => Seq[KvFileStat]): Int =
     commitWithIn(snapDir(path))(membership)
 
-  /** MAINTENANCE-flagged commit: same OCC protocol, plus a sidecar
-    * marker (`vNNNNN.maint`) recording that this commit's LIVE ROW
-    * SET is provably identical to its predecessor's — compaction,
-    * clustering, z-order, per-bucket rewrite, rebucket. The `$changes`
-    * CDC table emits NOTHING for marked versions (Delta's
-    * dataChange=false / Iceberg's RewriteFiles semantics): without
-    * the marker, a file-granular changelog must restate every
+  /** MAINTENANCE-flagged commit: same OCC protocol, with the flag
+    * encoded IN THE MANIFEST CONTENT itself (a `#maintenance` header
+    * line — Delta's dataChange=false / Iceberg's snapshot operation
+    * living inside committed metadata). It records that this commit's
+    * LIVE ROW SET is provably identical to its predecessor's —
+    * compaction, clustering, z-order, per-bucket rewrite, rebucket —
+    * so the `$changes` CDC table emits NOTHING for flagged versions:
+    * without it, a file-granular changelog must restate every
     * surviving row of a rewritten file, and at 100 TB that makes one
-    * compaction emit the whole table as phantom CDC. The marker
-    * travels nowhere else — time travel, expiry pins, rollback and
-    * the metadata tables all treat the version as ordinary.
+    * compaction emit the whole table as phantom CDC. Living inside
+    * the manifest bytes makes the flag ATOMIC with the commit by
+    * construction — no sidecar-ordering window in which a data
+    * commit could strip a valid marker or a losing maintenance
+    * attempt's marker could attach to a row-changing winner. The
+    * flag travels nowhere else — time travel, expiry pins, rollback
+    * and the metadata tables all treat the version as ordinary.
     */
   def commitWith(path: String, maintenance: Boolean)(
       membership: Int => Seq[KvFileStat]): Int =
     commitWithIn(snapDir(path), maintenance)(membership)
 
-  private[sources] def maintPathIn(d: Path, version: Int): Path =
-    d.resolve(f"v$version%05d.maint")
-
-  /** Is `version` a maintenance commit? Consulted only for versions
-    * whose manifest exists — an orphaned marker (crashed attempt) is
-    * invisible here and reclaimed by the next commit at that version
-    * or by expiry.
+  /** The manifest header line a maintenance commit carries as its
+    * FIRST line; header lines (`#`-prefixed) are skipped by the
+    * member parser, so pre-header manifests read unchanged.
     */
-  def isMaintenance(path: String, version: Int): Boolean =
-    Files.isRegularFile(maintPathIn(snapDir(path), version))
+  private[sources] val MaintenanceHeader = "#maintenance"
+
+  /** Is `version` a maintenance commit? Read from the manifest's
+    * first bytes — the flag is part of the committed content, so the
+    * answer can never disagree with the commit that won the version.
+    * A missing manifest (never committed, or expired) is not a
+    * maintenance commit.
+    */
+  def isMaintenance(path: String, version: Int): Boolean = {
+    val m = manifestPath(path, version)
+    if (!Files.isRegularFile(m)) false
+    else {
+      val in = Files.newBufferedReader(
+        m, java.nio.charset.StandardCharsets.UTF_8)
+      try in.readLine() == MaintenanceHeader
+      finally in.close()
+    }
+  }
 
   /** Column-stat token charset: numeric toString output only (long or
     * double) — enforced on WRITE so no token can ever hold the pair
@@ -308,8 +328,10 @@ object KvSnapshots {
       }
     }.toMap
 
-  private def manifestBytes(membership: Seq[KvFileStat]): Array[Byte] =
-    membership.sortBy(_.name)
+  private def manifestBytes(
+      membership: Seq[KvFileStat],
+      maintenance: Boolean = false): Array[Byte] = {
+    val body = membership.sortBy(_.name)
       .map { st =>
         if (st.keysKnown) {
           val base = s"${st.name}\t${st.rows}" +
@@ -318,7 +340,10 @@ object KvSnapshots {
           else base + "\t" + encodeColStats(st.colStats)
         } else s"${st.name}\t${st.rows}"
       }
-      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .mkString("\n")
+    (if (maintenance) MaintenanceHeader + "\n" + body else body)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** Single-writer manifest write at a FIXED version (branch
     * creation's seed copy) — create-exclusive, never replaces.
@@ -343,16 +368,11 @@ object KvSnapshots {
       val v = base + 1
       val tmp = d.resolve(
         f"v$v%05d.manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.write(tmp, manifestBytes(membership(base)))
-      // Marker discipline around the OCC link: a maintenance commit
-      // plants its marker BEFORE the link (readers only consult
-      // markers of versions whose manifest exists, so a crashed
-      // attempt leaves an invisible orphan); a data commit DELETES
-      // any orphaned marker at its version first — a stale marker
-      // must never attach to a later, row-changing commit.
-      if (maintenance)
-        Files.write(maintPathIn(d, v), Array.emptyByteArray)
-      else Files.deleteIfExists(maintPathIn(d, v))
+      // The maintenance flag rides INSIDE the manifest bytes (header
+      // line), so flag and membership publish in the same atomic
+      // link — whichever commit wins the version, its own flag state
+      // is what readers see, with no marker-ordering window.
+      Files.write(tmp, manifestBytes(membership(base), maintenance))
       try {
         Files.createLink(manifestPathIn(d, v), tmp)
         Files.deleteIfExists(tmp)
@@ -360,7 +380,6 @@ object KvSnapshots {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
-          if (maintenance) Files.deleteIfExists(maintPathIn(d, v))
           attempts += 1
           if (attempts >= 50)
             throw new CommitConflictException(
@@ -438,7 +457,6 @@ object KvSnapshots {
         }
       }
       Files.deleteIfExists(manifestPath(path, v))
-      Files.deleteIfExists(maintPathIn(snapDir(path), v))
     }
     (all.size.toLong, keep.size.toLong, deleted)
   }

@@ -83,22 +83,35 @@ class KvCdcMaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 70L)
   }
 
-  test("orphaned marker from a crashed attempt never flags a data commit") {
+  test("the flag is manifest content — atomic with the commit") {
     cat()
     val t = "graft_kv.default.cdcm_orphan"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
       "TBLPROPERTIES ('snapshots'='true')")
     spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 10)") // v1
-    // simulate a maintenance attempt that planted its v2 marker and
-    // crashed before linking the manifest
+    // a stray legacy sidecar marker (the pre-header encoding, or any
+    // junk a crashed tool left) carries NO authority: the flag lives
+    // inside the committed manifest bytes, so nothing ordered AROUND
+    // the commit can flag a row-changing version
     val snaps = Paths.get(dirOf("cdcm_orphan"), "_snapshots")
     Files.write(snaps.resolve("v00002.maint"), Array.emptyByteArray)
-    // an ordinary data commit then claims v2 — it must RECLAIM the
-    // orphan, or its rows would silently vanish from the CDC
     spark.sql(s"INSERT INTO $t SELECT id, 'b' FROM range(10, 25)") // v2
     assert(!KvSnapshots.isMaintenance(dirOf("cdcm_orphan"), 2))
     assert(changesByVersion("cdcm_orphan") === Map(1 -> 10L, 2 -> 15L))
+    // a real maintenance commit carries the header as its FIRST line,
+    // the member parser skips it, and a never-committed version is
+    // never maintenance
+    spark.sql("CALL graft_kv.system.cluster(" +
+      "table => 'default.cdcm_orphan', target_files => 2)").collect()
+    val d = dirOf("cdcm_orphan")
+    assert(KvSnapshots.isMaintenance(d, 3))
+    val first = Files.readAllLines(
+      snaps.resolve("v00003.manifest")).get(0)
+    assert(first == "#maintenance", first)
+    assert(KvSnapshots.membersWithStats(d, 3)
+      .forall(!_.name.startsWith("#")))
+    assert(!KvSnapshots.isMaintenance(d, 99))
   }
 
   test("a spoofed maintenance flag that changes rows fails the commit") {
@@ -135,7 +148,7 @@ class KvCdcMaintenanceSpec extends SparkTestBase {
     assert(changesByVersion("cdcm_spoof") === Map(1 -> 10L))
   }
 
-  test("expire reclaims markers with their manifests") {
+  test("expire reclaims the flag with its manifest") {
     cat()
     val t = "graft_kv.default.cdcm_exp"
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -145,15 +158,57 @@ class KvCdcMaintenanceSpec extends SparkTestBase {
     spark.sql("CALL graft_kv.system.cluster(" +
       "table => 'default.cdcm_exp', target_files => 2)").collect() // v2
     spark.sql(s"INSERT INTO $t VALUES (99, 'z')") // v3
-    val marker =
-      Paths.get(dirOf("cdcm_exp"), "_snapshots", "v00002.maint")
-    assert(Files.isRegularFile(marker))
+    val d = dirOf("cdcm_exp")
+    assert(KvSnapshots.isMaintenance(d, 2))
     spark.sql("CALL graft_kv.system.expire_snapshots(" +
       "table => 'default.cdcm_exp', keep_last => 1)").collect()
-    assert(!Files.isRegularFile(marker),
-      "expire left a maintenance marker behind")
+    // the flag IS the manifest's header line, so it is reclaimed with
+    // the manifest — nothing survives to mislabel a future v2
+    assert(!Files.isRegularFile(
+      Paths.get(d, "_snapshots", "v00002.manifest")))
+    assert(!KvSnapshots.isMaintenance(d, 2))
     // the oldest retained version degrades to an initial snapshot —
     // full membership, EVEN IF it had been a maintenance commit
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 31L)
+  }
+
+  test("base pin: a maintenance rewrite refuses a moved base") {
+    cat()
+    val t = "graft_kv.default.cdcm_pin"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 20)") // v1
+    val dir = dirOf("cdcm_pin")
+    // a rewrite that scanned v1 but publishes after a concurrent
+    // commit moved the head must FAIL (the truncate-replace would
+    // drop the concurrent rows and the flag would hide it from CDC)
+    // — even when the live row COUNT happens to match (+1/−1 nets
+    // to zero), which the count interlock alone cannot see
+    spark.sql(s"INSERT INTO $t VALUES (777, 'c')") // v2: +1 row
+    spark.sql(s"DELETE FROM $t WHERE key = 0") // v3: −1 row
+    val e = intercept[Exception] {
+      spark.read
+        .format("graft.sources.KvJsonlSink")
+        .load(dir)
+        .write
+        .format("graft.sources.KvJsonlSink")
+        .option("maintenance", "true")
+        .option("maintenance_base", "1") // pinned at the stale scan
+        .mode("overwrite")
+        .save(dir)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(x => Option(x.getMessage)).mkString(" | ")
+    assert(msgs.contains("concurrent commit interleaved"), msgs)
+    // nothing published; the procedures pass the CURRENT base and
+    // commit cleanly
+    assert(KvSnapshots.latest(dir).contains(3))
+    spark.sql("CALL graft_kv.system.cluster(" +
+      "table => 'default.cdcm_pin', target_files => 2)").collect()
+    assert(KvSnapshots.latest(dir).contains(4))
+    assert(KvSnapshots.isMaintenance(dir, 4))
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 20L)
   }
 }

@@ -38,6 +38,9 @@ class KvColStatsSpec extends SparkTestBase {
     val v = KvSnapshots.latest(dir(short)).get
     Files.readAllLines(Paths.get(dir(short), "_snapshots",
       f"v$v%05d.manifest")).asScala.toSeq
+      // member lines only — a maintenance commit's first line is the
+      // `#maintenance` header, not a member
+      .filterNot(_.startsWith("#"))
   }
 
   /** Zone-map prunes observed while running `body`. The counter can
