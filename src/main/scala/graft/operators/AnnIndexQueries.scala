@@ -423,6 +423,159 @@ object AnnIndexQueries {
       .orderBy("qid", "rnk")
   }
 
+  // ------------------------------------------------------------------
+  // CATALOG-PINNED index: version-linked to the kv table it indexes.
+  //
+  // The plain persisted index above is built from raw parquet and has
+  // no tie to its source — DML the embeddings and every serve query
+  // silently answers from a stale index, the first failure a nightly
+  // 100 TB pipeline hits. This variant builds FROM a kv catalog table
+  // and records (table dir, snapshot version) in a `_pin.json`
+  // manifest beside the index: serving FAILS LOUD when the table head
+  // has moved (StaleAnnIndexException), and the refresh path is
+  // CDC-INCREMENTAL — only the rows the `$changes` table reports
+  // since the pinned version are hashed into a new delta layer (the
+  // same frozen-derivation append the incremental index proves), then
+  // the pin advances. Maintenance commits (compaction etc.) emit no
+  // changes and advance the pin with an empty refresh. Non-insert
+  // changes (DELETE/UPDATE of indexed rows) refuse the incremental
+  // path — a tombstone cannot be appended into an LSH store — and
+  // demand a rebuild, fail-loud rather than serve resurrected rows.
+  // ------------------------------------------------------------------
+
+  final class StaleAnnIndexException(msg: String)
+      extends RuntimeException(msg)
+
+  private[graft] case class AnnPin(
+      tableDir: String, version: Int, deltas: Int)
+
+  private def pinPath(idxDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(idxDir, "_pin.json")
+
+  /** Atomic (temp + move) like every metadata write in the catalog:
+    * a torn pin must never make a stale index look current.
+    */
+  private[graft] def writePin(idxDir: String, pin: AnnPin): Unit = {
+    val body =
+      s"""{"table":"${pin.tableDir}","version":${pin.version},""" +
+        s""""deltas":${pin.deltas}}"""
+    val tmp = java.nio.file.Paths.get(idxDir, "_pin.json.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, pinPath(idxDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val PinRe =
+    """\{"table":"([^"]+)","version":(\d+),"deltas":(\d+)\}""".r
+
+  private[graft] def readPin(idxDir: String): AnnPin = {
+    val p = pinPath(idxDir)
+    require(java.nio.file.Files.isRegularFile(p),
+      s"no _pin.json under $idxDir — not a catalog-pinned ann index")
+    new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim match {
+      case PinRe(t, v, k) => AnnPin(t, v.toInt, k.toInt)
+      case other => throw new IllegalArgumentException(
+        s"corrupt _pin.json under $idxDir: $other")
+    }
+  }
+
+  /** Build the LSH store from a snapshotted kv catalog table and pin
+    * it to the version it indexed. The build captures the head BEFORE
+    * reading and re-checks it AFTER writing — a commit racing the
+    * build would leave an index of ambiguous lineage, so it fails
+    * loud instead (re-run; the table is untouched).
+    */
+  private[graft] def buildPinned(
+      s: SparkSession, tableName: String, tableDir: String,
+      idxDir: String): AnnPin = {
+    graft.Fs.deleteRecursively(idxDir)
+    val v0 = graft.sources.KvSnapshots.latest(tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName has no snapshots — a pinned index needs a " +
+          "version to pin"))
+    val cs = s.table(tableName).columns
+    val emb = s.table(tableName)
+      .select(col(cs(0)).as("vec_id"), col("embedding"))
+    lshRowsOf(emb).write.mode("overwrite")
+      .partitionBy("t", "bucket").parquet(s"$idxDir/base/vectors")
+    val v1 = graft.sources.KvSnapshots.latest(tableDir)
+    require(v1.contains(v0),
+      s"table $tableName moved from v$v0 to $v1 during the index " +
+        "build — re-run (the scan's lineage is ambiguous)")
+    val pin = AnnPin(tableDir, v0, 0)
+    writePin(idxDir, pin)
+    pin
+  }
+
+  /** base ∪ delta read of the pinned store's vector layers. */
+  private def pinnedVectors(
+      s: SparkSession, idxDir: String, pin: AnnPin): DataFrame =
+    (s"$idxDir/base/vectors" +:
+      (0 until pin.deltas).map(i => s"$idxDir/delta/d$i/vectors"))
+      .map(p => s.read.parquet(p))
+      .reduce(_ unionByName _)
+
+  /** Serve the high-recall LSH top-K from a pinned index — REFUSING
+    * to answer when the indexed table's head has moved past the pin.
+    * The staleness check is one manifest-listing stat against the
+    * pin, paid once per serve plan — metadata-cheap at any scale.
+    */
+  private[graft] def servePinned(
+      s: SparkSession, idxDir: String): DataFrame = {
+    val pin = readPin(idxDir)
+    val head = graft.sources.KvSnapshots.latest(pin.tableDir)
+    if (!head.contains(pin.version))
+      throw new StaleAnnIndexException(
+        s"ann index at $idxDir is pinned to v${pin.version} of " +
+          s"${pin.tableDir} but the table head is " +
+          s"${head.fold("<gone>")(v => s"v$v")} — run the " +
+          "CDC-incremental refresh (insert-only history) or rebuild")
+    lshServe(pinnedVectors(s, idxDir, pin))
+  }
+
+  /** CDC-INCREMENTAL refresh: hash ONLY the rows `$changes` reports
+    * after the pinned version into a new delta layer, then advance
+    * the pin to the table head. `changes` is the table's unfiltered
+    * `$changes` frame (vec_id, embedding, _change_type,
+    * _commit_version). Insert-only histories refresh in O(delta);
+    * anything else (a delete/update touching indexed rows) refuses —
+    * the sound options are rebuild or tombstone-aware serving, and
+    * silently skipping a delete would serve resurrected rows.
+    */
+  private[graft] def refreshPinned(
+      s: SparkSession, changes: DataFrame, idxDir: String): AnnPin = {
+    val pin = readPin(idxDir)
+    val head = graft.sources.KvSnapshots.latest(pin.tableDir)
+      .getOrElse(throw new IllegalStateException(
+        s"indexed table ${pin.tableDir} has no snapshots left"))
+    if (head == pin.version) return pin
+    val delta = changes
+      .filter(col("_commit_version") > pin.version &&
+        col("_commit_version") <= head)
+    val nonInsert =
+      delta.filter(col("_change_type") =!= "insert").count()
+    require(nonInsert == 0L,
+      s"the history after v${pin.version} carries $nonInsert " +
+        "non-insert change rows — the incremental ann refresh is " +
+        "append-only; rebuild the index instead")
+    val cs = delta.columns
+    val rows = delta.select(col(cs(0)).as("vec_id"), col("embedding"))
+    val next =
+      if (rows.isEmpty) pin.copy(version = head)
+      else {
+        lshRowsOf(rows).write.mode("overwrite")
+          .partitionBy("t", "bucket")
+          .parquet(s"$idxDir/delta/d${pin.deltas}/vectors")
+        AnnPin(pin.tableDir, head, pin.deltas + 1)
+      }
+    writePin(idxDir, next)
+    next
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 

@@ -1589,7 +1589,7 @@ object SimilarityQueries {
        |          unnest(q8) AS b FROM spairs) u
        |  GROUP BY qid, vec_id, qs, scale)""".stripMargin
 
-  private def dotCte(
+  private[operators] def dotCte(
       name: String, left: String, right: String,
       from: String = "pairs") =
     s"""$name AS (
@@ -1621,6 +1621,15 @@ object SimilarityQueries {
     * (mirrors Vectors.lshBucketAt).
     */
   private[operators] def tableBucketCte(name: String, offset: Int) =
+    tableBucketCteOver(name, offset, "embeddings")
+
+  /** [[tableBucketCte]] over an arbitrary corpus relation — lets one
+    * oracle pin serves against two snapshots of the same table (the
+    * catalog-pinned ANN gate builds a restricted and a full corpus in
+    * one statement).
+    */
+  private[operators] def tableBucketCteOver(
+      name: String, offset: Int, corpus: String) =
     s"""$name AS MATERIALIZED (
        |  SELECT vec_id, ${(0 until NPlanes)
         .map(j =>
@@ -1634,9 +1643,66 @@ object SimilarityQueries {
         .mkString(", ")}
        |    FROM (SELECT vec_id, unnest(embedding) AS x,
        |            unnest(generate_series(0, len(embedding)-1)) AS i
-       |          FROM embeddings) u
+       |          FROM $corpus) u
        |    GROUP BY vec_id) pr
        |)""".stripMargin
+
+  /** [[normCte]] over an arbitrary corpus relation and CTE name. */
+  private[operators] def normCteOver(name: String, corpus: String) =
+    s"""$name AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+       |    AS nrm
+       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM $corpus) u
+       |  GROUP BY vec_id
+       |)""".stripMargin
+
+  /** The `cosine_topk_lsh_hi` oracle chain over an arbitrary corpus,
+    * every CTE name prefixed with `p` so two phases compose in one
+    * statement; terminates in `<p>top(qid, vec_id, rnk, sim)`. Kept
+    * textually parallel to the `cosine_topk_lsh_hi` oracle below —
+    * same candidate rule, same fold, same tiebreak.
+    */
+  private[operators] def lshHiChainOver(
+      p: String, corpus: String): String = {
+    val tableCand = (0 until NTables).map { t =>
+      s"""  SELECT bq.vec_id AS qid, bc.vec_id AS vid
+         |  FROM ${p}t$t bq JOIN ${p}t$t bc
+         |    ON bit_count(CAST(xor(bq.bucket, bc.bucket) AS BIGINT))
+         |       <= $ProbeRadius
+         |  WHERE bq.vec_id < $NQueries AND bq.vec_id <> bc.vec_id"""
+        .stripMargin
+    }.mkString("\n  UNION\n")
+    s"""${(0 until NTables)
+        .map(t => tableBucketCteOver(s"${p}t$t", t * NPlanes, corpus))
+        .mkString(",\n")},
+       |${p}cand AS (
+       |$tableCand
+       |),
+       |${p}pairs AS (
+       |  SELECT qid, vid AS vec_id, eq.embedding AS qe,
+       |         ec.embedding AS ce
+       |  FROM ${p}cand
+       |  JOIN $corpus eq ON eq.vec_id = qid
+       |  JOIN $corpus ec ON ec.vec_id = vid
+       |),
+       |${dotCte(s"${p}dots", "qe", "ce", s"${p}pairs")},
+       |${normCteOver(s"${p}norms", corpus)},
+       |${p}sims AS (
+       |  SELECT qid, d.vec_id,
+       |         d.dot / (nq.nrm * nc.nrm) AS sim
+       |  FROM ${p}dots d
+       |  JOIN ${p}norms nq ON nq.vec_id = qid
+       |  JOIN ${p}norms nc ON nc.vec_id = d.vec_id
+       |),
+       |${p}top AS (
+       |  SELECT qid, vec_id, rnk, sim FROM (
+       |    SELECT qid, vec_id, sim,
+       |           CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rnk
+       |    FROM ${p}sims) t
+       |  WHERE rnk <= $TopK
+       |)""".stripMargin
+  }
 
   /** Residual-IVFADC CTE chain in DuckDB (mirrors [[ivfResiduals]]
     * + [[pqReconOf]] over residuals + the per-probed-cell query

@@ -1544,6 +1544,98 @@ object SourceQueries {
       SimilarityQueries.topkFromCandidates(q, c, "bucket")
     }),
 
+    // ARRAY<STRING> CATALOG COLUMNS — the token/tag-list asset class
+    // beside the numeric embedding arrays: per-document token arrays
+    // stored IN the lakehouse (quoted-escape element encoding, same
+    // dialect as scalar strings), carried through a CoW DELETE
+    // rewrite (the format round-trip under DML, not just at INSERT),
+    // and read back through the explode+aggregate shape a text
+    // pipeline actually runs. The oracle recomputes token stats from
+    // the raw documents with the same split+filter — one shifted
+    // token, lost element, or escape drift anywhere in the stored
+    // arrays moves a count and fails the hash.
+    "catalog_array_string" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.toks_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (doc_id BIGINT, tokens ARRAY<STRING>, " +
+        "lang STRING) TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT doc_id, split(text, ' '), lang " +
+        s"FROM parquet.`$d/documents.parquet`")
+      s.sql(s"DELETE FROM $t WHERE doc_id % 7 = 0")
+      s.sql(
+        s"""SELECT lang, token, count(*) AS n_tokens,
+           |       count(DISTINCT doc_id) AS n_docs
+           |FROM (SELECT doc_id, lang, explode(tokens) AS token FROM $t)
+           |WHERE token <> ''
+           |GROUP BY lang, token
+           |ORDER BY lang, token""".stripMargin)
+    }),
+
+    // CATALOG-PINNED ANN INDEX — the derived-asset lineage story: the
+    // LSH index is built FROM a kv catalog table and records the
+    // snapshot version it indexed in its own manifest. The lifecycle
+    // this gate drives is exactly a nightly pipeline's: build at v1 →
+    // serve (rows pinned) → DML moves the table to v2 → serving the
+    // un-refreshed index FAILS LOUD (require()d — today's plain
+    // parquet indexes silently answer stale, the first failure a
+    // 100 TB nightly hits) → a CDC-INCREMENTAL refresh hashes only
+    // the `$changes` rows since v1 into a delta layer (O(delta), not
+    // O(table)) → serve again at v2. ONE oracle recomputes both
+    // phases' top-K from the raw embeddings (restricted and full
+    // corpus) — a stale answer, a lost delta row, or a drifted bucket
+    // in either phase breaks the hash.
+    "catalog_ann_pinned" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.annp_emb"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (vec_id BIGINT, embedding ARRAY<DOUBLE>) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      val n = s.read.parquet(s"$d/embeddings.parquet").count()
+      val cut = 4L * n / 5
+      s.sql(s"INSERT INTO $t SELECT vec_id, " +
+        "CAST(embedding AS ARRAY<DOUBLE>) " +
+        s"FROM parquet.`$d/embeddings.parquet` WHERE vec_id < $cut")
+      val tdir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/annp_emb"
+      val idx = s"${graft.Fs.sinkDir("graft_ann_pinned")}/gate"
+      AnnIndexQueries.buildPinned(s, t, tdir, idx)
+      val v1df = AnnIndexQueries.servePinned(s, idx)
+      val v1rows = v1df.collect()
+      // the table moves to v2 under the index
+      s.sql(s"INSERT INTO $t SELECT vec_id, " +
+        "CAST(embedding AS ARRAY<DOUBLE>) " +
+        s"FROM parquet.`$d/embeddings.parquet` WHERE vec_id >= $cut")
+      val stale =
+        try { AnnIndexQueries.servePinned(s, idx); false }
+        catch {
+          case _: AnnIndexQueries.StaleAnnIndexException => true
+        }
+      require(stale,
+        "catalog_ann_pinned: the serve answered from a stale index — " +
+          "the version pin did not detect the table moving")
+      // CDC-incremental refresh: only the post-v1 inserts are hashed
+      val changes =
+        s.sql(s"SELECT * FROM graft_kv.default.`annp_emb$$changes`")
+      val pin = AnnIndexQueries.refreshPinned(s, changes, idx)
+      require(pin.deltas == 1,
+        s"catalog_ann_pinned: refresh wrote ${pin.deltas} deltas")
+      val deltaRows =
+        s.read.parquet(s"$idx/delta/d0/vectors").count()
+      require(deltaRows == (n - cut) * SimilarityQueries.NTables,
+        s"catalog_ann_pinned: delta carries $deltaRows store rows " +
+          s"for ${n - cut} new vectors — the refresh was not " +
+          "incremental")
+      val v2rows = AnnIndexQueries.servePinned(s, idx).collect()
+      val phased = s.createDataFrame(
+          java.util.Arrays.asList(v1rows: _*), v1df.schema)
+        .withColumn("phase", lit("v1"))
+        .unionByName(s.createDataFrame(
+            java.util.Arrays.asList(v2rows: _*), v1df.schema)
+          .withColumn("phase", lit("v2")))
+      phased.select("phase", "qid", "vec_id", "rnk", "sim")
+        .orderBy("phase", "qid", "rnk")
+    }),
+
     // `$refs` METADATA TABLE (KvMetaTables.scala — Iceberg's `.refs`
     // shape): one row per tag and branch, the observability surface
     // of the whole ref lifecycle. The gate builds a deterministic ref
@@ -3192,6 +3284,36 @@ object SourceQueries {
     // Same sharing for the LSH twin over the catalog table.
     "catalog_array_ann" ->
       SimilarityQueries.oracleSql("cosine_topk_lsh"),
+    // Both phases' LSH top-K recomputed from the raw embeddings: the
+    // v1 serve against the 80% corpus the index was pinned to, the
+    // post-refresh serve against the full corpus — one statement, so
+    // a stale or half-refreshed answer in either phase breaks the
+    // hash.
+    "catalog_ann_pinned" ->
+      s"""WITH corpus1 AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < (SELECT (4 * count(*)) // 5
+         |                  FROM embeddings)),
+         |${SimilarityQueries.lshHiChainOver("a", "corpus1")},
+         |${SimilarityQueries.lshHiChainOver("b", "embeddings")}
+         |SELECT * FROM (
+         |  SELECT 'v1' AS phase, qid, vec_id, rnk, sim FROM atop
+         |  UNION ALL
+         |  SELECT 'v2', qid, vec_id, rnk, sim FROM btop) t
+         |ORDER BY phase, qid, rnk""".stripMargin,
+    // Token stats recomputed from raw documents with the same
+    // split + DELETE filter the stored arrays went through.
+    "catalog_array_string" ->
+      """SELECT lang, token, count(*) AS n_tokens,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 7 != 0
+        |) t
+        |WHERE token <> ''
+        |GROUP BY lang, token
+        |ORDER BY lang, token""".stripMargin,
     "stream_v2_source" ->
       """SELECT event_id,
         |       epoch_us(ts) AS ts_us,

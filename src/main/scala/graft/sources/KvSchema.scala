@@ -158,7 +158,8 @@ object KvSchema {
 
   /** For error messages — the one list of what [[isSupported]] says. */
   val SupportedTypeNames =
-    "bigint/string/double/timestamp/date/array<bigint>/array<double>"
+    "bigint/string/double/timestamp/date/array<bigint>/" +
+      "array<double>/array<string>"
 
   /** TIMESTAMP and DATE encode as the integer tokens Spark already
     * uses internally — micros-since-epoch (int64) and days-since-epoch
@@ -168,16 +169,18 @@ object KvSchema {
     * session timezone never touches storage (micros/days are absolute),
     * exactly parquet's TIMESTAMP(MICROS)/DATE physical model.
     */
-  /** ARRAY<BIGINT> / ARRAY<DOUBLE> columns — the embedding-vector
-    * types a training pipeline's central asset actually carries —
-    * encode as JSON array tokens (`[1.0,2.5]`, `null` elements
-    * allowed), the one place the line format grows a bracket dialect.
-    * Arrays are VALUE-ONLY columns: no zone maps (no total order
-    * worth a range), no bloom sidecars, no predicate pushdown — every
-    * stats/pushdown site matches on the fixed-domain scalar types and
-    * so declines arrays by construction. Element types are limited to
-    * the two numeric tokens the extras parser already speaks; nested
-    * arrays and string elements stay unsupported by design.
+  /** ARRAY<BIGINT> / ARRAY<DOUBLE> / ARRAY<STRING> columns — the
+    * embedding-vector and token/tag-list types a training pipeline's
+    * central assets actually carry — encode as JSON array tokens
+    * (`[1.0,2.5]` / `["the","\"q\""]`, `null` elements allowed), the
+    * one place the line format grows a bracket dialect. String
+    * elements use the SAME quoted-escape encoding as every scalar
+    * string field (one escape dialect format-wide). Arrays are
+    * VALUE-ONLY columns: no zone maps (no total order worth a range),
+    * no bloom sidecars, no predicate pushdown — every stats/pushdown
+    * site matches on the fixed-domain scalar types and so declines
+    * arrays by construction. Nested arrays stay unsupported by
+    * design.
     */
   def typeName(t: DataType): String = t match {
     case LongType => "bigint"
@@ -187,6 +190,7 @@ object KvSchema {
     case DateType => "date"
     case ArrayType(LongType, _) => "array<bigint>"
     case ArrayType(DoubleType, _) => "array<double>"
+    case ArrayType(StringType, _) => "array<string>"
     case other => throw new IllegalArgumentException(
       s"kvjsonl columns support $SupportedTypeNames; got $other")
   }
@@ -199,6 +203,7 @@ object KvSchema {
     case "date" => DateType
     case "array<bigint>" => ArrayType(LongType, containsNull = true)
     case "array<double>" => ArrayType(DoubleType, containsNull = true)
+    case "array<string>" => ArrayType(StringType, containsNull = true)
     case other => throw new IllegalArgumentException(
       s"corrupt $FileName type: $other")
   }
@@ -206,7 +211,8 @@ object KvSchema {
   def isSupported(t: DataType): Boolean = t match {
     case LongType | StringType | DoubleType | TimestampType |
         DateType => true
-    case ArrayType(LongType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(LongType, _) | ArrayType(DoubleType, _) |
+        ArrayType(StringType, _) => true
     case _ => false
   }
 
@@ -316,11 +322,18 @@ object KvSchema {
               // widening is exact — the same leniency the scalar
               // double case extends to pre-widening tokens.
               if (et == DoubleType) Double.box(l.toDouble)
-              else Long.box(l)
+              else if (et == LongType) Long.box(l)
+              else throw new IllegalStateException(
+                s"string array column $storage holds a numeric token")
             case d: Double =>
               if (et == DoubleType) Double.box(d)
               else throw new IllegalStateException(
                 s"bigint array column $storage holds a double token")
+            case s: String =>
+              if (et == StringType)
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              else throw new IllegalStateException(
+                s"numeric array column $storage holds a string token")
             case other => throw new IllegalStateException(
               s"array column $storage holds ${other.getClass}")
           }
@@ -388,6 +401,12 @@ object KvSchema {
               else et match {
                 case LongType => b.append(arr.getLong(j))
                 case DoubleType => b.append(fmtDouble(arr.getDouble(j)))
+                // same quoted-escape dialect as scalar strings — one
+                // string encoding format-wide
+                case StringType => b.append('"')
+                  .append(KvJsonlSink.escape(
+                    arr.getUTF8String(j).toString))
+                  .append('"')
                 case other => throw new IllegalStateException(
                   s"unreachable array element type $other")
               }
@@ -473,46 +492,67 @@ object KvSchema {
     var i = start
     if (i < line.length && line.charAt(i) == '}') return Map.empty
     var m = Map.empty[String, Any]
+    // every scan below is BOUNDS-CHECKED so a truncated line — cut at
+    // any byte — fails with the format's contractual message, never a
+    // StringIndexOutOfBoundsException (the lines are only ever written
+    // by this module, so truncation IS corruption; the failure mode
+    // still must be the deliberate one)
+    def corrupt(): Nothing =
+      throw new IllegalArgumentException(s"bad kvjsonl line: $line")
+    // One bounded quoted-string parse for scalar fields AND array
+    // elements (the writer uses one escape dialect for both). `at`
+    // points at the opening quote; returns (value, index after the
+    // closing quote).
+    def quoted(at: Int): (String, Int) = {
+      var j = at + 1
+      val b = new StringBuilder
+      while (j < line.length && line.charAt(j) != '"') {
+        val c = line.charAt(j)
+        if (c == '\\') {
+          if (j + 1 >= line.length) corrupt()
+          line.charAt(j + 1) match {
+            case '"' => b.append('"'); j += 2
+            case '\\' => b.append('\\'); j += 2
+            case 'n' => b.append('\n'); j += 2
+            case 'r' => b.append('\r'); j += 2
+            case 't' => b.append('\t'); j += 2
+            case 'u' =>
+              if (j + 6 > line.length) corrupt()
+              b.append(Integer.parseInt(
+                line.substring(j + 2, j + 6), 16).toChar)
+              j += 6
+            case other => throw new IllegalArgumentException(
+              s"bad escape \\$other in kvjsonl line: $line")
+          }
+        } else { b.append(c); j += 1 }
+      }
+      if (j >= line.length) corrupt()
+      (b.toString, j + 1)
+    }
     while (i < line.length && line.charAt(i) == ',') {
       i += 1
-      require(line.charAt(i) == '"', s"bad kvjsonl line: $line")
+      if (i >= line.length || line.charAt(i) != '"') corrupt()
       i += 1
       val nameStart = i
-      while (line.charAt(i) != '"') i += 1
+      while (i < line.length && line.charAt(i) != '"') i += 1
+      if (i >= line.length) corrupt()
       val name = line.substring(nameStart, i)
       i += 1
-      require(line.charAt(i) == ':', s"bad kvjsonl line: $line")
+      if (i >= line.length || line.charAt(i) != ':') corrupt()
       i += 1
+      if (i >= line.length) corrupt()
       line.charAt(i) match {
         case 'n' => // null
           require(line.startsWith("null", i), s"bad kvjsonl line: $line")
           i += 4
         case '"' =>
-          i += 1
-          val b = new StringBuilder
-          while (line.charAt(i) != '"') {
-            val c = line.charAt(i)
-            if (c == '\\') {
-              line.charAt(i + 1) match {
-                case '"' => b.append('"'); i += 2
-                case '\\' => b.append('\\'); i += 2
-                case 'n' => b.append('\n'); i += 2
-                case 'r' => b.append('\r'); i += 2
-                case 't' => b.append('\t'); i += 2
-                case 'u' =>
-                  b.append(Integer.parseInt(
-                    line.substring(i + 2, i + 6), 16).toChar)
-                  i += 6
-                case other => throw new IllegalArgumentException(
-                  s"bad escape \\$other in kvjsonl line: $line")
-              }
-            } else { b.append(c); i += 1 }
-          }
-          i += 1
-          m = m.updated(name, b.toString)
+          val (v, ni) = quoted(i)
+          i = ni
+          m = m.updated(name, v)
         case '[' =>
-          // ARRAY token: numeric/null elements only (the DDL admits
-          // only array<bigint> / array<double>), no nesting.
+          // ARRAY token: numeric, quoted-string or null elements (the
+          // DDL admits array<bigint> / array<double> /
+          // array<string>), no nesting.
           i += 1
           val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
           if (i < line.length && line.charAt(i) == ']') i += 1
@@ -520,12 +560,26 @@ object KvSchema {
             var done = false
             while (!done) {
               if (line.startsWith("null", i)) { buf += null; i += 4 }
-              else {
+              else if (i < line.length && line.charAt(i) == '"') {
+                val (v, ni) = quoted(i)
+                buf += v
+                i = ni
+              } else {
                 val tokStart = i
-                while (line.charAt(i) != ',' && line.charAt(i) != ']')
+                // bounds-checked like the scalar path: a TRUNCATED
+                // line (`[1.0,` and nothing after) must fail with the
+                // format's contractual message, not an index error
+                while (i < line.length &&
+                  line.charAt(i) != ',' && line.charAt(i) != ']')
                   i += 1
+                if (i == tokStart)
+                  throw new IllegalArgumentException(
+                    s"bad kvjsonl array in line: $line")
                 buf += numToken(line.substring(tokStart, i))
               }
+              if (i >= line.length)
+                throw new IllegalArgumentException(
+                  s"bad kvjsonl array in line: $line")
               line.charAt(i) match {
                 case ',' => i += 1
                 case ']' => i += 1; done = true

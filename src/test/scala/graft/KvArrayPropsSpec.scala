@@ -110,4 +110,75 @@ class KvArrayPropsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("string arrays round-trip adversarial content exactly") {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen: Gen[String] = Gen.frequency(
+      4 -> Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.const("null"), // the literal word, quoted ≠ null token
+      1 -> Gen.const("\"quoted\""),
+      1 -> Gen.const("""back\slash"""),
+      1 -> Gen.const("a,b]c[d"), // structural chars inside a string
+      1 -> Gen.const("line\nbreak\ttab\rret"),
+      1 -> Gen.const("ünïcødé ☃ "),
+      1 -> Gen.const("{\"key\":1}")) // a fake line inside an element
+    val sCols = Seq(
+      KvSchema.Col(1, "key", LongType),
+      KvSchema.Col(5, "toks", ArrayType(StringType, true)))
+    val rowGen = for { k <- lngGen; a <- arr(strGen) } yield (k, a)
+    val params = Gen.Parameters.default
+    val cases = (0 until 500)
+      .flatMap(i => rowGen.apply(params, Seed(0x57A9L + i)).toSeq)
+    assert(cases.size >= 400)
+    cases.foreach { case (k, toks) =>
+      val line = KvSchema.formatRow(
+        InternalRow(
+          k,
+          toks.map(a => new GenericArrayData(
+            a.map(x => if (x == null) null
+              else UTF8String.fromString(x.asInstanceOf[String]))))
+            .orNull),
+        sCols)
+      val (kBack, _, extras) = KvSchema.parseRow(line)
+      assert(kBack.contains(k))
+      (toks, extras.get("c5").map(x =>
+        KvSchema.materializeExtra(x, ArrayType(StringType, true), "c5")
+          .asInstanceOf[GenericArrayData])) match {
+        case (None, got) => assert(got.isEmpty, s"null read as $got")
+        case (Some(want), Some(got)) =>
+          assert(got.numElements() == want.length, s"len drift: $line")
+          want.indices.foreach { i =>
+            (want(i), got.isNullAt(i)) match {
+              case (null, isNull) => assert(isNull, s"null drift: $line")
+              case (s: String, false) =>
+                assert(got.getUTF8String(i).toString == s,
+                  s"string drift at $i: '$s' vs " +
+                    s"'${got.getUTF8String(i)}' in $line")
+              case other => fail(s"shape drift $other in $line")
+            }
+          }
+        case (want, got) => fail(s"presence drift: $want vs $got")
+      }
+    }
+  }
+
+  test("truncated array tokens fail with the contractual message") {
+    // a corrupt/truncated line must raise the format's
+    // IllegalArgumentException, never a StringIndexOutOfBounds —
+    // every cut point of a valid array token stream
+    val fulls = Seq(
+      """{"key":1,"value":null,"c3":[1.0,2.5,null,3.0]}""",
+      """{"key":1,"value":null,"c5":["a\"b",null,"c,]d"]}""")
+    // 22 = first byte after the founding (key, value) prefix — every
+    // cut point of the extras/array token stream
+    for (full <- fulls; cut <- 22 until full.length) {
+      val line = full.substring(0, cut)
+      // IllegalArgumentException (NumberFormatException included, for
+      // a cut mid-token) — never an index error
+      intercept[IllegalArgumentException](
+        graft.sources.KvSchema.parseRow(line))
+    }
+  }
 }
