@@ -50,10 +50,14 @@ object ScaleCurve {
     * repetition_score 0.94) get a 30× measurement when the replica
     * dir exists — one more tripling decides whether "linear" was the
     * truth or the early face of super-linear growth the 10× window
-    * couldn't see.
+    * couldn't see. Round-18 adds `stream_v2_metadata`: the one
+    * labeled-steepening entry in the committed curve (α₁→₃ 0.33 →
+    * α₃→₁₀ 0.86) — the 30× point decides whether the slope keeps
+    * climbing past 1 (a super-linear batch-machinery component) or
+    * was fixed costs amortizing toward linear IO.
     */
   val Targets30: Set[String] =
-    Set("setsim_prefix_join", "repetition_score")
+    Set("setsim_prefix_join", "repetition_score", "stream_v2_metadata")
 
   def main(args: Array[String]): Unit = {
     // SPARK_GRAFT_CURVE_ONLY=a,b — measure a subset and MERGE into the
