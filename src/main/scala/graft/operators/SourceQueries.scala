@@ -2261,6 +2261,82 @@ object SourceQueries {
            |FROM $dst GROUP BY value ORDER BY value""".stripMargin)
     }),
 
+    // POLICY-DRIVEN MAINTENANCE (write.auto_compact — the Delta
+    // auto-compaction shape): a bucketed table with a standing
+    // file-count policy ingests SIX streaming epochs and the write
+    // path itself keeps every bucket at ≤ threshold files — no
+    // manual CALL anywhere in this gate. The policy rewrites are
+    // maintenance commits (CDC-invisible, base-pinned), so the
+    // table's `$changes` history must carry exactly the ingested
+    // inserts and nothing else — require()d, alongside the file
+    // bound, the fired-compaction count, and the version arithmetic
+    // (6 epoch commits + the policy commits). Rows pin against
+    // DuckDB over the raw orders: at 100 TB trickle ingest, an
+    // unbounded one-file-per-bucket-per-epoch layout is tens of
+    // thousands of files per bucket per month — this property is
+    // what makes streaming ingest and the SPJ layout coexist
+    // unattended.
+    "catalog_auto_compact" -> ((s, d) => {
+      registerKvCatalog(s)
+      val src = "graft_kv.default.ac_src"
+      val dst = "graft_kv.default.ac_dst"
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"DROP TABLE IF EXISTS $dst")
+      s.sql(s"CREATE TABLE $src (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"CREATE TABLE $dst (key BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(4, key)) " +
+        "TBLPROPERTIES ('snapshots'='true', " +
+        "'write.auto_compact'='2')")
+      for (r <- 0 to 5)
+        s.sql(s"INSERT INTO $src SELECT o_orderkey, o_orderpriority " +
+          s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 6 = $r")
+      val fired0 = graft.sources.KvAutoCompact.compactions.get()
+      val cp = graft.Fs.sinkDir("ac_cp_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      val q = s.readStream.table(src)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination(120000)
+      require(!q.isActive, "catalog_auto_compact: drain timed out")
+      val dstDir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/ac_dst"
+      val fired =
+        graft.sources.KvAutoCompact.compactions.get() - fired0
+      require(fired >= 1,
+        "catalog_auto_compact: the policy never fired across six " +
+          "trickle epochs")
+      val head = graft.sources.KvSnapshots.latest(dstDir).get
+      val perBucket = graft.sources.KvSnapshots.dataFiles(
+          graft.sources.KvSnapshots.membersWithStats(dstDir, head))
+        .groupBy(f =>
+          graft.sources.KvBucketing.fileBucket(f.name).getOrElse(-1))
+        .map { case (b, fs) => b -> fs.size }
+      require(perBucket.values.forall(_ <= 2),
+        s"catalog_auto_compact: the policy did not hold the bound — " +
+          s"files/bucket = $perBucket")
+      require(head.toLong == 6L + fired,
+        s"catalog_auto_compact: version arithmetic broke — head " +
+          s"$head for 6 epochs + $fired policy commits")
+      // CDC must see exactly the ingested inserts — the policy
+      // rewrites are invisible
+      val ch = s.sql(
+        s"""SELECT _change_type, count(*) AS n
+           |FROM graft_kv.default.`ac_dst$$changes`
+           |GROUP BY 1""".stripMargin).collect()
+      val nOrders = s.sql(s"SELECT count(*) FROM " +
+        s"parquet.`$d/orders.parquet`").collect()(0).getLong(0)
+      require(ch.length == 1 && ch(0).getString(0) == "insert" &&
+        ch(0).getLong(1) == nOrders,
+        s"catalog_auto_compact: policy commits leaked into CDC — " +
+          s"${ch.mkString(", ")} vs $nOrders inserts")
+      s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $dst GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
     // WRITE-AUDIT-PUBLISH branches (KvBranches.scala — the writable
     // half of the ref model; tags are the read-only half): the gate
     // runs the full staging lifecycle. (1) create_branch at main v1;
@@ -3744,6 +3820,12 @@ object SourceQueries {
         |GROUP BY value ORDER BY value""".stripMargin,
     // The streamed destination is exactly the source = all of orders.
     "catalog_stream_sink" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY value ORDER BY value""".stripMargin,
+    // Post-ingest state over all six trickle slices — the policy
+    // compactions change file counts only, never rows.
+    "catalog_auto_compact" ->
       """SELECT o_orderpriority AS value, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY value ORDER BY value""".stripMargin,

@@ -92,6 +92,14 @@ object KvBucketing {
     * Both absent on every never-rebucketed table (byte-identical
     * meta).
     */
+  /** `autoCompact`: POLICY-DRIVEN MAINTENANCE (`TBLPROPERTIES
+    * ('write.auto_compact'='t')`) — when a data commit leaves more
+    * than t live data files in any bucket (or t total on an
+    * unbucketed table), the write path itself runs the maintenance
+    * rewrite (CDC-invisible, base-pinned) before returning. At
+    * 100 TB with streaming ingest the alternative is an operator
+    * remembering to CALL compact — see KvAutoCompact.scala.
+    */
   case class KvMeta(
       buckets: Option[Int], snapshots: Boolean, mor: Boolean = false,
       partition: Option[(PartUnit, Int)] = None,
@@ -99,11 +107,13 @@ object KvBucketing {
       sorted: Boolean = false,
       blooms: Seq[Int] = Nil,
       rebucketTarget: Option[Int] = None,
-      bucketsFrom: Option[Int] = None) {
+      bucketsFrom: Option[Int] = None,
+      autoCompact: Option[Int] = None) {
     def isEmpty: Boolean =
       buckets.isEmpty && !snapshots && !mor && partition.isEmpty &&
         partitionLineage.isEmpty && !sorted && blooms.isEmpty &&
-        rebucketTarget.isEmpty && bucketsFrom.isEmpty
+        rebucketTarget.isEmpty && bucketsFrom.isEmpty &&
+        autoCompact.isEmpty
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -133,7 +143,8 @@ object KvBucketing {
           Seq(s""""blooms":"${meta.blooms.sorted.mkString(";")}"""")
         else Seq.empty) ++
         meta.rebucketTarget.map(n => s""""rebucket":$n""").toSeq ++
-        meta.bucketsFrom.map(v => s""""bfrom":$v""").toSeq
+        meta.bucketsFrom.map(v => s""""bfrom":$v""").toSeq ++
+        meta.autoCompact.map(t => s""""autocompact":$t""").toSeq
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -162,6 +173,7 @@ object KvBucketing {
   private val BloomsField = """"blooms":"(\d+(?:;\d+)*)"""".r
   private val RebucketField = """"rebucket":(\d+)""".r
   private val BfromField = """"bfrom":(\d+)""".r
+  private val AutoCompactField = """"autocompact":(\d+)""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -198,6 +210,8 @@ object KvBucketing {
           m.copy(rebucketTarget = Some(n.toInt))
         case (m, BfromField(v)) =>
           m.copy(bucketsFrom = Some(v.toInt))
+        case (m, AutoCompactField(t)) =>
+          m.copy(autoCompact = Some(t.toInt))
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }

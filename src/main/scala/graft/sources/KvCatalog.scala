@@ -1946,12 +1946,42 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     val blooms: Seq[Int] =
       Option(properties.get("bloom_cols")).toSeq.flatMap(
         KvCatalog.resolveBloomCols(_, cols, schema.catalogString))
+    // POLICY-DRIVEN MAINTENANCE: TBLPROPERTIES
+    // ('write.auto_compact'='t') — a data commit that leaves more
+    // than t live data files in any bucket (or t total, unbucketed)
+    // triggers the maintenance rewrite from the write path itself
+    // (KvAutoCompact.scala). Strict parse; needs snapshots (the
+    // rewrite is a maintenance commit — CDC-invisible, base-pinned —
+    // which only exists on a version log); temporally partitioned
+    // layouts keep manual compaction (per-unit policy would need
+    // per-unit rewrite scoping).
+    val autoCompact: Option[Int] =
+      Option(properties.get("write.auto_compact")).map { v =>
+        val t =
+          try v.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                "table property write.auto_compact must be an " +
+                  s"integer file-count threshold; got '$v'")
+          }
+        require(t >= 1 && t <= 100000,
+          s"write.auto_compact threshold out of range [1, 100000]: $t")
+        t
+      }
+    require(autoCompact.isEmpty || snapshots,
+      "TBLPROPERTIES ('write.auto_compact') requires " +
+        "('snapshots'='true') — the policy compaction is a " +
+        "maintenance commit on the version log")
+    require(autoCompact.isEmpty || partition.isEmpty,
+      "write.auto_compact composes with plain and bucketed tables " +
+        "only — date-partitioned layouts keep manual compaction")
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
     val meta = KvBucketing.KvMeta(buckets, snapshots, mor, partition,
-      sorted = sorted, blooms = blooms)
+      sorted = sorted, blooms = blooms, autoCompact = autoCompact)
     if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
     if (cols != KvSchema.Legacy)
       KvSchema.write(p.toString,
@@ -2119,6 +2149,45 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         require(meta.blooms.nonEmpty,
           s"${ident.name()} has no bloom_cols to unset")
         val flipped = meta.copy(blooms = Nil)
+        if (flipped.isEmpty)
+          java.nio.file.Files.deleteIfExists(
+            p.resolve(KvBucketing.MetaFile))
+        else KvBucketing.writeMeta(dir, flipped)
+
+      // ---- AUTO-COMPACT POLICY can be enabled / re-tuned / disabled
+      // after CREATE, metadata-only: the policy only ever fires at
+      // the NEXT data commit, so flipping it has no immediate I/O and
+      // is sound in every ordering (an in-flight write reads the
+      // policy after its own commit — it sees either the old or the
+      // new threshold, both valid).
+      case set: TableChange.SetProperty
+          if set.property() == "write.auto_compact" =>
+        val t =
+          try set.value().toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                "table property write.auto_compact must be an " +
+                  s"integer file-count threshold; got '${set.value()}'")
+          }
+        require(t >= 1 && t <= 100000,
+          s"write.auto_compact threshold out of range [1, 100000]: $t")
+        val meta = KvBucketing.readMetaFull(dir)
+        require(meta.snapshots,
+          s"write.auto_compact on ${ident.name()} requires snapshots " +
+            "— the policy compaction is a maintenance commit on the " +
+            "version log")
+        require(meta.partition.isEmpty,
+          "write.auto_compact composes with plain and bucketed " +
+            "tables only — date-partitioned layouts keep manual " +
+            "compaction")
+        KvBucketing.writeMeta(dir, meta.copy(autoCompact = Some(t)))
+      case rm: TableChange.RemoveProperty
+          if rm.property() == "write.auto_compact" =>
+        val meta = KvBucketing.readMetaFull(dir)
+        require(meta.autoCompact.nonEmpty,
+          s"${ident.name()} has no write.auto_compact to unset")
+        val flipped = meta.copy(autoCompact = None)
         if (flipped.isEmpty)
           java.nio.file.Files.deleteIfExists(
             p.resolve(KvBucketing.MetaFile))

@@ -282,6 +282,8 @@ class KvJsonlTable(
       m.put("rebucket.in_progress_to", n.toString))
     meta.bucketsFrom.foreach(v =>
       m.put("buckets.from_version", v.toString))
+    meta.autoCompact.foreach(t =>
+      m.put("write.auto_compact", t.toString))
     m
   }
 
@@ -896,6 +898,11 @@ class KvJsonlBatchWrite(
     KvJsonlSink.cleanupJobTemp(path, jobId)
     java.nio.file.Files.write(
       dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    // POLICY MAINTENANCE (write.auto_compact): a DATA commit to main
+    // re-evaluates the file-count policy; the policy rewrite itself
+    // is maintenance-flagged, so it can never re-trigger here.
+    if (!maintenance && branch.isEmpty)
+      KvAutoCompact.maybeCompact(path)
   }
 
   /** Step 1 of the truncate commit (package-visible so the
@@ -1235,6 +1242,13 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
     dropEpochTemps(epochId) // losing speculative attempts of this epoch
     java.nio.file.Files.write(
       dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    // POLICY MAINTENANCE (write.auto_compact): each epoch commit
+    // re-evaluates the file-count policy — the trickle-ingest shape
+    // the policy exists for (one file per bucket per epoch). Runs
+    // synchronously inside the epoch commit (Delta's auto-compaction
+    // latency trade) and is epoch-serialized by Spark, so the base
+    // pin cannot race this query's own next epoch.
+    if (snapshots) KvAutoCompact.maybeCompact(path)
     ()
   }
 

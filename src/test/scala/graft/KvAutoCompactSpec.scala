@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources.{KvAutoCompact, KvSnapshots}
+
+/** write.auto_compact edges beside the streaming gate: the BATCH
+  * trickle path (three small INSERTs breach the bound, the third
+  * commit's own write path restores it), maintenance semantics of
+  * the policy commit, and DDL validation.
+  */
+class KvAutoCompactSpec extends SparkTestBase {
+
+  private def cat(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_kv",
+      classOf[graft.sources.KvCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_kv.warehouse",
+      Fs.sinkDir("graft_kv_wh"))
+  }
+
+  private def dirOf(table: String): String =
+    s"${Fs.sinkDir("graft_kv_wh")}/default/$table"
+
+  test("batch trickle: the third INSERT's write path compacts") {
+    cat()
+    val t = "graft_kv.default.acs_plain"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true', 'write.auto_compact'='2')")
+    val fired0 = KvAutoCompact.compactions.get()
+    // one file per INSERT (the trickle shape): without the hint each
+    // small insert is one file per local task
+    for (b <- 0 to 2)
+      spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ " +
+        s"id, 'v' FROM range(${b * 10}, ${b * 10 + 10})")
+    assert(KvAutoCompact.compactions.get() - fired0 == 1)
+    val d = dirOf("acs_plain")
+    // 3 data commits + 1 policy commit; the policy commit is
+    // maintenance (header-flagged) and restored the bound
+    assert(KvSnapshots.latest(d).contains(4))
+    assert(KvSnapshots.isMaintenance(d, 4))
+    assert(KvSnapshots.dataFiles(
+      KvSnapshots.membersWithStats(d, 4)).size <= 2)
+    assert(spark.sql(s"SELECT count(*) FROM $t")
+      .collect()(0).getLong(0) == 30L)
+    // CDC: inserts only — the policy commit is invisible
+    val ch = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM graft_kv.default.`acs_plain$$changes`
+         |GROUP BY 1""".stripMargin).collect()
+    assert(ch.length == 1 && ch(0).getString(0) == "insert" &&
+      ch(0).getLong(1) == 30L, ch.mkString(", "))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("ALTER enables, re-tunes and disables the policy") {
+    cat()
+    val t = "graft_kv.default.acs_alter"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    val d = dirOf("acs_alter")
+    // three trickle inserts with NO policy: files accumulate
+    for (b <- 0 to 2)
+      spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ " +
+        s"id, 'v' FROM range(${b * 10}, ${b * 10 + 10})")
+    assert(KvSnapshots.dataFiles(KvSnapshots.membersWithStats(
+      d, KvSnapshots.latest(d).get)).size == 3)
+    // enable on the EXISTING table — the adopter path — and the next
+    // data commit restores the bound
+    spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES ('write.auto_compact'='2')")
+    val fired0 = KvAutoCompact.compactions.get()
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ " +
+      "id, 'v' FROM range(30, 40)")
+    assert(KvAutoCompact.compactions.get() - fired0 == 1)
+    assert(KvSnapshots.dataFiles(KvSnapshots.membersWithStats(
+      d, KvSnapshots.latest(d).get)).size <= 2)
+    // disable: trickle accumulates again
+    spark.sql(
+      s"ALTER TABLE $t UNSET TBLPROPERTIES ('write.auto_compact')")
+    for (b <- 4 to 6)
+      spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ " +
+        s"id, 'v' FROM range(${b * 10}, ${b * 10 + 10})")
+    assert(KvAutoCompact.compactions.get() - fired0 == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $t")
+      .collect()(0).getLong(0) == 70L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("DDL validation: snapshots required, partitions excluded") {
+    cat()
+    val t = "graft_kv.default.acs_bad"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val e1 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('write.auto_compact'='2')"))
+    assert(e1.getMessage.contains("snapshots"))
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $t (key BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'write.auto_compact'='2')"))
+    assert(e2.getMessage.contains("auto_compact"))
+    val e3 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', " +
+        "'write.auto_compact'='lots')"))
+    assert(e3.getMessage.contains("integer"))
+  }
+}
