@@ -36,7 +36,8 @@ class KvScanBuilder(
     branch: Option[String] = None,
     partitionSpec: Option[(KvBucketing.PartUnit, Int)] = None,
     scannedSink: Option[
-      java.util.concurrent.atomic.AtomicReference[Set[String]]] = None)
+      java.util.concurrent.atomic.AtomicReference[Set[String]]] = None,
+    scanFilesOnly: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -161,7 +162,11 @@ class KvScanBuilder(
       case _ => None
     }
     val result: Option[Seq[KvAggScan.PushedAgg]] =
+      // scanFilesOnly: a FILE-RESTRICTED scan (the selective
+      // maintenance read) must never answer aggregates from the FULL
+      // manifest — decline, the ordinary restricted scan runs.
       if (!(snapshots && !forRowLevelOp && pushed.isEmpty &&
+          scanFilesOnly.isEmpty &&
           agg.groupByExpressions().isEmpty &&
           agg.aggregateExpressions().nonEmpty)) None
       else {
@@ -221,7 +226,7 @@ class KvScanBuilder(
     case Some(aggs) => new KvAggScan(path, pinnedVersion, aggs, branch)
     case None => new KvScan(path, required, pushed, buckets, snapshots,
       pinnedVersion, forRowLevelOp, cols, maxBytesPerTrigger, branch,
-      partitionSpec, scannedSink)
+      partitionSpec, scannedSink, scanFilesOnly)
   }
 }
 
@@ -588,7 +593,8 @@ class KvScan(
     branch: Option[String] = None,
     partitionSpec: Option[(KvBucketing.PartUnit, Int)] = None,
     scannedSink: Option[
-      java.util.concurrent.atomic.AtomicReference[Set[String]]] = None)
+      java.util.concurrent.atomic.AtomicReference[Set[String]]] = None,
+    scanFilesOnly: Option[Set[String]] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
@@ -834,6 +840,11 @@ class KvScan(
           val dels = KvSnapshots.deleteIndex(path, v, branch)
           KvSnapshots.dataFiles(
             KvSnapshots.membersWithStats(path, v, branch))
+            // scan_files: the selective-maintenance read — membership
+            // ∩ the named set (a name that expired between selection
+            // and read simply drops out; the writer's base pin is
+            // what detects real interleaving)
+            .filter(st => scanFilesOnly.forall(_.contains(st.name)))
             .filter(st => dayAdmits(st.name, countPrunes))
             .filter { st =>
               val keep =
@@ -868,6 +879,8 @@ class KvScan(
         try s.iterator().asScala
           .map(_.toString)
           .filter(_.endsWith(".jsonl"))
+          .filter(f => scanFilesOnly.forall(_.contains(
+            java.nio.file.Paths.get(f).getFileName.toString)))
           .filter(f => dayAdmits(
             java.nio.file.Paths.get(f).getFileName.toString,
             countPrunes))

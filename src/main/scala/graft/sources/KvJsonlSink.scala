@@ -329,9 +329,15 @@ class KvJsonlTable(
       require(b > 0, s"maxBytesPerTrigger must be positive; got $v")
       b
     }
+    // `scan_files` (comma-separated member names): restrict the scan
+    // to exactly these committed files — the read half of the
+    // SELECTIVE maintenance rewrite (KvAutoCompact), which must read
+    // only the small files it merges, never the whole table.
+    val scanFiles = Option(options.get("scan_files")).map(
+      _.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     new KvScanBuilder(path, buckets, meta.snapshots, pinnedVersion,
       maxBytesPerTrigger = maxBytes, branch = branch,
-      partitionSpec = meta.partition)
+      partitionSpec = meta.partition, scanFilesOnly = scanFiles)
   }
 
   /** SQL row-level DML (DELETE / UPDATE / MERGE) via the GROUP-BASED
@@ -423,6 +429,19 @@ class KvJsonlTable(
       Option(info.options.get("maintenance_base")).map(_.toInt)
     require(maintBase.isEmpty || maint,
       "maintenance_base is only meaningful on a maintenance commit")
+    // `replace_files` (comma-separated member names): GROUP-SELECTIVE
+    // maintenance commit — membership keeps every file NOT named and
+    // swaps exactly the named set for this write's output (the same
+    // replaceOnly protocol the row-level DML commit uses, including
+    // its fail-loud conflict check when a named file was concurrently
+    // replaced). The write half of the selective compaction: a policy
+    // that could only truncate-replace the WHOLE table would rewrite
+    // 100 TB on every trigger.
+    val replaceFiles: Option[Set[String]] =
+      Option(info.options.get("replace_files")).map(
+        _.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    require(replaceFiles.isEmpty || (maint && meta.snapshots),
+      "replace_files is a maintenance option on snapshotted tables")
     new WriteBuilder with SupportsTruncate {
       // mode("overwrite") plans as truncate-then-append; the actual
       // delete happens DRIVER-SIDE at commit time so a failed job
@@ -447,7 +466,9 @@ class KvJsonlTable(
                       .SortDirection.ASCENDING))
             override def toBatch: BatchWrite =
               new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
-                writeBranch, maintenance = maint,
+                writeBranch,
+                replaceOnly = replaceFiles.map(s => () => s),
+                maintenance = maint,
                 requireBase = maintBase)
             override def toStreaming: streaming.StreamingWrite =
               throw new UnsupportedOperationException(

@@ -51,6 +51,47 @@ class KvAutoCompactSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("selective: spares untouched buckets and each bucket's big file") {
+    cat()
+    val t = "graft_kv.default.acs_sel"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "PARTITIONED BY (bucket(4, key)) " +
+      "TBLPROPERTIES ('snapshots'='true', 'write.auto_compact'='2')")
+    val d = dirOf("acs_sel")
+    def members: Map[Option[Int], Set[(String, Long)]] =
+      KvSnapshots.dataFiles(KvSnapshots.membersWithStats(
+          d, KvSnapshots.latest(d).get))
+        .groupBy(f => graft.sources.KvBucketing.fileBucket(f.name))
+        .map { case (b, fs) =>
+          b -> fs.map(f => (f.name, f.rows)).toSet }
+    // seed every bucket with one file, then trickle into bucket 0
+    spark.sql(s"INSERT INTO $t VALUES (0,'a'),(1,'a'),(2,'a'),(3,'a')")
+    spark.sql(s"INSERT INTO $t " +
+      "SELECT id * 4, 'b' FROM range(1, 7)") // 6 rows, all bucket 0
+    val before = members
+    val fired0 = KvAutoCompact.compactions.get()
+    spark.sql(s"INSERT INTO $t " +
+      "SELECT id * 4, 'c' FROM range(7, 12)") // bucket 0 now breaches
+    assert(KvAutoCompact.compactions.get() - fired0 == 1)
+    val after = members
+    // untouched buckets: identical membership, BY NAME — never read,
+    // never rewritten, never restated
+    for (b <- Seq(Some(1), Some(2), Some(3)))
+      assert(after(b) == before(b), s"bucket $b was rewritten")
+    // bucket 0: the strictly-biggest 6-row file from before the
+    // breach survived by name; the seed 1-row file and the new
+    // 5-row file merged
+    val big = before(Some(0)).filter(_._2 == 6L)
+    assert(big.size == 1)
+    assert(after(Some(0)).size == 2)
+    assert(after(Some(0)).exists(f => big.contains(f)),
+      s"the spared big file was rewritten: ${after(Some(0))}")
+    assert(spark.sql(s"SELECT count(*) FROM $t")
+      .collect()(0).getLong(0) == 15L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("ALTER enables, re-tunes and disables the policy") {
     cat()
     val t = "graft_kv.default.acs_alter"
