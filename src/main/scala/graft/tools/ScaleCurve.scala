@@ -43,7 +43,14 @@ object ScaleCurve {
     // runtime-bloom-filtered join and the selective CoW DML rewrite
     // (each gate rebuilds its kv table from the scaled fixture, so
     // the curve covers ingest + the pruned path end-to-end).
-    "catalog_runtime_bloom", "catalog_dml_selective")
+    "catalog_runtime_bloom", "catalog_dml_selective",
+    // round-18: the named-key SPJ (ingest + zero-exchange zero-sort
+    // join), the streaming-ingest auto-compaction lifecycle, the
+    // token-array store + explode aggregate, and the pinned-ANN
+    // build→stale→refresh→serve lifecycle — every new path gets a
+    // measured slope, not an assumed one.
+    "catalog_spj_named", "catalog_auto_compact",
+    "catalog_array_string", "catalog_ann_pinned")
 
   /** Optional FOURTH point (round-16): the two heavies whose 3→10
     * slope sat at the linear boundary (setsim_prefix_join 0.93,
@@ -57,7 +64,12 @@ object ScaleCurve {
     * was fixed costs amortizing toward linear IO.
     */
   val Targets30: Set[String] =
-    Set("setsim_prefix_join", "repetition_score", "stream_v2_metadata")
+    Set("setsim_prefix_join", "repetition_score", "stream_v2_metadata",
+      // round-18: the named-key SPJ's 3→10 slope (0.92) sits at the
+      // linear boundary with rising slopes (fixed ingest costs
+      // amortizing) — the 30× point decides the shape like it did
+      // for stream_v2_metadata.
+      "catalog_spj_named")
 
   def main(args: Array[String]): Unit = {
     // SPARK_GRAFT_CURVE_ONLY=a,b — measure a subset and MERGE into the
