@@ -2337,6 +2337,49 @@ object SourceQueries {
            |FROM $dst GROUP BY value ORDER BY value""".stripMargin)
     }),
 
+    // POLICY-DRIVEN RETENTION (expire.keep_last — the other half of
+    // unattended maintenance): a standing version-count policy
+    // expires history beyond the newest n after each data commit,
+    // while TAGGED versions survive however old they get — exactly
+    // the manual expire_snapshots contract, minus the operator. Six
+    // commits against keep_last=3 must leave versions {1 (tagged),
+    // 4, 5, 6} — require()d, with the tag still readable at its
+    // exact row count. At 100 TB with streaming ingest the manifest
+    // log and retained files otherwise grow without bound. Rows pin
+    // against DuckDB over raw orders.
+    "catalog_auto_expire" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.ae_gate"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('snapshots'='true', 'expire.keep_last'='3')")
+      s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 6 = 0")
+      s.sql("CALL graft_kv.system.tag(" +
+        "table => 'default.ae_gate', name => 'baseline')") // pins v1
+      for (r <- 1 to 5)
+        s.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderpriority " +
+          s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 6 = $r")
+      val dir = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/ae_gate"
+      val retained = graft.sources.KvSnapshots.versions(dir)
+      require(retained == Seq(1, 4, 5, 6),
+        s"catalog_auto_expire: expected versions 1 (tagged), 4, 5, 6" +
+          s" — got ${retained.mkString(", ")}")
+      val expectV1 = s.sql(s"SELECT count(*) FROM " +
+          s"parquet.`$d/orders.parquet` WHERE o_orderkey % 6 = 0")
+        .collect()(0).getLong(0)
+      val atTag = s.sql(
+        s"SELECT count(*) FROM $t VERSION AS OF 'baseline'")
+        .collect()(0).getLong(0)
+      require(atTag == expectV1,
+        s"catalog_auto_expire: the tag pin broke — $atTag rows at " +
+          s"'baseline', expected $expectV1")
+      s.sql(
+        s"""SELECT value, count(*) AS n_orders,
+           |       CAST(sum(key) AS BIGINT) AS sum_keys
+           |FROM $t GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
     // WRITE-AUDIT-PUBLISH branches (KvBranches.scala — the writable
     // half of the ref model; tags are the read-only half): the gate
     // runs the full staging lifecycle. (1) create_branch at main v1;
@@ -3826,6 +3869,12 @@ object SourceQueries {
     // Post-ingest state over all six trickle slices — the policy
     // compactions change file counts only, never rows.
     "catalog_auto_compact" ->
+      """SELECT o_orderpriority AS value, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY value ORDER BY value""".stripMargin,
+    // Retention changes HISTORY only — the current state is all six
+    // slices regardless of what expired.
+    "catalog_auto_expire" ->
       """SELECT o_orderpriority AS value, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY value ORDER BY value""".stripMargin,

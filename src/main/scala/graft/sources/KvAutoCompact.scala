@@ -43,6 +43,40 @@ object KvAutoCompact {
     */
   val rewrittenRows = new java.util.concurrent.atomic.AtomicLong
 
+  /** Policy expirations run in this JVM (observability). */
+  val expirations = new java.util.concurrent.atomic.AtomicLong
+
+  /** The post-data-commit policy hook — BOTH standing policies, in
+    * the only sound order: compaction first (it appends a
+    * maintenance version), then retention (so the keep_last bound
+    * holds on what the commit actually left behind).
+    */
+  def maybeMaintain(path: String): Unit = {
+    maybeCompact(path)
+    maybeExpire(path)
+  }
+
+  /** `expire.keep_last` — the retention policy: drop history beyond
+    * the newest n versions through the SAME reclamation the manual
+    * `system.expire_snapshots` runs (tagged versions and
+    * branch-referenced files survive; a streaming change-feed
+    * consumer that falls further behind than n degrades to the
+    * documented initial-snapshot resume — pick n with consumers in
+    * mind). Checking costs one directory listing when there is
+    * nothing to drop.
+    */
+  def maybeExpire(path: String): Unit = {
+    val meta = KvBucketing.readMetaFull(path)
+    val keep = meta.autoExpire.getOrElse(return)
+    if (!meta.snapshots) return
+    // a rebucket in flight owns the table's history bookkeeping
+    if (meta.rebucketTarget.isDefined) return
+    if (KvSnapshots.versions(path).size <= keep) return
+    KvSnapshots.expire(path, keep)
+    expirations.incrementAndGet()
+    ()
+  }
+
   def maybeCompact(path: String): Unit = {
     val meta = KvBucketing.readMetaFull(path)
     val threshold = meta.autoCompact.getOrElse(return)

@@ -100,6 +100,14 @@ object KvBucketing {
     * 100 TB with streaming ingest the alternative is an operator
     * remembering to CALL compact — see KvAutoCompact.scala.
     */
+  /** `autoExpire`: the RETENTION half of policy-driven maintenance
+    * (`TBLPROPERTIES ('expire.keep_last'='n')`) — after a data
+    * commit, history beyond the newest n versions is expired
+    * (tagged versions and branch-referenced files survive, exactly
+    * like a manual `system.expire_snapshots`). Without it, a
+    * streaming table's manifest log and retained files grow without
+    * bound until an operator remembers to call expire.
+    */
   case class KvMeta(
       buckets: Option[Int], snapshots: Boolean, mor: Boolean = false,
       partition: Option[(PartUnit, Int)] = None,
@@ -108,12 +116,13 @@ object KvBucketing {
       blooms: Seq[Int] = Nil,
       rebucketTarget: Option[Int] = None,
       bucketsFrom: Option[Int] = None,
-      autoCompact: Option[Int] = None) {
+      autoCompact: Option[Int] = None,
+      autoExpire: Option[Int] = None) {
     def isEmpty: Boolean =
       buckets.isEmpty && !snapshots && !mor && partition.isEmpty &&
         partitionLineage.isEmpty && !sorted && blooms.isEmpty &&
         rebucketTarget.isEmpty && bucketsFrom.isEmpty &&
-        autoCompact.isEmpty
+        autoCompact.isEmpty && autoExpire.isEmpty
   }
 
   /** The connector's bucket spec. Null keys go to bucket 0 (they can
@@ -144,7 +153,8 @@ object KvBucketing {
         else Seq.empty) ++
         meta.rebucketTarget.map(n => s""""rebucket":$n""").toSeq ++
         meta.bucketsFrom.map(v => s""""bfrom":$v""").toSeq ++
-        meta.autoCompact.map(t => s""""autocompact":$t""").toSeq
+        meta.autoCompact.map(t => s""""autocompact":$t""").toSeq ++
+        meta.autoExpire.map(n => s""""autoexpire":$n""").toSeq
     // Temp + atomic rename, same as the manifest commit: an in-place
     // rewrite (ALTER flipping the snapshots flag) interrupted mid-write
     // would leave a truncated meta that bricks every subsequent access.
@@ -174,6 +184,7 @@ object KvBucketing {
   private val RebucketField = """"rebucket":(\d+)""".r
   private val BfromField = """"bfrom":(\d+)""".r
   private val AutoCompactField = """"autocompact":(\d+)""".r
+  private val AutoExpireField = """"autoexpire":(\d+)""".r
 
   def readMetaFull(dir: String): KvMeta = {
     val p = java.nio.file.Paths.get(dir, MetaFile)
@@ -212,6 +223,8 @@ object KvBucketing {
           m.copy(bucketsFrom = Some(v.toInt))
         case (m, AutoCompactField(t)) =>
           m.copy(autoCompact = Some(t.toInt))
+        case (m, AutoExpireField(n)) =>
+          m.copy(autoExpire = Some(n.toInt))
         case (_, other) => throw new IllegalArgumentException(
           s"corrupt $MetaFile field in $dir: $other")
       }

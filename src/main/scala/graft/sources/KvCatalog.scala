@@ -1989,12 +1989,35 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     require(autoCompact.isEmpty || partition.isEmpty,
       "write.auto_compact composes with plain and bucketed tables " +
         "only — date-partitioned layouts keep manual compaction")
+    // The RETENTION policy: TBLPROPERTIES ('expire.keep_last'='n') —
+    // after each data commit, history beyond the newest n versions
+    // expires (tags and branch-referenced files survive, like the
+    // manual CALL). Strict parse; snapshots required by definition.
+    val autoExpire: Option[Int] =
+      Option(properties.get("expire.keep_last")).map { v =>
+        val n =
+          try v.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                "table property expire.keep_last must be an integer " +
+                  s"version count; got '$v'")
+          }
+        require(n >= 1 && n <= 1000000,
+          s"expire.keep_last out of range [1, 1000000]: $n")
+        n
+      }
+    require(autoExpire.isEmpty || snapshots,
+      "TBLPROPERTIES ('expire.keep_last') requires " +
+        "('snapshots'='true') — there is no history to retain " +
+        "without a version log")
     val p = tablePath(ident)
     if (java.nio.file.Files.isDirectory(p))
       throw new TableAlreadyExistsException(ident)
     java.nio.file.Files.createDirectories(p)
     val meta = KvBucketing.KvMeta(buckets, snapshots, mor, partition,
-      sorted = sorted, blooms = blooms, autoCompact = autoCompact)
+      sorted = sorted, blooms = blooms, autoCompact = autoCompact,
+      autoExpire = autoExpire)
     if (!meta.isEmpty) KvBucketing.writeMeta(p.toString, meta)
     if (cols != KvSchema.Legacy)
       KvSchema.write(p.toString,
@@ -2201,6 +2224,37 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
         require(meta.autoCompact.nonEmpty,
           s"${ident.name()} has no write.auto_compact to unset")
         val flipped = meta.copy(autoCompact = None)
+        if (flipped.isEmpty)
+          java.nio.file.Files.deleteIfExists(
+            p.resolve(KvBucketing.MetaFile))
+        else KvBucketing.writeMeta(dir, flipped)
+
+      // ---- AUTO-EXPIRE RETENTION POLICY: same metadata-only
+      // enable/re-tune/disable as auto_compact — the policy only
+      // fires at the next data commit.
+      case set: TableChange.SetProperty
+          if set.property() == "expire.keep_last" =>
+        val n =
+          try set.value().toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                "table property expire.keep_last must be an integer " +
+                  s"version count; got '${set.value()}'")
+          }
+        require(n >= 1 && n <= 1000000,
+          s"expire.keep_last out of range [1, 1000000]: $n")
+        val meta = KvBucketing.readMetaFull(dir)
+        require(meta.snapshots,
+          s"expire.keep_last on ${ident.name()} requires snapshots — " +
+            "there is no history to retain without a version log")
+        KvBucketing.writeMeta(dir, meta.copy(autoExpire = Some(n)))
+      case rm: TableChange.RemoveProperty
+          if rm.property() == "expire.keep_last" =>
+        val meta = KvBucketing.readMetaFull(dir)
+        require(meta.autoExpire.nonEmpty,
+          s"${ident.name()} has no expire.keep_last to unset")
+        val flipped = meta.copy(autoExpire = None)
         if (flipped.isEmpty)
           java.nio.file.Files.deleteIfExists(
             p.resolve(KvBucketing.MetaFile))

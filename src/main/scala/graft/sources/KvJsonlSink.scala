@@ -284,6 +284,8 @@ class KvJsonlTable(
       m.put("buckets.from_version", v.toString))
     meta.autoCompact.foreach(t =>
       m.put("write.auto_compact", t.toString))
+    meta.autoExpire.foreach(n =>
+      m.put("expire.keep_last", n.toString))
     m
   }
 
@@ -923,7 +925,7 @@ class KvJsonlBatchWrite(
     // re-evaluates the file-count policy; the policy rewrite itself
     // is maintenance-flagged, so it can never re-trigger here.
     if (!maintenance && branch.isEmpty)
-      KvAutoCompact.maybeCompact(path)
+      KvAutoCompact.maybeMaintain(path)
   }
 
   /** Step 1 of the truncate commit (package-visible so the
@@ -1269,7 +1271,7 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
     // synchronously inside the epoch commit (Delta's auto-compaction
     // latency trade) and is epoch-serialized by Spark, so the base
     // pin cannot race this query's own next epoch.
-    if (snapshots) KvAutoCompact.maybeCompact(path)
+    if (snapshots) KvAutoCompact.maybeMaintain(path)
     ()
   }
 

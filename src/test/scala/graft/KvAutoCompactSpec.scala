@@ -127,6 +127,69 @@ class KvAutoCompactSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("both policies compose: file AND version bounds hold together") {
+    cat()
+    val t = "graft_kv.default.acs_both"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true', 'write.auto_compact'='2', " +
+      "'expire.keep_last'='3')")
+    val d = dirOf("acs_both")
+    for (b <- 0 to 7)
+      spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ " +
+        s"id, 'v' FROM range(${b * 10}, ${b * 10 + 10})")
+    // compaction holds the file bound, retention the version bound
+    val vs = KvSnapshots.versions(d)
+    assert(vs.size == 3, s"versions: ${vs.mkString(",")}")
+    assert(KvSnapshots.dataFiles(KvSnapshots.membersWithStats(
+      d, vs.last)).size <= 2)
+    assert(spark.sql(s"SELECT count(*) FROM $t")
+      .collect()(0).getLong(0) == 80L)
+    // expired files are physically reclaimed: the dir holds only
+    // what the retained manifests reference (+ metadata)
+    val live = vs.flatMap(v => KvSnapshots.members(d, v)).toSet
+    val onDisk = {
+      val s0 = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try {
+        import scala.jdk.CollectionConverters._
+        s0.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".jsonl")).toSet
+      } finally s0.close()
+    }
+    assert(onDisk == live,
+      s"retention left orphans or lost members: ${onDisk -- live} / " +
+        s"${live -- onDisk}")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("retention DDL: ALTER lifecycle and the snapshots guard") {
+    cat()
+    val t = "graft_kv.default.acs_ret"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val e1 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+        "TBLPROPERTIES ('expire.keep_last'='3')"))
+    assert(e1.getMessage.contains("snapshots"))
+    spark.sql(s"CREATE TABLE $t (key BIGINT, value STRING) " +
+      "TBLPROPERTIES ('snapshots'='true')")
+    for (b <- 0 to 4)
+      spark.sql(s"INSERT INTO $t VALUES ($b, 'v')")
+    assert(KvSnapshots.versions(dirOf("acs_ret")).size == 5)
+    // enable on the existing table: the NEXT commit enforces it
+    spark.sql(
+      s"ALTER TABLE $t SET TBLPROPERTIES ('expire.keep_last'='2')")
+    spark.sql(s"INSERT INTO $t VALUES (99, 'z')")
+    assert(KvSnapshots.versions(dirOf("acs_ret")).size == 2)
+    spark.sql(
+      s"ALTER TABLE $t UNSET TBLPROPERTIES ('expire.keep_last')")
+    for (b <- 10 to 12)
+      spark.sql(s"INSERT INTO $t VALUES ($b, 'v')")
+    assert(KvSnapshots.versions(dirOf("acs_ret")).size == 5)
+    assert(spark.sql(s"SELECT count(*) FROM $t")
+      .collect()(0).getLong(0) == 9L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("DDL validation: snapshots required, partitions excluded") {
     cat()
     val t = "graft_kv.default.acs_bad"
