@@ -700,6 +700,122 @@ object SourceQueries {
       }
     }),
 
+    // STRING-KEYED TABLE — the key role at its second TYPE: a table
+    // keyed by `doc_id STRING` (the identifier shape a document /
+    // URL / content-hash pipeline actually has) with hash bucketing
+    // (`floorMod(hash(key), n)` — Spark's own `hash()`), a bloom
+    // sidecar ON THE KEY (string keys record no zone maps — the
+    // manifest's unescaped token format can't hold string bounds —
+    // so the sidecar is their whole file-skip machinery), reader-side
+    // pushed-key row skipping, and exact-count pushdown. The gate
+    // require()s a point lookup of an ABSENT key pruned whole files
+    // via the sidecar; rows (including the min/max computed by the
+    // FALLBACK scan — MIN/MAX(key) pushdown declines for string
+    // keys by design) pin against DuckDB.
+    "catalog_string_key" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.skg_docs"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (doc_id STRING, value STRING) " +
+        "PARTITIONED BY (bucket(8, doc_id)) " +
+        "TBLPROPERTIES ('snapshots'='true', 'bloom_cols'='doc_id')")
+      s.sql(s"INSERT INTO $t SELECT concat('d-', doc_id), lang " +
+        s"FROM parquet.`$d/documents.parquet`")
+      val before = graft.sources.KvBloomPrune.prunedFiles.get()
+      require(s.sql(
+        s"SELECT count(*) FROM $t WHERE doc_id = 'd-absent'")
+        .collect()(0).getLong(0) == 0L,
+        "catalog_string_key: phantom row for an absent key")
+      require(graft.sources.KvBloomPrune.prunedFiles.get() > before,
+        "catalog_string_key: an absent-key point lookup pruned no " +
+          "files — the key bloom sidecar did not engage")
+      s.sql(
+        s"""SELECT value, count(*) AS n_docs,
+           |       min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM $t GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
+    // STRING-KEY STORAGE-PARTITIONED JOIN: two tables co-bucketed 8
+    // ways on STRING keys join with ZERO shuffle — the scans report
+    // KeyGroupedPartitioning over the same served V2 bucket function,
+    // now bound at (INT, STRING). This is the join shape of every
+    // doc-keyed curation pipeline (dedup verdicts ⋈ quality scores ⋈
+    // provenance, all keyed by doc_id) — at 100 TB co-bucketing at
+    // write time makes each of those joins exchange-free, exactly as
+    // for BIGINT keys. Plan fact require()d; rows pin against DuckDB
+    // joining the raw parquet.
+    "catalog_spj_string" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t1 = "graft_kv.default.sks_orders"
+      val t2 = "graft_kv.default.sks_items"
+      s.sql(s"DROP TABLE IF EXISTS $t1")
+      s.sql(s"CREATE TABLE $t1 (o_id STRING, value STRING) " +
+        "PARTITIONED BY (bucket(8, o_id)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"DROP TABLE IF EXISTS $t2")
+      s.sql(s"CREATE TABLE $t2 (l_id STRING, value STRING) " +
+        "PARTITIONED BY (bucket(8, l_id)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t1 SELECT concat('o-', o_orderkey), " +
+        s"o_orderpriority FROM parquet.`$d/orders.parquet`")
+      s.sql(s"INSERT INTO $t2 SELECT concat('o-', l_orderkey), " +
+        s"l_returnflag FROM parquet.`$d/lineitem.parquet`")
+      withConfs(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val df = s.sql(
+          s"""SELECT a.value AS priority, b.value AS flag,
+             |count(*) AS n_items
+             |FROM $t1 a JOIN $t2 b ON a.o_id = b.l_id
+             |GROUP BY a.value, b.value
+             |ORDER BY priority, flag""".stripMargin)
+        val rows = df.collect()
+        requireShuffleFreeJoin(df, "catalog_spj_string")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
+    // DML + CDC over a STRING-keyed table: copy-on-write DELETE on a
+    // key-prefix predicate, a point UPDATE on one key, and the
+    // `$changes` feed carrying string-keyed change rows — the
+    // incremental-curation loop (retract documents, patch labels,
+    // stream the diff) run entirely on the doc_id-keyed asset. The
+    // CDC row counts are require()d against the DML's own row
+    // counts; the final table state pins against DuckDB applying the
+    // same DML to the raw parquet.
+    "catalog_string_dml" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.skd_docs"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (doc_id STRING, value STRING) " +
+        "PARTITIONED BY (bucket(4, doc_id)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT concat('d-', doc_id), lang " +
+        s"FROM parquet.`$d/documents.parquet`")
+      val delOk = s.sql(s"SELECT count(*) FROM $t " +
+        "WHERE doc_id LIKE 'd-1%'").collect()(0).getLong(0)
+      s.sql(s"DELETE FROM $t WHERE doc_id LIKE 'd-1%'")
+      s.sql(s"UPDATE $t SET value = concat('X-', value) " +
+        "WHERE doc_id = 'd-42'")
+      // A CoW rewrite restates rewritten files' survivors as
+      // delete+insert pairs (the honest file-granular diff), so the
+      // DELETE's CDC contract is the NET row change of its commit.
+      val net = s.sql(
+        s"""SELECT sum(CASE _change_type WHEN 'delete' THEN 1
+           |           ELSE -1 END)
+           |FROM graft_kv.default.`skd_docs$$changes`
+           |WHERE _commit_version = 2""".stripMargin)
+        .collect()(0).getLong(0)
+      require(net == delOk,
+        s"catalog_string_dml: CDC nets $net removed rows for a " +
+          s"$delOk-row string-keyed DELETE")
+      s.sql(
+        s"""SELECT value, count(*) AS n_docs
+           |FROM $t GROUP BY value ORDER BY value""".stripMargin)
+    }),
+
     // RUNTIME BLOOM FILTERING — dynamic pruning for columns no layout
     // clusters by: the scan declares its bloom columns as runtime
     // filter attributes (SupportsRuntimeV2Filtering), so a selective
@@ -3586,6 +3702,31 @@ object SourceQueries {
         |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
         |GROUP BY 1, 2
         |ORDER BY priority, flag""".stripMargin,
+    // String-keyed table state recomputed from raw documents (the
+    // min/max pin the string-key ordering semantics end to end).
+    "catalog_string_key" ->
+      """SELECT lang AS value, count(*) AS n_docs,
+        |       min(concat('d-', doc_id)) AS min_id,
+        |       max(concat('d-', doc_id)) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY value""".stripMargin,
+    // The string-key SPJ joins the same rows the long-key join does —
+    // key TYPE changes plans' routing function, never rows.
+    "catalog_spj_string" ->
+      """SELECT a.o_orderpriority AS priority,
+        |       b.l_returnflag AS flag,
+        |       count(*) AS n_items
+        |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY priority, flag""".stripMargin,
+    // Post-DML state recomputed from raw documents with the same
+    // DELETE (key prefix) and point UPDATE applied.
+    "catalog_string_dml" ->
+      """SELECT CASE WHEN doc_id = 42 THEN 'X-' || lang
+        |            ELSE lang END AS value,
+        |       count(*) AS n_docs
+        |FROM documents
+        |WHERE concat('d-', doc_id) NOT LIKE 'd-1%'
+        |GROUP BY 1 ORDER BY value""".stripMargin,
     "catalog_bucketed_agg" ->
       """SELECT n_items, count(*) AS n_keys,
         |       CAST(sum(sum_keys) AS BIGINT) AS sum_keys

@@ -141,8 +141,8 @@ object KvAutoCompact {
       .load(path)
     val shaped = meta.buckets match {
       case Some(n) =>
-        val bucketExpr =
-          coalesce(pmod(col(keyName), lit(n.toLong)), lit(0L))
+        val bucketExpr = KvBucketing.bucketExprFor(
+          col(keyName), KvSchema.keyType(KvSchema.currentCols(path)), n)
         src.repartition(n, bucketExpr)
           .sortWithinPartitions(col(keyName))
       case None =>

@@ -132,6 +132,48 @@ object KvBucketing {
   def bucketOf(key: java.lang.Long, n: Int): Int =
     if (key == null) 0 else java.lang.Math.floorMod(key.longValue, n.toLong).toInt
 
+  /** The STRING-key bucket spec: `floorMod(hash(key), n)` where
+    * `hash` is exactly Spark's own `hash()` SQL function on one
+    * string argument (Murmur3 over the UTF-8 bytes, seed 42) — the
+    * same transparency contract as the long spec's `floorMod(key, n)`:
+    * every participant (writer routing, the scan's partition claim,
+    * the served V2 function, maintenance rewrites) recomputes it
+    * identically, and a spec or an operator can reproduce the routing
+    * with public SQL (`pmod(hash(key), n)`). Null keys → bucket 0,
+    * like the long spec.
+    */
+  def bucketOfString(
+      key: org.apache.spark.unsafe.types.UTF8String, n: Int): Int =
+    if (key == null) 0
+    else java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(key, org.apache.spark.sql.types.StringType, 42L).toInt,
+      n)
+
+  /** The bucket-routing Column a maintenance rewrite repartitions by
+    * — the DataFrame-expression twin of [[bucketOf]] /
+    * [[bucketOfString]], defined ONCE so a procedure can never route
+    * differently than the writer it feeds (split-brain routing =
+    * rows silently landing in files whose name-token disagrees with
+    * every reader's recomputation). Long keys: `pmod(key, n)` with
+    * null → 0; string keys: `pmod(hash(key), n)` — Spark's own
+    * `hash()` IS the string spec — with an explicit null guard
+    * (hash(NULL) is the seed, not NULL, so coalesce alone would
+    * misroute null keys).
+    */
+  def bucketExprFor(
+      keyCol: org.apache.spark.sql.Column,
+      dtype: DataType, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, hash, lit, pmod, when}
+    dtype match {
+      case LongType => coalesce(pmod(keyCol, lit(n.toLong)), lit(0L))
+      case org.apache.spark.sql.types.StringType =>
+        when(keyCol.isNull, lit(0)).otherwise(pmod(hash(keyCol), lit(n)))
+      case other => throw new IllegalArgumentException(
+        s"no bucket routing for key type $other")
+    }
+  }
+
   def writeMeta(dir: String, meta: KvMeta): Unit = {
     require(!meta.isEmpty, "refusing to write an empty table meta")
     val fields =
@@ -416,9 +458,13 @@ class KvBucketUnbound extends UnboundFunction {
     require(
       inputType.length == 2 &&
         inputType(0).dataType == IntegerType &&
-        inputType(1).dataType == LongType,
-      s"bucket expects (INT n, BIGINT key); got ${inputType.catalogString}")
-    new KvBucketBound
+        (inputType(1).dataType == LongType ||
+          inputType(1).dataType ==
+            org.apache.spark.sql.types.StringType),
+      "bucket expects (INT n, BIGINT key) or (INT n, STRING key); " +
+        s"got ${inputType.catalogString}")
+    if (inputType(1).dataType == LongType) new KvBucketBound
+    else new KvBucketBoundStr
   }
 }
 
@@ -436,6 +482,30 @@ class KvBucketBound extends ScalarFunction[Integer] {
     val key: java.lang.Long =
       if (input.isNullAt(1)) null else Long.box(input.getLong(1))
     Int.box(KvBucketing.bucketOf(key, n))
+  }
+}
+
+/** The STRING-key binding of the same `bucket` transform —
+  * [[KvBucketing.bucketOfString]] (Spark's `hash()` mod n). One
+  * canonical name for the whole transform family, like Iceberg's
+  * bucket: partitioning compatibility between two scans already
+  * requires their join keys to agree in TYPE, so a long-keyed and a
+  * string-keyed claim can never be conflated by name alone.
+  */
+class KvBucketBoundStr extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] =
+    Array(IntegerType, org.apache.spark.sql.types.StringType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.kv.bucket"
+  override def isResultNullable: Boolean = false
+  override def isDeterministic: Boolean = true
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val key: org.apache.spark.unsafe.types.UTF8String =
+      if (input.isNullAt(1)) null else input.getUTF8String(1)
+    Int.box(KvBucketing.bucketOfString(key, n))
   }
 }
 

@@ -170,10 +170,17 @@ class KvScanBuilder(
           agg.groupByExpressions().isEmpty &&
           agg.aggregateExpressions().nonEmpty)) None
       else {
+        // MIN/MAX over a STRING key must decline OUTRIGHT (not via
+        // the keysKnown check below, which an EMPTY table vacuously
+        // passes): AggMinKey's result schema is LongType, and serving
+        // it under a STRING column would corrupt the exchange.
+        val keyLong = KvSchema.keyType(cols) == LongType
         val compiled = agg.aggregateExpressions().toSeq.map {
           case _: CountStar => Some(KvAggScan.AggCount)
-          case m: Min if isKey(m.column()) => Some(KvAggScan.AggMinKey)
-          case m: Max if isKey(m.column()) => Some(KvAggScan.AggMaxKey)
+          case m: Min if isKey(m.column()) =>
+            if (keyLong) Some(KvAggScan.AggMinKey) else None
+          case m: Max if isKey(m.column()) =>
+            if (keyLong) Some(KvAggScan.AggMaxKey) else None
           case m: Min => colOf(m.column()).map(KvAggScan.AggMinCol)
           case m: Max => colOf(m.column()).map(KvAggScan.AggMaxCol)
           case _ => None
@@ -382,28 +389,60 @@ object KvKeyPredicate {
     case GreaterThanOrEqual(a, _: java.lang.Long) => a == kn
     case LessThan(a, _: java.lang.Long) => a == kn
     case LessThanOrEqual(a, _: java.lang.Long) => a == kn
+    // string-keyed tables: Catalyst types the literal by the column,
+    // so a String-valued key comparison can only arise over a STRING
+    // key — the value class IS the key-type dispatch
+    case EqualTo(a, _: String) => a == kn
+    case GreaterThan(a, _: String) => a == kn
+    case GreaterThanOrEqual(a, _: String) => a == kn
+    case LessThan(a, _: String) => a == kn
+    case LessThanOrEqual(a, _: String) => a == kn
     case IsNotNull(a) => a == kn
     case _ => false
   }
 
-  /** Conjunction of all supported filters over the parsed key (None
-    * = null key): comparisons are null-rejecting like SQL. Callers
-    * pre-filter with [[supports]], so attribute names need no
-    * re-check here — every supported shape over the key column
-    * evaluates, anything else passes through (Spark re-applies).
+  /** String comparisons must match SPARK's string order — UTF8String
+    * binary (code-point) order, which java.lang.String.compareTo
+    * (UTF-16 code-unit order) disagrees with for [U+E000, U+FFFF] vs
+    * supplementary-plane characters. A reader-side skip that used the
+    * wrong order would silently drop matching rows.
     */
-  def eval(filters: Array[Filter], key: Option[Long]): Boolean =
+  private def cmpStr(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Conjunction of all supported filters over the parsed key (None
+    * = null key; Long or String per the table's key type):
+    * comparisons are null-rejecting like SQL. Callers pre-filter with
+    * [[supports]], so attribute names need no re-check here — every
+    * supported shape over the key column evaluates, anything else
+    * passes through (Spark re-applies). A type mismatch between the
+    * parsed key and the literal (impossible outside file corruption —
+    * the id→type binding is immutable) never skips.
+    */
+  def eval(filters: Array[Filter], key: Option[Any]): Boolean =
     filters.forall {
       case IsNotNull(_) => key.isDefined
-      case EqualTo(_, v: java.lang.Long) => key.contains(v.longValue)
+      case EqualTo(_, v: java.lang.Long) =>
+        key.exists { case l: Long => l == v.longValue; case _ => true }
       case GreaterThan(_, v: java.lang.Long) =>
-        key.exists(_ > v.longValue)
+        key.exists { case l: Long => l > v.longValue; case _ => true }
       case GreaterThanOrEqual(_, v: java.lang.Long) =>
-        key.exists(_ >= v.longValue)
+        key.exists { case l: Long => l >= v.longValue; case _ => true }
       case LessThan(_, v: java.lang.Long) =>
-        key.exists(_ < v.longValue)
+        key.exists { case l: Long => l < v.longValue; case _ => true }
       case LessThanOrEqual(_, v: java.lang.Long) =>
-        key.exists(_ <= v.longValue)
+        key.exists { case l: Long => l <= v.longValue; case _ => true }
+      case EqualTo(_, v: String) =>
+        key.exists { case s: String => s == v; case _ => true }
+      case GreaterThan(_, v: String) =>
+        key.exists { case s: String => cmpStr(s, v) > 0; case _ => true }
+      case GreaterThanOrEqual(_, v: String) =>
+        key.exists { case s: String => cmpStr(s, v) >= 0; case _ => true }
+      case LessThan(_, v: String) =>
+        key.exists { case s: String => cmpStr(s, v) < 0; case _ => true }
+      case LessThanOrEqual(_, v: String) =>
+        key.exists { case s: String => cmpStr(s, v) <= 0; case _ => true }
       case _ => true
     }
 
@@ -1281,7 +1320,12 @@ class KvPartitionReader(
           if (keyPushed.nonEmpty && !KvKeyPredicate.eval(keyPushed, k)) {
             KvKeyPredicate.skipped.incrementAndGet()
             next()
-          } else if (runtimeKeys.exists(ks => !k.exists(ks.contains))) {
+          } else if (runtimeKeys.exists(ks => !k.exists {
+              // runtime key sets are compiled from LONG literals only
+              // (KvRuntimePredicate); a non-long key never skips
+              case l: Long => ks.contains(l)
+              case _ => true
+            })) {
             // Runtime join-key set: a row whose key is outside it can
             // never match the join (null keys included — IN(null) is
             // never true), so skipping preserves the result.
@@ -1311,10 +1355,16 @@ class KvPartitionReader(
       })
 
   private def materializeParsed(
-      parsed: (Option[Long], Option[String], Map[String, Any])): Unit = {
+      parsed: (Option[Any], Option[String], Map[String, Any])): Unit = {
     val (k, v, extras) = parsed
     row = InternalRow.fromSeq(srcs.toSeq.map {
-      case SrcKey => k.map(Long.box).orNull
+      case SrcKey => k match {
+        case None => null
+        case Some(l: Long) => Long.box(l)
+        case Some(s: String) => UTF8String.fromString(s)
+        case Some(other) => throw new IllegalStateException(
+          s"kvjsonl key token of unexpected class ${other.getClass}")
+      }
       case SrcValue => v.map(UTF8String.fromString).orNull
       case SrcFile => fileUtf8
       case SrcPos => Long.box(pos)
@@ -1841,20 +1891,24 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
             s"got ${other.mkString(", ")}")
       }
     // Schema rules (KvSchema.scala has the storage model): the first
-    // column is ALWAYS the BIGINT key column — bucketing,
-    // predicate/aggregate pushdown, zone maps and the MoR row
-    // addressing build on the ROLE (field id 1); its display NAME is
-    // the user's (`key`, `o_orderkey`, `user_id`, …), fixed for the
-    // table's life, while its storage token stays the literal `key`.
-    // Every column's type must be one the line format encodes. The
-    // founding (key, value) pair stays registry-free and
-    // byte-identical to every pre-evolution table; anything wider —
-    // including a non-`key` key name — births a column registry with
-    // stable field ids.
+    // column is ALWAYS the key column — bucketing, predicate/
+    // aggregate pushdown, zone maps and the MoR row addressing build
+    // on the ROLE (field id 1); its display NAME is the user's
+    // (`key`, `o_orderkey`, `user_id`, …), fixed for the table's
+    // life, while its storage token stays the literal `key`. The key
+    // TYPE is BIGINT (the founding type — full range machinery) or
+    // STRING (`doc_id`, `url`, content hashes — hash bucketing + SPJ
+    // + bloom point lookups + DML/CDC; range machinery declined, see
+    // KvSchema.keyType). Every column's type must be one the line
+    // format encodes. The founding (key BIGINT, value STRING) pair
+    // stays registry-free and byte-identical to every pre-evolution
+    // table; anything wider — a non-`key` key name, a STRING key —
+    // births a column registry with stable field ids.
     require(
-      schema.nonEmpty && schema(0).dataType == LongType,
-      "kvjsonl tables require a BIGINT key as their first column; " +
-        s"got ${schema.catalogString}")
+      schema.nonEmpty && (schema(0).dataType == LongType ||
+        schema(0).dataType == StringType),
+      "kvjsonl tables require a BIGINT or STRING key as their first " +
+        s"column; got ${schema.catalogString}")
     schema.fields.foreach { f =>
       require(KvSchema.isSupported(f.dataType),
         s"kvjsonl column ${f.name} has unsupported type " +
@@ -1950,6 +2004,11 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
       "TBLPROPERTIES ('write.sort'='key') composes with plain and " +
         "bucketed tables only — a date-partitioned layout owns its " +
         "placement")
+    require(!sorted || schema.fields(0).dataType == LongType,
+      "TBLPROPERTIES ('write.sort') needs a BIGINT key: the sorted " +
+        "layout's payoff is key zone maps and sort-elided merge " +
+        "joins, and STRING keys record no zone maps (their point " +
+        "lookups ride bloom sidecars and hash buckets instead)")
     // Per-file bloom filter columns: TBLPROPERTIES
     // ('bloom_cols'='value,user') — resolved to FIELD IDS (rename-
     // proof) and validated to the point-lookup types (STRING /
@@ -2735,9 +2794,10 @@ object KvExpireProcedure {
   * TABLE and ALTER ... SET): resolves a comma list of column names to
   * FIELD IDS (rename-proof) and enforces the point-lookup types —
   * every equality-testable scalar (STRING / BIGINT / TIMESTAMP /
-  * DATE / DOUBLE), never the key (its manifest zone maps already
-  * skip point lookups) and never arrays (no point lookups to serve).
-  * See KvBloom.scala.
+  * DATE / DOUBLE), never a BIGINT key (its manifest zone maps
+  * already skip point lookups — a STRING key qualifies, blooms being
+  * its only file-skip machinery) and never arrays (no point lookups
+  * to serve). See KvBloom.scala.
   */
 object KvCatalog {
   private[sources] def resolveBloomCols(
@@ -2746,8 +2806,13 @@ object KvCatalog {
       val c = cols.find(_.name.equalsIgnoreCase(cn)).getOrElse(
         throw new IllegalArgumentException(
           s"bloom_cols column $cn is not a column of $what"))
-      require(c.id > 1, "bloom_cols cannot include the key " +
-        "column — its manifest zone maps already skip point lookups")
+      // a BIGINT key's manifest zone maps already skip point lookups;
+      // a STRING key has no zone maps, so its bloom sidecar is
+      // exactly what carries `WHERE doc_id = '...'` at 100 TB
+      require(c.id > 1 ||
+        c.dtype == org.apache.spark.sql.types.StringType,
+        "bloom_cols cannot include a BIGINT key " +
+          "column — its manifest zone maps already skip point lookups")
       require(
         c.dtype == org.apache.spark.sql.types.StringType ||
           c.dtype == LongType ||

@@ -292,7 +292,13 @@ class KvChangesReader(
             case "_change_type" => typeUtf8
             case "_commit_version" => Int.box(p.version)
             case f => colByName.get(f) match {
-              case Some(c) if c.id == 1 => k.map(Long.box).orNull
+              case Some(c) if c.id == 1 => k match {
+                case None => null
+                case Some(l: Long) => Long.box(l)
+                case Some(s: String) => UTF8String.fromString(s)
+                case Some(other) => throw new IllegalStateException(
+                  s"kvjsonl key token of unexpected class ${other.getClass}")
+              }
               case Some(c) if c.id == 2 =>
                 v.map(UTF8String.fromString).orNull
               case Some(c) => extras.get(c.storageName) match {

@@ -111,22 +111,73 @@ object KvJsonlSink {
     s"""{"key":$key,"value":$value}"""
   }
 
+  /** Decode a quoted-escaped string token: `start` points AT the
+    * opening quote; returns (decoded, index just past the closing
+    * quote). The exact inverse of [[escape]] — one escape dialect
+    * format-wide. Bounds-checked so a truncated line fails with the
+    * contractual IllegalArgumentException, never an index error.
+    */
+  def unquoteAt(line: String, start: Int): (String, Int) = {
+    require(start < line.length && line.charAt(start) == '"',
+      s"bad kvjsonl line: $line")
+    var i = start + 1
+    val b = new StringBuilder
+    while (i < line.length && line.charAt(i) != '"') {
+      val c = line.charAt(i)
+      if (c == '\\') {
+        require(i + 1 < line.length, s"bad kvjsonl line: $line")
+        line.charAt(i + 1) match {
+          case '"' => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' =>
+            require(i + 6 <= line.length, s"bad kvjsonl line: $line")
+            b.append(Integer.parseInt(
+              line.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => throw new IllegalArgumentException(
+            s"bad escape \\$other in kvjsonl line: $line")
+        }
+      } else { b.append(c); i += 1 }
+    }
+    require(i < line.length, s"bad kvjsonl line: $line")
+    (b.toString, i + 1)
+  }
+
+  /** Parse the key token of a sink line: (key, index of the char
+    * right after the token — always the `,` before the value field).
+    * The token is SELF-DESCRIBING: `null` → None, a leading quote →
+    * a STRING key (string-keyed tables — KvSchema.keyType), anything
+    * else → the founding bare long. One parse for both key types, so
+    * every reader path (scan, CDC, change feed) handles string-keyed
+    * tables with no type flag threaded through.
+    */
+  def parseKeyTok(line: String): (Option[Any], Int) = {
+    require(line.startsWith("{\"key\":"), s"bad kvjsonl line: $line")
+    if (7 < line.length && line.charAt(7) == '"') {
+      val (s, after) = unquoteAt(line, 7)
+      (Some(s), after)
+    } else {
+      var i = 7
+      while (i < line.length && line.charAt(i) != ',') i += 1
+      val keyTok = line.substring(7, i)
+      (if (keyTok == "null") None else Some(keyTok.toLong), i)
+    }
+  }
+
   /** Key-only parse of a sink line — the cheap prefix read the
     * pushed-filter path uses to reject rows before [[parseLine]]
-    * pays for the value unescape.
+    * pays for the value unescape. Long or String per the table's key
+    * type ([[parseKeyTok]]).
     */
-  def parseKey(line: String): Option[Long] = {
-    require(line.startsWith("{\"key\":"), s"bad kvjsonl line: $line")
-    var i = 7
-    val keyStart = i
-    while (line.charAt(i) != ',') i += 1
-    val keyTok = line.substring(keyStart, i)
-    if (keyTok == "null") None else Some(keyTok.toLong)
-  }
+  def parseKey(line: String): Option[Any] = parseKeyTok(line)._1
 
   /** Exact inverse of the writer's line format (see
     * [[KvJsonlDataWriter.write]]): `{"key":K,"value":V}` with K a
-    * long or `null` and V `null` or a double-quoted [[escape]]d
+    * long, a quoted [[escape]]d string (string-keyed tables) or
+    * `null`, and V `null` or a double-quoted [[escape]]d
     * string. Strict by design — these files are only ever written by
     * this sink, so a malformed line is corruption, not dialect. A
     * SCHEMA-EVOLVED line (KvSchema.formatRow) keeps this exact prefix
@@ -135,13 +186,9 @@ object KvJsonlSink {
     * (key, value) projection — the $changes table, the change feed,
     * the fast scan path — reads evolved files unchanged.
     */
-  def parseLine(line: String): (Option[Long], Option[String]) = {
-    require(line.startsWith("{\"key\":"), s"bad kvjsonl line: $line")
-    var i = 7
-    val keyStart = i
-    while (line.charAt(i) != ',') i += 1
-    val keyTok = line.substring(keyStart, i)
-    val key = if (keyTok == "null") None else Some(keyTok.toLong)
+  def parseLine(line: String): (Option[Any], Option[String]) = {
+    val (key, keyEnd) = parseKeyTok(line)
+    var i = keyEnd
     require(line.startsWith(",\"value\":", i),
       s"bad kvjsonl line: $line")
     i += 9
@@ -613,7 +660,14 @@ case class KvWrittenFile(
     tempFile: String, finalName: String, rows: Long,
     minKey: Option[Long], maxKey: Option[Long],
     colStats: Map[Int, Option[(String, String)]] = Map.empty,
-    blooms: Map[Int, KvBloom.Bloom] = Map.empty)
+    blooms: Map[Int, KvBloom.Bloom] = Map.empty,
+    /** False for STRING-keyed tables: their key has no long zone map,
+      * and the manifest must record the distinction EXPLICITLY —
+      * minKey=None with keysKnown=true means "provably no non-null
+      * keys" and licenses zone-map skipping under IsNotNull(key),
+      * which would silently drop every row of a string-keyed file.
+      */
+    keyStatsKnown: Boolean = true)
 
 /** Per-file stat accumulation shared by the plain and bucketed
   * writers — ONE definition of what the manifest records. Beyond the
@@ -636,6 +690,12 @@ final class KvKeyStats(
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
   private var hasKeys = false
+  /** STRING-keyed tables track no key zone map (no safe token format
+    * for string bounds in the unescaped manifest; blooms and hash
+    * buckets carry their point lookups instead) — the written file
+    * says so explicitly (KvWrittenFile.keyStatsKnown).
+    */
+  private val keyIsLong = KvSchema.keyType(cols) == LongType
 
   private final class Track(
       val id: Int, val ord: Int, val isDouble: Boolean,
@@ -669,7 +729,13 @@ final class KvKeyStats(
       : Array[(Int, Int, org.apache.spark.sql.types.DataType,
         KvBloom.Builder)] =
     cols.iterator.zipWithIndex.collect {
-      case (c, i) if c.id > 1 && bloomIds.contains(c.id) &&
+      // the key column (id 1) qualifies only when STRING: a string
+      // key has no zone map, so the bloom sidecar is what carries its
+      // point lookups; a long key's zone maps already skip on
+      // sorted/clustered data and stay bloom-free
+      case (c, i) if (c.id > 1 ||
+            (c.id == 1 && c.dtype == StringType)) &&
+          bloomIds.contains(c.id) &&
           (c.dtype == StringType || c.dtype == LongType ||
             c.dtype == TimestampType || c.dtype == DateType ||
             c.dtype == DoubleType) =>
@@ -678,7 +744,7 @@ final class KvKeyStats(
 
   def update(row: InternalRow): Unit = {
     rows += 1
-    if (!row.isNullAt(0)) {
+    if (keyIsLong && !row.isNullAt(0)) {
       val k = row.getLong(0)
       if (k < minKey) minKey = k
       if (k > maxKey) maxKey = k
@@ -726,6 +792,7 @@ final class KvKeyStats(
     KvWrittenFile(tempFile, finalName, rows,
       if (hasKeys) Some(minKey) else None,
       if (hasKeys) Some(maxKey) else None,
+      keyStatsKnown = keyIsLong,
       blooms = bloomTracked.iterator.flatMap { case (id, _, _, b) =>
         b.result().map(id -> _)
       }.toMap, // field-id keyed, unchanged across the type widening
@@ -858,7 +925,7 @@ class KvJsonlBatchWrite(
         kept ++ published.map(f =>
           KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey, f.maxKey,
             colStats = f.colStats,
-            keysKnown = true))
+            keysKnown = f.keyStatsKnown))
       }
       branch match {
         // Branch-targeted write (write-audit-publish): the commit
@@ -1031,10 +1098,22 @@ class KvJsonlBucketedDataWriter(
       tempBase.resolve(
         f"attempt-$jobId-$partitionId%05d-$taskId-b$b%04d")))
 
+  /** Bucket routing by the table's key TYPE — the same two specs the
+    * scan claims and the served V2 function evaluates
+    * (KvBucketing.bucketOf / bucketOfString), resolved once per task.
+    */
+  private val keyIsLong =
+    KvSchema.keyType(cols) == org.apache.spark.sql.types.LongType
+
   override def write(row: InternalRow): Unit = {
-    val key: java.lang.Long =
-      if (row.isNullAt(0)) null else Long.box(row.getLong(0))
-    val w = writerFor(KvBucketing.bucketOf(key, n))
+    val b =
+      if (keyIsLong)
+        KvBucketing.bucketOf(
+          if (row.isNullAt(0)) null else Long.box(row.getLong(0)), n)
+      else
+        KvBucketing.bucketOfString(
+          if (row.isNullAt(0)) null else row.getUTF8String(0), n)
+    val w = writerFor(b)
     w.out.write(
       if (evolved) KvSchema.formatRow(row, cols)
       else KvJsonlSink.formatLine(row))
@@ -1256,7 +1335,8 @@ class KvJsonlStreamingWrite(path: String, queryId: String = "")
               else KvSnapshots.membersWithStats(path, base)
             prev ++ data.map(f =>
               KvSnapshots.KvFileStat(f.finalName, f.rows, f.minKey,
-                f.maxKey, keysKnown = true, colStats = f.colStats))
+                f.maxKey, keysKnown = f.keyStatsKnown,
+                colStats = f.colStats))
           }
           ()
         }

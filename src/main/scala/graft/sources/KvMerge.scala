@@ -148,7 +148,8 @@ class KvMorDeltaBatchWrite(
     val added = messages.toSeq.flatMap {
       case KvDeltaCommitMessage(data, del) =>
         data.map(f => KvSnapshots.KvFileStat(
-          f.finalName, f.rows, f.minKey, f.maxKey, keysKnown = true,
+          f.finalName, f.rows, f.minKey, f.maxKey,
+          keysKnown = f.keyStatsKnown,
           colStats = f.colStats)) ++
           del.map(f => KvSnapshots.KvFileStat(
             f.finalName, f.rows, None, None, keysKnown = false))

@@ -115,6 +115,13 @@ class KvClusterProcedure(cat: KvCatalog)
             "temporally partitioned table's layout contract is its " +
             "unit routing; clustering by key would multiply files per " +
             "unit without improving partition pruning)")
+        require(
+          KvSchema.keyType(KvSchema.currentCols(dir.toString)) ==
+            org.apache.spark.sql.types.LongType,
+          "system.cluster needs a BIGINT key: clustering exists to " +
+            "tighten key zone maps, and STRING keys record none " +
+            "(their point lookups ride bloom sidecars and hash " +
+            "buckets instead)")
 
         def dataFileCount: Long =
           KvSnapshots.latest(dir.toString).map { v =>
@@ -1038,8 +1045,8 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
         // the layout the ordering report needs. The writer's routing
         // remains the correctness backstop either way.
         val keyName = KvSchema.keyNameOf(dir.toString)
-        val bucketExpr =
-          coalesce(pmod(col(keyName), lit(n.toLong)), lit(0L))
+        val bucketExpr = KvBucketing.bucketExprFor(col(keyName),
+          KvSchema.keyType(KvSchema.currentCols(dir.toString)), n)
         val src = spark.read
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)
@@ -1210,8 +1217,8 @@ class KvRebucketProcedure(cat: KvCatalog)
         // KvMergingBucketReader — so sorted layouts keep their claim
         // either way).
         val keyName = KvSchema.keyNameOf(dir.toString)
-        val bucketExpr =
-          coalesce(pmod(col(keyName), lit(newN.toLong)), lit(0L))
+        val bucketExpr = KvBucketing.bucketExprFor(col(keyName),
+          KvSchema.keyType(KvSchema.currentCols(dir.toString)), newN)
         val src = spark.read
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)

@@ -98,6 +98,22 @@ object KvSchema {
   /** [[keyName]] resolved from a table directory's registry. */
   def keyNameOf(dir: String): String = keyName(currentCols(dir))
 
+  /** Type of the key column (field id 1): BIGINT (the founding type)
+    * or STRING — chosen at CREATE, immutable afterwards like every
+    * id→type binding. A STRING key (`doc_id`, `url`, a content hash)
+    * keeps hash bucketing, storage-partitioned joins, bloom point
+    * lookups, DML and CDC; the RANGE machinery (key zone maps,
+    * MIN/MAX(key) pushdown, 'write.sort', z-order, cluster) stays
+    * BIGINT-only by design — string identifiers are equality assets,
+    * not range assets, and the manifest's unescaped token format
+    * cannot hold arbitrary string bounds safely.
+    */
+  def keyType(cols: Seq[Col]): DataType =
+    cols.find(_.id == 1).map(_.dtype).getOrElse(LongType)
+
+  def keyIsString(cols: Seq[Col]): Boolean =
+    keyType(cols) == StringType
+
   /** Names no user column may take: the scan's metadata columns and
     * the `$changes` CDC table's bookkeeping columns (a user column
     * with one of these names would shadow them in projections).
@@ -370,6 +386,14 @@ object KvSchema {
     val b = new StringBuilder(64)
     b.append("{\"key\":")
     if (row.isNullAt(0)) b.append("null")
+    // string keys use the same quoted-escape dialect as every other
+    // string field; the token is self-describing (leading quote), so
+    // readers need no type flag to parse it
+    else if (cols.headOption.exists(c => c.id == 1 &&
+        c.dtype == StringType))
+      b.append('"')
+        .append(KvJsonlSink.escape(row.getUTF8String(0).toString))
+        .append('"')
     else b.append(row.getLong(0))
     // id-2 slot: present in the line even when dropped from the schema
     val valueIdx = cols.indexWhere(_.id == 2)
@@ -440,13 +464,9 @@ object KvSchema {
     * back with the shared empty map.
     */
   def parseRow(line: String)
-      : (Option[Long], Option[String], Map[String, Any]) = {
-    require(line.startsWith("{\"key\":"), s"bad kvjsonl line: $line")
-    var i = 7
-    val keyStart = i
-    while (line.charAt(i) != ',') i += 1
-    val keyTok = line.substring(keyStart, i)
-    val key = if (keyTok == "null") None else Some(keyTok.toLong)
+      : (Option[Any], Option[String], Map[String, Any]) = {
+    val (key, keyEnd) = KvJsonlSink.parseKeyTok(line)
+    var i = keyEnd
     require(line.startsWith(",\"value\":", i),
       s"bad kvjsonl line: $line")
     i += 9

@@ -102,10 +102,14 @@ object KvSnapshots {
     * file has no non-null keys), distinct from a 2-field line, which
     * means the stats are UNKNOWN (a migrated pre-snapshot file). The
     * distinction is load-bearing: known-keyless files may be zone-map
-    * skipped under key predicates; unknown files never may. An
-    * optional FIFTH field carries the per-column zone maps:
-    * `id:min:max` / `id:-` (known all-null) pairs joined by `,`,
-    * sorted by id — absent pairs (and the absent field) mean unknown.
+    * skipped under key predicates; unknown files never may. A
+    * STRING-keyed table's files write `s` in both bound fields —
+    * key stats NOT APPLICABLE (no safe token format for string
+    * bounds), parsed as keysKnown=false so no key predicate ever
+    * zone-skips them — which keeps the FIFTH field available: the
+    * optional per-column zone maps, `id:min:max` / `id:-` (known
+    * all-null) pairs joined by `,`, sorted by id — absent pairs (and
+    * the absent field) mean unknown.
     */
   def membersWithStats(
       path: String, version: Int): Seq[KvFileStat] =
@@ -129,7 +133,7 @@ object KvSnapshots {
       s"no snapshot v$version of $what (versions: " +
         s"${versionsIn(d).mkString(", ")})")
     def bound(s: String): Option[Long] =
-      if (s == "-") None else Some(s.toLong)
+      if (s == "-" || s == "s") None else Some(s.toLong)
     Files.readAllLines(m, java.nio.charset.StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty)
       // header lines (the `#maintenance` flag) are commit metadata,
@@ -143,10 +147,11 @@ object KvSnapshots {
             KvFileStat(name, n.toLong, None, None, keysKnown = false)
           case Array(name, n, mn, mx) =>
             KvFileStat(name, n.toLong, bound(mn), bound(mx),
-              keysKnown = true)
+              keysKnown = mn != "s")
           case Array(name, n, mn, mx, cs) =>
             KvFileStat(name, n.toLong, bound(mn), bound(mx),
-              keysKnown = true, colStats = decodeColStats(cs, what))
+              keysKnown = mn != "s",
+              colStats = decodeColStats(cs, what))
           case _ => throw new IllegalArgumentException(
             s"corrupt manifest line in v$version of $what: $line")
         }
@@ -338,7 +343,14 @@ object KvSnapshots {
             s"\t${st.minKey.getOrElse("-")}\t${st.maxKey.getOrElse("-")}"
           if (st.colStats.isEmpty) base
           else base + "\t" + encodeColStats(st.colStats)
-        } else s"${st.name}\t${st.rows}"
+        } else if (st.colStats.nonEmpty)
+          // key stats unknown BUT per-column stats present (a
+          // STRING-keyed table's files): the `s` key-stat marker
+          // keeps the column zone maps without ever licensing a key
+          // skip — distinct from `-`, which means "provably no
+          // non-null keys" and does license one
+          s"${st.name}\t${st.rows}\ts\ts\t" + encodeColStats(st.colStats)
+        else s"${st.name}\t${st.rows}"
       }
       .mkString("\n")
     (if (maintenance) MaintenanceHeader + "\n" + body else body)

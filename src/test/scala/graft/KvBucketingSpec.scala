@@ -64,7 +64,8 @@ class KvBucketingSpec extends SparkTestBase {
       assert(b.isDefined, s"unbucketed file $f in bucketed table")
       for (line <- Files.readAllLines(Paths.get(dir, f)).asScala) {
         val k = KvJsonlSink.parseKey(line)
-        assert(KvBucketing.bucketOf(k.map(Long.box).orNull, 4) === b.get,
+        assert(KvBucketing.bucketOf(
+          k.map(x => Long.box(x.asInstanceOf[Long])).orNull, 4) === b.get,
           s"row with key $k landed in bucket file $f")
       }
     }

@@ -102,10 +102,12 @@ class KvNamedKeySpec extends SparkTestBase {
       spark.sql(s"CREATE TABLE $t (user_id BIGINT, other BIGINT) " +
         "TBLPROPERTIES ('write.sort'='other')"))
     assert(e2.getMessage.contains("write.sort"))
-    // a non-BIGINT first column has no key to build on
+    // a first column outside the key types (BIGINT — full range
+    // machinery — or STRING — hash/equality machinery, see
+    // KvStringKeySpec) has no key to build on
     val e3 = intercept[Exception](
-      spark.sql(s"CREATE TABLE $t (name STRING, user_id BIGINT)"))
-    assert(e3.getMessage.contains("BIGINT key"))
+      spark.sql(s"CREATE TABLE $t (score DOUBLE, user_id BIGINT)"))
+    assert(e3.getMessage.contains("BIGINT or STRING key"))
     spark.sql(s"CREATE TABLE $t (user_id BIGINT, v STRING) " +
       "TBLPROPERTIES ('snapshots'='true')")
     // the key column cannot be renamed under ANY name — the role is

@@ -59,7 +59,8 @@ class KvRewriteBucketsSpec extends SparkTestBase {
     KvSnapshots.dataFiles(
       KvSnapshots.membersWithStats(dir.toString, latest)).foreach { st =>
       val keys = Files.readAllLines(dir.resolve(st.name)).asScala
-        .filter(_.nonEmpty).map(l => KvJsonlSink.parseKey(l).get)
+        .filter(_.nonEmpty)
+        .map(l => KvJsonlSink.parseKey(l).get.asInstanceOf[Long])
       assert(keys == keys.sorted, s"${st.name} not sorted")
       val b = KvBucketing.fileBucket(st.name).get
       assert(keys.forall(k => java.lang.Math.floorMod(k, 4L) == b))

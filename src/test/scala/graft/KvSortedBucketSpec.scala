@@ -60,7 +60,7 @@ class KvSortedBucketSpec extends SparkTestBase {
     files.foreach { f =>
       val keys = Files.readAllLines(dir.resolve(f)).asScala
         .filter(_.nonEmpty)
-        .map(l => KvJsonlSink.parseKey(l).get)
+        .map(l => KvJsonlSink.parseKey(l).get.asInstanceOf[Long])
       assert(keys == keys.sorted, s"$f is not key-ascending")
       val b = KvBucketing.fileBucket(f).get
       assert(keys.forall(k => java.lang.Math.floorMod(k, 4L) == b))
@@ -188,7 +188,7 @@ class KvSortedBucketSpec extends SparkTestBase {
       .foreach { st =>
         val keys = Files.readAllLines(dir.resolve(st.name)).asScala
           .filter(_.nonEmpty)
-          .map(l => KvJsonlSink.parseKey(l).get)
+          .map(l => KvJsonlSink.parseKey(l).get.asInstanceOf[Long])
         assert(keys == keys.sorted,
           s"${st.name} lost key order in the DML rewrite")
       }

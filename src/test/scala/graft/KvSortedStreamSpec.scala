@@ -61,7 +61,8 @@ class KvSortedStreamSpec extends SparkTestBase {
     assert(data.nonEmpty)
     data.foreach { st =>
       val keys = Files.readAllLines(dir.resolve(st.name)).asScala
-        .filter(_.nonEmpty).map(l => KvJsonlSink.parseKey(l).get)
+        .filter(_.nonEmpty)
+        .map(l => KvJsonlSink.parseKey(l).get.asInstanceOf[Long])
       assert(keys == keys.sorted,
         s"streamed file ${st.name} is NOT key-ascending — the " +
           "ordering report premise is broken for streaming writes")
