@@ -816,6 +816,53 @@ object SourceQueries {
            |FROM $t GROUP BY value ORDER BY value""".stripMargin)
     }),
 
+    // RUNTIME JOIN-KEY FILTERING on a STRING key: a selective dim
+    // join materializes its doc_id keys at runtime and the
+    // string-keyed fact scan prunes WHOLE BUCKETS by the key set's
+    // bucket image under floorMod(hash(key), n) — a 3-key set covers
+    // at most 3 of 8 buckets, so ≥5 buckets of fact files are never
+    // opened — then row-skips the opened files' non-matching keys.
+    // The string twin of catalog_runtime_filter: at 100 TB this is
+    // the dimension-driven fact pruning a doc_id-keyed curation join
+    // gets with NO static predicate on the fact side at all. Both
+    // prune counters require()d; rows pin against DuckDB running the
+    // same join on raw parquet.
+    "catalog_string_runtime" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t = "graft_kv.default.srt_docs"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (doc_id STRING, value STRING) " +
+        "PARTITIONED BY (bucket(8, doc_id)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t SELECT concat('d-', doc_id), lang " +
+        s"FROM parquet.`$d/documents.parquet`")
+      // the dim's join key must be an ATTRIBUTE for the runtime
+      // filter to inject (a concat() in the join condition is not a
+      // pruning key) — materialize the string-keyed dim once, then
+      // filter it selectively at query time, the shape of a real
+      // doc_id dimension
+      val dimDir = graft.Fs.sinkDir("srt_dim")
+      s.sql(s"SELECT concat('d-', doc_id) AS k, doc_id AS raw_id " +
+        s"FROM parquet.`$d/documents.parquet`")
+        .write.mode("overwrite").parquet(dimDir)
+      graft.sources.KvRuntimeFilter.prunedFiles.set(0)
+      graft.sources.KvRuntimeFilter.rowSkips.set(0)
+      val df = s.sql(
+        s"""SELECT b.value AS lang, count(*) AS n_docs
+           |FROM $t b JOIN parquet.`$dimDir` o
+           |ON b.doc_id = o.k
+           |WHERE o.raw_id IN (7, 19, 42)
+           |GROUP BY b.value ORDER BY lang""".stripMargin)
+      val rows = df.collect()
+      require(graft.sources.KvRuntimeFilter.prunedFiles.get() > 0,
+        "catalog_string_runtime: no bucket files were pruned — the " +
+          "runtime string-key set never reached the kv scan")
+      require(graft.sources.KvRuntimeFilter.rowSkips.get() > 0,
+        "catalog_string_runtime: no reader row skips — the opened " +
+          "buckets never applied the string key set")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }),
+
     // RUNTIME BLOOM FILTERING — dynamic pruning for columns no layout
     // clusters by: the scan declares its bloom columns as runtime
     // filter attributes (SupportsRuntimeV2Filtering), so a selective
@@ -3727,6 +3774,13 @@ object SourceQueries {
         |FROM documents
         |WHERE concat('d-', doc_id) NOT LIKE 'd-1%'
         |GROUP BY 1 ORDER BY value""".stripMargin,
+    // The runtime-filtered join selects exactly the IN-list docs —
+    // the key-type change routes the pruning, never the rows.
+    "catalog_string_runtime" ->
+      """SELECT b.lang AS lang, count(*) AS n_docs
+        |FROM documents b JOIN documents o ON b.doc_id = o.doc_id
+        |WHERE o.doc_id IN (7, 19, 42)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     "catalog_bucketed_agg" ->
       """SELECT n_items, count(*) AS n_keys,
         |       CAST(sum(sum_keys) AS BIGINT) AS sum_keys

@@ -150,6 +150,22 @@ object KvBucketing {
         .hash(key, org.apache.spark.sql.types.StringType, 42L).toInt,
       n)
 
+  /** Bucket routing dispatched on the key's runtime class — for
+    * call sites holding parsed keys or materialized join-key
+    * literals whose static type is Any (runtime filter sets, parsed
+    * line tokens). Long and String are the only key classes the
+    * format produces; anything else is a caller bug worth failing
+    * loudly on.
+    */
+  def bucketOfAny(key: Any, n: Int): Int = key match {
+    case null => 0
+    case l: Long => bucketOf(l, n)
+    case s: String => bucketOfString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+    case other => throw new IllegalArgumentException(
+      s"no bucket routing for key class ${other.getClass}")
+  }
+
   /** The bucket-routing Column a maintenance rewrite repartitions by
     * — the DataFrame-expression twin of [[bucketOf]] /
     * [[bucketOfString]], defined ONCE so a procedure can never route

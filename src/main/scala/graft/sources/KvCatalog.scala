@@ -657,7 +657,10 @@ class KvScan(
     * partitions. Driver-side state — BatchScanExec calls filter()
     * then planInputPartitions() on this same Scan instance.
     */
-  private var runtimeKeys: Option[Set[Long]] = None
+  private val runtimeKeysCell =
+    new java.util.concurrent.atomic.AtomicReference[Option[Set[Any]]](
+      None)
+  private def runtimeKeys: Option[Set[Any]] = runtimeKeysCell.get()
 
   /** Empty (⇒ no runtime filtering) for a ROW-LEVEL-OPERATION scan:
     * Spark's runtime group filter would push the keys MATCHING the
@@ -709,7 +712,8 @@ class KvScan(
         org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = if (!forRowLevelOp) {
     val sets = predicates.flatMap(KvRuntimePredicate.keySet(_, keyName))
-    if (sets.nonEmpty) runtimeKeys = Some(sets.reduce(_ intersect _))
+    if (sets.nonEmpty)
+      runtimeKeysCell.set(Some(sets.reduce(_ intersect _)))
     // runtime predicates over BLOOM columns compile to extra sidecar
     // conjuncts — same evaluation as the static pushed ones
     val bloomIds = KvBucketing.readMetaFull(path).blooms
@@ -973,7 +977,7 @@ class KvScan(
             s"outside [0, $n) — mixed bucket generations; re-run " +
             "system.rebucket to repair")
         val keep: Option[Set[Int]] = runtimeKeys.map(
-          _.map(k => KvBucketing.bucketOf(k, n)))
+          _.map(k => KvBucketing.bucketOfAny(k, n)))
         (0 until n).map { i =>
           val all = byBucket.getOrElse(i, Array.empty[(String, Array[Long])])
           val files =
@@ -1027,7 +1031,7 @@ class KvScan(
     // predicate served file-level pruning only, and a row skip in an
     // OPENED file would drop survivors the rewrite must carry.
     new KvReaderFactory(required.fieldNames,
-      if (forRowLevelOp) Array.empty else pushed, runtimeKeys, cols,
+      if (forRowLevelOp) Array.empty else pushed, runtimeKeysCell, cols,
       mergeSortedBuckets = sortedLayout)
 
   /** Streaming read = the table's CHANGE FEED (KvChangeFeed.scala),
@@ -1061,28 +1065,39 @@ object KvRuntimePredicate {
     case _ => false
   }
 
-  private def longLit(e: Expression): Option[Long] = e match {
+  /** A materialized join-key literal: Long for BIGINT keys, String
+    * for STRING keys (V2 string literals carry UTF8String values —
+    * decoded once here, so set membership downstream compares
+    * java.lang.String against the parser's String keys). A NULL
+    * literal (Option(l.value) empty) or any other type → None, and
+    * the whole predicate is ignored — the only safe failure mode for
+    * a pure optimization is "no pruning".
+    */
+  private def keyLit(e: Expression): Option[Any] = e match {
     case l: Literal[_] if l.dataType == LongType =>
       Option(l.value).map(_.asInstanceOf[java.lang.Long].longValue)
+    case l: Literal[_] if l.dataType == StringType =>
+      Option(l.value).map(_.toString)
     case _ => None
   }
 
   /** `kn` is the table's current key-column name (the key is a role
-    * — field id 1 — not a literal name).
+    * — field id 1 — not a literal name). Elements are Long or String
+    * per the key column's type (never mixed — one column, one type).
     */
-  def keySet(p: Predicate, kn: String): Option[Set[Long]] =
+  def keySet(p: Predicate, kn: String): Option[Set[Any]] =
     p.name() match {
       case "IN" =>
         val cs = p.children()
         if (cs.length >= 2 && isKey(cs.head, kn)) {
-          val vals = cs.tail.map(longLit)
+          val vals = cs.tail.map(keyLit)
           if (vals.forall(_.isDefined)) Some(vals.flatten.toSet)
           else None
         } else None
       case "=" =>
         p.children() match {
-          case Array(k, v) if isKey(k, kn) => longLit(v).map(Set(_))
-          case Array(v, k) if isKey(k, kn) => longLit(v).map(Set(_))
+          case Array(k, v) if isKey(k, kn) => keyLit(v).map(Set(_))
+          case Array(v, k) if isKey(k, kn) => keyLit(v).map(Set(_))
           case _ => None
         }
       case _ => None
@@ -1109,10 +1124,22 @@ case class KvBucketPartition(
 class KvReaderFactory(
     fields: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    runtimeKeys: Option[Set[Long]] = None,
+    /** Shared with the owning scan through a mutable CELL, not a
+      * value: Spark materializes the reader factory during PLANNING
+      * (the supportsColumnar probe), which is BEFORE runtime
+      * filtering hands the scan its join-key set via filter(). A
+      * value snapshot taken then is always None — the reader-side
+      * runtime key skip would be dead code. The cell is read at
+      * task-serialization time (driver, after filter()), so the
+      * serialized factory carries the final set to executors.
+      */
+    runtimeKeysCell: java.util.concurrent.atomic.AtomicReference[
+      Option[Set[Any]]] =
+      new java.util.concurrent.atomic.AtomicReference(None),
     cols: Seq[KvSchema.Col] = KvSchema.Legacy,
     mergeSortedBuckets: Boolean = false)
     extends PartitionReaderFactory {
+  private def runtimeKeys: Option[Set[Any]] = runtimeKeysCell.get()
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -1211,7 +1238,7 @@ class KvMergingBucketReader(
 class KvPartitionReader(
     files: Array[String], fields: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    runtimeKeys: Option[Set[Long]] = None,
+    runtimeKeys: Option[Set[Any]] = None,
     deletes: Array[Array[Long]] = Array.empty,
     cols: Seq[KvSchema.Col] = KvSchema.Legacy)
     extends PartitionReader[InternalRow] {
@@ -1320,15 +1347,13 @@ class KvPartitionReader(
           if (keyPushed.nonEmpty && !KvKeyPredicate.eval(keyPushed, k)) {
             KvKeyPredicate.skipped.incrementAndGet()
             next()
-          } else if (runtimeKeys.exists(ks => !k.exists {
-              // runtime key sets are compiled from LONG literals only
-              // (KvRuntimePredicate); a non-long key never skips
-              case l: Long => ks.contains(l)
-              case _ => true
-            })) {
+          } else if (runtimeKeys.exists(ks => !k.exists(ks.contains))) {
             // Runtime join-key set: a row whose key is outside it can
             // never match the join (null keys included — IN(null) is
-            // never true), so skipping preserves the result.
+            // never true), so skipping preserves the result. The
+            // set's element type follows the key column's (Long or
+            // String — KvRuntimePredicate.keyLit), matching the
+            // parser's key classes, so membership is exact for both.
             KvRuntimeFilter.rowSkips.incrementAndGet()
             next()
           } else if (extraPushed.nonEmpty) {

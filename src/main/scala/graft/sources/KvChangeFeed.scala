@@ -169,7 +169,7 @@ class KvChangeFeedStream(
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    new KvReaderFactory(fields, Array.empty, None, cols)
+    new KvReaderFactory(fields, Array.empty, cols = cols)
 
   override def commit(end: Offset): Unit = ()
 

@@ -610,15 +610,24 @@ object KvZoneMap {
 
   /** Runtime join-key set vs the file's key range (the coarse
     * [setMin, setMax] envelope — cheap and sound; the reader's exact
-    * per-row membership check handles the rest).
+    * per-row membership check handles the rest). Accepts Long or
+    * String elements (the runtime set's type follows the key
+    * column's): the range compare applies only to an all-Long set —
+    * string-keyed files publish keysKnown=false and return true
+    * above, and a string set against the impossible remainder
+    * (keysKnown=true) falls through to "don't skip".
     */
   def mayMatchKeys(
-      stat: KvSnapshots.KvFileStat, keys: Set[Long]): Boolean =
+      stat: KvSnapshots.KvFileStat, keys: Set[_]): Boolean =
     if (stat.rows == 0L) false
     else if (!stat.keysKnown) true
     else if (keys.isEmpty) false
-    else (stat.minKey, stat.maxKey) match {
-      case (Some(mn), Some(mx)) => keys.min <= mx && keys.max >= mn
-      case _ => false // known-keyless file can't equi-match
+    else {
+      val longs = keys.iterator.collect { case l: Long => l }.toSeq
+      if (longs.size != keys.size) true
+      else (stat.minKey, stat.maxKey) match {
+        case (Some(mn), Some(mx)) => longs.min <= mx && longs.max >= mn
+        case _ => false // known-keyless file can't equi-match
+      }
     }
 }

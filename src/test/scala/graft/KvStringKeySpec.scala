@@ -257,6 +257,50 @@ class KvStringKeySpec extends SparkTestBase {
       s"expected the s-marker line, got: $lines")
   }
 
+  test("runtime join-key sets carry string keys (compile + prune)") {
+    import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // a V2 string literal as the runtime-filter machinery delivers
+    // it: UTF8String value, StringType dataType (LiteralValue is
+    // sql-private, so the public interface is implemented directly)
+    def strLit(v: String): Literal[Any] = new Literal[Any] {
+      override def value(): Any =
+        if (v == null) null else UTF8String.fromString(v)
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+    }
+    // a V2 IN over the key column with UTF8String literals compiles
+    // to a String set (the parser's key class, so reader membership
+    // is exact)
+    val p = new Predicate("IN", Array(
+      Expressions.column("doc_id"), strLit("d-7"), strLit("d-19")))
+    val ks = graft.sources.KvRuntimePredicate.keySet(p, "doc_id")
+    assert(ks.contains(Set[Any]("d-7", "d-19")))
+    // a NULL literal poisons the set → no pruning (the only safe
+    // failure mode for an optimization)
+    val pNull = new Predicate("IN", Array(
+      Expressions.column("doc_id"), strLit(null)))
+    assert(graft.sources.KvRuntimePredicate
+      .keySet(pNull, "doc_id").isEmpty)
+    // bucket image dispatches on the element class
+    assert(KvBucketing.bucketOfAny("d-7", 8)
+      === KvBucketing.bucketOfString(UTF8String.fromString("d-7"), 8))
+    assert(KvBucketing.bucketOfAny(7L, 8) === 7)
+    // a string set never zone-skips: string-keyed files are
+    // keysKnown=false (true by that branch), and even against a
+    // keysKnown=true stat the type mismatch falls through to
+    // "don't skip"
+    val stKnown = KvSnapshots.KvFileStat(
+      "f.jsonl", 10, Some(5L), Some(9L), keysKnown = true)
+    assert(graft.sources.KvZoneMap.mayMatchKeys(
+      stKnown, Set[Any]("d-7")))
+    // the all-Long range compare still skips
+    assert(!graft.sources.KvZoneMap.mayMatchKeys(
+      stKnown, Set[Any](100L)))
+  }
+
   test("rebucket evolves a string-keyed table's bucket count") {
     cat()
     val t = "graft_kv.default.sk_rebucket"
