@@ -50,7 +50,12 @@ object ScaleCurve {
     // build→stale→refresh→serve lifecycle — every new path gets a
     // measured slope, not an assumed one.
     "catalog_spj_named", "catalog_auto_compact",
-    "catalog_array_string", "catalog_ann_pinned")
+    "catalog_array_string", "catalog_ann_pinned",
+    // round-18 string keys: the hash-bucketed SPJ (ingest + join on
+    // STRING keys) and the dimension-driven runtime pruning of a
+    // string-keyed fact — the two scale claims the string-key work
+    // makes, measured like their BIGINT twins.
+    "catalog_spj_string", "catalog_string_runtime")
 
   /** Optional FOURTH point (round-16): the two heavies whose 3→10
     * slope sat at the linear boundary (setsim_prefix_join 0.93,
