@@ -643,6 +643,36 @@ class KvScan(
     */
   private val keyName: String = KvSchema.keyName(cols)
 
+  /** ONE snapshot resolution and ONE manifest parse per Scan (= per
+    * planned query). Planning consults the membership repeatedly —
+    * estimateStatistics, planInputPartitions, the row-level
+    * scan-file report — and the tombstone index derives from the
+    * same manifest, so the uncached shape paid ~5 parses per query,
+    * each O(files). At 100 TB a manifest is metadata-SIZED, not
+    * free: a million-file table's manifest is ~10^8 text bytes.
+    * Caching per Scan also makes a query SNAPSHOT-CONSISTENT:
+    * statistics, pruning and rows all come from the SAME version
+    * even when a commit lands between planning calls (previously
+    * each call re-resolved latest(), so a mid-planning commit could
+    * hand statistics from one version and rows from another). Scans
+    * are per-query driver objects — nothing outlives its query, so
+    * no invalidation story is needed: DROP/expire/rebucket land in
+    * versions a later query's fresh Scan resolves.
+    */
+  private lazy val snapshotState: Option[
+      (Int, Seq[KvSnapshots.KvFileStat], Map[String, Array[Long]])] =
+    pinnedVersion.orElse(KvSnapshots.latest(path)).map { v =>
+      val stats = KvSnapshots.membersWithStats(path, v, branch)
+      (v, stats, KvSnapshots.deleteIndexOf(path, stats))
+    }
+
+  /** The table meta, read once per Scan (same lifetime argument as
+    * [[snapshotState]]): claim/ordering/bloom/runtime-filter
+    * resolution all consult it, and one query must speak ONE meta.
+    */
+  private lazy val metaCached: KvBucketing.KvMeta =
+    KvBucketing.readMetaFull(path)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -687,7 +717,7 @@ class KvScan(
       // PartitionPruning resolves every declared attribute against
       // the scan output and FAILS on a pruned-out one.
       val present = required.fieldNames.toSet
-      (keyName +: KvBucketing.readMetaFull(path).blooms.flatMap(id =>
+      (keyName +: metaCached.blooms.flatMap(id =>
         cols.find(_.id == id).map(_.name)))
         .filter(present)
         .map(org.apache.spark.sql.connector.expressions.Expressions
@@ -716,7 +746,7 @@ class KvScan(
       runtimeKeysCell.set(Some(sets.reduce(_ intersect _)))
     // runtime predicates over BLOOM columns compile to extra sidecar
     // conjuncts — same evaluation as the static pushed ones
-    val bloomIds = KvBucketing.readMetaFull(path).blooms
+    val bloomIds = metaCached.blooms
     if (bloomIds.nonEmpty)
       runtimeBloom = predicates.toSeq.flatMap(
         KvBloomPrune.compileV2(_, bloomIds, cols))
@@ -739,7 +769,7 @@ class KvScan(
     */
   private lazy val claimBuckets: Option[Int] =
     buckets.flatMap { _ =>
-      val meta = KvBucketing.readMetaFull(path)
+      val meta = metaCached
       if (meta.rebucketTarget.isDefined) None
       else if (pinnedVersion.exists(v => meta.bucketsFrom.exists(_ > v)))
         None
@@ -809,8 +839,7 @@ class KvScan(
     * non-point-lookup scans never touch a sidecar.
     */
   private lazy val bloomConjuncts: Seq[(Int, Array[Long])] =
-    KvBloomPrune.compile(pushed,
-      KvBucketing.readMetaFull(path).blooms, cols)
+    KvBloomPrune.compile(pushed, metaCached.blooms, cols)
 
   /** A 'write.sort'='key' table whose every data file is key-sorted:
     * all writes (batch, streaming, DML rewrites) ran under the
@@ -819,7 +848,7 @@ class KvScan(
     * provenance isn't tracked.
     */
   private lazy val sortedLayout: Boolean = {
-    val meta = KvBucketing.readMetaFull(path)
+    val meta = metaCached
     meta.sorted && !meta.mor
   }
 
@@ -877,12 +906,10 @@ class KvScan(
       // null-rejecting key comparison. Tombstones only ever REMOVE
       // rows, so a file's recorded key range is an over-approximation
       // of its live rows — exactly the sound direction for skipping.
-      pinnedVersion.orElse(KvSnapshots.latest(path)) match {
+      snapshotState match {
         case None => Array.empty
-        case Some(v) =>
-          val dels = KvSnapshots.deleteIndex(path, v, branch)
-          KvSnapshots.dataFiles(
-            KvSnapshots.membersWithStats(path, v, branch))
+        case Some((_, stats, dels)) =>
+          KvSnapshots.dataFiles(stats)
             // scan_files: the selective-maintenance read — membership
             // ∩ the named set (a name that expired between selection
             // and read simply drops out; the writer's base pin is
@@ -1008,11 +1035,10 @@ class KvScan(
     }.sum
     val rows: java.util.OptionalLong =
       if (!snapshots) java.util.OptionalLong.empty()
-      else pinnedVersion.orElse(KvSnapshots.latest(path)) match {
+      else snapshotState match {
         case None => java.util.OptionalLong.of(0L)
-        case Some(v) =>
+        case Some((_, stats, _)) =>
           // Live rows = data rows − tombstones (both manifest-exact).
-          val stats = KvSnapshots.membersWithStats(path, v, branch)
           val counts = KvSnapshots.dataFiles(stats).map(_.rows)
           if (counts.forall(_ >= 0))
             java.util.OptionalLong.of(counts.sum -

@@ -206,8 +206,17 @@ object KvSnapshots {
 
   def deleteIndex(
       path: String, version: Int,
-      branch: Option[String]): Map[String, Array[Long]] = {
-    val dels = deleteFiles(membersWithStats(path, version, branch))
+      branch: Option[String]): Map[String, Array[Long]] =
+    deleteIndexOf(path, membersWithStats(path, version, branch))
+
+  /** [[deleteIndex]] over an ALREADY-PARSED membership — the variant
+    * a scan that caches its manifest parse uses, so building the
+    * tombstone index never re-parses the manifest it came from.
+    */
+  def deleteIndexOf(
+      path: String,
+      stats: Seq[KvFileStat]): Map[String, Array[Long]] = {
+    val dels = deleteFiles(stats)
     if (dels.isEmpty) Map.empty
     else dels
       .flatMap(d => readDeleteFile(path, d.name).toSeq)
