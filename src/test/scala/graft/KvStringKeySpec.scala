@@ -301,6 +301,42 @@ class KvStringKeySpec extends SparkTestBase {
       stKnown, Set[Any](100L)))
   }
 
+  test("trickle ingest + auto-compaction compose on string keys") {
+    import org.apache.spark.unsafe.types.UTF8String
+    cat()
+    val t = "graft_kv.default.sk_trickle"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (doc_id STRING, value STRING) " +
+      "PARTITIONED BY (bucket(2, doc_id)) " +
+      "TBLPROPERTIES ('snapshots'='true', 'write.auto_compact'='2')")
+    val fired0 = graft.sources.KvAutoCompact.compactions.get()
+    for (b <- 0 to 2)
+      spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ " +
+        s"concat('t', id), 'v' FROM range(${b * 10}, ${b * 10 + 10})")
+    // the policy fired, the bound holds per bucket, rows intact
+    assert(graft.sources.KvAutoCompact.compactions.get() - fired0 >= 1)
+    val dir = dirOf("sk_trickle")
+    val v = KvSnapshots.latest(dir).get
+    val data = KvSnapshots.dataFiles(KvSnapshots.membersWithStats(dir, v))
+    val perBucket = data.groupBy(st =>
+      KvBucketing.fileBucket(st.name).get).view.mapValues(_.size)
+    assert(perBucket.values.forall(_ <= 2),
+      s"bucket file bound violated: ${perBucket.toMap}")
+    // the compaction rewrote under STRING routing — every surviving
+    // file's rows recompute to its name token
+    assert(spark.sql(s"SELECT count(*) FROM $t")
+      .collect()(0).getLong(0) === 30L)
+    spark.sql(s"SELECT doc_id, _file FROM $t").collect().foreach { r =>
+      val tok = KvBucketing.fileBucket(
+        Paths.get(r.getString(1)).getFileName.toString).get
+      assert(tok === KvBucketing.bucketOfString(
+        UTF8String.fromString(r.getString(0)), 2))
+    }
+    // string-keyed compaction output keeps the `s` key-stat marker
+    data.foreach(st => assert(!st.keysKnown && st.minKey.isEmpty,
+      s"${st.name}: compacted string-keyed file grew key zone maps"))
+  }
+
   test("rebucket evolves a string-keyed table's bucket count") {
     cat()
     val t = "graft_kv.default.sk_rebucket"
