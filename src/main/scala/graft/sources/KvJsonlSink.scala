@@ -204,30 +204,17 @@ object KvJsonlSink {
       (key, None)
     }
     else {
-      require(line.charAt(i) == '"', s"bad kvjsonl line: $line")
-      i += 1
-      val b = new StringBuilder
-      while (line.charAt(i) != '"') {
-        val c = line.charAt(i)
-        if (c == '\\') {
-          line.charAt(i + 1) match {
-            case '"' => b.append('"'); i += 2
-            case '\\' => b.append('\\'); i += 2
-            case 'n' => b.append('\n'); i += 2
-            case 'r' => b.append('\r'); i += 2
-            case 't' => b.append('\t'); i += 2
-            case 'u' =>
-              b.append(
-                Integer.parseInt(line.substring(i + 2, i + 6), 16)
-                  .toChar)
-              i += 6
-            case other =>
-              throw new IllegalArgumentException(
-                s"bad escape \\$other in kvjsonl line: $line")
-          }
-        } else { b.append(c); i += 1 }
-      }
-      (key, Some(b.toString))
+      // bounds-checked quoted parse ([[unquoteAt]]) — a line cut at
+      // ANY byte inside the value token fails with the contractual
+      // IllegalArgumentException, never an index error
+      val (v, after) = unquoteAt(line, i)
+      // terminator check, same rationale as the null branch: without
+      // it a line truncated right before its closing `}` parses
+      // cleanly and the corruption contract silently weakens
+      require(after < line.length &&
+        (line.charAt(after) == '}' || line.charAt(after) == ','),
+        s"bad kvjsonl line: $line")
+      (key, Some(v))
     }
   }
 

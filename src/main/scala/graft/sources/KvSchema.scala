@@ -473,29 +473,13 @@ object KvSchema {
     val value: Option[String] =
       if (line.startsWith("null", i)) { i += 4; None }
       else {
-        require(line.charAt(i) == '"', s"bad kvjsonl line: $line")
-        i += 1
-        val b = new StringBuilder
-        while (line.charAt(i) != '"') {
-          val c = line.charAt(i)
-          if (c == '\\') {
-            line.charAt(i + 1) match {
-              case '"' => b.append('"'); i += 2
-              case '\\' => b.append('\\'); i += 2
-              case 'n' => b.append('\n'); i += 2
-              case 'r' => b.append('\r'); i += 2
-              case 't' => b.append('\t'); i += 2
-              case 'u' =>
-                b.append(Integer.parseInt(
-                  line.substring(i + 2, i + 6), 16).toChar)
-                i += 6
-              case other => throw new IllegalArgumentException(
-                s"bad escape \\$other in kvjsonl line: $line")
-            }
-          } else { b.append(c); i += 1 }
-        }
-        i += 1
-        Some(b.toString)
+        // bounds-checked quoted parse (KvJsonlSink.unquoteAt) — a
+        // truncated value token fails with the contractual
+        // IllegalArgumentException, never an index error, matching
+        // the extras/array parser's guarantee below
+        val (v, after) = KvJsonlSink.unquoteAt(line, i)
+        i = after
+        Some(v)
       }
     (key, value, parseExtras(line, i))
   }

@@ -58,6 +58,53 @@ class KvStringKeySpec extends SparkTestBase {
     // NULL (asserted above in the loop)
   }
 
+  test("string-key lines fail contractually at every truncation point") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val cols = Seq(
+      KvSchema.Col(1, "doc_id", StringType),
+      KvSchema.Col(2, "value", StringType))
+    // adversarial key: every escape class + unicode, so cut points
+    // land inside \uXXXX sequences, backslash pairs and the quotes
+    val line = KvSchema.formatRow(
+      InternalRow(UTF8String.fromString("a\"b\\c\td\né☃"),
+        UTF8String.fromString("v\"w")), cols)
+    // the full line parses
+    assert(KvSchema.parseRow(line)._1.contains("a\"b\\c\td\né☃"))
+    // every strict prefix fails with the CONTRACTUAL exception —
+    // never an index error (the corruption story a 100 TB reader
+    // needs: a torn write is a loud format error, not a crash class
+    // the retry machinery doesn't recognize)
+    val keyEnd = KvJsonlSink.parseKeyTok(line)._2
+    for (cut <- 1 until line.length) {
+      val e = intercept[Exception](KvSchema.parseRow(line.take(cut)))
+      assert(e.isInstanceOf[IllegalArgumentException] ||
+        e.isInstanceOf[NumberFormatException],
+        s"cut at $cut threw ${e.getClass.getName}: ${e.getMessage}")
+      // parseKey reads ONLY the key prefix (that is its point — the
+      // cheap pushed-filter reject), so it must throw exactly while
+      // the key token itself is incomplete
+      if (cut < keyEnd) {
+        val ek = intercept[Exception](
+          KvJsonlSink.parseKey(line.take(cut)))
+        assert(ek.isInstanceOf[IllegalArgumentException] ||
+          ek.isInstanceOf[NumberFormatException],
+          s"parseKey cut at $cut threw ${ek.getClass.getName}")
+      }
+    }
+    // the founding-format fast path (parseLine) under the same sweep
+    val founding = """{"key":17,"value":"v\"w\\x\tz"}"""
+    assert(KvJsonlSink.parseLine(founding) ==
+      (Some(17L), Some("v\"w\\x\tz")))
+    for (cut <- 1 until founding.length) {
+      val e = intercept[Exception](
+        KvJsonlSink.parseLine(founding.take(cut)))
+      assert(e.isInstanceOf[IllegalArgumentException] ||
+        e.isInstanceOf[NumberFormatException],
+        s"parseLine cut at $cut threw ${e.getClass.getName}")
+    }
+  }
+
   test("bucketOfString is exactly Spark's hash() mod n") {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     import org.apache.spark.unsafe.types.UTF8String
