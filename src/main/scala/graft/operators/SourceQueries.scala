@@ -863,6 +863,58 @@ object SourceQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
     }),
 
+    // COMPOSED LAYOUT — `PARTITIONED BY (months(o_ts),
+    // bucket(8, o_orderkey))`: the standard 100 TB fact layout,
+    // temporal unit for retention/pruning × hash bucket for
+    // exchange-free joins, composed in ONE table (Iceberg's
+    // multi-transform spec). File names carry BOTH tokens
+    // (`-m334-b0007.jsonl`); the partition pruner and the bucket
+    // machinery each parse their own, so the two claims compose with
+    // no cross-knowledge: the gate's one query both PRUNES months
+    // below the timestamp predicate (files never opened, counter
+    // require()d) and joins a co-bucketed table with ZERO shuffles
+    // (plan fact require()d). Rows pin against DuckDB running the
+    // same filtered join on raw parquet.
+    "catalog_composed_layout" -> ((s, d) => {
+      registerKvCatalog(s)
+      val t1 = "graft_kv.default.cl_orders"
+      val t2 = "graft_kv.default.cl_items"
+      s.sql(s"DROP TABLE IF EXISTS $t1")
+      s.sql(s"CREATE TABLE $t1 (o_orderkey BIGINT, value STRING, " +
+        "o_ts TIMESTAMP) " +
+        "PARTITIONED BY (months(o_ts), bucket(8, o_orderkey)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"DROP TABLE IF EXISTS $t2")
+      s.sql(s"CREATE TABLE $t2 (l_orderkey BIGINT, value STRING) " +
+        "PARTITIONED BY (bucket(8, l_orderkey)) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      s.sql(s"INSERT INTO $t1 SELECT o_orderkey, o_orderpriority, " +
+        s"o_orderdate FROM parquet.`$d/orders.parquet`")
+      s.sql(s"INSERT INTO $t2 SELECT l_orderkey, l_returnflag " +
+        s"FROM parquet.`$d/lineitem.parquet`")
+      withConfs(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val before = graft.sources.KvPartitionPrune.prunedFiles.get()
+        val df = s.sql(
+          s"""SELECT a.value AS priority, b.value AS flag,
+             |count(*) AS n_items
+             |FROM $t1 a JOIN $t2 b ON a.o_orderkey = b.l_orderkey
+             |WHERE a.o_ts >= TIMESTAMP '1995-06-01 00:00:00'
+             |GROUP BY a.value, b.value
+             |ORDER BY priority, flag""".stripMargin)
+        val rows = df.collect()
+        requireShuffleFreeJoin(df, "catalog_composed_layout")
+        require(
+          graft.sources.KvPartitionPrune.prunedFiles.get() > before,
+          "catalog_composed_layout: the timestamp predicate pruned " +
+            "no month files — composed names broke partition pruning")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
     // RUNTIME BLOOM FILTERING — dynamic pruning for columns no layout
     // clusters by: the scan declares its bloom columns as runtime
     // filter attributes (SupportsRuntimeV2Filtering), so a selective
@@ -3774,6 +3826,16 @@ object SourceQueries {
         |FROM documents
         |WHERE concat('d-', doc_id) NOT LIKE 'd-1%'
         |GROUP BY 1 ORDER BY value""".stripMargin,
+    // The composed-layout join filtered below the month boundary —
+    // layout tokens route pruning and exchanges, never the rows.
+    "catalog_composed_layout" ->
+      """SELECT a.o_orderpriority AS priority,
+        |       b.l_returnflag AS flag,
+        |       count(*) AS n_items
+        |FROM orders a JOIN lineitem b ON a.o_orderkey = b.l_orderkey
+        |WHERE a.o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY priority, flag""".stripMargin,
     // The runtime-filtered join selects exactly the IN-list docs —
     // the key-type change routes the pruning, never the rows.
     "catalog_string_runtime" ->

@@ -373,7 +373,11 @@ object KvBucketing {
       raw: Option[Long], isDate: Boolean, unit: PartUnit): Option[Long] =
     raw.map(unit.unitOf(_, isDate))
 
-  private val PartInName = """-([dmyh])(-?\d+|null)\.jsonl$""".r
+  // the optional trailing bucket token admits COMPOSED layouts
+  // (months(ts) × bucket(n, key) → `-m334-b0007.jsonl`): the partition
+  // parse sees through the bucket suffix, the bucket parse anchors on
+  // its own suffix, and each machinery stays blind to the other's token
+  private val PartInName = """-([dmyh])(-?\d+|null)(?:-b\d+)?\.jsonl$""".r
 
   /** Partition suffix (`-d9862` / `-m334`); [[filePart]] is its exact
     * inverse. `null` marks the null partition (rows whose partition

@@ -1896,49 +1896,71 @@ class KvCatalog extends TableCatalog with SupportsNamespaces
     // behind storage-partitioned joins (see KvBucketing.scala). The
     // sink's commit protocol publishes whole files either way; a
     // bucketed table just carries the bucket in the file name.
+    def parseBucket(
+        t: org.apache.spark.sql.connector.expressions.Transform)
+        : Option[Int] = {
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().asInstanceOf[Number].intValue
+      }
+      val col = t.arguments().collectFirst {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames().mkString(".")
+      }
+      // The bucket column is the KEY column — field id 1, the
+      // table's FIRST column, whatever it is named (`key`,
+      // `o_orderkey`, `user_id`): bucketing, zone maps, sorted
+      // layout and MoR addressing are one clustering machinery
+      // over that role, so they must agree on the column.
+      require(n.nonEmpty && col.exists(c =>
+          schema.nonEmpty &&
+            c.equalsIgnoreCase(schema.fields(0).name)),
+        s"kvjsonl bucketing must be bucket(n, <first column>) — " +
+          s"the key column; got $t over ${schema.catalogString}")
+      require(n.get >= 1 && n.get <= 4096,
+        s"kvjsonl bucket count out of range [1, 4096]: ${n.get}")
+      n
+    }
+    // TEMPORAL PARTITIONING — `years|months|days|hours(ts)`,
+    // Iceberg's full transform family: the common 100 TB table
+    // layouts. The unit token rides in the file name (like buckets),
+    // and scan-time pruning on a temporal predicate skips whole
+    // files independent of key zone maps (one granularity-generic
+    // machinery: KvBucketing.PartUnit).
+    def parseUnit(
+        t: org.apache.spark.sql.connector.expressions.Transform)
+        : Option[(KvBucketing.PartUnit, String)] = {
+      val col = t.arguments().collectFirst {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames().mkString(".")
+      }
+      require(col.nonEmpty,
+        s"kvjsonl ${t.name}() partitioning needs a column; got $t")
+      col.map(c => (KvBucketing.partUnit(t.name).get, c))
+    }
+    def isUnit(
+        t: org.apache.spark.sql.connector.expressions.Transform)
+        : Boolean = KvBucketing.partUnit(t.name).isDefined
     val (buckets, partColName)
         : (Option[Int], Option[(KvBucketing.PartUnit, String)]) =
       partitions match {
         case Array() => (None, None)
-        case Array(t) if t.name == "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-              l.value().asInstanceOf[Number].intValue
-          }
-          val col = t.arguments().collectFirst {
-            case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-              r.fieldNames().mkString(".")
-          }
-          // The bucket column is the KEY column — field id 1, the
-          // table's FIRST column, whatever it is named (`key`,
-          // `o_orderkey`, `user_id`): bucketing, zone maps, sorted
-          // layout and MoR addressing are one clustering machinery
-          // over that role, so they must agree on the column.
-          require(n.nonEmpty && col.exists(c =>
-              schema.nonEmpty &&
-                c.equalsIgnoreCase(schema.fields(0).name)),
-            s"kvjsonl bucketing must be bucket(n, <first column>) — " +
-              s"the key column; got $t over ${schema.catalogString}")
-          require(n.get >= 1 && n.get <= 4096,
-            s"kvjsonl bucket count out of range [1, 4096]: ${n.get}")
-          (n, None)
-        // TEMPORAL PARTITIONING — `PARTITIONED BY (years|months|days|
-        // hours(ts))`, Iceberg's full transform family: the common
-        // 100 TB table layouts. The unit token rides in the file name
-        // (like buckets), and scan-time pruning on a temporal
-        // predicate skips whole files independent of key zone maps
-        // (one granularity-generic machinery: KvBucketing.PartUnit).
-        case Array(t) if KvBucketing.partUnit(t.name).isDefined =>
-          val col = t.arguments().collectFirst {
-            case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-              r.fieldNames().mkString(".")
-          }
-          require(col.nonEmpty,
-            s"kvjsonl ${t.name}() partitioning needs a column; got $t")
-          (None, col.map(c => (KvBucketing.partUnit(t.name).get, c)))
+        case Array(t) if t.name == "bucket" => (parseBucket(t), None)
+        case Array(t) if isUnit(t) => (None, parseUnit(t))
+        // COMPOSED layout — `PARTITIONED BY (months(ts),
+        // bucket(n, key))` in either order: the standard 100 TB fact
+        // layout (temporal unit for retention and pruning, hash
+        // bucket for exchange-free joins). File names carry both
+        // tokens; the partition pruner and the bucket machinery each
+        // parse their own.
+        case Array(u, b) if isUnit(u) && b.name == "bucket" =>
+          (parseBucket(b), parseUnit(u))
+        case Array(b, u) if b.name == "bucket" && isUnit(u) =>
+          (parseBucket(b), parseUnit(u))
         case other => throw new UnsupportedOperationException(
-          "kvjsonl tables support PARTITIONED BY (bucket(n, key)) or " +
-            "PARTITIONED BY (years|months|days|hours(col)); " +
+          "kvjsonl tables support PARTITIONED BY (bucket(n, key)), " +
+            "PARTITIONED BY (years|months|days|hours(col)), or the " +
+            "composed (unit(col), bucket(n, key)); " +
             s"got ${other.mkString(", ")}")
       }
     // Schema rules (KvSchema.scala has the storage model): the first

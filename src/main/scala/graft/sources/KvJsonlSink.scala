@@ -510,6 +510,36 @@ class KvJsonlTable(
               throw new UnsupportedOperationException(
                 "layout_rewrite is a batch-maintenance option")
           }
+        // COMPOSED layout (months(ts) × bucket(n, key)): request
+        // clustering by BOTH transforms, so each task sees ~one
+        // (unit, bucket) cell and writes ~one file. Correctness never
+        // depends on it — the composed fan-out writer routes any
+        // distribution.
+        case (Some(n), Some((unit, id))) if viaCatalog =>
+          val pcolName = cols.find(_.id == id).map(_.name).getOrElse(
+            throw new IllegalStateException(
+              s"partition field id $id missing from the schema of $path"))
+          new Write with RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(
+                  KvJsonlTable.partTransform(unit, pcolName),
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .bucket(n, keyName)))
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array.empty
+            override def toBatch: BatchWrite =
+              new KvJsonlBatchWrite(path, truncateFirst, info.queryId(),
+                writeBranch, maintenance = maint,
+                requireBase = maintBase)
+            override def toStreaming: streaming.StreamingWrite = {
+              require(writeBranch.isEmpty,
+                "streaming append to a BRANCH is not supported")
+              new KvJsonlStreamingWrite(path, info.queryId())
+            }
+          }
         // Bucketed table reached through the catalog: REQUEST the
         // clustered-by-bucket distribution (Spark shuffles incoming
         // rows by the V2 bucket function before the write), so each
@@ -1032,7 +1062,10 @@ class KvJsonlWriterFactory(
   override def createWriter(
       partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = (buckets, partition) match {
-    case (Some(n), _) =>
+    case (Some(n), Some((unit, id))) =>
+      new KvJsonlComposedDataWriter(path, jobId, partitionId, taskId,
+        n, unit, id, cols, bloomIds)
+    case (Some(n), None) =>
       new KvJsonlBucketedDataWriter(path, jobId, partitionId, taskId, n,
         cols, bloomIds)
     case (None, Some((unit, id))) =>
@@ -1218,6 +1251,108 @@ class KvJsonlPartitionedDataWriter(
   override def close(): Unit = ()
 }
 
+/** COMPOSED-layout task writer (`PARTITIONED BY (months(ts),
+  * bucket(n, key))` — the standard 100 TB fact layout: temporal unit
+  * for retention/pruning, hash bucket for exchange-free joins):
+  * routes each row to its (unit value, bucket) file, the product of
+  * the two single-transform writers' routings. The final name
+  * carries BOTH tokens — partition first, bucket last
+  * (`-m334-b0007.jsonl`) — so the partition pruner and the bucket
+  * grouper each parse their own suffix independently; neither
+  * machinery knows the other exists. Under the write's requested
+  * clustered-by-(unit, bucket) distribution a task sees ~one cell;
+  * without it the fan-out is the correctness backstop, as for the
+  * single-transform writers.
+  */
+class KvJsonlComposedDataWriter(
+    path: String, jobId: String, partitionId: Int, taskId: Long,
+    n: Int, unit: KvBucketing.PartUnit, partitionFieldId: Int,
+    cols: Seq[KvSchema.Col],
+    bloomIds: Seq[Int] = Nil)
+    extends DataWriter[InternalRow] {
+
+  private val evolved = cols != KvSchema.Legacy
+
+  private val partIdx = cols.indexWhere(_.id == partitionFieldId)
+  require(partIdx >= 0,
+    s"partition field id $partitionFieldId missing from the write " +
+      s"schema of $path")
+  private val partIsDate =
+    cols(partIdx).dtype == org.apache.spark.sql.types.DateType
+  private val keyIsLong =
+    KvSchema.keyType(cols) == org.apache.spark.sql.types.LongType
+
+  private class CellOut(val temp: java.nio.file.Path) {
+    val out: java.io.BufferedWriter =
+      java.nio.file.Files.newBufferedWriter(
+        temp, java.nio.charset.StandardCharsets.UTF_8)
+    val stats = new KvKeyStats(cols, bloomIds)
+  }
+
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[(Option[Long], Int), CellOut]
+
+  private val tempBase = {
+    val d = KvJsonlSink.tempDir(path, jobId)
+    java.nio.file.Files.createDirectories(d) // idempotent; executor-side
+    d
+  }
+
+  private def suffix(cell: (Option[Long], Int)): String =
+    KvBucketing.partSuffix(cell._1, unit) +
+      KvBucketing.bucketSuffix(cell._2)
+
+  private def writerFor(cell: (Option[Long], Int)): CellOut =
+    open.getOrElseUpdate(cell, new CellOut(
+      tempBase.resolve(
+        f"attempt-$jobId-$partitionId%05d-$taskId${suffix(cell)}")))
+
+  override def write(row: InternalRow): Unit = {
+    val raw: Option[Long] =
+      if (row.isNullAt(partIdx)) None
+      else if (partIsDate) Some(row.getInt(partIdx).toLong)
+      else Some(row.getLong(partIdx))
+    val b =
+      if (keyIsLong)
+        KvBucketing.bucketOf(
+          if (row.isNullAt(0)) null else Long.box(row.getLong(0)), n)
+      else
+        KvBucketing.bucketOfString(
+          if (row.isNullAt(0)) null else row.getUTF8String(0), n)
+    val w = writerFor(
+      (KvBucketing.partToken(raw, partIsDate, unit), b))
+    w.out.write(
+      if (evolved) KvSchema.formatRow(row, cols)
+      else KvJsonlSink.formatLine(row))
+    w.out.write('\n')
+    w.stats.update(row)
+  }
+
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_.out.close())
+    KvJsonlBucketedCommitMessage(
+      open.toSeq
+        .sortBy { case ((tok, b), _) =>
+          (tok.getOrElse(Long.MinValue), b) }
+        .map { case (cell, w) =>
+          w.stats.written(
+            w.temp.toString,
+            f"part-$jobId-$partitionId%05d${suffix(cell)}.jsonl")
+        })
+  }
+
+  override def abort(): Unit =
+    open.values.foreach { w =>
+      w.out.close()
+      java.nio.file.Files.deleteIfExists(w.temp)
+    }
+
+  override def close(): Unit = ()
+}
+
 /** Streaming (micro-batch) write path: same attempt-isolation protocol
   * per epoch, with the epoch id baked into BOTH the temp and the final
   * file names. That makes the per-epoch driver commit IDEMPOTENT —
@@ -1381,7 +1516,11 @@ case class KvJsonlStreamingWriterFactory(
     // contracts (partition pruning, storage-partitioned joins).
     val epochJob = f"${qTag}e$epochId%05d"
     (buckets, partition) match {
-      case (Some(n), _) =>
+      case (Some(n), Some((unit, id))) =>
+        new KvJsonlComposedDataWriter(
+          path, epochJob, partitionId, taskId, n, unit, id, cols,
+          bloomIds)
+      case (Some(n), None) =>
         new KvJsonlBucketedDataWriter(
           path, epochJob, partitionId, taskId, n, cols, bloomIds)
       case (None, Some((unit, id))) =>

@@ -129,9 +129,9 @@ class KvMorDeltaBatchWrite(
       KvJsonlSink.tempDir(path, jobId))
     // Column registry captured driver-side, once per job — same
     // mid-job-ALTER isolation as the batch write factory.
+    val meta = KvBucketing.readMetaFull(path)
     new KvMorDeltaWriterFactory(path, jobId, buckets,
-      KvSchema.currentCols(path),
-      KvBucketing.readMetaFull(path).blooms)
+      KvSchema.currentCols(path), meta.blooms, meta.partition)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -196,12 +196,13 @@ class KvMorDeltaBatchWrite(
 class KvMorDeltaWriterFactory(
     path: String, jobId: String, buckets: Option[Int],
     cols: Seq[KvSchema.Col] = KvSchema.Legacy,
-    bloomIds: Seq[Int] = Nil)
+    bloomIds: Seq[Int] = Nil,
+    partition: Option[(KvBucketing.PartUnit, Int)] = None)
     extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new KvMorDeltaWriter(path, jobId, partitionId, taskId, buckets, cols,
-      bloomIds)
+      bloomIds, partition)
 }
 
 /** Per-task delta writer: inserts delegate to the ordinary data
@@ -217,18 +218,26 @@ class KvMorDeltaWriter(
     path: String, jobId: String, partitionId: Int, taskId: Long,
     buckets: Option[Int],
     cols: Seq[KvSchema.Col] = KvSchema.Legacy,
-    bloomIds: Seq[Int] = Nil)
+    bloomIds: Seq[Int] = Nil,
+    partition: Option[(KvBucketing.PartUnit, Int)] = None)
     extends DeltaWriter[InternalRow] {
 
   private var dataWriter: DataWriter[InternalRow] = _
 
   private def writer(): DataWriter[InternalRow] = {
     if (dataWriter == null)
-      dataWriter = buckets match {
-        case Some(n) =>
+      dataWriter = (buckets, partition) match {
+        case (Some(n), Some((unit, id))) =>
+          new KvJsonlComposedDataWriter(
+            path, jobId, partitionId, taskId, n, unit, id, cols,
+            bloomIds)
+        case (Some(n), None) =>
           new KvJsonlBucketedDataWriter(
             path, jobId, partitionId, taskId, n, cols, bloomIds)
-        case None =>
+        case (None, Some((unit, id))) =>
+          new KvJsonlPartitionedDataWriter(
+            path, jobId, partitionId, taskId, unit, id, cols, bloomIds)
+        case (None, None) =>
           new KvJsonlDataWriter(path,
             f"attempt-$jobId-$partitionId%05d-$taskId",
             f"part-$jobId-$partitionId%05d.jsonl",

@@ -227,7 +227,12 @@ object KvFilesMetaTable {
             KvBucketing.filePart(st.name, u).map(t =>
               s"${u.tag}${t.fold("null")(_.toString)}"))
             .headOption
-          b.orElse(p).map(org.apache.spark.unsafe.types.UTF8String
+          // composed files report their full `m334-b0007` cell
+          val tok = (p, b) match {
+            case (Some(pu), Some(bu)) => Some(s"$pu-$bu")
+            case _ => b.orElse(p)
+          }
+          tok.map(org.apache.spark.unsafe.types.UTF8String
             .fromString).orNull
         }
         Seq(
@@ -332,12 +337,18 @@ object KvPartitionsMetaTable {
     */
   private def layoutToken(name: String): Option[String] = {
     val b = KvBucketing.fileBucket(name).map(b => f"b$b%04d")
-    def p = Seq(KvBucketing.PartHours, KvBucketing.PartDays,
+    val p = Seq(KvBucketing.PartHours, KvBucketing.PartDays,
       KvBucketing.PartMonths, KvBucketing.PartYears).flatMap(u =>
       KvBucketing.filePart(name, u).map(t =>
         s"${u.tag}${t.fold("null")(_.toString)}"))
       .headOption
-    b.orElse(p)
+    // a COMPOSED file (unit × bucket) groups by its full cell —
+    // `m334-b0007` — so the partition report keeps one row per
+    // physical layout group under every layout shape
+    (p, b) match {
+      case (Some(pu), Some(bu)) => Some(s"$pu-$bu")
+      case _ => b.orElse(p)
+    }
   }
 
   def rows(

@@ -1023,6 +1023,11 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
         val dir = cat.resolveTableDir(table)
         KvProcedures.requireSnapshotted(table, dir)
         val meta = KvBucketing.readMetaFull(dir.toString)
+        require(meta.partition.isEmpty,
+          "system.rewrite_buckets does not yet cover COMPOSED " +
+            "(unit × bucket) layouts — their per-cell rewrite " +
+            "scoping is future work; the write.auto-routed fan-out " +
+            "keeps every write correctly tokened meanwhile")
         val n = meta.buckets.getOrElse(throw new IllegalArgumentException(
           "system.rewrite_buckets needs a bucketed table — " +
             "system.compact covers plain tables, system.cluster " +
@@ -1179,6 +1184,10 @@ class KvRebucketProcedure(cat: KvCatalog)
         val dir = cat.resolveTableDir(table)
         KvProcedures.requireSnapshotted(table, dir)
         val meta = KvBucketing.readMetaFull(dir.toString)
+        require(meta.partition.isEmpty,
+          "system.rebucket does not yet cover COMPOSED " +
+            "(unit × bucket) layouts — their per-cell rewrite " +
+            "scoping is future work")
         val oldN = meta.buckets.getOrElse(
           throw new IllegalArgumentException(
             "system.rebucket needs a bucketed table — use CREATE " +

@@ -188,7 +188,7 @@ class KvDatePartitionSpec extends SparkTestBase {
   }
 
   test("format-path (non-catalog) writes still day-route, and " +
-      "bucket+days together are rejected at CREATE") {
+      "malformed multi-transform specs are rejected at CREATE") {
     cat()
     val t = "graft_kv.default.dp_format"
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -202,11 +202,20 @@ class KvDatePartitionSpec extends SparkTestBase {
       .mode("append").save(dir("dp_format"))
     assert(jsonlFiles("dp_format")
       .forall(f => KvBucketing.fileDay(f).isDefined))
+    // bucket + unit is now the COMPOSED layout (KvComposedLayoutSpec);
+    // what stays rejected is any spec outside {bucket} / {unit} /
+    // {unit, bucket} — two temporal units, or two buckets
     intercept[Exception] {
       spark.sql("DROP TABLE IF EXISTS graft_kv.default.dp_bad")
       spark.sql("CREATE TABLE graft_kv.default.dp_bad " +
         "(key BIGINT, value STRING, day DATE) " +
-        "PARTITIONED BY (bucket(4, key), days(day))")
+        "PARTITIONED BY (days(day), months(day))")
+    }
+    intercept[Exception] {
+      spark.sql("DROP TABLE IF EXISTS graft_kv.default.dp_bad2")
+      spark.sql("CREATE TABLE graft_kv.default.dp_bad2 " +
+        "(key BIGINT, value STRING, day DATE) " +
+        "PARTITIONED BY (bucket(4, key), bucket(8, key))")
     }
   }
 }
