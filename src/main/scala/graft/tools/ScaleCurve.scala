@@ -55,7 +55,11 @@ object ScaleCurve {
     // STRING keys) and the dimension-driven runtime pruning of a
     // string-keyed fact — the two scale claims the string-key work
     // makes, measured like their BIGINT twins.
-    "catalog_spj_string", "catalog_string_runtime")
+    "catalog_spj_string", "catalog_string_runtime",
+    // round-18 composed layout: ingest through the (unit × bucket)
+    // fan-out writer + the month-pruned zero-exchange join — the
+    // composed claims measured end-to-end.
+    "catalog_composed_layout")
 
   /** Optional FOURTH point (round-16): the two heavies whose 3→10
     * slope sat at the linear boundary (setsim_prefix_join 0.93,
