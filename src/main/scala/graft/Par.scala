@@ -1,0 +1,37 @@
+package graft
+
+/** Overlap independent driver actions (optimization-guide §2.6):
+  * Spark's scheduler happily runs several jobs at once inside one
+  * application — actions are only sequential because driver code
+  * calls them sequentially. The report/multi-pin queries are chains
+  * of bounded actions; submitted one by one, each job's straggler
+  * tail leaves the box idle before the next job starts. Results
+  * return in input order; failures propagate with the original
+  * exception (unwrapped from ExecutionException so gate require()
+  * messages survive).
+  */
+object Par {
+
+  /** Run `thunks` on a bounded pool (≤4 in flight — enough to
+    * backfill a job's tail, not enough to thrash executor memory)
+    * and return their results in input order.
+    */
+  def inParallel[T](thunks: Seq[() => T]): Seq[T] = {
+    if (thunks.size <= 1) return thunks.map(_())
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(4, thunks.size))
+    try
+      thunks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[T] {
+          override def call(): T = t()
+        })
+      }.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    finally pool.shutdown()
+  }
+}

@@ -98,6 +98,33 @@ object Tables {
     df
   }
 
+  /** Spread the per-row work above a scan whose input layout cannot
+    * feed every core (guide §2.5 "input skew: one huge unsplittable
+    * file"): the driver-generated fixtures are ONE file × ONE row
+    * group, and parquet splits only at row-group boundaries, so every
+    * scan — and all the expression work codegen fuses into the scan
+    * stage — runs on a single core no matter the cluster size.
+    *
+    * Deliberately NOT applied inside [[table]]: two r18 A/Bs (blanket
+    * Tables-level, then helper-level) measured broad application as a
+    * net LOSS. The exchange only repays where (a) the per-row work is
+    * extreme (substring explosion, shingle HOFs, failure-path
+    * try_cast) AND (b) the spread subtree is evaluated exactly once —
+    * inside a Checkpoints.pin build or a single-consumer plan. Put
+    * under a subtree that several plan branches re-evaluate
+    * (minhashSigs/simhashPairs-style shared helpers), the inserted
+    * exchange defeated AQE's runtime stage dedup and multiplied the
+    * heavy work by the branch count (measured: minhash family CPU
+    * 4→24 s); in cheap typed pipelines the extra stage's per-task
+    * overhead alone regressed fixture-scale wall 2-4×. Call sites
+    * with MEASURED wins opt in; everything else keeps the
+    * exchange-free scan. Width follows `defaultParallelism` (never a
+    * constant), and results are partitioning-invariant by engine
+    * convention (PartitionInvarianceSpec).
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     check(name, spark.read.parquet(s"$dir/$name.parquet"))
 

@@ -187,8 +187,12 @@ object FunctionQueries {
         .orderBy(col("status_or_null").asc_nulls_first)),
 
     // try_cast family: safe casts that would throw under ANSI.
+    // spread: every o_orderstatus row takes try_cast's FAILURE path
+    // (a caught NumberFormatException per row); on the single-row-
+    // group fixture that cost is serial — measured 1.26→0.70 s spread
+    // across cores.
     "cast_try" -> ((s, d) =>
-      orders(s, d)
+      graft.Tables.spread(orders(s, d))
         .select(
           substring(col("o_orderpriority"), 1, 1)
             .try_cast("int")

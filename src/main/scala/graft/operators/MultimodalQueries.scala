@@ -365,11 +365,15 @@ object MultimodalQueries {
             element_at(col("wsums"), j + 1).as(s"s$j")): _*)
         .withColumn("total",
           (0 until 16).map(j => col(s"s$j")).reduce(_ + _))
-      val ah = withS.select(
+      // Pinned: the (doc_id, ahash) frame feeds BOTH sides of the
+      // band self-join below — as a plain subtree each side re-ran
+      // the synthesize→decode over the corpus (the pinnedThumbFeatures
+      // rationale; 5000 rows of (long, long) is the whole pin).
+      val ah = graft.Checkpoints.pin(withS.select(
         col("doc_id"),
         (0 until 16).map(j =>
           when(col(s"s$j") * 16 > col("total"), lit(1L << j))
-            .otherwise(0L)).reduce(_ + _).as("ahash"))
+            .otherwise(0L)).reduce(_ + _).as("ahash")))
       val bands = ah.select(
         col("doc_id"), col("ahash"),
         explode(array((0 until 4).map(b =>

@@ -536,22 +536,26 @@ object SimilarityQueries {
         .select("qid", "vec_id")
         .join(exact5, Seq("qid", "vec_id"), "left_semi")
         .count()
-      val adcCand = pqAdcScores(s, d).count()
-      // SHARED with ann_report's ivf_p2 row — the one candidate frame
-      // both reports consume, previously pinned independently.
-      val ivfCand =
-        pinnedFrame(s, d, "cand_ivf_p2")(ivfCandidates(s, d, 2))
-          .count()
+      // The candidate-volume counts and the four config rows are
+      // independent bounded actions — overlapped ([[inParallel]])
+      // instead of paying each job's tail before the next starts.
+      val Seq(adcCand, ivfCand) = inParallel[Long](Seq(
+        () => pqAdcScores(s, d).count(),
+        // SHARED with ann_report's ivf_p2 row — the one candidate
+        // frame both reports consume, previously pinned
+        // independently.
+        () => pinnedFrame(s, d, "cand_ivf_p2")(ivfCandidates(s, d, 2))
+          .count()))
       def row(name: String, cand: Long, top: DataFrame) = {
         val t = top.select("qid", "vec_id")
         (name, cand, t.count(), hits(t))
       }
-      val rows = Seq(
-        row("pq_adc", adcCand, queries("pq_topk")(s, d)),
-        row("pq_rerank", adcCand, queries("pq_topk_rerank")(s, d)),
-        row("ivfpq", ivfCand, queries("ivfpq_topk")(s, d)),
-        row("ivfpq_residual", ivfCand,
-          queries("ivfpq_residual_topk")(s, d)))
+      val rows = inParallel[(String, Long, Long, Long)](Seq(
+        () => row("pq_adc", adcCand, queries("pq_topk")(s, d)),
+        () => row("pq_rerank", adcCand, queries("pq_topk_rerank")(s, d)),
+        () => row("ivfpq", ivfCand, queries("ivfpq_topk")(s, d)),
+        () => row("ivfpq_residual", ivfCand,
+          queries("ivfpq_residual_topk")(s, d))))
       s.createDataFrame(rows)
         .toDF("config", "n_candidates", "n_results", "n_hits_at5")
         .orderBy("config")
@@ -583,8 +587,6 @@ object SimilarityQueries {
       // definitionally brute5 — never score the exhaustive candidate
       // set a second time.
       val bruteN = brute5.count()
-      val bruteRow =
-        ("brute", bruteCandidates(s, d).count(), bruteN, bruteN)
       val configs: Seq[(String, () => DataFrame)] = Seq(
         "ivf_p1" -> (() => ivfCandidates(s, d, 1)),
         "ivf_p2" -> (() => ivfCandidates(s, d, 2)),
@@ -592,13 +594,22 @@ object SimilarityQueries {
         "lsh_t1_r1" -> (() => lshCandidates(s, d, 1, 1)),
         "lsh_t2_r2" ->
           (() => lshCandidates(s, d, NTables, ProbeRadius)))
-      val rows = bruteRow +: configs.map { case (name, cand0) =>
-        val cand = pinnedFrame(s, d, s"cand_$name")(cand0())
-        val top5 = pinnedFrame(s, d, s"top5_$name")(
-          scoreCandidates(s, d, cand).select("qid", "vec_id"))
-        val hits = top5.join(brute5, Seq("qid", "vec_id"), "left_semi")
-        (name, cand.count(), top5.count(), hits.count())
-      }
+      // The brute volume count and the five config chains are
+      // independent — overlapped ([[inParallel]]); each config's
+      // pin→count→hits stays sequential inside its thunk.
+      val rows = inParallel[(String, Long, Long, Long)](
+        (() =>
+          ("brute", bruteCandidates(s, d).count(), bruteN, bruteN)) +:
+          configs.map { case (name, cand0) =>
+            () => {
+              val cand = pinnedFrame(s, d, s"cand_$name")(cand0())
+              val top5 = pinnedFrame(s, d, s"top5_$name")(
+                scoreCandidates(s, d, cand).select("qid", "vec_id"))
+              val hits =
+                top5.join(brute5, Seq("qid", "vec_id"), "left_semi")
+              (name, cand.count(), top5.count(), hits.count())
+            }
+          })
       s.createDataFrame(rows)
         .toDF("config", "n_candidates", "n_results", "n_hits_at5")
         .orderBy("config")
@@ -1394,6 +1405,12 @@ object SimilarityQueries {
       .getOrCompute(s, d)(
         new java.util.concurrent.ConcurrentHashMap[String, DataFrame])
       .computeIfAbsent(name, _ => graft.Checkpoints.pin(mk))
+
+  /** See [[graft.Par.inParallel]] — the report queries are chains of
+    * bounded count() actions, overlapped instead of sequenced.
+    */
+  private def inParallel[T](thunks: Seq[() => T]): Seq[T] =
+    graft.Par.inParallel(thunks)
 
   /** PQ reconstruction memo: five queries (pq_topk, pq_topk_rerank,
     * ivfpq_topk, ivfpq_rerank, pq_report) and pq_report's multiple

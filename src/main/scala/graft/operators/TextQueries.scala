@@ -252,7 +252,10 @@ object TextQueries {
     * (count desc, piece asc).
     */
   private def wordpieceVocab(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    // spread: the 2..4-char substring explosion below is the heaviest
+    // per-row expression in the text family (measured 1.26→0.89 s when
+    // the single-row-group scan stops pinning it to one core).
+    graft.Tables.spread(documents(s, d).select(col("text")))
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .select(explode(flatten(
@@ -807,35 +810,53 @@ object TextQueries {
     // build serves all four configs and both sides of the scoring
     // join.
     "lsh_param_sweep" -> ((s, d) => {
-      val sig = minhashSigs(s, d)
-      val cands = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map {
+      // Pinned once per invocation: the signature aggregation feeds
+      // the 15 per-config band projections AND both sides of the
+      // scoring join — as a plain plan subtree every consumer
+      // re-ran the tokenize+groupBy build (measured 31.5 CPU-s for a
+      // 4.1 s query in the r18 baseline floors).
+      val sig = Checkpoints.pin(minhashSigs(s, d))
+      // All four configs' band keys in ONE pass — explode over the 15
+      // (bands, band, key) structs per doc instead of a 15-branch
+      // union — and ONE shared bucket-size/semi-join/self-join/
+      // distinct chain keyed by (bands, band, key). Configs are
+      // disjoint on the `bands` token, so each config's candidate set
+      // is exactly the per-config chain's; the explicit repartition
+      // lets the count pass, the semi join and the pair join all read
+      // a single exchange (the minhashCandidatePairs pattern).
+      val structs = Seq((8, 1), (4, 2), (2, 4), (1, 8)).flatMap {
         case (nb, r) =>
-          val bands = (0 until nb).map { j =>
-            sig.select(
-              col("doc_id"),
+          (0 until nb).map { j =>
+            struct(
               lit(nb.toLong).as("bands"),
               lit(j).as("band"),
               concat_ws("_",
                 (0 until r).map(k => col(s"h${j * r + k}")): _*)
                 .as("key"))
-          }.reduce(_ unionByName _)
-          val ok = bands
-            .groupBy("band", "key")
-            .agg(count(lit(1)).as("n"))
-            .filter(col("n").between(2, BucketCap))
-            .select("band", "key")
-          val small = bands.join(ok, Seq("band", "key"), "left_semi")
-          small
-            .select(col("bands"), col("band"), col("key"),
-              col("doc_id").as("a"))
-            .join(
-              small.select(col("band"), col("key"),
-                col("doc_id").as("b")),
-              Seq("band", "key"))
-            .filter(col("a") < col("b"))
-            .select(col("bands"), col("a"), col("b"))
-            .distinct()
-      }.reduce(_ unionByName _)
+          }
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(structs: _*)).as("bk"))
+        .select(col("bk.bands").as("bands"), col("bk.band").as("band"),
+          col("bk.key").as("key"), col("doc_id"))
+        .repartition(col("bands"), col("band"), col("key"))
+      val ok = bands
+        .groupBy("bands", "band", "key")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, BucketCap))
+        .select("bands", "band", "key")
+      val small =
+        bands.join(ok, Seq("bands", "band", "key"), "left_semi")
+      val cands = small
+        .select(col("bands"), col("band"), col("key"),
+          col("doc_id").as("a"))
+        .join(
+          small.select(col("bands"), col("band"), col("key"),
+            col("doc_id").as("b")),
+          Seq("bands", "band", "key"))
+        .filter(col("a") < col("b"))
+        .select(col("bands"), col("a"), col("b"))
+        .distinct()
       val sa = sig.toDF("a" +: (0 until 8).map(i => s"a$i"): _*)
       val sb = sig.toDF("b" +: (0 until 8).map(i => s"b$i"): _*)
       val matches = (0 until 8)
@@ -1398,16 +1419,25 @@ object TextQueries {
     // fraction of a document's word-3-grams that are repeats of an
     // earlier 3-gram in the same document. Boilerplate and looping
     // generations score high; one expression pass, no shuffle.
+    // Shape note (r18): the straightforward project+filter form made
+    // Catalyst push `size(sh) >= 1` below the projection and collapse
+    // the alias, so the whole shingle HOF — and the regex split
+    // inside it, which the CASE re-evaluates per reference — ran
+    // 6-8× per row (2.5 s at sf0.1, plan audited). explode evaluates
+    // the transform ONCE per row (empty arrays drop exactly like the
+    // old size≥1 filter) and the counts aggregate instead of
+    // re-walking arrays; spread() unpins the per-row work from the
+    // single-row-group scan. Same rows, same order.
     "repetition_score" -> ((s, d) =>
-      documents(s, d)
+      graft.Tables.spread(
+        documents(s, d).select(col("doc_id"), col("text")))
         .select(
           col("doc_id"),
-          wordShingles(tokens(col("text")), 3).as("sh"))
-        .filter(size(col("sh")) >= 1)
-        .select(
-          col("doc_id"),
-          size(col("sh")).as("n_shingles"),
-          size(array_distinct(col("sh"))).as("n_distinct"))
+          explode(wordShingles(tokens(col("text")), 3)).as("sh"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("int").as("n_shingles"),
+          countDistinct(col("sh")).cast("int").as("n_distinct"))
         .withColumn(
           "repetition",
           (col("n_shingles") - col("n_distinct")).cast("double") /
@@ -1620,11 +1650,16 @@ object TextQueries {
     // are the memoized fixpoint, the keep-first key is the already-
     // shuffled norm key, and no stage re-reads the corpus.
     "curation_pipeline" -> ((s, d) => {
-      val base = documents(s, d).select(
+      // Pinned (r18): five stage rows + the dedup joins all branch
+      // from this frame — as a plain subtree each branch re-ran the
+      // tokenize/normalize/quality expressions over the corpus (38
+      // regex-split sites in the audited plan). One evaluation, one
+      // bounded (doc_id, n_toks, norm, q) frame.
+      val base = Checkpoints.pin(documents(s, d).select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_toks"),
         normText(col("text")).as("norm"),
-        qualityKeep.as("q"))
+        qualityKeep.as("q")))
       val quality = base.filter(col("q"))
       val keepFirst = quality
         .groupBy("norm")
@@ -1685,10 +1720,13 @@ object TextQueries {
     // training set". One scan + the memoized cluster labels + three
     // key-local left joins.
     "curation_provenance" -> ((s, d) => {
-      val base = documents(s, d).select(
+      // Pinned (r18): same rationale as curation_pipeline's base —
+      // the disposition branches below re-ran the normalize/quality
+      // expressions per consumer.
+      val base = Checkpoints.pin(documents(s, d).select(
         col("doc_id"),
         normText(col("text")).as("norm"),
-        qualityKeep.as("q"))
+        qualityKeep.as("q")))
       val minq = base.filter(col("q"))
         .groupBy("norm").agg(min(col("doc_id")).as("first_id"))
       val exactKeep = base.filter(col("q"))
@@ -1945,7 +1983,11 @@ object TextQueries {
       // and the two verification sides) — pinned so the corpus is
       // shingled ONCE, not per consumer (measured 5.5 s → one scan
       // in the sf0.1 sweep).
-      val rows = Checkpoints.pin(documents(s, d)
+      // spread (r18): the shingle explode is the pin's dominant cost
+      // (round-13 stage probe: 3.4-5.6 s) and the single-row-group
+      // scan ran it on one core.
+      val rows = Checkpoints.pin(graft.Tables.spread(
+        documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(wordShingles(tokens(col("text")), 3)).as("sh"))
         .select(col("doc_id"), hash60(col("sh")).as("tok"))
@@ -2697,15 +2739,19 @@ object TextQueries {
       // Pinned per-signal edge frames: the clustering AND the edge
       // counts both consume them, and the simhash band join is too
       // expensive to recompute per action (jaccardPairs is already
-      // memoized; exact/simhash get the same treatment here).
-      val exactE = Checkpoints.pin(fp.join(reps, Seq("fp"))
-        .filter(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("src"), col("doc_id").as("dst")))
-      val jacE = jaccardPairs(s, d)
-        .filter(col("jaccard") >= 0.9)
-        .select(col("a").as("src"), col("b").as("dst"))
-      val shE = Checkpoints.pin(simhashPairs(s, d)
-        .select(col("a").as("src"), col("b").as("dst")))
+      // memoized; exact/simhash get the same treatment here). The
+      // three materializations are independent — overlapped
+      // (guide §2.6 via graft.Par) instead of paying each build's
+      // straggler tail before the next starts.
+      val Seq(exactE, jacE, shE) = graft.Par.inParallel[DataFrame](Seq(
+        () => Checkpoints.pin(fp.join(reps, Seq("fp"))
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("src"), col("doc_id").as("dst"))),
+        () => jaccardPairs(s, d)
+          .filter(col("jaccard") >= 0.9)
+          .select(col("a").as("src"), col("b").as("dst")),
+        () => Checkpoints.pin(simhashPairs(s, d)
+          .select(col("a").as("src"), col("b").as("dst")))))
       val comp = TwoStarCC.components(
         exactE.unionByName(jacE).unionByName(shE))
       val cstats = comp.groupBy("component")

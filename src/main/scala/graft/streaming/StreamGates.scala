@@ -57,23 +57,51 @@ object StreamGates {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(stageDir))
     val t0 = System.currentTimeMillis()
+    // ONE staging pass (previously n filter+coalesce(1) jobs, each
+    // re-scanning and re-computing the source frame): the slice id
+    // is derived per row from the SAME integer boundaries the
+    // filters used, the frame is repartitioned BY slice so each
+    // dynamic-partition dir receives exactly one file (a slice's
+    // rows live in exactly one task), and the files then move into
+    // the flat mtime-ordered layout the replay contract expects.
+    val boundaries = (1 until n).map(i => i * maxKey / n)
+    val sliceCol = boundaries.zipWithIndex.foldLeft(
+      org.apache.spark.sql.functions.lit(0)) { case (acc, (b, i)) =>
+      org.apache.spark.sql.functions
+        .when(col(keyCol) >= b, i + 1).otherwise(acc)
+    }
+    val tmp = s"$stageDir-tmp"
+    df.filter(col(keyCol) >= 0L)
+      .withColumn("__slice", sliceCol)
+      .repartition(col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
     (0 until n).foreach { i =>
-      val tmp = s"$stageDir-tmp-$i"
-      df
-        .filter(col(keyCol) >= i * maxKey / n &&
-          col(keyCol) < (i + 1) * maxKey / n)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
+      val pdir = new java.io.File(s"$tmp/__slice=$i")
       val dst =
         java.nio.file.Paths.get(stageDir, f"slice_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
+      if (pdir.isDirectory) {
+        val part = pdir.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, dst)
+      } else {
+        // Empty slice (no keys in its range): the dynamic writer
+        // skips the dir, but the replay contract needs one file per
+        // micro-batch — write the empty frame the old per-slice
+        // path produced.
+        val tmpE = s"$stageDir-tmp-empty-$i"
+        df.filter(org.apache.spark.sql.functions.lit(false))
+          .coalesce(1).write.mode("overwrite").parquet(tmpE)
+        val part = new java.io.File(tmpE).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, dst)
+        graft.Fs.deleteRecursively(tmpE)
+      }
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
-      graft.Fs.deleteRecursively(tmp)
     }
+    graft.Fs.deleteRecursively(tmp)
     stageDir
   }
 }

@@ -186,19 +186,45 @@ object StreamNearDup {
       java.nio.file.Paths.get(stageDir))
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-    slices.zipWithIndex.foreach { case ((sfx, cond), i) =>
-      val tmp = s"$stageDir-tmp-$sfx"
-      docs.filter(cond).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
+    // ONE staging pass (previously one filter+coalesce(1) job per
+    // slice, each re-scanning documents): the slice id is the first
+    // matching condition (the slices are disjoint doc_id ranges, so
+    // first-match ≡ the old per-slice filters), rows matching no
+    // slice are dropped exactly as before, and repartition BY slice
+    // gives each dynamic-partition dir exactly one file.
+    val sliceCol = slices.zipWithIndex.reverse
+      .foldLeft(lit(null).cast("int")) { case (acc, ((_, cond), i)) =>
+        when(cond, lit(i)).otherwise(acc)
+      }
+    val tmp = s"$stageDir-tmp"
+    docs.withColumn("__slice", sliceCol)
+      .filter(col("__slice").isNotNull)
+      .repartition(col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
+    slices.zipWithIndex.foreach { case ((sfx, _), i) =>
       val dst = java.nio.file.Paths.get(stageDir, s"docs_$sfx.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
+      val pdir = new java.io.File(s"$tmp/__slice=$i")
+      if (pdir.isDirectory) {
+        val part = pdir.listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, dst)
+      } else {
+        // Empty slice: the dynamic writer skips the dir; the replay
+        // contract still needs one (empty) file per micro-batch.
+        val tmpE = s"$stageDir-tmp-empty-$sfx"
+        docs.filter(lit(false)).coalesce(1)
+          .write.mode("overwrite").parquet(tmpE)
+        val part = new java.io.File(tmpE).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, dst)
+        graft.Fs.deleteRecursively(tmpE)
+      }
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
-      graft.Fs.deleteRecursively(tmp)
     }
+    graft.Fs.deleteRecursively(tmp)
   }
 
   /** Stage all four slices fresh (the single-run gate's input). */
@@ -222,6 +248,12 @@ object StreamNearDup {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
+      // spread (r18): each micro-batch is ONE staged file = one input
+      // partition, so the 8-slot signature HOFs below otherwise run
+      // single-threaded per batch (~20 CPU-s across the replay).
+      // Streams run without AQE and this subtree has one consumer, so
+      // the stage-dedup caveat in Tables.spread does not apply.
+      .repartition(spark.sparkContext.defaultParallelism)
     bandRows(stream)
       .as[BandRow]
       .groupByKey(r => (r.band, r.key))
