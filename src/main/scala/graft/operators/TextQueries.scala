@@ -212,10 +212,13 @@ object TextQueries {
       .map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val sim = tok
+    // Pinned (r18): the band self-join below reads this frame through
+    // both join sides — each side re-ran the tokenize + 32 bit-sum
+    // aggregation. One row per doc (2 longs).
+    val sim = Checkpoints.pin(tok
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), assembled.cast("long").as("simhash"))
+      .select(col("doc_id"), assembled.cast("long").as("simhash")))
     val bandRows = sim
       .select(
         col("doc_id"),
@@ -661,7 +664,13 @@ object TextQueries {
       .withColumn("h", hash60(col("tok")))
     val aggs = (0 until 8).map(i =>
       min(minhashSlot(col("h"), i)).as(s"h$i"))
-    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // Pinned (r18): every consumer reads the signature frame through
+    // several plan branches (4 band projections + both scoring sides),
+    // each of which re-ran the tokenize+min-slot aggregation — e.g.
+    // incremental_neardup evaluated it ~6×. The frame is one row per
+    // doc (9 longs), so the eager materialization is far cheaper than
+    // a single re-evaluation.
+    Checkpoints.pin(tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
   }
 
   /** (doc_id, band, key) LSH band keys from 8-slot signatures:
@@ -810,12 +819,11 @@ object TextQueries {
     // build serves all four configs and both sides of the scoring
     // join.
     "lsh_param_sweep" -> ((s, d) => {
-      // Pinned once per invocation: the signature aggregation feeds
-      // the 15 per-config band projections AND both sides of the
-      // scoring join — as a plain plan subtree every consumer
-      // re-ran the tokenize+groupBy build (measured 31.5 CPU-s for a
-      // 4.1 s query in the r18 baseline floors).
-      val sig = Checkpoints.pin(minhashSigs(s, d))
+      // minhashSigs pins internally (r18) — the 15 per-config band
+      // projections and both scoring sides read one materialization
+      // (previously every branch re-ran the tokenize+groupBy build:
+      // 31.5 CPU-s for a 4.1 s query in the r18 baseline floors).
+      val sig = minhashSigs(s, d)
       // All four configs' band keys in ONE pass — explode over the 15
       // (bands, band, key) structs per doc instead of a 15-branch
       // union — and ONE shared bucket-size/semi-join/self-join/
@@ -1884,8 +1892,12 @@ object TextQueries {
     "bigram_lm_score" -> ((s, d) => {
       val toksDf = documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val bg = toksDf.select(col("doc_id"),
-        explode(wordShingles(col("toks"), 2)).as("bg"))
+      // Pinned (r18): the bigram rows feed the model counts AND the
+      // scoring join — as a plain subtree the tokenize+shingle
+      // explode ran per consumer (8 regex-split sites in the audited
+      // plan).
+      val bg = Checkpoints.pin(toksDf.select(col("doc_id"),
+        explode(wordShingles(col("toks"), 2)).as("bg")))
       val c2 = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
       val c1 = toksDf.select(explode(col("toks")).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("cw"))

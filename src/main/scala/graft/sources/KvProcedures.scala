@@ -51,6 +51,34 @@ object KvProcedures {
     require(KvBucketing.readMetaFull(dir.toString).snapshots,
       s"$table is not a snapshotted table " +
         "(TBLPROPERTIES ('snapshots'='true'))")
+
+  /** Run a layout rewrite with a TIGHT range-exchange sample.
+    *
+    * Every `repartitionByRange` below derives its partition
+    * boundaries from a per-partition sample (default hint: 100 keys/
+    * partition). At production row counts the sampling error is
+    * noise, but a LAYOUT REWRITE's whole product is its boundaries —
+    * skewed samples at small-to-medium partition sizes yield files
+    * whose key ranges are wider than the data requires, which
+    * directly loosens the zone maps the rewrite exists to tighten
+    * (observed: the sf0.001 cluster gate's probe intersected 4 of 8
+    * files where exact boundaries intersect 2). A 10_000-key hint
+    * keeps boundaries near-exact; the driver-side sample stays
+    * bounded regardless (RangePartitioner caps the TOTAL sample at
+    * 1e6 keys ≈ 8 MB), so this is safe at any scale and costs only
+    * the sampling pass the exchange already runs.
+    */
+  private[sources] def withTightRangeSample[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "10000")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 /** `system.cluster` — sort-by-key layout rewrite:
@@ -143,17 +171,19 @@ class KvClusterProcedure(cat: KvCatalog)
         // rewrite scanned — a concurrent commit interleaving would
         // otherwise be dropped by the overwrite AND hidden from CDC
         val v0 = KvSnapshots.latest(dir.toString).getOrElse(0)
-        spark.read
-          .format("graft.sources.KvJsonlSink")
-          .load(dir.toString)
-          .repartitionByRange(target, col(keyName))
-          .sortWithinPartitions(keyName)
-          .write
-          .format("graft.sources.KvJsonlSink")
-          .option("maintenance", "true")
-          .option("maintenance_base", v0.toString)
-          .mode("overwrite")
-          .save(dir.toString)
+        KvProcedures.withTightRangeSample(spark) {
+          spark.read
+            .format("graft.sources.KvJsonlSink")
+            .load(dir.toString)
+            .repartitionByRange(target, col(keyName))
+            .sortWithinPartitions(keyName)
+            .write
+            .format("graft.sources.KvJsonlSink")
+            .option("maintenance", "true")
+            .option("maintenance_base", v0.toString)
+            .mode("overwrite")
+            .save(dir.toString)
+        }
         val after = dataFileCount
         val version = KvSnapshots.latest(dir.toString).getOrElse(0)
         val nRows = spark.read
@@ -932,17 +962,20 @@ class KvZorderProcedure(cat: KvCatalog)
 
         val before = dataFileCount
         val v0 = KvSnapshots.latest(dir.toString).getOrElse(0)
-        df.withColumn("_z",
-            morton16(coord(zcols(0), 0, 1), coord(zcols(1), 2, 3)))
-          .repartitionByRange(target, col("_z"))
-          .sortWithinPartitions("_z")
-          .select(schema.map(c => col(c.name)): _*)
-          .write
-          .format("graft.sources.KvJsonlSink")
-          .option("maintenance", "true")
-          .option("maintenance_base", v0.toString)
-          .mode("overwrite")
-          .save(dir.toString)
+        KvProcedures.withTightRangeSample(
+          org.apache.spark.sql.SparkSession.active) {
+          df.withColumn("_z",
+              morton16(coord(zcols(0), 0, 1), coord(zcols(1), 2, 3)))
+            .repartitionByRange(target, col("_z"))
+            .sortWithinPartitions("_z")
+            .select(schema.map(c => col(c.name)): _*)
+            .write
+            .format("graft.sources.KvJsonlSink")
+            .option("maintenance", "true")
+            .option("maintenance_base", v0.toString)
+            .mode("overwrite")
+            .save(dir.toString)
+        }
         val after = dataFileCount
         val version = KvSnapshots.latest(dir.toString).getOrElse(0)
         val nRows = spark.read
@@ -1069,19 +1102,21 @@ class KvRewriteBucketsProcedure(cat: KvCatalog)
         // global-key distribution (which AQE then coalesces). A plain
         // key sort per task keeps every routed bucket file ascending.
         val v0 = KvSnapshots.latest(dir.toString).getOrElse(0)
-        (if (perBucket == 1)
-          src.repartition(n, bucketExpr)
-        else
-          src.repartitionByRange(
-            n * perBucket, bucketExpr, col(keyName)))
-          .sortWithinPartitions(col(keyName))
-          .write
-          .format("graft.sources.KvJsonlSink")
-          .option("layout_rewrite", "true")
-          .option("maintenance", "true")
-          .option("maintenance_base", v0.toString)
-          .mode("overwrite")
-          .save(dir.toString)
+        KvProcedures.withTightRangeSample(spark) {
+          (if (perBucket == 1)
+            src.repartition(n, bucketExpr)
+          else
+            src.repartitionByRange(
+              n * perBucket, bucketExpr, col(keyName)))
+            .sortWithinPartitions(col(keyName))
+            .write
+            .format("graft.sources.KvJsonlSink")
+            .option("layout_rewrite", "true")
+            .option("maintenance", "true")
+            .option("maintenance_base", v0.toString)
+            .mode("overwrite")
+            .save(dir.toString)
+        }
         val (filesAfter, delsAfter) = counts
         require(delsAfter == 0,
           s"rewrite_buckets of $table left delete files behind")
@@ -1232,19 +1267,21 @@ class KvRebucketProcedure(cat: KvCatalog)
           .format("graft.sources.KvJsonlSink")
           .load(dir.toString)
         val v0 = KvSnapshots.latest(dir.toString).getOrElse(0)
-        (if (perBucket == 1)
-          src.repartition(newN, bucketExpr)
-        else
-          src.repartitionByRange(
-            newN * perBucket, bucketExpr, col(keyName)))
-          .sortWithinPartitions(col(keyName))
-          .write
-          .format("graft.sources.KvJsonlSink")
-          .option("layout_rewrite", "true")
-          .option("maintenance", "true")
-          .option("maintenance_base", v0.toString)
-          .mode("overwrite")
-          .save(dir.toString)
+        KvProcedures.withTightRangeSample(spark) {
+          (if (perBucket == 1)
+            src.repartition(newN, bucketExpr)
+          else
+            src.repartitionByRange(
+              newN * perBucket, bucketExpr, col(keyName)))
+            .sortWithinPartitions(col(keyName))
+            .write
+            .format("graft.sources.KvJsonlSink")
+            .option("layout_rewrite", "true")
+            .option("maintenance", "true")
+            .option("maintenance_base", v0.toString)
+            .mode("overwrite")
+            .save(dir.toString)
+        }
 
         // (3) PUBLISH: flip the count, clear the quarantine, pin the
         // generation boundary at the rewrite's committed version.
