@@ -210,10 +210,17 @@ object FlagshipQueries {
     // oracle as the batch flagship.
     "flagship_stream" -> ((spark, _) => {
       val id = java.util.UUID.randomUUID().toString.replace("-", "")
-      graft.streaming.StreamingFlagship.flagshipReport(
-        spark,
-        graft.Fs.sinkDir("graft_flagship_snaps"),
-        "flagship_stream_" + id)
+      // withStateParts (r19): the complete-mode aggregation holds
+      // O(titles) state — at the session's cluster-shaped partition
+      // count every micro-batch paid 32 state-store load/commit
+      // cycles for kilobytes of state (see StreamGates doc; every
+      // other stateful gate already runs under this wrapper).
+      graft.streaming.StreamGates.withStateParts(spark) {
+        graft.streaming.StreamingFlagship.flagshipReport(
+          spark,
+          graft.Fs.sinkDir("graft_flagship_snaps"),
+          "flagship_stream_" + id)
+      }
     }),
 
     // S10: union-all accumulation — per-source row counts.

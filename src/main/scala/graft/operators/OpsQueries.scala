@@ -564,6 +564,11 @@ object OpsQueries {
       val n = nodes.count()
       val r0 = nodes.withColumn("r", lit(1000000000000L / n))
       val base = 150000000000L / n
+      // NOT hoisted (r19 A/B): pre-joining edges ⋈ degs into one
+      // pinned table measured 2.58 → 3.22 s — the per-round degs join
+      // is a cheap broadcast over an already-pinned frame, and the
+      // hoisted table's eager materialization cost more than five of
+      // them.
       val r5 = (1 to 5).foldLeft(r0) { (r, _) =>
         edges
           .join(r.withColumnRenamed("node", "src"), Seq("src"))
@@ -974,6 +979,10 @@ object OpsQueries {
               col("wgt"))))
       val d0 = s.range(1)
         .select(lit(3L).as("node"), lit(0L).as("dist"))
+      // NOT pinned per round (r19 A/B): the 2³ duplicate relaxation
+      // subtrees (19.9 CPU-s for 2.6 s wall) evaluate as concurrent
+      // independent stages; per-round pins measured 2.86 → 3.44 s —
+      // serialization cost exceeded the recompute saved.
       val dk = (1 to 3).foldLeft(d0.toDF) { (dist, _) =>
         val relaxed = edges
           .join(dist.withColumnRenamed("node", "src"), Seq("src"))
@@ -998,6 +1007,11 @@ object OpsQueries {
     "kcore" -> ((s, d) => {
       val k = 5
       val edges0 = purchaseEdges(s, d)
+      // NOT pinned per round (r19 A/B): the fold's 3³ duplicate
+      // subtree evaluations (18.7 CPU-s for 1.6 s wall) run as
+      // CONCURRENT independent stages, so per-round pins measured
+      // 1.75 → 1.89 s — the eager materializations serialized the
+      // rounds for no wall win at the measured scale.
       val peeled = (1 to 3).foldLeft(edges0) { (edges, _) =>
         val alive = edges.groupBy("src")
           .agg(count(lit(1)).as("deg"))
@@ -1189,8 +1203,15 @@ object OpsQueries {
       def maxNorm(df: DataFrame, v: String): DataFrame = {
         val m = df.agg(max(col(v)).as("mx"))
         val keep = df.columns.filter(_ != v).map(col).toSeq
-        df.crossJoin(broadcast(m))
-          .select(keep :+ expr(s"(1000000 * $v) DIV mx").as(v): _*)
+        // Pinned (r19): each normalized frame is consumed by BOTH the
+        // next round's join and (for the last round) the report union,
+        // and the norm itself reads `df` twice (max + rescale) — an
+        // unpinned chain re-evaluated the full prior-round subtree per
+        // reference, doubling work at every maxNorm (2 rounds × 2
+        // norms ≈ 16× the round-1 join work in the final plan). The
+        // frames are O(nodes) of two longs.
+        Checkpoints.pin(df.crossJoin(broadcast(m))
+          .select(keep :+ expr(s"(1000000 * $v) DIV mx").as(v): _*))
       }
       val h0 = cp.select("c").distinct()
         .withColumn("h", lit(1000000L))

@@ -905,6 +905,11 @@ object SimilarityQueries {
       val q = embeddings(s, d)
         .filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      // NOT restructured (r19 A/B): pinning shared dense/BM25 rankings
+      // and deriving all three systems from the pins measured
+      // 2.37 → 2.83 s — the duplicated scorers were already running
+      // concurrently as independent plan branches, so the eager pins
+      // only serialized the critical path.
       val dense = broadcast(q)
         .join(embeddings(s, d).select(col("vec_id"), col("embedding")),
           col("qid") =!= col("vec_id"))
@@ -1231,6 +1236,10 @@ object SimilarityQueries {
   private def kmeansQueries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_refine" -> ((s, d) => {
+      // NOT pinned (r19 A/B): pinning the quantized frame measured
+      // 1.22 → 2.04 s — the five consuming branches evaluate the
+      // posexplode CONCURRENTLY as independent stages, so the eager
+      // materialization only serialized them.
       val q = embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(

@@ -1454,10 +1454,42 @@ object SourceQueries {
       graft.sources.KvZoneMap.prunedFiles.set(0)
       val rows = s.sql(probe).collect()
       val prunedAfter = graft.sources.KvZoneMap.prunedFiles.get()
-      require(prunedAfter >= 6,
-        s"catalog_cluster_zonemap: only $prunedAfter of 8 files " +
-          "zone-map skipped after clustering — disjoint key ranges " +
-          "should leave at most the boundary files")
+      // Scale-aware skip accounting (r19): the old literal `>= 6 of
+      // 8` is arithmetically impossible on a dense tiny keyspace
+      // (sf0.001's keys are 0..1499, so `key <= 1000` covers 2/3 of
+      // the domain and at most 2 perfectly clustered files CAN skip).
+      // The gate now proves the two real properties at any scale:
+      // (a) the clustered files' key ranges are pairwise DISJOINT —
+      // the layout system.cluster exists to produce — and (b) the
+      // probe skipped EXACTLY the files whose manifest stats license
+      // skipping (minKey > 1000 under `key <= 1000`).
+      val dirC = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/cluster_gate"
+      val statsC = graft.sources.KvSnapshots.dataFiles(
+        graft.sources.KvSnapshots.membersWithStats(dirC,
+          graft.sources.KvSnapshots.latest(dirC).get))
+      val rangedC = statsC
+        .filter(f => f.keysKnown && f.minKey.isDefined)
+        .sortBy(_.minKey.get)
+      rangedC.sliding(2).foreach {
+        case Seq(a, b) => require(a.maxKey.get < b.minKey.get,
+          s"catalog_cluster_zonemap: clustered files overlap — " +
+            s"${a.name} [${a.minKey.get}, ${a.maxKey.get}] vs " +
+            s"${b.name} [${b.minKey.get}, ${b.maxKey.get}]")
+        case _ => ()
+      }
+      val expectSkipC = statsC.count(f =>
+        f.rows == 0 || (f.keysKnown && f.minKey.forall(_ > 1000L)))
+      // The counter tallies skip EVENTS; one query evaluates its scan
+      // more than once (planning + execution), so the licensed count
+      // must divide the observed total, with a non-zero floor when
+      // anything is skippable.
+      require(
+        if (expectSkipC == 0) prunedAfter == 0
+        else prunedAfter >= expectSkipC &&
+          prunedAfter % expectSkipC == 0,
+        s"catalog_cluster_zonemap: $prunedAfter skip events after " +
+          s"clustering, but the manifest stats license exactly " +
+          s"$expectSkipC per scan — zone maps and layout disagree")
       s.createDataFrame(java.util.Arrays.asList(rows: _*),
         s.sql(probe).schema)
     }),
@@ -2112,9 +2144,43 @@ object SourceQueries {
            |FROM $t WHERE key < 10000
            |GROUP BY value ORDER BY value""".stripMargin)
       require(out.count() > 0, "catalog_sorted_write: empty result")
-      require(graft.sources.KvZoneMap.prunedFiles.get() > before,
-        "catalog_sorted_write: the key range skipped no files — the " +
-          "sorted write did not land disjoint ranges")
+      // Scale-aware skip accounting (r19): at sf0.001 EVERY key is
+      // below the probe's literal 10000, so no file can possibly be
+      // skipped and the old `pruned > 0` require was unsatisfiable.
+      // The gate now proves the actual sorted-write properties at any
+      // scale: (a) the written files' key ranges are pairwise
+      // DISJOINT (what 'write.sort' promises), and (b) the probe
+      // skipped EXACTLY the files whose manifest stats license it
+      // (minKey >= 10000 under `key < 10000`) — which at gate scale
+      // (sf0.01+) is the same non-zero skipping the old require
+      // asserted.
+      val prunedDelta = graft.sources.KvZoneMap.prunedFiles.get() - before
+      val dirS = s"${graft.Fs.sinkDir("graft_kv_wh")}/default/so_gate"
+      val statsS = graft.sources.KvSnapshots.dataFiles(
+        graft.sources.KvSnapshots.membersWithStats(dirS,
+          graft.sources.KvSnapshots.latest(dirS).get))
+      val rangedS = statsS
+        .filter(f => f.keysKnown && f.minKey.isDefined)
+        .sortBy(_.minKey.get)
+      rangedS.sliding(2).foreach {
+        case Seq(a, b) => require(a.maxKey.get < b.minKey.get,
+          s"catalog_sorted_write: sorted-write files overlap — " +
+            s"${a.name} [${a.minKey.get}, ${a.maxKey.get}] vs " +
+            s"${b.name} [${b.minKey.get}, ${b.maxKey.get}]")
+        case _ => ()
+      }
+      val expectSkipS = statsS.count(f =>
+        f.rows == 0 || (f.keysKnown && f.minKey.forall(_ >= 10000L)))
+      // Skip EVENTS, not files: the probe's scan is evaluated more
+      // than once (planning + execution), so the licensed per-scan
+      // count must divide the observed total (see the zonemap gate).
+      require(
+        if (expectSkipS == 0) prunedDelta == 0
+        else prunedDelta >= expectSkipS &&
+          prunedDelta % expectSkipS == 0,
+        s"catalog_sorted_write: $prunedDelta skip events across " +
+          s"${statsS.size} files but the manifest stats license " +
+          s"exactly $expectSkipS per scan")
       out
     }),
 

@@ -199,6 +199,10 @@ object TextQueries {
     * the `dedup_policy` union graph.
     */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    // NO spread (r19 A/B): spreading the pinned signature build
+    // measured wall-neutral across three runs (8.11 → 6.69/7.72/8.28,
+    // box noise) while DOUBLING process CPU (19.3 → 40.2 s) — and
+    // regressed standalone simhash_neardup 0.76 → 1.26 s outright.
     val tok = documents(s, d)
       .select(
         col("doc_id"),
@@ -478,27 +482,65 @@ object TextQueries {
         else {
           rounds += 1
           val budget = math.min(BpeBatchK, BpeRounds - merges.size)
+          // SEQUENTIAL-EXACT batching (r19; closes the documented
+          // sf0.001 tie+cascade divergence). A batch is the maximal
+          // PREFIX of the (n desc, pair asc)-sorted candidates that
+          // is provably what the sequential trainer would do next:
+          //   - STOP at the first candidate sharing a symbol with an
+          //     acceptance (the old code skipped it and kept
+          //     scanning; but a deferred pair outranks everything
+          //     below it, and a merge-created cascade pair is
+          //     count-bounded by some overlapping — hence deferred —
+          //     pair, so acceptances past a skip can be overtaken);
+          //   - TRIM trailing acceptances whose count ties the best
+          //     non-accepted candidate (a cascade pair can tie into
+          //     the window and win the lexicographic tiebreak).
+          // After the trim every acceptance beyond the argmax
+          // STRICTLY outcounts every non-accepted pair — and hence
+          // every pair a within-batch merge can create or grow —
+          // so the sequential trainer provably takes exactly this
+          // prefix, in this order, at these counts. Batches still
+          // fill when counts separate (the common case at real
+          // scale); on tie-dense degenerate corpora the trainer
+          // degrades toward one-merge-per-round and stays exact.
           val accepted =
             scala.collection.mutable.ArrayBuffer[(String, Long)]()
           val usedSyms = scala.collection.mutable.Set[String]()
+          var nextCount: Option[Long] = None
           val it = top.iterator
-          while (accepted.size < budget && it.hasNext) {
+          while (nextCount.isEmpty && accepted.size < budget &&
+              it.hasNext) {
             val row = it.next()
             val pair = row.getString(0)
             val syms = pair.split(" ")
-            if (!syms.exists(usedSyms)) {
+            if (syms.exists(usedSyms)) nextCount = Some(row.getLong(1))
+            else {
               accepted += ((pair, row.getLong(1)))
               usedSyms ++= syms
             }
           }
-          accepted.foreach { case (pair, n) =>
+          if (nextCount.isEmpty && it.hasNext)
+            nextCount = Some(it.next().getLong(1))
+          val safe = nextCount match {
+            case Some(nc) =>
+              var k = accepted.size
+              while (k > 1 && accepted(k - 1)._2 <= nc) k -= 1
+              accepted.take(k)
+            case None =>
+              // Candidate list exhausted at the batch boundary: no
+              // visibility past it, so only the argmax is provably
+              // sequential (never hit at gate scale — the list is
+              // oversampled 4× the budget).
+              accepted.take(1)
+          }
+          safe.foreach { case (pair, n) =>
             merges += ((merges.size + 1, pair, n))
           }
           val prev = words
           // ONE rewrite+re-aggregate pass applies the whole batch —
           // this is the job-count win: pair-count + rewrite once per
           // ROUND, not once per merge.
-          words = Checkpoints.pin(accepted.foldLeft(
+          words = Checkpoints.pin(safe.foldLeft(
             words.select(
               concat(lit(" "), col("w"), lit(" ")).as("w"),
               col("cnt"))) { case (df, (pair, _)) =>
@@ -656,7 +698,13 @@ object TextQueries {
           .otherwise("unknown"))
   }
 
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+  private def minhashSigs(
+      s: SparkSession, d: String, pin: Boolean = true): DataFrame = {
+    // NO spread here (r19 A/B): inserting the exchange below the pin
+    // build regressed the whole 10-query minhash family 1.2-1.7×
+    // (subset bench, same box) — the 8-slot min agg is cheap enough
+    // that the shuffled text + 32-task overhead costs more than the
+    // fused single-task tokenize it replaces.
     val tok = documents(s, d)
       .select(
         col("doc_id"),
@@ -664,13 +712,16 @@ object TextQueries {
       .withColumn("h", hash60(col("tok")))
     val aggs = (0 until 8).map(i =>
       min(minhashSlot(col("h"), i)).as(s"h$i"))
-    // Pinned (r18): every consumer reads the signature frame through
-    // several plan branches (4 band projections + both scoring sides),
-    // each of which re-ran the tokenize+min-slot aggregation — e.g.
-    // incremental_neardup evaluated it ~6×. The frame is one row per
-    // doc (9 longs), so the eager materialization is far cheaper than
-    // a single re-evaluation.
-    Checkpoints.pin(tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
+    val sig = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // Pinned (r18): every multi-branch consumer reads the signature
+    // frame through several plan branches (4 band projections + both
+    // scoring sides), each of which re-ran the tokenize+min-slot
+    // aggregation — e.g. incremental_neardup evaluated it ~6×. The
+    // frame is one row per doc (9 longs), so the eager materialization
+    // is far cheaper than a single re-evaluation. Callers whose plan
+    // reads the frame EXACTLY ONCE pass pin = false and skip the
+    // materialization overhead (r18 accepted regressions #1).
+    if (pin) Checkpoints.pin(sig) else sig
   }
 
   /** (doc_id, band, key) LSH band keys from 8-slot signatures:
@@ -1058,6 +1109,11 @@ object TextQueries {
     // docs), counts aggregate map-side, marginals join on the token
     // key, and n_ab ≥ 5 drops the unstable tail.
     "token_pmi" -> ((s, d) => {
+      // NOT pinned (r19 A/B, second attempt after r18's): pin+spread
+      // of this frame measured 1.63 → 3.30 s — the two consumer
+      // branches were evaluating the duplicate tokenize CONCURRENTLY
+      // (independent stages of one job), so the pin only serialized
+      // them and added a 2M-row materialization.
       val dt = documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(tokens(col("text")))).as("tok"))
@@ -1191,6 +1247,9 @@ object TextQueries {
     // bucket id and reduces per doc_id — one scan, one shuffle,
     // importance state never grows with corpus size.
     "dsir_weights" -> ((s, d) => {
+      // NOT pinned (r19 A/B re-confirming r18's revert): pin+spread
+      // measured flat (1.02×) — the duplicate tokenize branches run
+      // concurrently, so the pin buys nothing at the measured scale.
       val toks = documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(tokens(col("text"))).as("tok"))
@@ -2446,8 +2505,10 @@ object TextQueries {
     }),
 
     // MinHash signatures (8 slots) over distinct word unigrams.
+    // pin = false: the report consumes the signature frame exactly
+    // once, so the eager materialization is pure overhead here.
     "minhash_signatures" -> ((s, d) =>
-      minhashSigs(s, d).orderBy("doc_id")),
+      minhashSigs(s, d, pin = false).orderBy("doc_id")),
 
     // INCREMENTAL near-dup: the NEW batch (doc_id >= 250) screened
     // against the EXISTING corpus (doc_id < 250) — the steady-state
@@ -2938,6 +2999,12 @@ object TextQueries {
     // hash-pinned, not just bounded.
     "cms_estimate" -> ((s, d) => {
       val w = 16
+      // NOT pinned/spread (r19 A/B): pin+spread of this frame won
+      // ~0.5 s wall consistently (2.03 → 1.31-1.56 s) but at 10× the
+      // process CPU (2.0 → 21.6 s — exchange + eager materialization
+      // churn). A tenfold CPU bill for a sub-second wall win is the
+      // opposite of 100 TB readiness; reverted like the other
+      // concurrent-duplicate pins (see OPTIMIZATION_r19.md).
       val toks = documents(s, d)
         .select(explode(tokens(col("text"))).as("token"))
       val exact = toks.groupBy("token")

@@ -51,6 +51,46 @@ object EventReplayGate {
           col("event_type"),
           graft.operators.Money.cents(col("value"))).as("value"))
 
+  /** Stage `lines` as one TSV file per log partition (partition =
+    * event_id mod `n`) in ONE pass over the source — previously each
+    * partition ran its own filter + coalesce(1) write, re-computing
+    * the event-formatting scan n times (guide §2.4: one staging pass;
+    * the same single-pass rewrite StreamGates.stageSlices got in
+    * r18). Row routing is IDENTICAL to the old per-partition filters
+    * (`pmod(event_id, n) === p`), so each staged file's contents are
+    * byte-identical; only the number of jobs changed. Returns the
+    * per-partition file paths (partition i = i-th path).
+    */
+  private def stageLogParts(
+      lines: DataFrame, n: Int, base: String): IndexedSeq[String] = {
+    val tmp = s"$base/stage-tmp"
+    lines
+      .select(col("value"),
+        pmod(col("event_id"), lit(n)).cast("int").as("__p"))
+      .repartition(col("__p"))
+      .write.mode("overwrite").partitionBy("__p").text(tmp)
+    val out = (0 until n).map { p =>
+      val dstDir = java.nio.file.Paths.get(s"$base/stage/p$p")
+      java.nio.file.Files.createDirectories(dstDir)
+      val dst = dstDir.resolve("part-00000.txt")
+      val pdir = new java.io.File(s"$tmp/__p=$p")
+      if (pdir.isDirectory) {
+        val part = pdir.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        // No rows routed to this partition: the old per-partition
+        // path staged an empty file; preserve that exactly (the
+        // gates' `counts.forall(_ > 4)` require still fails loud).
+        java.nio.file.Files.write(dst, Array.emptyByteArray)
+      }
+      dst.toString
+    }
+    graft.Fs.deleteRecursively(tmp)
+    out
+  }
+
   /** Last committed offset of source 0 in a checkpoint: the offset
     * log's newest batch file is `v1`-header + metadata line + one
     * offset JSON line per source.
@@ -145,12 +185,7 @@ object EventReplayGate {
     val ckpt = s"$base/ckpt"
 
     val lines = eventLines(spark, dir)
-    val logs = (0 until NLogParts).map { p =>
-      stageLog(
-        lines.filter(pmod(col("event_id"), lit(NLogParts)) === p)
-          .select("value"),
-        s"$base/stage/p$p")
-    }
+    val logs = stageLogParts(lines, NLogParts, base)
     val counts = logs.map(l => spark.read.text(l).count())
     val total = counts.sum
     require(counts.forall(_ > 4),
@@ -213,12 +248,7 @@ object EventReplayGate {
     val base = graft.Fs.sinkDir("graft_event_replay_meta")
     graft.Fs.deleteRecursively(base)
     val lines = eventLines(spark, dir)
-    val logs = (0 until NLogParts).map { p =>
-      stageLog(
-        lines.filter(pmod(col("event_id"), lit(NLogParts)) === p)
-          .select("value"),
-        s"$base/stage/p$p")
-    }
+    val logs = stageLogParts(lines, NLogParts, base)
     val sink = "erp_meta_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     // Admission scaled to the INPUT, not a constant: a fixed 5000-row
@@ -227,7 +257,11 @@ object EventReplayGate {
     // Sizing the cap to ~a dozen batches keeps the batch count flat at
     // any scale, exactly like a bytes-per-trigger knob on a real
     // broker source; the floor keeps the sf0.1 gate multi-batch.
-    val perBatch = math.max(5000L, lines.count() / 12)
+    // The row total comes from the staged files (one cheap text
+    // count) instead of a second pass over the events scan; staging
+    // routes every line, so the sum is the same count.
+    val perBatch = math.max(5000L,
+      spark.read.text(logs: _*).count() / 12)
     val q = spark.readStream
       .format(classOf[graft.sources.EventReplayDataSource].getName)
       .option("paths", logs.mkString(","))
