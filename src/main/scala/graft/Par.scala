@@ -12,9 +12,19 @@ package graft
   */
 object Par {
 
-  /** Run `thunks` on a bounded pool (≤4 in flight — enough to
-    * backfill a job's tail, not enough to thrash executor memory)
-    * and return their results in input order.
+  /** Run `thunks` on a bounded pool and return their results in
+    * input order.
+    *
+    * The ≤4 bound is NOT a local[32] calibration — it is the guide's
+    * own sizing rule ("2-3 jobs in flight is plenty: enough to fill
+    * the tail, not so many that they fight for executors"), and it
+    * is the safe direction on a real cluster too: each in-flight
+    * job's tasks hold executor execution memory, so an unbounded
+    * fan-out of concurrent actions multiplies per-executor memory
+    * pressure (§5) while FIFO scheduling already lets a later job
+    * only backfill cores the earlier jobs leave idle. Callers pass
+    * few, coarse thunks (report sections, independent pin builds);
+    * raising the bound buys nothing once the box is saturated.
     */
   def inParallel[T](thunks: Seq[() => T]): Seq[T] = {
     if (thunks.size <= 1) return thunks.map(_())
